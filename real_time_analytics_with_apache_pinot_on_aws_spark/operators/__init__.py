@@ -1,0 +1,11 @@
+"""Engine operators beyond plain SQL surface.
+
+- ``gapfill``     : time-series hole filling (SURVEY B34).
+- ``dedup``       : exact + MinHash-LSH + SimHash + n-gram Jaccard near-dup (C1).
+- ``similarity``  : embedding cosine top-k, brute force + LSH-bucketed ANN (C2).
+- ``text``        : language-ID, quality scoring, token counts, fingerprint (C3).
+- ``multimodal``  : binary-column plumbing with Arrow-batched decode UDFs (C4).
+
+All are DataFrame compositions of built-in functions unless noted; Python only
+enters via Arrow-batched ``mapInPandas`` where semantics genuinely require it.
+"""

@@ -1,0 +1,47 @@
+"""Gapfill: fill missing time buckets in aggregated time series (SURVEY B34).
+
+Pinot's ``GapFill(...)`` [P1.2] fills holes in time-bucketed group-by results.
+Spark-first shape: generate the bucket spine with ``sequence()`` + ``explode``,
+cross-join the group dimension values, left-join the aggregate, ``coalesce``
+the fill value.
+
+Scale: the spine is tiny (buckets x groups — thousands of rows even for a year
+of minutes x many groups) so Catalyst broadcasts it; the aggregated side has
+already been reduced by the group-by. No extra shuffle of raw data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def gapfill(
+    agg: DataFrame,
+    time_col: str,
+    step: str,
+    group_cols: list[str],
+    fill: dict[str, float],
+    start: Column | None = None,
+    end: Column | None = None,
+) -> DataFrame:
+    """Fill missing ``time_col`` buckets (spaced by ``step``, an INTERVAL
+    literal like ``'1 hour'``) per combination of ``group_cols``.
+
+    ``agg`` must already be one row per (time bucket, *group_cols).
+    ``fill`` maps metric column -> fill value for missing buckets.
+    """
+    bounds = agg.select(
+        (start if start is not None else F.min(time_col)).alias("lo"),
+        (end if end is not None else F.max(time_col)).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr(f"sequence(lo, hi, interval {step})")).alias(time_col)
+    )
+    if group_cols:
+        dims = agg.select(*group_cols).distinct()
+        spine = spine.crossJoin(dims)
+    filled = spine.join(agg, on=[time_col, *group_cols], how="left")
+    for col, value in fill.items():
+        filled = filled.withColumn(col, F.coalesce(F.col(col), F.lit(value)))
+    return filled

@@ -1,0 +1,115 @@
+"""Text analysis operators for training-data pipelines (C3).
+
+Language-ID (stopword-hit heuristic), quality scoring (length/punctuation/
+stopword ratios), token counting (whitespace + word-regex), and document
+fingerprinting (canonicalized token-set hash).  Pure built-in expressions —
+these run inside whole-stage codegen over the documents scan, one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import normalized_tokens
+
+# Tiny deterministic stopword lists per language; the heuristic scores
+# stopword hits per language and argmaxes.  (Fixture text is synthetic, so
+# this demonstrates mechanics, not linguistics.)
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "es": ("el", "la", "de", "que", "y", "en", "un"),
+    "fr": ("le", "la", "et", "les", "des", "en", "un"),
+    "zh": ("de", "shi", "bu", "le", "wo", "you"),
+}
+
+
+def lang_hits(text_col: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(normalized_tokens(text_col), lambda t: F.array_contains(stop, t)))
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, predicted_lang, confidence): stopword-ratio argmax, ties broken by
+    language code order (deterministic)."""
+    toks = normalized_tokens(F.col(text_col))
+    hit_cols = [lang_hits(F.col(text_col), lang).alias(f"hits_{lang}") for lang in STOPWORDS]
+    scored = df.select(F.col(id_col), F.size(toks).alias("n_tokens"), *hit_cols)
+    # argmax via greatest + chained when (stable tie-break on code order)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = None
+    for lang in langs:
+        cond = F.col(f"hits_{lang}") == best
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return scored.select(
+        F.col(id_col),
+        F.coalesce(pred, F.lit("und")).alias("predicted_lang"),
+        F.round(best / F.greatest(F.col("n_tokens"), F.lit(1)), 6).alias("confidence"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality features + composite score in [0,1].
+
+    Features: length, token count, mean token length, punctuation ratio,
+    uppercase ratio, stopword(en) ratio, distinct-token ratio.
+    """
+    t = F.col(text_col)
+    toks = normalized_tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    punct = F.length(F.regexp_replace(t, "[a-zA-Z0-9\\s]", ""))
+    upper = F.length(F.regexp_replace(t, "[^A-Z]", ""))
+    en_stop = lang_hits(t, "en")
+    distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1))
+    mean_tok_len = (n_chars - n_tokens + 1) / F.greatest(n_tokens, F.lit(1))
+    score = (
+        F.when(n_tokens >= 5, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((punct / F.greatest(n_chars, F.lit(1))) < 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(distinct_ratio > 0.3, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((mean_tok_len > 2) & (mean_tok_len < 12), F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(upper / F.greatest(n_chars, F.lit(1)), 6).alias("upper_ratio"),
+        F.round(en_stop / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_token_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate via regex pieces.
+
+    The 'bpe-ish' count splits on word boundaries AND digit/letter transitions
+    — a deterministic proxy for subword tokenizer output length.
+    """
+    t = F.col(text_col)
+    ws = F.size(F.filter(F.split(t, "\\s+"), lambda x: x != F.lit("")))
+    # alpha-runs and digit-runs as separate pieces — deterministic subword
+    # proxy expressible in RE2 (no lookarounds, so the DuckDB oracle matches)
+    pieces = F.size(F.regexp_extract_all(F.lower(t), F.lit("[a-z]+|[0-9]+"), 0))
+    chars_per_token = F.lit(4.0)
+    return df.select(
+        F.col(id_col),
+        ws.alias("whitespace_tokens"),
+        pieces.alias("bpe_ish_tokens"),
+        F.ceil(F.length(t) / chars_per_token).cast("long").alias("char_token_estimate"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Canonical content fingerprint: md5 over the sorted distinct token set
+    (whitespace/punctuation/case-insensitive), plus a fast 64-bit variant."""
+    canon = F.array_join(F.array_sort(F.array_distinct(normalized_tokens(F.col(text_col)))), " ")
+    return df.select(
+        F.col(id_col),
+        F.md5(canon).alias("fingerprint_md5"),
+        F.xxhash64(canon).alias("fingerprint_xx64"),
+    )

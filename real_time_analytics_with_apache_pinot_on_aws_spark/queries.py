@@ -672,3 +672,595 @@ sql_query(
     """,
     doc="B48: orderBy+limit -> TakeOrderedAndProject (per-partition top-k, no global sort)",
 )
+
+# ===========================================================================
+# Multi-value / text-match predicates (B12, B13) — documents.text tokenized
+# ===========================================================================
+
+sql_query(
+    "b12_multivalue_predicate",
+    """
+    SELECT count(*) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM documents
+    WHERE array_contains(filter(split(lower(text), '[^a-z0-9]+'), x -> x != ''), 'spark')
+      AND exists(filter(split(lower(text), '[^a-z0-9]+'), x -> x != ''), x -> x = 'join')
+    """,
+    """
+    SELECT count(*) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM documents
+    WHERE list_contains(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != ''), 'spark')
+      AND len(list_filter(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != ''), x -> x = 'join')) > 0
+    """,
+    doc="B12: multi-value predicate — true if ANY element matches (array_contains/exists, never scalar compare)",
+)
+
+sql_query(
+    "b13_text_match",
+    """
+    SELECT source, count(*) AS n_hits
+    FROM documents
+    WHERE contains(lower(text), 'spark') AND contains(lower(text), 'stream')
+    GROUP BY source
+    """,
+    """
+    SELECT source, count(*) AS n_hits
+    FROM documents
+    WHERE contains(lower(text), 'spark') AND contains(lower(text), 'stream')
+    GROUP BY source
+    """,
+    doc="B13: TEXT_MATCH approximation via tokenized contains (no Lucene index in the reference deployment either)",
+)
+
+# ===========================================================================
+# Gapfill (B34) + time-window agg (B60) + retention (A7)
+# ===========================================================================
+
+from .operators import gapfill as _gapfill_mod  # noqa: E402
+
+
+@register(
+    "b34_gapfill",
+    """
+    WITH spine AS (
+      SELECT unnest(generate_series(
+        (SELECT date_trunc('hour', min(ts)) FROM events),
+        (SELECT date_trunc('hour', max(ts)) FROM events),
+        INTERVAL 1 HOUR)) AS hour_bucket
+    ), dims AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS hour_bucket, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.hour_bucket, d.event_type, coalesce(a.n, 0) AS n
+    FROM spine s CROSS JOIN dims d
+    LEFT JOIN agg a ON a.hour_bucket = s.hour_bucket AND a.event_type = d.event_type
+    """,
+    doc="B34: GapFill — sequence() spine x dims, left join, coalesce fill; spine is broadcast-sized at any scale",
+)
+def b34_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+    agg = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+        F.col("event_type"),
+    ).agg(F.count("*").alias("n"))
+    return _gapfill_mod.gapfill(
+        agg, "hour_bucket", "1 hour", ["event_type"], {"n": 0}
+    ).select("hour_bucket", "event_type", F.col("n").cast("long").alias("n"))
+
+
+sql_query(
+    "b60_time_window_agg",
+    """
+    SELECT window.start AS win_start, event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM (SELECT window(ts, '1 day') AS window, event_type, value FROM events)
+    GROUP BY window.start, event_type
+    """,
+    """
+    SELECT date_trunc('day', ts)::TIMESTAMP AS win_start, event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="B60: event-time windowed agg at query time (window() tumbling = date_trunc for 1-day); same op drives streaming agg",
+)
+
+sql_query(
+    "a7_retention_filter",
+    """
+    SELECT count(*) AS live_rows, min(ts) AS oldest_live
+    FROM events
+    WHERE ts >= (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+    """,
+    """
+    SELECT count(*) AS live_rows, min(ts) AS oldest_live
+    FROM events
+    WHERE ts >= (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+    """,
+    doc="A7: 7-day retention predicate (kinesisTableConfigFile.json:8-9); production = partition drop on date(ts)",
+)
+
+# ===========================================================================
+# Scalar function families (B49-B56)
+# ===========================================================================
+
+sql_query(
+    "b49_math_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS abs_v,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS ceil_v,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS floor_v,
+           round(exp(l_discount), 6) AS exp_v,
+           round(ln(l_extendedprice), 6) AS ln_v,
+           round(sqrt(l_quantity), 6) AS sqrt_v,
+           round(power(l_tax + 1, 2), 6) AS pow_v,
+           CAST(l_partkey % 7 AS BIGINT) AS mod_v,
+           CAST(sign(l_discount - 0.04) AS DOUBLE) AS sign_v
+    FROM lineitem
+    WHERE l_orderkey < 200
+    """,
+    doc="B49: ABS/CEIL/FLOOR/EXP/LN/SQRT/POWER/MOD/SIGN (rounded: libm last-ulp divergence)",
+)
+
+sql_query(
+    "b50_string_functions",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS up, lower(p_brand) AS lo,
+           concat(p_brand, '#', p_type) AS cat,
+           substring(p_name, 2, 5) AS sub,
+           trim(p_name) AS trimmed,
+           replace(p_type, 'BRASS', 'brass') AS repl,
+           length(p_name) AS len,
+           instr(p_name, 'a') AS pos_a,
+           reverse(p_brand) AS rev,
+           lpad(p_brand, 12, '*') AS pad_l,
+           rpad(p_brand, 12, '*') AS pad_r,
+           repeat('ab', 3) AS rep,
+           startswith(p_type, 'STANDARD') AS sw,
+           endswith(p_type, 'BRASS') AS ew,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_') AS novowel,
+           split_part(p_type, ' ', 1) AS type_head
+    FROM part
+    WHERE p_partkey < 100
+    """,
+    """
+    SELECT p_partkey,
+           upper(p_name) AS up, lower(p_brand) AS lo,
+           concat(p_brand, '#', p_type) AS cat,
+           substring(p_name, 2, 5) AS sub,
+           trim(p_name) AS trimmed,
+           replace(p_type, 'BRASS', 'brass') AS repl,
+           length(p_name) AS len,
+           strpos(p_name, 'a') AS pos_a,
+           reverse(p_brand) AS rev,
+           lpad(p_brand, 12, '*') AS pad_l,
+           rpad(p_brand, 12, '*') AS pad_r,
+           repeat('ab', 3) AS rep,
+           starts_with(p_type, 'STANDARD') AS sw,
+           ends_with(p_type, 'BRASS') AS ew,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS novowel,
+           split_part(p_type, ' ', 1) AS type_head
+    FROM part
+    WHERE p_partkey < 100
+    """,
+    doc="B50: string family — UPPER/LOWER/CONCAT/SUBSTR/TRIM/REPLACE/LENGTH/STRPOS/REVERSE/LPAD/RPAD/REPEAT/STARTSWITH/ENDSWITH/REGEXP_*/SPLIT_PART",
+)
+
+sql_query(
+    "b51_datetime_functions",
+    """
+    SELECT event_id,
+           year(ts) AS y, month(ts) AS mo, day(ts) AS d,
+           hour(ts) AS h, minute(ts) AS mi, second(ts) AS s,
+           CAST(date_trunc('HOUR', ts) AS TIMESTAMP) AS trunc_hour,
+           CAST(date_trunc('WEEK', ts) AS TIMESTAMP) AS trunc_week,
+           date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS formatted,
+           CAST(unix_seconds(CAST(date_trunc('SECOND', ts) AS TIMESTAMP)) AS BIGINT) AS epoch_s,
+           CAST(ts + INTERVAL 90 MINUTE AS TIMESTAMP) AS shifted,
+           CAST(datediff(DATE '2024-02-01', CAST(ts AS DATE)) AS BIGINT) AS days_to_feb,
+           quarter(ts) AS q, dayofyear(ts) AS doy
+    FROM events
+    WHERE event_id < 500
+    """,
+    """
+    SELECT event_id,
+           year(ts)::INT AS y, month(ts)::INT AS mo, day(ts)::INT AS d,
+           hour(ts)::INT AS h, minute(ts)::INT AS mi, second(ts)::INT AS s,
+           date_trunc('hour', ts) AS trunc_hour,
+           date_trunc('week', ts)::TIMESTAMP AS trunc_week,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS formatted,
+           epoch(date_trunc('second', ts))::BIGINT AS epoch_s,
+           ts + INTERVAL 90 MINUTE AS shifted,
+           date_diff('day', ts::DATE, DATE '2024-02-01')::BIGINT AS days_to_feb,
+           quarter(ts)::INT AS q, dayofyear(ts)::INT AS doy
+    FROM events
+    WHERE event_id < 500
+    """,
+    doc="B51: YEAR..SECOND, DATETRUNC, date_format, epoch conversion, interval arithmetic, datediff, QUARTER, DOY",
+)
+
+
+@register(
+    "b51_datetimeconvert",
+    """
+    SELECT (floor(epoch(ts) / 900) * 900 / 60)::BIGINT AS bucket_minutes,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    doc="B51: DATETIMECONVERT(ts, '1:MILLISECONDS:EPOCH', '1:MINUTES:EPOCH', '15:MINUTES') — 15-min buckets as epoch-minutes",
+)
+def b51_datetimeconvert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    ev = spark.table("events").filter(F.col("event_type") == "purchase")
+    bucket = H.datetimeconvert(
+        F.unix_millis(F.col("ts")), "1:MILLISECONDS:EPOCH", "1:MINUTES:EPOCH", "15:MINUTES"
+    )
+    return (
+        ev.withColumn("bucket_minutes", bucket)
+        .groupBy("bucket_minutes")
+        .agg(F.count("*").alias("n"), H.money_sum(F.col("value")).alias("total"))
+    )
+
+
+sql_query(
+    "b52_json_functions",
+    """
+    SELECT event_id,
+           CAST(get_json_object(props, '$.k') AS BIGINT) AS k_long,
+           CAST(get_json_object(props, '$.k') AS DOUBLE) AS k_double,
+           get_json_object(props, '$.k') AS k_string,
+           coalesce(CAST(get_json_object(props, '$.missing') AS BIGINT), -1) AS k_default,
+           json_object_keys(props) AS keys
+    FROM events
+    WHERE event_id < 300
+    """,
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k')::BIGINT AS k_long,
+           json_extract_string(props, '$.k')::DOUBLE AS k_double,
+           json_extract_string(props, '$.k') AS k_string,
+           coalesce(json_extract_string(props, '$.missing')::BIGINT, -1) AS k_default,
+           json_keys(props) AS keys
+    FROM events
+    WHERE event_id < 300
+    """,
+    doc="B52: JSONEXTRACTSCALAR (typed + default) / JSONEXTRACTKEY over the events.props JSON column",
+)
+
+sql_query(
+    "b53_array_functions",
+    """
+    SELECT doc_id,
+           size(toks) AS n_toks,
+           array_min(toks) AS tok_min,
+           array_max(toks) AS tok_max,
+           size(array_distinct(toks)) AS n_distinct,
+           array_join(slice(sort_array(array_distinct(toks)), 1, 3), ',') AS first3_sorted,
+           array_contains(toks, 'spark') AS has_spark,
+           CAST(aggregate(transform(toks, x -> length(x)), 0L, (s, x) -> s + x) AS BIGINT) AS total_len
+    FROM (
+      SELECT doc_id, filter(split(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+      FROM documents WHERE doc_id < 200
+    )
+    """,
+    """
+    SELECT doc_id,
+           len(toks) AS n_toks,
+           list_aggregate(toks, 'min') AS tok_min,
+           list_aggregate(toks, 'max') AS tok_max,
+           len(list_distinct(toks)) AS n_distinct,
+           array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 3), ',') AS first3_sorted,
+           list_contains(toks, 'spark') AS has_spark,
+           list_sum(list_transform(toks, x -> length(x)))::BIGINT AS total_len
+    FROM (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+      FROM documents WHERE doc_id < 200
+    )
+    """,
+    doc="B53: ARRAYLENGTH/ARRAYMIN/ARRAYMAX/ARRAYDISTINCT/ARRAYSORT/ARRAYSLICE/ARRAYCONTAINS/ARRAYSUM over tokenized text",
+)
+
+sql_query(
+    "b54_hash_functions",
+    """
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           sha2(text, 256) AS sha256_hex,
+           base64(encode(substring(text, 1, 12), 'utf-8')) AS b64,
+           lower(hex(encode(substring(text, 1, 8), 'utf-8'))) AS hex_prefix
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    """
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           sha256(text) AS sha256_hex,
+           base64(substring(text, 1, 12)::BLOB) AS b64,
+           lower(hex(substring(text, 1, 8)::BLOB)) AS hex_prefix
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    doc="B54: MD5/SHA256/toBase64/HEX (SHA1/CRC32 Spark-side only: DuckDB v1.0 lacks them — covered by sqlfns registration)",
+)
+
+sql_query(
+    "b56_url_functions",
+    """
+    SELECT doc_id,
+           url_encode(substring(text, 1, 30)) AS enc,
+           url_decode(url_encode(substring(text, 1, 30))) AS roundtrip
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    """
+    SELECT doc_id,
+           replace(substring(text, 1, 30), ' ', '+') AS enc,
+           substring(text, 1, 30) AS roundtrip
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    doc="B56: encodeUrl/decodeUrl (fixture text is [a-z0-9 ] so oracle is the space->+ mapping)",
+)
+
+# ===========================================================================
+# Ingest decode path (A3): KafkaJSONMessageDecoder analog round-trip
+# ===========================================================================
+
+sql_query(
+    "a3_ingest_json_decode",
+    """
+    SELECT d.event_id, d.event_type, d.value, d.user_id
+    FROM (
+      SELECT from_json(to_json(struct(event_id, user_id, event_type, value)),
+                       'event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE') AS d
+      FROM events WHERE event_id < 1000
+    )
+    """,
+    """
+    SELECT event_id, event_type, value, user_id
+    FROM events WHERE event_id < 1000
+    """,
+    doc="A3: JSON decode (from_json per compiled schema == KafkaJSONMessageDecoder, kinesisTableConfigFile.json:21); round-trip is lossless",
+)
+
+# ===========================================================================
+# Extension operators: dedup / similarity / text analysis / multimodal (C1-C4)
+# ===========================================================================
+
+from .operators import dedup as _dedup  # noqa: E402
+from .operators import multimodal as _mm  # noqa: E402
+from .operators import similarity as _sim  # noqa: E402
+from .operators import text as _text  # noqa: E402
+
+
+@register(
+    "c1_dedup_exact",
+    """
+    SELECT min(doc_id) AS representative_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+    doc="C1: exact dedup — hash-group on xxhash64(text): 8-byte shuffle keys, never the document bytes",
+)
+def c1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return _dedup.exact_dedup(spark.table("documents"), "doc_id", "text").select(
+        "representative_id", "n_copies"
+    )
+
+
+@register(
+    "c1_dedup_minhash_lsh",
+    None,
+    doc="C1: MinHash-LSH near-dup pairs (16 hashes, 4 bands, 3-gram shingles, verified Jaccard>=0.5) — approximate recall, rows-only",
+)
+def c1_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return _dedup.minhash_lsh_pairs(
+        spark.table("documents"), "doc_id", "text",
+        num_hashes=16, bands=4, shingle_n=3, jaccard_threshold=0.5,
+    )
+
+
+@register(
+    "c1_dedup_simhash",
+    None,
+    doc="C1: SimHash 32-bit fingerprints + banded Hamming<=3 near-dup pairs — rows-only",
+)
+def c1_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return _dedup.simhash_near_pairs(spark.table("documents"), "doc_id", "text")
+
+
+@register(
+    "c1_ngram_jaccard",
+    """
+    WITH toksets AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')) AS toks
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                 / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+    FROM toksets a JOIN toksets b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+          / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+    """,
+    doc="C1: exact token-set Jaccard pairs (>=0.8) on a bounded block — the verify stage after LSH blocking at scale",
+)
+def c1_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 100)
+    return _dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=1, threshold=0.8)
+
+
+@register(
+    "c2_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.q_vec::DOUBLE[], c.embedding::DOUBLE[]), 6) AS score
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id != q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 10
+    """,
+    doc="C2: brute-force cosine top-10 per query vector — zip_with/aggregate dot product in codegen; corpus never shuffles",
+)
+def c2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return _sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "c2_cosine_topk_lsh",
+    None,
+    doc="C2: LSH-bucketed ANN (8-bit hyperplane signatures, single probe) — approximate recall, rows-only",
+)
+def c2_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return _sim.cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=10, nbits=8)
+
+
+_LANGS = sorted(_text.STOPWORDS)
+_DUCK_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+_DUCK_HITS = {
+    lang: (
+        "len(list_filter("
+        + _DUCK_TOKS
+        + ", t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in _text.STOPWORDS[lang])
+        + "], t)))"
+    )
+    for lang in _LANGS
+}
+_DUCK_BEST = "greatest(" + ", ".join(f"h_{lang}" for lang in _LANGS) + ")"
+_DUCK_PRED = "CASE " + " ".join(
+    f"WHEN h_{lang} = {_DUCK_BEST} THEN '{lang}'" for lang in _LANGS
+) + " ELSE 'und' END"
+
+
+@register(
+    "c3_language_id",
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len({_DUCK_TOKS}) AS n_tokens,
+             {", ".join(f"{_DUCK_HITS[lang]} AS h_{lang}" for lang in _LANGS)}
+      FROM documents
+    )
+    SELECT doc_id,
+           {_DUCK_PRED} AS predicted_lang,
+           round({_DUCK_BEST}::DOUBLE / greatest(n_tokens, 1), 6) AS confidence
+    FROM feats
+    """,
+    doc="C3: n-gram/stopword language-ID heuristic (deterministic argmax, tie-break on code order)",
+)
+def c3_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return _text.language_id(spark.table("documents"), "doc_id", "text")
+
+
+@register(
+    "c3_quality_score",
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len({_DUCK_TOKS}) AS n_tokens,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct,
+             length(regexp_replace(text, '[^A-Z]', '', 'g')) AS upper_n,
+             {_DUCK_HITS['en']} AS en_stop,
+             len(list_distinct({_DUCK_TOKS})) AS n_distinct
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           round((n_chars - n_tokens + 1)::DOUBLE / greatest(n_tokens, 1), 6) AS mean_token_len,
+           round(punct::DOUBLE / greatest(n_chars, 1), 6) AS punct_ratio,
+           round(upper_n::DOUBLE / greatest(n_chars, 1), 6) AS upper_ratio,
+           round(en_stop::DOUBLE / greatest(n_tokens, 1), 6) AS stopword_ratio,
+           round(n_distinct::DOUBLE / greatest(n_tokens, 1), 6) AS distinct_token_ratio,
+           (CASE WHEN n_tokens >= 5 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN punct::DOUBLE / greatest(n_chars, 1) < 0.1 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN n_distinct::DOUBLE / greatest(n_tokens, 1) > 0.3 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN (n_chars - n_tokens + 1)::DOUBLE / greatest(n_tokens, 1) > 2
+                    AND (n_chars - n_tokens + 1)::DOUBLE / greatest(n_tokens, 1) < 12
+                   THEN 0.25 ELSE 0.0 END)::DOUBLE AS quality_score
+    FROM feats
+    """,
+    doc="C3: quality scoring — length/punctuation/stopword/distinct ratios + composite score",
+)
+def c3_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return _text.quality_score(spark.table("documents"), "doc_id", "text")
+
+
+@register(
+    "c3_token_counts",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS whitespace_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS bpe_ish_tokens,
+           ceil(length(text) / 4.0)::BIGINT AS char_token_estimate
+    FROM documents
+    """,
+    doc="C3: token counting — whitespace + subword-proxy regex + chars/4 estimate",
+)
+def c3_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return _text.token_counts(spark.table("documents"), "doc_id", "text")
+
+
+@register(
+    "c3_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != ''))), ' ')) AS fingerprint_md5
+    FROM documents
+    """,
+    doc="C3: document fingerprint — md5 over canonicalized (sorted distinct) token set",
+)
+def c3_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return _text.fingerprint(spark.table("documents"), "doc_id", "text").select(
+        "doc_id", "fingerprint_md5"
+    )
+
+
+@register(
+    "c4_multimodal_features",
+    """
+    SELECT doc_id,
+           'text/fake' AS media_type,
+           length(text)::BIGINT AS n_bytes,
+           ascii(substring(text, 1, 1)) AS first_byte,
+           list_sum(list_transform(string_split(text, ''), c -> ascii(c)))::BIGINT AS byte_sum,
+           lower(hex(substring(text, 1, 4)::BLOB)) AS header_hex
+    FROM documents
+    WHERE doc_id < 200
+    """,
+    doc="C4: multimodal binary-column plumbing — Arrow-batched mapInPandas feature extraction (decode stubbed, plumbing real)",
+)
+def c4_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 200)
+    return _mm.decode_features(_mm.attach_binary(docs, "doc_id", "text"))
