@@ -1,0 +1,152 @@
+"""Engine facade: the user-facing API mirroring the reference's control plane.
+
+Reference surface (SURVEY §2.A):
+- A8  AddTable (schema + table config -> start consuming)  -> :meth:`add_table`
+- A9  GET /tables                                          -> :meth:`list_tables`
+- A10 rebalance                                            -> :meth:`rebalance` (no-op: storage/compute separated)
+- A11 segment/server map                                   -> :meth:`table_detail`
+- A12 instance deregistration                              -> n/a (no instance registry)
+- B2  /query/sql                                           -> :meth:`query`
+- B4  JSON result                                          -> :meth:`query_json`
+
+Table config parsing follows the reference's REALTIME config shape
+(resources/pinot/resources/kinesisTableConfigFile.json): time column +
+retention (``segmentsConfig``), flush thresholds (``streamConfigs``).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import functions as pfn
+from .schema import TableSchema, parse_schema
+from .streaming.ingest import IngestPipeline, RawRecordSource
+
+
+@dataclass(frozen=True)
+class TableConfig:
+    """The slice of Pinot table config this engine honors."""
+
+    name: str
+    table_type: str = "REALTIME"
+    time_column: str | None = None
+    retention_days: int | None = None
+    flush_threshold_seconds: int = 120  # reference: 2 min (json:24)
+
+    @classmethod
+    def parse(cls, config_json: str | dict) -> "TableConfig":
+        conf = json.loads(config_json) if isinstance(config_json, str) else config_json
+        seg = conf.get("segmentsConfig", {})
+        retention = None
+        if seg.get("retentionTimeUnit", "").upper() == "DAYS" and seg.get("retentionTimeValue"):
+            retention = int(seg["retentionTimeValue"])
+        stream = conf.get("tableIndexConfig", {}).get("streamConfigs", {})
+        flush_ms = stream.get("realtime.segment.flush.threshold.time")
+        flush_s = 120
+        if flush_ms:  # reference uses e.g. "2m"? value is millis or duration string
+            text = str(flush_ms)
+            if text.endswith("m"):
+                flush_s = int(text[:-1]) * 60
+            elif text.isdigit():
+                flush_s = int(text) // 1000
+        return cls(
+            name=conf.get("tableName", "table"),
+            table_type=conf.get("tableType", "REALTIME"),
+            time_column=seg.get("timeColumnName"),
+            retention_days=retention,
+            flush_threshold_seconds=flush_s,
+        )
+
+
+class Engine:
+    """A Pinot-capability analytics engine on a SparkSession."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str) -> None:
+        self.spark = spark
+        self.warehouse = Path(warehouse_dir)
+        self.warehouse.mkdir(parents=True, exist_ok=True)
+        self.pipelines: dict[str, IngestPipeline] = {}
+        pfn.register_all(spark)
+
+    # -- DDL / control plane (A8-A12) -----------------------------------
+
+    def add_table(
+        self,
+        schema_json: str | dict,
+        table_config_json: str | dict,
+        source: RawRecordSource,
+        start: bool = True,
+        available_now: bool = False,
+    ) -> IngestPipeline:
+        """AddTable analog (bastionUserData.sh:36): compile schema, register
+        the table, start consuming.  Returns the pipeline handle."""
+        schema = parse_schema(schema_json)
+        config = TableConfig.parse(table_config_json)
+        table_path = str(self.warehouse / config.name / "data")
+        checkpoint = str(self.warehouse / config.name / "_checkpoint")
+        pipeline = IngestPipeline(
+            self.spark,
+            schema,
+            table_path,
+            checkpoint,
+            source,
+            retention_days=config.retention_days,
+        )
+        self.pipelines[config.name] = pipeline
+        if start:
+            trigger = f"{config.flush_threshold_seconds} seconds"
+            pipeline.start(trigger=trigger, available_now=available_now)
+        return pipeline
+
+    def register_view(self, name: str) -> None:
+        """Expose a consuming table to SQL under its name."""
+        self.pipelines[name].table().createOrReplaceTempView(name)
+
+    def list_tables(self) -> list[str]:
+        """GET /tables analog (stack ts:416-422)."""
+        return sorted(self.pipelines)
+
+    def table_detail(self, name: str) -> dict:
+        """Segment/server map analog (stack ts:445-462): file-level layout."""
+        root = Path(self.pipelines[name].table_path)
+        parts = sorted(p.name for p in root.glob("ingest_date=*"))
+        files = list(root.rglob("*.parquet"))
+        return {
+            "table": name,
+            "partitions": parts,
+            "num_files": len(files),
+            "total_bytes": sum(f.stat().st_size for f in files),
+        }
+
+    def rebalance(self, name: str) -> dict:
+        """Rebalance analog (stack ts:424-443).
+
+        Deliberate no-op: Spark separates storage from compute, so segment
+        movement on scale-in/out has no equivalent — tasks schedule wherever
+        executors are.  Returns a completed status for API parity.
+        """
+        return {"table": name, "status": "NO_OP", "reason": "storage/compute separated"}
+
+    # -- query plane (B2, B4) --------------------------------------------
+
+    def query(self, sql: str) -> DataFrame:
+        """/query/sql analog — full Spark SQL + the Pinot function surface."""
+        return self.spark.sql(sql)
+
+    def query_json(self, sql: str) -> list[str]:
+        """JSON result rows (broker response analog).  Small results only —
+        this collects to the driver like the broker gather stage."""
+        return self.query(sql).toJSON().collect()
+
+    # -- maintenance -----------------------------------------------------
+
+    def run_retention(self, name: str) -> list[str]:
+        return self.pipelines[name].run_retention()
+
+    def stop(self) -> None:
+        for p in self.pipelines.values():
+            p.stop()

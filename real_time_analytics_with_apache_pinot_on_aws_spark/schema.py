@@ -151,28 +151,55 @@ def time_parse_expr(spec: FieldSpec) -> Column:
     """
     col = F.col(spec.name)
     pattern = _sdf_pattern(spec.format)
+    # try_* variants throughout: a malformed record must become NULL, not kill
+    # the stream (ANSI mode throws; Pinot's decoder null/defaults — §1.2).
     if pattern:
-        return F.to_timestamp(col, pattern)
+        return F.try_to_timestamp(col, F.lit(pattern))
     if spec.format and _EPOCH_PREFIX in spec.format.upper():
         if "MILLISECONDS" in spec.format.upper():
-            return F.timestamp_millis(col.cast("long"))
-        return F.timestamp_seconds(col.cast("long"))
-    return col.cast("timestamp")
+            return F.timestamp_millis(col.try_cast("long"))
+        return F.timestamp_seconds(col.try_cast("long"))
+    return col.try_cast("timestamp")
+
+
+def _lenient_struct(schema: TableSchema) -> T.StructType:
+    """String-typed mirror of the schema: JSON values parse as text first."""
+
+    def widen(dt: T.DataType) -> T.DataType:
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(T.StringType())
+        return T.StringType()
+
+    return T.StructType(
+        [T.StructField(f.name, widen(f.spark_type), True) for f in schema.fields]
+    )
 
 
 def decode_expr(schema: TableSchema, value_col: str = "value") -> Column:
     """The KafkaJSONMessageDecoder analog: JSON string -> typed struct.
 
-    ``from_json`` with the compiled struct performs the same per-field coercion
-    the reference's decoder does (JSON string "42" -> INT 42, number -> int),
-    one expression, fully codegen'd — no Python in the ingest hot path.
+    Two-step coercion matching the reference's decoder semantics
+    (kinesisTableConfigFile.json:21 — the KDG sends userID as a JSON *string*
+    and price as a JSON *number*, README.md:88-109, and either must land in
+    the declared type): parse every field as string with ``from_json`` (JSON
+    numbers/booleans stringify losslessly), then CAST to the declared Spark
+    type.  One codegen'd expression — no Python in the ingest hot path.
     """
-    return F.from_json(F.col(value_col).cast("string"), schema.struct)
+    raw = F.from_json(F.col(value_col).cast("string"), _lenient_struct(schema))
+    # try_cast: uncoercible values become NULL instead of failing the batch
+    # under ANSI mode (Pinot decoder behavior; divergence is NULL vs type
+    # default, documented in SURVEY §1.2).
+    typed = [
+        F.col(f"__raw.{f.name}").try_cast(f.spark_type).alias(f.name)
+        for f in schema.fields
+    ]
+    return F.struct(*typed).alias("__typed"), raw.alias("__raw")
 
 
 def decoded_frame(df: DataFrame, schema: TableSchema, value_col: str = "value") -> DataFrame:
     """Apply the decoder and append derived ``<name>__ts`` typed time columns."""
-    out = df.select(decode_expr(schema, value_col).alias("r")).select("r.*")
+    typed_expr, raw_expr = decode_expr(schema, value_col)
+    out = df.select(raw_expr).select(typed_expr).select("__typed.*")
     for spec in schema.datetime_fields:
         if not isinstance(spec.spark_type, T.TimestampType):
             out = out.withColumn(f"{spec.name}__ts", time_parse_expr(spec))

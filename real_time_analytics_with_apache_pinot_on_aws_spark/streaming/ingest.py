@@ -1,0 +1,200 @@
+"""Realtime ingestion pipeline (SURVEY §2.A A1-A7, §2.B B57-B61).
+
+Maps the reference's Pinot realtime-table lifecycle onto Structured Streaming:
+
+| Reference (citation)                                   | Here |
+|--------------------------------------------------------|------|
+| Kinesis stream, 2 shards (stack ts:730-734)            | ``RawRecordSource``: kafka/file/rate readStream; one input partition per shard natively |
+| LATEST shard iterator (kinesisTableConfigFile.json:18) | ``startingOffsets="latest"`` (file source: only new files) |
+| KafkaJSONMessageDecoder (json:21)                      | ``schema.decoded_frame`` — from_json + casts, codegen'd |
+| consuming segment, immediately queryable (README:19)   | short-trigger micro-batch; freshness = trigger + commit |
+| flush 2 min / 150 MB (json:23-25)                      | ``trigger(processingTime=...)`` cadence |
+| S3 deep store (README:20)                              | the table directory itself |
+| 7-day retention (json:5-9)                             | ``run_retention`` partition drop on the derived date col |
+| no watermark on raw table (B59)                        | append mode, no ``withWatermark`` — disorder retained |
+"""
+
+from __future__ import annotations
+
+import shutil
+from dataclasses import dataclass
+from datetime import timedelta
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..schema import TableSchema, decoded_frame, time_parse_expr
+
+
+@dataclass
+class RawRecordSource:
+    """Where raw JSON records come from.
+
+    kind='files': every line of every new file under ``path`` is one record
+    (the test/bench analog of a Kinesis shard put).  kind='kafka': value bytes
+    from a topic.  kind='rate': synthetic load generator.
+    """
+
+    kind: str = "files"
+    path: str | None = None
+    options: dict[str, str] | None = None
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        opts = dict(self.options or {})
+        if self.kind == "files":
+            return (
+                spark.readStream.format("text")
+                .options(**opts)
+                .load(self.path)
+                .withColumnRenamed("value", "value")
+            )
+        if self.kind == "kafka":
+            return (
+                spark.readStream.format("kafka")
+                .options(**opts)
+                .option("startingOffsets", opts.get("startingOffsets", "latest"))
+                .load()
+                .select(F.col("value").cast("string").alias("value"))
+            )
+        if self.kind == "rate":
+            return (
+                spark.readStream.format("rate")
+                .options(**opts)
+                .load()
+                .select(F.to_json(F.struct("timestamp", "value")).alias("value"))
+            )
+        raise ValueError(f"unknown source kind {self.kind!r}")
+
+
+class IngestPipeline:
+    """One realtime table: stream -> decode -> partitioned parquet append."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        schema: TableSchema,
+        table_path: str,
+        checkpoint_path: str,
+        source: RawRecordSource,
+        retention_days: int | None = 7,
+    ) -> None:
+        self.spark = spark
+        self.schema = schema
+        self.table_path = table_path
+        self.checkpoint_path = checkpoint_path
+        self.source = source
+        self.retention_days = retention_days
+        self._query: StreamingQuery | None = None
+
+    # -- decode ----------------------------------------------------------
+
+    def decoded(self) -> DataFrame:
+        """Raw value column -> typed rows + derived time/partition columns.
+
+        Adds ``<time>__ts`` (typed event time) and ``ingest_date`` (the
+        partition column — day granularity per kinesisTable.json:30).
+        """
+        out = decoded_frame(self.source.load(self.spark), self.schema)
+        tc = self.schema.time_column()
+        if tc is not None:
+            ts_col = f"{tc.name}__ts" if f"{tc.name}__ts" in out.columns else tc.name
+            out = out.withColumn("ingest_date", F.to_date(F.col(ts_col)))
+        return out
+
+    # -- lifecycle -------------------------------------------------------
+
+    def start(self, trigger: str | None = "5 seconds", available_now: bool = False) -> StreamingQuery:
+        """Begin consumption (the AddTable 'starts consuming' moment, A8).
+
+        ``trigger`` ≈ segment-flush cadence: the reference seals at 2 minutes
+        (kinesisTableConfigFile.json:24); tests use ``available_now`` to drain
+        synchronously.  Day-partitioned parquet append == sealed segments in
+        deep storage; exactly-once via checkpoint (strictly better than the
+        reference's at-least-once, SURVEY B61).
+        """
+        table_path = self.table_path
+
+        def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            # foreachBatch + plain batch append (not the file-stream sink):
+            # no _spark_metadata log, so retention can drop partition dirs
+            # directly and any engine can read the table.  Source offsets are
+            # checkpointed, so batches are not re-offered across restarts;
+            # semantics match the reference's at-least-once segment commit
+            # (kinesisTableConfigFile.json:19,22) with dupes only possible on
+            # mid-batch crash.
+            writer = batch_df.write.mode("append")
+            if "ingest_date" in batch_df.columns:
+                writer = writer.partitionBy("ingest_date")
+            writer.parquet(table_path)
+
+        writer = (
+            self.decoded()
+            .writeStream.foreachBatch(commit_batch)
+            .option("checkpointLocation", self.checkpoint_path)
+            .outputMode("append")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif trigger:
+            writer = writer.trigger(processingTime=trigger)
+        self._query = writer.start()
+        return self._query
+
+    def process_available(self) -> None:
+        """Drain everything currently in the source.
+
+        An ``availableNow`` query terminates after draining (segment-seal
+        analog), so this restarts one if needed — the checkpoint makes
+        repeated drains exactly-once.  A continuous (processingTime) query
+        just waits for in-flight data.
+        """
+        if self._query is None or not self._query.isActive:
+            self.start(available_now=True)
+            self._query.awaitTermination()
+            self._query = None
+            return
+        self._query.processAllAvailable()
+
+    def stop(self) -> None:
+        if self._query is not None:
+            self._query.stop()
+            self._query = None
+
+    # -- serving ---------------------------------------------------------
+
+    def table(self) -> DataFrame:
+        """The queryable table (consuming-segment analog: rows appear after
+        each micro-batch commit)."""
+        return self.spark.read.parquet(self.table_path)
+
+    # -- retention (A7) --------------------------------------------------
+
+    def run_retention(self, now=None) -> list[str]:
+        """Drop ``ingest_date`` partitions older than ``retention_days``.
+
+        Partition-drop (directory removal) — O(partitions), no data rewrite,
+        which is how a 100 TB table must expire data.  Returns dropped values.
+        """
+        if self.retention_days is None:
+            return []
+        if now is None:
+            row = self.table().agg(F.max("ingest_date").alias("m")).collect()[0]
+            now = row["m"]
+        if now is None:
+            return []
+        cutoff = now - timedelta(days=self.retention_days)
+        root = Path(self.table_path)
+        dropped: list[str] = []
+        for part_dir in sorted(root.glob("ingest_date=*")):
+            value = part_dir.name.split("=", 1)[1]
+            try:
+                from datetime import date
+
+                if date.fromisoformat(value) < cutoff:
+                    shutil.rmtree(part_dir)
+                    dropped.append(value)
+            except ValueError:
+                continue
+        return dropped

@@ -1,0 +1,144 @@
+"""Operator semantics unit tests: dedup, similarity, text, gapfill, multimodal."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from real_time_analytics_with_apache_pinot_on_aws_spark.operators import (
+    dedup,
+    gapfill,
+    multimodal,
+    similarity,
+    text,
+)
+
+
+def test_exact_dedup_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z"), (4, "a b c")], "id long, text string"
+    )
+    out = {r["representative_id"]: r["n_copies"] for r in dedup.exact_dedup(df, "id", "text").collect()}
+    assert out == {1: 3, 3: 1}
+
+
+def test_minhash_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base.replace("today", "tonight")
+    other = "completely different content about spark query engines and columnar storage systems"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "id long, text string"
+    )
+    pairs = dedup.minhash_lsh_pairs(df, "id", "text", jaccard_threshold=0.3).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found
+    assert all(p in {(1, 2)} for p in found)  # no false positives past verify
+
+
+def test_simhash_identical_and_different(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zz qq ww ee rr tt")],
+        "id long, text string",
+    )
+    fp = {r["id"]: r["simhash"] for r in dedup.simhash(df, "id", "text").collect()}
+    assert fp[1] == fp[2]
+    pairs = dedup.simhash_near_pairs(df, "id", "text").collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} >= {(1, 2)}
+    hamming = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert hamming[(1, 2)] == 0
+
+
+def test_ngram_jaccard_exact_value(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")], "id long, text string")
+    rows = dedup.ngram_jaccard_pairs(df, "id", "text", shingle_n=1, threshold=0.0).collect()
+    assert len(rows) == 1
+    # tokens {a,b,c,d} vs {a,b,c,e}: |∩|=3, |∪|=5
+    assert abs(rows[0]["jaccard"] - 0.6) < 1e-9
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = [[float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)] for i in range(20)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)], "vec_id long, embedding array<float>"
+    )
+    out = similarity.cosine_topk(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    a = np.array(rng, dtype=np.float64)
+    sims = a @ a[0] / (np.linalg.norm(a, axis=1) * np.linalg.norm(a[0]))
+    sims[0] = -np.inf
+    expected = list(np.argsort(-np.round(sims, 6), kind="stable")[:3])
+    got = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [int(x) for x in expected]
+    top = next(r for r in out if r["rank"] == 1)
+    assert math.isclose(top["score"], float(np.round(sims[top["neighbor_id"]], 6)), abs_tol=1e-6)
+
+
+def test_lsh_ann_returns_subset_of_exact(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = df.filter(F.col("vec_id") < 3)
+    exact = similarity.cosine_topk(df, q, k=50)
+    approx = similarity.cosine_topk_lsh(df, q, dim=64, k=50, nbits=6)
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_rows = approx.collect()
+    assert len(approx_rows) > 0
+    # every ANN hit in the same bucket scores identically to brute force
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["score"] for r in exact.collect()
+    }
+    for r in approx_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert math.isclose(r["score"], exact_scores[key], abs_tol=1e-9)
+
+
+def test_language_id_deterministic_and_shaped(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog in the house"), (2, "el perro y el gato en la casa")],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in text.language_id(df, "id", "text").collect()}
+    assert out[1]["predicted_lang"] == "en"
+    assert out[2]["predicted_lang"] == "es"
+    assert 0.0 <= out[1]["confidence"] <= 1.0
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "A clean readable sentence with enough distinct words here."), (2, "!!! ??? ***")],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in text.quality_score(df, "id", "text").collect()}
+    assert out[1]["quality_score"] > out[2]["quality_score"]
+    assert out[2]["punct_ratio"] > 0.5
+
+
+def test_gapfill_fills_holes(spark):
+    agg = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "a", 5), ("2024-01-01 03:00:00", "a", 7)],
+        "hour string, k string, n long",
+    ).select(F.to_timestamp("hour").alias("hour"), "k", "n")
+    out = gapfill.gapfill(agg, "hour", "1 hour", ["k"], {"n": 0}).orderBy("hour").collect()
+    assert [r["n"] for r in out] == [5, 0, 0, 7]
+
+
+def test_multimodal_features_deterministic(spark):
+    df = spark.createDataFrame([(1, "abcd"), (2, "")], "doc_id long, text string")
+    feats = {
+        r["doc_id"]: r
+        for r in multimodal.decode_features(multimodal.attach_binary(df, "doc_id", "text")).collect()
+    }
+    assert feats[1]["n_bytes"] == 4
+    assert feats[1]["first_byte"] == ord("a")
+    assert feats[1]["byte_sum"] == sum(b"abcd")
+    assert feats[1]["header_hex"] == b"abcd".hex()
+    assert feats[2]["first_byte"] == -1
+
+
+def test_multimodal_decode_image_stubbed(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(multimodal.attach_binary(df, "doc_id", "text"))

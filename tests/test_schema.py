@@ -1,0 +1,126 @@
+"""Schema compiler unit tests (SURVEY §1.2-1.3).
+
+The fixture schema reproduces the shape of the reference's public table schema
+(resources/pinot/resources/kinesisTable.json) — field classes, SDF dateTime
+format — plus extra fields covering the full Pinot 1.2 type matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from real_time_analytics_with_apache_pinot_on_aws_spark.schema import (
+    TableSchema,
+    decoded_frame,
+    parse_schema,
+)
+
+CLICKSTREAM_SCHEMA = {
+    "schemaName": "kinesisTable",
+    "dimensionFieldSpecs": [
+        {"name": "userID", "dataType": "STRING"},
+        {"name": "campaign", "dataType": "STRING"},
+        {"name": "tags", "dataType": "STRING", "singleValueField": False},
+        {"name": "flags", "dataType": "INT", "singleValueField": False},
+        {"name": "active", "dataType": "BOOLEAN"},
+        {"name": "payload", "dataType": "JSON"},
+        {"name": "blob", "dataType": "BYTES"},
+    ],
+    "metricFieldSpecs": [
+        {"name": "price", "dataType": "INT"},
+        {"name": "amount", "dataType": "BIG_DECIMAL"},
+        {"name": "ratio", "dataType": "FLOAT"},
+        {"name": "total", "dataType": "DOUBLE"},
+        {"name": "clicks", "dataType": "LONG"},
+    ],
+    "dateTimeFieldSpecs": [
+        {
+            "name": "creationTimestamp",
+            "dataType": "STRING",
+            "format": "SIMPLE_DATE_FORMAT|yyyy-MM-dd HH:mm:ss",
+            "granularity": "1:DAYS",
+        }
+    ],
+}
+
+
+def test_struct_compilation():
+    schema = parse_schema(CLICKSTREAM_SCHEMA)
+    struct = schema.struct
+    by_name = {f.name: f for f in struct.fields}
+    assert isinstance(by_name["userID"].dataType, T.StringType)
+    assert isinstance(by_name["tags"].dataType, T.ArrayType)
+    assert isinstance(by_name["tags"].dataType.elementType, T.StringType)
+    assert isinstance(by_name["flags"].dataType.elementType, T.IntegerType)
+    assert isinstance(by_name["active"].dataType, T.BooleanType)
+    assert isinstance(by_name["payload"].dataType, T.StringType)  # JSON rides as string
+    assert isinstance(by_name["blob"].dataType, T.BinaryType)
+    assert isinstance(by_name["price"].dataType, T.IntegerType)
+    assert by_name["amount"].dataType == T.DecimalType(38, 18)
+    assert isinstance(by_name["clicks"].dataType, T.LongType)
+    assert by_name["creationTimestamp"].metadata["fieldClass"] == "dateTime"
+    assert by_name["userID"].metadata["fieldClass"] == "dimension"
+    assert by_name["price"].metadata["fieldClass"] == "metric"
+
+
+def test_time_column_and_format():
+    schema = parse_schema(CLICKSTREAM_SCHEMA)
+    tc = schema.time_column()
+    assert tc is not None and tc.name == "creationTimestamp"
+    assert tc.format == "SIMPLE_DATE_FORMAT|yyyy-MM-dd HH:mm:ss"
+
+
+def test_decode_coercion(spark):
+    """KafkaJSONMessageDecoder parity: JSON string/number coercion per field
+    (KDG sends userID as JSON string, price as number — README.md:88-109)."""
+    schema = parse_schema(
+        {
+            "schemaName": "t",
+            "dimensionFieldSpecs": [{"name": "userID", "dataType": "STRING"}],
+            "metricFieldSpecs": [{"name": "price", "dataType": "INT"}],
+            "dateTimeFieldSpecs": [
+                {
+                    "name": "creationTimestamp",
+                    "dataType": "STRING",
+                    "format": "SIMPLE_DATE_FORMAT|yyyy-MM-dd HH:mm:ss",
+                }
+            ],
+        }
+    )
+    raw = spark.createDataFrame(
+        [
+            ('{"userID": "42", "price": 99, "creationTimestamp": "2024-05-01 10:20:30"}',),
+            ('{"userID": "7", "price": "55", "creationTimestamp": "2024-05-02 00:00:00"}',),
+            ('{"userID": "x", "price": null, "creationTimestamp": null}',),
+        ],
+        "value string",
+    )
+    rows = {r["userID"]: r for r in decoded_frame(raw, schema).collect()}
+    assert rows["42"]["price"] == 99
+    assert rows["7"]["price"] == 55  # string -> INT coercion
+    assert rows["x"]["price"] is None  # real nulls, not Pinot default-fill
+    assert rows["42"]["creationTimestamp"] == "2024-05-01 10:20:30"  # raw kept
+    assert rows["42"]["creationTimestamp__ts"].year == 2024  # derived typed col
+
+
+def test_epoch_format():
+    schema = parse_schema(
+        {
+            "schemaName": "t",
+            "dateTimeFieldSpecs": [
+                {"name": "ms", "dataType": "LONG", "format": "1:MILLISECONDS:EPOCH"}
+            ],
+        }
+    )
+    tc = schema.time_column()
+    assert tc is not None and tc.pinot_type == "LONG"
+
+
+def test_unknown_type_rejected():
+    import pytest
+
+    schema = parse_schema(
+        {"schemaName": "t", "dimensionFieldSpecs": [{"name": "bad", "dataType": "WAT"}]}
+    )
+    with pytest.raises(ValueError, match="unknown Pinot type"):
+        _ = schema.struct
