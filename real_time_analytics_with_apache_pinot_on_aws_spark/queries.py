@@ -1264,3 +1264,159 @@ def c4_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
     docs = spark.table("documents").filter(F.col("doc_id") < 200)
     return _mm.decode_features(_mm.attach_binary(docs, "doc_id", "text"))
+
+# ===========================================================================
+# Remaining SSQE/MSQE items: B3 hybrid read, B21 sketch set-algebra, B25b
+# skewness/kurtosis, B42 IdSet, B46 nulls ordering, B63-B65 UDF surface
+# ===========================================================================
+
+sql_query(
+    "b03_hybrid_read",
+    """
+    SELECT part, count(*) AS n, count(DISTINCT user_id) AS users
+    FROM (
+      SELECT 'offline' AS part, user_id FROM events
+      WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+      UNION ALL
+      SELECT 'realtime' AS part, user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    )
+    GROUP BY part
+    """,
+    doc="B3: hybrid REALTIME+OFFLINE read — UNION ALL view with a time-boundary cutover (broker merge analog)",
+)
+
+sql_query(
+    "b21_sketch_set_algebra",
+    """
+    SELECT
+      (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'click') AS click_users,
+      (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'purchase') AS purchase_users,
+      (SELECT count(*) FROM (
+         SELECT user_id FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT user_id FROM events WHERE event_type = 'purchase')) AS click_and_purchase,
+      (SELECT count(*) FROM (
+         SELECT user_id FROM events WHERE event_type = 'click'
+         UNION
+         SELECT user_id FROM events WHERE event_type = 'purchase')) AS click_or_purchase
+    """,
+    doc="B21: DISTINCTCOUNTTHETASKETCH set-algebra semantics, computed exactly (sketches are an approximation of exactly this)",
+)
+
+sql_query(
+    "b25b_skew_kurtosis",
+    """
+    SELECT l_returnflag,
+           round(skewness(l_quantity), 6) AS skew_qty,
+           round(kurtosis(l_quantity), 6) AS kurt_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             avg(l_quantity) AS mu,
+             sum(pow(l_quantity, 2)) AS s2,
+             sum(pow(l_quantity, 3)) AS s3,
+             sum(pow(l_quantity, 4)) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round((s3/n - 3*mu*(s2/n) + 2*pow(mu,3)) / pow(s2/n - mu*mu, 1.5), 6) AS skew_qty,
+           round((s4/n - 4*mu*(s3/n) + 6*mu*mu*(s2/n) - 3*pow(mu,4)) / pow(s2/n - mu*mu, 2) - 3, 6) AS kurt_qty
+    FROM m
+    """,
+    doc="B25: SKEWNESS/KURTOSIS — Spark computes population g1/g2-excess; oracle replicates the moment formulas (DuckDB builtins use sample corrections)",
+)
+
+sql_query(
+    "b42_id_set_filter",
+    f"""
+    SELECT e.event_type, count(*) AS n, {DSUM('e.value')} AS total
+    FROM events e
+    WHERE e.user_id IN (
+      SELECT user_id FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY user_id
+      HAVING sum(CAST(value AS DECIMAL(18,2))) > 300
+    )
+    GROUP BY e.event_type
+    """,
+    doc="B42: IdSet / IN_ID_SET — materialized id set filtering a second query; Spark plans a broadcast semi-join (id set never hits the driver)",
+)
+
+sql_query(
+    "b46_order_nulls",
+    """
+    SELECT n_name, k, pos FROM (
+      SELECT n_name, k,
+             row_number() OVER (ORDER BY k ASC NULLS FIRST, n_name) AS pos
+      FROM (SELECT n_name, nullif(n_regionkey, 2) AS k FROM nation)
+    )
+    """,
+    doc="B46: ORDER BY with NULLS FIRST/LAST made hash-observable via row_number (small-dim only: global ordering)",
+)
+
+
+@register(
+    "b63_scalar_udf",
+    """
+    SELECT event_id, round(value * 1.1 + 0.5, 6) AS adjusted
+    FROM events WHERE event_id < 500
+    """,
+    doc="B63: scalar UDF surface — vectorized pandas_udf (Arrow batches), the engine's Groovy-UDF analog",
+)
+def b63_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    adjust = F.pandas_udf(lambda v: (v * 1.1 + 0.5).round(6), "double")
+    ev = spark.table("events").filter(F.col("event_id") < 500)
+    return ev.select("event_id", adjust(F.col("value")).alias("adjusted"))
+
+
+@register(
+    "b64_grouped_udaf",
+    """
+    SELECT event_type,
+           round(avg(value), 6) AS mean_v,
+           round(max(value) - min(value), 6) AS spread
+    FROM events GROUP BY event_type
+    """,
+    doc="B64: UDAF surface — applyInPandas grouped aggregation (Arrow), the Java-plugin-UDAF analog",
+)
+def b64_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    import pandas as pd
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "mean_v": [round(pdf["value"].mean(), 6)],
+                "spread": [round(pdf["value"].max() - pdf["value"].min(), 6)],
+            }
+        )
+
+    return (
+        spark.table("events")
+        .groupBy("event_type")
+        .applyInPandas(stats, "event_type string, mean_v double, spread double")
+    )
+
+
+sql_query(
+    "b65_udtf_explode",
+    """
+    SELECT doc_id, tok
+    FROM (
+      SELECT doc_id, explode(slice(filter(split(lower(text), '[^a-z0-9]+'), x -> x != ''), 1, 5)) AS tok
+      FROM documents WHERE doc_id < 50
+    )
+    """,
+    """
+    SELECT doc_id, unnest(list_slice(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != ''), 1, 5)) AS tok
+    FROM documents WHERE doc_id < 50
+    """,
+    doc="B65: UDTF surface — explode/unnest (free upgrade over Pinot SSQE which lacks table functions)",
+)

@@ -1,0 +1,49 @@
+"""Stream/batch source adapters (SURVEY §2.A A1-A3, A13).
+
+The reference ingests from a 2-shard Kinesis stream
+(lib/apache-pinot-solution-stack.ts:730-734) with a LATEST shard iterator and
+JSON payloads (kinesisTableConfigFile.json:18-22), with MSK/Kafka as the
+documented alternative (resources/constructs/msk-construct.ts).
+
+``RawRecordSource`` (re-exported from streaming.ingest) abstracts the record
+feed; this module adds the option-mapping helpers for the real connectors.
+The Kinesis connector jar is not present in this environment, so its adapter
+only *builds options* — construction is exercised, IO is not (gated at load).
+"""
+
+from __future__ import annotations
+
+from ..streaming.ingest import RawRecordSource  # noqa: F401
+
+
+def kinesis_source(stream_name: str, region: str = "us-east-1", latest: bool = True) -> RawRecordSource:
+    """Option mapping for the spark-kinesis connector (A1/A2 analog).
+
+    Reference config -> connector options:
+    - ``streamType: kinesis``, 2 shards -> one Spark input partition per shard
+    - ``shardIteratorType: LATEST`` (json:18) -> ``startingPosition: latest``
+    - fetch timeout 120s -> reader poll timeout
+
+    Requires the ``spark-sql-kinesis`` connector jar at runtime.
+    """
+    return RawRecordSource(
+        kind="kinesis",
+        options={
+            "streamName": stream_name,
+            "region": region,
+            "startingPosition": "latest" if latest else "trim_horizon",
+        },
+    )
+
+
+def kafka_source(bootstrap: str, topic: str, latest: bool = True) -> RawRecordSource:
+    """Kafka/MSK analog (A13): topic with 3 partitions, RF 2 in the reference
+    (msk-serverless-construct.ts:91-100) — Spark maps partitions natively."""
+    return RawRecordSource(
+        kind="kafka",
+        options={
+            "kafka.bootstrap.servers": bootstrap,
+            "subscribe": topic,
+            "startingOffsets": "latest" if latest else "earliest",
+        },
+    )

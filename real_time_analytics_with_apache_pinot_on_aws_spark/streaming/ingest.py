@@ -58,6 +58,15 @@ class RawRecordSource:
                 .load()
                 .select(F.col("value").cast("string").alias("value"))
             )
+        if self.kind == "kinesis":
+            # Kinesis connector jar is not bundled here; options are prepared
+            # by sources.kinesis_source and validated, IO needs the jar.
+            return (
+                spark.readStream.format("aws-kinesis")
+                .options(**opts)
+                .load()
+                .select(F.col("data").cast("string").alias("value"))
+            )
         if self.kind == "rate":
             return (
                 spark.readStream.format("rate")

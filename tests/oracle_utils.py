@@ -21,9 +21,9 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
-    """Normalize a cell for cross-engine comparison."""
+    """Normalize a cell for cross-engine comparison (always sortable tuples)."""
     if v is None:
-        return None
+        return ("_null", "")
     if isinstance(v, Decimal):
         return ("dec", str(v.normalize()))
     if isinstance(v, float):

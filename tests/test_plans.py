@@ -1,0 +1,67 @@
+"""Scale guardrails: pin the physical-plan properties that make queries
+survive a 100x data scale-up.  A regression here (lost pushdown, a join
+falling off broadcast, Python appearing in a hot path) is a perf bug even
+while results stay correct."""
+
+from __future__ import annotations
+
+from real_time_analytics_with_apache_pinot_on_aws_spark import queries as Q
+from real_time_analytics_with_apache_pinot_on_aws_spark.plans import audit_plan
+from tests.conftest import SF_DIR
+
+REG = Q.all_queries()
+
+
+def facts(name, spark):
+    return audit_plan(REG[name].builder(spark, SF_DIR))
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    f = facts("b16_b17_core_aggs", spark)
+    assert f.pushed_filters  # l_shipdate predicate lands in the parquet scan
+    assert not f.python_eval
+
+
+def test_column_pruning(spark):
+    f = facts("b32_topk_groups", spark)
+    # events has 6 columns; the query touches event_type, user_id, value
+    assert f.scan_column_counts() and max(f.scan_column_counts()) <= 3
+
+
+def test_dim_joins_broadcast(spark):
+    f = facts("b39_lookup_join", spark)
+    assert f.broadcast_joins >= 3  # supplier, nation, region all broadcast
+    assert f.sortmerge_joins == 0 and not f.cartesian
+    assert not f.python_eval
+
+
+def test_topk_uses_take_ordered(spark):
+    f = facts("b48_topk_early_termination", spark)
+    assert f.take_ordered  # per-partition top-k, no global sort
+    assert f.exchanges == 0  # and no shuffle at all
+
+
+def test_topk_groups_single_shuffle(spark):
+    f = facts("b32_topk_groups", spark)
+    assert f.take_ordered
+    assert f.exchanges <= 1  # one agg shuffle; limit never shuffles
+
+
+def test_no_python_in_sql_surface(spark):
+    for name in ("flagship_dashboard", "b35_inner_join", "b43_ranking_windows",
+                 "b51_datetimeconvert", "b52_json_functions", "c3_language_id",
+                 "c1_dedup_minhash_lsh", "c2_cosine_topk"):
+        f = facts(name, spark)
+        assert not f.python_eval, f"{name} has row-at-a-time Python in plan"
+        assert not f.cartesian, f"{name} has a cartesian product"
+
+
+def test_multimodal_uses_arrow_not_pickle(spark):
+    f = facts("c4_multimodal_features", spark)
+    assert f.arrow_eval  # mapInPandas (Arrow batches)
+    assert not f.python_eval  # never row-at-a-time pickling
+
+
+def test_windows_single_shuffle(spark):
+    f = facts("b43_ranking_windows", spark)
+    assert f.exchanges <= 1  # both windows share the user_id partitioning
