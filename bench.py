@@ -21,15 +21,20 @@ from real_time_analytics_with_apache_pinot_on_aws_spark.session import build_ses
 # the MSQE engine adds.
 HEADLINE = (
     "flagship_dashboard",
-    "b16_b17_core_aggs",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
     "b19_distinctcount",
     "b22_percentile_exact",
-    "b35_inner_join",
     "b39_lookup_join",
     "b41_subqueries_cte",
     "b43_ranking_windows",
     "b48_topk_early_termination",
     "b14_json_match",
+    "c5_sessionization",
+    "c1_dedup_minhash_lsh",
+    "c2_cosine_topk",
 )
 
 

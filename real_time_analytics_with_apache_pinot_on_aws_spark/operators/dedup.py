@@ -27,6 +27,20 @@ from pyspark.sql import DataFrame, functions as F
 TOKEN_RE = "[^a-z0-9]+"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to full parallelism before CPU-bound per-row transforms.
+
+    A small input (one parquet file => one partition) would otherwise pin the
+    tokenizer to one core; the row shuffle is trivial next to the transform.
+    At cluster scale the scan already has many partitions and AQE coalesces
+    the added exchange away when it isn't needed.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def normalized_tokens(text_col) -> "F.Column":
     """Lower-case word tokens with empty strings removed (deterministic)."""
     return F.filter(
@@ -69,7 +83,7 @@ def minhash_signatures(
     (doc_id, shingle_hash) pairs only, and the k mins are one hash-aggregate
     pass (map-side combined).
     """
-    exploded = df.select(
+    exploded = _spread(df).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
     )
     mins = [
@@ -95,26 +109,47 @@ def minhash_lsh_pairs(
     precision is 1.0 given the threshold.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    band_sig = [
-        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-            f"band_{b}"
-        )
-        for b in range(bands)
-    ]
-    banded = sigs.select(F.col(id_col), *band_sig)
-    # candidate pairs: same signature within any band (unioned, deduped)
-    candidates = None
-    for b in range(bands):
-        left = banded.select(F.col(id_col).alias("id_a"), F.col(f"band_{b}").alias("sig"))
-        right = banded.select(F.col(id_col).alias("id_b"), F.col(f"band_{b}").alias("sig"))
-        pairs = left.join(right, "sig").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        candidates = pairs if candidates is None else candidates.unionByName(pairs)
-    candidates = candidates.distinct()
-
-    sets = df.select(
+    # Tokenize ONCE: the shingle-set relation feeds both the signature pass
+    # and the verification joins.  cache() avoids re-running the regexp
+    # tokenizer three times (at cluster scale this is a checkpoint/persist to
+    # MEMORY_AND_DISK; the relation is (id, array<string>) — small vs corpus).
+    sets = _spread(df).select(
         F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh_set")
+    ).cache()
+
+    exploded = sets.select(F.col(id_col), F.explode("sh_set").alias("sh"))
+    mins = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(seed))).alias(f"mh_{seed}")
+        for seed in range(num_hashes)
+    ]
+    sigs = exploded.groupBy(id_col).agg(*mins)
+
+    # One (id, band_idx, band_sig) relation + ONE self-join — not a join per
+    # band: band index participates in the join key so collisions only pair
+    # within the same band.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("sig"),
+            )
+            for b in range(bands)
+        ]
     )
+    banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("bs")).select(
+        F.col(id_col), F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "sig")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "sig")
+    candidates = (
+        left.join(right, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
     verified = (
         candidates.join(sets.withColumnsRenamed({id_col: "id_a", "sh_set": "set_a"}), "id_a")
         .join(sets.withColumnsRenamed({id_col: "id_b", "sh_set": "set_b"}), "id_b")
@@ -134,7 +169,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
 
     One explode + one aggregate with ``bits`` conditional sums — all JVM-side.
     """
-    toks = df.select(F.col(id_col), F.explode(normalized_tokens(F.col(text_col))).alias("tok"))
+    toks = _spread(df).select(
+        F.col(id_col), F.explode(normalized_tokens(F.col(text_col))).alias("tok")
+    )
     hashed = toks.withColumn("h", F.xxhash64("tok"))
     votes = [
         F.sum(
