@@ -1,28 +1,35 @@
 """Document deduplication: exact, MinHash-LSH, SimHash, n-gram Jaccard (C1).
 
-All stages are pure DataFrame compositions (no Python in the hot path):
+All stages are pure DataFrame compositions (no Python in the hot path), and —
+after the shuffle-free rewrite — signature computation never leaves the map
+side:
 
-- **exact**: hash-group-by on normalized text.
-- **MinHash-LSH**: word n-gram shingles -> k minhashes (k aggregate
-  ``min(hash(shingle, seed))`` over the exploded shingle set) -> band
-  signatures -> same-bucket candidate pairs -> exact-Jaccard verification.
-- **SimHash**: 32-bit fingerprint from per-token hash bit votes; near-dup
-  candidates via band bucketing (Hamming-distance blocking).
+- **exact**: hash-group-by on ``xxhash64(text)`` (8-byte shuffle keys).
+- **MinHash-LSH**: word n-gram shingles hashed to 64-bit longs ->
+  ``array_min(transform(shingles, h -> xxhash64(h, seed)))`` per seed — the
+  whole signature is computed per-row in codegen, NO explode and NO groupBy
+  shuffle -> band signatures -> one self-join on (band, sig) -> exact-Jaccard
+  verification on the hashed shingle sets.
+- **SimHash**: one-pass bit votes via ``aggregate`` + ``zip_with`` over the
+  token-hash array (again no shuffle), banded Hamming blocking with a single
+  (band, sig) self-join.
 - **n-gram Jaccard**: the exact verifier, reusable standalone.
 
 Scale notes (100 TB posture):
-- Everything keys on shingle/band hashes — shuffles are on small fixed-width
-  ints, never raw text; dedup state never sits on one node.
+- Shingles are 64-bit hashes from the start: Jaccard over hashed shingles
+  equals Jaccard over strings up to 2^-64 collisions, and every downstream
+  shuffle/cache moves fixed-width longs, never raw text.
+- Signature passes are narrow (per-row array expressions): the ONLY shuffles
+  in the whole pipeline are the (band, sig) candidate join and the
+  verification joins — all on 8-byte keys.
 - LSH banding bounds the candidate-pair explosion: pairs are generated only
   within (band, signature) buckets.  Hot buckets (boilerplate text) should be
-  salted/capped in production; we cap pairs-per-bucket defensively.
-- The exact verifier joins candidate doc-ids back to shingle sets — two
-  broadcast-free shuffle joins on long keys, AQE-coalesced.
+  salted/capped in production.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 TOKEN_RE = "[^a-z0-9]+"
 
@@ -41,20 +48,36 @@ def _spread(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
-def normalized_tokens(text_col) -> "F.Column":
+def normalized_tokens(text_col) -> Column:
     """Lower-case word tokens with empty strings removed (deterministic)."""
     return F.filter(
         F.split(F.lower(text_col), TOKEN_RE), lambda t: t != F.lit("")
     )
 
 
-def shingles(text_col, n: int = 3) -> "F.Column":
+def shingles(text_col, n: int = 3) -> Column:
     """Distinct word n-gram shingles as strings ('w1 w2 w3')."""
     toks = normalized_tokens(text_col)
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def shingle_hashes(text_col, n: int = 3) -> Column:
+    """Distinct 64-bit hashes of word n-gram shingles.
+
+    The string shingle exists only transiently inside the expression; what the
+    plan carries (and what joins/caches move) is ``array<long>``.  De-dup
+    happens once, on the longs — never string-compares whole shingles.
+    """
+    toks = normalized_tokens(text_col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, n), " ")),
         )
     )
 
@@ -74,23 +97,51 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _minhash_cols(sh_set: Column, num_hashes: int) -> list[Column]:
+    """k independent minhashes of a hashed-shingle array, all map-side.
+
+    ``array_min(transform(sh, h -> xxhash64(h, seed)))`` per seed: the entire
+    signature is one codegen'd projection — no explode, no aggregate, no
+    shuffle.  At 100 TB this is the difference between a narrow scan stage and
+    shuffling every (doc, shingle) pair.
+    """
+    return [
+        F.array_min(F.transform(sh_set, lambda h, s=seed: F.xxhash64(h, F.lit(s)))).alias(
+            f"mh_{seed}"
+        )
+        for seed in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
 ) -> DataFrame:
-    """(id, minhash_0..k-1) — k independent minhashes over the shingle set.
-
-    Uses ``min(xxhash64(shingle, seed_i))`` per document: the explode shuffles
-    (doc_id, shingle_hash) pairs only, and the k mins are one hash-aggregate
-    pass (map-side combined).
-    """
-    exploded = _spread(df).select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("sh")
+    """(id, minhash_0..k-1) — k independent minhashes over the shingle set."""
+    sets = _spread(df).select(
+        F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("sh_set")
     )
-    mins = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(seed))).alias(f"mh_{seed}")
-        for seed in range(num_hashes)
-    ]
-    return exploded.groupBy(id_col).agg(*mins)
+    return sets.select(F.col(id_col), *_minhash_cols(F.col("sh_set"), num_hashes))
+
+
+def _banded(sigs: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, sig) relation: one row per band, signature = hash of the
+    band's minhash slice.  Band index joins as part of the key so collisions
+    only pair within the same band."""
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.explode(band_structs).alias("bs")).select(
+        F.col(id_col), F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
 
 
 def minhash_lsh_pairs(
@@ -105,42 +156,20 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs (id_a < id_b) with exact verified Jaccard.
 
     LSH recall knob: bands=4 over 16 hashes => r=4 rows/band; collision prob
-    at Jaccard j is 1-(1-j^4)^4 (~0.9 at j=0.7).  Verification is exact, so
-    precision is 1.0 given the threshold.
+    at Jaccard j is 1-(1-j^4)^4 (~0.9 at j=0.7).  Verification is exact (over
+    64-bit hashed shingles), so precision is 1.0 given the threshold.
     """
-    rows_per_band = num_hashes // bands
-    # Tokenize ONCE: the shingle-set relation feeds both the signature pass
-    # and the verification joins.  cache() avoids re-running the regexp
-    # tokenizer three times (at cluster scale this is a checkpoint/persist to
-    # MEMORY_AND_DISK; the relation is (id, array<string>) — small vs corpus).
+    # Tokenize ONCE: the hashed-shingle relation feeds both the signature
+    # projection and the verification joins.  cache() avoids re-running the
+    # regexp tokenizer (at cluster scale this is a persist to MEMORY_AND_DISK;
+    # the relation is (id, array<long>) — small vs the corpus).
     sets = _spread(df).select(
-        F.col(id_col), shingles(F.col(text_col), shingle_n).alias("sh_set")
+        F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("sh_set")
     ).cache()
 
-    exploded = sets.select(F.col(id_col), F.explode("sh_set").alias("sh"))
-    mins = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(seed))).alias(f"mh_{seed}")
-        for seed in range(num_hashes)
-    ]
-    sigs = exploded.groupBy(id_col).agg(*mins)
+    sigs = sets.select(F.col(id_col), *_minhash_cols(F.col("sh_set"), num_hashes))
+    banded = _banded(sigs, id_col, num_hashes, bands)
 
-    # One (id, band_idx, band_sig) relation + ONE self-join — not a join per
-    # band: band index participates in the join key so collisions only pair
-    # within the same band.
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("sig"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("bs")).select(
-        F.col(id_col), F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-    )
     left = banded.select(F.col(id_col).alias("id_a"), "band", "sig")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "sig")
     candidates = (
@@ -165,26 +194,35 @@ def minhash_lsh_pairs(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
-    """(id, simhash) 32-bit fingerprint: per-token hash bit votes, sign-summed.
+    """(id, simhash) fingerprint: per-token hash bit votes, sign-summed.
 
-    One explode + one aggregate with ``bits`` conditional sums — all JVM-side.
+    One pass over the token-hash array via ``aggregate`` with an array
+    accumulator (``zip_with`` adds each token's ±1 votes) — fully map-side,
+    no explode/groupBy shuffle.  A token-less document fingerprints to 0.
     """
-    toks = _spread(df).select(
-        F.col(id_col), F.explode(normalized_tokens(F.col(text_col))).alias("tok")
+    hs = F.transform(normalized_tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    votes = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    ).otherwise(F.lit(-1))
+                    for i in range(bits)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
     )
-    hashed = toks.withColumn("h", F.xxhash64("tok"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"bit_{i}")
-        for i in range(bits)
-    ]
-    agg = hashed.groupBy(id_col).agg(*votes)
+    spread = _spread(df).withColumn("_votes", votes)
     fingerprint = None
     for i in range(bits):
-        bit = F.when(F.col(f"bit_{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        bit = F.when(F.element_at(F.col("_votes"), i + 1) > 0, F.lit(2**i)).otherwise(F.lit(0))
         fingerprint = bit if fingerprint is None else fingerprint + bit
-    return agg.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
+    return spread.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -193,36 +231,32 @@ def simhash_near_pairs(
     """Candidate near-dup pairs whose SimHash Hamming distance <= max_hamming.
 
     Blocking: split the fingerprint into ``bands`` byte-bands; any pair within
-    Hamming<=bands-1 shares at least one exact band (pigeonhole).  Exact
+    Hamming<=bands-1 shares at least one exact band (pigeonhole).  One
+    (id, band, sig) relation + ONE self-join (band in the key), then exact
     Hamming verification via bit_count(xor).
     """
     fp = simhash(df, id_col, text_col, bits)
     width = bits // bands
     mask = (1 << width) - 1
-    banded = fp.select(
-        F.col(id_col),
-        F.col("simhash"),
+    band_structs = F.array(
         *[
-            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias(f"band_{b}")
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("sig"),
+            )
             for b in range(bands)
-        ],
+        ]
     )
-    candidates = None
-    for b in range(bands):
-        left = banded.select(
-            F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"band_{b}").alias("sig")
-        )
-        right = banded.select(
-            F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), F.col(f"band_{b}").alias("sig")
-        )
-        pairs = (
-            left.join(right, "sig")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sh_a", "sh_b")
-        )
-        candidates = pairs if candidates is None else candidates.unionByName(pairs)
+    banded = fp.select(
+        F.col(id_col), F.col("simhash"), F.explode(band_structs).alias("bs")
+    ).select(F.col(id_col), F.col("simhash"), F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    left = banded.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "sig")
+    right = banded.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "sig")
     return (
-        candidates.distinct()
+        left.join(right, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
