@@ -85,6 +85,121 @@ def lsh_signature(vec: Column, dim: int, nbits: int = 8) -> Column:
     return sig.cast("int")
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    nbits: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= threshold).
+
+    With ``nbits`` set, pairs are blocked by sign-LSH signature first (single
+    probe: only same-bucket pairs are scored — approximate recall, this is the
+    100 TB path where all-pairs is infeasible).  Without it, the exact
+    quadratic self-join — the oracle-checkable baseline for bounded corpora.
+
+    Both variants score with the same codegen'd cosine; the LSH variant's
+    shuffle key is the nbits-bit signature (corpus never self-joins un-blocked).
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    if nbits is not None:
+        if dim is None:
+            raise ValueError("dim is required when nbits blocking is enabled")
+        a = a.withColumn("sig", lsh_signature(F.col("v_a"), dim, nbits))
+        b = b.withColumn("sig", lsh_signature(F.col("v_b"), dim, nbits))
+        pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("score", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: (centroids, corpus-with-cell assignment).
+
+    Centroids are a deterministic pseudo-random sample — the ``n_cells``
+    corpus vectors with the smallest ``xxhash64(id)`` (reproducible, no RNG,
+    no trained model to persist; k-means refinement would slot in here).
+    Assignment = argmax cosine vs the broadcast centroid set: one narrow pass
+    over the corpus, no shuffle of vectors.
+    """
+    cent = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("h", F.xxhash64(F.col(id_col)))
+        .orderBy("h", id_col)
+        .limit(n_cells)
+        .select(
+            F.row_number().over(W.orderBy("h", id_col)).alias("cell_id"),
+            F.col(vec_col).alias("c_vec"),
+        )
+    )
+    scored = corpus.join(
+        F.broadcast(cent),
+        F.lit(True),
+    ).withColumn("c_score", cosine(F.col(vec_col), F.col("c_vec")))
+    w = W.partitionBy(id_col).orderBy(F.desc("c_score"), F.asc("cell_id"))
+    assigned = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("cell_id"))
+    )
+    return cent, assigned
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` nearest cells per query.
+
+    With ``n_probe == n_cells`` every cell is probed and the result is exactly
+    brute force (the oracle-checkable configuration proving the partitioned
+    index loses no one); smaller ``n_probe`` trades recall for scanning only
+    ``n_probe / n_cells`` of the corpus — at scale the corpus is stored
+    partitioned/clustered by ``cell_id`` so a probe prunes whole partitions.
+    """
+    cent, assigned = ivf_assign(corpus, n_cells, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q_scored = q.join(F.broadcast(cent), F.lit(True)).withColumn(
+        "c_score", cosine(F.col("q_vec"), F.col("c_vec"))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("c_score"), F.asc("cell_id"))
+    probes = (
+        q_scored.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= n_probe)
+        .select("query_id", "q_vec", "cell_id")
+    )
+    scored = (
+        assigned.withColumnsRenamed({id_col: "neighbor_id", vec_col: "c_vec"})
+        .join(F.broadcast(probes), "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

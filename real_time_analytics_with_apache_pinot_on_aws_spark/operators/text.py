@@ -113,3 +113,40 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(canon).alias("fingerprint_md5"),
         F.xxhash64(canon).alias("fingerprint_xx64"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3, window: int = 4
+) -> DataFrame:
+    """Winnowing (rolling-min) document fingerprints [Schleimer et al. 2003].
+
+    Positional word-``shingle_n``-gram hashes; each window of ``window``
+    consecutive hashes contributes its minimum; the distinct minima are the
+    fingerprint set.  Guarantees: any shared run of ``shingle_n + window - 1``
+    tokens between two documents yields a shared fingerprint, so fingerprint
+    overlap detects partial/contained duplication that whole-document hashes
+    miss.
+
+    One codegen'd projection per row (transform over positions, ``array_min``
+    over slices) — no shuffle, no UDF.  Hash = md5 hex so the DuckDB oracle
+    reproduces values exactly (lexicographic min over hex strings).
+
+    Returns (id, n_fingerprints, fp_digest) where fp_digest = md5 of the
+    sorted fingerprint set — join fingerprint sets directly for containment
+    queries; the digest is for equality/verification.
+    """
+    toks = normalized_tokens(F.col(text_col))
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0))),
+        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, shingle_n), " ")),
+    )
+    with_h = df.select(F.col(id_col), shingle_hashes.alias("hs"))
+    wins = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(F.col("hs")) - window, F.lit(0))),
+        lambda j: F.array_min(F.slice(F.col("hs"), j + 1, window)),
+    )
+    return with_h.select(
+        F.col(id_col),
+        F.size(F.array_distinct(wins)).alias("n_fingerprints"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(wins)), "|")).alias("fp_digest"),
+    )

@@ -1543,3 +1543,92 @@ sql_query(
     """,
     doc="C-ext: sessionization via lag-gap + running sum — one shuffle on user_id shared by both windows; session_window() drives the streaming variant",
 )
+
+# ===========================================================================
+# Embedding near-dup dedup, IVF ANN, winnowing fingerprints (north-star C1-C3)
+# ===========================================================================
+
+
+@register(
+    "c1_dedup_embedding",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+    """,
+    doc="C1: embedding-cosine near-dup pairs (exact, threshold 0.4) — oracle baseline; production blocks via sign-LSH (nbits variant)",
+)
+def c1_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return _sim.embedding_near_dup_pairs(spark.table("embeddings"), threshold=0.4)
+
+
+@register(
+    "c1_dedup_embedding_lsh",
+    None,
+    doc="C1: embedding-cosine near-dup pairs blocked by 6-bit sign-LSH (single probe) — approximate recall, rows-only; the 100 TB path",
+)
+def c1_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return _sim.embedding_near_dup_pairs(
+        spark.table("embeddings"), threshold=0.4, dim=64, nbits=6
+    )
+
+
+@register(
+    "c2_ivf_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.q_vec::DOUBLE[], c.embedding::DOUBLE[]), 6) AS score
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id != q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 10
+    """,
+    doc="C2: IVF ANN with n_probe == n_cells (full probe) — must equal brute force exactly, proving cell assignment partitions without loss; n_probe < n_cells is the approximate scale path",
+)
+def c2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return _sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_cells=8, n_probe=8)
+
+
+_DUCK_WINNOW_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+
+
+@register(
+    "c3_rolling_fingerprint",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_WINNOW_TOKS} AS t FROM documents
+    ), hs AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                            i -> md5(array_to_string(t[i:i+2], ' '))) AS hs
+      FROM toks
+    ), wins AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                              j -> list_min(hs[j:j+3])))) AS fps
+      FROM hs
+    )
+    SELECT doc_id, len(fps) AS n_fingerprints,
+           md5(array_to_string(fps, '|')) AS fp_digest
+    FROM wins
+    """,
+    doc="C3: winnowing rolling-hash fingerprints (3-gram shingles, window 4) — shared token runs of length 6 guarantee a shared fingerprint; one codegen projection, no shuffle",
+)
+def c3_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return _text.winnow_fingerprints(
+        spark.table("documents"), "doc_id", "text", shingle_n=3, window=4
+    )

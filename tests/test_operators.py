@@ -93,6 +93,67 @@ def test_lsh_ann_returns_subset_of_exact(spark):
             assert math.isclose(r["score"], exact_scores[key], abs_tol=1e-9)
 
 
+def test_ivf_partial_probe_subset_of_exact(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = df.filter(F.col("vec_id") < 3)
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["score"]
+        for r in similarity.cosine_topk(df, q, k=1000).collect()
+    }
+    approx = similarity.ivf_topk(df, q, k=10, n_cells=4, n_probe=2).collect()
+    assert len(approx) > 0
+    # every IVF hit scores identically to brute force (it only prunes, never rescores)
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in exact_scores
+        assert math.isclose(r["score"], exact_scores[key], abs_tol=1e-9)
+
+
+def test_embedding_near_dup_lsh_subset_of_exact(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["score"]
+        for r in similarity.embedding_near_dup_pairs(df, threshold=0.3).collect()
+    }
+    blocked = similarity.embedding_near_dup_pairs(df, threshold=0.3, dim=64, nbits=4).collect()
+    assert len(exact) > 0
+    for r in blocked:
+        assert (r["id_a"], r["id_b"]) in exact  # blocking only prunes
+
+
+def test_winnow_shared_run_guarantee(spark):
+    # docs sharing a run of >= shingle_n + window - 1 = 6 tokens must share a fingerprint
+    common = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [
+            (1, f"unrelated prefix words here {common} suffix tail"),
+            (2, f"{common} totally different ending content now"),
+            (3, "no overlap at all with anything else whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    toks = dedup.normalized_tokens(F.col("text"))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
+        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, 3), " ")),
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(F.col("hs")) - 4, F.lit(0))),
+        lambda j: F.array_min(F.slice(F.col("hs"), j + 1, 4)),
+    )
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.select("doc_id", sh.alias("hs"))
+        .select("doc_id", F.array_distinct(wins).alias("fps"))
+        .collect()
+    }
+    assert fps[1] & fps[2], "shared 6-token run must produce a shared fingerprint"
+    assert not (fps[1] & fps[3])
+    # and the packaged operator produces stable digests
+    out = {r["doc_id"]: r for r in text.winnow_fingerprints(df, "doc_id", "text").collect()}
+    assert out[1]["n_fingerprints"] == len(fps[1])
+
+
 def test_language_id_deterministic_and_shaped(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the dog in the house"), (2, "el perro y el gato en la casa")],
