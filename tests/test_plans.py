@@ -65,3 +65,46 @@ def test_multimodal_uses_arrow_not_pickle(spark):
 def test_windows_single_shuffle(spark):
     f = facts("b43_ranking_windows", spark)
     assert f.exchanges <= 1  # both windows share the user_id partitioning
+
+
+def test_tpch_q1_single_exchange(spark):
+    f = facts("tpch_q1_pricing_summary", spark)
+    assert f.pushed_filters  # shipdate predicate reaches the parquet scan
+    assert f.exchanges == 1  # partial agg map-side, one shuffle to final
+    assert f.sortmerge_joins == 0 and f.broadcast_joins == 0
+
+
+def test_tpch_q6_pure_scan_agg(spark):
+    f = facts("tpch_q6_forecast_revenue", spark)
+    assert f.pushed_filters
+    assert f.exchanges == 1
+    assert not f.python_eval
+
+
+def test_tpch_q3_broadcasts_and_topk(spark):
+    f = facts("tpch_q3_shipping_priority", spark)
+    assert f.broadcast_joins >= 1  # filtered customer dim must broadcast
+    assert f.take_ordered  # ORDER BY revenue LIMIT 10 -> per-partition top-k
+    assert not f.cartesian and not f.python_eval
+
+
+def test_tpch_q5_no_sortmerge_at_fixture_scale(spark):
+    f = facts("tpch_q5_local_supplier_volume", spark)
+    # all five dims fit the broadcast threshold; fact side never full-sorts
+    assert f.broadcast_joins >= 4
+    assert not f.cartesian
+
+
+def test_sessionization_single_shuffle(spark):
+    # lag window, running-sum window, and the (user, session) groupBy all
+    # reuse the hash(user_id) partitioning: exactly one exchange end-to-end
+    f = facts("c5_sessionization", spark)
+    assert f.exchanges == 1
+
+
+def test_cosine_corpus_never_shuffles(spark):
+    # queries broadcast; the corpus is scanned in place (BNL against the
+    # broadcast side) — the only exchange is the per-query top-k window
+    f = facts("c2_cosine_topk", spark)
+    assert f.bnl_joins >= 1 or f.broadcast_joins >= 1
+    assert not f.cartesian
