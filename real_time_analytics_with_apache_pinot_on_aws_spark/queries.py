@@ -1632,3 +1632,289 @@ def c3_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.winnow_fingerprints(
         spark.table("documents"), "doc_id", "text", shingle_n=3, window=4
     )
+
+
+# ===========================================================================
+# TPC-H extension suite, adapted to the fixture's reduced star schema (no
+# partsupp table, no commit/receipt dates, no phone/comment columns — each
+# adaptation is noted).  These widen join/subquery/decorrelation coverage and
+# are the canonical 100 TB scale shapes: every fact-fact join co-partitions on
+# orderkey/partkey, every dim is broadcast-sized, every agg partials map-side.
+# ===========================================================================
+
+_DISC_PRICE = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+sql_query(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4 (EXISTS adapted to shipdate>orderdate; fixture lacks commitdate): "
+        "correlated EXISTS decorrelates to a left-semi join co-partitioned on orderkey",
+)
+
+sql_query(
+    "tpch_q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+             {_DISC_PRICE.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')} AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                             AND TIMESTAMP '1997-12-31 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7: nation-pair revenue; both nation copies broadcast, "
+        "lineitem->orders co-partition on orderkey, supplier/customer broadcast at fixture dim sizes",
+)
+
+sql_query(
+    "tpch_q8_market_share",
+    f"""
+    SELECT o_year,
+           CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE)
+                / CAST(sum(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+             CAST({_DISC_PRICE.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')} AS DECIMAL(38,4)) AS volume,
+             n1.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                              AND TIMESTAMP '1997-12-31 00:00:00'
+        AND p.p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    doc="TPC-H Q8 (customer-nation market share; fixture supplier set is region-less on the probe side): "
+        "exact-decimal numerator/denominator keeps the ratio deterministic across partition orders",
+)
+
+sql_query(
+    "tpch_q9_product_type_profit",
+    """
+    SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+               - CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2)) AS amount
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_type = 'STANDARD'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 (cost = p_retailprice*qty; fixture lacks partsupp/ps_supplycost): "
+        "5-way join, part filter prunes the probe side before the orderkey shuffle",
+)
+
+sql_query(
+    "tpch_q10_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum({_DISC_PRICE.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS revenue,
+           CAST(c.c_acctbal AS DOUBLE) AS c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10: returned-item revenue top-20; quarter filter prunes orders before the "
+        "orderkey join, TakeOrderedAndProject avoids a full sort",
+)
+
+sql_query(
+    "tpch_q12_shipping_priority_class",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="TPC-H Q12 (grouped by returnflag; fixture lacks shipmode): fact-fact join "
+        "co-partitioned on orderkey with conditional aggregation",
+)
+
+sql_query(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13: left join with join-condition filter (not WHERE — preserves "
+        "order-less customers), double aggregation; count histogram is skew-proof",
+)
+
+sql_query(
+    "tpch_q14_promo_revenue",
+    f"""
+    SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                  THEN CAST({_DISC_PRICE} AS DECIMAL(38,4))
+                                  ELSE CAST(0 AS DECIMAL(38,4)) END) AS DOUBLE)
+                 / CAST(sum(CAST({_DISC_PRICE} AS DECIMAL(38,4))) AS DOUBLE) AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    doc="TPC-H Q14: promo revenue share; part broadcasts, month filter pushes to "
+        "row-group stats, exact-decimal ratio",
+)
+
+sql_query(
+    "tpch_q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum({_DISC_PRICE}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q15: CTE reused twice (revenue + scalar max); exact-decimal totals make "
+        "the double equality safe; scalar subquery broadcasts as a literal",
+)
+
+sql_query(
+    "tpch_q16_parts_supplier_relationship",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#11'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 (supplier count via lineitem; fixture lacks partsupp): "
+        "count-distinct expands to a two-phase aggregate — no driver-side dedup",
+)
+
+sql_query(
+    "tpch_q17_small_quantity_revenue",
+    """
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#11'
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = p.p_partkey)
+    """,
+    doc="TPC-H Q17: correlated scalar subquery decorrelates to an aggregate joined back "
+        "on partkey (quantities are small integers — double avg is exact)",
+)
+
+sql_query(
+    "tpch_q18_large_volume_customer",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(sum(l.l_quantity) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18: IN-subquery over a grouped HAVING becomes a semi-join "
+        "co-partitioned on orderkey; top-100 via TakeOrderedAndProject",
+)
+
+sql_query(
+    "tpch_q19_discounted_revenue",
+    f"""
+    SELECT CAST(sum({_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 (container/shipmode legs dropped with those columns): disjunctive "
+        "mixed-table predicate — Catalyst pushes the common join key, evaluates the OR post-join",
+)
+
+sql_query(
+    "tpch_q22_global_sales_opportunity",
+    """
+    SELECT cntrycode, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM (
+      SELECT CAST(c_nationkey % 7 AS INT) AS cntrycode, c_acctbal
+      FROM customer c
+      WHERE c_acctbal > (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                / count(*)
+                         FROM customer c2 WHERE c2.c_acctbal > 0.00)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+    ) custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+    doc="TPC-H Q22 (cntrycode = nationkey%7, anti-join on urgent orders; fixture lacks "
+        "phone): scalar subquery + anti-join; exact-decimal threshold avoids boundary drift",
+)

@@ -108,3 +108,37 @@ def test_cosine_corpus_never_shuffles(spark):
     f = facts("c2_cosine_topk", spark)
     assert f.bnl_joins >= 1 or f.broadcast_joins >= 1
     assert not f.cartesian
+
+
+def test_tpch_q4_semijoin_on_orderkey(spark):
+    # EXISTS decorrelates to a semi join; never a cartesian, never Python
+    f = facts("tpch_q4_order_priority", spark)
+    assert not f.cartesian and not f.python_eval
+    assert f.pushed_filters  # orderdate quarter filter reaches the orders scan
+
+
+def test_tpch_q9_dims_broadcast(spark):
+    # part/supplier/nation are broadcast-sized; the only big shuffle is
+    # lineitem->orders on orderkey
+    f = facts("tpch_q9_product_type_profit", spark)
+    assert f.broadcast_joins >= 3
+    assert not f.cartesian
+
+
+def test_tpch_q17_correlated_agg_no_cartesian(spark):
+    # correlated scalar subquery must decorrelate to an aggregate joined on
+    # partkey — a cartesian here would be quadratic at scale
+    f = facts("tpch_q17_small_quantity_revenue", spark)
+    assert not f.cartesian and not f.python_eval
+
+
+def test_tpch_q18_topk_semijoin(spark):
+    f = facts("tpch_q18_large_volume_customer", spark)
+    assert f.take_ordered  # LIMIT 100 by totalprice -> per-partition top-k
+    assert not f.cartesian
+
+
+def test_tpch_q22_antijoin(spark):
+    # NOT EXISTS -> anti join; scalar threshold computed once, not per-row
+    f = facts("tpch_q22_global_sales_opportunity", spark)
+    assert not f.cartesian and not f.python_eval
