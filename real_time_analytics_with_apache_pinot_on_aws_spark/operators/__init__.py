@@ -5,6 +5,8 @@
 - ``similarity``  : embedding cosine top-k, brute force + LSH-bucketed ANN (C2).
 - ``text``        : language-ID, quality scoring, token counts, fingerprint (C3).
 - ``multimodal``  : binary-column plumbing with Arrow-batched decode UDFs (C4).
+- ``upsert``      : Pinot upsert-table analog — query-time latest-row resolution,
+                    partial-upsert merge strategies, skew-salted aggregation (B62).
 
 All are DataFrame compositions of built-in functions unless noted; Python only
 enters via Arrow-batched ``mapInPandas`` where semantics genuinely require it.

@@ -1918,3 +1918,120 @@ sql_query(
     doc="TPC-H Q22 (cntrycode = nationkey%7, anti-join on urgent orders; fixture lacks "
         "phone): scalar subquery + anti-join; exact-decimal threshold avoids boundary drift",
 )
+
+
+# ===========================================================================
+# B62 — Upsert/dedup table semantics (Pinot upsert tables: append-only
+# segments + query-time latest-row resolution) and skew-safe aggregation.
+# events(user_id) is the primary key, (ts, event_id) the comparison column
+# (event_id is globally unique -> total order -> deterministic winner).
+# ===========================================================================
+
+from .operators import upsert as _upsert  # noqa: E402
+
+
+@register(
+    "b62_upsert_latest",
+    """
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM (
+      SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t
+    WHERE rn = 1
+    """,
+    doc="B62: full-upsert resolved view — latest row per primary key via one "
+        "max_by(struct) hash aggregate (map-side partial merge, single shuffle; "
+        "the row_number-window oracle needs a full sort per key — ours doesn't)",
+)
+def b62_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    ev = spark.table("events").select("user_id", "event_id", "ts", "event_type", "value")
+    out = _upsert.latest_by_key(ev, ["user_id"], ["ts", "event_id"])
+    return out.select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_type", F.col("value").cast("double").alias("value"),
+    )
+
+
+@register(
+    "b62_partial_upsert",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_desc,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn_asc
+      FROM events
+    ), latest AS (
+      SELECT user_id, event_type FROM ranked WHERE rn_desc = 1
+    ), firsts AS (
+      SELECT user_id, event_id AS first_event_id FROM ranked WHERE rn_asc = 1
+    ), aggs AS (
+      SELECT user_id,
+             CAST(sum(CAST(value AS DECIMAL(18,3))) AS DOUBLE) AS value,
+             CAST(max(ts) AS TIMESTAMP) AS ts
+      FROM events GROUP BY user_id
+    )
+    SELECT a.user_id, l.event_type, a.value, a.ts, f.first_event_id
+    FROM aggs a JOIN latest l USING (user_id) JOIN firsts f USING (user_id)
+    """,
+    doc="B62: partial upsert — per-column merge strategies (OVERWRITE event_type, "
+        "SUM value, MAX ts, IGNORE event_id) as Pinot partialUpsertStrategies; "
+        "still one hash aggregate",
+)
+def b62_partial_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    ev = spark.table("events").select(
+        "user_id", "event_id", "ts", "event_type",
+        # exact-decimal SUM so the merged value is deterministic vs the oracle
+        F.col("value").cast("decimal(18,3)").alias("value"),
+    )
+    out = _upsert.partial_upsert(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        strategies={"event_type": "OVERWRITE", "value": "SUM", "ts": "MAX", "event_id": "IGNORE"},
+    )
+    return out.select(
+        "user_id", "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("first_event_id"),
+    )
+
+
+@register(
+    "b30_salted_agg",
+    f"""
+    SELECT event_type, count(*) AS n, {DSUM('value')} AS total,
+           CAST(min(value) AS DOUBLE) AS min_value,
+           CAST(max(value) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="B30 at scale: skew-safe two-phase aggregation — partial agg on "
+        "(key, salt) fans a hot key over 16 reducers, final merge on key; "
+        "bit-identical to the direct aggregate (the oracle IS the direct form)",
+)
+def b30_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    ev = spark.table("events").withColumn("value_dec", F.col("value").cast("decimal(18,2)"))
+    out = _upsert.salted_agg(
+        ev,
+        key_cols=["event_type"],
+        aggs={
+            "n": ("count", "event_id"),
+            "total": ("sum", "value_dec"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type", "n",
+        F.col("total").cast("double").alias("total"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )

@@ -203,3 +203,74 @@ def test_multimodal_decode_image_stubbed(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(multimodal.attach_binary(df, "doc_id", "text"))
+
+
+# -- upsert / salted agg (B62, B30-at-scale) --------------------------------
+
+from real_time_analytics_with_apache_pinot_on_aws_spark.operators import upsert
+
+
+def _upsert_fixture(spark):
+    # user 1: two versions, later ts wins; user 2: ts tie broken by seq
+    return spark.createDataFrame(
+        [
+            (1, 10, 100, "a", 5.0),
+            (1, 11, 200, "b", 7.0),
+            (2, 12, 300, "c", 1.0),
+            (2, 13, 300, "d", 2.0),
+        ],
+        "user long, seq long, ts long, state string, amount double",
+    )
+
+
+def test_latest_by_key_picks_last_writer(spark):
+    df = _upsert_fixture(spark)
+    out = {r["user"]: r for r in upsert.latest_by_key(df, ["user"], ["ts", "seq"]).collect()}
+    assert out[1]["state"] == "b" and out[1]["amount"] == 7.0
+    assert out[2]["state"] == "d"  # ts tie -> higher seq wins
+    assert set(out[1].asDict()) == {"user", "seq", "ts", "state", "amount"}
+
+
+def test_partial_upsert_strategies(spark):
+    df = _upsert_fixture(spark)
+    out = {
+        r["user"]: r
+        for r in upsert.partial_upsert(
+            df, ["user"], ["ts", "seq"],
+            {"state": "OVERWRITE", "amount": "SUM", "ts": "MAX", "seq": "IGNORE"},
+        ).collect()
+    }
+    assert out[1]["state"] == "b" and out[1]["amount"] == 12.0
+    assert out[1]["seq"] == 10  # IGNORE: first writer's value
+    assert out[2]["ts"] == 300
+
+
+def test_partial_upsert_append(spark):
+    df = _upsert_fixture(spark)
+    out = {
+        r["user"]: r["state"]
+        for r in upsert.partial_upsert(
+            df, ["user"], ["ts", "seq"], {"state": "APPEND", "amount": "SUM", "ts": "MAX", "seq": "MIN"}
+        ).collect()
+    }
+    assert out[1] == ["a", "b"]  # arrival (ts, seq) order
+    assert out[2] == ["c", "d"]
+
+
+def test_salted_agg_matches_direct(spark):
+    df = _upsert_fixture(spark)
+    salted = {
+        r["user"]: r
+        for r in upsert.salted_agg(
+            df, ["user"], {"n": ("count", "seq"), "total": ("sum", "amount"),
+                           "lo": ("min", "amount"), "hi": ("max", "amount")}, n_salts=4
+        ).collect()
+    }
+    direct = {
+        r["user"]: r
+        for r in df.groupBy("user")
+        .agg(F.count("seq").alias("n"), F.sum("amount").alias("total"),
+             F.min("amount").alias("lo"), F.max("amount").alias("hi"))
+        .collect()
+    }
+    assert salted == direct

@@ -142,3 +142,20 @@ def test_tpch_q22_antijoin(spark):
     # NOT EXISTS -> anti join; scalar threshold computed once, not per-row
     f = facts("tpch_q22_global_sales_opportunity", spark)
     assert not f.cartesian and not f.python_eval
+
+
+def test_upsert_latest_single_shuffle(spark):
+    # full-upsert resolution is ONE hash aggregate on the key: no sort, no
+    # window exchange — the property that makes it viable on a 100 TB log
+    f = facts("b62_upsert_latest", spark)
+    assert f.exchanges <= 1
+    assert "Window" not in f.text
+    assert not f.python_eval
+
+
+def test_salted_agg_two_shuffles(spark):
+    # phase-1 (key, salt) partial + phase-2 key merge: exactly two exchanges,
+    # the second over pre-aggregated (tiny) data
+    f = facts("b30_salted_agg", spark)
+    assert f.exchanges == 2
+    assert not f.python_eval
