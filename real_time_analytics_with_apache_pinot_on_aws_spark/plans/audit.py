@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 @dataclass(frozen=True)
 class PlanFacts:
     pushed_filters: bool
+    partition_filters: bool
     read_schemas: tuple[str, ...]
     broadcast_joins: int
     sortmerge_joins: int
@@ -51,6 +52,10 @@ def audit_plan(df: DataFrame) -> PlanFacts:
     read_schemas = tuple(re.findall(r"ReadSchema: (struct<[^>]*>?)", plan))
     return PlanFacts(
         pushed_filters=bool(re.search(r"PushedFilters: \[(?!\])", plan)),
+        # Pinot prunes whole segments by time metadata before scatter
+        # (SURVEY §4); Spark's analog is Hive-style partition pruning — the
+        # scan must carry a non-empty PartitionFilters list.
+        partition_filters=bool(re.search(r"PartitionFilters: \[(?!\])", plan)),
         read_schemas=read_schemas,
         broadcast_joins=plan.count("BroadcastHashJoin"),
         sortmerge_joins=plan.count("SortMergeJoin"),

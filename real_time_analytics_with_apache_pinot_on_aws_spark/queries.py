@@ -2035,3 +2035,59 @@ def b30_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_value").cast("double").alias("min_value"),
         F.col("max_value").cast("double").alias("max_value"),
     )
+
+
+# ===========================================================================
+# Star-tree rollup analog (SURVEY §4 extension): per-segment partial
+# aggregates merged at query time.  The query builds the rollup from three
+# disjoint "segments" (event_id mod 3 — simulating three micro-batch
+# commits) and serves the flagship group-by from cells; the oracle is the
+# direct aggregation over raw events, so the partial->merge algebra is
+# proven exactly.
+# ===========================================================================
+
+from .streaming import rollup as _rollup  # noqa: E402
+
+
+@register(
+    "c6_startree_rollup",
+    f"""
+    SELECT event_type, CAST(date_trunc('DAY', ts) AS DATE) AS day,
+           count(*) AS n_events,
+           {DSUM('value')} AS revenue,
+           CAST(min(value) AS DOUBLE) AS min_value,
+           CAST(max(value) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY event_type, CAST(date_trunc('DAY', ts) AS DATE)
+    """,
+    doc="Star-tree analog: 3 segment-local partial aggregates (event_id%3 slices) "
+        "merged at query time — cells instead of events; oracle is the direct "
+        "aggregation, proving the merge algebra exact",
+)
+def c6_startree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    ev = (
+        spark.table("events")
+        .withColumn("day", F.date_trunc("DAY", F.col("ts").cast("timestamp")).cast("date"))
+        .withColumn("value_dec", F.col("value").cast("decimal(18,2)"))
+    )
+    spec = _rollup.RollupSpec(
+        dims=("event_type", "day"),
+        metrics={
+            "n_events": ("count", "event_id"),
+            "revenue": ("sum", "value_dec"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+    )
+    segments = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    cells = _rollup.rollup_batch(segments[0], spec)
+    for seg in segments[1:]:
+        cells = cells.unionByName(_rollup.rollup_batch(seg, spec))
+    out = _rollup.serve(cells, spec, ["event_type", "day"])
+    return out.select(
+        "event_type", "day", "n_events",
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("min_value").cast("double").alias("min_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )

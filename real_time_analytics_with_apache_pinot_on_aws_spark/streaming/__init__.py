@@ -9,6 +9,9 @@ Spark mirror: ``readStream`` (file/kafka/rate source) -> ``from_json`` decode
 (the compiled schema) -> ``writeStream`` parquet append with checkpoint;
 micro-batch commit == segment flush; the table directory == deep storage
 (no separate serving tier); retention == partition-drop job.
+
+``rollup`` adds the star-tree analog: per-micro-batch partial-aggregate
+cells appended alongside the table, merged at query time (``serve``).
 """
 
 from .ingest import IngestPipeline, RawRecordSource  # noqa: F401

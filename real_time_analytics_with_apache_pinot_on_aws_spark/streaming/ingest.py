@@ -88,6 +88,8 @@ class IngestPipeline:
         checkpoint_path: str,
         source: RawRecordSource,
         retention_days: int | None = 7,
+        rollup_spec=None,
+        rollup_path: str | None = None,
     ) -> None:
         self.spark = spark
         self.schema = schema
@@ -95,6 +97,10 @@ class IngestPipeline:
         self.checkpoint_path = checkpoint_path
         self.source = source
         self.retention_days = retention_days
+        # Star-tree analog (streaming/rollup.py): when set, each micro-batch
+        # also appends its partial-aggregate cells to ``rollup_path``.
+        self.rollup_spec = rollup_spec
+        self.rollup_path = rollup_path
         self._query: StreamingQuery | None = None
 
     # -- decode ----------------------------------------------------------
@@ -124,6 +130,7 @@ class IngestPipeline:
         reference's at-least-once, SURVEY B61).
         """
         table_path = self.table_path
+        rollup_spec, rollup_path = self.rollup_spec, self.rollup_path
 
         def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
             # foreachBatch + plain batch append (not the file-stream sink):
@@ -137,6 +144,12 @@ class IngestPipeline:
             if "ingest_date" in batch_df.columns:
                 writer = writer.partitionBy("ingest_date")
             writer.parquet(table_path)
+            if rollup_spec is not None and rollup_path is not None:
+                # segment-local pre-aggregation, star-tree style: the batch is
+                # in the cluster cache right now, so the extra pass is cheap
+                from .rollup import rollup_batch
+
+                rollup_batch(batch_df, rollup_spec).write.mode("append").parquet(rollup_path)
 
         writer = (
             self.decoded()
@@ -177,6 +190,13 @@ class IngestPipeline:
         """The queryable table (consuming-segment analog: rows appear after
         each micro-batch commit)."""
         return self.spark.read.parquet(self.table_path)
+
+    def rollup_table(self) -> DataFrame:
+        """The pre-aggregated cell log (star-tree analog); merge with
+        streaming.rollup.serve."""
+        if self.rollup_path is None:
+            raise ValueError("pipeline has no rollup configured")
+        return self.spark.read.parquet(self.rollup_path)
 
     # -- retention (A7) --------------------------------------------------
 

@@ -114,3 +114,56 @@ def test_retention_partition_drop(spark, tmp_path):
     assert dropped == ["2024-01-01"]
     assert pipeline.table().count() == 10
     pipeline.stop()
+
+
+def test_ingest_with_rollup_and_partition_pruning(spark, tmp_path):
+    """Streaming ingest maintains the star-tree rollup per micro-batch; the
+    rollup served result equals direct aggregation over the raw table, and a
+    day filter on the raw table prunes partitions (Pinot's segment pruning,
+    SURVEY §4)."""
+    from pyspark.sql import functions as F
+
+    from real_time_analytics_with_apache_pinot_on_aws_spark.plans import audit_plan
+    from real_time_analytics_with_apache_pinot_on_aws_spark.schema import parse_schema
+    from real_time_analytics_with_apache_pinot_on_aws_spark.streaming import rollup as R
+    from real_time_analytics_with_apache_pinot_on_aws_spark.streaming.ingest import IngestPipeline
+
+    src_dir = tmp_path / "stream_in"
+    spec = R.RollupSpec(
+        dims=("campaign", "ingest_date"),
+        metrics={"n": ("count", "userID"), "total_price": ("sum", "price")},
+    )
+    pipe = IngestPipeline(
+        spark,
+        parse_schema(CLICKSTREAM_SCHEMA),
+        table_path=str(tmp_path / "table"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        source=RawRecordSource(kind="files", path=str(src_dir)),
+        rollup_spec=spec,
+        rollup_path=str(tmp_path / "rollup"),
+    )
+    # two micro-batches on different days -> two partitions, two partial runs
+    _write_events(src_dir / "b1.json", 30, "2024-05-01")
+    pipe.process_available()
+    _write_events(src_dir / "b2.json", 20, "2024-05-02", start=500)
+    pipe.process_available()
+
+    raw = pipe.table()
+    served = R.serve(pipe.rollup_table(), spec, ["campaign", "ingest_date"])
+    direct = raw.groupBy("campaign", "ingest_date").agg(
+        F.count("userID").alias("n"), F.sum("price").alias("total_price")
+    )
+    key = lambda r: (str(r[0]), str(r[1]))
+    assert sorted(map(tuple, served.collect()), key=key) == sorted(
+        map(tuple, direct.collect()), key=key
+    )
+    assert served.count() < raw.count()  # cells, not events
+
+    # serving a coarser dim subset re-merges the same cells
+    by_campaign = {r["campaign"]: r["n"] for r in R.serve(pipe.rollup_table(), spec, ["campaign"]).collect()}
+    assert sum(by_campaign.values()) == 50
+
+    # Pinot-style segment pruning: day filter must reach PartitionFilters
+    f = audit_plan(raw.filter(F.col("ingest_date") == "2024-05-01"))
+    assert f.partition_filters
+    pipe.stop()
