@@ -90,6 +90,38 @@ _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
     ("TOBASE64", "b BINARY", "STRING", "base64(b)"),
     ("FROMBASE64", "s STRING", "BINARY", "unbase64(s)"),
     ("HEXSTR", "b BINARY", "STRING", "hex(b)"),
+    # ---- geospatial (B55, optional Pinot plugin — minimal surface) -------
+    # Pinot's ST_* family is an optional plugin, unused by the reference
+    # config (SURVEY B55).  The core is covered with points as
+    # STRUCT<lon,lat> (Pinot serializes points to BYTES — divergence
+    # documented), great-circle distance in meters on the WGS84 mean sphere
+    # (R=6371008.8 m, Haversine — Pinot geography distance semantics), and
+    # rectangle containment; general polygons stay out of scope.
+    (
+        "STPOINT",
+        "lon DOUBLE, lat DOUBLE",
+        "STRUCT<lon: DOUBLE, lat: DOUBLE>",
+        "named_struct('lon', lon, 'lat', lat)",
+    ),
+    ("STX", "p STRUCT<lon: DOUBLE, lat: DOUBLE>", "DOUBLE", "p.lon"),
+    ("STY", "p STRUCT<lon: DOUBLE, lat: DOUBLE>", "DOUBLE", "p.lat"),
+    ("STASTEXT", "p STRUCT<lon: DOUBLE, lat: DOUBLE>", "STRING",
+     "concat('POINT (', p.lon, ' ', p.lat, ')')"),
+    (
+        "STDISTANCE",
+        "lon1 DOUBLE, lat1 DOUBLE, lon2 DOUBLE, lat2 DOUBLE",
+        "DOUBLE",
+        "2 * 6371008.8 * asin(sqrt("
+        "pow(sin(radians(lat2 - lat1) / 2), 2)"
+        " + cos(radians(lat1)) * cos(radians(lat2))"
+        " * pow(sin(radians(lon2 - lon1) / 2), 2)))",
+    ),
+    (
+        "STCONTAINSBOX",
+        "minLon DOUBLE, minLat DOUBLE, maxLon DOUBLE, maxLat DOUBLE, lon DOUBLE, lat DOUBLE",
+        "BOOLEAN",
+        "lon >= minLon AND lon <= maxLon AND lat >= minLat AND lat <= maxLat",
+    ),
     # ---- URL / misc (B56) -----------------------------------------------
     ("ENCODEURL", "s STRING", "STRING", "url_encode(s)"),
     ("DECODEURL", "s STRING", "STRING", "url_decode(s)"),

@@ -2091,3 +2091,44 @@ def c6_startree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_value").cast("double").alias("min_value"),
         F.col("max_value").cast("double").alias("max_value"),
     )
+
+
+# ===========================================================================
+# B55 — geospatial (optional Pinot plugin; minimal ST_* surface).  Synthetic
+# coordinates derived deterministically from user_id so the oracle can derive
+# the identical points; haversine spelled out on the DuckDB side.
+# ===========================================================================
+
+sql_query(
+    "b55_geo_functions",
+    """
+    SELECT user_id,
+           round(STDISTANCE(lon, lat, 2.3522, 48.8566) / 1000, 2) AS km_to_paris,
+           STCONTAINSBOX(-10.0, 35.0, 30.0, 60.0, lon, lat) AS in_europe_box,
+           STASTEXT(STPOINT(lon, lat)) AS wkt
+    FROM (
+      SELECT user_id,
+             CAST(user_id % 360 AS DOUBLE) - 180.0 + 0.5 AS lon,
+             CAST(user_id % 170 AS DOUBLE) - 85.0 + 0.25 AS lat
+      FROM events GROUP BY user_id
+    ) pts
+    """,
+    """
+    SELECT user_id,
+           round(2 * 6371008.8 * asin(sqrt(
+               pow(sin(radians(48.8566 - lat) / 2), 2)
+               + cos(radians(lat)) * cos(radians(48.8566))
+               * pow(sin(radians(2.3522 - lon) / 2), 2))) / 1000, 2) AS km_to_paris,
+           (lon >= -10.0 AND lon <= 30.0 AND lat >= 35.0 AND lat <= 60.0) AS in_europe_box,
+           concat('POINT (', lon, ' ', lat, ')') AS wkt
+    FROM (
+      SELECT user_id,
+             CAST(user_id % 360 AS DOUBLE) - 180.0 + 0.5 AS lon,
+             CAST(user_id % 170 AS DOUBLE) - 85.0 + 0.25 AS lat
+      FROM events GROUP BY user_id
+    ) pts
+    """,
+    doc="B55: ST_POINT/ST_DISTANCE (haversine, meters)/ST_CONTAINS-bbox/ST_AsText "
+        "as inlined SQL UDFs — pure codegen projections, no shuffle beyond the "
+        "distinct-user group-by",
+)

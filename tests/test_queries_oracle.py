@@ -22,3 +22,15 @@ def test_query_against_oracle(name, spark, duck):
         return
     problems = compare(df, duck, q.oracle)
     assert not problems, f"{name}: {problems}"
+
+
+def test_stdistance_sanity(spark):
+    """Known pair: Paris (2.3522, 48.8566) -> London (-0.1276, 51.5072) is
+    ~343.5 km great-circle."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark import functions as pfn
+
+    pfn.register_all(spark)
+    km = spark.sql(
+        "SELECT STDISTANCE(2.3522, 48.8566, -0.1276, 51.5072) / 1000 AS km"
+    ).collect()[0]["km"]
+    assert abs(km - 343.5) < 1.5
