@@ -2132,3 +2132,104 @@ sql_query(
         "as inlined SQL UDFs — pure codegen projections, no shuffle beyond the "
         "distinct-user group-by",
 )
+
+
+sql_query(
+    "tpch_q11_important_stock",
+    f"""
+    WITH partvalue AS (
+      SELECT l.l_partkey,
+             CAST(sum({_DISC_PRICE.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE) AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_1'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, value
+    FROM partvalue
+    WHERE value > (SELECT 0.001 * sum(value) FROM partvalue)
+    ORDER BY value DESC, l_partkey
+    """,
+    doc="TPC-H Q11 (traded value per part via lineitem; fixture lacks partsupp): "
+        "CTE aggregated once, reused by the scalar threshold subquery",
+)
+
+sql_query(
+    "tpch_q20_excess_shipments",
+    """
+    SELECT s.s_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE 'small%'
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_suppkey
+        HAVING sum(l.l_quantity) > 50
+      )
+    ORDER BY s.s_name
+    """,
+    doc="TPC-H Q20 (volume threshold on shipped quantity; fixture lacks partsupp): "
+        "IN over a grouped HAVING subquery -> aggregate then semi-join",
+)
+
+sql_query(
+    "tpch_q21_suppliers_who_kept_waiting",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL '30' DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL '30' DAY)
+      AND n.n_name = 'NATION_5'
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+    doc="TPC-H Q21 (late = shipped >30 days after order; fixture lacks "
+        "receipt/commit dates): EXISTS + NOT EXISTS both correlated on orderkey "
+        "with an outer-column (o_orderdate) predicate — semi + anti join, "
+        "all co-partitioned on orderkey",
+)
+
+
+sql_query(
+    "tpch_q2_min_cost_supplier",
+    """
+    SELECT DISTINCT CAST(s.s_acctbal AS DOUBLE) AS s_acctbal, s.s_name,
+           n.n_name, p.p_partkey, p.p_type
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size = 15 AND p.p_type = 'ECONOMY' AND r.r_name = 'EUROPE'
+      AND s.s_acctbal = (
+        SELECT min(s2.s_acctbal)
+        FROM lineitem l2
+        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 (min s_acctbal among suppliers that shipped the part; fixture "
+        "lacks partsupp/ps_supplycost): correlated min subquery decorrelates to "
+        "an aggregate joined back on partkey; DISTINCT collapses repeat shipments; "
+        "double equality is safe (stored values compared, no arithmetic)",
+)

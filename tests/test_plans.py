@@ -159,3 +159,11 @@ def test_salted_agg_two_shuffles(spark):
     f = facts("b30_salted_agg", spark)
     assert f.exchanges == 2
     assert not f.python_eval
+
+
+def test_tpch_q21_double_correlation_decorrelates(spark):
+    # EXISTS + NOT EXISTS (correlated on orderkey AND an outer o_orderdate
+    # predicate) must become semi/anti joins — a correlated re-execution or
+    # cartesian here would be quadratic in lineitem
+    f = facts("tpch_q21_suppliers_who_kept_waiting", spark)
+    assert not f.cartesian and not f.python_eval
