@@ -27,6 +27,7 @@ HEADLINE = (
     "tpch_q6_forecast_revenue",
     "tpch_q9_product_type_profit",
     "tpch_q18_large_volume_customer",
+    "tpch_q21_suppliers_who_kept_waiting",
     "b19_distinctcount",
     "b22_percentile_exact",
     "b39_lookup_join",
@@ -37,6 +38,8 @@ HEADLINE = (
     "c5_sessionization",
     "c1_dedup_minhash_lsh",
     "c2_cosine_topk",
+    "b62_upsert_latest",
+    "c6_startree_rollup",
 )
 
 
