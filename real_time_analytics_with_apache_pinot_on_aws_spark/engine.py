@@ -16,6 +16,7 @@ retention (``segmentsConfig``), flush thresholds (``streamConfigs``).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 from dataclasses import dataclass
 from pathlib import Path
@@ -36,11 +37,18 @@ class TableConfig:
     time_column: str | None = None
     retention_days: int | None = None
     flush_threshold_seconds: int = 120  # reference: 2 min (json:24)
+    # Pinot upsertConfig **[P1.2]** (not set in the reference deployment —
+    # kinesisTableConfigFile.json has no upsertConfig): FULL/PARTIAL mode,
+    # primary key from the schema, per-column partial strategies.
+    upsert_mode: str | None = None  # None | "FULL" | "PARTIAL"
+    primary_key_columns: tuple[str, ...] = ()
+    partial_upsert_strategies: tuple[tuple[str, str], ...] = ()
 
     @classmethod
     def parse(cls, config_json: str | dict) -> "TableConfig":
         conf = json.loads(config_json) if isinstance(config_json, str) else config_json
         seg = conf.get("segmentsConfig", {})
+        ups = conf.get("upsertConfig", {})
         retention = None
         if seg.get("retentionTimeUnit", "").upper() == "DAYS" and seg.get("retentionTimeValue"):
             retention = int(seg["retentionTimeValue"])
@@ -59,6 +67,11 @@ class TableConfig:
             time_column=seg.get("timeColumnName"),
             retention_days=retention,
             flush_threshold_seconds=flush_s,
+            upsert_mode=ups.get("mode", "").upper() or None,
+            primary_key_columns=tuple(conf.get("primaryKeyColumns", ())),
+            partial_upsert_strategies=tuple(
+                sorted(ups.get("partialUpsertStrategies", {}).items())
+            ),
         )
 
 
@@ -70,6 +83,7 @@ class Engine:
         self.warehouse = Path(warehouse_dir)
         self.warehouse.mkdir(parents=True, exist_ok=True)
         self.pipelines: dict[str, IngestPipeline] = {}
+        self.configs: dict[str, TableConfig] = {}
         pfn.register_all(spark)
 
     # -- DDL / control plane (A8-A12) -----------------------------------
@@ -86,6 +100,14 @@ class Engine:
         the table, start consuming.  Returns the pipeline handle."""
         schema = parse_schema(schema_json)
         config = TableConfig.parse(table_config_json)
+        # Pinot keeps primaryKeyColumns in the *schema* JSON **[P1.2]**; accept
+        # it there (authoritative) or in the table config (convenience).
+        if not config.primary_key_columns:
+            raw = json.loads(schema_json) if isinstance(schema_json, str) else schema_json
+            pks = tuple(raw.get("primaryKeyColumns", ()))
+            if pks:
+                config = dataclasses.replace(config, primary_key_columns=pks)
+        self.configs[config.name] = config
         table_path = str(self.warehouse / config.name / "data")
         checkpoint = str(self.warehouse / config.name / "_checkpoint")
         pipeline = IngestPipeline(
@@ -103,8 +125,35 @@ class Engine:
         return pipeline
 
     def register_view(self, name: str) -> None:
-        """Expose a consuming table to SQL under its name."""
-        self.pipelines[name].table().createOrReplaceTempView(name)
+        """Expose a consuming table to SQL under its name.
+
+        For upsert tables, the SQL surface serves the RESOLVED view — latest
+        row per primary key (full mode) or per-column merge (partial mode) —
+        exactly as Pinot's broker resolves upsert tables at query time
+        **[P1.2]**; the raw append-only log stays available as ``<name>_raw``.
+        """
+        raw = self.pipelines[name].table()
+        config = self.configs.get(name)
+        if config is None or config.upsert_mode is None:
+            raw.createOrReplaceTempView(name)
+            return
+        if not config.primary_key_columns:
+            raise ValueError(f"upsert table {name!r} declares no primaryKeyColumns")
+        from .operators import upsert as _upsert
+
+        tc = config.time_column
+        order = [f"{tc}__ts"] if tc and f"{tc}__ts" in raw.columns else ([tc] if tc else [])
+        if not order:
+            raise ValueError(f"upsert table {name!r} needs a time column to order versions")
+        keys = list(config.primary_key_columns)
+        if config.upsert_mode == "PARTIAL" and config.partial_upsert_strategies:
+            resolved = _upsert.partial_upsert(
+                raw, keys, order, dict(config.partial_upsert_strategies)
+            )
+        else:
+            resolved = _upsert.latest_by_key(raw, keys, order)
+        raw.createOrReplaceTempView(f"{name}_raw")
+        resolved.createOrReplaceTempView(name)
 
     def list_tables(self) -> list[str]:
         """GET /tables analog (stack ts:416-422)."""

@@ -167,3 +167,43 @@ def test_ingest_with_rollup_and_partition_pruning(spark, tmp_path):
     f = audit_plan(raw.filter(F.col("ingest_date") == "2024-05-01"))
     assert f.partition_filters
     pipe.stop()
+
+
+def test_upsert_table_resolved_view(spark, tmp_path):
+    """A table with upsertConfig serves the RESOLVED view over SQL (latest row
+    per primary key), with the raw append-only log at <name>_raw — Pinot's
+    query-time upsert resolution (B62)."""
+    import json as _json
+
+    src_dir = tmp_path / "stream_in"
+    src_dir.parent.mkdir(parents=True, exist_ok=True)
+    config = dict(TABLE_CONFIG)
+    config["tableName"] = "userState"
+    config["upsertConfig"] = {"mode": "FULL"}
+    schema = dict(CLICKSTREAM_SCHEMA)
+    schema["primaryKeyColumns"] = ["userID"]
+
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+
+    def put(name, rows):
+        src_dir.mkdir(parents=True, exist_ok=True)
+        (src_dir / name).write_text("\n".join(_json.dumps(r) for r in rows))
+
+    def row(uid, price, t):
+        return {"userID": uid, "campaign": "c", "price": price,
+                "creationTimestamp": f"2024-06-01 {t}"}
+
+    put("b1.json", [row("u1", 10, "10:00:00"), row("u2", 20, "10:00:01")])
+    pipe = engine.add_table(schema, config, RawRecordSource(kind="files", path=str(src_dir)),
+                            available_now=True)
+    pipe.process_available()
+    # u1 gets two updates in a later batch; latest (10:05) must win
+    put("b2.json", [row("u1", 11, "10:04:00"), row("u1", 12, "10:05:00")])
+    pipe.process_available()
+
+    engine.register_view("userState")
+    resolved = {r["userID"]: r["price"] for r in engine.query(
+        "SELECT userID, price FROM userState").collect()}
+    assert resolved == {"u1": 12, "u2": 20}
+    assert engine.query("SELECT count(*) AS n FROM userState_raw").collect()[0]["n"] == 4
+    pipe.stop()
