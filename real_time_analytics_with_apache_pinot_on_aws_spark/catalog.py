@@ -53,3 +53,27 @@ def register_tables(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by join/agg keys.
+
+    This is the 100 TB co-location strategy for repeated fact-fact joins
+    (lineitem ⋈ orders on orderkey): both sides pre-hashed into the same
+    bucket layout means Catalyst drops the Exchange (and with sorted buckets,
+    the Sort) from every subsequent join on those keys — the shuffle is paid
+    once at write time instead of per query, exactly like Pinot's
+    partition-aware segment assignment.  Requires a session with a warehouse
+    (``spark.sql.warehouse.dir``); bucketing metadata lives in the catalog,
+    so this writes a managed table, not a bare path.
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name, format="parquet")

@@ -167,3 +167,41 @@ def test_tpch_q21_double_correlation_decorrelates(spark):
     # cartesian here would be quadratic in lineitem
     f = facts("tpch_q21_suppliers_who_kept_waiting", spark)
     assert not f.cartesian and not f.python_eval
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Co-located fact-fact join: lineitem and orders bucketed on orderkey
+    join with ZERO exchanges — the write-once-shuffle-never layout that makes
+    repeated 100 TB joins viable (Pinot analog: partition-aware segments)."""
+    from pyspark.sql import functions as F
+
+    from real_time_analytics_with_apache_pinot_on_aws_spark import catalog as C
+
+    sf = SF_DIR
+    li = C.load_table(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice")
+    od = C.load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    C.write_bucketed(li, "li_bkt", ["l_orderkey"], num_buckets=8)
+    C.write_bucketed(od, "od_bkt", ["o_orderkey"], num_buckets=8)
+    try:
+        joined = (
+            spark.table("li_bkt")
+            .join(spark.table("od_bkt"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderdate")
+            .agg(F.count("*").alias("n"))
+        )
+        # disable broadcast so the co-partitioned path is what's being tested
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            f = audit_plan(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # join itself must not shuffle either side (bucket layout satisfies
+        # the distribution); the only exchange allowed is the group-by on a
+        # different key
+        assert f.sortmerge_joins + f.shuffled_hash_joins >= 1
+        assert f.exchanges <= 1
+        n = joined.count()
+        assert n > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS od_bkt")
