@@ -1,0 +1,94 @@
+"""TEXT_MATCH analog (SURVEY §2.B B13): inverted-index term search.
+
+Pinot's ``TEXT_MATCH(col, 'lucene query')`` consults a per-segment Lucene
+index **[P1.2]** (no text index is configured in the reference deployment —
+kinesisTableConfigFile.json:12-27 — so this is surface parity, not config
+parity).  The Spark-native equivalent of an inverted index is a *postings
+relation* ``(token, doc_id)``: materialized once (at 100 TB: bucketed by
+token, so every term lookup is a bucket-pruned scan), then term queries are
+semi-joins instead of full-corpus regex scans.
+
+Supported query grammar (the common TEXT_MATCH forms):
+- ``term``                      — single term
+- ``t1 AND t2 [AND ...]``       — all terms present
+- ``t1 OR t2 [OR ...]``         — any term present
+- ``"exact phrase"``            — all words present + substring verification
+
+Terms are analyzed like the corpus: lowercased, split on non-alphanumerics
+(Lucene StandardAnalyzer approximation, same tokenizer as operators/dedup).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized_tokens
+
+
+def build_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(token, id) postings relation — the inverted index.
+
+    One narrow shuffle-free pass (tokenize + explode); ``distinct`` per doc
+    happens via ``array_distinct`` BEFORE the explode so the fan-out carries
+    no duplicate (token, doc) pairs.  Persist with
+    ``catalog.write_bucketed(postings, name, ["token"])`` to make every term
+    lookup bucket-pruned at scale.
+    """
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(normalized_tokens(F.col(text_col)))).alias("token"),
+    ).select("token", "id")
+
+
+def _analyze(term: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", term.lower()) if t]
+
+
+def matching_ids(postings: DataFrame, query: str) -> DataFrame:
+    """ids matching the TEXT_MATCH query — pure postings algebra.
+
+    AND = |terms|-way membership count (one aggregate, no self-joins);
+    OR = filter + distinct.  Phrases handle the membership part here and the
+    adjacency part in :func:`text_match` (needs the原text).
+    """
+    q = query.strip()
+    phrase = q.startswith('"') and q.endswith('"')
+    if phrase:
+        terms, conj = _analyze(q.strip('"')), "AND"
+    elif re.search(r"\bOR\b", q):
+        terms, conj = [t for p in re.split(r"\bOR\b", q) for t in _analyze(p)], "OR"
+    else:
+        terms, conj = [t for p in re.split(r"\bAND\b", q) for t in _analyze(p)], "AND"
+    if not terms:
+        raise ValueError(f"empty TEXT_MATCH query: {query!r}")
+    hits = postings.filter(F.col("token").isin(terms))
+    if conj == "OR" or len(terms) == 1:
+        return hits.select("id").distinct()
+    return (
+        hits.groupBy("id")
+        .agg(F.count_distinct("token").alias("_nt"))
+        .filter(F.col("_nt") == len(terms))
+        .select("id")
+    )
+
+
+def text_match(df: DataFrame, id_col: str, text_col: str, query: str) -> DataFrame:
+    """Rows of ``df`` whose ``text_col`` matches the TEXT_MATCH ``query``.
+
+    Builds postings inline (callers with a persisted index use
+    :func:`matching_ids` + their own semi-join).  The semi-join broadcasts
+    the (small) id set when Catalyst sizes it under the threshold.
+    """
+    ids = matching_ids(build_postings(df, id_col, text_col), query)
+    out = df.join(ids.withColumnRenamed("id", id_col), id_col, "left_semi")
+    q = query.strip()
+    if q.startswith('"') and q.endswith('"'):
+        # adjacency verification for phrases: analyzed words joined by single
+        # spaces must appear in the analyzed text
+        phrase = " ".join(_analyze(q.strip('"')))
+        analyzed = F.array_join(normalized_tokens(F.col(text_col)), " ")
+        out = out.filter(F.contains(analyzed, F.lit(phrase)))
+    return out

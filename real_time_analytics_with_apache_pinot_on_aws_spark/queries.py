@@ -2233,3 +2233,52 @@ sql_query(
         "an aggregate joined back on partkey; DISTINCT collapses repeat shipments; "
         "double equality is safe (stored values compared, no arithmetic)",
 )
+
+
+# ===========================================================================
+# B13 — TEXT_MATCH via a real inverted-index analog (postings semi-join),
+# replacing full-corpus regex scans.  Fixture documents are space-separated
+# lowercase words, so the oracle can express exact token membership with
+# padded-LIKE predicates.
+# ===========================================================================
+
+from .operators import textmatch as _tm  # noqa: E402
+
+
+@register(
+    "b13_text_match_index",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE (' ' || text || ' ') LIKE '% spark %'
+      AND (' ' || text || ' ') LIKE '% window %'
+      AND (' ' || text || ' ') LIKE '% join %'
+    """,
+    doc="B13: TEXT_MATCH('spark AND window AND join') as postings algebra — "
+        "one tokenize+explode pass, |terms|-membership aggregate, semi-join "
+        "back; at scale the postings persist bucketed by token (Lucene-index "
+        "analog), replacing per-query corpus regex scans",
+)
+def b13_text_match_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    return _tm.text_match(docs, "doc_id", "text", "spark AND window AND join").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@register(
+    "b13_text_match_phrase",
+    """
+    SELECT doc_id, source
+    FROM documents
+    WHERE (' ' || text || ' ') LIKE '% fast sort %'
+    """,
+    doc="B13: TEXT_MATCH('\"fast sort\"') — postings membership narrows the "
+        "candidate set, adjacency verified on the analyzed text only for "
+        "survivors",
+)
+def b13_text_match_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    return _tm.text_match(docs, "doc_id", "text", '"fast sort"').select("doc_id", "source")

@@ -274,3 +274,32 @@ def test_salted_agg_matches_direct(spark):
         .collect()
     }
     assert salted == direct
+
+
+# -- TEXT_MATCH inverted-index analog (B13) ---------------------------------
+
+from real_time_analytics_with_apache_pinot_on_aws_spark.operators import textmatch
+
+
+def test_text_match_and_or_phrase(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark window join engine"),
+            (2, "spark only here"),
+            (3, "window join, no s-word"),
+            (4, "fast sort inside"),
+            (5, "sort fast reversed words"),
+        ],
+        "id long, text string",
+    )
+    ids = lambda q: {r["id"] for r in textmatch.text_match(df, "id", "text", q).collect()}
+    assert ids("spark AND window AND join") == {1}
+    assert ids("spark OR join") == {1, 2, 3}
+    assert ids('"fast sort"') == {4}  # 5 has both words but not adjacent
+    assert ids("engine") == {1}
+
+
+def test_postings_are_distinct_pairs(spark):
+    df = spark.createDataFrame([(1, "a a b A b")], "id long, text string")
+    rows = textmatch.build_postings(df, "id", "text").collect()
+    assert sorted((r["token"], r["id"]) for r in rows) == [("a", 1), ("b", 1)]
