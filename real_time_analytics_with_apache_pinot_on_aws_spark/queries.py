@@ -2282,3 +2282,37 @@ def b13_text_match_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
     docs = spark.table("documents")
     return _tm.text_match(docs, "doc_id", "text", '"fast sort"').select("doc_id", "source")
+
+
+# ===========================================================================
+# B21 — sketch set-algebra with MATERIALIZED mergeable sketches (HLL
+# registers as a column).  Deterministic (fixed xxhash64) but approximate,
+# and DuckDB has no xxhash64 — rows-only check; accuracy/mergeability are
+# pinned by unit tests instead.
+# ===========================================================================
+
+from .operators import sketch as _sketch  # noqa: E402
+
+
+@register(
+    "b21_hll_sketch_algebra",
+    None,
+    doc="B21: per-event_type HLL sketches of user_id (p=12) materialized as "
+        "register arrays; distinct estimates per type + pairwise union/"
+        "intersection estimates via register merge — Pinot's stored-sketch "
+        "set algebra, as two hash aggregates + a self-join on tiny sketches",
+)
+def b21_hll_sketch_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+    sk = _sketch.hll_sketch(ev, ["event_type"], "user_id", p=12)
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("registers").alias("ra"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("registers").alias("rb"))
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    return pairs.select(
+        "type_a", "type_b",
+        F.round(_sketch.hll_estimate("ra"), 1).alias("est_a"),
+        F.round(_sketch.hll_estimate("rb"), 1).alias("est_b"),
+        F.round(_sketch.hll_estimate(_sketch.hll_merge(["ra", "rb"])), 1).alias("est_union"),
+        F.round(_sketch.hll_intersect_estimate("ra", "rb"), 1).alias("est_intersection"),
+    )

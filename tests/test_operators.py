@@ -303,3 +303,48 @@ def test_postings_are_distinct_pairs(spark):
     df = spark.createDataFrame([(1, "a a b A b")], "id long, text string")
     rows = textmatch.build_postings(df, "id", "text").collect()
     assert sorted((r["token"], r["id"]) for r in rows) == [("a", 1), ("b", 1)]
+
+
+# -- HLL sketch algebra (B20/B21) -------------------------------------------
+
+from real_time_analytics_with_apache_pinot_on_aws_spark.operators import sketch
+
+
+def test_hll_estimate_accuracy(spark):
+    # 5000 distinct values at p=12 (~1.6% stderr): estimate within 5%
+    df = spark.range(5000).select((F.col("id") * 2654435761).alias("v"))
+    sk = sketch.hll_sketch(df.withColumn("g", F.lit(1)), ["g"], "v", p=12)
+    est = sk.select(sketch.hll_estimate("registers", p=12).alias("e")).collect()[0]["e"]
+    assert abs(est - 5000) / 5000 < 0.05
+
+
+def test_hll_merge_equals_whole(spark):
+    # sketch(A) U sketch(B) has IDENTICAL registers to sketch(A U B) --
+    # the mergeability property that lets per-day sketches roll up exactly
+    df = spark.range(2000).select((F.col("id") * 40503).alias("v"))
+    whole = sketch.hll_sketch(df.withColumn("g", F.lit(1)), ["g"], "v", p=8)
+    parts = [
+        sketch.hll_sketch(
+            df.filter(F.col("v") % 2 == i).withColumn("g", F.lit(1)), ["g"], "v", p=8
+        ).withColumnRenamed("registers", f"r{i}")
+        for i in range(2)
+    ]
+    joined = parts[0].join(parts[1], "g")
+    merged = joined.select(sketch.hll_merge(["r0", "r1"]).alias("registers")).collect()[0][
+        "registers"
+    ]
+    assert merged == whole.collect()[0]["registers"]
+
+
+def test_hll_intersection_inclusion_exclusion(spark):
+    # A = 0..3000, B = 2000..5000 -> |A n B| = 1000; accept generous HLL error
+    a = spark.range(0, 3000).select((F.col("id") * 7919).alias("v"), F.lit(1).alias("g"))
+    b = spark.range(2000, 5000).select((F.col("id") * 7919).alias("v"), F.lit(1).alias("g"))
+    ska = sketch.hll_sketch(a, ["g"], "v", p=12).withColumnRenamed("registers", "ra")
+    skb = sketch.hll_sketch(b, ["g"], "v", p=12).withColumnRenamed("registers", "rb")
+    est = (
+        ska.join(skb, "g")
+        .select(sketch.hll_intersect_estimate("ra", "rb", p=12).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert abs(est - 1000) / 1000 < 0.25
