@@ -207,3 +207,29 @@ def test_upsert_table_resolved_view(spark, tmp_path):
     assert resolved == {"u1": 12, "u2": 20}
     assert engine.query("SELECT count(*) AS n FROM userState_raw").collect()[0]["n"] == 4
     pipe.stop()
+
+
+def test_source_adapters_option_mapping(spark):
+    """A1/A2/A13 adapters map reference stream config to connector options;
+    file/rate kinds produce real streaming frames (kafka/kinesis need their
+    connector jars — construction only, matching the reference's config-level
+    role for those paths)."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark import sources as S
+
+    kin = S.kinesis_source("pinot-stream", region="eu-west-1")
+    assert kin.kind == "kinesis"
+    assert kin.options["streamName"] == "pinot-stream"
+    assert kin.options["startingPosition"] == "latest"  # LATEST iterator (json:18)
+    assert S.kinesis_source("s", latest=False).options["startingPosition"] == "trim_horizon"
+
+    kaf = S.kafka_source("broker:9092", "pinot-topic")
+    assert kaf.options["subscribe"] == "pinot-topic"
+    assert kaf.options["startingOffsets"] == "latest"
+
+    rate = RawRecordSource(kind="rate", options={"rowsPerSecond": "5"}).load(spark)
+    assert rate.isStreaming and rate.columns == ["value"]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        RawRecordSource(kind="nope").load(spark)
