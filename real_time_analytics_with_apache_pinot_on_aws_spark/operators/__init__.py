@@ -6,6 +6,7 @@
 - ``text``        : language-ID, quality scoring, token counts, fingerprint (C3).
 - ``multimodal``  : binary-column plumbing with Arrow-batched decode UDFs (C4).
 - ``textmatch``   : TEXT_MATCH inverted-index analog — postings + semi-join (B13).
+- ``jsonindex``   : JSON_MATCH index analog — variant-flattened path/value postings (B14).
 - ``sketch``      : mergeable HLL register sketches with set algebra (B20/B21).
 - ``upsert``      : Pinot upsert-table analog — query-time latest-row resolution,
                     partial-upsert merge strategies, skew-salted aggregation (B62).

@@ -1,0 +1,91 @@
+"""JSON_MATCH analog (SURVEY §2.B B14): flattened path/value JSON index.
+
+Pinot's ``JSON_MATCH(col, '"$.path" op value')`` consults a JSON index that
+stores every flattened (json-path, value) pair per document **[P1.2]** (no
+JSON index is configured in the reference deployment).  The relational
+equivalent is a *postings* table ``(id, path, value)`` built by recursively
+exploding the JSON — on Spark 4, natively via ``parse_json`` (variant) +
+``variant_explode`` lateral joins, one level per iteration, no Python.
+
+At 100 TB the postings persist bucketed by ``(path, value)`` so a
+``JSON_MATCH`` predicate is a bucket-pruned semi-join, not a per-row JSON
+parse of the whole corpus — same shape as operators/textmatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_json_postings(
+    df: DataFrame, id_col: str, json_col: str, max_depth: int = 4
+) -> DataFrame:
+    """(id, path, value) for every scalar leaf, paths in ``$.a.b[0]`` form.
+
+    Iterative breadth-first flatten: each level is one ``variant_explode``
+    lateral join over the previous level's non-scalar nodes; scalar leaves
+    accumulate.  ``max_depth`` bounds pathological nesting (Pinot's index has
+    an equivalent ``maxLevels`` knob **[P1.2]**).
+    """
+    spark = df.sparkSession
+    frontier = df.select(
+        F.col(id_col).alias("id"),
+        F.parse_json(F.col(json_col)).alias("v"),
+        F.lit("$").alias("path"),
+    )
+    leaves: DataFrame | None = None
+    for _ in range(max_depth):
+        frontier.createOrReplaceTempView("_json_frontier")
+        exploded = spark.sql(
+            """
+            SELECT id,
+                   concat(path, CASE WHEN key IS NOT NULL THEN concat('.', key)
+                                     ELSE concat('[', pos, ']') END) AS path,
+                   e.value AS v,
+                   schema_of_variant(e.value) AS _sch
+            FROM _json_frontier, LATERAL variant_explode(v) AS e
+            """
+        )
+        is_nested = F.col("_sch").startswith("OBJECT<") | F.col("_sch").startswith("ARRAY<")
+        level_leaves = exploded.filter(~is_nested).select(
+            "id", "path", F.col("v").cast("string").alias("value")
+        )
+        leaves = level_leaves if leaves is None else leaves.unionByName(level_leaves)
+        frontier = exploded.filter(is_nested).select("id", "v", "path")
+    return leaves
+
+
+# try_cast: non-numeric leaves yield NULL (predicate false) instead of an
+# ANSI cast error — matches JSON-index semantics where a range predicate
+# simply doesn't match non-numeric values.
+_OPS = {
+    "=": lambda v, lit: v == lit,
+    "<>": lambda v, lit: v != lit,
+    ">": lambda v, lit: v.try_cast("double") > float(lit),
+    ">=": lambda v, lit: v.try_cast("double") >= float(lit),
+    "<": lambda v, lit: v.try_cast("double") < float(lit),
+    "<=": lambda v, lit: v.try_cast("double") <= float(lit),
+}
+
+
+def json_match(
+    df: DataFrame, id_col: str, json_col: str, path: str, op: str, value: str
+) -> DataFrame:
+    """Rows whose JSON column matches ``path op value`` — postings semi-join.
+
+    ``op`` in ``= <> > >= < <=``; numeric ops compare as double (Pinot's
+    JSON index stores values as strings and compares numerically for range
+    predicates **[P1.2]**).  Callers with a persisted postings table filter
+    it directly and semi-join; this convenience builds postings inline.
+    """
+    if op not in _OPS:
+        raise ValueError(f"unsupported JSON_MATCH op {op!r} (supported: {sorted(_OPS)})")
+    postings = build_json_postings(df, id_col, json_col)
+    ids = (
+        postings.filter(F.col("path") == path)
+        .filter(_OPS[op](F.col("value"), value))
+        .select("id")
+        .distinct()
+    )
+    return df.join(ids.withColumnRenamed("id", id_col), id_col, "left_semi")

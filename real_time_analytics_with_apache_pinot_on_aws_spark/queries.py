@@ -2316,3 +2316,35 @@ def b21_hll_sketch_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_sketch.hll_estimate(_sketch.hll_merge(["ra", "rb"])), 1).alias("est_union"),
         F.round(_sketch.hll_intersect_estimate("ra", "rb"), 1).alias("est_intersection"),
     )
+
+
+# ===========================================================================
+# B14 — JSON_MATCH via the JSON-index analog (flattened path/value postings,
+# variant_explode-based).  Complements b14_json_match (per-row extraction):
+# same predicate served index-style.
+# ===========================================================================
+
+from .operators import jsonindex as _ji  # noqa: E402
+
+
+@register(
+    "b14_json_match_index",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 95
+    GROUP BY event_type
+    """,
+    doc="B14: JSON_MATCH('$.k' >= 95) as a postings semi-join over the "
+        "flattened (id, path, value) JSON index (variant_explode, no Python); "
+        "at scale the postings persist bucketed by (path, value)",
+)
+def b14_json_match_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+    matched = _ji.json_match(ev, "event_id", "props", "$.k", ">=", "95")
+    return matched.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )

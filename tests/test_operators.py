@@ -348,3 +348,35 @@ def test_hll_intersection_inclusion_exclusion(spark):
         .collect()[0]["e"]
     )
     assert abs(est - 1000) / 1000 < 0.25
+
+
+# -- JSON index analog (B14) ------------------------------------------------
+
+from real_time_analytics_with_apache_pinot_on_aws_spark.operators import jsonindex
+
+
+def test_json_postings_flatten_nested(spark):
+    df = spark.createDataFrame(
+        [(1, '{"a": 1, "b": {"c": [10, {"d": true}], "e": "x"}}')], "id long, j string"
+    )
+    rows = {(r["path"], r["value"]) for r in jsonindex.build_json_postings(df, "id", "j").collect()}
+    assert rows == {
+        ("$.a", "1"),
+        ("$.b.c[0]", "10"),
+        ("$.b.c[1].d", "true"),
+        ("$.b.e", "x"),
+    }
+
+
+def test_json_match_ops(spark):
+    df = spark.createDataFrame(
+        [(1, '{"k": 5}'), (2, '{"k": 50}'), (3, '{"k": "high"}'), (4, '{"other": 5}')],
+        "id long, j string",
+    )
+    ids = lambda p, op, v: {
+        r["id"] for r in jsonindex.json_match(df, "id", "j", p, op, v).collect()
+    }
+    assert ids("$.k", "=", "5") == {1}
+    assert ids("$.k", ">", "10") == {2}
+    assert ids("$.k", "=", "high") == {3}
+    assert ids("$.other", "<=", "5") == {4}
