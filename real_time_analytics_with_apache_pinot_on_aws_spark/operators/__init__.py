@@ -8,6 +8,7 @@
 - ``textmatch``   : TEXT_MATCH inverted-index analog — postings + semi-join (B13).
 - ``jsonindex``   : JSON_MATCH index analog — variant-flattened path/value postings (B14).
 - ``sketch``      : mergeable HLL register sketches with set algebra (B20/B21).
+- ``asof``        : as-of join (latest prior match) as union + one window pass (C7).
 - ``upsert``      : Pinot upsert-table analog — query-time latest-row resolution,
                     partial-upsert merge strategies, skew-salted aggregation (B62).
 

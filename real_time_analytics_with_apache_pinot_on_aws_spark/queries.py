@@ -2348,3 +2348,41 @@ def b14_json_match_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
+
+
+# ===========================================================================
+# C7 — as-of join (extension): each purchase enriched with the latest prior
+# view's value for the same user.  Oracle is DuckDB's native ASOF JOIN; our
+# plan is union + one window pass (no range-condition join blowup).
+# ===========================================================================
+
+from .operators import asof as _asof  # noqa: E402
+
+
+@register(
+    "c7_asof_join",
+    """
+    SELECT p.user_id, p.event_id, CAST(p.ts AS TIMESTAMP) AS ts,
+           CAST(p.value AS DOUBLE) AS purchase_value,
+           CAST(v.value AS DOUBLE) AS value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    doc="C7: as-of join (latest prior view per purchase) as union + single "
+        "window pass per user — linear per key, vs a range-condition join's "
+        "per-key cartesian; oracle is DuckDB's native ASOF JOIN",
+)
+def c7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    ev = spark.table("events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.col("value").alias("purchase_value")
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = _asof.asof_join(purchases, views, "ts", ["user_id"], ["value"])
+    return out.select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        F.col("purchase_value").cast("double").alias("purchase_value"),
+        F.col("value_asof").cast("double").alias("value_asof"),
+    )

@@ -380,3 +380,25 @@ def test_json_match_ops(spark):
     assert ids("$.k", ">", "10") == {2}
     assert ids("$.k", "=", "high") == {3}
     assert ids("$.other", "<=", "5") == {4}
+
+
+# -- as-of join (C7) --------------------------------------------------------
+
+from real_time_analytics_with_apache_pinot_on_aws_spark.operators import asof
+
+
+def test_asof_join_latest_prior_and_ties(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 10, "c")], "k long, t long, tag string"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 10, 200.0), (1, 15, 300.0), (3, 1, 9.0)],
+        "k long, t long, v double",
+    )
+    out = {
+        (r["k"], r["t"]): r["v_asof"]
+        for r in asof.asof_join(left, right, "t", ["k"], ["v"]).collect()
+    }
+    assert out[(1, 10)] == 200.0  # tie: right row at equal t is visible (>=)
+    assert out[(1, 20)] == 300.0  # latest prior, not just any prior
+    assert out[(2, 10)] is None   # no right rows for key 2

@@ -205,3 +205,12 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_bkt")
         spark.sql("DROP TABLE IF EXISTS od_bkt")
+
+
+def test_asof_join_is_one_window_pass(spark):
+    # union + window: exactly one exchange (the key partitioning), and NO
+    # join operator — the range-condition per-key cartesian never exists
+    f = facts("c7_asof_join", spark)
+    assert f.exchanges <= 1
+    assert f.broadcast_joins + f.sortmerge_joins + f.shuffled_hash_joins + f.bnl_joins == 0
+    assert not f.cartesian and not f.python_eval
