@@ -7,7 +7,8 @@
 - ``multimodal``  : binary-column plumbing with Arrow-batched decode UDFs (C4).
 - ``textmatch``   : TEXT_MATCH inverted-index analog — postings + semi-join (B13).
 - ``jsonindex``   : JSON_MATCH index analog — variant-flattened path/value postings (B14).
-- ``sketch``      : mergeable HLL register sketches with set algebra (B20/B21).
+- ``sketch``      : mergeable HLL + KMV (theta-analog) sketches with set algebra (B20/B21).
+- ``quantile_sketch``: DDSketch mergeable relative-error quantiles (B22 sketch form).
 - ``asof``        : as-of join (latest prior match) as union + one window pass (C7).
 - ``upsert``      : Pinot upsert-table analog — query-time latest-row resolution,
                     partial-upsert merge strategies, skew-salted aggregation (B62).

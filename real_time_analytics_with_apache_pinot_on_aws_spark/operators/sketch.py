@@ -103,3 +103,68 @@ def hll_intersect_estimate(a: Column | str, b: Column | str, p: int = 12) -> Col
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     return hll_estimate(ca, p) + hll_estimate(cb, p) - hll_estimate(hll_merge([ca, cb]), p)
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) sketches — the theta-sketch analog **[P1.2]**
+# (DISTINCTCOUNTTHETASKETCH): bounded-size distinct sketches whose set
+# algebra (esp. intersection) is far more accurate than HLL
+# inclusion-exclusion, because the sketch retains an actual uniform sample
+# of the hash space.
+# ---------------------------------------------------------------------------
+
+
+def kmv_sketch(
+    df: DataFrame, group_cols: Sequence[str], value_col: str, k: int = 256
+) -> DataFrame:
+    """Per-group sorted array of the k smallest distinct value hashes.
+
+    Scale-safe build: distinct (group, hash) -> per-group window rank ->
+    keep k -> collect.  Memory is O(k) per group everywhere; the rank+filter
+    happens BEFORE any collect, so no group ever materializes its full
+    distinct set.
+    """
+    from pyspark.sql import Window
+
+    h = F.xxhash64(F.col(value_col))
+    distinct = df.select(*group_cols, h.alias("_h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    return (
+        distinct.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("_h")).alias("kmv"))
+    )
+
+
+def _frac(h: Column) -> Column:
+    """Map a signed 64-bit hash to (0, 1) uniformly."""
+    return h.cast("double") / F.lit(float(2**64)) + F.lit(0.5)
+
+
+def kmv_estimate(kmv: Column | str, k: int = 256) -> Column:
+    """Distinct-count estimate: exact below k; else (k-1)/frac(kth min)."""
+    arr = F.col(kmv) if isinstance(kmv, str) else kmv
+    exact = F.size(arr).cast("double")
+    kth = _frac(F.element_at(arr, k))
+    return F.when(F.size(arr) < k, exact).otherwise(F.lit(float(k - 1)) / kth)
+
+
+def kmv_union(a: Column | str, b: Column | str, k: int = 256) -> Column:
+    """Union sketch: k smallest of the merged samples (lossless merge —
+    identical to sketching the union)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.slice(F.array_sort(F.array_union(ca, cb)), 1, k)
+
+
+def kmv_intersect_estimate(a: Column | str, b: Column | str, k: int = 256) -> Column:
+    """|A ∩ B| via the standard KMV Jaccard estimator: among the union
+    sketch's samples, the fraction present in both sketches, scaled by the
+    union estimate."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    u = kmv_union(ca, cb, k)
+    in_both = F.size(F.array_intersect(F.array_intersect(u, ca), cb)).cast("double")
+    jaccard = in_both / F.size(u).cast("double")
+    return jaccard * kmv_estimate(u, k)

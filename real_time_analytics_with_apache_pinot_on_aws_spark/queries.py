@@ -2386,3 +2386,60 @@ def c7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_value").cast("double").alias("purchase_value"),
         F.col("value_asof").cast("double").alias("value_asof"),
     )
+
+
+# ===========================================================================
+# B22 (sketch form) — mergeable DDSketch quantiles: per-day partial sketches
+# merged, then p50/p95 per event_type.  Approximate (rows-only); the alpha
+# error bound + lossless merge are pinned by unit tests.
+# ===========================================================================
+
+from .operators import quantile_sketch as _qs  # noqa: E402
+
+
+@register(
+    "b22_ddsketch_quantiles",
+    None,
+    doc="B22 sketch family (PERCENTILEEST/TDIGEST/KLL analog): DDSketch "
+        "log-bucket counts built per day (segment partials), merged "
+        "losslessly, walked once for p50/p95 per event_type — stored "
+        "mergeable quantiles, the form percentile_approx cannot persist",
+)
+def b22_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    ev = spark.table("events").withColumn(
+        "day", F.date_trunc("DAY", F.col("ts").cast("timestamp")).cast("date")
+    )
+    # per-(type, day) partial sketches == per-segment sketch columns
+    partials = _qs.dd_sketch(ev, ["event_type", "day"], "value", alpha=0.01)
+    merged = _qs.dd_merge(partials, ["event_type"])
+    p50 = _qs.dd_quantile(merged, ["event_type"], 0.5, alpha=0.01)
+    p95 = _qs.dd_quantile(merged, ["event_type"], 0.95, alpha=0.01)
+    return p50.join(p95, "event_type").select(
+        "event_type", F.round("q50", 4).alias("p50_est"), F.round("q95", 4).alias("p95_est")
+    )
+
+
+@register(
+    "b21_kmv_theta_algebra",
+    None,
+    doc="B21 theta-sketch analog: KMV k-minimum-values sketches of user_id "
+        "per event_type; union merge is sketch-of-union-exact, intersection "
+        "via the Jaccard estimator — the accurate set algebra HLL "
+        "inclusion-exclusion can't give",
+)
+def b21_kmv_theta_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .operators import sketch as _sk
+
+    ev = spark.table("events")
+    sk = _sk.kmv_sketch(ev, ["event_type"], "user_id", k=256)
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("kmv").alias("ka"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("kmv").alias("kb"))
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    return pairs.select(
+        "type_a", "type_b",
+        F.round(_sk.kmv_estimate("ka", 256), 1).alias("est_a"),
+        F.round(_sk.kmv_estimate(_sk.kmv_union("ka", "kb", 256), 256), 1).alias("est_union"),
+        F.round(_sk.kmv_intersect_estimate("ka", "kb", 256), 1).alias("est_intersection"),
+    )

@@ -402,3 +402,66 @@ def test_asof_join_latest_prior_and_ties(spark):
     assert out[(1, 10)] == 200.0  # tie: right row at equal t is visible (>=)
     assert out[(1, 20)] == 300.0  # latest prior, not just any prior
     assert out[(2, 10)] is None   # no right rows for key 2
+
+
+# -- DDSketch mergeable quantiles (B22) -------------------------------------
+
+from real_time_analytics_with_apache_pinot_on_aws_spark.operators import quantile_sketch as QS
+
+
+def test_ddsketch_relative_error_bound(spark):
+    # uniform 1..10000: p50/p95/p99 within the alpha=1% relative guarantee
+    df = spark.range(1, 10001).select(F.col("id").cast("double").alias("v"), F.lit(1).alias("g"))
+    sk = QS.dd_sketch(df, ["g"], "v", alpha=0.01)
+    for q, true_v in ((0.5, 5000), (0.95, 9500), (0.99, 9900)):
+        est = QS.dd_quantile(sk, ["g"], q, alpha=0.01).collect()[0][f"q{int(q*100)}"]
+        assert abs(est - true_v) / true_v < 0.011, (q, est)
+
+
+def test_ddsketch_merge_is_lossless(spark):
+    # per-slice sketches merged == whole sketch (identical bucket counts)
+    df = spark.range(1, 5001).select(F.col("id").cast("double").alias("v"), F.lit(1).alias("g"))
+    whole = {(r["bucket"], r["n"]) for r in QS.dd_sketch(df, ["g"], "v").collect()}
+    parts = [QS.dd_sketch(df.filter(F.col("id") % 2 == i), ["g"], "v") for i in range(2)]
+    merged = {
+        (r["bucket"], r["n"])
+        for r in QS.dd_merge(parts[0].unionByName(parts[1]), ["g"]).collect()
+    }
+    assert merged == whole
+
+
+def test_ddsketch_zero_and_negative(spark):
+    df = spark.createDataFrame(
+        [(-100.0,), (-1.0,), (0.0,), (1.0,), (100.0,)], "v double"
+    ).withColumn("g", F.lit(1))
+    sk = QS.dd_sketch(df, ["g"], "v", alpha=0.01)
+    med = QS.dd_quantile(sk, ["g"], 0.5, alpha=0.01).collect()[0]["q50"]
+    assert med == 0.0  # median of the symmetric set is the zero bucket
+
+
+# -- KMV theta-sketch analog (B21) ------------------------------------------
+
+
+def test_kmv_estimate_and_exact_small(spark):
+    big = spark.range(10000).select((F.col("id") * 2654435761).alias("v"), F.lit(1).alias("g"))
+    sk = sketch.kmv_sketch(big, ["g"], "v", k=256)
+    est = sk.select(sketch.kmv_estimate("kmv", 256).alias("e")).collect()[0]["e"]
+    assert abs(est - 10000) / 10000 < 0.15  # stderr ~ 1/sqrt(k-1) ~ 6%
+    small = spark.range(50).select(F.col("id").alias("v"), F.lit(1).alias("g"))
+    sk2 = sketch.kmv_sketch(small, ["g"], "v", k=256)
+    assert sk2.select(sketch.kmv_estimate("kmv", 256).alias("e")).collect()[0]["e"] == 50.0
+
+
+def test_kmv_union_lossless_and_intersection(spark):
+    # A = 0..6000, B = 4000..10000, |A n B| = 2000
+    a = spark.range(0, 6000).select((F.col("id") * 7919).alias("v"), F.lit(1).alias("g"))
+    b = spark.range(4000, 10000).select((F.col("id") * 7919).alias("v"), F.lit(1).alias("g"))
+    both = a.unionByName(b)
+    ska = sketch.kmv_sketch(a, ["g"], "v", k=512).withColumnRenamed("kmv", "ka")
+    skb = sketch.kmv_sketch(b, ["g"], "v", k=512).withColumnRenamed("kmv", "kb")
+    whole = sketch.kmv_sketch(both, ["g"], "v", k=512).collect()[0]["kmv"]
+    j = ska.join(skb, "g")
+    merged = j.select(sketch.kmv_union("ka", "kb", 512).alias("u")).collect()[0]["u"]
+    assert merged == whole  # merge == sketch-of-union, exactly
+    est = j.select(sketch.kmv_intersect_estimate("ka", "kb", 512).alias("e")).collect()[0]["e"]
+    assert abs(est - 2000) / 2000 < 0.25
