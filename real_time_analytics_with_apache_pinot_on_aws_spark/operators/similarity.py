@@ -236,3 +236,55 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's refinement of IVF centroids (spherical k-means).
+
+    Each iteration: assign every vector to its argmax-cosine centroid (narrow
+    pass, centroids broadcast), then recompute each centroid as the
+    element-wise mean of its members via posexplode -> (cell, pos) partial
+    averages — no vector ever collects to the driver, no group materializes
+    its member list.  Cells that lose all members keep their old centroid.
+    Returns a (cell_id, c_vec) frame interchangeable with ivf_assign's.
+    """
+    cent = centroids.select("cell_id", "c_vec")
+    for _ in range(iters):
+        scored = corpus.join(F.broadcast(cent), F.lit(True)).withColumn(
+            "c_score", cosine(F.col(vec_col), F.col("c_vec"))
+        )
+        w = W.partitionBy(id_col).orderBy(F.desc("c_score"), F.asc("cell_id"))
+        assigned = (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("cell_id", F.col(vec_col).alias("m_vec"))
+        )
+        dims = (
+            assigned.select("cell_id", F.posexplode("m_vec").alias("pos", "x"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("x").alias("mx"))
+        )
+        new_cent = (
+            dims.groupBy("cell_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "mx"))).alias("pm")
+            )
+            .select(
+                "cell_id",
+                F.transform(F.col("pm"), lambda s: s.getField("mx").cast("float")).alias(
+                    "c_vec"
+                ),
+            )
+        )
+        cent = (
+            cent.select("cell_id", F.col("c_vec").alias("old_vec"))
+            .join(new_cent, "cell_id", "left")
+            .select("cell_id", F.coalesce("c_vec", "old_vec").alias("c_vec"))
+        )
+    return cent

@@ -92,3 +92,67 @@ def text_match(df: DataFrame, id_col: str, text_col: str, query: str) -> DataFra
         analyzed = F.array_join(normalized_tokens(F.col(text_col)), " ")
         out = out.filter(F.contains(analyzed, F.lit(phrase)))
     return out
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every matching doc for a bag-of-terms query.
+
+    The ranking layer Lucene puts on top of its inverted index (Pinot's
+    TEXT_MATCH exposes matching, not scores — this is the natural extension).
+    Everything is postings algebra: term frequencies from one explode pass,
+    document frequencies from a tiny per-term aggregate (broadcast), doc
+    lengths from the same tokenize pass; one final per-doc aggregate sums the
+    per-term BM25 contributions.  Returns (id, score) for docs matching at
+    least one term; deterministic double math (fixed per-term sum order via
+    the aggregate over sorted terms).
+    """
+    terms = _analyze(query)
+    if not terms:
+        raise ValueError(f"empty BM25 query: {query!r}")
+    toks = normalized_tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_toks")).select(
+        "id", "_toks", F.size("_toks").alias("dl")
+    )
+    n_docs = base.count()
+    avgdl = base.agg((F.sum("dl") / F.lit(float(n_docs))).alias("a")).collect()[0]["a"]
+
+    tf = (
+        base.select("id", "dl", F.explode("_toks").alias("token"))
+        .filter(F.col("token").isin(terms))
+        .groupBy("id", "dl", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count_distinct("id").alias("df"))
+    idf = dfreq.select(
+        "token",
+        F.log(
+            (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
+    )
+    contrib = tf.join(F.broadcast(idf), "token").select(
+        "id",
+        "token",
+        (
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl))))
+        ).alias("c"),
+    )
+    # fixed summation order (by token) keeps double addition deterministic
+    return (
+        contrib.groupBy("id")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("token", "c"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s.getField("c"),
+            ).alias("score")
+        )
+    )

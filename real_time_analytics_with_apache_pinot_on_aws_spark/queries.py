@@ -2443,3 +2443,48 @@ def b21_kmv_theta_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_sk.kmv_estimate(_sk.kmv_union("ka", "kb", 256), 256), 1).alias("est_union"),
         F.round(_sk.kmv_intersect_estimate("ka", "kb", 256), 1).alias("est_intersection"),
     )
+
+
+@register(
+    "b13_bm25_ranking",
+    """
+    WITH lens AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') AS toks
+      FROM documents
+    ), docs AS (
+      SELECT doc_id, len(toks) AS dl, toks FROM lens
+    ), stats AS (
+      SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM docs
+    ), tf AS (
+      SELECT doc_id, dl, 'spark' AS token,
+             len(list_filter(toks, x -> x = 'spark')) AS tf FROM docs
+      UNION ALL
+      SELECT doc_id, dl, 'vector',
+             len(list_filter(toks, x -> x = 'vector')) FROM docs
+    ), hits AS (
+      SELECT * FROM tf WHERE tf > 0
+    ), dfreq AS (
+      SELECT token, count(*) AS df FROM hits GROUP BY token
+    ), idf AS (
+      SELECT token, ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf FROM dfreq, stats
+    ), contrib AS (
+      SELECT doc_id, h.token,
+             idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS c
+      FROM hits h JOIN idf ON h.token = idf.token, stats
+    )
+    SELECT doc_id,
+           round(coalesce(sum(CASE WHEN token = 'spark' THEN c END), 0)
+                 + coalesce(sum(CASE WHEN token = 'vector' THEN c END), 0), 6) AS score
+    FROM contrib
+    GROUP BY doc_id
+    """,
+    doc="B13 extension: BM25 relevance ranking over the postings index "
+        "(k1=1.2, b=0.75, query 'spark vector') — Lucene's scoring layer as "
+        "postings algebra; the oracle replicates the exact formula in SQL",
+)
+def b13_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    out = _tm.bm25_scores(docs, "doc_id", "text", "spark vector")
+    return out.select(F.col("id").alias("doc_id"), F.round("score", 6).alias("score"))

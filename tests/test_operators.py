@@ -465,3 +465,40 @@ def test_kmv_union_lossless_and_intersection(spark):
     assert merged == whole  # merge == sketch-of-union, exactly
     est = j.select(sketch.kmv_intersect_estimate("ka", "kb", 512).alias("e")).collect()[0]["e"]
     assert abs(est - 2000) / 2000 < 0.25
+
+
+def test_bm25_ranking_sanity(spark):
+    # rarer term ('vector') outweighs frequent one; more occurrences rank higher
+    df = spark.createDataFrame(
+        [
+            (1, "vector vector search"),
+            (2, "vector search"),
+            (3, "search search search"),
+            (4, "unrelated text entirely"),
+        ],
+        "id long, text string",
+    )
+    rows = {r["id"]: r["score"] for r in textmatch.bm25_scores(df, "id", "text", "vector search").collect()}
+    assert 4 not in rows            # no matching term -> no row
+    assert rows[1] > rows[2] > 0    # double 'vector' beats single
+    assert rows[2] > rows[3]        # rare term beats frequent term
+
+
+def test_kmeans_refine_improves_assignment(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def mean_cos(cent):
+        scored = emb.join(F.broadcast(cent), F.lit(True)).withColumn(
+            "s", similarity.cosine(F.col("embedding"), F.col("c_vec"))
+        )
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell_id"))
+        best = scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") == 1)
+        return best.agg(F.avg("s")).collect()[0][0]
+
+    cent0, _ = similarity.ivf_assign(emb, n_cells=4)
+    cent3 = similarity.kmeans_refine(emb, cent0, iters=3)
+    before, after = mean_cos(cent0), mean_cos(cent3)
+    assert after >= before - 1e-9  # Lloyd's never degrades the objective
+    assert cent3.count() == 4      # empty cells keep their old centroid
