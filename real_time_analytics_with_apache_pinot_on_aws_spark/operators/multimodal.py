@@ -83,3 +83,47 @@ def decode_image(df: DataFrame, width: int = 224, height: int = 224) -> DataFram
         "image decode requires an imaging library not present in this "
         "environment; see decode_features for the identical Spark plumbing"
     )
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, n_bytes int, frame_md5 string"
+
+
+def sample_frames(
+    df: DataFrame, frame_bytes: int = 64, stride: int = 128, max_frames: int = 8
+) -> DataFrame:
+    """Frame sampling over binary payloads — the video path's plumbing.
+
+    A real implementation demuxes the container and decodes every Nth frame;
+    here the deterministic stand-in treats the payload as a byte stream and
+    cuts ``frame_bytes``-sized windows every ``stride`` bytes.  What this
+    exercises for real is the 1:N fan-out mapInPandas shape (one input row ->
+    many frame rows inside the same Arrow batch, no explode/shuffle), which
+    is exactly how frame extraction runs at scale — sampling happens INSIDE
+    the batch so dropped frames are never materialized.
+    """
+
+    def frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, lens, hashes = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                data = bytes(payload)
+                for i in range(max_frames):
+                    off = i * stride
+                    if off >= len(data):
+                        break
+                    frame = data[off : off + frame_bytes]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    lens.append(len(frame))
+                    hashes.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "n_bytes": lens, "frame_md5": hashes}
+            )
+
+    return df.mapInPandas(frames, FRAME_SCHEMA)

@@ -2488,3 +2488,29 @@ def b13_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents")
     out = _tm.bm25_scores(docs, "doc_id", "text", "spark vector")
     return out.select(F.col("id").alias("doc_id"), F.round("score", 6).alias("score"))
+
+
+@register(
+    "c4_frame_sampling",
+    """
+    WITH frames AS (
+      SELECT doc_id, CAST(i AS INT) AS frame_idx,
+             substr(text, i * 128 + 1, 64) AS frame
+      FROM documents, range(0, 8) AS t(i)
+      WHERE i * 128 < length(text)
+    )
+    SELECT doc_id, frame_idx,
+           CAST(length(frame) AS INT) AS n_bytes,
+           md5(frame) AS frame_md5
+    FROM frames
+    """,
+    doc="C4: video-style frame sampling as 1:N fan-out mapInPandas (frames "
+        "cut inside the Arrow batch, dropped frames never materialized); "
+        "deterministic byte framing lets DuckDB replicate it exactly — the "
+        "Arrow path is oracle-checked, not just rows-counted",
+)
+def c4_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    payloads = _mm.attach_binary(docs, "doc_id", "text")
+    return _mm.sample_frames(payloads, frame_bytes=64, stride=128, max_frames=8)

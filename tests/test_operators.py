@@ -502,3 +502,15 @@ def test_kmeans_refine_improves_assignment(spark):
     before, after = mean_cos(cent0), mean_cos(cent3)
     assert after >= before - 1e-9  # Lloyd's never degrades the objective
     assert cent3.count() == 4      # empty cells keep their old centroid
+
+
+def test_sample_frames_fanout_shape(spark):
+    df = spark.createDataFrame([(1, "x" * 300), (2, "y" * 10), (3, None)], "id long, t string")
+    payloads = multimodal.attach_binary(df.filter(F.col("t").isNotNull()), "id", "t")
+    rows = multimodal.sample_frames(payloads, frame_bytes=64, stride=128, max_frames=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 3   # offsets 0,128,256 < 300
+    assert by_doc[1][2]["n_bytes"] == 300 - 256  # tail frame truncated
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_bytes"] == 10

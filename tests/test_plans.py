@@ -214,3 +214,9 @@ def test_asof_join_is_one_window_pass(spark):
     assert f.exchanges <= 1
     assert f.broadcast_joins + f.sortmerge_joins + f.shuffled_hash_joins + f.bnl_joins == 0
     assert not f.cartesian and not f.python_eval
+
+
+def test_frame_sampling_arrow_not_pickle(spark):
+    f = facts("c4_frame_sampling", spark)
+    assert f.arrow_eval          # mapInPandas fan-out stays Arrow-batched
+    assert not f.python_eval     # never row-at-a-time pickling
