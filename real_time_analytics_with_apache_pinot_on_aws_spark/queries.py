@@ -2514,3 +2514,53 @@ def c4_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents")
     payloads = _mm.attach_binary(docs, "doc_id", "text")
     return _mm.sample_frames(payloads, frame_bytes=64, stride=128, max_frames=8)
+
+
+# ===========================================================================
+# B-extras: HISTOGRAM aggregation and FUNNEL counts **[P1.2]** — both in the
+# Pinot 1.2 aggregation surface, both natural clickstream-dashboard shapes.
+# ===========================================================================
+
+sql_query(
+    "b22_histogram",
+    """
+    SELECT bin, CAST(bin * 100.0 AS DOUBLE) AS bin_low, count(*) AS n
+    FROM (
+      SELECT CAST(floor(value / 100.0) AS INT) AS bin
+      FROM events
+      WHERE value IS NOT NULL AND value >= 0 AND value < 1000
+    ) binned
+    GROUP BY bin
+    ORDER BY bin
+    """,
+    doc="B22/Pinot HISTOGRAM(col, 0, 1000, 10): fixed-width bin counts — one "
+        "hash aggregate on the bin expression, map-side combined",
+)
+
+sql_query(
+    "c8_funnel_counts",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-08 00:00:00'
+      GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' AND e.ts < TIMESTAMP '2024-01-08 00:00:00'
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' AND e.ts < TIMESTAMP '2024-01-08 00:00:00'
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS stage_view,
+           (SELECT count(*) FROM c) AS stage_click,
+           (SELECT count(*) FROM p) AS stage_purchase
+    """,
+    doc="Pinot FUNNELCOUNT analog (first week): users completing view -> click -> purchase "
+        "in event-time order; each stage is a min-after semi-aggregate joined "
+        "on user_id — co-partitioned, one shuffle per stage, no per-user "
+        "event-list materialization",
+)
