@@ -2564,3 +2564,63 @@ sql_query(
         "on user_id — co-partitioned, one shuffle per stage, no per-user "
         "event-list materialization",
 )
+
+
+@register(
+    "b17_mv_aggregations",
+    """
+    SELECT label,
+           sum(len(embedding)) AS countmv,
+           round(CAST(sum(CAST(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum')
+                              AS DECIMAL(18,4))) AS DOUBLE), 2) AS summv,
+           round(min(list_min(CAST(embedding AS DOUBLE[]))), 6) AS minmv,
+           round(max(list_max(CAST(embedding AS DOUBLE[]))), 6) AS maxmv
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="B17/Pinot MV aggregation family (COUNTMV/SUMMV/MINMV/MAXMV) over an "
+        "array column: per-array reduction stays inside the row (codegen'd "
+        "higher-order functions, no explode), only the per-group scalar "
+        "partials shuffle — the MV-agg plan that survives wide arrays at scale",
+)
+def b17_mv_aggregations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    emb = spark.table("embeddings")
+    arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    per_row_sum = F.aggregate(arr, F.lit(0.0), lambda s, x: s + x)
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.sum(F.size("embedding")).alias("countmv"),
+            F.round(
+                F.sum(per_row_sum.cast("decimal(18,4)")).cast("double"), 2
+            ).alias("summv"),
+            F.round(F.min(F.array_min(arr)), 6).alias("minmv"),
+            F.round(F.max(F.array_max(arr)), 6).alias("maxmv"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "b19_distinctcountmv",
+    """
+    SELECT label, count(DISTINCT e) AS distinctcountmv
+    FROM (SELECT label, unnest(embedding) AS e FROM embeddings) flat
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="B19/Pinot DISTINCTCOUNTMV: distinct elements across a group's arrays "
+        "— explode feeds a two-phase distinct aggregate (partial dedup "
+        "map-side before the shuffle)",
+)
+def b19_distinctcountmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return (
+        emb.select("label", F.explode("embedding").alias("e"))
+        .groupBy("label")
+        .agg(F.count_distinct("e").alias("distinctcountmv"))
+        .orderBy("label")
+    )
