@@ -43,12 +43,20 @@ class TableConfig:
     upsert_mode: str | None = None  # None | "FULL" | "PARTIAL"
     primary_key_columns: tuple[str, ...] = ()
     partial_upsert_strategies: tuple[tuple[str, str], ...] = ()
+    # Pinot ingestionConfig **[P1.2]**: per-column transforms applied at
+    # ingest (transformConfigs) and a row-drop predicate (filterConfig —
+    # rows MATCHING the function are dropped).  Expressions here are Spark
+    # SQL (Pinot uses Groovy/inline functions; same role, documented
+    # divergence).
+    transform_configs: tuple[tuple[str, str], ...] = ()
+    filter_function: str | None = None
 
     @classmethod
     def parse(cls, config_json: str | dict) -> "TableConfig":
         conf = json.loads(config_json) if isinstance(config_json, str) else config_json
         seg = conf.get("segmentsConfig", {})
         ups = conf.get("upsertConfig", {})
+        ing = conf.get("ingestionConfig", {})
         retention = None
         if seg.get("retentionTimeUnit", "").upper() == "DAYS" and seg.get("retentionTimeValue"):
             retention = int(seg["retentionTimeValue"])
@@ -72,6 +80,11 @@ class TableConfig:
             partial_upsert_strategies=tuple(
                 sorted(ups.get("partialUpsertStrategies", {}).items())
             ),
+            transform_configs=tuple(
+                (t["columnName"], t["transformFunction"])
+                for t in ing.get("transformConfigs", ())
+            ),
+            filter_function=ing.get("filterConfig", {}).get("filterFunction"),
         )
 
 
@@ -117,6 +130,8 @@ class Engine:
             checkpoint,
             source,
             retention_days=config.retention_days,
+            transform_configs=config.transform_configs,
+            filter_function=config.filter_function,
         )
         self.pipelines[config.name] = pipeline
         if start:
@@ -195,6 +210,35 @@ class Engine:
 
     def run_retention(self, name: str) -> list[str]:
         return self.pipelines[name].run_retention()
+
+    def compact(self, name: str, max_files_per_partition: int = 1) -> dict:
+        """Segment-merge task analog (Pinot minion MergeRollupTask **[P1.2]**).
+
+        Streaming ingest leaves one file per micro-batch per partition; at a
+        2-minute flush cadence that is ~720 small files/day.  Compaction
+        rewrites any day partition holding more files than the target down to
+        ``max_files_per_partition`` — read, coalesce, swap — restoring scan
+        efficiency without touching query code.  Run it like the reference
+        runs minion tasks: scheduled, per partition, off the ingest path.
+        """
+        import shutil as _shutil
+
+        root = Path(self.pipelines[name].table_path)
+        compacted: dict[str, int] = {}
+        for part_dir in sorted(root.glob("ingest_date=*")):
+            files = list(part_dir.glob("*.parquet"))
+            if len(files) <= max_files_per_partition:
+                continue
+            df = self.spark.read.parquet(str(part_dir))
+            tmp = part_dir.parent / f"_compact_{part_dir.name}"
+            df.coalesce(max_files_per_partition).write.mode("overwrite").parquet(str(tmp))
+            for f in files:
+                f.unlink()
+            for f in tmp.glob("*.parquet"):
+                _shutil.move(str(f), str(part_dir / f.name))
+            _shutil.rmtree(tmp)
+            compacted[part_dir.name] = len(files)
+        return {"table": name, "compacted_partitions": compacted}
 
     def stop(self) -> None:
         for p in self.pipelines.values():

@@ -90,6 +90,8 @@ class IngestPipeline:
         retention_days: int | None = 7,
         rollup_spec=None,
         rollup_path: str | None = None,
+        transform_configs: tuple = (),
+        filter_function: str | None = None,
     ) -> None:
         self.spark = spark
         self.schema = schema
@@ -101,6 +103,10 @@ class IngestPipeline:
         # also appends its partial-aggregate cells to ``rollup_path``.
         self.rollup_spec = rollup_spec
         self.rollup_path = rollup_path
+        # Pinot ingestionConfig analog (engine.TableConfig): column transforms
+        # + row-drop predicate, applied between decode and commit.
+        self.transform_configs = tuple(transform_configs)
+        self.filter_function = filter_function
         self._query: StreamingQuery | None = None
 
     # -- decode ----------------------------------------------------------
@@ -112,6 +118,11 @@ class IngestPipeline:
         partition column — day granularity per kinesisTable.json:30).
         """
         out = decoded_frame(self.source.load(self.spark), self.schema)
+        for col_name, fn in self.transform_configs:
+            out = out.withColumn(col_name, F.expr(fn))
+        if self.filter_function:
+            # Pinot filterConfig semantics: matching rows are DROPPED
+            out = out.filter(~F.expr(self.filter_function))
         tc = self.schema.time_column()
         if tc is not None:
             ts_col = f"{tc.name}__ts" if f"{tc.name}__ts" in out.columns else tc.name
@@ -172,12 +183,23 @@ class IngestPipeline:
         repeated drains exactly-once.  A continuous (processingTime) query
         just waits for in-flight data.
         """
-        if self._query is None or not self._query.isActive:
-            self.start(available_now=True)
-            self._query.awaitTermination()
-            self._query = None
-            return
-        self._query.processAllAvailable()
+        q = self._query
+        if q is not None and q.isActive:
+            q.processAllAvailable()
+            if q.isActive:
+                # continuous (processingTime) query: stays active and has now
+                # drained everything, including files newer than any snapshot
+                return
+        if q is not None:
+            # an availableNow query processes only the file snapshot taken at
+            # start — data arriving later is NOT in it.  Let it finish, then
+            # fall through to a fresh drain so post-snapshot files are read
+            # (the checkpoint makes the double drain exactly-once).
+            q.awaitTermination()
+        self._query = None
+        self.start(available_now=True)
+        self._query.awaitTermination()
+        self._query = None
 
     def stop(self) -> None:
         if self._query is not None:

@@ -233,3 +233,48 @@ def test_source_adapters_option_mapping(spark):
 
     with pytest.raises(ValueError):
         RawRecordSource(kind="nope").load(spark)
+
+
+def test_ingestion_transforms_filter_and_compaction(spark, tmp_path):
+    """ingestionConfig parity: transformConfigs add/rewrite columns at ingest,
+    filterConfig drops matching rows; compact() merges per-partition small
+    files (minion MergeRollupTask analog) without changing results."""
+    import json as _json
+
+    src_dir = tmp_path / "stream_in"
+    config = dict(TABLE_CONFIG)
+    config["tableName"] = "transformed"
+    config["ingestionConfig"] = {
+        "transformConfigs": [
+            {"columnName": "campaign_uc", "transformFunction": "upper(campaign)"},
+            {"columnName": "price", "transformFunction": "price * 2"},
+        ],
+        "filterConfig": {"filterFunction": "price >= 200"},  # drop expensive rows
+    }
+    # prices 10..39 -> doubled 20..78; none dropped in batch 1
+    _write_events(src_dir / "b1.json", 30, "2024-06-01")
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    pipe = engine.add_table(
+        CLICKSTREAM_SCHEMA, config, RawRecordSource(kind="files", path=str(src_dir)),
+        available_now=True,
+    )
+    pipe.process_available()
+    # batch 2: i 60..119 -> prices 70..129 doubled -> 140..258; >=200 dropped
+    _write_events(src_dir / "b2.json", 60, "2024-06-01", start=60)
+    pipe.process_available()
+
+    t = pipe.table()
+    assert "campaign_uc" in t.columns
+    assert t.filter("campaign_uc <> upper(campaign)").count() == 0
+    assert t.agg({"price": "max"}).collect()[0][0] < 200  # filter applied post-transform
+    n_before = t.count()
+    assert n_before < 90  # some rows dropped
+
+    # two micro-batches -> >=2 files in the partition; compact to 1
+    part = Path(pipe.table_path) / "ingest_date=2024-06-01"
+    assert len(list(part.glob("*.parquet"))) >= 2, (n_before, sorted(p.name for p in part.glob("*")))
+    result = engine.compact("transformed")
+    assert result["compacted_partitions"]  # something was compacted
+    assert len(list(part.glob("*.parquet"))) == 1
+    assert pipe.table().count() == n_before  # data unchanged
+    pipe.stop()
