@@ -2178,7 +2178,7 @@ sql_query(
         "IN over a grouped HAVING subquery -> aggregate then semi-join",
 )
 
-sql_query(
+@register(
     "tpch_q21_suppliers_who_kept_waiting",
     """
     SELECT s.s_name, count(*) AS numwait
@@ -2200,10 +2200,53 @@ sql_query(
     ORDER BY numwait DESC, s.s_name
     """,
     doc="TPC-H Q21 (late = shipped >30 days after order; fixture lacks "
-        "receipt/commit dates): EXISTS + NOT EXISTS both correlated on orderkey "
-        "with an outer-column (o_orderdate) predicate — semi + anti join, "
-        "all co-partitioned on orderkey",
+        "receipt/commit dates).  The oracle keeps the textbook EXISTS + "
+        "NOT EXISTS form; the Spark plan replaces both correlated subqueries "
+        "with ONE window pass: after the lineitem-orders join (already "
+        "hash-partitioned and sorted by orderkey), collect_set(suppkey) and "
+        "collect_set(late suppkey) over the orderkey partition answer "
+        "'another supplier exists' (n_supp > 1) and 'no OTHER supplier was "
+        "late' (n_late_supp = 1, the row itself being late) without an extra "
+        "exchange.  lineitem is scanned ONCE instead of three times — at "
+        "100 TB that is the difference between one fact shuffle and three.",
 )
+def tpch_q21_suppliers_who_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    lineitem = spark.table("lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = (
+        spark.table("orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    # Every lineitem row of an F-status order survives this join (orderkey is
+    # unique in orders), so the per-orderkey window below sees exactly the
+    # rows the correlated l2/l3 subqueries would scan.
+    j = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).withColumn(
+        "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    w = W.partitionBy("l_orderkey")
+    j = (
+        j.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)),
+        )
+        .filter(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    supp = (
+        spark.table("supplier")
+        .join(
+            F.broadcast(spark.table("nation").filter(F.col("n_name") == "NATION_5")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        j.join(F.broadcast(supp), j.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
 
 
 sql_query(

@@ -161,12 +161,15 @@ def test_salted_agg_two_shuffles(spark):
     assert not f.python_eval
 
 
-def test_tpch_q21_double_correlation_decorrelates(spark):
-    # EXISTS + NOT EXISTS (correlated on orderkey AND an outer o_orderdate
-    # predicate) must become semi/anti joins — a correlated re-execution or
-    # cartesian here would be quadratic in lineitem
+def test_tpch_q21_single_fact_scan(spark):
+    # The EXISTS + NOT EXISTS pair is answered by one window pass over the
+    # orderkey partition, so lineitem is scanned exactly once (the textbook
+    # decorrelated form scans it three times) and the window rides the join's
+    # existing orderkey exchange instead of adding one.
     f = facts("tpch_q21_suppliers_who_kept_waiting", spark)
     assert not f.cartesian and not f.python_eval
+    assert f.text.count("lineitem") == 1, "fact table must be scanned once"
+    assert "Window" in f.text
 
 
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
