@@ -1848,7 +1848,7 @@ sql_query(
         "count-distinct expands to a two-phase aggregate — no driver-side dedup",
 )
 
-sql_query(
+@register(
     "tpch_q17_small_quantity_revenue",
     """
     SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
@@ -1859,11 +1859,36 @@ sql_query(
                           FROM lineitem l2
                           WHERE l2.l_partkey = p.p_partkey)
     """,
-    doc="TPC-H Q17: correlated scalar subquery decorrelates to an aggregate joined back "
-        "on partkey (quantities are small integers — double avg is exact)",
+    doc="TPC-H Q17 (correlated per-part avg threshold).  Oracle keeps the "
+        "textbook form; the Spark plan scans lineitem ONCE: broadcast the "
+        "Brand#11 part keys into the scan (so only matching rows survive), "
+        "then avg(l_quantity) over a partkey window — correct because every "
+        "lineitem row of a matching partkey survives the brand join, so the "
+        "window sees exactly the rows the correlated subquery would.  The "
+        "decorrelated form shuffles ALL of lineitem to aggregate by partkey; "
+        "this shuffles only the brand's rows (~1/25 of the fact).",
 )
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    part = spark.table("part").filter(F.col("p_brand") == "Brand#11").select("p_partkey")
+    j = (
+        spark.table("lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    w = W.partitionBy("l_partkey")
+    return (
+        j.withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
 
-sql_query(
+@register(
     "tpch_q18_large_volume_customer",
     """
     SELECT c.c_name, c.c_custkey, o.o_orderkey,
@@ -1879,9 +1904,41 @@ sql_query(
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 100
     """,
-    doc="TPC-H Q18: IN-subquery over a grouped HAVING becomes a semi-join "
-        "co-partitioned on orderkey; top-100 via TakeOrderedAndProject",
+    doc="TPC-H Q18 (orders with >300 total quantity).  The IN-subquery's "
+        "grouped HAVING is the SAME aggregation the outer query repeats, so "
+        "the Spark plan computes it once: aggregate lineitem by orderkey "
+        "(one shuffle of the fact), filter sum > 300 (rare — output is "
+        "tiny), then join orders and customer against the survivors.  The "
+        "textbook form scans and shuffles lineitem twice.  Top-k by "
+        "totalprice is TakeOrderedAndProject (no global sort).",
 )
+def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    big = (
+        spark.table("lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 300)
+    )
+    orders = spark.table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    customer = spark.table("customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
 
 sql_query(
     "tpch_q19_discounted_revenue",
@@ -2249,7 +2306,7 @@ def tpch_q21_suppliers_who_kept_waiting(spark: SparkSession, sf_dir: str) -> Dat
     )
 
 
-sql_query(
+@register(
     "tpch_q2_min_cost_supplier",
     """
     SELECT DISTINCT CAST(s.s_acctbal AS DOUBLE) AS s_acctbal, s.s_name,
@@ -2271,11 +2328,61 @@ sql_query(
     ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
     LIMIT 100
     """,
-    doc="TPC-H Q2 (min s_acctbal among suppliers that shipped the part; fixture "
-        "lacks partsupp/ps_supplycost): correlated min subquery decorrelates to "
-        "an aggregate joined back on partkey; DISTINCT collapses repeat shipments; "
-        "double equality is safe (stored values compared, no arithmetic)",
+    doc="TPC-H Q2 (min s_acctbal among EUROPE suppliers that shipped the "
+        "part; fixture lacks partsupp/ps_supplycost).  Oracle keeps the "
+        "correlated-min form; the Spark plan scans lineitem ONCE: broadcast "
+        "the filtered part keys and the EUROPE supplier dim into the scan, "
+        "then min(s_acctbal) over a partkey window — every (lineitem, "
+        "EUROPE supplier) pair of a qualifying partkey survives the joins, "
+        "so the window min equals the correlated min.  DISTINCT collapses "
+        "repeat shipments; double equality is safe (stored values compared, "
+        "no arithmetic).",
 )
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    part = (
+        spark.table("part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey", "p_type")
+    )
+    europe_supp = (
+        spark.table("supplier")
+        .join(
+            F.broadcast(
+                spark.table("nation")
+                .join(
+                    F.broadcast(
+                        spark.table("region").filter(F.col("r_name") == "EUROPE")
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+                .select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    j = (
+        spark.table("lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(europe_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    w = W.partitionBy("p_partkey")
+    return (
+        j.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select(
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+        )
+        .distinct()
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
 
 
 # ===========================================================================

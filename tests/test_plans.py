@@ -125,17 +125,23 @@ def test_tpch_q9_dims_broadcast(spark):
     assert not f.cartesian
 
 
-def test_tpch_q17_correlated_agg_no_cartesian(spark):
-    # correlated scalar subquery must decorrelate to an aggregate joined on
-    # partkey — a cartesian here would be quadratic at scale
+def test_tpch_q17_single_fact_scan(spark):
+    # The correlated per-part avg is a window over the (brand-filtered) join
+    # output: lineitem scanned once, and only the brand's rows shuffle —
+    # the decorrelated form scans twice and shuffles the whole fact
     f = facts("tpch_q17_small_quantity_revenue", spark)
     assert not f.cartesian and not f.python_eval
+    assert f.text.count("lineitem") == 1, "fact table must be scanned once"
+    assert f.broadcast_joins >= 1  # part keys broadcast into the scan side
 
 
-def test_tpch_q18_topk_semijoin(spark):
+def test_tpch_q18_single_fact_scan_topk(spark):
+    # The HAVING>300 aggregation is computed once (it IS the outer agg);
+    # orders/customer join against the tiny survivor set
     f = facts("tpch_q18_large_volume_customer", spark)
     assert f.take_ordered  # LIMIT 100 by totalprice -> per-partition top-k
     assert not f.cartesian
+    assert f.text.count("lineitem") == 1, "fact table must be scanned once"
 
 
 def test_tpch_q22_antijoin(spark):
