@@ -1811,7 +1811,7 @@ sql_query(
         "row-group stats, exact-decimal ratio",
 )
 
-sql_query(
+@register(
     "tpch_q15_top_supplier",
     f"""
     WITH revenue AS (
@@ -1828,9 +1828,35 @@ sql_query(
     WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
     ORDER BY s.s_suppkey
     """,
-    doc="TPC-H Q15: CTE reused twice (revenue + scalar max); exact-decimal totals make "
-        "the double equality safe; scalar subquery broadcasts as a literal",
+    doc="TPC-H Q15 (supplier with max quarterly revenue).  Spark inlines a "
+        "twice-referenced CTE, so the textbook form scans and aggregates "
+        "lineitem twice; the Spark plan aggregates ONCE and takes the max "
+        "with an unpartitioned window over the supplier-sized aggregate "
+        "(dim cardinality — a single-partition window over |suppliers| "
+        "rows, not over the fact).  Exact-decimal totals make the double "
+        "equality safe.",
 )
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    revenue = (
+        spark.table("lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.expr(f"CAST(sum({_DISC_PRICE}) AS DOUBLE)").alias("total_revenue"))
+    )
+    top = revenue.withColumn(
+        "max_rev", F.max("total_revenue").over(W.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    supplier = spark.table("supplier").select("s_suppkey", "s_name")
+    # broadcast the max-revenue survivors (≈1 row), not the supplier dim
+    return (
+        supplier.join(F.broadcast(top), supplier.s_suppkey == top.supplier_no)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
 
 sql_query(
     "tpch_q16_parts_supplier_relationship",
@@ -2191,7 +2217,7 @@ sql_query(
 )
 
 
-sql_query(
+@register(
     "tpch_q11_important_stock",
     f"""
     WITH partvalue AS (
@@ -2208,9 +2234,37 @@ sql_query(
     WHERE value > (SELECT 0.001 * sum(value) FROM partvalue)
     ORDER BY value DESC, l_partkey
     """,
-    doc="TPC-H Q11 (traded value per part via lineitem; fixture lacks partsupp): "
-        "CTE aggregated once, reused by the scalar threshold subquery",
+    doc="TPC-H Q11 (traded value per part via lineitem; fixture lacks "
+        "partsupp).  Spark inlines the twice-referenced CTE (fact scanned + "
+        "aggregated twice); the Spark plan aggregates ONCE and computes the "
+        "0.1% threshold with an unpartitioned window sum over the "
+        "part-sized aggregate.  NATION_1 suppliers broadcast into the scan.",
 )
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    supp = (
+        spark.table("supplier")
+        .join(
+            F.broadcast(spark.table("nation").filter(F.col("n_name") == "NATION_1")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    partvalue = (
+        spark.table("lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.expr(f"CAST(sum({_DISC_PRICE}) AS DOUBLE)").alias("value"))
+    )
+    return (
+        partvalue.withColumn(
+            "threshold", 0.001 * F.sum("value").over(W.partitionBy())
+        )
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", "value")
+        .orderBy(F.desc("value"), "l_partkey")
+    )
 
 sql_query(
     "tpch_q20_excess_shipments",

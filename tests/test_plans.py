@@ -167,6 +167,18 @@ def test_salted_agg_two_shuffles(spark):
     assert not f.python_eval
 
 
+def test_tpch_q15_q11_cte_reuse_single_scan(spark):
+    # Spark inlines twice-referenced CTEs, so the textbook forms scan the
+    # fact twice; our forms aggregate once and resolve the scalar
+    # (max / 0.1%-of-total threshold) with an unpartitioned window over the
+    # dim-sized aggregate
+    for name in ("tpch_q15_top_supplier", "tpch_q11_important_stock"):
+        f = facts(name, spark)
+        assert f.text.count("lineitem") == 1, f"{name}: fact scanned once"
+        assert "Window" in f.text
+        assert not f.python_eval
+
+
 def test_tpch_q21_single_fact_scan(spark):
     # The EXISTS + NOT EXISTS pair is answered by one window pass over the
     # orderkey partition, so lineitem is scanned exactly once (the textbook
