@@ -2741,7 +2741,7 @@ sql_query(
         "hash aggregate on the bin expression, map-side combined",
 )
 
-sql_query(
+@register(
     "c8_funnel_counts",
     """
     WITH v AS (
@@ -2763,11 +2763,62 @@ sql_query(
            (SELECT count(*) FROM c) AS stage_click,
            (SELECT count(*) FROM p) AS stage_purchase
     """,
-    doc="Pinot FUNNELCOUNT analog (first week): users completing view -> click -> purchase "
-        "in event-time order; each stage is a min-after semi-aggregate joined "
-        "on user_id — co-partitioned, one shuffle per stage, no per-user "
-        "event-list materialization",
+    doc="Pinot FUNNELCOUNT analog (first week): users completing view -> "
+        "click -> purchase in event-time order.  Oracle keeps the per-stage "
+        "min-after CTE chain (6 fact scans once Spark inlines it); the Spark "
+        "plan scans events ONCE and shuffles ONCE: group by user, sort each "
+        "user's (ts, type) sequence, and fold it through a (t1,t2,t3) state "
+        "— exactly Pinot's per-server funnel evaluation.  Per-user state is "
+        "bounded by events-per-user (same bound the sessionizer relies on).",
 )
+def c8_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    week_end = F.lit("2024-01-08 00:00:00").cast("timestamp")
+    evs = (
+        spark.table("events")
+        .filter(
+            (F.col("ts") < week_end)
+            & F.col("event_type").isin("view", "click", "purchase")
+        )
+        .select("user_id", "ts", "event_type")
+    )
+    seq = evs.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("seq")
+    )
+    null_ts = F.lit(None).cast("timestamp")
+    state0 = F.struct(
+        null_ts.alias("t1"), null_ts.alias("t2"), null_ts.alias("t3")
+    )
+    folded = seq.select(
+        F.aggregate(
+            "seq",
+            state0,
+            lambda s, e: F.struct(
+                F.when(
+                    s.t1.isNull() & (e.event_type == "view"), e.ts
+                ).otherwise(s.t1).alias("t1"),
+                F.when(
+                    s.t2.isNull()
+                    & s.t1.isNotNull()
+                    & (e.event_type == "click")
+                    & (e.ts > s.t1),
+                    e.ts,
+                ).otherwise(s.t2).alias("t2"),
+                F.when(
+                    s.t3.isNull()
+                    & s.t2.isNotNull()
+                    & (e.event_type == "purchase")
+                    & (e.ts > s.t2),
+                    e.ts,
+                ).otherwise(s.t3).alias("t3"),
+            ),
+        ).alias("st")
+    )
+    return folded.agg(
+        F.count("st.t1").alias("stage_view"),
+        F.count("st.t2").alias("stage_click"),
+        F.count("st.t3").alias("stage_purchase"),
+    )
 
 
 @register(

@@ -179,6 +179,16 @@ def test_tpch_q15_q11_cte_reuse_single_scan(spark):
         assert not f.python_eval
 
 
+def test_funnel_single_scan_single_user_shuffle(spark):
+    # FUNNELCOUNT: the per-stage CTE chain would scan events 6x; the fold
+    # over each user's sorted sequence scans once and shuffles once by user
+    # (plus the final single-row agg)
+    f = facts("c8_funnel_counts", spark)
+    assert f.text.count("events") == 1, "events must be scanned once"
+    assert f.exchanges <= 2
+    assert not f.python_eval
+
+
 def test_tpch_q21_single_fact_scan(spark):
     # The EXISTS + NOT EXISTS pair is answered by one window pass over the
     # orderkey partition, so lineitem is scanned exactly once (the textbook
