@@ -1286,7 +1286,7 @@ sql_query(
     doc="B3: hybrid REALTIME+OFFLINE read — UNION ALL view with a time-boundary cutover (broker merge analog)",
 )
 
-sql_query(
+@register(
     "b21_sketch_set_algebra",
     """
     SELECT
@@ -1301,8 +1301,32 @@ sql_query(
          UNION
          SELECT user_id FROM events WHERE event_type = 'purchase')) AS click_or_purchase
     """,
-    doc="B21: DISTINCTCOUNTTHETASKETCH set-algebra semantics, computed exactly (sketches are an approximation of exactly this)",
+    doc="B21: DISTINCTCOUNTTHETASKETCH set-algebra semantics, computed "
+        "exactly (sketches approximate exactly this).  Oracle spells the "
+        "four set expressions as separate subqueries (6 fact scans); the "
+        "Spark plan scans events ONCE: per-user boolean flags (had_click, "
+        "had_purchase) from one user-keyed aggregate, then |A|, |B|, "
+        "|A∩B|, |A∪B| are four count_ifs over the user-sized relation — "
+        "the same partial-merge shape a theta-sketch union/intersection "
+        "evaluates, but exact.",
 )
+def b21_sketch_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    per_user = (
+        spark.table("events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.col("event_type") == "click").alias("c"),
+            F.max(F.col("event_type") == "purchase").alias("p"),
+        )
+    )
+    return per_user.agg(
+        F.count_if("c").alias("click_users"),
+        F.count_if("p").alias("purchase_users"),
+        F.count_if(F.col("c") & F.col("p")).alias("click_and_purchase"),
+        F.count_if(F.col("c") | F.col("p")).alias("click_or_purchase"),
+    )
 
 sql_query(
     "b25b_skew_kurtosis",

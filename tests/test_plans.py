@@ -179,6 +179,15 @@ def test_tpch_q15_q11_cte_reuse_single_scan(spark):
         assert not f.python_eval
 
 
+def test_sketch_set_algebra_single_scan(spark):
+    # |A|, |B|, |A∩B|, |A∪B| from one user-keyed aggregate over one scan —
+    # the oracle's four subqueries would scan events six times
+    f = facts("b21_sketch_set_algebra", spark)
+    assert f.text.count("events") == 1, "events must be scanned once"
+    assert f.exchanges <= 2
+    assert not f.python_eval
+
+
 def test_funnel_single_scan_single_user_shuffle(spark):
     # FUNNELCOUNT: the per-stage CTE chain would scan events 6x; the fold
     # over each user's sorted sequence scans once and shuffles once by user
