@@ -624,11 +624,27 @@ sql_query(
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS rolling_sum3,
            count(*) OVER (PARTITION BY user_id) AS user_n,
            round(min(value) OVER (PARTITION BY user_id ORDER BY event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_min
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_min,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS LONG)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS hour_sum
     FROM events
     WHERE user_id < 10
     """,
-    doc="B44: aggregate-over-window with ROWS frames",
+    oracle="""
+    SELECT event_id, user_id, value,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS rolling_sum3,
+           count(*) OVER (PARTITION BY user_id) AS user_n,
+           round(min(value) OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_min,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS hour_sum
+    FROM events
+    WHERE user_id < 10
+    """,
+    doc="B44: aggregate-over-window with ROWS frames and a value-based RANGE "
+        "frame (trailing 1-hour sum over event-time seconds; Spark "
+        "CAST(ts AS LONG) == DuckDB epoch(ts))",
 )
 
 sql_query(
