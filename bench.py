@@ -72,8 +72,10 @@ def main() -> None:
         # queries aren't taxed for earlier queries' garbage.
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
+        # min-of-3: the minimum is the statistic least sensitive to transient
+        # machine load (anything above the min is interference, not the plan)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             df = registry[name].builder(spark, sf_dir)
             n = df.count()
