@@ -196,7 +196,7 @@ sql_query(
     """
     SELECT count(*) AS n_total,
            count(nullif(event_type, 'error')) AS n_not_error,
-           sum(CASE WHEN nullif(event_type, 'error') IS NULL THEN 1 ELSE 0 END) AS n_null
+           CAST(sum(CASE WHEN nullif(event_type, 'error') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
     FROM events
     """,
     doc="B10: IS NULL / IS NOT NULL (Spark real nulls; Pinot default-substitution divergence documented SURVEY §1.2)",
@@ -235,7 +235,7 @@ sql_query(
     "b15_case_coalesce_cast",
     """
     SELECT l_returnflag,
-           sum(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END) AS n_big,
+           CAST(sum(CASE WHEN l_quantity > 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
            count(coalesce(nullif(l_linestatus, 'O'), NULL)) AS n_f,
            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_int
     FROM lineitem
@@ -349,7 +349,7 @@ sql_query(
     "b23_distinct_sum_avg",
     """
     SELECT event_type,
-           sum(DISTINCT user_id) AS dsum_users,
+           CAST(sum(DISTINCT user_id) AS BIGINT) AS dsum_users,
            CAST(sum(DISTINCT user_id) AS DOUBLE) / count(DISTINCT user_id) AS davg_users
     FROM events
     GROUP BY event_type
@@ -410,7 +410,7 @@ sql_query(
 sql_query(
     "b28_sumprecision",
     """
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(38,18))) AS DECIMAL(38,4)) AS exact_sum
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,18))) AS DECIMAL(38,4)) AS DOUBLE) AS exact_sum
     FROM lineitem
     """,
     doc="B28: SUMPRECISION exact BigDecimal sum",
@@ -483,7 +483,7 @@ sql_query(
     SELECT c.c_mktsegment,
            count(*) AS n_rows,
            count(o.o_orderkey) AS n_orders,
-           sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_customers_no_orders
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_customers_no_orders
     FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -572,7 +572,7 @@ sql_query(
       WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
       GROUP BY o_custkey
     )
-    SELECT c.c_mktsegment, count(*) AS n_customers, sum(b.n_big) AS total_big_orders
+    SELECT c.c_mktsegment, count(*) AS n_customers, CAST(sum(b.n_big) AS BIGINT) AS total_big_orders
     FROM customer c JOIN big_orders b ON c.c_custkey = b.o_custkey
     WHERE c.c_custkey IN (SELECT o_custkey FROM orders)
     GROUP BY c.c_mktsegment
@@ -936,7 +936,7 @@ sql_query(
            CAST(get_json_object(props, '$.k') AS DOUBLE) AS k_double,
            get_json_object(props, '$.k') AS k_string,
            coalesce(CAST(get_json_object(props, '$.missing') AS BIGINT), -1) AS k_default,
-           json_object_keys(props) AS keys
+           array_join(json_object_keys(props), ',') AS keys
     FROM events
     WHERE event_id < 300
     """,
@@ -946,7 +946,7 @@ sql_query(
            json_extract_string(props, '$.k')::DOUBLE AS k_double,
            json_extract_string(props, '$.k') AS k_string,
            coalesce(json_extract_string(props, '$.missing')::BIGINT, -1) AS k_default,
-           json_keys(props) AS keys
+           array_to_string(json_keys(props), ',') AS keys
     FROM events
     WHERE event_id < 300
     """,
@@ -1571,8 +1571,8 @@ sql_query(
       FROM events
     ), sessions AS (
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM gaps
     )
     SELECT user_id, session_id, count(*) AS n_events,
@@ -1803,8 +1803,8 @@ sql_query(
     "tpch_q12_shipping_priority_class",
     """
     SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders
     JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate
@@ -2865,7 +2865,7 @@ def c8_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b17_mv_aggregations",
     """
     SELECT label,
-           sum(len(embedding)) AS countmv,
+           CAST(sum(len(embedding)) AS BIGINT) AS countmv,
            round(CAST(sum(CAST(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum')
                               AS DECIMAL(18,4))) AS DOUBLE), 2) AS summv,
            round(min(list_min(CAST(embedding AS DOUBLE[]))), 6) AS minmv,
