@@ -67,15 +67,18 @@ def main() -> None:
     # this never measures a stale cached result — only warmed JIT/code paths).
     timings: dict[str, float] = {}
     for name in names:
-        # Quiesce between queries (outside the timed region): drop cached
-        # relations left by prior queries and let the JVM collect, so late
-        # queries aren't taxed for earlier queries' garbage.
-        spark.catalog.clearCache()
+        # JVM quiesce between queries so late queries aren't taxed for
+        # earlier queries' garbage.
         spark.sparkContext._jvm.System.gc()
         # min-of-3: the minimum is the statistic least sensitive to transient
         # machine load (anything above the min is interference, not the plan)
         best = float("inf")
         for _ in range(3):
+            # Drop cached relations BEFORE EVERY rep (outside the timed
+            # region): queries that .cache() internally (e.g. minhash LSH's
+            # shingle relation) must pay materialization in each rep — the
+            # min must never time a cached re-run.
+            spark.catalog.clearCache()
             start = time.perf_counter()
             df = registry[name].builder(spark, sf_dir)
             n = df.count()

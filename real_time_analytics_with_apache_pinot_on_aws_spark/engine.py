@@ -160,6 +160,10 @@ class Engine:
         order = [f"{tc}__ts"] if tc and f"{tc}__ts" in raw.columns else ([tc] if tc else [])
         if not order:
             raise ValueError(f"upsert table {name!r} needs a time column to order versions")
+        # Arrival-order tiebreaker (written by IngestPipeline.commit_batch):
+        # when two versions of a key share a timestamp, the later-ingested row
+        # wins deterministically — Pinot's upsert comparison rule.
+        order += [c for c in ("__ingest_epoch", "__ingest_seq") if c in raw.columns]
         keys = list(config.primary_key_columns)
         if config.upsert_mode == "PARTIAL" and config.partial_upsert_strategies:
             resolved = _upsert.partial_upsert(
@@ -223,13 +227,28 @@ class Engine:
         """
         import shutil as _shutil
 
-        root = Path(self.pipelines[name].table_path)
+        pipeline = self.pipelines[name]
+        q = pipeline._query
+        if q is not None and q.isActive:
+            # A micro-batch committing between our file snapshot and the
+            # rewrite would be folded in but never unlinked (duplicates), and
+            # concurrent readers could hit files we just removed.  Same rule
+            # as Pinot: merge tasks run on sealed segments, not the consuming
+            # one — stop or drain the stream first.
+            raise RuntimeError(
+                f"table {name!r} has an active streaming query; "
+                "stop() or drain it before compact()"
+            )
+        root = Path(pipeline.table_path)
         compacted: dict[str, int] = {}
         for part_dir in sorted(root.glob("ingest_date=*")):
-            files = list(part_dir.glob("*.parquet"))
+            files = sorted(part_dir.glob("*.parquet"))
             if len(files) <= max_files_per_partition:
                 continue
-            df = self.spark.read.parquet(str(part_dir))
+            # read the EXACT snapshotted file list (not the directory), so a
+            # file that appears after the snapshot is neither duplicated into
+            # the rewrite nor unlinked
+            df = self.spark.read.parquet(*[str(f) for f in files])
             tmp = part_dir.parent / f"_compact_{part_dir.name}"
             df.coalesce(max_files_per_partition).write.mode("overwrite").parquet(str(tmp))
             for f in files:

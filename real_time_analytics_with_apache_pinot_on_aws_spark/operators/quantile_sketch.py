@@ -14,7 +14,11 @@ count), so:
 - query  = cumulative-count walk        (one window over ~hundreds of rows)
 
 Zero and negative values get dedicated buckets (DDSketch's standard
-extension): bucket 0 for zero, mirrored negative buckets for x < 0.
+extension).  Encoding keeps the cumulative walk in VALUE order: a positive
+value's raw log-bucket ``b`` (which is itself negative for x < 1) is stored
+as ``b + _OFF``, zero as the sentinel ``0``, and a negative value's raw
+bucket as ``-b - _OFF`` — so every negative-range code < 0 < every
+positive-range code, and within each range codes sort by value.
 """
 
 from __future__ import annotations
@@ -24,6 +28,8 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+_OFF = 10**9  # sentinel offset separating negative / zero / positive ranges
 
 
 def _gamma(alpha: float) -> float:
@@ -42,8 +48,8 @@ def dd_sketch(
     v = F.col(value_col).cast("double")
     log_g = math.log(g)
     bucket = (
-        F.when(v > 0, F.ceil(F.log(v) / F.lit(log_g)).cast("long"))
-        .when(v < 0, -F.ceil(F.log(-v) / F.lit(log_g)).cast("long") - F.lit(10**9))
+        F.when(v > 0, F.ceil(F.log(v) / F.lit(log_g)).cast("long") + F.lit(_OFF))
+        .when(v < 0, -F.ceil(F.log(-v) / F.lit(log_g)).cast("long") - F.lit(_OFF))
         .otherwise(F.lit(0))
     )
     return (
@@ -75,15 +81,19 @@ def dd_quantile(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = Window.partitionBy(*group_cols)
-    neg = F.col("bucket") < F.lit(-(10**8))
-    raw_bucket = F.when(neg, -(F.col("bucket") + F.lit(10**9))).otherwise(F.col("bucket"))
+    neg = F.col("bucket") < 0
+    pos = F.col("bucket") > 0
+    raw_bucket = (
+        F.when(neg, -(F.col("bucket") + F.lit(_OFF)))
+        .otherwise(F.col("bucket") - F.lit(_OFF))
+    )
     rep = (
         F.when(F.col("bucket") == 0, F.lit(0.0))
         .when(
             neg,
             -F.lit(2.0) * F.pow(F.lit(g), raw_bucket.cast("double")) / F.lit(g + 1),
         )
-        .otherwise(F.lit(2.0) * F.pow(F.lit(g), raw_bucket.cast("double")) / F.lit(g + 1))
+        .when(pos, F.lit(2.0) * F.pow(F.lit(g), raw_bucket.cast("double")) / F.lit(g + 1))
     )
     ranked = sketch.select(
         *group_cols,

@@ -87,10 +87,13 @@ def text_match(df: DataFrame, id_col: str, text_col: str, query: str) -> DataFra
     q = query.strip()
     if q.startswith('"') and q.endswith('"'):
         # adjacency verification for phrases: analyzed words joined by single
-        # spaces must appear in the analyzed text
+        # spaces must appear in the analyzed text; both sides space-padded so
+        # the containment respects token boundaries ("cat dog" must not match
+        # tokens [cat, bobcat, dog])
         phrase = " ".join(_analyze(q.strip('"')))
         analyzed = F.array_join(normalized_tokens(F.col(text_col)), " ")
-        out = out.filter(F.contains(analyzed, F.lit(phrase)))
+        padded = F.concat(F.lit(" "), analyzed, F.lit(" "))
+        out = out.filter(F.contains(padded, F.lit(" " + phrase + " ")))
     return out
 
 
@@ -112,6 +115,10 @@ def bm25_scores(
     per-term BM25 contributions.  Returns (id, score) for docs matching at
     least one term; deterministic double math (fixed per-term sum order via
     the aggregate over sorted terms).
+
+    Fully lazy: corpus stats (N, avgdl) are a 1-row aggregate broadcast into
+    the plan — building this DataFrame submits NO job (the round-1 version
+    collect()ed avgdl eagerly, putting a driver round-trip in the pipeline).
     """
     terms = _analyze(query)
     if not terms:
@@ -120,8 +127,12 @@ def bm25_scores(
     base = df.select(F.col(id_col).alias("id"), toks.alias("_toks")).select(
         "id", "_toks", F.size("_toks").alias("dl")
     )
-    n_docs = base.count()
-    avgdl = base.agg((F.sum("dl") / F.lit(float(n_docs))).alias("a")).collect()[0]["a"]
+    # corpus stats as a broadcastable 1-row relation (sum/count are exact
+    # integer math, so the double division is deterministic)
+    stats = base.agg(
+        F.count("*").cast("double").alias("_n_docs"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("_avgdl"),
+    )
 
     tf = (
         base.select("id", "dl", F.explode("_toks").alias("token"))
@@ -130,20 +141,24 @@ def bm25_scores(
         .agg(F.count("*").alias("tf"))
     )
     dfreq = tf.groupBy("token").agg(F.count_distinct("id").alias("df"))
-    idf = dfreq.select(
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
         "token",
         F.log(
-            (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            (F.col("_n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
         ).alias("idf"),
     )
-    contrib = tf.join(F.broadcast(idf), "token").select(
-        "id",
-        "token",
-        (
-            F.col("idf")
-            * (F.col("tf") * (k1 + 1))
-            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl))))
-        ).alias("c"),
+    contrib = (
+        tf.join(F.broadcast(idf), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            "token",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("_avgdl")))
+            ).alias("c"),
+        )
     )
     # fixed summation order (by token) keeps double addition deterministic
     return (

@@ -151,6 +151,15 @@ class IngestPipeline:
             # semantics match the reference's at-least-once segment commit
             # (kinesisTableConfigFile.json:19,22) with dupes only possible on
             # mid-batch crash.
+            #
+            # (__ingest_epoch, __ingest_seq) is a stable arrival-order
+            # tiebreaker: epoch orders batches, the monotonic id is unique
+            # within a batch.  Upsert resolution (engine.register_view) uses
+            # it so two versions of a primary key sharing a timestamp resolve
+            # deterministically — later-arrived wins, Pinot's upsert rule.
+            batch_df = batch_df.withColumn(
+                "__ingest_epoch", F.lit(int(epoch_id)).cast("long")
+            ).withColumn("__ingest_seq", F.monotonically_increasing_id())
             writer = batch_df.write.mode("append")
             if "ingest_date" in batch_df.columns:
                 writer = writer.partitionBy("ingest_date")

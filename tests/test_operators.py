@@ -305,6 +305,33 @@ def test_postings_are_distinct_pairs(spark):
     assert sorted((r["token"], r["id"]) for r in rows) == [("a", 1), ("b", 1)]
 
 
+def test_phrase_match_respects_token_boundaries(spark):
+    # ADVICE regression: [cat, bobcat, dog] joins to "cat bobcat dog", which
+    # CONTAINS the substring "cat dog" across a token boundary — the phrase
+    # check must space-pad so only true adjacency matches.
+    df = spark.createDataFrame(
+        [(1, "cat bobcat dog"), (2, "the cat dog show"), (3, "bobcat dog")],
+        "id long, text string",
+    )
+    ids = {r["id"] for r in textmatch.text_match(df, "id", "text", '"cat dog"').collect()}
+    assert ids == {2}
+
+
+def test_bm25_is_lazy(spark):
+    # VERDICT item 5: building the BM25 DataFrame must submit no Spark job
+    # (round 1 collect()ed avgdl during construction).
+    df = spark.createDataFrame(
+        [(1, "spark engine"), (2, "engine room"), (3, "spark spark")],
+        "id long, text string",
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    scored = textmatch.bm25_scores(df, "id", "text", "spark engine")
+    after = set(tracker.getJobIdsForGroup(None))
+    assert before == after, "constructing bm25_scores submitted a Spark job"
+    assert scored.count() == 3  # and it still executes fine on action
+
+
 # -- HLL sketch algebra (B20/B21) -------------------------------------------
 
 from real_time_analytics_with_apache_pinot_on_aws_spark.operators import sketch
@@ -437,6 +464,31 @@ def test_ddsketch_zero_and_negative(spark):
     sk = QS.dd_sketch(df, ["g"], "v", alpha=0.01)
     med = QS.dd_quantile(sk, ["g"], 0.5, alpha=0.01).collect()[0]["q50"]
     assert med == 0.0  # median of the symmetric set is the zero bucket
+
+
+def test_ddsketch_zero_sorts_before_sub_one_positives(spark):
+    # ADVICE regression: {0, 0.5, 0.5, 0.5} — q10 must hit the zero bucket,
+    # not a positive sub-1 bucket (zero's sentinel sorts before them).
+    df = spark.createDataFrame(
+        [(0.0,), (0.5,), (0.5,), (0.5,)], "v double"
+    ).withColumn("g", F.lit(1))
+    sk = QS.dd_sketch(df, ["g"], "v", alpha=0.01)
+    q10 = QS.dd_quantile(sk, ["g"], 0.10, alpha=0.01).collect()[0]["q10"]
+    assert q10 == 0.0, q10
+    q90 = QS.dd_quantile(sk, ["g"], 0.90, alpha=0.01).collect()[0]["q90"]
+    assert abs(q90 - 0.5) / 0.5 < 0.011, q90
+
+
+def test_ddsketch_near_one_values_keep_relative_error(spark):
+    # ADVICE regression: values in (1/gamma, 1] used to conflate with the
+    # zero bucket (representative 0.0 — 100% error); they must keep the
+    # geometric-midpoint representative within alpha.
+    df = spark.createDataFrame(
+        [(0.99,), (1.0,), (0.995,)], "v double"
+    ).withColumn("g", F.lit(1))
+    sk = QS.dd_sketch(df, ["g"], "v", alpha=0.01)
+    med = QS.dd_quantile(sk, ["g"], 0.5, alpha=0.01).collect()[0]["q50"]
+    assert abs(med - 0.995) / 0.995 < 0.011, med
 
 
 # -- KMV theta-sketch analog (B21) ------------------------------------------

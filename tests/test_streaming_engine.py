@@ -206,6 +206,18 @@ def test_upsert_table_resolved_view(spark, tmp_path):
         "SELECT userID, price FROM userState").collect()}
     assert resolved == {"u1": 12, "u2": 20}
     assert engine.query("SELECT count(*) AS n FROM userState_raw").collect()[0]["n"] == 4
+
+    # ADVICE regression: two versions of a key with the SAME timestamp must
+    # resolve deterministically to the later-INGESTED one (arrival-order
+    # tiebreaker __ingest_epoch/__ingest_seq, Pinot's upsert rule)
+    put("b3.json", [row("u3", 30, "11:00:00")])
+    pipe.process_available()
+    put("b4.json", [row("u3", 31, "11:00:00")])  # same ts, later batch
+    pipe.process_available()
+    engine.register_view("userState")
+    resolved = {r["userID"]: r["price"] for r in engine.query(
+        "SELECT userID, price FROM userState").collect()}
+    assert resolved["u3"] == 31
     pipe.stop()
 
 
@@ -278,3 +290,27 @@ def test_ingestion_transforms_filter_and_compaction(spark, tmp_path):
     assert len(list(part.glob("*.parquet"))) == 1
     assert pipe.table().count() == n_before  # data unchanged
     pipe.stop()
+
+
+def test_compact_refuses_while_stream_active(spark, tmp_path):
+    """ADVICE regression: compacting under an active streaming query can
+    duplicate a mid-snapshot micro-batch — must be refused."""
+    import pytest
+
+    src_dir = tmp_path / "stream_in"
+    config = dict(TABLE_CONFIG)
+    config["tableName"] = "liveTable"
+    _write_events(src_dir / "b1.json", 5, "2024-06-01")
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    pipe = engine.add_table(
+        CLICKSTREAM_SCHEMA, config, RawRecordSource(kind="files", path=str(src_dir)),
+        start=True,  # continuous trigger -> stays active
+    )
+    try:
+        assert pipe._query is not None and pipe._query.isActive
+        with pytest.raises(RuntimeError, match="active streaming query"):
+            engine.compact("liveTable")
+    finally:
+        pipe.stop()
+    # once stopped, compact proceeds (nothing may need compacting — no error)
+    engine.compact("liveTable")
