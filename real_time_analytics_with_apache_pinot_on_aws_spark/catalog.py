@@ -38,8 +38,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     division (``DIV`` — never float math on epoch-nanos magnitudes).
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif name == "events" and ts_type == "timestamp_ntz":
+        # parquet timestamp[us] without tz: surface as session-tz TimestampType
+        # (session tz is pinned UTC, so wall-clock == epoch semantics match the
+        # DuckDB oracle's naive-timestamp epoch()).
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
