@@ -32,12 +32,26 @@ BROADCAST_DIMS: frozenset[str] = frozenset({"region", "nation", "supplier", "par
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan; Catalyst prunes columns + pushes filters.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark reads as a
-    nanosecond long (``spark.sql.legacy.parquet.nanosAsLong``, set in
-    session.py); we surface it as a micros TimestampType via exact integer
-    division (``DIV`` — never float math on epoch-nanos magnitudes).
+    ``events.ts`` has two accepted physical encodings across fixture
+    generations, both normalized to TimestampType here:
+
+    - legacy: parquet TIMESTAMP(NANOS), which Spark reads as a nanosecond
+      long (``spark.sql.legacy.parquet.nanosAsLong``, set in session.py);
+      surfaced via exact integer division (``DIV`` — never float math on
+      epoch-nanos magnitudes);
+    - current: parquet timestamp[us] with no timezone (TIMESTAMP_NTZ),
+      surfaced with a plain cast (see the UTC guard below).
     """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # The ntz->timestamp cast is lazy and epoch-correct only under a UTC
+        # session; fail fast instead of silently shifting timestamps.
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT"):
+            raise ValueError(
+                f"events.ts is TIMESTAMP_NTZ; spark.sql.session.timeZone must "
+                f"be UTC for epoch-faithful casts (got {tz!r})"
+            )
     ts_type = dict(df.dtypes).get("ts")
     if name == "events" and ts_type == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))

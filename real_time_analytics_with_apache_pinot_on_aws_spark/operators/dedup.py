@@ -39,13 +39,11 @@ def _spread(df: DataFrame) -> DataFrame:
 
     A small input (one parquet file => one partition) would otherwise pin the
     tokenizer to one core; the row shuffle is trivial next to the transform.
-    At cluster scale the scan already has many partitions and AQE coalesces
-    the added exchange away when it isn't needed.
+    Unconditional: inspecting the partition count up-front would force eager
+    plan analysis at query-build time (``df.rdd`` triggers it), so we always
+    add the exchange and let AQE coalesce it when the scan is already wide.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def normalized_tokens(text_col) -> Column:
