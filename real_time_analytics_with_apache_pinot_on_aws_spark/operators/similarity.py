@@ -73,16 +73,38 @@ def _plane_component(plane: int, dim: int) -> Column:
     return (h % 10_000).cast("double") / 10_000.0
 
 
-def lsh_signature(vec: Column, dim: int, nbits: int = 8) -> Column:
-    """nbits-bit sign signature: bit i = sign(<vec, plane_i>)."""
+def lsh_signature(vec: Column, dim: int, nbits: int = 8, plane_offset: int = 0) -> Column:
+    """nbits-bit sign signature: bit i = sign(<vec, plane_{offset+i}>)."""
     sig = F.lit(0)
     for p in range(nbits):
         proj = F.lit(0.0)
         # static unroll over dimensions: one codegen expression, no UDF
         for d in range(dim):
-            proj = proj + F.element_at(vec, d + 1).cast("double") * _plane_component(p, d)
+            proj = proj + F.element_at(vec, d + 1).cast("double") * _plane_component(
+                plane_offset + p, d
+            )
         sig = sig + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
     return sig.cast("int")
+
+
+def lsh_band_signatures(vec: Column, dim: int, nbits: int, bands: int) -> Column:
+    """OR-construction banding: array of (band, sig) structs, one per band.
+
+    Each band is an independent ``nbits``-bit sign signature (its own plane
+    set).  Candidates match if ANY band collides — recall at cosine c is
+    1-(1-p^r)^L with p = 1 - acos(c)/pi, r = nbits, L = bands; the AND-OR
+    knob every production sign-LSH index exposes.  Still fully map-side: one
+    codegen projection per row, exploded only into L small (band, sig) keys.
+    """
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                lsh_signature(vec, dim, nbits, plane_offset=b * nbits).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
 
 
 def embedding_near_dup_pairs(
@@ -92,25 +114,50 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     dim: int | None = None,
     nbits: int | None = None,
+    bands: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= threshold).
 
-    With ``nbits`` set, pairs are blocked by sign-LSH signature first (single
-    probe: only same-bucket pairs are scored — approximate recall, this is the
-    100 TB path where all-pairs is infeasible).  Without it, the exact
+    With ``nbits`` set, pairs are blocked by sign-LSH first (this is the
+    100 TB path where all-pairs is infeasible); ``bands`` > 1 enables the
+    OR-construction (L independent nbits-bit signatures, candidates collide
+    on ANY band) — single-probe recall at a weak threshold like 0.4 is only
+    ~p^r, banding raises it to 1-(1-p^r)^L.  Without ``nbits``, the exact
     quadratic self-join — the oracle-checkable baseline for bounded corpora.
 
     Both variants score with the same codegen'd cosine; the LSH variant's
-    shuffle key is the nbits-bit signature (corpus never self-joins un-blocked).
+    shuffle keys are small (band, sig) ints (corpus never self-joins
+    un-blocked) and every candidate is verified exactly, so precision is 1.
     """
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     if nbits is not None:
         if dim is None:
             raise ValueError("dim is required when nbits blocking is enabled")
-        a = a.withColumn("sig", lsh_signature(F.col("v_a"), dim, nbits))
-        b = b.withColumn("sig", lsh_signature(F.col("v_b"), dim, nbits))
-        pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
+        if bands == 1:
+            a = a.withColumn("sig", lsh_signature(F.col("v_a"), dim, nbits))
+            b = b.withColumn("sig", lsh_signature(F.col("v_b"), dim, nbits))
+            pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
+        else:
+            ab = a.select(
+                "id_a", "v_a",
+                F.explode(lsh_band_signatures(F.col("v_a"), dim, nbits, bands)).alias("bs"),
+            ).select("id_a", "v_a", "bs.band", "bs.sig")
+            bb = b.select(
+                "id_b",
+                F.explode(lsh_band_signatures(F.col("v_b"), dim, nbits, bands)).alias("bs"),
+            ).select("id_b", "bs.band", "bs.sig")
+            cand = (
+                ab.join(bb, ["band", "sig"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .distinct()
+            )
+            # re-attach vectors for exact verification (same join shape the
+            # minhash verifier uses; keys are ids, vectors never in the key)
+            pairs = cand.join(a, "id_a").join(
+                b.select("id_b", "v_b"), "id_b"
+            )
     else:
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
@@ -208,25 +255,52 @@ def cosine_topk_lsh(
     nbits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bands: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only corpus vectors in the query's LSH bucket.
+    """Approximate top-k: score only corpus vectors sharing a query's LSH bucket.
 
-    Recall < 1.0 by design (single-probe).  At scale the corpus is
-    pre-partitioned by signature so a probe touches one partition.
+    Recall < 1.0 by design; ``bands`` > 1 is the OR-construction (candidates
+    collide on ANY of L independent signatures), the standard multi-table
+    sign-LSH index.  At scale the corpus is pre-partitioned by signature so a
+    probe touches ``bands`` partitions.
     """
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        lsh_signature(F.col(vec_col), dim, nbits).alias("sig"),
+    if bands == 1:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.array(
+                F.struct(F.lit(0).alias("band"), lsh_signature(F.col(vec_col), dim, nbits).alias("sig"))
+            ).alias("sigs"),
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.array(
+                F.struct(F.lit(0).alias("band"), lsh_signature(F.col(vec_col), dim, nbits).alias("sig"))
+            ).alias("sigs"),
+        )
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            lsh_band_signatures(F.col(vec_col), dim, nbits, bands).alias("sigs"),
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            lsh_band_signatures(F.col(vec_col), dim, nbits, bands).alias("sigs"),
+        )
+    ce = c.select("neighbor_id", "c_vec", F.explode("sigs").alias("bs")).select(
+        "neighbor_id", "c_vec", "bs.band", "bs.sig"
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        lsh_signature(F.col(vec_col), dim, nbits).alias("sig"),
+    qe = q.select("query_id", "q_vec", F.explode("sigs").alias("bs")).select(
+        "query_id", "q_vec", "bs.band", "bs.sig"
     )
     scored = (
-        c.join(F.broadcast(q), "sig")
+        ce.join(F.broadcast(qe), ["band", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("score", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
         .select("query_id", "neighbor_id", "score")
     )
