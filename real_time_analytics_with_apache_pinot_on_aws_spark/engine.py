@@ -23,6 +23,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import fs as _fs
 from . import functions as pfn
 from .schema import TableSchema, parse_schema
 from .streaming.ingest import IngestPipeline, RawRecordSource
@@ -179,15 +180,24 @@ class Engine:
         return sorted(self.pipelines)
 
     def table_detail(self, name: str) -> dict:
-        """Segment/server map analog (stack ts:445-462): file-level layout."""
-        root = Path(self.pipelines[name].table_path)
-        parts = sorted(p.name for p in root.glob("ingest_date=*"))
-        files = list(root.rglob("*.parquet"))
+        """Segment/server map analog (stack ts:445-462): file-level layout.
+
+        Hadoop FS API throughout — works identically over ``file:`` and the
+        ``s3a://`` deep store (pinot-controller.conf:34-40).
+        """
+        root = self.pipelines[name].table_path
+        parts = _fs.glob_status(self.spark, f"{root}/ingest_date=*")
+        files = [
+            f
+            for p in parts
+            if p["is_dir"]
+            for f in _fs.list_files(self.spark, p["path"], suffix=".parquet")
+        ]
         return {
             "table": name,
-            "partitions": parts,
+            "partitions": [_fs.basename(p["path"]) for p in parts if p["is_dir"]],
             "num_files": len(files),
-            "total_bytes": sum(f.stat().st_size for f in files),
+            "total_bytes": sum(f["size"] for f in files),
         }
 
     def rebalance(self, name: str) -> dict:
@@ -224,9 +234,11 @@ class Engine:
         ``max_files_per_partition`` — read, coalesce, swap — restoring scan
         efficiency without touching query code.  Run it like the reference
         runs minion tasks: scheduled, per partition, off the ingest path.
-        """
-        import shutil as _shutil
 
+        Every file operation goes through the Hadoop FS API (fs.py), so the
+        same code compacts a local warehouse and an ``s3a://`` deep store —
+        the reference's S3 segment home (pinot-controller.conf:34-40).
+        """
         pipeline = self.pipelines[name]
         q = pipeline._query
         if q is not None and q.isActive:
@@ -239,24 +251,30 @@ class Engine:
                 f"table {name!r} has an active streaming query; "
                 "stop() or drain it before compact()"
             )
-        root = Path(pipeline.table_path)
+        root = pipeline.table_path
         compacted: dict[str, int] = {}
-        for part_dir in sorted(root.glob("ingest_date=*")):
-            files = sorted(part_dir.glob("*.parquet"))
+        for part in _fs.glob_status(self.spark, f"{root}/ingest_date=*"):
+            if not part["is_dir"]:
+                continue
+            part_dir = part["path"]
+            part_name = _fs.basename(part_dir)
+            files = [
+                f["path"] for f in _fs.list_files(self.spark, part_dir, suffix=".parquet")
+            ]
             if len(files) <= max_files_per_partition:
                 continue
             # read the EXACT snapshotted file list (not the directory), so a
             # file that appears after the snapshot is neither duplicated into
             # the rewrite nor unlinked
-            df = self.spark.read.parquet(*[str(f) for f in files])
-            tmp = part_dir.parent / f"_compact_{part_dir.name}"
-            df.coalesce(max_files_per_partition).write.mode("overwrite").parquet(str(tmp))
+            df = self.spark.read.parquet(*files)
+            tmp = f"{root}/_compact_{part_name}"
+            df.coalesce(max_files_per_partition).write.mode("overwrite").parquet(tmp)
             for f in files:
-                f.unlink()
-            for f in tmp.glob("*.parquet"):
-                _shutil.move(str(f), str(part_dir / f.name))
-            _shutil.rmtree(tmp)
-            compacted[part_dir.name] = len(files)
+                _fs.delete(self.spark, f)
+            for f in _fs.list_files(self.spark, tmp, suffix=".parquet"):
+                _fs.rename(self.spark, f["path"], f"{part_dir}/{_fs.basename(f['path'])}")
+            _fs.delete(self.spark, tmp, recursive=True)
+            compacted[part_name] = len(files)
         return {"table": name, "compacted_partitions": compacted}
 
     def stop(self) -> None:

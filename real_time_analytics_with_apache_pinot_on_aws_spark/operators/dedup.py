@@ -23,8 +23,10 @@ Scale notes (100 TB posture):
   in the whole pipeline are the (band, sig) candidate join and the
   verification joins — all on 8-byte keys.
 - LSH banding bounds the candidate-pair explosion: pairs are generated only
-  within (band, signature) buckets.  Hot buckets (boilerplate text) should be
-  salted/capped in production.
+  within (band, signature) buckets.  Hot buckets (boilerplate text) are
+  capped: buckets larger than ``max_bucket`` emit star pairs to the bucket
+  representative (linear, group recovery complete via transitive closure)
+  instead of the quadratic all-pairs enumeration.
 """
 
 from __future__ import annotations
@@ -150,12 +152,23 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with exact verified Jaccard.
 
     LSH recall knob: bands=4 over 16 hashes => r=4 rows/band; collision prob
     at Jaccard j is 1-(1-j^4)^4 (~0.9 at j=0.7).  Verification is exact (over
     64-bit hashed shingles), so precision is 1.0 given the threshold.
+
+    Hot-bucket cap (the 100 TB safety valve): a (band, sig) bucket of size m
+    would emit m(m-1)/2 candidate pairs — boilerplate text (identical headers,
+    license blocks) makes m huge and the self-join quadratic.  Buckets larger
+    than ``max_bucket`` switch to STAR topology: each member pairs only with
+    the bucket's min-id representative (m-1 pairs, linear).  Recall note: pair
+    ENUMERATION inside an oversized bucket is reduced, but duplicate-GROUP
+    recovery is complete — every member still verifies against the same
+    representative, so the transitive closure (union-find over emitted pairs)
+    reconstructs the full group.  ``max_bucket=None`` disables the cap.
     """
     # Tokenize ONCE: the hashed-shingle relation feeds both the signature
     # projection and the verification joins.  cache() avoids re-running the
@@ -168,14 +181,45 @@ def minhash_lsh_pairs(
     sigs = sets.select(F.col(id_col), *_minhash_cols(F.col("sh_set"), num_hashes))
     banded = _banded(sigs, id_col, num_hashes, bands)
 
-    left = banded.select(F.col(id_col).alias("id_a"), "band", "sig")
-    right = banded.select(F.col(id_col).alias("id_b"), "band", "sig")
-    candidates = (
-        left.join(right, ["band", "sig"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    if max_bucket is None:
+        left = banded.select(F.col(id_col).alias("id_a"), "band", "sig")
+        right = banded.select(F.col(id_col).alias("id_b"), "band", "sig")
+        candidates = (
+            left.join(right, ["band", "sig"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    else:
+        # Skew-handling shape: oversized buckets are BY DEFINITION few (at
+        # most rows/max_bucket, in practice a handful of boilerplate
+        # signatures), so the hot-bucket list is broadcast-sized.  One
+        # map-side-combined aggregate finds them; the common path is then an
+        # anti-join against the broadcast list (no extra shuffle of banded),
+        # and the hot path emits star pairs via the same broadcast.
+        banded = banded.cache()  # 3 fixed-width cols/doc/band; feeds 3 branches
+        big = (
+            banded.groupBy("band", "sig")
+            .agg(F.count("*").alias("m"), F.min(id_col).alias("rep"))
+            .filter(F.col("m") > max_bucket)
+            .select("band", "sig", "rep")
+        )
+        small = banded.join(F.broadcast(big.select("band", "sig")), ["band", "sig"], "left_anti")
+        left = small.select(F.col(id_col).alias("id_a"), "band", "sig")
+        right = small.select(F.col(id_col).alias("id_b"), "band", "sig")
+        small_pairs = (
+            left.join(right, ["band", "sig"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        # Oversized buckets: star pairs to the min-id representative
+        # (rep < member always, so (id_a, id_b) ordering holds for free).
+        star_pairs = (
+            banded.join(F.broadcast(big), ["band", "sig"])
+            .filter(F.col(id_col) != F.col("rep"))
+            .select(F.col("rep").alias("id_a"), F.col(id_col).alias("id_b"))
+        )
+        candidates = small_pairs.unionByName(star_pairs).distinct()
 
     verified = (
         candidates.join(sets.withColumnsRenamed({id_col: "id_a", "sh_set": "set_a"}), "id_a")

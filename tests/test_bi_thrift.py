@@ -1,0 +1,54 @@
+"""A14 BI connectivity: in-process Thrift endpoint + hive-jdbc round-trip.
+
+Reference parity: Tableau -> Pinot JDBC driver -> broker ALB
+(README.md:38-41, lib/apache-pinot-solution-stack.ts:714-728).  Here a real
+Hive JDBC client (the driver every BI tool bundles) connects to the engine's
+Thrift socket and runs the flagship dashboard query over the wire.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_analytics_with_apache_pinot_on_aws_spark import bi, queries as Q
+from tests.conftest import SF_DIR
+
+PORT = 10214
+
+
+@pytest.fixture(scope="module")
+def thrift(spark, tmp_path_factory):
+    srv = bi.start_thrift_server(
+        spark, port=PORT, metastore_dir=str(tmp_path_factory.mktemp("ms"))
+    )
+    assert bi.wait_for_port(PORT), "thrift endpoint never came up"
+    yield srv
+    srv.stop()
+
+
+def test_jdbc_flagship_roundtrip(spark, thrift):
+    flagship = Q.all_queries()["flagship_dashboard"].builder(spark, SF_DIR)
+    wire_name = bi.expose_global(flagship, "flagship_bi")
+
+    rows = bi.jdbc_query(spark, f"SELECT count(*) AS n FROM {wire_name}", port=PORT)
+    assert rows[0][0] == flagship.count()
+
+    top = bi.jdbc_query(
+        spark,
+        f"SELECT event_type, n_events FROM {wire_name} ORDER BY n_events DESC, event_type LIMIT 3",
+        port=PORT,
+    )
+    local = [
+        (r["event_type"], r["n_events"])
+        for r in flagship.orderBy("n_events", ascending=False)
+        .orderBy([flagship.n_events.desc(), "event_type"])
+        .limit(3)
+        .collect()
+    ]
+    assert [(t, n) for t, n in top] == local
+
+
+def test_jdbc_adhoc_sql_over_wire(spark, thrift):
+    """The endpoint serves arbitrary SQL, not just pre-exposed views."""
+    rows = bi.jdbc_query(spark, "SELECT 21 * 2 AS answer", port=PORT)
+    assert rows == [(42,)]

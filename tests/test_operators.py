@@ -36,6 +36,44 @@ def test_minhash_finds_near_duplicates(spark):
     assert all(p in {(1, 2)} for p in found)  # no false positives past verify
 
 
+def test_minhash_hot_bucket_cap(spark):
+    """1000 identical boilerplate docs: the capped path must emit the linear
+    star pairing (999 pairs to the min-id representative), never the
+    quadratic 499500, and the duplicate group must still be fully connected."""
+    docs = [(i, "standard license header boilerplate text repeated verbatim everywhere") for i in range(1000)]
+    docs.append((5000, "a genuinely different document about streaming joins and watermarks"))
+    df = spark.createDataFrame(docs, "id long, text string")
+    pairs = dedup.minhash_lsh_pairs(
+        df, "id", "text", jaccard_threshold=0.5, max_bucket=16
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    # star topology: every boilerplate doc pairs with representative id=0
+    assert found == {(0, i) for i in range(1, 1000)}
+    assert all(abs(r["jaccard"] - 1.0) < 1e-9 for r in pairs)
+    # group recovery: union-find over the emitted pairs is one component
+    parent = {i: 0 for i in range(1000)}
+    assert len({parent[a] for a, _ in found} | {parent[b] for _, b in found}) == 1
+
+
+def test_minhash_cap_preserves_small_bucket_pairs(spark):
+    """Below the cap, behavior is identical to the uncapped all-pairs path."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    df = spark.createDataFrame(
+        [(1, base), (2, base.replace("today", "tonight")), (3, base), (4, "unrelated words entirely disjoint from everything else here")],
+        "id long, text string",
+    )
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(df, "id", "text", jaccard_threshold=0.3, max_bucket=16).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(df, "id", "text", jaccard_threshold=0.3, max_bucket=None).collect()
+    }
+    assert capped == uncapped
+    assert {(1, 2), (1, 3), (2, 3)} <= capped
+
+
 def test_simhash_identical_and_different(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zz qq ww ee rr tt")],

@@ -260,3 +260,100 @@ def test_frame_sampling_arrow_not_pickle(spark):
     f = facts("c4_frame_sampling", spark)
     assert f.arrow_eval          # mapInPandas fan-out stays Arrow-batched
     assert not f.python_eval     # never row-at-a-time pickling
+
+
+# -- round-3 window curation: pins for the merged/promoted driver-window
+# -- queries (VERDICT r2 item 8)
+
+
+def test_driver_window_is_curated(spark):
+    """The driver adjudicates list(queries())[:50]: the window must be exactly
+    the curated set, every entry with a SQL oracle (zero rows-only checks)."""
+    names = list(Q.all_queries())
+    assert tuple(names[:50]) == Q._DRIVER_WINDOW
+    oracles = Q.oracle_sql()
+    missing = [n for n in names[:50] if n not in oracles]
+    assert not missing, f"window entries without oracle: {missing}"
+
+
+def test_filter_matrix_pushdown(spark):
+    f = facts("b06_b11_filter_matrix", spark)
+    assert f.pushed_filters      # the whole predicate conjunction reaches the scan
+    assert f.exchanges <= 2      # partial agg + distinct-count expansion
+    assert not f.python_eval
+
+
+def test_merged_stats_single_aggregate(spark):
+    f = facts("b24_b25_stats", spark)
+    assert f.exchanges == 1      # all ten measures in one hash aggregate
+    assert not f.python_eval
+
+
+def test_having_topk_single_shuffle(spark):
+    f = facts("b31_b32_having_topk", spark)
+    assert f.take_ordered        # LIMIT 10 after HAVING -> per-partition top-k
+    assert f.exchanges <= 1
+    assert not f.python_eval
+
+
+def test_distinct_page_bounded(spark):
+    f = facts("b33_b47_distinct_page", spark)
+    assert f.exchanges <= 1      # distinct agg; page served without global sort
+    assert not f.python_eval
+
+
+def test_setops_cte_no_cartesian(spark):
+    f = facts("b40_b41_setops_cte", spark)
+    assert not f.cartesian and not f.python_eval
+
+
+def test_window_suite_single_user_shuffle(spark):
+    # rn/lag/lead/frames all partition by user_id: orderings differ but the
+    # partitioning is shared — at most the one hash(user_id) exchange
+    f = facts("b43_b45_window_suite", spark)
+    assert f.exchanges <= 1
+    assert f.pushed_filters      # user_id < 10 reaches the scan
+    assert not f.python_eval
+
+
+def test_nulls_first_topk_take_ordered(spark):
+    f = facts("b46_b48_order_limit", spark)
+    assert f.take_ordered        # NULLS FIRST ordering still early-terminates
+    assert f.exchanges == 0
+    assert not f.python_eval
+
+
+def test_scalar_fn_probes_scan_only(spark):
+    for name in ("b49_b54_scalar_fns", "b52_b53_json_array_fns"):
+        f = facts(name, spark)
+        assert f.exchanges == 0, f"{name}: pure projection must not shuffle"
+        assert f.pushed_filters, name
+        assert not f.python_eval, name
+
+
+def test_udf_explode_arrow_batched(spark):
+    f = facts("b63_b65_udf_explode", spark)
+    assert f.arrow_eval          # pandas_udf -> ArrowEvalPython, never pickled rows
+    assert not f.python_eval
+    assert f.exchanges == 0      # explode + projection: no shuffle at all
+
+
+def test_text_analysis_co_partitioned(spark):
+    f = facts("c3_text_analysis", spark)
+    assert not f.cartesian and not f.python_eval
+
+
+def test_sketch_validation_bounded(spark):
+    # estimates + the exact side: bounded exchanges, no Python anywhere
+    for name in ("b21_hll_sketch_algebra", "b21_kmv_theta_algebra",
+                 "b20_distinctcounthll", "b22_percentile_approx"):
+        f = facts(name, spark)
+        assert not f.python_eval, name
+        assert not f.cartesian, name
+
+
+def test_minhash_validation_no_python(spark):
+    f = facts("c1_dedup_minhash_lsh", spark)
+    assert not f.python_eval
+    # 1-row x 1-row summary cross join is the only nested-loop allowed
+    assert f.text.count("CartesianProduct") <= 1
