@@ -5,11 +5,12 @@ after the shuffle-free rewrite — signature computation never leaves the map
 side:
 
 - **exact**: hash-group-by on ``xxhash64(text)`` (8-byte shuffle keys).
-- **MinHash-LSH**: word n-gram shingles hashed to 64-bit longs ->
-  ``array_min(transform(shingles, h -> xxhash64(h, seed)))`` per seed — the
-  whole signature is computed per-row in codegen, NO explode and NO groupBy
-  shuffle -> band signatures -> one self-join on (band, sig) -> exact-Jaccard
-  verification on the hashed shingle sets.
+- **MinHash-LSH**: word n-gram shingles hashed to 64-bit longs -> one
+  ``aggregate`` pass with a k-wide running-min accumulator (k seeded
+  xxhash64 per element, ``zip_with``/``least`` fold) — the whole signature
+  is computed per-row in codegen, NO explode and NO groupBy shuffle -> band
+  signatures -> one self-join on (band, sig) -> exact-Jaccard verification
+  on the hashed shingle sets.
 - **SimHash**: one-pass bit votes via ``aggregate`` + ``zip_with`` over the
   token-hash array (again no shuffle), banded Hamming blocking with a single
   (band, sig) self-join.
@@ -97,30 +98,57 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _minhash_cols(sh_set: Column, num_hashes: int) -> list[Column]:
-    """k independent minhashes of a hashed-shingle array, all map-side.
+def _minhash_sig(sh_set: Column, num_hashes: int) -> Column:
+    """k independent minhashes of a hashed-shingle array as one array column.
 
-    ``array_min(transform(sh, h -> xxhash64(h, seed)))`` per seed: the entire
-    signature is one codegen'd projection — no explode, no aggregate, no
-    shuffle.  At 100 TB this is the difference between a narrow scan stage and
-    shuffling every (doc, shingle) pair.
+    ONE ``aggregate`` pass over the shingle array with a k-wide running-min
+    accumulator: each element contributes its k seeded hashes via
+    ``zip_with(acc, [xxhash64(h, seed_i)], least)`` — the entire signature is
+    one codegen'd projection that traverses the array once (not k times).
+    No explode, no aggregate operator, no shuffle: at 100 TB this is the
+    difference between a narrow scan stage and shuffling every
+    (doc, shingle) pair.
+
+    Correctness note (round-3 regression fix): the per-seed hash MUST be
+    built with a comprehension over ``seed`` — a lambda with a defaulted
+    second parameter (``lambda h, s=seed: ...``) is treated by Spark as an
+    (element, index) lambda, silently ignoring the default, which collapsed
+    all k minhashes to one identical value (single effective band).  Pinned
+    by test_minhash_signatures_are_independent.
+
+    An empty shingle set keeps the LONG_MAX sentinels — still a valid,
+    deterministic signature: all empty docs collide, as they should.
     """
-    return [
-        F.array_min(F.transform(sh_set, lambda h, s=seed: F.xxhash64(h, F.lit(s)))).alias(
-            f"mh_{seed}"
-        )
-        for seed in range(num_hashes)
-    ]
+    return F.aggregate(
+        sh_set,
+        F.array_repeat(F.lit(2**63 - 1), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(h, F.lit(s)) for s in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+
+
+def _sig_to_cols(num_hashes: int, sig_col: str = "_sig") -> list[Column]:
+    return [F.element_at(F.col(sig_col), s + 1).alias(f"mh_{s}") for s in range(num_hashes)]
 
 
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, shingle_n: int = 3
 ) -> DataFrame:
-    """(id, minhash_0..k-1) — k independent minhashes over the shingle set."""
+    """(id, minhash_0..k-1) — k independent minhashes over the shingle set.
+
+    Two chained projections: the first materializes the signature ARRAY once,
+    the second unpacks it — so the aggregate pass is never duplicated per
+    column by expression inlining.
+    """
     sets = _spread(df).select(
         F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("sh_set")
     )
-    return sets.select(F.col(id_col), *_minhash_cols(F.col("sh_set"), num_hashes))
+    return sets.select(
+        F.col(id_col), _minhash_sig(F.col("sh_set"), num_hashes).alias("_sig")
+    ).select(F.col(id_col), *_sig_to_cols(num_hashes))
 
 
 def _banded(sigs: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
@@ -149,16 +177,19 @@ def minhash_lsh_pairs(
     id_col: str,
     text_col: str,
     num_hashes: int = 16,
-    bands: int = 4,
+    bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
     max_bucket: int | None = 256,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b) with exact verified Jaccard.
 
-    LSH recall knob: bands=4 over 16 hashes => r=4 rows/band; collision prob
-    at Jaccard j is 1-(1-j^4)^4 (~0.9 at j=0.7).  Verification is exact (over
-    64-bit hashed shingles), so precision is 1.0 given the threshold.
+    LSH recall knob: bands=8 over 16 hashes => r=2 rows/band; collision prob
+    at Jaccard j is 1-(1-j^r)^bands = 1-(1-j^2)^8 (~0.90 at j=0.5, ~0.996 at
+    j=0.7 — matched to the default jaccard_threshold=0.5).  Verification is
+    exact (over 64-bit hashed shingles), so precision is 1.0 given the
+    threshold; false-positive candidates (j^2 per band for unrelated pairs)
+    are filtered there.
 
     Hot-bucket cap (the 100 TB safety valve): a (band, sig) bucket of size m
     would emit m(m-1)/2 candidate pairs — boilerplate text (identical headers,
@@ -178,7 +209,9 @@ def minhash_lsh_pairs(
         F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("sh_set")
     ).cache()
 
-    sigs = sets.select(F.col(id_col), *_minhash_cols(F.col("sh_set"), num_hashes))
+    sigs = sets.select(
+        F.col(id_col), _minhash_sig(F.col("sh_set"), num_hashes).alias("_sig")
+    ).select(F.col(id_col), *_sig_to_cols(num_hashes))
     banded = _banded(sigs, id_col, num_hashes, bands)
 
     if max_bucket is None:

@@ -1191,18 +1191,19 @@ def _lsh_validation(
 @register(
     "c1_dedup_minhash_lsh",
     _IDENTICAL_PAIRS_ORACLE,
-    doc="C1: MinHash-LSH near-dup pairs (16 hashes, 4 bands, 3-gram shingles, "
-        "verified Jaccard>=0.5).  Self-validating oracle: identical texts "
-        "hash to identical signatures, so LSH must recover ALL exact-dup "
-        "pairs (deterministic recall floor the oracle counts from text "
-        "groups), and every emitted pair carries a verified Jaccard >= "
-        "threshold (precision == 1)",
+    doc="C1: MinHash-LSH near-dup pairs (16 hashes, 8 bands x r=2, 3-gram "
+        "shingles, verified Jaccard>=0.5; banded recall 1-(1-j^2)^8 ~ 0.90 "
+        "at the threshold).  Self-validating oracle: identical texts hash "
+        "to identical signatures, so LSH must recover ALL exact-dup pairs "
+        "(deterministic recall floor the oracle counts from text groups), "
+        "and every emitted pair carries a verified Jaccard >= threshold "
+        "(precision == 1)",
 )
 def c1_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
     pairs = _dedup.minhash_lsh_pairs(
         spark.table("documents"), "doc_id", "text",
-        num_hashes=16, bands=4, shingle_n=3, jaccard_threshold=0.5,
+        num_hashes=16, bands=8, shingle_n=3, jaccard_threshold=0.5,
     )
     return _lsh_validation(
         spark, pairs,
@@ -1827,6 +1828,48 @@ def c2_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
     emb = spark.table("embeddings")
     return _sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_cells=8, n_probe=8)
+
+
+@register(
+    "c2_ivf_topk_approx",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.q_vec::DOUBLE[], c.embedding::DOUBLE[]), 6) AS score
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id != q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+    FROM ranked WHERE rank <= 10
+    """,
+    doc="C2: IVF ANN with n_probe=4 of 8 cells — the actual approximate "
+        "scale path (scans ~n_probe/n_cells of the corpus; full-probe "
+        "equality is pinned separately by c2_ivf_topk).  Self-validating "
+        "oracle: the query computes the brute-force top-10 too and emits "
+        "overall recall >= 0.4 (deterministic centroids; measured 0.6-0.72 "
+        "at fixture SFs); oracle recomputes the exact-neighbor count + TRUE",
+)
+def c2_ivf_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    approx = _sim.ivf_topk(emb, q, k=10, n_cells=8, n_probe=4).select(
+        "query_id", "neighbor_id"
+    )
+    exact = _sim.cosine_topk(emb, q, k=10).select("query_id", "neighbor_id")
+    n_exact = exact.agg(F.count("*").cast("long").alias("n_exact"))
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).agg(
+        F.count("*").alias("n_hits")
+    )
+    return n_exact.crossJoin(hits).select(
+        "n_exact",
+        (F.col("n_hits") >= 0.4 * F.col("n_exact")).alias("recall_ok"),
+    )
 
 
 _DUCK_WINNOW_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"

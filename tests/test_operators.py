@@ -36,6 +36,32 @@ def test_minhash_finds_near_duplicates(spark):
     assert all(p in {(1, 2)} for p in found)  # no false positives past verify
 
 
+def test_minhash_signatures_are_independent(spark):
+    """Round-3 regression: the k minhash columns must be k INDEPENDENT
+    hash-family minima, not k copies of one value.  (A defaulted second
+    lambda parameter made Spark treat the per-seed hash as an
+    (element, index) lambda, silently collapsing every signature to the
+    same column — single effective band, wrong recall curve.)"""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "id long, text string",
+    )
+    row = dedup.minhash_signatures(df, "id", "text", num_hashes=16).collect()[0]
+    sig = [row[f"mh_{s}"] for s in range(16)]
+    assert len(set(sig)) > 8, f"minhash columns are not independent: {sig}"
+
+
+def test_minhash_banded_recall_at_threshold(spark):
+    """r=2 x 8 bands: a pair at Jaccard ~0.6 collides with prob ~0.97 —
+    deterministic given the fixed hash family, so pin that it IS found."""
+    base = "w%d " * 30
+    a = " ".join(f"w{i}" for i in range(30))
+    b = " ".join(f"w{i}" for i in range(3, 33))  # 27/33 token overlap
+    df = spark.createDataFrame([(1, a), (2, b)], "id long, text string")
+    pairs = dedup.minhash_lsh_pairs(df, "id", "text", jaccard_threshold=0.3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
 def test_minhash_hot_bucket_cap(spark):
     """1000 identical boilerplate docs: the capped path must emit the linear
     star pairing (999 pairs to the min-id representative), never the
