@@ -69,6 +69,51 @@ _OPS = {
 }
 
 
+def persist_json_index(
+    df: DataFrame,
+    id_col: str,
+    json_col: str,
+    index_table: str,
+    num_buckets: int = 32,
+    max_depth: int = 4,
+) -> None:
+    """Materialize the flattened (id, path, value) postings PATH-BUCKETED.
+
+    The JSON-index persistence the inline path only documents: flattening
+    (variant_explode levels) is paid once; a ``JSON_MATCH`` predicate then
+    reads only hash(path)-selected buckets (paths are the low-cardinality
+    axis; value predicates filter within the pruned buckets, sorted by
+    (path, value) so range scans stay tight).  Rebuild per ingest batch,
+    like Pinot refreshes per-segment JSON indexes.
+    """
+    from .. import catalog as _catalog
+
+    postings = build_json_postings(df, id_col, json_col, max_depth)
+    _catalog.write_bucketed(
+        postings, index_table, ["path"], num_buckets=num_buckets,
+        sort_cols=["path", "value"],
+    )
+
+
+def json_match_indexed(
+    df: DataFrame, id_col: str, index_table: str, path: str, op: str, value: str
+) -> DataFrame:
+    """JSON_MATCH served from a :func:`persist_json_index` table — the
+    postings scan is bucket-pruned on ``path``, the semi-join id set is
+    usually broadcast-sized."""
+    if op not in _OPS:
+        raise ValueError(f"unsupported JSON_MATCH op {op!r} (supported: {sorted(_OPS)})")
+    spark = df.sparkSession
+    ids = (
+        spark.table(index_table)
+        .filter(F.col("path") == path)
+        .filter(_OPS[op](F.col("value"), value))
+        .select("id")
+        .distinct()
+    )
+    return df.join(ids.withColumnRenamed("id", id_col), id_col, "left_semi")
+
+
 def json_match(
     df: DataFrame, id_col: str, json_col: str, path: str, op: str, value: str
 ) -> DataFrame:

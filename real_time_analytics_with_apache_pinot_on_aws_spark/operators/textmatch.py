@@ -47,6 +47,60 @@ def _analyze(term: str) -> list[str]:
     return [t for t in re.split(r"[^a-z0-9]+", term.lower()) if t]
 
 
+def persist_text_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_table: str,
+    num_buckets: int = 32,
+) -> None:
+    """Materialize the inverted index as a TOKEN-BUCKETED catalog table.
+
+    This is the Lucene-index-analog persistence the per-query path only
+    documents: pay the tokenize+explode+shuffle ONCE at build time; every
+    subsequent term lookup reads only hash(token)-selected buckets and any
+    postings-side aggregate/join on ``token`` runs exchange-free (the bucket
+    layout already satisfies the distribution).  Rebuild per ingest batch or
+    compaction cycle, exactly like Pinot refreshes per-segment indexes.
+    """
+    from .. import catalog as _catalog
+
+    postings = build_postings(df, id_col, text_col)
+    _catalog.write_bucketed(
+        postings, index_table, ["token"], num_buckets=num_buckets, sort_cols=["token"]
+    )
+
+
+def text_match_indexed(
+    df: DataFrame, id_col: str, text_col: str, index_table: str, query: str
+) -> DataFrame:
+    """TEXT_MATCH served from a :func:`persist_text_index` table.
+
+    Same postings algebra as :func:`matching_ids`, but the postings scan is
+    bucket-pruned on the query's terms and the AND-membership aggregate
+    rides the bucket layout with no exchange on the postings side.  Phrase
+    adjacency still verifies against the (semi-join-surviving) source rows.
+    """
+    spark = df.sparkSession
+    ids = matching_ids(spark.table(index_table), query)
+    out = df.join(ids.withColumnRenamed("id", id_col), id_col, "left_semi")
+    return _verify_phrase(out, text_col, query)
+
+
+def _verify_phrase(out: DataFrame, text_col: str, query: str) -> DataFrame:
+    """Adjacency verification for phrase queries: analyzed words joined by
+    single spaces must appear in the analyzed text; both sides space-padded
+    so containment respects token boundaries ("cat dog" must not match
+    tokens [cat, bobcat, dog]).  Non-phrase queries pass through."""
+    q = query.strip()
+    if not (q.startswith('"') and q.endswith('"')):
+        return out
+    phrase = " ".join(_analyze(q.strip('"')))
+    analyzed = F.array_join(normalized_tokens(F.col(text_col)), " ")
+    padded = F.concat(F.lit(" "), analyzed, F.lit(" "))
+    return out.filter(F.contains(padded, F.lit(" " + phrase + " ")))
+
+
 def matching_ids(postings: DataFrame, query: str) -> DataFrame:
     """ids matching the TEXT_MATCH query — pure postings algebra.
 
@@ -84,17 +138,7 @@ def text_match(df: DataFrame, id_col: str, text_col: str, query: str) -> DataFra
     """
     ids = matching_ids(build_postings(df, id_col, text_col), query)
     out = df.join(ids.withColumnRenamed("id", id_col), id_col, "left_semi")
-    q = query.strip()
-    if q.startswith('"') and q.endswith('"'):
-        # adjacency verification for phrases: analyzed words joined by single
-        # spaces must appear in the analyzed text; both sides space-padded so
-        # the containment respects token boundaries ("cat dog" must not match
-        # tokens [cat, bobcat, dog])
-        phrase = " ".join(_analyze(q.strip('"')))
-        analyzed = F.array_join(normalized_tokens(F.col(text_col)), " ")
-        padded = F.concat(F.lit(" "), analyzed, F.lit(" "))
-        out = out.filter(F.contains(padded, F.lit(" " + phrase + " ")))
-    return out
+    return _verify_phrase(out, text_col, query)
 
 
 def bm25_scores(
