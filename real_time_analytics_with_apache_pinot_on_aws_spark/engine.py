@@ -44,6 +44,9 @@ class TableConfig:
     upsert_mode: str | None = None  # None | "FULL" | "PARTIAL"
     primary_key_columns: tuple[str, ...] = ()
     partial_upsert_strategies: tuple[tuple[str, str], ...] = ()
+    # Pinot upsert deleteRecordColumn **[P1.2]**: boolean tombstone column;
+    # a key whose latest version is a tombstone drops from the resolved view.
+    delete_record_column: str | None = None
     # Pinot ingestionConfig **[P1.2]**: per-column transforms applied at
     # ingest (transformConfigs) and a row-drop predicate (filterConfig —
     # rows MATCHING the function are dropped).  Expressions here are Spark
@@ -81,6 +84,7 @@ class TableConfig:
             partial_upsert_strategies=tuple(
                 sorted(ups.get("partialUpsertStrategies", {}).items())
             ),
+            delete_record_column=ups.get("deleteRecordColumn"),
             transform_configs=tuple(
                 (t["columnName"], t["transformFunction"])
                 for t in ing.get("transformConfigs", ())
@@ -171,7 +175,11 @@ class Engine:
                 raw, keys, order, dict(config.partial_upsert_strategies)
             )
         else:
-            resolved = _upsert.latest_by_key(raw, keys, order)
+            # soft deletes only in FULL mode (partial-merge x tombstone
+            # interplay is undefined here; documented divergence)
+            resolved = _upsert.latest_by_key(
+                raw, keys, order, delete_col=config.delete_record_column
+            )
         raw.createOrReplaceTempView(f"{name}_raw")
         resolved.createOrReplaceTempView(name)
 

@@ -40,7 +40,10 @@ def _order_struct(order_cols: Sequence[str]) -> Column:
 
 
 def latest_by_key(
-    df: DataFrame, key_cols: Sequence[str], order_cols: Sequence[str]
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    delete_col: str | None = None,
 ) -> DataFrame:
     """Full-upsert resolved view: the row with the greatest ``order_cols``
     per ``key_cols`` (Pinot: comparison column, default the time column).
@@ -48,12 +51,21 @@ def latest_by_key(
     One hash aggregate — ``max_by(struct(payload), struct(order))`` — with
     map-side partial merge; the only shuffle is on the primary key.  Column
     order and names of ``df`` are preserved.
+
+    ``delete_col`` mirrors Pinot's upsert ``deleteRecordColumn`` **[P1.2]**:
+    a boolean column marking tombstone records.  If the LATEST version of a
+    key is a tombstone, the key disappears from the resolved view (soft
+    delete, still query-time — the append-only log keeps every version).
+    The flag rides the same aggregate; no second pass.
     """
     payload = [c for c in df.columns if c not in key_cols]
     agg = df.groupBy(*key_cols).agg(
         F.max_by(F.struct(*payload), _order_struct(order_cols)).alias("_latest")
     )
-    return agg.select(*key_cols, *[F.col(f"_latest.{c}").alias(c) for c in payload])
+    if delete_col is not None:
+        agg = agg.filter(~F.coalesce(F.col(f"_latest.{delete_col}"), F.lit(False)))
+    out_cols = [c for c in payload if c != delete_col]
+    return agg.select(*key_cols, *[F.col(f"_latest.{c}").alias(c) for c in out_cols])
 
 
 #: Pinot partial-upsert strategies **[P1.2]** -> aggregate expression builders.

@@ -295,6 +295,31 @@ def test_latest_by_key_picks_last_writer(spark):
     assert set(out[1].asDict()) == {"user", "seq", "ts", "state", "amount"}
 
 
+def test_latest_by_key_delete_record_column(spark):
+    """Pinot upsert deleteRecordColumn semantics: a key whose LATEST version
+    is a tombstone vanishes from the resolved view; a tombstone superseded by
+    a later live version does not delete; the flag column never surfaces."""
+    df = spark.createDataFrame(
+        [
+            (1, 10, 100, "a", False),
+            (1, 11, 200, "gone", True),   # latest for key 1 -> deleted
+            (2, 12, 300, "c", True),
+            (2, 13, 400, "alive", False),  # tombstone superseded -> key stays
+            (3, 14, 500, "e", False),
+        ],
+        "user long, seq long, ts long, state string, deleted boolean",
+    )
+    out = {
+        r["user"]: r
+        for r in upsert.latest_by_key(df, ["user"], ["ts", "seq"], delete_col="deleted").collect()
+    }
+    assert set(out) == {2, 3}
+    assert out[2]["state"] == "alive"
+    assert "deleted" not in out[3].asDict()
+    # without the delete column, all keys resolve as before
+    assert len(upsert.latest_by_key(df, ["user"], ["ts", "seq"]).collect()) == 3
+
+
 def test_partial_upsert_strategies(spark):
     df = _upsert_fixture(spark)
     out = {

@@ -221,6 +221,49 @@ def test_upsert_table_resolved_view(spark, tmp_path):
     pipe.stop()
 
 
+def test_upsert_delete_record_column(spark, tmp_path):
+    """upsertConfig.deleteRecordColumn (Pinot 1.2 soft deletes): a key whose
+    latest ingested version sets the tombstone flag drops from the resolved
+    view; the raw log keeps every version."""
+    import json as _json
+
+    src_dir = tmp_path / "stream_in"
+    config = dict(TABLE_CONFIG)
+    config["tableName"] = "delState"
+    config["upsertConfig"] = {"mode": "FULL", "deleteRecordColumn": "deleted"}
+    schema = _json.loads(_json.dumps(CLICKSTREAM_SCHEMA))
+    schema["primaryKeyColumns"] = ["userID"]
+    schema["dimensionFieldSpecs"] = list(schema["dimensionFieldSpecs"]) + [
+        {"name": "deleted", "dataType": "BOOLEAN"}
+    ]
+
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+
+    def put(name, rows):
+        src_dir.mkdir(parents=True, exist_ok=True)
+        (src_dir / name).write_text("\n".join(_json.dumps(r) for r in rows))
+
+    def row(uid, price, t, deleted=False):
+        return {"userID": uid, "campaign": "c", "price": price, "deleted": deleted,
+                "creationTimestamp": f"2024-06-01 {t}"}
+
+    put("b1.json", [row("u1", 10, "10:00:00"), row("u2", 20, "10:00:01")])
+    pipe = engine.add_table(schema, config, RawRecordSource(kind="files", path=str(src_dir)),
+                            available_now=True)
+    pipe.process_available()
+    # u1 tombstoned in a later batch; u2 updated normally
+    put("b2.json", [row("u1", 0, "10:05:00", deleted=True), row("u2", 21, "10:05:01")])
+    pipe.process_available()
+
+    engine.register_view("delState")
+    resolved = {r["userID"]: r["price"] for r in engine.query(
+        "SELECT userID, price FROM delState").collect()}
+    assert resolved == {"u2": 21}
+    assert "deleted" not in engine.query("SELECT * FROM delState").columns
+    assert engine.query("SELECT count(*) AS n FROM delState_raw").collect()[0]["n"] == 4
+    pipe.stop()
+
+
 def test_source_adapters_option_mapping(spark):
     """A1/A2/A13 adapters map reference stream config to connector options;
     file/rate kinds produce real streaming frames (kafka/kinesis need their
