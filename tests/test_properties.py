@@ -110,6 +110,41 @@ def test_exact_dedup_partitions_the_input(spark, texts):
 
 
 @given(
+    texts=st.lists(
+        st.text(alphabet="abc defg hi", min_size=0, max_size=40), min_size=2, max_size=10
+    ),
+    cap=st.sampled_from([2, 4, None]),
+)
+@settings(**SETTINGS)
+def test_minhash_identical_recall_invariant(spark, texts, cap):
+    """For ANY corpus and ANY cap: every identical-text pair is recovered
+    (directly or via its bucket representative — transitive closure), and
+    every emitted pair has verified Jaccard >= threshold."""
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, text string")
+    pairs = dedup.minhash_lsh_pairs(
+        df, "id", "text", jaccard_threshold=0.5, max_bucket=cap
+    ).collect()
+    assert all(r["jaccard"] >= 0.5 for r in pairs)
+    # union-find over emitted pairs
+    parent = list(range(len(texts)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        parent[find(r["id_a"])] = find(r["id_b"])
+    groups: dict[str, set[int]] = {}
+    for i, t in enumerate(texts):
+        groups.setdefault(t, set()).add(i)
+    for t, ids in groups.items():
+        roots = {find(i) for i in ids}
+        assert len(roots) == 1, f"identical texts split across components: {t!r} -> {ids}"
+
+
+@given(
     points=st.lists(
         st.tuples(st.integers(min_value=0, max_value=30), st.integers(-5, 5)),
         min_size=1,
