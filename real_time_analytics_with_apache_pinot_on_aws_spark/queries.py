@@ -824,6 +824,61 @@ def b34_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("hour_bucket", "event_type", F.col("n").cast("long").alias("n"))
 
 
+@register(
+    "b34_gapfill_previous",
+    """
+    WITH spine AS (
+      SELECT unnest(generate_series(
+        (SELECT date_trunc('hour', min(ts)) FROM events),
+        (SELECT date_trunc('hour', max(ts)) FROM events),
+        INTERVAL 1 HOUR)) AS hour_bucket
+    ), dims AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS hour_bucket, event_type, count(*) AS n
+      FROM events WHERE event_type IN ('signup', 'error') GROUP BY 1, 2
+    ), joined AS (
+      SELECT s.hour_bucket, d.event_type, a.n
+      FROM spine s CROSS JOIN dims d
+      LEFT JOIN agg a ON a.hour_bucket = s.hour_bucket AND a.event_type = d.event_type
+      WHERE d.event_type IN ('signup', 'error')
+    )
+    SELECT hour_bucket, event_type,
+           last_value(n IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY hour_bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+    FROM joined
+    """,
+    doc="B34: GapFill FILL_PREVIOUS_VALUE mode — holes forward-fill from the "
+        "group's last seen bucket (leading holes stay NULL, Pinot semantics); "
+        "the ffill window partitions by the group over the already-small "
+        "filled relation",
+)
+def b34_gapfill_previous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    ev = spark.table("events").filter(F.col("event_type").isin("signup", "error"))
+    agg = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_bucket"),
+        F.col("event_type"),
+    ).agg(F.count("*").alias("n"))
+    # spine bounds from ALL events (matches the oracle's spine), dims filtered
+    bounds = spark.table("events").select(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour_bucket"))
+    dims = agg.select("event_type").distinct()
+    joined = spine.crossJoin(dims).join(agg, ["hour_bucket", "event_type"], "left")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "hour_bucket", "event_type",
+        F.last(F.col("n"), ignorenulls=True).over(w).cast("long").alias("n"),
+    )
+
+
 sql_query(
     "b60_time_window_agg",
     """

@@ -248,6 +248,25 @@ def test_gapfill_fills_holes(spark):
     assert [r["n"] for r in out] == [5, 0, 0, 7]
 
 
+def test_gapfill_previous_value_mode(spark):
+    """Pinot FILL_PREVIOUS_VALUE: holes forward-fill from the group's last
+    seen bucket, per group; leading holes (no previous value) stay NULL."""
+    agg = spark.createDataFrame(
+        [
+            ("2024-01-01 01:00:00", "a", 5),
+            ("2024-01-01 03:00:00", "a", 7),
+            ("2024-01-01 00:00:00", "b", 1),
+        ],
+        "hour string, k string, n long",
+    ).select(F.to_timestamp("hour").alias("hour"), "k", "n")
+    out = gapfill.gapfill(agg, "hour", "1 hour", ["k"], {"n": "previous"})
+    got = {(r["k"], r["hour"].hour): r["n"] for r in out.collect()}
+    assert got == {
+        ("a", 0): None, ("a", 1): 5, ("a", 2): 5, ("a", 3): 7,   # ffill + leading NULL
+        ("b", 0): 1, ("b", 1): 1, ("b", 2): 1, ("b", 3): 1,      # carried forward
+    }
+
+
 def test_multimodal_features_deterministic(spark):
     df = spark.createDataFrame([(1, "abcd"), (2, "")], "doc_id long, text string")
     feats = {
