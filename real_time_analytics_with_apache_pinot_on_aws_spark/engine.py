@@ -230,6 +230,22 @@ class Engine:
 
     # -- maintenance -----------------------------------------------------
 
+    def pause_consumption(self, name: str) -> dict:
+        """Pinot pauseConsumption analog **[P1.2]** (POST
+        /tables/{t}/pauseConsumption): stop the stream, keep the table fully
+        queryable.  The checkpoint pins the source offset, so nothing is
+        lost or re-ingested across the pause."""
+        self.pipelines[name].stop()
+        return {"table": name, "consumption": "PAUSED"}
+
+    def resume_consumption(self, name: str, available_now: bool = False) -> dict:
+        """Pinot resumeConsumption analog **[P1.2]**: restart from the
+        checkpointed offset — exactly-once across the pause/resume cycle."""
+        config = self.configs[name]
+        trigger = f"{config.flush_threshold_seconds} seconds"
+        self.pipelines[name].start(trigger=trigger, available_now=available_now)
+        return {"table": name, "consumption": "CONSUMING"}
+
     def run_retention(self, name: str) -> list[str]:
         return self.pipelines[name].run_retention()
 
