@@ -228,6 +228,39 @@ class Engine:
         this collects to the driver like the broker gather stage."""
         return self.query(sql).toJSON().collect()
 
+    def query_broker_response(self, sql: str) -> dict:
+        """Pinot broker-response-shaped result **[P1.2]**: the JSON envelope
+        BI clients and the Pinot JDBC driver consume from POST /query/sql —
+        ``resultTable.dataSchema`` (columnNames + columnDataTypes) + row
+        arrays + execution stats.  Small results only (broker gather stage).
+        """
+        import time as _time
+
+        t0 = _time.monotonic()
+        df = self.query(sql)
+        rows = df.collect()
+        ms = int((_time.monotonic() - t0) * 1000)
+        type_map = {
+            "bigint": "LONG", "int": "INT", "smallint": "INT", "tinyint": "INT",
+            "double": "DOUBLE", "float": "FLOAT", "string": "STRING",
+            "boolean": "BOOLEAN", "timestamp": "TIMESTAMP", "date": "TIMESTAMP",
+            "binary": "BYTES",
+        }
+        return {
+            "resultTable": {
+                "dataSchema": {
+                    "columnNames": df.columns,
+                    "columnDataTypes": [
+                        type_map.get(t, t.upper()) for _, t in df.dtypes
+                    ],
+                },
+                "rows": [[row[c] for c in df.columns] for row in rows],
+            },
+            "numRowsResultSet": len(rows),
+            "timeUsedMs": ms,
+            "exceptions": [],
+        }
+
     # -- maintenance -----------------------------------------------------
 
     def pause_consumption(self, name: str) -> dict:

@@ -92,6 +92,18 @@ def test_ingest_end_to_end(spark, tmp_path):
     assert engine.list_tables() == ["kinesisTable"]
     assert engine.rebalance("kinesisTable")["status"] == "NO_OP"
 
+    # broker-response JSON envelope (B4: what the Pinot JDBC driver consumes)
+    engine.register_view("kinesisTable")  # refresh the file listing post-batch2
+    resp = engine.query_broker_response(
+        "SELECT campaign, count(*) AS n FROM kinesisTable GROUP BY campaign ORDER BY campaign"
+    )
+    schema_ = resp["resultTable"]["dataSchema"]
+    assert schema_["columnNames"] == ["campaign", "n"]
+    assert schema_["columnDataTypes"] == ["STRING", "LONG"]
+    assert resp["numRowsResultSet"] == len(resp["resultTable"]["rows"]) == 3
+    assert sum(r[1] for r in resp["resultTable"]["rows"]) == 100
+    assert resp["exceptions"] == [] and resp["timeUsedMs"] >= 0
+
     pipeline.stop()
 
 
