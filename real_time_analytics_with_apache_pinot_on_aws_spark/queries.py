@@ -3012,11 +3012,14 @@ from .operators import quantile_sketch as _qs  # noqa: E402
         "log-bucket counts built per day (segment partials), merged "
         "losslessly, walked once for p50/p95 per event_type — stored "
         "mergeable quantiles, the form percentile_approx cannot persist.  "
-        "Self-validating oracle: DDSketch guarantees relative error <= "
-        "alpha=1% vs the true quantile element; the query emits "
-        "|est-exact| <= 3%*|exact|+0.5 booleans (margin covers "
-        "interpolated-vs-element quantile drift) plus the exact "
-        "percentiles the oracle recomputes",
+        "Self-validating oracle: the quantile walk returns the bucket of the "
+        "element at rank ceil(q*n), and DDSketch guarantees the bucket "
+        "representative is within alpha=1% of ANY value in the bucket — so "
+        "the booleans compare est against that exact rank-element "
+        "(|est-elem| <= 1.5%*|elem|+0.1, NOT the interpolated percentile, "
+        "which drifts arbitrarily far from elements in sparse groups).  The "
+        "interpolated exact percentiles are still emitted for the oracle's "
+        "value comparison",
 )
 def b22_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
@@ -3029,15 +3032,32 @@ def b22_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     p50 = _qs.dd_quantile(merged, ["event_type"], 0.5, alpha=0.01)
     p95 = _qs.dd_quantile(merged, ["event_type"], 0.95, alpha=0.01)
     est = p50.join(p95, "event_type")
-    exact = spark.table("events").groupBy("event_type").agg(
-        F.round(F.percentile(F.col("value"), F.lit(0.5)).cast("double"), 4).alias("p50_exact"),
-        F.round(F.percentile(F.col("value"), F.lit(0.95)).cast("double"), 4).alias("p95_exact"),
+    # exact side: interpolated percentiles (oracle-comparable values) + the
+    # rank-elements the sketch walk actually targets (same per-group buffer
+    # cost as the exact percentile itself — this is the validation overlay)
+    elem = lambda q: F.element_at(  # noqa: E731
+        "_sorted",
+        F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("_n"))).cast("int"),
     )
-    ok = lambda e, x: F.abs(F.col(e) - F.col(x)) <= 0.03 * F.abs(F.col(x)) + 0.5  # noqa: E731
+    exact = (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile(F.col("value"), F.lit(0.5)).cast("double"), 4).alias("p50_exact"),
+            F.round(F.percentile(F.col("value"), F.lit(0.95)).cast("double"), 4).alias("p95_exact"),
+            F.sort_array(F.collect_list("value")).alias("_sorted"),
+            F.count("value").alias("_n"),
+        )
+        .select(
+            "event_type", "p50_exact", "p95_exact",
+            elem(0.5).alias("_e50"), elem(0.95).alias("_e95"),
+        )
+    )
+    ok = lambda e, x: F.abs(F.col(e) - F.col(x)) <= 0.015 * F.abs(F.col(x)) + 0.1  # noqa: E731
     return est.join(exact, "event_type").select(
         "event_type", "p50_exact", "p95_exact",
-        ok("q50", "p50_exact").alias("p50_ok"),
-        ok("q95", "p95_exact").alias("p95_ok"),
+        ok("q50", "_e50").alias("p50_ok"),
+        ok("q95", "_e95").alias("p95_ok"),
     )
 
 
