@@ -357,3 +357,59 @@ def test_minhash_validation_no_python(spark):
     assert not f.python_eval
     # 1-row x 1-row summary cross join is the only nested-loop allowed
     assert f.text.count("CartesianProduct") <= 1
+
+
+# -- round-4 ANN hardening pins (VERDICT r3 items 1-2)
+
+
+def test_lsh_signature_codegen_at_production_dims(spark):
+    """Sign-LSH at real embedding dims (768) must stay inside whole-stage
+    codegen.  The round-3 per-(plane, dim) expression unroll blew the JVM
+    64 KB method limit already at dim=64 x 32 planes (compile error +
+    interpreted fallback); the array-literal-hyperplane rewrite is O(1)
+    expression nodes per plane.  codegen.fallback=false turns any compile
+    failure into a hard error, so this test proves compilation, not just
+    plan shape."""
+    from pyspark.sql import functions as F
+
+    from real_time_analytics_with_apache_pinot_on_aws_spark import catalog as C
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators import similarity as S
+
+    emb = C.load_table(spark, SF_DIR, "embeddings").limit(50)
+    big = emb.select(
+        "vec_id", F.flatten(F.array_repeat(F.col("embedding"), 12)).alias("embedding")
+    )
+    sig = big.select(
+        "vec_id", S.lsh_band_signatures(F.col("embedding"), 768, 4, 8).alias("sigs")
+    )
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        assert sig.count() == 50
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", "true")
+    f = audit_plan(sig)
+    assert not f.python_eval
+
+
+def test_ivf_assignment_no_vector_amplification(spark):
+    """Cell assignment must be map-side: the centroid set rides along as ONE
+    broadcast array row, so no corpus vector is ever replicated n_cells times
+    or pushed through a per-vector window exchange (round-3 verdict: the old
+    shape shuffled corpus x n_cells rows through row_number)."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark import catalog as C
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators import similarity as S
+
+    emb = C.load_table(spark, SF_DIR, "embeddings")
+    _, assigned = S.ivf_assign(emb, n_cells=8)
+    f = audit_plan(assigned)
+    # no exchange keyed on the vector id (the old row_number window shuffle)
+    assert "hashpartitioning(vec_id" not in f.text
+    # the only Window allowed is the n_cells-row centroid numbering
+    assert f.text.count("Window") <= 1
+    assert not f.python_eval and not f.cartesian
+
+
+def test_ivf_topk_bounded_exchanges(spark):
+    f = facts("c2_ivf_topk", spark)
+    assert "hashpartitioning(vec_id" not in f.text  # no per-vector assignment shuffle
+    assert not f.python_eval
