@@ -26,8 +26,12 @@ Scale notes (100 TB posture):
 - LSH banding bounds the candidate-pair explosion: pairs are generated only
   within (band, signature) buckets.  Hot buckets (boilerplate text) are
   capped: buckets larger than ``max_bucket`` emit star pairs to the bucket
-  representative (linear, group recovery complete via transitive closure)
-  instead of the quadratic all-pairs enumeration.
+  representative (linear) instead of the quadratic all-pairs enumeration.
+  Group recovery through the star is complete only when the representative
+  verifies against every member (always true for identical texts when the
+  rep is in the group; see :func:`minhash_lsh_pairs` for the exact
+  conditions) — capping trades some near-dup pair enumeration inside
+  oversized buckets for linear cost.
 """
 
 from __future__ import annotations
@@ -38,15 +42,28 @@ TOKEN_RE = "[^a-z0-9]+"
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition to full parallelism before CPU-bound per-row transforms.
+    """Repartition to full parallelism before CPU-bound per-row transforms —
+    but ONLY when the input is small enough to under-occupy the cluster.
 
     A small input (one parquet file => one partition) would otherwise pin the
-    tokenizer to one core; the row shuffle is trivial next to the transform.
-    Unconditional: inspecting the partition count up-front would force eager
-    plan analysis at query-build time (``df.rdd`` triggers it), so we always
-    add the exchange and let AQE coalesce it when the scan is already wide.
+    tokenizer to one core, and for it the row shuffle is trivial next to the
+    transform.  A LARGE input already scans wide (maxPartitionBytes splits),
+    and AQE does NOT coalesce away a user-specified ``repartition(n)``
+    exchange — unconditional spreading would force a full shuffle of every
+    document at 100 TB (round-3 ADVICE).  The gate reads the optimizer's
+    size estimate off the logical plan (cheap: analysis only, no job, no
+    ``df.rdd`` RDD translation): inputs bigger than one scan-split per core
+    keep their natural partitioning.
     """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sc = df.sparkSession.sparkContext
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        split = int(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+        if size >= sc.defaultParallelism * split:
+            return df
+    except Exception:
+        pass  # unknown stats -> safe default: spread
+    return df.repartition(sc.defaultParallelism)
 
 
 def normalized_tokens(text_col) -> Column:
@@ -195,11 +212,17 @@ def minhash_lsh_pairs(
     would emit m(m-1)/2 candidate pairs — boilerplate text (identical headers,
     license blocks) makes m huge and the self-join quadratic.  Buckets larger
     than ``max_bucket`` switch to STAR topology: each member pairs only with
-    the bucket's min-id representative (m-1 pairs, linear).  Recall note: pair
-    ENUMERATION inside an oversized bucket is reduced, but duplicate-GROUP
-    recovery is complete — every member still verifies against the same
-    representative, so the transitive closure (union-find over emitted pairs)
-    reconstructs the full group.  ``max_bucket=None`` disables the cap.
+    the bucket's min-id representative (m-1 pairs, linear).  Recall note:
+    pair ENUMERATION inside an oversized bucket is reduced, and group
+    recovery via the star (transitive closure over emitted pairs) is
+    complete exactly when the representative verifies against every member —
+    guaranteed for an identical-text group whose rep is in the group, NOT
+    guaranteed for near-dup members colliding with a dissimilar rep (those
+    (rep, member) pairs fail Jaccard verification and the member-member pair
+    is only recovered if another band's smaller bucket emits it).  The
+    validation overlay in queries._lsh_validation is therefore
+    component-based, not pair-count-based.  ``max_bucket=None`` disables
+    the cap.
     """
     # Tokenize ONCE: the hashed-shingle relation feeds both the signature
     # projection and the verification joins.  cache() avoids re-running the
@@ -224,20 +247,22 @@ def minhash_lsh_pairs(
             .distinct()
         )
     else:
-        # Skew-handling shape: oversized buckets are BY DEFINITION few (at
-        # most rows/max_bucket, in practice a handful of boilerplate
-        # signatures), so the hot-bucket list is broadcast-sized.  One
-        # map-side-combined aggregate finds them; the common path is then an
-        # anti-join against the broadcast list (no extra shuffle of banded),
-        # and the hot path emits star pairs via the same broadcast.
-        banded = banded.cache()  # 3 fixed-width cols/doc/band; feeds 3 branches
-        big = (
-            banded.groupBy("band", "sig")
-            .agg(F.count("*").alias("m"), F.min(id_col).alias("rep"))
-            .filter(F.col("m") > max_bucket)
-            .select("band", "sig", "rep")
+        # Skew-handling shape: annotate every (id, band, sig) row with its
+        # bucket size and min-id representative in ONE window pass riding a
+        # single hashpartitioning(band, sig) exchange — the round-3 shape
+        # (stats aggregate + broadcast anti-join + broadcast star join over a
+        # cached banded) paid three jobs and a broadcast for the same facts.
+        # The cache below preserves that partitioning, so the small-bucket
+        # self-join on (band, sig) adds NO further exchange.
+        from pyspark.sql import Window as _W
+
+        wb = _W.partitionBy("band", "sig")
+        annotated = (
+            banded.withColumn("m", F.count("*").over(wb))
+            .withColumn("rep", F.min(id_col).over(wb))
+            .cache()  # 5 fixed-width cols/doc/band; feeds both branches
         )
-        small = banded.join(F.broadcast(big.select("band", "sig")), ["band", "sig"], "left_anti")
+        small = annotated.filter(F.col("m") <= max_bucket)
         left = small.select(F.col(id_col).alias("id_a"), "band", "sig")
         right = small.select(F.col(id_col).alias("id_b"), "band", "sig")
         small_pairs = (
@@ -248,9 +273,9 @@ def minhash_lsh_pairs(
         # Oversized buckets: star pairs to the min-id representative
         # (rep < member always, so (id_a, id_b) ordering holds for free).
         star_pairs = (
-            banded.join(F.broadcast(big), ["band", "sig"])
-            .filter(F.col(id_col) != F.col("rep"))
-            .select(F.col("rep").alias("id_a"), F.col(id_col).alias("id_b"))
+            annotated.filter(
+                (F.col("m") > max_bucket) & (F.col(id_col) != F.col("rep"))
+            ).select(F.col("rep").alias("id_a"), F.col(id_col).alias("id_b"))
         )
         candidates = small_pairs.unionByName(star_pairs).distinct()
 

@@ -1193,7 +1193,8 @@ def c1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IDENTICAL_PAIRS_ORACLE = """
     WITH g AS (SELECT count(*) AS c FROM documents GROUP BY text HAVING count(*) > 1)
-    SELECT coalesce(CAST(sum(c * (c - 1) / 2) AS BIGINT), 0) AS exact_dup_pairs,
+    SELECT coalesce(CAST(sum(c - 1) AS BIGINT), 0) AS dup_docs_to_link,
+           coalesce(CAST(sum(c - 1) AS BIGINT), 0) AS linked_docs,
            TRUE AS identical_recall_ok, TRUE AS precision_ok
     FROM g
 """
@@ -1205,38 +1206,55 @@ def _lsh_validation(
     """Shared self-validation summary for text-LSH dedup pipelines.
 
     Invariant (deterministic, not probabilistic): identical texts hash to
-    identical signatures, land in the same LSH bucket, and pass exact
-    verification — so the pipeline must recover EVERY identical-text pair.
-    ``quality_ok`` asserts the verify stage's own threshold over the emitted
-    ``quality_col`` (precision == 1 by construction).  All inputs are
-    aggregates; the crossJoins below are 1-row x 1-row.
+    identical signatures and land in the same LSH bucket in EVERY band, so
+    each identical-text GROUP must come out connected in the emitted-pair
+    graph.  The check is component-based, not pair-count-based: pair counting
+    breaks under the hot-bucket star topology, where a capped bucket emits
+    m-1 star pairs instead of m(m-1)/2 (round-3 ADVICE).  Connectivity
+    reduces to a closed form here because every emitted identical pair has
+    id_a < id_b: a group is connected iff every member except its minimum
+    appears as id_b in some identical pair (each node then has an edge to a
+    strictly smaller group member, which chains down to the minimum — and
+    both bucket topologies, complete and star-rooted-at-the-bucket-min,
+    produce exactly that downward edge when they recover the group at all).
+    So ``linked_docs`` (distinct id_b over identical pairs) must equal
+    ``dup_docs_to_link`` = sum over groups of (group_size - 1) — the raw
+    values are emitted alongside the boolean so the adjudicated row exposes
+    what is being validated.  ``quality_ok`` asserts the verify stage's own
+    threshold over ``quality_col`` (precision == 1 by construction).  All
+    inputs are aggregates; the crossJoin below is 1-row x 1-row, and the
+    text-hash relation is derived once and cached (one documents scan
+    instead of the three the round-3 overlay paid).
     """
-    th = spark.table("documents").select(
-        F.col("doc_id"), F.xxhash64("text").alias("th")
+    th = (
+        spark.table("documents")
+        .select(F.col("doc_id"), F.xxhash64("text").alias("th"))
+        .cache()
     )
     exact = (
         th.groupBy("th")
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") > 1)
         .agg(
-            F.coalesce(F.sum(F.expr("CAST(c * (c - 1) / 2 AS BIGINT)")), F.lit(0))
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
             .cast("long")
-            .alias("exact_dup_pairs")
+            .alias("dup_docs_to_link")
         )
     )
     found = (
         pairs.join(th.withColumnsRenamed({"doc_id": "id_a", "th": "ha"}), "id_a")
         .join(th.withColumnsRenamed({"doc_id": "id_b", "th": "hb"}), "id_b")
         .agg(
-            F.coalesce(
-                F.sum((F.col("ha") == F.col("hb")).cast("long")), F.lit(0)
-            ).alias("found_identical"),
+            F.count_distinct(
+                F.when(F.col("ha") == F.col("hb"), F.col("id_b"))
+            ).alias("linked_docs"),
             quality_col,
         )
     )
     return exact.crossJoin(found).select(
-        "exact_dup_pairs",
-        (F.col("found_identical") == F.col("exact_dup_pairs")).alias(
+        "dup_docs_to_link",
+        F.col("linked_docs").cast("long").alias("linked_docs"),
+        (F.col("linked_docs") == F.col("dup_docs_to_link")).alias(
             "identical_recall_ok"
         ),
         quality_ok.alias("precision_ok"),
@@ -1248,10 +1266,13 @@ def _lsh_validation(
     _IDENTICAL_PAIRS_ORACLE,
     doc="C1: MinHash-LSH near-dup pairs (16 hashes, 8 bands x r=2, 3-gram "
         "shingles, verified Jaccard>=0.5; banded recall 1-(1-j^2)^8 ~ 0.90 "
-        "at the threshold).  Self-validating oracle: identical texts hash "
-        "to identical signatures, so LSH must recover ALL exact-dup pairs "
-        "(deterministic recall floor the oracle counts from text groups), "
-        "and every emitted pair carries a verified Jaccard >= threshold "
+        "at the threshold).  Self-validating oracle, component-based: "
+        "identical texts share every band signature, so each identical-text "
+        "GROUP must come out connected — linked_docs (distinct id_b over "
+        "identical pairs; every pair has id_a<id_b, so this counts members "
+        "with an edge to a smaller group member) must equal sum(group-1), "
+        "which holds under both complete-bucket and capped-star topologies; "
+        "every emitted pair carries a verified Jaccard >= threshold "
         "(precision == 1)",
 )
 def c1_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1271,8 +1292,9 @@ def c1_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c1_dedup_simhash",
     _IDENTICAL_PAIRS_ORACLE,
     doc="C1: SimHash 32-bit fingerprints + banded Hamming<=3 near-dup pairs.  "
-        "Self-validating oracle: identical texts fingerprint identically "
-        "(Hamming 0), so the banded join must recover ALL exact-dup pairs; "
+        "Self-validating oracle, component-based: identical texts "
+        "fingerprint identically (Hamming 0), so every identical-text group "
+        "must come out connected (linked_docs == sum(group-1)); "
         "precision_ok asserts every emitted pair's verified Hamming <= 3",
 )
 def c1_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

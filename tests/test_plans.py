@@ -413,3 +413,23 @@ def test_ivf_topk_bounded_exchanges(spark):
     f = facts("c2_ivf_topk", spark)
     assert "hashpartitioning(vec_id" not in f.text  # no per-vector assignment shuffle
     assert not f.python_eval
+
+
+def test_spread_gates_on_input_size(spark):
+    """_spread fans small inputs out to every core but must NOT force a full
+    shuffle of a corpus that already scans wide — AQE never coalesces a
+    user-specified repartition(n), so at 100 TB the unconditional exchange
+    would move every document (round-3 ADVICE)."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark import catalog as C
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators.dedup import _spread
+
+    docs = C.load_table(spark, SF_DIR, "documents")
+    assert "Repartition" in _spread(docs)._jdf.queryExecution().optimizedPlan().toString()
+    # shrink the scan split size so the same fixture counts as "already wide"
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try:
+        plan = _spread(docs)._jdf.queryExecution().optimizedPlan().toString()
+        assert "Repartition" not in plan
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
