@@ -93,6 +93,56 @@ class TableConfig:
         )
 
 
+_PINOT_TYPES = {
+    "bigint": "LONG", "int": "INT", "smallint": "INT", "tinyint": "INT",
+    "double": "DOUBLE", "float": "FLOAT", "string": "STRING",
+    "boolean": "BOOLEAN", "timestamp": "TIMESTAMP", "timestamp_ntz": "TIMESTAMP",
+    "date": "TIMESTAMP", "binary": "BYTES",
+}
+
+
+def _pinot_column_type(dtype: str) -> str:
+    """Spark simpleString dtype -> Pinot broker columnDataType.
+
+    DECIMAL(p,s) maps to Pinot's BIG_DECIMAL (there is no parameterized
+    decimal in the broker schema); array<T> maps to Pinot's MV form
+    ``T_ARRAY``."""
+    if dtype.startswith("decimal"):
+        return "BIG_DECIMAL"
+    if dtype.startswith("array<") and dtype.endswith(">"):
+        return _pinot_column_type(dtype[len("array<"):-1]) + "_ARRAY"
+    return _PINOT_TYPES.get(dtype, dtype.upper())
+
+
+def _json_safe(v):
+    """One result cell -> a value ``json.dumps`` accepts, encoded the way the
+    Pinot broker encodes it (timestamps epoch-millis, BigDecimal as string,
+    bytes as hex)."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return int(v.timestamp() * 1000)
+    if isinstance(v, _dt.date):
+        return int(
+            _dt.datetime(v.year, v.month, v.day, tzinfo=_dt.timezone.utc).timestamp()
+            * 1000
+        )
+    if isinstance(v, _decimal.Decimal):
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, list):
+        return [_json_safe(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _json_safe(x) for k, x in v.items()}
+    if hasattr(v, "asDict"):  # Row (struct column)
+        return {k: _json_safe(x) for k, x in v.asDict().items()}
+    return v
+
+
 class Engine:
     """A Pinot-capability analytics engine on a SparkSession."""
 
@@ -233,6 +283,13 @@ class Engine:
         BI clients and the Pinot JDBC driver consume from POST /query/sql —
         ``resultTable.dataSchema`` (columnNames + columnDataTypes) + row
         arrays + execution stats.  Small results only (broker gather stage).
+
+        Wire-safety: every cell is JSON-serializable the way Pinot encodes
+        it — TIMESTAMP/DATE as epoch millis (Pinot broker responses carry
+        timestamps as longs), DECIMAL as BIG_DECIMAL with string values
+        (exact, like Pinot's BigDecimal serialization), BYTES as hex
+        strings, arrays element-wise.  ``json.dumps`` on the returned dict
+        is guaranteed to succeed (pinned by test_broker_response_json).
         """
         import time as _time
 
@@ -240,21 +297,17 @@ class Engine:
         df = self.query(sql)
         rows = df.collect()
         ms = int((_time.monotonic() - t0) * 1000)
-        type_map = {
-            "bigint": "LONG", "int": "INT", "smallint": "INT", "tinyint": "INT",
-            "double": "DOUBLE", "float": "FLOAT", "string": "STRING",
-            "boolean": "BOOLEAN", "timestamp": "TIMESTAMP", "date": "TIMESTAMP",
-            "binary": "BYTES",
-        }
         return {
             "resultTable": {
                 "dataSchema": {
                     "columnNames": df.columns,
                     "columnDataTypes": [
-                        type_map.get(t, t.upper()) for _, t in df.dtypes
+                        _pinot_column_type(t) for _, t in df.dtypes
                     ],
                 },
-                "rows": [[row[c] for c in df.columns] for row in rows],
+                "rows": [
+                    [_json_safe(row[c]) for c in df.columns] for row in rows
+                ],
             },
             "numRowsResultSet": len(rows),
             "timeUsedMs": ms,
@@ -324,12 +377,35 @@ class Engine:
             # file that appears after the snapshot is neither duplicated into
             # the rewrite nor unlinked
             df = self.spark.read.parquet(*files)
-            tmp = f"{root}/_compact_{part_name}"
+            # '=' must not appear in the temp dir name: partition discovery
+            # would read `_compact_ingest_date=...` as a partition column and
+            # fail the whole table scan if a crash leaves the dir behind
+            # (underscore-prefixed names without '=' are ignored as hidden)
+            tmp = f"{root}/_compact_{part_name.replace('=', '_')}"
             df.coalesce(max_files_per_partition).write.mode("overwrite").parquet(tmp)
-            for f in files:
-                _fs.delete(self.spark, f)
+            # Hadoop FileSystem signals most failures (existing destination,
+            # missing parent, S3A copy failure) by RETURNING FALSE, not
+            # raising — every return below is checked.  Order matters for
+            # durability: rename the compacted files IN first, only then
+            # unlink the originals.  A failure therefore leaves extra data
+            # (originals + compacted copies, at worst transiently double-
+            # counted) instead of losing the partition, and the _compact_
+            # temp dir is kept for operator inspection on any failure.
             for f in _fs.list_files(self.spark, tmp, suffix=".parquet"):
-                _fs.rename(self.spark, f["path"], f"{part_dir}/{_fs.basename(f['path'])}")
+                dst = f"{part_dir}/{_fs.basename(f['path'])}"
+                if not _fs.rename(self.spark, f["path"], dst):
+                    raise RuntimeError(
+                        f"compact({name!r}): rename {f['path']} -> {dst} failed; "
+                        f"originals untouched, compacted output kept in {tmp}"
+                    )
+            for f in files:
+                if not _fs.delete(self.spark, f):
+                    raise RuntimeError(
+                        f"compact({name!r}): delete of original {f} failed after "
+                        f"the compacted files were installed — partition "
+                        f"{part_name} temporarily holds duplicates; remove the "
+                        f"listed original manually"
+                    )
             _fs.delete(self.spark, tmp, recursive=True)
             compacted[part_name] = len(files)
         return {"table": name, "compacted_partitions": compacted}

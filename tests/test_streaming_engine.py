@@ -470,3 +470,67 @@ def test_compact_refuses_while_stream_active(spark, tmp_path):
         pipe.stop()
     # once stopped, compact proceeds (nothing may need compacting — no error)
     engine.compact("liveTable")
+
+
+def test_compact_aborts_without_data_loss_on_rename_failure(spark, tmp_path, monkeypatch):
+    """ADVICE regression (round 3): Hadoop FileSystem signals rename/delete
+    failure by RETURNING FALSE, not raising.  compact() must check the
+    returns, install the compacted files BEFORE unlinking the originals, and
+    abort with every original still present — a silent false return
+    previously lost the partition (originals deleted, rename no-op)."""
+    import pytest
+
+    from real_time_analytics_with_apache_pinot_on_aws_spark import engine as engine_mod
+
+    src_dir = tmp_path / "stream_in"
+    config = dict(TABLE_CONFIG)
+    config["tableName"] = "renameFail"
+    _write_events(src_dir / "b1.json", 10, "2024-06-01")
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    pipe = engine.add_table(
+        CLICKSTREAM_SCHEMA, config, RawRecordSource(kind="files", path=str(src_dir)),
+        available_now=True,
+    )
+    pipe.process_available()
+    _write_events(src_dir / "b2.json", 10, "2024-06-01", start=10)
+    pipe.process_available()
+    n_before = pipe.table().count()
+    files_before = engine.table_detail("renameFail")["num_files"]
+    assert files_before >= 2
+
+    monkeypatch.setattr(engine_mod._fs, "rename", lambda spark, src, dst: False)
+    with pytest.raises(RuntimeError, match="rename .* failed"):
+        engine.compact("renameFail")
+    # every original file still present, table fully readable
+    assert engine.table_detail("renameFail")["num_files"] == files_before
+    assert pipe.table().count() == n_before
+    monkeypatch.undo()
+    # with the failure gone, the retried compact completes normally
+    assert engine.compact("renameFail")["compacted_partitions"]
+    assert pipe.table().count() == n_before
+    pipe.stop()
+
+
+def test_broker_response_is_json_serializable(spark, tmp_path):
+    """ADVICE regression (round 3): the /query/sql envelope must survive
+    json.dumps — timestamps as epoch millis, DECIMAL as BIG_DECIMAL with
+    exact string values, BYTES as hex, arrays element-wise (Pinot MV
+    columnDataTypes are T_ARRAY)."""
+    import json as _json
+
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    resp = engine.query_broker_response(
+        "SELECT TIMESTAMP '2024-06-01 12:00:00' AS ts, DATE '2024-06-01' AS dt, "
+        "CAST(1.5 AS DECIMAL(38, 18)) AS dec_v, X'0AFF' AS bin_v, "
+        "array(1, 2, 3) AS mv, 'ok' AS s"
+    )
+    encoded = _json.dumps(resp)  # must not raise
+    assert "1717243200000" in encoded  # ts as epoch millis (UTC session)
+    types = resp["resultTable"]["dataSchema"]["columnDataTypes"]
+    assert types == ["TIMESTAMP", "TIMESTAMP", "BIG_DECIMAL", "BYTES", "INT_ARRAY", "STRING"]
+    row = resp["resultTable"]["rows"][0]
+    assert row[0] == 1717243200000
+    assert row[1] == 1717200000000  # date at UTC midnight
+    assert row[2] == "1.500000000000000000"  # exact BigDecimal-as-string
+    assert row[3] == "0aff"
+    assert row[4] == [1, 2, 3]
