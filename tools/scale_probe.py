@@ -1,12 +1,21 @@
-"""Scale probe: replicate the sf0.1 events table Nx into /tmp and compare
+"""Scale probe: replicate sf0.1 tables Nx into /tmp and compare
 headline-query latency against the sf0.1 base — evidence that plans scale
 linearly (no super-linear shuffle/spill cliffs) beyond fixture sizes.
 
 Run: python tools/scale_probe.py [replication_factor]
 
-Each replica offsets event_id/user_id so keys grow with data (realistic for
-user-keyed aggregations); timestamps are left as-is (same day-partition
-profile, denser days).
+Replica transforms keep the data realistic at Nx:
+- events: event_id/user_id offset per replica so keys grow with data
+  (user-keyed aggregations see more keys, not hotter keys); timestamps
+  as-is (same day-partition profile, denser days).
+- documents: doc_id offset; a per-replica token is appended to the text so
+  replicas are NEAR-dups of each other, not exact dups — replicating text
+  verbatim would manufacture identical-text groups of size N and the
+  quadratic pair explosion would measure the adversarial-duplication case,
+  not latency growth on a realistic corpus (the hot-bucket cap exists for
+  that case and is tested separately).
+- embeddings: vec_id offset, vectors as-is (the ANN probes broadcast a
+  fixed 5-query set, so corpus scan work grows linearly by construction).
 """
 
 from __future__ import annotations
@@ -29,7 +38,33 @@ PROBES = (
     "b62_upsert_latest",
     "c5_sessionization",
     "b43_ranking_windows",
+    # LLM-pipeline operators (round-4 VERDICT item 4)
+    "c1_dedup_minhash_lsh",
+    "c2_cosine_topk",
 )
+
+
+def _replicate_events(df, i: int):
+    return df.withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000)).withColumn(
+        "user_id", F.col("user_id") + F.lit(i * 1_000_000)
+    )
+
+
+def _replicate_documents(df, i: int):
+    return df.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000)).withColumn(
+        "text", F.concat(F.col("text"), F.lit(f" replica{i}"))
+    )
+
+
+def _replicate_embeddings(df, i: int):
+    return df.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+
+
+REPLICATORS = {
+    "events": _replicate_events,
+    "documents": _replicate_documents,
+    "embeddings": _replicate_embeddings,
+}
 
 
 def main() -> None:
@@ -38,35 +73,39 @@ def main() -> None:
     spark = build_session(app_name="scale_probe")
     from real_time_analytics_with_apache_pinot_on_aws_spark import catalog as C
 
-    ev = C.load_table(spark, base_sf, "events")  # ts surfaced as TimestampType
-    n_base = ev.count()
-
     tmp = tempfile.mkdtemp(prefix="scale_probe_")
-    big_dir = f"{tmp}/events_big"
-    replicas = [
-        ev.withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
-        .withColumn("user_id", F.col("user_id") + F.lit(i * 1_000_000))
-        for i in range(factor)
-    ]
-    big = replicas[0]
-    for r in replicas[1:]:
-        big = big.unionByName(r)
-    big.write.mode("overwrite").parquet(big_dir)
+    big_dirs = {}
+    row_counts = {}
+    for table, repl in REPLICATORS.items():
+        base = C.load_table(spark, base_sf, table)
+        row_counts[table] = base.count()
+        replicas = [repl(base, i) for i in range(factor)]
+        big = replicas[0]
+        for r in replicas[1:]:
+            big = big.unionByName(r)
+        big_dirs[table] = f"{tmp}/{table}_big"
+        big.write.mode("overwrite").parquet(big_dirs[table])
 
     results = {}
     reg = Q.all_queries()
     for name in PROBES:
+        spark.catalog.clearCache()
+        spark._rtap_sf_dir = None  # type: ignore[attr-defined]  # force re-register
         # base timing (warm once, then time)
         reg[name].builder(spark, base_sf).count()
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         reg[name].builder(spark, base_sf).count()
         base_t = time.perf_counter() - t0
-        # big timing: swap the 'events' view to the replicated table.  _prep
-        # skips re-registration while sf_dir is unchanged, so the swapped view
-        # is what the builder reads.
-        spark.read.parquet(big_dir).createOrReplaceTempView("events")
+        # big timing: swap every replicated view to the Nx table.  _prep
+        # skips re-registration while sf_dir is unchanged, so the swapped
+        # views are what the builder reads.
+        for table, path in big_dirs.items():
+            spark.read.parquet(path).createOrReplaceTempView(table)
+        spark.catalog.clearCache()
         big_df = reg[name].builder(spark, base_sf)
         big_df.count()  # warm (file listing, codegen for the new scan)
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         reg[name].builder(spark, base_sf).count()
         big_t = time.perf_counter() - t0
@@ -75,9 +114,11 @@ def main() -> None:
             f"x{factor}_sec": round(big_t, 3),
             "ratio": round(big_t / base_t, 2),
         }
-        # restore the real view for the next probe
-        spark._rtap_sf_dir = None  # type: ignore[attr-defined]
-    print(json.dumps({"rows_base": n_base, "factor": factor, "probes": results}, indent=2))
+    print(
+        json.dumps(
+            {"rows_base": row_counts, "factor": factor, "probes": results}, indent=2
+        )
+    )
     spark.stop()
 
 
