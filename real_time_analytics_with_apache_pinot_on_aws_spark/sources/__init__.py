@@ -15,6 +15,33 @@ from __future__ import annotations
 
 from ..streaming.ingest import RawRecordSource  # noqa: F401
 
+# Exact connector coordinates for a deployment with network/jars available —
+# pass via ``spark.jars.packages`` (or bake into the image).  Versions track
+# the Spark version in use (pyspark 4.1.x / Scala 2.13):
+KAFKA_CONNECTOR_COORDINATES = "org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2"
+# Kinesis has no first-party Spark connector; the maintained Structured
+# Streaming connector (format "aws-kinesis", used by RawRecordSource) is
+# AWS Labs' spark-sql-kinesis-connector —
+# https://github.com/awslabs/spark-sql-kinesis-connector
+KINESIS_CONNECTOR_REPO = "https://github.com/awslabs/spark-sql-kinesis-connector"
+
+
+def kafka_connector_available(spark) -> bool:
+    """True when the Kafka Structured Streaming connector is on the classpath.
+
+    Checks class resolution only — no broker contact (the connector defers
+    connections until the query starts).  Gates the end-to-end test in
+    tests/test_streaming_engine.py so it runs automatically wherever the jar
+    is present and skips (with the coordinates in the skip reason) where not.
+    """
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
 
 def kinesis_source(stream_name: str, region: str = "us-east-1", latest: bool = True) -> RawRecordSource:
     """Option mapping for the spark-kinesis connector (A1/A2 analog).
