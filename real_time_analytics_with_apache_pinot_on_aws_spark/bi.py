@@ -47,6 +47,48 @@ def start_thrift_server(spark: SparkSession, port: int = DEFAULT_PORT, metastore
     )
 
 
+CONNECT_PORT = 15002
+# Python client prerequisites (absent in this sandbox — no pip/network):
+CONNECT_CLIENT_REQUIREMENT = "pip install 'pyspark[connect]'  # grpcio + protobuf"
+
+
+def start_connect_server(spark: SparkSession, port: int = CONNECT_PORT) -> None:
+    """Start the in-process Spark Connect gRPC endpoint (A14, modern path).
+
+    HiveServer2 Thrift above covers the installed base of JDBC/ODBC BI
+    tools (the Pinot-JDBC/Tableau story); Spark Connect is the
+    forward-looking second path — DataFrame-API clients (Python/Scala/Go/
+    Rust) and the new JDBC drivers speak it natively at ``sc://host:port``.
+    The server side ships in the pyspark distribution (spark-connect jar)
+    and runs on THIS session's context, so every registered view is
+    queryable remotely; the thin client needs grpcio
+    (CONNECT_CLIENT_REQUIREMENT), which tests gate on.
+    """
+    spark.sparkContext._jsc.sc().conf().set("spark.connect.grpc.binding.port", str(port))
+    spark._jvm.org.apache.spark.sql.connect.service.SparkConnectService.start(
+        spark.sparkContext._jsc.sc()
+    )
+
+
+def stop_connect_server(spark: SparkSession) -> None:
+    empty = spark._jvm.scala.Option.empty()
+    spark._jvm.org.apache.spark.sql.connect.service.SparkConnectService.stop(empty, empty)
+
+
+def connect_url(port: int = CONNECT_PORT, host: str = "localhost") -> str:
+    return f"sc://{host}:{port}"
+
+
+def connect_client_available() -> bool:
+    """True when the Spark Connect *client* stack (grpcio) is importable."""
+    try:
+        import grpc  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def expose_global(df: DataFrame, name: str) -> str:
     """Publish a DataFrame for BI sessions; returns the wire-visible name."""
     df.createOrReplaceGlobalTempView(name)
