@@ -221,12 +221,14 @@ class Engine:
         order += [c for c in ("__ingest_epoch", "__ingest_seq") if c in raw.columns]
         keys = list(config.primary_key_columns)
         if config.upsert_mode == "PARTIAL" and config.partial_upsert_strategies:
+            # deleteRecordColumn under PARTIAL mode (Pinot 1.2 **[P1.2]**):
+            # a tombstone wipes accumulated state; later partials rebuild the
+            # row from scratch (see operators/upsert.py:partial_upsert)
             resolved = _upsert.partial_upsert(
-                raw, keys, order, dict(config.partial_upsert_strategies)
+                raw, keys, order, dict(config.partial_upsert_strategies),
+                delete_col=config.delete_record_column,
             )
         else:
-            # soft deletes only in FULL mode (partial-merge x tombstone
-            # interplay is undefined here; documented divergence)
             resolved = _upsert.latest_by_key(
                 raw, keys, order, delete_col=config.delete_record_column
             )

@@ -89,14 +89,37 @@ def partial_upsert(
     key_cols: Sequence[str],
     order_cols: Sequence[str],
     strategies: dict[str, str],
+    delete_col: str | None = None,
 ) -> DataFrame:
     """Partial-upsert resolved view: per-column merge strategies.
 
     ``strategies`` maps column -> one of OVERWRITE/IGNORE/SUM/MAX/MIN/APPEND
     (Pinot's ``partialUpsertStrategies`` **[P1.2]**); unlisted payload columns
     default to OVERWRITE, matching Pinot's default.  Still one hash aggregate.
+
+    ``delete_col`` defines the PARTIAL-mode ``deleteRecordColumn`` interplay
+    (Pinot 1.2 semantics **[P1.2]**): a tombstone discards ALL accumulated
+    state up to and including itself — later partials REBUILD the row from
+    scratch (the merge restarts against an empty base, so e.g. a SUM column
+    resumes from the post-tombstone rows only), and a key whose latest
+    version is a tombstone disappears from the view entirely.  Implemented
+    as: last-tombstone position per key (one aggregate), then the strategy
+    merge over the strictly-later rows — the tombstone aggregate, the
+    rewind join, and the final merge all hash-partition on the primary key,
+    so the resolved view of a 100 TB log stays co-partitioned end-to-end.
     """
     order = _order_struct(order_cols)
+    if delete_col is not None:
+        tombs = (
+            df.filter(F.coalesce(F.col(delete_col), F.lit(False)))
+            .groupBy(*key_cols)
+            .agg(F.max(order).alias("_tomb"))
+        )
+        df = (
+            df.join(tombs, list(key_cols), "left")
+            .filter(F.col("_tomb").isNull() | (order > F.col("_tomb")))
+            .drop("_tomb", delete_col)
+        )
     aggs = []
     for c in df.columns:
         if c in key_cols:

@@ -2434,6 +2434,73 @@ def b62_partial_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b62_partial_upsert_tombstone",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(value AS DECIMAL(18,3)) AS value,
+             (event_id % 97 = 0) AS deleted
+      FROM events
+    ), tomb AS (
+      SELECT user_id, ts AS tts, event_id AS tid
+      FROM (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev WHERE deleted
+      ) WHERE rn = 1
+    ), live AS (
+      SELECT e.user_id, e.event_id, e.ts, e.event_type, e.value
+      FROM ev e LEFT JOIN tomb t USING (user_id)
+      WHERE t.tid IS NULL OR e.ts > t.tts OR (e.ts = t.tts AND e.event_id > t.tid)
+    ), ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM live
+    )
+    SELECT a.user_id, l.event_type,
+           CAST(a.value AS DOUBLE) AS value,
+           CAST(a.ts AS TIMESTAMP) AS ts,
+           a.n_merged
+    FROM (
+      SELECT user_id, sum(value) AS value, max(ts) AS ts,
+             count(*) AS n_merged
+      FROM live GROUP BY user_id
+    ) a JOIN (SELECT user_id, event_type FROM ranked WHERE rn = 1) l USING (user_id)
+    """,
+    doc="B62: deleteRecordColumn x PARTIAL-mode interplay (Pinot 1.2 "
+        "semantics): a tombstone (here event_id%97==0) wipes accumulated "
+        "state; later partials rebuild from scratch — SUM resumes over "
+        "post-tombstone rows only, OVERWRITE is the post-tombstone latest, "
+        "and a key whose latest version is a tombstone drops from the view. "
+        "Tombstone locate + rewind + merge all co-partition on the key",
+)
+def b62_partial_upsert_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    ev = spark.table("events").select(
+        "user_id", "event_id", "ts", "event_type",
+        F.col("value").cast("decimal(18,3)").alias("value"),
+        (F.col("event_id") % 97 == 0).alias("deleted"),
+        F.lit(1).alias("one"),
+    )
+    out = _upsert.partial_upsert(
+        ev,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        strategies={
+            "event_type": "OVERWRITE", "value": "SUM", "ts": "MAX",
+            "event_id": "IGNORE", "one": "SUM",
+        },
+        delete_col="deleted",
+    )
+    return out.select(
+        "user_id", "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("one").cast("long").alias("n_merged"),
+    )
+
+
+@register(
     "b30_salted_agg",
     f"""
     SELECT event_type, count(*) AS n, {DSUM('value')} AS total,

@@ -365,6 +365,52 @@ def test_partial_upsert_append(spark):
     assert out[2] == ["c", "d"]
 
 
+def test_partial_upsert_tombstone_resurrects_from_scratch(spark):
+    """PARTIAL mode x deleteRecordColumn (Pinot 1.2 **[P1.2]**): a tombstone
+    wipes accumulated state; later partials rebuild the row against an empty
+    base (SUM restarts, OVERWRITE/IGNORE see only post-tombstone rows); a key
+    whose latest version is the tombstone disappears; keys without tombstones
+    merge over their full history."""
+    df = spark.createDataFrame(
+        [
+            # key 1: accumulate, tombstone, then resurrect with two partials
+            (1, 10, 100, "a", 5.0, False),
+            (1, 11, 200, "b", 7.0, False),
+            (1, 12, 300, None, 0.0, True),    # tombstone wipes 12.0
+            (1, 13, 400, "c", 2.0, False),
+            (1, 14, 500, "d", 3.0, False),
+            # key 2: latest version is the tombstone -> key drops
+            (2, 20, 100, "x", 9.0, False),
+            (2, 21, 200, None, 0.0, True),
+            # key 3: no tombstone -> full-history merge
+            (3, 30, 100, "m", 1.0, False),
+            (3, 31, 200, "n", 1.5, False),
+        ],
+        "user long, seq long, ts long, state string, amount double, deleted boolean",
+    )
+    out = {
+        r["user"]: r
+        for r in upsert.partial_upsert(
+            df, ["user"], ["ts", "seq"],
+            {"state": "OVERWRITE", "amount": "SUM", "ts": "MAX", "seq": "IGNORE"},
+            delete_col="deleted",
+        ).collect()
+    }
+    assert set(out) == {1, 3}          # key 2 ends on a tombstone
+    assert out[1]["amount"] == 5.0     # 2.0 + 3.0: SUM restarted after the wipe
+    assert out[1]["state"] == "d"      # OVERWRITE sees only post-tombstone rows
+    assert out[1]["seq"] == 13         # IGNORE keeps the first POST-tombstone writer
+    assert out[1]["ts"] == 500
+    assert out[3]["amount"] == 2.5     # untombstoned keys merge everything
+    assert "deleted" not in out[1].asDict()
+    # delete_col=None keeps the pre-existing behavior (all keys, full history)
+    legacy = upsert.partial_upsert(
+        df.drop("deleted"), ["user"], ["ts", "seq"],
+        {"state": "OVERWRITE", "amount": "SUM", "ts": "MAX", "seq": "IGNORE"},
+    )
+    assert {r["user"] for r in legacy.collect()} == {1, 2, 3}
+
+
 def test_salted_agg_matches_direct(spark):
     df = _upsert_fixture(spark)
     salted = {
