@@ -8,21 +8,36 @@ relation* ``(token, doc_id)``: materialized once (at 100 TB: bucketed by
 token, so every term lookup is a bucket-pruned scan), then term queries are
 semi-joins instead of full-corpus regex scans.
 
-Supported query grammar (the common TEXT_MATCH forms):
+Supported query grammar (the common TEXT_MATCH / Lucene QueryParser forms):
 - ``term``                      — single term
 - ``t1 AND t2 [AND ...]``       — all terms present
 - ``t1 OR t2 [OR ...]``         — any term present
 - ``"exact phrase"``            — all words present + substring verification
+- ``t1 AND NOT t2``             — exclusion (round 4; any unit may be negated
+                                  in an AND chain; pure-negative queries match
+                                  nothing, as in Lucene)
+- ``pre*`` / ``p?t``            — wildcard terms (* = any run, ? = one char);
+                                  postings-dictionary scan like Lucene's term
+                                  enumeration — prefix patterns stay
+                                  bucket-prunable on a sorted token layout
+- ``term~`` / ``term~1``        — fuzzy terms (Damerau-ish via levenshtein,
+                                  default max edits 2 like Lucene), with a
+                                  length-difference pre-filter so the distance
+                                  only evaluates on plausible tokens
 
 Terms are analyzed like the corpus: lowercased, split on non-alphanumerics
 (Lucene StandardAnalyzer approximation, same tokenizer as operators/dedup).
+Phrases compose with the boolean forms only as the whole query (Lucene's
+nested ``"a b" AND c`` raises here — documented divergence).
 """
 
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass
+from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import normalized_tokens
@@ -101,32 +116,129 @@ def _verify_phrase(out: DataFrame, text_col: str, query: str) -> DataFrame:
     return out.filter(F.contains(padded, F.lit(" " + phrase + " ")))
 
 
+@dataclass(frozen=True)
+class _Unit:
+    """One boolean unit of a TEXT_MATCH query: term/wildcard/fuzzy, ± NOT."""
+
+    kind: str  # "term" | "wildcard" | "fuzzy"
+    value: str
+    negated: bool = False
+    max_edits: int = 0
+
+    def predicate(self) -> Column:
+        tok = F.col("token")
+        if self.kind == "term":
+            return tok == self.value
+        if self.kind == "wildcard":
+            return tok.like(self.value.replace("*", "%").replace("?", "_"))
+        # fuzzy: length pre-filter keeps the edit distance off most of the
+        # token dictionary (|len(a)-len(b)| > n implies distance > n)
+        return (
+            F.abs(F.length(tok) - len(self.value)) <= self.max_edits
+        ) & (F.levenshtein(tok, F.lit(self.value)) <= self.max_edits)
+
+
+_FUZZY_RE = re.compile(r"(.+?)~(\d*)$")
+_WILDCARD_OK = re.compile(r"[a-z0-9*?]+$")
+
+
+def _parse_units(query: str) -> tuple[list[_Unit], str]:
+    """Parse a non-phrase query into boolean units + connective.
+
+    Lucene-parser subset: one flat AND or OR chain (mixing without parens
+    raises), NOT allowed before any unit in an AND chain.
+    """
+    parts = query.split()
+    ups = [p.upper() for p in parts]
+    has_and, has_or = "AND" in ups, "OR" in ups
+    if has_and and has_or:
+        raise ValueError(f"mixed AND/OR without parentheses: {query!r}")
+    conj = "OR" if has_or else "AND"
+    units: list[_Unit] = []
+    negate = False
+    for raw, up in zip(parts, ups):
+        if up in ("AND", "OR"):
+            continue
+        if up == "NOT":
+            negate = True
+            continue
+        term = raw.lower()
+        if (m := _FUZZY_RE.match(term)) and "*" not in term and "?" not in term:
+            words = _analyze(m.group(1))
+            if len(words) != 1:
+                raise ValueError(f"fuzzy unit must be a single term: {raw!r}")
+            units.append(_Unit("fuzzy", words[0], negate,
+                               int(m.group(2)) if m.group(2) else 2))
+        elif "*" in term or "?" in term:
+            if not _WILDCARD_OK.match(term):
+                raise ValueError(f"unsupported wildcard unit: {raw!r}")
+            units.append(_Unit("wildcard", term, negate))
+        else:
+            # the analyzer may split one raw unit into several tokens
+            # (e.g. 'foo-bar'); each becomes its own unit, NOT distributing
+            # over all of them
+            units.extend(_Unit("term", w, negate) for w in _analyze(term))
+        negate = False
+    if negate:
+        raise ValueError(f"dangling NOT: {query!r}")
+    if conj == "OR" and any(u.negated for u in units):
+        raise ValueError(f"NOT inside an OR chain needs parentheses: {query!r}")
+    return units, conj
+
+
 def matching_ids(postings: DataFrame, query: str) -> DataFrame:
     """ids matching the TEXT_MATCH query — pure postings algebra.
 
-    AND = |terms|-way membership count (one aggregate, no self-joins);
-    OR = filter + distinct.  Phrases handle the membership part here and the
-    adjacency part in :func:`text_match` (needs the原text).
+    AND = one postings pass annotating each row with the positive units it
+    satisfies, then a |units|-way membership count (one aggregate, no
+    self-joins); negated units become ONE further postings pass + anti-join;
+    OR = a single disjunctive filter + distinct.  Phrases handle the
+    membership part here and the adjacency part in :func:`text_match`
+    (needs the original text).
     """
     q = query.strip()
-    phrase = q.startswith('"') and q.endswith('"')
-    if phrase:
-        terms, conj = _analyze(q.strip('"')), "AND"
-    elif re.search(r"\bOR\b", q):
-        terms, conj = [t for p in re.split(r"\bOR\b", q) for t in _analyze(p)], "OR"
+    if q.startswith('"') and q.endswith('"'):
+        units = [_Unit("term", w) for w in _analyze(q.strip('"'))]
+        conj = "AND"
     else:
-        terms, conj = [t for p in re.split(r"\bAND\b", q) for t in _analyze(p)], "AND"
-    if not terms:
+        units, conj = _parse_units(q)
+    if not units:
         raise ValueError(f"empty TEXT_MATCH query: {query!r}")
-    hits = postings.filter(F.col("token").isin(terms))
-    if conj == "OR" or len(terms) == 1:
-        return hits.select("id").distinct()
-    return (
-        hits.groupBy("id")
-        .agg(F.count_distinct("token").alias("_nt"))
-        .filter(F.col("_nt") == len(terms))
-        .select("id")
-    )
+    pos = [u for u in units if not u.negated]
+    neg = [u for u in units if u.negated]
+    if not pos:
+        # Lucene: a pure-negative boolean query matches nothing
+        return postings.select("id").limit(0)
+
+    if conj == "OR":
+        any_pred = reduce(lambda a, b: a | b, (u.predicate() for u in pos))
+        return postings.filter(any_pred).select("id").distinct()
+
+    if len(pos) == 1:
+        ids = postings.filter(pos[0].predicate()).select("id").distinct()
+    else:
+        # one scan for all positive units: a disjunctive PREFILTER first —
+        # for term/prefix units it is scan-pushable (token = .. OR token
+        # LIKE 'p%'), keeping the bucketed-index pruning the all-term path
+        # always had — then tag each surviving row with the unit indexes it
+        # satisfies and count distinct units per doc
+        any_pred = reduce(lambda a, b: a | b, (u.predicate() for u in pos))
+        tags = F.array(
+            *[F.when(u.predicate(), F.lit(i)) for i, u in enumerate(pos)]
+        )
+        ids = (
+            postings.filter(any_pred)
+            .select("id", F.explode(F.array_compact(tags)).alias("_u"))
+            .groupBy("id")
+            .agg(F.count_distinct("_u").alias("_nu"))
+            .filter(F.col("_nu") == len(pos))
+            .select("id")
+        )
+    if neg:
+        neg_pred = reduce(lambda a, b: a | b, (u.predicate() for u in neg))
+        neg_ids = postings.filter(neg_pred).select("id").distinct()
+        ids = ids.join(neg_ids, "id", "left_anti")
+    return ids
 
 
 def text_match(df: DataFrame, id_col: str, text_col: str, query: str) -> DataFrame:

@@ -2903,6 +2903,48 @@ def b13_text_match_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tm.text_match(docs, "doc_id", "text", '"fast sort"').select("doc_id", "source")
 
 
+@register(
+    "b13_text_match_extended",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                       x -> x != '')) AS t
+      FROM documents
+    )
+    SELECT 'not' AS q, doc_id FROM toks
+    WHERE list_contains(t, 'vector') AND NOT list_contains(t, 'hash')
+    UNION ALL
+    SELECT 'wild' AS q, doc_id FROM toks
+    WHERE len(list_filter(t, x -> x LIKE 'col%')) > 0
+    UNION ALL
+    SELECT 'fuzzy' AS q, doc_id FROM toks
+    WHERE len(list_filter(t, x -> levenshtein(x, 'scann') <= 1)) > 0
+    """,
+    doc="B13: TEXT_MATCH grammar breadth (round 4) — NOT exclusion "
+        "(anti-join on the negative postings set), prefix wildcard "
+        "(token LIKE, scan-pushable so the bucketed index still prunes), "
+        "and ~N fuzzy terms (levenshtein over the token dictionary with a "
+        "length pre-filter), the Lucene QueryParser forms Pinot accepts "
+        "beyond plain AND/OR/phrase",
+)
+def b13_text_match_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    parts = [
+        ("not", "vector AND NOT hash"),
+        ("wild", "col*"),
+        ("fuzzy", "scann~1"),
+    ]
+    out = None
+    for label, q in parts:
+        part = _tm.text_match(docs, "doc_id", "text", q).select(
+            F.lit(label).alias("q"), "doc_id"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 # ===========================================================================
 # B21 — sketch set-algebra with MATERIALIZED mergeable sketches (HLL
 # registers as a column).  Deterministic (fixed xxhash64) but approximate,

