@@ -363,6 +363,73 @@ def simhash_near_pairs(
     )
 
 
+def dedup_representatives(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    max_iter: int = 8,
+    reliable: bool = False,
+) -> DataFrame:
+    """Connected-component representative per document: pairs -> decisions.
+
+    The pair emitters above answer "which docs look alike"; a dedup pipeline
+    ultimately needs "which doc do I KEEP" — the transitive closure over the
+    pair graph, with each component collapsing to its min-id representative
+    (keep the representative, drop rows where ``doc_id != representative``).
+
+    ``pairs``: (id_a, id_b) edges from any emitter (minhash/simhash/
+    embedding/exact).  ``vertices``: one-column frame of all doc ids
+    (singletons resolve to themselves).  Returns (id, representative).
+
+    Algorithm: hash-to-min label propagation with pointer jumping — each
+    round takes the min label over neighbors, then jumps ``label <-
+    label(label)``, doubling resolved-path length per round, so ``max_iter``
+    rounds cover component diameters up to ~2^max_iter (real dup groups are
+    stars/cliques of diameter <= 3; even adversarial near-dup CHAINS of
+    thousands of docs resolve in ~11 rounds).  Every step is a key-hashed
+    join/aggregate — no vertex list ever materializes on the driver.
+
+    The label frame is (local-)checkpointed every round: the round's
+    self-referencing joins would otherwise DOUBLE the logical plan per
+    iteration (exponential analysis time — the standard iterative-graph
+    hazard; GraphFrames checkpoints for exactly this reason).  Use
+    ``spark.sparkContext.setCheckpointDir`` + ``reliable=True`` on a real
+    cluster to put the cuts on the distributed store instead of executor
+    memory.
+    """
+    id_col = vertices.columns[0]
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    lbl = (
+        vertices.select(F.col(id_col).alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                lbl.withColumnsRenamed({"id": "src", "label": "src_label"}), "src"
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("src_label").alias("nbr_label"))
+        )
+        lbl = lbl.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # pointer jump: label <- label's current label (labels are always
+        # existing ids, so the inner join loses no vertex)
+        jump = lbl.select(F.col("id").alias("label"), F.col("label").alias("label2"))
+        lbl = lbl.join(jump, "label").select(
+            "id", F.col("label2").alias("label")
+        )
+        # truncate lineage: without this every round doubles the plan
+        lbl = lbl.checkpoint() if reliable else lbl.localCheckpoint()
+    return lbl.select(F.col("id"), F.col("label").alias("representative"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

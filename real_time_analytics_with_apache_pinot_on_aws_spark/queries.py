@@ -1308,6 +1308,37 @@ def c1_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c1_dedup_components",
+    """
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS representative
+    FROM documents
+    """,
+    doc="C1: pairs -> keep/drop decisions — connected-component "
+        "representative per doc (hash-to-min label propagation with pointer "
+        "jumping; every step a key-hashed join/aggregate, nothing on the "
+        "driver).  The edge set is deliberately the CHAIN of consecutive "
+        "same-text docs (not the clique), so the oracle's per-text min is "
+        "only reproduced by true multi-hop transitive closure",
+)
+def c1_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from pyspark.sql import Window as _W
+
+    docs = spark.table("documents")
+    th = docs.select("doc_id", F.xxhash64("text").alias("th"))
+    w = _W.partitionBy("th").orderBy("doc_id")
+    chain = (
+        th.withColumn("prev", F.lag("doc_id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    # 4 propagation+jump rounds resolve chain diameters into the hundreds —
+    # far beyond any fixture dup-group size (operator default stays 8)
+    reps = _dedup.dedup_representatives(chain, docs.select("doc_id"), max_iter=4)
+    return reps.select(F.col("id").alias("doc_id"), "representative")
+
+
+@register(
     "c1_ngram_jaccard",
     """
     WITH toksets AS (

@@ -144,6 +144,46 @@ def test_minhash_identical_recall_invariant(spark, texts, cap):
         assert len(roots) == 1, f"identical texts split across components: {t!r} -> {ids}"
 
 
+def test_dedup_representatives_match_union_find(spark):
+    """Adversarial graph topologies vs a reference union-find: every vertex's
+    representative must be the MINIMUM id of its connected component.  One
+    deterministic multi-case run (a hypothesis version is overkill here —
+    each example pays ~20 Spark stages for the iterative closure)."""
+    cases = [
+        # 12-chain descending (min at the far end — needs true multi-hop)
+        ("chain", 12, [(i, i + 1) for i in range(11)]),
+        # two cliques + a bridge-less singleton
+        ("cliques", 9, [(a, b) for a in range(4) for b in range(a + 1, 4)]
+         + [(a, b) for a in range(5, 8) for b in range(a + 1, 8)]),
+        # star rooted at a NON-min id + self-loops + duplicate edges
+        ("star", 7, [(3, 0), (3, 1), (3, 2), (3, 5), (5, 5), (3, 0)]),
+        # chain given in REVERSED id order (propagation against edge order)
+        ("rev", 10, [(i + 1, i) for i in range(9)]),
+    ]
+    for name, n, edges in cases:
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        got = {
+            r["id"]: r["representative"]
+            for r in dedup.dedup_representatives(pairs, verts, max_iter=5).collect()
+        }
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        comps: dict[int, list[int]] = {}
+        for i in range(n):
+            comps.setdefault(find(i), []).append(i)
+        want = {i: min(members) for members in comps.values() for i in members}
+        assert got == want, name
+
+
 @given(
     points=st.lists(
         st.tuples(st.integers(min_value=0, max_value=30), st.integers(-5, 5)),
