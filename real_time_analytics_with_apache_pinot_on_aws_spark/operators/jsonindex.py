@@ -62,11 +62,25 @@ def build_json_postings(
 _OPS = {
     "=": lambda v, lit: v == lit,
     "<>": lambda v, lit: v != lit,
+    "!=": lambda v, lit: v != lit,
     ">": lambda v, lit: v.try_cast("double") > float(lit),
     ">=": lambda v, lit: v.try_cast("double") >= float(lit),
     "<": lambda v, lit: v.try_cast("double") < float(lit),
     "<=": lambda v, lit: v.try_cast("double") <= float(lit),
+    # Pinot JSON_MATCH breadth **[P1.2]** (round 4):
+    "IN": lambda v, lit: v.isin(list(lit)),
+    "IS NOT NULL": lambda v, lit: F.lit(True),  # presence = any posting at path
 }
+
+
+def _path_pred(path: str):
+    """Exact path equality, or a LIKE pattern when the path uses the
+    ``[*]`` array wildcard (``$.tags[*]`` matches ``$.tags[0]``, ...) —
+    Pinot's array-any semantics for JSON predicates **[P1.2]**.  Prefix
+    LIKE keeps the (path)-bucketed index scan-pushable."""
+    if "[*]" in path:
+        return F.col("path").like(path.replace("[*]", "[%]"))
+    return F.col("path") == path
 
 
 def persist_json_index(
@@ -95,42 +109,75 @@ def persist_json_index(
     )
 
 
+def _matching_ids(postings: DataFrame, path: str, op: str, value) -> DataFrame:
+    if op not in _OPS:
+        raise ValueError(f"unsupported JSON_MATCH op {op!r} (supported: {sorted(_OPS)})")
+    return (
+        postings.filter(_path_pred(path))
+        .filter(_OPS[op](F.col("value"), value))
+        .select("id")
+        .distinct()
+    )
+
+
 def json_match_indexed(
-    df: DataFrame, id_col: str, index_table: str, path: str, op: str, value: str
+    df: DataFrame, id_col: str, index_table: str, path: str, op: str, value: str = None
 ) -> DataFrame:
     """JSON_MATCH served from a :func:`persist_json_index` table — the
     postings scan is bucket-pruned on ``path``, the semi-join id set is
     usually broadcast-sized."""
-    if op not in _OPS:
-        raise ValueError(f"unsupported JSON_MATCH op {op!r} (supported: {sorted(_OPS)})")
     spark = df.sparkSession
-    ids = (
-        spark.table(index_table)
-        .filter(F.col("path") == path)
-        .filter(_OPS[op](F.col("value"), value))
-        .select("id")
-        .distinct()
-    )
+    if op == "IS NULL":
+        absent = _matching_ids(spark.table(index_table), path, "IS NOT NULL", None)
+        return df.join(absent.withColumnRenamed("id", id_col), id_col, "left_anti")
+    ids = _matching_ids(spark.table(index_table), path, op, value)
     return df.join(ids.withColumnRenamed("id", id_col), id_col, "left_semi")
 
 
 def json_match(
-    df: DataFrame, id_col: str, json_col: str, path: str, op: str, value: str
+    df: DataFrame, id_col: str, json_col: str, path: str, op: str, value: str = None
 ) -> DataFrame:
     """Rows whose JSON column matches ``path op value`` — postings semi-join.
 
-    ``op`` in ``= <> > >= < <=``; numeric ops compare as double (Pinot's
-    JSON index stores values as strings and compares numerically for range
-    predicates **[P1.2]**).  Callers with a persisted postings table filter
-    it directly and semi-join; this convenience builds postings inline.
+    ``op`` in ``= <> != > >= < <= IN`` plus the existence forms
+    ``IS NOT NULL`` / ``IS NULL`` (value ignored; IS NULL = anti-join on the
+    postings-at-path set).  Numeric ops compare as double (Pinot's JSON
+    index stores values as strings and compares numerically for range
+    predicates **[P1.2]**); ``IN`` takes a list/tuple of strings; paths may
+    use the ``[*]`` array wildcard (matches any index — Pinot's array-any
+    semantics).  Callers with a persisted postings table filter it directly
+    and semi-join; this convenience builds postings inline.
     """
-    if op not in _OPS:
-        raise ValueError(f"unsupported JSON_MATCH op {op!r} (supported: {sorted(_OPS)})")
     postings = build_json_postings(df, id_col, json_col)
-    ids = (
-        postings.filter(F.col("path") == path)
-        .filter(_OPS[op](F.col("value"), value))
-        .select("id")
-        .distinct()
-    )
+    if op == "IS NULL":
+        absent = _matching_ids(postings, path, "IS NOT NULL", None)
+        return df.join(absent.withColumnRenamed("id", id_col), id_col, "left_anti")
+    ids = _matching_ids(postings, path, op, value)
     return df.join(ids.withColumnRenamed("id", id_col), id_col, "left_semi")
+
+
+def json_match_all(
+    df: DataFrame,
+    id_col: str,
+    json_col: str,
+    predicates: list[tuple],
+) -> DataFrame:
+    """Conjunction of JSON_MATCH predicates (Pinot: ``'"$.a"=1 AND "$.b">2'``).
+
+    ``predicates`` = [(path, op, value), ...].  The postings relation is
+    built ONCE; each positive predicate semi-joins its id set (bucket-pruned
+    at scale), each ``IS NULL`` anti-joins — evaluation order keeps every
+    join keyed on the doc id, so AQE typically broadcasts the (small)
+    survivor sets."""
+    postings = build_json_postings(df, id_col, json_col)
+    out = df
+    for pred in predicates:
+        path, op, *rest = pred  # existence forms may omit the value
+        value = rest[0] if rest else None
+        if op == "IS NULL":
+            absent = _matching_ids(postings, path, "IS NOT NULL", None)
+            out = out.join(absent.withColumnRenamed("id", id_col), id_col, "left_anti")
+        else:
+            ids = _matching_ids(postings, path, op, value)
+            out = out.join(ids.withColumnRenamed("id", id_col), id_col, "left_semi")
+    return out

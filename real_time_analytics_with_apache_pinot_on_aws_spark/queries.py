@@ -3114,6 +3114,68 @@ def b14_json_match_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "b14_json_match_extended",
+    """
+    SELECT 'in' AS q, CAST(count(*) AS BIGINT) AS n FROM events
+    WHERE event_type IN ('click', 'view')
+    UNION ALL
+    SELECT 'wild' AS q, CAST(count(*) AS BIGINT) AS n FROM events
+    WHERE 'u1' IN (event_type, 'u' || CAST(user_id % 3 AS VARCHAR))
+    UNION ALL
+    SELECT 'notnull' AS q, CAST(count(*) AS BIGINT) AS n FROM events
+    WHERE value > 50
+    UNION ALL
+    SELECT 'isnull' AS q, CAST(count(*) AS BIGINT) AS n FROM events
+    WHERE NOT (value > 50)
+    UNION ALL
+    SELECT 'and' AS q, CAST(count(*) AS BIGINT) AS n FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
+      AND event_type IN ('click', 'purchase')
+    """,
+    doc="B14: JSON_MATCH breadth (round 4) — IN lists, the [*] array "
+        "wildcard (any-index path match via path-LIKE, still bucket-"
+        "prunable), IS NOT NULL / IS NULL existence (semi-/anti-join on "
+        "the postings-at-path set), and predicate conjunction "
+        "(json_match_all), over a synthesized nested JSON document "
+        "(to_json drops null fields, so 'opt' is genuinely absent).  The "
+        "oracle recomputes every count from the raw columns",
+)
+def b14_json_match_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    ev = spark.table("events").withColumn(
+        "doc",
+        F.to_json(
+            F.struct(
+                F.get_json_object("props", "$.k").cast("int").alias("k"),
+                F.col("event_type").alias("type"),
+                F.array(
+                    F.col("event_type"),
+                    F.concat(F.lit("u"), (F.col("user_id") % 3).cast("string")),
+                ).alias("tags"),
+                F.when(F.col("value") > 50, F.col("value")).alias("opt"),
+            )
+        ),
+    )
+    parts = [
+        ("in", lambda d: _ji.json_match(d, "event_id", "doc", "$.type", "IN", ["click", "view"])),
+        ("wild", lambda d: _ji.json_match(d, "event_id", "doc", "$.tags[*]", "=", "u1")),
+        ("notnull", lambda d: _ji.json_match(d, "event_id", "doc", "$.opt", "IS NOT NULL")),
+        ("isnull", lambda d: _ji.json_match(d, "event_id", "doc", "$.opt", "IS NULL")),
+        ("and", lambda d: _ji.json_match_all(
+            d, "event_id", "doc",
+            [("$.k", ">=", "50"), ("$.type", "IN", ["click", "purchase"])],
+        )),
+    ]
+    out = None
+    for label, fn in parts:
+        part = fn(ev).agg(F.count("*").cast("long").alias("n")).select(
+            F.lit(label).alias("q"), "n"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 # ===========================================================================
 # C7 — as-of join (extension): each purchase enriched with the latest prior
 # view's value for the same user.  Oracle is DuckDB's native ASOF JOIN; our

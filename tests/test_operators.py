@@ -641,6 +641,49 @@ def test_json_match_ops(spark):
     assert ids("$.other", "<=", "5") == {4}
 
 
+def test_json_match_extended_ops(spark):
+    """Round-4 grammar breadth: IN, IS NOT NULL / IS NULL existence, the
+    [*] array wildcard, and predicate conjunction — matching Pinot's
+    JSON_MATCH forms beyond scalar comparisons."""
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 5, "tags": ["a", "b"]}'),
+            (2, '{"k": 50, "tags": ["b"]}'),
+            (3, '{"k": 7, "opt": 1, "tags": []}'),
+            (4, '{"other": 5, "opt": 2}'),
+        ],
+        "id long, j string",
+    )
+    ids = lambda p, op, v=None: {
+        r["id"] for r in jsonindex.json_match(df, "id", "j", p, op, v).collect()
+    }
+    assert ids("$.k", "IN", ["5", "7"]) == {1, 3}
+    assert ids("$.k", "!=", "5") == {2, 3}
+    assert ids("$.opt", "IS NOT NULL") == {3, 4}
+    assert ids("$.opt", "IS NULL") == {1, 2}
+    assert ids("$.k", "IS NULL") == {4}
+    assert ids("$.tags[*]", "=", "b") == {1, 2}
+    assert ids("$.tags[*]", "=", "a") == {1}
+    both = {
+        r["id"]
+        for r in jsonindex.json_match_all(
+            df, "id", "j", [("$.k", ">=", "5"), ("$.tags[*]", "=", "b")]
+        ).collect()
+    }
+    assert both == {1, 2}
+    mixed = {
+        r["id"]
+        for r in jsonindex.json_match_all(
+            df, "id", "j", [("$.k", "IS NOT NULL"), ("$.opt", "IS NULL")]
+        ).collect()
+    }
+    assert mixed == {1, 2}
+    import pytest
+
+    with pytest.raises(ValueError):
+        jsonindex.json_match(df, "id", "j", "$.k", "LIKE", "x")
+
+
 def test_persisted_json_index_serves_predicates(spark):
     """The path-bucketed postings table answers the same predicates as the
     inline path, with the path filter pushed into the bucketed scan."""
