@@ -313,6 +313,73 @@ def ivf_topk(
     )
 
 
+def persist_ivf_index(
+    corpus: DataFrame,
+    table: str,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: corpus PARTITIONED BY cell_id + centroids.
+
+    The scale story :func:`ivf_topk` only documents — pay assignment once,
+    store each cell as its own partition, and a probe then reads ONLY the
+    ``n_probe`` selected partitions (Spark partition pruning; the scan shows
+    ``PartitionFilters``, pinned in tests).  Centroids persist alongside as
+    ``<table>_centroids`` so probing needs no recomputation.  Rebuild per
+    ingest batch or after :func:`kmeans_refine`, like Pinot refreshes
+    per-segment indexes.
+    """
+    spark = corpus.sparkSession
+    cent, assigned = ivf_assign(corpus, n_cells, id_col, vec_col)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}_centroids")
+    assigned.write.mode("overwrite").partitionBy("cell_id").format("parquet").saveAsTable(table)
+    cent.write.mode("overwrite").format("parquet").saveAsTable(f"{table}_centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    table: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k served from a :func:`persist_ivf_index` table.
+
+    Per query the ``n_probe`` nearest cells are chosen map-side (centroid
+    set as one broadcast array row, same as :func:`ivf_topk`); the corpus
+    read is then filtered on ``cell_id``, which prunes whole partitions of
+    the persisted layout — the scan touches ~``n_probe / n_cells`` of the
+    stored bytes instead of scanning everything and discarding.
+    """
+    cent = spark.table(f"{table}_centroids")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    probes = q.join(F.broadcast(_cent_array(cent)), F.lit(True)).select(
+        "query_id",
+        "q_vec",
+        F.explode(_nearest_cells(F.col("q_vec"), F.col("cents"), n_probe)).alias(
+            "cell_id"
+        ),
+    )
+    scored = (
+        spark.table(table)
+        .withColumnsRenamed({id_col: "neighbor_id", vec_col: "c_vec"})
+        .join(F.broadcast(probes), "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

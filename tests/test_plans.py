@@ -415,6 +415,41 @@ def test_ivf_topk_bounded_exchanges(spark):
     assert not f.python_eval
 
 
+def test_persisted_ivf_index_prunes_partitions(spark):
+    """The persisted IVF layout must deliver the ANN scale story: a probe
+    reads only the selected cells' partitions.  The probe set joins as a
+    broadcast on the cell_id partition column, so Spark applies DYNAMIC
+    partition pruning — the scan must carry a dynamicpruning expression in
+    its PartitionFilters, and the served result must equal the inline path."""
+    from pyspark.sql import functions as F
+
+    from real_time_analytics_with_apache_pinot_on_aws_spark import catalog as C
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators import similarity as S
+
+    emb = C.load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    S.persist_ivf_index(emb, "ivf_idx", n_cells=8)
+    try:
+        served = S.ivf_topk_indexed(spark, "ivf_idx", q, k=10, n_probe=8)
+        inline = S.ivf_topk(emb, q, k=10, n_cells=8, n_probe=8)
+        assert sorted(map(tuple, served.collect())) == sorted(map(tuple, inline.collect()))
+        probe = S.ivf_topk_indexed(spark, "ivf_idx", q, k=10, n_probe=2)
+        f = audit_plan(probe)
+        assert "dynamicpruning" in f.text.lower(), "probe must prune cell partitions"
+        assert not f.python_eval
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivf_idx")
+        spark.sql("DROP TABLE IF EXISTS ivf_idx_centroids")
+
+
+def test_extended_grammar_queries_plan_clean(spark):
+    for name in ("b13_text_match_extended", "b14_json_match_extended",
+                 "c1_dedup_components", "b62_partial_upsert_tombstone"):
+        f = facts(name, spark)
+        assert not f.python_eval, name
+        assert not f.cartesian, name
+
+
 def test_spread_gates_on_input_size(spark):
     """_spread fans small inputs out to every core but must NOT force a full
     shuffle of a corpus that already scans wide — AQE never coalesces a
