@@ -86,6 +86,18 @@ def main() -> None:
         big_dirs[table] = f"{tmp}/{table}_big"
         big.write.mode("overwrite").parquet(big_dirs[table])
 
+    def timed(build, reps: int = 2) -> float:
+        """min-of-N with cache cleared per rep — single-rep numbers swing
+        2x on a busy machine (observed), min-of-2 is stable enough."""
+        best = None
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            build().count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        return best
+
     results = {}
     reg = Q.all_queries()
     for name in PROBES:
@@ -93,22 +105,14 @@ def main() -> None:
         spark._rtap_sf_dir = None  # type: ignore[attr-defined]  # force re-register
         # base timing (warm once, then time)
         reg[name].builder(spark, base_sf).count()
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        reg[name].builder(spark, base_sf).count()
-        base_t = time.perf_counter() - t0
+        base_t = timed(lambda: reg[name].builder(spark, base_sf))
         # big timing: swap every replicated view to the Nx table.  _prep
         # skips re-registration while sf_dir is unchanged, so the swapped
         # views are what the builder reads.
         for table, path in big_dirs.items():
             spark.read.parquet(path).createOrReplaceTempView(table)
-        spark.catalog.clearCache()
-        big_df = reg[name].builder(spark, base_sf)
-        big_df.count()  # warm (file listing, codegen for the new scan)
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        reg[name].builder(spark, base_sf).count()
-        big_t = time.perf_counter() - t0
+        reg[name].builder(spark, base_sf).count()  # warm (listing, codegen)
+        big_t = timed(lambda: reg[name].builder(spark, base_sf))
         results[name] = {
             "base_sec": round(base_t, 3),
             f"x{factor}_sec": round(big_t, 3),
