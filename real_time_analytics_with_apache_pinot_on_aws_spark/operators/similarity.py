@@ -494,4 +494,8 @@ def kmeans_refine(
             .join(new_cent, "cell_id", "left")
             .select("cell_id", F.coalesce("c_vec", "old_vec").alias("c_vec"))
         )
+        # truncate lineage: cent feeds next iteration TWICE (centroid array
+        # + the keep-old-centroid join), so the plan would double per
+        # iteration without this cut (same hazard as dedup_representatives)
+        cent = cent.localCheckpoint()
     return cent
