@@ -3372,6 +3372,92 @@ def b21_kmv_theta_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b21_frequent_items_sketch",
+    """
+    WITH seg_counts AS (
+      SELECT date_trunc('day', ts) AS seg, user_id AS item, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT seg, item, cnt,
+             row_number() OVER (PARTITION BY seg ORDER BY cnt DESC, item) AS rn
+      FROM seg_counts
+    ), kept AS (
+      SELECT seg, item, cnt FROM ranked WHERE rn <= 8
+    ), eps AS (
+      SELECT seg, coalesce(max(CASE WHEN rn > 8 THEN cnt END), 0) AS eps
+      FROM ranked GROUP BY seg
+    ), tot AS (
+      SELECT CAST(sum(eps) AS BIGINT) AS total_eps FROM eps
+    ), merged AS (
+      SELECT k.item, sum(k.cnt) AS lower_b, sum(e.eps) AS eps_seen
+      FROM kept k JOIN eps e USING (seg) GROUP BY k.item
+    ), exact AS (
+      SELECT item, CAST(sum(cnt) AS BIGINT) AS exact_cnt
+      FROM seg_counts GROUP BY item
+    ), missed AS (
+      SELECT count(*) AS n FROM exact, tot
+      WHERE exact_cnt > total_eps
+        AND item NOT IN (SELECT item FROM merged)
+    )
+    SELECT m.item,
+           CAST(m.lower_b AS BIGINT) AS est_lower,
+           CAST(m.lower_b + t.total_eps - m.eps_seen AS BIGINT) AS est_upper,
+           x.exact_cnt,
+           x.exact_cnt BETWEEN m.lower_b
+             AND m.lower_b + t.total_eps - m.eps_seen AS bounds_ok,
+           CAST(md.n AS BIGINT) AS n_missed_heavy
+    FROM merged m JOIN exact x USING (item)
+         CROSS JOIN tot t CROSS JOIN missed md
+    ORDER BY est_upper DESC, m.item
+    LIMIT 10
+    """,
+    doc="B21/Pinot FREQUENTSTRINGSSKETCH/FREQUENTLONGSSKETCH analog: "
+        "mergeable heavy-hitters summaries (Agarwal et al., Mergeable "
+        "Summaries, PODS'12).  Per-day truncated counter sets (top-8 + "
+        "largest-dropped eps) merge into global [lower, upper] bounds; any "
+        "item with true count > sum(eps) provably survives the merge.  "
+        "Deterministic tie-breaks make the whole sketch bit-reproducible, so "
+        "the oracle replays it exactly — bounds_ok and the zero "
+        "n_missed_heavy guarantee are verified values, not tolerances.  One "
+        "fact-table shuffle (the per-(day,item) aggregate, reused by the "
+        "exact side via exchange reuse); everything downstream is "
+        "segments-x-k rows — the shape that lets 100 TB of events ship "
+        "k-row sketch columns per segment like Pinot does.",
+)
+def b21_frequent_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .operators import frequent as _fq
+
+    ev = spark.table("events")
+    counts = _fq.segment_counts(
+        ev.select(F.date_trunc("day", "ts").alias("d"), "user_id"), "d", "user_id"
+    )
+    kept, eps = _fq.frequent_summaries(counts, k=8)
+    merged = _fq.frequent_merge(kept, eps)
+    exact = counts.groupBy("item").agg(F.sum("cnt").alias("exact_cnt"))
+    missed = (
+        exact.join(merged.select("total_eps").limit(1))
+        .filter(F.col("exact_cnt") > F.col("total_eps"))
+        .join(merged.select("item"), "item", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_missed_heavy"))
+    )
+    return (
+        merged.join(exact, "item")
+        .join(F.broadcast(missed))
+        .select(
+            "item",
+            F.col("lower").alias("est_lower"),
+            F.col("upper").alias("est_upper"),
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            F.col("exact_cnt").between(F.col("lower"), F.col("upper")).alias("bounds_ok"),
+            F.col("n_missed_heavy").cast("bigint").alias("n_missed_heavy"),
+        )
+        .orderBy(F.col("est_upper").desc(), "item")
+        .limit(10)
+    )
+
+
+@register(
     "b13_bm25_ranking",
     """
     WITH lens AS (

@@ -871,3 +871,54 @@ def test_sample_frames_fanout_shape(spark):
     assert len(by_doc[1]) == 3   # offsets 0,128,256 < 300
     assert by_doc[1][2]["n_bytes"] == 300 - 256  # tail frame truncated
     assert len(by_doc[2]) == 1 and by_doc[2][0]["n_bytes"] == 10
+
+
+# ---------------------------------------------------------------------------
+# Frequent-items (heavy-hitters) mergeable summaries — operators/frequent.py
+# ---------------------------------------------------------------------------
+
+
+def _freq_frames(spark, rows, k):
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators import frequent as fq
+
+    df = spark.createDataFrame(rows, "seg long, item long")
+    counts = fq.segment_counts(df, "seg", "item")
+    kept, eps = fq.frequent_summaries(counts, k=k)
+    merged = fq.frequent_merge(kept, eps)
+    exact = {
+        r["item"]: r["n"]
+        for r in df.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return merged.collect(), exact
+
+
+def test_frequent_items_bounds_contain_truth(spark):
+    # Skewed: item 1 heavy in both segments, long tail forces truncation.
+    rows = [(s, 1) for s in (0, 1) for _ in range(20)]
+    rows += [(s, i) for s in (0, 1) for i in range(2, 12) for _ in range(s + 1)]
+    merged, exact = _freq_frames(spark, rows, k=3)
+    assert merged, "summary must not be empty"
+    for r in merged:
+        assert r["lower"] <= exact[r["item"]] <= r["upper"], r
+
+
+def test_frequent_items_no_missed_heavy(spark):
+    # Any item with true count > total_eps must be stored in >= 1 segment
+    # summary (Mergeable Summaries, PODS'12).
+    rows = [(s, 1) for s in range(4) for _ in range(30)]          # true heavy
+    rows += [(s, 10 + (s * 7 + i) % 9) for s in range(4) for i in range(18)]
+    merged, exact = _freq_frames(spark, rows, k=2)
+    total_eps = merged[0]["total_eps"]
+    stored = {r["item"] for r in merged}
+    for item, n in exact.items():
+        if n > total_eps:
+            assert item in stored, (item, n, total_eps)
+
+
+def test_frequent_items_no_truncation_is_exact(spark):
+    # k >= distinct items per segment => eps 0 everywhere, bounds collapse.
+    rows = [(s, i) for s in (0, 1) for i in range(3) for _ in range(i + 1)]
+    merged, exact = _freq_frames(spark, rows, k=10)
+    for r in merged:
+        assert r["lower"] == r["upper"] == exact[r["item"]]
+        assert r["total_eps"] == 0

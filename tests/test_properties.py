@@ -207,3 +207,39 @@ def test_gapfill_leaves_no_holes(spark, points):
     for t, v in got.items():
         b = int(t.timestamp()) // 60
         assert v == originals.get(b, 0)
+
+
+freq_rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # segment
+        st.integers(min_value=0, max_value=12),  # item (small domain => skew)
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=freq_rows_st, k=st.integers(min_value=1, max_value=4))
+@settings(**SETTINGS)
+def test_frequent_items_invariants(spark, rows, k):
+    # Mergeable-summaries invariants (Agarwal et al., PODS'12) for ANY data:
+    # every stored item's true count lies in [lower, upper], and any item
+    # with true count > total_eps is stored.
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators import frequent as fq
+
+    df = spark.createDataFrame(rows, "seg long, item long")
+    counts = fq.segment_counts(df, "seg", "item")
+    kept, eps = fq.frequent_summaries(counts, k=k)
+    merged = fq.frequent_merge(kept, eps).collect()
+    exact: dict[int, int] = {}
+    for _, item in rows:
+        exact[item] = exact.get(item, 0) + 1
+    assert merged
+    total_eps = merged[0]["total_eps"]
+    stored = set()
+    for r in merged:
+        stored.add(r["item"])
+        assert r["lower"] <= exact[r["item"]] <= r["upper"], r
+    for item, n in exact.items():
+        if n > total_eps:
+            assert item in stored, (item, n, total_eps)
