@@ -1,0 +1,111 @@
+"""Funnel aggregation family (Pinot 1.2 ``FUNNEL*`` aggs **[P1.2]**).
+
+``c8_funnel_counts`` (queries.py) covers ``FUNNELCOUNT``'s per-stage counts;
+this module generalizes the same single-shuffle fold so the rest of the
+family — ``FUNNELMAXSTEP``, ``FUNNELMATCHSTEP``, ``FUNNELCOMPLETECOUNT`` and
+the ``maxStepDuration`` windowed mode — all derive from one per-user state
+pass:
+
+    events -> filter to funnel step types        (pushed to the scan)
+           -> group by user, sort (ts, type)     ONE user-keyed shuffle
+           -> fold through an N-slot timestamp state (first qualifying
+              event per step, strictly event-time ordered)
+
+Per-user state is bounded by events-per-user (the sessionizer's bound);
+nothing downstream of the fold is larger than |users| rows.  The fold is a
+codegen'd higher-order ``aggregate`` — no Python in the hot path.
+
+Semantics match Pinot's strict-order funnel: step i+1 counts only from an
+event STRICTLY after the event that satisfied step i; with ``within`` set,
+every later step must also land inside ``t1 + within`` (maxStepDuration).
+Both are exactly reproducible as a min-after CTE chain, which is what the
+DuckDB oracles replay.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_state(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    within: str | None = None,
+) -> DataFrame:
+    """Per-user funnel state: ``(user, t1..tN, max_step)``.
+
+    ``tI`` is the timestamp of the first event completing step I (null if the
+    user never reached it); ``max_step`` counts completed steps.  ``within``
+    is an SQL interval string (e.g. ``'3 DAYS'``) bounding every step after
+    the first to ``t1 + within`` — Pinot's ``maxStepDuration``.
+    """
+    n = len(steps)
+    evs = df.filter(F.col(type_col).isin(*steps)).select(user_col, ts_col, type_col)
+    seq = evs.groupBy(user_col).agg(
+        F.array_sort(F.collect_list(F.struct(ts_col, type_col))).alias("_seq")
+    )
+    null_ts = F.lit(None).cast("timestamp")
+    state0 = F.struct(*[null_ts.alias(f"t{i + 1}") for i in range(n)])
+
+    def advance(s: Column, e: Column) -> Column:
+        fields = []
+        for i, step_type in enumerate(steps):
+            cur = s[f"t{i + 1}"]
+            cond = cur.isNull() & (e[type_col] == step_type)
+            if i > 0:
+                prev = s[f"t{i}"]
+                cond = cond & prev.isNotNull() & (e[ts_col] > prev)
+                if within is not None:
+                    cond = cond & (e[ts_col] <= s["t1"] + F.expr(f"INTERVAL {within}"))
+            fields.append(F.when(cond, e[ts_col]).otherwise(cur).alias(f"t{i + 1}"))
+        return F.struct(*fields)
+
+    folded = seq.select(user_col, F.aggregate("_seq", state0, advance).alias("_st"))
+    max_step = sum(
+        (F.col(f"_st.t{i + 1}").isNotNull().cast("int") for i in range(n)),
+        F.lit(0),
+    )
+    return folded.select(
+        user_col,
+        *[F.col(f"_st.t{i + 1}").alias(f"t{i + 1}") for i in range(n)],
+        max_step.alias("max_step"),
+    )
+
+
+def funnel_step_counts(state: DataFrame, steps: Sequence[str]) -> DataFrame:
+    """Aggregate the per-user state into the dashboard funnel:
+
+    one row per step with ``users_reached`` (FUNNELMATCHSTEP count),
+    ``users_stopped_here`` (max_step == step) and ``complete_users``
+    (FUNNELCOMPLETECOUNT, identical in every row by construction).  The
+    input is |users| rows, so this is a tiny aggregate + a broadcast of the
+    N-row step spine.
+    """
+    n = len(steps)
+    dist = state.groupBy("max_step").agg(F.count(F.lit(1)).alias("n_users"))
+    spine = state.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step int, step_name string"
+    )
+    return (
+        F.broadcast(spine)
+        .join(dist)  # n x (n+1) rows — the distribution, not the users
+        .groupBy("step", "step_name")
+        .agg(
+            F.sum(F.when(F.col("max_step") >= F.col("step"), F.col("n_users")).otherwise(0))
+            .cast("bigint")
+            .alias("users_reached"),
+            F.sum(F.when(F.col("max_step") == F.col("step"), F.col("n_users")).otherwise(0))
+            .cast("bigint")
+            .alias("users_stopped_here"),
+            F.sum(F.when(F.col("max_step") >= n, F.col("n_users")).otherwise(0))
+            .cast("bigint")
+            .alias("complete_users"),
+        )
+        .orderBy("step")
+    )

@@ -3629,6 +3629,83 @@ def c8_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_STEPS_ORACLE = """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1 {w1}
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2 {w1}
+      GROUP BY e.user_id
+    ), u AS (
+      SELECT v.user_id,
+             1 + (CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END)
+               + (CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS max_step
+      FROM v LEFT JOIN c ON v.user_id = c.user_id
+             LEFT JOIN p ON v.user_id = p.user_id
+    )
+    SELECT s.step, s.step_name,
+           CAST(coalesce(sum(CASE WHEN u.max_step >= s.step THEN 1 END), 0)
+                AS BIGINT) AS users_reached,
+           CAST(coalesce(sum(CASE WHEN u.max_step = s.step THEN 1 END), 0)
+                AS BIGINT) AS users_stopped_here,
+           CAST(coalesce(sum(CASE WHEN u.max_step >= 3 THEN 1 END), 0)
+                AS BIGINT) AS complete_users
+    FROM (VALUES (1, 'view'), (2, 'click'), (3, 'purchase')) s(step, step_name)
+         CROSS JOIN u
+    GROUP BY s.step, s.step_name
+    ORDER BY s.step
+"""
+
+
+@register(
+    "c8_funnel_steps",
+    _FUNNEL_STEPS_ORACLE.format(w1=""),
+    doc="Pinot FUNNELMAXSTEP/FUNNELMATCHSTEP/FUNNELCOMPLETECOUNT family "
+        "**[P1.2]**: per-user strict-order state fold (one user-keyed "
+        "shuffle, codegen'd aggregate) -> max-step distribution -> the "
+        "dashboard funnel (users_reached per step, drop-off, completions). "
+        "Everything after the fold is |users| rows, then a <= (n+1)-row "
+        "distribution joined to the broadcast step spine.  Oracle replays "
+        "the min-after CTE chain.",
+)
+def c8_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .operators import funnel as _fu
+
+    state = _fu.funnel_state(
+        spark.table("events"), "user_id", "ts", "event_type",
+        ["view", "click", "purchase"],
+    )
+    return _fu.funnel_step_counts(state, ["view", "click", "purchase"])
+
+
+@register(
+    "c8_funnel_window",
+    _FUNNEL_STEPS_ORACLE.format(w1="AND e.ts <= v.t1 + INTERVAL 3 DAY"),
+    doc="Pinot funnel maxStepDuration mode **[P1.2]**: same strict-order "
+        "fold, but every step after the first must land within t1 + 3 days "
+        "— the window rides inside the per-user state, no extra pass.  "
+        "Oracle bounds each CTE with the same t1-anchored interval.",
+)
+def c8_funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .operators import funnel as _fu
+
+    state = _fu.funnel_state(
+        spark.table("events"), "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], within="3 DAYS",
+    )
+    return _fu.funnel_step_counts(state, ["view", "click", "purchase"])
+
+
 @register(
     "b17_mv_aggregations",
     """

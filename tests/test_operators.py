@@ -922,3 +922,65 @@ def test_frequent_items_no_truncation_is_exact(spark):
     for r in merged:
         assert r["lower"] == r["upper"] == exact[r["item"]]
         assert r["total_eps"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Funnel aggregation family — operators/funnel.py
+# ---------------------------------------------------------------------------
+
+
+def _funnel(spark, rows, within=None):
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators import funnel as fu
+
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    state = fu.funnel_state(df, "user_id", "ts", "event_type",
+                            ["view", "click", "purchase"], within=within)
+    return {r["user_id"]: r for r in state.collect()}
+
+
+def test_funnel_strict_order(spark):
+    from datetime import datetime as dt
+
+    t = lambda h: dt(2024, 1, 1, h)  # noqa: E731
+    rows = [
+        # u1 completes in order
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # u2: purchase BEFORE click -> stops at click (step 2)
+        (2, t(1), "view"), (2, t(2), "purchase"), (2, t(3), "click"),
+        # u3: click before any view -> only the later view counts, step 1
+        (3, t(1), "click"), (3, t(2), "view"),
+        # u4: never views -> no state row at all (empty funnel entry)
+        (4, t(1), "purchase"),
+    ]
+    st = _funnel(spark, rows)
+    assert st[1]["max_step"] == 3
+    assert st[2]["max_step"] == 2 and st[2]["t2"] == t(3)
+    assert st[3]["max_step"] == 1 and st[3]["t1"] == t(2)
+    assert st[4]["max_step"] == 0
+
+
+def test_funnel_same_timestamp_does_not_advance(spark):
+    from datetime import datetime as dt
+
+    t = dt(2024, 1, 1, 12)
+    st = _funnel(spark, [(1, t, "view"), (1, t, "click")])
+    # click at ts == t1 is not strictly after the view event
+    assert st[1]["max_step"] == 1
+
+
+def test_funnel_window_bounds_later_steps(spark):
+    from datetime import datetime as dt
+
+    rows = [
+        (1, dt(2024, 1, 1), "view"),
+        (1, dt(2024, 1, 2), "click"),       # inside 3 days
+        (1, dt(2024, 1, 10), "purchase"),   # outside -> blocked
+        (2, dt(2024, 1, 1), "view"),
+        (2, dt(2024, 1, 5), "click"),       # outside 3 days -> blocked
+    ]
+    st = _funnel(spark, rows, within="3 DAYS")
+    assert st[1]["max_step"] == 2
+    assert st[2]["max_step"] == 1
+    # unwindowed control: both advance
+    st2 = _funnel(spark, rows)
+    assert st2[1]["max_step"] == 3 and st2[2]["max_step"] == 2
