@@ -2709,6 +2709,78 @@ sql_query(
 )
 
 
+def _geo_cell_bounds() -> tuple[int, int, int, int]:
+    """Covering cell range for the 500 km Paris radius query — the H3 kRing
+    analog, computed once at plan time.
+
+    A great-circle distance <= r bounds |dlat| by r / (pi*R/180) meters per
+    degree; |dlon| is bounded using the worst-case (poleward) latitude inside
+    the circle, padded 5%.  The resulting cell-key ranges are therefore a
+    PROVEN superset of the circle — candidate pruning can lose nothing, which
+    the oracle (exact filter, no cells) verifies.
+    """
+    import math
+
+    lon0, lat0, r_km, cs = 2.3522, 48.8566, 500.0, 5.0
+    deg_m = math.pi * 6371008.8 / 180.0 / 1000.0  # km per degree of arc
+    dlat = r_km / deg_m
+    worst_lat = min(89.0, abs(lat0) + dlat)
+    dlon = r_km / (deg_m * math.cos(math.radians(worst_lat))) * 1.05
+    return (
+        math.floor((lon0 - dlon) / cs),
+        math.floor((lon0 + dlon) / cs),
+        math.floor((lat0 - dlat) / cs),
+        math.floor((lat0 + dlat) / cs),
+    )
+
+
+_GXMIN, _GXMAX, _GYMIN, _GYMAX = _geo_cell_bounds()
+
+sql_query(
+    "b55_geo_radius_index",
+    f"""
+    SELECT event_id,
+           round(STDISTANCE(lon, lat, 2.3522, 48.8566) / 1000, 3) AS km
+    FROM (
+      SELECT event_id,
+             CAST(event_id % 360 AS DOUBLE) - 180.0 + 0.5 AS lon,
+             CAST(event_id % 170 AS DOUBLE) - 85.0 + 0.25 AS lat
+      FROM events
+    ) pts
+    WHERE floor(lon / 5.0) BETWEEN {_GXMIN} AND {_GXMAX}
+      AND floor(lat / 5.0) BETWEEN {_GYMIN} AND {_GYMAX}
+      AND STDISTANCE(lon, lat, 2.3522, 48.8566) <= 500000
+    ORDER BY event_id
+    """,
+    """
+    SELECT event_id,
+           round(2 * 6371008.8 * asin(sqrt(
+               pow(sin(radians(48.8566 - lat) / 2), 2)
+               + cos(radians(lat)) * cos(radians(48.8566))
+               * pow(sin(radians(2.3522 - lon) / 2), 2))) / 1000, 3) AS km
+    FROM (
+      SELECT event_id,
+             CAST(event_id % 360 AS DOUBLE) - 180.0 + 0.5 AS lon,
+             CAST(event_id % 170 AS DOUBLE) - 85.0 + 0.25 AS lat
+      FROM events
+    ) pts
+    WHERE 2 * 6371008.8 * asin(sqrt(
+               pow(sin(radians(48.8566 - lat) / 2), 2)
+               + cos(radians(lat)) * cos(radians(48.8566))
+               * pow(sin(radians(2.3522 - lon) / 2), 2))) <= 500000
+    ORDER BY event_id
+    """,
+    doc="B55/Pinot H3 geo-index analog: ST_DISTANCE <= r radius search as "
+        "grid-cell candidate pruning (cell-key BETWEEN over a proven "
+        "covering range — the kRing) + exact haversine verification of "
+        "survivors only.  At scale the cell keys are stored partition "
+        "columns, so the BETWEEN prunes partitions before any trig runs — "
+        "the same accept-cheap/verify-boundary split Pinot's H3 index does. "
+        "The oracle runs the exact filter with NO cell stage, proving the "
+        "pruning superset loses nothing.",
+)
+
+
 @register(
     "tpch_q11_important_stock",
     f"""

@@ -984,3 +984,26 @@ def test_funnel_window_bounds_later_steps(spark):
     # unwindowed control: both advance
     st2 = _funnel(spark, rows)
     assert st2[1]["max_step"] == 3 and st2[2]["max_step"] == 2
+
+
+def test_geo_cell_bounds_cover_radius_circle():
+    # Every point ON the 500 km circle (spherical destination formula) must
+    # fall inside the covering cell range the query prunes with.
+    import math
+
+    from real_time_analytics_with_apache_pinot_on_aws_spark.queries import _geo_cell_bounds
+
+    xmin, xmax, ymin, ymax = _geo_cell_bounds()
+    lon0, lat0, r, cs = 2.3522, 48.8566, 500_000.0, 5.0
+    d = r / 6371008.8
+    p1, l1 = math.radians(lat0), math.radians(lon0)
+    for deg in range(0, 360, 5):
+        th = math.radians(deg)
+        p2 = math.asin(math.sin(p1) * math.cos(d) + math.cos(p1) * math.sin(d) * math.cos(th))
+        l2 = l1 + math.atan2(
+            math.sin(th) * math.sin(d) * math.cos(p1),
+            math.cos(d) - math.sin(p1) * math.sin(p2),
+        )
+        lat2, lon2 = math.degrees(p2), math.degrees(l2)
+        assert xmin <= math.floor(lon2 / cs) <= xmax, (deg, lon2)
+        assert ymin <= math.floor(lat2 / cs) <= ymax, (deg, lat2)
