@@ -54,6 +54,18 @@ class TableConfig:
     # divergence).
     transform_configs: tuple[tuple[str, str], ...] = ()
     filter_function: str | None = None
+    # Pinot tableIndexConfig **[P1.2]** storage-index fields this engine
+    # honors at segment-seal time (kinesisTableConfigFile.json:12 carries
+    # only loadMode/streamConfigs; these are the wider Pinot surface):
+    # - sortedColumn: rows sorted within each sealed file -> parquet
+    #   row-group min/max stats become tight, disjoint zone maps, so range
+    #   predicates skip row groups (Pinot sorted + range index analog);
+    # - bloomFilterColumns: parquet bloom filters written per column ->
+    #   point lookups skip row groups (Pinot bloom filter analog).  For
+    #   fully dictionary-encoded chunks parquet omits the bloom because the
+    #   dictionary page already gives EXACT row-group filtering.
+    sorted_column: str | None = None
+    bloom_filter_columns: tuple[str, ...] = ()
 
     @classmethod
     def parse(cls, config_json: str | dict) -> "TableConfig":
@@ -64,7 +76,9 @@ class TableConfig:
         retention = None
         if seg.get("retentionTimeUnit", "").upper() == "DAYS" and seg.get("retentionTimeValue"):
             retention = int(seg["retentionTimeValue"])
-        stream = conf.get("tableIndexConfig", {}).get("streamConfigs", {})
+        tic = conf.get("tableIndexConfig", {})
+        stream = tic.get("streamConfigs", {})
+        sorted_cols = tic.get("sortedColumn", ())
         flush_ms = stream.get("realtime.segment.flush.threshold.time")
         flush_s = 120
         if flush_ms:  # reference uses e.g. "2m"? value is millis or duration string
@@ -90,6 +104,8 @@ class TableConfig:
                 for t in ing.get("transformConfigs", ())
             ),
             filter_function=ing.get("filterConfig", {}).get("filterFunction"),
+            sorted_column=sorted_cols[0] if sorted_cols else None,
+            bloom_filter_columns=tuple(tic.get("bloomFilterColumns", ())),
         )
 
 
@@ -187,6 +203,8 @@ class Engine:
             retention_days=config.retention_days,
             transform_configs=config.transform_configs,
             filter_function=config.filter_function,
+            sorted_column=config.sorted_column,
+            bloom_filter_columns=config.bloom_filter_columns,
         )
         self.pipelines[config.name] = pipeline
         if start:

@@ -92,6 +92,8 @@ class IngestPipeline:
         rollup_path: str | None = None,
         transform_configs: tuple = (),
         filter_function: str | None = None,
+        sorted_column: str | None = None,
+        bloom_filter_columns: tuple = (),
     ) -> None:
         self.spark = spark
         self.schema = schema
@@ -107,6 +109,11 @@ class IngestPipeline:
         # + row-drop predicate, applied between decode and commit.
         self.transform_configs = tuple(transform_configs)
         self.filter_function = filter_function
+        # Storage-index analogs applied at seal time (engine.TableConfig):
+        # sortedColumn -> tight parquet zone maps; bloomFilterColumns ->
+        # parquet bloom filters for point-lookup row-group skipping.
+        self.sorted_column = sorted_column
+        self.bloom_filter_columns = tuple(bloom_filter_columns)
         self._query: StreamingQuery | None = None
 
     # -- decode ----------------------------------------------------------
@@ -142,6 +149,8 @@ class IngestPipeline:
         """
         table_path = self.table_path
         rollup_spec, rollup_path = self.rollup_spec, self.rollup_path
+        sorted_column = self.sorted_column
+        bloom_filter_columns = self.bloom_filter_columns
 
         def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
             # foreachBatch + plain batch append (not the file-stream sink):
@@ -160,9 +169,28 @@ class IngestPipeline:
             batch_df = batch_df.withColumn(
                 "__ingest_epoch", F.lit(int(epoch_id)).cast("long")
             ).withColumn("__ingest_seq", F.monotonically_increasing_id())
+            if sorted_column is not None and sorted_column in batch_df.columns:
+                # Pinot sortedColumn analog: order rows inside each sealed
+                # file so parquet row-group min/max stats are tight and
+                # disjoint — range predicates then skip row groups (the
+                # sorted/range-index behavior).  sortWithinPartitions: no
+                # extra shuffle, the sort rides the write tasks.
+                part_keys = (
+                    ["ingest_date"] if "ingest_date" in batch_df.columns else []
+                )
+                batch_df = batch_df.sortWithinPartitions(*part_keys, sorted_column)
             writer = batch_df.write.mode("append")
             if "ingest_date" in batch_df.columns:
                 writer = writer.partitionBy("ingest_date")
+            for col_name in bloom_filter_columns:
+                # Pinot bloomFilterColumns analog: parquet split-block bloom
+                # per column chunk; point lookups skip whole row groups.
+                # parquet-mr omits the bloom when a chunk stays fully
+                # dictionary-encoded (the dictionary page already filters
+                # row groups exactly) — same storage-index effect.
+                writer = writer.option(
+                    f"parquet.bloom.filter.enabled#{col_name}", "true"
+                )
             writer.parquet(table_path)
             if rollup_spec is not None and rollup_path is not None:
                 # segment-local pre-aggregation, star-tree style: the batch is

@@ -576,3 +576,87 @@ def test_broker_response_is_json_serializable(spark, tmp_path):
     assert row[2] == "1.500000000000000000"  # exact BigDecimal-as-string
     assert row[3] == "0aff"
     assert row[4] == [1, 2, 3]
+
+
+INDEXED_TABLE_CONFIG = {
+    "tableName": "indexedTable",
+    "tableType": "REALTIME",
+    "segmentsConfig": {"timeColumnName": "creationTimestamp"},
+    "tableIndexConfig": {
+        "streamConfigs": {"realtime.segment.flush.threshold.time": "2m"},
+        "sortedColumn": ["price"],
+        "bloomFilterColumns": ["userID"],
+    },
+}
+
+
+def _bloom_offsets(spark, parquet_file: str) -> dict[str, int]:
+    """Column -> bloom filter offset (-1 = absent) from the parquet footer,
+    read with parquet-mr through the JVM gateway (pyarrow 16 / duckdb 1.0
+    don't expose bloom metadata)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(parquet_file)
+    infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+    try:
+        block = reader.getFooter().getBlocks().get(0)
+        return {
+            block.getColumns().get(i).getPath().toDotString():
+                block.getColumns().get(i).getBloomFilterOffset()
+            for i in range(block.getColumns().size())
+        }
+    finally:
+        reader.close()
+
+
+def test_storage_index_analogs_sorted_and_bloom(spark, tmp_path):
+    # sortedColumn -> rows sorted inside each sealed file (tight zone maps);
+    # bloomFilterColumns -> parquet bloom filters on high-cardinality chunks.
+    src_dir = tmp_path / "stream_in"
+    src_dir.mkdir(parents=True)
+    n = 60_000  # unique ~24-byte userIDs overflow the 1 MB dictionary page,
+    # forcing plain encoding — the case where parquet writes the bloom
+    with open(src_dir / "batch1.json", "w") as fh:
+        for i in range(n):
+            fh.write(
+                json.dumps(
+                    {
+                        "userID": f"user-{i:08d}-{i * 2654435761 % 10**9:09d}",
+                        "campaign": ["BlackFriday", "10Percent", "NONE"][i % 3],
+                        "price": 10 + (i * 37) % 140,
+                        "creationTimestamp": f"2024-06-01 10:{i % 60:02d}:00",
+                    }
+                )
+                + "\n"
+            )
+
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    cfg = TableConfig.parse(INDEXED_TABLE_CONFIG)
+    assert cfg.sorted_column == "price"
+    assert cfg.bloom_filter_columns == ("userID",)
+
+    pipeline = engine.add_table(
+        CLICKSTREAM_SCHEMA,
+        INDEXED_TABLE_CONFIG,
+        RawRecordSource(kind="files", path=str(src_dir)),
+        available_now=True,
+    )
+    pipeline.process_available()
+    assert pipeline.table().count() == n
+
+    files = [
+        str(p)
+        for p in (tmp_path / "warehouse" / "indexedTable" / "data").rglob("*.parquet")
+    ]
+    assert files
+    # sortedColumn: every sealed file is internally sorted by price
+    for f in files:
+        prices = [r["price"] for r in spark.read.parquet(f).select("price").collect()]
+        assert prices == sorted(prices), f
+    # bloomFilterColumns: the userID chunk carries a bloom filter; columns
+    # not configured don't
+    offs = _bloom_offsets(spark, max(files, key=lambda f: Path(f).stat().st_size))
+    assert offs["userID"] >= 0, offs
+    assert offs["price"] == -1, offs
+    pipeline.stop()
