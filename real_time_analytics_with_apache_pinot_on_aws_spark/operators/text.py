@@ -36,18 +36,51 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = normalized_tokens(F.col(text_col))
     hit_cols = [lang_hits(F.col(text_col), lang).alias(f"hits_{lang}") for lang in STOPWORDS]
     scored = df.select(F.col(id_col), F.size(toks).alias("n_tokens"), *hit_cols)
-    # argmax via greatest + chained when (stable tie-break on code order)
-    langs = sorted(STOPWORDS)
-    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
-    pred = None
-    for lang in langs:
-        cond = F.col(f"hits_{lang}") == best
-        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    pred, best = _lang_pred({lang: F.col(f"hits_{lang}") for lang in STOPWORDS})
     return scored.select(
         F.col(id_col),
-        F.coalesce(pred, F.lit("und")).alias("predicted_lang"),
+        pred.alias("predicted_lang"),
         F.round(best / F.greatest(F.col("n_tokens"), F.lit(1)), 6).alias("confidence"),
     )
+
+
+def _quality_exprs(t: Column) -> dict[str, Column]:
+    """The quality feature expressions, shared by :func:`quality_score` and
+    the fused :func:`text_features` so the formula cannot drift."""
+    toks = normalized_tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    punct = F.length(F.regexp_replace(t, "[a-zA-Z0-9\\s]", ""))
+    upper = F.length(F.regexp_replace(t, "[^A-Z]", ""))
+    distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1))
+    mean_tok_len = (n_chars - n_tokens + 1) / F.greatest(n_tokens, F.lit(1))
+    score = (
+        F.when(n_tokens >= 5, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((punct / F.greatest(n_chars, F.lit(1))) < 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(distinct_ratio > 0.3, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((mean_tok_len > 2) & (mean_tok_len < 12), F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct": punct,
+        "upper": upper,
+        "distinct_ratio": distinct_ratio,
+        "mean_tok_len": mean_tok_len,
+        "quality_score": score,
+    }
+
+
+def _lang_pred(hit_map: dict[str, Column]) -> tuple[Column, Column]:
+    """(predicted_lang, best_hits) argmax over per-language stopword hits,
+    ties broken by language code order (deterministic)."""
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[hit_map[lang] for lang in langs])
+    pred = None
+    for lang in langs:
+        cond = hit_map[lang] == best
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return F.coalesce(pred, F.lit("und")), best
 
 
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -57,20 +90,12 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     uppercase ratio, stopword(en) ratio, distinct-token ratio.
     """
     t = F.col(text_col)
-    toks = normalized_tokens(t)
-    n_chars = F.length(t)
-    n_tokens = F.size(toks)
-    punct = F.length(F.regexp_replace(t, "[a-zA-Z0-9\\s]", ""))
-    upper = F.length(F.regexp_replace(t, "[^A-Z]", ""))
+    q = _quality_exprs(t)
+    n_chars, n_tokens = q["n_chars"], q["n_tokens"]
+    punct, upper = q["punct"], q["upper"]
+    distinct_ratio, mean_tok_len = q["distinct_ratio"], q["mean_tok_len"]
+    score = q["quality_score"]
     en_stop = lang_hits(t, "en")
-    distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1))
-    mean_tok_len = (n_chars - n_tokens + 1) / F.greatest(n_tokens, F.lit(1))
-    score = (
-        F.when(n_tokens >= 5, F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when((punct / F.greatest(n_chars, F.lit(1))) < 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when(distinct_ratio > 0.3, F.lit(0.25)).otherwise(F.lit(0.0))
-        + F.when((mean_tok_len > 2) & (mean_tok_len < 12), F.lit(0.25)).otherwise(F.lit(0.0))
-    )
     return df.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
@@ -149,4 +174,29 @@ def winnow_fingerprints(
         F.col(id_col),
         F.size(F.array_distinct(wins)).alias("n_fingerprints"),
         F.md5(F.array_join(F.array_sort(F.array_distinct(wins)), "|")).alias("fp_digest"),
+    )
+
+
+def text_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """ALL text-analysis features in ONE codegen projection — the fused form
+    the composed training pipeline (queries.c9_training_pipeline) consumes.
+
+    language_id / quality_score / token_counts / fingerprint each project the
+    same corpus scan; joining their outputs on id would re-scan the corpus
+    four times and shuffle three joins.  At 100 TB the right plan is a single
+    pass, so this fuses the shared expressions (same builders — the formulas
+    cannot drift) into one select: (id, predicted_lang, quality_score,
+    bpe_ish_tokens, fingerprint_md5).
+    """
+    t = F.col(text_col)
+    q = _quality_exprs(t)
+    pred, _best = _lang_pred({lang: lang_hits(t, lang) for lang in STOPWORDS})
+    pieces = F.size(F.regexp_extract_all(F.lower(t), F.lit("[a-z]+|[0-9]+"), 0))
+    canon = F.array_join(F.array_sort(F.array_distinct(normalized_tokens(t))), " ")
+    return df.select(
+        F.col(id_col),
+        pred.alias("predicted_lang"),
+        q["quality_score"].alias("quality_score"),
+        pieces.alias("bpe_ish_tokens"),
+        F.md5(canon).alias("fingerprint_md5"),
     )

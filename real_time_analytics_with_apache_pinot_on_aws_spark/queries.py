@@ -4250,6 +4250,101 @@ def c3_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "c9_training_pipeline",
+    f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len({_DUCK_TOKS}) AS n_tokens,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct,
+             len(list_distinct({_DUCK_TOKS})) AS n_distinct,
+             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS bpe_ish_tokens,
+             md5(array_to_string(list_sort(list_distinct({_DUCK_TOKS})), ' ')) AS fp,
+             {", ".join(f"{_DUCK_HITS[lang]} AS h_{lang}" for lang in _LANGS)}
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, bpe_ish_tokens, fp,
+             {_DUCK_PRED} AS predicted_lang,
+             (CASE WHEN n_tokens >= 5 THEN 0.25 ELSE 0.0 END
+              + CASE WHEN punct::DOUBLE / greatest(n_chars, 1) < 0.1 THEN 0.25 ELSE 0.0 END
+              + CASE WHEN n_distinct::DOUBLE / greatest(n_tokens, 1) > 0.3 THEN 0.25 ELSE 0.0 END
+              + CASE WHEN (n_chars - n_tokens + 1)::DOUBLE / greatest(n_tokens, 1) > 2
+                      AND (n_chars - n_tokens + 1)::DOUBLE / greatest(n_tokens, 1) < 12
+                     THEN 0.25 ELSE 0.0 END)::DOUBLE AS quality_score
+      FROM feats
+    ), quality AS (
+      SELECT * FROM scored WHERE quality_score >= 0.5
+    ), reps AS (
+      SELECT min(doc_id) AS doc_id FROM quality GROUP BY fp
+    ), kept AS (
+      SELECT q.* FROM quality q JOIN reps r ON q.doc_id = r.doc_id
+    ), base AS (
+      SELECT predicted_lang,
+             CAST(count(*) AS BIGINT) AS docs_total,
+             CAST(coalesce(sum(CASE WHEN quality_score >= 0.5 THEN 1 END), 0)
+                  AS BIGINT) AS docs_quality
+      FROM scored GROUP BY predicted_lang
+    ), keptagg AS (
+      SELECT predicted_lang,
+             CAST(count(*) AS BIGINT) AS docs_kept,
+             CAST(sum(bpe_ish_tokens) AS BIGINT) AS kept_bpe_tokens,
+             round(avg(quality_score), 6) AS avg_quality_kept
+      FROM kept GROUP BY predicted_lang
+    )
+    SELECT b.predicted_lang, b.docs_total, b.docs_quality,
+           coalesce(k.docs_kept, 0) AS docs_kept,
+           coalesce(k.kept_bpe_tokens, 0) AS kept_bpe_tokens,
+           coalesce(k.avg_quality_kept, 0.0) AS avg_quality_kept
+    FROM base b LEFT JOIN keptagg k ON b.predicted_lang = k.predicted_lang
+    ORDER BY b.predicted_lang
+    """,
+    doc="C9: the composed training-data pipeline — language-ID -> quality "
+        "gate (score >= 0.5) -> exact content dedup (canonical fingerprint, "
+        "min-doc_id representative) -> BPE-ish token accounting, reported "
+        "per predicted language.  The Spark plan computes ALL per-document "
+        "features in ONE fused codegen projection (operators/text.py "
+        "text_features — not four scans + three joins), then needs exactly "
+        "two shuffles: the fingerprint group (dedup representatives via "
+        "min_by, no join-back) and the per-language aggregate.  That is the "
+        "shape that turns 100 TB of raw crawl into a training corpus in one "
+        "pass.  Oracle replays every stage in SQL.",
+)
+def c9_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    # Feature relation feeds both the dedup branch and the per-language
+    # totals; cache it so the corpus is scanned ONCE (at cluster scale:
+    # persist to MEMORY_AND_DISK, ~40 bytes/doc vs the raw text).
+    scored = _text.text_features(spark.table("documents"), "doc_id", "text").cache()
+    quality = scored.filter(F.col("quality_score") >= 0.5)
+    kept = quality.groupBy("fingerprint_md5").agg(
+        F.min_by("predicted_lang", "doc_id").alias("predicted_lang"),
+        F.min_by("bpe_ish_tokens", "doc_id").alias("bpe_ish_tokens"),
+        F.min_by("quality_score", "doc_id").alias("quality_score"),
+    )
+    base = scored.groupBy("predicted_lang").agg(
+        F.count(F.lit(1)).alias("docs_total"),
+        F.count(F.when(F.col("quality_score") >= 0.5, 1)).alias("docs_quality"),
+    )
+    keptagg = kept.groupBy("predicted_lang").agg(
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum("bpe_ish_tokens").cast("bigint").alias("kept_bpe_tokens"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality_kept"),
+    )
+    return (
+        base.join(keptagg, "predicted_lang", "left")
+        .select(
+            "predicted_lang",
+            "docs_total",
+            "docs_quality",
+            F.coalesce("docs_kept", F.lit(0)).cast("bigint").alias("docs_kept"),
+            F.coalesce("kept_bpe_tokens", F.lit(0)).cast("bigint").alias("kept_bpe_tokens"),
+            F.coalesce("avg_quality_kept", F.lit(0.0)).alias("avg_quality_kept"),
+        )
+        .orderBy("predicted_lang")
+    )
+
+
 # ===========================================================================
 # Driver window curation: the driver's correctness gate adjudicates exactly
 # the first 50 entries of queries() in registration order (confirmed in
