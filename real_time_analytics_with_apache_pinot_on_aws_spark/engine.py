@@ -66,6 +66,17 @@ class TableConfig:
     #   dictionary page already gives EXACT row-group filtering.
     sorted_column: str | None = None
     bloom_filter_columns: tuple[str, ...] = ()
+    # Pinot segmentPartitionConfig **[P1.2]** (tableIndexConfig.
+    # segmentPartitionConfig.columnPartitionMap): segments are partitioned
+    # by a hash of one column so the broker prunes whole segments for
+    # equality predicates.  Analog: optimize_layout() rewrites sealed data
+    # into a Spark-bucketed offline table (hash(col) % numPartitions per
+    # file), and Spark's bucket pruning reads ONE bucket for `col = x`.
+    # Divergence: Spark buckets with Murmur3 over its own row format, not
+    # Pinot's Murmur/Modulo functions — the pruning property is the parity,
+    # not hash compatibility.
+    partition_column: str | None = None
+    partition_buckets: int = 0
 
     @classmethod
     def parse(cls, config_json: str | dict) -> "TableConfig":
@@ -79,6 +90,13 @@ class TableConfig:
         tic = conf.get("tableIndexConfig", {})
         stream = tic.get("streamConfigs", {})
         sorted_cols = tic.get("sortedColumn", ())
+        part_map = tic.get("segmentPartitionConfig", {}).get("columnPartitionMap", {})
+        part_col, part_n = None, 0
+        if part_map:
+            # Pinot allows one partition column per table in practice; take
+            # the first (sorted for determinism if several are declared).
+            part_col = sorted(part_map)[0]
+            part_n = int(part_map[part_col].get("numPartitions", 8))
         flush_ms = stream.get("realtime.segment.flush.threshold.time")
         flush_s = 120
         if flush_ms:  # reference uses e.g. "2m"? value is millis or duration string
@@ -106,6 +124,8 @@ class TableConfig:
             filter_function=ing.get("filterConfig", {}).get("filterFunction"),
             sorted_column=sorted_cols[0] if sorted_cols else None,
             bloom_filter_columns=tuple(tic.get("bloomFilterColumns", ())),
+            partition_column=part_col,
+            partition_buckets=part_n,
         )
 
 
@@ -429,6 +449,68 @@ class Engine:
             _fs.delete(self.spark, tmp, recursive=True)
             compacted[part_name] = len(files)
         return {"table": name, "compacted_partitions": compacted}
+
+    def optimize_layout(self, name: str) -> dict:
+        """RealtimeToOfflineSegmentsTask analog **[P1.2]** honoring
+        ``segmentPartitionConfig``: rewrite the sealed realtime data into a
+        hash-bucketed OFFLINE table so equality predicates on the partition
+        column scan ONE bucket (Pinot's broker segment pruning).
+
+        The offline table is ``{name}_offline`` over
+        ``<warehouse>/<name>/offline``; re-attach it in a fresh session with
+        :meth:`register_offline` (bucketing metadata lives in the session
+        catalog; the DDL recreates it over the same files).  Combines with
+        ``sortedColumn`` (``sortBy`` per bucket file -> tight zone maps).
+        Requires the stream stopped, same rule as :meth:`compact`.
+        """
+        config = self.configs[name]
+        if not config.partition_column or config.partition_buckets <= 0:
+            raise ValueError(
+                f"table {name!r} has no segmentPartitionConfig; nothing to optimize"
+            )
+        pipeline = self.pipelines[name]
+        q = pipeline._query
+        if q is not None and q.isActive:
+            raise RuntimeError(
+                f"table {name!r} has an active streaming query; "
+                "stop() or drain it before optimize_layout()"
+            )
+        offline_path = str(self.warehouse / name / "offline")
+        offline_table = f"{name}_offline"
+        df = self.spark.read.parquet(pipeline.table_path)
+        self.spark.sql(f"DROP TABLE IF EXISTS {offline_table}")
+        writer = (
+            df.write.mode("overwrite")
+            .option("path", offline_path)
+            .bucketBy(config.partition_buckets, config.partition_column)
+        )
+        if config.sorted_column:
+            writer = writer.sortBy(config.sorted_column)
+        writer.saveAsTable(offline_table)
+        return {
+            "table": name,
+            "offline_table": offline_table,
+            "path": offline_path,
+            "bucket_column": config.partition_column,
+            "buckets": config.partition_buckets,
+            "rows": self.spark.table(offline_table).count(),
+        }
+
+    def register_offline(self, name: str) -> None:
+        """Re-attach ``{name}_offline`` in this session's catalog via DDL
+        (CLUSTERED BY ... LOCATION) — bucket metadata is catalog state, the
+        parquet files under the offline path are the durable truth."""
+        config = self.configs[name]
+        offline_path = str(self.warehouse / name / "offline")
+        ddl = (
+            self.spark.read.parquet(offline_path)._jdf.schema().toDDL()
+        )
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {name}_offline ({ddl}) USING PARQUET "
+            f"CLUSTERED BY ({config.partition_column}) "
+            f"INTO {config.partition_buckets} BUCKETS "
+            f"LOCATION '{offline_path}'"
+        )
 
     def stop(self) -> None:
         for p in self.pipelines.values():

@@ -660,3 +660,65 @@ def test_storage_index_analogs_sorted_and_bloom(spark, tmp_path):
     assert offs["userID"] >= 0, offs
     assert offs["price"] == -1, offs
     pipeline.stop()
+
+
+PARTITIONED_TABLE_CONFIG = {
+    "tableName": "partitionedTable",
+    "tableType": "REALTIME",
+    "segmentsConfig": {"timeColumnName": "creationTimestamp"},
+    "tableIndexConfig": {
+        "streamConfigs": {"realtime.segment.flush.threshold.time": "2m"},
+        "sortedColumn": ["price"],
+        "segmentPartitionConfig": {
+            "columnPartitionMap": {
+                "userID": {"functionName": "Murmur", "numPartitions": 8}
+            }
+        },
+    },
+}
+
+
+def test_segment_partition_config_bucketed_offline(spark, tmp_path):
+    # segmentPartitionConfig -> optimize_layout() rewrites sealed data into a
+    # hash-bucketed offline table; equality predicates on the partition
+    # column prune to ONE bucket (Pinot's broker segment pruning analog).
+    src_dir = tmp_path / "stream_in"
+    _write_events(src_dir / "batch1.json", 500, "2024-06-01")
+
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    cfg = TableConfig.parse(PARTITIONED_TABLE_CONFIG)
+    assert cfg.partition_column == "userID" and cfg.partition_buckets == 8
+
+    pipeline = engine.add_table(
+        CLICKSTREAM_SCHEMA,
+        PARTITIONED_TABLE_CONFIG,
+        RawRecordSource(kind="files", path=str(src_dir)),
+        available_now=True,
+    )
+    pipeline.process_available()
+    pipeline.stop()
+
+    info = engine.optimize_layout("partitionedTable")
+    assert info["rows"] == 500 and info["buckets"] == 8
+
+    old_auto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        q = spark.table("partitionedTable_offline").filter("userID = '42'")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan[:2000]
+        expect = sum(1 for i in range(500) if str(i % 100) == "42")
+        assert q.count() == expect
+
+        # catalog metadata is session state; register_offline re-creates it
+        # over the same files (the fresh-session path)
+        spark.sql("DROP TABLE partitionedTable_offline")
+        engine.register_offline("partitionedTable")
+        q2 = spark.table("partitionedTable_offline").filter("userID = '42'")
+        plan2 = q2._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in plan2
+        assert q2.count() == expect
+        assert spark.table("partitionedTable_offline").count() == 500
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", old_auto)
+        spark.sql("DROP TABLE IF EXISTS partitionedTable_offline")
