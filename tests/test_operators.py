@@ -1007,3 +1007,45 @@ def test_geo_cell_bounds_cover_radius_circle():
         lat2, lon2 = math.degrees(p2), math.degrees(l2)
         assert xmin <= math.floor(lon2 / cs) <= xmax, (deg, lon2)
         assert ymin <= math.floor(lat2 / cs) <= ymax, (deg, lat2)
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization ANN — operators/similarity.py
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_bounds_and_reconstruction(spark):
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators import similarity as sim
+
+    rows = [(i, [((i * 37 + d * 13) % 200 - 100) / 25.0 for d in range(16)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    scale_row = sim.quantization_scale(df).collect()[0]
+    scale = scale_row["q_scale"]
+    assert scale == max(abs(v) for _, vec in rows for v in vec)
+    out = df.join(sim.quantization_scale(df)).select(
+        "vec_id", sim.quantize(F.col("embedding"), F.col("q_scale")).alias("q")
+    ).collect()
+    by_id = {r["vec_id"]: r["q"] for r in out}
+    for i, vec in rows:
+        q = by_id[i]
+        assert all(-127 <= c <= 127 for c in q)
+        # reconstruction error bounded by half a quantization step
+        for orig, qc in zip(vec, q):
+            assert abs(orig - qc * scale / 127) <= scale / 127 / 2 + 1e-9
+
+
+def test_quantized_topk_recall_on_synthetic(spark):
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators import similarity as sim
+
+    rows = [(i, [((i * 31 + d * 7) % 17 - 8) / 4.0 for d in range(24)])
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 3)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in sim.cosine_topk(df, q, k=5).collect()}
+    quant = {(r["query_id"], r["neighbor_id"])
+             for r in sim.quantized_topk(df, q, k=5, rerank=4).collect()}
+    assert len(exact) == 15
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, recall
