@@ -12,6 +12,10 @@
 - ``asof``        : as-of join (latest prior match) as union + one window pass (C7).
 - ``upsert``      : Pinot upsert-table analog — query-time latest-row resolution,
                     partial-upsert merge strategies, skew-salted aggregation (B62).
+- ``funnel``      : FUNNEL_* aggregation family — ordered step matching per user (C8 kin).
+- ``frequent``    : frequent-items (heavy-hitters) mergeable sketch with error bounds.
+- ``curation``    : corpus curation — benchmark decontamination, deterministic
+                    train/val/test split, stratified sampling, sequence packing (C10-C13).
 
 All are DataFrame compositions of built-in functions unless noted; Python only
 enters via Arrow-batched ``mapInPandas`` where semantics genuinely require it.

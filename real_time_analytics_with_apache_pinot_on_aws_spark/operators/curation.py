@@ -1,0 +1,180 @@
+"""Training-corpus curation operators (C-extension suite, round 4).
+
+Beyond dedup/similarity/text-features, a production LLM-data pipeline needs
+four more primitives before a corpus ships to a trainer — none present in the
+reference (its engine stops at SQL analytics; these are brief-mandated
+extensions alongside C1-C4):
+
+- **benchmark decontamination** — flag corpus documents that share word
+  n-grams with an evaluation/benchmark set, so test data never leaks into
+  training data;
+- **deterministic train/val/test split** — a pure function of the document
+  id (md5 prefix), reproducible across engines/runs with no stored state;
+- **stratified sampling** — exact-N per stratum and Bernoulli-by-hash
+  variants, both deterministic;
+- **sequence packing** — concatenate-and-chunk accounting that maps each
+  document into fixed token-budget context windows per language stream.
+
+All four are pure built-in-expression DataFrame plans (no Python in the hot
+path) and every one is oracle-checkable: the only "randomness" anywhere is
+md5, which DuckDB computes bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from .dedup import shingles
+
+
+def whitespace_token_count(text_col: Column) -> Column:
+    """Whitespace token count (matches text.token_counts' whitespace_tokens)."""
+    return F.size(F.filter(F.split(text_col, "\\s+"), lambda x: x != F.lit("")))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int = 3,
+    min_overlap: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per corpus document: distinct word-``n``-gram overlap with the eval set.
+
+    Returns (id, n_overlap, contaminated) for every corpus row, where
+    ``contaminated`` is ``n_overlap >= min_overlap`` — the n-gram-collision
+    decontamination step every serious pretraining pipeline runs against its
+    benchmark suites.
+
+    Scale shape (100 TB corpus, benchmark suites of at most a few hundred MB):
+    the eval set's distinct gram dictionary is tiny and **broadcast**, so the
+    corpus side is explode -> broadcast-hash-join -> partial count — the
+    corpus text itself never crosses an exchange; the only shuffle carries
+    (id, partial_count) pairs.  Grams are per-document distinct before the
+    join (``shingles`` dedups), so ``count(*)`` of join hits IS the distinct
+    overlap count.  At production scale the join key would be
+    ``xxhash64(gram)`` (8-byte keys); the string key kept here is what the
+    DuckDB oracle can replay exactly.
+    """
+    eg = (
+        eval_set.select(F.explode(shingles(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    cg = corpus.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("gram")
+    )
+    hits = (
+        cg.join(F.broadcast(eg), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_hex: str = "cc",
+    val_hex: str = "e6",
+) -> DataFrame:
+    """Append a deterministic train/val/test ``split`` column.
+
+    The split is a pure function of ``md5(cast(id as string))``'s first two
+    hex chars (256 buckets): ``< train_hex`` -> train (default 204/256 ~ 80%),
+    ``< val_hex`` -> val (~10%), else test.  No RNG, no seed to persist, no
+    shuffle — a map-side projection that assigns the same document to the
+    same split on any engine, any cluster, any day; DuckDB reproduces it
+    bit-for-bit, which is what makes the assignment auditable.
+    """
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    return df.withColumn(
+        "split",
+        F.when(bucket < train_hex, F.lit("train"))
+        .when(bucket < val_hex, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    stratum_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum, deterministically.
+
+    Rank within each stratum by ``(md5(id), id)`` — a reproducible pseudo-
+    random order — and keep the first N.  One shuffle, keyed by the stratum;
+    a skewed stratum costs one hot partition of (id, md5) pairs only (the
+    payload columns rejoin AFTER selection at scale; here the fixture rows
+    are narrow enough to carry through).
+    """
+    rk = F.row_number().over(
+        W.partitionBy(stratum_col).orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+    )
+    return df.withColumn("rk", rk).filter(F.col("rk") <= n_per_stratum)
+
+
+def bernoulli_sample(
+    df: DataFrame,
+    rate_hex: str = "20",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows with md5 prefix < rate_hex.
+
+    ``rate_hex`` of '20' keeps ~32/256 = 12.5 % of rows.  Zero shuffles —
+    the filter is a map-side predicate on a hash of the id, so the sample is
+    stable under re-runs, re-partitioning, and engine changes (the property
+    ``TABLESAMPLE BERNOULLI`` cannot give you).
+    """
+    return df.filter(F.substring(F.md5(F.col(id_col).cast("string")), 1, 2) < rate_hex)
+
+
+def pack_sequences(
+    df: DataFrame,
+    part_col: str,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing accounting.
+
+    Models the standard pretraining packer: within each ``part_col`` stream
+    (e.g. language), documents are concatenated in ``id_col`` order and the
+    token stream is cut into fixed ``budget``-token context windows.  Emits
+    per document: its starting token offset, the first chunk it lands in,
+    and how many chunks it spans (documents crossing a boundary span > 1).
+
+    Plan: one window cumulative sum per stream — a single shuffle keyed by
+    ``part_col`` carrying (id, token_count) pairs.  At 100 TB the stream key
+    would include a shard component (e.g. ``pmod(xxhash64(id), n_shards)``)
+    so no single stream serializes through one task; the arithmetic is
+    unchanged because offsets are per-stream.
+    """
+    w = (
+        W.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("bigint")
+    first_chunk = F.floor(offset / budget).cast("bigint")
+    last_chunk = F.floor(
+        (offset + F.greatest(F.col(token_col), F.lit(1)) - 1) / budget
+    ).cast("bigint")
+    return df.select(
+        F.col(part_col),
+        F.col(id_col),
+        F.col(token_col).cast("bigint").alias(token_col),
+        offset.alias("token_offset"),
+        first_chunk.alias("first_chunk"),
+        (last_chunk - first_chunk + 1).alias("chunks_spanned"),
+    )

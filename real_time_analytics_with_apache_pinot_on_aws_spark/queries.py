@@ -4391,6 +4391,181 @@ def c9_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# C10-C13: corpus-curation suite (operators/curation.py) — benchmark
+# decontamination, deterministic hash split, stratified sampling, sequence
+# packing.  All md5-deterministic, so DuckDB replays every value exactly.
+# ===========================================================================
+
+from .operators import curation as _cur  # noqa: E402
+
+# DuckDB mirror of dedup.shingles(text, 3): same sequence bounds, same
+# truncating slice, same distinct — gram strings match Spark's bit-for-bit.
+_DUCK_GRAMS3 = (
+    "list_distinct(list_transform(range(1, greatest(len(toks)-3, 0)+2), "
+    "i -> array_to_string(toks[i:i+2], ' ')))"
+)
+_DUCK_WS_TOKS = "len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))"
+_DUCK_SPLIT = (
+    "CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cc' THEN 'train' "
+    "WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val' "
+    "ELSE 'test' END"
+)
+
+
+@register(
+    "c10_decontamination",
+    f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    grams AS (
+      SELECT doc_id, unnest({_DUCK_GRAMS3}) AS gram FROM toks
+    ),
+    eg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 17 = 3),
+    hits AS (
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+      FROM grams g JOIN eg USING (gram)
+      WHERE g.doc_id % 17 <> 3
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(h.n_overlap, 0) AS n_overlap,
+           coalesce(h.n_overlap, 0) >= 5 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 17 <> 3
+    ORDER BY d.doc_id
+    """,
+    doc="C10: benchmark decontamination — per corpus doc, distinct 3-gram "
+        "overlap with a held-out eval slice (doc_id % 17 = 3 stands in for "
+        "the benchmark suite), contaminated at >= 5 shared grams.  Scale "
+        "shape: eval gram dictionary broadcast (benchmarks are MBs, corpora "
+        "are TBs), corpus side explode -> broadcast-join -> partial count — "
+        "corpus text never crosses an exchange; the only shuffle is "
+        "(doc_id, count) pairs.  Oracle replays the gram algebra exactly.",
+)
+def c10_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    eval_set = docs.filter(F.col("doc_id") % 17 == 3)
+    corpus = docs.filter(F.col("doc_id") % 17 != 3)
+    return _cur.decontaminate(corpus, eval_set, n=3, min_overlap=5).orderBy("doc_id")
+
+
+@register(
+    "c11_hash_split",
+    f"""
+    SELECT {_DUCK_SPLIT} AS split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum({_DUCK_WS_TOKS}) AS BIGINT) AS n_tokens
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY split, lang
+    """,
+    doc="C11: deterministic train/val/test split — a pure function of "
+        "md5(doc_id) (first two hex chars: <'cc' train ~80%, <'e6' val "
+        "~10%, else test).  No RNG, no seed table, no shuffle for the "
+        "assignment itself — the same doc lands in the same split on any "
+        "engine/cluster/day, which is what makes the split auditable; the "
+        "oracle recomputes every bucket bit-for-bit.",
+)
+def c11_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    docs = _cur.hash_split(spark.table("documents"))
+    return (
+        docs.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(_cur.whitespace_token_count(F.col("text")))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "c12_stratified_sample",
+    """
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT 'exact_n' AS method, source, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    UNION ALL
+    SELECT 'bernoulli' AS method, source, doc_id, CAST(0 AS BIGINT) AS rk
+    FROM documents
+    WHERE substr(md5(doc_id::VARCHAR), 1, 2) < '20'
+    ORDER BY method, source, doc_id
+    """,
+    doc="C12: stratified sampling, both deterministic variants — exact-N "
+        "per stratum (rank by md5(id) within source, keep 5: one shuffle "
+        "keyed by the stratum, payload rejoins after selection at scale) "
+        "and Bernoulli-by-hash (md5 prefix < '20' ~ 12.5%: zero shuffles, "
+        "a map-side predicate stable under re-runs and repartitioning — "
+        "the property TABLESAMPLE BERNOULLI cannot give).",
+)
+def c12_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    ex = _cur.stratified_sample_exact(docs, "source", 5).select(
+        F.lit("exact_n").alias("method"),
+        "source",
+        "doc_id",
+        F.col("rk").cast("bigint").alias("rk"),
+    )
+    be = _cur.bernoulli_sample(docs, "20").select(
+        F.lit("bernoulli").alias("method"),
+        "source",
+        "doc_id",
+        F.lit(0).cast("bigint").alias("rk"),
+    )
+    return ex.unionAll(be).orderBy("method", "source", "doc_id")
+
+
+@register(
+    "c13_sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT lang, doc_id, CAST({_DUCK_WS_TOKS} AS BIGINT) AS n_tokens
+      FROM documents
+    ), o AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS token_offset
+      FROM t
+    )
+    SELECT lang, doc_id, n_tokens, token_offset,
+           CAST(token_offset // 128 AS BIGINT) AS first_chunk,
+           CAST((token_offset + greatest(n_tokens, 1) - 1) // 128
+                - token_offset // 128 + 1 AS BIGINT) AS chunks_spanned
+    FROM o
+    ORDER BY lang, doc_id
+    """,
+    doc="C13: sequence packing — the standard pretraining packer modeled as "
+        "relational algebra: per language stream, docs concatenate in id "
+        "order and the token stream cuts into 128-token context windows; "
+        "each doc reports its offset, first chunk, and chunks spanned.  One "
+        "window cumsum per stream = a single shuffle carrying (id, count) "
+        "pairs; at 100 TB the stream key gains a shard component so no "
+        "stream serializes through one task.",
+)
+def c13_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    toks = spark.table("documents").select(
+        "lang",
+        "doc_id",
+        _cur.whitespace_token_count(F.col("text")).alias("n_tokens"),
+    )
+    return _cur.pack_sequences(toks, "lang", "n_tokens", 128, id_col="doc_id").orderBy(
+        "lang", "doc_id"
+    )
+
+
+# ===========================================================================
 # Driver window curation: the driver's correctness gate adjudicates exactly
 # the first 50 entries of queries() in registration order (confirmed in
 # round-2 VERDICT).  Re-order the registry so those 50 jointly cover every

@@ -1,0 +1,103 @@
+"""Corpus-curation operators (C10-C13): invariants the oracle gate can't see.
+
+The oracle gate (test_queries_oracle) proves value parity with DuckDB; these
+tests pin the SEMANTIC contracts — split exhaustiveness/disjointness, exact
+stratum sizes, packing conservation laws, decontamination recall — plus the
+plan shapes (broadcast on the eval-gram side, no corpus-text shuffle).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_analytics_with_apache_pinot_on_aws_spark.operators import curation as C
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from real_time_analytics_with_apache_pinot_on_aws_spark import queries as Q
+
+    Q._prep(spark, SF_DIR)
+    return spark.table("documents")
+
+
+def test_hash_split_partitions_every_row_exactly_once(docs):
+    split = C.hash_split(docs)
+    total = docs.count()
+    by = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(by.values()) == total
+    assert set(by) <= {"train", "val", "test"}
+    # ~80/10/10 with binomial slack at n=500
+    assert 0.70 <= by["train"] / total <= 0.88
+    assert by.get("val", 0) > 0 and by.get("test", 0) > 0
+
+
+def test_hash_split_is_stable_across_invocations(docs):
+    a = C.hash_split(docs).select("doc_id", "split")
+    b = C.hash_split(docs).select("doc_id", "split")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_stratified_sample_exact_n_per_stratum(docs):
+    sampled = C.stratified_sample_exact(docs, "source", 5)
+    per = sampled.groupBy("source").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] == 5 for r in per)
+    assert len(per) == docs.select("source").distinct().count()
+    # determinism: same five ids each time
+    again = C.stratified_sample_exact(docs, "source", 5)
+    assert sampled.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+
+
+def test_bernoulli_sample_is_a_stable_subset(docs):
+    s = C.bernoulli_sample(docs, "20")
+    n, total = s.count(), docs.count()
+    # 12.5% nominal; binomial slack at n=500
+    assert 0.05 * total <= n <= 0.22 * total
+    assert s.join(docs, "doc_id", "left_anti").count() == 0
+
+
+def test_pack_sequences_conservation_laws(docs):
+    toks = docs.select(
+        "lang", "doc_id", C.whitespace_token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = C.pack_sequences(toks, "lang", "n_tokens", 128)
+    rows = packed.orderBy("lang", "doc_id").collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        # offsets are the exclusive prefix sums: contiguous, gap-free stream
+        run = 0
+        for r in rs:
+            assert r["token_offset"] == run, (lang, r)
+            run += r["n_tokens"]
+            # chunk span arithmetic: first chunk holds the first token,
+            # span covers through the last token
+            assert r["first_chunk"] == r["token_offset"] // 128
+            last = (r["token_offset"] + max(r["n_tokens"], 1) - 1) // 128
+            assert r["chunks_spanned"] == last - r["first_chunk"] + 1
+        # total chunks = ceil(stream/budget) — no tokens lost or invented
+        n_chunks = max(r["first_chunk"] + r["chunks_spanned"] for r in rs)
+        assert n_chunks == (run + 127) // 128
+
+
+def test_decontaminate_flags_eval_members_planted_in_corpus(docs, spark):
+    # plant: corpus containing an exact copy of an eval doc must be flagged
+    eval_set = docs.filter(F.col("doc_id") % 17 == 3).limit(3)
+    planted = eval_set.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    corpus = docs.filter(F.col("doc_id") % 17 != 3).unionByName(planted)
+    out = C.decontaminate(corpus, eval_set, n=3, min_overlap=1)
+    flagged = {r["doc_id"] for r in out.filter("contaminated").collect()}
+    want = {r["doc_id"] for r in planted.select("doc_id").collect()}
+    assert want <= flagged
+
+
+def test_decontaminate_broadcasts_eval_grams(docs):
+    eval_set = docs.filter(F.col("doc_id") % 17 == 3)
+    corpus = docs.filter(F.col("doc_id") % 17 != 3)
+    plan = C.decontaminate(corpus, eval_set)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
