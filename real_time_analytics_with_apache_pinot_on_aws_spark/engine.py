@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import re
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -309,9 +310,54 @@ class Engine:
 
     # -- query plane (B2, B4) --------------------------------------------
 
+    _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s+PLAN\s+FOR\s+", re.IGNORECASE)
+
     def query(self, sql: str) -> DataFrame:
-        """/query/sql analog — full Spark SQL + the Pinot function surface."""
+        """/query/sql analog — full Spark SQL + the Pinot function surface.
+
+        ``EXPLAIN PLAN FOR <sql>`` is routed to :meth:`explain_plan`, same
+        as the Pinot broker **[P1.2]** — the result is the operator tree as
+        a table, so BI tools can introspect plans over the same endpoint.
+        """
+        m = self._EXPLAIN_RE.match(sql)
+        if m:
+            return self.explain_plan(sql[m.end():])
         return self.spark.sql(sql)
+
+    def explain_plan(self, sql: str) -> DataFrame:
+        """Pinot ``EXPLAIN PLAN FOR`` analog **[P1.2]**.
+
+        Pinot returns the plan as a result table with columns
+        ``Operator / Operator_Id / Parent_Id`` (root parent = -1).  We emit
+        the same shape from Spark's *executed* physical plan tree (post-
+        Catalyst, post-AQE-initial-plan): each tree line becomes one
+        operator row; parentage is recovered from the tree indentation
+        (every nesting level is one 3-char ``+- `` / ``:- `` / ``:  ``
+        segment).  This is the physical truth the scale story rests on —
+        broadcast vs sort-merge joins, pushed filters, partial/final
+        aggregates are all visible, exactly what Pinot's plan rows expose.
+        """
+        plan = self.spark.sql(sql)._jdf.queryExecution().executedPlan().toString()
+        rows: list[tuple[str, int, int]] = []
+        # stack of (depth, operator_id) for parent recovery
+        stack: list[tuple[int, int]] = []
+        for line in plan.splitlines():
+            if not line.strip():
+                continue
+            stripped = line.lstrip(" :+-")
+            prefix_len = len(line) - len(stripped)
+            depth = prefix_len // 3
+            if not stripped or stripped.startswith(("Arguments", "Output", "Input")):
+                continue
+            op_id = len(rows)
+            while stack and stack[-1][0] >= depth:
+                stack.pop()
+            parent = stack[-1][1] if stack else -1
+            rows.append((stripped, op_id, parent))
+            stack.append((depth, op_id))
+        return self.spark.createDataFrame(
+            rows, schema="Operator string, Operator_Id int, Parent_Id int"
+        )
 
     def query_json(self, sql: str) -> list[str]:
         """JSON result rows (broker response analog).  Small results only —

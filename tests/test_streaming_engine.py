@@ -722,3 +722,34 @@ def test_segment_partition_config_bucketed_offline(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", old_auto)
         spark.sql("DROP TABLE IF EXISTS partitionedTable_offline")
+
+
+def test_explain_plan_surface(spark, tmp_path):
+    """Pinot `EXPLAIN PLAN FOR` analog: the plan comes back AS A RESULT TABLE
+    (Operator / Operator_Id / Parent_Id, root parent -1), routed through the
+    same query() entry point the broker exposes — and the operator rows carry
+    the physical facts the scale story rests on (scan, aggregate)."""
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    df = engine.query(
+        "EXPLAIN PLAN FOR SELECT ingest_date, count(*) AS n FROM range(10) "
+        "CROSS JOIN (SELECT 1 AS ingest_date) GROUP BY ingest_date"
+    )
+    assert df.columns == ["Operator", "Operator_Id", "Parent_Id"]
+    rows = df.collect()
+    assert rows, "plan must have operator rows"
+    ids = [r["Operator_Id"] for r in rows]
+    assert ids == sorted(set(ids)), "operator ids are dense and unique"
+    roots = [r for r in rows if r["Parent_Id"] == -1]
+    assert len(roots) >= 1
+    # every non-root parent exists and precedes its child (tree order)
+    by_id = {r["Operator_Id"]: r for r in rows}
+    for r in rows:
+        if r["Parent_Id"] != -1:
+            assert r["Parent_Id"] in by_id and r["Parent_Id"] < r["Operator_Id"]
+    ops = " ".join(r["Operator"] for r in rows)
+    assert "HashAggregate" in ops and "Range" in ops
+    # the broker envelope serves the same rows (BI introspection path)
+    resp = engine.query_broker_response("EXPLAIN PLAN FOR SELECT 1 AS x")
+    assert resp["resultTable"]["dataSchema"]["columnNames"] == [
+        "Operator", "Operator_Id", "Parent_Id"
+    ]

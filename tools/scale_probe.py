@@ -41,6 +41,10 @@ PROBES = (
     # LLM-pipeline operators (round-4 VERDICT item 4)
     "c1_dedup_minhash_lsh",
     "c2_cosine_topk",
+    # curation suite (round 4): gram-overlap decontamination stresses the
+    # explode->broadcast-join path, packing stresses the per-stream window
+    "c10_decontamination",
+    "c13_sequence_packing",
 )
 
 
