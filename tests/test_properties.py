@@ -243,3 +243,67 @@ def test_frequent_items_invariants(spark, rows, k):
     for item, n in exact.items():
         if n > total_eps:
             assert item in stored, (item, n, total_eps)
+
+
+pack_rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),     # stream key
+        st.integers(min_value=0, max_value=50),    # token count (0 allowed)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=pack_rows_st, budget=st.sampled_from([1, 7, 16]))
+@settings(**SETTINGS)
+def test_pack_sequences_matches_sequential_reference(spark, rows, budget):
+    """Packing must equal the obvious single-threaded packer for ANY stream:
+    offsets are exclusive prefix sums, chunk spans cover exactly the doc's
+    token range, and zero-token docs still land in exactly one chunk."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators import curation
+
+    data = [(k, i, n) for i, (k, n) in enumerate(rows)]
+    df = spark.createDataFrame(data, "part long, doc_id long, n_tokens long")
+    got = {
+        (r["part"], r["doc_id"]): (r["token_offset"], r["first_chunk"], r["chunks_spanned"])
+        for r in curation.pack_sequences(df, "part", "n_tokens", budget).collect()
+    }
+    # sequential reference
+    streams: dict[int, int] = {}
+    for k, i, n in sorted(data, key=lambda t: (t[0], t[1])):
+        off = streams.get(k, 0)
+        first = off // budget
+        last = (off + max(n, 1) - 1) // budget
+        assert got[(k, i)] == (off, first, last - first + 1), (k, i, n, budget)
+        streams[k] = off + n
+
+
+@given(
+    corpus=st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=12),
+    evals=st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=4),
+)
+@settings(**SETTINGS)
+def test_decontaminate_matches_set_reference(spark, corpus, evals):
+    """n_overlap must equal |grams(doc) ∩ grams(eval_union)| computed in
+    plain Python over the same tokenization, for ANY adversarial text."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators import curation
+
+    def grams(text: str) -> set[str]:
+        import re as _re
+
+        toks = [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
+        upper = max(len(toks) - 3, 0)
+        return {" ".join(toks[i : i + 3]) for i in range(upper + 1)}
+
+    eval_grams: set[str] = set()
+    for t in evals:
+        eval_grams |= grams(t)
+    cdf = spark.createDataFrame(list(enumerate(corpus)), "doc_id long, text string")
+    edf = spark.createDataFrame(list(enumerate(evals)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n_overlap"]
+        for r in curation.decontaminate(cdf, edf, n=3, min_overlap=1).collect()
+    }
+    for i, t in enumerate(corpus):
+        assert got[i] == len(grams(t) & eval_grams), (i, t)
