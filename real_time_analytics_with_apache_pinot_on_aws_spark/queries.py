@@ -2713,6 +2713,75 @@ def c6_startree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "c6_startree_autoroute",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           CAST(count(value) AS BIGINT) AS n_rows,
+           min(value) AS lo,
+           max(value) AS hi,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS mean
+    FROM events
+    WHERE event_type IN ('view', 'click', 'purchase', 'add_to_cart', 'login')
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Star-tree SELECTION analog (round 4): the request is declared, not "
+        "hand-routed — RollupRouter matches it against the registered rollup "
+        "(dims+filters subset of rollup dims, every aggregate derivable from "
+        "stored metrics) and serves from pre-agg cells; the builder raises if "
+        "routing picked the raw scan, so the green gate proves both the "
+        "selection decision AND the merge algebra against the direct-"
+        "aggregation oracle.  Decimal partial sums keep the float-order "
+        "nondeterminism out of the merged totals.",
+)
+def c6_startree_autoroute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    ev = spark.table("events").withColumn(
+        "value_d", F.col("value").cast("decimal(18,6)")
+    )
+    spec = _rollup.RollupSpec(
+        dims=("event_type",),
+        metrics={
+            "s_val": ("sum", "value_d"),
+            "c_val": ("count", "value_d"),
+            "mn_val": ("min", "value"),
+            "mx_val": ("max", "value"),
+        },
+    )
+    cells = _rollup.rollup_batch(ev.filter(F.col("event_id") % 3 == 0), spec)
+    for i in (1, 2):
+        cells = cells.unionByName(
+            _rollup.rollup_batch(ev.filter(F.col("event_id") % 3 == i), spec)
+        )
+    router = _rollup.RollupRouter(lambda: ev)
+    router.register("by_type", lambda: cells, spec)
+    req = _rollup.AggRequest(
+        dims=("event_type",),
+        aggs={
+            "total": ("sum", "value_d"),
+            "n_rows": ("count", "value_d"),
+            "lo": ("min", "value"),
+            "hi": ("max", "value"),
+        },
+        dim_filters={
+            "event_type": ("view", "click", "purchase", "add_to_cart", "login")
+        },
+    )
+    out, route = router.answer(req)
+    if route != "rollup:by_type":  # the selection itself is under test
+        raise AssertionError(f"expected rollup routing, got {route}")
+    return out.select(
+        "event_type",
+        F.col("total").cast("double").alias("total"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        "lo",
+        "hi",
+        (F.col("total").cast("double") / F.col("n_rows")).alias("mean"),
+    ).orderBy("event_type")
+
+
 # ===========================================================================
 # B55 — geospatial (optional Pinot plugin; minimal ST_* surface).  Synthetic
 # coordinates derived deterministically from user_id so the oracle can derive

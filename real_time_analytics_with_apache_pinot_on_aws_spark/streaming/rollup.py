@@ -87,3 +87,125 @@ def serve(
     for out, (s, c) in (avgs or {}).items():
         merged = merged.withColumn(out, F.col(s) / F.col(c))
     return merged
+
+
+# ---------------------------------------------------------------------------
+# Star-tree SELECTION analog: Pinot doesn't just *store* star-trees, its
+# servers automatically ROUTE a matching group-by to the pre-agg and fall
+# back to the raw scan otherwise **[P1.2]**.  RollupRouter is that decision,
+# made once per request at the API layer (SURVEY §4 rules out a custom
+# Catalyst rule; the routing algebra is identical either way).
+# ---------------------------------------------------------------------------
+
+from typing import Callable  # noqa: E402
+
+_SERVABLE = ("sum", "count", "min", "max", "avg")
+
+
+@dataclass(frozen=True)
+class AggRequest:
+    """A declarative group-by request: the shape star-tree routing matches.
+
+    ``aggs`` maps output column -> (fn, input column), fn in
+    sum/count/min/max/avg; ``dim_filters`` maps dimension -> allowed values
+    (IN semantics).  Pinot's star-tree applies under the same conditions:
+    group-bys and filters on indexed dimensions, algebraic aggregates on
+    indexed metrics.
+    """
+
+    dims: tuple[str, ...]
+    aggs: dict[str, tuple[str, str]]
+    dim_filters: dict[str, tuple] = field(default_factory=dict)
+
+
+class RollupRouter:
+    """Route an :class:`AggRequest` to a covering rollup, else the raw scan.
+
+    A rollup covers a request iff (a) the requested dims AND filtered dims
+    are a subset of the rollup dims, and (b) every aggregate is derivable
+    from stored metrics: sum/count/min/max need an exact (fn, col) metric;
+    avg needs ('sum', col) + ('count', col).  Holistic aggregates (exact
+    distinct, percentile) can never match — RollupSpec already rejects them
+    at build time, so routing stays sound by construction.
+
+    At 100 TB the routed path reads |cells| pre-agg rows (typically 3-6
+    orders of magnitude fewer bytes) with the same single shuffle; the
+    fallback is exactly the query the caller would have written by hand —
+    routing never changes results, only the scan (pinned by tests).
+    """
+
+    def __init__(self, base_scan: Callable[[], DataFrame]) -> None:
+        self._base_scan = base_scan
+        self._rollups: list[tuple[str, Callable[[], DataFrame], RollupSpec]] = []
+
+    def register(
+        self, name: str, rollup_scan: Callable[[], DataFrame], spec: RollupSpec
+    ) -> None:
+        self._rollups.append((name, rollup_scan, spec))
+
+    @staticmethod
+    def _metric_map(spec: RollupSpec, req: AggRequest) -> dict[str, tuple] | None:
+        """out -> ('direct', fn, stored) | ('avg', sum_stored, cnt_stored)."""
+        by_pair = {pair: out for out, pair in spec.metrics.items()}
+        mapping: dict[str, tuple] = {}
+        for out, (fn, col) in req.aggs.items():
+            if fn not in _SERVABLE:
+                return None
+            if fn == "avg":
+                s, c = by_pair.get(("sum", col)), by_pair.get(("count", col))
+                if s is None or c is None:
+                    return None
+                mapping[out] = ("avg", s, c)
+            else:
+                stored = by_pair.get((fn, col))
+                if stored is None:
+                    return None
+                mapping[out] = ("direct", fn, stored)
+        return mapping
+
+    def _covering(self, req: AggRequest):
+        needed = set(req.dims) | set(req.dim_filters)
+        for name, scan, spec in self._rollups:
+            if not needed <= set(spec.dims):
+                continue
+            mapping = self._metric_map(spec, req)
+            if mapping is not None:
+                return name, scan, mapping
+        return None
+
+    def answer(self, req: AggRequest) -> tuple[DataFrame, str]:
+        """(result, route) where route is 'rollup:<name>' or 'scan'."""
+        choice = self._covering(req)
+        if choice is None:
+            df = self._base_scan()
+            for dim, values in req.dim_filters.items():
+                df = df.filter(F.col(dim).isin(list(values)))
+            # the fallback accepts ANY Spark aggregate (median, percentile,
+            # count distinct, ...) — routing restricts what a ROLLUP can
+            # serve, never what the engine can answer
+            out = df.groupBy(*req.dims).agg(
+                *[F.expr(f"{fn}({col})").alias(o) for o, (fn, col) in req.aggs.items()]
+            )
+            return out, "scan"
+        name, scan, mapping = choice
+        cells = scan()
+        for dim, values in req.dim_filters.items():
+            cells = cells.filter(F.col(dim).isin(list(values)))
+        merge_exprs = []
+        for out, m in mapping.items():
+            if m[0] == "direct":
+                _, fn, stored = m
+                merge_exprs.append(_MERGE_FNS[fn](stored).alias(out))
+        # avg components merge under temp names, divided after
+        avg_parts: dict[str, tuple[str, str]] = {}
+        for out, m in mapping.items():
+            if m[0] == "avg":
+                _, s, c = m
+                merge_exprs.append(F.sum(s).alias(f"__{out}_sum"))
+                merge_exprs.append(F.sum(c).alias(f"__{out}_cnt"))
+                avg_parts[out] = (f"__{out}_sum", f"__{out}_cnt")
+        merged = cells.groupBy(*req.dims).agg(*merge_exprs)
+        for out, (s, c) in avg_parts.items():
+            merged = merged.withColumn(out, F.col(s) / F.col(c))
+        merged = merged.select(*req.dims, *req.aggs)
+        return merged, f"rollup:{name}"

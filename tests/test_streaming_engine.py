@@ -753,3 +753,71 @@ def test_explain_plan_surface(spark, tmp_path):
     assert resp["resultTable"]["dataSchema"]["columnNames"] == [
         "Operator", "Operator_Id", "Parent_Id"
     ]
+
+
+def test_rollup_router_routes_and_matches_direct(spark, tmp_path):
+    """Star-tree SELECTION analog: a covering request routes to the rollup
+    and returns exactly the direct-aggregation answer (incl. merged avg and
+    dim filters); a non-covered request falls back to the raw scan; the
+    routed plan reads the rollup parquet, not the raw table."""
+    from pyspark.sql import functions as F
+    from real_time_analytics_with_apache_pinot_on_aws_spark.streaming import rollup as R
+    from real_time_analytics_with_apache_pinot_on_aws_spark import catalog
+
+    catalog.register_tables(spark, "/root/testdata/sf0.01")
+    events = spark.table("events")
+    spec = R.RollupSpec(
+        dims=("event_type",),
+        metrics={
+            "s_value": ("sum", "value"),
+            "c_value": ("count", "value"),
+            "mn": ("min", "value"),
+            "mx": ("max", "value"),
+        },
+    )
+    # three "segments" -> three partial batches appended to one parquet rollup
+    rollup_dir = str(tmp_path / "rollup_cells")
+    for i in range(3):
+        R.rollup_batch(events.filter(F.col("event_id") % 3 == i), spec).write.mode(
+            "append"
+        ).parquet(rollup_dir)
+
+    router = R.RollupRouter(lambda: spark.table("events"))
+    router.register("by_type", lambda: spark.read.parquet(rollup_dir), spec)
+
+    req = R.AggRequest(
+        dims=("event_type",),
+        aggs={
+            "total": ("sum", "value"),
+            "n": ("count", "value"),
+            "lo": ("min", "value"),
+            "hi": ("max", "value"),
+            "mean": ("avg", "value"),
+        },
+        dim_filters={"event_type": ("view", "click", "purchase")},
+    )
+    routed, route = router.answer(req)
+    assert route == "rollup:by_type"
+    # the scan reads rollup cell columns, not the raw events schema
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "s_value" in plan and "c_value" in plan
+    assert "user_id" not in plan and "props" not in plan
+
+    direct, droute = R.RollupRouter(lambda: spark.table("events")).answer(req)
+    assert droute == "scan"
+    key = lambda r: r["event_type"]  # noqa: E731
+    got = sorted(routed.collect(), key=key)
+    want = sorted(direct.collect(), key=key)
+    assert [r["event_type"] for r in got] == [r["event_type"] for r in want]
+    for g, w in zip(got, want):
+        assert g["n"] == w["n"] and g["lo"] == w["lo"] and g["hi"] == w["hi"]
+        assert abs(g["total"] - w["total"]) < 1e-6
+        assert abs(g["mean"] - w["mean"]) < 1e-9
+
+    # non-coverable shapes fall back: unknown dim, holistic-ish agg
+    assert router.answer(
+        R.AggRequest(dims=("user_id",), aggs={"n": ("count", "value")})
+    )[1] == "scan"
+    assert router.answer(
+        R.AggRequest(dims=("event_type",), aggs={"md": ("median", "value")})
+    )[1] == "scan"
