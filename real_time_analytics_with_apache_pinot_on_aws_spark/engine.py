@@ -43,6 +43,10 @@ class TableConfig:
     # kinesisTableConfigFile.json has no upsertConfig): FULL/PARTIAL mode,
     # primary key from the schema, per-column partial strategies.
     upsert_mode: str | None = None  # None | "FULL" | "PARTIAL"
+    # Pinot dedupConfig **[P1.2]** (sibling of upsertConfig): drop records
+    # whose primary key was already ingested — first writer wins.  Resolved
+    # at query time (earliest row per key), raw log kept as <name>_raw.
+    dedup_enabled: bool = False
     primary_key_columns: tuple[str, ...] = ()
     partial_upsert_strategies: tuple[tuple[str, str], ...] = ()
     # Pinot upsert deleteRecordColumn **[P1.2]**: boolean tombstone column;
@@ -113,6 +117,7 @@ class TableConfig:
             retention_days=retention,
             flush_threshold_seconds=flush_s,
             upsert_mode=ups.get("mode", "").upper() or None,
+            dedup_enabled=bool(conf.get("dedupConfig", {}).get("dedupEnabled", False)),
             primary_key_columns=tuple(conf.get("primaryKeyColumns", ())),
             partial_upsert_strategies=tuple(
                 sorted(ups.get("partialUpsertStrategies", {}).items())
@@ -243,11 +248,11 @@ class Engine:
         """
         raw = self.pipelines[name].table()
         config = self.configs.get(name)
-        if config is None or config.upsert_mode is None:
+        if config is None or (config.upsert_mode is None and not config.dedup_enabled):
             raw.createOrReplaceTempView(name)
             return
         if not config.primary_key_columns:
-            raise ValueError(f"upsert table {name!r} declares no primaryKeyColumns")
+            raise ValueError(f"upsert/dedup table {name!r} declares no primaryKeyColumns")
         from .operators import upsert as _upsert
 
         tc = config.time_column
@@ -259,7 +264,10 @@ class Engine:
         # wins deterministically — Pinot's upsert comparison rule.
         order += [c for c in ("__ingest_epoch", "__ingest_seq") if c in raw.columns]
         keys = list(config.primary_key_columns)
-        if config.upsert_mode == "PARTIAL" and config.partial_upsert_strategies:
+        if config.upsert_mode is None and config.dedup_enabled:
+            # dedupConfig table **[P1.2]**: first writer wins per key
+            resolved = _upsert.first_by_key(raw, keys, order)
+        elif config.upsert_mode == "PARTIAL" and config.partial_upsert_strategies:
             # deleteRecordColumn under PARTIAL mode (Pinot 1.2 **[P1.2]**):
             # a tombstone wipes accumulated state; later partials rebuild the
             # row from scratch (see operators/upsert.py:partial_upsert)

@@ -68,6 +68,28 @@ def latest_by_key(
     return agg.select(*key_cols, *[F.col(f"_latest.{c}").alias(c) for c in out_cols])
 
 
+def first_by_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Dedup-table resolved view: the EARLIEST row per key **[P1.2]**.
+
+    Pinot's ``dedupConfig`` (a sibling of upsertConfig) drops any record
+    whose primary key was already ingested — first writer wins, the mirror
+    image of upsert's last-writer-wins.  Same single ``min_by(struct(...))``
+    hash aggregate as :func:`latest_by_key`, same one primary-key shuffle;
+    Pinot enforces it at ingest with server-side key metadata, we resolve at
+    query time over the append-only log (the log stays available raw, which
+    Pinot's in-place drop cannot offer).
+    """
+    payload = [c for c in df.columns if c not in key_cols]
+    agg = df.groupBy(*key_cols).agg(
+        F.min_by(F.struct(*payload), _order_struct(order_cols)).alias("_first")
+    )
+    return agg.select(*key_cols, *[F.col(f"_first.{c}").alias(c) for c in payload])
+
+
 #: Pinot partial-upsert strategies **[P1.2]** -> aggregate expression builders.
 #: OVERWRITE = value from the latest row; IGNORE = value from the earliest row
 #: (Pinot: keep the first seen, ignore updates); SUM/MAX/MIN accumulate;

@@ -2510,6 +2510,33 @@ def b62_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b62_dedup_first",
+    """
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+           CAST(value AS DOUBLE) AS value
+    FROM (
+      SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ) t
+    WHERE rn = 1
+    """,
+    doc="B62 sibling: Pinot dedupConfig resolved view — FIRST ingested row "
+        "per primary key (first writer wins, the mirror of upsert's latest-"
+        "wins) via one min_by(struct) hash aggregate; same single primary-"
+        "key shuffle, no per-key sort",
+)
+def b62_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    ev = spark.table("events").select("user_id", "event_id", "ts", "event_type", "value")
+    out = _upsert.first_by_key(ev, ["user_id"], ["ts", "event_id"])
+    return out.select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_type", F.col("value").cast("double").alias("value"),
+    )
+
+
+@register(
     "b62_partial_upsert",
     """
     WITH ranked AS (

@@ -821,3 +821,46 @@ def test_rollup_router_routes_and_matches_direct(spark, tmp_path):
     assert router.answer(
         R.AggRequest(dims=("event_type",), aggs={"md": ("median", "value")})
     )[1] == "scan"
+
+
+def test_dedup_table_first_writer_wins(spark, tmp_path):
+    """Pinot dedupConfig analog: a table with dedupEnabled serves the FIRST
+    ingested row per primary key (mirror image of upsert's latest-wins),
+    with the raw log at <name>_raw; same-timestamp duplicates resolve to the
+    earlier-INGESTED row via the arrival-order tiebreaker."""
+    import json as _json
+
+    src_dir = tmp_path / "stream_in"
+    config = dict(TABLE_CONFIG)
+    config["tableName"] = "dedupTable"
+    config["dedupConfig"] = {"dedupEnabled": True, "hashFunction": "NONE"}
+    schema = dict(CLICKSTREAM_SCHEMA)
+    schema["primaryKeyColumns"] = ["userID"]
+
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+
+    def put(name, rows):
+        src_dir.mkdir(parents=True, exist_ok=True)
+        (src_dir / name).write_text("\n".join(_json.dumps(r) for r in rows))
+
+    def row(uid, price, t):
+        return {"userID": uid, "campaign": "c", "price": price,
+                "creationTimestamp": f"2024-06-01 {t}"}
+
+    put("b1.json", [row("u1", 10, "10:00:00"), row("u2", 20, "10:00:01")])
+    pipe = engine.add_table(schema, config, RawRecordSource(kind="files", path=str(src_dir)),
+                            available_now=True)
+    pipe.process_available()
+    # later duplicates of u1 must be dropped from the resolved view
+    put("b2.json", [row("u1", 11, "10:04:00"), row("u1", 12, "10:05:00")])
+    pipe.process_available()
+    # same-timestamp duplicate in a later batch: earlier-ingested wins
+    put("b3.json", [row("u2", 21, "10:00:01")])
+    pipe.process_available()
+
+    engine.register_view("dedupTable")
+    resolved = {r["userID"]: r["price"] for r in engine.query(
+        "SELECT userID, price FROM dedupTable").collect()}
+    assert resolved == {"u1": 10, "u2": 20}
+    assert engine.query("SELECT count(*) AS n FROM dedupTable_raw").collect()[0]["n"] == 5
+    pipe.stop()
