@@ -57,6 +57,12 @@ class FieldSpec:
     single_value: bool = True
     format: str | None = None  # dateTime only
     granularity: str | None = None  # dateTime only
+    # Pinot defaultNullValue **[P1.2]**: when a field declares one, the
+    # decoder substitutes it for missing/uncoercible values at ingest —
+    # Pinot's null-substitution, made OPT-IN per field (undeclared fields
+    # keep real SQL nulls; the documented SURVEY §1.2 divergence applies
+    # only to Pinot's silent type-default fill, not declared defaults).
+    default_null_value: object | None = None
 
     @property
     def spark_type(self) -> T.DataType:
@@ -110,10 +116,18 @@ def parse_schema(schema_json: str | dict) -> TableSchema:
                 pinot_type=fs["dataType"],
                 field_class="dimension",
                 single_value=fs.get("singleValueField", True),
+                default_null_value=fs.get("defaultNullValue"),
             )
         )
     for fs in spec.get("metricFieldSpecs", []):
-        fields.append(FieldSpec(name=fs["name"], pinot_type=fs["dataType"], field_class="metric"))
+        fields.append(
+            FieldSpec(
+                name=fs["name"],
+                pinot_type=fs["dataType"],
+                field_class="metric",
+                default_null_value=fs.get("defaultNullValue"),
+            )
+        )
     for fs in spec.get("dateTimeFieldSpecs", []):
         fields.append(
             FieldSpec(
@@ -189,10 +203,14 @@ def decode_expr(schema: TableSchema, value_col: str = "value") -> Column:
     # try_cast: uncoercible values become NULL instead of failing the batch
     # under ANSI mode (Pinot decoder behavior; divergence is NULL vs type
     # default, documented in SURVEY §1.2).
-    typed = [
-        F.col(f"__raw.{f.name}").try_cast(f.spark_type).alias(f.name)
-        for f in schema.fields
-    ]
+    typed = []
+    for f in schema.fields:
+        col = F.col(f"__raw.{f.name}").try_cast(f.spark_type)
+        if f.default_null_value is not None:
+            # declared defaultNullValue: fill missing/uncoercible values at
+            # decode time (constant-folded literal, still one codegen expr)
+            col = F.coalesce(col, F.lit(f.default_null_value).try_cast(f.spark_type))
+        typed.append(col.alias(f.name))
     return F.struct(*typed).alias("__typed"), raw.alias("__raw")
 
 

@@ -124,3 +124,34 @@ def test_unknown_type_rejected():
     )
     with pytest.raises(ValueError, match="unknown Pinot type"):
         _ = schema.struct
+
+
+def test_default_null_value_fill(spark):
+    """Pinot defaultNullValue **[P1.2]**: a field that DECLARES a default gets
+    it substituted for missing/uncoercible values at decode; fields without
+    one keep real SQL nulls (SURVEY §1.2 divergence stays opt-in)."""
+    schema = parse_schema(
+        {
+            "schemaName": "t",
+            "dimensionFieldSpecs": [
+                {"name": "campaign", "dataType": "STRING", "defaultNullValue": "NONE"},
+                {"name": "region", "dataType": "STRING"},
+            ],
+            "metricFieldSpecs": [
+                {"name": "price", "dataType": "DOUBLE", "defaultNullValue": 0}
+            ],
+        }
+    )
+    raw = spark.createDataFrame(
+        [
+            ('{"campaign": "BF", "region": "eu", "price": 9.5}',),
+            ('{"region": null}',),                      # all missing/null
+            ('{"campaign": null, "price": "wat"}',),    # uncoercible price
+        ],
+        "value string",
+    )
+    rows = decoded_frame(raw, schema).collect()
+    decoded = [(r["campaign"], r["region"], r["price"]) for r in rows]
+    assert ("BF", "eu", 9.5) in decoded
+    assert ("NONE", None, 0.0) in decoded       # defaults fill, region stays null
+    assert decoded.count(("NONE", None, 0.0)) == 2
