@@ -82,6 +82,11 @@ class TableConfig:
     # not hash compatibility.
     partition_column: str | None = None
     partition_buckets: int = 0
+    # Pinot ingestionConfig.complexTypeConfig.fieldsToUnnest **[P1.2]**:
+    # multi-value collections exploded into one row per element at ingest
+    # (Pinot's nested-JSON flattening).  Analog: explode_outer per field
+    # between decode and transforms.
+    unnest_fields: tuple[str, ...] = ()
 
     @classmethod
     def parse(cls, config_json: str | dict) -> "TableConfig":
@@ -128,6 +133,9 @@ class TableConfig:
                 for t in ing.get("transformConfigs", ())
             ),
             filter_function=ing.get("filterConfig", {}).get("filterFunction"),
+            unnest_fields=tuple(
+                ing.get("complexTypeConfig", {}).get("fieldsToUnnest", ())
+            ),
             sorted_column=sorted_cols[0] if sorted_cols else None,
             bloom_filter_columns=tuple(tic.get("bloomFilterColumns", ())),
             partition_column=part_col,
@@ -229,6 +237,7 @@ class Engine:
             retention_days=config.retention_days,
             transform_configs=config.transform_configs,
             filter_function=config.filter_function,
+            unnest_fields=config.unnest_fields,
             sorted_column=config.sorted_column,
             bloom_filter_columns=config.bloom_filter_columns,
         )

@@ -92,6 +92,7 @@ class IngestPipeline:
         rollup_path: str | None = None,
         transform_configs: tuple = (),
         filter_function: str | None = None,
+        unnest_fields: tuple = (),
         sorted_column: str | None = None,
         bloom_filter_columns: tuple = (),
     ) -> None:
@@ -109,6 +110,9 @@ class IngestPipeline:
         # + row-drop predicate, applied between decode and commit.
         self.transform_configs = tuple(transform_configs)
         self.filter_function = filter_function
+        # Pinot complexTypeConfig.fieldsToUnnest analog: explode multi-value
+        # collections into one row per element before transforms run.
+        self.unnest_fields = tuple(unnest_fields)
         # Storage-index analogs applied at seal time (engine.TableConfig):
         # sortedColumn -> tight parquet zone maps; bloomFilterColumns ->
         # parquet bloom filters for point-lookup row-group skipping.
@@ -125,6 +129,11 @@ class IngestPipeline:
         partition column — day granularity per kinesisTable.json:30).
         """
         out = decoded_frame(self.source.load(self.spark), self.schema)
+        for field in self.unnest_fields:
+            # complexTypeConfig **[P1.2]**: one row per element; empty/null
+            # collections keep their row with a NULL element (explode_outer,
+            # matching Pinot's flattening of absent nested collections)
+            out = out.withColumn(field, F.explode_outer(F.col(field)))
         for col_name, fn in self.transform_configs:
             out = out.withColumn(col_name, F.expr(fn))
         if self.filter_function:

@@ -864,3 +864,50 @@ def test_dedup_table_first_writer_wins(spark, tmp_path):
     assert resolved == {"u1": 10, "u2": 20}
     assert engine.query("SELECT count(*) AS n FROM dedupTable_raw").collect()[0]["n"] == 5
     pipe.stop()
+
+
+def test_complex_type_unnest_at_ingest(spark, tmp_path):
+    """Pinot complexTypeConfig.fieldsToUnnest analog: a multi-value collection
+    explodes into one row per element during ingest (before transforms); null
+    or missing collections keep their row with a NULL element."""
+    import json as _json
+
+    src_dir = tmp_path / "stream_in"
+    config = dict(TABLE_CONFIG)
+    config["tableName"] = "unnestTable"
+    config["ingestionConfig"] = {"complexTypeConfig": {"fieldsToUnnest": ["tags"]}}
+    schema = {
+        "schemaName": "unnestTable",
+        "dimensionFieldSpecs": [
+            {"name": "userID", "dataType": "STRING"},
+            {"name": "tags", "dataType": "STRING", "singleValueField": False},
+        ],
+        "metricFieldSpecs": [{"name": "price", "dataType": "INT"}],
+        "dateTimeFieldSpecs": [
+            {
+                "name": "creationTimestamp",
+                "dataType": "STRING",
+                "format": "SIMPLE_DATE_FORMAT|yyyy-MM-dd HH:mm:ss",
+            }
+        ],
+    }
+    src_dir.mkdir(parents=True, exist_ok=True)
+    rows = [
+        {"userID": "u1", "tags": ["a", "b", "c"], "price": 5,
+         "creationTimestamp": "2024-06-01 10:00:00"},
+        {"userID": "u2", "tags": [], "price": 7,
+         "creationTimestamp": "2024-06-01 10:00:01"},
+        {"userID": "u3", "price": 9,
+         "creationTimestamp": "2024-06-01 10:00:02"},
+    ]
+    (src_dir / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    pipe = engine.add_table(schema, config, RawRecordSource(kind="files", path=str(src_dir)),
+                            available_now=True)
+    pipe.process_available()
+    got = sorted(
+        (r["userID"], r["tags"]) for r in pipe.table().select("userID", "tags").collect()
+    )
+    assert got == [("u1", "a"), ("u1", "b"), ("u1", "c"), ("u2", None), ("u3", None)]
+    pipe.stop()
