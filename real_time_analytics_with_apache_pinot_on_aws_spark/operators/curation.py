@@ -178,3 +178,82 @@ def pack_sequences(
         first_chunk.alias("first_chunk"),
         (last_chunk - first_chunk + 1).alias("chunks_spanned"),
     )
+
+
+# PII patterns shared by redact_pii and pii_counts — written in the common
+# subset of Java regex (Spark) and RE2 (DuckDB) so the oracle replays them.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("phone", "\\+[0-9][0-9 -]{7,}[0-9]", "<PHONE>"),
+    ("ip", "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Scrub emails / phone numbers / IPv4 addresses, keeping match counts.
+
+    The standard pre-training privacy pass: each pattern family is replaced
+    by a typed placeholder token and the per-document hit count is kept for
+    auditing.  Pure ``regexp_replace`` / ``regexp_count`` projections — one
+    map-side codegen pass over the scan, zero shuffles, trivially linear at
+    100 TB.  Patterns live in :data:`PII_PATTERNS` in the Java-regex ∩ RE2
+    subset so DuckDB reproduces both the redacted text and the counts.
+    """
+    t: Column = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        for name, pat, _rep in PII_PATTERNS
+    ]
+    red = t
+    for _name, pat, rep in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, rep)
+    return df.select(F.col(id_col), *counts, red.alias("redacted_text"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 40,
+    stride: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking (the RAG/embedding splitter).
+
+    Each document yields chunks of up to ``window`` tokens starting every
+    ``stride`` tokens (overlap = window - stride); a doc shorter than one
+    window yields exactly one chunk.  Chunk count uses pure integer
+    arithmetic — ``1 + (n - window + stride - 1) div stride`` — so the
+    oracle computes the identical spine.
+
+    Plan: one generate/explode over a per-row ``sequence`` — map-side row
+    amplification by ~n_tokens/stride, NO shuffle at all; at scale the
+    output partitions inherit the scan's, and chunk text is sliced from the
+    already-tokenized array (tokenize once, not per chunk).
+    """
+    from .dedup import normalized_tokens
+
+    toks = normalized_tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        (F.floor((n - window + stride - 1) / stride) + 1).cast("int")
+    )
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        n.alias("n_tokens"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride
+    piece = F.slice(F.col("__toks"), start + 1, window)
+    return base.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        start.cast("bigint").alias("start_token"),
+        F.size(piece).cast("bigint").alias("chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -101,3 +101,45 @@ def test_decontaminate_broadcasts_eval_grams(docs):
     corpus = docs.filter(F.col("doc_id") % 17 != 3)
     plan = C.decontaminate(corpus, eval_set)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_redact_pii_leaves_no_residual_matches(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d+e@f.org, call +1 555 0100 99, host 10.1.2.3"),
+            (2, "clean text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in C.redact_pii(df).collect()}
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_phone"], r1["n_ip"]) == (2, 1, 1)
+    assert "<EMAIL>" in r1["redacted_text"] and "<PHONE>" in r1["redacted_text"]
+    assert "@" not in r1["redacted_text"].replace("<EMAIL>", "")
+    # re-running redaction on redacted text finds nothing (idempotent scrub)
+    again = C.redact_pii(
+        spark.createDataFrame([(1, r1["redacted_text"])], "doc_id long, text string")
+    ).collect()[0]
+    assert (again["n_email"], again["n_phone"], again["n_ip"]) == (0, 0, 0)
+    assert out[2]["redacted_text"] == "clean text"
+
+
+def test_chunking_covers_every_token_with_declared_overlap(docs):
+    W_, S_ = 40, 30
+    chunks = C.chunk_documents(docs, window=W_, stride=S_).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == docs.count()  # every doc yields >= 1 chunk
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r["chunk_id"])
+        n = rs[0]["n_tokens"]
+        assert [r["chunk_id"] for r in rs] == list(range(len(rs)))
+        for i, r in enumerate(rs):
+            assert r["start_token"] == i * S_
+            assert r["chunk_tokens"] == min(W_, max(n - i * S_, 0)) or n == 0
+        # coverage: last chunk reaches the end of the token stream
+        last = rs[-1]
+        assert last["start_token"] + last["chunk_tokens"] >= n
+        # no chunk starts beyond the stream (except the single-chunk empty doc)
+        assert all(r["start_token"] < max(n, 1) for r in rs)
