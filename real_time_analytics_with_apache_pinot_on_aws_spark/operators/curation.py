@@ -1,21 +1,25 @@
 """Training-corpus curation operators (C-extension suite, round 4).
 
 Beyond dedup/similarity/text-features, a production LLM-data pipeline needs
-four more primitives before a corpus ships to a trainer — none present in the
+these primitives before a corpus ships to a trainer — none present in the
 reference (its engine stops at SQL analytics; these are brief-mandated
 extensions alongside C1-C4):
 
-- **benchmark decontamination** — flag corpus documents that share word
-  n-grams with an evaluation/benchmark set, so test data never leaks into
-  training data;
-- **deterministic train/val/test split** — a pure function of the document
-  id (md5 prefix), reproducible across engines/runs with no stored state;
-- **stratified sampling** — exact-N per stratum and Bernoulli-by-hash
+- **benchmark decontamination** (C10) — flag corpus documents that share
+  word n-grams with an evaluation/benchmark set, so test data never leaks
+  into training data;
+- **deterministic train/val/test split** (C11) — a pure function of the
+  document id (md5 prefix), reproducible across engines/runs with no state;
+- **stratified sampling** (C12) — exact-N per stratum and Bernoulli-by-hash
   variants, both deterministic;
-- **sequence packing** — concatenate-and-chunk accounting that maps each
-  document into fixed token-budget context windows per language stream.
+- **sequence packing** (C13) — concatenate-and-chunk accounting that maps
+  each document into fixed token-budget context windows per language stream;
+- **PII redaction** (C14) — email/phone/IPv4 scrubbing with audit counts,
+  patterns constrained to the Java-regex ∩ RE2 subset;
+- **overlapping chunking** (C15) — the RAG/embedding splitter: fixed token
+  windows on a stride, tokenize-once, map-side explode.
 
-All four are pure built-in-expression DataFrame plans (no Python in the hot
+All are pure built-in-expression DataFrame plans (no Python in the hot
 path) and every one is oracle-checkable: the only "randomness" anywhere is
 md5, which DuckDB computes bit-identically.
 """
