@@ -468,3 +468,35 @@ def test_spread_gates_on_input_size(spark):
         assert "Repartition" not in plan
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+# -- round-4 curation suite: the shuffle budget each operator promises
+
+
+def test_decontamination_broadcasts_and_bounds_exchanges(spark):
+    f = facts("c10_decontamination", spark)
+    assert f.broadcast_joins >= 1   # eval-gram dictionary broadcast
+    assert not f.cartesian and not f.python_eval
+    # corpus text never shuffles — every exchange carries narrow rows only:
+    # eval-gram distinct, (doc_id, partial count) agg, the doc_id-keyed
+    # zero-fill join (both sides), and the deterministic output sort
+    assert f.exchanges <= 5
+    assert all(rs.count("text") <= 1 for rs in f.read_schemas)
+
+
+def test_sequence_packing_single_stream_shuffle(spark):
+    f = facts("c13_sequence_packing", spark)
+    assert not f.python_eval
+    assert f.exchanges <= 2         # one per-stream window + output sort
+
+
+def test_pii_redaction_is_map_side(spark):
+    f = facts("c14_pii_redaction", spark)
+    assert not f.python_eval
+    assert f.exchanges <= 1         # only the deterministic output sort
+
+
+def test_chunking_is_map_side(spark):
+    f = facts("c15_chunking", spark)
+    assert not f.python_eval
+    assert f.exchanges <= 1         # explode amplifies rows, crosses nothing
