@@ -293,6 +293,114 @@ def minhash_lsh_pairs(
     return verified
 
 
+def _band_sig_relation(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(id, sh_set, band, sig) — the banded LSH relation WITH the hashed
+    shingle set carried along, so verification never re-tokenizes."""
+    sets = df.select(
+        F.col(id_col), shingle_hashes(F.col(text_col), shingle_n).alias("sh_set")
+    )
+    sigs = sets.select(
+        F.col(id_col), F.col("sh_set"), _minhash_sig(F.col("sh_set"), num_hashes).alias("_sig")
+    ).select(F.col(id_col), F.col("sh_set"), *_sig_to_cols(num_hashes))
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col), F.col("sh_set"), F.explode(band_structs).alias("bs")
+    ).select(F.col(id_col), "sh_set", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def persist_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_table: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    num_buckets: int = 32,
+) -> None:
+    """Materialize the LSH index: (id, sh_set, band, sig) bucketed by (band, sig).
+
+    The INCREMENTAL near-dup story :func:`minhash_lsh_pairs` can't tell: at
+    100 TB you do not recompute every corpus signature when a new ingest
+    batch arrives.  Pay tokenize + signatures ONCE at build time; each
+    subsequent batch probes the index (:func:`near_dup_probe`).  The hashed
+    shingle sets persist alongside the band signatures, so candidate
+    verification reads the index row it already fetched — no second corpus
+    scan, ever.  Rebuild/append per compaction cycle, like Pinot refreshes
+    per-segment indexes.
+    """
+    from .. import catalog as _catalog
+
+    rel = _band_sig_relation(df, id_col, text_col, num_hashes, bands, shingle_n)
+    _catalog.write_bucketed(
+        rel, index_table, ["band", "sig"], num_buckets=num_buckets, sort_cols=["band", "sig"]
+    )
+
+
+def near_dup_probe(
+    spark,
+    index_table: str,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dups of a NEW batch against a persisted corpus index.
+
+    Returns (batch_id, corpus_id, jaccard) for every verified collision —
+    the ingest-time dedup gate: drop (or link) batch documents already
+    represented in the corpus before they enter training data.
+
+    Scale shape: the batch is small by construction (one ingest cycle), so
+    its banded relation is **broadcast** — the index side is scanned in
+    place with ZERO exchanges (no shuffle of 100 TB of signatures), and the
+    shingle sets needed for exact verification ride the same index rows.
+    Candidates dedup on (batch_id, corpus_id) before the Jaccard filter, so
+    multi-band collisions verify once.
+    """
+    probe = _band_sig_relation(
+        batch, id_col, text_col, num_hashes, bands, shingle_n
+    ).withColumnsRenamed({id_col: "batch_id", "sh_set": "batch_set"})
+    idx = spark.table(index_table).withColumnsRenamed(
+        {id_col: "corpus_id", "sh_set": "corpus_set"}
+    )
+    cand = (
+        idx.join(F.broadcast(probe), ["band", "sig"])
+        .select("batch_id", "corpus_id", "batch_set", "corpus_set")
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    return (
+        cand.withColumn(
+            "jaccard",
+            F.size(F.array_intersect("batch_set", "corpus_set"))
+            / F.size(F.array_union("batch_set", "corpus_set")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("batch_id", "corpus_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """(id, simhash) fingerprint: per-token hash bit votes, sign-summed.
 

@@ -1049,3 +1049,45 @@ def test_quantized_topk_recall_on_synthetic(spark):
     assert len(exact) == 15
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_persisted_minhash_index_probes_new_batches(spark):
+    """Incremental near-dup dedup: a persisted (band, sig)-bucketed LSH index
+    answers 'is this NEW batch already in the corpus?' without recomputing
+    corpus signatures; the probe broadcasts the (small) batch side so the
+    index scan crosses no exchange, and exact Jaccard verifies from the
+    shingle sets stored ON the index rows."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.plans import audit_plan
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely different text about spark and window joins"),
+            (3, "yet another unrelated document mentioning parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    dedup.persist_minhash_index(corpus, "doc_id", "text", "mh_idx", num_buckets=4)
+    try:
+        batch = spark.createDataFrame(
+            [
+                (101, "the quick brown fox jumps over the lazy dog tonight"),  # exact dup of 1
+                (102, "the quick brown fox jumps over the lazy dog at night"),  # near dup of 1
+                (103, "a totally novel document with fresh content entirely"),  # new
+            ],
+            "doc_id long, text string",
+        )
+        hits = dedup.near_dup_probe(
+            spark, "mh_idx", batch, "doc_id", "text", jaccard_threshold=0.5
+        )
+        got = {(r["batch_id"], r["corpus_id"]): r["jaccard"] for r in hits.collect()}
+        assert got.get((101, 1)) == 1.0          # exact copy found at jaccard 1
+        assert (102, 1) in got and got[(102, 1)] >= 0.5  # near dup found
+        assert not any(b == 103 for b, _ in got)          # novel doc is clean
+        # plan: the index side must not shuffle — the only exchange feeding
+        # the join is the broadcast of the batch relation
+        f = audit_plan(hits)
+        assert f.broadcast_joins >= 1
+        assert not f.python_eval and not f.cartesian
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mh_idx")
