@@ -379,12 +379,36 @@ def near_dup_probe(
     Candidates dedup on (batch_id, corpus_id) before the Jaccard filter, so
     multi-band collisions verify once.
     """
-    probe = _band_sig_relation(
-        batch, id_col, text_col, num_hashes, bands, shingle_n
-    ).withColumnsRenamed({id_col: "batch_id", "sh_set": "batch_set"})
-    idx = spark.table(index_table).withColumnsRenamed(
-        {id_col: "corpus_id", "sh_set": "corpus_set"}
-    )
+    idx = spark.table(index_table)
+    probe = _band_sig_relation(batch, id_col, text_col, num_hashes, bands, shingle_n)
+    return _probe_index_relation(idx, probe, id_col, jaccard_threshold)
+
+
+def near_dup_pairs_bipartite(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """:func:`near_dup_probe` without a persisted index: the corpus banded
+    relation is computed inline (one pass), the batch side broadcast —
+    the same bipartite shape used when the index lives in memory or the
+    corpus relation is already cached by a surrounding pipeline."""
+    idx = _band_sig_relation(corpus, id_col, text_col, num_hashes, bands, shingle_n)
+    probe = _band_sig_relation(batch, id_col, text_col, num_hashes, bands, shingle_n)
+    return _probe_index_relation(idx, probe, id_col, jaccard_threshold)
+
+
+def _probe_index_relation(
+    idx: DataFrame, probe: DataFrame, id_col: str, jaccard_threshold: float
+) -> DataFrame:
+    """Shared bipartite core: broadcast probe side vs corpus index relation."""
+    probe = probe.withColumnsRenamed({id_col: "batch_id", "sh_set": "batch_set"})
+    idx = idx.withColumnsRenamed({id_col: "corpus_id", "sh_set": "corpus_set"})
     cand = (
         idx.join(F.broadcast(probe), ["band", "sig"])
         .select("batch_id", "corpus_id", "batch_set", "corpus_set")

@@ -4661,6 +4661,66 @@ def c13_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "c1_dedup_incremental",
+    """
+    WITH b AS (
+      SELECT doc_id + 1000000 AS bid, text FROM documents WHERE doc_id % 10 = 7
+    ),
+    e AS (SELECT count(*) AS n FROM b JOIN documents c ON b.text = c.text)
+    SELECT CAST(n AS BIGINT) AS n_identical_expected,
+           CAST(n AS BIGINT) AS n_identical_found,
+           TRUE AS identical_recall_ok, TRUE AS precision_ok
+    FROM e
+    """,
+    doc="C1 incremental: a NEW ingest batch (every %10==7 doc, relabeled — "
+        "each one a planted exact copy of a corpus doc) probes the corpus "
+        "LSH relation bipartitely (operators/dedup.py near_dup_pairs_"
+        "bipartite; the persisted-index form is near_dup_probe, pytest-"
+        "pinned).  The batch side broadcasts, so the corpus/index side "
+        "crosses no exchange — the at-scale answer to 'is this batch "
+        "already in the corpus?' without recomputing corpus signatures.  "
+        "Self-validating: every planted copy MUST be found at jaccard 1 "
+        "(identical texts share every band signature — deterministic, not "
+        "probabilistic), and every emitted pair is verified >= 0.5; the "
+        "oracle recomputes the expected planted-pair count exactly.",
+)
+def c1_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 10 == 7).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    pairs = _dedup.near_dup_pairs_bipartite(
+        docs, batch, "doc_id", "text", jaccard_threshold=0.5
+    ).cache()
+    th = docs.select("doc_id", F.xxhash64("text").alias("th"))
+    bth = batch.select(F.col("doc_id").alias("batch_id"), F.xxhash64("text").alias("bh"))
+    expected = (
+        bth.join(th.withColumnsRenamed({"doc_id": "corpus_id", "th": "ch"}),
+                 F.col("bh") == F.col("ch"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_identical_expected"))
+    )
+    found = (
+        pairs.join(F.broadcast(bth), "batch_id")
+        .join(th.withColumnsRenamed({"doc_id": "corpus_id", "th": "ch"}), "corpus_id")
+        .agg(
+            F.count(F.when(F.col("bh") == F.col("ch"), 1))
+            .cast("long")
+            .alias("n_identical_found"),
+            F.coalesce(F.min("jaccard"), F.lit(1.0)).alias("min_j"),
+        )
+    )
+    return expected.crossJoin(found).select(
+        "n_identical_expected",
+        "n_identical_found",
+        (F.col("n_identical_found") == F.col("n_identical_expected")).alias(
+            "identical_recall_ok"
+        ),
+        (F.col("min_j") >= 0.5).alias("precision_ok"),
+    )
+
+
 def _pii_oracle() -> str:
     """DuckDB oracle for c14: replay the augmentation + the exact pattern
     chain from curation.PII_PATTERNS (Java-regex ∩ RE2 subset, parity probed
