@@ -4721,6 +4721,52 @@ def c1_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "c16_cohort_retention",
+    """
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('DAY', ts) AS DATE) AS day FROM events
+    ),
+    cohort AS (SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id),
+    joined AS (
+      SELECT c.cohort_day, datediff('day', c.cohort_day, a.day) AS age, a.user_id
+      FROM activity a JOIN cohort c ON a.user_id = c.user_id
+    )
+    SELECT cohort_day, age, CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+    FROM joined WHERE age <= 7
+    GROUP BY cohort_day, age
+    ORDER BY cohort_day, age
+    """,
+    doc="C16: cohort retention — users grouped by first-activity day, "
+        "retention counted at day offsets 0..7 (the product-analytics "
+        "query every Pinot clickstream deployment ends up writing).  Spark "
+        "plan: ONE distinct (user, day) relation, cohort day via a "
+        "min-over-user window (no self-join back), then the cohort/age "
+        "aggregate — the user-keyed exchange is paid once; the oracle "
+        "takes the textbook join form, proving the window rewrite exact.",
+)
+def c16_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    activity = (
+        spark.table("events")
+        .select(
+            "user_id",
+            F.date_trunc("DAY", F.col("ts").cast("timestamp")).cast("date").alias("day"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("user_id")
+    aged = activity.withColumn("cohort_day", F.min("day").over(w)).withColumn(
+        "age", F.datediff("day", "cohort_day")
+    )
+    return (
+        aged.filter(F.col("age") <= 7)
+        .groupBy("cohort_day", "age")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_day", "age")
+    )
+
+
 def _pii_oracle() -> str:
     """DuckDB oracle for c14: replay the augmentation + the exact pattern
     chain from curation.PII_PATTERNS (Java-regex ∩ RE2 subset, parity probed
