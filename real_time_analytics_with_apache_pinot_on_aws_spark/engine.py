@@ -87,6 +87,14 @@ class TableConfig:
     # (Pinot's nested-JSON flattening).  Analog: explode_outer per field
     # between decode and transforms.
     unnest_fields: tuple[str, ...] = ()
+    # Pinot tableIndexConfig.starTreeIndexConfigs **[P1.2]**: declared
+    # pre-aggregation — dimensionsSplitOrder + functionColumnPairs
+    # ("SUM__col"/"COUNT__col"/"MIN__col"/"MAX__col").  Analog: the FIRST
+    # config becomes an ingest-maintained rollup (per-micro-batch partial
+    # cells) that Engine.query_agg routes to automatically; additional
+    # configs would need one rollup stream each (documented limitation).
+    star_tree_dims: tuple[str, ...] = ()
+    star_tree_metrics: tuple[tuple[str, tuple[str, str]], ...] = ()
 
     @classmethod
     def parse(cls, config_json: str | dict) -> "TableConfig":
@@ -107,6 +115,23 @@ class TableConfig:
             # the first (sorted for determinism if several are declared).
             part_col = sorted(part_map)[0]
             part_n = int(part_map[part_col].get("numPartitions", 8))
+        st_dims: tuple = ()
+        st_metrics: tuple = ()
+        st_configs = tic.get("starTreeIndexConfigs", [])
+        if st_configs:
+            st = st_configs[0]
+            st_dims = tuple(st.get("dimensionsSplitOrder", ()))
+            pairs = []
+            for fcp in st.get("functionColumnPairs", ()):
+                fn, _, col = fcp.partition("__")
+                fn = fn.lower()
+                if fn not in ("sum", "count", "min", "max"):
+                    raise ValueError(
+                        f"starTreeIndexConfigs: {fcp!r} is not mergeable "
+                        "(algebraic only: count/max/min/sum)"
+                    )
+                pairs.append((f"{fn}__{col}", (fn, col)))
+            st_metrics = tuple(pairs)
         flush_ms = stream.get("realtime.segment.flush.threshold.time")
         flush_s = 120
         if flush_ms:  # reference uses e.g. "2m"? value is millis or duration string
@@ -136,6 +161,8 @@ class TableConfig:
             unnest_fields=tuple(
                 ing.get("complexTypeConfig", {}).get("fieldsToUnnest", ())
             ),
+            star_tree_dims=st_dims,
+            star_tree_metrics=st_metrics,
             sorted_column=sorted_cols[0] if sorted_cols else None,
             bloom_filter_columns=tuple(tic.get("bloomFilterColumns", ())),
             partition_column=part_col,
@@ -228,6 +255,16 @@ class Engine:
         self.configs[config.name] = config
         table_path = str(self.warehouse / config.name / "data")
         checkpoint = str(self.warehouse / config.name / "_checkpoint")
+        rollup_spec, rollup_path = None, None
+        if config.star_tree_dims:
+            # starTreeIndexConfigs **[P1.2]**: declared pre-agg becomes an
+            # ingest-maintained rollup, served automatically by query_agg.
+            from .streaming.rollup import RollupSpec
+
+            rollup_spec = RollupSpec(
+                dims=config.star_tree_dims, metrics=dict(config.star_tree_metrics)
+            )
+            rollup_path = str(self.warehouse / config.name / "startree")
         pipeline = IngestPipeline(
             self.spark,
             schema,
@@ -235,6 +272,8 @@ class Engine:
             checkpoint,
             source,
             retention_days=config.retention_days,
+            rollup_spec=rollup_spec,
+            rollup_path=rollup_path,
             transform_configs=config.transform_configs,
             filter_function=config.filter_function,
             unnest_fields=config.unnest_fields,
@@ -326,6 +365,27 @@ class Engine:
         return {"table": name, "status": "NO_OP", "reason": "storage/compute separated"}
 
     # -- query plane (B2, B4) --------------------------------------------
+
+    def query_agg(self, name: str, request) -> tuple[DataFrame, str]:
+        """Star-tree-aware aggregation **[P1.2]**: route an AggRequest
+        (streaming.rollup) through the table's declared star-tree rollup
+        when it covers the request, else aggregate the raw table — the
+        automatic index-use decision Pinot's servers make per query.
+        Returns (result, route) with route 'rollup:startree' or 'scan'.
+        """
+        from .streaming.rollup import RollupRouter
+
+        pipeline = self.pipelines[name]
+        router = RollupRouter(lambda: pipeline.table())
+        config = self.configs.get(name)
+        if config is not None and config.star_tree_dims:
+            from .streaming.rollup import RollupSpec
+
+            spec = RollupSpec(
+                dims=config.star_tree_dims, metrics=dict(config.star_tree_metrics)
+            )
+            router.register("startree", lambda: pipeline.rollup_table(), spec)
+        return router.answer(request)
 
     _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s+PLAN\s+FOR\s+", re.IGNORECASE)
 

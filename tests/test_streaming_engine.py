@@ -911,3 +911,59 @@ def test_complex_type_unnest_at_ingest(spark, tmp_path):
     )
     assert got == [("u1", "a"), ("u1", "b"), ("u1", "c"), ("u2", None), ("u3", None)]
     pipe.stop()
+
+
+def test_star_tree_config_end_to_end(spark, tmp_path):
+    """tableIndexConfig.starTreeIndexConfigs: the declared pre-agg is
+    maintained per micro-batch at ingest and Engine.query_agg routes a
+    covering request to it automatically (raw-scan fallback otherwise),
+    returning exactly the direct-aggregation answer."""
+    from pyspark.sql import functions as F
+    from real_time_analytics_with_apache_pinot_on_aws_spark.streaming import rollup as R
+
+    src_dir = tmp_path / "stream_in"
+    config = dict(TABLE_CONFIG)
+    config["tableName"] = "starTable"
+    config["tableIndexConfig"] = {
+        "streamConfigs": {"realtime.segment.flush.threshold.time": "2m"},
+        "starTreeIndexConfigs": [
+            {
+                "dimensionsSplitOrder": ["campaign", "ingest_date"],
+                "functionColumnPairs": ["SUM__price", "COUNT__price", "MAX__price"],
+            }
+        ],
+    }
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    _write_events(src_dir / "b1.json", 30, "2024-05-01")
+    pipe = engine.add_table(CLICKSTREAM_SCHEMA, config,
+                            RawRecordSource(kind="files", path=str(src_dir)),
+                            available_now=True)
+    pipe.process_available()
+    _write_events(src_dir / "b2.json", 20, "2024-05-02", start=500)
+    pipe.process_available()
+
+    req = R.AggRequest(
+        dims=("campaign",),
+        aggs={"total": ("sum", "price"), "n": ("count", "price"),
+              "top": ("max", "price"), "mean": ("avg", "price")},
+    )
+    routed, route = engine.query_agg("starTable", req)
+    assert route == "rollup:startree"
+    direct = pipe.table().groupBy("campaign").agg(
+        F.sum("price").alias("total"), F.count("price").alias("n"),
+        F.max("price").alias("top"), F.avg("price").alias("mean"),
+    )
+    key = lambda r: r["campaign"]  # noqa: E731
+    got, want = sorted(routed.collect(), key=key), sorted(direct.collect(), key=key)
+    assert [(r["campaign"], r["n"], r["top"]) for r in got] == [
+        (r["campaign"], r["n"], r["top"]) for r in want
+    ]
+    for g, w in zip(got, want):
+        assert abs(g["total"] - w["total"]) < 1e-6 and abs(g["mean"] - w["mean"]) < 1e-9
+    # rollup cells shrink the read: cells < events
+    assert pipe.rollup_table().count() < pipe.table().count()
+    # non-coverable (extra dim) falls back to the raw scan
+    assert engine.query_agg(
+        "starTable", R.AggRequest(dims=("userID",), aggs={"n": ("count", "price")})
+    )[1] == "scan"
+    pipe.stop()
