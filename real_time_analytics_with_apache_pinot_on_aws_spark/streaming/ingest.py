@@ -206,7 +206,15 @@ class IngestPipeline:
                 # in the cluster cache right now, so the extra pass is cheap
                 from .rollup import rollup_batch
 
-                rollup_batch(batch_df, rollup_spec).write.mode("append").parquet(rollup_path)
+                cells = rollup_batch(batch_df, rollup_spec).write.mode("append")
+                if "ingest_date" in rollup_spec.dims:
+                    # day-partition the cell log so retention expires rollup
+                    # cells together with the raw partitions (Pinot star-trees
+                    # are per-segment, so they expire with the segment; a
+                    # rollup WITHOUT the day dimension cannot expire per day —
+                    # see run_retention)
+                    cells = cells.partitionBy("ingest_date")
+                cells.parquet(rollup_path)
 
         writer = (
             self.decoded()
@@ -282,16 +290,28 @@ class IngestPipeline:
         if now is None:
             return []
         cutoff = now - timedelta(days=self.retention_days)
-        root = Path(self.table_path)
         dropped: list[str] = []
-        for part_dir in sorted(root.glob("ingest_date=*")):
-            value = part_dir.name.split("=", 1)[1]
-            try:
-                from datetime import date
+        roots = [Path(self.table_path)]
+        if (
+            self.rollup_path is not None
+            and self.rollup_spec is not None
+            and "ingest_date" in self.rollup_spec.dims
+        ):
+            # expire star-tree cells with their day, keeping query_agg's
+            # rollup route consistent with the raw table (a rollup whose
+            # dims omit the day column aggregates across days and cannot
+            # be expired per day — callers own that retention trade-off)
+            roots.append(Path(self.rollup_path))
+        for root in roots:
+            for part_dir in sorted(root.glob("ingest_date=*")):
+                value = part_dir.name.split("=", 1)[1]
+                try:
+                    from datetime import date
 
-                if date.fromisoformat(value) < cutoff:
-                    shutil.rmtree(part_dir)
-                    dropped.append(value)
-            except ValueError:
-                continue
+                    if date.fromisoformat(value) < cutoff:
+                        shutil.rmtree(part_dir)
+                        if value not in dropped:
+                            dropped.append(value)
+                except ValueError:
+                    continue
         return dropped

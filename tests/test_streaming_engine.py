@@ -967,3 +967,45 @@ def test_star_tree_config_end_to_end(spark, tmp_path):
         "starTable", R.AggRequest(dims=("userID",), aggs={"n": ("count", "price")})
     )[1] == "scan"
     pipe.stop()
+
+
+def test_retention_expires_star_tree_cells_with_their_day(spark, tmp_path):
+    """Retention must keep the star-tree route consistent with the raw table:
+    dropping a day partition also drops that day's rollup cells, so query_agg
+    served from cells equals the direct aggregate AFTER expiry."""
+    from pyspark.sql import functions as F
+    from real_time_analytics_with_apache_pinot_on_aws_spark.streaming import rollup as R
+
+    src_dir = tmp_path / "stream_in"
+    config = dict(TABLE_CONFIG)
+    config["tableName"] = "starRet"
+    config["tableIndexConfig"] = {
+        "streamConfigs": {"realtime.segment.flush.threshold.time": "2m"},
+        "starTreeIndexConfigs": [
+            {
+                "dimensionsSplitOrder": ["campaign", "ingest_date"],
+                "functionColumnPairs": ["SUM__price", "COUNT__price"],
+            }
+        ],
+    }
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    _write_events(src_dir / "old.json", 10, "2024-01-01")
+    _write_events(src_dir / "new.json", 10, "2024-01-20", start=500)
+    pipe = engine.add_table(CLICKSTREAM_SCHEMA, config,
+                            RawRecordSource(kind="files", path=str(src_dir)),
+                            available_now=True)
+    pipe.process_available()
+    assert pipe.rollup_table().filter(F.col("ingest_date") == "2024-01-01").count() > 0
+
+    dropped = engine.run_retention("starRet")
+    assert dropped == ["2024-01-01"]
+    # expired day's cells are gone from the rollup too
+    assert pipe.rollup_table().filter(F.col("ingest_date") == "2024-01-01").count() == 0
+    # and the routed aggregate equals the direct one post-expiry
+    req = R.AggRequest(dims=("campaign",), aggs={"n": ("count", "price")})
+    routed, route = engine.query_agg("starRet", req)
+    assert route == "rollup:startree"
+    direct = {r["campaign"]: r["n"] for r in pipe.table().groupBy("campaign")
+              .agg(F.count("price").alias("n")).collect()}
+    assert {r["campaign"]: r["n"] for r in routed.collect()} == direct
+    pipe.stop()
