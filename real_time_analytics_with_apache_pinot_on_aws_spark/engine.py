@@ -255,6 +255,16 @@ class Engine:
         self.configs[config.name] = config
         table_path = str(self.warehouse / config.name / "data")
         checkpoint = str(self.warehouse / config.name / "_checkpoint")
+        if config.star_tree_dims and (config.upsert_mode or config.dedup_enabled):
+            # Pinot parity **[P1.2]**: star-tree indexes are unsupported on
+            # upsert/dedup tables — cells built over the append-only log
+            # would aggregate superseded row versions the resolved view
+            # hides, silently double-counting.  Fail at AddTable, like Pinot
+            # rejects the config, rather than serve wrong aggregates.
+            raise ValueError(
+                f"table {config.name!r}: starTreeIndexConfigs cannot be "
+                "combined with upsertConfig/dedupConfig"
+            )
         rollup_spec, rollup_path = None, None
         if config.star_tree_dims:
             # starTreeIndexConfigs **[P1.2]**: declared pre-agg becomes an

@@ -1009,3 +1009,26 @@ def test_retention_expires_star_tree_cells_with_their_day(spark, tmp_path):
               .agg(F.count("price").alias("n")).collect()}
     assert {r["campaign"]: r["n"] for r in routed.collect()} == direct
     pipe.stop()
+
+
+def test_star_tree_rejected_on_upsert_tables(spark, tmp_path):
+    """Pinot parity: star-tree + upsert/dedup is an invalid combination —
+    cells over the append-only log would double-count superseded versions.
+    AddTable must fail loudly, not serve wrong aggregates."""
+    import pytest as _pytest
+
+    config = dict(TABLE_CONFIG)
+    config["tableName"] = "badStar"
+    config["upsertConfig"] = {"mode": "FULL"}
+    config["tableIndexConfig"] = {
+        "starTreeIndexConfigs": [
+            {"dimensionsSplitOrder": ["campaign"], "functionColumnPairs": ["SUM__price"]}
+        ],
+    }
+    schema = dict(CLICKSTREAM_SCHEMA)
+    schema["primaryKeyColumns"] = ["userID"]
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    with _pytest.raises(ValueError, match="starTreeIndexConfigs"):
+        engine.add_table(schema, config,
+                         RawRecordSource(kind="files", path=str(tmp_path / "in")),
+                         start=False)
