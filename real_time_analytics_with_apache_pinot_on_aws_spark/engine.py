@@ -534,8 +534,30 @@ class Engine:
                 f"table {name!r} has an active streaming query; "
                 "stop() or drain it before compact()"
             )
-        root = pipeline.table_path
         compacted: dict[str, int] = {}
+        roots = [pipeline.table_path]
+        if (
+            pipeline.rollup_path is not None
+            and pipeline.rollup_spec is not None
+            and "ingest_date" in pipeline.rollup_spec.dims
+        ):
+            # the star-tree cell log accretes one file per micro-batch too;
+            # compact its day partitions with the same swap protocol (keys
+            # are prefixed 'rollup:' in the report)
+            roots.append(pipeline.rollup_path)
+        for root in roots:
+            self._compact_root(name, root, max_files_per_partition, compacted,
+                               key_prefix="" if root == pipeline.table_path else "rollup:")
+        return {"table": name, "compacted_partitions": compacted}
+
+    def _compact_root(
+        self,
+        name: str,
+        root: str,
+        max_files_per_partition: int,
+        compacted: dict,
+        key_prefix: str = "",
+    ) -> None:
         for part in _fs.glob_status(self.spark, f"{root}/ingest_date=*"):
             if not part["is_dir"]:
                 continue
@@ -580,8 +602,7 @@ class Engine:
                         f"listed original manually"
                     )
             _fs.delete(self.spark, tmp, recursive=True)
-            compacted[part_name] = len(files)
-        return {"table": name, "compacted_partitions": compacted}
+            compacted[key_prefix + part_name] = len(files)
 
     def optimize_layout(self, name: str) -> dict:
         """RealtimeToOfflineSegmentsTask analog **[P1.2]** honoring

@@ -1032,3 +1032,41 @@ def test_star_tree_rejected_on_upsert_tables(spark, tmp_path):
         engine.add_table(schema, config,
                          RawRecordSource(kind="files", path=str(tmp_path / "in")),
                          start=False)
+
+
+def test_compact_also_compacts_star_tree_cells(spark, tmp_path):
+    """The cell log accretes one file per micro-batch like the raw table;
+    compact() rewrites both with the same swap protocol."""
+    src_dir = tmp_path / "stream_in"
+    config = dict(TABLE_CONFIG)
+    config["tableName"] = "starCompact"
+    config["tableIndexConfig"] = {
+        "streamConfigs": {"realtime.segment.flush.threshold.time": "2m"},
+        "starTreeIndexConfigs": [
+            {
+                "dimensionsSplitOrder": ["campaign", "ingest_date"],
+                "functionColumnPairs": ["SUM__price", "COUNT__price"],
+            }
+        ],
+    }
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    # two micro-batches on the SAME day -> 2 files in each day partition
+    _write_events(src_dir / "b1.json", 10, "2024-05-01")
+    pipe = engine.add_table(CLICKSTREAM_SCHEMA, config,
+                            RawRecordSource(kind="files", path=str(src_dir)),
+                            available_now=True)
+    pipe.process_available()
+    _write_events(src_dir / "b2.json", 10, "2024-05-01", start=500)
+    pipe.process_available()
+    pipe.stop()
+
+    before = pipe.rollup_table().agg(
+        {"sum__price": "sum", "count__price": "sum"}
+    ).collect()[0]
+    report = engine.compact("starCompact")["compacted_partitions"]
+    assert report.get("ingest_date=2024-05-01", 0) >= 2
+    assert report.get("rollup:ingest_date=2024-05-01", 0) >= 2
+    after = pipe.rollup_table().agg(
+        {"sum__price": "sum", "count__price": "sum"}
+    ).collect()[0]
+    assert list(before) == list(after)  # cells identical, just fewer files
