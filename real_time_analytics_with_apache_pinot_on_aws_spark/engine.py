@@ -376,6 +376,98 @@ class Engine:
 
     # -- query plane (B2, B4) --------------------------------------------
 
+    _AGG_SQL_RE = re.compile(
+        r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<table>\w+)"
+        r"(?:\s+WHERE\s+(?P<where>.+?))?"
+        r"\s+GROUP\s+BY\s+(?P<groups>[\w\s,]+?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _AGG_ITEM_RE = re.compile(
+        r"^(?:(?P<fn>sum|count|min|max|avg)\s*\(\s*(?P<col>\w+)\s*\)"
+        r"\s+AS\s+(?P<alias>\w+)|(?P<dim>\w+))$",
+        re.IGNORECASE,
+    )
+    _AGG_IN_RE = re.compile(
+        r"^(?P<col>\w+)\s+IN\s*\((?P<vals>[^()]+)\)$", re.IGNORECASE
+    )
+    _AGG_EQ_RE = re.compile(r"^(?P<col>\w+)\s*=\s*(?P<val>'[^']*'|[\d.]+)$")
+
+    def query_routed(self, sql: str) -> tuple[DataFrame, str]:
+        """SQL with star-tree selection **[P1.2]**: the narrow group-by shape
+        (``SELECT agg(col) AS a, dims FROM t [WHERE dim IN (...) [AND ...]]
+        GROUP BY dims``) is parsed into an AggRequest and routed through
+        :meth:`query_agg` — Pinot's broker applying the star-tree to plain
+        SQL.  ANYTHING the conservative parser does not recognize falls back
+        to full Spark SQL (route ``'sql'``), so routing can only change the
+        scan, never correctness or the supported surface.
+        """
+        from .streaming.rollup import AggRequest
+
+        m = self._AGG_SQL_RE.match(sql)
+        if not m:
+            return self.query(sql), "sql"
+        table = m.group("table")
+        config = self.configs.get(table)
+        if table not in self.pipelines or config is None or not config.star_tree_dims:
+            return self.query(sql), "sql"
+        groups = tuple(g.strip() for g in m.group("groups").split(",") if g.strip())
+        aggs: dict = {}
+        sel_dims: list = []
+        for item in self._split_top_level_commas(m.group("items")):
+            im = self._AGG_ITEM_RE.match(item.strip())
+            if not im:
+                return self.query(sql), "sql"
+            if im.group("dim"):
+                sel_dims.append(im.group("dim"))
+            else:
+                aggs[im.group("alias")] = (im.group("fn").lower(), im.group("col"))
+        if not aggs or set(sel_dims) - set(groups):
+            return self.query(sql), "sql"
+        filters: dict = {}
+        where = m.group("where")
+        if where:
+            for conj in re.split(r"\s+AND\s+", where, flags=re.IGNORECASE):
+                conj = conj.strip()
+                fm = self._AGG_IN_RE.match(conj)
+                if fm:
+                    vals = tuple(
+                        v.strip().strip("'") for v in fm.group("vals").split(",")
+                    )
+                    filters[fm.group("col")] = vals
+                    continue
+                em = self._AGG_EQ_RE.match(conj)
+                if em:
+                    filters[em.group("col")] = (em.group("val").strip("'"),)
+                    continue
+                return self.query(sql), "sql"
+        req = AggRequest(dims=groups, aggs=aggs, dim_filters=filters)
+        out, route = self.query_agg(table, req)
+        # present columns in the SELECT's order (dims first as written)
+        ordered = sel_dims + [a for a in aggs if a not in sel_dims]
+        try:
+            out = out.select(*[c for c in ordered if c in out.columns],
+                             *[c for c in out.columns if c not in ordered])
+        except Exception:
+            pass
+        return out, route
+
+    @staticmethod
+    def _split_top_level_commas(items: str) -> list[str]:
+        parts, depth, cur = [], 0, []
+        for ch in items:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            parts.append("".join(cur))
+        return parts
+
     def query_agg(self, name: str, request) -> tuple[DataFrame, str]:
         """Star-tree-aware aggregation **[P1.2]**: route an AggRequest
         (streaming.rollup) through the table's declared star-tree rollup

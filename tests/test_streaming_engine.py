@@ -1070,3 +1070,53 @@ def test_compact_also_compacts_star_tree_cells(spark, tmp_path):
         {"sum__price": "sum", "count__price": "sum"}
     ).collect()[0]
     assert list(before) == list(after)  # cells identical, just fewer files
+
+
+def test_query_routed_sql_star_tree_selection(spark, tmp_path):
+    """Plain SQL hits the star-tree when it matches the narrow group-by shape
+    (Pinot's broker-side index selection); anything else falls back to full
+    Spark SQL — routing changes the scan, never the answer or the surface."""
+    src_dir = tmp_path / "stream_in"
+    config = dict(TABLE_CONFIG)
+    config["tableName"] = "starSql"
+    config["tableIndexConfig"] = {
+        "streamConfigs": {"realtime.segment.flush.threshold.time": "2m"},
+        "starTreeIndexConfigs": [
+            {
+                "dimensionsSplitOrder": ["campaign", "ingest_date"],
+                "functionColumnPairs": ["SUM__price", "COUNT__price"],
+            }
+        ],
+    }
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    _write_events(src_dir / "b1.json", 40, "2024-05-01")
+    pipe = engine.add_table(CLICKSTREAM_SCHEMA, config,
+                            RawRecordSource(kind="files", path=str(src_dir)),
+                            available_now=True)
+    pipe.process_available()
+    engine.register_view("starSql")
+
+    sql = ("SELECT campaign, sum(price) AS total, count(price) AS n "
+           "FROM starSql WHERE campaign IN ('BlackFriday', '10Percent') "
+           "GROUP BY campaign")
+    routed, route = engine.query_routed(sql)
+    assert route == "rollup:startree"
+    direct = engine.query(sql)
+    key = lambda r: r["campaign"]  # noqa: E731
+    assert sorted(map(tuple, routed.select("campaign", "total", "n").collect()), key=lambda t: t[0]) == \
+           sorted(map(tuple, direct.collect()), key=lambda t: t[0])
+
+    # avg derives from sum+count cells
+    ravg, route_avg = engine.query_routed(
+        "SELECT campaign, avg(price) AS m FROM starSql GROUP BY campaign")
+    assert route_avg == "rollup:startree"
+
+    # non-coverable aggregate falls back to full SQL, same answer
+    f1, r1 = engine.query_routed(
+        "SELECT campaign, count(DISTINCT userID) AS u FROM starSql GROUP BY campaign")
+    assert r1 == "sql"
+    # arbitrary SQL (join, HAVING) also falls back untouched
+    f2, r2 = engine.query_routed(
+        "SELECT campaign, count(*) AS n FROM starSql GROUP BY campaign HAVING count(*) > 5")
+    assert r2 == "sql" and f2.count() >= 0
+    pipe.stop()
