@@ -264,8 +264,19 @@ class IngestPipeline:
 
     def table(self) -> DataFrame:
         """The queryable table (consuming-segment analog: rows appear after
-        each micro-batch commit)."""
-        return self.spark.read.parquet(self.table_path)
+        each micro-batch commit).
+
+        ``mergeSchema`` makes Pinot-style schema EVOLUTION work **[P1.2]**:
+        a column added to the schema (then a pipeline restart) appears only
+        in newer files; merging footers surfaces it table-wide with NULLs
+        for pre-evolution rows — Pinot's add-column + segment-reload
+        behavior (Pinot fills type defaults; we keep real nulls unless the
+        field declares ``defaultNullValue``, schema.py).  At 100 TB the
+        footer-merge cost is bounded: Spark samples/parallelizes footer
+        reads, and compaction keeps file counts low; pin the schema with
+        ``spark.read.schema(...)`` instead if a table is known-frozen.
+        """
+        return self.spark.read.option("mergeSchema", "true").parquet(self.table_path)
 
     def rollup_table(self) -> DataFrame:
         """The pre-aggregated cell log (star-tree analog); merge with

@@ -1120,3 +1120,52 @@ def test_query_routed_sql_star_tree_selection(spark, tmp_path):
         "SELECT campaign, count(*) AS n FROM starSql GROUP BY campaign HAVING count(*) > 5")
     assert r2 == "sql" and f2.count() >= 0
     pipe.stop()
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Pinot schema evolution: adding a column to the schema (and restarting
+    the consumer, Pinot's reload) surfaces it table-wide — old rows read
+    NULL (or the declared defaultNullValue), new rows carry data; existing
+    data needs no rewrite."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    src_dir = tmp_path / "stream_in"
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    config = dict(TABLE_CONFIG)
+    config["tableName"] = "evolve"
+
+    _write_events(src_dir / "b1.json", 10, "2024-06-01")
+    pipe = engine.add_table(CLICKSTREAM_SCHEMA, config,
+                            RawRecordSource(kind="files", path=str(src_dir)),
+                            available_now=True)
+    pipe.process_available()
+    assert "channel" not in pipe.table().columns
+    pipe.stop()
+
+    # evolve: the schema gains a dimension; re-AddTable (Pinot reload analog)
+    evolved = _json.loads(_json.dumps(CLICKSTREAM_SCHEMA))
+    evolved["dimensionFieldSpecs"].append(
+        {"name": "channel", "dataType": "STRING", "defaultNullValue": "unknown"}
+    )
+    (src_dir / "b2.json").write_text("\n".join(
+        _json.dumps({"userID": str(i), "campaign": "NONE", "price": 5,
+                     "channel": "web",
+                     "creationTimestamp": "2024-06-02 09:00:00"})
+        for i in range(5)
+    ))
+    pipe2 = engine.add_table(evolved, config,
+                             RawRecordSource(kind="files", path=str(src_dir)),
+                             available_now=True)
+    pipe2.process_available()
+    table = pipe2.table()
+    assert "channel" in table.columns
+    assert table.count() == 15
+    by = {r["channel"]: r["n"] for r in
+          table.groupBy("channel").agg(F.count("*").alias("n")).collect()}
+    # pre-evolution rows: column absent in their files -> NULL on read (the
+    # decode-time defaultNullValue applies to newly ingested rows only; we
+    # do NOT rewrite history, same as Pinot reload)
+    assert by.get(None, 0) == 10 and by.get("web", 0) == 5
+    pipe2.stop()
