@@ -108,6 +108,18 @@ class TableConfig:
         tic = conf.get("tableIndexConfig", {})
         stream = tic.get("streamConfigs", {})
         sorted_cols = tic.get("sortedColumn", ())
+        # invertedIndexColumns **[P1.2]** -> the equality-pruning analog we
+        # have: parquet bloom filters (point predicates skip row groups; for
+        # dictionary-encoded chunks the dictionary page filters exactly —
+        # same effect as Pinot's inverted posting lists at the row-group
+        # granularity Spark scans prune by).
+        # rangeIndexColumns **[P1.2]** -> range predicates skip row groups
+        # when min/max stats are tight, which requires sortedness: the first
+        # range column becomes the in-file sort key when no sortedColumn is
+        # declared (sortedColumn wins otherwise; further range columns get
+        # bloom filters only — a file has one physical order).
+        if not sorted_cols and tic.get("rangeIndexColumns"):
+            sorted_cols = tuple(tic["rangeIndexColumns"])[:1]
         part_map = tic.get("segmentPartitionConfig", {}).get("columnPartitionMap", {})
         part_col, part_n = None, 0
         if part_map:
@@ -164,7 +176,12 @@ class TableConfig:
             star_tree_dims=st_dims,
             star_tree_metrics=st_metrics,
             sorted_column=sorted_cols[0] if sorted_cols else None,
-            bloom_filter_columns=tuple(tic.get("bloomFilterColumns", ())),
+            bloom_filter_columns=tuple(
+                dict.fromkeys(
+                    tuple(tic.get("bloomFilterColumns", ()))
+                    + tuple(tic.get("invertedIndexColumns", ()))
+                )
+            ),
             partition_column=part_col,
             partition_buckets=part_n,
         )

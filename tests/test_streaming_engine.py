@@ -1169,3 +1169,28 @@ def test_schema_evolution_add_column(spark, tmp_path):
     # do NOT rewrite history, same as Pinot reload)
     assert by.get(None, 0) == 10 and by.get("web", 0) == 5
     pipe2.stop()
+
+
+def test_inverted_and_range_index_columns_map_to_storage_analogs():
+    """invertedIndexColumns ride the bloom-filter path (equality row-group
+    skip), rangeIndexColumns elect the in-file sort key when no sortedColumn
+    is declared (tight zone maps = range skip); an explicit sortedColumn
+    wins."""
+    cfg = TableConfig.parse({
+        "tableName": "idx",
+        "tableIndexConfig": {
+            "invertedIndexColumns": ["campaign", "userID"],
+            "bloomFilterColumns": ["userID"],
+            "rangeIndexColumns": ["price"],
+        },
+    })
+    assert set(cfg.bloom_filter_columns) == {"campaign", "userID"}
+    assert cfg.sorted_column == "price"
+    cfg2 = TableConfig.parse({
+        "tableName": "idx2",
+        "tableIndexConfig": {
+            "sortedColumn": ["creationTimestamp"],
+            "rangeIndexColumns": ["price"],
+        },
+    })
+    assert cfg2.sorted_column == "creationTimestamp"
