@@ -322,10 +322,24 @@ class Engine:
         **[P1.2]**; the raw append-only log stays available as ``<name>_raw``.
         """
         raw = self.pipelines[name].table()
-        config = self.configs.get(name)
-        if config is None or (config.upsert_mode is None and not config.dedup_enabled):
+        resolved = self._resolved_frame(name)
+        if resolved is raw:
             raw.createOrReplaceTempView(name)
             return
+        raw.createOrReplaceTempView(f"{name}_raw")
+        resolved.createOrReplaceTempView(name)
+
+    def _resolved_frame(self, name: str) -> DataFrame:
+        """The frame queries must see: the raw log for plain tables, the
+        query-time-resolved view for upsert/dedup tables (Pinot's broker
+        resolution **[P1.2]**).  EVERY read path goes through this —
+        register_view and query_agg's scan fallback alike — so an upsert
+        table can never leak superseded row versions into an aggregate.
+        """
+        raw = self.pipelines[name].table()
+        config = self.configs.get(name)
+        if config is None or (config.upsert_mode is None and not config.dedup_enabled):
+            return raw
         if not config.primary_key_columns:
             raise ValueError(f"upsert/dedup table {name!r} declares no primaryKeyColumns")
         from .operators import upsert as _upsert
@@ -341,21 +355,18 @@ class Engine:
         keys = list(config.primary_key_columns)
         if config.upsert_mode is None and config.dedup_enabled:
             # dedupConfig table **[P1.2]**: first writer wins per key
-            resolved = _upsert.first_by_key(raw, keys, order)
-        elif config.upsert_mode == "PARTIAL" and config.partial_upsert_strategies:
+            return _upsert.first_by_key(raw, keys, order)
+        if config.upsert_mode == "PARTIAL" and config.partial_upsert_strategies:
             # deleteRecordColumn under PARTIAL mode (Pinot 1.2 **[P1.2]**):
             # a tombstone wipes accumulated state; later partials rebuild the
             # row from scratch (see operators/upsert.py:partial_upsert)
-            resolved = _upsert.partial_upsert(
+            return _upsert.partial_upsert(
                 raw, keys, order, dict(config.partial_upsert_strategies),
                 delete_col=config.delete_record_column,
             )
-        else:
-            resolved = _upsert.latest_by_key(
-                raw, keys, order, delete_col=config.delete_record_column
-            )
-        raw.createOrReplaceTempView(f"{name}_raw")
-        resolved.createOrReplaceTempView(name)
+        return _upsert.latest_by_key(
+            raw, keys, order, delete_col=config.delete_record_column
+        )
 
     def list_tables(self) -> list[str]:
         """GET /tables analog (stack ts:416-422)."""
@@ -495,7 +506,8 @@ class Engine:
         from .streaming.rollup import RollupRouter
 
         pipeline = self.pipelines[name]
-        router = RollupRouter(lambda: pipeline.table())
+        # scan fallback MUST see the resolved view on upsert/dedup tables
+        router = RollupRouter(lambda: self._resolved_frame(name))
         config = self.configs.get(name)
         if config is not None and config.star_tree_dims:
             from .streaming.rollup import RollupSpec

@@ -1194,3 +1194,43 @@ def test_inverted_and_range_index_columns_map_to_storage_analogs():
         },
     })
     assert cfg2.sorted_column == "creationTimestamp"
+
+
+def test_query_agg_scan_fallback_resolves_upsert(spark, tmp_path):
+    """query_agg's raw-scan fallback on an upsert table must aggregate the
+    RESOLVED view (latest row per key), never the append-only log — a
+    superseded version leaking into a sum is a silent wrong answer."""
+    import json as _json
+
+    from real_time_analytics_with_apache_pinot_on_aws_spark.streaming import rollup as R
+
+    src_dir = tmp_path / "stream_in"
+    config = dict(TABLE_CONFIG)
+    config["tableName"] = "upAgg"
+    config["upsertConfig"] = {"mode": "FULL"}
+    schema = dict(CLICKSTREAM_SCHEMA)
+    schema["primaryKeyColumns"] = ["userID"]
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    src_dir.mkdir(parents=True, exist_ok=True)
+    rows = [
+        {"userID": "u1", "campaign": "c", "price": 10,
+         "creationTimestamp": "2024-06-01 10:00:00"},
+        {"userID": "u1", "campaign": "c", "price": 99,
+         "creationTimestamp": "2024-06-01 11:00:00"},  # supersedes the 10
+        {"userID": "u2", "campaign": "c", "price": 7,
+         "creationTimestamp": "2024-06-01 10:30:00"},
+    ]
+    (src_dir / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    pipe = engine.add_table(schema, config,
+                            RawRecordSource(kind="files", path=str(src_dir)),
+                            available_now=True)
+    pipe.process_available()
+
+    out, route = engine.query_agg(
+        "upAgg", R.AggRequest(dims=("campaign",), aggs={"total": ("sum", "price"),
+                                                        "n": ("count", "price")})
+    )
+    assert route == "scan"  # no star-tree on upsert tables
+    row = out.collect()[0]
+    assert row["n"] == 2 and row["total"] == 106  # 99 + 7, never 10+99+7
+    pipe.stop()
