@@ -7,7 +7,9 @@ Reference surface (SURVEY §2.A):
 - A11 segment/server map                                   -> :meth:`table_detail`
 - A12 instance deregistration                              -> n/a (no instance registry)
 - B2  /query/sql                                           -> :meth:`query`
-- B4  JSON result                                          -> :meth:`query_json`
+- B4  JSON result                                          -> :meth:`query_json` / :meth:`query_broker_response`
+- EXPLAIN PLAN FOR                                         -> :meth:`explain_plan` (via :meth:`query`)
+- star-tree-aware aggregation                              -> :meth:`query_agg` / :meth:`query_routed`
 
 Table config parsing follows the reference's REALTIME config shape
 (resources/pinot/resources/kinesisTableConfigFile.json): time column +
