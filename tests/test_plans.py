@@ -500,3 +500,12 @@ def test_chunking_is_map_side(spark):
     f = facts("c15_chunking", spark)
     assert not f.python_eval
     assert f.exchanges <= 1         # explode amplifies rows, crosses nothing
+
+
+def test_cohort_retention_shuffle_budget(spark):
+    f = facts("c16_cohort_retention", spark)
+    assert not f.python_eval
+    # distinct (user, day) + the user window + cohort/age agg + output sort —
+    # the user-keyed exchange is paid once (no self-join back to a cohort CTE)
+    assert f.exchanges <= 4
+    assert f.sortmerge_joins == 0 and not f.cartesian
