@@ -1,0 +1,123 @@
+"""Quickstart: the reference deployment's workflow, end-to-end on this engine.
+
+Mirrors what a user of aws-samples/real-time-analytics-with-apache-pinot-on-aws
+does after `cdk deploy` (README.md:88-110 of the reference): create a realtime
+table from a Pinot schema + table config, stream KDG-shaped JSON events in,
+and run live SQL — plus the round-4 extras (star-tree auto-routing, EXPLAIN,
+broker envelope).  Runs standalone:
+
+    python examples/quickstart.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
+from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
+from real_time_analytics_with_apache_pinot_on_aws_spark.session import build_session
+from real_time_analytics_with_apache_pinot_on_aws_spark.streaming import RawRecordSource
+from real_time_analytics_with_apache_pinot_on_aws_spark.streaming.rollup import AggRequest
+
+# The reference's schema/table-config shapes (kinesisTable.json /
+# kinesisTableConfigFile.json), plus a star-tree declaration.
+SCHEMA = {
+    "schemaName": "clickstream",
+    "dimensionFieldSpecs": [
+        {"name": "userID", "dataType": "STRING"},
+        {"name": "campaign", "dataType": "STRING", "defaultNullValue": "NONE"},
+    ],
+    "metricFieldSpecs": [{"name": "price", "dataType": "DOUBLE"}],
+    "dateTimeFieldSpecs": [
+        {
+            "name": "creationTimestamp",
+            "dataType": "STRING",
+            "format": "SIMPLE_DATE_FORMAT|yyyy-MM-dd HH:mm:ss",
+            "granularity": "1:DAYS",
+        }
+    ],
+}
+TABLE_CONFIG = {
+    "tableName": "clickstream",
+    "tableType": "REALTIME",
+    "segmentsConfig": {
+        "timeColumnName": "creationTimestamp",
+        "retentionTimeUnit": "DAYS",
+        "retentionTimeValue": "7",
+    },
+    "tableIndexConfig": {
+        "streamConfigs": {"realtime.segment.flush.threshold.time": "2m"},
+        "starTreeIndexConfigs": [
+            {
+                "dimensionsSplitOrder": ["campaign", "ingest_date"],
+                "functionColumnPairs": ["SUM__price", "COUNT__price"],
+            }
+        ],
+    },
+}
+
+
+def main() -> None:
+    spark = build_session(app_name="quickstart", shuffle_partitions=8)
+    work = Path(tempfile.mkdtemp(prefix="quickstart_"))
+    src = work / "stream_in"
+    src.mkdir(parents=True)
+
+    # 1. KDG-analog: land a batch of JSON events on the stream source
+    with open(src / "batch1.json", "w") as fh:
+        for i in range(200):
+            fh.write(json.dumps({
+                "userID": str(i % 40),
+                "campaign": ["BlackFriday", "10Percent", "NONE"][i % 3],
+                "price": 10 + (i % 90),
+                "creationTimestamp": f"2024-06-01 10:{i % 60:02d}:00",
+            }) + "\n")
+
+    # 2. AddTable: schema + config -> consuming table (A8)
+    engine = Engine(spark, str(work / "warehouse"))
+    pipe = engine.add_table(
+        SCHEMA, TABLE_CONFIG,
+        RawRecordSource(kind="files", path=str(src)),
+        available_now=True,
+    )
+    pipe.process_available()
+    engine.register_view("clickstream")
+
+    # 3. Live SQL over the consuming table (B2), broker-envelope result (B4)
+    resp = engine.query_broker_response(
+        "SELECT campaign, count(*) AS n, round(sum(price), 2) AS revenue "
+        "FROM clickstream GROUP BY campaign ORDER BY revenue DESC"
+    )
+    print("broker response:", json.dumps(resp["resultTable"], indent=2))
+
+    # 4. Star-tree selection: the same aggregate served from pre-agg cells
+    routed, route = engine.query_routed(
+        "SELECT campaign, sum(price) AS revenue, count(price) AS n "
+        "FROM clickstream GROUP BY campaign"
+    )
+    print(f"route = {route}")
+    routed.show()
+
+    # ... or declaratively:
+    df, route = engine.query_agg(
+        "clickstream",
+        AggRequest(dims=("campaign",), aggs={"mean_price": ("avg", "price")}),
+    )
+    print(f"declarative route = {route}")
+    df.show()
+
+    # 5. Plan introspection, Pinot-style (EXPLAIN PLAN FOR)
+    engine.query(
+        "EXPLAIN PLAN FOR SELECT campaign, count(*) FROM clickstream GROUP BY campaign"
+    ).show(truncate=False)
+
+    pipe.stop()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
