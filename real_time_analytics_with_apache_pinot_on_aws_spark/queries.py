@@ -4876,6 +4876,96 @@ def c15_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_id")
 
 
+@register(
+    "c17_corpus_to_training",
+    f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 3),
+    feats AS (
+      SELECT doc_id,
+             len({_DUCK_TOKS}) AS n_tokens,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct,
+             len(list_distinct({_DUCK_TOKS})) AS n_distinct,
+             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS bpe_ish_tokens,
+             md5(array_to_string(list_sort(list_distinct({_DUCK_TOKS})), ' ')) AS fp,
+             {", ".join(f"{_DUCK_HITS[lang]} AS h_{lang}" for lang in _LANGS)}
+      FROM corpus
+    ), scored AS (
+      SELECT doc_id, bpe_ish_tokens, fp,
+             {_DUCK_PRED} AS predicted_lang,
+             (CASE WHEN n_tokens >= 5 THEN 0.25 ELSE 0.0 END
+              + CASE WHEN punct::DOUBLE / greatest(n_chars, 1) < 0.1 THEN 0.25 ELSE 0.0 END
+              + CASE WHEN n_distinct::DOUBLE / greatest(n_tokens, 1) > 0.3 THEN 0.25 ELSE 0.0 END
+              + CASE WHEN (n_chars - n_tokens + 1)::DOUBLE / greatest(n_tokens, 1) > 2
+                      AND (n_chars - n_tokens + 1)::DOUBLE / greatest(n_tokens, 1) < 12
+                     THEN 0.25 ELSE 0.0 END)::DOUBLE AS quality_score
+      FROM feats
+    ), quality AS (
+      SELECT * FROM scored WHERE quality_score >= 0.5
+    ), reps AS (
+      SELECT min(doc_id) AS doc_id FROM quality GROUP BY fp
+    ), toks AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    grams AS (SELECT doc_id, unnest({_DUCK_GRAMS3}) AS gram FROM toks),
+    eg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 17 = 3),
+    hits AS (
+      SELECT g.doc_id, count(*) AS n FROM grams g JOIN eg USING (gram)
+      WHERE g.doc_id % 17 <> 3 GROUP BY g.doc_id
+    ), contaminated AS (SELECT doc_id FROM hits WHERE n >= 5),
+    clean AS (
+      SELECT r.doc_id FROM reps r LEFT JOIN contaminated c ON r.doc_id = c.doc_id
+      WHERE c.doc_id IS NULL
+    ), labeled AS (
+      SELECT {_DUCK_SPLIT} AS split, s.predicted_lang, s.bpe_ish_tokens
+      FROM clean JOIN scored s USING (doc_id)
+    )
+    SELECT split, predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(bpe_ish_tokens) AS BIGINT) AS bpe_tokens
+    FROM labeled
+    GROUP BY split, predicted_lang
+    ORDER BY split, predicted_lang
+    """,
+    doc="C17 capstone: raw corpus -> training-ready accounting in ONE "
+        "composed deterministic pipeline — quality gate (fused text "
+        "features, one codegen pass) -> exact content dedup (min-id rep "
+        "per fingerprint) -> benchmark decontamination (broadcast eval "
+        "grams, >= 5 shared 3-grams drops the doc) -> md5 train/val/test "
+        "split -> per-(split, language) doc and BPE-ish token totals.  "
+        "Every stage is md5/hash-deterministic, so the oracle replays the "
+        "WHOLE pipeline value-for-value — the end-to-end proof that the "
+        "curation suite composes.  Two corpus scans total (features + "
+        "grams), every other relation is id-keyed and narrow.",
+)
+def c17_corpus_to_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    eval_set = docs.filter(F.col("doc_id") % 17 == 3)
+    corpus = docs.filter(F.col("doc_id") % 17 != 3)
+    feats = _text.text_features(corpus, "doc_id", "text")
+    quality = feats.filter(F.col("quality_score") >= 0.5)
+    reps = quality.groupBy("fingerprint_md5").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("predicted_lang", "doc_id").alias("predicted_lang"),
+        F.min_by("bpe_ish_tokens", "doc_id").alias("bpe_ish_tokens"),
+    )
+    rep_docs = corpus.select("doc_id", "text").join(
+        reps.select("doc_id"), "doc_id", "left_semi"
+    )
+    decon = _cur.decontaminate(rep_docs, eval_set, n=3, min_overlap=5)
+    clean = reps.join(
+        decon.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
+    )
+    labeled = _cur.hash_split(clean)
+    return (
+        labeled.groupBy("split", "predicted_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("bpe_ish_tokens").cast("bigint").alias("bpe_tokens"),
+        )
+        .orderBy("split", "predicted_lang")
+    )
+
+
 # ===========================================================================
 # Driver window curation: the driver's correctness gate adjudicates exactly
 # the first 50 entries of queries() in registration order (confirmed in
