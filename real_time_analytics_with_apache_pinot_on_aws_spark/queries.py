@@ -4990,7 +4990,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "b19_distinctcountmv",
     "b20_distinctcounthll",
     "b21_sketch_set_algebra",
-    "b21_hll_sketch_algebra",
+    # (b21_hll_sketch_algebra stays registered post-window: B21 is covered by
+    # the set-algebra probe and HLL estimation by b20; the slot instead
+    # surfaces the composed curation capstone)
+    "c17_corpus_to_training",
     "b22_percentile_exact",
     "b22_percentile_approx",
     "b24_b25_stats",
