@@ -261,3 +261,40 @@ def chunk_documents(
         F.size(piece).cast("bigint").alias("chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher/C4 quality-rule family).
+
+    Emits per document the duplicated-2-gram and duplicated-3-gram fractions
+    (1 - distinct/total) — the standard boilerplate detectors: templated or
+    looping text repeats short n-grams far above natural prose rates.  All
+    map-side array expressions over one scan (tokenize once, both gram sizes
+    slice the same token array); zero shuffles, linear at any corpus size,
+    and exactly replayable by the oracle.
+    """
+    from .dedup import normalized_tokens
+
+    toks = normalized_tokens(F.col(text_col))
+
+    def grams(n: int) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+
+    def dup_fraction(g: Column) -> Column:
+        return F.round(
+            1 - F.size(F.array_distinct(g)) / F.greatest(F.size(g), F.lit(1)), 6
+        )
+
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        dup_fraction(grams(2)).alias("dup_2gram_fraction"),
+        dup_fraction(grams(3)).alias("dup_3gram_fraction"),
+    )

@@ -4966,6 +4966,48 @@ def c17_corpus_to_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "c18_repetition_filter",
+    f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             list_transform(range(1, greatest(len(toks)-2, 0)+2),
+                            i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+             list_transform(range(1, greatest(len(toks)-3, 0)+2),
+                            i -> array_to_string(toks[i:i+2], ' ')) AS g3
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           round(1 - len(list_distinct(g2))::DOUBLE / greatest(len(g2), 1), 6)
+             AS dup_2gram_fraction,
+           round(1 - len(list_distinct(g3))::DOUBLE / greatest(len(g3), 1), 6)
+             AS dup_3gram_fraction,
+           round(1 - len(list_distinct(g2))::DOUBLE / greatest(len(g2), 1), 6) > 0.08
+             AS repetitive
+    FROM g
+    ORDER BY doc_id
+    """,
+    doc="C18: within-document repetition signals (the Gopher/C4 quality-rule "
+        "family) — duplicated-2-gram and duplicated-3-gram fractions with a "
+        "boilerplate flag at dup-2-gram > 0.08.  Tokenize once, both gram "
+        "sizes slice the same token array, all map-side: zero shuffles "
+        "besides the deterministic output sort, linear at any corpus size; "
+        "the oracle replays every fraction exactly.",
+)
+def c18_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    stats = _cur.repetition_stats(spark.table("documents"))
+    return stats.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "dup_2gram_fraction",
+        "dup_3gram_fraction",
+        (F.col("dup_2gram_fraction") > 0.08).alias("repetitive"),
+    ).orderBy("doc_id")
+
+
 # ===========================================================================
 # Driver window curation: the driver's correctness gate adjudicates exactly
 # the first 50 entries of queries() in registration order (confirmed in

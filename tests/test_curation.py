@@ -143,3 +143,17 @@ def test_chunking_covers_every_token_with_declared_overlap(docs):
         assert last["start_token"] + last["chunk_tokens"] >= n
         # no chunk starts beyond the stream (except the single-chunk empty doc)
         assert all(r["start_token"] < max(n, 1) for r in rs)
+
+
+def test_repetition_stats_flags_planted_boilerplate(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam ham " * 30),                         # one 2-gram repeated
+            (2, "each word here appears only once total"),  # no repetition
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in C.repetition_stats(df).collect()}
+    assert out[1]["dup_2gram_fraction"] > 0.9      # 59 grams, 2 distinct
+    assert out[2]["dup_2gram_fraction"] == 0.0
+    assert out[2]["dup_3gram_fraction"] == 0.0
