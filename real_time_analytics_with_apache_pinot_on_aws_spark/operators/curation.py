@@ -17,7 +17,13 @@ extensions alongside C1-C4):
 - **PII redaction** (C14) — email/phone/IPv4 scrubbing with audit counts,
   patterns constrained to the Java-regex ∩ RE2 subset;
 - **overlapping chunking** (C15) — the RAG/embedding splitter: fixed token
-  windows on a stride, tokenize-once, map-side explode.
+  windows on a stride, tokenize-once, map-side explode;
+- **repetition filter** (C18) — duplicated n-gram fractions, the Gopher/C4
+  boilerplate quality rules.
+
+The composed capstone (queries.c17_corpus_to_training) chains quality gate ->
+exact dedup -> decontamination -> split -> per-(split, language) accounting,
+with the DuckDB oracle replaying the whole pipeline value-for-value.
 
 All are pure built-in-expression DataFrame plans (no Python in the hot
 path) and every one is oracle-checkable: the only "randomness" anywhere is
