@@ -91,12 +91,17 @@ class TableConfig:
     unnest_fields: tuple[str, ...] = ()
     # Pinot tableIndexConfig.starTreeIndexConfigs **[P1.2]**: declared
     # pre-aggregation — dimensionsSplitOrder + functionColumnPairs
-    # ("SUM__col"/"COUNT__col"/"MIN__col"/"MAX__col").  Analog: the FIRST
-    # config becomes an ingest-maintained rollup (per-micro-batch partial
-    # cells) that Engine.query_agg routes to automatically; additional
-    # configs would need one rollup stream each (documented limitation).
+    # ("SUM__col"/"COUNT__col"/"MIN__col"/"MAX__col").  Analog: EVERY
+    # config becomes its own ingest-maintained rollup stream (per-micro-
+    # batch partial cells); Engine.query_agg routes a request to the first
+    # covering config, like Pinot picks among a table's star-trees.
     star_tree_dims: tuple[str, ...] = ()
     star_tree_metrics: tuple[tuple[str, tuple[str, str]], ...] = ()
+    # ALL declared star-tree configs as ((dims, metrics), ...) — Pinot allows
+    # several per table; each becomes its own ingest-maintained cell log and
+    # routing candidate (first covering config wins).  star_tree_dims/
+    # star_tree_metrics mirror config 0 for convenience.
+    star_trees: tuple = ()
 
     @classmethod
     def parse(cls, config_json: str | dict) -> "TableConfig":
@@ -129,12 +134,9 @@ class TableConfig:
             # the first (sorted for determinism if several are declared).
             part_col = sorted(part_map)[0]
             part_n = int(part_map[part_col].get("numPartitions", 8))
-        st_dims: tuple = ()
-        st_metrics: tuple = ()
-        st_configs = tic.get("starTreeIndexConfigs", [])
-        if st_configs:
-            st = st_configs[0]
-            st_dims = tuple(st.get("dimensionsSplitOrder", ()))
+        star_trees = []
+        for st in tic.get("starTreeIndexConfigs", []):
+            dims_i = tuple(st.get("dimensionsSplitOrder", ()))
             pairs = []
             for fcp in st.get("functionColumnPairs", ()):
                 fn, _, col = fcp.partition("__")
@@ -145,7 +147,9 @@ class TableConfig:
                         "(algebraic only: count/max/min/sum)"
                     )
                 pairs.append((f"{fn}__{col}", (fn, col)))
-            st_metrics = tuple(pairs)
+            star_trees.append((dims_i, tuple(pairs)))
+        st_dims = star_trees[0][0] if star_trees else ()
+        st_metrics = star_trees[0][1] if star_trees else ()
         flush_ms = stream.get("realtime.segment.flush.threshold.time")
         flush_s = 120
         if flush_ms:  # reference uses e.g. "2m"? value is millis or duration string
@@ -177,6 +181,7 @@ class TableConfig:
             ),
             star_tree_dims=st_dims,
             star_tree_metrics=st_metrics,
+            star_trees=tuple(star_trees),
             sorted_column=sorted_cols[0] if sorted_cols else None,
             bloom_filter_columns=tuple(
                 dict.fromkeys(
@@ -274,7 +279,7 @@ class Engine:
         self.configs[config.name] = config
         table_path = str(self.warehouse / config.name / "data")
         checkpoint = str(self.warehouse / config.name / "_checkpoint")
-        if config.star_tree_dims and (config.upsert_mode or config.dedup_enabled):
+        if config.star_trees and (config.upsert_mode or config.dedup_enabled):
             # Pinot parity **[P1.2]**: star-tree indexes are unsupported on
             # upsert/dedup tables — cells built over the append-only log
             # would aggregate superseded row versions the resolved view
@@ -285,15 +290,24 @@ class Engine:
                 "combined with upsertConfig/dedupConfig"
             )
         rollup_spec, rollup_path = None, None
-        if config.star_tree_dims:
-            # starTreeIndexConfigs **[P1.2]**: declared pre-agg becomes an
-            # ingest-maintained rollup, served automatically by query_agg.
+        extra_rollups = []
+        if config.star_trees:
+            # starTreeIndexConfigs **[P1.2]**: every declared pre-agg becomes
+            # an ingest-maintained rollup, served automatically by query_agg
+            # (Pinot allows several star-trees per table).
             from .streaming.rollup import RollupSpec
 
             rollup_spec = RollupSpec(
-                dims=config.star_tree_dims, metrics=dict(config.star_tree_metrics)
+                dims=config.star_trees[0][0], metrics=dict(config.star_trees[0][1])
             )
             rollup_path = str(self.warehouse / config.name / "startree")
+            for i, (dims_i, metrics_i) in enumerate(config.star_trees[1:], start=1):
+                extra_rollups.append(
+                    (
+                        RollupSpec(dims=dims_i, metrics=dict(metrics_i)),
+                        str(self.warehouse / config.name / f"startree{i}"),
+                    )
+                )
         pipeline = IngestPipeline(
             self.spark,
             schema,
@@ -303,6 +317,7 @@ class Engine:
             retention_days=config.retention_days,
             rollup_spec=rollup_spec,
             rollup_path=rollup_path,
+            extra_rollups=tuple(extra_rollups),
             transform_configs=config.transform_configs,
             filter_function=config.filter_function,
             unnest_fields=config.unnest_fields,
@@ -438,7 +453,7 @@ class Engine:
             return self.query(sql), "sql"
         table = m.group("table")
         config = self.configs.get(table)
-        if table not in self.pipelines or config is None or not config.star_tree_dims:
+        if table not in self.pipelines or config is None or not config.star_trees:
             return self.query(sql), "sql"
         groups = tuple(g.strip() for g in m.group("groups").split(",") if g.strip())
         aggs: dict = {}
@@ -511,13 +526,15 @@ class Engine:
         # scan fallback MUST see the resolved view on upsert/dedup tables
         router = RollupRouter(lambda: self._resolved_frame(name))
         config = self.configs.get(name)
-        if config is not None and config.star_tree_dims:
+        if config is not None and config.star_trees:
             from .streaming.rollup import RollupSpec
 
-            spec = RollupSpec(
-                dims=config.star_tree_dims, metrics=dict(config.star_tree_metrics)
-            )
-            router.register("startree", lambda: pipeline.rollup_table(), spec)
+            for i, (dims_i, metrics_i) in enumerate(config.star_trees):
+                spec = RollupSpec(dims=dims_i, metrics=dict(metrics_i))
+                label = "startree" if i == 0 else f"startree{i}"
+                router.register(
+                    label, lambda i=i: pipeline.rollup_table(i), spec
+                )
         return router.answer(request)
 
     _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s+PLAN\s+FOR\s+", re.IGNORECASE)
@@ -658,19 +675,16 @@ class Engine:
                 "stop() or drain it before compact()"
             )
         compacted: dict[str, int] = {}
-        roots = [pipeline.table_path]
-        if (
-            pipeline.rollup_path is not None
-            and pipeline.rollup_spec is not None
-            and "ingest_date" in pipeline.rollup_spec.dims
-        ):
-            # the star-tree cell log accretes one file per micro-batch too;
-            # compact its day partitions with the same swap protocol (keys
-            # are prefixed 'rollup:' in the report)
-            roots.append(pipeline.rollup_path)
-        for root in roots:
-            self._compact_root(name, root, max_files_per_partition, compacted,
-                               key_prefix="" if root == pipeline.table_path else "rollup:")
+        self._compact_root(name, pipeline.table_path, max_files_per_partition,
+                           compacted, key_prefix="")
+        for i, (spec_i, path_i) in enumerate(pipeline._rollups):
+            # every star-tree cell log accretes one file per micro-batch too;
+            # compact day-partitioned ones with the same swap protocol (keys
+            # prefixed 'rollup:' / 'rollup{i}:' in the report)
+            if "ingest_date" in spec_i.dims:
+                prefix = "rollup:" if i == 0 else f"rollup{i}:"
+                self._compact_root(name, path_i, max_files_per_partition,
+                                   compacted, key_prefix=prefix)
         return {"table": name, "compacted_partitions": compacted}
 
     def _compact_root(

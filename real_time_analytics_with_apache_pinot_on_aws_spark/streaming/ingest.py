@@ -90,6 +90,7 @@ class IngestPipeline:
         retention_days: int | None = 7,
         rollup_spec=None,
         rollup_path: str | None = None,
+        extra_rollups: tuple = (),
         transform_configs: tuple = (),
         filter_function: str | None = None,
         unnest_fields: tuple = (),
@@ -104,8 +105,15 @@ class IngestPipeline:
         self.retention_days = retention_days
         # Star-tree analog (streaming/rollup.py): when set, each micro-batch
         # also appends its partial-aggregate cells to ``rollup_path``.
+        # ``extra_rollups`` carries further (spec, path) pairs — Pinot allows
+        # several star-trees per table; each maintains its own cell log.
         self.rollup_spec = rollup_spec
         self.rollup_path = rollup_path
+        self._rollups: list = (
+            [(rollup_spec, rollup_path)]
+            if rollup_spec is not None and rollup_path is not None
+            else []
+        ) + [(sp, pa) for sp, pa in extra_rollups]
         # Pinot ingestionConfig analog (engine.TableConfig): column transforms
         # + row-drop predicate, applied between decode and commit.
         self.transform_configs = tuple(transform_configs)
@@ -157,7 +165,7 @@ class IngestPipeline:
         reference's at-least-once, SURVEY B61).
         """
         table_path = self.table_path
-        rollup_spec, rollup_path = self.rollup_spec, self.rollup_path
+        rollups = list(self._rollups)
         sorted_column = self.sorted_column
         bloom_filter_columns = self.bloom_filter_columns
 
@@ -201,20 +209,20 @@ class IngestPipeline:
                     f"parquet.bloom.filter.enabled#{col_name}", "true"
                 )
             writer.parquet(table_path)
-            if rollup_spec is not None and rollup_path is not None:
+            for spec_i, path_i in rollups:
                 # segment-local pre-aggregation, star-tree style: the batch is
                 # in the cluster cache right now, so the extra pass is cheap
                 from .rollup import rollup_batch
 
-                cells = rollup_batch(batch_df, rollup_spec).write.mode("append")
-                if "ingest_date" in rollup_spec.dims:
+                cells = rollup_batch(batch_df, spec_i).write.mode("append")
+                if "ingest_date" in spec_i.dims:
                     # day-partition the cell log so retention expires rollup
                     # cells together with the raw partitions (Pinot star-trees
                     # are per-segment, so they expire with the segment; a
                     # rollup WITHOUT the day dimension cannot expire per day —
                     # see run_retention)
                     cells = cells.partitionBy("ingest_date")
-                cells.parquet(rollup_path)
+                cells.parquet(path_i)
 
         writer = (
             self.decoded()
@@ -278,12 +286,13 @@ class IngestPipeline:
         """
         return self.spark.read.option("mergeSchema", "true").parquet(self.table_path)
 
-    def rollup_table(self) -> DataFrame:
+    def rollup_table(self, index: int = 0) -> DataFrame:
         """The pre-aggregated cell log (star-tree analog); merge with
-        streaming.rollup.serve."""
-        if self.rollup_path is None:
+        streaming.rollup.serve.  ``index`` selects among multiple configured
+        star-trees (Pinot allows several per table)."""
+        if not self._rollups:
             raise ValueError("pipeline has no rollup configured")
-        return self.spark.read.parquet(self.rollup_path)
+        return self.spark.read.parquet(self._rollups[index][1])
 
     # -- retention (A7) --------------------------------------------------
 
@@ -303,16 +312,13 @@ class IngestPipeline:
         cutoff = now - timedelta(days=self.retention_days)
         dropped: list[str] = []
         roots = [Path(self.table_path)]
-        if (
-            self.rollup_path is not None
-            and self.rollup_spec is not None
-            and "ingest_date" in self.rollup_spec.dims
-        ):
+        for spec_i, path_i in self._rollups:
             # expire star-tree cells with their day, keeping query_agg's
             # rollup route consistent with the raw table (a rollup whose
             # dims omit the day column aggregates across days and cannot
             # be expired per day — callers own that retention trade-off)
-            roots.append(Path(self.rollup_path))
+            if "ingest_date" in spec_i.dims:
+                roots.append(Path(path_i))
         for root in roots:
             for part_dir in sorted(root.glob("ingest_date=*")):
                 value = part_dir.name.split("=", 1)[1]

@@ -1234,3 +1234,54 @@ def test_query_agg_scan_fallback_resolves_upsert(spark, tmp_path):
     row = out.collect()[0]
     assert row["n"] == 2 and row["total"] == 106  # 99 + 7, never 10+99+7
     pipe.stop()
+
+
+def test_multiple_star_tree_configs_route_independently(spark, tmp_path):
+    """Pinot allows several star-trees per table: each config maintains its
+    own cell log and query_agg picks the first COVERING one — a request only
+    the second config can serve routes to startree1."""
+    from pyspark.sql import functions as F
+    from real_time_analytics_with_apache_pinot_on_aws_spark.streaming import rollup as R
+
+    src_dir = tmp_path / "stream_in"
+    config = dict(TABLE_CONFIG)
+    config["tableName"] = "multiStar"
+    config["tableIndexConfig"] = {
+        "streamConfigs": {"realtime.segment.flush.threshold.time": "2m"},
+        "starTreeIndexConfigs": [
+            {   # config 0: by campaign, price metrics
+                "dimensionsSplitOrder": ["campaign", "ingest_date"],
+                "functionColumnPairs": ["SUM__price", "COUNT__price"],
+            },
+            {   # config 1: by user, count only
+                "dimensionsSplitOrder": ["userID", "ingest_date"],
+                "functionColumnPairs": ["COUNT__price"],
+            },
+        ],
+    }
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    _write_events(src_dir / "b1.json", 30, "2024-05-01")
+    pipe = engine.add_table(CLICKSTREAM_SCHEMA, config,
+                            RawRecordSource(kind="files", path=str(src_dir)),
+                            available_now=True)
+    pipe.process_available()
+
+    # covered by config 0
+    _, route0 = engine.query_agg(
+        "multiStar", R.AggRequest(dims=("campaign",), aggs={"t": ("sum", "price")})
+    )
+    assert route0 == "rollup:startree"
+    # only config 1 covers a userID group-by
+    by_user, route1 = engine.query_agg(
+        "multiStar", R.AggRequest(dims=("userID",), aggs={"n": ("count", "price")})
+    )
+    assert route1 == "rollup:startree1"
+    direct = {r["userID"]: r["n"] for r in pipe.table().groupBy("userID")
+              .agg(F.count("price").alias("n")).collect()}
+    assert {r["userID"]: r["n"] for r in by_user.collect()} == direct
+    # neither covers -> scan
+    assert engine.query_agg(
+        "multiStar", R.AggRequest(dims=("campaign", "userID"),
+                                  aggs={"n": ("count", "price")})
+    )[1] == "scan"
+    pipe.stop()
