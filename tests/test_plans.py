@@ -509,3 +509,12 @@ def test_cohort_retention_shuffle_budget(spark):
     # the user-keyed exchange is paid once (no self-join back to a cohort CTE)
     assert f.exchanges <= 4
     assert f.sortmerge_joins == 0 and not f.cartesian
+
+
+def test_dedup_first_single_shuffle(spark):
+    # dedupConfig resolution mirrors upsert: ONE min_by hash aggregate on the
+    # key — no sort, no window exchange
+    f = facts("b62_dedup_first", spark)
+    assert f.exchanges <= 1
+    assert "Window" not in f.text
+    assert not f.python_eval
