@@ -304,3 +304,30 @@ def repetition_stats(
         dup_fraction(grams(2)).alias("dup_2gram_fraction"),
         dup_fraction(grams(3)).alias("dup_3gram_fraction"),
     )
+
+
+def contaminated_ids(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int = 3,
+    min_overlap: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Just the ids failing decontamination — :func:`decontaminate` without
+    the zero-fill join back to the corpus (one fewer corpus scan), for
+    pipelines that only need to ANTI-JOIN the offenders away."""
+    eg = (
+        eval_set.select(F.explode(shingles(F.col(text_col), n)).alias("gram"))
+        .distinct()
+    )
+    cg = corpus.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        cg.join(F.broadcast(eg), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+        .select(id_col)
+    )

@@ -4929,12 +4929,16 @@ def c15_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "composed deterministic pipeline — quality gate (fused text "
         "features, one codegen pass) -> exact content dedup (min-id rep "
         "per fingerprint) -> benchmark decontamination (broadcast eval "
-        "grams, >= 5 shared 3-grams drops the doc) -> md5 train/val/test "
+        "grams, >= 5 shared 3-grams drops the doc via ANTI-join on "
+        "contaminated_ids — no zero-fill join back) -> md5 train/val/test "
         "split -> per-(split, language) doc and BPE-ish token totals.  "
         "Every stage is md5/hash-deterministic, so the oracle replays the "
         "WHOLE pipeline value-for-value — the end-to-end proof that the "
-        "curation suite composes.  Two corpus scans total (features + "
-        "grams), every other relation is id-keyed and narrow.",
+        "curation suite composes.  Scan accounting (honest): the corpus "
+        "text is read for features, for the dedup-surviving reps' grams, "
+        "and for the eval grams (plan-pinned <= 4 documents scans, all "
+        "column-pruned to id+text); at 100 TB the feature+token relation "
+        "persists once and the later stages read THAT, not the raw text.",
 )
 def c17_corpus_to_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
@@ -4951,10 +4955,8 @@ def c17_corpus_to_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_docs = corpus.select("doc_id", "text").join(
         reps.select("doc_id"), "doc_id", "left_semi"
     )
-    decon = _cur.decontaminate(rep_docs, eval_set, n=3, min_overlap=5)
-    clean = reps.join(
-        decon.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
-    )
+    bad = _cur.contaminated_ids(rep_docs, eval_set, n=3, min_overlap=5)
+    clean = reps.join(bad, "doc_id", "left_anti")
     labeled = _cur.hash_split(clean)
     return (
         labeled.groupBy("split", "predicted_lang")

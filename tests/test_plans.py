@@ -518,3 +518,12 @@ def test_dedup_first_single_shuffle(spark):
     assert f.exchanges <= 1
     assert "Window" not in f.text
     assert not f.python_eval
+
+
+def test_capstone_scan_budget(spark):
+    # c17's honest scan accounting: features + rep grams + eval grams
+    # (+ the semi-join's re-read) — never more; no Python, no cartesian
+    f = facts("c17_corpus_to_training", spark)
+    assert f.text.count("documents.parquet") <= 4
+    assert not f.python_eval and not f.cartesian
+    assert f.broadcast_joins >= 1   # eval grams + contaminated-id anti-join
