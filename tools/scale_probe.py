@@ -45,6 +45,7 @@ PROBES = (
     # explode->broadcast-join path, packing stresses the per-stream window
     "c10_decontamination",
     "c13_sequence_packing",
+    "c17_corpus_to_training",
 )
 
 
