@@ -456,6 +456,14 @@ class Engine:
         if table not in self.pipelines or config is None or not config.star_trees:
             return self.query(sql), "sql"
         groups = tuple(g.strip() for g in m.group("groups").split(",") if g.strip())
+        # _AGG_SQL_RE's groups capture is greedy over [\w\s,] and will absorb
+        # a trailing ORDER BY / LIMIT / HAVING into the last "dim"; every
+        # group item must be a single bare identifier or the query is not the
+        # narrow routable shape — fall back to full SQL (never mis-route)
+        if not groups or any(not re.fullmatch(r"\w+", g) for g in groups) or any(
+            g.upper() in ("ORDER", "BY", "LIMIT", "HAVING", "OFFSET") for g in groups
+        ):
+            return self.query(sql), "sql"
         aggs: dict = {}
         sel_dims: list = []
         for item in self._split_top_level_commas(m.group("items")):
@@ -475,9 +483,9 @@ class Engine:
                 conj = conj.strip()
                 fm = self._AGG_IN_RE.match(conj)
                 if fm:
-                    vals = tuple(
-                        v.strip().strip("'") for v in fm.group("vals").split(",")
-                    )
+                    vals = self._parse_in_values(fm.group("vals"))
+                    if vals is None:
+                        return self.query(sql), "sql"
                     filters[fm.group("col")] = vals
                     continue
                 em = self._AGG_EQ_RE.match(conj)
@@ -495,6 +503,39 @@ class Engine:
         except Exception:
             pass
         return out, route
+
+    @staticmethod
+    def _parse_in_values(raw: str) -> tuple | None:
+        """Tokenize an IN-list respecting single quotes.
+
+        ``'a,b', 'c'`` must parse to two values, not three — a bare
+        ``split(',')`` silently mangles quoted commas into a WRONG answer
+        (round-4 ADVICE).  Anything ambiguous (unbalanced quotes, doubled
+        ``''`` escapes, stray text around a quoted value) returns None so
+        the caller falls back to full Spark SQL instead of mis-routing.
+        """
+        items, cur, in_q = [], [], False
+        for ch in raw:
+            if ch == "'":
+                in_q = not in_q
+                cur.append(ch)
+            elif ch == "," and not in_q:
+                items.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        if in_q:
+            return None
+        items.append("".join(cur).strip())
+        vals: list[str] = []
+        for it in items:
+            if re.fullmatch(r"'[^']*'", it):
+                vals.append(it[1:-1])
+            elif re.fullmatch(r"[\w.+-]+", it):
+                vals.append(it)
+            else:
+                return None
+        return tuple(vals)
 
     @staticmethod
     def _split_top_level_commas(items: str) -> list[str]:
@@ -530,6 +571,15 @@ class Engine:
             from .streaming.rollup import RollupSpec
 
             for i, (dims_i, metrics_i) in enumerate(config.star_trees):
+                if config.retention_days is not None and "ingest_date" not in dims_i:
+                    # a rollup whose dims omit the day column aggregates
+                    # ACROSS days, so run_retention cannot expire its cells —
+                    # routing to it after a partition drop would resurrect
+                    # deleted data.  Pinot expires star-trees per segment
+                    # (they live inside segments) so it never has this skew;
+                    # here the consistent move is to serve such tables from
+                    # the retention-consistent scan instead.
+                    continue
                 spec = RollupSpec(dims=dims_i, metrics=dict(metrics_i))
                 label = "startree" if i == 0 else f"startree{i}"
                 router.register(
@@ -576,6 +626,15 @@ class Engine:
             depth = prefix_len // 3
             if not stripped or stripped.startswith(("Arguments", "Output", "Input")):
                 continue
+            # AQE decorates the tree with section banners: '== Current Plan
+            # ==' then a full '== Initial Plan ==' duplicate subtree.
+            # Banners are not operators (emitting them fabricates rows with
+            # bogus parents, round-4 ADVICE), and the initial-plan duplicate
+            # would double every operator — keep only the current plan.
+            if stripped.startswith("=="):
+                if "Initial Plan" in stripped:
+                    break
+                continue
             op_id = len(rows)
             while stack and stack[-1][0] >= depth:
                 stack.pop()
@@ -607,8 +666,26 @@ class Engine:
         import time as _time
 
         t0 = _time.monotonic()
-        df = self.query(sql)
-        rows = df.collect()
+        try:
+            df = self.query(sql)
+            rows = df.collect()
+        except Exception as e:
+            # Pinot brokers never raise through /query/sql: failures come
+            # back as a structured envelope with ``exceptions: [{errorCode,
+            # message}]`` **[P1.2]**.  Codes follow Pinot's QueryException
+            # taxonomy: 150 SQL parsing, 700 query validation (unknown
+            # column/table), 200 execution.
+            ms = int((_time.monotonic() - t0) * 1000)
+            return {
+                "numRowsResultSet": 0,
+                "timeUsedMs": ms,
+                "exceptions": [
+                    {
+                        "errorCode": self._broker_error_code(e),
+                        "message": f"{type(e).__name__}: {e}"[:4096],
+                    }
+                ],
+            }
         ms = int((_time.monotonic() - t0) * 1000)
         return {
             "resultTable": {
@@ -626,6 +703,20 @@ class Engine:
             "timeUsedMs": ms,
             "exceptions": [],
         }
+
+    @staticmethod
+    def _broker_error_code(e: Exception) -> int:
+        """Map a Spark failure onto Pinot's broker errorCode taxonomy
+        **[P1.2]**: 150 SQL_PARSING, 700 QUERY_VALIDATION, 200 EXECUTION."""
+        try:
+            from pyspark.errors import AnalysisException, ParseException
+        except ImportError:  # older pyspark layout
+            from pyspark.sql.utils import AnalysisException, ParseException
+        if isinstance(e, ParseException):
+            return 150
+        if isinstance(e, AnalysisException):
+            return 700
+        return 200
 
     # -- maintenance -----------------------------------------------------
 

@@ -90,6 +90,22 @@ def decontaminate(
     )
 
 
+def _hex_threshold(value: str, name: str) -> str:
+    """Normalize a 2-char hex bucket threshold; reject anything else.
+
+    The md5 prefix compared against it is LOWERCASE hex, so an uppercase
+    ('CC') or wrong-length argument would silently mis-bucket every row
+    (lexicographic compare, round-4 ADVICE) — normalize case, fail loudly on
+    shape.
+    """
+    v = value.lower()
+    if len(v) != 2 or any(c not in "0123456789abcdef" for c in v):
+        raise ValueError(
+            f"{name} must be exactly two hex chars (e.g. 'cc'), got {value!r}"
+        )
+    return v
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -105,6 +121,8 @@ def hash_split(
     same split on any engine, any cluster, any day; DuckDB reproduces it
     bit-for-bit, which is what makes the assignment auditable.
     """
+    train_hex = _hex_threshold(train_hex, "train_hex")
+    val_hex = _hex_threshold(val_hex, "val_hex")
     bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
     return df.withColumn(
         "split",
@@ -146,6 +164,7 @@ def bernoulli_sample(
     stable under re-runs, re-partitioning, and engine changes (the property
     ``TABLESAMPLE BERNOULLI`` cannot give you).
     """
+    rate_hex = _hex_threshold(rate_hex, "rate_hex")
     return df.filter(F.substring(F.md5(F.col(id_col).cast("string")), 1, 2) < rate_hex)
 
 

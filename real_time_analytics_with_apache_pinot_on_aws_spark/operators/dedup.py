@@ -56,14 +56,30 @@ def _spread(df: DataFrame) -> DataFrame:
     keep their natural partitioning.
     """
     sc = df.sparkSession.sparkContext
-    try:
-        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    size = plan_size_bytes(df)
+    if size is not None:
         split = int(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
         if size >= sc.defaultParallelism * split:
             return df
-    except Exception:
-        pass  # unknown stats -> safe default: spread
     return df.repartition(sc.defaultParallelism)
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Optimizer size estimate off the logical plan (analysis only — no job,
+    no ``df.rdd`` translation).  None when unavailable.
+
+    This reads a Spark-internal py4j surface
+    (``queryExecution().optimizedPlan().stats()``); the behavior on failure
+    is the SAFE default (callers spread), but a Spark upgrade that moves the
+    internals would silently degrade :func:`_spread` to the unconditional
+    full shuffle round-3 ADVICE flagged.  The probe is therefore pinned by
+    ``tests/test_plans.py::test_plan_size_probe_returns_bytes``, which fails
+    loudly if this stops returning a number on the running Spark version.
+    """
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
 
 
 def normalized_tokens(text_col) -> Column:

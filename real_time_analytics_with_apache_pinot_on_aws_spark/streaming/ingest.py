@@ -16,15 +16,14 @@ Maps the reference's Pinot realtime-table lifecycle onto Structured Streaming:
 
 from __future__ import annotations
 
-import shutil
 from dataclasses import dataclass
 from datetime import timedelta
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from .. import fs as _fs
 from ..schema import TableSchema, decoded_frame, time_parse_expr
 
 
@@ -301,6 +300,13 @@ class IngestPipeline:
 
         Partition-drop (directory removal) — O(partitions), no data rewrite,
         which is how a 100 TB table must expire data.  Returns dropped values.
+
+        All listing and removal go through the Hadoop FS layer (fs.py), the
+        same API the read/write paths use — so the 7-day expiry the reference
+        configures (kinesisTableConfigFile.json:8-9) works identically on the
+        local warehouse and on the ``s3a://`` deep store the deployment uses
+        (pinot-controller.conf:34-40).  A failed delete raises instead of
+        silently retaining expired data.
         """
         if self.retention_days is None:
             return []
@@ -309,26 +315,34 @@ class IngestPipeline:
             now = row["m"]
         if now is None:
             return []
+        from datetime import date
+
         cutoff = now - timedelta(days=self.retention_days)
         dropped: list[str] = []
-        roots = [Path(self.table_path)]
+        roots = [self.table_path]
         for spec_i, path_i in self._rollups:
             # expire star-tree cells with their day, keeping query_agg's
             # rollup route consistent with the raw table (a rollup whose
-            # dims omit the day column aggregates across days and cannot
-            # be expired per day — callers own that retention trade-off)
+            # dims omit the day column aggregates across days and cannot be
+            # expired per day — Engine.query_agg refuses to route to such a
+            # rollup when retention is configured, see engine.py)
             if "ingest_date" in spec_i.dims:
-                roots.append(Path(path_i))
+                roots.append(path_i)
         for root in roots:
-            for part_dir in sorted(root.glob("ingest_date=*")):
-                value = part_dir.name.split("=", 1)[1]
+            for part in _fs.glob_status(self.spark, f"{root}/ingest_date=*"):
+                if not part["is_dir"]:
+                    continue
+                value = _fs.basename(part["path"]).split("=", 1)[1]
                 try:
-                    from datetime import date
-
-                    if date.fromisoformat(value) < cutoff:
-                        shutil.rmtree(part_dir)
-                        if value not in dropped:
-                            dropped.append(value)
+                    expired = date.fromisoformat(value) < cutoff
                 except ValueError:
                     continue
+                if expired:
+                    if not _fs.delete(self.spark, part["path"], recursive=True):
+                        raise RuntimeError(
+                            f"retention: delete of expired partition "
+                            f"{part['path']} returned false — data NOT dropped"
+                        )
+                    if value not in dropped:
+                        dropped.append(value)
         return dropped

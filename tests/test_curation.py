@@ -157,3 +157,18 @@ def test_repetition_stats_flags_planted_boilerplate(spark):
     assert out[1]["dup_2gram_fraction"] > 0.9      # 59 grams, 2 distinct
     assert out[2]["dup_2gram_fraction"] == 0.0
     assert out[2]["dup_3gram_fraction"] == 0.0
+
+
+def test_hash_split_threshold_validation(docs):
+    """Round-4 ADVICE: thresholds compare lexicographically against LOWERCASE
+    md5 hex — uppercase is normalized (same assignment as lowercase), and a
+    malformed threshold raises instead of silently mis-bucketing."""
+    lower = {r["doc_id"]: r["split"] for r in C.hash_split(docs, train_hex="cc").select("doc_id", "split").collect()}
+    upper = {r["doc_id"]: r["split"] for r in C.hash_split(docs, train_hex="CC").select("doc_id", "split").collect()}
+    assert lower == upper
+    with pytest.raises(ValueError, match="train_hex"):
+        C.hash_split(docs, train_hex="c")
+    with pytest.raises(ValueError, match="val_hex"):
+        C.hash_split(docs, val_hex="zz")
+    with pytest.raises(ValueError, match="rate_hex"):
+        C.bernoulli_sample(docs, rate_hex="0x20")

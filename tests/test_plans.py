@@ -527,3 +527,21 @@ def test_capstone_scan_budget(spark):
     assert f.text.count("documents.parquet") <= 4
     assert not f.python_eval and not f.cartesian
     assert f.broadcast_joins >= 1   # eval grams + contaminated-id anti-join
+
+
+def test_plan_size_probe_returns_bytes(spark):
+    """Loud pin for the Spark-internal stats probe _spread relies on
+    (round-4 VERDICT item 2): if a Spark upgrade moves
+    queryExecution().optimizedPlan().stats(), plan_size_bytes returns None
+    and _spread silently degrades to its unconditional-repartition default.
+    This test fails FIRST, naming the probe."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark import catalog as C
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators.dedup import plan_size_bytes
+
+    docs = C.load_table(spark, SF_DIR, "documents")
+    size = plan_size_bytes(docs)
+    assert isinstance(size, int) and size > 0, (
+        "plan_size_bytes probe broke on this Spark version — _spread's size "
+        "gate is now degraded to unconditional repartition; update the probe "
+        "in operators/dedup.py"
+    )
