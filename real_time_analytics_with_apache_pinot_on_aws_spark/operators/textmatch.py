@@ -25,16 +25,23 @@ Supported query grammar (the common TEXT_MATCH / Lucene QueryParser forms):
                                   length-difference pre-filter so the distance
                                   only evaluates on plausible tokens
 
-Terms are analyzed like the corpus: lowercased, split on non-alphanumerics
-(Lucene StandardAnalyzer approximation, same tokenizer as operators/dedup).
-Phrases compose with the boolean forms only as the whole query (Lucene's
-nested ``"a b" AND c`` raises here — documented divergence).
+Terms are analyzed like the corpus: by default lowercased and split on
+non-alphanumerics (Lucene StandardAnalyzer approximation, same tokenizer as
+operators/dedup).  Pinot's text index additionally accepts an analyzer
+config **[P1.2]** (``luceneAnalyzerClass``, ``stopWordInclude`` /
+``stopWordExclude``, case sensitivity); the :class:`Analyzer` dataclass
+covers that surface — case folding, a stopword set, and Lucene's
+EnglishMinimalStem plural rule — with IDENTICAL chains on the corpus side
+(pure codegen column expressions, no Python in the hot path) and the query
+side (plain Python on the handful of query terms).  Phrases compose with
+the boolean forms only as the whole query (Lucene's nested ``"a b" AND c``
+raises here — documented divergence).
 """
 
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
@@ -42,8 +49,118 @@ from pyspark.sql import functions as F
 
 from .dedup import normalized_tokens
 
+# Lucene's classic English stop set (EnglishAnalyzer.ENGLISH_STOP_WORDS_SET)
+ENGLISH_STOPWORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
 
-def build_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+
+@dataclass(frozen=True)
+class Analyzer:
+    """Text-analysis chain applied identically to corpus and query terms.
+
+    Mirrors the knobs Pinot's text index exposes **[P1.2]**: case folding
+    (``caseSensitive``), stopword include/exclude lists
+    (``stopWordInclude`` / ``stopWordExclude``), and the analyzer class
+    (``luceneAnalyzerClass`` — EnglishAnalyzer => stopwords + stemming).
+    ``stem`` applies Lucene's EnglishMinimalStem rule (plural stripping
+    only — deterministic, exactly reproducible on both engines).
+    """
+
+    lowercase: bool = True
+    stopwords: frozenset = field(default_factory=frozenset)
+    stem: bool = False
+
+    def tokens(self, text_col) -> Column:
+        """Corpus-side chain as ONE codegen column expression."""
+        if self.lowercase:
+            toks = normalized_tokens(text_col)
+        else:
+            toks = F.filter(
+                F.split(text_col, "[^a-zA-Z0-9]+"), lambda t: t != F.lit("")
+            )
+        if self.stopwords:
+            stops = sorted(self.stopwords)
+            toks = F.filter(toks, lambda t: ~t.isin(*stops))
+        if self.stem:
+            toks = F.transform(toks, _en_minimal_stem_col)
+        return toks
+
+    def analyze(self, term: str) -> list[str]:
+        """Query-side chain — must agree with :meth:`tokens` bit-for-bit."""
+        if self.lowercase:
+            words = [t for t in re.split(r"[^a-z0-9]+", term.lower()) if t]
+        else:
+            words = [t for t in re.split(r"[^a-zA-Z0-9]+", term) if t]
+        words = [w for w in words if w not in self.stopwords]
+        if self.stem:
+            words = [_en_minimal_stem(w) for w in words]
+        return words
+
+
+STANDARD = Analyzer()
+ENGLISH = Analyzer(stopwords=ENGLISH_STOPWORDS, stem=True)
+
+
+def analyzer_from_config(props: dict) -> Analyzer:
+    """Pinot text-index ``properties`` map -> :class:`Analyzer` **[P1.2]**.
+
+    Recognized keys (Pinot FieldConfig text-index properties):
+    ``luceneAnalyzerClass`` (``...EnglishAnalyzer`` => English chain, else
+    standard), ``stopWordInclude`` / ``stopWordExclude`` (comma-separated),
+    ``caseSensitive`` ('true'/'false').
+    """
+    base = (
+        ENGLISH
+        if "EnglishAnalyzer" in str(props.get("luceneAnalyzerClass", ""))
+        else STANDARD
+    )
+    stops = set(base.stopwords)
+    inc = str(props.get("stopWordInclude", "") or "")
+    exc = str(props.get("stopWordExclude", "") or "")
+    stops |= {w.strip().lower() for w in inc.split(",") if w.strip()}
+    stops -= {w.strip().lower() for w in exc.split(",") if w.strip()}
+    lowercase = str(props.get("caseSensitive", "false")).lower() != "true"
+    return Analyzer(lowercase=lowercase, stopwords=frozenset(stops), stem=base.stem)
+
+
+def _en_minimal_stem(w: str) -> str:
+    """Lucene EnglishMinimalStemFilter rule (plural-only), Python side."""
+    if len(w) < 3 or w[-1] != "s":
+        return w
+    if w[-2] in "us":
+        return w
+    if w[-2] == "e":
+        if len(w) > 3 and w[-3] == "i" and w[-4] not in "ae":
+            return w[:-3] + "y"
+        if w[-3] in "iaoe":
+            return w
+    return w[:-1]
+
+
+def _en_minimal_stem_col(tok: Column) -> Column:
+    """The same rule as :func:`_en_minimal_stem`, as a codegen expression
+    (branch-for-branch identical so corpus and query sides always agree)."""
+    n = F.length(tok)
+    last = F.substring(tok, -1, 1)
+    p2 = F.substring(tok, -2, 1)
+    p3 = F.substring(tok, -3, 1)
+    p4 = F.substring(tok, -4, 1)
+    return (
+        F.when((n < 3) | (last != "s") | p2.isin("u", "s"), tok)
+        .when(
+            (p2 == "e") & (n > 3) & (p3 == "i") & ~p4.isin("a", "e"),
+            F.concat(tok.substr(F.lit(1), n - 3), F.lit("y")),
+        )
+        .when((p2 == "e") & p3.isin("i", "a", "o", "e"), tok)
+        .otherwise(tok.substr(F.lit(1), n - 1))
+    )
+
+
+def build_postings(
+    df: DataFrame, id_col: str, text_col: str, analyzer: Analyzer = STANDARD
+) -> DataFrame:
     """(token, id) postings relation — the inverted index.
 
     One narrow shuffle-free pass (tokenize + explode); ``distinct`` per doc
@@ -54,12 +171,12 @@ def build_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     return df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(normalized_tokens(F.col(text_col)))).alias("token"),
+        F.explode(F.array_distinct(analyzer.tokens(F.col(text_col)))).alias("token"),
     ).select("token", "id")
 
 
-def _analyze(term: str) -> list[str]:
-    return [t for t in re.split(r"[^a-z0-9]+", term.lower()) if t]
+def _analyze(term: str, analyzer: Analyzer = STANDARD) -> list[str]:
+    return analyzer.analyze(term)
 
 
 def persist_text_index(
@@ -68,6 +185,7 @@ def persist_text_index(
     text_col: str,
     index_table: str,
     num_buckets: int = 32,
+    analyzer: Analyzer = STANDARD,
 ) -> None:
     """Materialize the inverted index as a TOKEN-BUCKETED catalog table.
 
@@ -80,14 +198,15 @@ def persist_text_index(
     """
     from .. import catalog as _catalog
 
-    postings = build_postings(df, id_col, text_col)
+    postings = build_postings(df, id_col, text_col, analyzer)
     _catalog.write_bucketed(
         postings, index_table, ["token"], num_buckets=num_buckets, sort_cols=["token"]
     )
 
 
 def text_match_indexed(
-    df: DataFrame, id_col: str, text_col: str, index_table: str, query: str
+    df: DataFrame, id_col: str, text_col: str, index_table: str, query: str,
+    analyzer: Analyzer = STANDARD,
 ) -> DataFrame:
     """TEXT_MATCH served from a :func:`persist_text_index` table.
 
@@ -97,12 +216,14 @@ def text_match_indexed(
     adjacency still verifies against the (semi-join-surviving) source rows.
     """
     spark = df.sparkSession
-    ids = matching_ids(spark.table(index_table), query)
+    ids = matching_ids(spark.table(index_table), query, analyzer)
     out = df.join(ids.withColumnRenamed("id", id_col), id_col, "left_semi")
-    return _verify_phrase(out, text_col, query)
+    return _verify_phrase(out, text_col, query, analyzer)
 
 
-def _verify_phrase(out: DataFrame, text_col: str, query: str) -> DataFrame:
+def _verify_phrase(
+    out: DataFrame, text_col: str, query: str, analyzer: Analyzer = STANDARD
+) -> DataFrame:
     """Adjacency verification for phrase queries: analyzed words joined by
     single spaces must appear in the analyzed text; both sides space-padded
     so containment respects token boundaries ("cat dog" must not match
@@ -110,8 +231,8 @@ def _verify_phrase(out: DataFrame, text_col: str, query: str) -> DataFrame:
     q = query.strip()
     if not (q.startswith('"') and q.endswith('"')):
         return out
-    phrase = " ".join(_analyze(q.strip('"')))
-    analyzed = F.array_join(normalized_tokens(F.col(text_col)), " ")
+    phrase = " ".join(_analyze(q.strip('"'), analyzer))
+    analyzed = F.array_join(analyzer.tokens(F.col(text_col)), " ")
     padded = F.concat(F.lit(" "), analyzed, F.lit(" "))
     return out.filter(F.contains(padded, F.lit(" " + phrase + " ")))
 
@@ -142,7 +263,7 @@ _FUZZY_RE = re.compile(r"(.+?)~(\d*)$")
 _WILDCARD_OK = re.compile(r"[a-z0-9*?]+$")
 
 
-def _parse_units(query: str) -> tuple[list[_Unit], str]:
+def _parse_units(query: str, analyzer: Analyzer = STANDARD) -> tuple[list[_Unit], str]:
     """Parse a non-phrase query into boolean units + connective.
 
     Lucene-parser subset: one flat AND or OR chain (mixing without parens
@@ -162,9 +283,9 @@ def _parse_units(query: str) -> tuple[list[_Unit], str]:
         if up == "NOT":
             negate = True
             continue
-        term = raw.lower()
+        term = raw.lower() if analyzer.lowercase else raw
         if (m := _FUZZY_RE.match(term)) and "*" not in term and "?" not in term:
-            words = _analyze(m.group(1))
+            words = _analyze(m.group(1), analyzer)
             if len(words) != 1:
                 raise ValueError(f"fuzzy unit must be a single term: {raw!r}")
             units.append(_Unit("fuzzy", words[0], negate,
@@ -177,7 +298,7 @@ def _parse_units(query: str) -> tuple[list[_Unit], str]:
             # the analyzer may split one raw unit into several tokens
             # (e.g. 'foo-bar'); each becomes its own unit, NOT distributing
             # over all of them
-            units.extend(_Unit("term", w, negate) for w in _analyze(term))
+            units.extend(_Unit("term", w, negate) for w in _analyze(term, analyzer))
         negate = False
     if negate:
         raise ValueError(f"dangling NOT: {query!r}")
@@ -186,7 +307,9 @@ def _parse_units(query: str) -> tuple[list[_Unit], str]:
     return units, conj
 
 
-def matching_ids(postings: DataFrame, query: str) -> DataFrame:
+def matching_ids(
+    postings: DataFrame, query: str, analyzer: Analyzer = STANDARD
+) -> DataFrame:
     """ids matching the TEXT_MATCH query — pure postings algebra.
 
     AND = one postings pass annotating each row with the positive units it
@@ -198,10 +321,10 @@ def matching_ids(postings: DataFrame, query: str) -> DataFrame:
     """
     q = query.strip()
     if q.startswith('"') and q.endswith('"'):
-        units = [_Unit("term", w) for w in _analyze(q.strip('"'))]
+        units = [_Unit("term", w) for w in _analyze(q.strip('"'), analyzer)]
         conj = "AND"
     else:
-        units, conj = _parse_units(q)
+        units, conj = _parse_units(q, analyzer)
     if not units:
         raise ValueError(f"empty TEXT_MATCH query: {query!r}")
     pos = [u for u in units if not u.negated]
@@ -241,16 +364,19 @@ def matching_ids(postings: DataFrame, query: str) -> DataFrame:
     return ids
 
 
-def text_match(df: DataFrame, id_col: str, text_col: str, query: str) -> DataFrame:
+def text_match(
+    df: DataFrame, id_col: str, text_col: str, query: str,
+    analyzer: Analyzer = STANDARD,
+) -> DataFrame:
     """Rows of ``df`` whose ``text_col`` matches the TEXT_MATCH ``query``.
 
     Builds postings inline (callers with a persisted index use
     :func:`matching_ids` + their own semi-join).  The semi-join broadcasts
     the (small) id set when Catalyst sizes it under the threshold.
     """
-    ids = matching_ids(build_postings(df, id_col, text_col), query)
+    ids = matching_ids(build_postings(df, id_col, text_col, analyzer), query, analyzer)
     out = df.join(ids.withColumnRenamed("id", id_col), id_col, "left_semi")
-    return _verify_phrase(out, text_col, query)
+    return _verify_phrase(out, text_col, query, analyzer)
 
 
 def bm25_scores(
@@ -260,6 +386,7 @@ def bm25_scores(
     query: str,
     k1: float = 1.2,
     b: float = 0.75,
+    analyzer: Analyzer = STANDARD,
 ) -> DataFrame:
     """BM25 relevance of every matching doc for a bag-of-terms query.
 
@@ -276,10 +403,10 @@ def bm25_scores(
     the plan — building this DataFrame submits NO job (the round-1 version
     collect()ed avgdl eagerly, putting a driver round-trip in the pipeline).
     """
-    terms = _analyze(query)
+    terms = _analyze(query, analyzer)
     if not terms:
         raise ValueError(f"empty BM25 query: {query!r}")
-    toks = normalized_tokens(F.col(text_col))
+    toks = analyzer.tokens(F.col(text_col))
     base = df.select(F.col(id_col).alias("id"), toks.alias("_toks")).select(
         "id", "_toks", F.size("_toks").alias("dl")
     )

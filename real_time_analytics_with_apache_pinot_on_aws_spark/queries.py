@@ -3235,6 +3235,52 @@ def b13_text_match_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_DUCK_STOPLIST = "[" + ", ".join(f"'{w}'" for w in sorted(_tm.ENGLISH_STOPWORDS)) + "]"
+# DuckDB replica of Lucene's EnglishMinimalStem rule (textmatch._en_minimal_stem)
+_DUCK_EN_STEM = """CASE
+        WHEN length(x) < 3 OR substr(x, length(x), 1) != 's' THEN x
+        WHEN substr(x, length(x)-1, 1) IN ('u','s') THEN x
+        WHEN substr(x, length(x)-1, 1) = 'e' AND length(x) > 3
+             AND substr(x, length(x)-2, 1) = 'i'
+             AND substr(x, length(x)-3, 1) NOT IN ('a','e')
+          THEN substr(x, 1, length(x)-3) || 'y'
+        WHEN substr(x, length(x)-1, 1) = 'e'
+             AND substr(x, length(x)-2, 1) IN ('i','a','o','e') THEN x
+        ELSE substr(x, 1, length(x)-1) END"""
+
+
+@register(
+    "b13_text_match_analyzer",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+        list_distinct(list_transform(
+          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                      x -> x != '' AND NOT list_contains({_DUCK_STOPLIST}, x)),
+          x -> {_DUCK_EN_STEM}
+        )) AS t
+      FROM documents
+    )
+    SELECT doc_id, lang FROM toks
+    WHERE list_contains(t, 'query') AND list_contains(t, 'window')
+    """,
+    doc="B13: TEXT_MATCH under a configured analyzer chain **[P1.2]** "
+        "(Pinot FieldConfig text-index properties: luceneAnalyzerClass/"
+        "stopWordInclude/stopWordExclude/caseSensitive) — the ENGLISH "
+        "analyzer lowercases, drops Lucene's classic stop set, and applies "
+        "the EnglishMinimalStem plural rule as ONE codegen expression; the "
+        "query side ('queries AND windows' here) runs the identical chain "
+        "in Python, so inflected terms meet their corpus forms.  The oracle "
+        "replays the full chain (stoplist + stem CASE) in DuckDB",
+)
+def b13_text_match_analyzer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    return _tm.text_match(
+        docs, "doc_id", "text", "queries AND windows", analyzer=_tm.ENGLISH
+    ).select("doc_id", "lang")
+
+
 # ===========================================================================
 # B21 — sketch set-algebra with MATERIALIZED mergeable sketches (HLL
 # registers as a column).  Deterministic (fixed xxhash64) but approximate,

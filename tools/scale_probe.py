@@ -2,7 +2,13 @@
 headline-query latency against the sf0.1 base — evidence that plans scale
 linearly (no super-linear shuffle/spill cliffs) beyond fixture sizes.
 
-Run: python tools/scale_probe.py [replication_factor]
+Run: python tools/scale_probe.py [replication_factor] [--dedup-only]
+
+``--dedup-only`` restricts to the MinHash-LSH probe and, at every factor,
+records CANDIDATE pairs (post-banding, pre-verification) and VERIFIED pairs
+next to wall time — the measured evidence (round-4 VERDICT item 5) that
+dedup's super-unit latency ratio is output-driven (true near-dup pairs grow
+quadratically in the replicated fixture) and not a plan property.
 
 Replica transforms keep the data realistic at Nx:
 - events: event_id/user_id offset per replica so keys grow with data
@@ -72,8 +78,28 @@ REPLICATORS = {
 }
 
 
+def _dedup_pair_counts(spark) -> dict:
+    """Candidate vs verified pair counts for the c1 LSH parameters.
+
+    jaccard_threshold=0.0 keeps every candidate that survives banding (the
+    verify filter passes everything), so its count IS the candidate-pair
+    count the banded self-join emitted; 0.5 is the production threshold.
+    """
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.table("documents")
+    kw = dict(num_hashes=16, bands=8, shingle_n=3)
+    cand = minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.0, **kw).count()
+    ver = minhash_lsh_pairs(docs, "doc_id", "text", jaccard_threshold=0.5, **kw).count()
+    return {"candidate_pairs": cand, "verified_pairs": ver}
+
+
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    dedup_only = "--dedup-only" in sys.argv[1:]
+    factor = int(args[0]) if args else 8
     base_sf = "/root/testdata/sf0.1"
     spark = build_session(app_name="scale_probe")
     from real_time_analytics_with_apache_pinot_on_aws_spark import catalog as C
@@ -105,12 +131,15 @@ def main() -> None:
 
     results = {}
     reg = Q.all_queries()
-    for name in PROBES:
+    probes = ("c1_dedup_minhash_lsh",) if dedup_only else PROBES
+    for name in probes:
         spark.catalog.clearCache()
         spark._rtap_sf_dir = None  # type: ignore[attr-defined]  # force re-register
         # base timing (warm once, then time)
         reg[name].builder(spark, base_sf).count()
         base_t = timed(lambda: reg[name].builder(spark, base_sf))
+        if name == "c1_dedup_minhash_lsh":
+            base_pairs = _dedup_pair_counts(spark)
         # big timing: swap every replicated view to the Nx table.  _prep
         # skips re-registration while sf_dir is unchanged, so the swapped
         # views are what the builder reads.
@@ -123,6 +152,15 @@ def main() -> None:
             f"x{factor}_sec": round(big_t, 3),
             "ratio": round(big_t / base_t, 2),
         }
+        if name == "c1_dedup_minhash_lsh":
+            big_pairs = _dedup_pair_counts(spark)
+            results[name]["pairs"] = {
+                "base": base_pairs,
+                f"x{factor}": big_pairs,
+                "verified_growth": round(
+                    big_pairs["verified_pairs"] / max(base_pairs["verified_pairs"], 1), 1
+                ),
+            }
     print(
         json.dumps(
             {"rows_base": row_counts, "factor": factor, "probes": results}, indent=2
