@@ -168,6 +168,113 @@ def bernoulli_sample(
     return df.filter(F.substring(F.md5(F.col(id_col).cast("string")), 1, 2) < rate_hex)
 
 
+def _md5_u16(id_col: str) -> Column:
+    """First 4 hex chars of md5(id) as an integer in [0, 65536) — the
+    deterministic uniform variate shared with the DuckDB oracles (both
+    engines compute md5 bit-identically; ``conv`` / 0x-cast parse the same
+    hex)."""
+    return F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+    ).cast("long")
+
+
+def temperature_rebalance(
+    df: DataFrame,
+    source_col: str,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based source rebalancing (C19): deterministic
+    downsampling that flattens the source-size distribution.
+
+    The multilingual-pretraining sampling rule (exponentiated-count
+    sampling, p_s ∝ n_s^alpha, used by public multilingual LM recipes):
+    with per-source keep-rate ``r_s = (n_s^alpha / n_s) / max_t
+    (n_t^alpha / n_t)`` the EXPECTED kept count is ∝ n_s^alpha, the
+    largest over-represented sources are cut hardest, and the
+    rarest source keeps everything (r = 1).  alpha=1 keeps all rows;
+    alpha=0 equalizes expected counts.
+
+    Determinism + scale: the keep decision is ``md5-uniform(id) <
+    floor(r_s * 65536)`` — a pure function of (id, per-source counts),
+    reproducible on any engine (the floor makes the comparison
+    integer-vs-integer, so a sub-ulp pow() difference between engines
+    cannot flip a boundary row).  The plan is one TINY per-source count
+    aggregate (|sources| rows) broadcast-joined back, then a map-side
+    filter: the corpus itself never shuffles.
+    """
+    w = F.pow(F.col("n_src").cast("double"), F.lit(alpha)) / F.col("n_src")
+    rates = (
+        df.groupBy(source_col)
+        .agg(F.count("*").alias("n_src"))
+        .withColumn("_w", w)
+        .withColumn("keep_rate", F.col("_w") / F.max("_w").over(W.partitionBy()))
+        .select(source_col, "n_src", "keep_rate")
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(_md5_u16(id_col) < F.floor(F.col("keep_rate") * 65536))
+        .drop("n_src", "keep_rate")
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle into ``n_shards`` training shards (C20).
+
+    Trainers need the corpus order decorrelated from ingest order without a
+    global sort: ``shard = md5-uniform(id) mod n`` assigns each document a
+    pseudo-random shard, and ``shard_order = md5(id)`` gives the
+    within-shard read order — both pure map-side projections (ZERO
+    shuffles; the export writes ``partitionBy(shard)`` +
+    ``sortWithinPartitions(shard_order)``, which is one write-side
+    exchange, the minimum any sharded layout pays).  Same (id -> shard,
+    order) on every engine, every run — a re-export after an upstream fix
+    moves no document between shards.
+    """
+    if n_shards < 1 or n_shards > 65536:
+        raise ValueError(f"n_shards must be in [1, 65536], got {n_shards}")
+    return df.withColumn(
+        "shard", (_md5_u16(id_col) % n_shards).cast("int")
+    ).withColumn("shard_order", F.md5(F.col(id_col).cast("string")))
+
+
+def token_budget_cap(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group token-budget selection (C21): keep documents per group in
+    deterministic pseudo-random order until the group's token budget fills.
+
+    The data-mixing primitive ("200M tokens of each language"): rank the
+    group by (md5(id), id), keep every document whose PRECEDING cumulative
+    token count is under ``budget`` — so the first over-budget document is
+    included (budgets fill, never starve) and selection is a pure function
+    of ids.  One group-keyed shuffle for the window cumsum; per-group state
+    is one running long.  Skew note: a hot group costs one hot partition of
+    (id, token_count) pairs — at 100 TB project those two columns first and
+    rejoin payloads after selection, same pattern as
+    :func:`stratified_sample_exact`.
+    """
+    order = [F.md5(F.col(id_col).cast("string")), F.col(id_col)]
+    win = W.partitionBy(group_col).orderBy(*order)
+    prior = F.coalesce(
+        F.sum(token_col).over(win.rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return (
+        df.withColumn("_prior_tokens", prior)
+        .filter(F.col("_prior_tokens") < budget)
+        .drop("_prior_tokens")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     part_col: str,

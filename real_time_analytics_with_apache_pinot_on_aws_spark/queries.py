@@ -5056,6 +5056,142 @@ def c18_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# the md5-u16 uniform variate shared by c19/c20 (curation._md5_u16 mirror)
+_DUCK_U16 = "(('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT)"
+
+
+@register(
+    "c19_temperature_rebalance",
+    f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n_src FROM documents GROUP BY source
+    ),
+    rates AS (
+      SELECT source, n_src,
+             (pow(n_src, 0.5) / n_src)
+               / max(pow(n_src, 0.5) / n_src) OVER () AS keep_rate
+      FROM counts
+    ),
+    kept AS (
+      SELECT d.source
+      FROM documents d JOIN rates r USING (source)
+      WHERE {_DUCK_U16} < floor(r.keep_rate * 65536)
+    )
+    SELECT r.source,
+           CAST(r.n_src AS BIGINT) AS n_before,
+           CAST(count(k.source) AS BIGINT) AS n_kept
+    FROM rates r LEFT JOIN kept k ON r.source = k.source
+    GROUP BY r.source, r.n_src
+    ORDER BY r.source
+    """,
+    doc="C19: temperature-based source rebalancing — the exponentiated-count "
+        "sampling rule public multilingual-LM recipes use (kept count ∝ "
+        "n_source^alpha, alpha=0.5): over-represented sources are cut "
+        "hardest, the rarest source keeps everything.  Deterministic: keep "
+        "iff md5-uniform(id) < floor(rate*65536) (integer compare, so a "
+        "sub-ulp pow() divergence can't flip a row).  Plan: one |sources|-row "
+        "count aggregate broadcast back, map-side filter — the corpus never "
+        "shuffles; the oracle replays counts, rates, and every keep decision.",
+)
+def c19_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    kept = _cur.temperature_rebalance(docs, "source", alpha=0.5)
+    before = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_before"))
+    after = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        before.join(after, "source", "left")
+        .select(
+            "source",
+            "n_before",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "c20_shuffle_shards",
+    f"""
+    WITH sharded AS (
+      SELECT {_DUCK_U16} % 8 AS shard,
+             md5(doc_id::VARCHAR) AS shard_order,
+             n_chars
+      FROM documents
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           min(shard_order) AS first_key
+    FROM sharded
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    doc="C20: deterministic shuffle-sharding for training export — shard = "
+        "md5-uniform(id) mod 8, within-shard order = md5(id): the corpus "
+        "order decorrelates from ingest order with ZERO shuffles (both are "
+        "map-side projections; the export's partitionBy(shard) + "
+        "sortWithinPartitions(shard_order) write is the one exchange any "
+        "sharded layout pays).  Same (id -> shard, order) on every engine "
+        "and every run, so a re-export never moves documents between "
+        "shards.  The adjudicated result is the per-shard accounting.",
+)
+def c20_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    sharded = _cur.shuffle_shards(spark.table("documents"), n_shards=8)
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_total"),
+            F.min("shard_order").alias("first_key"),
+        )
+        .orderBy("shard")
+    )
+
+
+@register(
+    "c21_token_budget_cap",
+    """
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             coalesce(sum(n_chars) OVER (
+               PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS prior
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept
+    FROM ranked
+    WHERE prior < 20000
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="C21: per-group budget capping — the data-mixing primitive ('N "
+        "tokens per language'): documents are taken per group in "
+        "deterministic pseudo-random order (md5(id)) until the group's "
+        "budget fills; the first over-budget document is included so "
+        "budgets fill rather than starve.  One group-keyed shuffle for the "
+        "window cumsum, one running long of state per group; at 100 TB "
+        "project (id, count) first and rejoin payloads after selection.",
+)
+def c21_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    kept = _cur.token_budget_cap(
+        spark.table("documents"), "lang", "n_chars", budget=20000
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ===========================================================================
 # Driver window curation: the driver's correctness gate adjudicates exactly
 # the first 50 entries of queries() in registration order (confirmed in

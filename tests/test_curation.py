@@ -172,3 +172,70 @@ def test_hash_split_threshold_validation(docs):
         C.hash_split(docs, val_hex="zz")
     with pytest.raises(ValueError, match="rate_hex"):
         C.bernoulli_sample(docs, rate_hex="0x20")
+
+
+def test_temperature_rebalance_flattens_distribution(docs):
+    """The exponentiated-count rule: the rarest source keeps everything,
+    larger sources are cut harder, and expected kept counts order by
+    n^alpha (flatter than the input distribution)."""
+    kept = C.temperature_rebalance(docs, "source", alpha=0.5)
+    before = {r["source"]: r["n"] for r in docs.groupBy("source").count()
+              .withColumnRenamed("count", "n").collect()}
+    after = {r["source"]: r["n"] for r in kept.groupBy("source").count()
+             .withColumnRenamed("count", "n").collect()}
+    n_min = min(before.values())
+    for src, n in before.items():
+        if n == n_min:
+            assert after.get(src, 0) == n  # rate 1.0 -> keeps all
+        else:
+            assert after.get(src, 0) <= n
+    # flattening: the max/min kept ratio must not exceed the input ratio
+    if len(before) > 1 and min(after.values()) > 0:
+        assert max(after.values()) / min(after.values()) <= \
+               max(before.values()) / min(before.values()) + 1e-9
+    # determinism
+    again = {r["source"]: r["n"] for r in
+             C.temperature_rebalance(docs, "source", alpha=0.5)
+             .groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    assert again == after
+    # alpha=1 keeps every row
+    assert C.temperature_rebalance(docs, "source", alpha=1.0).count() == docs.count()
+
+
+def test_shuffle_shards_partition_every_row_once(docs):
+    sharded = C.shuffle_shards(docs, n_shards=8)
+    assert sharded.count() == docs.count()
+    shards = {r["shard"] for r in sharded.select("shard").distinct().collect()}
+    assert shards <= set(range(8)) and len(shards) > 1
+    # same id -> same shard on re-run (re-export moves nothing)
+    a = {r["doc_id"]: r["shard"] for r in sharded.select("doc_id", "shard").collect()}
+    b = {r["doc_id"]: r["shard"] for r in C.shuffle_shards(docs, 8).select("doc_id", "shard").collect()}
+    assert a == b
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        C.shuffle_shards(docs, 0)
+
+
+def test_token_budget_cap_fills_but_never_starves(docs):
+    """Every group's kept set must reach the budget (or exhaust the group),
+    and removing the LAST kept doc must drop it under budget — i.e. the
+    boundary doc is included, nothing beyond it."""
+    budget = 20000
+    kept = C.token_budget_cap(docs, "lang", "n_chars", budget=budget)
+    rows = kept.groupBy("lang").agg(
+        F.sum("n_chars").alias("chars"), F.count("*").alias("n")).collect()
+    group_totals = {r["lang"]: r["chars"] for r in docs.groupBy("lang")
+                    .agg(F.sum("n_chars").alias("chars")).collect()}
+    for r in rows:
+        if group_totals[r["lang"]] >= budget:
+            assert r["chars"] >= budget  # filled
+    # max kept doc per group: kept_sum - its tokens < budget (nothing beyond
+    # the boundary doc was taken)
+    from pyspark.sql import Window as W
+    order = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
+    last = kept.withColumn(
+        "rk", F.row_number().over(W.partitionBy("lang").orderBy(*[o.desc() for o in order]))
+    ).filter(F.col("rk") == 1).select("lang", "n_chars")
+    sums = {r["lang"]: r["chars"] for r in rows}
+    for r in last.collect():
+        assert sums[r["lang"]] - r["n_chars"] < budget

@@ -545,3 +545,30 @@ def test_plan_size_probe_returns_bytes(spark):
         "gate is now degraded to unconditional repartition; update the probe "
         "in operators/dedup.py"
     )
+
+
+def test_temperature_rebalance_corpus_never_shuffles(spark):
+    """c19: the only exchange is the |sources|-row count aggregate; the
+    rates rejoin by BROADCAST and the keep filter is map-side — the corpus
+    itself must never cross an exchange."""
+    f = facts("c19_temperature_rebalance", spark)
+    assert f.broadcast_joins >= 1
+    assert f.sortmerge_joins == 0 and not f.cartesian
+    assert not f.python_eval
+
+
+def test_shuffle_shards_is_map_side(spark):
+    """c20: shard assignment + order key are pure projections (partial agg
+    map-side); the adjudicated per-shard accounting adds one agg shuffle
+    plus the deterministic output sort."""
+    f = facts("c20_shuffle_shards", spark)
+    assert f.exchanges <= 2
+    assert not f.python_eval
+
+
+def test_token_budget_cap_single_group_shuffle(spark):
+    """c21: one group-keyed exchange feeds both the window cumsum and the
+    final per-group aggregate (same partitioning, reused)."""
+    f = facts("c21_token_budget_cap", spark)
+    assert f.exchanges <= 2  # window partitioning + (possibly reused) agg
+    assert not f.python_eval and not f.cartesian
