@@ -102,6 +102,13 @@ class TableConfig:
     # routing candidate (first covering config wins).  star_tree_dims/
     # star_tree_metrics mirror config 0 for convenience.
     star_trees: tuple = ()
+    # Pinot fieldConfigList **[P1.2]**: per-column index declarations.  TEXT
+    # entries carry the Lucene analyzer properties (luceneAnalyzerClass,
+    # stopWordInclude/stopWordExclude, caseSensitive); each becomes a
+    # persistable postings index served with the configured analyzer chain
+    # (operators/textmatch.Analyzer) via Engine.build_text_index /
+    # Engine.text_match.  Stored as ((column, ((prop, value), ...)), ...).
+    text_index_columns: tuple = ()
 
     @classmethod
     def parse(cls, config_json: str | dict) -> "TableConfig":
@@ -150,6 +157,19 @@ class TableConfig:
             star_trees.append((dims_i, tuple(pairs)))
         st_dims = star_trees[0][0] if star_trees else ()
         st_metrics = star_trees[0][1] if star_trees else ()
+        text_cols = []
+        for fc in conf.get("fieldConfigList", ()):
+            kinds = {str(fc.get("indexType", "")).upper()} | {
+                str(k).upper() for k in fc.get("indexTypes", ())
+            }
+            if "TEXT" in kinds:
+                props = fc.get("properties", {}) or {}
+                text_cols.append(
+                    (
+                        fc["name"],
+                        tuple(sorted((str(k), str(v)) for k, v in props.items())),
+                    )
+                )
         flush_ms = stream.get("realtime.segment.flush.threshold.time")
         flush_s = 120
         if flush_ms:  # reference uses e.g. "2m"? value is millis or duration string
@@ -191,6 +211,7 @@ class TableConfig:
             ),
             partition_column=part_col,
             partition_buckets=part_n,
+            text_index_columns=tuple(text_cols),
         )
 
 
@@ -586,6 +607,59 @@ class Engine:
                     label, lambda i=i: pipeline.rollup_table(i), spec
                 )
         return router.answer(request)
+
+    # -- text index (B13 config loop, fieldConfigList) -------------------
+
+    def _text_analyzer(self, name: str, column: str):
+        """The analyzer a TEXT fieldConfig declares for ``column`` (STANDARD
+        when the column has no declaration — Pinot's default analyzer)."""
+        from .operators import textmatch as _textmatch
+
+        config = self.configs.get(name)
+        if config is not None:
+            for col, props in config.text_index_columns:
+                if col == column:
+                    return _textmatch.analyzer_from_config(dict(props))
+        return _textmatch.STANDARD
+
+    def text_index_name(self, name: str, column: str) -> str:
+        return f"{name}__{column}_text_idx"
+
+    def build_text_index(self, name: str, column: str, id_col: str) -> str:
+        """Materialize the Lucene-index analog for a declared TEXT column
+        **[P1.2]**: a (token, id) postings table bucketed by token, analyzed
+        with the column's configured chain (fieldConfigList properties).
+        Rebuild after ingest batches/compaction, like Pinot refreshes
+        per-segment text indexes.  Returns the index table name.
+        """
+        from .operators import textmatch as _textmatch
+
+        idx = self.text_index_name(name, column)
+        _textmatch.persist_text_index(
+            self._resolved_frame(name),
+            id_col,
+            column,
+            idx,
+            analyzer=self._text_analyzer(name, column),
+        )
+        return idx
+
+    def text_match(self, name: str, column: str, query: str, id_col: str) -> DataFrame:
+        """TEXT_MATCH(column, query) over a table **[P1.2]**, honoring the
+        column's declared analyzer.  Served from the persisted index when
+        :meth:`build_text_index` has run (bucket-pruned postings semi-join),
+        else from an inline postings pass over the resolved view.
+        """
+        from .operators import textmatch as _textmatch
+
+        analyzer = self._text_analyzer(name, column)
+        frame = self._resolved_frame(name)
+        idx = self.text_index_name(name, column)
+        if self.spark.catalog.tableExists(idx):
+            return _textmatch.text_match_indexed(
+                frame, id_col, column, idx, query, analyzer=analyzer
+            )
+        return _textmatch.text_match(frame, id_col, column, query, analyzer=analyzer)
 
     _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s+PLAN\s+FOR\s+", re.IGNORECASE)
 

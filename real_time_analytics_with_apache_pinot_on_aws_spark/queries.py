@@ -5213,14 +5213,20 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "b16_b17_core_aggs",
     "b17_mv_aggregations",
     "b19_distinctcount",
-    "b19_distinctcountmv",
+    # (b19_distinctcountmv stays registered post-window: B19's MV leg is
+    # jointly covered by b19_distinctcount + b17_mv_aggregations; the slot
+    # surfaces the round-5 analyzer-chain TEXT_MATCH depth instead)
+    "b13_text_match_analyzer",
     "b20_distinctcounthll",
     "b21_sketch_set_algebra",
     # (b21_hll_sketch_algebra stays registered post-window: B21 is covered by
     # the set-algebra probe and HLL estimation by b20; the slot instead
     # surfaces the composed curation capstone)
     "c17_corpus_to_training",
-    "b22_percentile_exact",
+    # (b22_percentile_exact stays registered post-window + benched in the
+    # headline set: B22 keeps the approx probe in-window; the slot surfaces
+    # the round-5 temperature-rebalance curation operator)
+    "c19_temperature_rebalance",
     "b22_percentile_approx",
     "b24_b25_stats",
     "b26_first_last_with_time",
@@ -5241,7 +5247,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "b43_b45_window_suite",
     # scalar function families (B49-B56)
     "b49_b54_scalar_fns",
-    "b51_datetime_functions",
+    # (b51_datetime_functions stays registered post-window: B51 is covered
+    # inside b49_b54_scalar_fns; the slot surfaces shuffle-sharding)
+    "c20_shuffle_shards",
     "b52_b53_json_array_fns",
     "b55_geo_functions",
     # time / ingest / hybrid / upsert / UDF surface (A3/A7, B3, B60-B65)
@@ -5254,7 +5262,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # TPC-H shapes (join/decorrelation coverage; q18's HAVING+top-k stays
     # covered by b31_b32, and q18/full TPC-H remain locally gated + benched)
     "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
+    # (tpch_q3 stays registered post-window + benched: its broadcast-join
+    # shape is covered by b39_lookup_join + q21; the slot surfaces the
+    # token-budget-cap curation operator)
+    "c21_token_budget_cap",
     "tpch_q21_suppliers_who_kept_waiting",
     # LLM-pipeline operators (C1-C5 + round-4 curation flagships; exact
     # dedup stays driver-visible inside c9/c1 oracles and locally gated)

@@ -1456,3 +1456,50 @@ def test_broker_response_error_envelope(spark, tmp_path):
     # success path unchanged: empty exceptions list
     ok = engine.query_broker_response("SELECT 1 AS one")
     assert ok["exceptions"] == [] and ok["resultTable"]["rows"] == [[1]]
+
+
+def test_text_index_config_end_to_end(spark, tmp_path):
+    """fieldConfigList TEXT declaration **[P1.2]** closes the config loop:
+    the declared analyzer (EnglishAnalyzer + stopword lists) drives both the
+    inline TEXT_MATCH path and the persisted bucket-pruned index."""
+    src_dir = tmp_path / "stream_in"
+    config = dict(TABLE_CONFIG)
+    config["tableName"] = "textTable"
+    config["fieldConfigList"] = [
+        {
+            "name": "campaign",
+            "encodingType": "RAW",
+            "indexType": "TEXT",
+            "properties": {
+                "luceneAnalyzerClass": "org.apache.lucene.analysis.en.EnglishAnalyzer",
+            },
+        }
+    ]
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    # campaign values: 'BlackFriday', '10Percent', 'NONE' (cycled)
+    _write_events(src_dir / "b1.json", 30, "2024-05-01")
+    pipe = engine.add_table(CLICKSTREAM_SCHEMA, config,
+                            RawRecordSource(kind="files", path=str(src_dir)),
+                            available_now=True)
+    pipe.process_available()
+
+    cfg = engine.configs["textTable"]
+    assert cfg.text_index_columns and cfg.text_index_columns[0][0] == "campaign"
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators import textmatch as tm
+
+    analyzer = engine._text_analyzer("textTable", "campaign")
+    assert analyzer.stem and "the" in analyzer.stopwords
+    # ENGLISH stemming: query 'blackfridays' stems to 'blackfriday' and hits
+    inline = engine.text_match("textTable", "campaign", "blackfridays", id_col="userID")
+    assert inline.count() == 10
+    # persisted index serves the same result bucket-pruned
+    idx = engine.build_text_index("textTable", "campaign", id_col="userID")
+    try:
+        assert spark.catalog.tableExists(idx)
+        indexed = engine.text_match("textTable", "campaign", "blackfridays", id_col="userID")
+        assert indexed.count() == 10
+        # undeclared column falls back to the standard analyzer
+        assert engine._text_analyzer("textTable", "payload") is tm.STANDARD
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {idx}")
+    pipe.stop()
