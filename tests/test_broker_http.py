@@ -1,0 +1,70 @@
+"""The reference's wire surface: POST /query/sql at the broker (ALB target
+path + health check, lib/apache-pinot-solution-stack.ts:714-728).  A real
+HTTP client round-trips SQL to the engine and receives the Pinot broker
+envelope; failures come back structured, never as a 500."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from real_time_analytics_with_apache_pinot_on_aws_spark import broker_http
+from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def broker(spark, tmp_path_factory):
+    engine = Engine(spark, str(tmp_path_factory.mktemp("wh")))
+    spark.range(100).selectExpr(
+        "id", "id % 3 AS g", "id * 2 AS v"
+    ).createOrReplaceTempView("broker_src")
+    srv = broker_http.start_broker(engine, port=0)  # ephemeral port
+    yield srv
+    srv.stop()
+
+
+def _post(url: str, payload: dict) -> dict:
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        assert resp.status == 200
+        return json.loads(resp.read())
+
+
+def test_query_sql_roundtrip(broker):
+    resp = _post(
+        broker.url(),
+        {"sql": "SELECT g, count(*) AS n, sum(v) AS s FROM broker_src GROUP BY g ORDER BY g"},
+    )
+    schema = resp["resultTable"]["dataSchema"]
+    assert schema["columnNames"] == ["g", "n", "s"]
+    assert schema["columnDataTypes"] == ["LONG", "LONG", "LONG"]
+    assert resp["numRowsResultSet"] == 3
+    assert sum(r[1] for r in resp["resultTable"]["rows"]) == 100
+    assert resp["exceptions"] == []
+
+
+def test_bad_sql_returns_structured_exception(broker):
+    resp = _post(broker.url(), {"sql": "SELECT x FROM no_such_table_anywhere"})
+    assert resp["numRowsResultSet"] == 0
+    assert resp["exceptions"][0]["errorCode"] == 700
+    resp2 = _post(broker.url(), {"sql": "SELEC nope"})
+    assert resp2["exceptions"][0]["errorCode"] == 150
+    # malformed envelope -> JSON_PARSING 100
+    resp3 = _post(broker.url(), {"not_sql": 1})
+    assert resp3["exceptions"][0]["errorCode"] == 100
+
+
+def test_health_and_alb_probe(broker):
+    base = broker.url().rsplit("/query/sql", 1)[0]
+    for path in ("/health", "/query/sql"):
+        with urllib.request.urlopen(base + path, timeout=30) as resp:
+            assert resp.status == 200
+    with pytest.raises(urllib.error.HTTPError):
+        urllib.request.urlopen(base + "/nope", timeout=30)
