@@ -52,6 +52,10 @@ PROBES = (
     "c10_decontamination",
     "c13_sequence_packing",
     "c17_corpus_to_training",
+    # round 5: temperature rebalance (per-source broadcast rejoin) and
+    # token-budget cap (group-keyed window cumsum) at growing corpora
+    "c19_temperature_rebalance",
+    "c21_token_budget_cap",
 )
 
 
