@@ -32,6 +32,32 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (_norm(a) * _norm(b))
 
 
+def l2_distance(a: Column, b: Column) -> Column:
+    """Euclidean distance, one codegen ``zip_with``/``aggregate`` pass."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def similarity_score(fn: str, q: Column, c: Column) -> Column:
+    """Pinot ``vectorDistanceFunction`` -> a HIGHER-IS-CLOSER score column
+    **[P1.2]** (COSINE / INNER_PRODUCT / DOT_PRODUCT / EUCLIDEAN — the
+    euclidean score is the negated distance so one descending rank order
+    serves every function)."""
+    key = fn.upper()
+    if key == "COSINE":
+        return cosine(q, c)
+    if key in ("INNER_PRODUCT", "DOT_PRODUCT"):
+        return dot(q, c)
+    if key in ("EUCLIDEAN", "L2"):
+        return -l2_distance(q, c)
+    raise ValueError(f"unsupported vectorDistanceFunction: {fn!r}")
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

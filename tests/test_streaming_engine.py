@@ -1503,3 +1503,92 @@ def test_text_index_config_end_to_end(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {idx}")
     pipe.stop()
+
+
+def test_vector_index_config_end_to_end(spark, tmp_path):
+    """Pinot 1.2 VECTOR index **[P1.2]**: fieldConfigList declaration ->
+    Engine.vector_similarity (the VECTOR_SIMILARITY predicate), exact scan
+    by default and the persisted partition-pruned IVF layout after
+    build_vector_index (full-probe == exact); the declared distance
+    function drives the score."""
+    import json as _json
+    import math
+
+    src_dir = tmp_path / "stream_in"
+    src_dir.mkdir(parents=True)
+    with open(src_dir / "vecs.json", "w") as fh:
+        for i in range(24):
+            angle = i * math.pi / 12
+            fh.write(_json.dumps({
+                "vec_id": i,
+                "embedding": [math.cos(angle), math.sin(angle), 0.1 * (i % 3), 1.0],
+                "creationTimestamp": f"2024-06-01 10:{i:02d}:00",
+            }) + "\n")
+    schema = {
+        "schemaName": "vecTable",
+        "dimensionFieldSpecs": [
+            {"name": "vec_id", "dataType": "LONG"},
+            {"name": "embedding", "dataType": "FLOAT", "singleValueField": False},
+        ],
+        "dateTimeFieldSpecs": [
+            {"name": "creationTimestamp", "dataType": "STRING",
+             "format": "SIMPLE_DATE_FORMAT|yyyy-MM-dd HH:mm:ss",
+             "granularity": "1:DAYS"},
+        ],
+    }
+    config = dict(TABLE_CONFIG)
+    config["tableName"] = "vecTable"
+    config["fieldConfigList"] = [
+        {
+            "name": "embedding",
+            "encodingType": "RAW",
+            "indexType": "VECTOR",
+            "properties": {
+                "vectorIndexType": "HNSW",
+                "vectorDimension": 4,
+                "vectorDistanceFunction": "COSINE",
+            },
+        }
+    ]
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    pipe = engine.add_table(schema, config,
+                            RawRecordSource(kind="files", path=str(src_dir)),
+                            available_now=True)
+    pipe.process_available()
+    assert engine.configs["vecTable"].vector_index_columns[0][0] == "embedding"
+
+    # exact scan path: the nearest neighbor of vec 0's direction is vec 0
+    q = [1.0, 0.0, 0.0, 1.0]
+    exact = engine.vector_similarity("vecTable", "embedding", q, top_k=5)
+    rows = exact.collect()
+    assert len(rows) == 5 and rows[0]["rank"] == 1
+    assert rows[0]["neighbor_id"] == 0  # cos(0)=1, sin=0, pad 0,1 == q
+    assert rows[0]["score"] >= rows[-1]["score"]
+
+    # persisted IVF index: full probe (n_probe == n_cells) matches exact
+    idx = engine.build_vector_index("vecTable", "embedding", id_col="vec_id", n_cells=2)
+    try:
+        assert spark.catalog.tableExists(idx)
+        indexed = engine.vector_similarity(
+            "vecTable", "embedding", q, top_k=5, id_col="vec_id", n_probe=2)
+        assert [r["neighbor_id"] for r in indexed.orderBy("rank").collect()] == \
+               [r["neighbor_id"] for r in rows]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {idx}")
+        spark.sql(f"DROP TABLE IF EXISTS {idx}_centroids")
+
+    # other declared functions score exactly (brute path)
+    config2 = _json.loads(_json.dumps(config))
+    config2["tableName"] = "vecTableL2"
+    config2["fieldConfigList"][0]["properties"]["vectorDistanceFunction"] = "EUCLIDEAN"
+    pipe2 = engine.add_table(schema, config2,
+                             RawRecordSource(kind="files", path=str(src_dir)),
+                             available_now=True)
+    pipe2.process_available()
+    l2 = engine.vector_similarity("vecTableL2", "embedding", q, top_k=3).collect()
+    assert l2[0]["neighbor_id"] == 0 and l2[0]["score"] == 0.0  # -distance
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="COSINE"):
+        engine.build_vector_index("vecTableL2", "embedding", id_col="vec_id")
+    pipe.stop()
+    pipe2.stop()
