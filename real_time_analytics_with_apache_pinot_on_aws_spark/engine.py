@@ -766,6 +766,47 @@ class Engine:
         w = _W.orderBy(F.desc("score"), F.asc("neighbor_id"))
         return out.withColumn("rank", F.row_number().over(w))
 
+    _VECSIM_RE = re.compile(
+        r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<table>\w+)\s+WHERE\s+"
+        r"VECTOR_SIMILARITY\(\s*(?P<col>\w+)\s*,\s*"
+        r"ARRAY\s*\[(?P<vals>[-+\deE.,\s]+)\]\s*,\s*(?P<k>\d+)\s*\)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _query_vector_similarity(self, m: "re.Match") -> DataFrame:
+        """The SQL form of Pinot 1.2's vector predicate **[P1.2]**:
+        ``SELECT ... FROM t WHERE VECTOR_SIMILARITY(col, ARRAY[...], k)``
+        returns the k nearest rows — resolved as :meth:`vector_similarity`
+        top-k ids semi-joined back (broadcast: k rows), then the SELECT
+        projection.  The table's first primaryKeyColumn is the join id,
+        mirroring how Pinot identifies rows for the index lookup.
+        """
+        table, col = m.group("table"), m.group("col")
+        config = self.configs.get(table)
+        if config is None or not config.primary_key_columns:
+            raise ValueError(
+                f"VECTOR_SIMILARITY on {table!r}: the table must be "
+                "registered with primaryKeyColumns (the id the top-k "
+                "semi-join keys on)"
+            )
+        id_col = config.primary_key_columns[0]
+        vec = [float(v) for v in m.group("vals").split(",")]
+        topk = self.vector_similarity(
+            table, col, vec, top_k=int(m.group("k")), id_col=id_col
+        )
+        from pyspark.sql import functions as F
+
+        frame = self._resolved_frame(table)
+        out = frame.join(
+            F.broadcast(topk.select(F.col("neighbor_id").alias(id_col))),
+            id_col,
+            "left_semi",
+        )
+        items = [i.strip() for i in self._split_top_level_commas(m.group("items"))]
+        if items == ["*"]:
+            return out
+        return out.selectExpr(*items)
+
     _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s+PLAN\s+FOR\s+", re.IGNORECASE)
 
     def query(self, sql: str) -> DataFrame:
@@ -774,10 +815,16 @@ class Engine:
         ``EXPLAIN PLAN FOR <sql>`` is routed to :meth:`explain_plan`, same
         as the Pinot broker **[P1.2]** — the result is the operator tree as
         a table, so BI tools can introspect plans over the same endpoint.
+        ``WHERE VECTOR_SIMILARITY(col, ARRAY[...], k)`` (Pinot 1.2's vector
+        predicate, a function Spark SQL lacks) is resolved through
+        :meth:`_query_vector_similarity`.
         """
         m = self._EXPLAIN_RE.match(sql)
         if m:
             return self.explain_plan(sql[m.end():])
+        vm = self._VECSIM_RE.match(sql)
+        if vm:
+            return self._query_vector_similarity(vm)
         return self.spark.sql(sql)
 
     def explain_plan(self, sql: str) -> DataFrame:
@@ -893,7 +940,10 @@ class Engine:
             from pyspark.sql.utils import AnalysisException, ParseException
         if isinstance(e, ParseException):
             return 150
-        if isinstance(e, AnalysisException):
+        if isinstance(e, (AnalysisException, ValueError)):
+            # AnalysisException: unknown column/table; ValueError: the
+            # engine's own query validation (e.g. VECTOR_SIMILARITY without
+            # primaryKeyColumns) — both are Pinot's QUERY_VALIDATION class
             return 700
         return 200
 

@@ -1592,3 +1592,76 @@ def test_vector_index_config_end_to_end(spark, tmp_path):
         engine.build_vector_index("vecTableL2", "embedding", id_col="vec_id")
     pipe.stop()
     pipe2.stop()
+
+
+def test_vector_similarity_sql_form(spark, tmp_path):
+    """The SQL shape Pinot users actually write **[P1.2]**: SELECT ... WHERE
+    VECTOR_SIMILARITY(col, ARRAY[...], k) through query()/the broker
+    envelope — resolved as top-k ids broadcast-semi-joined back."""
+    import json as _json
+    import math
+
+    src_dir = tmp_path / "stream_in"
+    src_dir.mkdir(parents=True)
+    with open(src_dir / "vecs.json", "w") as fh:
+        for i in range(16):
+            angle = i * math.pi / 8
+            fh.write(_json.dumps({
+                "vec_id": i,
+                "embedding": [math.cos(angle), math.sin(angle), 1.0],
+                "creationTimestamp": f"2024-06-01 10:{i:02d}:00",
+            }) + "\n")
+    schema = {
+        "schemaName": "vecSql",
+        "dimensionFieldSpecs": [
+            {"name": "vec_id", "dataType": "LONG"},
+            {"name": "embedding", "dataType": "FLOAT", "singleValueField": False},
+        ],
+        "dateTimeFieldSpecs": [
+            {"name": "creationTimestamp", "dataType": "STRING",
+             "format": "SIMPLE_DATE_FORMAT|yyyy-MM-dd HH:mm:ss",
+             "granularity": "1:DAYS"},
+        ],
+        "primaryKeyColumns": ["vec_id"],
+    }
+    config = dict(TABLE_CONFIG)
+    config["tableName"] = "vecSql"
+    config["fieldConfigList"] = [
+        {"name": "embedding", "indexType": "VECTOR",
+         "properties": {"vectorDistanceFunction": "COSINE"}},
+    ]
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    pipe = engine.add_table(schema, config,
+                            RawRecordSource(kind="files", path=str(src_dir)),
+                            available_now=True)
+    pipe.process_available()
+
+    out = engine.query(
+        "SELECT vec_id, embedding FROM vecSql "
+        "WHERE VECTOR_SIMILARITY(embedding, ARRAY[1.0, 0.0, 1.0], 3)"
+    )
+    ids = {r["vec_id"] for r in out.collect()}
+    assert len(ids) == 3 and 0 in ids  # vec 0 == the query direction
+
+    # through the broker envelope too (the wire path)
+    resp = engine.query_broker_response(
+        "SELECT vec_id FROM vecSql WHERE VECTOR_SIMILARITY(embedding, ARRAY[1.0, 0.0, 1.0], 3)"
+    )
+    assert resp["numRowsResultSet"] == 3 and resp["exceptions"] == []
+
+    # a table without primary keys gets a clear validation error
+    config2 = dict(config)
+    config2["tableName"] = "vecNoPk"
+    schema2 = dict(schema)
+    schema2.pop("primaryKeyColumns")
+    schema2["schemaName"] = "vecNoPk"
+    pipe2 = engine.add_table(schema2, config2,
+                             RawRecordSource(kind="files", path=str(src_dir)),
+                             available_now=True)
+    pipe2.process_available()
+    resp2 = engine.query_broker_response(
+        "SELECT vec_id FROM vecNoPk WHERE VECTOR_SIMILARITY(embedding, ARRAY[1.0, 0.0, 1.0], 3)"
+    )
+    assert resp2["exceptions"] and resp2["exceptions"][0]["errorCode"] == 700
+    pipe.stop()
+    pipe2.stop()
