@@ -58,10 +58,33 @@ def _spread(df: DataFrame) -> DataFrame:
     sc = df.sparkSession.sparkContext
     size = plan_size_bytes(df)
     if size is not None:
-        split = int(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+        split = _parse_bytes(
+            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
         if size >= sc.defaultParallelism * split:
             return df
     return df.repartition(sc.defaultParallelism)
+
+
+def _parse_bytes(text: str) -> int:
+    """Spark size-conf string -> bytes.
+
+    ``conf.get`` returns size confs in Spark's own notation — plain digits,
+    ``'134217728b'``, ``'128m'``/``'128mb'`` — depending on how the value
+    was set.  The round-4 code int()-parsed inside a try/except, so the
+    ``'...b'`` form silently degraded the gate to its repartition default;
+    parse every notation instead (pinned by
+    test_spread_survives_suffixed_size_conf).
+    """
+    t = str(text).strip().lower()
+    if t.endswith("b"):
+        t = t[:-1]
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    mult = 1
+    if t and t[-1] in units:
+        mult = units[t[-1]]
+        t = t[:-1]
+    return int(float(t)) * mult
 
 
 def plan_size_bytes(df: DataFrame) -> int | None:

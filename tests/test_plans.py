@@ -572,3 +572,31 @@ def test_token_budget_cap_single_group_shuffle(spark):
     f = facts("c21_token_budget_cap", spark)
     assert f.exchanges <= 2  # window partitioning + (possibly reused) agg
     assert not f.python_eval and not f.cartesian
+
+
+def test_spread_survives_suffixed_size_conf(spark):
+    """Spark returns size confs in its own notation ('134217728b', '128m');
+    the _spread gate must parse every form — the round-4 int() parse threw
+    on the 'b' suffix and (pre-refactor) silently degraded the gate."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators.dedup import (
+        _parse_bytes,
+        _spread,
+    )
+
+    assert _parse_bytes("134217728") == 134217728
+    assert _parse_bytes("134217728b") == 134217728
+    assert _parse_bytes("128m") == _parse_bytes("128mb") == 128 * 1024 * 1024
+    assert _parse_bytes("1g") == 1024 ** 3
+
+    from real_time_analytics_with_apache_pinot_on_aws_spark import catalog as C
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+    try:
+        docs = C.load_table(spark, SF_DIR, "documents")
+        # must not raise on the suffixed notation, and the small fixture
+        # (far under 32 cores x 128 MB) still spreads
+        plan = _spread(docs)._jdf.queryExecution().optimizedPlan().toString()
+        assert "Repartition" in plan
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
