@@ -68,3 +68,23 @@ def test_health_and_alb_probe(broker):
             assert resp.status == 200
     with pytest.raises(urllib.error.HTTPError):
         urllib.request.urlopen(base + "/nope", timeout=30)
+
+
+def test_concurrent_queries(broker):
+    """Pinot brokers serve many dashboard clients at once; the threaded
+    server + thread-safe SparkSession must answer concurrent POSTs
+    correctly (each result complete and consistent)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(i: int) -> int:
+        resp = _post(
+            broker.url(),
+            {"sql": f"SELECT count(*) AS n FROM broker_src WHERE id % 7 = {i % 7}"},
+        )
+        assert resp["exceptions"] == []
+        return resp["resultTable"]["rows"][0][0]
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        counts = list(ex.map(one, range(14)))
+    # ids 0..99: id%7==0 -> 15 rows; 1..6 -> 15 or 14
+    assert counts == [15 if i % 7 <= 1 else 14 for i in range(14)]
