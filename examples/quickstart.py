@@ -115,6 +115,25 @@ def main() -> None:
         "EXPLAIN PLAN FOR SELECT campaign, count(*) FROM clickstream GROUP BY campaign"
     ).show(truncate=False)
 
+    # 6. The wire surface (round 5): POST /query/sql — the exact endpoint
+    #    the reference's ALB fronts (stack ts:725-726)
+    import urllib.request
+
+    from real_time_analytics_with_apache_pinot_on_aws_spark import broker_http
+
+    srv = broker_http.start_broker(engine, port=0)
+    try:
+        req = urllib.request.Request(
+            srv.url(),
+            data=json.dumps({"sql": "SELECT count(*) AS n FROM clickstream"}).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            print("HTTP broker:", json.loads(resp.read())["resultTable"]["rows"])
+    finally:
+        srv.stop()
+
     pipe.stop()
     spark.stop()
 
