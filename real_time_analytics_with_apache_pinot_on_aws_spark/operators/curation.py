@@ -275,6 +275,43 @@ def token_budget_cap(
     )
 
 
+def classifier_scores(
+    df: DataFrame,
+    vec_col: str,
+    weights: list,
+    bias: float,
+) -> DataFrame:
+    """Model-based quality scoring (C22): apply a trained linear probe to an
+    embedding column — the fasttext/logreg-style quality-filter stage every
+    production corpus pipeline runs before training.
+
+    The model parameters arrive as plain literals (in production: loaded
+    from the trainer's artifact); the score ``w·x + b`` is ONE codegen
+    ``zip_with``/``aggregate`` pass per row — a map-side scan with zero
+    shuffles and nothing driver-side, so 100 TB costs exactly one read.
+    Left-to-right summation over the array keeps the double deterministic.
+    """
+    w = F.array(*[F.lit(float(x)) for x in weights])
+    score = F.aggregate(
+        F.zip_with(w, F.col(vec_col).cast("array<double>"), lambda a, b: a * b),
+        F.lit(float(bias)),
+        lambda acc, v: acc + v,
+    )
+    return df.withColumn("quality_score", score)
+
+
+def classifier_filter(
+    df: DataFrame,
+    vec_col: str,
+    weights: list,
+    bias: float,
+) -> DataFrame:
+    """Keep rows the linear probe scores positive (predicted 'keep')."""
+    return classifier_scores(df, vec_col, weights, bias).filter(
+        F.col("quality_score") > 0
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     part_col: str,

@@ -5150,6 +5150,52 @@ def c20_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fixed linear-probe parameters for c22 (rational literals -> the identical
+# IEEE doubles in Spark and DuckDB; in production these come from a trainer)
+_C22_W = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+_C22_B = -0.05
+_C22_W_SQL = "[" + ", ".join(f"{x:.1f}" for x in _C22_W) + "]"
+
+
+@register(
+    "c22_quality_classifier",
+    f"""
+    WITH scored AS (
+      SELECT label,
+             list_dot_product({_C22_W_SQL}::DOUBLE[], embedding::DOUBLE[])
+               + ({_C22_B}) AS s
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (WHERE s > 0) AS BIGINT) AS n_kept
+    FROM scored
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="C22: model-based quality filtering — apply a trained linear probe "
+        "(w·x + b, parameters as literals; in production loaded from the "
+        "trainer) to every embedding and keep positive scores, the "
+        "fasttext/logreg quality-filter stage of a corpus pipeline.  ONE "
+        "codegen zip_with/aggregate pass per row, map-side, zero shuffles "
+        "besides the per-label accounting aggregate; the oracle recomputes "
+        "every dot product and keep decision in DuckDB.",
+)
+def c22_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    scored = _cur.classifier_scores(
+        spark.table("embeddings"), "embedding", _C22_W, _C22_B
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if(F.col("quality_score") > 0).alias("n_kept"),
+        )
+        .orderBy("label")
+    )
+
+
 @register(
     "c21_token_budget_cap",
     """
@@ -5260,8 +5306,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "b63_b65_udf_explode",
     "b64_grouped_udaf",
     # TPC-H shapes (join/decorrelation coverage; q18's HAVING+top-k stays
-    # covered by b31_b32, and q18/full TPC-H remain locally gated + benched)
-    "tpch_q1_pricing_summary",
+    # covered by b31_b32, and the full TPC-H suite remains locally gated +
+    # benched — q1's single-exchange agg shape is covered by b16_b17, so its
+    # slot surfaces the round-5 model-based quality filter)
+    "c22_quality_classifier",
     # (tpch_q3 stays registered post-window + benched: its broadcast-join
     # shape is covered by b39_lookup_join + q21; the slot surfaces the
     # token-budget-cap curation operator)

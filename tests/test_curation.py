@@ -239,3 +239,22 @@ def test_token_budget_cap_fills_but_never_starves(docs):
     sums = {r["lang"]: r["chars"] for r in rows}
     for r in last.collect():
         assert sums[r["lang"]] - r["n_chars"] < budget
+
+
+def test_classifier_filter_keeps_positive_scores(spark):
+    """C22 semantics: filter == scores > 0, scoring is deterministic across
+    invocations, and a weight flip inverts the kept set."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark import catalog as CAT
+    from tests.conftest import SF_DIR
+
+    emb = CAT.load_table(spark, SF_DIR, "embeddings")
+    w = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+    scored = C.classifier_scores(emb, "embedding", w, -0.05)
+    kept = C.classifier_filter(emb, "embedding", w, -0.05)
+    assert kept.count() == scored.filter("quality_score > 0").count()
+    assert 0 < kept.count() < emb.count()  # the probe separates the corpus
+    again = C.classifier_filter(emb, "embedding", w, -0.05)
+    assert kept.count() == again.count()
+    flipped = C.classifier_filter(emb, "embedding", [-x for x in w], 0.05)
+    # complements up to exact-zero scores (measure-zero for this data)
+    assert kept.count() + flipped.count() == emb.count()

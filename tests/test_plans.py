@@ -600,3 +600,11 @@ def test_spread_survives_suffixed_size_conf(spark):
         assert "Repartition" in plan
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_quality_classifier_is_map_side(spark):
+    """c22: the linear probe is one codegen pass per row; only the per-label
+    accounting aggregate (+ output sort) exchanges."""
+    f = facts("c22_quality_classifier", spark)
+    assert f.exchanges <= 2
+    assert not f.python_eval and not f.cartesian
