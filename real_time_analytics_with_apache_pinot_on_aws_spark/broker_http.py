@@ -73,8 +73,12 @@ class BrokerServer:
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
                     body = json.loads(self.rfile.read(n) or b"{}")
+                    if not isinstance(body, dict):
+                        raise ValueError(
+                            f"request body must be a JSON object, got {type(body).__name__}"
+                        )
                     sql = body["sql"]
-                except (ValueError, KeyError) as e:
+                except (ValueError, KeyError, TypeError) as e:
                     # malformed request envelope -> Pinot JSON_PARSING 100
                     resp = {
                         "numRowsResultSet": 0,

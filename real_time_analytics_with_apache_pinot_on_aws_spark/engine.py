@@ -318,6 +318,23 @@ class Engine:
                 f"table {config.name!r}: starTreeIndexConfigs cannot be "
                 "combined with upsertConfig/dedupConfig"
             )
+        if config.star_trees and config.retention_days is not None:
+            # A rollup whose dims omit the day column aggregates ACROSS
+            # days: run_retention can never expire its cells, ingest would
+            # pay an ever-growing cell log no query may safely read
+            # (query_agg refuses to route to it), and routing to it would
+            # resurrect deleted data.  Fail at AddTable with guidance, like
+            # the upsert x star-tree rejection above (round-5 review).
+            for dims_i, _metrics_i in config.star_trees:
+                if "ingest_date" not in dims_i:
+                    raise ValueError(
+                        f"table {config.name!r}: starTreeIndexConfigs entry "
+                        f"with dimensionsSplitOrder {list(dims_i)} lacks the "
+                        "day column 'ingest_date' while retention is set — "
+                        "retention could never expire its cells.  Add "
+                        "'ingest_date' to dimensionsSplitOrder or drop "
+                        "segmentsConfig.retentionTimeValue."
+                    )
         rollup_spec, rollup_path = None, None
         extra_rollups = []
         if config.star_trees:
@@ -748,9 +765,13 @@ class Engine:
             queries = self.spark.range(1).select(
                 F.lit(-1).cast("long").alias(id_col), q_vec.alias(column)
             )
+            # external literal query: no self to exclude, and a sentinel
+            # query id must never be compared against the corpus id column
+            # (a string primary key would null-cast the comparison and drop
+            # every row)
             return _sim.ivf_topk_indexed(
                 self.spark, idx, queries, k=top_k, n_probe=n_probe,
-                id_col=id_col, vec_col=column,
+                id_col=id_col, vec_col=column, exclude_self=False,
             ).select("neighbor_id", "score", "rank")
         scored = frame.select(
             F.col(id_col).alias("neighbor_id"),

@@ -289,13 +289,26 @@ def classifier_scores(
     from the trainer's artifact); the score ``w·x + b`` is ONE codegen
     ``zip_with``/``aggregate`` pass per row — a map-side scan with zero
     shuffles and nothing driver-side, so 100 TB costs exactly one read.
-    Left-to-right summation over the array keeps the double deterministic.
+    Left-to-right summation with the bias added AFTER the fold matches the
+    oracle's ``list_dot_product(w, x) + b`` term order exactly; a dimension
+    mismatch between weights and embeddings raises (zip_with would
+    otherwise null-pad and silently drop every row).
     """
     w = F.array(*[F.lit(float(x)) for x in weights])
-    score = F.aggregate(
+    fold = F.aggregate(
         F.zip_with(w, F.col(vec_col).cast("array<double>"), lambda a, b: a * b),
-        F.lit(float(bias)),
+        F.lit(0.0),
         lambda acc, v: acc + v,
+    )
+    score = F.when(
+        F.size(F.col(vec_col)) == len(weights), fold + F.lit(float(bias))
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"classifier_scores: embedding dimension != {len(weights)} "
+                "model weights"
+            )
+        )
     )
     return df.withColumn("quality_score", score)
 

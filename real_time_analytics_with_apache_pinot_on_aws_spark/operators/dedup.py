@@ -58,10 +58,15 @@ def _spread(df: DataFrame) -> DataFrame:
     sc = df.sparkSession.sparkContext
     size = plan_size_bytes(df)
     if size is not None:
-        split = _parse_bytes(
-            df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        )
-        if size >= sc.defaultParallelism * split:
+        try:
+            split = _parse_bytes(
+                df.sparkSession.conf.get(
+                    "spark.sql.files.maxPartitionBytes", "134217728"
+                )
+            )
+        except ValueError:
+            split = None  # unparseable conf -> safe default: spread
+        if split is not None and size >= sc.defaultParallelism * split:
             return df
     return df.repartition(sc.defaultParallelism)
 
@@ -79,12 +84,12 @@ def _parse_bytes(text: str) -> int:
     t = str(text).strip().lower()
     if t.endswith("b"):
         t = t[:-1]
-    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4, "p": 1024**5}
     mult = 1
     if t and t[-1] in units:
         mult = units[t[-1]]
         t = t[:-1]
-    return int(float(t)) * mult
+    return int(float(t) * mult)
 
 
 def plan_size_bytes(df: DataFrame) -> int | None:

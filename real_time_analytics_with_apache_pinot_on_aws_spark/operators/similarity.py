@@ -303,6 +303,7 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``n_probe`` nearest cells per query.
 
@@ -311,6 +312,8 @@ def ivf_topk(
     index loses no one); smaller ``n_probe`` trades recall for scanning only
     ``n_probe / n_cells`` of the corpus — at scale the corpus is stored
     partitioned/clustered by ``cell_id`` so a probe prunes whole partitions.
+    ``exclude_self=False`` for external (non-corpus) query vectors — see
+    :func:`ivf_topk_indexed`.
     """
     cent, assigned = ivf_assign(corpus, n_cells, id_col, vec_col)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
@@ -327,7 +330,9 @@ def ivf_topk(
     scored = (
         assigned.withColumnsRenamed({id_col: "neighbor_id", vec_col: "c_vec"})
         .join(F.broadcast(probes), "cell_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter(
+            F.col("query_id") != F.col("neighbor_id") if exclude_self else F.lit(True)
+        )
         .withColumn("score", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
         .select("query_id", "neighbor_id", "score")
     )
@@ -372,6 +377,7 @@ def ivf_topk_indexed(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF top-k served from a :func:`persist_ivf_index` table.
 
@@ -380,6 +386,11 @@ def ivf_topk_indexed(
     read is then filtered on ``cell_id``, which prunes whole partitions of
     the persisted layout — the scan touches ~``n_probe / n_cells`` of the
     stored bytes instead of scanning everything and discarding.
+
+    ``exclude_self=False`` skips the query_id != neighbor_id filter — for
+    EXTERNAL query vectors (not corpus members) there is no self to
+    exclude, and comparing a sentinel query id against a differently-typed
+    corpus id would null-cast and drop every row (round-5 review).
     """
     cent = spark.table(f"{table}_centroids")
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
@@ -394,7 +405,9 @@ def ivf_topk_indexed(
         spark.table(table)
         .withColumnsRenamed({id_col: "neighbor_id", vec_col: "c_vec"})
         .join(F.broadcast(probes), "cell_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter(
+            F.col("query_id") != F.col("neighbor_id") if exclude_self else F.lit(True)
+        )
         .withColumn("score", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
         .select("query_id", "neighbor_id", "score")
     )

@@ -116,12 +116,16 @@ def analyzer_from_config(props: dict) -> Analyzer:
         if "EnglishAnalyzer" in str(props.get("luceneAnalyzerClass", ""))
         else STANDARD
     )
+    lowercase = str(props.get("caseSensitive", "false")).lower() != "true"
+    # stop entries must match the TOKEN case the chain produces: folded
+    # under the default analyzer, preserved under caseSensitive (an entry
+    # lowercased under caseSensitive would be silently inert, round-5 review)
+    fold = (lambda w: w.lower()) if lowercase else (lambda w: w)
     stops = set(base.stopwords)
     inc = str(props.get("stopWordInclude", "") or "")
     exc = str(props.get("stopWordExclude", "") or "")
-    stops |= {w.strip().lower() for w in inc.split(",") if w.strip()}
-    stops -= {w.strip().lower() for w in exc.split(",") if w.strip()}
-    lowercase = str(props.get("caseSensitive", "false")).lower() != "true"
+    stops |= {fold(w.strip()) for w in inc.split(",") if w.strip()}
+    stops -= {fold(w.strip()) for w in exc.split(",") if w.strip()}
     return Analyzer(lowercase=lowercase, stopwords=frozenset(stops), stem=base.stem)
 
 

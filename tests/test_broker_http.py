@@ -88,3 +88,20 @@ def test_concurrent_queries(broker):
         counts = list(ex.map(one, range(14)))
     # ids 0..99: id%7==0 -> 15 rows; 1..6 -> 15 or 14
     assert counts == [15 if i % 7 <= 1 else 14 for i in range(14)]
+
+
+def test_non_object_json_bodies_get_structured_100(broker):
+    """Valid JSON that is not an object (null, list, string, number) must
+    come back as the errorCode-100 envelope, never a dropped connection
+    (round-5 review)."""
+    for payload in (None, [], "SELECT 1", 123):
+        req = urllib.request.Request(
+            broker.url(),
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            assert resp.status == 200
+            body = json.loads(resp.read())
+        assert body["exceptions"][0]["errorCode"] == 100, payload

@@ -258,3 +258,19 @@ def test_classifier_filter_keeps_positive_scores(spark):
     flipped = C.classifier_filter(emb, "embedding", [-x for x in w], 0.05)
     # complements up to exact-zero scores (measure-zero for this data)
     assert kept.count() + flipped.count() == emb.count()
+
+
+def test_classifier_rejects_dimension_mismatch(spark):
+    """A probe whose weight count differs from the embedding dimension must
+    fail loudly — zip_with would otherwise null-pad and silently keep 0
+    rows (round-5 review)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from real_time_analytics_with_apache_pinot_on_aws_spark import catalog as CAT
+    from tests.conftest import SF_DIR
+
+    emb = CAT.load_table(spark, SF_DIR, "embeddings")
+    bad = C.classifier_filter(emb, "embedding", [0.5] * 16, 0.0)  # 16 != 64
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="dimension"):
+        bad.count()

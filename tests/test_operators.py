@@ -1178,3 +1178,17 @@ def test_persisted_index_with_analyzer_roundtrip(spark):
         assert {r["id"] for r in out.collect()} == {1, 2}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_case_sensitive_stop_lists_keep_their_case(spark):
+    """Under caseSensitive=true, declared stop entries must match the
+    case-preserved tokens the chain produces — lowercasing them would make
+    the declaration silently inert (round-5 review)."""
+    cs = textmatch.analyzer_from_config(
+        {"caseSensitive": "true", "stopWordInclude": "DRAFT, The"}
+    )
+    assert {"DRAFT", "The"} <= cs.stopwords
+    assert cs.analyze("The DRAFT plan") == ["plan"]
+    # default (folding) analyzer still folds the declared entries
+    folded = textmatch.analyzer_from_config({"stopWordInclude": "DRAFT"})
+    assert "draft" in folded.stopwords and folded.analyze("DRAFT plan") == ["plan"]

@@ -587,6 +587,8 @@ def test_spread_survives_suffixed_size_conf(spark):
     assert _parse_bytes("134217728b") == 134217728
     assert _parse_bytes("128m") == _parse_bytes("128mb") == 128 * 1024 * 1024
     assert _parse_bytes("1g") == 1024 ** 3
+    assert _parse_bytes("1pb") == 1024 ** 5
+    assert _parse_bytes("0.5g") == 512 * 1024 * 1024
 
     from real_time_analytics_with_apache_pinot_on_aws_spark import catalog as C
 

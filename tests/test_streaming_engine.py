@@ -1315,11 +1315,17 @@ def test_retention_over_file_scheme_uri(spark, tmp_path):
     pipeline.stop()
 
 
-def test_query_agg_skips_dayless_rollup_under_retention(spark, tmp_path):
-    """Round-4 ADVICE: a star-tree whose dims omit ingest_date aggregates
-    ACROSS days, so run_retention cannot expire its cells.  With retention
-    configured, query_agg must refuse that rollup (route 'scan') so results
-    never resurrect expired data."""
+def test_dayless_rollup_under_retention_rejected_and_never_routed(spark, tmp_path):
+    """Round-4 ADVICE + round-5 review: a star-tree whose dims omit
+    ingest_date aggregates ACROSS days, so run_retention can never expire
+    its cells.  AddTable rejects the combination loudly (otherwise ingest
+    would pay an ever-growing cell log no query may read), and — defense in
+    depth for directly-constructed configs — query_agg still refuses to
+    route to such a rollup."""
+    import dataclasses as _dc
+
+    import pytest as _pytest
+
     from real_time_analytics_with_apache_pinot_on_aws_spark.streaming import rollup as R
 
     src_dir = tmp_path / "stream_in"
@@ -1337,20 +1343,31 @@ def test_query_agg_skips_dayless_rollup_under_retention(spark, tmp_path):
     engine = Engine(spark, str(tmp_path / "warehouse"))
     _write_events(src_dir / "old.json", 10, "2024-01-01")
     _write_events(src_dir / "new.json", 10, "2024-01-20", start=500)
+    with _pytest.raises(ValueError, match="ingest_date"):
+        engine.add_table(CLICKSTREAM_SCHEMA, config,
+                         RawRecordSource(kind="files", path=str(src_dir)),
+                         start=False)
+
+    # defense in depth: a config mutated to the bad combination after
+    # AddTable still never routes to the dayless rollup
+    config["tableIndexConfig"].pop("starTreeIndexConfigs")
     pipe = engine.add_table(CLICKSTREAM_SCHEMA, config,
                             RawRecordSource(kind="files", path=str(src_dir)),
                             available_now=True)
     pipe.process_available()
-
-    req = R.AggRequest(dims=("campaign",), aggs={"n": ("count", "price")})
+    engine.configs["daylessStar"] = _dc.replace(
+        engine.configs["daylessStar"],
+        star_trees=((("campaign",), (("sum__price", ("sum", "price")),)),),
+    )
+    req = R.AggRequest(dims=("campaign",), aggs={"t": ("sum", "price")})
     routed, route = engine.query_agg("daylessStar", req)
     assert route == "scan"  # never the stale-able rollup
 
     # and the scan answer tracks retention: after expiry, counts shrink
     engine.run_retention("daylessStar")
     post, route2 = engine.query_agg("daylessStar", req)
-    assert route2 == "scan"
-    assert sum(r["n"] for r in post.collect()) == 10
+    assert route2 == "scan" and post.count() > 0
+    assert pipe.table().count() == 10
     pipe.stop()
 
 
@@ -1665,3 +1682,63 @@ def test_vector_similarity_sql_form(spark, tmp_path):
     assert resp2["exceptions"] and resp2["exceptions"][0]["errorCode"] == 700
     pipe.stop()
     pipe2.stop()
+
+
+def test_vector_similarity_with_string_primary_key(spark, tmp_path):
+    """Round-5 review: the indexed path must serve tables whose primary key
+    is a STRING — the old sentinel-id exclusion filter null-cast the
+    comparison and silently dropped every row."""
+    import json as _json
+    import math
+
+    src_dir = tmp_path / "stream_in"
+    src_dir.mkdir(parents=True)
+    with open(src_dir / "vecs.json", "w") as fh:
+        for i in range(12):
+            angle = i * math.pi / 6
+            fh.write(_json.dumps({
+                "doc_key": f"doc-{i:03d}",
+                "embedding": [math.cos(angle), math.sin(angle), 1.0],
+                "creationTimestamp": f"2024-06-01 10:{i:02d}:00",
+            }) + "\n")
+    schema = {
+        "schemaName": "vecStr",
+        "dimensionFieldSpecs": [
+            {"name": "doc_key", "dataType": "STRING"},
+            {"name": "embedding", "dataType": "FLOAT", "singleValueField": False},
+        ],
+        "dateTimeFieldSpecs": [
+            {"name": "creationTimestamp", "dataType": "STRING",
+             "format": "SIMPLE_DATE_FORMAT|yyyy-MM-dd HH:mm:ss",
+             "granularity": "1:DAYS"},
+        ],
+        "primaryKeyColumns": ["doc_key"],
+    }
+    config = dict(TABLE_CONFIG)
+    config["tableName"] = "vecStr"
+    config["fieldConfigList"] = [
+        {"name": "embedding", "indexType": "VECTOR",
+         "properties": {"vectorDistanceFunction": "COSINE"}},
+    ]
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    pipe = engine.add_table(schema, config,
+                            RawRecordSource(kind="files", path=str(src_dir)),
+                            available_now=True)
+    pipe.process_available()
+
+    q = [1.0, 0.0, 1.0]
+    exact = engine.vector_similarity("vecStr", "embedding", q, top_k=3, id_col="doc_key")
+    assert [r["neighbor_id"] for r in exact.collect()][0] == "doc-000"
+
+    idx = engine.build_vector_index("vecStr", "embedding", id_col="doc_key", n_cells=2)
+    try:
+        indexed = engine.query(
+            "SELECT doc_key FROM vecStr "
+            "WHERE VECTOR_SIMILARITY(embedding, ARRAY[1.0, 0.0, 1.0], 3)"
+        )
+        keys = {r["doc_key"] for r in indexed.collect()}
+        assert len(keys) == 3 and "doc-000" in keys
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {idx}")
+        spark.sql(f"DROP TABLE IF EXISTS {idx}_centroids")
+    pipe.stop()
