@@ -828,6 +828,23 @@ class Engine:
             return out
         return out.selectExpr(*items)
 
+    # Pinot query options **[P1.2]**: clients (the JDBC driver, the query
+    # console) prefix statements with `SET key=value;` — e.g. SET
+    # timeoutMs=3000; SET useMultistageEngine=true.  Recognized options that
+    # have a Spark-side meaning are applied; the rest parse cleanly and are
+    # recorded (Spark SQL would otherwise reject the whole statement).
+    _SET_RE = re.compile(
+        r"^\s*SET\s+(?P<key>\w+)\s*=\s*(?P<val>'[^']*'|\"[^\"]*\"|[\w.\-]+)\s*;\s*",
+        re.IGNORECASE,
+    )
+
+    def _strip_query_options(self, sql: str) -> tuple[str, dict]:
+        opts: dict = {}
+        while (m := self._SET_RE.match(sql)) is not None:
+            opts[m.group("key")] = m.group("val").strip("'\"")
+            sql = sql[m.end():]
+        return sql, opts
+
     _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s+PLAN\s+FOR\s+", re.IGNORECASE)
 
     def query(self, sql: str) -> DataFrame:
@@ -838,8 +855,12 @@ class Engine:
         a table, so BI tools can introspect plans over the same endpoint.
         ``WHERE VECTOR_SIMILARITY(col, ARRAY[...], k)`` (Pinot 1.2's vector
         predicate, a function Spark SQL lacks) is resolved through
-        :meth:`_query_vector_similarity`.
+        :meth:`_query_vector_similarity`.  Leading Pinot ``SET key=value;``
+        query options **[P1.2]** (what the Pinot JDBC driver and console
+        prefix statements with) parse and strip; currently none changes the
+        Spark plan — the statement must still answer, not fail to parse.
         """
+        sql, _opts = self._strip_query_options(sql)
         m = self._EXPLAIN_RE.match(sql)
         if m:
             return self.explain_plan(sql[m.end():])

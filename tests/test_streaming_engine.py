@@ -1742,3 +1742,19 @@ def test_vector_similarity_with_string_primary_key(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {idx}")
         spark.sql(f"DROP TABLE IF EXISTS {idx}_centroids")
     pipe.stop()
+
+
+def test_pinot_set_query_options_parse_and_strip(spark, tmp_path):
+    """Pinot clients prefix statements with SET key=value; options
+    **[P1.2]** (JDBC driver, query console) — the engine must answer the
+    statement instead of failing to parse."""
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    out = engine.query(
+        "SET timeoutMs=3000; SET useMultistageEngine=true; SELECT 2 + 2 AS four"
+    )
+    assert out.collect()[0]["four"] == 4
+    resp = engine.query_broker_response("SET timeoutMs='500'; SELECT 1 AS one")
+    assert resp["exceptions"] == [] and resp["resultTable"]["rows"] == [[1]]
+    # a bare SELECT is untouched, and SET inside a string literal survives
+    lit = engine.query("SELECT 'SET x=1; not an option' AS s").collect()[0]["s"]
+    assert lit.startswith("SET x=1")
