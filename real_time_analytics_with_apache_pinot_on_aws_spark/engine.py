@@ -113,9 +113,16 @@ class TableConfig:
     # properties vectorIndexType/vectorDimension/vectorDistanceFunction,
     # queried via VECTOR_SIMILARITY): served by Engine.build_vector_index
     # (persisted partition-pruned IVF — the Spark-native ANN analog of
-    # Pinot's per-segment HNSW; documented divergence) + 
+    # Pinot's per-segment HNSW; documented divergence) +
     # Engine.vector_similarity.  Same ((column, props), ...) shape.
     vector_index_columns: tuple = ()
+    # Pinot dimension table **[P1.2]** (`isDimTable: true` + OFFLINE type):
+    # a small batch-loaded table replicated to every server and queried via
+    # the scalar LOOKUP('dim','valueCol','pkCol', expr) UDF.  Analog:
+    # Engine.add_dim_table registers the batch frame; Engine.query rewrites
+    # LOOKUP calls into correlated scalar subqueries Catalyst plans as a
+    # broadcast left-outer join (the replicated-join analog).
+    is_dim_table: bool = False
 
     @classmethod
     def parse(cls, config_json: str | dict) -> "TableConfig":
@@ -220,6 +227,7 @@ class TableConfig:
             partition_buckets=part_n,
             text_index_columns=tuple(text_cols),
             vector_index_columns=tuple(vector_cols),
+            is_dim_table=bool(conf.get("isDimTable", False)),
         )
 
 
@@ -376,6 +384,57 @@ class Engine:
             pipeline.start(trigger=trigger, available_now=available_now)
         return pipeline
 
+    def add_dim_table(
+        self,
+        schema_json: str | dict,
+        table_config_json: str | dict,
+        frame: DataFrame,
+    ) -> dict:
+        """Pinot dimension table analog **[P1.2]**.
+
+        Pinot dimension tables (`isDimTable: true`, OFFLINE) are small
+        batch-uploaded tables replicated in memory on every server, queried
+        through the scalar ``LOOKUP`` UDF.  Analog: the batch frame persists
+        under the warehouse (the segment-upload step), registers as a SQL
+        view, and :meth:`query` rewrites ``LOOKUP('dim','val','pk', expr)``
+        into a correlated scalar subquery — Catalyst plans that as a
+        broadcast left-outer join when the dim fits the broadcast threshold,
+        which IS Pinot's replicated-join strategy in Spark terms.
+
+        Pinot requires dimension tables to declare primaryKeyColumns; rows
+        must be unique per key (the generated non-aggregated subquery keeps
+        that contract LOUD — Spark raises on a duplicate-key match rather
+        than silently picking a row).
+        """
+        schema = parse_schema(schema_json)
+        config = TableConfig.parse(table_config_json)
+        if not config.is_dim_table:
+            raise ValueError(
+                f"add_dim_table({config.name!r}): table config must set "
+                "isDimTable: true (Pinot dimension-table contract)"
+            )
+        if not config.primary_key_columns:
+            raw = json.loads(schema_json) if isinstance(schema_json, str) else schema_json
+            pks = tuple(raw.get("primaryKeyColumns", ()))
+            if not pks:
+                raise ValueError(
+                    f"dimension table {config.name!r} declares no primaryKeyColumns"
+                )
+            config = dataclasses.replace(config, primary_key_columns=pks)
+        missing = [c for c in config.primary_key_columns if c not in frame.columns]
+        if missing:
+            raise ValueError(
+                f"dimension table {config.name!r}: primaryKeyColumns {missing} "
+                "absent from the uploaded frame"
+            )
+        del schema  # compiled for validation; the uploaded frame is typed
+        path = str(self.warehouse / config.name / "dim")
+        frame.write.mode("overwrite").parquet(path)
+        self.configs[config.name] = config
+        loaded = self.spark.read.parquet(path)
+        loaded.createOrReplaceTempView(config.name)
+        return {"table": config.name, "path": path, "rows": loaded.count()}
+
     def register_view(self, name: str) -> None:
         """Expose a consuming table to SQL under its name.
 
@@ -432,8 +491,10 @@ class Engine:
         )
 
     def list_tables(self) -> list[str]:
-        """GET /tables analog (stack ts:416-422)."""
-        return sorted(self.pipelines)
+        """GET /tables analog (stack ts:416-422) — consuming tables plus
+        registered dimension tables (Pinot lists both)."""
+        dims = {n for n, c in self.configs.items() if c.is_dim_table}
+        return sorted(set(self.pipelines) | dims)
 
     def table_detail(self, name: str) -> dict:
         """Segment/server map analog (stack ts:445-462): file-level layout.
@@ -585,13 +646,16 @@ class Engine:
 
     @staticmethod
     def _split_top_level_commas(items: str) -> list[str]:
-        parts, depth, cur = [], 0, []
+        parts, depth, cur, in_q = [], 0, [], False
         for ch in items:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            if ch == "," and depth == 0:
+            if ch == "'":
+                in_q = not in_q
+            elif not in_q:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+            if ch == "," and depth == 0 and not in_q:
                 parts.append("".join(cur))
                 cur = []
             else:
@@ -838,12 +902,139 @@ class Engine:
         re.IGNORECASE,
     )
 
+    # Legacy Pinot trailing options **[P1.2]**: `SELECT ... OPTION(
+    # timeoutMs=1000, skipUpsert=true)` — the pre-SET syntax older clients
+    # still emit.  Same handling: parse, record, strip.
+    _OPTION_SUFFIX_RE = re.compile(
+        r"\s+OPTION\s*\(\s*(?P<body>\w+\s*=\s*[\w.\-]+"
+        r"(?:\s*,\s*\w+\s*=\s*[\w.\-]+)*)\s*\)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+
     def _strip_query_options(self, sql: str) -> tuple[str, dict]:
         opts: dict = {}
         while (m := self._SET_RE.match(sql)) is not None:
             opts[m.group("key")] = m.group("val").strip("'\"")
             sql = sql[m.end():]
+        m = self._OPTION_SUFFIX_RE.search(sql)
+        if m:
+            for pair in m.group("body").split(","):
+                k, _, v = pair.partition("=")
+                opts[k.strip()] = v.strip()
+            sql = sql[: m.start()]
         return sql, opts
+
+    # Pinot scalar LOOKUP UDF **[P1.2]**: LOOKUP('dimTable','valueCol',
+    # 'pkCol', factExpr [, 'pkCol2', factExpr2 ...]) decorates fact rows
+    # with dimension-table values.  Pinot serves it from the in-memory
+    # replica every server holds of an isDimTable=true OFFLINE table; the
+    # Spark-first form is a correlated scalar subquery — Catalyst rewrites
+    # it to a left-outer join and broadcasts the dim side under the
+    # autoBroadcastJoinThreshold, the same replicated-join shape.
+    _LOOKUP_RE = re.compile(r"LOOKUP\s*\(", re.IGNORECASE)
+    _IDENT_RE = re.compile(r"'(\w+)'\s*$")
+
+    def _rewrite_lookup_calls(self, sql: str) -> str:
+        """Replace every top-level LOOKUP(...) call with its subquery form.
+
+        The scan is quote-aware (LOOKUP inside a string literal is data, not
+        a call) and word-boundary-checked (MY_LOOKUP() is untouched).
+        """
+        out: list[str] = []
+        i, n = 0, len(sql)
+        while i < n:
+            ch = sql[i]
+            if ch == "'":
+                j = i + 1
+                while j < n:
+                    if sql[j] == "'":
+                        if j + 1 < n and sql[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                out.append(sql[i : j + 1])
+                i = j + 1
+                continue
+            m = self._LOOKUP_RE.match(sql, i)
+            if m and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+                args, end = self._scan_balanced(sql, m.end() - 1)
+                out.append(self._lookup_subquery(args))
+                i = end
+                continue
+            out.append(ch)
+            i += 1
+        return "".join(out)
+
+    @staticmethod
+    def _scan_balanced(sql: str, open_idx: int) -> tuple[str, int]:
+        """From '(' at open_idx: (inner content, index past ')').  Quote-aware."""
+        depth, j, n = 0, open_idx, len(sql)
+        while j < n:
+            ch = sql[j]
+            if ch == "'":
+                j += 1
+                while j < n and sql[j] != "'":
+                    j += 1
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    return sql[open_idx + 1 : j], j + 1
+            j += 1
+        raise ValueError("LOOKUP(: unbalanced parentheses")
+
+    def _lookup_subquery(self, args_str: str) -> str:
+        parts = [p.strip() for p in self._split_top_level_commas(args_str)]
+        if len(parts) < 4 or len(parts) % 2 != 0:
+            raise ValueError(
+                "LOOKUP takes ('dimTable','valueColumn', 'pkColumn', factExpr"
+                " [, 'pkColumn2', factExpr2 ...]) — got "
+                f"{len(parts)} argument(s)"
+            )
+        names = []
+        for p in parts[:2]:
+            m = self._IDENT_RE.fullmatch(p)
+            if not m:
+                raise ValueError(
+                    f"LOOKUP: argument {p!r} must be a quoted identifier"
+                )
+            names.append(m.group(1))
+        table, val_col = names
+        config = self.configs.get(table)
+        if config is None or not config.is_dim_table:
+            raise ValueError(
+                f"LOOKUP target {table!r} is not a registered dimension "
+                "table (add_dim_table with isDimTable: true)"
+            )
+        # The dim side projects to reserved names BEFORE the correlation
+        # predicate: a bare fact column in the key expression must resolve
+        # to the OUTER query, and SQL scoping prefers the inner relation —
+        # if the dim still exposed a same-named column (`campaign = campaign`)
+        # the correlation would silently self-capture and match every row.
+        proj, conds = [f"`{val_col}` AS __lookup_val"], []
+        for idx, k in enumerate(range(2, len(parts), 2)):
+            m = self._IDENT_RE.fullmatch(parts[k])
+            if not m:
+                raise ValueError(
+                    f"LOOKUP: join-key argument {parts[k]!r} must be a "
+                    "quoted column name"
+                )
+            pk = m.group(1)
+            if pk not in config.primary_key_columns:
+                raise ValueError(
+                    f"LOOKUP join key {pk!r} is not a primaryKeyColumn of "
+                    f"dimension table {table!r} {list(config.primary_key_columns)}"
+                )
+            # a fact expression may itself contain LOOKUP calls
+            expr = self._rewrite_lookup_calls(parts[k + 1])
+            proj.append(f"`{pk}` AS __lookup_k{idx}")
+            conds.append(f"__lookup_k{idx} = ({expr})")
+        return (
+            f"(SELECT __lookup_val FROM (SELECT {', '.join(proj)} "
+            f"FROM {table}) WHERE {' AND '.join(conds)})"
+        )
 
     _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s+PLAN\s+FOR\s+", re.IGNORECASE)
 
@@ -857,10 +1048,17 @@ class Engine:
         predicate, a function Spark SQL lacks) is resolved through
         :meth:`_query_vector_similarity`.  Leading Pinot ``SET key=value;``
         query options **[P1.2]** (what the Pinot JDBC driver and console
-        prefix statements with) parse and strip; currently none changes the
-        Spark plan — the statement must still answer, not fail to parse.
+        prefix statements with) and the legacy trailing ``OPTION(k=v, ...)``
+        form parse and strip; currently none changes the Spark plan — the
+        statement must still answer, not fail to parse.  Scalar
+        ``LOOKUP('dim','valueCol','pkCol', expr)`` calls **[P1.2]** rewrite
+        to correlated scalar subqueries against registered dimension tables
+        (:meth:`add_dim_table`) — Catalyst plans them as a broadcast
+        left-outer join, Pinot's replicated dim-join in Spark terms.
         """
         sql, _opts = self._strip_query_options(sql)
+        if self._LOOKUP_RE.search(sql):
+            sql = self._rewrite_lookup_calls(sql)
         m = self._EXPLAIN_RE.match(sql)
         if m:
             return self.explain_plan(sql[m.end():])

@@ -1758,3 +1758,162 @@ def test_pinot_set_query_options_parse_and_strip(spark, tmp_path):
     # a bare SELECT is untouched, and SET inside a string literal survives
     lit = engine.query("SELECT 'SET x=1; not an option' AS s").collect()[0]["s"]
     assert lit.startswith("SET x=1")
+
+
+DIM_SCHEMA = {
+    "schemaName": "campaignDim",
+    "dimensionFieldSpecs": [
+        {"name": "campaign", "dataType": "STRING"},
+        {"name": "owner", "dataType": "STRING"},
+    ],
+    "metricFieldSpecs": [{"name": "discountPct", "dataType": "INT"}],
+    "primaryKeyColumns": ["campaign"],
+}
+
+DIM_CONFIG = {
+    "tableName": "campaignDim",
+    "tableType": "OFFLINE",
+    "isDimTable": True,
+    "dimensionTableConfig": {"disablePreload": False},
+}
+
+
+def test_dim_table_scalar_lookup_end_to_end(spark, tmp_path):
+    """Pinot scalar LOOKUP UDF **[P1.2]** over an isDimTable=true table:
+    LOOKUP('dim','valueCol','pkCol', expr) decorates fact rows with dim
+    values (null where the key is absent), served as a correlated scalar
+    subquery Catalyst broadcasts — Pinot's replicated dim join."""
+    src_dir = tmp_path / "stream_in"
+    _write_events(src_dir / "b.json", 30, "2024-06-01")
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    pipe = engine.add_table(
+        CLICKSTREAM_SCHEMA, TABLE_CONFIG,
+        RawRecordSource(kind="files", path=str(src_dir)), available_now=True,
+    )
+    pipe.process_available()
+    engine.register_view("kinesisTable")
+
+    dim = spark.createDataFrame(
+        [("BlackFriday", "alex", 25), ("10Percent", "sam", 10)],
+        "campaign string, owner string, discountPct int",
+    )
+    detail = engine.add_dim_table(DIM_SCHEMA, DIM_CONFIG, dim)
+    assert detail["rows"] == 2
+    assert "campaignDim" in engine.list_tables()
+
+    rows = engine.query(
+        "SELECT userID, campaign, "
+        "LOOKUP('campaignDim', 'owner', 'campaign', campaign) AS owner, "
+        "price - LOOKUP('campaignDim', 'discountPct', 'campaign', campaign) AS net "
+        "FROM kinesisTable"
+    ).collect()
+    assert len(rows) == 30
+    by_campaign = {}
+    for r in rows:
+        by_campaign.setdefault(r["campaign"], r)
+    assert by_campaign["BlackFriday"]["owner"] == "alex"
+    assert by_campaign["10Percent"]["owner"] == "sam"
+    # key absent from the dim table -> NULL (Spark real-null semantics;
+    # Pinot would substitute the column's defaultNullValue, SURVEY §1.2)
+    assert by_campaign["NONE"]["owner"] is None
+    assert by_campaign["NONE"]["net"] is None
+
+    # the replicated-join contract: the dim side is broadcast, the fact
+    # side never shuffles for the lookup
+    plan = (
+        engine.query(
+            "SELECT LOOKUP('campaignDim','owner','campaign', campaign) AS o "
+            "FROM kinesisTable"
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Broadcast" in plan
+
+    # LOOKUP inside a string literal is data, not a call
+    lit = engine.query(
+        "SELECT 'use LOOKUP(a,b) here' AS s"
+    ).collect()[0]["s"]
+    assert lit == "use LOOKUP(a,b) here"
+    pipe.stop()
+
+
+def test_dim_table_lookup_composite_key(spark, tmp_path):
+    """LOOKUP's multi-pair form: ('dim','val', 'pk1', e1, 'pk2', e2)."""
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    dim = spark.createDataFrame(
+        [("us", "web", 1.5), ("us", "app", 2.5), ("eu", "web", 3.5)],
+        "region string, channel string, weight double",
+    )
+    schema = {
+        "schemaName": "weightsDim",
+        "dimensionFieldSpecs": [
+            {"name": "region", "dataType": "STRING"},
+            {"name": "channel", "dataType": "STRING"},
+        ],
+        "metricFieldSpecs": [{"name": "weight", "dataType": "DOUBLE"}],
+        "primaryKeyColumns": ["region", "channel"],
+    }
+    engine.add_dim_table(
+        schema, {"tableName": "weightsDim", "isDimTable": True}, dim
+    )
+    spark.createDataFrame(
+        [("us", "app"), ("eu", "web"), ("ap", "web")], "r string, c string"
+    ).createOrReplaceTempView("facts_rc")
+    got = {
+        (row["r"], row["c"]): row["w"]
+        for row in engine.query(
+            "SELECT r, c, LOOKUP('weightsDim','weight','region', r, "
+            "'channel', c) AS w FROM facts_rc"
+        ).collect()
+    }
+    assert got[("us", "app")] == 2.5
+    assert got[("eu", "web")] == 3.5
+    assert got[("ap", "web")] is None
+
+
+def test_dim_table_and_lookup_validation(spark, tmp_path):
+    import pytest as _pytest
+
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    dim = spark.createDataFrame([("a", 1)], "campaign string, discountPct int")
+    # isDimTable must be declared
+    with _pytest.raises(ValueError, match="isDimTable"):
+        engine.add_dim_table(DIM_SCHEMA, {"tableName": "campaignDim"}, dim)
+    # primary keys must exist in the frame
+    with _pytest.raises(ValueError, match="primaryKeyColumns"):
+        engine.add_dim_table(
+            {"schemaName": "d", "dimensionFieldSpecs": [{"name": "x", "dataType": "STRING"}]},
+            {"tableName": "d", "isDimTable": True},
+            dim,
+        )
+    engine.add_dim_table(
+        DIM_SCHEMA, DIM_CONFIG,
+        spark.createDataFrame(
+            [("a", "o", 1)], "campaign string, owner string, discountPct int"
+        ),
+    )
+    # LOOKUP against a non-dim table fails loudly
+    with _pytest.raises(ValueError, match="not a registered dimension"):
+        engine.query("SELECT LOOKUP('nosuch','v','k', 1) AS v")
+    # join key must be a declared primaryKeyColumn
+    with _pytest.raises(ValueError, match="primaryKeyColumn"):
+        engine.query("SELECT LOOKUP('campaignDim','owner','owner', 'x') AS v")
+    # arity: pairs after the first two arguments
+    with _pytest.raises(ValueError, match="argument"):
+        engine.query("SELECT LOOKUP('campaignDim','owner','campaign') AS v")
+
+
+def test_legacy_option_suffix_parse_and_strip(spark, tmp_path):
+    """Pre-SET Pinot clients append OPTION(k=v, ...) **[P1.2]** — parse,
+    record, strip; the statement answers."""
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    out = engine.query("SELECT 3 + 4 AS seven OPTION(timeoutMs=1000, skipUpsert=true)")
+    assert out.collect()[0]["seven"] == 7
+    stripped, opts = engine._strip_query_options(
+        "SET useMultistageEngine=true; SELECT 1 OPTION(timeoutMs=250)"
+    )
+    assert stripped.strip() == "SELECT 1"
+    assert opts == {"useMultistageEngine": "true", "timeoutMs": "250"}
+    # OPTION inside a trailing string literal is untouched
+    lit = engine.query("SELECT 'ends with OPTION(a=1)' AS s").collect()[0]["s"]
+    assert lit == "ends with OPTION(a=1)"
