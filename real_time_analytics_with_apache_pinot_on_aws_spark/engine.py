@@ -1036,6 +1036,181 @@ class Engine:
             f"FROM {table}) WHERE {' AND '.join(conds)})"
         )
 
+    # Pinot SQL gapfill **[P1.2]**: SELECT GAPFILL(timeExpr, 'outFmt',
+    # 'start', 'end', 'bucket', FILL(col,'MODE')..., TIMESERIESON(dims...))
+    # AS t, ... FROM src — fills missing time buckets per series.  All three
+    # documented shapes route through operators/gapfill.gapfill: over a raw
+    # table, over an aggregated subquery (src is a parenthesized SELECT),
+    # and under an outer aggregation (the gapfill subquery's result splices
+    # back into the outer statement as a temp view).
+    _GAPFILL_RE = re.compile(r"\bSELECT\s+GAPFILL\s*\(", re.IGNORECASE)
+    _GAPFILL_STEP_RE = re.compile(
+        r"^(\d+):(SECONDS|MINUTES|HOURS|DAYS)$", re.IGNORECASE
+    )
+    _GAPFILL_VIEW = "__gapfill_result"
+
+    @staticmethod
+    def _find_top_level_keyword(s: str, word: str, start: int = 0) -> int:
+        """Index of the first depth-0, unquoted, word-boundary match of
+        ``word`` in ``s`` at or after ``start``; -1 if absent."""
+        depth, i, n, w = 0, start, len(s), len(word)
+        while i < n:
+            ch = s[i]
+            if ch == "'":
+                i += 1
+                while i < n and s[i] != "'":
+                    i += 1
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and s[i : i + w].upper() == word.upper():
+                before_ok = i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")
+                after = s[i + w : i + w + 1]
+                after_ok = after == "" or not (after.isalnum() or after == "_")
+                if before_ok and after_ok:
+                    return i
+            i += 1
+        return -1
+
+    def _gapfill_time_bound(self, literal: str, out_fmt: str):
+        """A GAPFILL start/end literal -> a timestamp Column.  Pinot writes
+        them in the declared output format: epoch numbers for ``EPOCH``
+        formats (in the format's unit) or a datetime string for
+        ``SIMPLE_DATE_FORMAT`` — both fold to TIMESTAMP here (the engine's
+        time columns are real timestamps, SURVEY §1.2)."""
+        from pyspark.sql import functions as F
+
+        if re.fullmatch(r"\d+", literal):
+            unit = out_fmt.upper().split(":")[1] if ":" in out_fmt else "MILLISECONDS"
+            v = int(literal)
+            if unit == "SECONDS":
+                return F.timestamp_seconds(F.lit(v))
+            if unit == "MILLISECONDS":
+                return F.timestamp_millis(F.lit(v))
+            raise ValueError(
+                f"GAPFILL: epoch bound {literal!r} with unsupported unit {unit!r}"
+            )
+        return F.to_timestamp(F.lit(literal))
+
+    def _try_query_gapfill(self, sql: str) -> DataFrame | None:
+        """Detect and serve the Pinot SQL gapfill forms; None = not gapfill."""
+        m = self._GAPFILL_RE.search(sql)
+        if m is None:
+            return None
+        from pyspark.sql import functions as F
+        from .operators.gapfill import gapfill as _gapfill_op
+
+        # -- extent of the gapfill SELECT: the whole statement, or the
+        # parenthesized subquery enclosing it (outer-aggregation form)
+        sel_start = m.start()
+        k = sel_start - 1
+        while k >= 0 and sql[k].isspace():
+            k -= 1
+        if k >= 0 and sql[k] == "(":
+            inner, after = self._scan_balanced(sql, k)
+            outer = sql[:k] + f" {self._GAPFILL_VIEW} " + sql[after:]
+        else:
+            inner, outer = sql, None
+
+        # -- parse: SELECT GAPFILL(args) AS alias [, items] FROM src [WHERE c]
+        gm = self._GAPFILL_RE.search(inner)
+        args_str, pos = self._scan_balanced(inner, gm.end() - 1)
+        am = re.match(r"\s*AS\s+(\w+)\s*", inner[pos:], re.IGNORECASE)
+        if not am:
+            raise ValueError("GAPFILL(...) must be aliased: GAPFILL(...) AS <name>")
+        alias = am.group(1)
+        pos += am.end()
+        from_idx = self._find_top_level_keyword(inner, "FROM", pos)
+        if from_idx < 0:
+            raise ValueError("GAPFILL select: missing FROM clause")
+        rest = inner[pos:from_idx].strip()
+        items = (
+            [s.strip() for s in self._split_top_level_commas(rest.lstrip(","))]
+            if rest.lstrip(",").strip()
+            else []
+        )
+        src = inner[from_idx + 4 :].strip()
+        where = None
+        if src.startswith("("):
+            sub, sub_end = self._scan_balanced(src, 0)
+            src_df = self.spark.sql(sub)
+            tail = src[sub_end:]
+        else:
+            tm = re.match(r"(\w+)", src)
+            if not tm:
+                raise ValueError(f"GAPFILL select: unreadable source {src!r}")
+            src_df = self.spark.table(tm.group(1))
+            tail = src[tm.end() :]
+        wm = re.search(r"\bWHERE\b", tail, re.IGNORECASE)
+        if wm:
+            where = tail[wm.end() :].strip()
+        if where:
+            src_df = src_df.where(where)
+
+        # -- GAPFILL arguments
+        args = [a.strip() for a in self._split_top_level_commas(args_str)]
+        if len(args) < 5:
+            raise ValueError(
+                "GAPFILL takes (timeExpr, 'outputFormat', 'start', 'end', "
+                "'bucket' [, FILL(col,'MODE')..., TIMESERIESON(dims...)])"
+            )
+        time_expr = args[0]
+        out_fmt, start_lit, end_lit, step_lit = (
+            a.strip("'") for a in args[1:5]
+        )
+        sm = self._GAPFILL_STEP_RE.match(step_lit)
+        if not sm:
+            raise ValueError(
+                f"GAPFILL bucket {step_lit!r}: expected 'N:SECONDS|MINUTES|HOURS|DAYS'"
+            )
+        step = f"{sm.group(1)} {sm.group(2).lower().rstrip('s')}"
+        fill: dict[str, float | str] = {}
+        group_cols: list[str] = []
+        for extra in args[5:]:
+            fm = re.match(r"FILL\s*\(", extra, re.IGNORECASE)
+            tm2 = re.match(r"TIMESERIESON\s*\(", extra, re.IGNORECASE)
+            if fm:
+                body, _ = self._scan_balanced(extra, fm.end() - 1)
+                col, _, mode = (p.strip() for p in body.partition(","))
+                mode = mode.strip().strip("'").upper()
+                if mode == "FILL_PREVIOUS_VALUE":
+                    fill[col] = "previous"
+                elif mode == "FILL_DEFAULT_VALUE":
+                    # Pinot fills with the column's defaultNullValue;
+                    # numeric metrics default to 0 (SURVEY §1.2)
+                    fill[col] = 0
+                else:
+                    raise ValueError(f"GAPFILL FILL mode {mode!r} unknown")
+            elif tm2:
+                body, _ = self._scan_balanced(extra, tm2.end() - 1)
+                group_cols = [
+                    d.strip() for d in body.split(",") if d.strip()
+                ]
+            else:
+                raise ValueError(
+                    f"GAPFILL argument {extra!r}: expected FILL(...) or "
+                    "TIMESERIESON(...)"
+                )
+
+        projected = src_df.selectExpr(f"({time_expr}) AS {alias}", *items)
+        # bounds are literals here; the operator computes them in an
+        # aggregate select over the input, so wrap with max() to keep that
+        # select one-row (a bare literal would fan out per input row)
+        filled = _gapfill_op(
+            projected,
+            alias,
+            step,
+            group_cols,
+            fill,
+            start=F.max(self._gapfill_time_bound(start_lit, out_fmt)),
+            end=F.max(self._gapfill_time_bound(end_lit, out_fmt)),
+        )
+        if outer is None:
+            return filled
+        filled.createOrReplaceTempView(self._GAPFILL_VIEW)
+        return self.spark.sql(outer)
+
     _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s+PLAN\s+FOR\s+", re.IGNORECASE)
 
     def query(self, sql: str) -> DataFrame:
@@ -1055,6 +1230,9 @@ class Engine:
         to correlated scalar subqueries against registered dimension tables
         (:meth:`add_dim_table`) — Catalyst plans them as a broadcast
         left-outer join, Pinot's replicated dim-join in Spark terms.
+        ``SELECT GAPFILL(...) ...`` **[P1.2]** (Pinot's SQL gapfill, all
+        three documented shapes) routes through
+        :meth:`_try_query_gapfill` -> operators/gapfill.
         """
         sql, _opts = self._strip_query_options(sql)
         if self._LOOKUP_RE.search(sql):
@@ -1062,6 +1240,9 @@ class Engine:
         m = self._EXPLAIN_RE.match(sql)
         if m:
             return self.explain_plan(sql[m.end():])
+        gf = self._try_query_gapfill(sql)
+        if gf is not None:
+            return gf
         vm = self._VECSIM_RE.match(sql)
         if vm:
             return self._query_vector_similarity(vm)

@@ -1917,3 +1917,121 @@ def test_legacy_option_suffix_parse_and_strip(spark, tmp_path):
     # OPTION inside a trailing string literal is untouched
     lit = engine.query("SELECT 'ends with OPTION(a=1)' AS s").collect()[0]["s"]
     assert lit == "ends with OPTION(a=1)"
+
+
+def _gapfill_engine(spark, tmp_path):
+    """Fact rows at hours 0,1,4 of one day — hours 2,3 are holes."""
+    src_dir = tmp_path / "stream_in"
+    src_dir.mkdir(parents=True, exist_ok=True)
+    with open(src_dir / "ev.json", "w") as fh:
+        for hour, price in [(0, 10), (1, 20), (4, 50), (0, 5), (4, 7)]:
+            fh.write(
+                json.dumps(
+                    {
+                        "userID": "u1",
+                        "campaign": "A" if price % 2 == 0 else "B",
+                        "price": price,
+                        "creationTimestamp": f"2024-06-01 {hour:02d}:00:00",
+                    }
+                )
+                + "\n"
+            )
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    pipe = engine.add_table(
+        CLICKSTREAM_SCHEMA, TABLE_CONFIG,
+        RawRecordSource(kind="files", path=str(src_dir)), available_now=True,
+    )
+    pipe.process_available()
+    engine.register_view("kinesisTable")
+    return engine, pipe
+
+
+def test_sql_gapfill_over_aggregated_subquery(spark, tmp_path):
+    """Pinot SQL gapfill **[P1.2]**, aggregated-subquery shape: the inner
+    SELECT pre-buckets and aggregates, GAPFILL fills the missing buckets per
+    TIMESERIESON series with FILL_DEFAULT_VALUE."""
+    engine, pipe = _gapfill_engine(spark, tmp_path)
+    out = engine.query(
+        "SELECT GAPFILL(tb, '1:HOURS:EPOCH', '2024-06-01 00:00:00', "
+        "'2024-06-01 04:00:00', '1:HOURS', FILL(rev, 'FILL_DEFAULT_VALUE'), "
+        "TIMESERIESON(campaign)) AS tb, campaign, rev "
+        "FROM (SELECT date_trunc('HOUR', creationTimestamp__ts) AS tb, "
+        "campaign, sum(price) AS rev FROM kinesisTable "
+        "GROUP BY 1, 2)"
+    )
+    rows = out.collect()
+    # 5 hourly buckets x 2 campaigns
+    assert len(rows) == 10
+    got = {(r["tb"].hour, r["campaign"]): r["rev"] for r in rows}
+    assert got[(0, "A")] == 10 and got[(0, "B")] == 5
+    assert got[(2, "A")] == 0 and got[(3, "B")] == 0  # holes filled with 0
+    assert got[(4, "A")] == 50 and got[(4, "B")] == 7
+    pipe.stop()
+
+
+def test_sql_gapfill_previous_fill_and_outer_aggregate(spark, tmp_path):
+    """Outer-aggregation shape: SELECT ... FROM (SELECT GAPFILL(...) ...)
+    GROUP BY — the gapfill result splices back as a view; previous-value
+    fill forward-fills each series independently."""
+    engine, pipe = _gapfill_engine(spark, tmp_path)
+    out = engine.query(
+        "SELECT tb, sum(rev) AS total FROM ("
+        "SELECT GAPFILL(tb, '1:HOURS:EPOCH', '2024-06-01 00:00:00', "
+        "'2024-06-01 04:00:00', '1:HOURS', FILL(rev, 'FILL_PREVIOUS_VALUE'), "
+        "TIMESERIESON(campaign)) AS tb, campaign, rev "
+        "FROM (SELECT date_trunc('HOUR', creationTimestamp__ts) AS tb, "
+        "campaign, sum(price) AS rev FROM kinesisTable GROUP BY 1, 2)"
+        ") GROUP BY tb ORDER BY tb"
+    ).collect()
+    assert len(out) == 5
+    by_hour = {r["tb"].hour: r["total"] for r in out}
+    # series A has rows at hours 0(10), 1(20), 4(50); B at 0(5), 4(7)
+    assert by_hour[0] == 15            # A=10 + B=5
+    assert by_hour[1] == 25            # A=20 real + B=5 forward-filled
+    assert by_hour[2] == 25 and by_hour[3] == 25   # both forward-filled
+    assert by_hour[4] == 57            # A=50 + B=7
+    pipe.stop()
+
+
+def test_sql_gapfill_epoch_bounds_and_where(spark, tmp_path):
+    """Raw-table shape with epoch-millis bounds and a WHERE pushdown."""
+    engine, pipe = _gapfill_engine(spark, tmp_path)
+    start_ms = 1717200000000  # 2024-06-01 00:00:00 UTC
+    end_ms = start_ms + 4 * 3600 * 1000
+    out = engine.query(
+        f"SELECT GAPFILL(date_trunc('HOUR', creationTimestamp__ts), "
+        f"'1:MILLISECONDS:EPOCH', '{start_ms}', '{end_ms}', '1:HOURS', "
+        f"FILL(price, 'FILL_DEFAULT_VALUE')) AS tb, price "
+        f"FROM kinesisTable WHERE campaign = 'B'"
+    ).collect()
+    # B rows exist at hours 0 and 4 -> spine 0..4, holes filled with 0
+    assert len(out) == 5
+    vals = {r["tb"].hour: r["price"] for r in out}
+    assert vals[0] == 5 and vals[4] == 7
+    assert vals[1] == 0 and vals[2] == 0 and vals[3] == 0
+    pipe.stop()
+
+
+def test_sql_gapfill_validation(spark, tmp_path):
+    import pytest as _pytest
+
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    spark.createDataFrame(
+        [("2024-06-01 00:00:00", 1)], "ts string, v int"
+    ).createOrReplaceTempView("gsrc")
+    with _pytest.raises(ValueError, match="must be aliased"):
+        engine.query(
+            "SELECT GAPFILL(to_timestamp(ts), '1:HOURS:EPOCH', "
+            "'2024-06-01 00:00:00', '2024-06-01 02:00:00', '1:HOURS'), v FROM gsrc"
+        )
+    with _pytest.raises(ValueError, match="bucket"):
+        engine.query(
+            "SELECT GAPFILL(to_timestamp(ts), '1:HOURS:EPOCH', "
+            "'2024-06-01 00:00:00', '2024-06-01 02:00:00', 'WEEKLY') AS t, v FROM gsrc"
+        )
+    with _pytest.raises(ValueError, match="FILL mode"):
+        engine.query(
+            "SELECT GAPFILL(to_timestamp(ts), '1:HOURS:EPOCH', "
+            "'2024-06-01 00:00:00', '2024-06-01 02:00:00', '1:HOURS', "
+            "FILL(v, 'FILL_RANDOM')) AS t, v FROM gsrc"
+        )
