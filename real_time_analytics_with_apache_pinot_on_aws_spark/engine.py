@@ -443,6 +443,11 @@ class Engine:
         exactly as Pinot's broker resolves upsert tables at query time
         **[P1.2]**; the raw append-only log stays available as ``<name>_raw``.
         """
+        if self._is_dim(name):
+            # dimension tables register at add_dim_table; re-register =
+            # refresh the parquet listing, same as for consuming tables
+            self._resolved_frame(name).createOrReplaceTempView(name)
+            return
         raw = self.pipelines[name].table()
         resolved = self._resolved_frame(name)
         if resolved is raw:
@@ -457,7 +462,10 @@ class Engine:
         resolution **[P1.2]**).  EVERY read path goes through this —
         register_view and query_agg's scan fallback alike — so an upsert
         table can never leak superseded row versions into an aggregate.
+        Dimension tables resolve to their batch-loaded parquet.
         """
+        if self._is_dim(name):
+            return self.spark.read.parquet(str(self.warehouse / name / "dim"))
         raw = self.pipelines[name].table()
         config = self.configs.get(name)
         if config is None or (config.upsert_mode is None and not config.dedup_enabled):
@@ -496,12 +504,37 @@ class Engine:
         dims = {n for n, c in self.configs.items() if c.is_dim_table}
         return sorted(set(self.pipelines) | dims)
 
+    def _is_dim(self, name: str) -> bool:
+        config = self.configs.get(name)
+        return config is not None and config.is_dim_table
+
+    def _pipeline(self, name: str) -> IngestPipeline:
+        """The consuming pipeline for a table — LOUD for dimension tables,
+        which list_tables includes but which have no stream to maintain."""
+        if self._is_dim(name):
+            raise ValueError(
+                f"{name!r} is a dimension table (batch-loaded, no consuming "
+                "pipeline) — this operation applies to REALTIME tables"
+            )
+        return self.pipelines[name]
+
     def table_detail(self, name: str) -> dict:
         """Segment/server map analog (stack ts:445-462): file-level layout.
 
         Hadoop FS API throughout — works identically over ``file:`` and the
         ``s3a://`` deep store (pinot-controller.conf:34-40).
+        Dimension tables report their batch-loaded parquet instead of
+        day partitions.
         """
+        if self._is_dim(name):
+            root = str(self.warehouse / name / "dim")
+            files = _fs.list_files(self.spark, root, suffix=".parquet")
+            return {
+                "table": name,
+                "type": "DIMENSION",
+                "num_files": len(files),
+                "total_bytes": sum(f["size"] for f in files),
+            }
         root = self.pipelines[name].table_path
         parts = _fs.glob_status(self.spark, f"{root}/ingest_date=*")
         files = [
@@ -646,16 +679,19 @@ class Engine:
 
     @staticmethod
     def _split_top_level_commas(items: str) -> list[str]:
-        parts, depth, cur, in_q = [], 0, [], False
+        # quote chars cover both Spark literal forms: '...' and "..."
+        parts, depth, cur, q = [], 0, [], None
         for ch in items:
-            if ch == "'":
-                in_q = not in_q
-            elif not in_q:
-                if ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-            if ch == "," and depth == 0 and not in_q:
+            if q is not None:
+                if ch == q:
+                    q = None
+            elif ch in ("'", '"'):
+                q = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0 and q is None:
                 parts.append("".join(cur))
                 cur = []
             else:
@@ -673,7 +709,7 @@ class Engine:
         """
         from .streaming.rollup import RollupRouter
 
-        pipeline = self.pipelines[name]
+        pipeline = self.pipelines.get(name)  # dims have no pipeline (and no star-trees)
         # scan fallback MUST see the resolved view on upsert/dedup tables
         router = RollupRouter(lambda: self._resolved_frame(name))
         config = self.configs.get(name)
@@ -937,18 +973,19 @@ class Engine:
     def _rewrite_lookup_calls(self, sql: str) -> str:
         """Replace every top-level LOOKUP(...) call with its subquery form.
 
-        The scan is quote-aware (LOOKUP inside a string literal is data, not
-        a call) and word-boundary-checked (MY_LOOKUP() is untouched).
+        The scan is quote-aware for BOTH literal forms ('...' and "..." —
+        LOOKUP inside either is data, not a call) and word-boundary-checked
+        (MY_LOOKUP() is untouched).
         """
         out: list[str] = []
         i, n = 0, len(sql)
         while i < n:
             ch = sql[i]
-            if ch == "'":
+            if ch in ("'", '"'):
                 j = i + 1
                 while j < n:
-                    if sql[j] == "'":
-                        if j + 1 < n and sql[j + 1] == "'":
+                    if sql[j] == ch:
+                        if j + 1 < n and sql[j + 1] == ch:
                             j += 2
                             continue
                         break
@@ -968,13 +1005,14 @@ class Engine:
 
     @staticmethod
     def _scan_balanced(sql: str, open_idx: int) -> tuple[str, int]:
-        """From '(' at open_idx: (inner content, index past ')').  Quote-aware."""
+        """From '(' at open_idx: (inner content, index past ')').  Skips
+        both '...' and "..." literal spans."""
         depth, j, n = 0, open_idx, len(sql)
         while j < n:
             ch = sql[j]
-            if ch == "'":
+            if ch in ("'", '"'):
                 j += 1
-                while j < n and sql[j] != "'":
+                while j < n and sql[j] != ch:
                     j += 1
             elif ch == "(":
                 depth += 1
@@ -983,7 +1021,7 @@ class Engine:
                 if depth == 0:
                     return sql[open_idx + 1 : j], j + 1
             j += 1
-        raise ValueError("LOOKUP(: unbalanced parentheses")
+        raise ValueError("unbalanced parentheses in function call")
 
     def _lookup_subquery(self, args_str: str) -> str:
         parts = [p.strip() for p in self._split_top_level_commas(args_str)]
@@ -1047,18 +1085,18 @@ class Engine:
     _GAPFILL_STEP_RE = re.compile(
         r"^(\d+):(SECONDS|MINUTES|HOURS|DAYS)$", re.IGNORECASE
     )
-    _GAPFILL_VIEW = "__gapfill_result"
 
     @staticmethod
     def _find_top_level_keyword(s: str, word: str, start: int = 0) -> int:
-        """Index of the first depth-0, unquoted, word-boundary match of
-        ``word`` in ``s`` at or after ``start``; -1 if absent."""
+        """Index of the first depth-0, unquoted ('...' or "..."),
+        word-boundary match of ``word`` in ``s`` at or after ``start``;
+        -1 if absent."""
         depth, i, n, w = 0, start, len(s), len(word)
         while i < n:
             ch = s[i]
-            if ch == "'":
+            if ch in ("'", '"'):
                 i += 1
-                while i < n and s[i] != "'":
+                while i < n and s[i] != ch:
                     i += 1
             elif ch == "(":
                 depth += 1
@@ -1072,6 +1110,24 @@ class Engine:
                     return i
             i += 1
         return -1
+
+    @staticmethod
+    def _search_unquoted(pattern: "re.Pattern", s: str) -> "re.Match | None":
+        """First match of ``pattern`` outside '...' / "..." literal spans."""
+        i, n = 0, len(s)
+        while i < n:
+            ch = s[i]
+            if ch in ("'", '"'):
+                i += 1
+                while i < n and s[i] != ch:
+                    i += 1
+                i += 1
+                continue
+            m = pattern.match(s, i)
+            if m:
+                return m
+            i += 1
+        return None
 
     def _gapfill_time_bound(self, literal: str, out_fmt: str):
         """A GAPFILL start/end literal -> a timestamp Column.  Pinot writes
@@ -1095,26 +1151,36 @@ class Engine:
 
     def _try_query_gapfill(self, sql: str) -> DataFrame | None:
         """Detect and serve the Pinot SQL gapfill forms; None = not gapfill."""
-        m = self._GAPFILL_RE.search(sql)
+        m = self._search_unquoted(self._GAPFILL_RE, sql)
         if m is None:
             return None
+        import uuid
+
         from pyspark.sql import functions as F
         from .operators.gapfill import gapfill as _gapfill_op
 
+        # Unique per-query view name: the broker endpoint serves concurrent
+        # clients on one SparkSession — a fixed shared name would let two
+        # in-flight gapfill queries swap each other's results.
+        view = f"__gapfill_{uuid.uuid4().hex[:12]}"
+
         # -- extent of the gapfill SELECT: the whole statement, or the
-        # parenthesized subquery enclosing it (outer-aggregation form)
+        # parenthesized subquery enclosing it (outer-aggregation / CTE form)
         sel_start = m.start()
         k = sel_start - 1
         while k >= 0 and sql[k].isspace():
             k -= 1
         if k >= 0 and sql[k] == "(":
             inner, after = self._scan_balanced(sql, k)
-            outer = sql[:k] + f" {self._GAPFILL_VIEW} " + sql[after:]
+            # splice back as a parenthesized SELECT so every enclosing
+            # context stays valid SQL (FROM (...) t, WITH x AS (...), ...)
+            outer = sql[:k] + f"(SELECT * FROM {view})" + sql[after:]
         else:
             inner, outer = sql, None
 
-        # -- parse: SELECT GAPFILL(args) AS alias [, items] FROM src [WHERE c]
-        gm = self._GAPFILL_RE.search(inner)
+        # -- parse: SELECT GAPFILL(args) AS alias [, items] FROM src
+        #           [WHERE cond] [ORDER BY ... / LIMIT ...]
+        gm = self._search_unquoted(self._GAPFILL_RE, inner)
         args_str, pos = self._scan_balanced(inner, gm.end() - 1)
         am = re.match(r"\s*AS\s+(\w+)\s*", inner[pos:], re.IGNORECASE)
         if not am:
@@ -1131,7 +1197,6 @@ class Engine:
             else []
         )
         src = inner[from_idx + 4 :].strip()
-        where = None
         if src.startswith("("):
             sub, sub_end = self._scan_balanced(src, 0)
             src_df = self.spark.sql(sub)
@@ -1142,9 +1207,28 @@ class Engine:
                 raise ValueError(f"GAPFILL select: unreadable source {src!r}")
             src_df = self.spark.table(tm.group(1))
             tail = src[tm.end() :]
-        wm = re.search(r"\bWHERE\b", tail, re.IGNORECASE)
-        if wm:
-            where = tail[wm.end() :].strip()
+        # WHERE filters the source BEFORE filling (Pinot's gapfill select
+        # semantics); ORDER BY / LIMIT apply to the FILLED result.  Anything
+        # else trailing the source is an error, never silently dropped.
+        where, post = None, ""
+        w_idx = self._find_top_level_keyword(tail, "WHERE")
+        post_idx = -1
+        for kw in ("ORDER", "LIMIT"):
+            p = self._find_top_level_keyword(tail, kw)
+            if p >= 0 and (post_idx < 0 or p < post_idx):
+                post_idx = p
+        if w_idx >= 0:
+            cond_end = post_idx if post_idx > w_idx else len(tail)
+            where = tail[w_idx + 5 : cond_end].strip()
+            leading = tail[:w_idx].strip()
+        else:
+            leading = tail[:post_idx].strip() if post_idx >= 0 else tail.strip()
+        if post_idx >= 0:
+            post = tail[post_idx:].strip()
+        if leading:
+            raise ValueError(
+                f"GAPFILL select: unsupported clause after the source: {leading!r}"
+            )
         if where:
             src_df = src_df.where(where)
 
@@ -1206,10 +1290,22 @@ class Engine:
             start=F.max(self._gapfill_time_bound(start_lit, out_fmt)),
             end=F.max(self._gapfill_time_bound(end_lit, out_fmt)),
         )
+        if post:
+            # ORDER BY / LIMIT on the filled relation; analysis is eager,
+            # so the view can drop as soon as the frame is resolved
+            pv = f"{view}_post"
+            filled.createOrReplaceTempView(pv)
+            try:
+                filled = self.spark.sql(f"SELECT * FROM {pv} {post}")
+            finally:
+                self.spark.catalog.dropTempView(pv)
         if outer is None:
             return filled
-        filled.createOrReplaceTempView(self._GAPFILL_VIEW)
-        return self.spark.sql(outer)
+        filled.createOrReplaceTempView(view)
+        try:
+            return self.spark.sql(outer)
+        finally:
+            self.spark.catalog.dropTempView(view)
 
     _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s+PLAN\s+FOR\s+", re.IGNORECASE)
 
@@ -1375,7 +1471,7 @@ class Engine:
         /tables/{t}/pauseConsumption): stop the stream, keep the table fully
         queryable.  The checkpoint pins the source offset, so nothing is
         lost or re-ingested across the pause."""
-        self.pipelines[name].stop()
+        self._pipeline(name).stop()
         return {"table": name, "consumption": "PAUSED"}
 
     def resume_consumption(self, name: str, available_now: bool = False) -> dict:
@@ -1383,10 +1479,12 @@ class Engine:
         checkpointed offset — exactly-once across the pause/resume cycle."""
         config = self.configs[name]
         trigger = f"{config.flush_threshold_seconds} seconds"
-        self.pipelines[name].start(trigger=trigger, available_now=available_now)
+        self._pipeline(name).start(trigger=trigger, available_now=available_now)
         return {"table": name, "consumption": "CONSUMING"}
 
     def run_retention(self, name: str) -> list[str]:
+        if self._is_dim(name):
+            return []  # dimension tables carry no retention (Pinot skips them)
         return self.pipelines[name].run_retention()
 
     def compact(self, name: str, max_files_per_partition: int = 1) -> dict:
@@ -1403,7 +1501,7 @@ class Engine:
         same code compacts a local warehouse and an ``s3a://`` deep store —
         the reference's S3 segment home (pinot-controller.conf:34-40).
         """
-        pipeline = self.pipelines[name]
+        pipeline = self._pipeline(name)
         q = pipeline._query
         if q is not None and q.isActive:
             # A micro-batch committing between our file snapshot and the
@@ -1500,7 +1598,7 @@ class Engine:
             raise ValueError(
                 f"table {name!r} has no segmentPartitionConfig; nothing to optimize"
             )
-        pipeline = self.pipelines[name]
+        pipeline = self._pipeline(name)
         q = pipeline._query
         if q is not None and q.isActive:
             raise RuntimeError(

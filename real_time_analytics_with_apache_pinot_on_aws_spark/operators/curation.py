@@ -178,6 +178,16 @@ def _md5_u16(id_col: str) -> Column:
     ).cast("long")
 
 
+def _md5_u32(id_col: str) -> Column:
+    """First 8 hex chars of md5(id) in [0, 2^32) — the wider variate for
+    modular assignment: ``u32 % n`` keeps residue-class skew below
+    ``n / 2^32`` for any supported shard count (a 16-bit variate would give
+    up to 2:1 shard-size imbalance once n approaches 2^16)."""
+    return F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+
+
 def temperature_rebalance(
     df: DataFrame,
     source_col: str,
@@ -234,11 +244,16 @@ def shuffle_shards(
     exchange, the minimum any sharded layout pays).  Same (id -> shard,
     order) on every engine, every run — a re-export after an upstream fix
     moves no document between shards.
+
+    The shard comes from a 32-bit md5 prefix, so the worst residue-class
+    imbalance at the max shard count is 65536/2^32 ≈ 0.0015 % — the
+    "pseudo-random shard" claim holds across the whole supported range
+    (a 16-bit variate would skew 2:1 near 2^16 shards).
     """
     if n_shards < 1 or n_shards > 65536:
         raise ValueError(f"n_shards must be in [1, 65536], got {n_shards}")
     return df.withColumn(
-        "shard", (_md5_u16(id_col) % n_shards).cast("int")
+        "shard", (_md5_u32(id_col) % n_shards).cast("int")
     ).withColumn("shard_order", F.md5(F.col(id_col).cast("string")))
 
 
@@ -290,23 +305,27 @@ def classifier_scores(
     ``zip_with``/``aggregate`` pass per row — a map-side scan with zero
     shuffles and nothing driver-side, so 100 TB costs exactly one read.
     Left-to-right summation with the bias added AFTER the fold matches the
-    oracle's ``list_dot_product(w, x) + b`` term order exactly; a dimension
+    oracle's ``list_dot_product(w, x) + b`` term order exactly (the fold is
+    :func:`..similarity.dot`, the same expression every ANN path scores
+    with — one definition to keep the engines in agreement); a dimension
     mismatch between weights and embeddings raises (zip_with would
-    otherwise null-pad and silently drop every row).
+    otherwise null-pad and silently drop every row), while a NULL embedding
+    scores NULL — one missing vector must not abort a corpus-size job, and
+    ``classifier_filter``'s ``> 0`` drops the row.
     """
+    from .similarity import dot as _dot
+
     w = F.array(*[F.lit(float(x)) for x in weights])
-    fold = F.aggregate(
-        F.zip_with(w, F.col(vec_col).cast("array<double>"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    score = F.when(
-        F.size(F.col(vec_col)) == len(weights), fold + F.lit(float(bias))
-    ).otherwise(
-        F.raise_error(
-            F.lit(
-                f"classifier_scores: embedding dimension != {len(weights)} "
-                "model weights"
+    fold = _dot(w, F.col(vec_col))
+    score = (
+        F.when(F.size(F.col(vec_col)) == len(weights), fold + F.lit(float(bias)))
+        .when(F.col(vec_col).isNull(), F.lit(None).cast("double"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"classifier_scores: embedding dimension != {len(weights)} "
+                    "model weights"
+                )
             )
         )
     )

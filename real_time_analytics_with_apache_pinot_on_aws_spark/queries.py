@@ -5058,6 +5058,7 @@ def c18_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the md5-u16 uniform variate shared by c19/c20 (curation._md5_u16 mirror)
 _DUCK_U16 = "(('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::INT)"
+_DUCK_U32 = "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT)"
 
 
 @register(
@@ -5114,7 +5115,7 @@ def c19_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c20_shuffle_shards",
     f"""
     WITH sharded AS (
-      SELECT {_DUCK_U16} % 8 AS shard,
+      SELECT {_DUCK_U32} % 8 AS shard,
              md5(doc_id::VARCHAR) AS shard_order,
              n_chars
       FROM documents

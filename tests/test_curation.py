@@ -274,3 +274,34 @@ def test_classifier_rejects_dimension_mismatch(spark):
     bad = C.classifier_filter(emb, "embedding", [0.5] * 16, 0.0)  # 16 != 64
     with pytest.raises((SparkRuntimeException, Py4JJavaError), match="dimension"):
         bad.count()
+
+
+def test_classifier_null_embedding_scores_null(spark):
+    """One missing embedding must not abort a corpus-size job: NULL vector
+    -> NULL score (filtered out), wrong dimension still raises (round-5
+    review)."""
+    import pytest as _pytest
+
+    w = [0.5, -0.25, 1.0]
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, None)], "id int, vec array<float>"
+    )
+    rows = {r["id"]: r["quality_score"] for r in C.classifier_scores(df, "vec", w, 0.1).collect()}
+    assert abs(rows[1] - (0.5 - 0.5 + 3.0 + 0.1)) < 1e-9
+    assert rows[2] is None
+    kept = C.classifier_filter(df, "vec", w, 0.1).collect()
+    assert [r["id"] for r in kept] == [1]
+    bad = spark.createDataFrame([(1, [1.0, 2.0])], "id int, vec array<float>")
+    with _pytest.raises(Exception, match="embedding dimension"):
+        C.classifier_scores(bad, "vec", w, 0.0).collect()
+
+
+def test_shuffle_shards_32bit_balance(docs):
+    """The 32-bit variate keeps large shard counts populated and balanced
+    (a 16-bit variate would leave systematic 2:1 residue-class skew)."""
+    n = docs.count()
+    sharded = C.shuffle_shards(docs, n_shards=64)
+    sizes = [r["c"] for r in sharded.groupBy("shard").count().withColumnRenamed("count", "c").collect()]
+    assert sum(sizes) == n
+    # with ~n/64 docs per shard, no shard should be empty or wildly off
+    assert min(sizes) > 0

@@ -2035,3 +2035,92 @@ def test_sql_gapfill_validation(spark, tmp_path):
             "'2024-06-01 00:00:00', '2024-06-01 02:00:00', '1:HOURS', "
             "FILL(v, 'FILL_RANDOM')) AS t, v FROM gsrc"
         )
+
+
+def test_sql_gapfill_tail_clauses_and_literal_safety(spark, tmp_path):
+    """Round-5 review: ORDER BY / LIMIT after the gapfill source are honored
+    (never silently dropped), 'SELECT GAPFILL(' inside a string literal is
+    data, unsupported tail clauses fail loudly, and no temp view leaks."""
+    import pytest as _pytest
+
+    engine, pipe = _gapfill_engine(spark, tmp_path)
+    base = (
+        "SELECT GAPFILL(tb, '1:HOURS:EPOCH', '2024-06-01 00:00:00', "
+        "'2024-06-01 04:00:00', '1:HOURS', FILL(rev, 'FILL_DEFAULT_VALUE'), "
+        "TIMESERIESON(campaign)) AS tb, campaign, rev "
+        "FROM (SELECT date_trunc('HOUR', creationTimestamp__ts) AS tb, "
+        "campaign, sum(price) AS rev FROM kinesisTable GROUP BY 1, 2)"
+    )
+    limited = engine.query(base + " LIMIT 3").collect()
+    assert len(limited) == 3
+    ordered = engine.query(base + " ORDER BY rev DESC LIMIT 1").collect()
+    assert len(ordered) == 1 and ordered[0]["rev"] == 50
+    # a string literal containing the trigger text is untouched
+    lit = engine.query("SELECT 'SELECT GAPFILL(x' AS s").collect()[0]["s"]
+    assert lit == "SELECT GAPFILL(x"
+    # unsupported trailing clause: loud, not silent
+    with _pytest.raises(ValueError, match="unsupported clause"):
+        engine.query(base + " t JOIN other ON 1=1")
+    # no __gapfill temp views leak into the session catalog
+    leaked = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("__gapfill")
+    ]
+    assert leaked == []
+    pipe.stop()
+
+
+def test_sql_gapfill_inside_cte(spark, tmp_path):
+    """The gapfill subquery splices back as (SELECT * FROM view), so a CTE
+    enclosure stays valid SQL."""
+    engine, pipe = _gapfill_engine(spark, tmp_path)
+    out = engine.query(
+        "WITH filled AS ("
+        "SELECT GAPFILL(tb, '1:HOURS:EPOCH', '2024-06-01 00:00:00', "
+        "'2024-06-01 04:00:00', '1:HOURS', FILL(rev, 'FILL_DEFAULT_VALUE'), "
+        "TIMESERIESON(campaign)) AS tb, campaign, rev "
+        "FROM (SELECT date_trunc('HOUR', creationTimestamp__ts) AS tb, "
+        "campaign, sum(price) AS rev FROM kinesisTable GROUP BY 1, 2)"
+        ") SELECT count(*) AS n FROM filled"
+    ).collect()
+    assert out[0]["n"] == 10
+    pipe.stop()
+
+
+def test_lookup_double_quoted_literal_untouched(spark, tmp_path):
+    """Spark's default double-quoted string literals must not trigger the
+    LOOKUP rewriter (round-5 review)."""
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    got = engine.query('SELECT "use LOOKUP(a) here" AS s').collect()[0]["s"]
+    assert got == "use LOOKUP(a) here"
+
+
+def test_dim_table_control_plane_surfaces(spark, tmp_path):
+    """list_tables includes dimension tables AND the rest of the control
+    plane handles them: detail reports the batch layout, retention no-ops,
+    stream maintenance fails loudly instead of KeyError (round-5 review)."""
+    import pytest as _pytest
+
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    engine.add_dim_table(
+        DIM_SCHEMA, DIM_CONFIG,
+        spark.createDataFrame(
+            [("a", "o", 1)], "campaign string, owner string, discountPct int"
+        ),
+    )
+    # every listed table must serve table_detail (the GET /tables -> detail
+    # loop a console client runs)
+    for t in engine.list_tables():
+        detail = engine.table_detail(t)
+        assert detail["table"] == t
+    assert engine.table_detail("campaignDim")["type"] == "DIMENSION"
+    assert engine.table_detail("campaignDim")["num_files"] >= 1
+    assert engine.run_retention("campaignDim") == []
+    with _pytest.raises(ValueError, match="dimension table"):
+        engine.pause_consumption("campaignDim")
+    with _pytest.raises(ValueError, match="dimension table"):
+        engine.compact("campaignDim")
+    # register_view refreshes the dim view instead of KeyError
+    engine.register_view("campaignDim")
+    assert spark.table("campaignDim").count() == 1

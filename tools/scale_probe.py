@@ -56,6 +56,9 @@ PROBES = (
     # token-budget cap (group-keyed window cumsum) at growing corpora
     "c19_temperature_rebalance",
     "c21_token_budget_cap",
+    # model-based quality filter: one codegen dot-product pass per row —
+    # should stay ~flat per row at any corpus size
+    "c22_quality_classifier",
 )
 
 
