@@ -290,6 +290,11 @@ class Engine:
         self.warehouse.mkdir(parents=True, exist_ok=True)
         self.pipelines: dict[str, IngestPipeline] = {}
         self.configs: dict[str, TableConfig] = {}
+        # OFFLINE table configs keyed by table name — Pinot keys configs by
+        # (name, type), so a hybrid table is one name with BOTH a REALTIME
+        # config (self.configs, consuming pipeline) and an OFFLINE config
+        # here (batch segments via upload_segment).
+        self.offline_configs: dict[str, TableConfig] = {}
         pfn.register_all(spark)
 
     # -- DDL / control plane (A8-A12) -----------------------------------
@@ -435,6 +440,94 @@ class Engine:
         loaded.createOrReplaceTempView(config.name)
         return {"table": config.name, "path": path, "rows": loaded.count()}
 
+    # -- OFFLINE tables + hybrid (A8 batch side, B3) ---------------------
+
+    def _offline_path(self, name: str) -> str:
+        return str(self.warehouse / name / "offline_segments")
+
+    def add_offline_table(
+        self, schema_json: str | dict, table_config_json: str | dict
+    ) -> dict:
+        """OFFLINE table registration **[P1.2]** — the batch-ingestion
+        counterpart of :meth:`add_table` (Pinot's
+        LaunchDataIngestionJob / segment-upload path).  Segments arrive via
+        :meth:`upload_segment`; sharing a name with a REALTIME table forms
+        a HYBRID table whose view merges at the broker time boundary
+        (:meth:`register_view`), exactly Pinot's hybrid read.
+        """
+        schema = parse_schema(schema_json)
+        config = TableConfig.parse(table_config_json)
+        if config.table_type.upper() != "OFFLINE":
+            raise ValueError(
+                f"add_offline_table({config.name!r}): tableType must be "
+                f"OFFLINE, got {config.table_type!r}"
+            )
+        if config.is_dim_table:
+            raise ValueError(
+                f"add_offline_table({config.name!r}): dimension tables "
+                "register via add_dim_table"
+            )
+        if config.time_column is None:
+            raise ValueError(
+                f"OFFLINE table {config.name!r} needs segmentsConfig."
+                "timeColumnName (the hybrid time boundary and retention "
+                "both key on it)"
+            )
+        del schema  # compiled for validation; uploads are typed frames
+        self.offline_configs[config.name] = config
+        return {"table": config.name, "type": "OFFLINE", "path": self._offline_path(config.name)}
+
+    def upload_segment(self, name: str, frame: DataFrame) -> dict:
+        """Segment upload analog **[P1.2]** (POST /v2/segments): append a
+        typed batch frame into the OFFLINE table's day-partitioned storage —
+        the same ``ingest_date=<day>`` layout the realtime side seals, so
+        retention, compaction, and table_detail treat both sides alike.
+        """
+        from pyspark.sql import functions as F
+
+        config = self.offline_configs.get(name)
+        if config is None:
+            raise ValueError(f"{name!r} has no OFFLINE table config")
+        tc = config.time_column
+        if tc not in frame.columns:
+            raise ValueError(
+                f"upload_segment({name!r}): frame lacks time column {tc!r}"
+            )
+        out = frame
+        ts_col = f"{tc}__ts"
+        if ts_col not in out.columns:
+            # align with the realtime decode's parsed-timestamp column so a
+            # hybrid union serves one consistent schema to queries
+            out = out.withColumn(ts_col, F.col(tc).cast("timestamp"))
+        out = out.withColumn("ingest_date", F.to_date(F.col(ts_col)))
+        out.write.mode("append").partitionBy("ingest_date").parquet(
+            self._offline_path(name)
+        )
+        parts = _fs.glob_status(self.spark, f"{self._offline_path(name)}/ingest_date=*")
+        return {
+            "table": name,
+            "segments_partitions": sorted(
+                _fs.basename(p["path"]) for p in parts if p["is_dir"]
+            ),
+        }
+
+    def _offline_frame(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._offline_path(name))
+
+    def hybrid_time_boundary(self, name: str):
+        """Pinot's broker time boundary **[P1.2]**: the max time covered by
+        OFFLINE segments.  Hybrid reads serve OFFLINE rows at or before it
+        and REALTIME rows after it, so the overlap window (days present on
+        both sides while the realtime->offline handoff runs) is never
+        double-counted.  One-row aggregate, same driver-side scalar class
+        as retention's cutoff."""
+        from pyspark.sql import functions as F
+
+        row = self._offline_frame(name).agg(
+            F.max("ingest_date").alias("b")
+        ).collect()[0]
+        return row["b"]
+
     def register_view(self, name: str) -> None:
         """Expose a consuming table to SQL under its name.
 
@@ -448,8 +541,28 @@ class Engine:
             # refresh the parquet listing, same as for consuming tables
             self._resolved_frame(name).createOrReplaceTempView(name)
             return
+        offline = self.offline_configs.get(name)
+        if offline is not None and name not in self.pipelines:
+            self._offline_frame(name).createOrReplaceTempView(name)
+            return
         raw = self.pipelines[name].table()
         resolved = self._resolved_frame(name)
+        if offline is not None:
+            # HYBRID **[P1.2]**: one name, both types — the broker merge.
+            # OFFLINE serves everything at or before the time boundary,
+            # REALTIME only what lies after it, so handoff-window days
+            # present on both sides are never double-counted.
+            from pyspark.sql import functions as F
+
+            off = self._offline_frame(name)
+            boundary = self.hybrid_time_boundary(name)
+            rt = resolved
+            if boundary is not None:
+                rt = rt.where(F.col("ingest_date") > F.lit(boundary))
+            off.createOrReplaceTempView(f"{name}_offline")
+            resolved.createOrReplaceTempView(f"{name}_realtime")
+            off.unionByName(rt, allowMissingColumns=True).createOrReplaceTempView(name)
+            return
         if resolved is raw:
             raw.createOrReplaceTempView(name)
             return
@@ -500,9 +613,10 @@ class Engine:
 
     def list_tables(self) -> list[str]:
         """GET /tables analog (stack ts:416-422) — consuming tables plus
-        registered dimension tables (Pinot lists both)."""
+        registered dimension and OFFLINE tables (Pinot lists all; a hybrid
+        name appears once)."""
         dims = {n for n, c in self.configs.items() if c.is_dim_table}
-        return sorted(set(self.pipelines) | dims)
+        return sorted(set(self.pipelines) | dims | set(self.offline_configs))
 
     def _is_dim(self, name: str) -> bool:
         config = self.configs.get(name)
@@ -515,6 +629,11 @@ class Engine:
             raise ValueError(
                 f"{name!r} is a dimension table (batch-loaded, no consuming "
                 "pipeline) — this operation applies to REALTIME tables"
+            )
+        if name not in self.pipelines and name in self.offline_configs:
+            raise ValueError(
+                f"{name!r} is an OFFLINE table (batch segments, no consuming "
+                "stream) — this operation applies to REALTIME tables"
             )
         return self.pipelines[name]
 
@@ -535,20 +654,35 @@ class Engine:
                 "num_files": len(files),
                 "total_bytes": sum(f["size"] for f in files),
             }
-        root = self.pipelines[name].table_path
-        parts = _fs.glob_status(self.spark, f"{root}/ingest_date=*")
-        files = [
-            f
-            for p in parts
-            if p["is_dir"]
-            for f in _fs.list_files(self.spark, p["path"], suffix=".parquet")
-        ]
-        return {
-            "table": name,
-            "partitions": [_fs.basename(p["path"]) for p in parts if p["is_dir"]],
-            "num_files": len(files),
-            "total_bytes": sum(f["size"] for f in files),
-        }
+        def _layout(root: str) -> tuple[list[str], list[dict]]:
+            parts = _fs.glob_status(self.spark, f"{root}/ingest_date=*")
+            files = [
+                f
+                for p in parts
+                if p["is_dir"]
+                for f in _fs.list_files(self.spark, p["path"], suffix=".parquet")
+            ]
+            return [_fs.basename(p["path"]) for p in parts if p["is_dir"]], files
+
+        detail: dict = {"table": name}
+        partitions: list[str] = []
+        files: list[dict] = []
+        if name in self.pipelines:
+            partitions, files = _layout(self.pipelines[name].table_path)
+        if name in self.offline_configs:
+            off_parts, off_files = _layout(self._offline_path(name))
+            detail["offline_partitions"] = off_parts
+            detail["type"] = "HYBRID" if name in self.pipelines else "OFFLINE"
+            if name not in self.pipelines:
+                partitions, files = off_parts, off_files
+            else:
+                files = files + off_files
+        detail.update(
+            partitions=partitions,
+            num_files=len(files),
+            total_bytes=sum(f["size"] for f in files),
+        )
+        return detail
 
     def rebalance(self, name: str) -> dict:
         """Rebalance analog (stack ts:424-443).
@@ -1483,9 +1617,43 @@ class Engine:
         return {"table": name, "consumption": "CONSUMING"}
 
     def run_retention(self, name: str) -> list[str]:
+        """A7 on every table kind: realtime partitions via the pipeline,
+        OFFLINE segments via the same FS-layer partition drop (Pinot's
+        retention manager covers both types); dim tables carry none."""
         if self._is_dim(name):
             return []  # dimension tables carry no retention (Pinot skips them)
-        return self.pipelines[name].run_retention()
+        dropped: list[str] = []
+        if name in self.pipelines:
+            dropped += self.pipelines[name].run_retention()
+        off = self.offline_configs.get(name)
+        if off is not None and off.retention_days is not None:
+            from datetime import date, timedelta
+
+            from pyspark.sql import functions as F
+
+            row = self._offline_frame(name).agg(
+                F.max("ingest_date").alias("m")
+            ).collect()[0]
+            if row["m"] is not None:
+                cutoff = row["m"] - timedelta(days=off.retention_days)
+                root = self._offline_path(name)
+                for part in _fs.glob_status(self.spark, f"{root}/ingest_date=*"):
+                    if not part["is_dir"]:
+                        continue
+                    value = _fs.basename(part["path"]).split("=", 1)[1]
+                    try:
+                        expired = date.fromisoformat(value) < cutoff
+                    except ValueError:
+                        continue
+                    if expired:
+                        if not _fs.delete(self.spark, part["path"], recursive=True):
+                            raise RuntimeError(
+                                f"retention: delete of expired OFFLINE "
+                                f"partition {part['path']} returned false — "
+                                "data NOT dropped"
+                            )
+                        dropped.append(value)
+        return dropped
 
     def compact(self, name: str, max_files_per_partition: int = 1) -> dict:
         """Segment-merge task analog (Pinot minion MergeRollupTask **[P1.2]**).

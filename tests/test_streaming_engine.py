@@ -2124,3 +2124,107 @@ def test_dim_table_control_plane_surfaces(spark, tmp_path):
     # register_view refreshes the dim view instead of KeyError
     engine.register_view("campaignDim")
     assert spark.table("campaignDim").count() == 1
+
+
+OFFLINE_CONFIG = {
+    "tableName": "kinesisTable",
+    "tableType": "OFFLINE",
+    "segmentsConfig": {
+        "timeColumnName": "creationTimestamp",
+        "retentionTimeUnit": "DAYS",
+        "retentionTimeValue": "7",
+    },
+}
+
+
+def test_hybrid_table_time_boundary_merge(spark, tmp_path):
+    """A hybrid table (one name, REALTIME + OFFLINE configs) serves the
+    broker merge **[P1.2]**: OFFLINE rows at or before the time boundary
+    (max offline day), REALTIME rows strictly after — overlap days present
+    on both sides are never double-counted."""
+    src_dir = tmp_path / "stream_in"
+    # realtime side covers days 02 and 03 (day 02 overlaps offline)
+    _write_events(src_dir / "rt.json", 10, "2024-06-02")
+    _write_events(src_dir / "rt2.json", 10, "2024-06-03", start=100)
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    pipe = engine.add_table(
+        CLICKSTREAM_SCHEMA, TABLE_CONFIG,
+        RawRecordSource(kind="files", path=str(src_dir)), available_now=True,
+    )
+    pipe.process_available()
+    # offline side: sealed days 01 and 02 (20 + 7 rows)
+    engine.add_offline_table(CLICKSTREAM_SCHEMA, OFFLINE_CONFIG)
+    seg1 = spark.createDataFrame(
+        [(f"u{i}", "X", 5, f"2024-06-01 09:{i % 60:02d}:00") for i in range(20)],
+        "userID string, campaign string, price int, creationTimestamp string",
+    )
+    seg2 = spark.createDataFrame(
+        [(f"v{i}", "Y", 9, f"2024-06-02 09:{i % 60:02d}:00") for i in range(7)],
+        "userID string, campaign string, price int, creationTimestamp string",
+    )
+    engine.upload_segment("kinesisTable", seg1)
+    up = engine.upload_segment("kinesisTable", seg2)
+    assert up["segments_partitions"] == [
+        "ingest_date=2024-06-01", "ingest_date=2024-06-02"
+    ]
+
+    assert str(engine.hybrid_time_boundary("kinesisTable")) == "2024-06-02"
+    engine.register_view("kinesisTable")
+    # hybrid count: offline 27 (days 01+02) + realtime day 03 only (10) —
+    # the 10 realtime rows of day 02 are behind the boundary
+    total = engine.query("SELECT count(*) AS n FROM kinesisTable").collect()[0]["n"]
+    assert total == 27 + 10
+    per_day = {
+        str(r["d"]): r["n"]
+        for r in engine.query(
+            "SELECT ingest_date AS d, count(*) AS n FROM kinesisTable GROUP BY 1"
+        ).collect()
+    }
+    assert per_day == {"2024-06-01": 20, "2024-06-02": 7, "2024-06-03": 10}
+    # side views for inspection
+    assert spark.table("kinesisTable_offline").count() == 27
+    assert spark.table("kinesisTable_realtime").count() == 20
+
+    detail = engine.table_detail("kinesisTable")
+    assert detail["type"] == "HYBRID"
+    assert detail["offline_partitions"] == [
+        "ingest_date=2024-06-01", "ingest_date=2024-06-02"
+    ]
+    assert "kinesisTable" in engine.list_tables()
+    pipe.stop()
+
+
+def test_offline_table_standalone_and_retention(spark, tmp_path):
+    """OFFLINE-only table: view over batch segments, detail, and FS-layer
+    retention dropping expired day partitions."""
+    import pytest as _pytest
+
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    with _pytest.raises(ValueError, match="tableType"):
+        engine.add_offline_table(CLICKSTREAM_SCHEMA, TABLE_CONFIG)
+    engine.add_offline_table(CLICKSTREAM_SCHEMA, OFFLINE_CONFIG)
+    with _pytest.raises(ValueError, match="time column"):
+        engine.upload_segment(
+            "kinesisTable", spark.createDataFrame([("a",)], "userID string")
+        )
+    old = spark.createDataFrame(
+        [("u1", "X", 5, "2024-01-01 09:00:00")],
+        "userID string, campaign string, price int, creationTimestamp string",
+    )
+    new = spark.createDataFrame(
+        [("u2", "Y", 9, "2024-01-20 09:00:00"), ("u3", "Y", 9, "2024-01-20 10:00:00")],
+        "userID string, campaign string, price int, creationTimestamp string",
+    )
+    engine.upload_segment("kinesisTable", old)
+    engine.upload_segment("kinesisTable", new)
+    engine.register_view("kinesisTable")
+    assert spark.table("kinesisTable").count() == 3
+    assert engine.table_detail("kinesisTable")["type"] == "OFFLINE"
+    # 7-day retention against the max offline day (2024-01-20)
+    dropped = engine.run_retention("kinesisTable")
+    assert dropped == ["2024-01-01"]
+    engine.register_view("kinesisTable")
+    assert spark.table("kinesisTable").count() == 2
+    # stream maintenance on an OFFLINE table: loud, not KeyError
+    with _pytest.raises(ValueError, match="OFFLINE table"):
+        engine.pause_consumption("kinesisTable")
