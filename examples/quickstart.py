@@ -134,6 +134,63 @@ def main() -> None:
     finally:
         srv.stop()
 
+    # 7. Dimension table + scalar LOOKUP (the Pinot replicated dim join)
+    dim = spark.createDataFrame(
+        [("BlackFriday", "alex"), ("10Percent", "sam")], "campaign string, owner string"
+    )
+    engine.add_dim_table(
+        {
+            "schemaName": "campaignDim",
+            "dimensionFieldSpecs": [
+                {"name": "campaign", "dataType": "STRING"},
+                {"name": "owner", "dataType": "STRING"},
+            ],
+            "primaryKeyColumns": ["campaign"],
+        },
+        {"tableName": "campaignDim", "tableType": "OFFLINE", "isDimTable": True},
+        dim,
+    )
+    engine.query(
+        "SELECT campaign, LOOKUP('campaignDim','owner','campaign', campaign) AS owner, "
+        "count(*) AS n FROM clickstream GROUP BY 1, 2 ORDER BY n DESC"
+    ).show()
+
+    # 8. SQL gapfill (Pinot's GAPFILL form): fill missing minutes per campaign
+    engine.query(
+        "SELECT GAPFILL(tb, '1:MINUTES:EPOCH', '2024-06-01 10:00:00', "
+        "'2024-06-01 10:10:00', '1:MINUTES', FILL(rev, 'FILL_DEFAULT_VALUE'), "
+        "TIMESERIESON(campaign)) AS tb, campaign, rev "
+        "FROM (SELECT date_trunc('MINUTE', creationTimestamp__ts) AS tb, campaign, "
+        "sum(price) AS rev FROM clickstream GROUP BY 1, 2) LIMIT 8"
+    ).show()
+
+    # 9. Hybrid table: push a sealed OFFLINE day, reads merge at the
+    #    time boundary (offline <= boundary, realtime after)
+    engine.add_offline_table(
+        SCHEMA,
+        {
+            "tableName": "clickstream",
+            "tableType": "OFFLINE",
+            "segmentsConfig": {
+                "timeColumnName": "creationTimestamp",
+                "retentionTimeUnit": "DAYS",
+                "retentionTimeValue": "7",
+            },
+        },
+    )
+    engine.upload_segment(
+        "clickstream",
+        spark.createDataFrame(
+            [("u1", "BlackFriday", 99.0, "2024-05-31 12:00:00")],
+            "userID string, campaign string, price double, creationTimestamp string",
+        ),
+    )
+    engine.register_view("clickstream")
+    print("hybrid boundary:", engine.hybrid_time_boundary("clickstream"))
+    engine.query(
+        "SELECT ingest_date, count(*) AS n FROM clickstream GROUP BY 1 ORDER BY 1"
+    ).show()
+
     pipe.stop()
     spark.stop()
 
