@@ -295,6 +295,11 @@ class Engine:
         # config (self.configs, consuming pipeline) and an OFFLINE config
         # here (batch segments via upload_segment).
         self.offline_configs: dict[str, TableConfig] = {}
+        # compiled schemas for OFFLINE tables: lets a just-added table with
+        # no uploaded segments serve an EMPTY typed frame (Pinot answers
+        # queries right after AddTable) instead of failing parquet schema
+        # inference on an empty directory
+        self.offline_structs: dict[str, "object"] = {}
         pfn.register_all(spark)
 
     # -- DDL / control plane (A8-A12) -----------------------------------
@@ -318,6 +323,15 @@ class Engine:
             pks = tuple(raw.get("primaryKeyColumns", ()))
             if pks:
                 config = dataclasses.replace(config, primary_key_columns=pks)
+        if self._is_dim(config.name):
+            # Pinot keys configs by (name, type) and a dim table is OFFLINE:
+            # silently clobbering it would make the stream disappear from
+            # the SQL surface (round-5 review) — only REALTIME+OFFLINE may
+            # share a name (hybrid), never a dimension table.
+            raise ValueError(
+                f"{config.name!r} is already a dimension table — choose a "
+                "different tableName"
+            )
         self.configs[config.name] = config
         table_path = str(self.warehouse / config.name / "data")
         checkpoint = str(self.warehouse / config.name / "_checkpoint")
@@ -418,6 +432,11 @@ class Engine:
                 f"add_dim_table({config.name!r}): table config must set "
                 "isDimTable: true (Pinot dimension-table contract)"
             )
+        if config.name in self.pipelines or config.name in self.offline_configs:
+            raise ValueError(
+                f"{config.name!r} already exists as a REALTIME/OFFLINE "
+                "table — a dimension table cannot share its name"
+            )
         if not config.primary_key_columns:
             raw = json.loads(schema_json) if isinstance(schema_json, str) else schema_json
             pks = tuple(raw.get("primaryKeyColumns", ()))
@@ -435,10 +454,21 @@ class Engine:
         del schema  # compiled for validation; the uploaded frame is typed
         path = str(self.warehouse / config.name / "dim")
         frame.write.mode("overwrite").parquet(path)
-        self.configs[config.name] = config
         loaded = self.spark.read.parquet(path)
+        n, distinct = loaded.count(), loaded.select(
+            *config.primary_key_columns
+        ).distinct().count()
+        if n != distinct:
+            # Pinot rejects duplicate-pk dim segments at load; enforcing it
+            # here keeps LOOKUP's single-row subquery contract impossible
+            # to violate at query time
+            raise ValueError(
+                f"dimension table {config.name!r}: {n - distinct} duplicate "
+                f"primaryKeyColumns rows {list(config.primary_key_columns)}"
+            )
+        self.configs[config.name] = config
         loaded.createOrReplaceTempView(config.name)
-        return {"table": config.name, "path": path, "rows": loaded.count()}
+        return {"table": config.name, "path": path, "rows": n}
 
     # -- OFFLINE tables + hybrid (A8 batch side, B3) ---------------------
 
@@ -473,8 +503,24 @@ class Engine:
                 "timeColumnName (the hybrid time boundary and retention "
                 "both key on it)"
             )
-        del schema  # compiled for validation; uploads are typed frames
+        if self._is_dim(config.name):
+            raise ValueError(
+                f"{config.name!r} is already a dimension table — Pinot "
+                "names are unique across kinds (only REALTIME+OFFLINE "
+                "may share one, forming a hybrid table)"
+            )
+        from pyspark.sql import types as T
+
+        struct = T.StructType(list(schema.struct.fields))
+        tc_ts = f"{config.time_column}__ts"
+        if tc_ts not in struct.fieldNames():
+            struct = struct.add(tc_ts, T.TimestampType())
+        struct = struct.add("ingest_date", T.DateType())
+        self.offline_structs[config.name] = struct
         self.offline_configs[config.name] = config
+        # create the segments root so a just-added table is immediately
+        # readable (as empty) — Pinot's AddTable behavior
+        Path(self._offline_path(config.name)).mkdir(parents=True, exist_ok=True)
         return {"table": config.name, "type": "OFFLINE", "path": self._offline_path(config.name)}
 
     def upload_segment(self, name: str, frame: DataFrame) -> dict:
@@ -512,7 +558,12 @@ class Engine:
         }
 
     def _offline_frame(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self._offline_path(name))
+        """The OFFLINE segments as a frame; a table with no uploads yet is
+        an EMPTY typed frame (compiled schema), not a path error."""
+        root = self._offline_path(name)
+        if not _fs.glob_status(self.spark, f"{root}/ingest_date=*"):
+            return self.spark.createDataFrame([], self.offline_structs[name])
+        return self.spark.read.parquet(root)
 
     def hybrid_time_boundary(self, name: str):
         """Pinot's broker time boundary **[P1.2]**: the max time covered by
@@ -546,22 +597,13 @@ class Engine:
             self._offline_frame(name).createOrReplaceTempView(name)
             return
         raw = self.pipelines[name].table()
-        resolved = self._resolved_frame(name)
+        resolved = self._realtime_resolved(name)
         if offline is not None:
-            # HYBRID **[P1.2]**: one name, both types — the broker merge.
-            # OFFLINE serves everything at or before the time boundary,
-            # REALTIME only what lies after it, so handoff-window days
-            # present on both sides are never double-counted.
-            from pyspark.sql import functions as F
-
-            off = self._offline_frame(name)
-            boundary = self.hybrid_time_boundary(name)
-            rt = resolved
-            if boundary is not None:
-                rt = rt.where(F.col("ingest_date") > F.lit(boundary))
-            off.createOrReplaceTempView(f"{name}_offline")
+            # HYBRID **[P1.2]**: side views for inspection; the main view is
+            # the boundary merge every read path shares (_resolved_frame)
+            self._offline_frame(name).createOrReplaceTempView(f"{name}_offline")
             resolved.createOrReplaceTempView(f"{name}_realtime")
-            off.unionByName(rt, allowMissingColumns=True).createOrReplaceTempView(name)
+            self._resolved_frame(name).createOrReplaceTempView(name)
             return
         if resolved is raw:
             raw.createOrReplaceTempView(name)
@@ -572,13 +614,36 @@ class Engine:
     def _resolved_frame(self, name: str) -> DataFrame:
         """The frame queries must see: the raw log for plain tables, the
         query-time-resolved view for upsert/dedup tables (Pinot's broker
-        resolution **[P1.2]**).  EVERY read path goes through this —
-        register_view and query_agg's scan fallback alike — so an upsert
-        table can never leak superseded row versions into an aggregate.
+        resolution **[P1.2]**), the boundary-merged union for hybrid
+        tables.  EVERY read path goes through this — register_view,
+        query_agg's scan fallback, text/vector index builds alike — so an
+        upsert table can never leak superseded row versions into an
+        aggregate and a hybrid table can never drop its OFFLINE side.
         Dimension tables resolve to their batch-loaded parquet.
         """
         if self._is_dim(name):
             return self.spark.read.parquet(str(self.warehouse / name / "dim"))
+        offline = self.offline_configs.get(name)
+        if offline is not None:
+            if name not in self.pipelines:
+                return self._offline_frame(name)
+            # HYBRID **[P1.2]**: the broker merge — OFFLINE serves
+            # everything at or before the time boundary (max offline day),
+            # REALTIME only what lies after it, so handoff-window days
+            # present on both sides are never double-counted.
+            from pyspark.sql import functions as F
+
+            off = self._offline_frame(name)
+            boundary = off.agg(F.max("ingest_date").alias("b")).collect()[0]["b"]
+            rt = self._realtime_resolved(name)
+            if boundary is not None:
+                rt = rt.where(F.col("ingest_date") > F.lit(boundary))
+            return off.unionByName(rt, allowMissingColumns=True)
+        return self._realtime_resolved(name)
+
+    def _realtime_resolved(self, name: str) -> DataFrame:
+        """The REALTIME side only: raw log, or query-time upsert/dedup
+        resolution when the config declares it."""
         raw = self.pipelines[name].table()
         config = self.configs.get(name)
         if config is None or (config.upsert_mode is None and not config.dedup_enabled):
@@ -812,24 +877,46 @@ class Engine:
         return tuple(vals)
 
     @staticmethod
+    def _skip_literal(s: str, i: int) -> int:
+        """``s[i]`` is an opening ``'`` or ``"``; return the index one past
+        the closing quote.  Honors backslash escapes (Spark's default
+        literal syntax) and doubled-quote escapes; an unterminated literal
+        consumes to end-of-string (the SQL parser will complain, not us)."""
+        q, j, n = s[i], i + 1, len(s)
+        while j < n:
+            ch = s[j]
+            if ch == "\\":
+                j += 2
+                continue
+            if ch == q:
+                if j + 1 < n and s[j + 1] == q:
+                    j += 2
+                    continue
+                return j + 1
+            j += 1
+        return n
+
+    @staticmethod
     def _split_top_level_commas(items: str) -> list[str]:
-        # quote chars cover both Spark literal forms: '...' and "..."
-        parts, depth, cur, q = [], 0, [], None
-        for ch in items:
-            if q is not None:
-                if ch == q:
-                    q = None
-            elif ch in ("'", '"'):
-                q = ch
-            elif ch == "(":
+        # literal spans ('...' and "...", escapes included) are opaque
+        parts, depth, cur, i, n = [], 0, [], 0, len(items)
+        while i < n:
+            ch = items[i]
+            if ch in ("'", '"'):
+                j = Engine._skip_literal(items, i)
+                cur.append(items[i:j])
+                i = j
+                continue
+            if ch == "(":
                 depth += 1
             elif ch == ")":
                 depth -= 1
-            if ch == "," and depth == 0 and q is None:
+            if ch == "," and depth == 0:
                 parts.append("".join(cur))
                 cur = []
             else:
                 cur.append(ch)
+            i += 1
         if cur:
             parts.append("".join(cur))
         return parts
@@ -845,8 +932,15 @@ class Engine:
 
         pipeline = self.pipelines.get(name)  # dims have no pipeline (and no star-trees)
         # scan fallback MUST see the resolved view on upsert/dedup tables
+        # (and the boundary-merged union on hybrid tables)
         router = RollupRouter(lambda: self._resolved_frame(name))
         config = self.configs.get(name)
+        if name in self.offline_configs:
+            # HYBRID: the ingest-maintained rollup cells cover ONLY the
+            # stream — routing to them would drop every OFFLINE row and
+            # double-serve behind-boundary realtime rows.  Serve hybrid
+            # aggregates from the merged scan until offline cells exist.
+            config = None
         if config is not None and config.star_trees:
             from .streaming.rollup import RollupSpec
 
@@ -1116,16 +1210,9 @@ class Engine:
         while i < n:
             ch = sql[i]
             if ch in ("'", '"'):
-                j = i + 1
-                while j < n:
-                    if sql[j] == ch:
-                        if j + 1 < n and sql[j + 1] == ch:
-                            j += 2
-                            continue
-                        break
-                    j += 1
-                out.append(sql[i : j + 1])
-                i = j + 1
+                j = self._skip_literal(sql, i)
+                out.append(sql[i:j])
+                i = j
                 continue
             m = self._LOOKUP_RE.match(sql, i)
             if m and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
@@ -1139,16 +1226,15 @@ class Engine:
 
     @staticmethod
     def _scan_balanced(sql: str, open_idx: int) -> tuple[str, int]:
-        """From '(' at open_idx: (inner content, index past ')').  Skips
-        both '...' and "..." literal spans."""
+        """From '(' at open_idx: (inner content, index past ')').  Literal
+        spans ('...' and "...", escapes included) are opaque."""
         depth, j, n = 0, open_idx, len(sql)
         while j < n:
             ch = sql[j]
             if ch in ("'", '"'):
-                j += 1
-                while j < n and sql[j] != ch:
-                    j += 1
-            elif ch == "(":
+                j = Engine._skip_literal(sql, j)
+                continue
+            if ch == "(":
                 depth += 1
             elif ch == ")":
                 depth -= 1
@@ -1229,10 +1315,9 @@ class Engine:
         while i < n:
             ch = s[i]
             if ch in ("'", '"'):
-                i += 1
-                while i < n and s[i] != ch:
-                    i += 1
-            elif ch == "(":
+                i = Engine._skip_literal(s, i)
+                continue
+            if ch == "(":
                 depth += 1
             elif ch == ")":
                 depth -= 1
@@ -1252,10 +1337,7 @@ class Engine:
         while i < n:
             ch = s[i]
             if ch in ("'", '"'):
-                i += 1
-                while i < n and s[i] != ch:
-                    i += 1
-                i += 1
+                i = Engine._skip_literal(s, i)
                 continue
             m = pattern.match(s, i)
             if m:
@@ -1274,13 +1356,16 @@ class Engine:
         if re.fullmatch(r"\d+", literal):
             unit = out_fmt.upper().split(":")[1] if ":" in out_fmt else "MILLISECONDS"
             v = int(literal)
-            if unit == "SECONDS":
-                return F.timestamp_seconds(F.lit(v))
             if unit == "MILLISECONDS":
                 return F.timestamp_millis(F.lit(v))
-            raise ValueError(
-                f"GAPFILL: epoch bound {literal!r} with unsupported unit {unit!r}"
-            )
+            # epoch bounds arrive in the declared format's unit (Pinot
+            # writes '477710' for 1:HOURS:EPOCH) — scale to seconds
+            scale = {"SECONDS": 1, "MINUTES": 60, "HOURS": 3600, "DAYS": 86400}.get(unit)
+            if scale is None:
+                raise ValueError(
+                    f"GAPFILL: epoch bound {literal!r} with unsupported unit {unit!r}"
+                )
+            return F.timestamp_seconds(F.lit(v * scale))
         return F.to_timestamp(F.lit(literal))
 
     def _try_query_gapfill(self, sql: str) -> DataFrame | None:
@@ -1412,17 +1497,17 @@ class Engine:
                 )
 
         projected = src_df.selectExpr(f"({time_expr}) AS {alias}", *items)
-        # bounds are literals here; the operator computes them in an
-        # aggregate select over the input, so wrap with max() to keep that
-        # select one-row (a bare literal would fan out per input row)
+        # both bounds are literals: the operator generates the spine from a
+        # one-row range, so an empty (fully filtered) source still yields
+        # the full spine of filled buckets (Pinot's explicit-bounds rule)
         filled = _gapfill_op(
             projected,
             alias,
             step,
             group_cols,
             fill,
-            start=F.max(self._gapfill_time_bound(start_lit, out_fmt)),
-            end=F.max(self._gapfill_time_bound(end_lit, out_fmt)),
+            start=self._gapfill_time_bound(start_lit, out_fmt),
+            end=self._gapfill_time_bound(end_lit, out_fmt),
         )
         if post:
             # ORDER BY / LIMIT on the filled relation; analysis is eager,
@@ -1440,6 +1525,38 @@ class Engine:
             return self.spark.sql(outer)
         finally:
             self.spark.catalog.dropTempView(view)
+
+    _UNION_PUSHDOWN_RULE = (
+        "org.apache.spark.sql.catalyst.optimizer.PushProjectionThroughUnion"
+    )
+
+    def _sql_without_union_pushdown(self, sql: str) -> DataFrame:
+        """Plan a statement with ``PushProjectionThroughUnion`` excluded.
+
+        Spark 4.1's optimizer loses correlated-subquery attributes when it
+        pushes projections through a Union (``NoSuchElementException: key
+        not found: __lookup_k0``) — every rewritten LOOKUP over a hybrid
+        table's union view would die.  Excluding the rule for JUST this
+        statement costs at most a wider projection on the union sides; the
+        physical plan is forced eagerly inside the conf window so later
+        actions on the returned frame reuse it.
+        """
+        conf = self.spark.conf
+        key = "spark.sql.optimizer.excludedRules"
+        prev = conf.get(key, None)
+        rules = (
+            f"{prev},{self._UNION_PUSHDOWN_RULE}" if prev else self._UNION_PUSHDOWN_RULE
+        )
+        conf.set(key, rules)
+        try:
+            df = self.spark.sql(sql)
+            df._jdf.queryExecution().executedPlan()
+        finally:
+            if prev is None:
+                conf.unset(key)
+            else:
+                conf.set(key, prev)
+        return df
 
     _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s+PLAN\s+FOR\s+", re.IGNORECASE)
 
@@ -1465,14 +1582,19 @@ class Engine:
         :meth:`_try_query_gapfill` -> operators/gapfill.
         """
         sql, _opts = self._strip_query_options(sql)
+        has_lookup = False
         if self._LOOKUP_RE.search(sql):
-            sql = self._rewrite_lookup_calls(sql)
+            rewritten = self._rewrite_lookup_calls(sql)
+            has_lookup = rewritten != sql
+            sql = rewritten
         m = self._EXPLAIN_RE.match(sql)
         if m:
             return self.explain_plan(sql[m.end():])
         gf = self._try_query_gapfill(sql)
         if gf is not None:
             return gf
+        if has_lookup:
+            return self._sql_without_union_pushdown(sql)
         vm = self._VECSIM_RE.match(sql)
         if vm:
             return self._query_vector_similarity(vm)
@@ -1611,9 +1733,10 @@ class Engine:
     def resume_consumption(self, name: str, available_now: bool = False) -> dict:
         """Pinot resumeConsumption analog **[P1.2]**: restart from the
         checkpointed offset — exactly-once across the pause/resume cycle."""
+        pipeline = self._pipeline(name)  # loud dim/offline guard BEFORE config lookup
         config = self.configs[name]
         trigger = f"{config.flush_threshold_seconds} seconds"
-        self._pipeline(name).start(trigger=trigger, available_now=available_now)
+        pipeline.start(trigger=trigger, available_now=available_now)
         return {"table": name, "consumption": "CONSUMING"}
 
     def run_retention(self, name: str) -> list[str]:
@@ -1622,6 +1745,8 @@ class Engine:
         retention manager covers both types); dim tables carry none."""
         if self._is_dim(name):
             return []  # dimension tables carry no retention (Pinot skips them)
+        if name not in self.pipelines and name not in self.offline_configs:
+            raise KeyError(name)  # typo'd table must not report empty success
         dropped: list[str] = []
         if name in self.pipelines:
             dropped += self.pipelines[name].run_retention()

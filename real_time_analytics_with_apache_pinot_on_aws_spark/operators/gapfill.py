@@ -37,11 +37,22 @@ def gapfill(
     FILL_DEFAULT_VALUE) or the string ``"previous"`` (FILL_PREVIOUS_VALUE —
     forward fill from the group's last seen bucket; leading holes stay NULL,
     matching Pinot's semantics when no previous value exists).
+
+    When BOTH bounds are given they are caller literals and the spine is
+    generated from a one-row range independent of the input — an empty
+    (or fully filtered) input still yields the full spine of filled
+    buckets, Pinot's explicit-bounds semantics.  Data-derived bounds
+    (either side omitted) must aggregate over the input.
     """
-    bounds = agg.select(
-        (start if start is not None else F.min(time_col)).alias("lo"),
-        (end if end is not None else F.max(time_col)).alias("hi"),
-    )
+    if start is not None and end is not None:
+        bounds = agg.sparkSession.range(1).select(
+            start.alias("lo"), end.alias("hi")
+        )
+    else:
+        bounds = agg.select(
+            (start if start is not None else F.min(time_col)).alias("lo"),
+            (end if end is not None else F.max(time_col)).alias("hi"),
+        )
     spine = bounds.select(
         F.explode(F.expr(f"sequence(lo, hi, interval {step})")).alias(time_col)
     )

@@ -2228,3 +2228,161 @@ def test_offline_table_standalone_and_retention(spark, tmp_path):
     # stream maintenance on an OFFLINE table: loud, not KeyError
     with _pytest.raises(ValueError, match="OFFLINE table"):
         engine.pause_consumption("kinesisTable")
+
+
+def test_lookup_over_hybrid_union_view(spark, tmp_path):
+    """Round-5 review (critical): LOOKUP must work against a hybrid table's
+    unionByName view — Spark 4.1's PushProjectionThroughUnion loses
+    correlated-subquery attributes, so the engine plans LOOKUP statements
+    with that rule excluded."""
+    src_dir = tmp_path / "stream_in"
+    _write_events(src_dir / "rt.json", 9, "2024-06-02")
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    pipe = engine.add_table(
+        CLICKSTREAM_SCHEMA, TABLE_CONFIG,
+        RawRecordSource(kind="files", path=str(src_dir)), available_now=True,
+    )
+    pipe.process_available()
+    engine.add_offline_table(CLICKSTREAM_SCHEMA, OFFLINE_CONFIG)
+    engine.upload_segment(
+        "kinesisTable",
+        spark.createDataFrame(
+            [("u1", "BlackFriday", 30, "2024-06-01 09:00:00")],
+            "userID string, campaign string, price int, creationTimestamp string",
+        ),
+    )
+    engine.register_view("kinesisTable")
+    engine.add_dim_table(
+        DIM_SCHEMA, DIM_CONFIG,
+        spark.createDataFrame(
+            [("BlackFriday", "alex", 25), ("10Percent", "sam", 10)],
+            "campaign string, owner string, discountPct int",
+        ),
+    )
+    rows = engine.query(
+        "SELECT campaign, LOOKUP('campaignDim','owner','campaign', campaign) AS owner "
+        "FROM kinesisTable"
+    ).collect()
+    assert len(rows) == 10  # 1 offline + 9 realtime (day 02 > boundary 01)
+    owners = {r["campaign"]: r["owner"] for r in rows}
+    assert owners["BlackFriday"] == "alex"
+    # the exclusion is scoped to the statement: the conf is restored
+    assert spark.conf.get("spark.sql.optimizer.excludedRules", None) is None
+    pipe.stop()
+
+
+def test_hybrid_query_agg_serves_merged_scan(spark, tmp_path):
+    """Round-5 review (critical): star-tree cells cover only the stream —
+    query_agg/query_routed on a hybrid table must serve the boundary-merged
+    scan, not route to a realtime-only rollup."""
+    src_dir = tmp_path / "stream_in"
+    _write_events(src_dir / "rt.json", 10, "2024-06-02")
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    st_config = dict(TABLE_CONFIG)
+    st_config = json.loads(json.dumps(TABLE_CONFIG))
+    st_config["tableIndexConfig"]["starTreeIndexConfigs"] = [
+        {
+            "dimensionsSplitOrder": ["campaign", "ingest_date"],
+            "functionColumnPairs": ["COUNT__price", "SUM__price"],
+        }
+    ]
+    pipe = engine.add_table(
+        CLICKSTREAM_SCHEMA, st_config,
+        RawRecordSource(kind="files", path=str(src_dir)), available_now=True,
+    )
+    pipe.process_available()
+    engine.add_offline_table(CLICKSTREAM_SCHEMA, OFFLINE_CONFIG)
+    engine.upload_segment(
+        "kinesisTable",
+        spark.createDataFrame(
+            [("u1", "X", 30, "2024-06-01 09:00:00"),
+             ("u2", "X", 40, "2024-06-01 10:00:00")],
+            "userID string, campaign string, price int, creationTimestamp string",
+        ),
+    )
+    engine.register_view("kinesisTable")
+    out, route = engine.query_routed(
+        "SELECT campaign, count(price) AS n FROM kinesisTable GROUP BY campaign"
+    )
+    assert sum(r["n"] for r in out.collect()) == 12  # 2 offline + 10 realtime
+    assert route != "rollup:startree"
+    pipe.stop()
+
+
+def test_offline_table_empty_before_upload(spark, tmp_path):
+    """A just-added OFFLINE table answers as empty (Pinot AddTable), not a
+    PATH_NOT_FOUND error; boundary is None; uploads then appear."""
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    engine.add_offline_table(CLICKSTREAM_SCHEMA, OFFLINE_CONFIG)
+    engine.register_view("kinesisTable")
+    assert spark.table("kinesisTable").count() == 0
+    assert engine.hybrid_time_boundary("kinesisTable") is None
+    assert engine.run_retention("kinesisTable") == []
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="OFFLINE table"):
+        engine.resume_consumption("kinesisTable")
+    with _pytest.raises(KeyError):
+        engine.run_retention("noSuchTable")
+
+
+def test_table_kind_name_collisions_rejected(spark, tmp_path):
+    import pytest as _pytest
+
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    engine.add_dim_table(
+        DIM_SCHEMA, DIM_CONFIG,
+        spark.createDataFrame(
+            [("a", "o", 1)], "campaign string, owner string, discountPct int"
+        ),
+    )
+    # realtime over a dim name: rejected, stream must not clobber the dim
+    with _pytest.raises(ValueError, match="already a dimension table"):
+        engine.add_table(
+            CLICKSTREAM_SCHEMA,
+            {**TABLE_CONFIG, "tableName": "campaignDim"},
+            RawRecordSource(kind="files", path=str(tmp_path / "nope")),
+            start=False,
+        )
+    with _pytest.raises(ValueError, match="already a dimension table"):
+        engine.add_offline_table(
+            CLICKSTREAM_SCHEMA,
+            {**OFFLINE_CONFIG, "tableName": "campaignDim"},
+        )
+    # duplicate primary keys rejected at dim load (Pinot's unique-pk rule)
+    with _pytest.raises(ValueError, match="duplicate"):
+        engine.add_dim_table(
+            {**DIM_SCHEMA, "schemaName": "dupDim"},
+            {**DIM_CONFIG, "tableName": "dupDim"},
+            spark.createDataFrame(
+                [("a", "o", 1), ("a", "p", 2)],
+                "campaign string, owner string, discountPct int",
+            ),
+        )
+
+
+def test_scanner_backslash_escaped_literals(spark, tmp_path):
+    """Literals with backslash-escaped quotes must stay opaque to the
+    LOOKUP/GAPFILL/OPTION scanners (round-5 review)."""
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    got = engine.query(r"SELECT 'don\'t LOOKUP(a,b) now' AS s").collect()[0]["s"]
+    assert got == "don't LOOKUP(a,b) now"
+    got = engine.query(r"SELECT 'a \'SELECT GAPFILL(x\' b' AS s").collect()[0]["s"]
+    assert got == "a 'SELECT GAPFILL(x' b"
+
+
+def test_sql_gapfill_explicit_bounds_survive_empty_source(spark, tmp_path):
+    """Explicit bounds generate the spine even when the filtered source is
+    empty (Pinot's explicit-bounds rule); epoch-hours bounds scale by the
+    declared unit."""
+    engine, pipe = _gapfill_engine(spark, tmp_path)
+    out = engine.query(
+        "SELECT GAPFILL(date_trunc('HOUR', creationTimestamp__ts), "
+        "'1:HOURS:EPOCH', '477000', '477004', '1:HOURS', "
+        "FILL(price, 'FILL_DEFAULT_VALUE')) AS tb, price "
+        "FROM kinesisTable WHERE campaign = 'NOPE'"
+    ).collect()
+    assert len(out) == 5  # hours 477000..477004 since epoch
+    assert all(r["price"] == 0 for r in out)
+    ts0 = out[0]["tb"]
+    assert (ts0.year, ts0.month) == (2024, 6)  # 477000h ≈ 2024-06
+    pipe.stop()
