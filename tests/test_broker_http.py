@@ -105,3 +105,38 @@ def test_non_object_json_bodies_get_structured_100(broker):
             assert resp.status == 200
             body = json.loads(resp.read())
         assert body["exceptions"][0]["errorCode"] == 100, payload
+
+
+def test_concurrent_gapfill_queries_isolated(broker):
+    """Round-5 review pin: outer-aggregation gapfill queries materialize
+    under UNIQUE per-query temp views — concurrent clients must each get
+    their own result, never a swap."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    broker.engine.spark.createDataFrame(
+        [("2024-06-01 00:00:00", i, float(10 * i)) for i in (0, 1, 4)],
+        "ts string, h int, v double",
+    ).selectExpr(
+        "timestamp(concat('2024-06-01 0', h, ':00:00')) AS tb", "v"
+    ).createOrReplaceTempView("gap_src")
+
+    def one(i: int) -> float:
+        # each client fills a DIFFERENT default so a swapped result is
+        # detectable in the aggregate
+        resp = _post(
+            broker.url(),
+            {"sql": (
+                "SELECT sum(v) AS total FROM ("
+                "SELECT GAPFILL(tb, '1:HOURS:EPOCH', '2024-06-01 00:00:00', "
+                "'2024-06-01 04:00:00', '1:HOURS', "
+                f"FILL(v, 'FILL_DEFAULT_VALUE')) AS tb, v + {i} AS v "
+                "FROM gap_src)"
+            )},
+        )
+        assert resp["exceptions"] == []
+        return resp["resultTable"]["rows"][0][0]
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        totals = list(ex.map(one, range(12)))
+    # base sum(v)=50 over 3 real rows (+i each), 2 filled rows contribute 0
+    assert totals == [50.0 + 3 * i for i in range(12)]
