@@ -210,6 +210,63 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings, prune near-duplicates WITHIN
+    each cluster — the corpus-curation stage that removes semantically
+    redundant documents a hash/shingle dedup cannot see.
+
+    Spark shape: the IVF coarse quantizer (:func:`ivf_assign` —
+    deterministic centroid sample, map-side argmax assignment, zero
+    vector shuffles) buckets the corpus; the quadratic pairwise cosine is
+    confined WITHIN cells, so the self-join costs sum(|cell|^2) — with
+    balanced cells corpus^2 / n_cells, and n_cells scales with the corpus
+    (the paper uses ~100k clusters at web scale).  Every document with a
+    lower-id neighbor at >= threshold cosine in its cell drops; the min-id
+    representative per neighborhood survives.  Deterministic divergence
+    from the paper (documented): the paper keeps the item with LOWEST
+    similarity to the centroid; min-id keeps selection a pure function of
+    ids so reruns and oracles agree bit-for-bit.
+
+    Returns one row per input: (id, cell_id, kept, dup_of, dup_score) —
+    dup_of = the min-id neighbor that evicted a dropped row, with its
+    exact cosine.
+    """
+    _, assigned = ivf_assign(corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    a = assigned.select(
+        "cell_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+    )
+    b = assigned.select(
+        "cell_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
+    )
+    pairs = (
+        a.join(b, "cell_id")
+        .filter(F.col("id_a") > F.col("id_b"))
+        .withColumn("score", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        .filter(F.col("score") >= threshold)
+    )
+    evicted = pairs.groupBy("id_a").agg(
+        F.min("id_b").alias("dup_of"), F.max("score").alias("dup_score")
+    )
+    return (
+        assigned.select(F.col(id_col).alias("id"), "cell_id")
+        .join(evicted, F.col("id") == F.col("id_a"), "left")
+        .select(
+            "id",
+            "cell_id",
+            F.col("id_a").isNull().alias("kept"),
+            "dup_of",
+            "dup_score",
+        )
+    )
+
+
 def _cent_array(cent: DataFrame) -> DataFrame:
     """Centroid set as ONE row: array<struct<cell_id, c_vec>> sorted by cell_id.
 

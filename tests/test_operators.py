@@ -1192,3 +1192,48 @@ def test_case_sensitive_stop_lists_keep_their_case(spark):
     # default (folding) analyzer still folds the declared entries
     folded = textmatch.analyzer_from_config({"stopWordInclude": "DRAFT"})
     assert "draft" in folded.stopwords and folded.analyze("DRAFT plan") == ["plan"]
+
+
+def test_semantic_dedup_planted_copies(spark):
+    """SemDeDup (cluster-then-prune): a direction-preserving scaled copy
+    MUST land in its source's cell and drop to it (min-id survives); the
+    untouched corpus stays whole; every drop carries its exact cosine."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    planted = (
+        emb.orderBy("vec_id").limit(10)
+        .select(
+            (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(1.01)).alias("embedding"),
+        )
+    )
+    res = S.semantic_dedup(emb.unionByName(planted), threshold=0.95, n_cells=8)
+    rows = res.collect()
+    n = emb.count()
+    assert len(rows) == n + 10
+    dropped = [r for r in rows if not r["kept"]]
+    assert len(dropped) == 10
+    # every drop is a planted copy evicted by exactly its source
+    assert all(r["id"] >= 1_000_000 and r["dup_of"] == r["id"] - 1_000_000 for r in dropped)
+    assert all(r["dup_score"] >= 0.95 for r in dropped)
+    # kept/dropped partition the input
+    assert sum(1 for r in rows if r["kept"]) == n
+
+
+def test_semantic_dedup_pairwise_is_cell_bounded(spark):
+    """The quadratic self-join must key on cell_id — never an unblocked
+    corpus x corpus cross join (the 100 TB property)."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        S.semantic_dedup(emb, threshold=0.95, n_cells=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "cell_id" in plan
