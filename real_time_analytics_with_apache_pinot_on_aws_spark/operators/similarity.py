@@ -216,6 +216,7 @@ def semantic_dedup(
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_iter: int = 4,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings, prune near-duplicates WITHIN
@@ -227,17 +228,24 @@ def semantic_dedup(
     vector shuffles) buckets the corpus; the quadratic pairwise cosine is
     confined WITHIN cells, so the self-join costs sum(|cell|^2) — with
     balanced cells corpus^2 / n_cells, and n_cells scales with the corpus
-    (the paper uses ~100k clusters at web scale).  Every document with a
-    lower-id neighbor at >= threshold cosine in its cell drops; the min-id
-    representative per neighborhood survives.  Deterministic divergence
-    from the paper (documented): the paper keeps the item with LOWEST
-    similarity to the centroid; min-id keeps selection a pure function of
-    ids so reruns and oracles agree bit-for-bit.
+    (the paper uses ~100k clusters at web scale).  A NEIGHBORHOOD is a
+    connected component of the within-cell >= threshold pair graph
+    (``dedup.dedup_representatives`` hash-to-min propagation), so a chain
+    a~b~c collapses to ONE surviving representative — a dropped row's
+    ``dup_of`` always points at a KEPT row, never at another casualty.
+    Deterministic divergence from the paper (documented): the paper keeps
+    the item with LOWEST similarity to the centroid; the min-id
+    representative keeps selection a pure function of ids so reruns and
+    oracles agree bit-for-bit.
 
     Returns one row per input: (id, cell_id, kept, dup_of, dup_score) —
-    dup_of = the min-id neighbor that evicted a dropped row, with its
-    exact cosine.
+    for dropped rows, ``dup_of`` is the component's surviving min-id
+    representative (possibly a transitive neighbor) and ``dup_score`` the
+    strongest DIRECT >= threshold edge that pulled the row into the
+    component; both NULL on kept rows.
     """
+    from .dedup import dedup_representatives
+
     _, assigned = ivf_assign(corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
     a = assigned.select(
         "cell_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
@@ -250,19 +258,30 @@ def semantic_dedup(
         .filter(F.col("id_a") > F.col("id_b"))
         .withColumn("score", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
         .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
     )
-    evicted = pairs.groupBy("id_a").agg(
-        F.min("id_b").alias("dup_of"), F.max("score").alias("dup_score")
+    # vertices come straight from the corpus (ids are assignment-invariant),
+    # so the cell-assignment argmax is computed for sides a/b only
+    comps = dedup_representatives(
+        pairs, corpus.select(id_col), max_iter=max_iter
     )
+    strongest = (
+        pairs.select(F.col("id_a").alias("id"), "score")
+        .unionByName(pairs.select(F.col("id_b").alias("id"), "score"))
+        .groupBy("id")
+        .agg(F.max("score").alias("strongest_edge"))
+    )
+    dropped = F.col("id") != F.col("representative")
     return (
-        assigned.select(F.col(id_col).alias("id"), "cell_id")
-        .join(evicted, F.col("id") == F.col("id_a"), "left")
+        a.select(F.col("id_a").alias("id"), "cell_id")
+        .join(comps, "id")
+        .join(strongest, "id", "left")
         .select(
             "id",
             "cell_id",
-            F.col("id_a").isNull().alias("kept"),
-            "dup_of",
-            "dup_score",
+            (~dropped).alias("kept"),
+            F.when(dropped, F.col("representative")).alias("dup_of"),
+            F.when(dropped, F.col("strongest_edge")).alias("dup_score"),
         )
     )
 

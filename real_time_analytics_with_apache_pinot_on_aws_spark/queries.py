@@ -5204,21 +5204,25 @@ def c22_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(20 AS BIGINT) AS planted_n,
            CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS kept_n,
            CAST(20 AS BIGINT) AS dropped_n,
-           TRUE AS partition_ok,
            TRUE AS planted_dropped_ok,
            TRUE AS sources_kept_ok,
-           TRUE AS precision_ok
+           TRUE AS dup_of_kept_ok,
+           TRUE AS planted_rescore_ok
     """,
     doc="C23: SemDeDup-style semantic dedup (arXiv:2303.09540) — cluster "
         "embeddings (IVF coarse quantizer: deterministic centroid sample, "
         "map-side argmax, zero vector shuffles), pairwise cosine ONLY "
-        "within cells (sum(|cell|^2), never corpus^2), min-id "
-        "representative survives per >= 0.95 neighborhood.  Self-"
-        "validating planted-copy oracle: 20 direction-preserving scaled "
-        "copies (cosine ~1 to their sources) MUST co-locate with and drop "
-        "to their exact sources while the untouched corpus (zero natural "
-        "0.95-pairs at fixture SFs) survives whole — the oracle recomputes "
-        "corpus_n/kept_n from the raw table and pins every boolean.",
+        "within cells (sum(|cell|^2), never corpus^2), the min-id "
+        "representative of each connected >= 0.95 neighborhood survives.  "
+        "Self-validating planted-copy oracle: 20 direction-preserving "
+        "scaled copies (cosine ~1 to their sources) MUST co-locate with "
+        "and drop to their exact sources while the untouched corpus (zero "
+        "natural 0.95-pairs at fixture SFs) survives whole; "
+        "dup_of_kept_ok re-joins the result to itself (every eviction "
+        "points at a KEPT row — no chain dangles) and planted_rescore_ok "
+        "re-computes each planted pair's cosine from the RAW vectors, "
+        "independent of the operator.  The oracle recomputes "
+        "corpus_n/kept_n from the raw table.",
 )
 def c23_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
@@ -5236,7 +5240,7 @@ def c23_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = _sim.semantic_dedup(
         emb.unionByName(planted), threshold=0.95, n_cells=8
-    )
+    ).cache()
     stats = res.agg(
         F.count(F.lit(1)).alias("total_n"),
         F.count_if(F.col("kept")).alias("kept_raw"),
@@ -5247,21 +5251,42 @@ def c23_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("dup_of") == F.col("id") - offset)
         ).alias("planted_dropped"),
         F.count_if((F.col("id") < offset) & ~F.col("kept")).alias("nat_dropped"),
-        F.coalesce(
-            F.min(F.when(~F.col("kept"), F.col("dup_score"))), F.lit(1.0)
-        ).alias("min_drop_score"),
     )
-    return stats.select(
-        (F.col("total_n") - F.lit(n_src)).cast("long").alias("corpus_n"),
-        F.lit(n_src).cast("long").alias("planted_n"),
-        F.col("kept_raw").cast("long").alias("kept_n"),
-        F.col("dropped_raw").cast("long").alias("dropped_n"),
-        (F.col("kept_raw") + F.col("dropped_raw") == F.col("total_n")).alias(
-            "partition_ok"
-        ),
-        (F.col("planted_dropped") == F.lit(n_src)).alias("planted_dropped_ok"),
-        (F.col("nat_dropped") == F.lit(0)).alias("sources_kept_ok"),
-        (F.col("min_drop_score") >= F.lit(0.95)).alias("precision_ok"),
+    # every dup_of must point at a KEPT row (self-join on the result — a
+    # chain-eviction regression would dangle into the dropped set)
+    kept_ids = res.filter("kept").select(F.col("id").alias("dup_of"))
+    dangling = (
+        res.filter(~F.col("kept"))
+        .join(kept_ids, "dup_of", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_dangling"))
+    )
+    # independent precision check: re-score each planted pair from the RAW
+    # vectors (never through the operator's output)
+    rescored = (
+        planted.alias("p")
+        .join(
+            emb.alias("s"),
+            F.col("p.vec_id") - F.lit(offset) == F.col("s.vec_id"),
+        )
+        .agg(
+            F.count_if(
+                _sim.cosine(F.col("p.embedding"), F.col("s.embedding")) >= 0.95
+            ).alias("planted_rescored")
+        )
+    )
+    return (
+        stats.crossJoin(dangling)
+        .crossJoin(rescored)
+        .select(
+            (F.col("total_n") - F.lit(n_src)).cast("long").alias("corpus_n"),
+            F.lit(n_src).cast("long").alias("planted_n"),
+            F.col("kept_raw").cast("long").alias("kept_n"),
+            F.col("dropped_raw").cast("long").alias("dropped_n"),
+            (F.col("planted_dropped") == F.lit(n_src)).alias("planted_dropped_ok"),
+            (F.col("nat_dropped") == F.lit(0)).alias("sources_kept_ok"),
+            (F.col("n_dangling") == F.lit(0)).alias("dup_of_kept_ok"),
+            (F.col("planted_rescored") == F.lit(n_src)).alias("planted_rescore_ok"),
+        )
     )
 
 

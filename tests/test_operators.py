@@ -1237,3 +1237,27 @@ def test_semantic_dedup_pairwise_is_cell_bounded(spark):
     )
     assert "CartesianProduct" not in plan
     assert "cell_id" in plan
+
+
+def test_semantic_dedup_chain_collapses_to_one_representative(spark):
+    """A similarity CHAIN a~b~c (a-c below threshold) must collapse to ONE
+    kept representative with every eviction pointing at a KEPT row — the
+    connected-component semantics (no dangling dup_of)."""
+    import math
+
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators import similarity as S
+
+    th = math.radians(14)  # cos(14°)≈0.970 >= 0.95, cos(28°)≈0.883 < 0.95
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [math.cos(th), math.sin(th)]),
+        (3, [math.cos(2 * th), math.sin(2 * th)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    res = {r["id"]: r for r in S.semantic_dedup(df, threshold=0.95, n_cells=1).collect()}
+    assert res[1]["kept"] and res[1]["dup_of"] is None
+    assert not res[2]["kept"] and res[2]["dup_of"] == 1
+    # 3 is only a DIRECT near-dup of 2, but the component representative is 1
+    assert not res[3]["kept"] and res[3]["dup_of"] == 1
+    # dup_score is the strongest direct edge, not the rep's cosine
+    assert res[3]["dup_score"] >= 0.95
