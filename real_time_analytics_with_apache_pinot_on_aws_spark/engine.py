@@ -549,6 +549,23 @@ class Engine:
         out.write.mode("append").partitionBy("ingest_date").parquet(
             self._offline_path(name)
         )
+        # Pinot builds star-trees on OFFLINE segments too **[P1.2]**: when
+        # the hybrid's REALTIME config declares star-trees, each upload
+        # appends its partial cells so query_agg can route hybrid
+        # aggregates to cells instead of rescanning raw segments.  Only
+        # day-partitioned specs participate (the boundary filter and
+        # retention both key on ingest_date).
+        for i, spec in self._hybrid_rollup_specs(name):
+            if not set(spec.dims) <= set(out.columns):
+                continue
+            metric_cols = {col for (_fn, col) in spec.metrics.values()}
+            if not metric_cols <= set(out.columns):
+                continue
+            from .streaming.rollup import rollup_batch
+
+            rollup_batch(out, spec).write.mode("append").partitionBy(
+                "ingest_date"
+            ).parquet(self._offline_rollup_path(name, i))
         parts = _fs.glob_status(self.spark, f"{self._offline_path(name)}/ingest_date=*")
         return {
             "table": name,
@@ -556,6 +573,40 @@ class Engine:
                 _fs.basename(p["path"]) for p in parts if p["is_dir"]
             ),
         }
+
+    def _offline_rollup_path(self, name: str, index: int) -> str:
+        return str(self.warehouse / name / f"offline_startree{index}")
+
+    def _hybrid_rollup_specs(self, name: str):
+        """(index, RollupSpec) for every REALTIME star-tree config whose
+        dims include the day column — the only specs an offline cell log
+        can serve consistently across the hybrid boundary."""
+        config = self.configs.get(name)
+        if config is None or not config.star_trees:
+            return []
+        from .streaming.rollup import RollupSpec
+
+        out = []
+        for i, (dims_i, metrics_i) in enumerate(config.star_trees):
+            if "ingest_date" in dims_i:
+                out.append((i, RollupSpec(dims=dims_i, metrics=dict(metrics_i))))
+        return out
+
+    def _offline_rollup_complete(self, name: str, index: int) -> bool:
+        """True iff the offline cell log covers every offline data
+        partition — uploads made before the REALTIME config existed have no
+        cells, and routing over an incomplete log would silently drop
+        rows.  Partition-listing metadata only, no data read."""
+        def _days(root: str) -> set[str]:
+            return {
+                _fs.basename(p["path"])
+                for p in _fs.glob_status(self.spark, f"{root}/ingest_date=*")
+                if p["is_dir"]
+            }
+
+        return _days(self._offline_rollup_path(name, index)) == _days(
+            self._offline_path(name)
+        )
 
     def _offline_frame(self, name: str) -> DataFrame:
         """The OFFLINE segments as a frame; a table with no uploads yet is
@@ -937,10 +988,33 @@ class Engine:
         config = self.configs.get(name)
         if name in self.offline_configs:
             # HYBRID: the ingest-maintained rollup cells cover ONLY the
-            # stream — routing to them would drop every OFFLINE row and
-            # double-serve behind-boundary realtime rows.  Serve hybrid
-            # aggregates from the merged scan until offline cells exist.
-            config = None
+            # stream — routing to them alone would drop every OFFLINE row
+            # and double-serve behind-boundary realtime rows.  Route
+            # instead to the boundary-consistent MERGED cell relation:
+            # offline cells (appended per upload) plus realtime cells
+            # filtered past the boundary — but only for day-partitioned
+            # specs whose offline cell log covers every offline partition
+            # (uploads predating the REALTIME config have no cells).
+            for i, spec in self._hybrid_rollup_specs(name):
+                if pipeline is None or not self._offline_rollup_complete(name, i):
+                    continue
+
+                def _hybrid_cells(i=i):
+                    from pyspark.sql import functions as F
+
+                    off = self.spark.read.parquet(self._offline_rollup_path(name, i))
+                    boundary = (
+                        self._offline_frame(name)
+                        .agg(F.max("ingest_date").alias("b"))
+                        .collect()[0]["b"]
+                    )
+                    rt = pipeline.rollup_table(i)
+                    if boundary is not None:
+                        rt = rt.where(F.col("ingest_date") > F.lit(boundary))
+                    return off.unionByName(rt, allowMissingColumns=True)
+
+                router.register(f"hybrid_startree{i}", _hybrid_cells, spec)
+            return router.answer(request)
         if config is not None and config.star_trees:
             from .streaming.rollup import RollupSpec
 
@@ -1761,23 +1835,31 @@ class Engine:
             ).collect()[0]
             if row["m"] is not None:
                 cutoff = row["m"] - timedelta(days=off.retention_days)
-                root = self._offline_path(name)
-                for part in _fs.glob_status(self.spark, f"{root}/ingest_date=*"):
-                    if not part["is_dir"]:
-                        continue
-                    value = _fs.basename(part["path"]).split("=", 1)[1]
-                    try:
-                        expired = date.fromisoformat(value) < cutoff
-                    except ValueError:
-                        continue
-                    if expired:
-                        if not _fs.delete(self.spark, part["path"], recursive=True):
-                            raise RuntimeError(
-                                f"retention: delete of expired OFFLINE "
-                                f"partition {part['path']} returned false — "
-                                "data NOT dropped"
-                            )
-                        dropped.append(value)
+                # expire offline star-tree cells WITH their day, same rule
+                # as the realtime pipeline's rollup expiry — stale cells
+                # would resurrect deleted data through query_agg routing
+                roots = [self._offline_path(name)] + [
+                    self._offline_rollup_path(name, i)
+                    for i, _spec in self._hybrid_rollup_specs(name)
+                ]
+                for root in roots:
+                    for part in _fs.glob_status(self.spark, f"{root}/ingest_date=*"):
+                        if not part["is_dir"]:
+                            continue
+                        value = _fs.basename(part["path"]).split("=", 1)[1]
+                        try:
+                            expired = date.fromisoformat(value) < cutoff
+                        except ValueError:
+                            continue
+                        if expired:
+                            if not _fs.delete(self.spark, part["path"], recursive=True):
+                                raise RuntimeError(
+                                    f"retention: delete of expired OFFLINE "
+                                    f"partition {part['path']} returned false — "
+                                    "data NOT dropped"
+                                )
+                            if root == self._offline_path(name):
+                                dropped.append(value)
         return dropped
 
     def compact(self, name: str, max_files_per_partition: int = 1) -> dict:

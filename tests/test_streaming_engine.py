@@ -2386,3 +2386,134 @@ def test_sql_gapfill_explicit_bounds_survive_empty_source(spark, tmp_path):
     ts0 = out[0]["tb"]
     assert (ts0.year, ts0.month) == (2024, 6)  # 477000h ≈ 2024-06
     pipe.stop()
+
+
+def test_hybrid_star_tree_routes_to_merged_cells(spark, tmp_path):
+    """Hybrid aggregation routes to the boundary-consistent MERGED cell
+    relation (offline cells appended per upload + realtime cells past the
+    boundary) and matches the raw merged scan value-for-value; uploads
+    predating the REALTIME config leave the cell log incomplete and
+    routing falls back to scan."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.streaming.rollup import AggRequest
+
+    src_dir = tmp_path / "stream_in"
+    _write_events(src_dir / "rt.json", 10, "2024-06-02")
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    st_config = json.loads(json.dumps(TABLE_CONFIG))
+    st_config["tableIndexConfig"]["starTreeIndexConfigs"] = [
+        {
+            "dimensionsSplitOrder": ["campaign", "ingest_date"],
+            "functionColumnPairs": ["COUNT__price", "SUM__price"],
+        }
+    ]
+    engine.add_offline_table(CLICKSTREAM_SCHEMA, OFFLINE_CONFIG)
+    seg = spark.createDataFrame(
+        [("u1", "X", 30, "2024-06-01 09:00:00"),
+         ("u2", "X", 40, "2024-06-01 10:00:00")],
+        "userID string, campaign string, price int, creationTimestamp string",
+    )
+    # upload BEFORE the realtime config exists: no cells for this segment
+    engine.upload_segment("kinesisTable", seg)
+    pipe = engine.add_table(
+        CLICKSTREAM_SCHEMA, st_config,
+        RawRecordSource(kind="files", path=str(src_dir)), available_now=True,
+    )
+    pipe.process_available()
+    req = AggRequest(dims=("campaign",), aggs={"n": ("count", "price"), "rev": ("sum", "price")})
+    out, route = engine.query_agg("kinesisTable", req)
+    assert route == "scan"  # incomplete cell log -> never route
+    scan_vals = {r["campaign"]: (r["n"], r["rev"]) for r in out.collect()}
+    assert sum(n for n, _ in scan_vals.values()) == 12
+
+    # a second upload (post-config) appends its cells, but day-01 remains
+    # cell-less: still scan
+    seg2 = spark.createDataFrame(
+        [("u3", "Y", 5, "2024-05-31 09:00:00")],
+        "userID string, campaign string, price int, creationTimestamp string",
+    )
+    engine.upload_segment("kinesisTable", seg2)
+    _, route = engine.query_agg("kinesisTable", req)
+    assert route == "scan"
+
+    # rebuild the missing day's cells (re-upload day-01 into a FRESH
+    # engine state: simplest is a new table dir) — here, complete the log
+    # by uploading the same day again is wrong (duplicates); instead prove
+    # the routed path on a cleanly-built table:
+    engine2 = Engine(spark, str(tmp_path / "warehouse2"))
+    src2 = tmp_path / "stream_in2"
+    _write_events(src2 / "rt.json", 10, "2024-06-02")
+    pipe2 = engine2.add_table(
+        CLICKSTREAM_SCHEMA, st_config,
+        RawRecordSource(kind="files", path=str(src2)), available_now=True,
+    )
+    pipe2.process_available()
+    engine2.add_offline_table(CLICKSTREAM_SCHEMA, OFFLINE_CONFIG)
+    engine2.upload_segment("kinesisTable", seg)
+    engine2.upload_segment("kinesisTable", seg2)
+    out2, route2 = engine2.query_agg("kinesisTable", req)
+    assert route2 == "rollup:hybrid_startree0"
+    routed_vals = {r["campaign"]: (r["n"], r["rev"]) for r in out2.collect()}
+    # 2 X-rows + 1 Y-row offline; all 10 realtime rows lie past the
+    # boundary (max offline day 2024-06-01 < day 02), so nothing is
+    # dropped or double-served
+    assert routed_vals["X"] == (2, 70)
+    assert routed_vals["Y"] == (1, 5)
+    assert sum(n for n, _ in routed_vals.values()) == 13
+    # value parity: the routed answer equals the merged raw scan
+    engine2.register_view("kinesisTable")
+    raw = {
+        r["campaign"]: (r["n"], r["rev"])
+        for r in spark.sql(
+            "SELECT campaign, count(price) AS n, sum(price) AS rev "
+            "FROM kinesisTable GROUP BY campaign"
+        ).collect()
+    }
+    assert routed_vals == raw
+    pipe.stop()
+    pipe2.stop()
+
+
+def test_hybrid_offline_cell_retention(spark, tmp_path):
+    """run_retention expires offline star-tree cell partitions with their
+    day — stale cells must not resurrect deleted data through routing."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.streaming.rollup import AggRequest
+
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    st_config = json.loads(json.dumps(TABLE_CONFIG))
+    st_config["tableIndexConfig"]["starTreeIndexConfigs"] = [
+        {
+            "dimensionsSplitOrder": ["campaign", "ingest_date"],
+            "functionColumnPairs": ["COUNT__price", "SUM__price"],
+        }
+    ]
+    src_dir = tmp_path / "stream_in"
+    _write_events(src_dir / "rt.json", 5, "2024-01-21")
+    pipe = engine.add_table(
+        CLICKSTREAM_SCHEMA, st_config,
+        RawRecordSource(kind="files", path=str(src_dir)), available_now=True,
+    )
+    pipe.process_available()
+    engine.add_offline_table(CLICKSTREAM_SCHEMA, OFFLINE_CONFIG)
+    engine.upload_segment("kinesisTable", spark.createDataFrame(
+        [("u1", "X", 30, "2024-01-01 09:00:00")],
+        "userID string, campaign string, price int, creationTimestamp string",
+    ))
+    engine.upload_segment("kinesisTable", spark.createDataFrame(
+        [("u2", "Y", 9, "2024-01-20 09:00:00")],
+        "userID string, campaign string, price int, creationTimestamp string",
+    ))
+    cells_root = engine._offline_rollup_path("kinesisTable", 0)
+    assert (Path(cells_root) / "ingest_date=2024-01-01").exists()
+    dropped = engine.run_retention("kinesisTable")
+    assert "2024-01-01" in dropped
+    # both the data partition AND its cells are gone
+    assert not (Path(engine._offline_path("kinesisTable")) / "ingest_date=2024-01-01").exists()
+    assert not (Path(cells_root) / "ingest_date=2024-01-01").exists()
+    # post-retention routing still answers consistently (no resurrected X)
+    out, route = engine.query_agg(
+        "kinesisTable",
+        AggRequest(dims=("campaign",), aggs={"rev": ("sum", "price")}),
+    )
+    vals = {r["campaign"]: r["rev"] for r in out.collect()}
+    assert "X" not in vals
+    pipe.stop()
