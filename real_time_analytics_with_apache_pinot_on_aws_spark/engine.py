@@ -1875,30 +1875,49 @@ class Engine:
         Every file operation goes through the Hadoop FS API (fs.py), so the
         same code compacts a local warehouse and an ``s3a://`` deep store —
         the reference's S3 segment home (pinot-controller.conf:34-40).
+        OFFLINE segments compact too (each upload_segment leaves one file
+        per day), including their star-tree cell logs; an OFFLINE-only
+        table has no stream to drain and compacts directly.
         """
-        pipeline = self._pipeline(name)
-        q = pipeline._query
-        if q is not None and q.isActive:
-            # A micro-batch committing between our file snapshot and the
-            # rewrite would be folded in but never unlinked (duplicates), and
-            # concurrent readers could hit files we just removed.  Same rule
-            # as Pinot: merge tasks run on sealed segments, not the consuming
-            # one — stop or drain the stream first.
-            raise RuntimeError(
-                f"table {name!r} has an active streaming query; "
-                "stop() or drain it before compact()"
+        if self._is_dim(name):
+            raise ValueError(
+                f"{name!r} is a dimension table (batch-loaded, no consuming "
+                "pipeline) — this operation applies to REALTIME tables"
             )
         compacted: dict[str, int] = {}
-        self._compact_root(name, pipeline.table_path, max_files_per_partition,
-                           compacted, key_prefix="")
-        for i, (spec_i, path_i) in enumerate(pipeline._rollups):
-            # every star-tree cell log accretes one file per micro-batch too;
-            # compact day-partitioned ones with the same swap protocol (keys
-            # prefixed 'rollup:' / 'rollup{i}:' in the report)
-            if "ingest_date" in spec_i.dims:
-                prefix = "rollup:" if i == 0 else f"rollup{i}:"
-                self._compact_root(name, path_i, max_files_per_partition,
-                                   compacted, key_prefix=prefix)
+        pipeline = self.pipelines.get(name)
+        if pipeline is None and name not in self.offline_configs:
+            raise KeyError(name)
+        if pipeline is not None:
+            q = pipeline._query
+            if q is not None and q.isActive:
+                # A micro-batch committing between our file snapshot and the
+                # rewrite would be folded in but never unlinked (duplicates),
+                # and concurrent readers could hit files we just removed.
+                # Same rule as Pinot: merge tasks run on sealed segments, not
+                # the consuming one — stop or drain the stream first.
+                raise RuntimeError(
+                    f"table {name!r} has an active streaming query; "
+                    "stop() or drain it before compact()"
+                )
+            self._compact_root(name, pipeline.table_path, max_files_per_partition,
+                               compacted, key_prefix="")
+            for i, (spec_i, path_i) in enumerate(pipeline._rollups):
+                # every star-tree cell log accretes one file per micro-batch
+                # too; compact day-partitioned ones with the same swap
+                # protocol (keys prefixed 'rollup:' / 'rollup{i}:')
+                if "ingest_date" in spec_i.dims:
+                    prefix = "rollup:" if i == 0 else f"rollup{i}:"
+                    self._compact_root(name, path_i, max_files_per_partition,
+                                       compacted, key_prefix=prefix)
+        if name in self.offline_configs:
+            self._compact_root(name, self._offline_path(name),
+                               max_files_per_partition, compacted,
+                               key_prefix="offline:")
+            for i, _spec in self._hybrid_rollup_specs(name):
+                self._compact_root(name, self._offline_rollup_path(name, i),
+                                   max_files_per_partition, compacted,
+                                   key_prefix=f"offline_rollup{i}:")
         return {"table": name, "compacted_partitions": compacted}
 
     def _compact_root(

@@ -2517,3 +2517,24 @@ def test_hybrid_offline_cell_retention(spark, tmp_path):
     vals = {r["campaign"]: r["rev"] for r in out.collect()}
     assert "X" not in vals
     pipe.stop()
+
+
+def test_offline_segments_compact(spark, tmp_path):
+    """Each upload leaves one file per day; compact() merges OFFLINE day
+    partitions (and their star-tree cells) with the same swap protocol."""
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    engine.add_offline_table(CLICKSTREAM_SCHEMA, OFFLINE_CONFIG)
+    for i in range(3):  # 3 uploads -> >= 3 files in the same day partition
+        engine.upload_segment("kinesisTable", spark.createDataFrame(
+            [(f"u{i}", "X", 10 + i, "2024-06-01 09:00:00")],
+            "userID string, campaign string, price int, creationTimestamp string",
+        ))
+    part = Path(engine._offline_path("kinesisTable")) / "ingest_date=2024-06-01"
+    before = len(list(part.glob("*.parquet")))
+    assert before >= 3
+    report = engine.compact("kinesisTable")
+    assert report["compacted_partitions"].get("offline:ingest_date=2024-06-01") == before
+    after = len(list(part.glob("*.parquet")))
+    assert after == 1
+    engine.register_view("kinesisTable")
+    assert spark.table("kinesisTable").count() == 3  # nothing lost
