@@ -300,6 +300,11 @@ class Engine:
         # queries right after AddTable) instead of failing parquet schema
         # inference on an empty directory
         self.offline_structs: dict[str, "object"] = {}
+        # memoized _offline_rollup_complete verdicts keyed (table, spec
+        # index) — the manifest read is metadata-sized but still a Spark
+        # job, and query_agg sits on the hot path; invalidated by
+        # upload_segment / rebuild_offline_rollup (the only writers)
+        self._rollup_complete_cache: dict[tuple[str, int], bool] = {}
         pfn.register_all(spark)
 
     # -- DDL / control plane (A8-A12) -----------------------------------
@@ -555,17 +560,36 @@ class Engine:
         # aggregates to cells instead of rescanning raw segments.  Only
         # day-partitioned specs participate (the boundary filter and
         # retention both key on ingest_date).
+        manifest_rows: list[tuple[str, int, bool]] = []
+        import uuid
+
+        upload_id = uuid.uuid4().hex
+        manifest_rows.append((upload_id, -1, True))  # the upload itself
         for i, spec in self._hybrid_rollup_specs(name):
-            if not set(spec.dims) <= set(out.columns):
-                continue
             metric_cols = {col for (_fn, col) in spec.metrics.values()}
-            if not metric_cols <= set(out.columns):
+            covered = set(spec.dims) <= set(out.columns) and metric_cols <= set(
+                out.columns
+            )
+            manifest_rows.append((upload_id, i, covered))
+            if not covered:
                 continue
             from .streaming.rollup import rollup_batch
 
             rollup_batch(out, spec).write.mode("append").partitionBy(
                 "ingest_date"
             ).parquet(self._offline_rollup_path(name, i))
+        # Per-upload cell-coverage manifest: day-set comparison cannot see a
+        # day holding BOTH a covered and an uncovered upload (routing over
+        # such a day silently drops the uncovered segment's rows), so
+        # completeness is adjudicated per upload, not per partition.
+        self.spark.createDataFrame(
+            manifest_rows, "upload_id string, spec_index int, covered boolean"
+        ).coalesce(1).write.mode("append").parquet(
+            self._offline_manifest_path(name)
+        )
+        self._rollup_complete_cache = {
+            k: v for k, v in self._rollup_complete_cache.items() if k[0] != name
+        }
         parts = _fs.glob_status(self.spark, f"{self._offline_path(name)}/ingest_date=*")
         return {
             "table": name,
@@ -592,21 +616,97 @@ class Engine:
                 out.append((i, RollupSpec(dims=dims_i, metrics=dict(metrics_i))))
         return out
 
-    def _offline_rollup_complete(self, name: str, index: int) -> bool:
-        """True iff the offline cell log covers every offline data
-        partition — uploads made before the REALTIME config existed have no
-        cells, and routing over an incomplete log would silently drop
-        rows.  Partition-listing metadata only, no data read."""
-        def _days(root: str) -> set[str]:
-            return {
-                _fs.basename(p["path"])
-                for p in _fs.glob_status(self.spark, f"{root}/ingest_date=*")
-                if p["is_dir"]
-            }
+    def _offline_manifest_path(self, name: str) -> str:
+        return str(self.warehouse / name / "offline_manifest")
 
-        return _days(self._offline_rollup_path(name, index)) == _days(
-            self._offline_path(name)
+    def _offline_rollup_complete(self, name: str, index: int) -> bool:
+        """True iff EVERY upload contributed cells to spec ``index`` —
+        uploads made before the REALTIME config existed (or whose frame
+        lacked a spec column) have no cells, and routing over an incomplete
+        log would silently drop their rows from every aggregate.
+
+        Adjudicated from the per-upload coverage manifest, not by comparing
+        partition day-sets: a day holding both a covered and an uncovered
+        upload has cells for the day yet NOT for all its rows, which a
+        day-set comparison cannot see.  Offline data with no manifest
+        (unknown provenance) is conservatively incomplete — run
+        :meth:`rebuild_offline_rollup` to recompute cells and reset the
+        manifest.  Result memoized until the next upload/rebuild.
+        """
+        key = (name, index)
+        if key in self._rollup_complete_cache:
+            return self._rollup_complete_cache[key]
+        has_data = any(
+            p["is_dir"]
+            for p in _fs.glob_status(
+                self.spark, f"{self._offline_path(name)}/ingest_date=*"
+            )
         )
+        if not has_data:
+            # no offline rows to drop — the (empty) cell log is trivially
+            # consistent with the (empty) segment store
+            verdict = True
+        elif not _fs.glob_status(
+            self.spark, f"{self._offline_manifest_path(name)}/*.parquet"
+        ):
+            verdict = False
+        else:
+            rows = self.spark.read.parquet(
+                self._offline_manifest_path(name)
+            ).collect()
+            uploads = {r["upload_id"] for r in rows if r["spec_index"] == -1}
+            covered = {
+                r["upload_id"]
+                for r in rows
+                if r["spec_index"] == index and r["covered"]
+            }
+            verdict = uploads == covered
+        self._rollup_complete_cache[key] = verdict
+        return verdict
+
+    def rebuild_offline_rollup(self, name: str) -> dict:
+        """Recompute every hybrid star-tree's OFFLINE cell log from the
+        current segments and reset the coverage manifest — the repair path
+        when uploads predate the REALTIME config (their rows have no cells,
+        so :meth:`query_agg` refuses to route).  Pinot's analog is the
+        minion task that (re)builds star-trees inside existing segments
+        **[P1.2]**.  One scan of the offline segments per spec.
+        """
+        from .streaming.rollup import rollup_batch
+
+        rebuilt: dict[str, int] = {}
+        specs = self._hybrid_rollup_specs(name)
+        frame = self._offline_frame(name)
+        missing = [
+            c
+            for _i, spec in specs
+            for c in (*spec.dims, *(col for (_fn, col) in spec.metrics.values()))
+            if c not in frame.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"rebuild_offline_rollup({name!r}): offline schema lacks "
+                f"star-tree columns {sorted(set(missing))}"
+            )
+        for i, spec in specs:
+            cells = rollup_batch(frame, spec)
+            cells.write.mode("overwrite").partitionBy("ingest_date").parquet(
+                self._offline_rollup_path(name, i)
+            )
+            rebuilt[f"offline_startree{i}"] = cells.count()
+        # reset the manifest: one synthetic fully-covered upload replaces
+        # the history (subsequent uploads append normally)
+        self.spark.createDataFrame(
+            [("__rebuild__", -1, True)]
+            + [("__rebuild__", i, True) for i, _spec in specs],
+            "upload_id string, spec_index int, covered boolean",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            self._offline_manifest_path(name)
+        )
+        self._rollup_complete_cache = {
+            k: v for k, v in self._rollup_complete_cache.items() if k[0] != name
+        }
+        return {"table": name, "rebuilt_cells": rebuilt}
 
     def _offline_frame(self, name: str) -> DataFrame:
         """The OFFLINE segments as a frame; a table with no uploads yet is
@@ -738,14 +838,18 @@ class Engine:
         config = self.configs.get(name)
         return config is not None and config.is_dim_table
 
-    def _pipeline(self, name: str) -> IngestPipeline:
-        """The consuming pipeline for a table — LOUD for dimension tables,
-        which list_tables includes but which have no stream to maintain."""
+    def _reject_dim(self, name: str) -> None:
+        """LOUD for dimension tables, which list_tables includes but which
+        have no stream or segment lifecycle to maintain."""
         if self._is_dim(name):
             raise ValueError(
                 f"{name!r} is a dimension table (batch-loaded, no consuming "
                 "pipeline) — this operation applies to REALTIME tables"
             )
+
+    def _pipeline(self, name: str) -> IngestPipeline:
+        """The consuming pipeline for a table — LOUD for dimension tables."""
+        self._reject_dim(name)
         if name not in self.pipelines and name in self.offline_configs:
             raise ValueError(
                 f"{name!r} is an OFFLINE table (batch segments, no consuming "
@@ -999,18 +1103,41 @@ class Engine:
                 if pipeline is None or not self._offline_rollup_complete(name, i):
                     continue
 
-                def _hybrid_cells(i=i):
+                def _hybrid_cells(i=i, spec=spec):
                     from pyspark.sql import functions as F
 
-                    off = self.spark.read.parquet(self._offline_rollup_path(name, i))
-                    boundary = (
-                        self._offline_frame(name)
-                        .agg(F.max("ingest_date").alias("b"))
-                        .collect()[0]["b"]
+                    from .streaming.rollup import rollup_batch
+
+                    off_root = self._offline_rollup_path(name, i)
+                    off = (
+                        self.spark.read.parquet(off_root)
+                        if _fs.glob_status(self.spark, f"{off_root}/ingest_date=*")
+                        else None
                     )
-                    rt = pipeline.rollup_table(i)
-                    if boundary is not None:
-                        rt = rt.where(F.col("ingest_date") > F.lit(boundary))
+                    # the realtime cell log materializes with the first
+                    # committed micro-batch; before that the stream holds no
+                    # rows, so "no path" means "no cells", not an error
+                    rt_root = pipeline._rollups[i][1]
+                    rt = (
+                        self.spark.read.parquet(rt_root)
+                        if _fs.glob_status(self.spark, f"{rt_root}/ingest_date=*")
+                        else None
+                    )
+                    if rt is not None:
+                        boundary = self.hybrid_time_boundary(name)
+                        if boundary is not None:
+                            rt = rt.where(F.col("ingest_date") > F.lit(boundary))
+                    if off is None and rt is None:
+                        # fresh hybrid table (no uploads, no batches): an
+                        # EMPTY correctly-typed cell frame, same posture as
+                        # _offline_frame on a segment-less table
+                        return rollup_batch(
+                            self._resolved_frame(name).limit(0), spec
+                        )
+                    if off is None:
+                        return rt
+                    if rt is None:
+                        return off
                     return off.unionByName(rt, allowMissingColumns=True)
 
                 router.register(f"hybrid_startree{i}", _hybrid_cells, spec)
@@ -1879,11 +2006,7 @@ class Engine:
         per day), including their star-tree cell logs; an OFFLINE-only
         table has no stream to drain and compacts directly.
         """
-        if self._is_dim(name):
-            raise ValueError(
-                f"{name!r} is a dimension table (batch-loaded, no consuming "
-                "pipeline) — this operation applies to REALTIME tables"
-            )
+        self._reject_dim(name)
         compacted: dict[str, int] = {}
         pipeline = self.pipelines.get(name)
         if pipeline is None and name not in self.offline_configs:

@@ -216,7 +216,7 @@ def semantic_dedup(
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_iter: int = 4,
+    max_iter: int = 8,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings, prune near-duplicates WITHIN

@@ -282,7 +282,14 @@ class IngestPipeline:
         footer-merge cost is bounded: Spark samples/parallelizes footer
         reads, and compaction keeps file counts low; pin the schema with
         ``spark.read.schema(...)`` instead if a table is known-frozen.
+
+        A table whose stream has committed no micro-batch yet has no files;
+        Pinot answers queries right after AddTable, so serve an EMPTY typed
+        frame (the decode schema) instead of failing parquet inference —
+        same posture as Engine._offline_frame on a segment-less table.
         """
+        if not _fs.glob_status(self.spark, f"{self.table_path}/*"):
+            return self.spark.createDataFrame([], self.decoded().schema)
         return self.spark.read.option("mergeSchema", "true").parquet(self.table_path)
 
     def rollup_table(self, index: int = 0) -> DataFrame:

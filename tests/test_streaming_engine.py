@@ -2538,3 +2538,101 @@ def test_offline_segments_compact(spark, tmp_path):
     assert after == 1
     engine.register_view("kinesisTable")
     assert spark.table("kinesisTable").count() == 3  # nothing lost
+
+
+def _st_config():
+    cfg = json.loads(json.dumps(TABLE_CONFIG))
+    cfg["tableIndexConfig"]["starTreeIndexConfigs"] = [
+        {
+            "dimensionsSplitOrder": ["campaign", "ingest_date"],
+            "functionColumnPairs": ["COUNT__price", "SUM__price"],
+        }
+    ]
+    return cfg
+
+
+def test_hybrid_fresh_table_query_agg_no_crash(spark, tmp_path):
+    """A hybrid table with star-trees but ZERO uploads and ZERO committed
+    micro-batches (the normal state before the first nightly batch) must
+    answer a covered aggregate with an empty result, not PATH_NOT_FOUND."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.streaming.rollup import AggRequest
+
+    src_dir = tmp_path / "stream_in"
+    src_dir.mkdir()
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    pipe = engine.add_table(
+        CLICKSTREAM_SCHEMA, _st_config(),
+        RawRecordSource(kind="files", path=str(src_dir)), available_now=True,
+    )
+    engine.add_offline_table(CLICKSTREAM_SCHEMA, OFFLINE_CONFIG)
+    req = AggRequest(dims=("campaign",), aggs={"rev": ("sum", "price")})
+    out, route = engine.query_agg("kinesisTable", req)
+    assert out.count() == 0
+    assert set(out.columns) == {"campaign", "rev"}
+    pipe.stop()
+
+
+def test_hybrid_mixed_coverage_day_never_routes(spark, tmp_path):
+    """A day holding BOTH a pre-config (cell-less) and a post-config upload
+    passes a day-set comparison but NOT the per-upload manifest: routing
+    must fall back to scan, and the aggregate must count every row."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.streaming.rollup import AggRequest
+
+    src_dir = tmp_path / "stream_in"
+    _write_events(src_dir / "rt.json", 4, "2024-06-02")
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    engine.add_offline_table(CLICKSTREAM_SCHEMA, OFFLINE_CONFIG)
+    engine.upload_segment("kinesisTable", spark.createDataFrame(
+        [("u1", "X", 30, "2024-06-01 09:00:00"),
+         ("u2", "X", 40, "2024-06-01 10:00:00")],
+        "userID string, campaign string, price int, creationTimestamp string",
+    ))  # BEFORE the realtime config: no cells
+    pipe = engine.add_table(
+        CLICKSTREAM_SCHEMA, _st_config(),
+        RawRecordSource(kind="files", path=str(src_dir)), available_now=True,
+    )
+    pipe.process_available()
+    engine.upload_segment("kinesisTable", spark.createDataFrame(
+        [("u3", "X", 1, "2024-06-01 11:00:00")],
+        "userID string, campaign string, price int, creationTimestamp string",
+    ))  # SAME day, post-config: cells cover only this segment
+    req = AggRequest(dims=("campaign",), aggs={"n": ("count", "price"), "rev": ("sum", "price")})
+    out, route = engine.query_agg("kinesisTable", req)
+    assert route == "scan"
+    vals = {r["campaign"]: (r["n"], r["rev"]) for r in out.collect()}
+    assert vals["X"] == (3, 71)  # all three offline X-rows present
+
+    # rebuild_offline_rollup recomputes cells from the segments and resets
+    # the manifest; routing resumes with exact parity
+    report = engine.rebuild_offline_rollup("kinesisTable")
+    assert report["rebuilt_cells"]["offline_startree0"] >= 1
+    out2, route2 = engine.query_agg("kinesisTable", req)
+    assert route2 == "rollup:hybrid_startree0"
+    assert {r["campaign"]: (r["n"], r["rev"]) for r in out2.collect()} == vals
+    pipe.stop()
+
+
+def test_hybrid_routing_without_realtime_batches(spark, tmp_path):
+    """Post-config uploads with a realtime stream that has committed no
+    micro-batch yet: the realtime cell log does not exist, and routing
+    must serve the offline cells instead of raising."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.streaming.rollup import AggRequest
+
+    src_dir = tmp_path / "stream_in"
+    src_dir.mkdir()
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    pipe = engine.add_table(
+        CLICKSTREAM_SCHEMA, _st_config(),
+        RawRecordSource(kind="files", path=str(src_dir)), available_now=True,
+    )
+    engine.add_offline_table(CLICKSTREAM_SCHEMA, OFFLINE_CONFIG)
+    engine.upload_segment("kinesisTable", spark.createDataFrame(
+        [("u1", "X", 30, "2024-06-01 09:00:00"),
+         ("u2", "Y", 40, "2024-06-01 10:00:00")],
+        "userID string, campaign string, price int, creationTimestamp string",
+    ))
+    req = AggRequest(dims=("campaign",), aggs={"rev": ("sum", "price")})
+    out, route = engine.query_agg("kinesisTable", req)
+    assert route == "rollup:hybrid_startree0"
+    assert {r["campaign"]: r["rev"] for r in out.collect()} == {"X": 30, "Y": 40}
+    pipe.stop()
