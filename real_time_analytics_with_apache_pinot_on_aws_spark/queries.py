@@ -5332,6 +5332,69 @@ def c21_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "c24_line_dedup",
+    r"""
+    WITH docs AS (
+      SELECT doc_id,
+             regexp_replace(text, '((\S+ ){7}\S+) ', '\1' || chr(10), 'g')
+               || chr(10) || 'visit example com for more info today' AS text
+      FROM documents
+    ), lines AS (
+      SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             generate_subscripts(string_split(text, chr(10)), 1) AS pos
+      FROM docs
+    ), dup AS (
+      SELECT trim(line) AS nline
+      FROM lines
+      WHERE length(trim(line)) >= 10
+      GROUP BY 1
+      HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT l.doc_id,
+           md5(coalesce(string_agg(l.line, chr(10) ORDER BY l.pos)
+                 FILTER (WHERE d.nline IS NULL), '')) AS clean_md5,
+           CAST(count(*) AS INT) AS n_lines,
+           CAST(count(d.nline) AS INT) AS n_removed
+    FROM lines l LEFT JOIN dup d
+      ON length(trim(l.line)) >= 10 AND trim(l.line) = d.nline
+    GROUP BY l.doc_id
+    """,
+    doc="C24: line-level (paragraph) corpus dedup — CCNet (arXiv:1911.00359)"
+        " / RefinedWeb boilerplate removal: a trimmed line appearing in >= 2"
+        " DISTINCT documents is removed from EVERY document (nav bars, "
+        "cookie banners — invisible to document-level dedup).  The fixture "
+        "is single-line, so the query constructs the lined corpus "
+        "deterministically (8-word lines + a planted shared footer; the "
+        "fixture's natural cross-doc repeated 8-word lines make the "
+        "dictionary non-trivial — ~783 removals at sf0.01, every doc "
+        "touched).  Spark shape (operators/dedup.py line_dedup): two "
+        "shuffles total — the duplicated-line dictionary moves ONLY 8-byte "
+        "xxhash64 keys (line text never crosses that exchange; < min_chars "
+        "lines are skipped as the skew bombs of the keyspace), and ONE "
+        "groupBy(doc) reassembly computes clean text, totals and removals "
+        "from the same collected array.  The oracle replays lines/dictionary"
+        "/reassembly on the raw strings — hash-free, so it also adjudicates "
+        "collision honesty.",
+)
+def c24_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.col("text"), r"((\S+ ){7}\S+) ", "$1\n"),
+            F.lit("\nvisit example com for more info today"),
+        ).alias("text"),
+    )
+    return _dedup.line_dedup(docs).select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.col("n_removed").cast("int").alias("n_removed"),
+    )
+
+
 # ===========================================================================
 # Driver window curation: the driver's correctness gate adjudicates exactly
 # the first 50 entries of queries() in registration order (confirmed in
@@ -5354,9 +5417,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "b17_mv_aggregations",
     "b19_distinctcount",
     # (b19_distinctcountmv stays registered post-window: B19's MV leg is
-    # jointly covered by b19_distinctcount + b17_mv_aggregations; the slot
-    # surfaces the round-5 analyzer-chain TEXT_MATCH depth instead)
-    "b13_text_match_analyzer",
+    # jointly covered by b19_distinctcount + b17_mv_aggregations;
+    # b13_text_match_analyzer also moved post-window — B13 stays covered by
+    # b13_text_match_index and the analyzer chain is pytest-pinned — so the
+    # slot surfaces the C24 line-level boilerplate dedup, a distinct
+    # pipeline stage no other window entry exercises)
+    "c24_line_dedup",
     "b20_distinctcounthll",
     "b21_sketch_set_algebra",
     # (b21_hll_sketch_algebra stays registered post-window: B21 is covered by

@@ -1261,3 +1261,89 @@ def test_semantic_dedup_chain_collapses_to_one_representative(spark):
     assert not res[3]["kept"] and res[3]["dup_of"] == 1
     # dup_score is the strongest direct edge, not the rep's cosine
     assert res[3]["dup_score"] >= 0.95
+
+
+# -- line-level dedup (C24, CCNet/RefinedWeb boilerplate removal) ----------
+
+
+def test_line_dedup_removes_cross_doc_boilerplate(spark):
+    import real_time_analytics_with_apache_pinot_on_aws_spark.operators.dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "unique alpha content here\nSHARED COOKIE BANNER LINE\nbody one"),
+         (2, "different beta content\nSHARED COOKIE BANNER LINE\nbody two"),
+         (3, "gamma only line here\nSHARED COOKIE BANNER LINE")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in D.line_dedup(docs).collect()}
+    assert out[1]["clean_text"] == "unique alpha content here\nbody one"
+    assert out[2]["clean_text"] == "different beta content\nbody two"
+    assert out[3]["clean_text"] == "gamma only line here"
+    assert all(out[k]["n_removed"] == 1 for k in (1, 2, 3))
+    assert out[1]["n_lines"] == 3 and out[3]["n_lines"] == 2
+
+
+def test_line_dedup_distinct_doc_count_not_occurrences(spark):
+    """A line repeated many times inside ONE doc is repetition (C18's job),
+    not cross-doc boilerplate — it must survive line_dedup."""
+    import real_time_analytics_with_apache_pinot_on_aws_spark.operators.dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "repeated inside this doc\nrepeated inside this doc\nunique tail"),
+         (2, "completely unrelated content")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in D.line_dedup(docs).collect()}
+    assert out[1]["n_removed"] == 0
+    assert out[1]["clean_text"].count("repeated inside this doc") == 2
+
+
+def test_line_dedup_short_lines_immune_and_husks_kept(spark):
+    """Lines under min_chars never enter the dictionary (skew valve: empty
+    lines / '---' rules appear in every web document); a doc losing every
+    line stays as an empty-text row for the caller to adjudicate."""
+    import real_time_analytics_with_apache_pinot_on_aws_spark.operators.dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "---\nSHARED FOOTER BOILERPLATE\nkeep this body line"),
+         (2, "---\nSHARED FOOTER BOILERPLATE\nanother body line kept"),
+         (3, "SHARED FOOTER BOILERPLATE")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in D.line_dedup(docs).collect()}
+    assert out[1]["clean_text"] == "---\nkeep this body line"  # '---' in both docs but < min_chars
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 1  # husk kept, flagged
+
+
+def test_line_dedup_trim_normalization(spark):
+    """'  footer  ' and 'footer' are the same boilerplate (indentation
+    varies across pages); removal keys on the trimmed form but output
+    preserves the original line text for survivors."""
+    import real_time_analytics_with_apache_pinot_on_aws_spark.operators.dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "   SHARED FOOTER TEXT   \n  indented survivor line"),
+         (2, "SHARED FOOTER TEXT\nplain other body line")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in D.line_dedup(docs).collect()}
+    assert out[1]["clean_text"] == "  indented survivor line"
+    assert out[2]["clean_text"] == "plain other body line"
+
+
+def test_line_dedup_dictionary_shuffles_only_hashes(spark):
+    """The duplicated-line dictionary aggregates on xxhash64 keys: no plan
+    should exchange the line text for the distinct-doc count (the reassembly
+    exchange carries it once, keyed by doc)."""
+    import real_time_analytics_with_apache_pinot_on_aws_spark.operators.dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "alpha body content line\nSHARED FOOTER LINE HERE"),
+         (2, "beta body content line\nSHARED FOOTER LINE HERE")],
+        "doc_id int, text string",
+    )
+    plan = D.line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # the dictionary-side hash aggregate groups by the 8-byte hash column
+    assert re.search(r"HashAggregate.*xxhash64|hashaggregate.*lh", plan, re.I | re.S)
