@@ -30,6 +30,7 @@ from . import fs as _fs
 from . import functions as pfn
 from .schema import TableSchema, parse_schema
 from .streaming.ingest import IngestPipeline, RawRecordSource
+from .streaming.ingest import timestamp_index_column as _ts_index_column
 
 
 @dataclass(frozen=True)
@@ -116,6 +117,16 @@ class TableConfig:
     # Pinot's per-segment HNSW; documented divergence) +
     # Engine.vector_similarity.  Same ((column, props), ...) shape.
     vector_index_columns: tuple = ()
+    # Pinot TIMESTAMP index **[P1.2]** (fieldConfigList indexTypes
+    # ["TIMESTAMP"] + timestampConfig.granularities): Pinot materializes
+    # derived columns $col$DAY/... with a range index and rewrites
+    # dateTrunc('DAY', col) to them.  Analog: ingest (and upload_segment)
+    # materialize ``<col>__<gran>`` truncated columns — parquet min/max
+    # stats on a stored column ARE the range index — and Engine.query
+    # rewrites matching dateTrunc/date_trunc calls to the derived column,
+    # so filters prune row groups instead of computing a per-row trunc.
+    # Stored as ((column, (GRAN, ...)), ...).
+    timestamp_index_columns: tuple = ()
     # Pinot dimension table **[P1.2]** (`isDimTable: true` + OFFLINE type):
     # a small batch-loaded table replicated to every server and queried via
     # the scalar LOOKUP('dim','valueCol','pkCol', expr) UDF.  Analog:
@@ -173,6 +184,7 @@ class TableConfig:
         st_metrics = star_trees[0][1] if star_trees else ()
         text_cols = []
         vector_cols = []
+        timestamp_cols = []
         for fc in conf.get("fieldConfigList", ()):
             kinds = {str(fc.get("indexType", "")).upper()} | {
                 str(k).upper() for k in fc.get("indexTypes", ())
@@ -184,6 +196,16 @@ class TableConfig:
                 text_cols.append((fc["name"], props))
             if "VECTOR" in kinds:
                 vector_cols.append((fc["name"], props))
+            if "TIMESTAMP" in kinds:
+                grans = tuple(
+                    str(g).upper()
+                    for g in (fc.get("timestampConfig", {}) or {}).get(
+                        "granularities", ()
+                    )
+                    if str(g).upper() in _TRUNC_GRANULARITIES
+                )
+                if grans:
+                    timestamp_cols.append((fc["name"], grans))
         flush_ms = stream.get("realtime.segment.flush.threshold.time")
         flush_s = 120
         if flush_ms:  # reference uses e.g. "2m"? value is millis or duration string
@@ -227,8 +249,17 @@ class TableConfig:
             partition_buckets=part_n,
             text_index_columns=tuple(text_cols),
             vector_index_columns=tuple(vector_cols),
+            timestamp_index_columns=tuple(timestamp_cols),
             is_dim_table=bool(conf.get("isDimTable", False)),
         )
+
+
+# Pinot timestampConfig granularities this engine materializes — the subset
+# Spark's date_trunc shares with Pinot's dateTrunc (Pinot's sub-second grains
+# are identity truncations on epoch-millis storage and add nothing here).
+_TRUNC_GRANULARITIES = frozenset(
+    {"YEAR", "QUARTER", "MONTH", "WEEK", "DAY", "HOUR", "MINUTE", "SECOND"}
+)
 
 
 _PINOT_TYPES = {
@@ -401,6 +432,7 @@ class Engine:
             unnest_fields=config.unnest_fields,
             sorted_column=config.sorted_column,
             bloom_filter_columns=config.bloom_filter_columns,
+            timestamp_index=config.timestamp_index_columns,
         )
         self.pipelines[config.name] = pipeline
         if start:
@@ -521,6 +553,9 @@ class Engine:
         if tc_ts not in struct.fieldNames():
             struct = struct.add(tc_ts, T.TimestampType())
         struct = struct.add("ingest_date", T.DateType())
+        for col, grans in config.timestamp_index_columns:
+            for gran in grans:
+                struct = struct.add(_ts_index_column(col, gran), T.TimestampType())
         self.offline_structs[config.name] = struct
         self.offline_configs[config.name] = config
         # create the segments root so a just-added table is immediately
@@ -551,6 +586,22 @@ class Engine:
             # hybrid union serves one consistent schema to queries
             out = out.withColumn(ts_col, F.col(tc).cast("timestamp"))
         out = out.withColumn("ingest_date", F.to_date(F.col(ts_col)))
+        # TIMESTAMP-index derived columns (offline side of the hybrid):
+        # declared on either config; both sides must store the same derived
+        # schema or the boundary union and the query rewrite would diverge
+        declared = dict(config.timestamp_index_columns)
+        rt_cfg = self.configs.get(name)
+        if rt_cfg is not None:
+            for col, grans in rt_cfg.timestamp_index_columns:
+                declared.setdefault(col, grans)
+        for col, grans in declared.items():
+            src = f"{col}__ts" if f"{col}__ts" in out.columns else col
+            if src not in out.columns:
+                continue
+            for gran in grans:
+                out = out.withColumn(
+                    _ts_index_column(col, gran), F.date_trunc(gran, F.col(src))
+                )
         out.write.mode("append").partitionBy("ingest_date").parquet(
             self._offline_path(name)
         )
@@ -1790,7 +1841,7 @@ class Engine:
             sql = rewritten
         m = self._EXPLAIN_RE.match(sql)
         if m:
-            return self.explain_plan(sql[m.end():])
+            return self.explain_plan(self._apply_ts_index_rewrite(sql[m.end():]))
         gf = self._try_query_gapfill(sql)
         if gf is not None:
             return gf
@@ -1799,7 +1850,63 @@ class Engine:
         vm = self._VECSIM_RE.match(sql)
         if vm:
             return self._query_vector_similarity(vm)
-        return self.spark.sql(sql)
+        return self.spark.sql(self._apply_ts_index_rewrite(sql))
+
+    # -- TIMESTAMP index (fieldConfigList timestampConfig) ---------------
+
+    _DATETRUNC_RE = re.compile(
+        r"\bdate_?trunc\s*\(\s*'(\w+)'\s*,\s*([A-Za-z_]\w*)\s*\)", re.IGNORECASE
+    )
+
+    def _timestamp_index_rewrites(self) -> dict:
+        """(lowercased source column, GRAN) -> derived column, across every
+        configured table — both the raw declared column and its typed
+        ``__ts`` decode output rewrite to the same derived column."""
+        out: dict = {}
+        for cfg in (*self.configs.values(), *self.offline_configs.values()):
+            for col, grans in cfg.timestamp_index_columns:
+                for gran in grans:
+                    derived = _ts_index_column(col, gran)
+                    out[(col.lower(), gran)] = derived
+                    out[(f"{col}__ts".lower(), gran)] = derived
+        return out
+
+    def _apply_ts_index_rewrite(self, sql: str) -> str:
+        """Pinot TIMESTAMP index query rewrite **[P1.2]**: replace
+        ``dateTrunc('GRAN', col)`` / ``date_trunc('GRAN', col)`` over a
+        declared column with its materialized ``<col>__<gran>`` derived
+        column, so the truncation is READ (and range-filters prune via
+        parquet min/max stats) instead of computed per row — exactly what
+        Pinot's rewrite to ``$col$GRAN`` + range index buys.  The rewrite
+        must analyze cleanly (the statement may bind a same-named column of
+        an undeclared table); otherwise the original SQL stands — the
+        routing contract everywhere on this surface.
+        """
+        mapping = self._timestamp_index_rewrites()
+        if not mapping or "trunc" not in sql.lower():
+            return sql
+        pieces: list[str] = []
+        last = 0
+        for m in self._DATETRUNC_RE.finditer(sql):
+            # skip matches inside string literals (quote-parity on prefix;
+            # '' escapes flip parity twice so stay counted as inside)
+            if sql[: m.start()].count("'") % 2 == 1:
+                continue
+            derived = mapping.get((m.group(2).lower(), m.group(1).upper()))
+            if derived is None:
+                continue
+            pieces.append(sql[last:m.start()])
+            pieces.append(derived)
+            last = m.end()
+        if not pieces:
+            return sql
+        pieces.append(sql[last:])
+        rewritten = "".join(pieces)
+        try:
+            self.spark.sql(rewritten)  # analysis-only probe, no execution
+            return rewritten
+        except Exception:
+            return sql
 
     def explain_plan(self, sql: str) -> DataFrame:
         """Pinot ``EXPLAIN PLAN FOR`` analog **[P1.2]**.

@@ -27,6 +27,13 @@ from .. import fs as _fs
 from ..schema import TableSchema, decoded_frame, time_parse_expr
 
 
+def timestamp_index_column(column: str, granularity: str) -> str:
+    """Derived-column name for a TIMESTAMP-index granularity — the analog of
+    Pinot's ``$col$DAY`` (``$`` is hostile to SQL identifiers; double
+    underscore matches the engine's ``__ts`` convention)."""
+    return f"{column}__{granularity.lower()}"
+
+
 @dataclass
 class RawRecordSource:
     """Where raw JSON records come from.
@@ -95,6 +102,7 @@ class IngestPipeline:
         unnest_fields: tuple = (),
         sorted_column: str | None = None,
         bloom_filter_columns: tuple = (),
+        timestamp_index: tuple = (),
     ) -> None:
         self.spark = spark
         self.schema = schema
@@ -125,6 +133,12 @@ class IngestPipeline:
         # parquet bloom filters for point-lookup row-group skipping.
         self.sorted_column = sorted_column
         self.bloom_filter_columns = tuple(bloom_filter_columns)
+        # Pinot TIMESTAMP index analog (engine.TableConfig): ((column,
+        # (GRAN, ...)), ...) — each granularity materializes a stored
+        # ``<col>__<gran>`` truncated column at decode time, so range
+        # filters on it prune via parquet min/max stats (Pinot's range
+        # index on $col$GRAN derived columns).
+        self.timestamp_index = tuple(timestamp_index)
         self._query: StreamingQuery | None = None
 
     # -- decode ----------------------------------------------------------
@@ -150,6 +164,17 @@ class IngestPipeline:
         if tc is not None:
             ts_col = f"{tc.name}__ts" if f"{tc.name}__ts" in out.columns else tc.name
             out = out.withColumn("ingest_date", F.to_date(F.col(ts_col)))
+        for col, grans in self.timestamp_index:
+            # TIMESTAMP index derived columns: truncate the TYPED form of
+            # the declared column (the ``__ts`` decode output when present)
+            src = f"{col}__ts" if f"{col}__ts" in out.columns else col
+            if src not in out.columns:
+                continue
+            for gran in grans:
+                out = out.withColumn(
+                    timestamp_index_column(col, gran),
+                    F.date_trunc(gran, F.col(src)),
+                )
         return out
 
     # -- lifecycle -------------------------------------------------------

@@ -2636,3 +2636,96 @@ def test_hybrid_routing_without_realtime_batches(spark, tmp_path):
     assert route == "rollup:hybrid_startree0"
     assert {r["campaign"]: r["rev"] for r in out.collect()} == {"X": 30, "Y": 40}
     pipe.stop()
+
+
+def test_timestamp_index_materializes_and_rewrites(spark, tmp_path):
+    """fieldConfigList indexTypes TIMESTAMP + timestampConfig granularities
+    **[P1.2]**: ingest materializes <col>__<gran> truncated columns (the
+    $col$GRAN analogs) and query() rewrites dateTrunc('GRAN', col) to read
+    them — the truncation is stored, not computed per row, and range
+    filters on it prune via parquet stats like Pinot's range index."""
+    src_dir = tmp_path / "stream_in"
+    _write_events(src_dir / "a.json", 12, "2024-06-01")
+    _write_events(src_dir / "b.json", 6, "2024-06-02", start=100)
+    cfg = json.loads(json.dumps(TABLE_CONFIG))
+    cfg["fieldConfigList"] = [
+        {
+            "name": "creationTimestamp",
+            "indexTypes": ["TIMESTAMP"],
+            "timestampConfig": {"granularities": ["DAY", "MONTH"]},
+        }
+    ]
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    pipe = engine.add_table(
+        CLICKSTREAM_SCHEMA, cfg,
+        RawRecordSource(kind="files", path=str(src_dir)), available_now=True,
+    )
+    pipe.process_available()
+    engine.register_view("kinesisTable")
+    cols = spark.table("kinesisTable").columns
+    assert "creationTimestamp__day" in cols and "creationTimestamp__month" in cols
+
+    # rewrite fires: the plan reads the derived column, no date_trunc node
+    sql = ("SELECT dateTrunc('DAY', creationTimestamp__ts) AS d, sum(price) AS rev "
+           "FROM kinesisTable GROUP BY dateTrunc('DAY', creationTimestamp__ts)")
+    df = engine.query(sql)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "date_trunc" not in plan.lower()
+    assert "creationTimestamp__day" in plan
+    # and answers exactly what the unrewritten form answers
+    expect = {
+        r["d"]: r["rev"]
+        for r in spark.sql(sql.replace("dateTrunc", "date_trunc")).collect()
+    }
+    assert {r["d"]: r["rev"] for r in df.collect()} == expect
+    assert len(expect) == 2
+
+    # a range filter on the rewritten expression pushes to the scan
+    fplan = engine.query(
+        "SELECT count(*) AS n FROM kinesisTable "
+        "WHERE dateTrunc('DAY', creationTimestamp__ts) >= TIMESTAMP '2024-06-02 00:00:00'"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in fplan and "creationTimestamp__day" in fplan
+
+    # an UNDECLARED granularity is untouched (still answers, computed form)
+    wk = engine.query(
+        "SELECT dateTrunc('WEEK', creationTimestamp__ts) AS w, count(*) AS n "
+        "FROM kinesisTable GROUP BY 1"
+    )
+    assert wk.count() >= 1
+    pipe.stop()
+
+
+def test_timestamp_index_hybrid_upload_parity(spark, tmp_path):
+    """Hybrid: upload_segment stores the same derived columns the realtime
+    decode writes, so the boundary union serves one schema and the rewrite
+    stays correct across both sides."""
+    src_dir = tmp_path / "stream_in"
+    _write_events(src_dir / "rt.json", 4, "2024-06-02")
+    cfg = json.loads(json.dumps(TABLE_CONFIG))
+    cfg["fieldConfigList"] = [
+        {
+            "name": "creationTimestamp",
+            "indexTypes": ["TIMESTAMP"],
+            "timestampConfig": {"granularities": ["DAY"]},
+        }
+    ]
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    pipe = engine.add_table(
+        CLICKSTREAM_SCHEMA, cfg,
+        RawRecordSource(kind="files", path=str(src_dir)), available_now=True,
+    )
+    pipe.process_available()
+    engine.add_offline_table(CLICKSTREAM_SCHEMA, OFFLINE_CONFIG)
+    engine.upload_segment("kinesisTable", spark.createDataFrame(
+        [("u1", "X", 30, "2024-06-01 09:00:00")],
+        "userID string, campaign string, price int, creationTimestamp string",
+    ))
+    engine.register_view("kinesisTable")
+    out = engine.query(
+        "SELECT dateTrunc('DAY', creationTimestamp__ts) AS d, count(*) AS n "
+        "FROM kinesisTable GROUP BY 1 ORDER BY 1"
+    ).collect()
+    days = {str(r["d"]): r["n"] for r in out}
+    assert days == {"2024-06-01 00:00:00": 1, "2024-06-02 00:00:00": 4}
+    pipe.stop()

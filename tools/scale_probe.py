@@ -59,6 +59,9 @@ PROBES = (
     # model-based quality filter: one codegen dot-product pass per row —
     # should stay ~flat per row at any corpus size
     "c22_quality_classifier",
+    # line-level boilerplate dedup: dictionary shuffle is 8-byte hashes,
+    # reassembly is one doc-keyed exchange — both linear in corpus size
+    "c24_line_dedup",
 )
 
 
