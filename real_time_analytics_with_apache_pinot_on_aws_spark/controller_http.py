@@ -1,0 +1,211 @@
+"""HTTP controller facade: the reference's provisioning wire surface.
+
+The reference provisions its table from the bastion host with
+``pinot-admin.sh AddTable -schemaFile kinesisTable.json -tableConfigFile
+kinesisTableConfigFile.json -controllerHost <ALB> -controllerPort 80 -exec``
+(bastionUserData.sh:36) — which is exactly two controller REST calls,
+``POST /schemas`` then ``POST /tables``.  This module serves that contract
+over the engine, so the reference's provisioning flow (and the Pinot
+console's table pages) round-trip against it:
+
+- ``POST /schemas``               -> Engine.add_schema (register by schemaName)
+- ``POST /tables``                -> AddTable: resolve the schema, build the
+  record source from the config's ``streamConfigs`` (kinesis/kafka/file —
+  sources.source_from_stream_configs), start consuming; OFFLINE configs
+  route to Engine.add_offline_table
+- ``GET /tables``                 -> {"tables": [...]}
+- ``GET /tables/{name}``          -> the registered config(s) by type
+- ``DELETE /tables/{name}[?type=REALTIME|OFFLINE]`` -> Engine.drop_table
+- ``GET /segments/{name}``        -> Engine.table_detail (segment map)
+- ``GET /health``                 -> ``OK`` (controller liveness **[P1.2]**)
+
+Error contract: provisioning errors return HTTP 400 with
+``{"code": 400, "error": msg}`` (Pinot's controller error shape); unknown
+tables 404.  Same stdlib ``ThreadingHTTPServer`` design as broker_http —
+no dependencies, daemon thread, works in any sandbox.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import urlparse, parse_qs
+
+DEFAULT_PORT = 9000  # Pinot controller port
+
+
+class ControllerServer:
+    """In-process HTTP controller bound to an Engine.  ``start()``/``stop()``."""
+
+    def __init__(self, engine, port: int = DEFAULT_PORT, host: str = "127.0.0.1"):
+        self.engine = engine
+        self.host = host
+        self.port = port
+        # raw config JSON by (name, type) for GET /tables/{name} round-trips
+        # (tables added directly on the Engine fall back to a thin stub)
+        self._raw_configs: dict[tuple[str, str], dict] = {}
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # -- request handling -------------------------------------------------
+
+    def _add_table(self, conf: dict) -> dict:
+        engine = self.engine
+        name = conf.get("tableName")
+        if not name:
+            raise ValueError("table config lacks tableName")
+        schema_name = conf.get("segmentsConfig", {}).get("schemaName") or name
+        schema = engine.schemas.get(schema_name)
+        if schema is None:
+            raise ValueError(
+                f"no schema registered for {schema_name!r} — POST /schemas first"
+            )
+        ttype = str(conf.get("tableType", "REALTIME")).upper()
+        if conf.get("isDimTable"):
+            raise ValueError(
+                "dimension tables are batch-loaded — use Engine.add_dim_table "
+                "with the dimension frame (no stream/segment source in a "
+                "table config to provision from)"
+            )
+        if ttype == "OFFLINE":
+            out = engine.add_offline_table(schema, conf)
+            self._raw_configs[(name, "OFFLINE")] = conf
+            return out
+        from .sources import source_from_stream_configs
+
+        stream = conf.get("tableIndexConfig", {}).get("streamConfigs", {})
+        source = source_from_stream_configs(stream)
+        pipeline = engine.add_table(schema, conf, source)
+        self._raw_configs[(name, "REALTIME")] = conf
+        return {
+            "table": name,
+            "type": "REALTIME",
+            "consuming": bool(pipeline._query is not None and pipeline._query.isActive),
+        }
+
+    def start(self) -> "ControllerServer":
+        engine = self.engine
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet test output
+                pass
+
+            def _send(self, code: int, payload, ctype="application/json"):
+                body = (
+                    payload
+                    if isinstance(payload, bytes)
+                    else json.dumps(payload).encode()
+                )
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _body(self) -> dict:
+                n = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(body, dict):
+                    raise ValueError(
+                        f"request body must be a JSON object, got {type(body).__name__}"
+                    )
+                return body
+
+            def do_GET(self):
+                url = urlparse(self.path)
+                parts = [p for p in url.path.split("/") if p]
+                if url.path == "/health":
+                    self._send(200, b"OK", "text/plain")
+                elif url.path == "/tables":
+                    self._send(200, {"tables": engine.list_tables()})
+                elif len(parts) == 2 and parts[0] == "tables":
+                    name = parts[1]
+                    out = {}
+                    cfg = engine.configs.get(name)
+                    if cfg is not None and not cfg.is_dim_table:
+                        out["REALTIME"] = outer._raw_configs.get(
+                            (name, "REALTIME"),
+                            {"tableName": name, "tableType": "REALTIME"},
+                        )
+                    if cfg is not None and cfg.is_dim_table:
+                        out["OFFLINE"] = {
+                            "tableName": name,
+                            "tableType": "OFFLINE",
+                            "isDimTable": True,
+                        }
+                    if name in engine.offline_configs:
+                        out["OFFLINE"] = outer._raw_configs.get(
+                            (name, "OFFLINE"),
+                            {"tableName": name, "tableType": "OFFLINE"},
+                        )
+                    if not out:
+                        self._send(404, {"code": 404, "error": f"table {name!r} not found"})
+                    else:
+                        self._send(200, out)
+                elif len(parts) == 2 and parts[0] == "segments":
+                    if parts[1] not in engine.list_tables():
+                        self._send(
+                            404, {"code": 404, "error": f"table {parts[1]!r} not found"}
+                        )
+                    else:
+                        self._send(200, engine.table_detail(parts[1]))
+                else:
+                    self._send(404, b"not found", "text/plain")
+
+            def do_POST(self):
+                try:
+                    body = self._body()
+                    if self.path == "/schemas":
+                        self._send(200, engine.add_schema(body))
+                    elif self.path == "/tables":
+                        self._send(200, outer._add_table(body))
+                    else:
+                        self._send(404, b"not found", "text/plain")
+                except Exception as e:  # Pinot controller 400 error shape
+                    self._send(400, {"code": 400, "error": str(e)})
+
+            def do_DELETE(self):
+                url = urlparse(self.path)
+                parts = [p for p in url.path.split("/") if p]
+                if len(parts) == 2 and parts[0] == "tables":
+                    ttype = (parse_qs(url.query).get("type") or [None])[0]
+                    try:
+                        out = engine.drop_table(parts[1], ttype)
+                        for t in out["dropped"]:
+                            outer._raw_configs.pop((parts[1], t), None)
+                        self._send(200, out)
+                    except KeyError:
+                        self._send(
+                            404, {"code": 404, "error": f"table {parts[1]!r} not found"}
+                        )
+                    except ValueError as e:
+                        self._send(400, {"code": 400, "error": str(e)})
+                else:
+                    self._send(404, b"not found", "text/plain")
+
+        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        self.port = self._httpd.server_address[1]  # resolve port=0
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, name="controller-http", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def url(self) -> str:
+        return f"http://{self.host}:{self.port}"
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+            self._thread = None
+
+
+def start_controller(engine, port: int = DEFAULT_PORT, host: str = "127.0.0.1") -> ControllerServer:
+    """Start the controller REST endpoints over ``engine``."""
+    return ControllerServer(engine, port=port, host=host).start()

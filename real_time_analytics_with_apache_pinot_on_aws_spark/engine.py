@@ -336,7 +336,26 @@ class Engine:
         # job, and query_agg sits on the hot path; invalidated by
         # upload_segment / rebuild_offline_rollup (the only writers)
         self._rollup_complete_cache: dict[tuple[str, int], bool] = {}
+        # controller-registered schemas (POST /schemas **[P1.2]**), keyed by
+        # schemaName — AddTable-over-HTTP resolves the table's schema here,
+        # exactly the two-step pinot-admin.sh AddTable flow the reference
+        # runs (bastionUserData.sh:36: -schemaFile + -tableConfigFile)
+        self.schemas: dict[str, dict] = {}
         pfn.register_all(spark)
+
+    def add_schema(self, schema_json: str | dict) -> dict:
+        """POST /schemas analog: validate + register by schemaName."""
+        raw = json.loads(schema_json) if isinstance(schema_json, str) else schema_json
+        if not raw.get("schemaName"):
+            raise ValueError("schema JSON lacks schemaName")
+        parsed = parse_schema(raw)  # loud on malformed fieldSpecs
+        if not parsed.fields:
+            raise ValueError(
+                f"schema {parsed.name!r} declares no dimension/metric/dateTime "
+                "fieldSpecs"
+            )
+        self.schemas[parsed.name] = raw
+        return {"status": f"{parsed.name} successfully added"}
 
     # -- DDL / control plane (A8-A12) -----------------------------------
 
@@ -884,6 +903,64 @@ class Engine:
         name appears once)."""
         dims = {n for n, c in self.configs.items() if c.is_dim_table}
         return sorted(set(self.pipelines) | dims | set(self.offline_configs))
+
+    def drop_table(self, name: str, table_type: str | None = None) -> dict:
+        """``DELETE /tables/{name}[?type=]`` analog **[P1.2]**: stop
+        consumption, remove that type's segments (FS layer — local and
+        ``s3a://`` alike), and deregister.  On a hybrid table, dropping one
+        type leaves the other serving (Pinot keys configs by (name, type));
+        with no ``type``, both go.  The SQL view drops only when no side
+        remains.
+        """
+        t = (table_type or "").upper() or None
+        if t not in (None, "REALTIME", "OFFLINE"):
+            raise ValueError(f"unknown table type {t!r}")
+        dropped: list[str] = []
+        if self._is_dim(name):
+            # a dimension table is Pinot-OFFLINE; REALTIME-only never touches it
+            if t != "REALTIME":
+                self.configs.pop(name, None)
+                _fs.delete(self.spark, str(self.warehouse / name / "dim"), recursive=True)
+                dropped.append("OFFLINE")
+        else:
+            if name not in self.pipelines and name not in self.offline_configs:
+                raise KeyError(name)
+            if t in (None, "REALTIME") and name in self.pipelines:
+                pipe = self.pipelines.pop(name)
+                pipe.stop()
+                self.configs.pop(name, None)
+                for sub in ("data", "_checkpoint"):
+                    _fs.delete(
+                        self.spark, str(self.warehouse / name / sub), recursive=True
+                    )
+                for _spec, path in pipe._rollups:
+                    _fs.delete(self.spark, path, recursive=True)
+                dropped.append("REALTIME")
+            if t in (None, "OFFLINE") and name in self.offline_configs:
+                n_trees = len(self._hybrid_rollup_specs(name))
+                self.offline_configs.pop(name)
+                self.offline_structs.pop(name, None)
+                for sub in ("offline_segments", "offline_manifest"):
+                    _fs.delete(
+                        self.spark, str(self.warehouse / name / sub), recursive=True
+                    )
+                for i in range(max(n_trees, 8)):
+                    # cell logs may outlive their specs (config edits); sweep
+                    # a fixed superset of indexes rather than trusting state
+                    _fs.delete(
+                        self.spark, self._offline_rollup_path(name, i), recursive=True
+                    )
+                dropped.append("OFFLINE")
+        self._rollup_complete_cache = {
+            k: v for k, v in self._rollup_complete_cache.items() if k[0] != name
+        }
+        if name not in self.pipelines and name not in self.offline_configs:
+            for view in (name, f"{name}_raw"):
+                try:
+                    self.spark.catalog.dropTempView(view)
+                except Exception:
+                    pass
+        return {"table": name, "dropped": dropped}
 
     def _is_dim(self, name: str) -> bool:
         config = self.configs.get(name)

@@ -74,3 +74,38 @@ def kafka_source(bootstrap: str, topic: str, latest: bool = True) -> RawRecordSo
             "startingOffsets": "latest" if latest else "earliest",
         },
     )
+
+
+def source_from_stream_configs(stream_configs: dict) -> RawRecordSource:
+    """Build the record source a Pinot ``streamConfigs`` block declares —
+    what the controller does when AddTable arrives with a REALTIME config
+    (kinesisTableConfigFile.json:14-26 is the reference's exact block).
+
+    - ``streamType: kinesis`` -> :func:`kinesis_source` (topic name json:16,
+      LATEST iterator json:18; region placeholder resolved by the caller)
+    - ``streamType: kafka`` -> :func:`kafka_source` (the documented MSK
+      alternative, msk-construct.ts)
+    - ``streamType: file`` -> the engine's file-tailing source (the
+      test/bench analog of a shard put; not a Pinot stream type — documented
+      extension so provisioning round-trips run jar-free)
+    """
+    stype = str(stream_configs.get("streamType", "")).lower()
+    if stype == "kinesis":
+        return kinesis_source(
+            stream_configs["stream.kinesis.topic.name"],
+            region=stream_configs.get("region", "us-east-1"),
+            latest=str(stream_configs.get("shardIteratorType", "LATEST")).upper()
+            == "LATEST",
+        )
+    if stype == "kafka":
+        return kafka_source(
+            stream_configs["stream.kafka.broker.list"],
+            stream_configs["stream.kafka.topic.name"],
+            latest=str(
+                stream_configs.get("stream.kafka.consumer.prop.auto.offset.reset", "latest")
+            ).lower()
+            in ("latest", "largest"),
+        )
+    if stype == "file":
+        return RawRecordSource(kind="files", path=stream_configs["stream.file.path"])
+    raise ValueError(f"unsupported streamType {stype!r}")

@@ -1,0 +1,146 @@
+"""Controller REST facade: the reference's provisioning flow over HTTP.
+
+The reference creates its table with ``pinot-admin.sh AddTable -schemaFile
+-tableConfigFile -controllerHost <ALB>`` (bastionUserData.sh:36) — two
+controller calls, POST /schemas then POST /tables.  These tests run that
+exact flow (file-backed stream source so the round-trip is jar-free),
+query the provisioned table, inspect it, and drop it.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.request
+from pathlib import Path
+
+from real_time_analytics_with_apache_pinot_on_aws_spark.controller_http import start_controller
+from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
+from tests.test_schema import CLICKSTREAM_SCHEMA
+from tests.test_streaming_engine import TABLE_CONFIG, _write_events
+
+
+def _req(url: str, method: str = "GET", body: dict | None = None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(
+        url, data=data, method=method,
+        headers={"Content-Type": "application/json"} if data else {},
+    )
+    def _parse(raw: bytes):
+        try:
+            return json.loads(raw or b"null")
+        except json.JSONDecodeError:
+            return raw.decode()  # text endpoints (/health)
+
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, _parse(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, _parse(e.read())
+
+
+def _table_config(src_dir: str) -> dict:
+    cfg = json.loads(json.dumps(TABLE_CONFIG))
+    # the reference's streamConfigs block (kinesisTableConfigFile.json:14-26)
+    # with the jar-free file stream standing in for the Kinesis shard reader
+    cfg["tableIndexConfig"]["streamConfigs"] = {
+        "streamType": "file",
+        "stream.file.path": src_dir,
+        "realtime.segment.flush.threshold.time": "5000",
+    }
+    return cfg
+
+
+def test_addtable_over_http_round_trip(spark, tmp_path):
+    src_dir = tmp_path / "stream_in"
+    _write_events(src_dir / "a.json", 9, "2024-06-01")
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    ctl = start_controller(engine, port=0)
+    try:
+        base = ctl.url()
+        # AddTable without a schema is rejected like Pinot's controller
+        code, resp = _req(f"{base}/tables", "POST", _table_config(str(src_dir)))
+        assert code == 400 and "schema" in resp["error"]
+
+        code, resp = _req(f"{base}/schemas", "POST", CLICKSTREAM_SCHEMA)
+        assert code == 200 and "successfully added" in resp["status"]
+        code, resp = _req(f"{base}/tables", "POST", _table_config(str(src_dir)))
+        assert code == 200 and resp["consuming"] is True
+
+        code, resp = _req(f"{base}/tables")
+        assert code == 200 and "kinesisTable" in resp["tables"]
+        code, resp = _req(f"{base}/tables/kinesisTable")
+        assert code == 200
+        assert resp["REALTIME"]["tableIndexConfig"]["streamConfigs"]["streamType"] == "file"
+
+        # the stream picks up the pre-written events on its first trigger;
+        # poll the A4 freshness contract instead of sleeping a fixed time
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            engine.register_view("kinesisTable")
+            n = spark.table("kinesisTable").count()
+            if n == 9:
+                break
+            time.sleep(1)
+        assert n == 9
+
+        code, resp = _req(f"{base}/segments/kinesisTable")
+        assert code == 200 and resp.get("table") == "kinesisTable"
+
+        code, resp = _req(f"{base}/tables/kinesisTable", "DELETE")
+        assert code == 200 and resp["dropped"] == ["REALTIME"]
+        code, resp = _req(f"{base}/tables")
+        assert "kinesisTable" not in resp["tables"]
+        assert not (Path(engine.warehouse) / "kinesisTable" / "data").exists()
+        code, resp = _req(f"{base}/tables/kinesisTable")
+        assert code == 404
+    finally:
+        ctl.stop()
+        for p in list(engine.pipelines.values()):
+            p.stop()
+
+
+def test_controller_health_and_bad_requests(spark, tmp_path):
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    ctl = start_controller(engine, port=0)
+    try:
+        base = ctl.url()
+        code, _ = _req(f"{base}/health")
+        assert code == 200
+        code, resp = _req(f"{base}/schemas", "POST", {"fieldSpecs": "nonsense"})
+        assert code == 400
+        code, resp = _req(f"{base}/tables/nosuch", "DELETE")
+        assert code == 404
+        code, resp = _req(f"{base}/segments/nosuch")
+        assert code == 404
+    finally:
+        ctl.stop()
+
+
+def test_drop_table_hybrid_one_side(spark, tmp_path):
+    """DELETE ?type=REALTIME on a hybrid table leaves the OFFLINE side
+    serving (Pinot keys configs by (name, type))."""
+    from tests.test_streaming_engine import OFFLINE_CONFIG
+    from real_time_analytics_with_apache_pinot_on_aws_spark.streaming.ingest import RawRecordSource
+
+    src_dir = tmp_path / "stream_in"
+    _write_events(src_dir / "rt.json", 4, "2024-06-02")
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    pipe = engine.add_table(
+        CLICKSTREAM_SCHEMA, TABLE_CONFIG,
+        RawRecordSource(kind="files", path=str(src_dir)), available_now=True,
+    )
+    pipe.process_available()
+    engine.add_offline_table(CLICKSTREAM_SCHEMA, OFFLINE_CONFIG)
+    engine.upload_segment("kinesisTable", spark.createDataFrame(
+        [("u1", "X", 30, "2024-06-01 09:00:00")],
+        "userID string, campaign string, price int, creationTimestamp string",
+    ))
+    out = engine.drop_table("kinesisTable", "REALTIME")
+    assert out["dropped"] == ["REALTIME"]
+    engine.register_view("kinesisTable")
+    assert spark.table("kinesisTable").count() == 1  # offline row still served
+    out = engine.drop_table("kinesisTable")
+    assert out["dropped"] == ["OFFLINE"]
+    assert "kinesisTable" not in engine.list_tables()
