@@ -1070,6 +1070,12 @@ class Engine:
         """
         from .streaming.rollup import AggRequest
 
+        sql, opts = self._strip_query_options(sql)
+        if str(opts.get("useStarTree", "true")).lower() == "false":
+            # Pinot's useStarTree query option **[P1.2]**: false forces the
+            # raw-scan plan (the standard way to cross-check a star-tree
+            # answer); the default leaves routing to the selection logic
+            return self.query(sql), "sql"
         m = self._AGG_SQL_RE.match(sql)
         if not m:
             return self.query(sql), "sql"
@@ -1900,8 +1906,9 @@ class Engine:
         :meth:`_query_vector_similarity`.  Leading Pinot ``SET key=value;``
         query options **[P1.2]** (what the Pinot JDBC driver and console
         prefix statements with) and the legacy trailing ``OPTION(k=v, ...)``
-        form parse and strip; currently none changes the Spark plan — the
-        statement must still answer, not fail to parse.  Scalar
+        form parse and strip; ``useStarTree=false`` disables star-tree
+        routing on :meth:`query_routed` (the raw-scan cross-check), the
+        rest must still answer, not fail to parse.  Scalar
         ``LOOKUP('dim','valueCol','pkCol', expr)`` calls **[P1.2]** rewrite
         to correlated scalar subqueries against registered dimension tables
         (:meth:`add_dim_table`) — Catalyst plans them as a broadcast

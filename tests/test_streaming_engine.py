@@ -1119,6 +1119,13 @@ def test_query_routed_sql_star_tree_selection(spark, tmp_path):
     f2, r2 = engine.query_routed(
         "SELECT campaign, count(*) AS n FROM starSql GROUP BY campaign HAVING count(*) > 5")
     assert r2 == "sql" and f2.count() >= 0
+
+    # SET useStarTree=false (Pinot query option) forces the raw scan —
+    # the standard cross-check of a star-tree answer — with equal values
+    f3, r3 = engine.query_routed(f"SET useStarTree=false; {sql}")
+    assert r3 == "sql"
+    assert sorted(map(tuple, f3.select("campaign", "total", "n").collect())) == \
+           sorted(map(tuple, direct.collect()))
     pipe.stop()
 
 
