@@ -155,6 +155,8 @@ class ControllerServer:
                     self._send(404, b"not found", "text/plain")
 
             def do_POST(self):
+                from .engine import TableAlreadyExistsError
+
                 try:
                     body = self._body()
                     if self.path == "/schemas":
@@ -163,6 +165,10 @@ class ControllerServer:
                         self._send(200, outer._add_table(body))
                     else:
                         self._send(404, b"not found", "text/plain")
+                except TableAlreadyExistsError as e:
+                    # an AddTable retry must not clobber the live pipeline;
+                    # Pinot's controller answers 409 Conflict
+                    self._send(409, {"code": 409, "error": str(e)})
                 except Exception as e:  # Pinot controller 400 error shape
                     self._send(400, {"code": 400, "error": str(e)})
 

@@ -33,6 +33,12 @@ from .streaming.ingest import IngestPipeline, RawRecordSource
 from .streaming.ingest import timestamp_index_column as _ts_index_column
 
 
+class TableAlreadyExistsError(ValueError):
+    """AddTable on a name that already has that table type — Pinot's
+    controller answers 409 Conflict; raising a distinct class lets the
+    HTTP facade map it without string-matching."""
+
+
 @dataclass(frozen=True)
 class TableConfig:
     """The slice of Pinot table config this engine honors."""
@@ -387,6 +393,15 @@ class Engine:
                 f"{config.name!r} is already a dimension table — choose a "
                 "different tableName"
             )
+        if config.name in self.pipelines:
+            # a duplicate AddTable (e.g. an HTTP retry) must not replace the
+            # live pipeline — the original StreamingQuery would be orphaned
+            # (unstoppable) and a second consumer on the same checkpoint /
+            # table path appends duplicates.  Pinot's controller 409s.
+            raise TableAlreadyExistsError(
+                f"table {config.name!r} already exists — drop_table() it "
+                "first (Pinot: DELETE /tables/{name})"
+            )
         self.configs[config.name] = config
         table_path = str(self.warehouse / config.name / "data")
         checkpoint = str(self.warehouse / config.name / "_checkpoint")
@@ -547,6 +562,11 @@ class Engine:
             raise ValueError(
                 f"add_offline_table({config.name!r}): tableType must be "
                 f"OFFLINE, got {config.table_type!r}"
+            )
+        if config.name in self.offline_configs:
+            raise TableAlreadyExistsError(
+                f"OFFLINE table {config.name!r} already exists — "
+                "drop_table() it first (Pinot: DELETE /tables/{name})"
             )
         if config.is_dim_table:
             raise ValueError(
@@ -917,11 +937,13 @@ class Engine:
             raise ValueError(f"unknown table type {t!r}")
         dropped: list[str] = []
         if self._is_dim(name):
-            # a dimension table is Pinot-OFFLINE; REALTIME-only never touches it
-            if t != "REALTIME":
-                self.configs.pop(name, None)
-                _fs.delete(self.spark, str(self.warehouse / name / "dim"), recursive=True)
-                dropped.append("OFFLINE")
+            if t == "REALTIME":
+                # a dimension table is Pinot-OFFLINE; nothing of that type
+                # exists to drop — 404, never a silent no-op success
+                raise KeyError(f"{name} has no REALTIME table")
+            self.configs.pop(name, None)
+            _fs.delete(self.spark, str(self.warehouse / name / "dim"), recursive=True)
+            dropped.append("OFFLINE")
         else:
             if name not in self.pipelines and name not in self.offline_configs:
                 raise KeyError(name)
@@ -951,15 +973,25 @@ class Engine:
                         self.spark, self._offline_rollup_path(name, i), recursive=True
                     )
                 dropped.append("OFFLINE")
+        if not dropped:
+            # a specific type was requested but the table has no such side
+            # (e.g. ?type=OFFLINE on a realtime-only table) — Pinot 404s;
+            # a 200 with dropped=[] would read as success to automation
+            raise KeyError(f"{name} has no {t} table")
         self._rollup_complete_cache = {
             k: v for k, v in self._rollup_complete_cache.items() if k[0] != name
         }
-        if name not in self.pipelines and name not in self.offline_configs:
-            for view in (name, f"{name}_raw"):
-                try:
-                    self.spark.catalog.dropTempView(view)
-                except Exception:
-                    pass
+        gone = name not in self.pipelines and name not in self.offline_configs
+        for view in (name, f"{name}_raw", f"{name}_offline", f"{name}_realtime"):
+            # captured view plans still union the deleted side's files; drop
+            # them all, then re-register the main view over the surviving
+            # side so "the other keeps serving" holds without caller action
+            try:
+                self.spark.catalog.dropTempView(view)
+            except Exception:
+                pass
+        if not gone and not self._is_dim(name):
+            self.register_view(name)
         return {"table": name, "dropped": dropped}
 
     def _is_dim(self, name: str) -> bool:
@@ -1943,17 +1975,65 @@ class Engine:
     )
 
     def _timestamp_index_rewrites(self) -> dict:
-        """(lowercased source column, GRAN) -> derived column, across every
-        configured table — both the raw declared column and its typed
-        ``__ts`` decode output rewrite to the same derived column."""
+        """(lowercased source column, GRAN) -> derived column, restricted to
+        declarations whose EVERY serving side materializes the column —
+        rewriting a partially-materialized column would read NULL for the
+        unmaterialized rows (silent wrong groups/filters):
+
+        - realtime-only table: the decode materializes from AddTable on;
+        - offline-only table: every upload materializes from AddTable on
+          (upload_segment requires the config);
+        - hybrid: BOTH configs must declare the (col, gran) — uploads made
+          between add_offline_table and the REALTIME AddTable consult only
+          the OFFLINE config, so a realtime-only declaration leaves those
+          segments (and an offline-only declaration leaves every realtime
+          row) without the column.
+
+        Both the raw declared column and its typed ``__ts`` decode output
+        rewrite to the same derived column.
+        """
         out: dict = {}
-        for cfg in (*self.configs.values(), *self.offline_configs.values()):
-            for col, grans in cfg.timestamp_index_columns:
+        for name, cfg in self.configs.items():
+            if cfg.is_dim_table:
+                continue
+            declared = dict(cfg.timestamp_index_columns)
+            off = self.offline_configs.get(name)
+            if off is not None:
+                off_declared = dict(off.timestamp_index_columns)
+                declared = {
+                    col: tuple(g for g in grans if g in set(off_declared.get(col, ())))
+                    for col, grans in declared.items()
+                }
+            for col, grans in declared.items():
+                for gran in grans:
+                    derived = _ts_index_column(col, gran)
+                    out[(col.lower(), gran)] = derived
+                    out[(f"{col}__ts".lower(), gran)] = derived
+        for name, off in self.offline_configs.items():
+            if name in self.configs:
+                continue  # hybrid handled above
+            for col, grans in off.timestamp_index_columns:
                 for gran in grans:
                     derived = _ts_index_column(col, gran)
                     out[(col.lower(), gran)] = derived
                     out[(f"{col}__ts".lower(), gran)] = derived
         return out
+
+    @staticmethod
+    def _literal_spans(sql: str) -> list[tuple[int, int]]:
+        """[start, end) spans of every quoted literal, via _skip_literal —
+        the same scanner the LOOKUP rewriter trusts (both quote forms,
+        backslash and doubled-quote escapes)."""
+        spans: list[tuple[int, int]] = []
+        i, n = 0, len(sql)
+        while i < n:
+            if sql[i] in ("'", '"'):
+                j = Engine._skip_literal(sql, i)
+                spans.append((i, j))
+                i = j
+            else:
+                i += 1
+        return spans
 
     def _apply_ts_index_rewrite(self, sql: str) -> str:
         """Pinot TIMESTAMP index query rewrite **[P1.2]**: replace
@@ -1961,20 +2041,27 @@ class Engine:
         declared column with its materialized ``<col>__<gran>`` derived
         column, so the truncation is READ (and range-filters prune via
         parquet min/max stats) instead of computed per row — exactly what
-        Pinot's rewrite to ``$col$GRAN`` + range index buys.  The rewrite
-        must analyze cleanly (the statement may bind a same-named column of
-        an undeclared table); otherwise the original SQL stands — the
-        routing contract everywhere on this surface.
+        Pinot's rewrite to ``$col$GRAN`` + range index buys.  SELECT/WITH
+        statements only (the analysis probe would EXECUTE a command), and
+        the rewrite must analyze cleanly (the statement may bind a
+        same-named column of an undeclared table); otherwise the original
+        SQL stands — the routing contract everywhere on this surface.
         """
-        mapping = self._timestamp_index_rewrites()
-        if not mapping or "trunc" not in sql.lower():
+        if "trunc" not in sql.lower():
             return sql
+        if not re.match(r"\s*(SELECT|WITH)\b", sql, re.IGNORECASE):
+            return sql
+        mapping = self._timestamp_index_rewrites()
+        if not mapping:
+            return sql
+        spans = self._literal_spans(sql)
         pieces: list[str] = []
         last = 0
         for m in self._DATETRUNC_RE.finditer(sql):
-            # skip matches inside string literals (quote-parity on prefix;
-            # '' escapes flip parity twice so stay counted as inside)
-            if sql[: m.start()].count("'") % 2 == 1:
+            # the granularity literal inside the call is expected; what must
+            # not match is a call-shaped substring inside an OUTER literal —
+            # i.e. a match that STARTS inside any quoted span
+            if any(s <= m.start() < e for s, e in spans):
                 continue
             derived = mapping.get((m.group(2).lower(), m.group(1).upper()))
             if derived is None:
@@ -1987,7 +2074,7 @@ class Engine:
         pieces.append(sql[last:])
         rewritten = "".join(pieces)
         try:
-            self.spark.sql(rewritten)  # analysis-only probe, no execution
+            self.spark.sql(rewritten)  # SELECT/WITH only: analysis, no exec
             return rewritten
         except Exception:
             return sql

@@ -649,6 +649,7 @@ def line_dedup(
     min_docs: int = 2,
     min_chars: int = 10,
     sep: str = "\n",
+    broadcast_dict: bool = True,
 ) -> DataFrame:
     """Line-level (paragraph) corpus dedup — CCNet (Wenzek et al. 2020,
     arXiv:1911.00359) / RefinedWeb-style boilerplate removal: a line whose
@@ -662,7 +663,7 @@ def line_dedup(
     empty ``clean_text`` when every line was boilerplate (caller decides
     whether to drop such husks).
 
-    Spark shape, two shuffles at any scale:
+    Spark shape, two shuffles with the default broadcast dictionary:
 
     1. duplicated-line dictionary: explode lines map-side, shuffle ONLY
        8-byte ``xxhash64(trim(line))`` keys (never line text) for a
@@ -673,11 +674,16 @@ def line_dedup(
        text, total and removed counts all come from the SAME collected
        array, so there is no join-back or second pass over the corpus.
 
+    ``broadcast_dict=True`` (default) broadcasts the dictionary into the
+    flagging join — it holds one 8-byte hash per line duplicated across
+    ``min_docs`` docs, bounded by distinct boilerplate (not corpus size).
+    Set False if the dup set outgrows executor memory; that honest fallback
+    is a THIRD exchange (a shuffle join whose probe side carries the line
+    text), the cost the broadcast exists to avoid.
+
     The dictionary join keys are hashes: a 64-bit collision silently drops
     an innocent line (~2^-64 per distinct-line pair — at web scale ~1e-7
-    for a trillion distinct lines, below crawl noise).  AQE broadcasts the
-    dictionary when it is small; at 100 TB it stays a shuffle join on
-    8-byte keys.
+    for a trillion distinct lines, below crawl noise).
     """
     lines = docs.select(
         F.col(id_col),
@@ -696,6 +702,8 @@ def line_dedup(
         .where(F.col("nd") >= min_docs)
         .select("lh", F.lit(True).alias("is_dup"))
     )
+    if broadcast_dict:
+        dup = F.broadcast(dup)
     flagged = lines.join(dup, "lh", "left").select(
         id_col,
         F.struct(

@@ -5372,8 +5372,10 @@ def c21_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "touched).  Spark shape (operators/dedup.py line_dedup): two "
         "shuffles total — the duplicated-line dictionary moves ONLY 8-byte "
         "xxhash64 keys (line text never crosses that exchange; < min_chars "
-        "lines are skipped as the skew bombs of the keyspace), and ONE "
-        "groupBy(doc) reassembly computes clean text, totals and removals "
+        "lines are skipped as the skew bombs of the keyspace), the "
+        "dictionary (bounded by distinct boilerplate, not corpus size) "
+        "broadcasts into the flagging join, and ONE groupBy(doc) "
+        "reassembly computes clean text, totals and removals "
         "from the same collected array.  The oracle replays lines/dictionary"
         "/reassembly on the raw strings — hash-free, so it also adjudicates "
         "collision honesty.",

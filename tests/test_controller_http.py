@@ -67,6 +67,10 @@ def test_addtable_over_http_round_trip(spark, tmp_path):
         code, resp = _req(f"{base}/tables", "POST", _table_config(str(src_dir)))
         assert code == 200 and resp["consuming"] is True
 
+        # an AddTable retry must not clobber the live pipeline: 409
+        code, resp = _req(f"{base}/tables", "POST", _table_config(str(src_dir)))
+        assert code == 409 and "already exists" in resp["error"]
+
         code, resp = _req(f"{base}/tables")
         assert code == 200 and "kinesisTable" in resp["tables"]
         code, resp = _req(f"{base}/tables/kinesisTable")
@@ -137,10 +141,18 @@ def test_drop_table_hybrid_one_side(spark, tmp_path):
         [("u1", "X", 30, "2024-06-01 09:00:00")],
         "userID string, campaign string, price int, creationTimestamp string",
     ))
+    engine.register_view("kinesisTable")
+    assert spark.table("kinesisTable").count() == 5
     out = engine.drop_table("kinesisTable", "REALTIME")
     assert out["dropped"] == ["REALTIME"]
-    engine.register_view("kinesisTable")
-    assert spark.table("kinesisTable").count() == 1  # offline row still served
+    # the view re-registers over the surviving side — no caller action, no
+    # stale plan over the deleted realtime files
+    assert spark.table("kinesisTable").count() == 1
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        engine.drop_table("kinesisTable", "REALTIME")  # already gone -> 404
     out = engine.drop_table("kinesisTable")
     assert out["dropped"] == ["OFFLINE"]
     assert "kinesisTable" not in engine.list_tables()
+    assert not spark.catalog.tableExists("kinesisTable")  # view dropped too

@@ -1347,3 +1347,6 @@ def test_line_dedup_dictionary_shuffles_only_hashes(spark):
 
     # the dictionary-side hash aggregate groups by the 8-byte hash column
     assert re.search(r"HashAggregate.*xxhash64|hashaggregate.*lh", plan, re.I | re.S)
+    # and the dictionary BROADCASTS into the flagging join — a shuffle join
+    # there would carry the full line text through a third exchange
+    assert "BroadcastHashJoin" in plan

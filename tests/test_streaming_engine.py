@@ -2729,10 +2729,16 @@ def test_timestamp_index_hybrid_upload_parity(spark, tmp_path):
         "userID string, campaign string, price int, creationTimestamp string",
     ))
     engine.register_view("kinesisTable")
-    out = engine.query(
+    q = engine.query(
         "SELECT dateTrunc('DAY', creationTimestamp__ts) AS d, count(*) AS n "
         "FROM kinesisTable GROUP BY 1 ORDER BY 1"
-    ).collect()
-    days = {str(r["d"]): r["n"] for r in out}
+    )
+    # only the REALTIME config declares the index here, so the rewrite must
+    # NOT fire: offline segments uploaded before the realtime AddTable
+    # would read NULL for the derived column (the silent-wrong-groups hole)
+    # — hybrid rewrites require BOTH configs to declare the granularity
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "date_trunc" in plan.lower()
+    days = {str(r["d"]): r["n"] for r in q.collect()}
     assert days == {"2024-06-01 00:00:00": 1, "2024-06-02 00:00:00": 4}
     pipe.stop()
