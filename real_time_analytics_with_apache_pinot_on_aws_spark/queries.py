@@ -5397,6 +5397,61 @@ def c24_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "c25_exact_substring_dedup",
+    r"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, u.s, array_to_string(t[u.s : u.s + 4], chr(1)) AS g
+      FROM toks, UNNEST(range(1, greatest(len(t) - 5 + 2, 1))) AS u(s)
+    ),
+    rep AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    starts AS (SELECT doc_id, s FROM grams JOIN rep USING (g)),
+    covered AS (
+      SELECT DISTINCT doc_id, s + r.i AS p
+      FROM starts, UNNEST(range(0, 5)) AS r(i)
+    ),
+    toklist AS (
+      SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p FROM toks
+    )
+    SELECT tl.doc_id,
+           md5(coalesce(string_agg(tl.tok, ' ' ORDER BY tl.p)
+                 FILTER (WHERE c.p IS NULL), '')) AS clean_md5,
+           CAST(count(*) AS INT) AS n_tokens,
+           CAST(count(c.p) AS INT) AS n_removed
+    FROM toklist tl LEFT JOIN covered c ON tl.doc_id = c.doc_id AND tl.p = c.p
+    GROUP BY tl.doc_id
+    """,
+    doc="C25: exact-substring dedup — EXACTSUBSTR analog (Lee et al. 2021, "
+        "arXiv:2107.06499): any 5-token gram occurring >= 2 times "
+        "corpus-wide marks every token it covers for removal, trimming "
+        "memorized spans hiding INSIDE otherwise-different documents "
+        "(invisible to document-level c1 and line-level c24; the fixture "
+        "has 1,096 naturally repeated 5-grams touching 71/500 docs at "
+        "sf0.01, so the oracle is non-vacuous without construction).  "
+        "Documented divergence: all occurrences go (the paper's "
+        "keep-one is scan-order-dependent), keeping the result a pure "
+        "function of the corpus.  Spark shape (operators/dedup.py "
+        "exact_substring_dedup): gram hashing is one map-side transform "
+        "(8-byte xxhash64 per gram — gram STRINGS never cross an "
+        "exchange), the gram count is the only corpus-sized shuffle, "
+        "covered-start collection is doc-keyed ints, and the final "
+        "(id, starts) join builds from ONLY the docs containing repeated "
+        "spans.  The oracle replays grams/dictionary/masking on raw "
+        "strings — hash-free, adjudicating collision honesty too.",
+)
+def c25_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return _dedup.exact_substring_dedup(
+        spark.table("documents").select("doc_id", "text"), k=5, min_count=2
+    ).select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_removed").cast("int").alias("n_removed"),
+    )
+
+
 # ===========================================================================
 # Driver window curation: the driver's correctness gate adjudicates exactly
 # the first 50 entries of queries() in registration order (confirmed in

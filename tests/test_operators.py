@@ -1350,3 +1350,78 @@ def test_line_dedup_dictionary_shuffles_only_hashes(spark):
     # and the dictionary BROADCASTS into the flagging join — a shuffle join
     # there would carry the full line text through a third exchange
     assert "BroadcastHashJoin" in plan
+
+
+# -- exact-substring dedup (C25, EXACTSUBSTR analog) -----------------------
+
+
+def test_exact_substring_dedup_removes_repeated_spans(spark):
+    """A 5-gram shared by two docs is removed from BOTH, even when the
+    surrounding text differs (invisible to doc-level and line-level dedup);
+    covered tokens from overlapping repeated grams are removed once."""
+    import real_time_analytics_with_apache_pinot_on_aws_spark.operators.dedup as D
+
+    span = "the quick brown fox jumps"
+    docs = spark.createDataFrame(
+        [(1, f"alpha starts here {span} then alpha continues onward"),
+         (2, f"totally different opening {span} and a different tail"),
+         (3, "no repeated content in this document at all")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in D.exact_substring_dedup(docs).collect()}
+    for d in (1, 2):
+        assert span not in out[d]["clean_text"]
+        assert out[d]["n_removed"] == 5
+    assert out[1]["clean_text"] == "alpha starts here then alpha continues onward"
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"] == "no repeated content in this document at all"
+
+
+def test_exact_substring_dedup_intra_doc_repeats_count(spark):
+    """Occurrences are counted corpus-wide INCLUDING within one document
+    (the paper's definition): a doc that repeats its own 5-gram trips the
+    threshold alone, and both copies are removed."""
+    import real_time_analytics_with_apache_pinot_on_aws_spark.operators.dedup as D
+
+    span = "one two three four five"
+    docs = spark.createDataFrame(
+        [(1, f"{span} middle words sit here {span}"),
+         (2, "unrelated second document body text")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in D.exact_substring_dedup(docs).collect()}
+    assert out[1]["clean_text"] == "middle words sit here"
+    assert out[1]["n_removed"] == 10
+    assert out[2]["n_removed"] == 0
+
+
+def test_exact_substring_dedup_short_docs_and_overlap(spark):
+    """Docs shorter than k produce no grams (kept whole); overlapping
+    repeated grams merge into one removed span, not double-counted."""
+    import real_time_analytics_with_apache_pinot_on_aws_spark.operators.dedup as D
+
+    # 6-token shared span -> two overlapping repeated 5-grams covering 6 tokens
+    span = "a b c d e f"
+    docs = spark.createDataFrame(
+        [(1, f"{span} unique tail one here now"),
+         (2, f"{span} other ending entirely different words"),
+         (3, "tiny doc")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in D.exact_substring_dedup(docs).collect()}
+    assert out[1]["n_removed"] == 6 and out[2]["n_removed"] == 6
+    assert out[3]["n_removed"] == 0 and out[3]["clean_text"] == "tiny doc"
+
+
+def test_exact_substring_dedup_gram_hashing_is_map_side(spark):
+    """Gram hashes come from a codegen transform over token offsets — no
+    gram strings in any exchange; the dictionary join broadcasts."""
+    import real_time_analytics_with_apache_pinot_on_aws_spark.operators.dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "w x y z u v unique one"), (2, "w x y z u v other two")],
+        "doc_id int, text string",
+    )
+    plan = D.exact_substring_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "pythonudf" not in plan.lower()

@@ -62,6 +62,9 @@ PROBES = (
     # line-level boilerplate dedup: dictionary shuffle is 8-byte hashes,
     # reassembly is one doc-keyed exchange — both linear in corpus size
     "c24_line_dedup",
+    # exact-substring dedup: gram-hash count is the only corpus-sized
+    # shuffle; covered-start collection and masking are doc-local
+    "c25_exact_substring_dedup",
 )
 
 
