@@ -116,6 +116,9 @@ class ControllerServer:
             def do_GET(self):
                 url = urlparse(self.path)
                 parts = [p for p in url.path.split("/") if p]
+                if url.path == "/periodictask/run":
+                    # Pinot serves this as GET; POST accepted as well
+                    return self.do_POST()
                 if url.path == "/health":
                     self._send(200, b"OK", "text/plain")
                 elif url.path == "/tables":
@@ -157,11 +160,38 @@ class ControllerServer:
             def do_POST(self):
                 from .engine import TableAlreadyExistsError
 
+                url = urlparse(self.path)
                 try:
+                    if url.path == "/periodictask/run":
+                        # Pinot controller API **[P1.2]** (GET in Pinot; POST
+                        # accepted too): run a maintenance task now.  Task
+                        # names map onto the engine's maintenance analogs.
+                        qs = parse_qs(url.query)
+                        task = (qs.get("taskname") or [""])[0]
+                        table = (qs.get("tableName") or [None])[0]
+                        if table is None:
+                            raise ValueError("tableName query parameter required")
+                        if task == "RetentionManager":
+                            pipe = engine.pipelines.get(table)
+                            if pipe is None:
+                                raise KeyError(table)
+                            self._send(200, {"table": table,
+                                             "dropped": pipe.run_retention()})
+                        elif task == "RealtimeToOfflineSegmentsTask":
+                            self._send(200, engine.realtime_to_offline(table))
+                        elif task == "MergeRollupTask":
+                            self._send(200, engine.compact(table))
+                        else:
+                            raise ValueError(
+                                f"unknown taskname {task!r} (supported: "
+                                "RetentionManager, RealtimeToOfflineSegmentsTask, "
+                                "MergeRollupTask)"
+                            )
+                        return
                     body = self._body()
-                    if self.path == "/schemas":
+                    if url.path == "/schemas":
                         self._send(200, engine.add_schema(body))
-                    elif self.path == "/tables":
+                    elif url.path == "/tables":
                         self._send(200, outer._add_table(body))
                     else:
                         self._send(404, b"not found", "text/plain")
@@ -169,6 +199,8 @@ class ControllerServer:
                     # an AddTable retry must not clobber the live pipeline;
                     # Pinot's controller answers 409 Conflict
                     self._send(409, {"code": 409, "error": str(e)})
+                except KeyError as e:
+                    self._send(404, {"code": 404, "error": f"table {e} not found"})
                 except Exception as e:  # Pinot controller 400 error shape
                     self._send(400, {"code": 400, "error": str(e)})
 

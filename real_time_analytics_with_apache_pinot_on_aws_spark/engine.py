@@ -602,6 +602,86 @@ class Engine:
         Path(self._offline_path(config.name)).mkdir(parents=True, exist_ok=True)
         return {"table": config.name, "type": "OFFLINE", "path": self._offline_path(config.name)}
 
+    def realtime_to_offline(self, name: str, cutoff_day=None) -> dict:
+        """Pinot ``RealtimeToOfflineSegmentsTask`` analog **[P1.2]**: move
+        sealed realtime days at or before ``cutoff_day`` into the OFFLINE
+        side of a hybrid table, then drop them (data + star-tree cells)
+        from the realtime store — the minion task that keeps a production
+        hybrid table's realtime side small while the OFFLINE side accretes
+        history.  Defaults to every day strictly BEFORE the newest realtime
+        day (the consuming day is never moved — Pinot's bufferTimePeriod).
+
+        Consistency: the time boundary advances to the moved days, so the
+        hybrid read serves them from OFFLINE; late rows arriving for a
+        moved day land in realtime but sit behind the boundary — hidden,
+        exactly Pinot's documented hybrid semantics.  Days already at or
+        before the current boundary are not moved (they would double-count
+        on the OFFLINE side).  Requires the consuming query stopped or
+        drained, same rule as :meth:`compact` — both rewrite sealed
+        partitions.
+        """
+        from datetime import date as _date
+        from datetime import timedelta
+
+        from pyspark.sql import functions as F
+
+        if name not in self.offline_configs:
+            raise ValueError(
+                f"{name!r} has no OFFLINE table — add_offline_table first "
+                "(RealtimeToOffline moves segments of a HYBRID table)"
+            )
+        pipeline = self._pipeline(name)
+        q = pipeline._query
+        if q is not None and q.isActive:
+            raise RuntimeError(
+                f"table {name!r} has an active streaming query; "
+                "stop() or drain it before realtime_to_offline()"
+            )
+
+        def _days(root: str) -> list[str]:
+            return sorted(
+                _fs.basename(p["path"]).split("=", 1)[1]
+                for p in _fs.glob_status(self.spark, f"{root}/ingest_date=*")
+                if p["is_dir"]
+            )
+
+        rt_days = _days(pipeline.table_path)
+        if not rt_days:
+            return {"table": name, "moved_days": [], "rows_moved": 0}
+        if cutoff_day is None:
+            cutoff_day = _date.fromisoformat(rt_days[-1]) - timedelta(days=1)
+        elif isinstance(cutoff_day, str):
+            cutoff_day = _date.fromisoformat(cutoff_day)
+        boundary = self.hybrid_time_boundary(name)
+        move = [
+            d
+            for d in rt_days
+            if _date.fromisoformat(d) <= cutoff_day
+            and (boundary is None or _date.fromisoformat(d) > boundary)
+        ]
+        if not move:
+            return {"table": name, "moved_days": [], "rows_moved": 0}
+        rows = pipeline.table().where(F.col("ingest_date").isin(move))
+        # upload_segment re-derives ingest_date / derived columns and
+        # appends the offline star-tree cells + coverage manifest rows —
+        # the moved days become first-class OFFLINE segments
+        n = rows.count()
+        self.upload_segment(name, rows.drop("ingest_date"))
+        roots = [pipeline.table_path] + [
+            path for spec, path in pipeline._rollups if "ingest_date" in spec.dims
+        ]
+        for root in roots:
+            for d in move:
+                part = f"{root}/ingest_date={d}"
+                if _fs.exists(self.spark, part) and not _fs.delete(
+                    self.spark, part, recursive=True
+                ):
+                    raise RuntimeError(
+                        f"realtime_to_offline: delete of moved partition "
+                        f"{part} returned false — data now DOUBLE-served"
+                    )
+        return {"table": name, "moved_days": move, "rows_moved": n}
+
     def upload_segment(self, name: str, frame: DataFrame) -> dict:
         """Segment upload analog **[P1.2]** (POST /v2/segments): append a
         typed batch frame into the OFFLINE table's day-partitioned storage —

@@ -156,3 +156,52 @@ def test_drop_table_hybrid_one_side(spark, tmp_path):
     assert out["dropped"] == ["OFFLINE"]
     assert "kinesisTable" not in engine.list_tables()
     assert not spark.catalog.tableExists("kinesisTable")  # view dropped too
+
+
+def test_periodictask_run_endpoint(spark, tmp_path):
+    """GET/POST /periodictask/run (Pinot controller API): maintenance task
+    names map onto the engine's analogs — RealtimeToOfflineSegmentsTask
+    moves sealed days, MergeRollupTask compacts, RetentionManager expires."""
+    from tests.test_streaming_engine import OFFLINE_CONFIG, _st_config
+    from real_time_analytics_with_apache_pinot_on_aws_spark.streaming.ingest import RawRecordSource
+
+    src_dir = tmp_path / "stream_in"
+    _write_events(src_dir / "d1.json", 6, "2024-06-01")
+    _write_events(src_dir / "d2.json", 2, "2024-06-02", start=100)
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    pipe = engine.add_table(
+        CLICKSTREAM_SCHEMA, _st_config(),
+        RawRecordSource(kind="files", path=str(src_dir)), available_now=True,
+    )
+    pipe.process_available()
+    engine.add_offline_table(CLICKSTREAM_SCHEMA, OFFLINE_CONFIG)
+    ctl = start_controller(engine, port=0)
+    try:
+        base = ctl.url()
+        code, resp = _req(
+            f"{base}/periodictask/run?taskname=RealtimeToOfflineSegmentsTask"
+            "&tableName=kinesisTable"
+        )
+        assert code == 200 and resp["moved_days"] == ["2024-06-01"]
+        code, resp = _req(
+            f"{base}/periodictask/run?taskname=MergeRollupTask&tableName=kinesisTable",
+            "POST",
+        )
+        assert code == 200 and "compacted_partitions" in resp
+        code, resp = _req(
+            f"{base}/periodictask/run?taskname=RetentionManager&tableName=kinesisTable"
+        )
+        assert code == 200 and resp["dropped"] == []  # nothing past 7 days
+        code, resp = _req(
+            f"{base}/periodictask/run?taskname=NoSuchTask&tableName=kinesisTable"
+        )
+        assert code == 400
+        code, resp = _req(
+            f"{base}/periodictask/run?taskname=RetentionManager&tableName=ghost"
+        )
+        assert code == 404
+        engine.register_view("kinesisTable")
+        assert spark.table("kinesisTable").count() == 8  # nothing lost
+    finally:
+        ctl.stop()
+        pipe.stop()

@@ -2742,3 +2742,61 @@ def test_timestamp_index_hybrid_upload_parity(spark, tmp_path):
     days = {str(r["d"]): r["n"] for r in q.collect()}
     assert days == {"2024-06-01 00:00:00": 1, "2024-06-02 00:00:00": 4}
     pipe.stop()
+
+
+def test_realtime_to_offline_task(spark, tmp_path):
+    """Pinot RealtimeToOfflineSegmentsTask analog: sealed realtime days
+    move into the OFFLINE side (segments + star-tree cells + manifest),
+    the boundary advances, total served rows never change, and hybrid
+    aggregate routing stays value-correct."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.streaming.rollup import AggRequest
+
+    src_dir = tmp_path / "stream_in"
+    _write_events(src_dir / "d1.json", 6, "2024-06-01")
+    _write_events(src_dir / "d2.json", 4, "2024-06-02", start=100)
+    _write_events(src_dir / "d3.json", 2, "2024-06-03", start=200)
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    pipe = engine.add_table(
+        CLICKSTREAM_SCHEMA, _st_config(),
+        RawRecordSource(kind="files", path=str(src_dir)), available_now=True,
+    )
+    pipe.process_available()
+    engine.add_offline_table(CLICKSTREAM_SCHEMA, OFFLINE_CONFIG)
+    engine.register_view("kinesisTable")
+    before = spark.table("kinesisTable").count()
+    assert before == 12
+
+    report = engine.realtime_to_offline("kinesisTable")  # default: < newest day
+    assert report["moved_days"] == ["2024-06-01", "2024-06-02"]
+    assert report["rows_moved"] == 10
+    # realtime store now holds only the consuming day
+    rt_parts = sorted(
+        p.name for p in Path(pipe.table_path).glob("ingest_date=*") if p.is_dir()
+    )
+    assert rt_parts == ["ingest_date=2024-06-03"]
+    # the hybrid view serves the same rows, boundary moved to 06-02
+    engine.register_view("kinesisTable")
+    assert spark.table("kinesisTable").count() == before
+    assert str(engine.hybrid_time_boundary("kinesisTable")) == "2024-06-02"
+
+    # moved days became first-class OFFLINE segments: cells + manifest
+    # appended by upload_segment, so hybrid agg routing still fires and
+    # matches the raw scan
+    req = AggRequest(dims=("campaign",), aggs={"n": ("count", "price"), "rev": ("sum", "price")})
+    out, route = engine.query_agg("kinesisTable", req)
+    assert route == "rollup:hybrid_startree0"
+    routed = {r["campaign"]: (r["n"], r["rev"]) for r in out.collect()}
+    raw = {
+        r["campaign"]: (r["n"], r["rev"])
+        for r in spark.sql(
+            "SELECT campaign, count(price) AS n, sum(price) AS rev "
+            "FROM kinesisTable GROUP BY campaign"
+        ).collect()
+    }
+    assert routed == raw
+    assert sum(n for n, _ in routed.values()) == 12
+
+    # idempotent: nothing left below the newest day that isn't offline
+    again = engine.realtime_to_offline("kinesisTable")
+    assert again["moved_days"] == []
+    pipe.stop()
