@@ -191,7 +191,31 @@ def main() -> None:
         "SELECT ingest_date, count(*) AS n FROM clickstream GROUP BY 1 ORDER BY 1"
     ).show()
 
+    # 10. RealtimeToOfflineSegmentsTask: move sealed realtime days into the
+    #     OFFLINE side (the minion task production hybrid tables run) —
+    #     requires the consumer drained, same rule as compaction
     pipe.stop()
+    # explicit cutoff: the default never moves the newest (consuming) day
+    print("realtime->offline:",
+          engine.realtime_to_offline("clickstream", cutoff_day="2024-06-01"))
+    engine.register_view("clickstream")
+    engine.query(
+        "SELECT ingest_date, count(*) AS n FROM clickstream GROUP BY 1 ORDER BY 1"
+    ).show()
+
+    # 11. Controller REST: the reference provisions with pinot-admin.sh
+    #     AddTable == POST /schemas + POST /tables against the controller;
+    #     the same facade lists tables and runs maintenance tasks
+    import json as _json
+    import urllib.request
+
+    from real_time_analytics_with_apache_pinot_on_aws_spark.controller_http import start_controller
+
+    ctl = start_controller(engine, port=0)
+    with urllib.request.urlopen(f"{ctl.url()}/tables", timeout=10) as r:
+        print("controller /tables:", _json.loads(r.read()))
+    ctl.stop()
+
     spark.stop()
 
 

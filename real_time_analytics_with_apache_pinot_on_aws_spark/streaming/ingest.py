@@ -313,7 +313,13 @@ class IngestPipeline:
         frame (the decode schema) instead of failing parquet inference —
         same posture as Engine._offline_frame on a segment-less table.
         """
-        if not _fs.glob_status(self.spark, f"{self.table_path}/*"):
+        # emptiness = no day partitions and no root parquet files — marker
+        # files (_SUCCESS) survive a full partition drop (e.g. after
+        # RealtimeToOffline moved every sealed day) and must not trick the
+        # reader into schema inference over zero parquet footers
+        if not _fs.glob_status(
+            self.spark, f"{self.table_path}/ingest_date=*"
+        ) and not _fs.glob_status(self.spark, f"{self.table_path}/*.parquet"):
             return self.spark.createDataFrame([], self.decoded().schema)
         return self.spark.read.option("mergeSchema", "true").parquet(self.table_path)
 

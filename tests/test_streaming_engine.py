@@ -2799,4 +2799,13 @@ def test_realtime_to_offline_task(spark, tmp_path):
     # idempotent: nothing left below the newest day that isn't offline
     again = engine.realtime_to_offline("kinesisTable")
     assert again["moved_days"] == []
+
+    # explicit cutoff can move EVERYTHING (e.g. decommissioning the
+    # stream); the emptied realtime store (only _SUCCESS markers left)
+    # must read as an empty typed frame, not a schema-inference error
+    final = engine.realtime_to_offline("kinesisTable", cutoff_day="2024-06-03")
+    assert final["moved_days"] == ["2024-06-03"]
+    engine.register_view("kinesisTable")
+    assert spark.table("kinesisTable").count() == before
+    assert spark.table("kinesisTable_realtime").count() == 0
     pipe.stop()
