@@ -171,21 +171,32 @@ class ControllerServer:
                         table = (qs.get("tableName") or [None])[0]
                         if table is None:
                             raise ValueError("tableName query parameter required")
-                        if task == "RetentionManager":
-                            pipe = engine.pipelines.get(table)
-                            if pipe is None:
+                        try:
+                            if table not in engine.list_tables():
+                                # uniform across tasknames: Pinot 404s
                                 raise KeyError(table)
-                            self._send(200, {"table": table,
-                                             "dropped": pipe.run_retention()})
-                        elif task == "RealtimeToOfflineSegmentsTask":
-                            self._send(200, engine.realtime_to_offline(table))
-                        elif task == "MergeRollupTask":
-                            self._send(200, engine.compact(table))
-                        else:
-                            raise ValueError(
-                                f"unknown taskname {task!r} (supported: "
-                                "RetentionManager, RealtimeToOfflineSegmentsTask, "
-                                "MergeRollupTask)"
+                            if task == "RetentionManager":
+                                # Engine.run_retention covers BOTH sides —
+                                # realtime partitions AND offline segments
+                                # + their star-tree cell logs
+                                self._send(200, {"table": table,
+                                                 "dropped": engine.run_retention(table)})
+                            elif task == "RealtimeToOfflineSegmentsTask":
+                                self._send(200, engine.realtime_to_offline(table))
+                            elif task == "MergeRollupTask":
+                                self._send(200, engine.compact(table))
+                            else:
+                                raise ValueError(
+                                    f"unknown taskname {task!r} (supported: "
+                                    "RetentionManager, RealtimeToOfflineSegmentsTask, "
+                                    "MergeRollupTask)"
+                                )
+                        except KeyError as e:
+                            # table-lookup misses only — provisioning
+                            # KeyErrors below must stay 400s, not read as
+                            # "table not found"
+                            self._send(
+                                404, {"code": 404, "error": f"table {e} not found"}
                             )
                         return
                     body = self._body()
@@ -199,9 +210,9 @@ class ControllerServer:
                     # an AddTable retry must not clobber the live pipeline;
                     # Pinot's controller answers 409 Conflict
                     self._send(409, {"code": 409, "error": str(e)})
-                except KeyError as e:
-                    self._send(404, {"code": 404, "error": f"table {e} not found"})
                 except Exception as e:  # Pinot controller 400 error shape
+                    # includes KeyError from malformed provisioning bodies —
+                    # a missing dict key is a bad request, not a 404
                     self._send(400, {"code": 400, "error": str(e)})
 
             def do_DELETE(self):

@@ -393,14 +393,22 @@ class Engine:
                 f"{config.name!r} is already a dimension table — choose a "
                 "different tableName"
             )
-        if config.name in self.pipelines:
-            # a duplicate AddTable (e.g. an HTTP retry) must not replace the
-            # live pipeline — the original StreamingQuery would be orphaned
+        existing = self.pipelines.get(config.name)
+        if (
+            existing is not None
+            and existing._query is not None
+            and existing._query.isActive
+        ):
+            # a duplicate AddTable (e.g. an HTTP retry) must not replace a
+            # LIVE pipeline — the original StreamingQuery would be orphaned
             # (unstoppable) and a second consumer on the same checkpoint /
             # table path appends duplicates.  Pinot's controller 409s.
+            # Replacing a STOPPED pipeline is the schema-evolution reload
+            # flow (stop -> re-AddTable with the evolved schema): the same
+            # checkpoint resumes, so nothing is re-consumed.
             raise TableAlreadyExistsError(
-                f"table {config.name!r} already exists — drop_table() it "
-                "first (Pinot: DELETE /tables/{name})"
+                f"table {config.name!r} already exists and is consuming — "
+                "stop it or drop_table() first (Pinot: DELETE /tables/{name})"
             )
         self.configs[config.name] = config
         table_path = str(self.warehouse / config.name / "data")
@@ -630,6 +638,17 @@ class Engine:
                 f"{name!r} has no OFFLINE table — add_offline_table first "
                 "(RealtimeToOffline moves segments of a HYBRID table)"
             )
+        config = self.configs.get(name)
+        if config is not None and (config.upsert_mode or config.dedup_enabled):
+            # the raw realtime log holds superseded row versions the
+            # query-time resolution hides; moving it offline (where no
+            # resolution applies) would resurrect them permanently.  Pinot
+            # likewise refuses RealtimeToOffline on upsert tables.
+            raise ValueError(
+                f"{name!r} is an upsert/dedup table — RealtimeToOffline "
+                "would move superseded row versions into the unresolved "
+                "OFFLINE store (Pinot refuses this too)"
+            )
         pipeline = self._pipeline(name)
         q = pipeline._query
         if q is not None and q.isActive:
@@ -661,12 +680,17 @@ class Engine:
         ]
         if not move:
             return {"table": name, "moved_days": [], "rows_moved": 0}
-        rows = pipeline.table().where(F.col("ingest_date").isin(move))
+        rows = pipeline.table().where(F.col("ingest_date").isin(move)).cache()
         # upload_segment re-derives ingest_date / derived columns and
         # appends the offline star-tree cells + coverage manifest rows —
-        # the moved days become first-class OFFLINE segments
-        n = rows.count()
-        self.upload_segment(name, rows.drop("ingest_date"))
+        # the moved days become first-class OFFLINE segments.  cache()
+        # keeps the count + write (+ per-spec cell rollups) at ONE read of
+        # the moved partitions instead of one scan per consumer.
+        try:
+            n = rows.count()
+            self.upload_segment(name, rows.drop("ingest_date"))
+        finally:
+            rows.unpersist()
         roots = [pipeline.table_path] + [
             path for spec, path in pipeline._rollups if "ingest_date" in spec.dims
         ]
@@ -2070,33 +2094,52 @@ class Engine:
           row) without the column.
 
         Both the raw declared column and its typed ``__ts`` decode output
-        rewrite to the same derived column.
+        rewrite to the same derived column.  The map is keyed by column
+        name with no table scoping (SQL binding is unknown here), so a
+        (col, gran) that is PARTIALLY materialized on ANY table poisons
+        the key globally — another table's fully-materialized declaration
+        must not re-arm the rewrite for the partial one (the analysis
+        probe passes there: the hybrid union surfaces the column with
+        NULLs for the unmaterialized rows).
         """
         out: dict = {}
+        poisoned: set = set()
+
+        def _record(col: str, gran: str, complete: bool) -> None:
+            key = (col.lower(), gran)
+            if complete:
+                out[key] = _ts_index_column(col, gran)
+                out[(f"{col}__ts".lower(), gran)] = out[key]
+            else:
+                poisoned.add(key)
+                poisoned.add((f"{col}__ts".lower(), gran))
+
         for name, cfg in self.configs.items():
             if cfg.is_dim_table:
                 continue
-            declared = dict(cfg.timestamp_index_columns)
             off = self.offline_configs.get(name)
-            if off is not None:
-                off_declared = dict(off.timestamp_index_columns)
-                declared = {
-                    col: tuple(g for g in grans if g in set(off_declared.get(col, ())))
-                    for col, grans in declared.items()
-                }
-            for col, grans in declared.items():
+            off_declared = dict(off.timestamp_index_columns) if off is not None else None
+            for col, grans in cfg.timestamp_index_columns:
                 for gran in grans:
-                    derived = _ts_index_column(col, gran)
-                    out[(col.lower(), gran)] = derived
-                    out[(f"{col}__ts".lower(), gran)] = derived
+                    complete = off_declared is None or gran in set(
+                        off_declared.get(col, ())
+                    )
+                    _record(col, gran, complete)
         for name, off in self.offline_configs.items():
             if name in self.configs:
-                continue  # hybrid handled above
+                # hybrid handled above from the realtime side; an
+                # offline-ONLY declaration leaves realtime rows bare
+                rt_declared = dict(self.configs[name].timestamp_index_columns)
+                for col, grans in off.timestamp_index_columns:
+                    for gran in grans:
+                        if gran not in set(rt_declared.get(col, ())):
+                            _record(col, gran, False)
+                continue
             for col, grans in off.timestamp_index_columns:
                 for gran in grans:
-                    derived = _ts_index_column(col, gran)
-                    out[(col.lower(), gran)] = derived
-                    out[(f"{col}__ts".lower(), gran)] = derived
+                    _record(col, gran, True)
+        for key in poisoned:
+            out.pop(key, None)
         return out
 
     @staticmethod
@@ -2135,6 +2178,16 @@ class Engine:
         if not mapping:
             return sql
         spans = self._literal_spans(sql)
+        # a WITH-prefixed COMMAND (CTE + INSERT/CREATE/...) would pass the
+        # prefix gate and the probe would EXECUTE it; reject when a command
+        # keyword appears outside every string literal
+        for m in re.finditer(
+            r"\b(INSERT|CREATE|REPLACE|DELETE|UPDATE|MERGE|DROP|ALTER)\b",
+            sql,
+            re.IGNORECASE,
+        ):
+            if not any(s <= m.start() < e for s, e in spans):
+                return sql
         pieces: list[str] = []
         last = 0
         for m in self._DATETRUNC_RE.finditer(sql):

@@ -727,6 +727,7 @@ def exact_substring_dedup(
     text_col: str = "text",
     k: int = 5,
     min_count: int = 2,
+    broadcast_dict: bool = False,
 ) -> DataFrame:
     """Exact-substring corpus dedup — the Spark-native analog of
     EXACTSUBSTR (Lee et al. 2021, arXiv:2107.06499 "Deduplicating Training
@@ -743,14 +744,17 @@ def exact_substring_dedup(
 
     Spark shape: one-pass map-side gram hashing (``transform`` over token
     offsets, 8-byte ``xxhash64`` per gram — no gram STRINGS ever
-    materialize in an exchange), a count on gram hashes (the only
-    corpus-sized shuffle, 8-byte keys), covered-start collection keyed by
-    doc (ints only), and a final join of (id, starts) back to the tokens —
-    the build side holds ONLY docs containing repeated spans, so it
-    broadcasts under AQE when duplication is sparse (the common case the
-    paper reports: ~1-3% of tokens).  Per-token masking is
-    ``exists(starts, s -> s <= p < s+k)`` — O(tokens x starts-per-doc),
-    map-side codegen.
+    materialize in an exchange); the corpus-sized shuffles (the gram count
+    and the dictionary join's probe side) move only narrow
+    (id, pos, hash) rows; covered-start collection is keyed by doc (ints
+    only); and the final join of (id, starts) back to the tokens builds
+    from ONLY docs containing repeated spans, so it broadcasts under AQE
+    when duplication is sparse (the common case the paper reports: ~1-3%
+    of tokens).  ``broadcast_dict`` is OPT-IN (default off): unlike
+    :func:`line_dedup`'s boilerplate dictionary, the repeated-gram set is
+    unbounded at web scale and can outgrow executor memory.  Per-token
+    masking is ``exists(starts, s -> s <= p < s+k)`` —
+    O(tokens x starts-per-doc), map-side codegen.
     """
     toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
     n_grams = F.size("t") - F.lit(k - 1)
@@ -770,8 +774,16 @@ def exact_substring_dedup(
         .where(F.col("count") >= min_count)
         .select("gh")
     )
+    if broadcast_dict:
+        # unlike line_dedup's boilerplate dictionary, the repeated-gram set
+        # is NOT bounded by distinct boilerplate — Lee et al. report ~1-3%
+        # of ALL tokens covered at web scale, i.e. a dictionary that can
+        # outgrow executor memory.  Broadcast is therefore OPT-IN for
+        # corpora whose dup set is known small; the default shuffle join
+        # moves only 8-byte (gh, s0) pairs on the probe side anyway.
+        rep = F.broadcast(rep)
     starts = (
-        grams.join(F.broadcast(rep), "gh")
+        grams.join(rep, "gh")
         .groupBy(id_col)
         .agg(F.collect_set(F.col("s0") + 1).alias("starts"))  # 1-based
     )

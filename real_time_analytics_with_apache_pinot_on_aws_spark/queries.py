@@ -5434,7 +5434,10 @@ def c24_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "function of the corpus.  Spark shape (operators/dedup.py "
         "exact_substring_dedup): gram hashing is one map-side transform "
         "(8-byte xxhash64 per gram — gram STRINGS never cross an "
-        "exchange), the gram count is the only corpus-sized shuffle, "
+        "exchange), corpus-sized shuffles move only narrow (id, pos, "
+        "hash) gram rows (the count and the dictionary join — the "
+        "repeated-gram set is unbounded at web scale, so broadcast is "
+        "opt-in, unlike c24's bounded boilerplate dictionary), "
         "covered-start collection is doc-keyed ints, and the final "
         "(id, starts) join builds from ONLY the docs containing repeated "
         "spans.  The oracle replays grams/dictionary/masking on raw "

@@ -1415,13 +1415,21 @@ def test_exact_substring_dedup_short_docs_and_overlap(spark):
 
 def test_exact_substring_dedup_gram_hashing_is_map_side(spark):
     """Gram hashes come from a codegen transform over token offsets — no
-    gram strings in any exchange; the dictionary join broadcasts."""
+    gram strings in any exchange, no Python; broadcast_dict=True (opt-in:
+    the repeated-gram set is unbounded at web scale) pins the broadcast."""
     import real_time_analytics_with_apache_pinot_on_aws_spark.operators.dedup as D
 
     docs = spark.createDataFrame(
         [(1, "w x y z u v unique one"), (2, "w x y z u v other two")],
         "doc_id int, text string",
     )
-    plan = D.exact_substring_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    out = D.exact_substring_dedup(docs, broadcast_dict=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "pythonudf" not in plan.lower()
+    # and the default (shuffle dictionary join) returns identical results
+    default = {
+        r["doc_id"]: r["clean_text"]
+        for r in D.exact_substring_dedup(docs).collect()
+    }
+    assert default == {r["doc_id"]: r["clean_text"] for r in out.collect()}

@@ -6,6 +6,8 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
+import pytest
+
 from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine, TableConfig
 from real_time_analytics_with_apache_pinot_on_aws_spark.streaming import RawRecordSource
 from tests.test_schema import CLICKSTREAM_SCHEMA
@@ -2808,4 +2810,111 @@ def test_realtime_to_offline_task(spark, tmp_path):
     engine.register_view("kinesisTable")
     assert spark.table("kinesisTable").count() == before
     assert spark.table("kinesisTable_realtime").count() == 0
+    pipe.stop()
+
+
+def test_realtime_to_offline_refuses_upsert_tables(spark, tmp_path):
+    """The raw realtime log of an upsert table holds superseded versions the
+    query-time resolution hides; moving it into the unresolved OFFLINE
+    store would resurrect them — refused, like Pinot."""
+    src_dir = tmp_path / "stream_in"
+    _write_events(src_dir / "d1.json", 3, "2024-06-01")
+    cfg = json.loads(json.dumps(TABLE_CONFIG))
+    cfg["upsertConfig"] = {"mode": "FULL"}
+    cfg["primaryKeyColumns"] = ["userID"]
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    pipe = engine.add_table(
+        CLICKSTREAM_SCHEMA, cfg,
+        RawRecordSource(kind="files", path=str(src_dir)), available_now=True,
+    )
+    pipe.process_available()
+    engine.add_offline_table(CLICKSTREAM_SCHEMA, OFFLINE_CONFIG)
+    pipe.stop()
+    with pytest.raises(ValueError, match="upsert"):
+        engine.realtime_to_offline("kinesisTable", cutoff_day="2024-06-01")
+
+
+def test_ts_rewrite_cross_table_poisoning(spark, tmp_path):
+    """A (col, gran) PARTIALLY materialized on one table poisons the key
+    globally: another table's fully-materialized declaration of the same
+    column name must not re-arm the rewrite (the analysis probe passes on
+    the partial table — its hybrid union surfaces the column with NULLs)."""
+    src_a = tmp_path / "in_a"
+    src_b = tmp_path / "in_b"
+    _write_events(src_a / "a.json", 3, "2024-06-02")
+    _write_events(src_b / "b.json", 3, "2024-06-02")
+    ts_fc = [{
+        "name": "creationTimestamp",
+        "indexTypes": ["TIMESTAMP"],
+        "timestampConfig": {"granularities": ["DAY"]},
+    }]
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    # table A: realtime-only, fully materialized -> alone it would rewrite
+    cfg_a = json.loads(json.dumps(TABLE_CONFIG))
+    cfg_a["tableName"] = "tblA"
+    cfg_a["fieldConfigList"] = ts_fc
+    pipe_a = engine.add_table(
+        CLICKSTREAM_SCHEMA, cfg_a,
+        RawRecordSource(kind="files", path=str(src_a)), available_now=True,
+    )
+    pipe_a.process_available()
+    engine.register_view("tblA")
+    # table B: hybrid with the index on the REALTIME config only — the
+    # pre-AddTable upload below has no derived column (the NULL hole)
+    engine.add_offline_table(CLICKSTREAM_SCHEMA, OFFLINE_CONFIG)  # kinesisTable
+    engine.upload_segment("kinesisTable", spark.createDataFrame(
+        [("u1", "X", 30, "2024-06-01 09:00:00")],
+        "userID string, campaign string, price int, creationTimestamp string",
+    ))
+    cfg_b = json.loads(json.dumps(TABLE_CONFIG))
+    cfg_b["fieldConfigList"] = ts_fc
+    pipe_b = engine.add_table(
+        CLICKSTREAM_SCHEMA, cfg_b,
+        RawRecordSource(kind="files", path=str(src_b)), available_now=True,
+    )
+    pipe_b.process_available()
+    engine.register_view("kinesisTable")
+    q = engine.query(
+        "SELECT dateTrunc('DAY', creationTimestamp__ts) AS d, count(*) AS n "
+        "FROM kinesisTable GROUP BY 1"
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "date_trunc" in plan.lower()  # poisoned key -> computed, not read
+    days = {str(r["d"]): r["n"] for r in q.collect()}
+    assert days == {"2024-06-01 00:00:00": 1, "2024-06-02 00:00:00": 3}
+    pipe_a.stop()
+    pipe_b.stop()
+
+
+def test_ts_rewrite_never_probes_commands(spark, tmp_path, monkeypatch):
+    """A WITH-prefixed COMMAND passes the prefix gate but must never reach
+    the analysis probe — spark.sql() executes commands eagerly, so probing
+    an INSERT would run it twice.  Literal 'INSERT' text stays rewritable."""
+    src_dir = tmp_path / "stream_in"
+    _write_events(src_dir / "a.json", 3, "2024-06-02")
+    cfg = json.loads(json.dumps(TABLE_CONFIG))
+    cfg["fieldConfigList"] = [{
+        "name": "creationTimestamp",
+        "indexTypes": ["TIMESTAMP"],
+        "timestampConfig": {"granularities": ["DAY"]},
+    }]
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    pipe = engine.add_table(
+        CLICKSTREAM_SCHEMA, cfg,
+        RawRecordSource(kind="files", path=str(src_dir)), available_now=True,
+    )
+    pipe.process_available()
+    engine.register_view("kinesisTable")
+    cmd = ("WITH src AS (SELECT 1 AS x) INSERT INTO tgt "
+           "SELECT dateTrunc('DAY', creationTimestamp__ts) FROM kinesisTable")
+    calls = []
+    real_sql = spark.sql
+    monkeypatch.setattr(spark, "sql", lambda s, *a, **k: calls.append(s) or real_sql(s, *a, **k))
+    out = engine._apply_ts_index_rewrite(cmd)
+    assert out == cmd and calls == []  # gate returns before any probe
+    # but 'INSERT' INSIDE a literal does not disarm the rewrite
+    sel = ("SELECT dateTrunc('DAY', creationTimestamp__ts) AS d, 'INSERT' AS lit "
+           "FROM kinesisTable GROUP BY 1")
+    out2 = engine._apply_ts_index_rewrite(sel)
+    assert "creationTimestamp__day" in out2
     pipe.stop()
