@@ -526,3 +526,95 @@ def contaminated_ids(
         .filter(F.col("n_overlap") >= min_overlap)
         .select(id_col)
     )
+
+
+# -- C26: n-gram LM perplexity filter (CCNet's quality stage) ---------------
+
+
+def _bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) adjacent-token pairs, normalized-lowercase tokens."""
+    from .dedup import normalized_tokens
+
+    toks = docs.select(
+        F.col(id_col), normalized_tokens(F.col(text_col)).alias("t")
+    )
+    pairs = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.struct(
+                F.element_at("t", i).alias("w1"),
+                F.element_at("t", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return toks.select(
+        F.col(id_col), F.explode(pairs).alias("bg")
+    ).select(id_col, "bg.w1", "bg.w2")
+
+
+def train_bigram_lm(
+    ref_docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, int]:
+    """Count-based bigram LM from a reference corpus — the model behind
+    CCNet's perplexity filter (Wenzek et al. 2020, arXiv:1911.00359, which
+    scores crawl text against a Wikipedia-trained KenLM; any count-based
+    n-gram LM serves).  Returns (bigram_counts, unigram_counts,
+    vocab_size); the counts are plain DataFrames — persist them like any
+    table and prune low-count rows to shrink the model (CCNet ships a
+    pruned LM).  vocab_size is a driver scalar (one count-distinct job),
+    the same scalar class as the hybrid time boundary.
+    """
+    big = _bigrams(ref_docs, id_col, text_col)
+    bigram_counts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    unigram_counts = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    from .dedup import normalized_tokens
+
+    vocab_size = (
+        ref_docs.select(
+            F.explode(normalized_tokens(F.col(text_col))).alias("w")
+        )
+        .agg(F.count_distinct("w"))
+        .collect()[0][0]
+    )
+    return bigram_counts, unigram_counts, int(vocab_size)
+
+
+def lm_nll_scores(
+    docs: DataFrame,
+    bigram_counts: DataFrame,
+    unigram_counts: DataFrame,
+    vocab_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document average negative log-likelihood under the bigram LM
+    (monotone in perplexity: ppl = exp(avg_nll)) with add-``alpha``
+    smoothing — P(w2|w1) = (c12+a)/(c1+a*V), so bigrams unseen in the
+    reference corpus score finitely instead of -inf.  Returns
+    (id, n_bigrams, avg_nll) — low avg_nll = fluent/common text, high =
+    gibberish or boilerplate-speak; CCNet buckets head/middle/tail on
+    exactly this score.
+
+    Spark shape: doc bigrams left-join the count tables on (w1[, w2]) —
+    the LM is vocabulary-sized, not corpus-sized, so AQE broadcasts a
+    pruned model; one doc-keyed aggregate finishes.  avg_nll is rounded
+    to 6 dp so FP summation order cannot leak into equality checks.
+    """
+    big = _bigrams(docs, id_col, text_col)
+    scored = (
+        big.join(bigram_counts, ["w1", "w2"], "left")
+        .join(unigram_counts, "w1", "left")
+        .withColumn(
+            "nll",
+            -F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)) + alpha)
+                / (F.coalesce(F.col("c1"), F.lit(0)) + alpha * vocab_size)
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nll"), 6).alias("avg_nll"),
+    )

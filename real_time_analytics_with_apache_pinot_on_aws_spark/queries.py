@@ -5455,6 +5455,58 @@ def c25_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "c26_lm_perplexity_filter",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), big AS (
+      SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2
+      FROM toks, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+    ), vv AS (
+      SELECT count(DISTINCT w) AS V FROM (SELECT unnest(t) AS w FROM toks)
+    ), bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+    uc AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-ln((bc.c12 + 0.5) / (uc.c1 + 0.5 * (SELECT V FROM vv)))), 6)
+             AS avg_nll,
+           round(avg(-ln((bc.c12 + 0.5) / (uc.c1 + 0.5 * (SELECT V FROM vv)))), 6)
+             <= 3.4 AS kept
+    FROM big b JOIN bc USING (w1, w2) JOIN uc USING (w1)
+    GROUP BY b.doc_id
+    """,
+    doc="C26: n-gram LM perplexity filter — CCNet's quality stage (Wenzek "
+        "et al. 2020, arXiv:1911.00359: score crawl text under a reference "
+        "LM, keep the low-perplexity head).  A count-based bigram LM with "
+        "add-0.5 smoothing is trained on the corpus (operators/curation.py "
+        "train_bigram_lm) and every document scored by average negative "
+        "log-likelihood (monotone in perplexity); kept = avg_nll <= 3.4 "
+        "(~the fixture median).  Spark shape: bigram counts are one "
+        "vocabulary-sized aggregate; scoring left-joins doc bigrams "
+        "against the LM (vocabulary-sized build side -> AQE broadcast) and "
+        "finishes with one doc-keyed aggregate; smoothing keeps unseen "
+        "bigrams finite so the same model scores any corpus.  avg_nll is "
+        "rounded to 6 dp so FP summation order cannot leak into the "
+        "value-hash; the oracle retrains and rescores the identical model "
+        "in SQL.",
+)
+def c26_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    bc, uc, v = _cur.train_bigram_lm(docs)
+    scores = _cur.lm_nll_scores(docs, bc, uc, v)
+    return scores.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_nll",
+        (F.col("avg_nll") <= 3.4).alias("kept"),
+    )
+
+
 # ===========================================================================
 # Driver window curation: the driver's correctness gate adjudicates exactly
 # the first 50 entries of queries() in registration order (confirmed in

@@ -1433,3 +1433,64 @@ def test_exact_substring_dedup_gram_hashing_is_map_side(spark):
         for r in D.exact_substring_dedup(docs).collect()
     }
     assert default == {r["doc_id"]: r["clean_text"] for r in out.collect()}
+
+
+# -- bigram LM perplexity filter (C26, CCNet quality stage) ----------------
+
+
+def test_bigram_lm_scores_fluent_below_gibberish(spark):
+    """Text made of the reference corpus's common bigrams scores lower
+    avg_nll than text full of bigrams the reference never saw."""
+    import real_time_analytics_with_apache_pinot_on_aws_spark.operators.curation as C
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the cat slept") for i in range(10)],
+        "doc_id int, text string",
+    )
+    bc, uc, v = C.train_bigram_lm(ref)
+    assert v == 7  # the cat sat on mat and slept
+    probe = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),        # all seen bigrams
+         (2, "zqx wvu tsr qpo nml kji")],      # all unseen
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in C.lm_nll_scores(probe, bc, uc, v).collect()}
+    assert out[1]["avg_nll"] < out[2]["avg_nll"]
+    assert out[1]["n_bigrams"] == 5 and out[2]["n_bigrams"] == 5
+    # smoothing keeps the unseen-only doc finite
+    import math
+
+    assert math.isfinite(out[2]["avg_nll"])
+
+
+def test_bigram_lm_smoothed_probability_exact(spark):
+    """The smoothed probability is exactly (c12+a)/(c1+a*V) — checked by
+    hand on a 2-bigram corpus."""
+    import math
+
+    import real_time_analytics_with_apache_pinot_on_aws_spark.operators.curation as C
+
+    ref = spark.createDataFrame([(1, "a b a b a")], "doc_id int, text string")
+    bc, uc, v = C.train_bigram_lm(ref)
+    assert v == 2
+    out = C.lm_nll_scores(
+        spark.createDataFrame([(9, "a b")], "doc_id int, text string"),
+        bc, uc, v,
+    ).collect()[0]
+    # c(a,b)=2, c(a)=2 (as w1), V=2, alpha=.5 -> P = 2.5/3 -> nll = -ln(2.5/3)
+    assert out["n_bigrams"] == 1
+    assert abs(out["avg_nll"] - (-math.log(2.5 / 3.0))) < 1e-6
+
+
+def test_bigram_lm_single_token_docs_score_empty(spark):
+    """Docs with < 2 tokens have no bigrams and drop out of the score
+    relation (callers left-join and decide their fate), not a crash."""
+    import real_time_analytics_with_apache_pinot_on_aws_spark.operators.curation as C
+
+    ref = spark.createDataFrame([(1, "x y x y")], "doc_id int, text string")
+    bc, uc, v = C.train_bigram_lm(ref)
+    probe = spark.createDataFrame(
+        [(1, "x"), (2, ""), (3, "x y")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in C.lm_nll_scores(probe, bc, uc, v).collect()}
+    assert set(out) == {3}
