@@ -65,6 +65,8 @@ PROBES = (
     # exact-substring dedup: gram-hash count is the only corpus-sized
     # shuffle; covered-start collection and masking are doc-local
     "c25_exact_substring_dedup",
+    # LM perplexity filter: vocabulary-sized model, doc-keyed scoring
+    "c26_lm_perplexity_filter",
 )
 
 
