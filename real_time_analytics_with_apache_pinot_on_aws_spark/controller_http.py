@@ -185,11 +185,13 @@ class ControllerServer:
                                 self._send(200, engine.realtime_to_offline(table))
                             elif task == "MergeRollupTask":
                                 self._send(200, engine.compact(table))
+                            elif task == "UpsertCompactionTask":
+                                self._send(200, engine.upsert_compact(table))
                             else:
                                 raise ValueError(
                                     f"unknown taskname {task!r} (supported: "
                                     "RetentionManager, RealtimeToOfflineSegmentsTask, "
-                                    "MergeRollupTask)"
+                                    "MergeRollupTask, UpsertCompactionTask)"
                                 )
                         except KeyError as e:
                             # table-lookup misses only — provisioning

@@ -25,6 +25,7 @@ from dataclasses import dataclass
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import fs as _fs
 from . import functions as pfn
@@ -705,6 +706,93 @@ class Engine:
                         f"{part} returned false — data now DOUBLE-served"
                     )
         return {"table": name, "moved_days": move, "rows_moved": n}
+
+    def upsert_compact(self, name: str) -> dict:
+        """Pinot ``UpsertCompactionTask`` analog **[P1.2]**: rewrite the
+        upsert/dedup table's raw log as its RESOLVED view — superseded row
+        versions and tombstoned keys are physically dropped, the query-time
+        resolution keeps producing identical answers, and the log stops
+        growing with update traffic.  Requires the consuming query stopped
+        or drained (it rewrites the store), same rule as :meth:`compact`.
+
+        Semantics preserved going forward: the surviving rows keep their
+        event time and arrival-order columns, so a future version of a key
+        still resolves against the materialized row exactly as it did
+        against the history (partial-upsert strategies fold
+        associatively).  Documented caveat, same as Pinot's task: a LATE
+        row whose (time, arrival) order sorts BELOW an already-compacted
+        winner can no longer see the dropped intermediate versions — for
+        OVERWRITE-style strategies the outcome is unchanged; for SUM-style
+        partials late rows still merge into the materialized total.
+
+        Swap protocol (FS layer, checked returns): write the resolved view
+        to a sibling temp dir, rename data -> old, temp -> data, delete
+        old.  A failure between the renames leaves both dirs on disk for
+        operator recovery instead of losing rows.
+        """
+        config = self.configs.get(name)
+        if config is None or (config.upsert_mode is None and not config.dedup_enabled):
+            raise ValueError(
+                f"{name!r} is not an upsert/dedup table — nothing to compact "
+                "(use compact() for small-file merging)"
+            )
+        pipeline = self._pipeline(name)
+        q = pipeline._query
+        if q is not None and q.isActive:
+            raise RuntimeError(
+                f"table {name!r} has an active streaming query; "
+                "stop() or drain it before upsert_compact()"
+            )
+        raw = pipeline.table()
+        n_before = raw.count()
+        resolved = self._realtime_resolved(name)
+        # the resolved view DROPS the tombstone column (surviving rows are by
+        # definition not deleted); the materialized log must stay
+        # resolution-compatible, so re-add it as literal False — and fail
+        # loudly on any other schema drift rather than write a log the
+        # resolver can no longer read
+        if (
+            config.delete_record_column
+            and config.delete_record_column not in resolved.columns
+            and config.delete_record_column in raw.columns
+        ):
+            resolved = resolved.withColumn(
+                config.delete_record_column,
+                F.lit(False).cast(
+                    dict(raw.dtypes)[config.delete_record_column]
+                ),
+            )
+        missing = [c for c in raw.columns if c not in resolved.columns]
+        if missing:
+            raise RuntimeError(
+                f"upsert_compact({name!r}): resolved view lacks log columns "
+                f"{missing} — refusing to write an unresolvable log"
+            )
+        resolved = resolved.select(*raw.columns)
+        data = pipeline.table_path
+        tmp = str(self.warehouse / name / "data_upsert_tmp")
+        old = str(self.warehouse / name / "data_upsert_old")
+        writer = resolved.write.mode("overwrite")
+        if "ingest_date" in resolved.columns:
+            writer = writer.partitionBy("ingest_date")
+        writer.parquet(tmp)
+        n_after = self.spark.read.parquet(tmp).count()
+        if not _fs.rename(self.spark, data, old):
+            raise RuntimeError(
+                f"upsert_compact({name!r}): rename {data} -> {old} failed; "
+                f"log untouched, resolved output kept in {tmp}"
+            )
+        if not _fs.rename(self.spark, tmp, data):
+            raise RuntimeError(
+                f"upsert_compact({name!r}): rename {tmp} -> {data} failed; "
+                f"original log preserved at {old} — restore it by renaming back"
+            )
+        if not _fs.delete(self.spark, old, recursive=True):
+            raise RuntimeError(
+                f"upsert_compact({name!r}): delete of {old} returned false — "
+                "compacted data is live; remove the old dir manually"
+            )
+        return {"table": name, "rows_before": n_before, "rows_after": n_after}
 
     def upload_segment(self, name: str, frame: DataFrame) -> dict:
         """Segment upload analog **[P1.2]** (POST /v2/segments): append a

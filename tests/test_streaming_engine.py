@@ -2918,3 +2918,77 @@ def test_ts_rewrite_never_probes_commands(spark, tmp_path, monkeypatch):
     out2 = engine._apply_ts_index_rewrite(sel)
     assert "creationTimestamp__day" in out2
     pipe.stop()
+
+
+def test_upsert_compaction_task(spark, tmp_path):
+    """Pinot UpsertCompactionTask analog: the raw log rewrites to its
+    resolved view — superseded versions and tombstoned keys physically
+    drop, resolution answers identically, and a future version of a
+    compacted key still wins over the materialized row."""
+    import json as _json
+
+    src_dir = tmp_path / "stream_in"
+    config = dict(TABLE_CONFIG)
+    config["tableName"] = "compactUp"
+    config["upsertConfig"] = {"mode": "FULL", "deleteRecordColumn": "deleted"}
+    schema = _json.loads(_json.dumps(CLICKSTREAM_SCHEMA))
+    schema["primaryKeyColumns"] = ["userID"]
+    schema["dimensionFieldSpecs"] = list(schema["dimensionFieldSpecs"]) + [
+        {"name": "deleted", "dataType": "BOOLEAN"}
+    ]
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+
+    def put(name, rows):
+        src_dir.mkdir(parents=True, exist_ok=True)
+        (src_dir / name).write_text("\n".join(_json.dumps(r) for r in rows))
+
+    def row(uid, price, t, deleted=False):
+        return {"userID": uid, "campaign": "c", "price": price, "deleted": deleted,
+                "creationTimestamp": f"2024-06-01 {t}"}
+
+    put("b1.json", [row("u1", 10, "10:00:00"), row("u2", 20, "10:00:01"),
+                    row("u3", 30, "10:00:02")])
+    pipe = engine.add_table(schema, config,
+                            RawRecordSource(kind="files", path=str(src_dir)),
+                            available_now=True)
+    pipe.process_available()
+    put("b2.json", [row("u1", 11, "10:04:00"),       # supersedes u1
+                    row("u3", 0, "10:05:00", True)])  # tombstones u3
+    pipe.process_available()
+    engine.register_view("compactUp")
+    before = {r["userID"]: r["price"]
+              for r in engine.query("SELECT userID, price FROM compactUp").collect()}
+    assert before == {"u1": 11, "u2": 20}
+    pipe.stop()
+
+    report = engine.upsert_compact("compactUp")
+    assert report["rows_before"] == 5 and report["rows_after"] == 2
+    engine.register_view("compactUp")
+    after = {r["userID"]: r["price"]
+             for r in engine.query("SELECT userID, price FROM compactUp").collect()}
+    assert after == before  # resolution unchanged
+    assert engine.query("SELECT count(*) AS n FROM compactUp_raw").collect()[0]["n"] == 2
+
+    # a future version still supersedes the materialized row
+    put("b3.json", [row("u1", 99, "12:00:00")])
+    pipe2 = engine.add_table(schema, config,
+                             RawRecordSource(kind="files", path=str(src_dir)),
+                             available_now=True)
+    pipe2.process_available()
+    engine.register_view("compactUp")
+    final = {r["userID"]: r["price"]
+             for r in engine.query("SELECT userID, price FROM compactUp").collect()}
+    assert final == {"u1": 99, "u2": 20}
+    pipe2.stop()
+
+    # non-upsert tables are refused (compact() is the small-file tool)
+    eng2 = Engine(spark, str(tmp_path / "wh3"))
+    src2 = tmp_path / "in2"
+    _write_events(src2 / "a.json", 1, "2024-06-01")
+    p2 = eng2.add_table(CLICKSTREAM_SCHEMA, dict(TABLE_CONFIG),
+                        RawRecordSource(kind="files", path=str(src2)),
+                        available_now=True)
+    p2.process_available()
+    p2.stop()
+    with pytest.raises(ValueError, match="not an upsert"):
+        eng2.upsert_compact("kinesisTable")
