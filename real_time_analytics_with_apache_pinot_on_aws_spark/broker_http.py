@@ -78,6 +78,19 @@ class BrokerServer:
                             f"request body must be a JSON object, got {type(body).__name__}"
                         )
                     sql = body["sql"]
+                    # Pinot's request envelope carries options out-of-band:
+                    # {"sql": ..., "queryOptions": "k1=v1;k2=v2"} **[P1.2]**
+                    # — normalize onto the SET-prefix form the engine parses
+                    opts = body.get("queryOptions")
+                    if opts:
+                        if not isinstance(opts, str):
+                            raise ValueError("queryOptions must be a string")
+                        prefix = "".join(
+                            f"SET {pair.strip()}; "
+                            for pair in opts.split(";")
+                            if pair.strip()
+                        )
+                        sql = prefix + sql
                 except (ValueError, KeyError, TypeError) as e:
                     # malformed request envelope -> Pinot JSON_PARSING 100
                     resp = {

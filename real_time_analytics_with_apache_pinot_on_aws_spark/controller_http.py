@@ -147,6 +147,17 @@ class ControllerServer:
                         self._send(404, {"code": 404, "error": f"table {name!r} not found"})
                     else:
                         self._send(200, out)
+                elif len(parts) == 2 and parts[0] == "schemas":
+                    raw = engine.schemas.get(parts[1])
+                    if raw is None:
+                        self._send(
+                            404,
+                            {"code": 404, "error": f"schema {parts[1]!r} not found"},
+                        )
+                    else:
+                        self._send(200, raw)
+                elif url.path == "/schemas":
+                    self._send(200, sorted(engine.schemas))
                 elif len(parts) == 2 and parts[0] == "segments":
                     if parts[1] not in engine.list_tables():
                         self._send(

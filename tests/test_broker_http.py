@@ -140,3 +140,34 @@ def test_concurrent_gapfill_queries_isolated(broker):
         totals = list(ex.map(one, range(12)))
     # base sum(v)=50 over 3 real rows (+i each), 2 filled rows contribute 0
     assert totals == [50.0 + 3 * i for i in range(12)]
+
+
+def test_broker_query_options_field(spark, tmp_path):
+    """Pinot's request envelope carries queryOptions out-of-band:
+    {"sql": ..., "queryOptions": "k=v;k2=v2"} must parse exactly like the
+    SET-prefix form (and a malformed type is a structured 100 error)."""
+    import json as _json
+    import urllib.request
+
+    from real_time_analytics_with_apache_pinot_on_aws_spark.broker_http import start_broker
+    from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
+
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    srv = start_broker(engine, port=0)
+    try:
+        def post(body):
+            req = urllib.request.Request(
+                srv.url(), data=_json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"}, method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=30) as r:
+                return _json.loads(r.read())
+
+        resp = post({"sql": "SELECT 1 AS one",
+                     "queryOptions": "useStarTree=false;timeoutMs=5000"})
+        assert resp["exceptions"] == []
+        assert resp["resultTable"]["rows"] == [[1]]
+        bad = post({"sql": "SELECT 1", "queryOptions": ["not", "a", "string"]})
+        assert bad["exceptions"][0]["errorCode"] == 100
+    finally:
+        srv.stop()

@@ -205,3 +205,23 @@ def test_periodictask_run_endpoint(spark, tmp_path):
     finally:
         ctl.stop()
         pipe.stop()
+
+
+def test_schema_endpoints_round_trip(spark, tmp_path):
+    """GET /schemas (list) and GET /schemas/{name} return what POST
+    /schemas registered — the Pinot controller schema API."""
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    ctl = start_controller(engine, port=0)
+    try:
+        base = ctl.url()
+        code, resp = _req(f"{base}/schemas", "POST", CLICKSTREAM_SCHEMA)
+        assert code == 200
+        code, resp = _req(f"{base}/schemas")
+        assert code == 200 and resp == ["kinesisTable"]
+        code, resp = _req(f"{base}/schemas/kinesisTable")
+        assert code == 200 and resp["schemaName"] == "kinesisTable"
+        assert any(f["name"] == "price" for f in resp["metricFieldSpecs"])
+        code, resp = _req(f"{base}/schemas/ghost")
+        assert code == 404
+    finally:
+        ctl.stop()
