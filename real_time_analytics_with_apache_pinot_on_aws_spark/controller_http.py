@@ -17,6 +17,12 @@ console's table pages) round-trip against it:
 - ``GET /tables/{name}``          -> the registered config(s) by type
 - ``DELETE /tables/{name}[?type=REALTIME|OFFLINE]`` -> Engine.drop_table
 - ``GET /segments/{name}``        -> Engine.table_detail (segment map)
+- ``GET /tables/{name}/size``     -> Pinot's table-size report **[P1.2]**
+  (reported == estimated here: file sizes come from the FS listing, there
+  are no unreachable servers to estimate around)
+- ``POST /tables/{name}/rebalance`` -> Engine.rebalance (documented NO_OP:
+  storage/compute are separated, wrapped in Pinot's job envelope)
+- ``GET /version``                -> component->version map **[P1.2]**
 - ``GET /health``                 -> ``OK`` (controller liveness **[P1.2]**)
 
 Error contract: provisioning errors return HTTP 400 with
@@ -121,6 +127,38 @@ class ControllerServer:
                     return self.do_POST()
                 if url.path == "/health":
                     self._send(200, b"OK", "text/plain")
+                elif url.path == "/version":
+                    # Pinot returns a component->version map; the analog
+                    # reports the engine plus the Spark runtime it rides on
+                    self._send(
+                        200,
+                        {
+                            "pinot-controller-analog": "1.2.0",
+                            "spark": engine.spark.version,
+                        },
+                    )
+                elif (
+                    len(parts) == 3 and parts[0] == "tables" and parts[2] == "size"
+                ):
+                    name = parts[1]
+                    if name not in engine.list_tables():
+                        self._send(
+                            404, {"code": 404, "error": f"table {name!r} not found"}
+                        )
+                        return
+                    detail = engine.table_detail(name)
+                    total = detail.get("total_bytes", 0)
+                    # reported == estimated: sizes come straight from the FS
+                    # listing — there is no partial-server view to estimate
+                    self._send(
+                        200,
+                        {
+                            "tableName": name,
+                            "reportedSizeInBytes": total,
+                            "estimatedSizeInBytes": total,
+                            "numSegments": detail.get("num_files", 0),
+                        },
+                    )
                 elif url.path == "/tables":
                     self._send(200, {"tables": engine.list_tables()})
                 elif len(parts) == 2 and parts[0] == "tables":
@@ -211,6 +249,32 @@ class ControllerServer:
                             self._send(
                                 404, {"code": 404, "error": f"table {e} not found"}
                             )
+                        return
+                    parts = [p for p in url.path.split("/") if p]
+                    if (
+                        len(parts) == 3
+                        and parts[0] == "tables"
+                        and parts[2] == "rebalance"
+                    ):
+                        # Pinot: POST /tables/{name}/rebalance?type=... ->
+                        # job envelope.  The engine's rebalance is a
+                        # documented NO_OP (storage/compute separated).
+                        name = parts[1]
+                        if name not in engine.list_tables():
+                            self._send(
+                                404,
+                                {"code": 404, "error": f"table {name!r} not found"},
+                            )
+                            return
+                        out = engine.rebalance(name)
+                        self._send(
+                            200,
+                            {
+                                "jobId": f"{name}-rebalance",
+                                "status": out["status"],
+                                "description": out["reason"],
+                            },
+                        )
                         return
                     body = self._body()
                     if url.path == "/schemas":

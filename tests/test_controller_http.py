@@ -225,3 +225,38 @@ def test_schema_endpoints_round_trip(spark, tmp_path):
         assert code == 404
     finally:
         ctl.stop()
+
+
+def test_size_rebalance_version_endpoints(spark, tmp_path):
+    """GET /tables/{t}/size, POST /tables/{t}/rebalance, GET /version —
+    the Pinot controller ops surface an operator checks after provisioning."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.streaming.ingest import RawRecordSource
+
+    src_dir = tmp_path / "stream_in"
+    _write_events(src_dir / "a.json", 5, "2024-06-01")
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    pipe = engine.add_table(
+        CLICKSTREAM_SCHEMA, TABLE_CONFIG,
+        RawRecordSource(kind="files", path=str(src_dir)), available_now=True,
+    )
+    pipe.process_available()
+    ctl = start_controller(engine, port=0)
+    try:
+        base = ctl.url()
+        code, resp = _req(f"{base}/version")
+        assert code == 200 and resp["spark"] == spark.version
+        code, resp = _req(f"{base}/tables/kinesisTable/size")
+        assert code == 200
+        assert resp["tableName"] == "kinesisTable"
+        assert resp["reportedSizeInBytes"] == resp["estimatedSizeInBytes"]
+        assert resp["reportedSizeInBytes"] > 0 and resp["numSegments"] >= 1
+        code, resp = _req(f"{base}/tables/ghost/size")
+        assert code == 404
+        code, resp = _req(f"{base}/tables/kinesisTable/rebalance", "POST", {})
+        assert code == 200 and resp["status"] == "NO_OP"
+        assert resp["jobId"].startswith("kinesisTable-rebalance")
+        code, resp = _req(f"{base}/tables/ghost/rebalance", "POST", {})
+        assert code == 404
+    finally:
+        ctl.stop()
+        pipe.stop()
