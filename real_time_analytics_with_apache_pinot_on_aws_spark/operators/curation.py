@@ -618,3 +618,97 @@ def lm_nll_scores(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("nll"), 6).alias("avg_nll"),
     )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
+    every candidate document by how target-domain-like its hashed-n-gram
+    profile is, for importance resampling of a raw corpus toward a target
+    domain.
+
+    The method: featurize documents into hashed n-gram (unigram + bigram)
+    bucket counts; fit Laplace-smoothed bag-of-buckets distributions p
+    (target docs) and q (candidates); a candidate's log importance weight
+    is sum over its gram occurrences of ``log p[b] - log q[b]``.  Returns
+    ``(id, n_grams, log_w, sel_key)`` for every candidate (non-target) doc,
+    where ``sel_key = log_w + Gumbel(md5(id))`` is the Gumbel top-k
+    resampling key — taking the k largest sel_keys samples k docs without
+    replacement with probability proportional to their importance weight
+    (the paper's resampling step), deterministically: the Gumbel variate is
+    ``-ln(-ln(u))`` with ``u = (md5_u32(id)+0.5)/2^32``, so both engines
+    and every rerun agree.
+
+    Spark shape (100 TB posture): tokenize/gram/hash is ONE map-side pass
+    per doc (higher-order fns, no Python, gram strings never cross an
+    exchange — only int bucket ids explode); fitting is one aggregate of
+    at-most-``n_buckets`` rows per partition after map-side combine; the
+    ratio table is ``n_buckets`` rows and broadcast back; scoring is one
+    doc-keyed aggregate.  Selection composes as ``orderBy(sel_key
+    desc).limit(k)`` = TakeOrderedAndProject, never a global window.
+    ``log_w``/``sel_key`` round to 6 dp so FP summation order cannot leak
+    into value hashes.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda x: x != F.lit(""),
+    )
+    base = docs.select(
+        F.col(id_col), is_target.alias("__tgt"), toks.alias("__t")
+    )
+    bigrams = F.when(
+        F.size("__t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__t") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("__t"), i), F.element_at(F.col("__t"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(F.col("__t"), bigrams)
+    # 8-hex-char md5 prefix % n_buckets: the same deterministic hash family
+    # as hash_split/_md5_u32, DuckDB-replayable bit-for-bit
+    buckets = F.transform(
+        grams,
+        lambda g: F.pmod(
+            F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        ),
+    )
+    exploded = base.select(
+        id_col, "__tgt", F.explode(buckets).alias("b")
+    )
+    fit = exploded.groupBy("b").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("__tgt"), 1).otherwise(0)).alias("cr"),
+    )
+    totals = fit.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    # 1-row scalar join (documented pattern) then the closed-form log-ratio
+    ratio = fit.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("ct") + alpha) / (F.col("nt") + alpha * n_buckets))
+            - F.log((F.col("cr") + alpha) / (F.col("nr") + alpha * n_buckets))
+        ).alias("logr"),
+    )
+    scored = (
+        exploded.where(~F.col("__tgt"))
+        .join(F.broadcast(ratio), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.sum("logr"), 6).alias("log_w"),
+        )
+    )
+    u = (_md5_u32(id_col) + F.lit(0.5)) / F.lit(4294967296.0)
+    return scored.withColumn(
+        "sel_key", F.round(F.col("log_w") - F.log(-F.log(u)), 6)
+    )

@@ -5507,6 +5507,95 @@ def c26_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "c27_dsir_selection",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source = 'src0' AS tgt,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, tgt, unnest(t) AS g FROM toks
+      UNION ALL
+      SELECT doc_id, tgt, t[u.i] || ' ' || t[u.i + 1] AS g
+      FROM toks, UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+    ),
+    bk AS (
+      SELECT doc_id, tgt,
+             (('0x' || substr(md5(g), 1, 8))::BIGINT) % 1024 AS b
+      FROM grams
+    ),
+    fit AS (
+      SELECT b,
+             count(*) FILTER (WHERE tgt) AS ct,
+             count(*) FILTER (WHERE NOT tgt) AS cr
+      FROM bk GROUP BY b
+    ),
+    tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM fit),
+    ratio AS (
+      SELECT b, ln((ct + 1.0) / (nt + 1024.0)) - ln((cr + 1.0) / (nr + 1024.0))
+               AS logr
+      FROM fit, tot
+    ),
+    scored AS (
+      SELECT bk.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             round(sum(r.logr), 6) AS log_w
+      FROM bk JOIN ratio r USING (b)
+      WHERE NOT bk.tgt
+      GROUP BY bk.doc_id
+    ),
+    keyed AS (
+      SELECT *,
+             round(log_w - ln(-ln(
+               ((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT) + 0.5)
+                 / 4294967296.0)), 6) AS sel_key
+      FROM scored
+    )
+    SELECT doc_id, n_grams, log_w,
+           row_number() OVER (ORDER BY sel_key DESC, doc_id) <= 40 AS selected
+    FROM keyed
+    ORDER BY doc_id
+    """,
+    doc="C27: DSIR data selection (Xie et al. 2023, arXiv:2302.03169) — "
+        "resample a raw corpus toward a target domain (source='src0' stands "
+        "in) by hashed-n-gram importance weights: unigram+bigram occurrences "
+        "hash into 1024 buckets, Laplace-smoothed bag-of-buckets "
+        "distributions fit p (target) and q (candidates), log_w = sum of "
+        "per-occurrence log p/q, and selection is Gumbel top-k on log_w + "
+        "Gumbel(md5(id)) — k=40 without replacement ∝ weight, fully "
+        "deterministic.  Spark shape (operators/curation.py dsir_scores): "
+        "gram hashing is one map-side higher-order pass (gram strings never "
+        "cross an exchange — only int bucket ids explode), the fit is a "
+        "1024-row aggregate, the ratio table broadcasts back, scoring is "
+        "one doc-keyed aggregate, and top-k is TakeOrderedAndProject — no "
+        "global window touches the corpus; the boolean join back marks "
+        "selected rows from a broadcast 40-row set.  The oracle refits and "
+        "rescores everything in SQL (row_number replays the same total "
+        "order).",
+)
+def c27_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    docs = spark.table("documents")
+    scored = _cur.dsir_scores(docs, F.col("source") == "src0")
+    topk = (
+        scored.orderBy(F.desc("sel_key"), "doc_id")
+        .limit(40)
+        .select("doc_id", F.lit(True).alias("selected"))
+    )
+    return (
+        scored.join(F.broadcast(topk), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            "log_w",
+            F.coalesce("selected", F.lit(False)).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ===========================================================================
 # Driver window curation: the driver's correctness gate adjudicates exactly
 # the first 50 entries of queries() in registration order (confirmed in

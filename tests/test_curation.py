@@ -305,3 +305,40 @@ def test_shuffle_shards_32bit_balance(docs):
     assert sum(sizes) == n
     # with ~n/64 docs per shard, no shard should be empty or wildly off
     assert min(sizes) > 0
+
+
+def test_dsir_upweights_target_like_candidates(spark):
+    """DSIR semantics: a candidate sharing the target domain's distinctive
+    vocabulary must out-weigh one written in the background vocabulary."""
+    rows = (
+        # target domain: medical-ish vocabulary
+        [(i, "patient dose clinical trial symptom therapy", True) for i in range(10)]
+        # candidate that looks like the target
+        + [(100, "clinical therapy dose patient trial outcome", False)]
+        # candidate in a disjoint vocabulary
+        + [(101, "football match goal striker league season", False)]
+        # background candidates diluting q toward the disjoint vocab
+        + [(200 + i, "football match goal striker league season", False) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    out = {
+        r["doc_id"]: r["log_w"]
+        for r in C.dsir_scores(df, F.col("tgt")).collect()
+    }
+    assert out[100] > out[101]
+    # every candidate present exactly once, no target rows leak through
+    assert set(out) == {100, 101} | {200 + i for i in range(10)}
+
+
+def test_dsir_gram_strings_never_cross_an_exchange(docs):
+    """100 TB posture: tokenize/gram/hash is map-side — only int bucket ids
+    explode into the fit/score shuffles, never gram strings, and the
+    1024-row ratio table broadcasts back to the scoring join."""
+    out = C.dsir_scores(docs, F.col("source") == "src0")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    # every shuffle output carries only narrow columns (ids/buckets/counts):
+    # gram text appears in no Exchange's child output schema
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "__t" not in line and "gram" not in line.lower()
