@@ -67,6 +67,9 @@ PROBES = (
     "c25_exact_substring_dedup",
     # LM perplexity filter: vocabulary-sized model, doc-keyed scoring
     "c26_lm_perplexity_filter",
+    # DSIR selection: map-side gram hashing, 1024-row fit aggregate,
+    # broadcast ratio rejoin, TakeOrderedAndProject top-k — expect ~linear
+    "c27_dsir_selection",
 )
 
 
