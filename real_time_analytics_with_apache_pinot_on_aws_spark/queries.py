@@ -5637,7 +5637,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "b22_percentile_approx",
     "b24_b25_stats",
     "b26_first_last_with_time",
-    "b30_salted_agg",
+    # (b30_salted_agg stays registered post-window + plan-pinned: B30's
+    # GROUP BY row is covered by flagship_dashboard and b16_b17_core_aggs,
+    # and the skew-salting plan shape is pinned in test_plans; the slot
+    # surfaces the round-5 exact-substring dedup operator — a repeated-span
+    # pipeline stage no other window entry exercises)
+    "c25_exact_substring_dedup",
     # group-by post-processing / sorting (B31-B33, B46-B48)
     "b31_b32_having_topk",
     "b33_b47_distinct_page",
