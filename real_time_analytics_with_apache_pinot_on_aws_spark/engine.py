@@ -10,6 +10,8 @@ Reference surface (SURVEY §2.A):
 - B4  JSON result                                          -> :meth:`query_json` / :meth:`query_broker_response`
 - EXPLAIN PLAN FOR                                         -> :meth:`explain_plan` (via :meth:`query`)
 - star-tree-aware aggregation                              -> :meth:`query_agg` / :meth:`query_routed`
+- skipUpsert=true query option                             -> :meth:`_apply_skip_upsert_rewrite` (via :meth:`query`)
+- table-type suffix addressing (t_REALTIME / t_OFFLINE)    -> :meth:`register_view` aliases
 
 Table config parsing follows the reference's REALTIME config shape
 (resources/pinot/resources/kinesisTableConfigFile.json): time column +
@@ -548,6 +550,10 @@ class Engine:
             )
         self.configs[config.name] = config
         loaded.createOrReplaceTempView(config.name)
+        # Pinot table-type suffix addressing **[P1.2]**: a dimension table
+        # is OFFLINE, so ``dim_OFFLINE`` must bind (Spark view names are
+        # case-insensitive — the Pinot-cased suffix resolves here)
+        loaded.createOrReplaceTempView(f"{config.name}_offline")
         return {"table": config.name, "path": path, "rows": n}
 
     # -- OFFLINE tables + hybrid (A8 batch side, B3) ---------------------
@@ -1023,11 +1029,18 @@ class Engine:
         if self._is_dim(name):
             # dimension tables register at add_dim_table; re-register =
             # refresh the parquet listing, same as for consuming tables
-            self._resolved_frame(name).createOrReplaceTempView(name)
+            dim = self._resolved_frame(name)
+            dim.createOrReplaceTempView(name)
+            dim.createOrReplaceTempView(f"{name}_offline")
             return
         offline = self.offline_configs.get(name)
         if offline is not None and name not in self.pipelines:
-            self._offline_frame(name).createOrReplaceTempView(name)
+            off = self._offline_frame(name)
+            off.createOrReplaceTempView(name)
+            # Pinot table-type suffix **[P1.2]**: ``mytable_OFFLINE`` binds
+            # on a pure offline table too (view names are case-insensitive,
+            # so the Pinot-cased form resolves to this view)
+            off.createOrReplaceTempView(f"{name}_offline")
             return
         raw = self.pipelines[name].table()
         resolved = self._realtime_resolved(name)
@@ -1038,6 +1051,10 @@ class Engine:
             resolved.createOrReplaceTempView(f"{name}_realtime")
             self._resolved_frame(name).createOrReplaceTempView(name)
             return
+        # Pinot table-type suffix **[P1.2]**: ``mytable_REALTIME`` binds on
+        # a pure realtime table as well (the resolved view — suffixing never
+        # bypasses upsert resolution; that is skipUpsert's job)
+        resolved.createOrReplaceTempView(f"{name}_realtime")
         if resolved is raw:
             raw.createOrReplaceTempView(name)
             return
@@ -2142,6 +2159,8 @@ class Engine:
         :meth:`_try_query_gapfill` -> operators/gapfill.
         """
         sql, _opts = self._strip_query_options(sql)
+        if str(_opts.get("skipUpsert", "false")).lower() == "true":
+            sql = self._apply_skip_upsert_rewrite(sql)
         has_lookup = False
         if self._LOOKUP_RE.search(sql):
             rewritten = self._rewrite_lookup_calls(sql)
@@ -2159,6 +2178,61 @@ class Engine:
         if vm:
             return self._query_vector_similarity(vm)
         return self.spark.sql(self._apply_ts_index_rewrite(sql))
+
+    def _apply_skip_upsert_rewrite(self, sql: str) -> str:
+        """Pinot ``skipUpsert=true`` **[P1.2]**: serve the raw append-only
+        log — every row version and tombstone, no primary-key resolution
+        (Pinot's standard way to audit what upsert resolution hides).
+
+        FROM/JOIN-position references to a pure-realtime upsert/dedup table
+        rewrite to its ``<name>_raw`` view; the rewrite is literal-span
+        aware, gated to SELECT/WITH statements, and must analyze cleanly or
+        the original SQL stands (same fallback contract as the TIMESTAMP
+        index rewrite).  Hybrid tables are deliberately NOT rewritten: their
+        view is the offline/realtime boundary merge, and skipping resolution
+        there would require a raw-side merge no Pinot option defines.
+        """
+        targets = {
+            n.lower(): f"{n}_raw"
+            for n, c in self.configs.items()
+            if (c.upsert_mode is not None or c.dedup_enabled)
+            and n not in self.offline_configs
+            and n in self.pipelines
+        }
+        if not targets:
+            return sql
+        if not re.match(r"\s*(SELECT|WITH)\b", sql, re.IGNORECASE):
+            return sql
+        spans = self._literal_spans(sql)
+        # a WITH-prefixed COMMAND (CTE + INSERT/CREATE/...) would pass the
+        # prefix gate and the probe would EXECUTE it (same guard as the
+        # TIMESTAMP index rewrite)
+        for m in re.finditer(
+            r"\b(INSERT|CREATE|REPLACE|DELETE|UPDATE|MERGE|DROP|ALTER)\b",
+            sql,
+            re.IGNORECASE,
+        ):
+            if not any(s <= m.start() < e for s, e in spans):
+                return sql
+
+        def repl(m: re.Match) -> str:
+            if any(s <= m.start() < e for s, e in spans):
+                return m.group(0)
+            raw = targets.get(m.group("t").lower())
+            if raw is None:
+                return m.group(0)
+            return f"{m.group(1)}{m.group(2)}{raw}"
+
+        rewritten = re.sub(
+            r"\b(FROM|JOIN)(\s+)(?P<t>\w+)", repl, sql, flags=re.IGNORECASE
+        )
+        if rewritten == sql:
+            return sql
+        try:
+            self.spark.sql(rewritten)  # SELECT/WITH only: analysis, no exec
+            return rewritten
+        except Exception:
+            return sql
 
     # -- TIMESTAMP index (fieldConfigList timestampConfig) ---------------
 

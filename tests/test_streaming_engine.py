@@ -235,6 +235,97 @@ def test_upsert_table_resolved_view(spark, tmp_path):
     pipe.stop()
 
 
+def test_skip_upsert_option_and_table_type_suffix(spark, tmp_path):
+    """Pinot parity **[P1.2]**: ``SET skipUpsert=true`` serves the RAW
+    append-only log (every row version, no pk resolution), and the
+    table-type suffix ``<name>_REALTIME`` binds on a pure realtime table —
+    to the RESOLVED view (suffixing never bypasses resolution; only
+    skipUpsert does)."""
+    import json as _json
+
+    src_dir = tmp_path / "stream_in"
+    config = dict(TABLE_CONFIG)
+    config["tableName"] = "skipDemo"
+    config["upsertConfig"] = {"mode": "FULL"}
+    schema = dict(CLICKSTREAM_SCHEMA)
+    schema["primaryKeyColumns"] = ["userID"]
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+
+    def row(uid, price, t):
+        return {"userID": uid, "campaign": "c", "price": price,
+                "creationTimestamp": f"2024-06-01 {t}"}
+
+    src_dir.mkdir(parents=True, exist_ok=True)
+    (src_dir / "b1.json").write_text("\n".join(_json.dumps(r) for r in [
+        row("u1", 10, "10:00:00"), row("u1", 12, "10:05:00"),
+        row("u2", 20, "10:00:01"),
+    ]))
+    pipe = engine.add_table(schema, config, RawRecordSource(kind="files", path=str(src_dir)),
+                            available_now=True)
+    pipe.process_available()
+    engine.register_view("skipDemo")
+
+    # resolved view: 2 rows; skipUpsert: all 3 versions
+    assert engine.query("SELECT count(*) AS n FROM skipDemo").collect()[0]["n"] == 2
+    assert engine.query(
+        "SET skipUpsert=true; SELECT count(*) AS n FROM skipDemo"
+    ).collect()[0]["n"] == 3
+    # legacy OPTION() suffix spelling must behave identically
+    assert engine.query(
+        "SELECT count(*) AS n FROM skipDemo OPTION(skipUpsert=true)"
+    ).collect()[0]["n"] == 3
+    # skipUpsert shows superseded values the resolved view hides
+    prices = sorted(r["price"] for r in engine.query(
+        "SET skipUpsert=true; SELECT price FROM skipDemo WHERE userID = 'u1'"
+    ).collect())
+    assert prices == [10, 12]
+    # a literal containing 'FROM skipDemo' is data, not a reference
+    lit = engine.query(
+        "SET skipUpsert=true; SELECT 'FROM skipDemo' AS s, count(*) AS n FROM skipDemo"
+    ).collect()[0]
+    assert lit["s"] == "FROM skipDemo" and lit["n"] == 3
+
+    # Pinot-cased suffix addressing binds — and to the RESOLVED view
+    assert engine.query(
+        "SELECT count(*) AS n FROM skipDemo_REALTIME"
+    ).collect()[0]["n"] == 2
+    pipe.stop()
+
+
+def test_table_type_suffix_offline_and_dim(spark, tmp_path):
+    """``<name>_OFFLINE`` binds on pure offline tables and dimension tables
+    (Pinot addresses both as OFFLINE) **[P1.2]**."""
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    dim = spark.createDataFrame(
+        [("c1", "Search"), ("c2", "Social")], "campaign string, channel string"
+    )
+    engine.add_dim_table(
+        {"schemaName": "campaignMeta",
+         "dimensionFieldSpecs": [{"name": "campaign", "dataType": "STRING"},
+                                 {"name": "channel", "dataType": "STRING"}],
+         "primaryKeyColumns": ["campaign"]},
+        {"tableName": "campaignMeta", "tableType": "OFFLINE", "isDimTable": True},
+        dim,
+    )
+    assert engine.query(
+        "SELECT count(*) AS n FROM campaignMeta_OFFLINE"
+    ).collect()[0]["n"] == 2
+
+    engine.add_offline_table(CLICKSTREAM_SCHEMA, {
+        "tableName": "clicksOff",
+        "tableType": "OFFLINE",
+        "segmentsConfig": {"timeColumnName": "creationTimestamp"},
+    })
+    engine.upload_segment("clicksOff", spark.createDataFrame(
+        [("u1", "c1", 1.0, "2024-06-01 10:00:00")],
+        "userID string, campaign string, price double, creationTimestamp string",
+    ))
+    engine.register_view("clicksOff")
+    assert engine.query(
+        "SELECT count(*) AS n FROM clicksOff_OFFLINE"
+    ).collect()[0]["n"] == 1
+
+
 def test_pause_resume_consumption_exactly_once(spark, tmp_path):
     """Pinot pause/resumeConsumption analog: pausing stops ingest but keeps
     the table queryable; resuming restarts from the checkpointed offset —
