@@ -721,6 +721,46 @@ def line_dedup(
     )
 
 
+def _merged_spans(sorted_starts: Column, k: int) -> Column:
+    """Fold an ASCENDING-sorted array of 1-based gram starts into disjoint
+    merged coverage spans ``struct<lo:int, hi:int>`` where each start ``s``
+    covers tokens ``[s, s+k-1]``.  Overlapping/adjacent intervals merge, so
+    the result is bounded by the number of distinct covered RUNS in the
+    doc, not the number of starts — the per-token mask in
+    :func:`exact_substring_dedup` stays O(tokens x spans) even on a hot doc
+    that is one gram repeated 100k times (~100k starts, 1 span).  Pure
+    codegen ``aggregate``; starts are ascending so the running last span's
+    ``hi`` only ever extends to ``s + k - 1``.
+    """
+    empty = F.array().cast("array<struct<lo:int,hi:int>>")
+    return F.aggregate(
+        sorted_starts,
+        empty,
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= F.element_at(acc, -1)["hi"] + 1),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["lo"].alias("lo"),
+                        (s + F.lit(k - 1)).cast("int").alias("hi"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        s.cast("int").alias("lo"),
+                        (s + F.lit(k - 1)).cast("int").alias("hi"),
+                    )
+                ),
+            )
+        ),
+    )
+
+
 def exact_substring_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -752,9 +792,13 @@ def exact_substring_dedup(
     when duplication is sparse (the common case the paper reports: ~1-3%
     of tokens).  ``broadcast_dict`` is OPT-IN (default off): unlike
     :func:`line_dedup`'s boilerplate dictionary, the repeated-gram set is
-    unbounded at web scale and can outgrow executor memory.  Per-token
-    masking is ``exists(starts, s -> s <= p < s+k)`` —
-    O(tokens x starts-per-doc), map-side codegen.
+    unbounded at web scale and can outgrow executor memory.  Per-doc
+    covered starts are folded into DISJOINT merged (lo, hi) spans before
+    masking (sorted aggregate — bounded by the number of distinct runs, a
+    tiny array even on repeat-heavy docs), so the per-token mask is
+    ``exists(spans, sp -> lo <= p <= hi)`` — O(tokens x spans) map-side
+    codegen, NOT O(tokens x starts): a pathological hot doc that is mostly
+    one repeated gram has ~n starts but O(1) spans.
     """
     toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
     n_grams = F.size("t") - F.lit(k - 1)
@@ -782,13 +826,15 @@ def exact_substring_dedup(
         # corpora whose dup set is known small; the default shuffle join
         # moves only 8-byte (gh, s0) pairs on the probe side anyway.
         rep = F.broadcast(rep)
-    starts = (
+    spans = (
         grams.join(rep, "gh")
         .groupBy(id_col)
-        .agg(F.collect_set(F.col("s0") + 1).alias("starts"))  # 1-based
+        .agg(F.array_sort(F.collect_set(F.col("s0") + 1)).alias("starts"))  # 1-based
+        .select(F.col(id_col), _merged_spans(F.col("starts"), k).alias("spans"))
     )
-    masked = toks.join(starts, id_col, "left").withColumn(
-        "starts", F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    masked = toks.join(spans, id_col, "left").withColumn(
+        "spans",
+        F.coalesce(F.col("spans"), F.array().cast("array<struct<lo:int,hi:int>>")),
     )
     kept = F.filter(
         F.transform(
@@ -796,7 +842,8 @@ def exact_substring_dedup(
             lambda tok, p: F.struct(
                 tok.alias("tok"),
                 F.exists(
-                    "starts", lambda s: (p + 1 >= s) & (p + 1 < s + k)
+                    "spans",
+                    lambda sp: (p + 1 >= sp["lo"]) & (p + 1 <= sp["hi"]),
                 ).alias("cov"),
             ),
         ),

@@ -5654,7 +5654,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "b38_theta_join",
     "b39_lookup_join",
     "b40_b41_setops_cte",
-    "b42_id_set_filter",
+    # (b42_id_set_filter stays registered post-window: B42 is the SURVEY's
+    # explicitly low-priority IdSet row and its broadcast-semi-join shape is
+    # jointly exercised by b37_semi_anti_join; the slot surfaces the round-5
+    # bigram-LM perplexity filter — the CCNet quality-filtering stage no
+    # other window entry exercises)
+    "c26_lm_perplexity_filter",
     # windows (B43-B45)
     "b43_b45_window_suite",
     # scalar function families (B49-B56)
@@ -5663,7 +5668,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # inside b49_b54_scalar_fns; the slot surfaces shuffle-sharding)
     "c20_shuffle_shards",
     "b52_b53_json_array_fns",
-    "b55_geo_functions",
+    # (b55_geo_functions stays registered post-window: B55 is an optional
+    # plugin unused by the reference config per SURVEY, and the geo scalar
+    # family stays pytest + locally oracle-gated; the slot surfaces the
+    # round-5 DSIR data-selection operator — hashed-n-gram importance
+    # resampling, a distinct pipeline stage no other window entry exercises)
+    "c27_dsir_selection",
     # time / ingest / hybrid / upsert / UDF surface (A3/A7, B3, B60-B65)
     "b60_time_window_agg",
     "a3_a7_ingest_retention",

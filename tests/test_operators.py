@@ -1435,6 +1435,38 @@ def test_exact_substring_dedup_gram_hashing_is_map_side(spark):
     assert default == {r["doc_id"]: r["clean_text"] for r in out.collect()}
 
 
+def test_exact_substring_dedup_hot_doc_merges_spans(spark):
+    """A hot doc that is mostly ONE repeated gram has ~n covered starts but
+    O(1) merged spans: the per-token mask is O(tokens x spans), not
+    O(tokens x starts).  Pins the merged-span count via _merged_spans and
+    the end-to-end result on the hot doc."""
+    import real_time_analytics_with_apache_pinot_on_aws_spark.operators.dedup as D
+    from pyspark.sql import functions as F
+
+    # 600 tokens of "spam" -> 596 repeated 5-gram starts, all contiguous
+    hot = " ".join(["spam"] * 600) + " distinct suffix words here now"
+    docs = spark.createDataFrame(
+        [(1, hot), (2, "spam spam spam spam spam plus other body")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in D.exact_substring_dedup(docs).collect()}
+    assert out[1]["clean_text"] == "distinct suffix words here now"
+    assert out[1]["n_removed"] == 600
+    assert out[2]["clean_text"] == "plus other body"
+
+    # span merge: 596 contiguous starts fold to exactly 1 span; a gap
+    # (start 700) opens a second span
+    starts = list(range(1, 597)) + [700]
+    row = (
+        spark.createDataFrame([(starts,)], "starts array<int>")
+        .select(D._merged_spans(F.array_sort("starts"), 5).alias("spans"))
+        .first()
+    )
+    assert len(row["spans"]) == 2
+    assert (row["spans"][0]["lo"], row["spans"][0]["hi"]) == (1, 600)
+    assert (row["spans"][1]["lo"], row["spans"][1]["hi"]) == (700, 704)
+
+
 # -- bigram LM perplexity filter (C26, CCNet quality stage) ----------------
 
 
