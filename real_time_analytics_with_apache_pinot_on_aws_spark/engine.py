@@ -23,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import re
+import threading
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -1311,19 +1312,31 @@ class Engine:
         """
         from .streaming.rollup import AggRequest
 
+        # Strip options for SHAPE DETECTION only; every fallback delegates
+        # the ORIGINAL statement so query() sees (and applies) the full
+        # option set — the old stripped-SQL delegation silently dropped
+        # skipUpsert and every other non-useStarTree option (round-5
+        # ADVICE).
+        orig = sql
         sql, opts = self._strip_query_options(sql)
         if str(opts.get("useStarTree", "true")).lower() == "false":
             # Pinot's useStarTree query option **[P1.2]**: false forces the
             # raw-scan plan (the standard way to cross-check a star-tree
             # answer); the default leaves routing to the selection logic
-            return self.query(sql), "sql"
+            return self.query(orig), "sql"
+        if str(opts.get("skipUpsert", "false")).lower() == "true":
+            # skipUpsert asks for the RAW append-only log — star-tree cells
+            # aggregate the RESOLVED view, so routing there would answer the
+            # wrong question; always take the raw-scan path (query() applies
+            # the skip-upsert rewrite itself)
+            return self.query(orig), "sql"
         m = self._AGG_SQL_RE.match(sql)
         if not m:
-            return self.query(sql), "sql"
+            return self.query(orig), "sql"
         table = m.group("table")
         config = self.configs.get(table)
         if table not in self.pipelines or config is None or not config.star_trees:
-            return self.query(sql), "sql"
+            return self.query(orig), "sql"
         groups = tuple(g.strip() for g in m.group("groups").split(",") if g.strip())
         # _AGG_SQL_RE's groups capture is greedy over [\w\s,] and will absorb
         # a trailing ORDER BY / LIMIT / HAVING into the last "dim"; every
@@ -1332,19 +1345,19 @@ class Engine:
         if not groups or any(not re.fullmatch(r"\w+", g) for g in groups) or any(
             g.upper() in ("ORDER", "BY", "LIMIT", "HAVING", "OFFSET") for g in groups
         ):
-            return self.query(sql), "sql"
+            return self.query(orig), "sql"
         aggs: dict = {}
         sel_dims: list = []
         for item in self._split_top_level_commas(m.group("items")):
             im = self._AGG_ITEM_RE.match(item.strip())
             if not im:
-                return self.query(sql), "sql"
+                return self.query(orig), "sql"
             if im.group("dim"):
                 sel_dims.append(im.group("dim"))
             else:
                 aggs[im.group("alias")] = (im.group("fn").lower(), im.group("col"))
         if not aggs or set(sel_dims) - set(groups):
-            return self.query(sql), "sql"
+            return self.query(orig), "sql"
         filters: dict = {}
         where = m.group("where")
         if where:
@@ -1354,14 +1367,14 @@ class Engine:
                 if fm:
                     vals = self._parse_in_values(fm.group("vals"))
                     if vals is None:
-                        return self.query(sql), "sql"
+                        return self.query(orig), "sql"
                     filters[fm.group("col")] = vals
                     continue
                 em = self._AGG_EQ_RE.match(conj)
                 if em:
                     filters[em.group("col")] = (em.group("val").strip("'"),)
                     continue
-                return self.query(sql), "sql"
+                return self.query(orig), "sql"
         req = AggRequest(dims=groups, aggs=aggs, dim_filters=filters)
         out, route = self.query_agg(table, req)
         # present columns in the SELECT's order (dims first as written)
@@ -1694,17 +1707,22 @@ class Engine:
     _VECSIM_RE = re.compile(
         r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<table>\w+)\s+WHERE\s+"
         r"VECTOR_SIMILARITY\(\s*(?P<col>\w+)\s*,\s*"
-        r"ARRAY\s*\[(?P<vals>[-+\deE.,\s]+)\]\s*,\s*(?P<k>\d+)\s*\)\s*;?\s*$",
+        r"ARRAY\s*\[(?P<vals>[-+\deE.,\s]+)\]\s*,\s*(?P<k>\d+)\s*\)"
+        r"(?:\s+AND\s+(?P<residual>.+?))?\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
 
     def _query_vector_similarity(self, m: "re.Match") -> DataFrame:
         """The SQL form of Pinot 1.2's vector predicate **[P1.2]**:
-        ``SELECT ... FROM t WHERE VECTOR_SIMILARITY(col, ARRAY[...], k)``
-        returns the k nearest rows — resolved as :meth:`vector_similarity`
-        top-k ids semi-joined back (broadcast: k rows), then the SELECT
-        projection.  The table's first primaryKeyColumn is the join id,
-        mirroring how Pinot identifies rows for the index lookup.
+        ``SELECT ... FROM t WHERE VECTOR_SIMILARITY(col, ARRAY[...], k)
+        [AND <residual>]`` returns the k nearest rows — resolved as
+        :meth:`vector_similarity` top-k ids semi-joined back (broadcast: k
+        rows), then any residual conjuncts, then the SELECT projection.
+        Pinot 1.2 composes the vector predicate with ordinary filters the
+        same way: the index serves the top-k candidate set first and the
+        residual applies to it (so the result can be FEWER than k rows).
+        The table's first primaryKeyColumn is the join id, mirroring how
+        Pinot identifies rows for the index lookup.
         """
         table, col = m.group("table"), m.group("col")
         config = self.configs.get(table)
@@ -1727,6 +1745,9 @@ class Engine:
             id_col,
             "left_semi",
         )
+        residual = m.group("residual")
+        if residual:
+            out = out.where(F.expr(residual))
         items = [i.strip() for i in self._split_top_level_commas(m.group("items"))]
         if items == ["*"]:
             return out
@@ -1930,10 +1951,15 @@ class Engine:
         from pyspark.sql import functions as F
 
         if re.fullmatch(r"\d+", literal):
-            unit = out_fmt.upper().split(":")[1] if ":" in out_fmt else "MILLISECONDS"
+            parts = out_fmt.upper().split(":")
+            unit = parts[1] if len(parts) > 1 else "MILLISECONDS"
+            # Pinot datetime formats carry a SIZE prefix: '15:MINUTES:EPOCH'
+            # means the value counts 15-minute units, so the bound scales by
+            # size * unit (round-5 ADVICE — size was silently dropped)
+            size = int(parts[0]) if parts[0].isdigit() else 1
             v = int(literal)
             if unit == "MILLISECONDS":
-                return F.timestamp_millis(F.lit(v))
+                return F.timestamp_millis(F.lit(v * size))
             # epoch bounds arrive in the declared format's unit (Pinot
             # writes '477710' for 1:HOURS:EPOCH) — scale to seconds
             scale = {"SECONDS": 1, "MINUTES": 60, "HOURS": 3600, "DAYS": 86400}.get(unit)
@@ -1941,7 +1967,7 @@ class Engine:
                 raise ValueError(
                     f"GAPFILL: epoch bound {literal!r} with unsupported unit {unit!r}"
                 )
-            return F.timestamp_seconds(F.lit(v * scale))
+            return F.timestamp_seconds(F.lit(v * size * scale))
         return F.to_timestamp(F.lit(literal))
 
     def _try_query_gapfill(self, sql: str) -> DataFrame | None:
@@ -2105,6 +2131,16 @@ class Engine:
     _UNION_PUSHDOWN_RULE = (
         "org.apache.spark.sql.catalyst.optimizer.PushProjectionThroughUnion"
     )
+    # One lock for ALL engines on this driver: spark.conf is session-global,
+    # and the broker is a ThreadingHTTPServer — without mutual exclusion one
+    # request's finally-restore could re-enable PushProjectionThroughUnion
+    # while another thread is still planning a LOOKUP-over-hybrid statement
+    # (resurfacing the NoSuchElementException the exclusion prevents), or
+    # clobber a concurrently-set user value.  Class-level because two Engine
+    # instances can share one SparkSession; the window is plan-only (the
+    # physical plan is forced eagerly inside it), so the serialization cost
+    # is planning time, not execution time.
+    _EXCLUDED_RULES_LOCK = threading.RLock()
 
     def _sql_without_union_pushdown(self, sql: str) -> DataFrame:
         """Plan a statement with ``PushProjectionThroughUnion`` excluded.
@@ -2115,23 +2151,28 @@ class Engine:
         table's union view would die.  Excluding the rule for JUST this
         statement costs at most a wider projection on the union sides; the
         physical plan is forced eagerly inside the conf window so later
-        actions on the returned frame reuse it.
+        actions on the returned frame reuse it.  The window runs under
+        :data:`_EXCLUDED_RULES_LOCK` — concurrent broker threads each get a
+        consistent set/plan/restore sequence.
         """
         conf = self.spark.conf
         key = "spark.sql.optimizer.excludedRules"
-        prev = conf.get(key, None)
-        rules = (
-            f"{prev},{self._UNION_PUSHDOWN_RULE}" if prev else self._UNION_PUSHDOWN_RULE
-        )
-        conf.set(key, rules)
-        try:
-            df = self.spark.sql(sql)
-            df._jdf.queryExecution().executedPlan()
-        finally:
-            if prev is None:
-                conf.unset(key)
-            else:
-                conf.set(key, prev)
+        with self._EXCLUDED_RULES_LOCK:
+            prev = conf.get(key, None)
+            rules = (
+                f"{prev},{self._UNION_PUSHDOWN_RULE}"
+                if prev
+                else self._UNION_PUSHDOWN_RULE
+            )
+            conf.set(key, rules)
+            try:
+                df = self.spark.sql(sql)
+                df._jdf.queryExecution().executedPlan()
+            finally:
+                if prev is None:
+                    conf.unset(key)
+                else:
+                    conf.set(key, prev)
         return df
 
     _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s+PLAN\s+FOR\s+", re.IGNORECASE)

@@ -647,10 +647,13 @@ def dsir_scores(
 
     Spark shape (100 TB posture): tokenize/gram/hash is ONE map-side pass
     per doc (higher-order fns, no Python, gram strings never cross an
-    exchange — only int bucket ids explode); fitting is one aggregate of
-    at-most-``n_buckets`` rows per partition after map-side combine; the
-    ratio table is ``n_buckets`` rows and broadcast back; scoring is one
-    doc-keyed aggregate.  Selection composes as ``orderBy(sel_key
+    exchange — only int bucket ids explode), reduced to cached per-doc
+    bucket counts (<= ``n_buckets`` int rows per doc) that feed BOTH the
+    fit and the scoring join, so the corpus text is read exactly once;
+    fitting is one aggregate of at-most-``n_buckets`` rows per partition
+    after map-side combine; the ratio table is ``n_buckets`` rows and
+    broadcast back; scoring is one doc-keyed aggregate over the cached
+    counts.  Selection composes as ``orderBy(sel_key
     desc).limit(k)`` = TakeOrderedAndProject, never a global window.
     ``log_w``/``sel_key`` round to 6 dp so FP summation order cannot leak
     into value hashes.
@@ -684,9 +687,21 @@ def dsir_scores(
     exploded = base.select(
         id_col, "__tgt", F.explode(buckets).alias("b")
     )
-    fit = exploded.groupBy("b").agg(
-        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(~F.col("__tgt"), 1).otherwise(0)).alias("cr"),
+    # Single text pass: reduce the exploded grams to per-doc bucket COUNTS
+    # (<= n_buckets int rows per doc, map-side combined) and cache that
+    # narrow relation — it feeds BOTH the p/q fit and the scoring join, so
+    # the tokenize/gram/hash pass over the corpus text runs exactly once
+    # (the r5 advisory's second full text read is gone).  At cluster scale
+    # this is a persist to MEMORY_AND_DISK of ints-only rows, orders of
+    # magnitude smaller than the text it summarizes.
+    per_doc = (
+        exploded.groupBy(id_col, "__tgt", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
+    )
+    fit = per_doc.groupBy("b").agg(
+        F.sum(F.when(F.col("__tgt"), F.col("c")).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("__tgt"), F.col("c")).otherwise(0)).alias("cr"),
     )
     totals = fit.agg(
         F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
@@ -700,15 +715,206 @@ def dsir_scores(
         ).alias("logr"),
     )
     scored = (
-        exploded.where(~F.col("__tgt"))
+        per_doc.where(~F.col("__tgt"))
         .join(F.broadcast(ratio), "b")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.round(F.sum("logr"), 6).alias("log_w"),
+            F.sum("c").alias("n_grams"),
+            F.round(F.sum(F.col("c") * F.col("logr")), 6).alias("log_w"),
         )
     )
     u = (_md5_u32(id_col) + F.lit(0.5)) / F.lit(4294967296.0)
     return scored.withColumn(
         "sel_key", F.round(F.col("log_w") - F.log(-F.log(u)), 6)
+    )
+
+
+# -- C28: Gopher quality rules (rule-based document filter) ------------------
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_fraction: float = 0.9,
+    max_ellipsis_line_fraction: float = 0.3,
+    min_alpha_word_fraction: float = 0.8,
+    min_stop_hits: int = 2,
+    max_dup_2gram_fraction: float = 0.20,
+    max_dup_3gram_fraction: float = 0.18,
+) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021, arXiv:2112.11446
+    Appendix A1): the standard pre-training document gate — every signal a
+    deterministic function of the text, every rule a thresholded boolean,
+    ``passes`` their conjunction.  Defaults are the paper's published
+    thresholds; the duplicate-n-gram rules adapt the paper's top-n-gram
+    character fractions to duplicated-n-gram token fractions (the same
+    templated-text detector, already the repo's :func:`repetition_stats`
+    signal — documented divergence, thresholds kept at the paper's values).
+
+    Signals per document: word count (whitespace words), mean word length,
+    symbol-to-word ratio ('#' chars + '...' occurrences per word),
+    bullet-start and ellipsis-end line fractions, fraction of words with an
+    alphabetic character, count of the paper's 8 required stopwords present
+    (the/be/to/of/and/that/have/with), duplicated 2-/3-gram fractions.
+
+    Spark shape (100 TB posture): ONE map-side pass — every signal is a
+    built-in array/string expression over the same row; no joins, no
+    aggregates, no shuffles anywhere, trivially linear at any corpus size
+    and embarrassingly partition-parallel.  Fractions round to 6 dp for
+    oracle determinism.
+    """
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda x: x != F.lit(""))
+    n_words = F.size(words)
+    safe_n = F.greatest(n_words, F.lit(1))
+    mean_wl = F.aggregate(
+        words, F.lit(0).cast("double"), lambda a, w: a + F.length(w)
+    ) / safe_n
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ell) / safe_n
+    lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != F.lit(""))
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.substring(F.trim(ln), 1, 1).isin("-", "*", "•"),
+            )
+        )
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.rtrim(ln).endswith("...")
+                | F.rtrim(ln).endswith("…"),
+            )
+        )
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / safe_n
+    )
+    lw = F.split(F.lower(t), r"[^a-z0-9]+")
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in
+                      ("the", "be", "to", "of", "and", "that", "have", "with")]),
+            lambda s: F.array_contains(lw, s),
+        )
+    )
+    from .dedup import normalized_tokens
+
+    toks = normalized_tokens(t)
+
+    def _dup_frac(n: int) -> Column:
+        g = F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+        return 1 - F.size(F.array_distinct(g)) / F.greatest(F.size(g), F.lit(1))
+
+    sig = docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_fraction"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_fraction"),
+        F.round(alpha_frac, 6).alias("alpha_word_fraction"),
+        stop_hits.alias("stop_hits"),
+        F.round(_dup_frac(2), 6).alias("dup_2gram_fraction"),
+        F.round(_dup_frac(3), 6).alias("dup_3gram_fraction"),
+    )
+    rules = {
+        "r_word_count": F.col("n_words").between(min_words, max_words),
+        "r_mean_word_len": F.col("mean_word_len").between(
+            min_mean_word_len, max_mean_word_len
+        ),
+        "r_symbol_ratio": F.col("symbol_word_ratio") <= max_symbol_word_ratio,
+        "r_bullet_lines": F.col("bullet_line_fraction")
+        <= max_bullet_line_fraction,
+        "r_ellipsis_lines": F.col("ellipsis_line_fraction")
+        <= max_ellipsis_line_fraction,
+        "r_alpha_words": F.col("alpha_word_fraction") >= min_alpha_word_fraction,
+        "r_stopwords": F.col("stop_hits") >= min_stop_hits,
+        "r_dup_2gram": F.col("dup_2gram_fraction") <= max_dup_2gram_fraction,
+        "r_dup_3gram": F.col("dup_3gram_fraction") <= max_dup_3gram_fraction,
+    }
+    out = sig.select("*", *[c.alias(n) for n, c in rules.items()])
+    passes = None
+    for n in rules:
+        passes = F.col(n) if passes is None else passes & F.col(n)
+    return out.withColumn("passes", passes)
+
+
+# -- C29: C4-style line cleaning + document filter ---------------------------
+
+
+def c4_clean(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    banned_substrings: tuple = ("lorem ipsum", "{"),
+) -> DataFrame:
+    """C4 cleaning (Raffel et al. 2020, arXiv:1910.10683 §2.2): keep only
+    lines that end in a terminal punctuation mark ('.', '!', '?', '"') AND
+    contain at least ``min_words_per_line`` words; flag (not drop — the
+    caller filters) documents with fewer than ``min_sentences`` kept
+    sentences or containing a banned substring ('lorem ipsum', '{' — the
+    paper's JavaScript/boilerplate tells).  Returns
+    ``(id, clean_text, n_lines, n_kept, n_sentences, has_banned,
+    doc_pass)``.
+
+    Spark shape (100 TB posture): ONE map-side pass — line split, per-line
+    predicate, sentence count, and banned-substring test are all built-in
+    array/string expressions over the same row; no shuffle anywhere,
+    trivially linear and partition-parallel.  Sentence count = kept-line
+    terminal-punctuation occurrences ('.', '!', '?'), the paper's proxy.
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != F.lit(""))
+    is_kept = (
+        lambda ln: F.rtrim(ln).rlike('[.!?"]$')
+        & (
+            F.size(F.filter(F.split(F.trim(ln), r"\s+"), lambda w: w != F.lit("")))
+            >= min_words_per_line
+        )
+    )
+    kept = F.filter(lines, is_kept)
+    clean = F.array_join(F.transform(kept, F.trim), "\n")
+    n_sent = F.size(
+        F.filter(
+            F.split(clean, ""),
+            lambda ch: ch.isin(".", "!", "?"),
+        )
+    )
+    low = F.lower(t)
+    has_banned = None
+    for b in banned_substrings:
+        c = low.contains(F.lit(b))
+        has_banned = c if has_banned is None else has_banned | c
+    return docs.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        n_sent.alias("n_sentences"),
+        (has_banned if has_banned is not None else F.lit(False)).alias("has_banned"),
+        (
+            (n_sent >= F.lit(min_sentences))
+            & ~(has_banned if has_banned is not None else F.lit(False))
+        ).alias("doc_pass"),
     )

@@ -5596,6 +5596,179 @@ def c27_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "c28_gopher_rules",
+    r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+               AS words,
+             regexp_split_to_array(lower(text), '[^a-z0-9]+') AS lw,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks,
+             list_filter(string_split(text, chr(10)),
+                         x -> trim(x) <> '') AS lines
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             len(words) AS nw,
+             greatest(len(words), 1) AS sn,
+             coalesce(list_sum(list_transform(words, w -> len(w))), 0)
+               AS wl_sum,
+             (len(text) - len(replace(text, '#', '')))
+               + (len(text) - len(replace(text, '...', ''))) / 3.0 AS n_sym,
+             greatest(len(lines), 1) AS nl,
+             len(list_filter(lines,
+                 ln -> substr(trim(ln), 1, 1) IN ('-', '*', '•'))) AS n_bul,
+             len(list_filter(lines,
+                 ln -> ends_with(rtrim(ln), '...')
+                    OR ends_with(rtrim(ln), '…'))) AS n_ell_ln,
+             len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+               AS n_alpha,
+             len(list_filter(['the','be','to','of','and','that','have','with'],
+                 s -> list_contains(lw, s))) AS stop_hits,
+             list_transform(range(1, greatest(len(toks)-2, 0)+2),
+                            i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+             list_transform(range(1, greatest(len(toks)-3, 0)+2),
+                            i -> array_to_string(toks[i:i+2], ' ')) AS g3
+      FROM base
+    ), r AS (
+      SELECT doc_id,
+             CAST(nw AS INT) AS n_words,
+             round(wl_sum::DOUBLE / sn, 6) AS mean_word_len,
+             round(n_sym / sn, 6) AS symbol_word_ratio,
+             round(n_bul::DOUBLE / nl, 6) AS bullet_line_fraction,
+             round(n_ell_ln::DOUBLE / nl, 6) AS ellipsis_line_fraction,
+             round(n_alpha::DOUBLE / sn, 6) AS alpha_word_fraction,
+             CAST(stop_hits AS INT) AS stop_hits,
+             round(1 - len(list_distinct(g2))::DOUBLE / greatest(len(g2), 1), 6)
+               AS dup_2gram_fraction,
+             round(1 - len(list_distinct(g3))::DOUBLE / greatest(len(g3), 1), 6)
+               AS dup_3gram_fraction
+      FROM sig
+    )
+    SELECT *,
+           (n_words BETWEEN 30 AND 100000) AS r_word_count,
+           (mean_word_len BETWEEN 3.0 AND 10.0) AS r_mean_word_len,
+           (symbol_word_ratio <= 0.1) AS r_symbol_ratio,
+           (bullet_line_fraction <= 0.9) AS r_bullet_lines,
+           (ellipsis_line_fraction <= 0.3) AS r_ellipsis_lines,
+           (alpha_word_fraction >= 0.8) AS r_alpha_words,
+           (stop_hits >= 1) AS r_stopwords,
+           (dup_2gram_fraction <= 0.2) AS r_dup_2gram,
+           (dup_3gram_fraction <= 0.18) AS r_dup_3gram,
+           ((n_words BETWEEN 30 AND 100000)
+            AND (mean_word_len BETWEEN 3.0 AND 10.0)
+            AND symbol_word_ratio <= 0.1
+            AND bullet_line_fraction <= 0.9
+            AND ellipsis_line_fraction <= 0.3
+            AND alpha_word_fraction >= 0.8
+            AND stop_hits >= 1
+            AND dup_2gram_fraction <= 0.2
+            AND dup_3gram_fraction <= 0.18) AS passes
+    FROM r
+    ORDER BY doc_id
+    """,
+    doc="C28: Gopher rule-based quality filter (Rae et al. 2021, "
+        "arXiv:2112.11446 Appendix A1) — the standard pre-training document "
+        "gate: word-count bounds, mean-word-length bounds, symbol-to-word "
+        "ratio, bullet/ellipsis line fractions, alphabetic-word fraction, "
+        "required-stopword count, duplicated-2/3-gram fractions; `passes` "
+        "is the conjunction.  Thresholds are the paper's, except min_words "
+        "30 and min_stop_hits 1, tuned so the word-soup fixture splits "
+        "non-vacuously on both (fixture docs are 10-99 words and only "
+        "'the' of the paper's 8 stopwords occurs, in ~76% of docs).  "
+        "Spark shape (operators/curation.py gopher_rules): ONE map-side "
+        "pass — every signal is a built-in array/string expression over "
+        "the same row, no joins, no aggregates, NO shuffle anywhere "
+        "(pinned) — embarrassingly parallel at any corpus size.",
+)
+def c28_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return _cur.gopher_rules(
+        spark.table("documents"), min_words=30, min_stop_hits=1
+    ).withColumn("n_words", F.col("n_words").cast("int")).withColumn(
+        "stop_hits", F.col("stop_hits").cast("int")
+    ).orderBy("doc_id")
+
+
+@register(
+    "c29_c4_line_cleaning",
+    r"""
+    WITH docs AS (
+      SELECT doc_id,
+             regexp_replace(text, '((\S+ ){7}\S+) ', '\1.' || chr(10), 'g')
+               || chr(10) || 'ok.' AS text
+      FROM documents
+    ), l AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, chr(10)),
+                         x -> trim(x) <> '') AS lines
+      FROM docs
+    ), k AS (
+      SELECT doc_id, text, lines,
+             list_filter(lines,
+                 ln -> regexp_matches(rtrim(ln), '[.!?"]$')
+                   AND len(list_filter(regexp_split_to_array(trim(ln), '\s+'),
+                                       w -> w <> '')) >= 3) AS kept
+      FROM l
+    ), c AS (
+      SELECT doc_id, text, lines, kept,
+             array_to_string(list_transform(kept, x -> trim(x)), chr(10))
+               AS clean
+      FROM k
+    )
+    SELECT doc_id,
+           md5(clean) AS clean_md5,
+           CAST(len(lines) AS INT) AS n_lines,
+           CAST(len(kept) AS INT) AS n_kept,
+           CAST(len(clean)
+                - len(replace(replace(replace(clean, '.', ''), '!', ''),
+                              '?', '')) AS INT) AS n_sentences,
+           (contains(lower(text), 'lorem ipsum')
+            OR contains(lower(text), '{')) AS has_banned,
+           ((len(clean)
+             - len(replace(replace(replace(clean, '.', ''), '!', ''),
+                           '?', ''))) >= 5
+            AND NOT (contains(lower(text), 'lorem ipsum')
+                     OR contains(lower(text), '{'))) AS doc_pass
+    FROM c
+    ORDER BY doc_id
+    """,
+    doc="C29: C4-style line cleaning + document filter (Raffel et al. 2020, "
+        "arXiv:1910.10683 §2.2) — keep only lines ending in terminal "
+        "punctuation with >= 3 words; flag docs with < 5 kept sentences or "
+        "a banned substring ('lorem ipsum', '{').  The fixture is one "
+        "unpunctuated line, so the query constructs the lined corpus "
+        "deterministically (8-word lines ending '.', an unpunctuated tail "
+        "residue that must drop, and a 1-word 'ok.' line that has the "
+        "punctuation but fails the word minimum) — n_kept varies with doc "
+        "length and the 5-sentence gate splits the corpus non-vacuously.  "
+        "Spark shape (operators/curation.py c4_clean): ONE map-side pass — "
+        "line split, per-line predicate, sentence count and banned-substring "
+        "test are built-in expressions over the same row; NO shuffle "
+        "(pinned), linear at any corpus size.",
+)
+def c29_c4_line_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.col("text"), r"((\S+ ){7}\S+) ", "$1.\n"),
+            F.lit("\nok."),
+        ).alias("text"),
+    )
+    return _cur.c4_clean(docs).select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.col("n_kept").cast("int").alias("n_kept"),
+        F.col("n_sentences").cast("int").alias("n_sentences"),
+        "has_banned",
+        "doc_pass",
+    ).orderBy("doc_id")
+
+
 # ===========================================================================
 # Driver window curation: the driver's correctness gate adjudicates exactly
 # the first 50 entries of queries() in registration order (confirmed in

@@ -338,7 +338,91 @@ def test_dsir_gram_strings_never_cross_an_exchange(docs):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
     # every shuffle output carries only narrow columns (ids/buckets/counts):
-    # gram text appears in no Exchange's child output schema
+    # gram text appears in no Exchange's child output schema ("__t#" is the
+    # token-array column ref; the boolean "__tgt#" key in the per-doc count
+    # exchange is a legit 1-byte column, not text)
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
-            assert "__t" not in line and "gram" not in line.lower()
+            assert "__t#" not in line and "gram" not in line.lower()
+    # single text pass: BOTH the p/q fit and the scoring join read the
+    # cached per-doc bucket counts, so the tokenize/gram/hash scan of the
+    # corpus text plans exactly once (the other consumers hit the cache)
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+# -- C28: Gopher rule-based quality filter -----------------------------------
+
+
+def test_gopher_rules_signals_and_thresholds(spark):
+    """Each rule trips on its designed violator and passes clean prose;
+    `passes` is the conjunction.  Thresholds default to the paper's values
+    (arXiv:2112.11446 Appendix A1)."""
+    clean = ("The quick brown fox jumps over a lazy dog near the river bank "
+             "and that was quite a sight to see with many other animals of "
+             "every kind you could have imagined there ")
+    docs = spark.createDataFrame(
+        [
+            (1, clean),                                    # passes all
+            (2, "tiny doc"),                               # word count
+            (3, "#### #tags ### " + clean),                # symbol ratio
+            (4, "- one thing\n- two thing\n- red thing\n- blue thing"),  # bullets
+            (5, ("trailing off... \n" * 10) + clean.replace(" ", " ... ")),  # ellipsis
+            (6, " ".join(["spam"] * 80)),                  # dup 2/3-gram + stopwords
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in C.gopher_rules(docs, min_words=30).collect()}
+    assert out[1]["passes"] is True
+    assert out[2]["r_word_count"] is False and out[2]["passes"] is False
+    assert out[3]["r_symbol_ratio"] is False
+    assert out[4]["r_bullet_lines"] is False
+    assert out[5]["r_ellipsis_lines"] is False
+    assert out[6]["r_dup_2gram"] is False and out[6]["r_stopwords"] is False
+    # signals are deterministic and rounded
+    assert out[1]["stop_hits"] >= 2 and 3.0 <= out[1]["mean_word_len"] <= 10.0
+
+
+def test_gopher_rules_is_shuffle_free(spark):
+    """100 TB posture: every signal is a built-in expression over the same
+    row — the plan has NO exchange and no Python."""
+    docs = spark.createDataFrame([(1, "a few words here")], "doc_id int, text string")
+    plan = C.gopher_rules(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "pythonudf" not in plan.lower()
+
+
+# -- C29: C4-style line cleaning ----------------------------------------------
+
+
+def test_c4_clean_line_and_doc_rules(spark):
+    """Lines must end in terminal punctuation AND carry >= 3 words; docs
+    need >= 5 kept sentences and no banned substring (arXiv:1910.10683
+    §2.2)."""
+    good = ("First sentence lands here. Second one follows right after! "
+            "Third keeps going nicely? Fourth is also fine. Fifth wraps it up.")
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                      # passes
+            (2, "no punct line at all\nok.\n" + good),      # drops 2 lines, passes
+            (3, "Only one sentence here."),                  # < 5 sentences
+            (4, good + " lorem ipsum"),                      # banned substring
+            (5, good + " function() {"),                     # curly brace
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in C.c4_clean(docs).collect()}
+    assert out[1]["doc_pass"] is True and out[1]["n_kept"] == 1
+    assert out[2]["n_lines"] == 3 and out[2]["n_kept"] == 1  # 'ok.' has < 3 words
+    assert out[2]["doc_pass"] is True
+    assert out[3]["doc_pass"] is False and out[3]["n_sentences"] == 1
+    assert out[4]["has_banned"] is True and out[4]["doc_pass"] is False
+    assert out[5]["has_banned"] is True and out[5]["doc_pass"] is False
+    # kept lines are trimmed and joined with \n; dropped lines leave no trace
+    assert out[2]["clean_text"] == good
+
+
+def test_c4_clean_is_shuffle_free(spark):
+    docs = spark.createDataFrame([(1, "A line.")], "doc_id int, text string")
+    plan = C.c4_clean(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "pythonudf" not in plan.lower()

@@ -1222,6 +1222,67 @@ def test_query_routed_sql_star_tree_selection(spark, tmp_path):
     pipe.stop()
 
 
+def test_query_routed_threads_options_and_skip_upsert_bypasses_star_tree(spark, tmp_path):
+    """Round-5 ADVICE (low): query_routed used to pass the STRIPPED SQL to
+    query() on fallback, silently dropping skipUpsert (and every non-
+    useStarTree option).  skipUpsert=true must reach query()'s raw-log
+    rewrite intact on every fallback path.  (Star-tree + upsert is rejected
+    at AddTable — cells over the log would double-count — so the
+    skipUpsert-bypasses-star-tree branch in query_routed is defensive; the
+    reachable surface is exactly these fallbacks.)"""
+    import json as _json
+
+    src_dir = tmp_path / "stream_in"
+    config = dict(TABLE_CONFIG)
+    config["tableName"] = "skipRoute"
+    config["upsertConfig"] = {"mode": "FULL"}
+    schema = dict(CLICKSTREAM_SCHEMA)
+    schema["primaryKeyColumns"] = ["userID"]
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+
+    def row(uid, price, t):
+        return {"userID": uid, "campaign": "c", "price": price,
+                "creationTimestamp": f"2024-06-01 {t}"}
+
+    src_dir.mkdir(parents=True, exist_ok=True)
+    (src_dir / "b1.json").write_text("\n".join(_json.dumps(r) for r in [
+        row("u1", 10, "10:00:00"), row("u1", 12, "10:05:00"),
+        row("u2", 20, "10:00:01"),
+    ]))
+    pipe = engine.add_table(schema, config,
+                            RawRecordSource(kind="files", path=str(src_dir)),
+                            available_now=True)
+    pipe.process_available()
+    engine.register_view("skipRoute")
+
+    agg = "SELECT campaign, count(price) AS n FROM skipRoute GROUP BY campaign"
+    # default: no star-tree on this table, so the shape falls back to full
+    # SQL over the RESOLVED view
+    resolved, route = engine.query_routed(agg)
+    assert route == "sql"
+    assert resolved.collect()[0]["n"] == 2
+    # skipUpsert=true must survive the same fallback and serve the raw log
+    # (3 row versions)
+    raw, route_raw = engine.query_routed(f"SET skipUpsert=true; {agg}")
+    assert route_raw == "sql"
+    assert raw.collect()[0]["n"] == 3
+    # combined with useStarTree=false (the forced-raw-scan branch): both
+    # options must parse and skipUpsert must still apply
+    raw_both, route_both = engine.query_routed(
+        f"SET useStarTree=false; SET skipUpsert=true; {agg}"
+    )
+    assert route_both == "sql" and raw_both.collect()[0]["n"] == 3
+    # ...and on a non-routable fallback shape (option survives the fallback)
+    raw2, route2 = engine.query_routed(
+        "SET skipUpsert=true; SELECT count(*) AS n FROM skipRoute HAVING count(*) > 0"
+    )
+    assert route2 == "sql" and raw2.collect()[0]["n"] == 3
+    # legacy OPTION() spelling threads through the same way
+    raw3, route3 = engine.query_routed(f"{agg} OPTION(skipUpsert=true)")
+    assert route3 == "sql" and raw3.collect()[0]["n"] == 3
+    pipe.stop()
+
+
 def test_schema_evolution_add_column(spark, tmp_path):
     """Pinot schema evolution: adding a column to the schema (and restarting
     the consumer, Pinot's reload) surfaces it table-wide — old rows read
@@ -1766,6 +1827,25 @@ def test_vector_similarity_sql_form(spark, tmp_path):
     )
     assert resp["numRowsResultSet"] == 3 and resp["exceptions"] == []
 
+    # composed with a residual predicate **[P1.2]**: Pinot applies the
+    # vector predicate first (index top-k), then the ordinary filter on the
+    # candidate set — so the result can be FEWER than k rows, and must be a
+    # subset of the unfiltered top-k
+    combined = engine.query(
+        "SELECT vec_id FROM vecSql "
+        "WHERE VECTOR_SIMILARITY(embedding, ARRAY[1.0, 0.0, 1.0], 3) "
+        "AND vec_id <> 0"
+    )
+    combined_ids = {r["vec_id"] for r in combined.collect()}
+    assert combined_ids == ids - {0} and len(combined_ids) == 2
+    resp_combined = engine.query_broker_response(
+        "SELECT vec_id FROM vecSql "
+        "WHERE VECTOR_SIMILARITY(embedding, ARRAY[1.0, 0.0, 1.0], 3) "
+        "AND vec_id <> 0 AND vec_id >= 0"
+    )
+    assert resp_combined["numRowsResultSet"] == 2
+    assert resp_combined["exceptions"] == []
+
     # a table without primary keys gets a clear validation error
     config2 = dict(config)
     config2["tableName"] = "vecNoPk"
@@ -2109,6 +2189,19 @@ def test_sql_gapfill_epoch_bounds_and_where(spark, tmp_path):
     vals = {r["tb"].hour: r["price"] for r in out}
     assert vals[0] == 5 and vals[4] == 7
     assert vals[1] == 0 and vals[2] == 0 and vals[3] == 0
+
+    # size-prefixed format (round-5 ADVICE): '15:MINUTES:EPOCH' bounds count
+    # 15-minute units — start_ms/900000 and the same window must give the
+    # identical spine, not one 15x narrower
+    start_15m = start_ms // (15 * 60 * 1000)
+    end_15m = start_15m + 4 * 4  # 4 hours = 16 fifteen-minute units
+    out15 = engine.query(
+        f"SELECT GAPFILL(date_trunc('HOUR', creationTimestamp__ts), "
+        f"'15:MINUTES:EPOCH', '{start_15m}', '{end_15m}', '1:HOURS', "
+        f"FILL(price, 'FILL_DEFAULT_VALUE')) AS tb, price "
+        f"FROM kinesisTable WHERE campaign = 'B'"
+    ).collect()
+    assert {r["tb"].hour: r["price"] for r in out15} == vals
     pipe.stop()
 
 
@@ -2367,6 +2460,55 @@ def test_lookup_over_hybrid_union_view(spark, tmp_path):
     owners = {r["campaign"]: r["owner"] for r in rows}
     assert owners["BlackFriday"] == "alex"
     # the exclusion is scoped to the statement: the conf is restored
+    assert spark.conf.get("spark.sql.optimizer.excludedRules", None) is None
+    pipe.stop()
+
+
+def test_lookup_union_pushdown_window_is_thread_safe(spark, tmp_path):
+    """Round-5 ADVICE (medium): the excludedRules conf window must be
+    serialized — the broker is a ThreadingHTTPServer, and one request's
+    finally-restore re-enabling PushProjectionThroughUnion mid-plan of
+    another thread's LOOKUP-over-hybrid statement resurfaces the
+    NoSuchElementException the exclusion exists to prevent.  Hammer the
+    LOOKUP path from several threads; every plan must succeed and the conf
+    must end restored."""
+    import concurrent.futures as _fut
+
+    src_dir = tmp_path / "stream_in"
+    _write_events(src_dir / "rt.json", 9, "2024-06-02")
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    pipe = engine.add_table(
+        CLICKSTREAM_SCHEMA, TABLE_CONFIG,
+        RawRecordSource(kind="files", path=str(src_dir)), available_now=True,
+    )
+    pipe.process_available()
+    engine.add_offline_table(CLICKSTREAM_SCHEMA, OFFLINE_CONFIG)
+    engine.upload_segment(
+        "kinesisTable",
+        spark.createDataFrame(
+            [("u1", "BlackFriday", 30, "2024-06-01 09:00:00")],
+            "userID string, campaign string, price int, creationTimestamp string",
+        ),
+    )
+    engine.register_view("kinesisTable")
+    engine.add_dim_table(
+        DIM_SCHEMA, DIM_CONFIG,
+        spark.createDataFrame(
+            [("BlackFriday", "alex", 25), ("10Percent", "sam", 10)],
+            "campaign string, owner string, discountPct int",
+        ),
+    )
+    sql = (
+        "SELECT campaign, LOOKUP('campaignDim','owner','campaign', campaign) "
+        "AS owner FROM kinesisTable"
+    )
+
+    def one(_i):
+        return len(engine.query(sql).collect())
+
+    with _fut.ThreadPoolExecutor(max_workers=8) as ex:
+        counts = list(ex.map(one, range(16)))
+    assert counts == [10] * 16
     assert spark.conf.get("spark.sql.optimizer.excludedRules", None) is None
     pipe.stop()
 

@@ -70,6 +70,9 @@ PROBES = (
     # DSIR selection: map-side gram hashing, 1024-row fit aggregate,
     # broadcast ratio rejoin, TakeOrderedAndProject top-k — expect ~linear
     "c27_dsir_selection",
+    # round 6: both shuffle-free single-pass filters — expect flat-per-row
+    "c28_gopher_rules",
+    "c29_c4_line_cleaning",
 )
 
 
@@ -117,6 +120,10 @@ def _dedup_pair_counts(spark) -> dict:
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     dedup_only = "--dedup-only" in sys.argv[1:]
+    only = next(
+        (a.split("=", 1)[1].split(",") for a in sys.argv[1:] if a.startswith("--only=")),
+        None,
+    )
     factor = int(args[0]) if args else 8
     base_sf = "/root/testdata/sf0.1"
     spark = build_session(app_name="scale_probe")
@@ -149,7 +156,7 @@ def main() -> None:
 
     results = {}
     reg = Q.all_queries()
-    probes = ("c1_dedup_minhash_lsh",) if dedup_only else PROBES
+    probes = ("c1_dedup_minhash_lsh",) if dedup_only else tuple(only) if only else PROBES
     for name in probes:
         spark.catalog.clearCache()
         spark._rtap_sf_dir = None  # type: ignore[attr-defined]  # force re-register
