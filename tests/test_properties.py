@@ -307,3 +307,164 @@ def test_decontaminate_matches_set_reference(spark, corpus, evals):
     }
     for i, t in enumerate(corpus):
         assert got[i] == len(grams(t) & eval_grams), (i, t)
+
+
+# -- round 6: exact-substring dedup vs a brute-force reference ---------------
+
+corpus_st = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=24
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _exactsubstr_reference(texts: list[str], k: int, min_count: int):
+    """Brute-force EXACTSUBSTR (all-occurrences-removed variant): gram
+    counting, covered-position union, and masking in plain Python."""
+    toks = {i: t.split(" ") for i, t in enumerate(texts)}
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for ts in toks.values():
+        for s in range(len(ts) - k + 1):
+            counts[tuple(ts[s : s + k])] += 1
+    out = {}
+    for i, ts in toks.items():
+        covered = set()
+        for s in range(len(ts) - k + 1):
+            if counts[tuple(ts[s : s + k])] >= min_count:
+                covered.update(range(s, s + k))
+        kept = [t for p, t in enumerate(ts) if p not in covered]
+        out[i] = (" ".join(kept), len(ts), len(covered))
+    return out
+
+
+@given(texts=corpus_st)
+@settings(**SETTINGS)
+def test_exact_substring_dedup_matches_reference(spark, texts):
+    """For ANY corpus (tiny alphabet forces dense repeats and overlapping
+    covered spans — the adversarial regime for the merged-span mask), the
+    Spark plan reproduces the brute-force reference exactly."""
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in dedup.exact_substring_dedup(docs, k=3, min_count=2).collect()
+    }
+    want = _exactsubstr_reference(texts, k=3, min_count=2)
+    assert got == want
+
+
+@given(
+    starts=st.lists(st.integers(min_value=1, max_value=60), min_size=1,
+                    max_size=30, unique=True),
+    k=st.integers(min_value=1, max_value=6),
+)
+@settings(**SETTINGS)
+def test_merged_spans_cover_exactly_the_start_union(spark, starts, k):
+    """_merged_spans is a pure coverage-preserving compression: the union of
+    [lo, hi] over the merged spans equals the union of [s, s+k-1] over the
+    raw starts, and the spans are disjoint, non-adjacent, and sorted."""
+    row = (
+        spark.createDataFrame([(sorted(starts),)], "starts array<int>")
+        .select(dedup._merged_spans(F.col("starts"), k).alias("spans"))
+        .first()
+    )
+    spans = [(sp["lo"], sp["hi"]) for sp in row["spans"]]
+    covered = set()
+    for lo, hi in spans:
+        covered.update(range(lo, hi + 1))
+    want = set()
+    for s in starts:
+        want.update(range(s, s + k))
+    assert covered == want
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 + 1 < lo2  # disjoint, non-adjacent, ascending
+
+
+# -- round 6: C28/C29 quality filters vs plain-Python references -------------
+
+quality_text_st = st.lists(
+    st.lists(
+        st.sampled_from(
+            ["the", "cat", "sat", "on", "mat", "#", "word...", "-", "*",
+             "longishword", "a1", "..."]
+        ),
+        min_size=0,
+        max_size=12,
+    ).map(" ".join),
+    min_size=1,
+    max_size=4,
+).map("\n".join)
+
+
+@given(text=quality_text_st)
+@settings(**SETTINGS)
+def test_gopher_signal_arithmetic_matches_reference(spark, text):
+    """The raw Gopher signals (word count, mean word length, symbol ratio,
+    bullet/ellipsis line fractions, alpha fraction, stopword hits) match a
+    plain-Python reference for ANY text — newline/bullet/ellipsis soup
+    included."""
+    import re as _re
+
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators import curation as C
+
+    r = C.gopher_rules(
+        spark.createDataFrame([(1, text)], "doc_id int, text string")
+    ).first()
+    words = [w for w in _re.split(r"\s+", text) if w]
+    n = len(words)
+    sn = max(n, 1)
+    assert r["n_words"] == n
+    assert r["mean_word_len"] == round(sum(map(len, words)) / sn, 6)
+    n_sym = text.count("#") + text.count("...")  # non-overlapping, like replace
+    assert r["symbol_word_ratio"] == round(n_sym / sn, 6)
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    nl = max(len(lines), 1)
+    assert r["bullet_line_fraction"] == round(
+        sum(1 for ln in lines if ln.strip()[:1] in "-*•") / nl, 6
+    )
+    assert r["ellipsis_line_fraction"] == round(
+        sum(1 for ln in lines if ln.rstrip().endswith(("...", "…"))) / nl, 6
+    )
+    assert r["alpha_word_fraction"] == round(
+        sum(1 for w in words if _re.search("[A-Za-z]", w)) / sn, 6
+    )
+    lw = set(_re.split("[^a-z0-9]+", text.lower()))
+    assert r["stop_hits"] == sum(
+        1 for s in ("the", "be", "to", "of", "and", "that", "have", "with")
+        if s in lw
+    )
+
+
+@given(text=quality_text_st)
+@settings(**SETTINGS)
+def test_c4_clean_matches_reference(spark, text):
+    """C4 line cleaning reproduces a plain-Python reference for ANY lined
+    text: per-line keep predicate, trimmed reassembly, sentence count and
+    doc flags."""
+    import re as _re
+
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators import curation as C
+
+    r = C.c4_clean(
+        spark.createDataFrame([(1, text)], "doc_id int, text string")
+    ).first()
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    kept = [
+        ln
+        for ln in lines
+        if _re.search(r'[.!?"]$', ln.rstrip())
+        and len([w for w in _re.split(r"\s+", ln.strip()) if w]) >= 3
+    ]
+    clean = "\n".join(ln.strip() for ln in kept)
+    n_sent = sum(clean.count(c) for c in ".!?")
+    banned = "lorem ipsum" in text.lower() or "{" in text.lower()
+    assert (
+        r["clean_text"], r["n_lines"], r["n_kept"], r["n_sentences"],
+        r["has_banned"], r["doc_pass"],
+    ) == (clean, len(lines), len(kept), n_sent, banned,
+          n_sent >= 5 and not banned)
