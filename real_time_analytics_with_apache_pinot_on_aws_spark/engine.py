@@ -1723,6 +1723,12 @@ class Engine:
         residual applies to it (so the result can be FEWER than k rows).
         The table's first primaryKeyColumn is the join id, mirroring how
         Pinot identifies rows for the index lookup.
+
+        A top-level OR in the residual is REJECTED loudly: SQL precedence
+        makes ``VS(...) AND a=1 OR b=2`` mean ``(VS AND a=1) OR b=2`` —
+        rows outside the top-k would qualify, which this rewrite (apply the
+        residual to the candidate set) cannot express.  Parenthesized ORs
+        (``AND (a=1 OR b=2)``) are fine — they bind inside the conjunct.
         """
         table, col = m.group("table"), m.group("col")
         config = self.configs.get(table)
@@ -1747,6 +1753,13 @@ class Engine:
         )
         residual = m.group("residual")
         if residual:
+            if self._find_top_level_keyword(residual, "OR") != -1:
+                raise ValueError(
+                    "VECTOR_SIMILARITY with a top-level OR in the residual "
+                    "predicate is not supported: SQL precedence would let "
+                    "rows outside the vector top-k qualify — parenthesize "
+                    "the disjunction (AND (a OR b)) or restructure the query"
+                )
             out = out.where(F.expr(residual))
         items = [i.strip() for i in self._split_top_level_commas(m.group("items"))]
         if items == ["*"]:
@@ -1950,6 +1963,20 @@ class Engine:
         time columns are real timestamps, SURVEY §1.2)."""
         from pyspark.sql import functions as F
 
+        parts_raw = out_fmt.split(":")
+        if "SIMPLE_DATE_FORMAT" in (p.upper() for p in parts_raw):
+            # an all-digit literal under an SDF format ('20240601' for
+            # yyyyMMdd) is a DATE STRING, not an epoch count — parse it with
+            # the declared pattern (round-6 review: the epoch branch used to
+            # swallow it and scale by the unit, ~year 57000)
+            idx = next(
+                i for i, p in enumerate(parts_raw)
+                if p.upper() == "SIMPLE_DATE_FORMAT"
+            )
+            pattern = ":".join(parts_raw[idx + 1:])
+            if pattern:
+                return F.to_timestamp(F.lit(literal), pattern)
+            return F.to_timestamp(F.lit(literal))
         if re.fullmatch(r"\d+", literal):
             parts = out_fmt.upper().split(":")
             unit = parts[1] if len(parts) > 1 else "MILLISECONDS"

@@ -481,23 +481,30 @@ def repetition_stats(
     from .dedup import normalized_tokens
 
     toks = normalized_tokens(F.col(text_col))
-
-    def grams(n: int) -> Column:
-        return F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        )
-
-    def dup_fraction(g: Column) -> Column:
-        return F.round(
-            1 - F.size(F.array_distinct(g)) / F.greatest(F.size(g), F.lit(1)), 6
-        )
-
     return df.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
-        dup_fraction(grams(2)).alias("dup_2gram_fraction"),
-        dup_fraction(grams(3)).alias("dup_3gram_fraction"),
+        _dup_gram_fraction(toks, 2).alias("dup_2gram_fraction"),
+        _dup_gram_fraction(toks, 3).alias("dup_3gram_fraction"),
+    )
+
+
+def _gram_strings(toks: Column, n: int) -> Column:
+    """Word n-grams of a token array as strings — the single source of the
+    T<n edge-case arithmetic (``greatest(size-n, 0)`` keeps short docs at
+    one degenerate gram), shared by :func:`repetition_stats` and
+    :func:`gopher_rules` so the DuckDB oracles track ONE expression."""
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+
+
+def _dup_gram_fraction(toks: Column, n: int) -> Column:
+    """Duplicated-n-gram fraction (1 - distinct/total), rounded 6 dp."""
+    g = _gram_strings(toks, n)
+    return F.round(
+        1 - F.size(F.array_distinct(g)) / F.greatest(F.size(g), F.lit(1)), 6
     )
 
 
@@ -620,6 +627,11 @@ def lm_nll_scores(
     )
 
 
+# dsir_scores' single cached per-doc relation (size-1: each call releases
+# the previous call's blocks — see the lifecycle note inside the function)
+_DSIR_CACHE: list = []
+
+
 def dsir_scores(
     docs: DataFrame,
     is_target: Column,
@@ -693,12 +705,24 @@ def dsir_scores(
     # the tokenize/gram/hash pass over the corpus text runs exactly once
     # (the r5 advisory's second full text read is gone).  At cluster scale
     # this is a persist to MEMORY_AND_DISK of ints-only rows, orders of
-    # magnitude smaller than the text it summarizes.
+    # magnitude smaller than the text it summarizes.  Lifecycle: a builder
+    # cannot unpersist its own cache (the consumer materializes later), so
+    # each call releases the PREVIOUS call's relation — the leak is bounded
+    # at one cached relation per session instead of growing with every call
+    # (round-6 review); a caller still holding an old un-materialized result
+    # just recomputes (lineage is intact — cache() not checkpoint — so
+    # correctness and executor-loss recovery are unaffected).
     per_doc = (
         exploded.groupBy(id_col, "__tgt", "b")
         .agg(F.count(F.lit(1)).alias("c"))
         .cache()
     )
+    while _DSIR_CACHE:
+        try:
+            _DSIR_CACHE.pop().unpersist()
+        except Exception:
+            pass
+    _DSIR_CACHE.append(per_doc)
     fit = per_doc.groupBy("b").agg(
         F.sum(F.when(F.col("__tgt"), F.col("c")).otherwise(0)).alias("ct"),
         F.sum(F.when(~F.col("__tgt"), F.col("c")).otherwise(0)).alias("cr"),
@@ -817,13 +841,6 @@ def gopher_rules(
 
     toks = normalized_tokens(t)
 
-    def _dup_frac(n: int) -> Column:
-        g = F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        )
-        return 1 - F.size(F.array_distinct(g)) / F.greatest(F.size(g), F.lit(1))
-
     sig = docs.select(
         F.col(id_col),
         n_words.alias("n_words"),
@@ -833,8 +850,8 @@ def gopher_rules(
         F.round(ellipsis_frac, 6).alias("ellipsis_line_fraction"),
         F.round(alpha_frac, 6).alias("alpha_word_fraction"),
         stop_hits.alias("stop_hits"),
-        F.round(_dup_frac(2), 6).alias("dup_2gram_fraction"),
-        F.round(_dup_frac(3), 6).alias("dup_3gram_fraction"),
+        _dup_gram_fraction(toks, 2).alias("dup_2gram_fraction"),
+        _dup_gram_fraction(toks, 3).alias("dup_3gram_fraction"),
     )
     rules = {
         "r_word_count": F.col("n_words").between(min_words, max_words),
@@ -895,12 +912,10 @@ def c4_clean(
     )
     kept = F.filter(lines, is_kept)
     clean = F.array_join(F.transform(kept, F.trim), "\n")
-    n_sent = F.size(
-        F.filter(
-            F.split(clean, ""),
-            lambda ch: ch.isin(".", "!", "?"),
-        )
-    )
+    # length-difference count, not a per-character array explode — an
+    # O(chars) array per doc just to count 3 characters is the wrong shape
+    # for a map-side 100 TB hot path (round-6 review)
+    n_sent = F.length(clean) - F.length(F.translate(clean, ".!?", ""))
     low = F.lower(t)
     has_banned = None
     for b in banned_substrings:

@@ -1846,6 +1846,24 @@ def test_vector_similarity_sql_form(spark, tmp_path):
     assert resp_combined["numRowsResultSet"] == 2
     assert resp_combined["exceptions"] == []
 
+    # a top-level OR in the residual is REJECTED loudly (round-6 review):
+    # SQL precedence makes VS(...) AND a OR b == (VS AND a) OR b — rows
+    # outside the top-k would qualify, which the rewrite cannot express
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="top-level OR"):
+        engine.query(
+            "SELECT vec_id FROM vecSql "
+            "WHERE VECTOR_SIMILARITY(embedding, ARRAY[1.0, 0.0, 1.0], 3) "
+            "AND vec_id <> 0 OR vec_id = 15"
+        )
+    # ...but a PARENTHESIZED disjunction binds inside the conjunct and works
+    paren = engine.query(
+        "SELECT vec_id FROM vecSql "
+        "WHERE VECTOR_SIMILARITY(embedding, ARRAY[1.0, 0.0, 1.0], 3) "
+        "AND (vec_id = 0 OR vec_id = 1)"
+    )
+    assert {r["vec_id"] for r in paren.collect()} <= {0, 1}
+
     # a table without primary keys gets a clear validation error
     config2 = dict(config)
     config2["tableName"] = "vecNoPk"
@@ -2202,6 +2220,22 @@ def test_sql_gapfill_epoch_bounds_and_where(spark, tmp_path):
         f"FROM kinesisTable WHERE campaign = 'B'"
     ).collect()
     assert {r["tb"].hour: r["price"] for r in out15} == vals
+
+    # an all-digit literal under a SIMPLE_DATE_FORMAT format is a DATE
+    # STRING, not an epoch count (round-6 review: the epoch branch used to
+    # scale '20240601' by 86400 seconds -> ~year 57000, empty spine)
+    out_sdf = engine.query(
+        "SELECT GAPFILL(date_trunc('DAY', creationTimestamp__ts), "
+        "'1:DAYS:SIMPLE_DATE_FORMAT:yyyyMMdd', '20240601', '20240603', "
+        "'1:DAYS', FILL(price, 'FILL_DEFAULT_VALUE')) AS tb, price "
+        "FROM kinesisTable WHERE campaign = 'B'"
+    ).collect()
+    # the literals parsed as 2024 dates (not epoch-scaled to ~year 57000):
+    # day 1 keeps its two raw rows, days 2-3 are filled holes
+    assert sorted((r["tb"].day, r["price"]) for r in out_sdf) == [
+        (1, 5), (1, 7), (2, 0), (3, 0)
+    ]
+    assert all(r["tb"].year == 2024 for r in out_sdf)
     pipe.stop()
 
 
