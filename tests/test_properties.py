@@ -468,3 +468,75 @@ def test_c4_clean_matches_reference(spark, text):
         r["has_banned"], r["doc_pass"],
     ) == (clean, len(lines), len(kept), n_sent, banned,
           n_sent >= 5 and not banned)
+
+
+# -- round 6: SQL micro-parser robustness (no Spark job per example) ---------
+
+from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
+
+# values a Pinot IN-list can carry: bare identifiers/numbers and quoted
+# strings that may embed commas, spaces, parens — the round-4 silent-mangle
+in_val_st = st.one_of(
+    st.from_regex(r"[A-Za-z0-9_.+-]{1,12}", fullmatch=True),
+    st.text(
+        alphabet=st.sampled_from(list("abcXYZ09 ,()=;%")), min_size=0, max_size=12
+    ).map(lambda s: ("'", s, "'")),
+)
+
+
+@given(vals=st.lists(in_val_st, min_size=1, max_size=6))
+@settings(max_examples=200, deadline=None)
+def test_parse_in_values_round_trips(vals):
+    """Rendering any mix of bare and quoted values into an IN-list and
+    parsing it back yields exactly the original values — quoted commas,
+    parens and '=' included (the round-4 ADVICE wrong-answer class)."""
+    rendered, want = [], []
+    for v in vals:
+        if isinstance(v, tuple):
+            rendered.append(f"'{v[1]}'")
+            want.append(v[1])
+        else:
+            rendered.append(v)
+            want.append(v)
+    got = Engine._parse_in_values(", ".join(rendered))
+    assert got == tuple(want)
+
+
+@given(raw=st.text(alphabet=st.sampled_from(list("ab',() ")), max_size=20))
+@settings(max_examples=300, deadline=None)
+def test_parse_in_values_never_crashes_and_is_conservative(raw):
+    """Arbitrary garbage either parses to a tuple or returns None (fall back
+    to full SQL) — never raises, never returns a value containing a quote
+    character (which would re-inject into SQL)."""
+    got = Engine._parse_in_values(raw)
+    assert got is None or all("'" not in v for v in got)
+
+
+option_kv_st = st.tuples(
+    st.from_regex(r"[A-Za-z][A-Za-z0-9]{0,10}", fullmatch=True),
+    st.from_regex(r"[A-Za-z0-9.\-]{1,10}", fullmatch=True),
+)
+
+
+@given(
+    sets=st.lists(option_kv_st, max_size=3),
+    suffix=st.one_of(st.none(), st.lists(option_kv_st, min_size=1, max_size=3)),
+    body=st.sampled_from(
+        ["SELECT 1 AS x", "SELECT 'OPTION(a=1)' AS s", "SELECT 'SET a=1;' AS s",
+         "SELECT count(*) AS n FROM t WHERE note = 'x, OPTION(y=2) z'"]
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_strip_query_options_extracts_exactly_the_real_options(sets, suffix, body):
+    """SET prefixes and the trailing OPTION(...) suffix strip cleanly; the
+    statement body — including literals that LOOK like options — survives
+    byte-for-byte, and every real option lands in the dict."""
+    eng = Engine.__new__(Engine)  # parser statics only, no session needed
+    sql = "".join(f"SET {k}={v}; " for k, v in sets) + body
+    want = {k: v for k, v in sets}
+    if suffix:
+        sql += " OPTION(" + ", ".join(f"{k}={v}" for k, v in suffix) + ")"
+        want.update({k: v for k, v in suffix})
+    stripped, opts = eng._strip_query_options(sql)
+    assert stripped.strip() == body
+    assert opts == want
