@@ -768,6 +768,7 @@ def exact_substring_dedup(
     k: int = 5,
     min_count: int = 2,
     broadcast_dict: bool = False,
+    min_span_tokens: int | None = None,
 ) -> DataFrame:
     """Exact-substring corpus dedup — the Spark-native analog of
     EXACTSUBSTR (Lee et al. 2021, arXiv:2107.06499 "Deduplicating Training
@@ -799,6 +800,14 @@ def exact_substring_dedup(
     ``exists(spans, sp -> lo <= p <= hi)`` — O(tokens x spans) map-side
     codegen, NOT O(tokens x starts): a pathological hot doc that is mostly
     one repeated gram has ~n starts but O(1) spans.
+
+    ``min_span_tokens`` is the paper's length threshold (Lee et al. remove
+    duplicated substrings of >= 50 tokens): merged coverage spans SHORTER
+    than it are dropped before masking, so short incidental k-gram repeats
+    survive and only long memorized spans go.  Approximation documented:
+    two distinct repeated spans that overlap/abut in one doc merge first
+    and are length-tested jointly.  Default None = k (every repeat goes,
+    the c25 oracle's semantics).
     """
     toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
     n_grams = F.size("t") - F.lit(k - 1)
@@ -826,11 +835,17 @@ def exact_substring_dedup(
         # corpora whose dup set is known small; the default shuffle join
         # moves only 8-byte (gh, s0) pairs on the probe side anyway.
         rep = F.broadcast(rep)
+    span_expr = _merged_spans(F.col("starts"), k)
+    if min_span_tokens is not None and min_span_tokens > k:
+        span_expr = F.filter(
+            span_expr,
+            lambda sp: sp["hi"] - sp["lo"] + 1 >= F.lit(min_span_tokens),
+        )
     spans = (
         grams.join(rep, "gh")
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_set(F.col("s0") + 1)).alias("starts"))  # 1-based
-        .select(F.col(id_col), _merged_spans(F.col("starts"), k).alias("spans"))
+        .select(F.col(id_col), span_expr.alias("spans"))
     )
     masked = toks.join(spans, id_col, "left").withColumn(
         "spans",

@@ -1467,6 +1467,31 @@ def test_exact_substring_dedup_hot_doc_merges_spans(spark):
     assert (row["spans"][1]["lo"], row["spans"][1]["hi"]) == (700, 704)
 
 
+def test_exact_substring_dedup_min_span_threshold(spark):
+    """min_span_tokens is the paper's length gate: a short incidental
+    repeat (exactly k tokens) survives, a long memorized span still goes."""
+    import real_time_analytics_with_apache_pinot_on_aws_spark.operators.dedup as D
+
+    short = "alpha beta gamma delta eps"                 # 5 tokens, repeated
+    long_ = "one two three four five six seven eight nine ten"  # 10 tokens
+    docs = spark.createDataFrame(
+        [(1, f"{short} filler words here {long_}"),
+         (2, f"{short} other middle junk {long_}")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r
+           for r in D.exact_substring_dedup(docs, min_span_tokens=8).collect()}
+    for d in (1, 2):
+        # the 5-token repeat survives the 8-token gate; the 10-token goes
+        assert short in out[d]["clean_text"]
+        assert "one two three" not in out[d]["clean_text"]
+        assert out[d]["n_removed"] == 10
+    # default (None) removes both, matching the c25 oracle semantics
+    strict = {r["doc_id"]: r
+              for r in D.exact_substring_dedup(docs).collect()}
+    assert strict[1]["n_removed"] == 15
+
+
 # -- bigram LM perplexity filter (C26, CCNet quality stage) ----------------
 
 
