@@ -15,7 +15,11 @@
 - ``funnel``      : FUNNEL_* aggregation family — ordered step matching per user (C8 kin).
 - ``frequent``    : frequent-items (heavy-hitters) mergeable sketch with error bounds.
 - ``curation``    : corpus curation — benchmark decontamination, deterministic
-                    train/val/test split, stratified sampling, sequence packing (C10-C13).
+                    train/val/test split, stratified sampling, sequence packing
+                    (C10-C13); temperature rebalance / shards / token cap /
+                    classifier (C19-C22); bigram-LM perplexity filter (C26),
+                    DSIR selection (C27), Gopher rule gate (C28), C4 line
+                    cleaning (C29).
 
 All are DataFrame compositions of built-in functions unless noted; Python only
 enters via Arrow-batched ``mapInPandas`` where semantics genuinely require it.
