@@ -276,6 +276,33 @@ class ControllerServer:
                             },
                         )
                         return
+                    if url.path in ("/v2/segments", "/segments"):
+                        # Pinot batch segment push **[P1.2]** (POST
+                        # /v2/segments?tableName=...): the analog carries
+                        # the records as {"rows": [...]} instead of a
+                        # binary segment tarball (documented divergence in
+                        # Engine.upload_segment_json); decode rides the
+                        # same schema path as realtime ingest.
+                        qs = parse_qs(url.query)
+                        body = self._body()
+                        table = (qs.get("tableName") or [None])[0] or body.get(
+                            "tableName"
+                        )
+                        if not table:
+                            raise ValueError("tableName required (query or body)")
+                        if table not in engine.offline_configs:
+                            self._send(
+                                404,
+                                {
+                                    "code": 404,
+                                    "error": f"OFFLINE table {table!r} not found",
+                                },
+                            )
+                            return
+                        self._send(
+                            200, engine.upload_segment_json(table, body.get("rows"))
+                        )
+                        return
                     body = self._body()
                     if url.path == "/schemas":
                         self._send(200, engine.add_schema(body))

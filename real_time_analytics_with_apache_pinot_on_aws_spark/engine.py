@@ -887,6 +887,36 @@ class Engine:
             ),
         }
 
+    def upload_segment_json(self, name: str, rows: list) -> dict:
+        """JSON-record form of :meth:`upload_segment` — the wire analog of
+        Pinot's batch segment push (``POST /v2/segments``) served by
+        :mod:`controller_http`.  Documented divergence: Pinot's endpoint
+        carries a binary segment tarball; the analog carries the records
+        themselves, decoded through the SAME schema decode path as realtime
+        ingest (:func:`schema.decoded_frame` — lenient string parse +
+        try_cast + defaultNullValue + derived ``__ts`` columns), so both
+        hybrid sides always share one typed schema.
+        """
+        import json as _json
+
+        from .schema import decoded_frame
+
+        if name not in self.offline_configs:
+            raise ValueError(f"{name!r} has no OFFLINE table config")
+        raw_schema = self.schemas.get(name)
+        if raw_schema is None:
+            raise ValueError(f"no schema registered for {name!r}")
+        if not isinstance(rows, list) or not all(
+            isinstance(r, dict) for r in rows
+        ):
+            raise ValueError("rows must be a JSON array of objects")
+        if not rows:
+            raise ValueError("rows must be non-empty")
+        raw = self.spark.createDataFrame(
+            [(_json.dumps(r),) for r in rows], "value string"
+        )
+        return self.upload_segment(name, decoded_frame(raw, parse_schema(raw_schema)))
+
     def _offline_rollup_path(self, name: str, index: int) -> str:
         return str(self.warehouse / name / f"offline_startree{index}")
 

@@ -260,3 +260,55 @@ def test_size_rebalance_version_endpoints(spark, tmp_path):
     finally:
         ctl.stop()
         pipe.stop()
+
+
+def test_segment_upload_over_http(spark, tmp_path):
+    """POST /v2/segments (Pinot's batch segment push): JSON records decode
+    through the SAME schema path as realtime ingest and land in the OFFLINE
+    table's day-partitioned storage; unknown tables 404, malformed bodies
+    400 — and the rows are immediately queryable."""
+    from tests.test_streaming_engine import OFFLINE_CONFIG
+
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    engine.add_schema(CLICKSTREAM_SCHEMA)
+    engine.add_offline_table(CLICKSTREAM_SCHEMA, OFFLINE_CONFIG)
+    ctl = start_controller(engine, port=0)
+    try:
+        base = ctl.url()
+        rows = [
+            # mixed JSON types: price arrives as string AND number — the
+            # lenient decode + try_cast path must land both in INT
+            {"userID": "u1", "campaign": "Push", "price": "30",
+             "creationTimestamp": "2024-06-01 09:00:00"},
+            {"userID": "u2", "campaign": "Push", "price": 40,
+             "creationTimestamp": "2024-06-02 10:00:00"},
+        ]
+        code, out = _req(
+            f"{base}/v2/segments?tableName=kinesisTable", "POST", {"rows": rows}
+        )
+        assert code == 200, out
+        assert out["segments_partitions"] == ["ingest_date=2024-06-01",
+                                              "ingest_date=2024-06-02"]
+        engine.register_view("kinesisTable")
+        got = {r["userID"]: r["price"]
+               for r in spark.table("kinesisTable").collect()}
+        assert got == {"u1": 30, "u2": 40}
+        # the un-versioned alias works too, tableName in the body
+        code2, out2 = _req(f"{base}/segments", "POST",
+                           {"tableName": "kinesisTable", "rows": rows[:1]})
+        assert code2 == 200 and len(out2["segments_partitions"]) == 2
+        # unknown table -> 404 (Pinot controller behavior)
+        code3, out3 = _req(f"{base}/v2/segments?tableName=nope", "POST",
+                           {"rows": rows})
+        assert code3 == 404 and out3["code"] == 404
+        # malformed bodies -> 400
+        code4, _ = _req(f"{base}/v2/segments?tableName=kinesisTable", "POST",
+                        {"rows": []})
+        assert code4 == 400
+        code5, _ = _req(f"{base}/v2/segments?tableName=kinesisTable", "POST",
+                        {"rows": ["not-an-object"]})
+        assert code5 == 400
+        code6, _ = _req(f"{base}/v2/segments", "POST", {"rows": rows})
+        assert code6 == 400  # no tableName anywhere
+    finally:
+        ctl.stop()
