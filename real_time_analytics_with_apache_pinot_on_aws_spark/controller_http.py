@@ -319,6 +319,33 @@ class ControllerServer:
                     # a missing dict key is a bad request, not a 404
                     self._send(400, {"code": 400, "error": str(e)})
 
+            def do_PUT(self):
+                url = urlparse(self.path)
+                parts = [p for p in url.path.split("/") if p]
+                if len(parts) == 2 and parts[0] == "schemas":
+                    # Pinot PUT /schemas/{name} **[P1.2]**: backward-
+                    # compatible schema update; the reload leg is the
+                    # documented stop -> re-AddTable flow (which reads the
+                    # schema registered HERE, so the wire loop is closed)
+                    try:
+                        body = self._body()
+                        declared = body.get("schemaName")
+                        if declared is not None and declared != parts[1]:
+                            raise ValueError(
+                                f"schemaName {declared!r} does not match "
+                                f"path schema {parts[1]!r}"
+                            )
+                        body["schemaName"] = parts[1]
+                        self._send(200, engine.update_schema(body))
+                    except KeyError as e:
+                        self._send(
+                            404, {"code": 404, "error": f"schema {e} not found"}
+                        )
+                    except Exception as e:
+                        self._send(400, {"code": 400, "error": str(e)})
+                else:
+                    self._send(404, b"not found", "text/plain")
+
             def do_DELETE(self):
                 url = urlparse(self.path)
                 parts = [p for p in url.path.split("/") if p]

@@ -367,6 +367,38 @@ class Engine:
         self.schemas[parsed.name] = raw
         return {"status": f"{parsed.name} successfully added"}
 
+    def update_schema(self, schema_json: str | dict) -> dict:
+        """PUT /schemas/{name} analog **[P1.2]**: replace a registered
+        schema.  Pinot accepts only backward-compatible updates by default —
+        existing columns keep their name and type, new columns append — and
+        the same rule is enforced here because segments already written
+        under the old schema must stay readable (old parquet + evolved read
+        schema = NULL/defaultNullValue fill; the reload analog is stop →
+        re-AddTable, pinned by test_schema_evolution_add_column).  An
+        incompatible update (dropped column, changed type) raises, like
+        Pinot's 400 without forceTableSchemaUpdate.
+        """
+        raw = json.loads(schema_json) if isinstance(schema_json, str) else schema_json
+        parsed = parse_schema(raw)
+        old_raw = self.schemas.get(parsed.name)
+        if old_raw is None:
+            raise KeyError(parsed.name)
+        old_types = {f.name: f.spark_type for f in parse_schema(old_raw).fields}
+        new_types = {f.name: f.spark_type for f in parsed.fields}
+        bad = sorted(
+            n for n, t in old_types.items()
+            if n not in new_types or new_types[n] != t
+        )
+        if bad:
+            raise ValueError(
+                f"backward-incompatible schema update for {parsed.name!r}: "
+                f"columns {bad} dropped or re-typed (existing columns must "
+                "keep name and type — Pinot rejects this without "
+                "forceTableSchemaUpdate)"
+            )
+        self.schemas[parsed.name] = raw
+        return {"status": f"{parsed.name} successfully updated"}
+
     # -- DDL / control plane (A8-A12) -----------------------------------
 
     def add_table(

@@ -312,3 +312,53 @@ def test_segment_upload_over_http(spark, tmp_path):
         assert code6 == 400  # no tableName anywhere
     finally:
         ctl.stop()
+
+
+def test_schema_update_over_http(spark, tmp_path):
+    """PUT /schemas/{name} (Pinot schema evolution): backward-compatible
+    updates (append a column) succeed and feed the re-AddTable reload flow;
+    dropped/re-typed columns 400 (Pinot without forceTableSchemaUpdate);
+    unknown schemas 404; name mismatch 400."""
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    engine.add_schema(CLICKSTREAM_SCHEMA)
+    ctl = start_controller(engine, port=0)
+    try:
+        base = ctl.url()
+        evolved = json.loads(json.dumps(CLICKSTREAM_SCHEMA))
+        evolved["dimensionFieldSpecs"].append(
+            {"name": "channel", "dataType": "STRING",
+             "defaultNullValue": "unknown"}
+        )
+        name = CLICKSTREAM_SCHEMA["schemaName"]
+        code, out = _req(f"{base}/schemas/{name}", "PUT", evolved)
+        assert code == 200 and "updated" in out["status"]
+        # the registered schema now carries the new column — what the
+        # re-AddTable reload reads
+        code_g, got = _req(f"{base}/schemas/{name}")
+        assert code_g == 200
+        assert any(f["name"] == "channel"
+                   for f in got["dimensionFieldSpecs"])
+        # dropping an existing column is backward-incompatible -> 400
+        dropped = json.loads(json.dumps(CLICKSTREAM_SCHEMA))
+        dropped["dimensionFieldSpecs"] = [
+            f for f in dropped["dimensionFieldSpecs"] if f["name"] != "campaign"
+        ]
+        code2, out2 = _req(f"{base}/schemas/{name}", "PUT", dropped)
+        assert code2 == 400 and "campaign" in out2["error"]
+        # re-typing is too
+        retyped = json.loads(json.dumps(evolved))
+        for f in retyped["metricFieldSpecs"]:
+            f["dataType"] = "STRING"
+        code3, _ = _req(f"{base}/schemas/{name}", "PUT", retyped)
+        assert code3 == 400
+        # unknown schema -> 404; name mismatch -> 400
+        code4, _ = _req(f"{base}/schemas/doesNotExist", "PUT",
+                        {"schemaName": "doesNotExist",
+                         "dimensionFieldSpecs": [{"name": "x", "dataType": "STRING"}]})
+        assert code4 == 404
+        code5, _ = _req(f"{base}/schemas/{name}", "PUT",
+                        {"schemaName": "otherName",
+                         "dimensionFieldSpecs": [{"name": "x", "dataType": "STRING"}]})
+        assert code5 == 400
+    finally:
+        ctl.stop()
