@@ -349,7 +349,18 @@ class ControllerServer:
             def do_DELETE(self):
                 url = urlparse(self.path)
                 parts = [p for p in url.path.split("/") if p]
-                if len(parts) == 2 and parts[0] == "tables":
+                if len(parts) == 2 and parts[0] == "schemas":
+                    try:
+                        self._send(200, engine.delete_schema(parts[1]))
+                    except KeyError:
+                        self._send(
+                            404,
+                            {"code": 404, "error": f"schema {parts[1]!r} not found"},
+                        )
+                    except ValueError as e:
+                        # in use by a table — Pinot answers 409 Conflict
+                        self._send(409, {"code": 409, "error": str(e)})
+                elif len(parts) == 2 and parts[0] == "tables":
                     ttype = (parse_qs(url.query).get("type") or [None])[0]
                     try:
                         out = engine.drop_table(parts[1], ttype)

@@ -399,6 +399,22 @@ class Engine:
         self.schemas[parsed.name] = raw
         return {"status": f"{parsed.name} successfully updated"}
 
+    def delete_schema(self, name: str) -> dict:
+        """DELETE /schemas/{name} analog **[P1.2]**: deregister a schema.
+        Pinot refuses while any table uses it — same here (REALTIME,
+        OFFLINE, or dimension table sharing the schema's name), because the
+        reload flow would otherwise lose the only copy of the table's
+        declared types."""
+        if name not in self.schemas:
+            raise KeyError(name)
+        if name in self.list_tables():
+            raise ValueError(
+                f"schema {name!r} is in use by a table — drop the table "
+                "first (Pinot: DELETE /tables/{name})"
+            )
+        del self.schemas[name]
+        return {"status": f"Schema {name} deleted"}
+
     # -- DDL / control plane (A8-A12) -----------------------------------
 
     def add_table(

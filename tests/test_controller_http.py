@@ -362,3 +362,35 @@ def test_schema_update_over_http(spark, tmp_path):
         assert code5 == 400
     finally:
         ctl.stop()
+
+
+def test_schema_delete_over_http(spark, tmp_path):
+    """DELETE /schemas/{name}: free schemas delete; a schema whose table is
+    live answers 409 Conflict (Pinot refuses while in use); unknown 404."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.streaming.ingest import RawRecordSource
+
+    src_dir = tmp_path / "stream_in"
+    _write_events(src_dir / "a.json", 3, "2024-06-01")
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    engine.add_schema(CLICKSTREAM_SCHEMA)
+    pipe = engine.add_table(
+        CLICKSTREAM_SCHEMA, TABLE_CONFIG,
+        RawRecordSource(kind="files", path=str(src_dir)), available_now=True,
+    )
+    pipe.process_available()
+    free = {"schemaName": "unusedSchema",
+            "dimensionFieldSpecs": [{"name": "x", "dataType": "STRING"}]}
+    engine.add_schema(free)
+    ctl = start_controller(engine, port=0)
+    try:
+        base = ctl.url()
+        code, out = _req(f"{base}/schemas/unusedSchema", "DELETE")
+        assert code == 200 and "deleted" in out["status"]
+        assert "unusedSchema" not in engine.schemas
+        code2, out2 = _req(f"{base}/schemas/kinesisTable", "DELETE")
+        assert code2 == 409 and "in use" in out2["error"]
+        code3, _ = _req(f"{base}/schemas/unusedSchema", "DELETE")
+        assert code3 == 404
+    finally:
+        ctl.stop()
+        pipe.stop()
