@@ -2583,18 +2583,66 @@ class Engine:
         is guaranteed to succeed (pinned by test_broker_response_json).
         """
         import time as _time
+        import uuid as _uuid
 
         t0 = _time.monotonic()
+        # timeoutMs **[P1.2]** is ENFORCED, not just recorded: the collect
+        # runs under a per-request Spark job group (job groups are
+        # thread-local, so concurrent broker requests don't cancel each
+        # other) and a watchdog cancels the group at the deadline — the
+        # envelope answers with Pinot's EXECUTION_TIMEOUT errorCode 250
+        # instead of hanging the HTTP client.
+        _, _opts = self._strip_query_options(sql)
+        try:
+            timeout_ms = int(_opts["timeoutMs"]) if "timeoutMs" in _opts else None
+        except (TypeError, ValueError):
+            timeout_ms = None
+        timed_out: list[bool] = []
+        done = threading.Event()
+        watchdog = None
+        sc = self.spark.sparkContext
         try:
             df = self.query(sql)
+            if timeout_ms is not None and timeout_ms > 0:
+                group = f"broker-{_uuid.uuid4().hex[:12]}"
+                sc.setJobGroup(group, f"timeoutMs={timeout_ms}", True)
+
+                def _watchdog() -> None:
+                    # keep cancelling until the collect returns:
+                    # cancelJobGroup only kills jobs RUNNING at call time,
+                    # so a single shot fired while the driver is still
+                    # planning would miss the job submitted a moment later
+                    done.wait(timeout_ms / 1000.0)
+                    while not done.is_set():
+                        if not timed_out:
+                            timed_out.append(True)
+                        sc.cancelJobGroup(group)
+                        done.wait(0.25)
+
+                watchdog = threading.Thread(target=_watchdog, daemon=True)
+                watchdog.start()
             rows = df.collect()
         except Exception as e:
             # Pinot brokers never raise through /query/sql: failures come
             # back as a structured envelope with ``exceptions: [{errorCode,
             # message}]`` **[P1.2]**.  Codes follow Pinot's QueryException
             # taxonomy: 150 SQL parsing, 700 query validation (unknown
-            # column/table), 200 execution.
+            # column/table), 200 execution, 250 execution timeout.
             ms = int((_time.monotonic() - t0) * 1000)
+            if timed_out:
+                return {
+                    "numRowsResultSet": 0,
+                    "timeUsedMs": ms,
+                    "exceptions": [
+                        {
+                            "errorCode": 250,
+                            "message": (
+                                f"query exceeded timeoutMs={timeout_ms} "
+                                "and was cancelled"
+                            ),
+                        }
+                    ],
+                }
             return {
                 "numRowsResultSet": 0,
                 "timeUsedMs": ms,
@@ -2605,6 +2653,11 @@ class Engine:
                     }
                 ],
             }
+        finally:
+            done.set()
+            if watchdog is not None:
+                watchdog.join(timeout=2)
+                sc.setLocalProperty("spark.jobGroup.id", None)
         ms = int((_time.monotonic() - t0) * 1000)
         return {
             "resultTable": {

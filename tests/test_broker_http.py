@@ -171,3 +171,32 @@ def test_broker_query_options_field(spark, tmp_path):
         assert bad["exceptions"][0]["errorCode"] == 100
     finally:
         srv.stop()
+
+
+def test_timeout_ms_is_enforced_with_error_250(spark, tmp_path):
+    """SET timeoutMs **[P1.2]** is enforced, not just recorded: a query
+    that cannot finish by the deadline is CANCELLED via its per-request job
+    group and the envelope answers Pinot's EXECUTION_TIMEOUT errorCode 250
+    promptly; a fast query under a generous timeout is unaffected."""
+    import time
+
+    from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
+
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    # ~1e16-pair cross join: cannot finish; must be cancelled at ~400ms
+    spark.range(100_000_000).createOrReplaceTempView("big_a")
+    spark.range(100_000_000).createOrReplaceTempView("big_b")
+    t0 = time.monotonic()
+    resp = engine.query_broker_response(
+        "SET timeoutMs=400; SELECT count(*) AS n FROM big_a a JOIN big_b b"
+    )
+    elapsed = time.monotonic() - t0
+    assert resp["exceptions"] and resp["exceptions"][0]["errorCode"] == 250
+    assert "timeoutMs=400" in resp["exceptions"][0]["message"]
+    assert elapsed < 60  # cancelled, not run to completion
+    # fast query + generous timeout: clean result, and the thread's job
+    # group was cleared so subsequent queries are not cancellable residue
+    ok = engine.query_broker_response("SET timeoutMs=60000; SELECT 1 AS one")
+    assert ok["exceptions"] == [] and ok["resultTable"]["rows"] == [[1]]
+    ok2 = engine.query_broker_response("SELECT 2 AS two")
+    assert ok2["exceptions"] == [] and ok2["resultTable"]["rows"] == [[2]]
