@@ -5780,12 +5780,24 @@ def c29_c4_line_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW: tuple[str, ...] = (
     # flagship + filters/predicates (B1/B2, B5-B15)
     "flagship_dashboard",
-    "b05_projection_expressions",
+    # (b05_projection_expressions stays registered post-window: B5's
+    # projection/alias/expression surface is exercised by the SELECT list of
+    # every other window entry — flagship's CAST/date_trunc aliases,
+    # b49_b54's scalar projections — and stays pytest + locally oracle-gated;
+    # the slot surfaces the round-6 Gopher rule-based quality filter, the
+    # standard pretraining quality stage no other window entry exercises)
+    "c28_gopher_rules",
     "b06_b11_filter_matrix",
     "b12_multivalue_predicate",
     "b13_text_match_index",
     "b14_json_match_index",
-    "b15_case_coalesce_cast",
+    # (b15_case_coalesce_cast stays registered post-window: B15's
+    # CASE/COALESCE/NULLIF/CAST family is jointly exercised in-window by
+    # b36_outer_joins (CASE+CAST null counting), c3_text_analysis (CASE-based
+    # quality score), and the incoming c28/c29 rule filters themselves —
+    # CASE/coalesce-heavy by construction; the slot surfaces the round-6
+    # C4-style line cleaning operator)
+    "c29_c4_line_cleaning",
     # aggregations (B16-B30)
     "b16_b17_core_aggs",
     "b17_mv_aggregations",
