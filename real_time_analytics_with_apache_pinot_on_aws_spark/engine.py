@@ -1075,13 +1075,17 @@ class Engine:
         }
         return {"table": name, "rebuilt_cells": rebuilt}
 
-    def _offline_frame(self, name: str) -> DataFrame:
+    def _offline_frame(self, name: str, with_virtual: bool = False) -> DataFrame:
         """The OFFLINE segments as a frame; a table with no uploads yet is
         an EMPTY typed frame (compiled schema), not a path error."""
+        from .streaming.ingest import augment_virtual_columns, null_virtual_columns
+
         root = self._offline_path(name)
         if not _fs.glob_status(self.spark, f"{root}/ingest_date=*"):
-            return self.spark.createDataFrame([], self.offline_structs[name])
-        return self.spark.read.parquet(root)
+            empty = self.spark.createDataFrame([], self.offline_structs[name])
+            return null_virtual_columns(empty) if with_virtual else empty
+        df = self.spark.read.parquet(root)
+        return augment_virtual_columns(df) if with_virtual else df
 
     def hybrid_time_boundary(self, name: str):
         """Pinot's broker time boundary **[P1.2]**: the max time covered by
@@ -1140,7 +1144,7 @@ class Engine:
         raw.createOrReplaceTempView(f"{name}_raw")
         resolved.createOrReplaceTempView(name)
 
-    def _resolved_frame(self, name: str) -> DataFrame:
+    def _resolved_frame(self, name: str, with_virtual: bool = False) -> DataFrame:
         """The frame queries must see: the raw log for plain tables, the
         query-time-resolved view for upsert/dedup tables (Pinot's broker
         resolution **[P1.2]**), the boundary-merged union for hybrid
@@ -1149,31 +1153,40 @@ class Engine:
         upsert table can never leak superseded row versions into an
         aggregate and a hybrid table can never drop its OFFLINE side.
         Dimension tables resolve to their batch-loaded parquet.
+
+        ``with_virtual`` appends Pinot's ``$docId/$segmentName/$hostName``
+        virtual columns **[P1.2]** at the SCAN level (so upsert resolution
+        serves the winning physical row's segment identity, and both hybrid
+        sides carry them into the union) — see
+        :func:`streaming.ingest.augment_virtual_columns`.
         """
         if self._is_dim(name):
-            return self.spark.read.parquet(str(self.warehouse / name / "dim"))
+            from .streaming.ingest import augment_virtual_columns
+
+            df = self.spark.read.parquet(str(self.warehouse / name / "dim"))
+            return augment_virtual_columns(df) if with_virtual else df
         offline = self.offline_configs.get(name)
         if offline is not None:
             if name not in self.pipelines:
-                return self._offline_frame(name)
+                return self._offline_frame(name, with_virtual=with_virtual)
             # HYBRID **[P1.2]**: the broker merge — OFFLINE serves
             # everything at or before the time boundary (max offline day),
             # REALTIME only what lies after it, so handoff-window days
             # present on both sides are never double-counted.
             from pyspark.sql import functions as F
 
-            off = self._offline_frame(name)
+            off = self._offline_frame(name, with_virtual=with_virtual)
             boundary = off.agg(F.max("ingest_date").alias("b")).collect()[0]["b"]
-            rt = self._realtime_resolved(name)
+            rt = self._realtime_resolved(name, with_virtual=with_virtual)
             if boundary is not None:
                 rt = rt.where(F.col("ingest_date") > F.lit(boundary))
             return off.unionByName(rt, allowMissingColumns=True)
-        return self._realtime_resolved(name)
+        return self._realtime_resolved(name, with_virtual=with_virtual)
 
-    def _realtime_resolved(self, name: str) -> DataFrame:
+    def _realtime_resolved(self, name: str, with_virtual: bool = False) -> DataFrame:
         """The REALTIME side only: raw log, or query-time upsert/dedup
         resolution when the config declares it."""
-        raw = self.pipelines[name].table()
+        raw = self.pipelines[name].table(with_virtual=with_virtual)
         config = self.configs.get(name)
         if config is None or (config.upsert_mode is None and not config.dedup_enabled):
             return raw
@@ -1782,6 +1795,71 @@ class Engine:
         w = _W.orderBy(F.desc("score"), F.asc("neighbor_id"))
         return out.withColumn("rank", F.row_number().over(w))
 
+    _VIRTUAL_COL_RE = re.compile(r"\$(docId|segmentName|hostName)\b")
+    _FROM_TABLE_RE = re.compile(r"\b(FROM|JOIN)\s+(\w+)", re.IGNORECASE)
+    _BARE_STAR_RE = re.compile(r"(?:SELECT|,)\s*(?:\w+\s*\.\s*)?\*", re.IGNORECASE)
+
+    def _query_virtual_columns(self, sql: str) -> DataFrame:
+        """Pinot's built-in virtual columns **[P1.2]**: every table exposes
+        ``$docId`` (position within the segment), ``$segmentName`` and
+        ``$hostName`` without declaring them — the standard way to locate a
+        physical row (``SELECT $segmentName, $docId FROM t WHERE ...``).
+
+        Resolution: each engine table referenced after FROM/JOIN is
+        re-registered under a unique per-query view name with the virtual
+        columns appended AT THE SCAN (``_metadata.row_index`` /
+        ``file_name`` — exact, since a sealed parquet file is the segment),
+        ``$x`` tokens are backquoted for the Spark parser, the plan is
+        forced eagerly, and the temp views are dropped.  Unique names keep
+        concurrent broker requests isolated (same posture as gapfill's
+        per-query views).
+
+        ``SELECT *`` is rejected loudly in this branch: Pinot excludes
+        virtual columns from ``*`` expansion, but the augmented view would
+        include them — name the physical columns instead.  Virtual columns
+        exist only on ENGINE tables (Pinot serves them per segment); a
+        reference to a plain temp view raises.
+        """
+        if self._BARE_STAR_RE.search(sql):
+            raise ValueError(
+                "virtual columns ($docId/$segmentName/$hostName) cannot be "
+                "combined with SELECT * here: Pinot excludes them from * "
+                "expansion — list the physical columns explicitly"
+            )
+        import uuid as _uuid
+
+        known = (
+            set(self.pipelines)
+            | set(self.offline_configs)
+            | {n for n, c in self.configs.items() if c.is_dim_table}
+        )
+        views: dict[str, str] = {}
+
+        def _repl(m: "re.Match") -> str:
+            t = m.group(2)
+            if t in known:
+                v = views.setdefault(t, f"__virt_{t}_{_uuid.uuid4().hex[:10]}")
+                return f"{m.group(1)} {v}"
+            return m.group(0)
+
+        rewritten = self._FROM_TABLE_RE.sub(_repl, sql)
+        if not views:
+            raise ValueError(
+                "virtual columns ($docId/$segmentName/$hostName) are served "
+                "only on engine tables (add_table/add_offline_table/"
+                "add_dim_table) — the statement references none"
+            )
+        rewritten = self._VIRTUAL_COL_RE.sub(lambda m: f"`${m.group(1)}`", rewritten)
+        try:
+            for t, v in views.items():
+                self._resolved_frame(t, with_virtual=True).createOrReplaceTempView(v)
+            df = self.spark.sql(rewritten)
+            df._jdf.queryExecution().executedPlan()
+        finally:
+            for v in views.values():
+                self.spark.catalog.dropTempView(v)
+        return df
+
     _VECSIM_RE = re.compile(
         r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<table>\w+)\s+WHERE\s+"
         r"VECTOR_SIMILARITY\(\s*(?P<col>\w+)\s*,\s*"
@@ -2320,6 +2398,8 @@ class Engine:
             return gf
         if has_lookup:
             return self._sql_without_union_pushdown(sql)
+        if self._search_unquoted(self._VIRTUAL_COL_RE, sql):
+            return self._query_virtual_columns(sql)
         vm = self._VECSIM_RE.match(sql)
         if vm:
             return self._query_vector_similarity(vm)

@@ -27,6 +27,52 @@ from .. import fs as _fs
 from ..schema import TableSchema, decoded_frame, time_parse_expr
 
 
+#: Pinot's built-in virtual columns **[P1.2]** — present on every table
+#: without being declared in the schema: ``$docId`` (row position within
+#: its segment), ``$segmentName`` (the segment the row lives in),
+#: ``$hostName`` (the server serving it).
+VIRTUAL_COLUMNS = ("$docId", "$segmentName", "$hostName")
+
+
+def augment_virtual_columns(df: DataFrame) -> DataFrame:
+    """Append Pinot's virtual columns to a frame read DIRECTLY from parquet.
+
+    The mapping is exact, not simulated: a sealed parquet file IS the
+    segment here, so the scan's hidden ``_metadata`` column gives
+    ``$docId`` = ``row_index`` (position within the file — Pinot's
+    position-within-segment) and ``$segmentName`` = the file name.  Both
+    come from the vectorized reader for free (constant per file / counter
+    per batch, no shuffle, and ``row_index`` predicates still push down to
+    the scan).  ``$hostName`` is this process's host: the engine is the
+    single "server" — on a real cluster the serving executor is dynamic
+    per stage, so the stable Pinot-analog identity is the session host.
+    """
+    import socket
+
+    return df.select(
+        "*",
+        F.col("_metadata.row_index").alias("$docId"),
+        F.regexp_replace(F.col("_metadata.file_name"), r"\.parquet$", "").alias(
+            "$segmentName"
+        ),
+        F.lit(socket.gethostname()).alias("$hostName"),
+    )
+
+
+def null_virtual_columns(df: DataFrame) -> DataFrame:
+    """The virtual columns on a table with NO segments yet (empty typed
+    frame — no file scan, so no ``_metadata``): typed NULLs, keeping the
+    schema identical to the file-backed shape so hybrid unions line up."""
+    import socket
+
+    return df.select(
+        "*",
+        F.lit(None).cast("bigint").alias("$docId"),
+        F.lit(None).cast("string").alias("$segmentName"),
+        F.lit(socket.gethostname()).alias("$hostName"),
+    )
+
+
 def timestamp_index_column(column: str, granularity: str) -> str:
     """Derived-column name for a TIMESTAMP-index granularity — the analog of
     Pinot's ``$col$DAY`` (``$`` is hostile to SQL identifiers; double
@@ -294,9 +340,11 @@ class IngestPipeline:
 
     # -- serving ---------------------------------------------------------
 
-    def table(self) -> DataFrame:
+    def table(self, with_virtual: bool = False) -> DataFrame:
         """The queryable table (consuming-segment analog: rows appear after
-        each micro-batch commit).
+        each micro-batch commit).  ``with_virtual`` appends Pinot's
+        ``$docId/$segmentName/$hostName`` virtual columns **[P1.2]** from
+        the scan's ``_metadata`` (see :func:`augment_virtual_columns`).
 
         ``mergeSchema`` makes Pinot-style schema EVOLUTION work **[P1.2]**:
         a column added to the schema (then a pipeline restart) appears only
@@ -320,8 +368,10 @@ class IngestPipeline:
         if not _fs.glob_status(
             self.spark, f"{self.table_path}/ingest_date=*"
         ) and not _fs.glob_status(self.spark, f"{self.table_path}/*.parquet"):
-            return self.spark.createDataFrame([], self.decoded().schema)
-        return self.spark.read.option("mergeSchema", "true").parquet(self.table_path)
+            empty = self.spark.createDataFrame([], self.decoded().schema)
+            return null_virtual_columns(empty) if with_virtual else empty
+        df = self.spark.read.option("mergeSchema", "true").parquet(self.table_path)
+        return augment_virtual_columns(df) if with_virtual else df
 
     def rollup_table(self, index: int = 0) -> DataFrame:
         """The pre-aggregated cell log (star-tree analog); merge with
