@@ -161,6 +161,22 @@ class ControllerServer:
                     )
                 elif url.path == "/tables":
                     self._send(200, {"tables": engine.list_tables()})
+                elif (
+                    len(parts) == 3 and parts[0] == "tables" and parts[2] == "schema"
+                ):
+                    # Pinot GET /tables/{name}/schema **[P1.2]** — the
+                    # console's other schema read path (schema looked up by
+                    # the table's raw name, Pinot's name-matching rule)
+                    name = parts[1]
+                    raw = engine.schemas.get(name)
+                    if name not in engine.list_tables() or raw is None:
+                        self._send(
+                            404,
+                            {"code": 404,
+                             "error": f"schema for table {name!r} not found"},
+                        )
+                    else:
+                        self._send(200, raw)
                 elif len(parts) == 2 and parts[0] == "tables":
                     name = parts[1]
                     out = {}

@@ -34,6 +34,10 @@ from . import fs as _fs
 from . import functions as pfn
 from .schema import TableSchema, parse_schema
 from .streaming.ingest import IngestPipeline, RawRecordSource
+from .operators.clp import (
+    clp_column_names as _clp_column_names,
+    clp_encode as _clp_encode,
+)
 from .streaming.ingest import timestamp_index_column as _ts_index_column
 
 
@@ -137,6 +141,13 @@ class TableConfig:
     # so filters prune row groups instead of computing a per-row trunc.
     # Stored as ((column, (GRAN, ...)), ...).
     timestamp_index_columns: tuple = ()
+    # Pinot CLP log columns **[P1.2]** (fieldConfigList compressionCodec
+    # "CLP" — the pinot-clp-log plugin's fieldsForClpEncoding analog):
+    # each named string column is split at decode time into
+    # <col>_logtype / <col>_dictionaryVars / <col>_encodedVars
+    # (operators/clp.py) and reassembled at query time via CLPDECODE;
+    # Engine.query expands the 1-arg CLPDECODE(col) sugar.
+    clp_columns: tuple[str, ...] = ()
     # Pinot dimension table **[P1.2]** (`isDimTable: true` + OFFLINE type):
     # a small batch-loaded table replicated to every server and queried via
     # the scalar LOOKUP('dim','valueCol','pkCol', expr) UDF.  Analog:
@@ -195,7 +206,10 @@ class TableConfig:
         text_cols = []
         vector_cols = []
         timestamp_cols = []
+        clp_cols = []
         for fc in conf.get("fieldConfigList", ()):
+            if str(fc.get("compressionCodec", "")).upper() == "CLP":
+                clp_cols.append(fc["name"])
             kinds = {str(fc.get("indexType", "")).upper()} | {
                 str(k).upper() for k in fc.get("indexTypes", ())
             }
@@ -260,6 +274,7 @@ class TableConfig:
             text_index_columns=tuple(text_cols),
             vector_index_columns=tuple(vector_cols),
             timestamp_index_columns=tuple(timestamp_cols),
+            clp_columns=tuple(clp_cols),
             is_dim_table=bool(conf.get("isDimTable", False)),
         )
 
@@ -527,6 +542,7 @@ class Engine:
             sorted_column=config.sorted_column,
             bloom_filter_columns=config.bloom_filter_columns,
             timestamp_index=config.timestamp_index_columns,
+            clp_columns=config.clp_columns,
         )
         self.pipelines[config.name] = pipeline
         if start:
@@ -651,7 +667,12 @@ class Engine:
             )
         from pyspark.sql import types as T
 
-        struct = T.StructType(list(schema.struct.fields))
+        # CLP columns are stored as their three physical columns (appended
+        # at the end, mirroring upload_segment's encode projection) — the
+        # logical column itself never reaches storage.
+        struct = T.StructType(
+            [f for f in schema.struct.fields if f.name not in config.clp_columns]
+        )
         tc_ts = f"{config.time_column}__ts"
         if tc_ts not in struct.fieldNames():
             struct = struct.add(tc_ts, T.TimestampType())
@@ -659,6 +680,14 @@ class Engine:
         for col, grans in config.timestamp_index_columns:
             for gran in grans:
                 struct = struct.add(_ts_index_column(col, gran), T.TimestampType())
+        for col in config.clp_columns:
+            if col in schema.struct.fieldNames():
+                lt, dv, ev = _clp_column_names(col)
+                struct = (
+                    struct.add(lt, T.StringType())
+                    .add(dv, T.ArrayType(T.StringType()))
+                    .add(ev, T.ArrayType(T.LongType()))
+                )
         self.offline_structs[config.name] = struct
         self.offline_configs[config.name] = config
         # create the segments root so a just-added table is immediately
@@ -888,6 +917,17 @@ class Engine:
                 out = out.withColumn(
                     _ts_index_column(col, gran), F.date_trunc(gran, F.col(src))
                 )
+        # CLP columns (offline side): encode with the same scheme the
+        # realtime decode applies, so hybrid unions serve one physical shape
+        clp_declared = tuple(
+            dict.fromkeys(
+                config.clp_columns
+                + (rt_cfg.clp_columns if rt_cfg is not None else ())
+            )
+        )
+        for col in clp_declared:
+            if col in out.columns:
+                out = _clp_encode(out, col)
         out.write.mode("append").partitionBy("ingest_date").parquet(
             self._offline_path(name)
         )
@@ -2381,10 +2421,14 @@ class Engine:
         ``SELECT GAPFILL(...) ...`` **[P1.2]** (Pinot's SQL gapfill, all
         three documented shapes) routes through
         :meth:`_try_query_gapfill` -> operators/gapfill.
+        ``CLPDECODE(field)`` over a column a config declares CLP-encoded
+        **[P1.2]** expands to the 3-argument form over its physical
+        columns (:meth:`_expand_clpdecode_sugar`; operators/clp.py).
         """
         sql, _opts = self._strip_query_options(sql)
         if str(_opts.get("skipUpsert", "false")).lower() == "true":
             sql = self._apply_skip_upsert_rewrite(sql)
+        sql = self._expand_clpdecode_sugar(sql)
         has_lookup = False
         if self._LOOKUP_RE.search(sql):
             rewritten = self._rewrite_lookup_calls(sql)
@@ -2404,6 +2448,39 @@ class Engine:
         if vm:
             return self._query_vector_similarity(vm)
         return self.spark.sql(self._apply_ts_index_rewrite(sql))
+
+    _CLPDECODE_SUGAR_RE = re.compile(
+        r"\bCLPDECODE\s*\(\s*([A-Za-z_]\w*)\s*\)", re.IGNORECASE
+    )
+
+    def _expand_clpdecode_sugar(self, sql: str) -> str:
+        """Pinot's 1-argument ``CLPDECODE(field)`` sugar **[P1.2]**: when
+        ``field`` is a column some table config declares CLP-encoded
+        (fieldConfigList compressionCodec "CLP"), expand to the 3-argument
+        form over its physical columns — the registered SQL macro
+        (functions/sqlfns.py) does the actual reassembly, fully codegen.
+        Literal-span aware; identifiers no config declares pass through
+        untouched (same contract as the TIMESTAMP-index rewrite)."""
+        if "clpdecode" not in sql.lower():
+            return sql
+        declared: dict[str, str] = {}
+        for cfg in (*self.configs.values(), *self.offline_configs.values()):
+            for c in cfg.clp_columns:
+                declared[c.lower()] = c
+        if not declared:
+            return sql
+        spans = self._literal_spans(sql)
+
+        def repl(m: "re.Match") -> str:
+            if any(s <= m.start() < e for s, e in spans):
+                return m.group(0)
+            col = declared.get(m.group(1).lower())
+            if col is None:
+                return m.group(0)
+            lt, dv, ev = _clp_column_names(col)
+            return f"CLPDECODE({lt}, {dv}, {ev})"
+
+        return self._CLPDECODE_SUGAR_RE.sub(repl, sql)
 
     def _apply_skip_upsert_rewrite(self, sql: str) -> str:
         """Pinot ``skipUpsert=true`` **[P1.2]**: serve the raw append-only

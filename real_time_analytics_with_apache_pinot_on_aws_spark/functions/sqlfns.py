@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
+from ..operators.clp import CLPDECODE_SQL_BODY as _CLPDECODE_SQL_BODY
+
 # (name, arg signature, return type, body expression)
 _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
     # ---- date/time (B51) -------------------------------------------------
@@ -125,6 +127,12 @@ _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
     # ---- URL / misc (B56) -----------------------------------------------
     ("ENCODEURL", "s STRING", "STRING", "url_encode(s)"),
     ("DECODEURL", "s STRING", "STRING", "url_decode(s)"),
+    # ---- CLP log columns (B68) ------------------------------------------
+    # Pinot CLPDECODE(logtype, dictionaryVars, encodedVars) **[P1.2]** —
+    # reassembles a CLP-encoded log message (operators/clp.py holds the
+    # encoder and semantics; the body is the same codegen aggregate walk).
+    ("CLPDECODE", "lt STRING, dv ARRAY<STRING>, ev ARRAY<BIGINT>", "STRING",
+     _CLPDECODE_SQL_BODY),
     # ---- multi-value / array (B53) --------------------------------------
     ("ARRAYLENGTH", "a ARRAY<STRING>", "INT", "size(a)"),
     ("ARRAYLENGTHINT", "a ARRAY<INT>", "INT", "size(a)"),

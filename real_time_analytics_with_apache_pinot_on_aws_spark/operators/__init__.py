@@ -14,6 +14,8 @@
                     partial-upsert merge strategies, skew-salted aggregation (B62).
 - ``funnel``      : FUNNEL_* aggregation family — ordered step matching per user (C8 kin).
 - ``frequent``    : frequent-items (heavy-hitters) mergeable sketch with error bounds.
+- ``clp``         : CLP log-message encoding (logtype/dictVars/encodedVars
+                    columns) + CLPDECODE reassembly (B68).
 - ``curation``    : corpus curation — benchmark decontamination, deterministic
                     train/val/test split, stratified sampling, sequence packing
                     (C10-C13); temperature rebalance / shards / token cap /

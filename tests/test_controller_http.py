@@ -394,3 +394,29 @@ def test_schema_delete_over_http(spark, tmp_path):
     finally:
         ctl.stop()
         pipe.stop()
+
+
+def test_table_schema_read_path(spark, tmp_path):
+    """GET /tables/{name}/schema **[P1.2]** — the console's other schema
+    read path: resolves the schema by the table's raw name."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.streaming.ingest import RawRecordSource
+
+    src_dir = tmp_path / "stream_in"
+    _write_events(src_dir / "a.json", 3, "2024-06-01")
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    engine.add_schema(CLICKSTREAM_SCHEMA)
+    pipe = engine.add_table(
+        CLICKSTREAM_SCHEMA, TABLE_CONFIG,
+        RawRecordSource(kind="files", path=str(src_dir)), available_now=True,
+    )
+    ctl = start_controller(engine, port=0)
+    try:
+        base = ctl.url()
+        code, resp = _req(f"{base}/tables/kinesisTable/schema")
+        assert code == 200 and resp["schemaName"] == "kinesisTable"
+        assert any(f["name"] == "price" for f in resp["metricFieldSpecs"])
+        code, resp = _req(f"{base}/tables/ghost/schema")
+        assert code == 404
+    finally:
+        ctl.stop()
+        pipe.stop()

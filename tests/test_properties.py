@@ -540,3 +540,37 @@ def test_strip_query_options_extracts_exactly_the_real_options(sets, suffix, bod
     stripped, opts = eng._strip_query_options(sql)
     assert stripped.strip() == body
     assert opts == want
+
+
+# ---------------------------------------------------------------------------
+# CLP round-trip (operators/clp.py, B68): decode(encode(x)) == x for ANY
+# string — spaces in runs, placeholder bytes in content, every integer shape.
+# ---------------------------------------------------------------------------
+
+messages_st = st.lists(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", categories=("L", "N", "P", "S", "Zs", "Cc")
+        ),
+        max_size=80,
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(msgs=messages_st)
+@settings(**SETTINGS)
+def test_clp_roundtrip_any_string(spark, msgs):
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators import clp
+
+    df = spark.createDataFrame(
+        [(i, m) for i, m in enumerate(msgs)], "id int, msg string"
+    )
+    got = {
+        r["id"]: r["d"]
+        for r in clp.clp_encode(df, "msg")
+        .select("id", clp.clp_decode_column("msg").alias("d"))
+        .collect()
+    }
+    assert got == dict(enumerate(msgs))
