@@ -21,7 +21,7 @@
                     (C10-C13); temperature rebalance / shards / token cap /
                     classifier (C19-C22); bigram-LM perplexity filter (C26),
                     DSIR selection (C27), Gopher rule gate (C28), C4 line
-                    cleaning (C29).
+                    cleaning (C29), RefinedWeb URL/domain filter (C32).
 
 All are DataFrame compositions of built-in functions unless noted; Python only
 enters via Arrow-batched ``mapInPandas`` where semantics genuinely require it.

@@ -5845,6 +5845,109 @@ def c31_clp_log_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "c32_url_filter",
+    r"""
+    WITH urls AS (
+      SELECT doc_id,
+             lower(concat(
+               'https://',
+               CASE WHEN doc_id % 7 = 0 THEN 'ads.'
+                    WHEN doc_id % 7 = 3 THEN 'www.' ELSE '' END,
+               source, '-media',
+               CASE WHEN doc_id % 3 = 0 THEN '.com'
+                    WHEN doc_id % 3 = 1 THEN '.net' ELSE '.org' END,
+               '/', lang, '/article/', doc_id,
+               CASE WHEN doc_id % 11 = 3 THEN '?tag=casino'
+                    WHEN doc_id % 11 = 7 THEN '?tag=gambling-promo'
+                    ELSE '' END)) AS url
+      FROM documents
+    ), parsed AS (
+      SELECT doc_id, url,
+             regexp_extract(url, '^https?://([^/?#]+)', 1) AS host
+      FROM urls
+    ), scored AS (
+      SELECT doc_id, url, host,
+             regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+             (CASE WHEN contains(url, 'casino') THEN 1.0 ELSE 0 END
+              + CASE WHEN contains(url, 'gambling') THEN 0.5 ELSE 0 END
+              + CASE WHEN contains(url, 'ads') THEN 0.25 ELSE 0 END)
+               AS url_score
+      FROM parsed
+    )
+    SELECT doc_id, url, host, domain, url_score,
+           (regexp_extract(domain, '^src([0-9]+)-media', 1) <> ''
+            AND CAST(regexp_extract(domain, '^src([0-9]+)-media', 1) AS INT)
+                % 4 = 1
+            AND ends_with(domain, '.net')) AS blocked,
+           (domain = 'src5-media.net') AS allowlisted,
+           ((domain = 'src5-media.net')
+            OR (NOT (regexp_extract(domain, '^src([0-9]+)-media', 1) <> ''
+                     AND CAST(regexp_extract(domain, '^src([0-9]+)-media', 1)
+                              AS INT) % 4 = 1
+                     AND ends_with(domain, '.net'))
+                AND url_score < 1.0)) AS keep
+    FROM scored
+    ORDER BY doc_id
+    """,
+    doc="C32: URL/domain filtering — the FIRST RefinedWeb pipeline stage "
+        "(Penedo et al. 2023, arXiv:2306.01116 §3.2 + App. G.1): UT1-style "
+        "registered-domain blocklist, weighted banned-word URL scoring "
+        "(strict words score 1.0 alone, soft words only in combination, "
+        "threshold 1.0), and the curated allowlist override for "
+        "wrongly-blocked high-quality domains.  Fixtures carry no URL "
+        "column, so the query synthesizes a deterministic URL per doc "
+        "(subdomain/tld/query-string vary by doc_id residues — 'ads.' "
+        "subdomains push soft scores over the threshold, 'casino' tags "
+        "cross it alone); the blocklist is every srcN-media.net domain "
+        "with N % 4 == 1 and the allowlist rescues src5-media.net from "
+        "it.  Spark shape (operators/curation.py url_filter): the corpus "
+        "NEVER shuffles — parse_url host + regexp registered-domain + "
+        "substring scoring are one map-side codegen projection, and "
+        "blocklist/allowlist membership is a BROADCAST left join "
+        "(UT1's 4.6M domains ~ 100 MB, broadcastable; shuffle fallback "
+        "is opt-in).  The oracle replays host parse, domain extraction, "
+        "scoring, and both list memberships closed-form in SQL.",
+)
+def c32_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.lower(
+            F.concat(
+                F.lit("https://"),
+                F.when(F.col("doc_id") % 7 == 0, F.lit("ads."))
+                .when(F.col("doc_id") % 7 == 3, F.lit("www."))
+                .otherwise(F.lit("")),
+                F.col("source"),
+                F.lit("-media"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit(".com"))
+                .when(F.col("doc_id") % 3 == 1, F.lit(".net"))
+                .otherwise(F.lit(".org")),
+                F.lit("/"),
+                F.col("lang"),
+                F.lit("/article/"),
+                F.col("doc_id"),
+                F.when(F.col("doc_id") % 11 == 3, F.lit("?tag=casino"))
+                .when(F.col("doc_id") % 11 == 7, F.lit("?tag=gambling-promo"))
+                .otherwise(F.lit("")),
+            )
+        ).alias("url"),
+    )
+    srcs = spark.table("documents").select("source").distinct()
+    blocklist = srcs.where(
+        (F.regexp_extract("source", r"^src(\d+)$", 1) != "")
+        & (F.regexp_extract("source", r"^src(\d+)$", 1).cast("int") % 4 == 1)
+    ).select(F.concat("source", F.lit("-media.net")).alias("domain"))
+    allowlist = spark.createDataFrame([("src5-media.net",)], "domain string")
+    return _cur.url_filter(
+        docs,
+        blocklist,
+        banned_words=(("casino", 1.0), ("gambling", 0.5), ("ads", 0.25)),
+        allowlist=allowlist,
+    ).orderBy("doc_id")
+
+
 # ===========================================================================
 # Driver window curation: the driver's correctness gate adjudicates exactly
 # the first 50 entries of queries() in registration order (confirmed in

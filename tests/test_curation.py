@@ -426,3 +426,76 @@ def test_c4_clean_is_shuffle_free(spark):
     plan = C.c4_clean(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "pythonudf" not in plan.lower()
+
+
+# -- C32: URL/domain filtering (RefinedWeb stage 1) ---------------------------
+
+
+def _url_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "https://www.good-site.com/article/1"),
+            (2, "https://ads.tracker-net.com/banner"),          # soft 'ads' only
+            (3, "https://play.mega-casino.net/slots"),          # strict word
+            (4, "https://blog.nice-place.org/post?ref=gambling"),  # soft 0.5
+            (5, "https://ads.spam-hub.net/x?tag=gambling"),     # 0.25+0.5 < 1.0
+            (6, "https://ads.bad-apple.com/x?t=gambling&u=ads"),  # blocked domain
+            (7, "https://sub.deep.rescued-domain.com/fine"),    # blocked+allowed
+            (8, "not a url at all"),
+        ],
+        "doc_id int, url string",
+    )
+
+
+def test_url_filter_scoring_blocklist_and_allowlist(spark):
+    """RefinedWeb App. G.1 semantics: strict word alone crosses the 1.0
+    threshold, soft words only in combination; blocklist matches on the
+    REGISTERED domain (subdomains stripped); allowlist overrides both."""
+    docs = _url_docs(spark)
+    bl = spark.createDataFrame(
+        [("bad-apple.com",), ("rescued-domain.com",)], "domain string"
+    )
+    al = spark.createDataFrame([("rescued-domain.com",)], "domain string")
+    out = {
+        r["doc_id"]: r
+        for r in C.url_filter(docs, bl, allowlist=al).collect()
+    }
+    assert out[1]["keep"] is True and out[1]["url_score"] == 0.0
+    assert out[1]["domain"] == "good-site.com"
+    # registered domain = last two labels, subdomains stripped
+    assert out[2]["domain"] == "tracker-net.com"
+    assert out[2]["url_score"] == 0.25 and out[2]["keep"] is True
+    # strict word alone drops
+    assert out[3]["url_score"] >= 1.0 and out[3]["keep"] is False
+    # one soft word alone keeps
+    assert out[4]["url_score"] == 0.5 and out[4]["keep"] is True
+    # soft combination below threshold keeps
+    assert out[5]["url_score"] == 0.75 and out[5]["keep"] is True
+    # blocklist hit on registered domain drops regardless of score
+    assert out[6]["blocked"] is True and out[6]["keep"] is False
+    # allowlist rescues a blocked domain, multi-level subdomain stripped
+    assert out[7]["domain"] == "rescued-domain.com"
+    assert out[7]["blocked"] is True and out[7]["allowlisted"] is True
+    assert out[7]["keep"] is True
+    # an unparseable URL has NULL host/domain, scores 0, and keeps
+    assert out[8]["host"] is None and out[8]["keep"] is True
+
+
+def test_url_filter_broadcasts_blocklist_and_never_shuffles_corpus(spark):
+    """100 TB posture: the corpus never crosses an exchange — scoring is a
+    map-side projection and the blocklist join is a BROADCAST join (UT1 at
+    ~4.6M domains fits executor memory); the opt-out path hash-shuffles
+    the narrow domain key instead."""
+    docs = _url_docs(spark)
+    bl = spark.createDataFrame([("bad-apple.com",)], "domain string")
+    plan = C.url_filter(docs, bl)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the only hash exchanges are the LIST-side dedup (bounded by the
+    # blocklist, not the corpus) — no corpus column ever partitions
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "__bl_domain" in line or "__al_domain" in line, line
+    assert "pythonudf" not in plan.lower()
+    shuffled = C.url_filter(docs, bl, broadcast_blocklist=False)
+    plan2 = shuffled._jdf.queryExecution().executedPlan().toString()
+    assert shuffled.where("blocked").count() == 1

@@ -73,6 +73,10 @@ PROBES = (
     # round 6: both shuffle-free single-pass filters — expect flat-per-row
     "c28_gopher_rules",
     "c29_c4_line_cleaning",
+    # CLP encode/decode round trip: pure map-side projections — flat-per-row
+    "c31_clp_log_encoding",
+    # URL filter: map-side scoring + broadcast list joins — flat-per-row
+    "c32_url_filter",
 )
 
 
