@@ -148,6 +148,15 @@ class TableConfig:
     # (operators/clp.py) and reassembled at query time via CLPDECODE;
     # Engine.query expands the 1-arg CLPDECODE(col) sugar.
     clp_columns: tuple[str, ...] = ()
+    # Pinot tableIndexConfig.nullHandlingEnabled **[P1.2]**: false (Pinot's
+    # default) stores NO null bitmaps — nulls land as the silent
+    # type-default matrix (schema.pinot_type_default; declared
+    # defaultNullValues still win).  THIS engine's default is True
+    # (null-native storage, the documented SURVEY §1.2 divergence) and
+    # explicit false is the opt-in to Pinot's fill.  At query time the
+    # enableNullHandling=false option serves a null-enabled table through
+    # default-substituted views (Engine._apply_null_disabled_rewrite).
+    null_handling_enabled: bool = True
     # Pinot dimension table **[P1.2]** (`isDimTable: true` + OFFLINE type):
     # a small batch-loaded table replicated to every server and queried via
     # the scalar LOOKUP('dim','valueCol','pkCol', expr) UDF.  Analog:
@@ -275,6 +284,7 @@ class TableConfig:
             vector_index_columns=tuple(vector_cols),
             timestamp_index_columns=tuple(timestamp_cols),
             clp_columns=tuple(clp_cols),
+            null_handling_enabled=bool(tic.get("nullHandlingEnabled", True)),
             is_dim_table=bool(conf.get("isDimTable", False)),
         )
 
@@ -366,6 +376,10 @@ class Engine:
         # exactly the two-step pinot-admin.sh AddTable flow the reference
         # runs (bastionUserData.sh:36: -schemaFile + -tableConfigFile)
         self.schemas: dict[str, dict] = {}
+        # parsed TableSchema per engine table (REALTIME and OFFLINE sides
+        # share one) — the null-semantics query rewrite reads field specs
+        # (type/class/defaultNullValue) from here
+        self.table_schemas: dict[str, TableSchema] = {}
         pfn.register_all(spark)
 
     def add_schema(self, schema_json: str | dict) -> dict:
@@ -526,6 +540,7 @@ class Engine:
                         str(self.warehouse / config.name / f"startree{i}"),
                     )
                 )
+        self.table_schemas[config.name] = schema
         pipeline = IngestPipeline(
             self.spark,
             schema,
@@ -543,6 +558,7 @@ class Engine:
             bloom_filter_columns=config.bloom_filter_columns,
             timestamp_index=config.timestamp_index_columns,
             clp_columns=config.clp_columns,
+            null_handling_enabled=config.null_handling_enabled,
         )
         self.pipelines[config.name] = pipeline
         if start:
@@ -665,6 +681,7 @@ class Engine:
                 "names are unique across kinds (only REALTIME+OFFLINE "
                 "may share one, forming a hybrid table)"
             )
+        self.table_schemas[config.name] = schema
         from pyspark.sql import types as T
 
         # CLP columns are stored as their three physical columns (appended
@@ -1003,7 +1020,16 @@ class Engine:
         raw = self.spark.createDataFrame(
             [(_json.dumps(r),) for r in rows], "value string"
         )
-        return self.upload_segment(name, decoded_frame(raw, parse_schema(raw_schema)))
+        return self.upload_segment(
+            name,
+            decoded_frame(
+                raw,
+                parse_schema(raw_schema),
+                null_handling_enabled=self.offline_configs[
+                    name
+                ].null_handling_enabled,
+            ),
+        )
 
     def _offline_rollup_path(self, name: str, index: int) -> str:
         return str(self.warehouse / name / f"offline_startree{index}")
@@ -2428,6 +2454,13 @@ class Engine:
         sql, _opts = self._strip_query_options(sql)
         if str(_opts.get("skipUpsert", "false")).lower() == "true":
             sql = self._apply_skip_upsert_rewrite(sql)
+        if str(_opts.get("enableNullHandling", "true")).lower() == "false":
+            # Pinot enableNullHandling=false **[P1.2]**: serve the
+            # type-default-substituted reading of null-enabled tables
+            # (engine default is TRUE — null-native — the inverse of
+            # Pinot's; the option is how a caller asks for Pinot's
+            # sentinel view of the same storage)
+            sql = self._apply_null_disabled_rewrite(sql)
         sql = self._expand_clpdecode_sugar(sql)
         has_lookup = False
         if self._LOOKUP_RE.search(sql):
@@ -2528,6 +2561,105 @@ class Engine:
 
         rewritten = re.sub(
             r"\b(FROM|JOIN)(\s+)(?P<t>\w+)", repl, sql, flags=re.IGNORECASE
+        )
+        if rewritten == sql:
+            return sql
+        try:
+            self.spark.sql(rewritten)  # SELECT/WITH only: analysis, no exec
+            return rewritten
+        except Exception:
+            return sql
+
+    @staticmethod
+    def _null_default_sql(spec) -> str:
+        """SQL-literal text of :func:`schema.pinot_type_default` for
+        ``spec`` — the sentinel Pinot substitutes for a null under
+        ``nullHandlingEnabled=false`` **[P1.2]**, rendered for the
+        string-level query rewrite (constant-folds in the plan)."""
+        from .schema import _PINOT_TYPE_DEFAULTS
+
+        t = spec.pinot_type.upper()
+        val = _PINOT_TYPE_DEFAULTS[(t, spec.field_class == "metric")]
+        if t in ("FLOAT", "DOUBLE"):
+            scalar = (
+                f"CAST({val!r} AS {t})"
+                if val != float("-inf")
+                else f"CAST('-Infinity' AS {t})"
+            )
+        elif t == "TIMESTAMP":
+            scalar = "timestamp_seconds(0)"
+        elif t == "BYTES":
+            scalar = "X''"
+        elif t == "BOOLEAN":
+            scalar = "false"
+        elif isinstance(val, str):
+            scalar = f"'{val}'"
+        else:
+            scalar = str(val)
+        return scalar if spec.single_value else f"array({scalar})"
+
+    def _apply_null_disabled_rewrite(self, sql: str) -> str:
+        """Pinot query option ``enableNullHandling=false`` **[P1.2]**: read
+        null-enabled tables as if nulls were never stored — every schema
+        field WITHOUT a declared defaultNullValue coalesces to the silent
+        type-default sentinel (schema.pinot_type_default), so ``IS NULL``
+        matches nothing and aggregates see the sentinels, exactly what a
+        Pinot segment without null bitmaps serves.  FROM/JOIN-position
+        table references rewrite to an inline subselect that keeps the
+        table name as its alias (no temp views — nothing leaks and
+        concurrent broker threads never race a view name); same
+        literal-span, command-guard, and analyze-or-fall-back contract as
+        :meth:`_apply_skip_upsert_rewrite`.  Engine default is null-native
+        (inverse of Pinot's option default, documented in the config
+        field) — the option is the path BACK to Pinot's sentinel view.
+        """
+        targets: dict[str, str] = {}
+        for name in set(self.configs) | set(self.offline_configs):
+            cfg = self.configs.get(name) or self.offline_configs.get(name)
+            schema = self.table_schemas.get(name)
+            if schema is None and self.schemas.get(name) is not None:
+                schema = parse_schema(self.schemas[name])
+            if not cfg.null_handling_enabled or schema is None:
+                continue
+            subst = {
+                f.name: self._null_default_sql(f)
+                for f in schema.fields
+                if f.default_null_value is None
+            }
+            if not subst:
+                continue
+            try:
+                cols = self.spark.table(name).columns
+            except Exception:
+                continue
+            items = ", ".join(
+                f"coalesce(`{c}`, {subst[c]}) AS `{c}`" if c in subst else f"`{c}`"
+                for c in cols
+            )
+            targets[name.lower()] = f"(SELECT {items} FROM {name}) AS {name}"
+        if not targets:
+            return sql
+        if not re.match(r"\s*(SELECT|WITH)\b", sql, re.IGNORECASE):
+            return sql
+        spans = self._literal_spans(sql)
+        for m in re.finditer(
+            r"\b(INSERT|CREATE|REPLACE|DELETE|UPDATE|MERGE|DROP|ALTER)\b",
+            sql,
+            re.IGNORECASE,
+        ):
+            if not any(s <= m.start() < e for s, e in spans):
+                return sql
+
+        def repl(m: re.Match) -> str:
+            if any(s <= m.start() < e for s, e in spans):
+                return m.group(0)
+            sub = targets.get(m.group("t").lower())
+            if sub is None:
+                return m.group(0)
+            return f"{m.group(1)}{m.group(2)}{sub}"
+
+        rewritten = re.sub(
+            r"\b(FROM|JOIN)(\s+)(?P<t>\w+)\b(?!\s*\()", repl, sql, flags=re.IGNORECASE
         )
         if rewritten == sql:
             return sql

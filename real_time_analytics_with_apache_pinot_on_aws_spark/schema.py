@@ -189,7 +189,59 @@ def _lenient_struct(schema: TableSchema) -> T.StructType:
     )
 
 
-def decode_expr(schema: TableSchema, value_col: str = "value") -> Column:
+#: Pinot's silent type-default fill **[P1.2]** (FieldSpec
+#: DEFAULT_[DIMENSION|METRIC]_NULL_VALUE_OF_*): the value a null lands as
+#: when the table does NOT enable null handling
+#: (tableIndexConfig.nullHandlingEnabled=false).  Dimensions/dateTimes get
+#: sentinel minimums ("null" for strings), metrics get additive zeros.
+_PINOT_TYPE_DEFAULTS: dict[tuple[str, bool], object] = {
+    ("INT", False): -(2**31),
+    ("LONG", False): -(2**63),
+    ("BIG_DECIMAL", False): 0,
+    ("BIG_DECIMAL", True): 0,
+    ("FLOAT", False): float("-inf"),
+    ("DOUBLE", False): float("-inf"),
+    ("BOOLEAN", False): False,
+    ("TIMESTAMP", False): 0,
+    ("STRING", False): "null",
+    ("JSON", False): "null",
+    ("BYTES", False): b"",
+    ("INT", True): 0,
+    ("LONG", True): 0,
+    ("FLOAT", True): 0.0,
+    ("DOUBLE", True): 0.0,
+    ("BOOLEAN", True): False,
+    ("TIMESTAMP", True): 0,
+    ("STRING", True): "null",
+    ("JSON", True): "null",
+    ("BYTES", True): b"",
+}
+
+
+def pinot_type_default(spec: FieldSpec) -> Column:
+    """The literal Pinot substitutes for a null in ``spec`` when the table
+    config leaves ``nullHandlingEnabled`` false **[P1.2]** — sentinel
+    minimums for dimensions/dateTimes, additive zeros for metrics, ``"null"``
+    for strings.  Multi-value fields fill with the one-element array of the
+    scalar default (Pinot's MV default).  Constant-folded literal, so the
+    fill stays one codegen expression."""
+    is_metric = spec.field_class == "metric"
+    val = _PINOT_TYPE_DEFAULTS[(spec.pinot_type.upper(), is_metric)]
+    scalar_t = _PINOT_TO_SPARK[spec.pinot_type.upper()]
+    if spec.pinot_type.upper() == "TIMESTAMP":
+        lit = F.lit(0).cast("timestamp")
+    else:
+        lit = F.lit(val).try_cast(scalar_t)
+    if not spec.single_value:
+        return F.array(lit)
+    return lit
+
+
+def decode_expr(
+    schema: TableSchema,
+    value_col: str = "value",
+    null_handling_enabled: bool = True,
+) -> Column:
     """The KafkaJSONMessageDecoder analog: JSON string -> typed struct.
 
     Two-step coercion matching the reference's decoder semantics
@@ -198,6 +250,14 @@ def decode_expr(schema: TableSchema, value_col: str = "value") -> Column:
     the declared type): parse every field as string with ``from_json`` (JSON
     numbers/booleans stringify losslessly), then CAST to the declared Spark
     type.  One codegen'd expression — no Python in the ingest hot path.
+
+    ``null_handling_enabled=False`` is Pinot's
+    ``tableIndexConfig.nullHandlingEnabled=false`` storage mode **[P1.2]**:
+    fields WITHOUT a declared defaultNullValue fill with the silent
+    type-default matrix (:func:`pinot_type_default`) instead of keeping SQL
+    nulls.  The engine's config default is true (null-native storage — the
+    documented SURVEY §1.2 divergence: Pinot defaults to false and needs
+    the opt-in; here false is the opt-in).
     """
     raw = F.from_json(F.col(value_col).cast("string"), _lenient_struct(schema))
     # try_cast: uncoercible values become NULL instead of failing the batch
@@ -210,13 +270,20 @@ def decode_expr(schema: TableSchema, value_col: str = "value") -> Column:
             # declared defaultNullValue: fill missing/uncoercible values at
             # decode time (constant-folded literal, still one codegen expr)
             col = F.coalesce(col, F.lit(f.default_null_value).try_cast(f.spark_type))
+        elif not null_handling_enabled:
+            col = F.coalesce(col, pinot_type_default(f))
         typed.append(col.alias(f.name))
     return F.struct(*typed).alias("__typed"), raw.alias("__raw")
 
 
-def decoded_frame(df: DataFrame, schema: TableSchema, value_col: str = "value") -> DataFrame:
+def decoded_frame(
+    df: DataFrame,
+    schema: TableSchema,
+    value_col: str = "value",
+    null_handling_enabled: bool = True,
+) -> DataFrame:
     """Apply the decoder and append derived ``<name>__ts`` typed time columns."""
-    typed_expr, raw_expr = decode_expr(schema, value_col)
+    typed_expr, raw_expr = decode_expr(schema, value_col, null_handling_enabled)
     out = df.select(raw_expr).select(typed_expr).select("__typed.*")
     for spec in schema.datetime_fields:
         if not isinstance(spec.spark_type, T.TimestampType):

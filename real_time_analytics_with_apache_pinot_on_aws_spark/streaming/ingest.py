@@ -150,6 +150,7 @@ class IngestPipeline:
         bloom_filter_columns: tuple = (),
         timestamp_index: tuple = (),
         clp_columns: tuple = (),
+        null_handling_enabled: bool = True,
     ) -> None:
         self.spark = spark
         self.schema = schema
@@ -193,6 +194,10 @@ class IngestPipeline:
         # map-side projection; the logtype column dictionary-encodes in
         # parquet to near-zero (template cardinality, not line count).
         self.clp_columns = tuple(clp_columns)
+        # Pinot nullHandlingEnabled=false **[P1.2]**: undeclared-default
+        # fields fill with the silent type-default matrix at decode
+        # (schema.pinot_type_default) instead of keeping SQL nulls
+        self.null_handling_enabled = bool(null_handling_enabled)
         self._query: StreamingQuery | None = None
 
     # -- decode ----------------------------------------------------------
@@ -203,7 +208,11 @@ class IngestPipeline:
         Adds ``<time>__ts`` (typed event time) and ``ingest_date`` (the
         partition column — day granularity per kinesisTable.json:30).
         """
-        out = decoded_frame(self.source.load(self.spark), self.schema)
+        out = decoded_frame(
+            self.source.load(self.spark),
+            self.schema,
+            null_handling_enabled=self.null_handling_enabled,
+        )
         for field in self.unnest_fields:
             # complexTypeConfig **[P1.2]**: one row per element; empty/null
             # collections keep their row with a NULL element (explode_outer,

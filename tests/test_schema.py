@@ -155,3 +155,42 @@ def test_default_null_value_fill(spark):
     assert ("BF", "eu", 9.5) in decoded
     assert ("NONE", None, 0.0) in decoded       # defaults fill, region stays null
     assert decoded.count(("NONE", None, 0.0)) == 2
+
+
+def test_null_handling_disabled_type_default_matrix(spark):
+    """schema.pinot_type_default **[P1.2]**: with null handling disabled,
+    every Pinot type fills with its documented sentinel — dimension
+    minimums ('null' strings, Integer/Long.MIN_VALUE, -Infinity floats,
+    epoch-0 timestamps, empty bytes, one-element MV arrays) and metric
+    zeros; a declared defaultNullValue always wins over the matrix."""
+    schema = parse_schema(
+        {
+            "schemaName": "t",
+            "dimensionFieldSpecs": [
+                {"name": "s", "dataType": "STRING"},
+                {"name": "i", "dataType": "INT"},
+                {"name": "l", "dataType": "LONG"},
+                {"name": "d", "dataType": "DOUBLE"},
+                {"name": "b", "dataType": "BOOLEAN"},
+                {"name": "t", "dataType": "TIMESTAMP"},
+                {"name": "y", "dataType": "BYTES"},
+                {"name": "mv", "dataType": "INT", "singleValueField": False},
+                {"name": "dn", "dataType": "STRING", "defaultNullValue": "X"},
+            ],
+            "metricFieldSpecs": [
+                {"name": "mi", "dataType": "INT"},
+                {"name": "md", "dataType": "DOUBLE"},
+            ],
+        }
+    )
+    raw = spark.createDataFrame([("{}",)], "value string")
+    r = decoded_frame(raw, schema, null_handling_enabled=False).collect()[0]
+    assert r["s"] == "null" and r["i"] == -(2**31) and r["l"] == -(2**63)
+    assert r["d"] == float("-inf") and r["b"] is False
+    assert r["t"].year == 1970 and r["y"] == bytearray(b"")
+    assert r["mv"] == [-(2**31)]
+    assert r["dn"] == "X"                      # declared default wins
+    assert r["mi"] == 0 and r["md"] == 0.0     # metric zeros, not minimums
+    # the flag off (engine default) keeps real SQL nulls
+    r2 = decoded_frame(raw, schema).collect()[0]
+    assert r2["s"] is None and r2["mi"] is None and r2["dn"] == "X"

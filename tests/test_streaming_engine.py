@@ -3259,3 +3259,148 @@ def test_upsert_compaction_task(spark, tmp_path):
     p2.stop()
     with pytest.raises(ValueError, match="not an upsert"):
         eng2.upsert_compact("kinesisTable")
+
+
+# -- nullHandlingEnabled / enableNullHandling (Pinot null semantics) ----------
+
+
+NULLFILL_SCHEMA = {
+    "schemaName": "nullfillTable",
+    "dimensionFieldSpecs": [
+        {"name": "userID", "dataType": "STRING"},
+        {"name": "region", "dataType": "STRING"},
+        {"name": "slot", "dataType": "INT"},
+        {"name": "campaign", "dataType": "STRING", "defaultNullValue": "NONE"},
+    ],
+    "metricFieldSpecs": [{"name": "price", "dataType": "DOUBLE"}],
+    "dateTimeFieldSpecs": [
+        {
+            "name": "creationTimestamp",
+            "dataType": "STRING",
+            "format": "SIMPLE_DATE_FORMAT|yyyy-MM-dd HH:mm:ss",
+            "granularity": "1:DAYS",
+        }
+    ],
+}
+
+
+def _write_nullfill_events(path: Path) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    rows = [
+        {"userID": "u1", "region": "eu", "slot": 4, "campaign": "BF",
+         "price": 9.5, "creationTimestamp": "2024-06-01 10:00:00"},
+        # region/slot/campaign/price all absent
+        {"userID": "u2", "creationTimestamp": "2024-06-01 10:01:00"},
+    ]
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+
+def test_null_handling_disabled_fills_pinot_type_defaults(spark, tmp_path):
+    """tableIndexConfig.nullHandlingEnabled=false **[P1.2]**: Pinot's
+    storage without null bitmaps — undeclared-default fields land as the
+    silent type-default matrix (STRING 'null', INT dim Integer.MIN_VALUE,
+    DOUBLE metric 0.0); a DECLARED defaultNullValue still wins."""
+    src_dir = tmp_path / "stream_in"
+    _write_nullfill_events(src_dir / "a.json")
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    cfg = {
+        "tableName": "nullfillTable",
+        "tableType": "REALTIME",
+        "segmentsConfig": {"timeColumnName": "creationTimestamp"},
+        "tableIndexConfig": {
+            "nullHandlingEnabled": False,
+            "streamConfigs": {"realtime.segment.flush.threshold.time": "2m"},
+        },
+    }
+    assert TableConfig.parse(cfg).null_handling_enabled is False
+    # absent key defaults to the ENGINE default: null-native (True)
+    assert TableConfig.parse(TABLE_CONFIG).null_handling_enabled is True
+    pipe = engine.add_table(
+        NULLFILL_SCHEMA, cfg,
+        RawRecordSource(kind="files", path=str(src_dir)), available_now=True,
+    )
+    try:
+        pipe.process_available()
+        engine.register_view("nullfillTable")
+        row = {
+            r["userID"]: r
+            for r in engine.query("SELECT * FROM nullfillTable").collect()
+        }
+        assert row["u1"]["region"] == "eu" and row["u1"]["slot"] == 4
+        assert row["u2"]["region"] == "null"          # STRING dim sentinel
+        assert row["u2"]["slot"] == -(2**31)           # INT dim sentinel
+        assert row["u2"]["price"] == 0.0               # DOUBLE metric zero
+        assert row["u2"]["campaign"] == "NONE"         # declared default wins
+        assert (
+            engine.query(
+                "SELECT count(*) AS n FROM nullfillTable WHERE region IS NULL"
+            ).collect()[0]["n"]
+            == 0
+        )
+    finally:
+        pipe.stop()
+
+
+def test_enable_null_handling_false_query_option(spark, tmp_path):
+    """Query option enableNullHandling=false **[P1.2]** over a null-native
+    table: IS NULL matches nothing and undeclared-default fields read as
+    the Pinot sentinels — while the same table without the option serves
+    real SQL nulls (the engine's documented default, inverse of Pinot's)."""
+    src_dir = tmp_path / "stream_in"
+    _write_nullfill_events(src_dir / "a.json")
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    cfg = {
+        "tableName": "nullfillTable",
+        "tableType": "REALTIME",
+        "segmentsConfig": {"timeColumnName": "creationTimestamp"},
+        "tableIndexConfig": {
+            "streamConfigs": {"realtime.segment.flush.threshold.time": "2m"},
+        },
+    }
+    pipe = engine.add_table(
+        NULLFILL_SCHEMA, cfg,
+        RawRecordSource(kind="files", path=str(src_dir)), available_now=True,
+    )
+    try:
+        pipe.process_available()
+        engine.register_view("nullfillTable")
+        # default: null-native storage serves real nulls
+        assert (
+            engine.query(
+                "SELECT count(*) AS n FROM nullfillTable WHERE region IS NULL"
+            ).collect()[0]["n"]
+            == 1
+        )
+        got = {
+            r["userID"]: r
+            for r in engine.query(
+                "SET enableNullHandling=false; SELECT * FROM nullfillTable"
+            ).collect()
+        }
+        assert got["u2"]["region"] == "null" and got["u2"]["slot"] == -(2**31)
+        assert got["u2"]["price"] == 0.0
+        assert got["u1"]["region"] == "eu"            # real values untouched
+        assert (
+            engine.query(
+                "SET enableNullHandling=false; "
+                "SELECT count(*) AS n FROM nullfillTable WHERE region IS NULL"
+            ).collect()[0]["n"]
+            == 0
+        )
+        # the OPTION form and aggregate-over-sentinels both work
+        assert engine.query(
+            "SELECT min(slot) AS m FROM nullfillTable "
+            "OPTION(enableNullHandling=false)"
+        ).collect()[0]["m"] == -(2**31)
+        # true (or absent) is the no-op path
+        assert (
+            engine.query(
+                "SET enableNullHandling=true; SELECT count(*) AS n "
+                "FROM nullfillTable WHERE region IS NULL"
+            ).collect()[0]["n"]
+            == 1
+        )
+    finally:
+        pipe.stop()
