@@ -177,6 +177,22 @@ class ControllerServer:
                         )
                     else:
                         self._send(200, raw)
+                elif (
+                    len(parts) == 3
+                    and parts[0] == "tables"
+                    and parts[2] == "pauseStatus"
+                ):
+                    # Pinot GET /tables/{t}/pauseStatus **[P1.2]**
+                    name = parts[1]
+                    try:
+                        self._send(200, engine.pause_status(name))
+                    except KeyError:
+                        self._send(
+                            404,
+                            {"code": 404, "error": f"table {name!r} not found"},
+                        )
+                    except ValueError as e:
+                        self._send(400, {"code": 400, "error": str(e)})
                 elif len(parts) == 2 and parts[0] == "tables":
                     name = parts[1]
                     out = {}
@@ -291,6 +307,31 @@ class ControllerServer:
                                 "description": out["reason"],
                             },
                         )
+                        return
+                    if len(parts) == 3 and parts[0] == "tables" and parts[2] in (
+                        "pauseConsumption",
+                        "resumeConsumption",
+                    ):
+                        # Pinot POST /tables/{t}/pauseConsumption /
+                        # resumeConsumption **[P1.2]**: stop/restart the
+                        # stream around the exactly-once checkpoint; the
+                        # response is Pinot's PauseStatus envelope (the
+                        # same shape GET /tables/{t}/pauseStatus serves)
+                        name = parts[1]
+                        try:
+                            if parts[2] == "pauseConsumption":
+                                engine.pause_consumption(name)
+                            else:
+                                engine.resume_consumption(name)
+                            self._send(200, engine.pause_status(name))
+                        except KeyError:
+                            self._send(
+                                404,
+                                {"code": 404,
+                                 "error": f"table {name!r} not found"},
+                            )
+                        except ValueError as e:
+                            self._send(400, {"code": 400, "error": str(e)})
                         return
                     if url.path in ("/v2/segments", "/segments"):
                         # Pinot batch segment push **[P1.2]** (POST

@@ -3001,6 +3001,26 @@ class Engine:
         pipeline.start(trigger=trigger, available_now=available_now)
         return {"table": name, "consumption": "CONSUMING"}
 
+    def pause_status(self, name: str) -> dict:
+        """Pinot pauseStatus analog **[P1.2]** (GET
+        /tables/{t}/pauseStatus): whether the stream is currently consuming.
+        ``consumingSegments`` is the in-flight segment list in Pinot; the
+        analog's consuming "segment" is the single active micro-batch
+        stream, named like the ingesting view."""
+        pipeline = self._pipeline(name)
+        q = pipeline._query
+        active = bool(q is not None and q.isActive)
+        return {
+            "pauseFlag": not active,
+            "consumingSegments": [f"{name}__stream__0"] if active else [],
+            "description": (
+                "Table is consuming from the checkpointed offset"
+                if active
+                else "Consumption paused; table remains queryable and the "
+                "checkpoint pins the resume offset"
+            ),
+        }
+
     def run_retention(self, name: str) -> list[str]:
         """A7 on every table kind: realtime partitions via the pipeline,
         OFFLINE segments via the same FS-layer partition drop (Pinot's

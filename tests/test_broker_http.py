@@ -200,3 +200,62 @@ def test_timeout_ms_is_enforced_with_error_250(spark, tmp_path):
     assert ok["exceptions"] == [] and ok["resultTable"]["rows"] == [[1]]
     ok2 = engine.query_broker_response("SELECT 2 AS two")
     assert ok2["exceptions"] == [] and ok2["resultTable"]["rows"] == [[2]]
+
+
+def test_enable_null_handling_option_over_broker(spark, tmp_path):
+    """enableNullHandling=false through the wire **[P1.2]** — both the SET
+    prefix and the queryOptions body field serve the sentinel view of a
+    null-native engine table."""
+    import json as _json
+
+    from real_time_analytics_with_apache_pinot_on_aws_spark.streaming.ingest import (
+        RawRecordSource,
+    )
+
+    src_dir = tmp_path / "stream_in"
+    src_dir.mkdir()
+    with open(src_dir / "a.json", "w") as fh:
+        fh.write(_json.dumps({"userID": "u1", "region": "eu", "slot": 4,
+                              "creationTimestamp": "2024-06-01 10:00:00"}) + "\n")
+        fh.write(_json.dumps({"userID": "u2",
+                              "creationTimestamp": "2024-06-01 10:01:00"}) + "\n")
+    schema = {
+        "schemaName": "nh_broker",
+        "dimensionFieldSpecs": [
+            {"name": "userID", "dataType": "STRING"},
+            {"name": "region", "dataType": "STRING"},
+            {"name": "slot", "dataType": "INT"},
+        ],
+        "dateTimeFieldSpecs": [
+            {"name": "creationTimestamp", "dataType": "STRING",
+             "format": "SIMPLE_DATE_FORMAT|yyyy-MM-dd HH:mm:ss",
+             "granularity": "1:DAYS"}
+        ],
+    }
+    cfg = {
+        "tableName": "nh_broker",
+        "tableType": "REALTIME",
+        "segmentsConfig": {"timeColumnName": "creationTimestamp"},
+        "tableIndexConfig": {
+            "streamConfigs": {"realtime.segment.flush.threshold.time": "2m"}
+        },
+    }
+    engine = Engine(spark, str(tmp_path / "wh"))
+    pipe = engine.add_table(
+        schema, cfg, RawRecordSource(kind="files", path=str(src_dir)),
+        available_now=True,
+    )
+    srv = broker_http.start_broker(engine, port=0)
+    try:
+        pipe.process_available()
+        engine.register_view("nh_broker")
+        q = ("SELECT region, slot FROM nh_broker WHERE userID = 'u2'")
+        resp = _post(srv.url(), {"sql": f"SET enableNullHandling=false; {q}"})
+        assert resp["resultTable"]["rows"] == [["null", -(2**31)]]
+        resp = _post(srv.url(), {"sql": q, "queryOptions": "enableNullHandling=false"})
+        assert resp["resultTable"]["rows"] == [["null", -(2**31)]]
+        resp = _post(srv.url(), {"sql": q})       # default: real nulls
+        assert resp["resultTable"]["rows"] == [[None, None]]
+    finally:
+        srv.stop()
+        pipe.stop()

@@ -420,3 +420,50 @@ def test_table_schema_read_path(spark, tmp_path):
     finally:
         ctl.stop()
         pipe.stop()
+
+
+def test_pause_resume_consumption_over_http(spark, tmp_path):
+    """POST /tables/{t}/pauseConsumption + resumeConsumption and GET
+    /tables/{t}/pauseStatus **[P1.2]**: the PauseStatus envelope tracks the
+    stream across the cycle; the table stays queryable while paused, and
+    resume drains from the checkpointed offset (exactly-once)."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.streaming.ingest import RawRecordSource
+
+    src_dir = tmp_path / "stream_in"
+    _write_events(src_dir / "a.json", 5, "2024-06-01")
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    pipe = engine.add_table(
+        CLICKSTREAM_SCHEMA, TABLE_CONFIG,
+        RawRecordSource(kind="files", path=str(src_dir)), available_now=True,
+    )
+    ctl = start_controller(engine, port=0)
+    try:
+        pipe.process_available()
+        engine.register_view("kinesisTable")
+        base = ctl.url()
+        code, st = _req(f"{base}/tables/kinesisTable/pauseStatus")
+        assert code == 200 and st["pauseFlag"] in (True, False)
+        code, st = _req(f"{base}/tables/kinesisTable/pauseConsumption", method="POST")
+        assert code == 200 and st["pauseFlag"] is True
+        assert st["consumingSegments"] == []
+        # paused table still answers
+        n0 = engine.query("SELECT count(*) AS n FROM kinesisTable").collect()[0]["n"]
+        assert n0 == 5
+        # new data while paused is NOT consumed
+        _write_events(src_dir / "b.json", 4, "2024-06-01", start=100)
+        code, st = _req(f"{base}/tables/kinesisTable/pauseStatus")
+        assert code == 200 and st["pauseFlag"] is True
+        code, st = _req(f"{base}/tables/kinesisTable/resumeConsumption", method="POST")
+        assert code == 200 and st["pauseFlag"] is False
+        assert st["consumingSegments"]
+        pipe.process_available()
+        engine.register_view("kinesisTable")
+        n1 = engine.query("SELECT count(*) AS n FROM kinesisTable").collect()[0]["n"]
+        assert n1 == 9                     # resumed exactly-once from the offset
+        code, _ = _req(f"{base}/tables/ghost/pauseStatus")
+        assert code == 404
+        code, _ = _req(f"{base}/tables/ghost/pauseConsumption", method="POST")
+        assert code == 404
+    finally:
+        ctl.stop()
+        pipe.stop()
