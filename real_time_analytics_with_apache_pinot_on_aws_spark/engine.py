@@ -376,6 +376,10 @@ class Engine:
         # exactly the two-step pinot-admin.sh AddTable flow the reference
         # runs (bastionUserData.sh:36: -schemaFile + -tableConfigFile)
         self.schemas: dict[str, dict] = {}
+        # tables explicitly paused via pause_consumption — pauseStatus
+        # reports THIS flag, not momentary StreamingQuery liveness (an
+        # availableNow query between drains is idle, not paused)
+        self._paused: set[str] = set()
         # parsed TableSchema per engine table (REALTIME and OFFLINE sides
         # share one) — the null-semantics query rewrite reads field specs
         # (type/class/defaultNullValue) from here
@@ -541,6 +545,21 @@ class Engine:
                     )
                 )
         self.table_schemas[config.name] = schema
+        # hybrid CLP coherence (round-6 review, symmetric with
+        # add_offline_table): the stream encodes the UNION of both sides'
+        # CLP declarations, and an already-registered OFFLINE side's struct
+        # is refreshed to the same union so hybrid reads serve one shape
+        off_cfg = self.offline_configs.get(config.name)
+        clp_merged = tuple(
+            dict.fromkeys(
+                config.clp_columns
+                + (off_cfg.clp_columns if off_cfg is not None else ())
+            )
+        )
+        if off_cfg is not None and config.clp_columns:
+            self.offline_structs[config.name] = self._build_offline_struct(
+                schema, off_cfg, clp_merged
+            )
         pipeline = IngestPipeline(
             self.spark,
             schema,
@@ -557,7 +576,7 @@ class Engine:
             sorted_column=config.sorted_column,
             bloom_filter_columns=config.bloom_filter_columns,
             timestamp_index=config.timestamp_index_columns,
-            clp_columns=config.clp_columns,
+            clp_columns=clp_merged,
             null_handling_enabled=config.null_handling_enabled,
         )
         self.pipelines[config.name] = pipeline
@@ -682,13 +701,39 @@ class Engine:
                 "may share one, forming a hybrid table)"
             )
         self.table_schemas[config.name] = schema
+        # hybrid CLP coherence (round-6 review): upload_segment encodes the
+        # UNION of both sides' declared CLP columns, so the offline struct
+        # must reflect the same union or the empty-offline schema flips
+        # after the first upload (Pinot's fieldsForClpEncoding is ingest-
+        # side config — declaring it realtime-only is the normal spelling)
+        rt_cfg = self.configs.get(config.name)
+        clp_all = tuple(
+            dict.fromkeys(
+                config.clp_columns
+                + (rt_cfg.clp_columns if rt_cfg is not None else ())
+            )
+        )
+        self.offline_structs[config.name] = self._build_offline_struct(
+            schema, config, clp_all
+        )
+        self.offline_configs[config.name] = config
+        # create the segments root so a just-added table is immediately
+        # readable (as empty) — Pinot's AddTable behavior
+        Path(self._offline_path(config.name)).mkdir(parents=True, exist_ok=True)
+        return {"table": config.name, "type": "OFFLINE", "path": self._offline_path(config.name)}
+
+    @staticmethod
+    def _build_offline_struct(schema: TableSchema, config: "TableConfig",
+                              clp_columns: tuple) -> "T.StructType":
+        """The physical schema of an OFFLINE side: declared fields minus
+        CLP logical columns, plus the derived ``__ts``/``ingest_date``/
+        timestamp-index columns and the CLP physical triples (appended at
+        the end, mirroring upload_segment's encode projection — the
+        logical column itself never reaches storage)."""
         from pyspark.sql import types as T
 
-        # CLP columns are stored as their three physical columns (appended
-        # at the end, mirroring upload_segment's encode projection) — the
-        # logical column itself never reaches storage.
         struct = T.StructType(
-            [f for f in schema.struct.fields if f.name not in config.clp_columns]
+            [f for f in schema.struct.fields if f.name not in clp_columns]
         )
         tc_ts = f"{config.time_column}__ts"
         if tc_ts not in struct.fieldNames():
@@ -697,7 +742,7 @@ class Engine:
         for col, grans in config.timestamp_index_columns:
             for gran in grans:
                 struct = struct.add(_ts_index_column(col, gran), T.TimestampType())
-        for col in config.clp_columns:
+        for col in clp_columns:
             if col in schema.struct.fieldNames():
                 lt, dv, ev = _clp_column_names(col)
                 struct = (
@@ -705,12 +750,7 @@ class Engine:
                     .add(dv, T.ArrayType(T.StringType()))
                     .add(ev, T.ArrayType(T.LongType()))
                 )
-        self.offline_structs[config.name] = struct
-        self.offline_configs[config.name] = config
-        # create the segments root so a just-added table is immediately
-        # readable (as empty) — Pinot's AddTable behavior
-        Path(self._offline_path(config.name)).mkdir(parents=True, exist_ok=True)
-        return {"table": config.name, "type": "OFFLINE", "path": self._offline_path(config.name)}
+        return struct
 
     def realtime_to_offline(self, name: str, cutoff_day=None) -> dict:
         """Pinot ``RealtimeToOfflineSegmentsTask`` analog **[P1.2]**: move
@@ -1316,6 +1356,7 @@ class Engine:
                 raise KeyError(name)
             if t in (None, "REALTIME") and name in self.pipelines:
                 pipe = self.pipelines.pop(name)
+                self._paused.discard(name)
                 pipe.stop()
                 self.configs.pop(name, None)
                 for sub in ("data", "_checkpoint"):
@@ -2483,7 +2524,10 @@ class Engine:
         return self.spark.sql(self._apply_ts_index_rewrite(sql))
 
     _CLPDECODE_SUGAR_RE = re.compile(
-        r"\bCLPDECODE\s*\(\s*([A-Za-z_]\w*)\s*\)", re.IGNORECASE
+        r"\bCLPDECODE\s*\(\s*"
+        r"(?P<q>(?:[A-Za-z_]\w*\.)?)"   # optional table/alias qualifier
+        r"(?P<c>[A-Za-z_]\w*)\s*\)",
+        re.IGNORECASE,
     )
 
     def _expand_clpdecode_sugar(self, sql: str) -> str:
@@ -2507,10 +2551,11 @@ class Engine:
         def repl(m: "re.Match") -> str:
             if any(s <= m.start() < e for s, e in spans):
                 return m.group(0)
-            col = declared.get(m.group(1).lower())
+            col = declared.get(m.group("c").lower())
             if col is None:
                 return m.group(0)
-            lt, dv, ev = _clp_column_names(col)
+            q = m.group("q")  # "alias." qualifier carries onto all three
+            lt, dv, ev = (f"{q}{c}" for c in _clp_column_names(col))
             return f"CLPDECODE({lt}, {dv}, {ev})"
 
         return self._CLPDECODE_SUGAR_RE.sub(repl, sql)
@@ -2535,14 +2580,50 @@ class Engine:
             and n not in self.offline_configs
             and n in self.pipelines
         }
+        return self._rewrite_table_refs(sql, targets)
+
+    # keywords that can follow a FROM/JOIN table reference and must never be
+    # mistaken for its alias by the table-ref rewrite
+    _NON_ALIAS_KEYWORDS = frozenset(
+        """where group order limit having union except intersect minus
+        join left right full inner outer cross natural semi anti lateral
+        on using window qualify offset tablesample pivot unpivot distribute
+        sort cluster values select from and or not when then else end
+        set""".split()
+    )
+
+    _TABLE_REF_RE = re.compile(
+        r"\b(FROM|JOIN)(\s+)(?P<t>\w+)"
+        r"(?P<alias>\s+(?:AS\s+)?(?P<aname>[A-Za-z_]\w*))?",
+        re.IGNORECASE,
+    )
+
+    def _rewrite_table_refs(self, sql: str, targets: dict) -> str:
+        """Shared guarded FROM/JOIN table-reference rewriter (round-6
+        review: this logic existed as near-copies in the skipUpsert and
+        null-semantics rewrites, and the copies had already drifted).
+
+        ``targets`` maps lower-cased table names to either a replacement
+        NAME (plain string) or a callable ``alias -> sql_fragment`` for
+        replacements that must carry the alias themselves (inline
+        subselects).  Contract, identical for every user: gated to
+        SELECT/WITH statements; a command keyword anywhere outside a
+        literal aborts (a WITH-prefixed INSERT must never ride through the
+        analysis probe); references inside string literals never rewrite;
+        a user alias after the table name is preserved (``FROM t x`` — the
+        alias regex refuses clause keywords so ``FROM t WHERE`` cannot
+        misparse); and the rewritten statement must ANALYZE cleanly or the
+        original stands.
+        """
         if not targets:
             return sql
         if not re.match(r"\s*(SELECT|WITH)\b", sql, re.IGNORECASE):
             return sql
+        low = sql.lower()
+        targets = {k: v for k, v in targets.items() if k in low}
+        if not targets:
+            return sql
         spans = self._literal_spans(sql)
-        # a WITH-prefixed COMMAND (CTE + INSERT/CREATE/...) would pass the
-        # prefix gate and the probe would EXECUTE it (same guard as the
-        # TIMESTAMP index rewrite)
         for m in re.finditer(
             r"\b(INSERT|CREATE|REPLACE|DELETE|UPDATE|MERGE|DROP|ALTER)\b",
             sql,
@@ -2554,14 +2635,27 @@ class Engine:
         def repl(m: re.Match) -> str:
             if any(s <= m.start() < e for s, e in spans):
                 return m.group(0)
-            raw = targets.get(m.group("t").lower())
-            if raw is None:
+            sub = targets.get(m.group("t").lower())
+            if sub is None:
                 return m.group(0)
-            return f"{m.group(1)}{m.group(2)}{raw}"
+            aname = m.group("aname")
+            if aname is not None and aname.lower() in self._NON_ALIAS_KEYWORDS:
+                aname = None
+            # text after the table token that was NOT a real alias (e.g.
+            # " WHERE") must be preserved verbatim; a real alias is
+            # re-emitted in normalized "AS name" form
+            trailer = "" if aname is not None else (m.group("alias") or "")
+            head = f"{m.group(1)}{m.group(2)}"
+            if callable(sub):
+                # inline subselect: always aliased — to the user's alias if
+                # one exists, else to the table's own name so qualified
+                # column references keep resolving
+                return f"{head}{sub()} AS {aname or m.group('t')}{trailer}"
+            if aname is not None:
+                return f"{head}{sub} AS {aname}"
+            return f"{head}{sub}{trailer}"
 
-        rewritten = re.sub(
-            r"\b(FROM|JOIN)(\s+)(?P<t>\w+)", repl, sql, flags=re.IGNORECASE
-        )
+        rewritten = self._TABLE_REF_RE.sub(repl, sql)
         if rewritten == sql:
             return sql
         try:
@@ -2605,15 +2699,20 @@ class Engine:
         type-default sentinel (schema.pinot_type_default), so ``IS NULL``
         matches nothing and aggregates see the sentinels, exactly what a
         Pinot segment without null bitmaps serves.  FROM/JOIN-position
-        table references rewrite to an inline subselect that keeps the
-        table name as its alias (no temp views — nothing leaks and
-        concurrent broker threads never race a view name); same
-        literal-span, command-guard, and analyze-or-fall-back contract as
-        :meth:`_apply_skip_upsert_rewrite`.  Engine default is null-native
+        references — to the table OR its ``_realtime/_offline/_raw`` suffix
+        views, which serve the same storage — rewrite to an inline
+        subselect aliased to the reference (user aliases preserved); no
+        temp views, so nothing leaks and concurrent broker threads never
+        race a view name.  Guards (literal spans, command keywords,
+        analyze-or-fall-back) live in :meth:`_rewrite_table_refs`, shared
+        with the skipUpsert rewrite.  Engine default is null-native
         (inverse of Pinot's option default, documented in the config
         field) — the option is the path BACK to Pinot's sentinel view.
+        Subselect construction is LAZY (a callable per view name): the
+        per-table catalog lookup only runs for names the statement
+        actually references.
         """
-        targets: dict[str, str] = {}
+        targets: dict = {}
         for name in set(self.configs) | set(self.offline_configs):
             cfg = self.configs.get(name) or self.offline_configs.get(name)
             schema = self.table_schemas.get(name)
@@ -2628,46 +2727,34 @@ class Engine:
             }
             if not subst:
                 continue
+            for view in (name, f"{name}_realtime", f"{name}_offline",
+                         f"{name}_raw"):
+                targets[view.lower()] = self._null_subselect_factory(
+                    view, subst
+                )
+        return self._rewrite_table_refs(sql, targets)
+
+    def _null_subselect_factory(self, view: str, subst: dict):
+        """A lazy builder for the default-substituted inline subselect over
+        ``view`` — invoked by :meth:`_rewrite_table_refs` only when the
+        statement references the name."""
+
+        def build() -> str:
             try:
-                cols = self.spark.table(name).columns
+                cols = self.spark.table(view).columns
             except Exception:
-                continue
+                # view not registered: leave the reference unchanged (the
+                # original statement would fail on it identically)
+                return view
             items = ", ".join(
-                f"coalesce(`{c}`, {subst[c]}) AS `{c}`" if c in subst else f"`{c}`"
+                f"coalesce(`{c}`, {subst[c]}) AS `{c}`"
+                if c in subst
+                else f"`{c}`"
                 for c in cols
             )
-            targets[name.lower()] = f"(SELECT {items} FROM {name}) AS {name}"
-        if not targets:
-            return sql
-        if not re.match(r"\s*(SELECT|WITH)\b", sql, re.IGNORECASE):
-            return sql
-        spans = self._literal_spans(sql)
-        for m in re.finditer(
-            r"\b(INSERT|CREATE|REPLACE|DELETE|UPDATE|MERGE|DROP|ALTER)\b",
-            sql,
-            re.IGNORECASE,
-        ):
-            if not any(s <= m.start() < e for s, e in spans):
-                return sql
+            return f"(SELECT {items} FROM {view})"
 
-        def repl(m: re.Match) -> str:
-            if any(s <= m.start() < e for s, e in spans):
-                return m.group(0)
-            sub = targets.get(m.group("t").lower())
-            if sub is None:
-                return m.group(0)
-            return f"{m.group(1)}{m.group(2)}{sub}"
-
-        rewritten = re.sub(
-            r"\b(FROM|JOIN)(\s+)(?P<t>\w+)\b(?!\s*\()", repl, sql, flags=re.IGNORECASE
-        )
-        if rewritten == sql:
-            return sql
-        try:
-            self.spark.sql(rewritten)  # SELECT/WITH only: analysis, no exec
-            return rewritten
-        except Exception:
-            return sql
+        return build
 
     # -- TIMESTAMP index (fieldConfigList timestampConfig) ---------------
 
@@ -2990,6 +3077,7 @@ class Engine:
         queryable.  The checkpoint pins the source offset, so nothing is
         lost or re-ingested across the pause."""
         self._pipeline(name).stop()
+        self._paused.add(name)
         return {"table": name, "consumption": "PAUSED"}
 
     def resume_consumption(self, name: str, available_now: bool = False) -> dict:
@@ -2999,6 +3087,7 @@ class Engine:
         config = self.configs[name]
         trigger = f"{config.flush_threshold_seconds} seconds"
         pipeline.start(trigger=trigger, available_now=available_now)
+        self._paused.discard(name)
         return {"table": name, "consumption": "CONSUMING"}
 
     def pause_status(self, name: str) -> dict:
@@ -3010,14 +3099,19 @@ class Engine:
         pipeline = self._pipeline(name)
         q = pipeline._query
         active = bool(q is not None and q.isActive)
+        # the FLAG is the explicit pause state (round-6 review: an
+        # availableNow query that drained and terminated is idle, not
+        # paused — Pinot's flag tracks the operator intent, liveness only
+        # feeds the consuming-segment list)
+        paused = name in self._paused
         return {
-            "pauseFlag": not active,
+            "pauseFlag": paused,
             "consumingSegments": [f"{name}__stream__0"] if active else [],
             "description": (
-                "Table is consuming from the checkpointed offset"
-                if active
-                else "Consumption paused; table remains queryable and the "
+                "Consumption paused; table remains queryable and the "
                 "checkpoint pins the resume offset"
+                if paused
+                else "Table is consuming from the checkpointed offset"
             ),
         }
 

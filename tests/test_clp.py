@@ -259,3 +259,75 @@ def test_clpdecode_sugar_guards(spark, tmp_path, stmt):
     assert engine._expand_clpdecode_sugar(stmt) == stmt
     expanded = engine._expand_clpdecode_sugar("SELECT CLPDECODE(message) FROM x")
     assert "message_logtype" in expanded and "message_encodedVars" in expanded
+
+
+def test_clp_hybrid_one_sided_declaration_serves_one_shape(spark, tmp_path):
+    """Hybrid CLP coherence (round-6 review): declaring compressionCodec
+    CLP only on the REALTIME side (the natural spelling — Pinot's
+    fieldsForClpEncoding is ingest-side config) still yields ONE physical
+    schema: the offline struct carries the physical triple from
+    registration (before any upload), and uploads encode identically."""
+    src = tmp_path / "in"
+    _write_logs(src / "rt.json", 3, "2024-06-02")
+    engine = Engine(spark, str(tmp_path / "wh"))
+    pipe = engine.add_table(
+        LOG_SCHEMA, LOG_TABLE_CONFIG,
+        RawRecordSource(kind="files", path=str(src)), available_now=True,
+    )
+    pipe.process_available()
+    # OFFLINE side declares NO fieldConfigList at all
+    engine.add_offline_table(
+        LOG_SCHEMA,
+        {
+            "tableName": "logsTable",
+            "tableType": "OFFLINE",
+            "segmentsConfig": {"timeColumnName": "ts"},
+        },
+    )
+    # the EMPTY offline side already exposes the encoded shape
+    empty_cols = engine.offline_structs["logsTable"].fieldNames()
+    assert "message" not in empty_cols
+    assert "message_logtype" in empty_cols
+    engine.register_view("logsTable")
+    before = set(spark.table("logsTable").columns)
+    engine.upload_segment(
+        "logsTable",
+        spark.createDataFrame(
+            [("WARN", "disk_7 at 93 percent on host_2", "2024-06-01 09:00:00")],
+            "level string, message string, ts string",
+        ),
+    )
+    engine.register_view("logsTable")
+    after = set(spark.table("logsTable").columns)
+    assert before == after          # schema did NOT flip on first upload
+    decoded = {
+        r["d"]
+        for r in engine.query(
+            "SELECT CLPDECODE(message) AS d FROM logsTable"
+        ).collect()
+    }
+    assert "disk_7 at 93 percent on host_2" in decoded and len(decoded) == 4
+    pipe.stop()
+
+
+def test_clpdecode_sugar_qualified_reference(spark, tmp_path):
+    """CLPDECODE(alias.field) **[P1.2]** — the natural spelling in a join —
+    expands with the qualifier carried onto all three physical columns
+    (round-6 review: the bare-identifier regex left it as a confusing
+    wrong-arity call)."""
+    src = tmp_path / "in"
+    _write_logs(src / "a.json", 3, "2024-06-01")
+    engine = Engine(spark, str(tmp_path / "wh"))
+    pipe = engine.add_table(
+        LOG_SCHEMA, LOG_TABLE_CONFIG,
+        RawRecordSource(kind="files", path=str(src)), available_now=True,
+    )
+    pipe.process_available()
+    engine.register_view("logsTable")
+    rows = engine.query(
+        "SELECT CLPDECODE(l.message) AS d FROM logsTable l "
+        "WHERE l.level = 'INFO' ORDER BY d"
+    ).collect()
+    assert len(rows) == 3
+    assert rows[0]["d"].startswith("task_0 finished")
+    pipe.stop()

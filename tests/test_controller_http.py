@@ -441,8 +441,11 @@ def test_pause_resume_consumption_over_http(spark, tmp_path):
         pipe.process_available()
         engine.register_view("kinesisTable")
         base = ctl.url()
+        # never paused: the flag is the explicit operator state, NOT
+        # momentary stream liveness (an availableNow query between drains
+        # is idle, not paused)
         code, st = _req(f"{base}/tables/kinesisTable/pauseStatus")
-        assert code == 200 and st["pauseFlag"] in (True, False)
+        assert code == 200 and st["pauseFlag"] is False
         code, st = _req(f"{base}/tables/kinesisTable/pauseConsumption", method="POST")
         assert code == 200 and st["pauseFlag"] is True
         assert st["consumingSegments"] == []

@@ -498,4 +498,12 @@ def test_url_filter_broadcasts_blocklist_and_never_shuffles_corpus(spark):
     assert "pythonudf" not in plan.lower()
     shuffled = C.url_filter(docs, bl, broadcast_blocklist=False)
     plan2 = shuffled._jdf.queryExecution().executedPlan().toString()
+    # the opt-out path hash-partitions on the NARROW domain key — the
+    # corpus-side exchange carries (id, url, host, domain, score) rows
+    # keyed by domain, never a broadcast of an unbounded blocklist
+    assert "BroadcastHashJoin" not in plan2
+    assert any(
+        "Exchange hashpartitioning" in ln and "domain" in ln
+        for ln in plan2.splitlines()
+    ), plan2
     assert shuffled.where("blocked").count() == 1

@@ -3402,5 +3402,30 @@ def test_enable_null_handling_false_query_option(spark, tmp_path):
             ).collect()[0]["n"]
             == 1
         )
+        # an ALIASED reference still rewrites (round-6 review: the inline
+        # subselect must carry the user's alias, not fight it)
+        assert (
+            engine.query(
+                "SET enableNullHandling=false; SELECT count(*) AS n "
+                "FROM nullfillTable t WHERE t.region IS NULL"
+            ).collect()[0]["n"]
+            == 0
+        )
+        assert (
+            engine.query(
+                "SET enableNullHandling=false; SELECT count(*) AS n "
+                "FROM nullfillTable AS x WHERE x.slot = -2147483648"
+            ).collect()[0]["n"]
+            == 1
+        )
+        # the engine's own table-type suffix views serve the same storage
+        # and must honor the option too (round-6 review)
+        assert (
+            engine.query(
+                "SET enableNullHandling=false; SELECT count(*) AS n "
+                "FROM nullfillTable_REALTIME WHERE region IS NULL"
+            ).collect()[0]["n"]
+            == 0
+        )
     finally:
         pipe.stop()
