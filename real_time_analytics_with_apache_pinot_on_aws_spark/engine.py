@@ -3050,6 +3050,19 @@ class Engine:
             "numRowsResultSet": len(rows),
             "timeUsedMs": ms,
             "exceptions": [],
+            # Pinot broker metadata fields clients parse **[P1.2]** — only
+            # the ones this engine can report HONESTLY: one logical server
+            # (the Spark cluster is one query surface), group-bys are never
+            # trimmed (no numGroupsLimit), results are never partial (a
+            # failure raises into the exceptions envelope instead).  Scan
+            # counters (numDocsScanned etc.) are deliberately OMITTED
+            # rather than fabricated — Pinot derives them from segment
+            # metadata this engine does not keep per query.
+            "requestId": _uuid.uuid4().hex[:16],
+            "numServersQueried": 1,
+            "numServersResponded": 1,
+            "numGroupsLimitReached": False,
+            "partialResult": False,
         }
 
     @staticmethod

@@ -48,6 +48,12 @@ def test_query_sql_roundtrip(broker):
     assert resp["numRowsResultSet"] == 3
     assert sum(r[1] for r in resp["resultTable"]["rows"]) == 100
     assert resp["exceptions"] == []
+    # broker metadata clients parse: present and honest
+    assert len(resp["requestId"]) == 16
+    assert resp["numServersQueried"] == resp["numServersResponded"] == 1
+    assert resp["numGroupsLimitReached"] is False
+    assert resp["partialResult"] is False
+    assert "numDocsScanned" not in resp    # never fabricated
 
 
 def test_bad_sql_returns_structured_exception(broker):
