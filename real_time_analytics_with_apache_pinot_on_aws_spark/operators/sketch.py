@@ -168,3 +168,118 @@ def kmv_intersect_estimate(a: Column | str, b: Column | str, k: int = 256) -> Co
     in_both = F.size(F.array_intersect(F.array_intersect(u, ca), cb)).cast("double")
     jaccard = in_both / F.size(u).cast("double")
     return jaccard * kmv_estimate(u, k)
+
+
+# ---------------------------------------------------------------------------
+# Tuple sketch — the Integer-Sum Tuple sketch analog **[P1.2]**
+# (DISTINCTCOUNTTUPLESKETCH / SUMVALUESINTEGERSUMTUPLESKETCH /
+# AVGVALUEINTEGERSUMTUPLESKETCH, Pinot 1.2's org.apache.datasketches Tuple
+# family): a KMV-style bounded sketch that retains, for each of the k
+# smallest distinct key hashes, an aggregated VALUE (the per-key sum).
+# Beyond distinct counting it answers "what is the total/average of X over
+# the DISTINCT keys" from the same bounded state: the retained entries are
+# a uniform sample of the key space, so sum(values)/theta estimates the
+# all-keys sum (theta = sampled hash fraction).
+# ---------------------------------------------------------------------------
+
+
+def tuple_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group Tuple sketch: sorted array of structs
+    ``(h: key hash, v: per-key summed value)`` for the k smallest distinct
+    key hashes.
+
+    Scale-safe build (same posture as :func:`kmv_sketch`): one per-(group,
+    key-hash) partial-merged aggregate computes the EXACT per-key sums,
+    a per-group window rank keeps k rows before anything collects, and the
+    final collect materializes at most k structs per group — O(k) memory
+    per group at any cardinality.
+    """
+    from pyspark.sql import Window
+
+    h = F.xxhash64(F.col(key_col))
+    per_key = (
+        df.groupBy(*group_cols, h.alias("_h"))
+        .agg(F.sum(F.col(value_col).cast("double")).alias("_v"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    return (
+        per_key.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        # struct arrays sort by their first field — the hash — so the
+        # retained entries stay in KMV order
+        .agg(F.array_sort(F.collect_list(F.struct("_h", "_v"))).alias("tuples"))
+    )
+
+
+def _tuple_theta(tuples: Column, k: int) -> Column:
+    """Sampled fraction of the hash space: 1 when the sketch is exact
+    (fewer than k retained keys), else frac(kth smallest hash)."""
+    exact = F.size(tuples) < k
+    kth = _frac(F.element_at(tuples, k).getField("_h"))
+    return F.when(exact, F.lit(1.0)).otherwise(kth)
+
+
+def tuple_distinct_estimate(tuples: Column | str, k: int = 256) -> Column:
+    """Distinct-key estimate — identical math to :func:`kmv_estimate`
+    (DISTINCTCOUNTTUPLESKETCH)."""
+    arr = F.col(tuples) if isinstance(tuples, str) else tuples
+    return kmv_estimate(F.transform(arr, lambda x: x.getField("_h")), k)
+
+
+def tuple_sum_estimate(tuples: Column | str, k: int = 256) -> Column:
+    """SUMVALUESINTEGERSUMTUPLESKETCH analog: the retained entries are a
+    uniform hash-space sample of the distinct keys, so the all-keys sum is
+    sum(retained values) / theta; exact below k."""
+    arr = F.col(tuples) if isinstance(tuples, str) else tuples
+    s = F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc + x.getField("_v")
+    )
+    return s / _tuple_theta(arr, k)
+
+
+def tuple_avg_estimate(tuples: Column | str, k: int = 256) -> Column:
+    """AVGVALUEINTEGERSUMTUPLESKETCH analog: mean per-key value over the
+    retained sample (theta cancels between the sum and count estimates —
+    the ratio estimator the DataSketches Tuple family uses)."""
+    arr = F.col(tuples) if isinstance(tuples, str) else tuples
+    s = F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x.getField("_v"))
+    return s / F.size(arr).cast("double")
+
+
+def tuple_union(a: Column | str, b: Column | str, k: int = 256) -> Column:
+    """Union of two Tuple sketches: duplicate key hashes MERGE BY SUMMING
+    their values (the Integer-Sum Tuple union rule), then the k smallest
+    survive.  Pure codegen: sort the concatenation by hash, fold adjacent
+    equal-hash entries together, slice k."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    merged = F.array_sort(F.concat(ca, cb))
+    empty = F.array().cast("array<struct<_h:bigint,_v:double>>")
+    folded = F.aggregate(
+        merged,
+        empty,
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1).getField("_h") == x.getField("_h")),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        x.getField("_h").alias("_h"),
+                        (
+                            F.element_at(acc, -1).getField("_v")
+                            + x.getField("_v")
+                        ).alias("_v"),
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return F.slice(folded, 1, k)

@@ -5948,6 +5948,126 @@ def c32_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "b70_tuple_sketch",
+    r"""
+    WITH cp AS (
+      SELECT user_id,
+             max(event_type = 'click') AS c,
+             max(event_type = 'purchase') AS p,
+             CAST(sum(CASE WHEN event_type = 'click'
+                           THEN CAST(value AS DECIMAL(38, 10)) END)
+                  AS DOUBLE) AS click_sum
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY user_id
+    )
+    SELECT CAST(count_if(c) AS BIGINT) AS click_users,
+           CAST(count(*) AS BIGINT) AS click_or_purchase_users,
+           round(CAST(sum(CAST(coalesce(click_sum, 0) AS DECIMAL(38, 10)))
+                      AS DOUBLE), 4) AS click_value_sum,
+           TRUE AS d_click_within_tol,
+           TRUE AS d_union_within_tol,
+           TRUE AS sum_click_within_tol,
+           TRUE AS avg_click_within_tol
+    FROM cp
+    """,
+    doc="B70: Integer-Sum Tuple sketch **[P1.2]** (Pinot 1.2's "
+        "DISTINCTCOUNTTUPLESKETCH / SUMVALUESINTEGERSUMTUPLESKETCH / "
+        "AVGVALUEINTEGERSUMTUPLESKETCH over the DataSketches Tuple "
+        "family): a KMV-style bounded sketch retaining (key hash -> summed "
+        "value) for the k smallest distinct key hashes, answering distinct "
+        "count AND total/average-over-distinct-keys from the same O(k) "
+        "state; union merges duplicate keys by SUMMING values.  "
+        "Self-validating oracle (b20 convention): the query builds k=64 "
+        "sketches per event_type (sf0.01 has 150 users per type — genuine "
+        "ESTIMATE regime), computes exact sides from one user-keyed "
+        "aggregate, and emits within-tolerance booleans the oracle "
+        "recomputes as TRUE (deterministic: xxhash64 is fixed; measured "
+        "errors <= 13% at sf0.001/0.01/0.1, tolerances 2-3x that).  Spark "
+        "shape (operators/sketch.py tuple_sketch): one partial-merged "
+        "per-(type, key-hash) aggregate computes EXACT per-key sums, a "
+        "window rank bounds every group at k rows BEFORE any collect_list, "
+        "estimates and the duplicate-summing union are pure higher-order "
+        "codegen (no UDF, pinned); at 100 TB the state is O(k) per group "
+        "at any key cardinality — the same reason Pinot ships the sketch.",
+)
+def b70_tuple_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .operators import sketch as _sk
+
+    K = 64
+    ev = spark.table("events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    sk = _sk.tuple_sketch(ev, ["event_type"], "user_id", "value", k=K)
+    a = sk.filter(F.col("event_type") == "click").select(
+        F.col("tuples").alias("ta")
+    )
+    b = sk.filter(F.col("event_type") == "purchase").select(
+        F.col("tuples").alias("tb")
+    )
+    est = a.crossJoin(b).select(  # 1x1 scalar join (documented pattern)
+        _sk.tuple_distinct_estimate("ta", K).alias("d_click"),
+        _sk.tuple_distinct_estimate(_sk.tuple_union("ta", "tb", K), K).alias(
+            "d_union"
+        ),
+        _sk.tuple_sum_estimate("ta", K).alias("s_click"),
+        _sk.tuple_avg_estimate("ta", K).alias("a_click"),
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.col("event_type") == "click").alias("c"),
+            F.max(F.col("event_type") == "purchase").alias("p"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "click",
+                    F.col("value").cast("decimal(38,10)"),
+                )
+            )
+            .cast("double")
+            .alias("click_sum"),
+        )
+        .agg(
+            F.count_if("c").cast("bigint").alias("click_users"),
+            F.count(F.lit(1)).cast("bigint").alias("click_or_purchase_users"),
+            F.round(
+                F.sum(
+                    F.coalesce(F.col("click_sum"), F.lit(0.0)).cast(
+                        "decimal(38,10)"
+                    )
+                ).cast("double"),
+                4,
+            ).alias("click_value_sum"),
+        )
+    )
+    return exact.crossJoin(est).select(
+        "click_users",
+        "click_or_purchase_users",
+        "click_value_sum",
+        (
+            F.abs(F.col("d_click") - F.col("click_users"))
+            <= 0.35 * F.col("click_users")
+        ).alias("d_click_within_tol"),
+        (
+            F.abs(F.col("d_union") - F.col("click_or_purchase_users"))
+            <= 0.35 * F.col("click_or_purchase_users")
+        ).alias("d_union_within_tol"),
+        (
+            F.abs(F.col("s_click") - F.col("click_value_sum"))
+            <= 0.5 * F.abs(F.col("click_value_sum"))
+        ).alias("sum_click_within_tol"),
+        (
+            F.abs(
+                F.col("a_click")
+                - F.col("click_value_sum") / F.col("click_users")
+            )
+            <= 0.5 * F.abs(F.col("click_value_sum") / F.col("click_users"))
+        ).alias("avg_click_within_tol"),
+    )
+
+
 # ===========================================================================
 # Driver window curation: the driver's correctness gate adjudicates exactly
 # the first 50 entries of queries() in registration order (confirmed in

@@ -1551,3 +1551,81 @@ def test_bigram_lm_single_token_docs_score_empty(spark):
     )
     out = {r["doc_id"]: r for r in C.lm_nll_scores(probe, bc, uc, v).collect()}
     assert set(out) == {3}
+
+
+# -- Tuple sketch (Integer-Sum) analog (B70) ---------------------------------
+
+
+def test_tuple_sketch_exact_below_k(spark):
+    """Below k the sketch IS the exact per-key table: distinct/sum/avg all
+    exact, and per-key values are true sums across duplicate key rows."""
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "a", 5.0), (1, "b", 7.0), (1, "c", 3.0)],
+        "g int, k string, v double",
+    )
+    sk = sketch.tuple_sketch(df, ["g"], "k", "v", k=64)
+    row = sk.select(
+        sketch.tuple_distinct_estimate("tuples", 64).alias("d"),
+        sketch.tuple_sum_estimate("tuples", 64).alias("s"),
+        sketch.tuple_avg_estimate("tuples", 64).alias("a"),
+    ).collect()[0]
+    assert row["d"] == 3.0
+    assert row["s"] == 25.0            # (10+5) + 7 + 3
+    assert abs(row["a"] - 25.0 / 3) < 1e-9
+
+
+def test_tuple_sketch_estimates_at_scale(spark):
+    """Above k: distinct and sum estimates land within KMV error bounds
+    (stderr ~ 1/sqrt(k-1)); the retained state stays k entries."""
+    n = 20000
+    df = spark.range(n).select(
+        F.lit(1).alias("g"),
+        (F.col("id") * 2654435761).alias("k"),
+        F.lit(2.5).alias("v"),
+    )
+    sk = sketch.tuple_sketch(df, ["g"], "k", "v", k=256)
+    row = sk.select(
+        F.size("tuples").alias("n"),
+        sketch.tuple_distinct_estimate("tuples", 256).alias("d"),
+        sketch.tuple_sum_estimate("tuples", 256).alias("s"),
+        sketch.tuple_avg_estimate("tuples", 256).alias("a"),
+    ).collect()[0]
+    assert row["n"] == 256
+    assert abs(row["d"] - n) / n < 0.2
+    assert abs(row["s"] - n * 2.5) / (n * 2.5) < 0.2
+    assert abs(row["a"] - 2.5) < 1e-9  # ratio estimator: exact here
+
+
+def test_tuple_union_sums_duplicate_keys(spark):
+    """The Integer-Sum union rule: a key present in both sketches keeps ONE
+    entry whose value is the SUM; merge-then-estimate == sketch-of-union."""
+    a = spark.createDataFrame(
+        [(1, "x", 1.0), (1, "y", 2.0)], "g int, k string, v double"
+    )
+    b = spark.createDataFrame(
+        [(1, "y", 5.0), (1, "z", 4.0)], "g int, k string, v double"
+    )
+    ska = sketch.tuple_sketch(a, ["g"], "k", "v", k=64).withColumnRenamed("tuples", "ta")
+    skb = sketch.tuple_sketch(b, ["g"], "k", "v", k=64).withColumnRenamed("tuples", "tb")
+    j = ska.join(skb, "g")
+    merged = j.select(sketch.tuple_union("ta", "tb", 64).alias("u"))
+    row = merged.select(
+        F.size("u").alias("n"),
+        sketch.tuple_distinct_estimate("u", 64).alias("d"),
+        sketch.tuple_sum_estimate("u", 64).alias("s"),
+    ).collect()[0]
+    assert row["n"] == 3 and row["d"] == 3.0
+    assert row["s"] == 12.0            # 1 + (2+5) + 4
+    whole = sketch.tuple_sketch(
+        a.unionByName(b), ["g"], "k", "v", k=64
+    ).collect()[0]["tuples"]
+    assert sorted(merged.collect()[0]["u"]) == sorted(whole)
+
+
+def test_tuple_sketch_no_python_udf(spark):
+    df = spark.createDataFrame([(1, "a", 1.0)], "g int, k string, v double")
+    sk = sketch.tuple_sketch(df, ["g"], "k", "v", k=16)
+    plan = sk.select(
+        sketch.tuple_sum_estimate("tuples", 16).alias("s")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "pythonudf" not in plan.lower()
