@@ -214,6 +214,67 @@ def main() -> None:
     ctl = start_controller(engine, port=0)
     with urllib.request.urlopen(f"{ctl.url()}/tables", timeout=10) as r:
         print("controller /tables:", _json.loads(r.read()))
+
+    # 12. Round 6 — CLP log columns (B68): a table whose string field is
+    #     stored as logtype/dictionaryVars/encodedVars; CLPDECODE(field)
+    #     reassembles, and numeric analytics run on the encoded form
+    logs_src = work / "logs_in"
+    logs_src.mkdir()
+    with open(logs_src / "a.json", "w") as fh:
+        for i in range(6):
+            fh.write(json.dumps({
+                "message": f"task_{i % 2} finished in {15 + i} ms",
+                "creationTimestamp": f"2024-06-01 11:0{i}:00",
+            }) + "\n")
+    logpipe = engine.add_table(
+        {
+            "schemaName": "logs",
+            "dimensionFieldSpecs": [{"name": "message", "dataType": "STRING"}],
+            "dateTimeFieldSpecs": [
+                {"name": "creationTimestamp", "dataType": "STRING",
+                 "format": "SIMPLE_DATE_FORMAT|yyyy-MM-dd HH:mm:ss",
+                 "granularity": "1:DAYS"}
+            ],
+        },
+        {
+            "tableName": "logs",
+            "tableType": "REALTIME",
+            "segmentsConfig": {"timeColumnName": "creationTimestamp"},
+            "fieldConfigList": [
+                {"name": "message", "encodingType": "RAW",
+                 "compressionCodec": "CLP"}
+            ],
+            "tableIndexConfig": {
+                "streamConfigs": {"realtime.segment.flush.threshold.time": "2m"}
+            },
+        },
+        RawRecordSource(kind="files", path=str(logs_src)),
+        available_now=True,
+    )
+    logpipe.process_available()
+    engine.register_view("logs")
+    engine.query(
+        "SELECT CLPDECODE(message) AS msg, message_logtype, "
+        "message_encodedVars[0] AS ms FROM logs ORDER BY ms LIMIT 3"
+    ).show(truncate=False)
+    logpipe.stop()
+
+    # 13. Round 6 — Pinot null semantics: enableNullHandling=false serves
+    #     the sentinel view (IS NULL matches nothing) of null-native storage
+    engine.query(
+        "SET enableNullHandling=false; "
+        "SELECT count(*) AS null_campaigns FROM clickstream "
+        "WHERE campaign IS NULL"
+    ).show()
+
+    # 14. Round 6 — pause/resume consumption over the controller REST
+    #     (the table keeps answering while paused; resume is exactly-once)
+    with urllib.request.urlopen(
+        urllib.request.Request(
+            f"{ctl.url()}/tables/logs/pauseConsumption", method="POST"
+        ), timeout=10,
+    ) as r:
+        print("pauseConsumption:", _json.loads(r.read()))
     ctl.stop()
 
     spark.stop()
