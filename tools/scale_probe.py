@@ -77,6 +77,9 @@ PROBES = (
     "c31_clp_log_encoding",
     # URL filter: map-side scoring + broadcast list joins — flat-per-row
     "c32_url_filter",
+    # Tuple sketch: per-(type,hash) partial agg + k-bounded window rank —
+    # the only corpus-sized exchange is the narrow hash aggregate
+    "b70_tuple_sketch",
 )
 
 
