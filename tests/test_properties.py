@@ -574,3 +574,102 @@ def test_clp_roundtrip_any_string(spark, msgs):
         .collect()
     }
     assert got == dict(enumerate(msgs))
+
+
+# ---------------------------------------------------------------------------
+# Tuple sketch (operators/sketch.py, B70): for ANY dataset, (a) union of the
+# two halves' sketches == sketch of the whole (duplicate keys merged by
+# summing), and (b) below-k sketches answer distinct/sum EXACTLY.
+# ---------------------------------------------------------------------------
+
+tuple_rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),       # key (collides freely)
+        st.integers(min_value=-50, max_value=50),     # value
+        st.booleans(),                                # which half
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=tuple_rows_st)
+@settings(**SETTINGS)
+def test_tuple_sketch_union_equals_whole_and_exact_below_k(spark, rows):
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators import sketch as SK
+
+    K = 64  # > max distinct keys: the sketch is exact, so equality is exact
+    df = spark.createDataFrame(rows, "k long, v long, half boolean")
+    df = df.withColumn("g", F.lit(1)).withColumn("v", F.col("v").cast("double"))
+    whole = SK.tuple_sketch(df, ["g"], "k", "v", k=K).collect()[0]["tuples"]
+    a = SK.tuple_sketch(df.filter("half"), ["g"], "k", "v", k=K)
+    b = SK.tuple_sketch(df.filter("NOT half"), ["g"], "k", "v", k=K)
+    if a.count() and b.count():
+        merged = (
+            a.withColumnRenamed("tuples", "ta")
+            .join(b.withColumnRenamed("tuples", "tb"), "g")
+            .select(SK.tuple_union("ta", "tb", K).alias("u"))
+            .collect()[0]["u"]
+        )
+        assert sorted(merged) == sorted(whole)
+    got = (
+        SK.tuple_sketch(df, ["g"], "k", "v", k=K)
+        .select(
+            SK.tuple_distinct_estimate("tuples", K).alias("d"),
+            SK.tuple_sum_estimate("tuples", K).alias("s"),
+        )
+        .collect()[0]
+    )
+    keys = {k for k, _, _ in rows}
+    assert got["d"] == float(len(keys))
+    assert abs(got["s"] - sum(v for _, v, _ in rows)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# URL filter (operators/curation.py, C32): the score is EXACTLY the sum of
+# weights of banned words contained in the lower-cased URL, and keep ==
+# allowlisted OR (not blocked AND score < threshold) — replayed in Python.
+# ---------------------------------------------------------------------------
+
+url_st = st.lists(
+    st.tuples(
+        st.sampled_from(
+            ["https://www.shop.example.com/x", "https://ads.bad.net/casino",
+             "https://blog.ok.org/post?ref=gambling", "nonsense not a url",
+             "https://deep.sub.bad.net/ads/gambling/casino"]
+        ),
+        st.booleans(),  # bad.net in blocklist half the time via flag
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(rows=url_st)
+@settings(**SETTINGS)
+def test_url_filter_score_and_keep_replay(spark, rows):
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators import curation as C
+
+    words = (("casino", 1.0), ("gambling", 0.5), ("ads", 0.25))
+    docs = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(rows)], "doc_id int, url string"
+    )
+    bl = spark.createDataFrame([("bad.net",)], "domain string")
+    out = {
+        r["doc_id"]: r
+        for r in C.url_filter(docs, bl, banned_words=words).collect()
+    }
+    import re as _re
+
+    for i, (u, _) in enumerate(rows):
+        low = u.lower()
+        want_score = sum(w for word, w in words if word in low)
+        r = out[i]
+        assert abs(r["url_score"] - want_score) < 1e-9, (u, r["url_score"])
+        m = _re.match(r"^https?://([^/?#]+)", low)
+        host = m.group(1) if m else None
+        dm = _re.search(r"([^.]+\.[^.]+)$", host) if host else None
+        domain = dm.group(1) if dm else (host if host else None)
+        blocked = domain == "bad.net"
+        assert r["blocked"] == blocked, (u, r["blocked"])
+        assert r["keep"] == ((not blocked) and want_score < 1.0), u
