@@ -6195,6 +6195,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "c5_sessionization",
     "c10_decontamination",
     "c13_sequence_packing",
+    # Round-6 additions REGISTERED PAST the window — c32_url_filter (C32)
+    # and b70_tuple_sketch (B70): every slot above now maps to a UNIQUE
+    # SURVEY row (the redundant-coverage slots were traded away in rounds
+    # 5-6 for c19-c29/c31), so seating either would un-adjudicate a B-row
+    # with no overlapping in-window coverage.  Both stay oracle-backed and
+    # green at three SFs through tests/test_queries_oracle.py (the
+    # driver-faithful local gate), plan-pinned, and scale-probed (SCALE.md
+    # 32x rows: c32 1.19, b70 1.21).
 )
 
 
