@@ -430,6 +430,20 @@ class ControllerServer:
                         )
                     except ValueError as e:
                         self._send(400, {"code": 400, "error": str(e)})
+                elif len(parts) == 2 and parts[0] == "segments":
+                    # Pinot DELETE /segments/{table}[?type=] **[P1.2]**:
+                    # remove every segment, keep the table serving (empty)
+                    ttype = (parse_qs(url.query).get("type") or [None])[0]
+                    try:
+                        self._send(200, engine.delete_segments(parts[1], ttype))
+                    except KeyError:
+                        self._send(
+                            404,
+                            {"code": 404,
+                             "error": f"table {parts[1]!r} not found"},
+                        )
+                    except ValueError as e:
+                        self._send(400, {"code": 400, "error": str(e)})
                 else:
                     self._send(404, b"not found", "text/plain")
 

@@ -1331,6 +1331,60 @@ class Engine:
         dims = {n for n, c in self.configs.items() if c.is_dim_table}
         return sorted(set(self.pipelines) | dims | set(self.offline_configs))
 
+    def delete_segments(self, name: str, table_type: str | None = None) -> dict:
+        """``DELETE /segments/{table}[?type=]`` analog **[P1.2]**: remove
+        every segment of the given side(s) but KEEP the table — schema,
+        config, stream, and SQL view all stay registered and the table
+        answers (empty) immediately, which is exactly what Pinot's
+        delete-all-segments endpoint does.  Partition-dir removal through
+        the FS layer, like retention — O(partitions), no rewrite, identical
+        over ``file:`` and ``s3a://``.
+
+        Realtime: the exactly-once checkpoint is deliberately NOT touched,
+        so deleted data is never re-consumed (the stream continues from its
+        committed offset — Pinot's consumer likewise keeps consuming).
+        Star-tree cell logs and the offline upload manifest are removed
+        with their data: stale cells would resurrect deleted rows through
+        aggregate routing.  Dimension tables have no segment lifecycle
+        (use drop_table / re-upload).
+        """
+        t = (table_type or "").upper() or None
+        if t not in (None, "REALTIME", "OFFLINE"):
+            raise ValueError(f"unknown table type {t!r}")
+        self._reject_dim(name)
+        if name not in self.pipelines and name not in self.offline_configs:
+            raise KeyError(name)
+        deleted: list[str] = []
+
+        def _drop_partitions(root: str) -> None:
+            for part in _fs.glob_status(self.spark, f"{root}/ingest_date=*"):
+                if not _fs.delete(self.spark, part["path"], recursive=True):
+                    raise RuntimeError(
+                        f"delete_segments: delete of {part['path']} returned"
+                        " false — data NOT dropped"
+                    )
+
+        if t in (None, "REALTIME") and name in self.pipelines:
+            pipe = self.pipelines[name]
+            _drop_partitions(pipe.table_path)
+            for _spec, path in pipe._rollups:
+                _fs.delete(self.spark, path, recursive=True)
+            deleted.append("REALTIME")
+        if t in (None, "OFFLINE") and name in self.offline_configs:
+            _drop_partitions(self._offline_path(name))
+            _fs.delete(self.spark, self._offline_manifest_path(name), recursive=True)
+            n_trees = len(self._hybrid_rollup_specs(name))
+            for i in range(max(n_trees, 8)):
+                _fs.delete(self.spark, self._offline_rollup_path(name, i), recursive=True)
+            deleted.append("OFFLINE")
+        if not deleted:
+            raise KeyError(f"{name} has no {t} table")
+        self._rollup_complete_cache = {
+            k: v for k, v in self._rollup_complete_cache.items() if k[0] != name
+        }
+        self.register_view(name)
+        return {"table": name, "deleted": deleted}
+
     def drop_table(self, name: str, table_type: str | None = None) -> dict:
         """``DELETE /tables/{name}[?type=]`` analog **[P1.2]**: stop
         consumption, remove that type's segments (FS layer — local and

@@ -470,3 +470,41 @@ def test_pause_resume_consumption_over_http(spark, tmp_path):
     finally:
         ctl.stop()
         pipe.stop()
+
+
+def test_delete_all_segments_over_http(spark, tmp_path):
+    """DELETE /segments/{table} **[P1.2]**: every segment goes, the table
+    STAYS — schema/config/stream/view all keep serving (empty), new data
+    keeps flowing, and the exactly-once checkpoint means deleted rows are
+    never re-consumed."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.streaming.ingest import RawRecordSource
+
+    src_dir = tmp_path / "stream_in"
+    _write_events(src_dir / "a.json", 6, "2024-06-01")
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    pipe = engine.add_table(
+        CLICKSTREAM_SCHEMA, TABLE_CONFIG,
+        RawRecordSource(kind="files", path=str(src_dir)), available_now=True,
+    )
+    ctl = start_controller(engine, port=0)
+    try:
+        pipe.process_available()
+        engine.register_view("kinesisTable")
+        assert engine.query("SELECT count(*) AS n FROM kinesisTable").collect()[0]["n"] == 6
+        code, out = _req(f"{ctl.url()}/segments/kinesisTable", method="DELETE")
+        assert code == 200 and out == {"table": "kinesisTable", "deleted": ["REALTIME"]}
+        # table still registered and answering — empty
+        assert "kinesisTable" in engine.list_tables()
+        assert engine.query("SELECT count(*) AS n FROM kinesisTable").collect()[0]["n"] == 0
+        # consumption continues; deleted rows do NOT come back (checkpoint)
+        _write_events(src_dir / "b.json", 4, "2024-06-02", start=100)
+        pipe.process_available()
+        engine.register_view("kinesisTable")
+        assert engine.query("SELECT count(*) AS n FROM kinesisTable").collect()[0]["n"] == 4
+        code, _ = _req(f"{ctl.url()}/segments/ghost", method="DELETE")
+        assert code == 404
+        code, _ = _req(f"{ctl.url()}/segments/kinesisTable?type=OFFLINE", method="DELETE")
+        assert code == 404            # no OFFLINE side exists
+    finally:
+        ctl.stop()
+        pipe.stop()
