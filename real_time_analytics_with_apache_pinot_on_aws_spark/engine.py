@@ -2557,6 +2557,14 @@ class Engine:
             # sentinel view of the same storage)
             sql = self._apply_null_disabled_rewrite(sql)
         sql = self._expand_clpdecode_sugar(sql)
+        # Pinot aggregate spellings (DISTINCTCOUNTHLL, FIRSTWITHTIME,
+        # PERCENTILE(x, 90), the *MV family ...) -> Spark aggregate
+        # expressions **[P1.2]** — SQL macros cannot be aggregates, so the
+        # wire surface rewrites call sites textually (quote-aware,
+        # functions/aggsql.py)
+        from .functions.aggsql import rewrite_pinot_aggregates
+
+        sql = rewrite_pinot_aggregates(sql)
         has_lookup = False
         if self._LOOKUP_RE.search(sql):
             rewritten = self._rewrite_lookup_calls(sql)

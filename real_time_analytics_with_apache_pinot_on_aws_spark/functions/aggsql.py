@@ -1,0 +1,219 @@
+"""Pinot aggregate SQL spellings -> Spark SQL rewrite (B16-B29 wire form).
+
+Spark SQL cannot register AGGREGATE functions as SQL macros (CREATE
+FUNCTION bodies must be scalar), so the Pinot aggregation names a
+dashboard actually sends to ``POST /query/sql`` — ``DISTINCTCOUNTHLL``,
+``FIRSTWITHTIME``, ``PERCENTILE(x, 90)``, the ``*MV`` family — cannot be
+served the way the scalar surface (functions/sqlfns.py) is.  This module
+rewrites those call sites into the equivalent Spark aggregate
+EXPRESSIONS at the SQL-text level: quote-aware, balanced-paren argument
+extraction, word-boundary matched, case-insensitive, nested-subquery
+safe (arguments are rewritten recursively).  ``Engine.query`` applies it
+to every statement, so the broker accepts Pinot dashboard SQL verbatim.
+
+Every target is a built-in Spark aggregate (codegen'd, partial-merge) —
+the rewrite never introduces a UDF.  Semantics notes:
+
+- ``PERCENTILE*(col, p)`` — Pinot's ``p`` is a PERCENT in [0, 100];
+  Spark's is a fraction.  The Pinot-only names (PERCENTILEEST/TDIGEST/
+  KLL/SMARTTDIGEST) always divide by 100; bare ``PERCENTILE`` collides
+  with Spark's fractional builtin, so only a numeric literal > 1 is
+  treated as a percent there (``percentile(x, 0.5)`` stays Spark-style —
+  documented heuristic).
+- ``FIRSTWITHTIME/LASTWITHTIME(expr, ts[, 'dataType'])`` — the trailing
+  Pinot type literal is dropped (Spark's ``min_by/max_by`` are typed by
+  analysis); ties resolve by ``ts`` ordering exactly as B26 documents.
+- ``DISTINCTCOUNTHLL[MV]`` keeps its approximate nature via
+  ``approx_count_distinct`` (an optional Pinot ``log2m`` argument is
+  accepted and ignored — Spark sizes its HLL++ by relative error);
+  ``DISTINCTCOUNT/BITMAP/SMARTHLL/SEGMENTPARTITIONEDDISTINCTCOUNT`` are
+  served EXACTLY (strictly more accurate than Pinot's sketch fallbacks).
+- ``*MV`` aggregates fold the array per row with higher-order functions
+  and aggregate the folds — one pass, no explode, no extra shuffle.
+  ``DISTINCTCOUNTMV`` materializes the distinct element set per group
+  (exact distinct requires it; bounded by distinct values like any exact
+  distinct).
+
+Reference context: the reference's dashboard queries hit exactly this
+broker SQL surface (lib/apache-pinot-solution-stack.ts:725-726); the
+aggregate names are the Pinot 1.2 function library **[P1.2]**.
+"""
+
+from __future__ import annotations
+
+import re
+
+_IDENT_CALL_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+_SUM_FOLD = "aggregate({0}, cast(0.0 as double), (acc, x) -> acc + x)"
+
+# name (upper) -> callable(args: list[str]) -> replacement SQL expression.
+# Every template uses only built-in Spark aggregates / higher-order fns.
+
+
+def _percentile(fn: str, always_percent: bool = True):
+    """``always_percent``: the Pinot-only names (PERCENTILEEST/TDIGEST/...)
+    never collide with a Spark builtin, so their argument is ALWAYS a
+    percent in [0, 100].  Bare ``PERCENTILE`` is also Spark's fractional
+    builtin, so only a numeric literal > 1 is treated as a percent there
+    (a fractional Spark-style call passes through untouched — documented
+    heuristic)."""
+
+    def build(args: list[str]) -> str:
+        if len(args) != 2:
+            raise ValueError(f"{fn} takes (column, percent), got {len(args)}")
+        p = args[1].strip()
+        try:
+            val = float(p)
+            if always_percent or abs(val) > 1:
+                frac = f"{val / 100.0!r}"
+            else:
+                frac = p
+        except ValueError:
+            # non-literal percent: Pinot semantics (percent / 100)
+            frac = f"(({p}) / 100.0)" if always_percent else p
+        return f"{fn}({args[0]}, {frac})"
+
+    return build
+
+
+def _exact_distinct(args: list[str]) -> str:
+    return f"count(DISTINCT {args[0]})"
+
+
+_REWRITES: dict = {
+    "DISTINCTCOUNT": _exact_distinct,
+    "DISTINCTCOUNTBITMAP": _exact_distinct,
+    "DISTINCTCOUNTSMARTHLL": _exact_distinct,
+    "SEGMENTPARTITIONEDDISTINCTCOUNT": _exact_distinct,
+    "DISTINCTCOUNTHLL": lambda a: f"approx_count_distinct({a[0]})",
+    "DISTINCTCOUNTHLLMV": lambda a: (
+        f"size(array_distinct(flatten(collect_set({a[0]}))))"
+    ),
+    "DISTINCTCOUNTMV": lambda a: (
+        f"size(array_distinct(flatten(collect_set({a[0]}))))"
+    ),
+    "DISTINCTSUM": lambda a: f"sum(DISTINCT {a[0]})",
+    "DISTINCTAVG": lambda a: f"avg(DISTINCT {a[0]})",
+    "MINMAXRANGE": lambda a: f"(max({a[0]}) - min({a[0]}))",
+    "MINMAXRANGEMV": lambda a: (
+        f"(max(array_max({a[0]})) - min(array_min({a[0]})))"
+    ),
+    "FIRSTWITHTIME": lambda a: f"min_by({a[0]}, {a[1]})",
+    "LASTWITHTIME": lambda a: f"max_by({a[0]}, {a[1]})",
+    "SUMPRECISION": lambda a: f"sum(cast({a[0]} as decimal(38,18)))",
+    "PERCENTILE": _percentile("percentile", always_percent=False),
+    "PERCENTILEEST": _percentile("approx_percentile"),
+    "PERCENTILETDIGEST": _percentile("approx_percentile"),
+    "PERCENTILEKLL": _percentile("approx_percentile"),
+    "PERCENTILESMARTTDIGEST": _percentile("approx_percentile"),
+    "COUNTMV": lambda a: f"sum(size({a[0]}))",
+    "SUMMV": lambda a: f"sum({_SUM_FOLD.format(a[0])})",
+    "MINMV": lambda a: f"min(array_min({a[0]}))",
+    "MAXMV": lambda a: f"max(array_max({a[0]}))",
+    "AVGMV": lambda a: (
+        f"(sum({_SUM_FOLD.format(a[0])}) / sum(size({a[0]})))"
+    ),
+}
+
+
+def _skip_literal(sql: str, i: int) -> int:
+    """Index past the string literal starting at sql[i] (quote char);
+    handles doubled-quote escapes."""
+    q = sql[i]
+    j = i + 1
+    n = len(sql)
+    while j < n:
+        if sql[j] == q:
+            if j + 1 < n and sql[j + 1] == q:  # '' escape
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    return n
+
+
+def _scan_balanced(sql: str, open_idx: int) -> tuple[str, int]:
+    """From '(' at open_idx: (inner content, index past ')'). Literals
+    are opaque."""
+    depth, j, n = 0, open_idx, len(sql)
+    while j < n:
+        ch = sql[j]
+        if ch in ("'", '"'):
+            j = _skip_literal(sql, j)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return sql[open_idx + 1 : j], j + 1
+        j += 1
+    raise ValueError("unbalanced parentheses in aggregate call")
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    parts, depth, start = [], 0, 0
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in ("'", '"'):
+            i = _skip_literal(s, i)
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+        i += 1
+    parts.append(s[start:])
+    return [p for p in parts]
+
+
+def rewrite_pinot_aggregates(sql: str) -> str:
+    """Rewrite every Pinot aggregate call site in ``sql`` to its Spark
+    expression.  Identifiers inside string literals are untouched; names
+    not in the table pass through; arguments are rewritten recursively
+    (subqueries inside arguments work).  A supported name called with an
+    unsupported arity raises — silently passing it to Spark would produce
+    a confusing unresolved-function error under the ORIGINAL name."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            j = _skip_literal(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        m = _IDENT_CALL_RE.match(sql, i)
+        if m and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+            name = m.group(0)
+            build = _REWRITES.get(name.upper())
+            # require an immediately following '(' (whitespace allowed)
+            k = m.end()
+            while k < n and sql[k] in " \t\r\n":
+                k += 1
+            if build is not None and k < n and sql[k] == "(":
+                inner, end = _scan_balanced(sql, k)
+                args = [
+                    rewrite_pinot_aggregates(a).strip()
+                    for a in _split_top_level_commas(inner)
+                ]
+                try:
+                    out.append(build(args))
+                except IndexError:
+                    raise ValueError(
+                        f"{name} called with {len(args)} argument(s) — "
+                        "unsupported arity for this Pinot aggregate"
+                    ) from None
+                i = end
+                continue
+            out.append(name)
+            i = m.end()
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)

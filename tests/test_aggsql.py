@@ -1,0 +1,112 @@
+"""Pinot aggregate SQL spellings through the wire surface (functions/
+aggsql.py): the rewrite is exact text surgery (literal-safe, arity-
+checked), and every rewritten name answers through Engine.query / the
+broker with the value its Spark equivalent gives."""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
+from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+    rewrite_pinot_aggregates as R,
+)
+
+
+@pytest.mark.parametrize(
+    "src,want",
+    [
+        ("SELECT DISTINCTCOUNT(u) FROM t", "SELECT count(DISTINCT u) FROM t"),
+        ("SELECT distinctcounthll(u, 12) FROM t", "SELECT approx_count_distinct(u) FROM t"),
+        ("SELECT PERCENTILE(v, 90) FROM t", "SELECT percentile(v, 0.9) FROM t"),
+        # Spark-style fractional percentile is NOT re-scaled
+        ("SELECT percentile(v, 0.5) FROM t", "SELECT percentile(v, 0.5) FROM t"),
+        # Pinot-only percentile names ALWAYS treat the arg as a percent
+        ("SELECT PERCENTILEEST(v, 0.5) FROM t", "SELECT approx_percentile(v, 0.005) FROM t"),
+        ("SELECT FIRSTWITHTIME(v, ts, 'DOUBLE') FROM t", "SELECT min_by(v, ts) FROM t"),
+        ("SELECT MINMAXRANGE(v) FROM t GROUP BY g", "SELECT (max(v) - min(v)) FROM t GROUP BY g"),
+        # a literal is data, not a call site
+        ("SELECT 'DISTINCTCOUNT(u)' AS s FROM t", "SELECT 'DISTINCTCOUNT(u)' AS s FROM t"),
+        # word boundary: a user function sharing the suffix is untouched
+        ("SELECT MY_DISTINCTCOUNT(u) FROM t", "SELECT MY_DISTINCTCOUNT(u) FROM t"),
+        # nested subquery arguments rewrite recursively
+        (
+            "SELECT x FROM (SELECT DISTINCTCOUNT(u) AS x FROM t)",
+            "SELECT x FROM (SELECT count(DISTINCT u) AS x FROM t)",
+        ),
+    ],
+)
+def test_rewrite_text_cases(src, want):
+    assert R(src) == want
+
+
+def test_rewrite_arity_error_is_loud():
+    with pytest.raises(ValueError, match="FIRSTWITHTIME"):
+        R("SELECT FIRSTWITHTIME(v) FROM t")
+
+
+@pytest.fixture(scope="module")
+def agg_engine(spark, tmp_path_factory):
+    spark.range(100).selectExpr(
+        "id % 7 AS u",
+        "cast(id * 1.5 as double) AS v",
+        "id AS t",
+        "array(id % 3, id % 5) AS arr",
+    ).createOrReplaceTempView("aggsrc")
+    return Engine(spark, str(tmp_path_factory.mktemp("wh")))
+
+
+@pytest.mark.parametrize(
+    "pinot,spark_equiv",
+    [
+        ("DISTINCTCOUNT(u)", "count(DISTINCT u)"),
+        ("DISTINCTCOUNTBITMAP(u)", "count(DISTINCT u)"),
+        ("DISTINCTCOUNTHLL(u)", "approx_count_distinct(u)"),
+        ("DISTINCTSUM(u)", "sum(DISTINCT u)"),
+        ("DISTINCTAVG(u)", "avg(DISTINCT u)"),
+        ("MINMAXRANGE(v)", "max(v) - min(v)"),
+        ("FIRSTWITHTIME(v, t, 'DOUBLE')", "min_by(v, t)"),
+        ("LASTWITHTIME(v, t, 'DOUBLE')", "max_by(v, t)"),
+        ("PERCENTILE(v, 90)", "percentile(v, 0.9)"),
+        ("PERCENTILETDIGEST(v, 50)", "approx_percentile(v, 0.5)"),
+        ("SUMPRECISION(v)", "sum(cast(v as decimal(38,18)))"),
+        ("COUNTMV(arr)", "sum(size(arr))"),
+        ("SUMMV(arr)", "sum(aggregate(arr, cast(0.0 as double), (a, x) -> a + x))"),
+        ("MINMV(arr)", "min(array_min(arr))"),
+        ("MAXMV(arr)", "max(array_max(arr))"),
+        ("AVGMV(arr)",
+         "sum(aggregate(arr, cast(0.0 as double), (a, x) -> a + x)) / sum(size(arr))"),
+        ("DISTINCTCOUNTMV(arr)", "size(array_distinct(flatten(collect_set(arr))))"),
+        ("MINMAXRANGEMV(arr)", "max(array_max(arr)) - min(array_min(arr))"),
+    ],
+)
+def test_pinot_agg_values_match_spark_equivalents(spark, agg_engine, pinot, spark_equiv):
+    got = agg_engine.query(f"SELECT {pinot} AS x FROM aggsrc").collect()[0]["x"]
+    want = spark.sql(f"SELECT {spark_equiv} AS x FROM aggsrc").collect()[0]["x"]
+    assert got == want, (pinot, got, want)
+
+
+def test_pinot_agg_group_by_through_broker_envelope(agg_engine):
+    """The dashboard shape end-to-end: Pinot aggregate spellings inside a
+    GROUP BY through query_broker_response — the exact SQL a Pinot console
+    sends to POST /query/sql."""
+    resp = agg_engine.query_broker_response(
+        "SELECT u, DISTINCTCOUNT(t) AS d, MINMAXRANGE(v) AS r, "
+        "LASTWITHTIME(v, t, 'DOUBLE') AS last_v "
+        "FROM aggsrc GROUP BY u ORDER BY u LIMIT 3"
+    )
+    assert resp["exceptions"] == []
+    schema = resp["resultTable"]["dataSchema"]
+    assert schema["columnNames"] == ["u", "d", "r", "last_v"]
+    rows = resp["resultTable"]["rows"]
+    assert len(rows) == 3 and rows[0][0] == 0
+    assert all(r[1] >= 14 for r in rows)  # ~100/7 timestamps per group
+
+
+def test_pinot_agg_rewrite_keeps_codegen(spark, agg_engine):
+    plan = (
+        agg_engine.query("SELECT u, DISTINCTCOUNT(t) AS d FROM aggsrc GROUP BY u")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "pythonudf" not in plan.lower()
+    assert "HashAggregate" in plan
