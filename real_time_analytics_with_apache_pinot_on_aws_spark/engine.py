@@ -3035,6 +3035,27 @@ class Engine:
             timeout_ms = int(_opts["timeoutMs"]) if "timeoutMs" in _opts else None
         except (TypeError, ValueError):
             timeout_ms = None
+        # Pinot numGroupsLimit **[P1.2]**: cap the groups a group-by answer
+        # carries and FLAG the trim (numGroupsLimitReached).  The analog is
+        # strictly more accurate than Pinot's: Pinot stops TRACKING groups
+        # mid-execution (kept groups may hold wrong partial aggregates);
+        # here every returned group is exact and only the result set is
+        # truncated (arbitrary groups survive, like Pinot's).  Applied to
+        # GROUP BY statements only, same as Pinot.
+        groups_limit = None
+        try:
+            if "numGroupsLimit" in _opts:
+                gl = int(_opts["numGroupsLimit"])
+                spans = self._literal_spans(sql)
+                if gl > 0 and any(
+                    not any(a <= m.start() < b for a, b in spans)
+                    for m in re.finditer(
+                        r"\bGROUP\s+BY\b", sql, re.IGNORECASE
+                    )
+                ):
+                    groups_limit = gl
+        except (TypeError, ValueError):
+            groups_limit = None
         timed_out: list[bool] = []
         done = threading.Event()
         watchdog = None
@@ -3059,7 +3080,13 @@ class Engine:
 
                 watchdog = threading.Thread(target=_watchdog, daemon=True)
                 watchdog.start()
-            rows = df.collect()
+            if groups_limit is not None:
+                rows = df.limit(groups_limit + 1).collect()
+                groups_trimmed = len(rows) > groups_limit
+                rows = rows[:groups_limit]
+            else:
+                rows = df.collect()
+                groups_trimmed = False
         except Exception as e:
             # Pinot brokers never raise through /query/sql: failures come
             # back as a structured envelope with ``exceptions: [{errorCode,
@@ -3123,7 +3150,7 @@ class Engine:
             "requestId": _uuid.uuid4().hex[:16],
             "numServersQueried": 1,
             "numServersResponded": 1,
-            "numGroupsLimitReached": False,
+            "numGroupsLimitReached": groups_trimmed,
             "partialResult": False,
         }
 

@@ -265,3 +265,26 @@ def test_enable_null_handling_option_over_broker(spark, tmp_path):
     finally:
         srv.stop()
         pipe.stop()
+
+
+def test_num_groups_limit_option(broker):
+    """Pinot numGroupsLimit **[P1.2]**: a group-by answer is capped at N
+    groups and the envelope flags the trim; every returned group is exact
+    (strictly better than Pinot's mid-execution tracking cutoff, noted in
+    the engine docstring).  Non-group-by statements ignore the option."""
+    q = "SELECT g, count(*) AS n FROM broker_src GROUP BY g"
+    resp = _post(broker.url(), {"sql": f"SET numGroupsLimit=2; {q}"})
+    assert resp["numRowsResultSet"] == 2
+    assert resp["numGroupsLimitReached"] is True
+    # exact values for the groups that survive
+    assert all(r[1] in (33, 34) for r in resp["resultTable"]["rows"])
+    resp = _post(broker.url(), {"sql": f"SET numGroupsLimit=10; {q}"})
+    assert resp["numRowsResultSet"] == 3
+    assert resp["numGroupsLimitReached"] is False
+    # selection (no GROUP BY): option is a no-op, like Pinot
+    resp = _post(
+        broker.url(),
+        {"sql": "SET numGroupsLimit=2; SELECT id FROM broker_src LIMIT 5"},
+    )
+    assert resp["numRowsResultSet"] == 5
+    assert resp["numGroupsLimitReached"] is False
