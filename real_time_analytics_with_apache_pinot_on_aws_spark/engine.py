@@ -2083,6 +2083,184 @@ class Engine:
             return out
         return out.selectExpr(*items)
 
+    _TEXTMATCH_RE = re.compile(
+        r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<table>\w+)\s+WHERE\s+"
+        r"TEXT_MATCH\(\s*(?P<col>\w+)\s*,\s*'(?P<q>[^']*)'\s*\)"
+        r"(?:\s+AND\s+(?P<residual>.+?))?\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _query_text_match(self, m: "re.Match") -> DataFrame:
+        """The SQL form of Pinot's text predicate **[P1.2]**:
+        ``SELECT ... FROM t WHERE TEXT_MATCH(col, 'lucene query')
+        [AND <residual>]`` — resolved through :meth:`text_match` (which
+        honors the column's declared analyzer chain and serves from the
+        persisted postings index when built), then any residual conjuncts,
+        then the SELECT projection.  Same composition rule and top-level-OR
+        guard as the VECTOR_SIMILARITY SQL form: the text predicate
+        selects the candidate rows first, the residual filters them.
+        """
+        table, col = m.group("table"), m.group("col")
+        config = self.configs.get(table) or self.offline_configs.get(table)
+        if config is None or not config.primary_key_columns:
+            raise ValueError(
+                f"TEXT_MATCH on {table!r}: the table must be registered "
+                "with primaryKeyColumns (the id the postings semi-join "
+                "keys on)"
+            )
+        id_col = config.primary_key_columns[0]
+        out = self.text_match(table, col, m.group("q"), id_col)
+        residual = m.group("residual")
+        if residual:
+            if self._find_top_level_keyword(residual, "OR") != -1:
+                raise ValueError(
+                    "TEXT_MATCH with a top-level OR in the residual "
+                    "predicate is not supported: SQL precedence would let "
+                    "rows outside the text match qualify — parenthesize "
+                    "the disjunction (AND (a OR b)) or restructure the query"
+                )
+            out = out.where(F.expr(residual))
+        items = [i.strip() for i in self._split_top_level_commas(m.group("items"))]
+        if items == ["*"]:
+            return out
+        return out.selectExpr(*items)
+
+    _JSONMATCH_RE = re.compile(
+        r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<table>\w+)\s+WHERE\s+"
+        r"JSON_MATCH\(\s*(?P<col>\w+)\s*,\s*'(?P<q>(?:[^']|'')*)'\s*\)"
+        r"(?:\s+AND\s+(?P<residual>.+?))?\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    _JM_PRED_RE = re.compile(
+        r"^\s*\"(?P<path>\$[^\"]*)\"\s*"
+        r"(?P<op>IS\s+NOT\s+NULL|IS\s+NULL|IN|=|<>|!=|>=|<=|>|<)\s*"
+        r"(?P<val>.*?)\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    @staticmethod
+    def _split_top_level_and(expr: str) -> list[str]:
+        """Split a Pinot JSON_MATCH filter expression on top-level ANDs
+        (quote- and paren-aware)."""
+        parts, depth, start = [], 0, 0
+        i, n = 0, len(expr)
+        while i < n:
+            ch = expr[i]
+            if ch == "'":
+                i = Engine._skip_literal(expr, i)
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif (
+                depth == 0
+                and expr[i : i + 3].upper() == "AND"
+                and (i == 0 or not expr[i - 1].isalnum())
+                and (i + 3 >= n or not expr[i + 3].isalnum())
+            ):
+                parts.append(expr[start:i])
+                i += 3
+                start = i
+                continue
+            i += 1
+        parts.append(expr[start:])
+        return [p.strip() for p in parts if p.strip()]
+
+    @classmethod
+    def _parse_json_match_expr(cls, expr: str) -> list[tuple]:
+        """Pinot's JSON_MATCH filter string **[P1.2]** -> [(path, op,
+        value), ...]: conjunctions of ``"$.path" op value`` with op in
+        ``= <> != > >= < <= IN (...)`` and the existence forms ``IS [NOT]
+        NULL``.  String values are single-quoted ('' escapes a quote),
+        numbers are bare; OR is rejected loudly (the postings conjunction
+        form cannot express it — same contract as json_match_all)."""
+
+        def unq(v: str) -> str:
+            v = v.strip()
+            if v.startswith("'") and v.endswith("'") and len(v) >= 2:
+                return v[1:-1].replace("''", "'")
+            return v
+
+        preds: list[tuple] = []
+        for part in cls._split_top_level_and(expr):
+            if cls._find_top_level_keyword(part, "OR") != -1:
+                raise ValueError(
+                    "JSON_MATCH with OR is not supported — the postings "
+                    "evaluation is a conjunction (split the query or use "
+                    "separate JSON_MATCH calls)"
+                )
+            m = cls._JM_PRED_RE.match(part)
+            if m is None:
+                raise ValueError(
+                    f"unparseable JSON_MATCH predicate: {part!r} (expected "
+                    "'\"$.path\" op value')"
+                )
+            op = re.sub(r"\s+", " ", m.group("op").upper())
+            val = m.group("val").strip()
+            if op in ("IS NULL", "IS NOT NULL"):
+                if val:
+                    raise ValueError(
+                        f"unexpected trailing text after {op}: {val!r}"
+                    )
+                preds.append((m.group("path"), op))
+            elif op == "IN":
+                if not (val.startswith("(") and val.endswith(")")):
+                    raise ValueError(f"IN needs a parenthesized list: {val!r}")
+                items = [
+                    unq(x)
+                    for x in cls._split_top_level_commas(val[1:-1])
+                ]
+                preds.append((m.group("path"), "IN", items))
+            else:
+                if op == "!=":
+                    op = "<>"
+                if not val:
+                    raise ValueError(f"missing comparison value in {part!r}")
+                preds.append((m.group("path"), op, unq(val)))
+        return preds
+
+    def _query_json_match(self, m: "re.Match") -> DataFrame:
+        """The SQL form of Pinot's JSON index predicate **[P1.2]**:
+        ``SELECT ... FROM t WHERE JSON_MATCH(col, '"$.a"=1 AND "$.b" IS
+        NOT NULL') [AND <residual>]`` — the filter string parses into the
+        conjunction operators/jsonindex.json_match_all evaluates (one
+        postings build, id-keyed semi/anti-joins), then residual conjuncts,
+        then the projection.  Same composition and top-level-OR rules as
+        the TEXT_MATCH / VECTOR_SIMILARITY SQL forms.
+        """
+        from .operators import jsonindex as _ji
+
+        table, col = m.group("table"), m.group("col")
+        config = self.configs.get(table) or self.offline_configs.get(table)
+        if config is None or not config.primary_key_columns:
+            raise ValueError(
+                f"JSON_MATCH on {table!r}: the table must be registered "
+                "with primaryKeyColumns (the id the postings semi-join "
+                "keys on)"
+            )
+        id_col = config.primary_key_columns[0]
+        preds = self._parse_json_match_expr(
+            m.group("q").replace("''", "'")
+        )
+        out = _ji.json_match_all(
+            self._resolved_frame(table), id_col, col, preds
+        )
+        residual = m.group("residual")
+        if residual:
+            if self._find_top_level_keyword(residual, "OR") != -1:
+                raise ValueError(
+                    "JSON_MATCH with a top-level OR in the residual "
+                    "predicate is not supported — parenthesize the "
+                    "disjunction (AND (a OR b)) or restructure the query"
+                )
+            out = out.where(F.expr(residual))
+        items = [i.strip() for i in self._split_top_level_commas(m.group("items"))]
+        if items == ["*"]:
+            return out
+        return out.selectExpr(*items)
+
     # Pinot query options **[P1.2]**: clients (the JDBC driver, the query
     # console) prefix statements with `SET key=value;` — e.g. SET
     # timeoutMs=3000; SET useMultistageEngine=true.  Recognized options that
@@ -2583,6 +2761,18 @@ class Engine:
         vm = self._VECSIM_RE.match(sql)
         if vm:
             return self._query_vector_similarity(vm)
+        tm = self._TEXTMATCH_RE.match(sql)
+        if tm and (
+            tm.group("table") in self.configs
+            or tm.group("table") in self.offline_configs
+        ):
+            return self._query_text_match(tm)
+        jm = self._JSONMATCH_RE.match(sql)
+        if jm and (
+            jm.group("table") in self.configs
+            or jm.group("table") in self.offline_configs
+        ):
+            return self._query_json_match(jm)
         return self.spark.sql(self._apply_ts_index_rewrite(sql))
 
     _CLPDECODE_SUGAR_RE = re.compile(

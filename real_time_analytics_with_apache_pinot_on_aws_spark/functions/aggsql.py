@@ -1,4 +1,10 @@
-"""Pinot aggregate SQL spellings -> Spark SQL rewrite (B16-B29 wire form).
+"""Pinot SQL call-site rewrites Spark cannot macro-register.
+
+Two classes live here: AGGREGATE spellings (B16-B29 — CREATE FUNCTION
+bodies must be scalar, so DISTINCTCOUNTHLL etc. cannot be SQL macros) and
+LITERAL-TYPED scalars (DATETIMECONVERT / JSONEXTRACTSCALAR — their return
+type depends on a literal argument, so no single fixed-return macro fits;
+the rewrite parses the literal and emits a typed expression).
 
 Spark SQL cannot register AGGREGATE functions as SQL macros (CREATE
 FUNCTION bodies must be scalar), so the Pinot aggregation names a
@@ -81,7 +87,120 @@ def _exact_distinct(args: list[str]) -> str:
     return f"count(DISTINCT {args[0]})"
 
 
+_UNIT_MS = {
+    "MILLISECONDS": 1,
+    "SECONDS": 1000,
+    "MINUTES": 60_000,
+    "HOURS": 3_600_000,
+    "DAYS": 86_400_000,
+}
+
+
+def _unquote_literal(a: str, what: str) -> str:
+    a = a.strip()
+    if len(a) >= 2 and a[0] == "'" and a[-1] == "'":
+        return a[1:-1].replace("''", "'")
+    raise ValueError(
+        f"{what} must be a quoted string literal (Pinot queries always "
+        f"write it literally), got: {a!r}"
+    )
+
+
+def _dtc_fmt(fmt: str, what: str) -> tuple:
+    """Parse a Pinot datetime format 'size:UNIT:EPOCH' /
+    '1:UNIT:SIMPLE_DATE_FORMAT:pattern' -> ('EPOCH', ms_per_tick) or
+    ('SDF', pattern)."""
+    parts = fmt.split(":")
+    if len(parts) >= 3 and parts[2].upper() == "SIMPLE_DATE_FORMAT":
+        pattern = ":".join(parts[3:])
+        if not pattern:
+            raise ValueError(f"{what}: SIMPLE_DATE_FORMAT needs a pattern")
+        return ("SDF", pattern)
+    if len(parts) >= 3 and parts[2].upper() == "EPOCH":
+        unit = parts[1].upper()
+        if unit not in _UNIT_MS:
+            raise ValueError(f"{what}: unknown epoch unit {unit!r}")
+        return ("EPOCH", int(parts[0]) * _UNIT_MS[unit])
+    raise ValueError(f"{what}: unparseable Pinot datetime format {fmt!r}")
+
+
+def _datetimeconvert(args: list[str]) -> str:
+    """Pinot DATETIMECONVERT(value, inFormat, outFormat, granularity)
+    **[P1.2]** — formats are LITERALS in real queries, so they parse at
+    rewrite time and the emitted expression is plain arithmetic (EPOCH
+    forms) or to_timestamp/date_format (SIMPLE_DATE_FORMAT forms), bucketed
+    to the granularity.  The return type follows the OUT format (BIGINT for
+    EPOCH, STRING for SDF) — the reason this cannot be a fixed-type macro.
+    """
+    if len(args) != 4:
+        raise ValueError(
+            f"DATETIMECONVERT takes (value, inFormat, outFormat, "
+            f"granularity), got {len(args)}"
+        )
+    v = args[0]
+    in_kind = _dtc_fmt(
+        _unquote_literal(args[1], "DATETIMECONVERT input format"),
+        "DATETIMECONVERT input format",
+    )
+    out_kind = _dtc_fmt(
+        _unquote_literal(args[2], "DATETIMECONVERT output format"),
+        "DATETIMECONVERT output format",
+    )
+    gran = _unquote_literal(args[3], "DATETIMECONVERT granularity")
+    gp = gran.split(":")
+    if len(gp) != 2 or gp[1].upper() not in _UNIT_MS:
+        raise ValueError(f"unparseable DATETIMECONVERT granularity {gran!r}")
+    bucket_ms = int(gp[0]) * _UNIT_MS[gp[1].upper()]
+    if in_kind[0] == "EPOCH":
+        millis = f"(({v}) * {in_kind[1]})"
+    else:
+        millis = f"unix_millis(to_timestamp({v}, '{in_kind[1]}'))"
+    bucketed = (
+        f"(cast(floor({millis} / {bucket_ms}) as bigint) * {bucket_ms})"
+    )
+    if out_kind[0] == "EPOCH":
+        return f"cast(floor({bucketed} / {out_kind[1]}) as bigint)"
+    return f"date_format(timestamp_millis({bucketed}), '{out_kind[1]}')"
+
+
+_JSON_TYPES = {
+    "INT": "INT",
+    "LONG": "BIGINT",
+    "FLOAT": "FLOAT",
+    "DOUBLE": "DOUBLE",
+    "BOOLEAN": "BOOLEAN",
+    "STRING": "STRING",
+    "TIMESTAMP": "TIMESTAMP",
+}
+
+
+def _jsonextractscalar(args: list[str]) -> str:
+    """Pinot JSONEXTRACTSCALAR(json, path, resultsType[, default])
+    **[P1.2]**: the TYPE is a literal, so the rewrite emits a typed CAST
+    (the reason this cannot be one fixed-return-type macro); the 4-arg
+    form coalesces the declared default in."""
+    if len(args) not in (3, 4):
+        raise ValueError(
+            f"JSONEXTRACTSCALAR takes (json, path, type[, default]), "
+            f"got {len(args)}"
+        )
+    t = _unquote_literal(args[2], "JSONEXTRACTSCALAR type").upper()
+    # Pinot accepts array result types too; the scalar forms map to CAST
+    sql_t = _JSON_TYPES.get(t)
+    if sql_t is None:
+        raise ValueError(f"unsupported JSONEXTRACTSCALAR type {t!r}")
+    base = f"get_json_object({args[0]}, {args[1]})"
+    expr = base if sql_t == "STRING" else f"cast({base} as {sql_t})"
+    if len(args) == 4:
+        dflt = args[3]
+        d = dflt if sql_t == "STRING" else f"cast({dflt} as {sql_t})"
+        return f"coalesce({expr}, {d})"
+    return expr
+
+
 _REWRITES: dict = {
+    "DATETIMECONVERT": _datetimeconvert,
+    "JSONEXTRACTSCALAR": _jsonextractscalar,
     "DISTINCTCOUNT": _exact_distinct,
     "DISTINCTCOUNTBITMAP": _exact_distinct,
     "DISTINCTCOUNTSMARTHLL": _exact_distinct,

@@ -16,6 +16,10 @@ from pyspark.sql import SparkSession
 
 from ..operators.clp import CLPDECODE_SQL_BODY as _CLPDECODE_SQL_BODY
 
+# dotted-quad IPv4 -> bigint, as a reusable SQL fragment
+IP2LONG = ("aggregate(split({0}, '\\\\.'), cast(0 as bigint), "
+           "(a, x) -> a * 256 + cast(x as bigint))")
+
 # (name, arg signature, return type, body expression)
 _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
     # ---- date/time (B51) -------------------------------------------------
@@ -123,6 +127,84 @@ _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
         "minLon DOUBLE, minLat DOUBLE, maxLon DOUBLE, maxLat DOUBLE, lon DOUBLE, lat DOUBLE",
         "BOOLEAN",
         "lon >= minLon AND lon <= maxLon AND lat >= minLat AND lat <= maxLat",
+    ),
+    # ---- Pinot-exact ST_* spellings (B55) --------------------------------
+    # the same minimal point surface as the ST*-named macros above, under
+    # the names Pinot queries actually use: points are STRUCT<lon,lat>
+    # (Pinot serializes to BYTES — documented divergence), ST_DISTANCE
+    # takes two POINTS (Pinot geography semantics: meters on the WGS84
+    # mean sphere); polygons stay out of scope.
+    (
+        "ST_POINT",
+        "lon DOUBLE, lat DOUBLE",
+        "STRUCT<lon: DOUBLE, lat: DOUBLE>",
+        "named_struct('lon', lon, 'lat', lat)",
+    ),
+    ("ST_X", "p STRUCT<lon: DOUBLE, lat: DOUBLE>", "DOUBLE", "p.lon"),
+    ("ST_Y", "p STRUCT<lon: DOUBLE, lat: DOUBLE>", "DOUBLE", "p.lat"),
+    ("ST_ASTEXT", "p STRUCT<lon: DOUBLE, lat: DOUBLE>", "STRING",
+     "concat('POINT (', p.lon, ' ', p.lat, ')')"),
+    (
+        "ST_DISTANCE",
+        "p1 STRUCT<lon: DOUBLE, lat: DOUBLE>, p2 STRUCT<lon: DOUBLE, lat: DOUBLE>",
+        "DOUBLE",
+        "2 * 6371008.8 * asin(sqrt("
+        "pow(sin(radians(p2.lat - p1.lat) / 2), 2)"
+        " + cos(radians(p1.lat)) * cos(radians(p2.lat))"
+        " * pow(sin(radians(p2.lon - p1.lon) / 2), 2)))",
+    ),
+    (
+        "ST_GEOGFROMTEXT",
+        "s STRING",
+        "STRUCT<lon: DOUBLE, lat: DOUBLE>",
+        "named_struct("
+        "'lon', cast(regexp_extract(s, 'POINT\\\\s*\\\\(\\\\s*([-+0-9.eE]+)', 1) as double), "
+        "'lat', cast(regexp_extract(s, 'POINT\\\\s*\\\\(\\\\s*[-+0-9.eE]+\\\\s+([-+0-9.eE]+)', 1) as double))",
+    ),
+    (
+        "ST_GEOMFROMTEXT",
+        "s STRING",
+        "STRUCT<lon: DOUBLE, lat: DOUBLE>",
+        "named_struct("
+        "'lon', cast(regexp_extract(s, 'POINT\\\\s*\\\\(\\\\s*([-+0-9.eE]+)', 1) as double), "
+        "'lat', cast(regexp_extract(s, 'POINT\\\\s*\\\\(\\\\s*[-+0-9.eE]+\\\\s+([-+0-9.eE]+)', 1) as double))",
+    ),
+    # ---- time-unit conversion (B51) --------------------------------------
+    # Pinot TIMECONVERT(value, fromUnit, toUnit) **[P1.2]**: truncating
+    # integer conversion between epoch units
+    (
+        "TIMECONVERT",
+        "v BIGINT, fu STRING, tu STRING",
+        "BIGINT",
+        "cast(floor(v * "
+        "CASE upper(fu) WHEN 'MILLISECONDS' THEN 1 WHEN 'SECONDS' THEN 1000 "
+        "WHEN 'MINUTES' THEN 60000 WHEN 'HOURS' THEN 3600000 "
+        "WHEN 'DAYS' THEN 86400000 END / "
+        "CASE upper(tu) WHEN 'MILLISECONDS' THEN 1 WHEN 'SECONDS' THEN 1000 "
+        "WHEN 'MINUTES' THEN 60000 WHEN 'HOURS' THEN 3600000 "
+        "WHEN 'DAYS' THEN 86400000 END) as bigint)",
+    ),
+    # ---- JSONPATH typed extractors (B52) ----------------------------------
+    ("JSONPATHSTRING", "js STRING, p STRING", "STRING",
+     "get_json_object(js, p)"),
+    ("JSONPATHLONG", "js STRING, p STRING", "BIGINT",
+     "cast(get_json_object(js, p) as bigint)"),
+    ("JSONPATHDOUBLE", "js STRING, p STRING", "DOUBLE",
+     "cast(get_json_object(js, p) as double)"),
+    ("JSONPATHARRAY", "js STRING, p STRING", "ARRAY<STRING>",
+     "from_json(get_json_object(js, p), 'array<string>')"),
+    # ---- network (B56 kin) ------------------------------------------------
+    # Pinot isSubnetOf(cidr, address) **[P1.2]** — IPv4 only (IPv6 needs
+    # 128-bit math this macro surface does not carry; documented)
+    (
+        "ISSUBNETOF",
+        "cidr STRING, ip STRING",
+        "BOOLEAN",
+        "CASE WHEN cast(split(cidr, '/')[1] as int) = 0 THEN true "
+        "ELSE shiftright(IP2L_NET, 32 - cast(split(cidr, '/')[1] as int)) "
+        "= shiftright(IP2L_IP, 32 - cast(split(cidr, '/')[1] as int)) END"
+        .replace("IP2L_NET", IP2LONG.format("split(cidr, '/')[0]"))
+        .replace("IP2L_IP", IP2LONG.format("ip")),
     ),
     # ---- URL / misc (B56) -----------------------------------------------
     ("ENCODEURL", "s STRING", "STRING", "url_encode(s)"),

@@ -110,3 +110,64 @@ def test_pinot_agg_rewrite_keeps_codegen(spark, agg_engine):
     )
     assert "pythonudf" not in plan.lower()
     assert "HashAggregate" in plan
+
+
+# -- scalar call-site rewrites (literal-typed) --------------------------------
+
+
+@pytest.mark.parametrize(
+    "q,want",
+    [
+        # EPOCH->EPOCH with granularity bucketing: 90061000 ms = 1501.016
+        # min; 15-min buckets floor to 1500 epoch-minutes
+        ("SELECT DATETIMECONVERT(90061000, '1:MILLISECONDS:EPOCH', "
+         "'1:MINUTES:EPOCH', '15:MINUTES') AS x", 1500),
+        ("SELECT DATETIMECONVERT(90061000, '1:MILLISECONDS:EPOCH', "
+         "'1:SECONDS:EPOCH', '1:HOURS') AS x", 90000),
+        # SDF in / SDF out: return type follows the OUT format
+        ("SELECT DATETIMECONVERT('2024-06-01 10:47:00', "
+         "'1:SECONDS:SIMPLE_DATE_FORMAT:yyyy-MM-dd HH:mm:ss', "
+         "'1:DAYS:SIMPLE_DATE_FORMAT:yyyy-MM-dd', '1:DAYS') AS x",
+         "2024-06-01"),
+        ('SELECT JSONEXTRACTSCALAR(\'{"a": {"b": 7}}\', \'$.a.b\', \'INT\') AS x', 7),
+        ('SELECT JSONEXTRACTSCALAR(\'{"a": 1}\', \'$.miss\', \'LONG\', 42) AS x', 42),
+        ('SELECT JSONEXTRACTSCALAR(\'{"n": "bob"}\', \'$.n\', \'STRING\', \'none\') AS x', "bob"),
+    ],
+)
+def test_literal_typed_scalar_rewrites(agg_engine, q, want):
+    assert agg_engine.query(q).collect()[0]["x"] == want
+
+
+def test_datetimeconvert_requires_literal_formats(agg_engine):
+    with pytest.raises(Exception, match="literal"):
+        agg_engine.query(
+            "SELECT DATETIMECONVERT(t, some_col, '1:MINUTES:EPOCH', "
+            "'15:MINUTES') AS x FROM aggsrc"
+        )
+
+
+@pytest.mark.parametrize(
+    "q,want",
+    [
+        ("SELECT TIMECONVERT(90061000, 'MILLISECONDS', 'SECONDS') AS x", 90061),
+        ("SELECT TIMECONVERT(25, 'HOURS', 'DAYS') AS x", 1),
+        ("SELECT ST_X(ST_GEOGFROMTEXT('POINT (-71.06 42.36)')) AS x", -71.06),
+        ("SELECT ST_ASTEXT(ST_POINT(1.5, 2.5)) AS x", "POINT (1.5 2.5)"),
+        ('SELECT JSONPATHLONG(\'{"a": {"b": 7}}\', \'$.a.b\') AS x', 7),
+        ('SELECT JSONPATHARRAY(\'{"t": ["x","y"]}\', \'$.t\') AS x', ["x", "y"]),
+        ("SELECT ISSUBNETOF('192.168.0.0/24', '192.168.0.5') AS x", True),
+        ("SELECT ISSUBNETOF('192.168.0.0/24', '192.168.1.5') AS x", False),
+        ("SELECT ISSUBNETOF('0.0.0.0/0', '8.8.8.8') AS x", True),
+        ("SELECT ISSUBNETOF('10.0.0.0/8', '11.0.0.1') AS x", False),
+    ],
+)
+def test_pinot_exact_scalar_macros(agg_engine, q, want):
+    assert agg_engine.query(q).collect()[0]["x"] == want
+
+
+def test_st_distance_two_point_signature(agg_engine):
+    # one degree of latitude on the mean sphere ~ 111.195 km
+    got = agg_engine.query(
+        "SELECT ST_DISTANCE(ST_POINT(0.0, 0.0), ST_POINT(0.0, 1.0)) AS x"
+    ).collect()[0]["x"]
+    assert abs(got - 111194.9) < 200

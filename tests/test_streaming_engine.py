@@ -3429,3 +3429,144 @@ def test_enable_null_handling_false_query_option(spark, tmp_path):
         )
     finally:
         pipe.stop()
+
+
+def test_text_match_sql_form(spark, tmp_path):
+    """The SQL form of the text predicate **[P1.2]**: ``SELECT ... FROM t
+    WHERE TEXT_MATCH(col, 'query') [AND residual]`` through query() and the
+    broker envelope — analyzer-honoring, residual applied to the matched
+    candidate set, top-level OR rejected loudly (same rules as the
+    VECTOR_SIMILARITY SQL form)."""
+    src_dir = tmp_path / "stream_in"
+    config = dict(TABLE_CONFIG)
+    config["tableName"] = "textTable"
+    config["primaryKeyColumns"] = ["userID"]
+    config["fieldConfigList"] = [
+        {
+            "name": "campaign",
+            "encodingType": "RAW",
+            "indexType": "TEXT",
+            "properties": {
+                "luceneAnalyzerClass": "org.apache.lucene.analysis.en.EnglishAnalyzer",
+            },
+        }
+    ]
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    _write_events(src_dir / "b1.json", 30, "2024-05-01")
+    pipe = engine.add_table(CLICKSTREAM_SCHEMA, config,
+                            RawRecordSource(kind="files", path=str(src_dir)),
+                            available_now=True)
+    try:
+        pipe.process_available()
+        engine.register_view("textTable")
+        # english stemming: 'blackfridays' -> 'blackfriday' hits 10 rows
+        out = engine.query(
+            "SELECT userID, price FROM textTable "
+            "WHERE TEXT_MATCH(campaign, 'blackfridays')"
+        )
+        assert out.count() == 10 and out.columns == ["userID", "price"]
+        # residual conjunct applies AFTER the text match
+        n = engine.query(
+            "SELECT userID FROM textTable "
+            "WHERE TEXT_MATCH(campaign, 'blackfridays') AND price > 20"
+        ).count()
+        assert 0 < n < 10
+        # star projection passes the matched rows through
+        assert engine.query(
+            "SELECT * FROM textTable WHERE TEXT_MATCH(campaign, 'nonexistenttoken')"
+        ).count() == 0
+        # top-level OR in the residual is rejected loudly
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="top-level OR"):
+            engine.query(
+                "SELECT userID FROM textTable WHERE "
+                "TEXT_MATCH(campaign, 'blackfridays') AND price > 20 OR price < 5"
+            )
+        # broker envelope round trip
+        resp = engine.query_broker_response(
+            "SELECT count(*) AS n FROM ("
+            "SELECT userID FROM textTable WHERE TEXT_MATCH(campaign, 'blackfridays'))"
+        )
+        # subquery position is NOT the SQL form (falls to Spark SQL, which
+        # lacks TEXT_MATCH) -> structured validation error, never a 500
+        assert resp["exceptions"] and resp["exceptions"][0]["errorCode"] == 700
+        resp = engine.query_broker_response(
+            "SELECT userID, price FROM textTable "
+            "WHERE TEXT_MATCH(campaign, 'blackfridays') AND price > 20"
+        )
+        assert resp["exceptions"] == [] and resp["numRowsResultSet"] == n
+    finally:
+        pipe.stop()
+
+
+def test_json_match_sql_form(spark, tmp_path):
+    """The SQL form of the JSON index predicate **[P1.2]**:
+    ``WHERE JSON_MATCH(col, '"$.path" op value [AND ...]') [AND residual]``
+    parses Pinot's filter string (quoted paths, '' escapes, IN lists,
+    IS [NOT] NULL) into the postings conjunction; OR anywhere is loud."""
+    src_dir = tmp_path / "stream_in"
+    src_dir.mkdir(parents=True)
+    with open(src_dir / "a.json", "w") as fh:
+        for i in range(12):
+            fh.write(json.dumps({
+                "userID": f"u{i}",
+                "campaign": "NONE",
+                "price": 10 + i,
+                "payload": json.dumps(
+                    {"k": i % 4, "name": {"first": f"n{i % 3}"},
+                     "tags": ["x", f"t{i % 2}"]}
+                ) if i % 6 else None,
+                "creationTimestamp": f"2024-06-01 10:{i:02d}:00",
+            }) + "\n")
+    config = dict(TABLE_CONFIG)
+    config["tableName"] = "jsonTable"
+    config["primaryKeyColumns"] = ["userID"]
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    pipe = engine.add_table(CLICKSTREAM_SCHEMA, config,
+                            RawRecordSource(kind="files", path=str(src_dir)),
+                            available_now=True)
+    try:
+        pipe.process_available()
+        engine.register_view("jsonTable")
+        # equality on a nested path (Pinot '' quote escape exercised too)
+        out = engine.query(
+            "SELECT userID FROM jsonTable "
+            "WHERE JSON_MATCH(payload, '\"$.name.first\" = ''n1''')"
+        )
+        got = {r["userID"] for r in out.collect()}
+        want = {f"u{i}" for i in range(12) if i % 6 and i % 3 == 1}
+        assert got == want
+        # conjunction + numeric range + residual conjunct
+        n = engine.query(
+            "SELECT userID FROM jsonTable WHERE JSON_MATCH(payload, "
+            "'\"$.k\" >= 2 AND \"$.tags[*]\" IN (''t1'')') AND price > 12"
+        ).count()
+        want_n = sum(
+            1 for i in range(12)
+            if i % 6 and i % 4 >= 2 and i % 2 == 1 and 10 + i > 12
+        )
+        assert n == want_n and n > 0
+        # IS NULL: docs whose payload lacks the path (incl. NULL payloads)
+        n_null = engine.query(
+            "SELECT userID FROM jsonTable "
+            "WHERE JSON_MATCH(payload, '\"$.missing\" IS NULL')"
+        ).count()
+        assert n_null == 12
+        # OR inside the filter string is loud
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="OR is not supported"):
+            engine.query(
+                "SELECT userID FROM jsonTable "
+                "WHERE JSON_MATCH(payload, '\"$.k\"=1 OR \"$.k\"=2')"
+            )
+        # broker envelope round trip
+        resp = engine.query_broker_response(
+            "SELECT userID FROM jsonTable "
+            "WHERE JSON_MATCH(payload, '\"$.name.first\" = ''n1''')"
+        )
+        assert resp["exceptions"] == []
+        assert resp["numRowsResultSet"] == len(want)
+    finally:
+        pipe.stop()
