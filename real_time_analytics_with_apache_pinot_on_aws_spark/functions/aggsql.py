@@ -206,6 +206,7 @@ _REWRITES: dict = {
     "DISTINCTCOUNTSMARTHLL": _exact_distinct,
     "SEGMENTPARTITIONEDDISTINCTCOUNT": _exact_distinct,
     "DISTINCTCOUNTHLL": lambda a: f"approx_count_distinct({a[0]})",
+    "DISTINCTCOUNTRAWHLL": lambda a: f"approx_count_distinct({a[0]})",
     "DISTINCTCOUNTHLLMV": lambda a: (
         f"size(array_distinct(flatten(collect_set({a[0]}))))"
     ),

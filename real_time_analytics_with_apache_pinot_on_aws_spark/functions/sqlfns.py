@@ -206,6 +206,29 @@ _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
         .replace("IP2L_NET", IP2LONG.format("split(cidr, '/')[0]"))
         .replace("IP2L_IP", IP2LONG.format("ip")),
     ),
+    # ---- misc Pinot spellings (B49-B54 stragglers) ------------------------
+    # AGO('PT1H') **[P1.2]**: now minus an ISO-8601 duration, as epoch
+    # millis (Pinot returns millis).  ISO-8601 'PT..' parses natively as a
+    # Spark day-time interval string.
+    # the duration parse mirrors java.time.Duration (what Pinot calls):
+    # days/hours/minutes/seconds only — Duration.parse rejects months and
+    # years too, so the subset is exact parity, not a shortcut
+    ("AGO", "iso STRING", "BIGINT",
+     "unix_millis(now()) - cast("
+     "coalesce(try_cast(regexp_extract(upper(iso), 'P(\\\\d+)D', 1) as bigint), 0) * 86400000"
+     " + coalesce(try_cast(regexp_extract(upper(iso), 'T.*?(\\\\d+)H', 1) as bigint), 0) * 3600000"
+     " + coalesce(try_cast(regexp_extract(upper(iso), 'T.*?(\\\\d+)M', 1) as bigint), 0) * 60000"
+     " + coalesce(try_cast(regexp_extract(upper(iso), 'T.*?([0-9.]+)S', 1) as double), 0) * 1000"
+     " as bigint)"),
+    ("TEXTCONTAINS", "s STRING, sub STRING", "BOOLEAN", "contains(s, sub)"),
+    ("REGEXPEXTRACT", "s STRING, p STRING", "STRING", "regexp_extract(s, p, 1)"),
+    ("REGEXPEXTRACTGROUP", "s STRING, p STRING, g INT", "STRING",
+     "regexp_extract(s, p, g)"),
+    ("ARRAYCONCATINT", "a ARRAY<INT>, b ARRAY<INT>", "ARRAY<INT>",
+     "concat(a, b)"),
+    ("ARRAYCONCATSTRING", "a ARRAY<STRING>, b ARRAY<STRING>", "ARRAY<STRING>",
+     "concat(a, b)"),
+    ("TOJSONMAPSTR", "m MAP<STRING, STRING>", "STRING", "to_json(m)"),
     # ---- URL / misc (B56) -----------------------------------------------
     ("ENCODEURL", "s STRING", "STRING", "url_encode(s)"),
     ("DECODEURL", "s STRING", "STRING", "url_decode(s)"),

@@ -171,3 +171,28 @@ def test_st_distance_two_point_signature(agg_engine):
         "SELECT ST_DISTANCE(ST_POINT(0.0, 0.0), ST_POINT(0.0, 1.0)) AS x"
     ).collect()[0]["x"]
     assert abs(got - 111194.9) < 200
+
+
+def test_straggler_pinot_spellings(agg_engine):
+    """Round-6 battery stragglers: AGO (java.time.Duration parse — exactly
+    the D/H/M/S subset Duration itself accepts), TEXTCONTAINS,
+    REGEXPEXTRACT, ARRAYCONCAT*, TOJSONMAPSTR, DISTINCTCOUNTRAWHLL."""
+    import time as _t
+
+    r = agg_engine.query("SELECT AGO('P1DT2H') AS x").collect()[0]["x"]
+    assert abs(r - (_t.time() - 93600) * 1000) < 60_000
+    assert agg_engine.query(
+        "SELECT TEXTCONTAINS('abc def', 'abc') AS x"
+    ).collect()[0]["x"] is True
+    assert agg_engine.query(
+        "SELECT REGEXPEXTRACT('a1b2', '([0-9])') AS x"
+    ).collect()[0]["x"] == "1"
+    assert agg_engine.query(
+        "SELECT ARRAYCONCATINT(array(1,2), array(3)) AS x"
+    ).collect()[0]["x"] == [1, 2, 3]
+    assert agg_engine.query(
+        "SELECT TOJSONMAPSTR(map('a','1')) AS x"
+    ).collect()[0]["x"] == '{"a":"1"}'
+    assert agg_engine.query(
+        "SELECT DISTINCTCOUNTRAWHLL(u) AS x FROM aggsrc"
+    ).collect()[0]["x"] == 7
