@@ -2085,7 +2085,7 @@ class Engine:
 
     _TEXTMATCH_RE = re.compile(
         r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<table>\w+)\s+WHERE\s+"
-        r"TEXT_MATCH\(\s*(?P<col>\w+)\s*,\s*'(?P<q>[^']*)'\s*\)"
+        r"TEXT_MATCH\(\s*(?P<col>\w+)\s*,\s*'(?P<q>(?:[^']|'')*)'\s*\)"
         r"(?:\s+AND\s+(?P<residual>.+?))?\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
@@ -2109,7 +2109,9 @@ class Engine:
                 "keys on)"
             )
         id_col = config.primary_key_columns[0]
-        out = self.text_match(table, col, m.group("q"), id_col)
+        out = self.text_match(
+            table, col, m.group("q").replace("''", "'"), id_col
+        )
         residual = m.group("residual")
         if residual:
             if self._find_top_level_keyword(residual, "OR") != -1:
@@ -2147,7 +2149,10 @@ class Engine:
         i, n = 0, len(expr)
         while i < n:
             ch = expr[i]
-            if ch == "'":
+            if ch in ("'", '"'):
+                # both literal kinds are opaque: JSON paths are
+                # double-quoted and may contain ' and ' / '_and_'
+                # (round-6 review)
                 i = Engine._skip_literal(expr, i)
                 continue
             if ch == "(":
@@ -2167,6 +2172,33 @@ class Engine:
             i += 1
         parts.append(expr[start:])
         return [p.strip() for p in parts if p.strip()]
+
+    @staticmethod
+    def _has_top_level_group_by(sql: str) -> bool:
+        """True when the STATEMENT itself is a group-by (GROUP BY at paren
+        depth 0, outside literals) — a GROUP BY buried in a subquery must
+        not make numGroupsLimit truncate the outer result (round-6
+        review)."""
+        depth, i, n = 0, 0, len(sql)
+        while i < n:
+            ch = sql[i]
+            if ch in ("'", '"'):
+                i = Engine._skip_literal(sql, i)
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif (
+                depth == 0
+                and sql[i : i + 5].upper() == "GROUP"
+                and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_"))
+            ):
+                m = re.match(r"GROUP\s+BY\b", sql[i:], re.IGNORECASE)
+                if m:
+                    return True
+            i += 1
+        return False
 
     @classmethod
     def _parse_json_match_expr(cls, expr: str) -> list[tuple]:
@@ -3236,13 +3268,7 @@ class Engine:
         try:
             if "numGroupsLimit" in _opts:
                 gl = int(_opts["numGroupsLimit"])
-                spans = self._literal_spans(sql)
-                if gl > 0 and any(
-                    not any(a <= m.start() < b for a, b in spans)
-                    for m in re.finditer(
-                        r"\bGROUP\s+BY\b", sql, re.IGNORECASE
-                    )
-                ):
+                if gl > 0 and self._has_top_level_group_by(sql):
                     groups_limit = gl
         except (TypeError, ValueError):
             groups_limit = None
@@ -3331,8 +3357,10 @@ class Engine:
             "exceptions": [],
             # Pinot broker metadata fields clients parse **[P1.2]** — only
             # the ones this engine can report HONESTLY: one logical server
-            # (the Spark cluster is one query surface), group-bys are never
-            # trimmed (no numGroupsLimit), results are never partial (a
+            # (the Spark cluster is one query surface); numGroupsLimitReached
+            # reflects the numGroupsLimit option's result-set trim above
+            # (false when no option is set — group-bys are otherwise never
+            # trimmed); results are never partial (a
             # failure raises into the exceptions envelope instead).  Scan
             # counters (numDocsScanned etc.) are deliberately OMITTED
             # rather than fabricated — Pinot derives them from segment

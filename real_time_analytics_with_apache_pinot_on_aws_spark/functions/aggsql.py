@@ -66,6 +66,11 @@ def _percentile(fn: str, always_percent: bool = True):
     heuristic)."""
 
     def build(args: list[str]) -> str:
+        if not always_percent and len(args) == 3:
+            # Spark's own 3-arg percentile(col, percentage, frequency) —
+            # not a Pinot spelling; pass it through untouched (round-6
+            # review: rejecting it broke previously-working Spark SQL)
+            return f"{fn}({', '.join(args)})"
         if len(args) != 2:
             raise ValueError(f"{fn} takes (column, percent), got {len(args)}")
         p = args[1].strip()
@@ -239,11 +244,16 @@ _REWRITES: dict = {
 
 def _skip_literal(sql: str, i: int) -> int:
     """Index past the string literal starting at sql[i] (quote char);
-    handles doubled-quote escapes."""
+    handles doubled-quote AND backslash escapes (Spark's default literal
+    syntax — Engine._skip_literal agrees; round-6 review: ignoring \\'
+    let the rewrite corrupt literal content)."""
     q = sql[i]
     j = i + 1
     n = len(sql)
     while j < n:
+        if sql[j] == "\\" and j + 1 < n:
+            j += 2
+            continue
         if sql[j] == q:
             if j + 1 < n and sql[j + 1] == q:  # '' escape
                 j += 2
@@ -318,11 +328,17 @@ def rewrite_pinot_aggregates(sql: str) -> str:
                 k += 1
             if build is not None and k < n and sql[k] == "(":
                 inner, end = _scan_balanced(sql, k)
-                args = [
-                    rewrite_pinot_aggregates(a).strip()
-                    for a in _split_top_level_commas(inner)
-                ]
+                args = (
+                    []
+                    if not inner.strip()
+                    else [
+                        rewrite_pinot_aggregates(a).strip()
+                        for a in _split_top_level_commas(inner)
+                    ]
+                )
                 try:
+                    if not args:
+                        raise IndexError  # zero-arg: same loud path
                     out.append(build(args))
                 except IndexError:
                     raise ValueError(

@@ -214,14 +214,13 @@ _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
     # days/hours/minutes/seconds only — Duration.parse rejects months and
     # years too, so the subset is exact parity, not a shortcut
     ("AGO", "iso STRING", "BIGINT",
-     "unix_millis(now()) - cast("
-     "coalesce(try_cast(regexp_extract(upper(iso), 'P(\\\\d+)D', 1) as bigint), 0) * 86400000"
-     " + coalesce(try_cast(regexp_extract(upper(iso), 'T.*?(\\\\d+)H', 1) as bigint), 0) * 3600000"
-     " + coalesce(try_cast(regexp_extract(upper(iso), 'T.*?(\\\\d+)M', 1) as bigint), 0) * 60000"
-     " + coalesce(try_cast(regexp_extract(upper(iso), 'T.*?([0-9.]+)S', 1) as double), 0) * 1000"
-     " as bigint)"),
+     "unix_millis(now()) - cast((CASE WHEN upper(iso) NOT RLIKE '^[+-]?P(-?[0-9]+D)?(T(-?[0-9]+H)?(-?[0-9]+M)?(-?[0-9]+([.][0-9]+)?S)?)?$' OR upper(iso) NOT RLIKE '[DHMS]' THEN cast(raise_error(concat('AGO: unparseable ISO-8601 duration ', iso)) as bigint) ELSE (CASE WHEN iso LIKE '-%' THEN -1 ELSE 1 END) * (coalesce(try_cast(regexp_extract(upper(iso), 'P(-?[0-9]+)D', 1) as bigint), 0) * 86400000 + coalesce(try_cast(regexp_extract(upper(iso), 'T(-?[0-9]+)H', 1) as bigint), 0) * 3600000 + coalesce(try_cast(regexp_extract(upper(iso), 'T(?:-?[0-9]+H)?(-?[0-9]+)M', 1) as bigint), 0) * 60000 + coalesce(try_cast(regexp_extract(upper(iso), '(-?[0-9.]+)S', 1) as double), 0) * 1000) END) as bigint)"),
     ("TEXTCONTAINS", "s STRING, sub STRING", "BOOLEAN", "contains(s, sub)"),
-    ("REGEXPEXTRACT", "s STRING, p STRING", "STRING", "regexp_extract(s, p, 1)"),
+    # 2-arg form returns the WHOLE match (group 0) — Pinot's
+    # regexpExtract(value, regexp) default; group selection is the 3-arg
+    # REGEXPEXTRACTGROUP (round-6 review: group 1 threw on group-less
+    # patterns and returned the wrong span on grouped ones)
+    ("REGEXPEXTRACT", "s STRING, p STRING", "STRING", "regexp_extract(s, p, 0)"),
     ("REGEXPEXTRACTGROUP", "s STRING, p STRING, g INT", "STRING",
      "regexp_extract(s, p, g)"),
     ("ARRAYCONCATINT", "a ARRAY<INT>, b ARRAY<INT>", "ARRAY<INT>",

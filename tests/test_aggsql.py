@@ -196,3 +196,54 @@ def test_straggler_pinot_spellings(agg_engine):
     assert agg_engine.query(
         "SELECT DISTINCTCOUNTRAWHLL(u) AS x FROM aggsrc"
     ).collect()[0]["x"] == 7
+
+
+def test_round6_review_fixes():
+    """Pins for the round-6 review findings on the rewriter."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
+
+    # backslash-escaped quote inside a literal: content never rewrites
+    src = r"SELECT 'it\'s DISTINCTCOUNT(x) here' AS s"
+    assert R(src) == src
+    # Spark's 3-arg frequency-weighted percentile passes through untouched
+    assert (
+        R("SELECT percentile(v, 0.5, w) FROM t")
+        == "SELECT percentile(v, 0.5, w) FROM t"
+    )
+    # zero-arg calls are loud, not silently rewritten to 'count(DISTINCT )'
+    with pytest.raises(ValueError, match="0 argument"):
+        R("SELECT DISTINCTCOUNT() FROM t")
+    # JSON_MATCH paths containing ' and '/'_and_' parse (AND split is
+    # double-quote aware)
+    assert Engine._parse_json_match_expr('"$.click_and_view" = 1') == [
+        ("$.click_and_view", "=", "1")
+    ]
+    # numGroupsLimit only fires on a TOP-LEVEL group-by
+    assert Engine._has_top_level_group_by("SELECT g FROM t GROUP BY g")
+    assert not Engine._has_top_level_group_by(
+        "SELECT * FROM (SELECT g FROM t GROUP BY g) x"
+    )
+
+
+def test_ago_signs_and_loud_errors(agg_engine):
+    """AGO mirrors java.time.Duration.parse: per-component and
+    whole-duration negation both work, and anything Duration.parse rejects
+    (months, empty durations, garbage) raises instead of silently
+    returning now-0 (round-6 review)."""
+    import time as _t
+
+    for iso in ("PT-6H", "-PT6H"):
+        r = agg_engine.query(f"SELECT AGO('{iso}') AS x").collect()[0]["x"]
+        assert abs(r - (_t.time() + 21600) * 1000) < 60_000, iso
+    for bad in ("P1M", "PT", "garbage"):
+        with pytest.raises(Exception):
+            agg_engine.query(f"SELECT AGO('{bad}') AS x").collect()
+
+
+def test_regexpextract_two_arg_returns_whole_match(agg_engine):
+    assert agg_engine.query(
+        "SELECT REGEXPEXTRACT('xabc42y', 'abc[0-9]+') AS x"
+    ).collect()[0]["x"] == "abc42"
+    assert agg_engine.query(
+        "SELECT REGEXPEXTRACTGROUP('a1b2', '([a-z])([0-9])', 2) AS x"
+    ).collect()[0]["x"] == "1"
