@@ -203,10 +203,16 @@ class TableConfig:
             for fcp in st.get("functionColumnPairs", ()):
                 fn, _, col = fcp.partition("__")
                 fn = fn.lower()
+                if fn in ("distinctcounthll", "distinctcountrawhll"):
+                    # Pinot's sketch functionColumnPair **[P1.2]**: the
+                    # cell stores a mergeable DataSketches HLL sketch
+                    pairs.append((f"hll__{col}", ("hll", col)))
+                    continue
                 if fn not in ("sum", "count", "min", "max"):
                     raise ValueError(
                         f"starTreeIndexConfigs: {fcp!r} is not mergeable "
-                        "(algebraic only: count/max/min/sum)"
+                        "(algebraic or sketch only: count/max/min/sum/"
+                        "distinctcounthll)"
                     )
                 pairs.append((f"{fn}__{col}", (fn, col)))
             star_trees.append((dims_i, tuple(pairs)))
@@ -1544,7 +1550,8 @@ class Engine:
         re.IGNORECASE | re.DOTALL,
     )
     _AGG_ITEM_RE = re.compile(
-        r"^(?:(?P<fn>sum|count|min|max|avg)\s*\(\s*(?P<col>\w+)\s*\)"
+        r"^(?:(?P<fn>sum|count|min|max|avg|distinctcounthll|"
+        r"distinctcountrawhll)\s*\(\s*(?P<col>\w+)\s*\)"
         r"\s+AS\s+(?P<alias>\w+)|(?P<dim>\w+))$",
         re.IGNORECASE,
     )
@@ -1607,7 +1614,10 @@ class Engine:
             if im.group("dim"):
                 sel_dims.append(im.group("dim"))
             else:
-                aggs[im.group("alias")] = (im.group("fn").lower(), im.group("col"))
+                fn = im.group("fn").lower()
+                if fn == "distinctcountrawhll":
+                    fn = "distinctcounthll"  # same sketch, same cells
+                aggs[im.group("alias")] = (fn, im.group("col"))
         if not aggs or set(sel_dims) - set(groups):
             return self.query(orig), "sql"
         filters: dict = {}

@@ -34,8 +34,26 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_PARTIAL_FNS = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
-_MERGE_FNS = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+# "hll" = Pinot's DISTINCTCOUNTHLL functionColumnPair **[P1.2]**: the cell
+# stores a DataSketches HLL sketch (Spark's native hll_sketch_agg, a
+# ~KB binary regardless of cardinality); merge = hll_union_agg (register
+# max — union of per-batch sketches is EXACTLY the sketch of the union,
+# pinned), estimate applied at serve time.  The one non-trivially-algebraic
+# Pinot star-tree metric, mergeable because the SKETCH is the stored value.
+_PARTIAL_FNS = {
+    "sum": F.sum,
+    "count": F.count,
+    "min": F.min,
+    "max": F.max,
+    "hll": F.hll_sketch_agg,
+}
+_MERGE_FNS = {
+    "sum": F.sum,
+    "count": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "hll": F.hll_union_agg,
+}
 
 
 @dataclass(frozen=True)
@@ -55,7 +73,7 @@ class RollupSpec:
             if fn not in _PARTIAL_FNS:
                 raise ValueError(
                     f"rollup metric {out!r}: {fn!r} is not mergeable "
-                    f"(algebraic only: {sorted(_PARTIAL_FNS)})"
+                    f"(algebraic or sketch only: {sorted(_PARTIAL_FNS)})"
                 )
 
 
@@ -84,6 +102,11 @@ def serve(
     merged = rollup_df.groupBy(*dims).agg(
         *[_MERGE_FNS[fn](out).alias(out) for out, (fn, _col) in spec.metrics.items()]
     )
+    for out, (fn, _col) in spec.metrics.items():
+        if fn == "hll":
+            # callers read the ESTIMATE (bigint, what Pinot's
+            # DISTINCTCOUNTHLL returns), not the merged binary sketch
+            merged = merged.withColumn(out, F.hll_sketch_estimate(out))
     for out, (s, c) in (avgs or {}).items():
         merged = merged.withColumn(out, F.col(s) / F.col(c))
     return merged
@@ -99,7 +122,7 @@ def serve(
 
 from typing import Callable  # noqa: E402
 
-_SERVABLE = ("sum", "count", "min", "max", "avg")
+_SERVABLE = ("sum", "count", "min", "max", "avg", "distinctcounthll")
 
 
 @dataclass(frozen=True)
@@ -156,6 +179,11 @@ class RollupRouter:
                 if s is None or c is None:
                     return None
                 mapping[out] = ("avg", s, c)
+            elif fn == "distinctcounthll":
+                stored = by_pair.get(("hll", col))
+                if stored is None:
+                    return None
+                mapping[out] = ("hll", stored)
             else:
                 stored = by_pair.get((fn, col))
                 if stored is None:
@@ -183,8 +211,19 @@ class RollupRouter:
             # the fallback accepts ANY Spark aggregate (median, percentile,
             # count distinct, ...) — routing restricts what a ROLLUP can
             # serve, never what the engine can answer
+            def scan_expr(fn: str, col: str) -> str:
+                if fn == "distinctcounthll":
+                    # the SAME DataSketches estimator the rollup path uses,
+                    # so routed and scanned answers agree bit-for-bit
+                    # (union of per-batch sketches == sketch of the union)
+                    return f"hll_sketch_estimate(hll_sketch_agg({col}))"
+                return f"{fn}({col})"
+
             out = df.groupBy(*req.dims).agg(
-                *[F.expr(f"{fn}({col})").alias(o) for o, (fn, col) in req.aggs.items()]
+                *[
+                    F.expr(scan_expr(fn, col)).alias(o)
+                    for o, (fn, col) in req.aggs.items()
+                ]
             )
             return out, "scan"
         name, scan, mapping = choice
@@ -192,10 +231,14 @@ class RollupRouter:
         for dim, values in req.dim_filters.items():
             cells = cells.filter(F.col(dim).isin(list(values)))
         merge_exprs = []
+        hll_outs = []
         for out, m in mapping.items():
             if m[0] == "direct":
                 _, fn, stored = m
                 merge_exprs.append(_MERGE_FNS[fn](stored).alias(out))
+            elif m[0] == "hll":
+                merge_exprs.append(F.hll_union_agg(m[1]).alias(out))
+                hll_outs.append(out)
         # avg components merge under temp names, divided after
         avg_parts: dict[str, tuple[str, str]] = {}
         for out, m in mapping.items():
@@ -205,6 +248,8 @@ class RollupRouter:
                 merge_exprs.append(F.sum(c).alias(f"__{out}_cnt"))
                 avg_parts[out] = (f"__{out}_sum", f"__{out}_cnt")
         merged = cells.groupBy(*req.dims).agg(*merge_exprs)
+        for out in hll_outs:
+            merged = merged.withColumn(out, F.hll_sketch_estimate(out))
         for out, (s, c) in avg_parts.items():
             merged = merged.withColumn(out, F.col(s) / F.col(c))
         merged = merged.select(*req.dims, *req.aggs)
