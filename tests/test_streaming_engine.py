@@ -3637,3 +3637,55 @@ def test_star_tree_hll_metric_end_to_end(spark, tmp_path):
         assert route2.startswith("rollup:")
     finally:
         pipe.stop()
+
+
+def test_hybrid_star_tree_hll_cells(spark, tmp_path):
+    """The HLL sketch functionColumnPair on a HYBRID table: offline uploads
+    append sketch cells, realtime batches append theirs, and the routed
+    DISTINCTCOUNTHLL answer over the merged cell relation matches the raw
+    merged-scan DataSketches estimate exactly."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.streaming.rollup import AggRequest
+
+    src_dir = tmp_path / "stream_in"
+    _write_events(src_dir / "rt.json", 12, "2024-06-02")
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    st_config = json.loads(json.dumps(TABLE_CONFIG))
+    st_config["tableIndexConfig"]["starTreeIndexConfigs"] = [
+        {
+            "dimensionsSplitOrder": ["campaign", "ingest_date"],
+            "functionColumnPairs": ["DISTINCTCOUNTHLL__userID", "COUNT__price"],
+        }
+    ]
+    pipe = engine.add_table(
+        CLICKSTREAM_SCHEMA, st_config,
+        RawRecordSource(kind="files", path=str(src_dir)), available_now=True,
+    )
+    pipe.process_available()
+    engine.add_offline_table(CLICKSTREAM_SCHEMA, OFFLINE_CONFIG)
+    engine.upload_segment(
+        "kinesisTable",
+        spark.createDataFrame(
+            [("u1", "X", 30, "2024-06-01 09:00:00"),
+             ("u2", "X", 40, "2024-06-01 10:00:00"),
+             ("u1", "Y", 50, "2024-06-01 11:00:00")],
+            "userID string, campaign string, price int, creationTimestamp string",
+        ),
+    )
+    try:
+        engine.register_view("kinesisTable")
+        req = AggRequest(
+            dims=("campaign",),
+            aggs={"u": ("distinctcounthll", "userID"), "n": ("count", "price")},
+        )
+        out, route = engine.query_agg("kinesisTable", req)
+        assert route.startswith("rollup:"), route
+        got = {r["campaign"]: (r["u"], r["n"]) for r in out.collect()}
+        direct = spark.sql(
+            "SELECT campaign, hll_sketch_estimate(hll_sketch_agg(userID)) AS u, "
+            "count(price) AS n FROM kinesisTable GROUP BY campaign"
+        )
+        want = {r["campaign"]: (r["u"], r["n"]) for r in direct.collect()}
+        assert got == want
+        assert sum(n for _, n in got.values()) == 15
+    finally:
+        pipe.stop()
