@@ -3203,7 +3203,11 @@ class Engine:
         broadcast vs sort-merge joins, pushed filters, partial/final
         aggregates are all visible, exactly what Pinot's plan rows expose.
         """
-        plan = self.spark.sql(sql)._jdf.queryExecution().executedPlan().toString()
+        # build the frame through query()'s own resolution so the engine's
+        # SQL forms (TEXT_MATCH / JSON_MATCH / VECTOR_SIMILARITY / CLPDECODE
+        # sugar / Pinot aggregate spellings) EXPLAIN the plan they actually
+        # run, not an unresolved-function error (round-6)
+        plan = self.query(sql)._jdf.queryExecution().executedPlan().toString()
         rows: list[tuple[str, int, int]] = []
         # stack of (depth, operator_id) for parent recovery
         stack: list[tuple[int, int]] = []

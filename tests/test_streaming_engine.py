@@ -3689,3 +3689,35 @@ def test_hybrid_star_tree_hll_cells(spark, tmp_path):
         assert sum(n for _, n in got.values()) == 15
     finally:
         pipe.stop()
+
+
+def test_explain_covers_engine_sql_forms(spark, tmp_path):
+    """EXPLAIN PLAN FOR composes with the engine's own SQL forms: a
+    TEXT_MATCH statement explains the postings-join plan it actually runs
+    (round-6: it used to die on the unresolved function)."""
+    src_dir = tmp_path / "stream_in"
+    config = dict(TABLE_CONFIG)
+    config["tableName"] = "exTable"
+    config["primaryKeyColumns"] = ["userID"]
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    _write_events(src_dir / "a.json", 6, "2024-06-01")
+    pipe = engine.add_table(CLICKSTREAM_SCHEMA, config,
+                            RawRecordSource(kind="files", path=str(src_dir)),
+                            available_now=True)
+    try:
+        pipe.process_available()
+        engine.register_view("exTable")
+        rows = engine.query(
+            "EXPLAIN PLAN FOR SELECT userID FROM exTable "
+            "WHERE TEXT_MATCH(campaign, 'blackfriday')"
+        ).collect()
+        ops = " ".join(r["Operator"] for r in rows)
+        assert "Join" in ops            # the postings semi-join is visible
+        assert rows[0]["Parent_Id"] == -1
+        # the Pinot aggregate spelling explains its rewritten plan too
+        rows2 = engine.query(
+            "EXPLAIN PLAN FOR SELECT DISTINCTCOUNT(userID) AS d FROM exTable"
+        ).collect()
+        assert any("HashAggregate" in r["Operator"] for r in rows2)
+    finally:
+        pipe.stop()
