@@ -673,3 +673,103 @@ def test_url_filter_score_and_keep_replay(spark, rows):
         blocked = domain == "bad.net"
         assert r["blocked"] == blocked, (u, r["blocked"])
         assert r["keep"] == ((not blocked) and want_score < 1.0), u
+
+
+# ---------------------------------------------------------------------------
+# Pinot SQL call-site rewriter (functions/aggsql.py): for ANY statement,
+# string-literal content is untouched and the rewrite is idempotent (every
+# emitted expression uses only names outside the rewrite table).
+# ---------------------------------------------------------------------------
+
+_sql_frag_st = st.lists(
+    st.one_of(
+        st.sampled_from([
+            "SELECT ", " FROM t", " WHERE x = ", "DISTINCTCOUNT(u)",
+            "MINMAXRANGE(v)", "PERCENTILE(v, 90)",
+            # (FIRSTWITHTIME intentionally absent: it legitimately DROPS
+            # its trailing type literal, which the literal-survival
+            # property below would flag)
+            "SUMMV(arr)", "count(*)", " AS a", ", ", "t.col",
+        ]),
+        st.text(
+            alphabet=st.characters(codec="utf-8", categories=("L", "N", "P", "Zs")),
+            min_size=1, max_size=12,
+        ).map(lambda s: "'" + s.replace("'", "''") + "'"),
+    ),
+    min_size=1,
+    max_size=10,
+).map("".join)
+
+
+@given(sql=_sql_frag_st)
+@settings(max_examples=50, deadline=None)
+def test_agg_rewrite_idempotent_and_literal_safe(sql):
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        _skip_literal,
+        rewrite_pinot_aggregates as R,
+    )
+
+    try:
+        once = R(sql)
+    except ValueError:
+        return  # loud arity errors are fine; nothing must be silent
+    assert R(once) == once  # idempotent: outputs use non-table names only
+    # every literal span of the input survives verbatim in the output
+    i = 0
+    while i < len(sql):
+        if sql[i] == "'":
+            j = _skip_literal(sql, i)
+            assert sql[i:j] in once, sql[i:j]
+            i = j
+            continue
+        i += 1
+
+
+# ---------------------------------------------------------------------------
+# JSON_MATCH filter-string parser (Engine._parse_json_match_expr): any
+# conjunction of generated (path, op, value) predicates round-trips.
+# ---------------------------------------------------------------------------
+
+_jm_pred_st = st.tuples(
+    st.text(
+        alphabet=st.characters(codec="utf-8", categories=("L", "N"),
+                               include_characters="._[]* "),
+        min_size=1, max_size=12,
+    ).map(lambda p: "$." + p),
+    st.sampled_from(["=", "<>", ">", ">=", "<", "<=", "IS NULL", "IS NOT NULL", "IN"]),
+    st.one_of(
+        st.integers(min_value=-999, max_value=999).map(str),
+        st.text(
+            alphabet=st.characters(codec="utf-8", categories=("L", "N", "Zs")),
+            min_size=0, max_size=8,
+        ),
+    ),
+)
+
+
+@given(preds=st.lists(_jm_pred_st, min_size=1, max_size=4))
+@settings(max_examples=50, deadline=None)
+def test_json_match_parser_roundtrip(preds):
+    from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
+
+    parts, want = [], []
+    for path, op, val in preds:
+        if '"' in path:
+            continue  # paths cannot carry the quote character in this form
+        if op in ("IS NULL", "IS NOT NULL"):
+            parts.append(f'"{path}" {op}')
+            want.append((path, op))
+        elif op == "IN":
+            lit = "'" + val.replace("'", "''") + "'"
+            parts.append(f'"{path}" IN ({lit}, \'z\')')
+            want.append((path, "IN", [val, "z"]))
+        else:
+            if val.lstrip("-").isdigit():
+                parts.append(f'"{path}" {op} {val}')
+            else:
+                parts.append(f'"{path}" {op} \'' + val.replace("'", "''") + "'")
+            want.append((path, "<>" if op == "!=" else op, val))
+    if not parts:
+        return
+    got = Engine._parse_json_match_expr(" AND ".join(parts))
+    assert got == want
