@@ -54,7 +54,11 @@ TABLE_CONFIG = {
         "starTreeIndexConfigs": [
             {
                 "dimensionsSplitOrder": ["campaign", "ingest_date"],
-                "functionColumnPairs": ["SUM__price", "COUNT__price"],
+                "functionColumnPairs": [
+                    "SUM__price", "COUNT__price",
+                    # round 6: sketch cells — mergeable DataSketches HLL
+                    "DISTINCTCOUNTHLL__userID",
+                ],
             }
         ],
     },
@@ -109,6 +113,24 @@ def main() -> None:
     )
     print(f"declarative route = {route}")
     df.show()
+
+    # 4b. Pinot aggregate SPELLINGS route too — DISTINCTCOUNTHLL group-bys
+    #     are served from the mergeable HLL sketch cells (round 6)
+    routed, route = engine.query_routed(
+        "SELECT campaign, DISTINCTCOUNTHLL(userID) AS users, "
+        "SUM(price) AS revenue FROM clickstream GROUP BY campaign"
+    )
+    print(f"HLL route = {route}")
+    routed.show()
+
+    # 4c. ... and the whole Pinot function surface answers as plain SQL:
+    #     aggregate spellings, percent-scaled percentiles, scalar names
+    engine.query(
+        "SELECT MINMAXRANGE(price) AS price_range, "
+        "PERCENTILE(price, 90) AS p90, "
+        "LASTWITHTIME(price, creationTimestamp__ts, 'DOUBLE') AS last_price, "
+        "DISTINCTCOUNT(userID) AS users FROM clickstream"
+    ).show()
 
     # 5. Plan introspection, Pinot-style (EXPLAIN PLAN FOR)
     engine.query(
