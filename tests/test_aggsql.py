@@ -159,6 +159,7 @@ def test_datetimeconvert_requires_literal_formats(agg_engine):
         ("SELECT ISSUBNETOF('192.168.0.0/24', '192.168.1.5') AS x", False),
         ("SELECT ISSUBNETOF('0.0.0.0/0', '8.8.8.8') AS x", True),
         ("SELECT ISSUBNETOF('10.0.0.0/8', '11.0.0.1') AS x", False),
+        ("SELECT ROUNDDECIMAL(1.2345, 2) AS x", 1.23),
     ],
 )
 def test_pinot_exact_scalar_macros(agg_engine, q, want):
