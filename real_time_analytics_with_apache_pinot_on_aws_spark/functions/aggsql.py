@@ -168,6 +168,87 @@ def _datetimeconvert(args: list[str]) -> str:
     return f"date_format(timestamp_millis({bucketed}), '{out_kind[1]}')"
 
 
+def _funnel(kind: str):
+    """Pinot 1.2 funnel aggregations **[P1.2]**:
+    ``FUNNELMAXSTEP(tsExpr, 'windowMs', n, 'step1Expr', ..., 'stepNExpr')``
+    (+ MATCHSTEP returning the per-step reached array and COMPLETECOUNT
+    returning 1/0 for the group completing all steps).  Emitted as ONE
+    aggregate expression: sort the group's (ts, step-flags) structs, fold
+    left-to-right advancing each step's first-completion timestamp exactly
+    like operators/funnel.funnel_state (step i+1 must strictly follow step
+    i; every step after the first must land within windowSize of step 1 —
+    Pinot's window semantics; windowMs '0' disables the bound).
+
+    Requirements, all checked loudly at rewrite time: windowMs and the step
+    expressions must be literals (they always are in Pinot queries) and the
+    timestamp expression must be TIMESTAMP-typed (this engine's time
+    columns are real timestamps, SURVEY §1.2).  Memory: the fold
+    materializes the group's matching events once (collect_list) — the
+    same per-group state Pinot's funnel aggregation holds.
+    """
+
+    def build(args: list[str]) -> str:
+        if len(args) < 4:
+            raise ValueError(
+                f"FUNNEL{kind} takes (tsExpr, 'windowMs', numberSteps, "
+                f"'step1Expr', ...), got {len(args)}"
+            )
+        ts = args[0]
+        window_ms = int(_unquote_literal(args[1], "funnel windowSize"))
+        n = int(args[2])
+        steps = [
+            _unquote_literal(a, "funnel step expression") for a in args[3:]
+        ]
+        if len(steps) != n:
+            raise ValueError(
+                f"FUNNEL{kind}: numberSteps={n} but {len(steps)} step "
+                "expressions given"
+            )
+        ev = ", ".join(
+            [f"cast({ts} as timestamp) as _ts"]
+            + [f"({e}) as _s{i + 1}" for i, e in enumerate(steps)]
+        )
+        init = ", ".join(
+            f"cast(null as timestamp) as t{i + 1}" for i in range(n)
+        )
+        adv = []
+        for i in range(n):
+            cond = f"s.t{i + 1} IS NULL AND e._s{i + 1}"
+            if i > 0:
+                cond += f" AND s.t{i} IS NOT NULL AND e._ts > s.t{i}"
+                if window_ms > 0:
+                    cond += (
+                        f" AND e._ts <= s.t1 + "
+                        f"make_dt_interval(0, 0, 0, {window_ms / 1000.0!r})"
+                    )
+            adv.append(
+                f"CASE WHEN {cond} THEN e._ts ELSE s.t{i + 1} END as t{i + 1}"
+            )
+        max_step = " + ".join(
+            f"CASE WHEN s.t{i + 1} IS NOT NULL THEN 1 ELSE 0 END"
+            for i in range(n)
+        )
+        if kind == "MAXSTEP":
+            finish = f"s -> {max_step}"
+        elif kind == "MATCHSTEP":
+            flags = ", ".join(
+                f"CASE WHEN s.t{i + 1} IS NOT NULL THEN 1 ELSE 0 END"
+                for i in range(n)
+            )
+            finish = f"s -> array({flags})"
+        else:  # COMPLETECOUNT: 1 when the group completed every step
+            finish = f"s -> CASE WHEN s.t{n} IS NOT NULL THEN 1 ELSE 0 END"
+        return (
+            f"aggregate("
+            f"array_sort(collect_list(struct({ev}))), "
+            f"struct({init}), "
+            f"(s, e) -> struct({', '.join(adv)}), "
+            f"{finish})"
+        )
+
+    return build
+
+
 _JSON_TYPES = {
     "INT": "INT",
     "LONG": "BIGINT",
@@ -205,6 +286,9 @@ def _jsonextractscalar(args: list[str]) -> str:
 
 _REWRITES: dict = {
     "DATETIMECONVERT": _datetimeconvert,
+    "FUNNELMAXSTEP": _funnel("MAXSTEP"),
+    "FUNNELMATCHSTEP": _funnel("MATCHSTEP"),
+    "FUNNELCOMPLETECOUNT": _funnel("COMPLETECOUNT"),
     "JSONEXTRACTSCALAR": _jsonextractscalar,
     "DISTINCTCOUNT": _exact_distinct,
     "DISTINCTCOUNTBITMAP": _exact_distinct,

@@ -248,3 +248,63 @@ def test_regexpextract_two_arg_returns_whole_match(agg_engine):
     assert agg_engine.query(
         "SELECT REGEXPEXTRACTGROUP('a1b2', '([a-z])([0-9])', 2) AS x"
     ).collect()[0]["x"] == "1"
+
+
+def test_funnel_sql_spellings_match_funnel_state(spark, agg_engine):
+    """FUNNELMAXSTEP / FUNNELMATCHSTEP / FUNNELCOMPLETECOUNT **[P1.2]** as
+    SQL text: the emitted single-aggregate fold reproduces
+    operators/funnel.funnel_state exactly — ordered-step advancement,
+    strictly-after ordering, and the windowSize bound on every step after
+    the first."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators import funnel as FN
+
+    rows = [
+        (1, "2024-06-01 10:00:00", "view"),
+        (1, "2024-06-01 10:05:00", "click"),
+        (1, "2024-06-01 10:10:00", "buy"),
+        (2, "2024-06-01 10:00:00", "view"),
+        (2, "2024-06-01 09:00:00", "click"),   # click BEFORE view
+        (3, "2024-06-01 10:00:00", "click"),   # never step 1
+        (4, "2024-06-01 10:00:00", "view"),
+        (4, "2024-06-03 10:00:00", "click"),   # outside the 1-day window
+        (5, "2024-06-01 10:00:00", "view"),
+        (5, "2024-06-01 10:00:00", "click"),   # same ts: NOT strictly after
+    ]
+    df = spark.createDataFrame(rows, "u int, ts string, ev string").selectExpr(
+        "u", "cast(ts as timestamp) AS ts", "ev"
+    )
+    df.createOrReplaceTempView("fev")
+    steps = ["view", "click", "buy"]
+    want = {
+        r["u"]: r["max_step"]
+        for r in FN.funnel_state(df, "u", "ts", "ev", steps, within="1 DAY").collect()
+    }
+    got = {
+        r["u"]: r["ms"]
+        for r in agg_engine.query(
+            "SELECT u, FUNNELMAXSTEP(ts, '86400000', 3, "
+            "'ev = ''view''', 'ev = ''click''', 'ev = ''buy''') AS ms "
+            "FROM fev GROUP BY u"
+        ).collect()
+    }
+    # funnel_state only emits users with at least one matching event; the
+    # SQL group-by sees the same groups here by construction
+    assert got == want
+    m = {
+        r["u"]: (r["m"], r["c"])
+        for r in agg_engine.query(
+            "SELECT u, FUNNELMATCHSTEP(ts, '0', 2, 'ev = ''view''', "
+            "'ev = ''click''') AS m, FUNNELCOMPLETECOUNT(ts, '0', 2, "
+            "'ev = ''view''', 'ev = ''click''') AS c FROM fev GROUP BY u"
+        ).collect()
+    }
+    assert m[1] == ([1, 1], 1)
+    assert m[2] == ([1, 0], 0)          # order matters
+    assert m[3] == ([0, 0], 0)
+    assert m[4] == ([1, 1], 1)          # windowMs '0' disables the bound
+    assert m[5] == ([1, 0], 0)          # same-ts is not strictly after
+    # arity / literal validation is loud
+    with pytest.raises(ValueError, match="numberSteps"):
+        R("SELECT FUNNELMAXSTEP(ts, '0', 3, 'a=1') FROM t")
+    with pytest.raises(ValueError, match="literal"):
+        R("SELECT FUNNELMAXSTEP(ts, w, 1, 'a=1') FROM t")
