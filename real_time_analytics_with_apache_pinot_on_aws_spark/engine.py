@@ -2785,14 +2785,19 @@ class Engine:
         from .functions.aggsql import rewrite_pinot_aggregates
 
         sql = rewrite_pinot_aggregates(sql)
+        # EXPLAIN must strip BEFORE the LOOKUP rewrite: explain_plan builds
+        # the frame by re-entering query(), which needs to see the ORIGINAL
+        # statement so a LOOKUP plans through _sql_without_union_pushdown
+        # (round-6 review: the post-rewrite ordering lost has_lookup on
+        # re-entry and EXPLAIN over a hybrid LOOKUP crashed in planning)
+        m = self._EXPLAIN_RE.match(sql)
+        if m:
+            return self.explain_plan(sql[m.end():])
         has_lookup = False
         if self._LOOKUP_RE.search(sql):
             rewritten = self._rewrite_lookup_calls(sql)
             has_lookup = rewritten != sql
             sql = rewritten
-        m = self._EXPLAIN_RE.match(sql)
-        if m:
-            return self.explain_plan(self._apply_ts_index_rewrite(sql[m.end():]))
         gf = self._try_query_gapfill(sql)
         if gf is not None:
             return gf

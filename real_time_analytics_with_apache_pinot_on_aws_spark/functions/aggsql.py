@@ -29,9 +29,11 @@ the rewrite never introduces a UDF.  Semantics notes:
 - ``FIRSTWITHTIME/LASTWITHTIME(expr, ts[, 'dataType'])`` — the trailing
   Pinot type literal is dropped (Spark's ``min_by/max_by`` are typed by
   analysis); ties resolve by ``ts`` ordering exactly as B26 documents.
-- ``DISTINCTCOUNTHLL[MV]`` keeps its approximate nature via
-  ``approx_count_distinct`` (an optional Pinot ``log2m`` argument is
-  accepted and ignored — Spark sizes its HLL++ by relative error);
+- ``DISTINCTCOUNTHLL[RAWHLL]`` uses the DataSketches estimator
+  (``hll_sketch_estimate(hll_sketch_agg(..))``) — the SAME family the
+  star-tree HLL cells store, so routed answers, the useStarTree=false
+  cross-check, and unroutable shapes agree exactly (an optional Pinot
+  ``log2m`` argument is accepted and ignored);
   ``DISTINCTCOUNT/BITMAP/SMARTHLL/SEGMENTPARTITIONEDDISTINCTCOUNT`` are
   served EXACTLY (strictly more accurate than Pinot's sketch fallbacks).
 - ``*MV`` aggregates fold the array per row with higher-order functions
@@ -170,52 +172,71 @@ def _datetimeconvert(args: list[str]) -> str:
 
 def _funnel(kind: str):
     """Pinot 1.2 funnel aggregations **[P1.2]**:
-    ``FUNNELMAXSTEP(tsExpr, 'windowMs', n, 'step1Expr', ..., 'stepNExpr')``
-    (+ MATCHSTEP returning the per-step reached array and COMPLETECOUNT
-    returning 1/0 for the group completing all steps).  Emitted as ONE
-    aggregate expression: sort the group's (ts, step-flags) structs, fold
-    left-to-right advancing each step's first-completion timestamp exactly
-    like operators/funnel.funnel_state (step i+1 must strictly follow step
-    i; every step after the first must land within windowSize of step 1 —
-    Pinot's window semantics; windowMs '0' disables the bound).
+    ``FUNNELMAXSTEP(tsExpr, 'windowMs', n, 'step1Expr', ..., 'stepNExpr'
+    [, 'mode', ...])`` (+ MATCHSTEP returning the per-step reached array
+    and COMPLETECOUNT counting COMPLETED funnels — the state resets after
+    each completion so multi-completion groups count every pass).  Emitted
+    as ONE aggregate expression: collect the group's step-matching events
+    (non-matching rows fold to NULL structs collect_list drops — per-group
+    memory is bounded by matching events, like Pinot's funnel state), sort
+    by timestamp, fold left-to-right advancing each step's
+    first-completion timestamp (step i+1 at-or-after step i — Pinot's
+    default; the 'STRICT_INCREASE' mode literal switches to strictly
+    after; 'KEEP_ALL' is the default behavior and parses as a no-op;
+    other modes are rejected loudly rather than silently mis-served).
+    Every step after the first must land within windowSize of step 1;
+    windowMs '0' disables the bound.
 
-    Requirements, all checked loudly at rewrite time: windowMs and the step
-    expressions must be literals (they always are in Pinot queries) and the
-    timestamp expression must be TIMESTAMP-typed (this engine's time
-    columns are real timestamps, SURVEY §1.2).  Memory: the fold
-    materializes the group's matching events once (collect_list) — the
-    same per-group state Pinot's funnel aggregation holds.
+    Requirements, checked loudly at rewrite time: windowMs, the step
+    expressions, and modes must be literals (they always are in Pinot
+    queries) and the timestamp expression must be TIMESTAMP-typed (this
+    engine's time columns are real timestamps, SURVEY §1.2).
     """
 
     def build(args: list[str]) -> str:
         if len(args) < 4:
             raise ValueError(
                 f"FUNNEL{kind} takes (tsExpr, 'windowMs', numberSteps, "
-                f"'step1Expr', ...), got {len(args)}"
+                f"'step1Expr', ... [, 'mode', ...]), got {len(args)}"
             )
         ts = args[0]
         window_ms = int(_unquote_literal(args[1], "funnel windowSize"))
         n = int(args[2])
-        steps = [
-            _unquote_literal(a, "funnel step expression") for a in args[3:]
+        rest = [
+            _unquote_literal(a, "funnel step/mode expression")
+            for a in args[3:]
         ]
+        steps, modes = rest[:n], [m.upper() for m in rest[n:]]
         if len(steps) != n:
             raise ValueError(
-                f"FUNNEL{kind}: numberSteps={n} but {len(steps)} step "
+                f"FUNNEL{kind}: numberSteps={n} but only {len(steps)} step "
                 "expressions given"
             )
-        ev = ", ".join(
+        for m in modes:
+            if m not in ("STRICT_INCREASE", "KEEP_ALL"):
+                raise ValueError(
+                    f"FUNNEL{kind}: unsupported mode {m!r} (supported: "
+                    "default, KEEP_ALL, STRICT_INCREASE)"
+                )
+        cmp = ">" if "STRICT_INCREASE" in modes else ">="
+        any_step = " OR ".join(f"({e})" for e in steps)
+        ev_struct = ", ".join(
             [f"cast({ts} as timestamp) as _ts"]
             + [f"({e}) as _s{i + 1}" for i, e in enumerate(steps)]
         )
-        init = ", ".join(
-            f"cast(null as timestamp) as t{i + 1}" for i in range(n)
+        collected = (
+            f"array_sort(collect_list("
+            f"CASE WHEN {any_step} THEN struct({ev_struct}) END))"
         )
+        counter = kind == "COMPLETECOUNT"
+        init_fields = [
+            f"cast(null as timestamp) as t{i + 1}" for i in range(n)
+        ] + (["cast(0 as bigint) as _c"] if counter else [])
         adv = []
         for i in range(n):
             cond = f"s.t{i + 1} IS NULL AND e._s{i + 1}"
             if i > 0:
-                cond += f" AND s.t{i} IS NOT NULL AND e._ts > s.t{i}"
+                cond += f" AND s.t{i} IS NOT NULL AND e._ts {cmp} s.t{i}"
                 if window_ms > 0:
                     cond += (
                         f" AND e._ts <= s.t1 + "
@@ -224,26 +245,45 @@ def _funnel(kind: str):
             adv.append(
                 f"CASE WHEN {cond} THEN e._ts ELSE s.t{i + 1} END as t{i + 1}"
             )
-        max_step = " + ".join(
-            f"CASE WHEN s.t{i + 1} IS NOT NULL THEN 1 ELSE 0 END"
-            for i in range(n)
-        )
-        if kind == "MAXSTEP":
-            finish = f"s -> {max_step}"
-        elif kind == "MATCHSTEP":
-            flags = ", ".join(
-                f"CASE WHEN s.t{i + 1} IS NOT NULL THEN 1 ELSE 0 END"
-                for i in range(n)
+        if counter:
+            # the step-N advance condition firing IS a completion: count it
+            # and reset so the NEXT pass through the funnel counts too
+            complete_cond = f"s.t{n} IS NULL AND e._s{n}"
+            if n > 1:
+                complete_cond += (
+                    f" AND s.t{n - 1} IS NOT NULL AND e._ts {cmp} s.t{n - 1}"
+                )
+                if window_ms > 0:
+                    complete_cond += (
+                        f" AND e._ts <= s.t1 + "
+                        f"make_dt_interval(0, 0, 0, {window_ms / 1000.0!r})"
+                    )
+            reset = ", ".join(
+                [f"cast(null as timestamp) as t{i + 1}" for i in range(n)]
+                + ["s._c + 1 as _c"]
             )
-            finish = f"s -> array({flags})"
-        else:  # COMPLETECOUNT: 1 when the group completed every step
-            finish = f"s -> CASE WHEN s.t{n} IS NOT NULL THEN 1 ELSE 0 END"
+            step_expr = (
+                f"(s, e) -> CASE WHEN {complete_cond} "
+                f"THEN struct({reset}) "
+                f"ELSE struct({', '.join(adv)}, s._c as _c) END"
+            )
+            finish = "s -> s._c"
+        else:
+            step_expr = f"(s, e) -> struct({', '.join(adv)})"
+            if kind == "MAXSTEP":
+                finish = "s -> " + " + ".join(
+                    f"CASE WHEN s.t{i + 1} IS NOT NULL THEN 1 ELSE 0 END"
+                    for i in range(n)
+                )
+            else:  # MATCHSTEP
+                flags = ", ".join(
+                    f"CASE WHEN s.t{i + 1} IS NOT NULL THEN 1 ELSE 0 END"
+                    for i in range(n)
+                )
+                finish = f"s -> array({flags})"
         return (
-            f"aggregate("
-            f"array_sort(collect_list(struct({ev}))), "
-            f"struct({init}), "
-            f"(s, e) -> struct({', '.join(adv)}), "
-            f"{finish})"
+            f"aggregate({collected}, struct({', '.join(init_fields)}), "
+            f"{step_expr}, {finish})"
         )
 
     return build
@@ -294,8 +334,18 @@ _REWRITES: dict = {
     "DISTINCTCOUNTBITMAP": _exact_distinct,
     "DISTINCTCOUNTSMARTHLL": _exact_distinct,
     "SEGMENTPARTITIONEDDISTINCTCOUNT": _exact_distinct,
-    "DISTINCTCOUNTHLL": lambda a: f"approx_count_distinct({a[0]})",
-    "DISTINCTCOUNTRAWHLL": lambda a: f"approx_count_distinct({a[0]})",
+    # DataSketches HLL, NOT approx_count_distinct: the star-tree HLL cells
+    # and the RollupRouter's scan fallback both use hll_sketch_agg, and
+    # union-of-sketches == sketch-of-union for it — so the routed answer,
+    # the useStarTree=false cross-check, and any unroutable shape all
+    # return the SAME estimate (round-6 review: two estimator families
+    # made the cross-check disagree with the routed answer)
+    "DISTINCTCOUNTHLL": lambda a: (
+        f"hll_sketch_estimate(hll_sketch_agg({a[0]}))"
+    ),
+    "DISTINCTCOUNTRAWHLL": lambda a: (
+        f"hll_sketch_estimate(hll_sketch_agg({a[0]}))"
+    ),
     "DISTINCTCOUNTHLLMV": lambda a: (
         f"size(array_distinct(flatten(collect_set({a[0]}))))"
     ),

@@ -217,9 +217,15 @@ _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
      "unix_millis(now()) - cast((CASE WHEN upper(iso) NOT RLIKE '^[+-]?P(-?[0-9]+D)?(T(-?[0-9]+H)?(-?[0-9]+M)?(-?[0-9]+([.][0-9]+)?S)?)?$' OR upper(iso) NOT RLIKE '[DHMS]' THEN cast(raise_error(concat('AGO: unparseable ISO-8601 duration ', iso)) as bigint) ELSE (CASE WHEN iso LIKE '-%' THEN -1 ELSE 1 END) * (coalesce(try_cast(regexp_extract(upper(iso), 'P(-?[0-9]+)D', 1) as bigint), 0) * 86400000 + coalesce(try_cast(regexp_extract(upper(iso), 'T(-?[0-9]+)H', 1) as bigint), 0) * 3600000 + coalesce(try_cast(regexp_extract(upper(iso), 'T(?:-?[0-9]+H)?(-?[0-9]+)M', 1) as bigint), 0) * 60000 + coalesce(try_cast(regexp_extract(upper(iso), '(-?[0-9.]+)S', 1) as double), 0) * 1000) END) as bigint)"),
     ("TEXTCONTAINS", "s STRING, sub STRING", "BOOLEAN", "contains(s, sub)"),
     # round(v, n) needs a FOLDABLE scale, which a function parameter is
-    # not — spell HALF_UP rounding arithmetically (Pinot's RoundingMode)
+    # not — spell HALF_UP rounding arithmetically (Pinot's RoundingMode).
+    # The multiply runs in DECIMAL: double->decimal cast goes through the
+    # shortest decimal representation (like BigDecimal.valueOf, which
+    # Pinot rounds on), so 1.005 rounds to 1.01, not the binary-double
+    # 1.00499... artifact (round-6 review)
     ("ROUNDDECIMAL", "v DOUBLE, n INT", "DOUBLE",
-     "sign(v) * floor(abs(v) * power(10, n) + 0.5) / power(10, n)"),
+     "cast(sign(v) * floor(abs(cast(v as decimal(25,12)))"
+     " * cast(power(10, n) as decimal(12,0)) + 0.5) / power(10, n)"
+     " as double)"),
     # 2-arg form returns the WHOLE match (group 0) — Pinot's
     # regexpExtract(value, regexp) default; group selection is the 3-arg
     # REGEXPEXTRACTGROUP (round-6 review: group 1 threw on group-less

@@ -17,7 +17,8 @@ from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import 
     "src,want",
     [
         ("SELECT DISTINCTCOUNT(u) FROM t", "SELECT count(DISTINCT u) FROM t"),
-        ("SELECT distinctcounthll(u, 12) FROM t", "SELECT approx_count_distinct(u) FROM t"),
+        ("SELECT distinctcounthll(u, 12) FROM t",
+         "SELECT hll_sketch_estimate(hll_sketch_agg(u)) FROM t"),
         ("SELECT PERCENTILE(v, 90) FROM t", "SELECT percentile(v, 0.9) FROM t"),
         # Spark-style fractional percentile is NOT re-scaled
         ("SELECT percentile(v, 0.5) FROM t", "SELECT percentile(v, 0.5) FROM t"),
@@ -61,7 +62,8 @@ def agg_engine(spark, tmp_path_factory):
     [
         ("DISTINCTCOUNT(u)", "count(DISTINCT u)"),
         ("DISTINCTCOUNTBITMAP(u)", "count(DISTINCT u)"),
-        ("DISTINCTCOUNTHLL(u)", "approx_count_distinct(u)"),
+        ("DISTINCTCOUNTHLL(u)", "hll_sketch_estimate(hll_sketch_agg(u))"),
+        ("DISTINCTCOUNTRAWHLL(u)", "hll_sketch_estimate(hll_sketch_agg(u))"),
         ("DISTINCTSUM(u)", "sum(DISTINCT u)"),
         ("DISTINCTAVG(u)", "avg(DISTINCT u)"),
         ("MINMAXRANGE(v)", "max(v) - min(v)"),
@@ -308,3 +310,38 @@ def test_funnel_sql_spellings_match_funnel_state(spark, agg_engine):
         R("SELECT FUNNELMAXSTEP(ts, '0', 3, 'a=1') FROM t")
     with pytest.raises(ValueError, match="literal"):
         R("SELECT FUNNELMAXSTEP(ts, w, 1, 'a=1') FROM t")
+    # trailing MODE literals parse: STRICT_INCREASE accepted, unknown loud
+    assert "aggregate" in R(
+        "SELECT FUNNELMAXSTEP(ts, '0', 1, 'a=1', 'STRICT_INCREASE') FROM t"
+    )
+    with pytest.raises(ValueError, match="unsupported mode"):
+        R("SELECT FUNNELMAXSTEP(ts, '0', 1, 'a=1', 'STRICT_ORDER') FROM t")
+
+
+def test_funnel_complete_count_counts_every_completion(spark, agg_engine):
+    """FUNNELCOMPLETECOUNT resets the funnel state after each completion
+    (round-6 review): a group completing the funnel twice counts 2, not 1;
+    non-matching events fold to dropped NULLs (bounded per-group memory)."""
+    rows = [
+        ("2024-06-01 10:00:00", "view", 1),
+        ("2024-06-01 10:01:00", "click", 1),
+        ("2024-06-01 11:00:00", "view", 1),
+        ("2024-06-01 11:01:00", "click", 1),
+        ("2024-06-01 10:00:00", "view", 2),
+        ("2024-06-01 10:05:00", "click", 2),
+        ("2024-06-01 10:00:00", "view", 3),
+        ("2024-06-01 10:00:00", "other", 4),
+    ]
+    spark.createDataFrame(rows, "ts string, ev string, u int").selectExpr(
+        "u", "cast(ts as timestamp) AS ts", "ev"
+    ).createOrReplaceTempView("fev2")
+    view_step = "'ev = ''view'''"
+    click_step = "'ev = ''click'''"
+    got = {
+        r["u"]: r["c"]
+        for r in agg_engine.query(
+            "SELECT u, FUNNELCOMPLETECOUNT(ts, '0', 2, "
+            + view_step + ", " + click_step + ") AS c FROM fev2 GROUP BY u"
+        ).collect()
+    }
+    assert got == {1: 2, 2: 1, 3: 0, 4: 0}

@@ -3623,12 +3623,15 @@ def test_star_tree_hll_metric_end_to_end(spark, tmp_path):
         assert got == want
         # estimates are sane: 40+25 events over ~100-key userID space
         assert all(0 < u <= 70 for u, _ in got.values())
-        # the raw-scan cross-check path still answers (different estimator
-        # family is fine there: approx_count_distinct via the agg rewrite)
+        # the useStarTree=false cross-check now answers with the SAME
+        # DataSketches estimator (round-6 review), so it must EQUAL the
+        # routed answer, which is the whole point of the cross-check
         scan_df, scan_route = engine.query_routed(
             f"SET useStarTree=false; {q}"
         )
-        assert scan_route == "sql" and scan_df.count() == len(got)
+        assert scan_route == "sql"
+        scan_vals = {r["campaign"]: (r["u"], r["rev"]) for r in scan_df.collect()}
+        assert scan_vals == got
         # RAWHLL spelling routes to the same cells
         _, route2 = engine.query_routed(
             "SELECT campaign, DISTINCTCOUNTRAWHLL(userID) AS u "
@@ -3719,5 +3722,28 @@ def test_explain_covers_engine_sql_forms(spark, tmp_path):
             "EXPLAIN PLAN FOR SELECT DISTINCTCOUNT(userID) AS d FROM exTable"
         ).collect()
         assert any("HashAggregate" in r["Operator"] for r in rows2)
+        # LOOKUP explains through _sql_without_union_pushdown on re-entry
+        # (round-6 review: the post-rewrite EXPLAIN ordering lost
+        # has_lookup and crashed planning over hybrid unions)
+        dim = spark.createDataFrame(
+            [("BlackFriday", "alex")], "campaign string, owner string"
+        )
+        engine.add_dim_table(
+            {
+                "schemaName": "exDim",
+                "dimensionFieldSpecs": [
+                    {"name": "campaign", "dataType": "STRING"},
+                    {"name": "owner", "dataType": "STRING"},
+                ],
+                "primaryKeyColumns": ["campaign"],
+            },
+            {"tableName": "exDim", "tableType": "OFFLINE", "isDimTable": True},
+            dim,
+        )
+        rows3 = engine.query(
+            "EXPLAIN PLAN FOR SELECT LOOKUP('exDim','owner','campaign', "
+            "campaign) AS o, count(*) AS n FROM exTable GROUP BY 1"
+        ).collect()
+        assert rows3 and rows3[0]["Parent_Id"] == -1
     finally:
         pipe.stop()
