@@ -2782,8 +2782,28 @@ class Engine:
         # expressions **[P1.2]** — SQL macros cannot be aggregates, so the
         # wire surface rewrites call sites textually (quote-aware,
         # functions/aggsql.py)
-        from .functions.aggsql import rewrite_pinot_aggregates
+        from .functions.aggsql import (
+            rewrite_mv_distinct_statement,
+            rewrite_pinot_aggregates,
+        )
 
+        # DISTINCTCOUNTHLLMV/DISTINCTCOUNTMV statements route to the
+        # bounded exploded plan FIRST (hll_sketch_agg / count(DISTINCT)
+        # over LATERAL VIEW POSEXPLODE elements — per-group state is the
+        # sketch/distinct-element set, never a set of whole arrays); the
+        # route bails (None) on shapes it cannot restructure and those
+        # fall through to the normalized-set call-site fallback.  Same
+        # analyze-cleanly-or-original-stands contract as the table-ref
+        # rewrites.
+        routed_mv = rewrite_mv_distinct_statement(sql)
+        if routed_mv is not None:
+            try:
+                self.spark.sql(rewrite_pinot_aggregates(routed_mv))
+                sql = routed_mv
+            except ValueError:
+                raise  # loud arity/shape errors must surface, not fall back
+            except Exception:
+                pass
         sql = rewrite_pinot_aggregates(sql)
         # EXPLAIN must strip BEFORE the LOOKUP rewrite: explain_plan builds
         # the frame by re-entering query(), which needs to see the ORIGINAL

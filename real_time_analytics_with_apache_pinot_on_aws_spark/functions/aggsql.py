@@ -289,6 +289,101 @@ def _funnel(kind: str):
     return build
 
 
+def _funnelcount(args: list[str]) -> str:
+    """Pinot's primary funnel aggregate **[P1.2]**:
+    ``FUNNELCOUNT(STEPS(pred1, ..., predN), CORRELATE_BY(col)
+    [, SETTINGS('strategy', ...)])`` -> ``array<bigint>`` of size N where
+    ``count_i`` = distinct correlators matching steps 1..i (Pinot's
+    bitmap strategy is a cumulative per-step bitmap INTERSECTION — set
+    semantics, no event-time ordering, unlike FUNNELMAXSTEP).
+
+    Emitted as ONE aggregate expression in the same style as
+    :func:`_funnel`: collect the DISTINCT (correlator, step-flag-combo)
+    entries among step-matching rows (<= 2^N entries per correlator —
+    per-group state is bounded by correlators, exactly Pinot's bitmap
+    state), sort so a correlator's entries are adjacent (struct ordering
+    is field-lexicographic), then fold: OR the flag combos per
+    correlator and, at each correlator boundary, add its prefix-AND
+    reached flags into the running counts.  The fold carries the
+    correlator key cast to STRING so the state struct is typable without
+    knowing the column's type at rewrite time (equality is preserved —
+    one column, one deterministic cast).  NULL correlators are excluded,
+    matching COUNT(DISTINCT ...) null semantics.  ``SETTINGS`` is
+    accepted and ignored: its literals are Pinot execution-strategy
+    HINTS (bitmap/theta_sketch/partitioned/sorted), not semantics — the
+    fold is exact.
+    """
+    clauses: dict[str, str] = {}
+    for a in args:
+        m = re.match(r"\s*([A-Za-z_]\w*)\s*\(", a)
+        if not m:
+            raise ValueError(
+                f"FUNNELCOUNT clause must be STEPS(...)/CORRELATE_BY(...)"
+                f"/SETTINGS(...), got: {a.strip()!r}"
+            )
+        inner, end = _scan_balanced(a, m.end() - 1)
+        name = m.group(1).upper()
+        if name not in ("STEPS", "CORRELATE_BY", "SETTINGS"):
+            raise ValueError(f"FUNNELCOUNT: unknown clause {name}")
+        if name in clauses:
+            raise ValueError(f"FUNNELCOUNT: duplicate {name} clause")
+        if a[end:].strip():
+            raise ValueError(
+                f"FUNNELCOUNT: trailing text after {name}(...): "
+                f"{a[end:].strip()!r}"
+            )
+        clauses[name] = inner
+    if "STEPS" not in clauses or "CORRELATE_BY" not in clauses:
+        raise ValueError(
+            "FUNNELCOUNT requires both STEPS(...) and CORRELATE_BY(...)"
+        )
+    steps = [s.strip() for s in _split_top_level_commas(clauses["STEPS"])]
+    if not steps or not all(steps):
+        raise ValueError("FUNNELCOUNT: STEPS(...) needs >= 1 predicate")
+    corr = clauses["CORRELATE_BY"].strip()
+    if not corr or "," in corr:
+        raise ValueError(
+            "FUNNELCOUNT: CORRELATE_BY(...) takes exactly one column"
+        )
+    n = len(steps)
+    any_step = " OR ".join(f"({e})" for e in steps)
+    ev = ", ".join(
+        [f"({corr}) as _k"]
+        + [f"coalesce(({e}), false) as _s{i + 1}" for i, e in enumerate(steps)]
+    )
+    collected = (
+        f"array_sort(collect_set(CASE WHEN ({corr}) IS NOT NULL "
+        f"AND ({any_step}) THEN struct({ev}) END))"
+    )
+    init = ", ".join(
+        ["cast(null as string) as _k"]
+        + [f"false as m{i + 1}" for i in range(n)]
+        + [f"cast(0 as bigint) as c{i + 1}" for i in range(n)]
+    )
+
+    def flush(i: int) -> str:
+        reached = " AND ".join(f"s.m{j + 1}" for j in range(i + 1))
+        return f"(s.c{i + 1} + (CASE WHEN {reached} THEN 1 ELSE 0 END))"
+
+    same_fields = ", ".join(
+        ["s._k as _k"]
+        + [f"(s.m{i + 1} OR e._s{i + 1}) as m{i + 1}" for i in range(n)]
+        + [f"s.c{i + 1} as c{i + 1}" for i in range(n)]
+    )
+    new_fields = ", ".join(
+        ["cast(e._k as string) as _k"]
+        + [f"e._s{i + 1} as m{i + 1}" for i in range(n)]
+        + [f"{flush(i)} as c{i + 1}" for i in range(n)]
+    )
+    step_expr = (
+        f"(s, e) -> CASE WHEN s._k IS NOT NULL "
+        f"AND s._k = cast(e._k as string) "
+        f"THEN struct({same_fields}) ELSE struct({new_fields}) END"
+    )
+    finish = "s -> array(" + ", ".join(flush(i) for i in range(n)) + ")"
+    return f"aggregate({collected}, struct({init}), {step_expr}, {finish})"
+
+
 _JSON_TYPES = {
     "INT": "INT",
     "LONG": "BIGINT",
@@ -326,6 +421,7 @@ def _jsonextractscalar(args: list[str]) -> str:
 
 _REWRITES: dict = {
     "DATETIMECONVERT": _datetimeconvert,
+    "FUNNELCOUNT": _funnelcount,
     "FUNNELMAXSTEP": _funnel("MAXSTEP"),
     "FUNNELMATCHSTEP": _funnel("MATCHSTEP"),
     "FUNNELCOMPLETECOUNT": _funnel("COMPLETECOUNT"),
@@ -346,11 +442,26 @@ _REWRITES: dict = {
     "DISTINCTCOUNTRAWHLL": lambda a: (
         f"hll_sketch_estimate(hll_sketch_agg({a[0]}))"
     ),
+    # *MV distinct FALLBACK expressions — the statement-level route
+    # (rewrite_mv_distinct_statement, applied first by Engine.query)
+    # serves the bounded exploded plan; these call-site forms only fire
+    # for shapes that route cannot restructure (subqueries, joins,
+    # windows).  Each collected array is normalized (sorted + deduped)
+    # BEFORE collect_set so per-group state is bounded by distinct
+    # element-SETS, not distinct array permutations/duplications; Pinot
+    # MV columns hold primitive types only **[P1.2]**, so array_sort is
+    # always valid.  NOTE the divergence: Pinot's HLL-named spelling
+    # promises constant sketch memory — this exact fallback does not
+    # (many distinct element-sets per group still accumulate), which is
+    # why the engine routes every routable statement to hll_sketch_agg
+    # over exploded elements instead.
     "DISTINCTCOUNTHLLMV": lambda a: (
-        f"size(array_distinct(flatten(collect_set({a[0]}))))"
+        "size(array_distinct(flatten(collect_set("
+        f"array_distinct(array_sort({a[0]}))))))"
     ),
     "DISTINCTCOUNTMV": lambda a: (
-        f"size(array_distinct(flatten(collect_set({a[0]}))))"
+        "size(array_distinct(flatten(collect_set("
+        f"array_distinct(array_sort({a[0]}))))))"
     ),
     "DISTINCTSUM": lambda a: f"sum(DISTINCT {a[0]})",
     "DISTINCTAVG": lambda a: f"avg(DISTINCT {a[0]})",
@@ -486,4 +597,286 @@ def rewrite_pinot_aggregates(sql: str) -> str:
             continue
         out.append(ch)
         i += 1
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Statement-level *MV distinct route (bounded plan)
+# ---------------------------------------------------------------------------
+#
+# DISTINCTCOUNTHLLMV/DISTINCTCOUNTMV cannot be served by a bounded
+# CALL-SITE rewrite: counting distinct ELEMENTS of a multi-value column
+# per group needs either the exploded elements (a FROM-clause change) or
+# per-group set-of-arrays state (unbounded — the round-6 verdict's
+# executor-OOM shape).  So Engine.query routes whole statements: a
+# single-table SELECT grows one LATERAL VIEW OUTER POSEXPLODE per
+# distinct MV argument, the MV calls become hll_sketch_agg /
+# count(DISTINCT ...) over the exploded element (HLL state is the
+# bounded sketch the spelling's name promises), and every co-occurring
+# aggregate is kept duplication-correct: DUPLICATION-IMMUNE aggregates
+# (min/max/any distinct-based form/min_by/...) pass through, WRAPPABLE
+# ones (count/sum/avg/...) see only the pos-0 exploded copy of each row
+# via IF(first-copy, arg, NULL), and anything duplication-UNSAFE
+# (percentiles, stddev, collect_list, funnels ...) makes the route bail
+# to the normalized-set fallback expression above.  Shapes the route
+# cannot restructure (WITH/JOIN/UNION/subqueries/windows/multi-table
+# FROM) also bail.  The caller (Engine.query) additionally requires the
+# routed statement to ANALYZE cleanly or the original stands — the same
+# contract as every other statement rewrite.
+
+_MV_DISTINCT_BUILDERS = {
+    "DISTINCTCOUNTHLLMV": (
+        lambda e: f"hll_sketch_estimate(hll_sketch_agg({e}))"
+    ),
+    "DISTINCTCOUNTMV": lambda e: f"count(DISTINCT {e})",
+}
+
+# result unchanged when input rows are duplicated (distinct-based state,
+# or order-free extremes over identical copies)
+_DUP_IMMUNE_AGGS = frozenset(
+    """MIN MAX MIN_BY MAX_BY ANY SOME EVERY BOOL_AND BOOL_OR ANY_VALUE
+    FIRST FIRST_VALUE LAST LAST_VALUE COLLECT_SET BIT_AND BIT_OR
+    APPROX_COUNT_DISTINCT HLL_SKETCH_AGG HLL_UNION_AGG MINMV MAXMV
+    MINMAXRANGE MINMAXRANGEMV DISTINCTCOUNT DISTINCTCOUNTBITMAP
+    DISTINCTCOUNTSMARTHLL SEGMENTPARTITIONEDDISTINCTCOUNT
+    DISTINCTCOUNTHLL DISTINCTCOUNTRAWHLL DISTINCTSUM DISTINCTAVG
+    FIRSTWITHTIME LASTWITHTIME""".split()
+)
+
+# correct once the argument is masked to the first exploded copy
+_DUP_WRAP_AGGS = frozenset(
+    """COUNT SUM AVG MEAN TRY_SUM TRY_AVG SUMPRECISION COUNTMV SUMMV
+    AVGMV COUNT_IF""".split()
+)
+
+# row-weight- or order-sensitive state the first-copy mask cannot fix
+# inside a single expression; also FUNNEL* (collect event lists)
+_DUP_UNSAFE_AGGS = frozenset(
+    """PERCENTILE PERCENTILEEST PERCENTILETDIGEST PERCENTILEKLL
+    PERCENTILESMARTTDIGEST PERCENTILE_APPROX APPROX_PERCENTILE
+    PERCENTILE_CONT PERCENTILE_DISC MEDIAN MODE STDDEV STDDEV_POP
+    STDDEV_SAMP STD VARIANCE VAR_POP VAR_SAMP SKEWNESS KURTOSIS CORR
+    COVAR_POP COVAR_SAMP COLLECT_LIST ARRAY_AGG LISTAGG STRING_AGG
+    BIT_XOR HISTOGRAM_NUMERIC COUNT_MIN_SKETCH GROUPING GROUPING_ID
+    REGR_AVGX REGR_AVGY REGR_COUNT REGR_INTERCEPT REGR_R2 REGR_SLOPE
+    REGR_SXX REGR_SXY REGR_SYY FUNNELCOUNT FUNNELMAXSTEP
+    FUNNELMATCHSTEP FUNNELCOMPLETECOUNT""".split()
+)
+
+_KNOWN_AGG_NAMES = (
+    _DUP_IMMUNE_AGGS
+    | _DUP_WRAP_AGGS
+    | _DUP_UNSAFE_AGGS
+    | frozenset(_MV_DISTINCT_BUILDERS)
+)
+
+_MV_GATE_RE = re.compile(r"\bDISTINCTCOUNT(?:HLL)?MV\s*\(", re.IGNORECASE)
+
+_MV_STMT_TOPKW_RE = re.compile(
+    r"\b(FROM|WHERE|GROUP|HAVING|ORDER|LIMIT|JOIN|UNION|EXCEPT|"
+    r"INTERSECT|MINUS|LATERAL|VALUES|SELECT|DISTRIBUTE|CLUSTER|SORT|"
+    r"WINDOW|QUALIFY|TABLESAMPLE|PIVOT|UNPIVOT|OFFSET)\b",
+    re.IGNORECASE,
+)
+
+_MV_ANYDEPTH_BAIL_RE = re.compile(
+    r"\b(OVER|ROLLUP|CUBE|GROUPING)\b", re.IGNORECASE
+)
+
+_MV_AGG_IN_ARG_RE = re.compile(
+    r"\b(" + "|".join(sorted(_KNOWN_AGG_NAMES)) + r")\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _scan_call_sites(sql: str) -> list:
+    """(name, start, open_paren_idx, inner, end_past_close) for every
+    ``ident(`` site at EVERY nesting depth; literal content is opaque."""
+    sites = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            i = _skip_literal(sql, i)
+            continue
+        m = _IDENT_CALL_RE.match(sql, i)
+        if m and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+            k = m.end()
+            while k < n and sql[k] in " \t\r\n":
+                k += 1
+            if k < n and sql[k] == "(":
+                inner, end = _scan_balanced(sql, k)
+                sites.append((m.group(0), i, k, inner, end))
+            i = m.end()
+            continue
+        i += 1
+    return sites
+
+
+def _top_level_keywords(sql: str) -> list:
+    """(KEYWORD_UPPER, start, end) for clause keywords at paren depth 0
+    outside literals."""
+    hits = []
+    depth, i, n = 0, 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            i = _skip_literal(sql, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = _MV_STMT_TOPKW_RE.match(sql, i)
+            if m and (
+                i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")
+            ):
+                hits.append((m.group(0).upper(), i, m.end()))
+                i = m.end()
+                continue
+        i += 1
+    return hits
+
+
+def _search_unquoted_re(pattern: "re.Pattern", sql: str) -> bool:
+    i, n = 0, len(sql)
+    while i < n:
+        if sql[i] in ("'", '"'):
+            i = _skip_literal(sql, i)
+            continue
+        m = pattern.match(sql, i)
+        if m and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+            return True
+        i += 1
+    return False
+
+
+def rewrite_mv_distinct_statement(sql: str):
+    """Return the exploded-plan statement for a routable *MV-distinct
+    statement, or ``None`` when the shape is unsupported (module
+    docstring above the tables has the full contract)."""
+    if not _MV_GATE_RE.search(sql):
+        return None
+    if "__mv" in sql:
+        return None
+    if not re.match(r"\s*SELECT\b", sql, re.IGNORECASE):
+        return None
+    if re.match(r"\s*SELECT\s+DISTINCT\b", sql, re.IGNORECASE):
+        return None
+    if _search_unquoted_re(_MV_ANYDEPTH_BAIL_RE, sql):
+        return None
+    kws = _top_level_keywords(sql)
+    names = [k[0] for k in kws]
+    if names.count("SELECT") != 1:
+        return None
+    # any SELECT at depth > 0 (subquery) also bails
+    if _search_unquoted_re(
+        re.compile(r"\bSELECT\b", re.IGNORECASE), sql[kws[0][2]:]
+    ):
+        return None
+    for bad in (
+        "JOIN", "UNION", "EXCEPT", "INTERSECT", "MINUS", "LATERAL",
+        "VALUES", "DISTRIBUTE", "CLUSTER", "WINDOW", "QUALIFY",
+        "TABLESAMPLE", "PIVOT", "UNPIVOT",
+    ):
+        if bad in names:
+            return None
+    if names.count("FROM") != 1:
+        return None
+    from_i = names.index("FROM")
+    from_end = kws[from_i][2]
+    next_start = kws[from_i + 1][1] if from_i + 1 < len(kws) else len(sql)
+    from_text = sql[from_end:next_start]
+    m = re.fullmatch(
+        r"\s*([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s*",
+        from_text,
+        re.IGNORECASE,
+    )
+    if m is None or "," in from_text:
+        return None
+    sites = _scan_call_sites(sql)
+    mv_sites, wrap_sites = [], []
+    for s in sites:
+        u = s[0].upper()
+        if u in _MV_DISTINCT_BUILDERS:
+            mv_sites.append(s)
+        elif u in _DUP_UNSAFE_AGGS:
+            return None
+        elif u in _DUP_WRAP_AGGS:
+            wrap_sites.append(s)
+    if not mv_sites:
+        return None
+    # nested MV calls inside another recorded call (or vice versa) are
+    # either invalid SQL (nested aggregates) or shapes this route cannot
+    # keep correct: bail
+    for _, ws, _, _, we in wrap_sites:
+        for _, ms, _, _, me in mv_sites:
+            if ws < ms < we or ms < ws < me:
+                return None
+    exprs: list = []
+    mv_parsed = []
+    for name, st, op, inner, end in mv_sites:
+        args = (
+            [a.strip() for a in _split_top_level_commas(inner)]
+            if inner.strip()
+            else []
+        )
+        if not args:
+            return None  # the fallback path raises the loud arity error
+        e = args[0]
+        if _MV_AGG_IN_ARG_RE.search(e) or "__mv" in e:
+            return None
+        if e not in exprs:
+            exprs.append(e)
+        mv_parsed.append((name, st, end, e))
+    cond = " AND ".join(
+        f"coalesce(__mv{i}_pos, 0) = 0" for i in range(len(exprs))
+    )
+    edits = []
+    for name, st, end, e in mv_parsed:
+        repl = _MV_DISTINCT_BUILDERS[name.upper()](
+            f"__mv{exprs.index(e)}_elem"
+        )
+        edits.append((st, end, repl))
+    for name, st, op, inner, end in wrap_sites:
+        args = (
+            [a.strip() for a in _split_top_level_commas(inner)]
+            if inner.strip()
+            else []
+        )
+        u = name.upper()
+        if args and re.match(r"DISTINCT\b", args[0], re.IGNORECASE):
+            continue  # distinct-form aggregates are duplication-immune
+        if u == "COUNT" and args == ["*"]:
+            new_inner = f"if({cond}, 1, null)"
+        elif u == "COUNT_IF":
+            if len(args) != 1:
+                return None
+            new_inner = f"(({args[0]}) AND {cond})"
+        else:
+            if not args:
+                return None
+            new_inner = ", ".join(
+                [f"if({cond}, {args[0]}, null)"] + args[1:]
+            )
+        edits.append((op + 1, end - 1, new_inner))
+    lateral = "".join(
+        f" LATERAL VIEW OUTER POSEXPLODE({e}) __mv{i} "
+        f"AS __mv{i}_pos, __mv{i}_elem"
+        for i, e in enumerate(exprs)
+    )
+    insert_at = from_end + m.end(m.lastindex or 1)
+    edits.append((insert_at, insert_at, lateral))
+    # overlapping edits mean a shape the span logic did not anticipate
+    edits.sort(key=lambda t: t[0])
+    for (s1, e1, _), (s2, _, _) in zip(edits, edits[1:]):
+        if s2 < e1:
+            return None
+    out, pos = [], 0
+    for s, e, repl in edits:
+        out.append(sql[pos:s])
+        out.append(repl)
+        pos = e
+    out.append(sql[pos:])
     return "".join(out)

@@ -345,3 +345,208 @@ def test_funnel_complete_count_counts_every_completion(spark, agg_engine):
         ).collect()
     }
     assert got == {1: 2, 2: 1, 3: 0, 4: 0}
+
+
+# ---------------------------------------------------------------------------
+# Statement-level *MV distinct route (round-7: bounded exploded plan)
+# ---------------------------------------------------------------------------
+
+from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (  # noqa: E402
+    rewrite_mv_distinct_statement as RMV,
+)
+
+
+@pytest.mark.parametrize(
+    "src,want",
+    [
+        (
+            "SELECT g, DISTINCTCOUNTHLLMV(tags) AS u FROM t GROUP BY g",
+            "SELECT g, hll_sketch_estimate(hll_sketch_agg(__mv0_elem)) AS u "
+            "FROM t LATERAL VIEW OUTER POSEXPLODE(tags) __mv0 "
+            "AS __mv0_pos, __mv0_elem GROUP BY g",
+        ),
+        # co-occurring wrappable aggregates see only the first exploded copy
+        (
+            "SELECT DISTINCTCOUNTMV(tags) AS v, COUNT(*) AS c FROM t",
+            "SELECT count(DISTINCT __mv0_elem) AS v, "
+            "COUNT(if(coalesce(__mv0_pos, 0) = 0, 1, null)) AS c "
+            "FROM t LATERAL VIEW OUTER POSEXPLODE(tags) __mv0 "
+            "AS __mv0_pos, __mv0_elem",
+        ),
+        # distinct-form aggregates are duplication-immune: not wrapped
+        (
+            "SELECT count(DISTINCT g), DISTINCTCOUNTMV(tags) FROM t",
+            "SELECT count(DISTINCT g), count(DISTINCT __mv0_elem) "
+            "FROM t LATERAL VIEW OUTER POSEXPLODE(tags) __mv0 "
+            "AS __mv0_pos, __mv0_elem",
+        ),
+    ],
+)
+def test_mv_statement_route_text(src, want):
+    assert RMV(src) == want
+
+
+@pytest.mark.parametrize(
+    "src",
+    [
+        # duplication-unsafe co-aggregate -> fallback expression path
+        "SELECT PERCENTILE(v, 90), DISTINCTCOUNTMV(tags) FROM t",
+        # shapes the route cannot restructure
+        "SELECT DISTINCTCOUNTMV(tags) FROM t JOIN d ON t.k = d.k",
+        "SELECT DISTINCTCOUNTMV(tags) FROM (SELECT * FROM t)",
+        "SELECT DISTINCTCOUNTMV(tags) FROM t, u",
+        "SELECT DISTINCTCOUNTMV(tags) OVER () FROM t",
+        "WITH c AS (SELECT 1) SELECT DISTINCTCOUNTMV(tags) FROM t",
+        "SELECT DISTINCT g, DISTINCTCOUNTMV(tags) FROM t GROUP BY g",
+        # no MV call at all
+        "SELECT count(*) FROM t",
+    ],
+)
+def test_mv_statement_route_bails(src):
+    assert RMV(src) is None
+
+
+@pytest.fixture(scope="module")
+def mv_engine(spark, tmp_path_factory):
+    # permuted / subsetted duplicate arrays: the round-6 verdict's
+    # unbounded-state shape (collect_set of whole arrays would hold one
+    # entry per permutation; the routed plan's state is one HLL sketch)
+    spark.sql(
+        """
+        SELECT * FROM VALUES
+         ('a', array(1,2,3), 10.0), ('a', array(3,2,1), 20.0),
+         ('a', array(2,3), 5.0),   ('a', array(4,5), 1.0),
+         ('b', array(7), 2.0),     ('b', array(), 3.0),
+         ('b', cast(null as array<int>), 4.0)
+         AS t(g, tags, amount)
+        """
+    ).createOrReplaceTempView("mvsrc")
+    from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
+
+    return Engine(spark, str(tmp_path_factory.mktemp("mvwh")))
+
+
+def test_mv_route_values_match_exploded_exact(spark, mv_engine):
+    """HLLMV estimate == exploded exact (within rsd; exact here at these
+    cardinalities), MV == exact, and the wrapped co-aggregates are NOT
+    inflated by the explode."""
+    got = {
+        r["g"]: r
+        for r in mv_engine.query(
+            "SELECT g, DISTINCTCOUNTHLLMV(tags) AS u, "
+            "DISTINCTCOUNTMV(tags) AS v, COUNT(*) AS c, SUM(amount) AS s, "
+            "MAX(amount) AS m FROM mvsrc GROUP BY g"
+        ).collect()
+    }
+    want = {
+        r["g"]: r
+        for r in spark.sql(
+            "SELECT g, count(DISTINCT e) AS exact "
+            "FROM mvsrc LATERAL VIEW OUTER explode(tags) x AS e GROUP BY g"
+        ).collect()
+    }
+    plain = {
+        r["g"]: r
+        for r in spark.sql(
+            "SELECT g, count(*) AS c, sum(amount) AS s, max(amount) AS m "
+            "FROM mvsrc GROUP BY g"
+        ).collect()
+    }
+    for g in ("a", "b"):
+        assert got[g]["u"] == want[g]["exact"]  # exact at this cardinality
+        assert got[g]["v"] == want[g]["exact"]
+        assert got[g]["c"] == plain[g]["c"]
+        assert got[g]["s"] == plain[g]["s"]
+        assert got[g]["m"] == plain[g]["m"]
+
+
+def test_mv_route_plan_is_bounded(mv_engine):
+    """The verdict's pin: no collect_set of whole arrays anywhere in the
+    DISTINCTCOUNTHLLMV plan — the state is the HLL sketch over exploded
+    elements (Generate + hll_sketch_agg)."""
+    df = mv_engine.query(
+        "SELECT g, DISTINCTCOUNTHLLMV(tags) AS u FROM mvsrc GROUP BY g"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan
+    assert "hll_sketch_agg" in plan
+    assert "Generate" in plan
+
+
+def test_mv_fallback_expression_is_normalized(spark, mv_engine):
+    """Unroutable shape (subquery): the call-site fallback fires, its
+    collected arrays normalized (sorted+deduped) so permutations of one
+    element set fold to ONE state entry — and the answer still matches."""
+    df = mv_engine.query(
+        "SELECT g, DISTINCTCOUNTMV(tags) AS v FROM (SELECT * FROM mvsrc) "
+        "GROUP BY g"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" in plan and "array_sort" in plan
+    got = {r["g"]: r["v"] for r in df.collect()}
+    assert got == {"a": 5, "b": 1}
+
+
+# ---------------------------------------------------------------------------
+# FUNNELCOUNT (round-7: Pinot's primary funnel aggregate spelling)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def funnel_engine(spark, tmp_path_factory):
+    spark.sql(
+        """
+        SELECT * FROM VALUES
+         (1, 'view'), (1, 'cart'), (1, 'buy'),
+         (2, 'view'), (2, 'cart'),
+         (3, 'view'),
+         (4, 'cart'), (4, 'buy'),
+         (5, 'view'), (5, 'buy'),
+         (cast(null as int), 'view')
+         AS t(uid, ev)
+        """
+    ).createOrReplaceTempView("funnelsrc")
+    from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
+
+    return Engine(spark, str(tmp_path_factory.mktemp("fcwh")))
+
+
+def test_funnelcount_cumulative_intersection(funnel_engine):
+    """Pinot bitmap-strategy semantics: count_i = |distinct correlators
+    matching steps 1..i| (set intersection, no time ordering); NULL
+    correlators excluded; SETTINGS accepted as a no-op hint."""
+    rows = funnel_engine.query(
+        "SELECT FUNNELCOUNT(STEPS(ev = 'view', ev = 'cart', ev = 'buy'), "
+        "CORRELATE_BY(uid), SETTINGS('bitmap')) AS fc FROM funnelsrc"
+    ).collect()
+    # view: {1,2,3,5}; view&cart: {1,2}; view&cart&buy: {1}
+    assert rows[0]["fc"] == [4, 2, 1]
+
+
+def test_funnelcount_group_by(funnel_engine):
+    rows = {
+        r["parity"]: r["fc"]
+        for r in funnel_engine.query(
+            "SELECT uid % 2 AS parity, "
+            "FUNNELCOUNT(STEPS(ev = 'view', ev = 'buy'), CORRELATE_BY(uid)) "
+            "AS fc FROM funnelsrc WHERE uid IS NOT NULL GROUP BY uid % 2"
+        ).collect()
+    }
+    # odd uids {1,3,5}: view {1,3,5}, view&buy {1,5}; even {2,4}: view {2}, none
+    assert rows[1] == [3, 2]
+    assert rows[0] == [1, 0]
+
+
+@pytest.mark.parametrize(
+    "bad,msg",
+    [
+        ("FUNNELCOUNT(STEPS(ev='a'))", "CORRELATE_BY"),
+        ("FUNNELCOUNT(CORRELATE_BY(uid))", "STEPS"),
+        ("FUNNELCOUNT(STEPS(), CORRELATE_BY(uid))", "predicate"),
+        ("FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(uid, ev))", "one column"),
+        ("FUNNELCOUNT(WINDOW(1), CORRELATE_BY(uid))", "unknown clause"),
+    ],
+)
+def test_funnelcount_loud_errors(bad, msg):
+    with pytest.raises(ValueError, match=msg):
+        R(f"SELECT {bad} FROM t")
