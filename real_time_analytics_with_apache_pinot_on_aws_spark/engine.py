@@ -1589,6 +1589,15 @@ class Engine:
             # wrong question; always take the raw-scan path (query() applies
             # the skip-upsert rewrite itself)
             return self.query(orig), "sql"
+        if str(opts.get("enableNullHandling", "true")).lower() == "false":
+            # enableNullHandling=false asks for Pinot's sentinel-substituted
+            # reading of null-enabled storage — star-tree cells aggregate
+            # the null-NATIVE view, so a routed count/min over a nullable
+            # column would silently diverge from query()'s substituted
+            # answer (round-6 ADVICE: same bug class the skipUpsert fence
+            # fixed); always take the raw-scan path, query() applies the
+            # null-disabled rewrite itself
+            return self.query(orig), "sql"
         m = self._AGG_SQL_RE.match(sql)
         if not m:
             return self.query(orig), "sql"
@@ -1967,7 +1976,6 @@ class Engine:
         return out.withColumn("rank", F.row_number().over(w))
 
     _VIRTUAL_COL_RE = re.compile(r"\$(docId|segmentName|hostName)\b")
-    _FROM_TABLE_RE = re.compile(r"\b(FROM|JOIN)\s+(\w+)", re.IGNORECASE)
     _BARE_STAR_RE = re.compile(r"(?:SELECT|,)\s*(?:\w+\s*\.\s*)?\*", re.IGNORECASE)
 
     def _query_virtual_columns(self, sql: str) -> DataFrame:
@@ -2005,15 +2013,25 @@ class Engine:
             | {n for n, c in self.configs.items() if c.is_dim_table}
         )
         views: dict[str, str] = {}
-
-        def _repl(m: "re.Match") -> str:
-            t = m.group(2)
-            if t in known:
-                v = views.setdefault(t, f"__virt_{t}_{_uuid.uuid4().hex[:10]}")
-                return f"{m.group(1)} {v}"
-            return m.group(0)
-
-        rewritten = self._FROM_TABLE_RE.sub(_repl, sql)
+        # comma-continued FROM lists included (round-6 ADVICE: heads-only
+        # matching left "FROM a, b"'s second engine table unresolved)
+        edits = []
+        for start, end, head, tname, alias_text, aname in (
+            self._iter_table_refs(sql, self._literal_spans(sql))
+        ):
+            if tname not in known:
+                continue
+            v = views.setdefault(
+                tname, f"__virt_{tname}_{_uuid.uuid4().hex[:10]}"
+            )
+            edits.append((start, end, f"{head}{v}{alias_text or ''}"))
+        parts, pos = [], 0
+        for start, end, r in edits:
+            parts.append(sql[pos:start])
+            parts.append(r)
+            pos = end
+        parts.append(sql[pos:])
+        rewritten = "".join(parts)
         if not views:
             raise ValueError(
                 "virtual columns ($docId/$segmentName/$hostName) are served "
@@ -2809,10 +2827,21 @@ class Engine:
         # the frame by re-entering query(), which needs to see the ORIGINAL
         # statement so a LOOKUP plans through _sql_without_union_pushdown
         # (round-6 review: the post-rewrite ordering lost has_lookup on
-        # re-entry and EXPLAIN over a hybrid LOOKUP crashed in planning)
+        # re-entry and EXPLAIN over a hybrid LOOKUP crashed in planning).
+        # Query OPTIONS are re-prepended to the inner statement: the
+        # option-driven rewrites above are SELECT/WITH-gated so they
+        # no-op'd on the EXPLAIN-prefixed text, and without re-prepending
+        # the re-entry would explain the UN-optioned plan, not the plan
+        # the optioned query runs (round-6 ADVICE)
         m = self._EXPLAIN_RE.match(sql)
         if m:
-            return self.explain_plan(sql[m.end():])
+            inner = sql[m.end():]
+            if _opts:
+                inner = (
+                    "".join(f"SET {k}='{v}'; " for k, v in _opts.items())
+                    + inner
+                )
+            return self.explain_plan(inner)
         has_lookup = False
         if self._LOOKUP_RE.search(sql):
             rewritten = self._rewrite_lookup_calls(sql)
@@ -2917,6 +2946,79 @@ class Engine:
         re.IGNORECASE,
     )
 
+    # comma-continued reference inside a FROM list: ``FROM a, b c, d``
+    # (round-6 ADVICE: heads-only matching left the 2nd+ tables of a
+    # comma list unrewritten, so options partially applied)
+    _TABLE_REF_CONT_RE = re.compile(
+        r"(\s*,\s*)(?P<t>\w+)"
+        r"(?P<alias>\s+(?:AS\s+)?(?P<aname>[A-Za-z_]\w*))?",
+        re.IGNORECASE,
+    )
+
+    def _iter_table_refs(self, sql: str, spans) -> list:
+        """Every FROM/JOIN table reference AND the comma-continued
+        references of FROM lists, as ``(start, end, head, tname,
+        alias_text, aname)`` tuples in statement order.  ``head`` is the
+        verbatim text before the table token (``FROM ``/``JOIN ``/
+        ``, ``); ``aname`` is None when the following word was a clause
+        keyword rather than an alias (the keyword text stays in
+        ``alias_text`` for verbatim preservation).  References inside
+        string literals are skipped; a FROM list's continuation scan
+        stops at the first non-comma token or keyword-alias."""
+        refs = []
+        for m in self._TABLE_REF_RE.finditer(sql):
+            if any(s <= m.start() < e for s, e in spans):
+                continue
+            aname = m.group("aname")
+            if (
+                aname is not None
+                and aname.lower() in self._NON_ALIAS_KEYWORDS
+            ):
+                aname = None
+            refs.append(
+                (
+                    m.start(),
+                    m.end(),
+                    f"{m.group(1)}{m.group(2)}",
+                    m.group("t"),
+                    m.group("alias"),
+                    aname,
+                )
+            )
+            # a keyword "alias" means the clause ended inside this match —
+            # the text after it is WHERE/GROUP/... territory, not a list
+            if m.group("aname") is not None and aname is None:
+                continue
+            if m.group(1).upper() != "FROM":
+                continue  # JOIN never heads a comma list
+            pos = m.end()
+            while True:
+                cm = self._TABLE_REF_CONT_RE.match(sql, pos)
+                if cm is None or any(
+                    s <= cm.start() < e for s, e in spans
+                ):
+                    break
+                c_aname = cm.group("aname")
+                if (
+                    c_aname is not None
+                    and c_aname.lower() in self._NON_ALIAS_KEYWORDS
+                ):
+                    c_aname = None
+                refs.append(
+                    (
+                        cm.start(),
+                        cm.end(),
+                        cm.group(1),
+                        cm.group("t"),
+                        cm.group("alias"),
+                        c_aname,
+                    )
+                )
+                if cm.group("aname") is not None and c_aname is None:
+                    break
+                pos = cm.end()
+        return refs
+
     def _rewrite_table_refs(self, sql: str, targets: dict) -> str:
         """Shared guarded FROM/JOIN table-reference rewriter (round-6
         review: this logic existed as near-copies in the skipUpsert and
@@ -2951,32 +3053,41 @@ class Engine:
             if not any(s <= m.start() < e for s, e in spans):
                 return sql
 
-        def repl(m: re.Match) -> str:
-            if any(s <= m.start() < e for s, e in spans):
-                return m.group(0)
-            sub = targets.get(m.group("t").lower())
+        def ref_repl(
+            head: str, tname: str, alias_text: str, aname: str
+        ) -> str | None:
+            sub = targets.get(tname.lower())
             if sub is None:
-                return m.group(0)
-            aname = m.group("aname")
-            if aname is not None and aname.lower() in self._NON_ALIAS_KEYWORDS:
-                aname = None
+                return None
             # text after the table token that was NOT a real alias (e.g.
             # " WHERE") must be preserved verbatim; a real alias is
             # re-emitted in normalized "AS name" form
-            trailer = "" if aname is not None else (m.group("alias") or "")
-            head = f"{m.group(1)}{m.group(2)}"
+            trailer = "" if aname is not None else (alias_text or "")
             if callable(sub):
                 # inline subselect: always aliased — to the user's alias if
                 # one exists, else to the table's own name so qualified
                 # column references keep resolving
-                return f"{head}{sub()} AS {aname or m.group('t')}{trailer}"
+                return f"{head}{sub()} AS {aname or tname}{trailer}"
             if aname is not None:
                 return f"{head}{sub} AS {aname}"
             return f"{head}{sub}{trailer}"
 
-        rewritten = self._TABLE_REF_RE.sub(repl, sql)
-        if rewritten == sql:
+        edits = []
+        for start, end, head, tname, alias_text, aname in (
+            self._iter_table_refs(sql, spans)
+        ):
+            r = ref_repl(head, tname, alias_text, aname)
+            if r is not None:
+                edits.append((start, end, r))
+        if not edits:
             return sql
+        parts, pos = [], 0
+        for start, end, r in edits:
+            parts.append(sql[pos:start])
+            parts.append(r)
+            pos = end
+        parts.append(sql[pos:])
+        rewritten = "".join(parts)
         try:
             self.spark.sql(rewritten)  # SELECT/WITH only: analysis, no exec
             return rewritten
@@ -3316,7 +3427,11 @@ class Engine:
         watchdog = None
         sc = self.spark.sparkContext
         try:
-            df = self.query(sql)
+            # the job group and watchdog must cover query() itself, not
+            # just the collect: planning can run Spark jobs too (hybrid
+            # time-boundary collect, TEXT_MATCH/JSON_MATCH postings
+            # builds, rewrite analysis probes) and a request slow THERE
+            # must still be cancellable at the deadline (round-6 ADVICE)
             if timeout_ms is not None and timeout_ms > 0:
                 group = f"broker-{_uuid.uuid4().hex[:12]}"
                 sc.setJobGroup(group, f"timeoutMs={timeout_ms}", True)
@@ -3335,6 +3450,7 @@ class Engine:
 
                 watchdog = threading.Thread(target=_watchdog, daemon=True)
                 watchdog.start()
+            df = self.query(sql)
             if groups_limit is not None:
                 rows = df.limit(groups_limit + 1).collect()
                 groups_trimmed = len(rows) > groups_limit

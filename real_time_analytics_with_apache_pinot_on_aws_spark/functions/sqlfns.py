@@ -194,17 +194,79 @@ _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
     ("JSONPATHARRAY", "js STRING, p STRING", "ARRAY<STRING>",
      "from_json(get_json_object(js, p), 'array<string>')"),
     # ---- network (B56 kin) ------------------------------------------------
-    # Pinot isSubnetOf(cidr, address) **[P1.2]** — IPv4 only (IPv6 needs
-    # 128-bit math this macro surface does not carry; documented)
+    # IPv6 plumbing for ISSUBNETOF (round-7: Pinot handles IPv6; the old
+    # macro silently compared garbage on ':' inputs).  128-bit math as a
+    # (hi, lo) BIGINT pair: PINOT_IPV6_PAD expands the '::' compression to
+    # all 8 hex groups ('a::b' splits to groups+1 parts, so the gap is
+    # 9 - size '0:' repetitions), PINOT_IPV6_GROUPS parses them, HI/LO
+    # fold each 4-group half with shiftleft|OR (bit-exact at the signed
+    # boundary, unlike multiply which would overflow).  SQL UDFs may call
+    # previously-registered SQL UDFs — Catalyst inlines the whole chain.
+    (
+        "PINOT_IPV6_PAD",
+        "s STRING",
+        "STRING",
+        "CASE WHEN s = '::' THEN '0:0:0:0:0:0:0:0' "
+        "WHEN startswith(s, '::') THEN concat('0', s) "
+        "WHEN endswith(s, '::') THEN concat(s, '0') ELSE s END",
+    ),
+    (
+        "PINOT_IPV6_GROUPS",
+        "s STRING",
+        "ARRAY<BIGINT>",
+        "transform(split(CASE WHEN contains(PINOT_IPV6_PAD(s), '::') "
+        "THEN replace(PINOT_IPV6_PAD(s), '::', concat(':', "
+        "repeat('0:', 9 - size(split(PINOT_IPV6_PAD(s), ':'))))) "
+        "ELSE PINOT_IPV6_PAD(s) END, ':'), "
+        "g -> cast(conv(g, 16, 10) as bigint))",
+    ),
+    (
+        "PINOT_IPV6_HI",
+        "s STRING",
+        "BIGINT",
+        "shiftleft(PINOT_IPV6_GROUPS(s)[0], 48) | "
+        "shiftleft(PINOT_IPV6_GROUPS(s)[1], 32) | "
+        "shiftleft(PINOT_IPV6_GROUPS(s)[2], 16) | PINOT_IPV6_GROUPS(s)[3]",
+    ),
+    (
+        "PINOT_IPV6_LO",
+        "s STRING",
+        "BIGINT",
+        "shiftleft(PINOT_IPV6_GROUPS(s)[4], 48) | "
+        "shiftleft(PINOT_IPV6_GROUPS(s)[5], 32) | "
+        "shiftleft(PINOT_IPV6_GROUPS(s)[6], 16) | PINOT_IPV6_GROUPS(s)[7]",
+    ),
+    # Pinot isSubnetOf(cidr, address) **[P1.2]** — IPv4 AND IPv6 (round-7;
+    # shiftrightunsigned is the logical shift the unsigned-prefix compare
+    # needs, and Java shift counts wrap at 64 so prefix 0 is special-cased
+    # and prefixes 64/128 land on shift-by-0 full compares).  Mixed
+    # address families and IPv4-embedded-in-IPv6 forms raise loudly —
+    # Pinot throws on those too, and a silent false would hide data bugs.
     (
         "ISSUBNETOF",
         "cidr STRING, ip STRING",
         "BOOLEAN",
-        "CASE WHEN cast(split(cidr, '/')[1] as int) = 0 THEN true "
-        "ELSE shiftright(IP2L_NET, 32 - cast(split(cidr, '/')[1] as int)) "
-        "= shiftright(IP2L_IP, 32 - cast(split(cidr, '/')[1] as int)) END"
+        "CASE "
+        "WHEN contains(cidr, ':') != contains(ip, ':') THEN "
+        "cast(raise_error(concat('ISSUBNETOF: mixed address families: ', "
+        "cidr, ' vs ', ip)) as boolean) "
+        "WHEN contains(cidr, ':') THEN ("
+        "CASE WHEN contains(cidr, '.') OR contains(ip, '.') THEN "
+        "cast(raise_error('ISSUBNETOF: IPv4-embedded-in-IPv6 forms are "
+        "not supported') as boolean) "
+        "WHEN PFX = 0 THEN true "
+        "WHEN PFX <= 64 THEN "
+        "shiftrightunsigned(PINOT_IPV6_HI(split(cidr, '/')[0]), 64 - PFX) "
+        "= shiftrightunsigned(PINOT_IPV6_HI(ip), 64 - PFX) "
+        "ELSE PINOT_IPV6_HI(split(cidr, '/')[0]) = PINOT_IPV6_HI(ip) AND "
+        "shiftrightunsigned(PINOT_IPV6_LO(split(cidr, '/')[0]), 128 - PFX) "
+        "= shiftrightunsigned(PINOT_IPV6_LO(ip), 128 - PFX) END) "
+        "WHEN PFX = 0 THEN true "
+        "ELSE shiftright(IP2L_NET, 32 - PFX) "
+        "= shiftright(IP2L_IP, 32 - PFX) END"
         .replace("IP2L_NET", IP2LONG.format("split(cidr, '/')[0]"))
-        .replace("IP2L_IP", IP2LONG.format("ip")),
+        .replace("IP2L_IP", IP2LONG.format("ip"))
+        .replace("PFX", "cast(split(cidr, '/')[1] as int)"),
     ),
     # ---- misc Pinot spellings (B49-B54 stragglers) ------------------------
     # AGO('PT1H') **[P1.2]**: now minus an ISO-8601 duration, as epoch
@@ -221,11 +283,31 @@ _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
     # The multiply runs in DECIMAL: double->decimal cast goes through the
     # shortest decimal representation (like BigDecimal.valueOf, which
     # Pinot rounds on), so 1.005 rounds to 1.01, not the binary-double
-    # 1.00499... artifact (round-6 review)
+    # 1.00499... artifact (round-6 review).  Round-7 (ADVICE): a NEGATIVE
+    # scale rounds to tens/hundreds via divide-then-multiply (the old
+    # power-cast truncated to decimal 0 and returned 0.0), and |v| >=
+    # 1e13 — past decimal(25,12)'s integer digits — falls back to plain
+    # double arithmetic instead of a NULL-returning overflow cast (at
+    # those magnitudes a double's ulp exceeds the decimal artifacts the
+    # decimal path exists to kill).  decimal(25,12) x decimal(12,0) ->
+    # (38,12) exactly fits Spark's cap; widening either loses scale.
     ("ROUNDDECIMAL", "v DOUBLE, n INT", "DOUBLE",
-     "cast(sign(v) * floor(abs(cast(v as decimal(25,12)))"
+     "CASE"
+     " WHEN n >= 0 AND abs(v) < 1e13 THEN"
+     " cast(sign(v) * floor(abs(cast(v as decimal(25,12)))"
      " * cast(power(10, n) as decimal(12,0)) + 0.5) / power(10, n)"
-     " as double)"),
+     " as double)"
+     " WHEN n >= 0 THEN"
+     " cast(sign(v) * floor(abs(v) * power(10, n) + 0.5) / power(10, n)"
+     " as double)"
+     " WHEN abs(v) < 1e13 THEN"
+     " cast(sign(v) * floor(abs(cast(v as decimal(25,12)))"
+     " / cast(power(10, -n) as decimal(12,0)) + 0.5) * power(10, -n)"
+     " as double)"
+     " ELSE"
+     " cast(sign(v) * floor(abs(v) / power(10, -n) + 0.5) * power(10, -n)"
+     " as double)"
+     " END"),
     # 2-arg form returns the WHOLE match (group 0) — Pinot's
     # regexpExtract(value, regexp) default; group selection is the 3-arg
     # REGEXPEXTRACTGROUP (round-6 review: group 1 threw on group-less

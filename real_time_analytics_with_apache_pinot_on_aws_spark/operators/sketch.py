@@ -256,30 +256,32 @@ def tuple_avg_estimate(tuples: Column | str, k: int = 256) -> Column:
 def tuple_union(a: Column | str, b: Column | str, k: int = 256) -> Column:
     """Union of two Tuple sketches: duplicate key hashes MERGE BY SUMMING
     their values (the Integer-Sum Tuple union rule), then the k smallest
-    survive.  Pure codegen: sort the concatenation by hash, fold adjacent
-    equal-hash entries together, slice k."""
+    survive.  Pure codegen, and LINEAR in the sketch size (round-7: the
+    previous slice+concat fold rebuilt its accumulator every step —
+    O((2k)^2) — harmless at k=256 but a trap at large k): each side's
+    hashes are distinct by construction, so any hash appears at most
+    TWICE in the sorted concatenation, and the merge is one indexed pass
+    that keeps the first entry of each equal-hash run and adds the
+    second's value in (``F.get`` is 0-based and null out-of-bounds, so
+    the boundary probes never raise)."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     merged = F.array_sort(F.concat(ca, cb))
-    empty = F.array().cast("array<struct<_h:bigint,_v:double>>")
-    folded = F.aggregate(
-        merged,
-        empty,
-        lambda acc, x: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1).getField("_h") == x.getField("_h")),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(
-                    F.struct(
-                        x.getField("_h").alias("_h"),
-                        (
-                            F.element_at(acc, -1).getField("_v")
-                            + x.getField("_v")
-                        ).alias("_v"),
-                    )
-                ),
-            ),
-        ).otherwise(F.concat(acc, F.array(x))),
+
+    def entry(x: Column, i: Column) -> Column:
+        h = x.getField("_h")
+        prev = F.get(merged, i - 1)
+        nxt = F.get(merged, i + 1)
+        first_of_run = F.coalesce(prev.getField("_h") != h, F.lit(True))
+        v = x.getField("_v") + F.coalesce(
+            F.when(nxt.getField("_h") == h, nxt.getField("_v")),
+            F.lit(0.0),
+        )
+        return F.when(
+            first_of_run, F.struct(h.alias("_h"), v.alias("_v"))
+        )
+
+    folded = F.filter(
+        F.transform(merged, entry), lambda e: e.isNotNull()
     )
     return F.slice(folded, 1, k)

@@ -550,3 +550,67 @@ def test_funnelcount_group_by(funnel_engine):
 def test_funnelcount_loud_errors(bad, msg):
     with pytest.raises(ValueError, match=msg):
         R(f"SELECT {bad} FROM t")
+
+
+@pytest.mark.parametrize(
+    "expr,want",
+    [
+        # negative scale: HALF_UP to tens/hundreds (round-6 ADVICE: the
+        # old power cast truncated to decimal 0 and returned 0.0)
+        ("ROUNDDECIMAL(1234.5, -1)", 1230.0),
+        ("ROUNDDECIMAL(1235.0, -1)", 1240.0),
+        ("ROUNDDECIMAL(250.0, -2)", 300.0),
+        ("ROUNDDECIMAL(-250.0, -2)", -300.0),
+        ("ROUNDDECIMAL(5.0, -3)", 0.0),
+        ("ROUNDDECIMAL(500.0, -3)", 1000.0),
+        # |v| >= 1e13: past the decimal intermediate — double fallback,
+        # not a NULL-returning overflow cast
+        ("ROUNDDECIMAL(1e14 + 0.5, 0)", 1e14 + 1),
+        ("ROUNDDECIMAL(-1e14, 2)", -1e14),
+        # the decimal HALF_UP path is unchanged
+        ("ROUNDDECIMAL(1.005, 2)", 1.01),
+        ("ROUNDDECIMAL(-1.005, 2)", -1.01),
+    ],
+)
+def test_rounddecimal_edge_scales(spark, agg_engine, expr, want):
+    got = agg_engine.query(f"SELECT {expr} AS x FROM aggsrc LIMIT 1").collect()[0]["x"]
+    assert got is not None
+    assert abs(got - want) < 1e-9, (expr, got, want)
+
+
+@pytest.mark.parametrize(
+    "args,want",
+    [
+        ("'2001:db8::/32', '2001:db8:1:2::3'", True),
+        ("'2001:db8::/32', '2001:db9::1'", False),
+        ("'::/0', 'fe80::1'", True),                       # prefix 0
+        ("'2001:db8:0:0:0:0:0:0/64', '2001:db8::ff'", True),
+        ("'2001:db8::/64', '2001:db8:0:1::1'", False),
+        ("'2001:db8::1/128', '2001:db8::1'", True),        # full-width
+        ("'2001:db8::1/128', '2001:db8::2'", False),
+        ("'fe80::/10', 'fe81::1'", True),                  # hi-half prefix
+        ("'fe80::/10', 'fec0::1'", False),
+        ("'2001:db8::8:0:0/97', '2001:db8::8:7fff:ffff'", True),  # lo-half
+        ("'2001:db8::8:0:0/97', '2001:db8::8:8000:0'", False),
+    ],
+)
+def test_issubnetof_ipv6(agg_engine, args, want):
+    """Round-7: ISSUBNETOF handles IPv6 (128-bit compare as a hi/lo
+    BIGINT pair over '::'-expanded groups), matching Pinot."""
+    got = agg_engine.query(f"SELECT ISSUBNETOF({args}) AS x").collect()[0]["x"]
+    assert got is want
+
+
+@pytest.mark.parametrize(
+    "args,msg",
+    [
+        ("'10.0.0.0/8', '::1'", "mixed address families"),
+        ("'2001:db8::/32', '10.0.0.1'", "mixed address families"),
+        ("'::ffff:10.0.0.1/96', '::ffff:10.0.0.2'", "IPv4-embedded"),
+    ],
+)
+def test_issubnetof_raises_on_unsupported_forms(agg_engine, args, msg):
+    """A silently-false compare would hide data bugs — unsupported
+    address-family combinations raise loudly (Pinot throws too)."""
+    with pytest.raises(Exception, match=msg):
+        agg_engine.query(f"SELECT ISSUBNETOF({args}) AS x").collect()

@@ -507,3 +507,36 @@ def test_url_filter_broadcasts_blocklist_and_never_shuffles_corpus(spark):
         for ln in plan2.splitlines()
     ), plan2
     assert shuffled.where("blocked").count() == 1
+
+
+def test_url_filter_public_suffix_registered_domain(spark):
+    """Round-7 verdict fix: under a two-level public suffix the
+    registered domain is the last THREE labels — one blocklisted
+    example.co.uk blocks its own subdomains but never an unrelated
+    other.co.uk host, and a UT1 row that is itself a public suffix
+    (co.uk) silently matches nothing instead of mass-dropping a ccTLD."""
+    docs = spark.createDataFrame(
+        [
+            (1, "https://shop.example.co.uk/buy"),   # blocklisted reg. domain
+            (2, "https://example.co.uk/"),            # the domain itself
+            (3, "https://other.co.uk/fine"),          # unrelated co.uk host
+            (4, "https://deep.sub.other.com.au/x"),   # com.au three-label
+            (5, "https://www.plain.com/x"),           # gTLD: two-label as before
+            (6, "https://co.uk/"),                    # host IS a public suffix
+        ],
+        "doc_id int, url string",
+    )
+    bl = spark.createDataFrame(
+        [("example.co.uk",), ("co.uk",), ("other.com.au",)], "domain string"
+    )
+    out = {r["doc_id"]: r for r in C.url_filter(docs, bl).collect()}
+    assert out[1]["domain"] == "example.co.uk"
+    assert out[1]["blocked"] is True and out[1]["keep"] is False
+    assert out[2]["domain"] == "example.co.uk" and out[2]["blocked"] is True
+    # the silent-mass-drop shape: other.co.uk must SURVIVE 'co.uk' in UT1
+    assert out[3]["domain"] == "other.co.uk"
+    assert out[3]["blocked"] is False and out[3]["keep"] is True
+    assert out[4]["domain"] == "other.com.au" and out[4]["blocked"] is True
+    assert out[5]["domain"] == "plain.com" and out[5]["blocked"] is False
+    # a bare public-suffix host: two labels, matches the (degenerate) row
+    assert out[6]["domain"] == "co.uk"

@@ -3747,3 +3747,183 @@ def test_explain_covers_engine_sql_forms(spark, tmp_path):
         assert rows3 and rows3[0]["Parent_Id"] == -1
     finally:
         pipe.stop()
+
+
+def test_query_routed_null_handling_option_bypasses_star_tree(spark, tmp_path):
+    """Round-6 ADVICE (medium): query_routed fenced skipUpsert/useStarTree
+    but not enableNullHandling=false — a routed narrow aggregate would
+    serve null-NATIVE star-tree cells while query() serves the
+    sentinel-substituted view.  The option must force the raw-scan path."""
+    import json as _json
+
+    src_dir = tmp_path / "stream_in"
+    config = dict(TABLE_CONFIG)
+    config["tableName"] = "starNull"
+    config["tableIndexConfig"] = {
+        "streamConfigs": {"realtime.segment.flush.threshold.time": "2m"},
+        "starTreeIndexConfigs": [
+            {
+                "dimensionsSplitOrder": ["campaign", "ingest_date"],
+                "functionColumnPairs": ["SUM__price", "COUNT__price", "MIN__price"],
+            }
+        ],
+    }
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    src_dir.mkdir(parents=True, exist_ok=True)
+    rows = [
+        {"userID": "u1", "campaign": "BF", "price": 10.0,
+         "creationTimestamp": "2024-06-01 10:00:00"},
+        # price ABSENT: null-native storage holds NULL; the sentinel view
+        # (enableNullHandling=false) reads metric DOUBLE default 0.0
+        {"userID": "u2", "campaign": "BF",
+         "creationTimestamp": "2024-06-01 10:01:00"},
+    ]
+    (src_dir / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    pipe = engine.add_table(CLICKSTREAM_SCHEMA, config,
+                            RawRecordSource(kind="files", path=str(src_dir)),
+                            available_now=True)
+    try:
+        pipe.process_available()
+        engine.register_view("starNull")
+        sql = ("SELECT campaign, count(price) AS n, min(price) AS lo "
+               "FROM starNull GROUP BY campaign")
+        routed, route = engine.query_routed(sql)
+        assert route == "rollup:startree"
+        r = routed.collect()[0]
+        assert (r["n"], r["lo"]) == (1, 10.0)      # null-native: NULL ignored
+        opted, route2 = engine.query_routed(f"SET enableNullHandling=false; {sql}")
+        assert route2 == "sql"                      # fenced off the star-tree
+        r2 = opted.collect()[0]
+        assert (r2["n"], r2["lo"]) == (2, 0.0)      # sentinel view: 0.0 counted
+        # and it matches query() with the same option exactly
+        r3 = engine.query(f"SET enableNullHandling=false; {sql}").collect()[0]
+        assert (r3["n"], r3["lo"]) == (2, 0.0)
+    finally:
+        pipe.stop()
+
+
+def test_table_ref_rewrite_covers_comma_from_lists(spark, tmp_path):
+    """Round-6 ADVICE (low): FROM a, b — the 2nd+ tables of a comma list
+    must rewrite too, for BOTH option rewrites (enableNullHandling here)
+    and the virtual-column resolution; partial application silently mixed
+    sentinel/null semantics in one statement."""
+    import json as _json
+
+    src_dir = tmp_path / "stream_in"
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    cfg = {
+        "tableName": "commaTable",
+        "tableType": "REALTIME",
+        "segmentsConfig": {"timeColumnName": "creationTimestamp"},
+        "tableIndexConfig": {
+            "streamConfigs": {"realtime.segment.flush.threshold.time": "2m"},
+        },
+    }
+    src_dir.mkdir(parents=True, exist_ok=True)
+    rows = [
+        {"userID": "u1", "region": "eu", "slot": 4, "campaign": "BF",
+         "price": 9.5, "creationTimestamp": "2024-06-01 10:00:00"},
+        {"userID": "u2", "creationTimestamp": "2024-06-01 10:01:00"},
+    ]
+    (src_dir / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    pipe = engine.add_table(NULLFILL_SCHEMA, cfg,
+                            RawRecordSource(kind="files", path=str(src_dir)),
+                            available_now=True)
+    try:
+        pipe.process_available()
+        engine.register_view("commaTable")
+        # cross-joined comma list: with the option applied to BOTH refs no
+        # side has a NULL region; a partially-applied rewrite would leave
+        # b.region NULL and count 2
+        n = engine.query(
+            "SET enableNullHandling=false; SELECT count(*) AS n "
+            "FROM commaTable a, commaTable b "
+            "WHERE a.region IS NULL OR b.region IS NULL"
+        ).collect()[0]["n"]
+        assert n == 0
+        # sentinel readable through the second ref specifically
+        n2 = engine.query(
+            "SET enableNullHandling=false; SELECT count(*) AS n "
+            "FROM commaTable a, commaTable b "
+            "WHERE a.userID = 'u1' AND b.region = 'null'"
+        ).collect()[0]["n"]
+        assert n2 == 1
+        # virtual columns resolve on every member of the comma list
+        v = engine.query(
+            "SELECT a.userID AS u, b.$docId AS d FROM commaTable a, "
+            "commaTable b WHERE a.userID = b.userID AND b.$docId >= 0 "
+            "ORDER BY u"
+        ).collect()
+        assert len(v) == 2 and all(r["d"] >= 0 for r in v)
+    finally:
+        pipe.stop()
+
+
+def test_explain_plan_honors_query_options(spark, tmp_path):
+    """Round-6 ADVICE (low): EXPLAIN PLAN FOR used to drop leading SET
+    options (the option rewrites are SELECT-gated and no-op'd on the
+    EXPLAIN-prefixed text) — the explained plan must be the plan the
+    OPTIONED query runs (skipUpsert here: raw log vs resolved view)."""
+    import json as _json
+
+    src_dir = tmp_path / "stream_in"
+    config = dict(TABLE_CONFIG)
+    config["tableName"] = "explainOpt"
+    config["upsertConfig"] = {"mode": "FULL"}
+    schema = dict(CLICKSTREAM_SCHEMA)
+    schema["primaryKeyColumns"] = ["userID"]
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+
+    def row(uid, price, t):
+        return {"userID": uid, "campaign": "c", "price": price,
+                "creationTimestamp": f"2024-06-01 {t}"}
+
+    src_dir.mkdir(parents=True, exist_ok=True)
+    (src_dir / "b1.json").write_text("\n".join(_json.dumps(r) for r in [
+        row("u1", 10, "10:00:00"), row("u1", 12, "10:05:00"),
+    ]))
+    pipe = engine.add_table(schema, config,
+                            RawRecordSource(kind="files", path=str(src_dir)),
+                            available_now=True)
+    try:
+        pipe.process_available()
+        engine.register_view("explainOpt")
+        stmt = "SELECT count(*) AS n FROM explainOpt"
+        resolved_ops = " ".join(
+            r["Operator"]
+            for r in engine.query(f"EXPLAIN PLAN FOR {stmt}").collect()
+        )
+        raw_ops = " ".join(
+            r["Operator"]
+            for r in engine.query(
+                f"SET skipUpsert=true; EXPLAIN PLAN FOR {stmt}"
+            ).collect()
+        )
+        # resolved view = latest-per-key (window over the log); the raw
+        # log plan has no window pass
+        assert "Window" in resolved_ops
+        assert "Window" not in raw_ops
+    finally:
+        pipe.stop()
+
+
+def test_timeout_watchdog_covers_planning_phase(spark, tmp_path, monkeypatch):
+    """Round-6 ADVICE (low): the timeoutMs job group must be set BEFORE
+    query() runs, so planning-phase Spark jobs (hybrid boundary collects,
+    postings builds, analysis probes) are cancellable too."""
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    seen: dict = {}
+    orig = engine.query
+
+    def spy(sql):
+        seen["group"] = spark.sparkContext.getLocalProperty("spark.jobGroup.id")
+        return orig(sql)
+
+    monkeypatch.setattr(engine, "query", spy)
+    resp = engine.query_broker_response("SET timeoutMs=60000; SELECT 1 AS one")
+    assert resp["exceptions"] == []
+    assert seen["group"] is not None and seen["group"].startswith("broker-")
+    # without the option no group is pinned (thread-local stays clean)
+    seen.clear()
+    resp2 = engine.query_broker_response("SELECT 1 AS one")
+    assert resp2["exceptions"] == [] and seen["group"] is None
