@@ -2025,13 +2025,15 @@ class Engine:
                 tname, f"__virt_{tname}_{_uuid.uuid4().hex[:10]}"
             )
             edits.append((start, end, f"{head}{v}{alias_text or ''}"))
-        parts, pos = [], 0
-        for start, end, r in edits:
-            parts.append(sql[pos:start])
-            parts.append(r)
-            pos = end
-        parts.append(sql[pos:])
-        rewritten = "".join(parts)
+        from .functions.aggsql import apply_text_edits
+
+        rewritten = apply_text_edits(sql, edits)
+        if rewritten is None:
+            raise ValueError(
+                "virtual-column resolution could not model this FROM "
+                "shape (overlapping table-reference spans) — simplify "
+                "the FROM clause or query the physical columns directly"
+            )
         if not views:
             raise ValueError(
                 "virtual columns ($docId/$segmentName/$hostName) are served "
@@ -2785,6 +2787,25 @@ class Engine:
         columns (:meth:`_expand_clpdecode_sugar`; operators/clp.py).
         """
         sql, _opts = self._strip_query_options(sql)
+        # EXPLAIN delegates EVERYTHING to a re-entry on the inner
+        # statement: options are re-prepended so the option-driven
+        # rewrites (SELECT/WITH-gated, so they no-op on EXPLAIN-prefixed
+        # text) apply on re-entry and the explained plan is the plan the
+        # optioned query runs (round-6 ADVICE); stripping before the
+        # OTHER rewrites also keeps the re-entry seeing the ORIGINAL
+        # statement, which the LOOKUP hybrid path and the MV-distinct
+        # statement route both require (round-6 review; round-7 review:
+        # the post-aggsql EXPLAIN check consumed DISTINCTCOUNT*MV into
+        # the fallback text, so EXPLAIN showed the unbounded plan).
+        m = self._EXPLAIN_RE.match(sql)
+        if m:
+            inner = sql[m.end():]
+            if _opts:
+                inner = (
+                    "".join(f"SET {k}='{v}'; " for k, v in _opts.items())
+                    + inner
+                )
+            return self.explain_plan(inner)
         if str(_opts.get("skipUpsert", "false")).lower() == "true":
             sql = self._apply_skip_upsert_rewrite(sql)
         if str(_opts.get("enableNullHandling", "true")).lower() == "false":
@@ -2815,33 +2836,16 @@ class Engine:
         # rewrites.
         routed_mv = rewrite_mv_distinct_statement(sql)
         if routed_mv is not None:
+            # loud arity/shape ValueErrors from the rewrite must surface,
+            # so only the ANALYSIS is inside the try
+            probed = rewrite_pinot_aggregates(routed_mv)
             try:
-                self.spark.sql(rewrite_pinot_aggregates(routed_mv))
-                sql = routed_mv
-            except ValueError:
-                raise  # loud arity/shape errors must surface, not fall back
+                self.spark.sql(probed)  # analysis only, no execution
+                sql = probed  # reuse the probed text: one rewrite, not two
             except Exception:
-                pass
-        sql = rewrite_pinot_aggregates(sql)
-        # EXPLAIN must strip BEFORE the LOOKUP rewrite: explain_plan builds
-        # the frame by re-entering query(), which needs to see the ORIGINAL
-        # statement so a LOOKUP plans through _sql_without_union_pushdown
-        # (round-6 review: the post-rewrite ordering lost has_lookup on
-        # re-entry and EXPLAIN over a hybrid LOOKUP crashed in planning).
-        # Query OPTIONS are re-prepended to the inner statement: the
-        # option-driven rewrites above are SELECT/WITH-gated so they
-        # no-op'd on the EXPLAIN-prefixed text, and without re-prepending
-        # the re-entry would explain the UN-optioned plan, not the plan
-        # the optioned query runs (round-6 ADVICE)
-        m = self._EXPLAIN_RE.match(sql)
-        if m:
-            inner = sql[m.end():]
-            if _opts:
-                inner = (
-                    "".join(f"SET {k}='{v}'; " for k, v in _opts.items())
-                    + inner
-                )
-            return self.explain_plan(inner)
+                sql = rewrite_pinot_aggregates(sql)
+        else:
+            sql = rewrite_pinot_aggregates(sql)
         has_lookup = False
         if self._LOOKUP_RE.search(sql):
             rewritten = self._rewrite_lookup_calls(sql)
@@ -2940,9 +2944,17 @@ class Engine:
         set""".split()
     )
 
+    # the alias group REFUSES clause keywords via lookahead (round-7
+    # review: a greedy alias swallowed the JOIN of "FROM a JOIN b", so
+    # "JOIN b" was never visited and options applied to one table only)
+    _ALIAS_PART = (
+        r"(?P<alias>\s+(?:AS\s+)?(?P<aname>(?!(?:"
+        + "|".join(sorted(_NON_ALIAS_KEYWORDS))
+        + r")\b)[A-Za-z_]\w*))?"
+    )
+
     _TABLE_REF_RE = re.compile(
-        r"\b(FROM|JOIN)(\s+)(?P<t>\w+)"
-        r"(?P<alias>\s+(?:AS\s+)?(?P<aname>[A-Za-z_]\w*))?",
+        r"\b(FROM|JOIN)(\s+)(?P<t>\w+)" + _ALIAS_PART,
         re.IGNORECASE,
     )
 
@@ -2950,8 +2962,7 @@ class Engine:
     # (round-6 ADVICE: heads-only matching left the 2nd+ tables of a
     # comma list unrewritten, so options partially applied)
     _TABLE_REF_CONT_RE = re.compile(
-        r"(\s*,\s*)(?P<t>\w+)"
-        r"(?P<alias>\s+(?:AS\s+)?(?P<aname>[A-Za-z_]\w*))?",
+        r"(\s*,\s*)(?P<t>\w+)" + _ALIAS_PART,
         re.IGNORECASE,
     )
 
@@ -2960,21 +2971,15 @@ class Engine:
         references of FROM lists, as ``(start, end, head, tname,
         alias_text, aname)`` tuples in statement order.  ``head`` is the
         verbatim text before the table token (``FROM ``/``JOIN ``/
-        ``, ``); ``aname`` is None when the following word was a clause
-        keyword rather than an alias (the keyword text stays in
-        ``alias_text`` for verbatim preservation).  References inside
-        string literals are skipped; a FROM list's continuation scan
-        stops at the first non-comma token or keyword-alias."""
+        ``, ``).  The alias group's keyword lookahead guarantees a
+        clause keyword is never consumed as an alias, so ``FROM a JOIN
+        b`` yields both refs and a FROM list's continuation scan stops
+        at the first non-comma token.  References inside string literals
+        are skipped."""
         refs = []
         for m in self._TABLE_REF_RE.finditer(sql):
             if any(s <= m.start() < e for s, e in spans):
                 continue
-            aname = m.group("aname")
-            if (
-                aname is not None
-                and aname.lower() in self._NON_ALIAS_KEYWORDS
-            ):
-                aname = None
             refs.append(
                 (
                     m.start(),
@@ -2982,13 +2987,9 @@ class Engine:
                     f"{m.group(1)}{m.group(2)}",
                     m.group("t"),
                     m.group("alias"),
-                    aname,
+                    m.group("aname"),
                 )
             )
-            # a keyword "alias" means the clause ended inside this match —
-            # the text after it is WHERE/GROUP/... territory, not a list
-            if m.group("aname") is not None and aname is None:
-                continue
             if m.group(1).upper() != "FROM":
                 continue  # JOIN never heads a comma list
             pos = m.end()
@@ -2998,12 +2999,6 @@ class Engine:
                     s <= cm.start() < e for s, e in spans
                 ):
                     break
-                c_aname = cm.group("aname")
-                if (
-                    c_aname is not None
-                    and c_aname.lower() in self._NON_ALIAS_KEYWORDS
-                ):
-                    c_aname = None
                 refs.append(
                     (
                         cm.start(),
@@ -3011,11 +3006,9 @@ class Engine:
                         cm.group(1),
                         cm.group("t"),
                         cm.group("alias"),
-                        c_aname,
+                        cm.group("aname"),
                     )
                 )
-                if cm.group("aname") is not None and c_aname is None:
-                    break
                 pos = cm.end()
         return refs
 
@@ -3081,13 +3074,11 @@ class Engine:
                 edits.append((start, end, r))
         if not edits:
             return sql
-        parts, pos = [], 0
-        for start, end, r in edits:
-            parts.append(sql[pos:start])
-            parts.append(r)
-            pos = end
-        parts.append(sql[pos:])
-        rewritten = "".join(parts)
+        from .functions.aggsql import apply_text_edits
+
+        rewritten = apply_text_edits(sql, edits)
+        if rewritten is None:
+            return sql  # overlapping spans: serve the original untouched
         try:
             self.spark.sql(rewritten)  # SELECT/WITH only: analysis, no exec
             return rewritten

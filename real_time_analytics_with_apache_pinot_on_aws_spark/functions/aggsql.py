@@ -94,6 +94,36 @@ def _exact_distinct(args: list[str]) -> str:
     return f"count(DISTINCT {args[0]})"
 
 
+def _sketch_distinct(name: str):
+    """DataSketches-named distincts: 1 arg (exact service) or 2 args with
+    the tuning literal ignored; the theta set-expression form (3+ args)
+    rejects loudly — see the _REWRITES comment."""
+
+    def build(args: list[str]) -> str:
+        if len(args) > 2:
+            raise ValueError(
+                f"{name}: the theta set-expression form "
+                f"({len(args)} arguments) is not supported by this SQL "
+                "surface — use the sketch set-algebra API "
+                "(operators/sketch.py, SURVEY B21) for filtered "
+                "intersections/unions"
+            )
+        return f"count(DISTINCT {args[0]})"
+
+    return build
+
+
+def _tuple_value_unsupported(name: str, alt: str):
+    def build(args: list[str]) -> str:
+        raise ValueError(
+            f"{name} reads a serialized Integer-Sum Tuple sketch column — "
+            "this engine stores tuple sketches as relations, not packed "
+            f"bytes; use operators/sketch.py {alt} (SURVEY B70) instead"
+        )
+
+    return build
+
+
 _UNIT_MS = {
     "MILLISECONDS": 1,
     "SECONDS": 1000,
@@ -430,6 +460,39 @@ _REWRITES: dict = {
     "DISTINCTCOUNTBITMAP": _exact_distinct,
     "DISTINCTCOUNTSMARTHLL": _exact_distinct,
     "SEGMENTPARTITIONEDDISTINCTCOUNT": _exact_distinct,
+    # DataSketches-named distincts (round 7).  Exact service is strictly
+    # more accurate than the sketch each name requests (same policy as
+    # DISTINCTCOUNTBITMAP/SMARTHLL above); a literal 2nd arg
+    # (nominalEntries / lgK tuning) is accepted and ignored, but the
+    # theta SET-EXPRESSION form (3+ args: filter params + an expression
+    # over them) is REJECTED loudly — serving it as a plain distinct
+    # would silently answer a different question; operators/sketch.py
+    # carries the real set-algebra surface (B21).
+    "DISTINCTCOUNTTHETASKETCH": _sketch_distinct("DISTINCTCOUNTTHETASKETCH"),
+    "DISTINCTCOUNTRAWTHETASKETCH": _sketch_distinct(
+        "DISTINCTCOUNTRAWTHETASKETCH"
+    ),
+    "DISTINCTCOUNTCPCSKETCH": _sketch_distinct("DISTINCTCOUNTCPCSKETCH"),
+    "DISTINCTCOUNTTUPLESKETCH": _sketch_distinct("DISTINCTCOUNTTUPLESKETCH"),
+    # ULL (UltraLogLog, Pinot 1.2): the HLL estimator family — the same
+    # DataSketches-backed estimate the star-tree HLL cells and
+    # DISTINCTCOUNTHLL return, so every estimator-named spelling agrees
+    "DISTINCTCOUNTULL": lambda a: (
+        f"hll_sketch_estimate(hll_sketch_agg({a[0]}))"
+    ),
+    "DISTINCTCOUNTRAWULL": lambda a: (
+        f"hll_sketch_estimate(hll_sketch_agg({a[0]}))"
+    ),
+    # Integer-Sum Tuple VALUE aggregates operate on serialized sketch
+    # COLUMNS (bytes) — a shape this engine stores via operators/sketch
+    # relations, not packed binaries; point the caller at the real API
+    # instead of resolving to a wrong answer.
+    "SUMVALUESINTEGERSUMTUPLESKETCH": _tuple_value_unsupported(
+        "SUMVALUESINTEGERSUMTUPLESKETCH", "tuple_sum_estimate"
+    ),
+    "AVGVALUEINTEGERSUMTUPLESKETCH": _tuple_value_unsupported(
+        "AVGVALUEINTEGERSUMTUPLESKETCH", "tuple_avg_estimate"
+    ),
     # DataSketches HLL, NOT approx_count_distinct: the star-tree HLL cells
     # and the RollupRouter's scan fallback both use hll_sketch_agg, and
     # union-of-sketches == sketch-of-union for it — so the routed answer,
@@ -450,18 +513,22 @@ _REWRITES: dict = {
     # BEFORE collect_set so per-group state is bounded by distinct
     # element-SETS, not distinct array permutations/duplications; Pinot
     # MV columns hold primitive types only **[P1.2]**, so array_sort is
-    # always valid.  NOTE the divergence: Pinot's HLL-named spelling
+    # always valid.  NULL elements are dropped BEFORE normalization so
+    # the fallback count equals the routed plan's count(DISTINCT elem) /
+    # hll_sketch_agg(elem), which ignore NULL (round-7 review: the same
+    # query text must not change its answer with statement shape).
+    # NOTE the divergence: Pinot's HLL-named spelling
     # promises constant sketch memory — this exact fallback does not
     # (many distinct element-sets per group still accumulate), which is
     # why the engine routes every routable statement to hll_sketch_agg
     # over exploded elements instead.
     "DISTINCTCOUNTHLLMV": lambda a: (
-        "size(array_distinct(flatten(collect_set("
-        f"array_distinct(array_sort({a[0]}))))))"
+        "size(array_distinct(flatten(collect_set(array_distinct("
+        f"array_sort(filter({a[0]}, x -> x IS NOT NULL)))))))"
     ),
     "DISTINCTCOUNTMV": lambda a: (
-        "size(array_distinct(flatten(collect_set("
-        f"array_distinct(array_sort({a[0]}))))))"
+        "size(array_distinct(flatten(collect_set(array_distinct("
+        f"array_sort(filter({a[0]}, x -> x IS NOT NULL)))))))"
     ),
     "DISTINCTSUM": lambda a: f"sum(DISTINCT {a[0]})",
     "DISTINCTAVG": lambda a: f"avg(DISTINCT {a[0]})",
@@ -640,7 +707,9 @@ _DUP_IMMUNE_AGGS = frozenset(
     MINMAXRANGE MINMAXRANGEMV DISTINCTCOUNT DISTINCTCOUNTBITMAP
     DISTINCTCOUNTSMARTHLL SEGMENTPARTITIONEDDISTINCTCOUNT
     DISTINCTCOUNTHLL DISTINCTCOUNTRAWHLL DISTINCTSUM DISTINCTAVG
-    FIRSTWITHTIME LASTWITHTIME""".split()
+    DISTINCTCOUNTTHETASKETCH DISTINCTCOUNTRAWTHETASKETCH
+    DISTINCTCOUNTCPCSKETCH DISTINCTCOUNTTUPLESKETCH DISTINCTCOUNTULL
+    DISTINCTCOUNTRAWULL FIRSTWITHTIME LASTWITHTIME""".split()
 )
 
 # correct once the argument is masked to the first exploded copy
@@ -660,7 +729,8 @@ _DUP_UNSAFE_AGGS = frozenset(
     BIT_XOR HISTOGRAM_NUMERIC COUNT_MIN_SKETCH GROUPING GROUPING_ID
     REGR_AVGX REGR_AVGY REGR_COUNT REGR_INTERCEPT REGR_R2 REGR_SLOPE
     REGR_SXX REGR_SXY REGR_SYY FUNNELCOUNT FUNNELMAXSTEP
-    FUNNELMATCHSTEP FUNNELCOMPLETECOUNT""".split()
+    FUNNELMATCHSTEP FUNNELCOMPLETECOUNT
+    SUMVALUESINTEGERSUMTUPLESKETCH AVGVALUEINTEGERSUMTUPLESKETCH""".split()
 )
 
 _KNOWN_AGG_NAMES = (
@@ -687,6 +757,26 @@ _MV_AGG_IN_ARG_RE = re.compile(
     r"\b(" + "|".join(sorted(_KNOWN_AGG_NAMES)) + r")\s*\(",
     re.IGNORECASE,
 )
+
+
+def apply_text_edits(sql: str, edits: list):
+    """Splice ``(start, end, replacement)`` edits into ``sql``; returns
+    ``None`` when any two edits overlap (an overlap means a span scanner
+    mis-modeled the statement — splicing anyway would garble the SQL, the
+    round-7 review's ``JOINJOIN`` shape).  Shared by the MV-distinct
+    statement route and the engine's table-ref / virtual-column
+    rewrites."""
+    edits = sorted(edits, key=lambda t: t[0])
+    for (_, e1, _), (s2, _, _) in zip(edits, edits[1:]):
+        if s2 < e1:
+            return None
+    out, pos = [], 0
+    for s, e, repl in edits:
+        out.append(sql[pos:s])
+        out.append(repl)
+        pos = e
+    out.append(sql[pos:])
+    return "".join(out)
 
 
 def _scan_call_sites(sql: str) -> list:
@@ -868,15 +958,6 @@ def rewrite_mv_distinct_statement(sql: str):
     )
     insert_at = from_end + m.end(m.lastindex or 1)
     edits.append((insert_at, insert_at, lateral))
-    # overlapping edits mean a shape the span logic did not anticipate
-    edits.sort(key=lambda t: t[0])
-    for (s1, e1, _), (s2, _, _) in zip(edits, edits[1:]):
-        if s2 < e1:
-            return None
-    out, pos = [], 0
-    for s, e, repl in edits:
-        out.append(sql[pos:s])
-        out.append(repl)
-        pos = e
-    out.append(sql[pos:])
-    return "".join(out)
+    # apply_text_edits returns None on overlap — a shape the span logic
+    # did not anticipate bails to the call-site fallback
+    return apply_text_edits(sql, edits)

@@ -290,23 +290,30 @@ _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
     # double arithmetic instead of a NULL-returning overflow cast (at
     # those magnitudes a double's ulp exceeds the decimal artifacts the
     # decimal path exists to kill).  decimal(25,12) x decimal(12,0) ->
-    # (38,12) exactly fits Spark's cap; widening either loses scale.
+    # (38,12) exactly fits Spark's cap; widening either loses scale —
+    # so |n| > 11 (power(10, 12) needs 13 digits and would raise an ANSI
+    # overflow, round-7 review) also takes the double path, where a
+    # scale-12+ rounding of a double is a no-op-or-ulp question anyway.
     ("ROUNDDECIMAL", "v DOUBLE, n INT", "DOUBLE",
      "CASE"
-     " WHEN n >= 0 AND abs(v) < 1e13 THEN"
+     " WHEN n >= 0 AND n <= 11 AND abs(v) < 1e13 THEN"
      " cast(sign(v) * floor(abs(cast(v as decimal(25,12)))"
      " * cast(power(10, n) as decimal(12,0)) + 0.5) / power(10, n)"
      " as double)"
      " WHEN n >= 0 THEN"
-     " cast(sign(v) * floor(abs(v) * power(10, n) + 0.5) / power(10, n)"
-     " as double)"
-     " WHEN abs(v) < 1e13 THEN"
+     " cast(CASE WHEN abs(v) * power(10, n) = cast('Infinity' as double)"
+     " THEN v"  # scale finer than the double can represent: identity
+     " ELSE sign(v) * floor(abs(v) * power(10, n) + 0.5) / power(10, n)"
+     " END as double)"
+     " WHEN n >= -11 AND abs(v) < 1e13 THEN"
      " cast(sign(v) * floor(abs(cast(v as decimal(25,12)))"
      " / cast(power(10, -n) as decimal(12,0)) + 0.5) * power(10, -n)"
      " as double)"
      " ELSE"
-     " cast(sign(v) * floor(abs(v) / power(10, -n) + 0.5) * power(10, -n)"
-     " as double)"
+     " cast(CASE WHEN power(10, -n) = cast('Infinity' as double)"
+     " THEN 0.0"  # rounding to a multiple beyond the double range
+     " ELSE sign(v) * floor(abs(v) / power(10, -n) + 0.5) * power(10, -n)"
+     " END as double)"
      " END"),
     # 2-arg form returns the WHOLE match (group 0) — Pinot's
     # regexpExtract(value, regexp) default; group selection is the 3-arg

@@ -6111,6 +6111,52 @@ def b16_b29_pinot_agg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
+@register(
+    "b16_funnelcount_sql",
+    r"""
+    WITH m AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s2,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s3
+      FROM events
+      WHERE user_id IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT CAST(sum(s1) AS BIGINT) AS step_view,
+           CAST(sum(s1 * s2) AS BIGINT) AS step_click,
+           CAST(sum(s1 * s2 * s3) AS BIGINT) AS step_purchase
+    FROM m
+    """,
+    doc="Pinot's primary funnel aggregate SPELLING **[P1.2]** (round 7): "
+        "FUNNELCOUNT(STEPS(p1, p2, p3), CORRELATE_BY(user_id), "
+        "SETTINGS('bitmap')) sent verbatim through the wire rewrite — "
+        "bitmap-strategy semantics, i.e. count_i = |distinct correlators "
+        "matching steps 1..i| as a cumulative set intersection with NO "
+        "event-time ordering (the time-ordered funnel is c8's operator "
+        "family).  The rewrite folds ONE aggregate: distinct (correlator, "
+        "step-flag-combo) entries (state bounded by correlators x 2^n — "
+        "exactly Pinot's per-segment bitmap state), sorted so a "
+        "correlator's entries are adjacent, then a linear prefix-AND "
+        "fold.  The oracle computes the same intersections closed-form "
+        "via per-user step maxima.",
+)
+def b16_funnelcount_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .functions.aggsql import rewrite_pinot_aggregates
+
+    fc = spark.sql(rewrite_pinot_aggregates(
+        "SELECT FUNNELCOUNT(STEPS(event_type = 'view', "
+        "event_type = 'click', event_type = 'purchase'), "
+        "CORRELATE_BY(user_id), SETTINGS('bitmap')) AS fc FROM events"
+    ))
+    return fc.select(
+        F.element_at("fc", 1).alias("step_view"),
+        F.element_at("fc", 2).alias("step_click"),
+        F.element_at("fc", 3).alias("step_purchase"),
+    )
+
+
 # ===========================================================================
 # Driver window curation: the driver's correctness gate adjudicates exactly
 # the first 50 entries of queries() in registration order (confirmed in

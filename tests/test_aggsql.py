@@ -614,3 +614,89 @@ def test_issubnetof_raises_on_unsupported_forms(agg_engine, args, msg):
     address-family combinations raise loudly (Pinot throws too)."""
     with pytest.raises(Exception, match=msg):
         agg_engine.query(f"SELECT ISSUBNETOF({args}) AS x").collect()
+
+
+def test_mv_route_and_fallback_agree_on_null_elements(spark, mv_engine):
+    """Round-7 review: the SAME query text must not change its answer
+    with statement shape — NULL array elements are ignored by BOTH the
+    routed count(DISTINCT elem) and the fallback's filtered set."""
+    spark.sql(
+        "SELECT * FROM VALUES ('g', array(1, null, 2)), ('g', array(2, null)) "
+        "AS t(g, tags)"
+    ).createOrReplaceTempView("mvnullsrc")
+    routed = mv_engine.query(
+        "SELECT DISTINCTCOUNTMV(tags) AS v FROM mvnullsrc"
+    ).collect()[0]["v"]
+    fallback = mv_engine.query(
+        "SELECT DISTINCTCOUNTMV(tags) AS v FROM (SELECT * FROM mvnullsrc)"
+    ).collect()[0]["v"]
+    assert routed == fallback == 2
+
+
+def test_explain_shows_the_routed_mv_plan(mv_engine):
+    """Round-7 review: EXPLAIN PLAN FOR over a DISTINCTCOUNTHLLMV
+    statement must show the BOUNDED routed plan the statement actually
+    runs (Generate + hll_sketch_agg), not the collect_set fallback."""
+    ops = " ".join(
+        r["Operator"]
+        for r in mv_engine.query(
+            "EXPLAIN PLAN FOR SELECT g, DISTINCTCOUNTHLLMV(tags) AS u "
+            "FROM mvsrc GROUP BY g"
+        ).collect()
+    )
+    assert "hll_sketch_agg" in ops
+    assert "Generate" in ops
+    assert "collect_set" not in ops
+
+
+@pytest.mark.parametrize(
+    "expr,want",
+    [
+        # |n| > 11: past the decimal(12,0) power intermediate — double
+        # path, not an ANSI overflow error (round-7 review)
+        ("ROUNDDECIMAL(1.5, 12)", 1.5),
+        ("ROUNDDECIMAL(0.25, -12)", 0.0),
+        ("ROUNDDECIMAL(5e12, -12)", 5e12),
+        ("ROUNDDECIMAL(5e11, -12)", 1e12),  # HALF_UP at the midpoint
+        # absurd scales: identity / zero, never inf or NaN
+        ("ROUNDDECIMAL(1.25, 400)", 1.25),
+        ("ROUNDDECIMAL(1.25, -400)", 0.0),
+    ],
+)
+def test_rounddecimal_extreme_scales(agg_engine, expr, want):
+    got = agg_engine.query(f"SELECT {expr} AS x").collect()[0]["x"]
+    assert got == want, (expr, got, want)
+
+
+@pytest.mark.parametrize(
+    "pinot,want",
+    [
+        # DataSketches-named distincts (round 7): exact service, tuning
+        # literal ignored; ULL = the HLL estimator family
+        ("DISTINCTCOUNTTHETASKETCH(u)", "count(DISTINCT u)"),
+        ("DISTINCTCOUNTTHETASKETCH(u, 4096)", "count(DISTINCT u)"),
+        ("DISTINCTCOUNTRAWTHETASKETCH(u)", "count(DISTINCT u)"),
+        ("DISTINCTCOUNTCPCSKETCH(u)", "count(DISTINCT u)"),
+        ("DISTINCTCOUNTTUPLESKETCH(u)", "count(DISTINCT u)"),
+        ("DISTINCTCOUNTULL(u)",
+         "hll_sketch_estimate(hll_sketch_agg(u))"),
+        ("DISTINCTCOUNTRAWULL(u)",
+         "hll_sketch_estimate(hll_sketch_agg(u))"),
+    ],
+)
+def test_datasketches_distinct_spellings(pinot, want):
+    assert R(f"SELECT {pinot} FROM t") == f"SELECT {want} FROM t"
+
+
+def test_theta_set_expression_form_rejects_loudly():
+    with pytest.raises(ValueError, match="set-expression"):
+        R("SELECT DISTINCTCOUNTTHETASKETCH(u, 'nominalEntries=4096', "
+          "'dim=a', 'SET_INTERSECT($1, $2)') FROM t")
+
+
+@pytest.mark.parametrize(
+    "name", ["SUMVALUESINTEGERSUMTUPLESKETCH", "AVGVALUEINTEGERSUMTUPLESKETCH"]
+)
+def test_tuple_value_spellings_point_at_operator_api(name):
+    with pytest.raises(ValueError, match="operators/sketch"):
+        R(f"SELECT {name}(s) FROM t")

@@ -3771,10 +3771,10 @@ def test_query_routed_null_handling_option_bypasses_star_tree(spark, tmp_path):
     engine = Engine(spark, str(tmp_path / "warehouse"))
     src_dir.mkdir(parents=True, exist_ok=True)
     rows = [
-        {"userID": "u1", "campaign": "BF", "price": 10.0,
+        {"userID": "u1", "campaign": "BF", "price": 10,
          "creationTimestamp": "2024-06-01 10:00:00"},
         # price ABSENT: null-native storage holds NULL; the sentinel view
-        # (enableNullHandling=false) reads metric DOUBLE default 0.0
+        # (enableNullHandling=false) reads the metric INT default 0
         {"userID": "u2", "campaign": "BF",
          "creationTimestamp": "2024-06-01 10:01:00"},
     ]
@@ -3790,14 +3790,14 @@ def test_query_routed_null_handling_option_bypasses_star_tree(spark, tmp_path):
         routed, route = engine.query_routed(sql)
         assert route == "rollup:startree"
         r = routed.collect()[0]
-        assert (r["n"], r["lo"]) == (1, 10.0)      # null-native: NULL ignored
+        assert (r["n"], r["lo"]) == (1, 10)        # null-native: NULL ignored
         opted, route2 = engine.query_routed(f"SET enableNullHandling=false; {sql}")
         assert route2 == "sql"                      # fenced off the star-tree
         r2 = opted.collect()[0]
-        assert (r2["n"], r2["lo"]) == (2, 0.0)      # sentinel view: 0.0 counted
+        assert (r2["n"], r2["lo"]) == (2, 0)        # sentinel view: 0 counted
         # and it matches query() with the same option exactly
         r3 = engine.query(f"SET enableNullHandling=false; {sql}").collect()[0]
-        assert (r3["n"], r3["lo"]) == (2, 0.0)
+        assert (r3["n"], r3["lo"]) == (2, 0)
     finally:
         pipe.stop()
 
@@ -3899,10 +3899,10 @@ def test_explain_plan_honors_query_options(spark, tmp_path):
                 f"SET skipUpsert=true; EXPLAIN PLAN FOR {stmt}"
             ).collect()
         )
-        # resolved view = latest-per-key (window over the log); the raw
-        # log plan has no window pass
-        assert "Window" in resolved_ops
-        assert "Window" not in raw_ops
+        # resolved view = latest-per-key (a keys=[userID] resolution
+        # aggregate over the log); the raw-log plan has no per-key pass
+        assert "keys=[userID" in resolved_ops
+        assert "keys=[userID" not in raw_ops
     finally:
         pipe.stop()
 
@@ -3927,3 +3927,73 @@ def test_timeout_watchdog_covers_planning_phase(spark, tmp_path, monkeypatch):
     seen.clear()
     resp2 = engine.query_broker_response("SELECT 1 AS one")
     assert resp2["exceptions"] == [] and seen["group"] is None
+
+
+def test_table_ref_rewrite_covers_join_and_mixed_from_shapes(spark, tmp_path):
+    """Round-7 review: the greedy alias group used to swallow the JOIN of
+    'FROM a JOIN b', leaving the second table unrewritten (silent partial
+    option application), and 'FROM a, b JOIN c' produced overlapping edit
+    spans.  All refs of both shapes must rewrite, atomically."""
+    import json as _json
+
+    src_dir = tmp_path / "stream_in"
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    cfg = {
+        "tableName": "joinTable",
+        "tableType": "REALTIME",
+        "segmentsConfig": {"timeColumnName": "creationTimestamp"},
+        "tableIndexConfig": {
+            "streamConfigs": {"realtime.segment.flush.threshold.time": "2m"},
+        },
+    }
+    src_dir.mkdir(parents=True, exist_ok=True)
+    rows = [
+        {"userID": "u1", "region": "eu", "slot": 4, "campaign": "BF",
+         "price": 9.5, "creationTimestamp": "2024-06-01 10:00:00"},
+        {"userID": "u2", "creationTimestamp": "2024-06-01 10:01:00"},
+    ]
+    (src_dir / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    pipe = engine.add_table(NULLFILL_SCHEMA, cfg,
+                            RawRecordSource(kind="files", path=str(src_dir)),
+                            available_now=True)
+    try:
+        pipe.process_available()
+        engine.register_view("joinTable")
+        # plain JOIN: the SECOND ref must carry the option too
+        n = engine.query(
+            "SET enableNullHandling=false; SELECT count(*) AS n "
+            "FROM joinTable a JOIN joinTable b ON a.userID = b.userID "
+            "WHERE b.region IS NULL"
+        ).collect()[0]["n"]
+        assert n == 0
+        n2 = engine.query(
+            "SET enableNullHandling=false; SELECT count(*) AS n "
+            "FROM joinTable a JOIN joinTable b ON a.userID = b.userID "
+            "WHERE b.region = 'null'"
+        ).collect()[0]["n"]
+        assert n2 == 1
+        # mixed comma + JOIN: three refs, no overlapping-edit garble
+        n4 = engine.query(
+            "SET enableNullHandling=false; SELECT count(*) AS n "
+            "FROM joinTable a, joinTable b JOIN joinTable c "
+            "ON b.userID = c.userID "
+            "WHERE a.userID = 'u1' AND c.region IS NULL"
+        ).collect()[0]["n"]
+        assert n4 == 0
+        n5 = engine.query(
+            "SET enableNullHandling=false; SELECT count(*) AS n "
+            "FROM joinTable a, joinTable b JOIN joinTable c "
+            "ON b.userID = c.userID "
+            "WHERE a.userID = 'u1' AND c.region = 'null'"
+        ).collect()[0]["n"]
+        assert n5 == 1
+        # virtual columns resolve on the JOIN's second table too (the
+        # pre-round-7 _FROM_TABLE_RE handled this; the scanner must not
+        # regress it)
+        v = engine.query(
+            "SELECT a.userID AS u, b.$docId AS d FROM joinTable a "
+            "JOIN joinTable b ON a.userID = b.userID ORDER BY u"
+        ).collect()
+        assert len(v) == 2 and all(r["d"] >= 0 for r in v)
+    finally:
+        pipe.stop()
