@@ -483,6 +483,14 @@ _REWRITES: dict = {
     "DISTINCTCOUNTRAWULL": lambda a: (
         f"hll_sketch_estimate(hll_sketch_agg({a[0]}))"
     ),
+    # HLL++ (Pinot 1.2 distinctCountHLLPlus; optional p/sp tuning literals
+    # accepted and ignored like DISTINCTCOUNTHLL's log2m)
+    "DISTINCTCOUNTHLLPLUS": lambda a: (
+        f"hll_sketch_estimate(hll_sketch_agg({a[0]}))"
+    ),
+    "DISTINCTCOUNTRAWHLLPLUS": lambda a: (
+        f"hll_sketch_estimate(hll_sketch_agg({a[0]}))"
+    ),
     # Integer-Sum Tuple VALUE aggregates operate on serialized sketch
     # COLUMNS (bytes) — a shape this engine stores via operators/sketch
     # relations, not packed binaries; point the caller at the real API
@@ -709,7 +717,8 @@ _DUP_IMMUNE_AGGS = frozenset(
     DISTINCTCOUNTHLL DISTINCTCOUNTRAWHLL DISTINCTSUM DISTINCTAVG
     DISTINCTCOUNTTHETASKETCH DISTINCTCOUNTRAWTHETASKETCH
     DISTINCTCOUNTCPCSKETCH DISTINCTCOUNTTUPLESKETCH DISTINCTCOUNTULL
-    DISTINCTCOUNTRAWULL FIRSTWITHTIME LASTWITHTIME""".split()
+    DISTINCTCOUNTRAWULL DISTINCTCOUNTHLLPLUS DISTINCTCOUNTRAWHLLPLUS
+    FIRSTWITHTIME LASTWITHTIME""".split()
 )
 
 # correct once the argument is masked to the first exploded copy

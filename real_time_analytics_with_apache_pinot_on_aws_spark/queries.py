@@ -6157,6 +6157,48 @@ def b16_funnelcount_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "b17_mv_distinct_route",
+    r"""
+    SELECT a.label, a.dmv, b.c
+    FROM (
+      SELECT label, count(DISTINCT e) AS dmv
+      FROM (SELECT label, unnest(embedding) AS e FROM embeddings) f
+      GROUP BY label
+    ) a
+    JOIN (
+      SELECT label, count(*) AS c FROM embeddings GROUP BY label
+    ) b USING (label)
+    ORDER BY a.label
+    """,
+    doc="B17/B19 wire form through the round-7 BOUNDED statement route: "
+        "'SELECT label, DISTINCTCOUNTMV(embedding), COUNT(*) ...' exactly "
+        "as a dashboard sends it — "
+        "aggsql.rewrite_mv_distinct_statement grows one LATERAL VIEW "
+        "OUTER POSEXPLODE, serves the MV distinct as count(DISTINCT elem) "
+        "(per-group state = the distinct-element set, never a collect_set "
+        "of whole arrays — the round-6 verdict's executor-OOM shape), and "
+        "masks the co-occurring COUNT(*) to the pos-0 exploded copy so it "
+        "still counts ROWS.  The oracle computes both legs closed-form "
+        "(unnest distinct + plain count) and joins them.",
+)
+def b17_mv_distinct_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .functions.aggsql import (
+        rewrite_mv_distinct_statement,
+        rewrite_pinot_aggregates,
+    )
+
+    stmt = (
+        "SELECT label, DISTINCTCOUNTMV(embedding) AS dmv, COUNT(*) AS c "
+        "FROM embeddings GROUP BY label ORDER BY label"
+    )
+    routed = rewrite_mv_distinct_statement(stmt)
+    if routed is None:  # the route regressing to the fallback is a bug
+        raise AssertionError("MV statement route refused a routable shape")
+    return spark.sql(rewrite_pinot_aggregates(routed))
+
+
 # ===========================================================================
 # Driver window curation: the driver's correctness gate adjudicates exactly
 # the first 50 entries of queries() in registration order (confirmed in

@@ -682,6 +682,10 @@ def test_rounddecimal_extreme_scales(agg_engine, expr, want):
          "hll_sketch_estimate(hll_sketch_agg(u))"),
         ("DISTINCTCOUNTRAWULL(u)",
          "hll_sketch_estimate(hll_sketch_agg(u))"),
+        ("DISTINCTCOUNTHLLPLUS(u, 14)",
+         "hll_sketch_estimate(hll_sketch_agg(u))"),
+        ("DISTINCTCOUNTRAWHLLPLUS(u)",
+         "hll_sketch_estimate(hll_sketch_agg(u))"),
     ],
 )
 def test_datasketches_distinct_spellings(pinot, want):

@@ -773,3 +773,92 @@ def test_json_match_parser_roundtrip(preds):
         return
     got = Engine._parse_json_match_expr(" AND ".join(parts))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# MV-distinct statement route (aggsql.rewrite_mv_distinct_statement): for ANY
+# data and any routable statement shape, the routed exploded plan must return
+# exactly what the unroutable-shape fallback returns — the subquery-wrapped
+# form never routes (shape gate), so it is the explode-free ground truth for
+# the wrapped co-aggregates AND the normalized-set MV fallback.
+# ---------------------------------------------------------------------------
+
+_mv_rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),        # g
+        st.integers(min_value=-50, max_value=50),     # x
+        st.one_of(
+            st.none(),                                # NULL array
+            st.lists(
+                st.one_of(st.none(), st.integers(min_value=0, max_value=20)),
+                min_size=0, max_size=6,               # may hold NULL elements
+            ),
+        ),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+_mv_items_st = st.lists(
+    st.sampled_from([
+        "DISTINCTCOUNTMV(tags) AS dmv",
+        "DISTINCTCOUNTHLLMV(tags) AS hmv",
+        "COUNT(*) AS c",
+        "COUNT(x) AS cx",
+        "SUM(x) AS s",
+        "AVG(x) AS a",
+        "MIN(x) AS lo",
+        "MAX(x) AS hi",
+        "count(DISTINCT g) AS dg",
+    ]),
+    min_size=1,
+    max_size=5,
+    unique=True,
+).filter(lambda items: any("MV(" in i for i in items))
+
+
+@given(
+    rows=_mv_rows_st,
+    items=_mv_items_st,
+    grouped=st.booleans(),
+    where=st.sampled_from([None, "x > 0", "x <= 10"]),
+)
+@settings(**SETTINGS)
+def test_mv_route_matches_fallback_reference(spark, rows, items, grouped, where):
+    import math
+
+    from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_mv_distinct_statement,
+    )
+
+    spark.createDataFrame(
+        rows, "g int, x int, tags array<int>"
+    ).createOrReplaceTempView("mvfuzz")
+    eng = getattr(test_mv_route_matches_fallback_reference, "_eng", None)
+    if eng is None:
+        import tempfile
+
+        eng = Engine(spark, tempfile.mkdtemp())
+        test_mv_route_matches_fallback_reference._eng = eng
+    sel = ", ".join((["g"] if grouped else []) + items)
+    tail = (" WHERE " + where if where else "") + (
+        " GROUP BY g" if grouped else ""
+    )
+    routable = f"SELECT {sel} FROM mvfuzz{tail}"
+    reference = f"SELECT {sel} FROM (SELECT * FROM mvfuzz){tail}"
+    # the routable form must actually take the route (shape gate sanity)
+    assert rewrite_mv_distinct_statement(routable) is not None
+    assert rewrite_mv_distinct_statement(reference) is None
+    got = sorted(map(tuple, eng.query(routable).collect()))
+    want = sorted(map(tuple, eng.query(reference).collect()))
+    assert len(got) == len(want)
+    for gr, wr in zip(got, want):
+        for gv, wv in zip(gr, wr):
+            if isinstance(gv, float) or isinstance(wv, float):
+                assert (
+                    (gv is None and wv is None)
+                    or math.isclose(gv, wv, rel_tol=1e-9, abs_tol=1e-9)
+                ), (gr, wr)
+            else:
+                assert gv == wv, (gr, wr)

@@ -80,6 +80,10 @@ PROBES = (
     # Tuple sketch: per-(type,hash) partial agg + k-bounded window rank —
     # the only corpus-sized exchange is the narrow hash aggregate
     "b70_tuple_sketch",
+    # round 7: the bounded MV-distinct statement route — Generate (explode)
+    # + one hash aggregate on (label, elem); explode multiplies rows
+    # map-side but the exchange carries only partial distinct state
+    "b17_mv_distinct_route",
 )
 
 
