@@ -330,6 +330,52 @@ _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
     # ---- URL / misc (B56) -----------------------------------------------
     ("ENCODEURL", "s STRING", "STRING", "url_encode(s)"),
     ("DECODEURL", "s STRING", "STRING", "url_decode(s)"),
+    # ---- vector scalar functions (Pinot 1.2 vector index kin, B66) --------
+    # the scalar companions of VECTOR_SIMILARITY: pure higher-order-function
+    # bodies (zip_with + aggregate), codegen'd, no UDF.  ARRAY<DOUBLE>
+    # signatures — Spark coerces ARRAY<FLOAT> embedding columns implicitly.
+    # COSINEDISTANCE is the 2-arg Pinot form: a zero-norm side yields NaN
+    # (0/0), exactly Pinot's no-default behavior; Pinot's optional 3rd
+    # default argument is the caller's coalesce(nanvl(...)) away.
+    (
+        "INNERPRODUCT",
+        "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+        "DOUBLE",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), cast(0.0 as double), "
+        "(s, x) -> s + x)",
+    ),
+    (
+        "VECTORNORM",
+        "a ARRAY<DOUBLE>",
+        "DOUBLE",
+        "sqrt(aggregate(a, cast(0.0 as double), (s, x) -> s + x * x))",
+    ),
+    ("VECTORDIMS", "a ARRAY<DOUBLE>", "INT", "size(a)"),
+    (
+        "L1DISTANCE",
+        "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+        "DOUBLE",
+        "aggregate(zip_with(a, b, (x, y) -> abs(x - y)), "
+        "cast(0.0 as double), (s, x) -> s + x)",
+    ),
+    (
+        "L2DISTANCE",
+        "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+        "DOUBLE",
+        "sqrt(aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (s, x) -> s + x))",
+    ),
+    (
+        "COSINEDISTANCE",
+        "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+        "DOUBLE",
+        # the zero-norm branch is explicit: ANSI sessions raise
+        # DIVIDE_BY_ZERO even on doubles, and Pinot's contract is NaN
+        "CASE WHEN VECTORNORM(a) * VECTORNORM(b) = 0.0 "
+        "THEN cast('NaN' as double) "
+        "ELSE 1.0 - INNERPRODUCT(a, b) / (VECTORNORM(a) * VECTORNORM(b)) "
+        "END",
+    ),
     # ---- CLP log columns (B68) ------------------------------------------
     # Pinot CLPDECODE(logtype, dictionaryVars, encodedVars) **[P1.2]** —
     # reassembles a CLP-encoded log message (operators/clp.py holds the

@@ -704,3 +704,39 @@ def test_theta_set_expression_form_rejects_loudly():
 def test_tuple_value_spellings_point_at_operator_api(name):
     with pytest.raises(ValueError, match="operators/sketch"):
         R(f"SELECT {name}(s) FROM t")
+
+
+@pytest.mark.parametrize(
+    "q,want",
+    [
+        # vector scalar family (round 7): (3,4) vs (4,3) — hand-checkable
+        ("SELECT INNERPRODUCT(array(3.0d, 4.0d), array(4.0d, 3.0d)) AS x", 24.0),
+        ("SELECT VECTORNORM(array(3.0d, 4.0d)) AS x", 5.0),
+        ("SELECT VECTORDIMS(array(1.0d, 2.0d, 3.0d)) AS x", 3),
+        ("SELECT L1DISTANCE(array(3.0d, 4.0d), array(4.0d, 3.0d)) AS x", 2.0),
+        ("SELECT L2DISTANCE(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS x", 5.0),
+        ("SELECT COSINEDISTANCE(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS x", 0.0),
+        ("SELECT COSINEDISTANCE(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS x", 1.0),
+        ("SELECT COSINEDISTANCE(array(1.0d, 0.0d), array(-1.0d, 0.0d)) AS x", 2.0),
+    ],
+)
+def test_vector_scalar_functions(agg_engine, q, want):
+    got = agg_engine.query(q).collect()[0]["x"]
+    assert abs(got - want) < 1e-12, (q, got, want)
+
+
+def test_vector_scalars_coerce_float_arrays(spark, agg_engine):
+    """Embedding columns are ARRAY<FLOAT> in the fixtures — the DOUBLE
+    signatures must coerce implicitly, and a zero-norm side yields NaN
+    (Pinot's no-default cosineDistance behavior)."""
+    import math
+
+    spark.sql(
+        "SELECT cast(array(1.0, 2.0) as array<float>) AS v, "
+        "cast(array(0.0, 0.0) as array<float>) AS z"
+    ).createOrReplaceTempView("vecsrc")
+    row = agg_engine.query(
+        "SELECT VECTORNORM(v) AS n, COSINEDISTANCE(v, z) AS cz FROM vecsrc"
+    ).collect()[0]
+    assert abs(row["n"] - math.sqrt(5.0)) < 1e-7
+    assert math.isnan(row["cz"])
