@@ -2936,12 +2936,16 @@ class Engine:
 
     # keywords that can follow a FROM/JOIN table reference and must never be
     # mistaken for its alias by the table-ref rewrite
+    # 'as' is in the list so 'FROM t AS sort' cannot backtrack into
+    # capturing the AS keyword itself as the alias (round-7 review) — the
+    # alias group fails entirely and ' AS sort' survives verbatim after
+    # the rewritten table token
     _NON_ALIAS_KEYWORDS = frozenset(
         """where group order limit having union except intersect minus
         join left right full inner outer cross natural semi anti lateral
         on using window qualify offset tablesample pivot unpivot distribute
         sort cluster values select from and or not when then else end
-        set""".split()
+        set as""".split()
     )
 
     # the alias group REFUSES clause keywords via lookahead (round-7

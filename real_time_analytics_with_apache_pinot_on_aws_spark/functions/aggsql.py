@@ -522,9 +522,18 @@ _REWRITES: dict = {
     # element-SETS, not distinct array permutations/duplications; Pinot
     # MV columns hold primitive types only **[P1.2]**, so array_sort is
     # always valid.  NULL elements are dropped BEFORE normalization so
-    # the fallback count equals the routed plan's count(DISTINCT elem) /
-    # hll_sketch_agg(elem), which ignore NULL (round-7 review: the same
-    # query text must not change its answer with statement shape).
+    # the fallback ignores NULL exactly like the routed plan's
+    # count(DISTINCT elem) / hll_sketch_agg(elem) (round-7 review).
+    # Shape-invariance contract: for DISTINCTCOUNTMV the routed and
+    # fallback answers are IDENTICAL on any data (both exact; the fuzz
+    # property pins it).  For DISTINCTCOUNTHLLMV the fallback is EXACT
+    # while the route returns the HLL estimate the name requests — they
+    # agree through HLL's sparse-exact regime (~1k distinct elements)
+    # and may differ by the sketch's ~1-2% rsd beyond it; the fallback
+    # side is strictly MORE accurate, the same served-exactly policy as
+    # DISTINCTCOUNTSMARTHLL, and the divergence is deliberate: making
+    # the fallback estimate too would require the unbounded state this
+    # route exists to avoid.
     # NOTE the divergence: Pinot's HLL-named spelling
     # promises constant sketch memory — this exact fallback does not
     # (many distinct element-sets per group still accumulate), which is

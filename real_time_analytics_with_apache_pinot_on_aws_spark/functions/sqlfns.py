@@ -300,9 +300,15 @@ _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
      " cast(sign(v) * floor(abs(cast(v as decimal(25,12)))"
      " * cast(power(10, n) as decimal(12,0)) + 0.5) / power(10, n)"
      " as double)"
+     # double branches: floor(DOUBLE) returns BIGINT and SATURATES at
+     # Long.MAX_VALUE (round-7 review: the Infinity-only guard let
+     # scaled magnitudes in [2^63, inf) silently return 9.22e18-shaped
+     # garbage) — whenever the scaled magnitude reaches 2^63 the double
+     # has no representable fraction at that scale, so rounding is the
+     # identity and v is returned directly
      " WHEN n >= 0 THEN"
-     " cast(CASE WHEN abs(v) * power(10, n) = cast('Infinity' as double)"
-     " THEN v"  # scale finer than the double can represent: identity
+     " cast(CASE WHEN abs(v) * power(10, n) >= 9.223372036854776e18"
+     " THEN v"
      " ELSE sign(v) * floor(abs(v) * power(10, n) + 0.5) / power(10, n)"
      " END as double)"
      " WHEN n >= -11 AND abs(v) < 1e13 THEN"
@@ -312,6 +318,7 @@ _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
      " ELSE"
      " cast(CASE WHEN power(10, -n) = cast('Infinity' as double)"
      " THEN 0.0"  # rounding to a multiple beyond the double range
+     " WHEN abs(v) / power(10, -n) >= 9.223372036854776e18 THEN v"
      " ELSE sign(v) * floor(abs(v) / power(10, -n) + 0.5) * power(10, -n)"
      " END as double)"
      " END"),
@@ -337,12 +344,21 @@ _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
     # COSINEDISTANCE is the 2-arg Pinot form: a zero-norm side yields NaN
     # (0/0), exactly Pinot's no-default behavior; Pinot's optional 3rd
     # default argument is the caller's coalesce(nanvl(...)) away.
+    # DIMCHECK(name, body): zip_with pads the shorter vector with NULLs,
+    # which would turn a dimension-mismatched pair into a silent NULL
+    # (round-7 review) — Pinot throws 'Vector lengths do not match', so
+    # the mismatch raises loudly here too (NULL inputs still pass
+    # through as NULL: size(NULL) is NULL and the CASE falls through)
     (
         "INNERPRODUCT",
         "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
         "DOUBLE",
+        "CASE WHEN size(a) != size(b) THEN "
+        "cast(raise_error(concat('INNERPRODUCT: vector lengths do not "
+        "match: ', cast(size(a) as string), ' vs ', "
+        "cast(size(b) as string))) as double) ELSE "
         "aggregate(zip_with(a, b, (x, y) -> x * y), cast(0.0 as double), "
-        "(s, x) -> s + x)",
+        "(s, x) -> s + x) END",
     ),
     (
         "VECTORNORM",
@@ -355,15 +371,23 @@ _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
         "L1DISTANCE",
         "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
         "DOUBLE",
+        "CASE WHEN size(a) != size(b) THEN "
+        "cast(raise_error(concat('L1DISTANCE: vector lengths do not "
+        "match: ', cast(size(a) as string), ' vs ', "
+        "cast(size(b) as string))) as double) ELSE "
         "aggregate(zip_with(a, b, (x, y) -> abs(x - y)), "
-        "cast(0.0 as double), (s, x) -> s + x)",
+        "cast(0.0 as double), (s, x) -> s + x) END",
     ),
     (
         "L2DISTANCE",
         "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
         "DOUBLE",
+        "CASE WHEN size(a) != size(b) THEN "
+        "cast(raise_error(concat('L2DISTANCE: vector lengths do not "
+        "match: ', cast(size(a) as string), ' vs ', "
+        "cast(size(b) as string))) as double) ELSE "
         "sqrt(aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), "
-        "cast(0.0 as double), (s, x) -> s + x))",
+        "cast(0.0 as double), (s, x) -> s + x)) END",
     ),
     (
         "COSINEDISTANCE",

@@ -740,3 +740,30 @@ def test_vector_scalars_coerce_float_arrays(spark, agg_engine):
     ).collect()[0]
     assert abs(row["n"] - math.sqrt(5.0)) < 1e-7
     assert math.isnan(row["cz"])
+
+
+@pytest.mark.parametrize(
+    "expr,want",
+    [
+        # round-7 review: floor(DOUBLE) returns BIGINT and saturates at
+        # Long.MAX — scaled magnitudes >= 2^63 must return v, not 9.2e18
+        ("ROUNDDECIMAL(1e13, 6)", 1e13),
+        ("ROUNDDECIMAL(1e7, 12)", 1e7),
+        ("ROUNDDECIMAL(1e20, -1)", 1e20),
+        ("ROUNDDECIMAL(-1e20, -3)", -1e20),
+    ],
+)
+def test_rounddecimal_no_long_saturation(agg_engine, expr, want):
+    got = agg_engine.query(f"SELECT {expr} AS x").collect()[0]["x"]
+    assert got == want, (expr, got, want)
+
+
+@pytest.mark.parametrize("fn", ["INNERPRODUCT", "L1DISTANCE", "L2DISTANCE",
+                                "COSINEDISTANCE"])
+def test_vector_scalars_raise_on_dimension_mismatch(agg_engine, fn):
+    """zip_with pads with NULLs — a dimension mismatch must raise like
+    Pinot ('Vector lengths do not match'), never return silent NULL."""
+    with pytest.raises(Exception, match="lengths do not match"):
+        agg_engine.query(
+            f"SELECT {fn}(array(1.0d), array(1.0d, 2.0d)) AS x"
+        ).collect()

@@ -780,7 +780,12 @@ def test_json_match_parser_roundtrip(preds):
 # data and any routable statement shape, the routed exploded plan must return
 # exactly what the unroutable-shape fallback returns — the subquery-wrapped
 # form never routes (shape gate), so it is the explode-free ground truth for
-# the wrapped co-aggregates AND the normalized-set MV fallback.
+# the wrapped co-aggregates AND the normalized-set MV fallback.  The element
+# domain (<= 21 distinct values) keeps DISTINCTCOUNTHLLMV inside HLL's
+# sparse-exact regime ON PURPOSE: beyond it the route estimates while the
+# fallback stays exact (documented divergence, aggsql.py fallback comment) —
+# the invariant under test is the wrapped-aggregate / NULL / normalization
+# algebra, not estimator identity.
 # ---------------------------------------------------------------------------
 
 _mv_rows_st = st.lists(

@@ -3997,3 +3997,46 @@ def test_table_ref_rewrite_covers_join_and_mixed_from_shapes(spark, tmp_path):
         assert len(v) == 2 and all(r["d"] >= 0 for r in v)
     finally:
         pipe.stop()
+
+
+def test_table_ref_rewrite_keyword_named_alias(spark, tmp_path):
+    """Round-7 review: 'FROM t AS sort' — an explicit AS followed by a
+    keyword-named alias used to backtrack into capturing 'AS' itself as
+    the alias, garbling the rewrite so the analysis probe silently served
+    the UN-optioned original.  With 'as' in the lookahead list the alias
+    group fails cleanly and the option applies."""
+    import json as _json
+
+    src_dir = tmp_path / "stream_in"
+    config = dict(TABLE_CONFIG)
+    config["tableName"] = "aliasKw"
+    config["upsertConfig"] = {"mode": "FULL"}
+    schema = dict(CLICKSTREAM_SCHEMA)
+    schema["primaryKeyColumns"] = ["userID"]
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    src_dir.mkdir(parents=True, exist_ok=True)
+    (src_dir / "b1.json").write_text("\n".join(_json.dumps(r) for r in [
+        {"userID": "u1", "campaign": "c", "price": 10,
+         "creationTimestamp": "2024-06-01 10:00:00"},
+        {"userID": "u1", "campaign": "c", "price": 12,
+         "creationTimestamp": "2024-06-01 10:05:00"},
+    ]))
+    pipe = engine.add_table(schema, config,
+                            RawRecordSource(kind="files", path=str(src_dir)),
+                            available_now=True)
+    try:
+        pipe.process_available()
+        engine.register_view("aliasKw")
+        # resolved: 1 row; skipUpsert over a keyword-named alias: 2 rows
+        n = engine.query(
+            "SET skipUpsert=true; SELECT count(*) AS n FROM aliasKw AS sort"
+        ).collect()[0]["n"]
+        assert n == 2
+        # qualified references through the keyword alias keep resolving
+        n2 = engine.query(
+            "SET skipUpsert=true; SELECT count(*) AS n FROM aliasKw AS sort "
+            "WHERE sort.userID = 'u1'"
+        ).collect()[0]["n"]
+        assert n2 == 2
+    finally:
+        pipe.stop()
