@@ -561,6 +561,22 @@ _REWRITES: dict = {
     "PERCENTILETDIGEST": _percentile("approx_percentile"),
     "PERCENTILEKLL": _percentile("approx_percentile"),
     "PERCENTILESMARTTDIGEST": _percentile("approx_percentile"),
+    # the RAW* percentile spellings return a serialized sketch in Pinot;
+    # the estimate is the only thing a SQL consumer can do with one, so
+    # they serve the same approx_percentile their non-raw kin do (the
+    # same policy as DISTINCTCOUNTRAWHLL -> the estimate)
+    "PERCENTILERAWEST": _percentile("approx_percentile"),
+    "PERCENTILERAWTDIGEST": _percentile("approx_percentile"),
+    "PERCENTILERAWKLL": _percentile("approx_percentile"),
+    # Pinot's B24/B25 stats spellings have NO underscore — map them onto
+    # the Spark builtins (population/sample semantics match Pinot's
+    # StatisticalAggregationFunction family **[P1.2]**)
+    "STDDEVPOP": lambda a: f"stddev_pop({a[0]})",
+    "STDDEVSAMP": lambda a: f"stddev_samp({a[0]})",
+    "VARPOP": lambda a: f"var_pop({a[0]})",
+    "VARSAMP": lambda a: f"var_samp({a[0]})",
+    "COVARPOP": lambda a: f"covar_pop({a[0]}, {a[1]})",
+    "COVARSAMP": lambda a: f"covar_samp({a[0]}, {a[1]})",
     "COUNTMV": lambda a: f"sum(size({a[0]}))",
     "SUMMV": lambda a: f"sum({_SUM_FOLD.format(a[0])})",
     "MINMV": lambda a: f"min(array_min({a[0]}))",
@@ -748,7 +764,9 @@ _DUP_UNSAFE_AGGS = frozenset(
     REGR_AVGX REGR_AVGY REGR_COUNT REGR_INTERCEPT REGR_R2 REGR_SLOPE
     REGR_SXX REGR_SXY REGR_SYY FUNNELCOUNT FUNNELMAXSTEP
     FUNNELMATCHSTEP FUNNELCOMPLETECOUNT
-    SUMVALUESINTEGERSUMTUPLESKETCH AVGVALUEINTEGERSUMTUPLESKETCH""".split()
+    SUMVALUESINTEGERSUMTUPLESKETCH AVGVALUEINTEGERSUMTUPLESKETCH
+    PERCENTILERAWEST PERCENTILERAWTDIGEST PERCENTILERAWKLL
+    STDDEVPOP STDDEVSAMP VARPOP VARSAMP COVARPOP COVARSAMP""".split()
 )
 
 _KNOWN_AGG_NAMES = (

@@ -6199,6 +6199,55 @@ def b17_mv_distinct_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrite_pinot_aggregates(routed))
 
 
+@register(
+    "b66_vector_scalar_fns",
+    r"""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dims,
+           round(CAST(list_inner_product(
+                   CAST(embedding AS DOUBLE[]),
+                   CAST(embedding AS DOUBLE[])) AS DOUBLE), 4) AS self_ip,
+           round(sqrt(CAST(list_inner_product(
+                   CAST(embedding AS DOUBLE[]),
+                   CAST(embedding AS DOUBLE[])) AS DOUBLE)), 4) AS norm,
+           round(CAST(list_distance(
+                   CAST(embedding AS DOUBLE[]),
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> -x))
+                 AS DOUBLE), 4) AS l2_to_neg,
+           round(CAST(1.0 - list_cosine_similarity(
+                   CAST(embedding AS DOUBLE[]),
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> -x))
+                 AS DOUBLE), 4) AS cos_to_neg
+    FROM embeddings
+    WHERE vec_id % 37 = 0 AND len(embedding) > 0
+    ORDER BY vec_id
+    """,
+    doc="B66 kin (round 7): the vector SCALAR function family "
+        "(VECTORDIMS / INNERPRODUCT / VECTORNORM / L2DISTANCE / "
+        "COSINEDISTANCE — Pinot 1.2's vector scalar companions of "
+        "VECTOR_SIMILARITY) over the fixture embeddings, each vector "
+        "probed against itself and its negation (cosine distance to the "
+        "negation is exactly 2 modulo rounding; L2 is twice the norm).  "
+        "Pure higher-order-function macros — zip_with + aggregate, "
+        "codegen, no UDF, no shuffle beyond the scan — against DuckDB's "
+        "native list_inner_product / list_distance / "
+        "list_cosine_similarity replays.",
+)
+def b66_vector_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    neg = "transform(cast(embedding as array<double>), x -> -x)"
+    return spark.sql(
+        "SELECT vec_id, "
+        "VECTORDIMS(embedding) AS dims, "
+        "round(INNERPRODUCT(embedding, embedding), 4) AS self_ip, "
+        "round(VECTORNORM(embedding), 4) AS norm, "
+        f"round(L2DISTANCE(embedding, {neg}), 4) AS l2_to_neg, "
+        f"round(COSINEDISTANCE(embedding, {neg}), 4) AS cos_to_neg "
+        "FROM embeddings WHERE vec_id % 37 = 0 AND size(embedding) > 0 "
+        "ORDER BY vec_id"
+    )
+
+
 # ===========================================================================
 # Driver window curation: the driver's correctness gate adjudicates exactly
 # the first 50 entries of queries() in registration order (confirmed in

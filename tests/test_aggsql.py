@@ -767,3 +767,25 @@ def test_vector_scalars_raise_on_dimension_mismatch(agg_engine, fn):
         agg_engine.query(
             f"SELECT {fn}(array(1.0d), array(1.0d, 2.0d)) AS x"
         ).collect()
+
+
+@pytest.mark.parametrize(
+    "pinot,spark_equiv",
+    [
+        # Pinot's no-underscore stats spellings (B24/B25 wire forms)
+        ("STDDEVPOP(v)", "stddev_pop(v)"),
+        ("STDDEVSAMP(v)", "stddev_samp(v)"),
+        ("VARPOP(v)", "var_pop(v)"),
+        ("VARSAMP(v)", "var_samp(v)"),
+        ("COVARPOP(v, u)", "covar_pop(v, u)"),
+        ("COVARSAMP(v, u)", "covar_samp(v, u)"),
+        # RAW percentile spellings serve the estimate like their kin
+        ("PERCENTILERAWEST(v, 90)", "approx_percentile(v, 0.9)"),
+        ("PERCENTILERAWTDIGEST(v, 50)", "approx_percentile(v, 0.5)"),
+        ("PERCENTILERAWKLL(v, 75)", "approx_percentile(v, 0.75)"),
+    ],
+)
+def test_stats_and_raw_percentile_spellings(spark, agg_engine, pinot, spark_equiv):
+    got = agg_engine.query(f"SELECT {pinot} AS x FROM aggsrc").collect()[0]["x"]
+    want = spark.sql(f"SELECT {spark_equiv} AS x FROM aggsrc").collect()[0]["x"]
+    assert abs(got - want) < 1e-9, (pinot, got, want)
