@@ -299,6 +299,29 @@ def main() -> None:
         print("pauseConsumption:", _json.loads(r.read()))
     ctl.stop()
 
+    # 15. Round 7 — Pinot's primary funnel aggregate (cumulative distinct-
+    #     correlator intersection), the bounded MV-distinct statement route
+    #     (LATERAL VIEW POSEXPLODE plan, never a collect_set of arrays),
+    #     and the vector scalar family — all plain broker SQL
+    engine.query(
+        "SELECT FUNNELCOUNT(STEPS(campaign = 'BlackFriday', "
+        "campaign = '10Percent'), CORRELATE_BY(userID)) AS funnel "
+        "FROM clickstream"
+    ).show(truncate=False)
+    spark.sql(
+        "SELECT * FROM VALUES ('a', array('x','y')), ('a', array('y','x')), "
+        "('b', array('z')) AS t(k, tags)"
+    ).createOrReplaceTempView("mv_demo")
+    engine.query(
+        "SELECT k, DISTINCTCOUNTMV(tags) AS distinct_tags, COUNT(*) AS n "
+        "FROM mv_demo GROUP BY k ORDER BY k"
+    ).show()
+    engine.query(
+        "SELECT round(COSINEDISTANCE(array(1.0D, 0.0D), "
+        "array(0.0D, 1.0D)), 4) AS orthogonal_dist, "
+        "VECTORNORM(array(3.0D, 4.0D)) AS norm_3_4"
+    ).show()
+
     spark.stop()
 
 

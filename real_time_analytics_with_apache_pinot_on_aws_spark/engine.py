@@ -2948,13 +2948,22 @@ class Engine:
         set as""".split()
     )
 
+    # these refuse alias-hood only as clause HEADS (round-7 shape fuzz:
+    # 'FROM t sort' is a legitimate alias named sort — Spark's parser
+    # accepts non-reserved keywords there — and only 'SORT BY' is a
+    # clause; hard-refusing it made the inline-subselect rewrite emit a
+    # double alias and silently fall back to the un-optioned original)
+    _SOFT_ALIAS_KEYWORDS = ("cluster", "distribute", "group", "order", "sort")
+
     # the alias group REFUSES clause keywords via lookahead (round-7
     # review: a greedy alias swallowed the JOIN of "FROM a JOIN b", so
     # "JOIN b" was never visited and options applied to one table only)
     _ALIAS_PART = (
         r"(?P<alias>\s+(?:AS\s+)?(?P<aname>(?!(?:"
-        + "|".join(sorted(_NON_ALIAS_KEYWORDS))
-        + r")\b)[A-Za-z_]\w*))?"
+        + "|".join(sorted(_NON_ALIAS_KEYWORDS - set(_SOFT_ALIAS_KEYWORDS)))
+        + r")\b)(?!(?:"
+        + "|".join(_SOFT_ALIAS_KEYWORDS)
+        + r")\s+BY\b)[A-Za-z_]\w*))?"
     )
 
     _TABLE_REF_RE = re.compile(

@@ -867,3 +867,80 @@ def test_mv_route_matches_fallback_reference(spark, rows, items, grouped, where)
                 ), (gr, wr)
             else:
                 assert gv == wv, (gr, wr)
+
+
+# ---------------------------------------------------------------------------
+# Table-ref rewriter (Engine._rewrite_table_refs): the round-7 review found
+# two silent-partial-application bugs in FROM-shape handling (swallowed JOIN
+# keyword, comma-list overlap).  This property pins the whole shape space
+# with a VALUE oracle: every ref joins cross-style (ON 1=1), so the row
+# count of the rewritten statement is the product of per-ref table sizes
+# with targets substituted — any ref silently left unrewritten (or any
+# silent whole-statement fallback) changes the product.
+# ---------------------------------------------------------------------------
+
+_ref_alias_st = st.sampled_from(
+    [None, "x", "AS y", "sort", "AS sort", "AS cluster"]
+)
+_ref_table_st = st.sampled_from(["ups1", "ups2", "plain1"])
+_ref_st = st.tuples(_ref_table_st, _ref_alias_st)
+
+# per-table row counts: base vs raw substitution (distinct primes so any
+# wrong substitution changes the product uniquely)
+_REF_BASE = {"ups1": 2, "ups2": 3, "plain1": 5}
+_REF_RAW = {"ups1": 7, "ups2": 11}
+
+
+@given(
+    from_refs=st.lists(_ref_st, min_size=1, max_size=3),
+    join_ref=st.one_of(st.none(), _ref_st),
+)
+@settings(**SETTINGS)
+def test_table_ref_rewrite_shape_space(spark, from_refs, join_ref):
+    import tempfile
+
+    from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
+
+    eng = getattr(test_table_ref_rewrite_shape_space, "_eng", None)
+    if eng is None:
+        for name, n in _REF_BASE.items():
+            spark.range(n).createOrReplaceTempView(name)
+        for name, n in _REF_RAW.items():
+            spark.range(n).createOrReplaceTempView(f"{name}_raw")
+        eng = Engine(spark, tempfile.mkdtemp())
+        test_table_ref_rewrite_shape_space._eng = eng
+    targets = {
+        "ups1": "ups1_raw",                       # plain rename
+        "ups2": lambda: "(SELECT * FROM ups2_raw)",  # inline subselect
+    }
+
+    def ref_sql(t, alias):
+        ref_sql.i += 1
+        if alias is None:
+            return t
+        word = alias.split()[-1]
+        if word in ("sort", "cluster"):
+            # keyword-named aliases (the round-7 review shapes) go in
+            # VERBATIM — but only once per statement (unique aliases)
+            if word in ref_sql.used:
+                return t
+            ref_sql.used.add(word)
+            a = word
+        else:
+            a = word + str(ref_sql.i)  # unique or analysis fails
+        return f"{t} {'AS ' if alias.startswith('AS') else ''}{a}"
+
+    ref_sql.i = 0
+    ref_sql.used = set()
+    clause = ", ".join(ref_sql(t, a) for t, a in from_refs)
+    refs = list(from_refs)
+    if join_ref is not None:
+        clause += f" JOIN {ref_sql(*join_ref)} ON 1 = 1"
+        refs.append(join_ref)
+    sql = f"SELECT count(*) AS n FROM {clause}"
+    rewritten = eng._rewrite_table_refs(sql, targets)
+    want = 1
+    for t, _ in refs:
+        want *= _REF_RAW.get(t, _REF_BASE[t])
+    got = spark.sql(rewritten).collect()[0]["n"]
+    assert got == want, (sql, rewritten, got, want)
