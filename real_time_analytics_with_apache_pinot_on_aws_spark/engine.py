@@ -2958,12 +2958,21 @@ class Engine:
     # the alias group REFUSES clause keywords via lookahead (round-7
     # review: a greedy alias swallowed the JOIN of "FROM a JOIN b", so
     # "JOIN b" was never visited and options applied to one table only)
+    # Two alias branches (round-7 reviews): after an EXPLICIT ``AS``,
+    # anything but a second ``AS`` is the alias — Spark's parser accepts
+    # non-reserved keywords there (``FROM t AS limit``), and hard-refusing
+    # them made callable-target rewrites emit a double alias and silently
+    # fall back to the un-optioned statement.  A BARE word is an alias
+    # only when it is not a clause keyword (soft keywords refuse only as
+    # ``X BY`` clause heads).  Python regex forbids duplicate group names,
+    # so the branches carry ``aname``/``aname_bare`` and readers coalesce.
     _ALIAS_PART = (
-        r"(?P<alias>\s+(?:AS\s+)?(?P<aname>(?!(?:"
+        r"(?P<alias>\s+(?:AS\s+(?P<aname>(?!AS\b)[A-Za-z_]\w*)"
+        r"|(?P<aname_bare>(?!(?:"
         + "|".join(sorted(_NON_ALIAS_KEYWORDS - set(_SOFT_ALIAS_KEYWORDS)))
         + r")\b)(?!(?:"
         + "|".join(_SOFT_ALIAS_KEYWORDS)
-        + r")\s+BY\b)[A-Za-z_]\w*))?"
+        + r")\s+BY\b)[A-Za-z_]\w*)))?"
     )
 
     _TABLE_REF_RE = re.compile(
@@ -3000,7 +3009,7 @@ class Engine:
                     f"{m.group(1)}{m.group(2)}",
                     m.group("t"),
                     m.group("alias"),
-                    m.group("aname"),
+                    m.group("aname") or m.group("aname_bare"),
                 )
             )
             if m.group(1).upper() != "FROM":
@@ -3019,7 +3028,7 @@ class Engine:
                         cm.group(1),
                         cm.group("t"),
                         cm.group("alias"),
-                        cm.group("aname"),
+                        cm.group("aname") or cm.group("aname_bare"),
                     )
                 )
                 pos = cm.end()

@@ -20,6 +20,20 @@ from ..operators.clp import CLPDECODE_SQL_BODY as _CLPDECODE_SQL_BODY
 IP2LONG = ("aggregate(split({0}, '\\\\.'), cast(0 as bigint), "
            "(a, x) -> a * 256 + cast(x as bigint))")
 
+
+def _dimcheck(name: str, body: str) -> str:
+    """Wrap a two-vector macro body in the dimension-mismatch guard:
+    zip_with pads the shorter array with NULLs, which would turn a
+    mismatch into a silent NULL — Pinot throws 'Vector lengths do not
+    match', so these raise loudly too.  NULL inputs still pass through
+    as NULL (size(NULL) is NULL and the CASE falls to the body)."""
+    return (
+        f"CASE WHEN size(a) != size(b) THEN cast(raise_error(concat("
+        f"'{name}: vector lengths do not match: ', "
+        f"cast(size(a) as string), ' vs ', cast(size(b) as string))) "
+        f"as double) ELSE {body} END"
+    )
+
 # (name, arg signature, return type, body expression)
 _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
     # ---- date/time (B51) -------------------------------------------------
@@ -344,21 +358,15 @@ _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
     # COSINEDISTANCE is the 2-arg Pinot form: a zero-norm side yields NaN
     # (0/0), exactly Pinot's no-default behavior; Pinot's optional 3rd
     # default argument is the caller's coalesce(nanvl(...)) away.
-    # DIMCHECK(name, body): zip_with pads the shorter vector with NULLs,
-    # which would turn a dimension-mismatched pair into a silent NULL
-    # (round-7 review) — Pinot throws 'Vector lengths do not match', so
-    # the mismatch raises loudly here too (NULL inputs still pass
-    # through as NULL: size(NULL) is NULL and the CASE falls through)
     (
         "INNERPRODUCT",
         "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
         "DOUBLE",
-        "CASE WHEN size(a) != size(b) THEN "
-        "cast(raise_error(concat('INNERPRODUCT: vector lengths do not "
-        "match: ', cast(size(a) as string), ' vs ', "
-        "cast(size(b) as string))) as double) ELSE "
-        "aggregate(zip_with(a, b, (x, y) -> x * y), cast(0.0 as double), "
-        "(s, x) -> s + x) END",
+        _dimcheck(
+            "INNERPRODUCT",
+            "aggregate(zip_with(a, b, (x, y) -> x * y), "
+            "cast(0.0 as double), (s, x) -> s + x)",
+        ),
     ),
     (
         "VECTORNORM",
@@ -371,34 +379,37 @@ _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
         "L1DISTANCE",
         "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
         "DOUBLE",
-        "CASE WHEN size(a) != size(b) THEN "
-        "cast(raise_error(concat('L1DISTANCE: vector lengths do not "
-        "match: ', cast(size(a) as string), ' vs ', "
-        "cast(size(b) as string))) as double) ELSE "
-        "aggregate(zip_with(a, b, (x, y) -> abs(x - y)), "
-        "cast(0.0 as double), (s, x) -> s + x) END",
+        _dimcheck(
+            "L1DISTANCE",
+            "aggregate(zip_with(a, b, (x, y) -> abs(x - y)), "
+            "cast(0.0 as double), (s, x) -> s + x)",
+        ),
     ),
     (
         "L2DISTANCE",
         "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
         "DOUBLE",
-        "CASE WHEN size(a) != size(b) THEN "
-        "cast(raise_error(concat('L2DISTANCE: vector lengths do not "
-        "match: ', cast(size(a) as string), ' vs ', "
-        "cast(size(b) as string))) as double) ELSE "
-        "sqrt(aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), "
-        "cast(0.0 as double), (s, x) -> s + x)) END",
+        _dimcheck(
+            "L2DISTANCE",
+            "sqrt(aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), "
+            "cast(0.0 as double), (s, x) -> s + x))",
+        ),
     ),
     (
         "COSINEDISTANCE",
         "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
         "DOUBLE",
-        # the zero-norm branch is explicit: ANSI sessions raise
-        # DIVIDE_BY_ZERO even on doubles, and Pinot's contract is NaN
-        "CASE WHEN VECTORNORM(a) * VECTORNORM(b) = 0.0 "
-        "THEN cast('NaN' as double) "
-        "ELSE 1.0 - INNERPRODUCT(a, b) / (VECTORNORM(a) * VECTORNORM(b)) "
-        "END",
+        # its OWN dimcheck (round-7 second review: a mismatched pair with
+        # a zero-norm side hit the NaN branch before INNERPRODUCT's guard
+        # could fire); the zero-norm branch stays explicit — ANSI sessions
+        # raise DIVIDE_BY_ZERO even on doubles, and Pinot's contract is NaN
+        _dimcheck(
+            "COSINEDISTANCE",
+            "CASE WHEN VECTORNORM(a) * VECTORNORM(b) = 0.0 "
+            "THEN cast('NaN' as double) "
+            "ELSE 1.0 - INNERPRODUCT(a, b) "
+            "/ (VECTORNORM(a) * VECTORNORM(b)) END",
+        ),
     ),
     # ---- CLP log columns (B68) ------------------------------------------
     # Pinot CLPDECODE(logtype, dictionaryVars, encodedVars) **[P1.2]** —

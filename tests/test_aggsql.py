@@ -789,3 +789,12 @@ def test_stats_and_raw_percentile_spellings(spark, agg_engine, pinot, spark_equi
     got = agg_engine.query(f"SELECT {pinot} AS x FROM aggsrc").collect()[0]["x"]
     want = spark.sql(f"SELECT {spark_equiv} AS x FROM aggsrc").collect()[0]["x"]
     assert abs(got - want) < 1e-9, (pinot, got, want)
+
+
+def test_cosinedistance_dimension_beats_zero_norm(agg_engine):
+    """Round-7 second review: a mismatched pair with a zero-norm side must
+    raise the mismatch, not return the zero-norm NaN."""
+    with pytest.raises(Exception, match="COSINEDISTANCE: vector lengths"):
+        agg_engine.query(
+            "SELECT COSINEDISTANCE(array(0.0d), array(0.0d, 0.0d)) AS x"
+        ).collect()

@@ -880,7 +880,7 @@ def test_mv_route_matches_fallback_reference(spark, rows, items, grouped, where)
 # ---------------------------------------------------------------------------
 
 _ref_alias_st = st.sampled_from(
-    [None, "x", "AS y", "sort", "AS sort", "AS cluster"]
+    [None, "x", "AS y", "sort", "AS sort", "AS cluster", "AS limit"]
 )
 _ref_table_st = st.sampled_from(["ups1", "ups2", "plain1"])
 _ref_st = st.tuples(_ref_table_st, _ref_alias_st)
@@ -919,7 +919,7 @@ def test_table_ref_rewrite_shape_space(spark, from_refs, join_ref):
         if alias is None:
             return t
         word = alias.split()[-1]
-        if word in ("sort", "cluster"):
+        if word in ("sort", "cluster", "limit"):
             # keyword-named aliases (the round-7 review shapes) go in
             # VERBATIM — but only once per statement (unique aliases)
             if word in ref_sql.used:

@@ -4040,3 +4040,48 @@ def test_table_ref_rewrite_keyword_named_alias(spark, tmp_path):
         assert n2 == 2
     finally:
         pipe.stop()
+
+
+def test_table_ref_rewrite_explicit_as_keyword_alias(spark, tmp_path):
+    """Round-7 second review: after an EXPLICIT AS, any non-AS word is the
+    alias — Spark accepts 'FROM t AS limit' — and the option must apply
+    (the hard refusal made callable-target rewrites double-alias and
+    silently serve the un-optioned original)."""
+    import json as _json
+
+    src_dir = tmp_path / "stream_in"
+    engine = Engine(spark, str(tmp_path / "warehouse"))
+    cfg = {
+        "tableName": "asKw",
+        "tableType": "REALTIME",
+        "segmentsConfig": {"timeColumnName": "creationTimestamp"},
+        "tableIndexConfig": {
+            "streamConfigs": {"realtime.segment.flush.threshold.time": "2m"},
+        },
+    }
+    src_dir.mkdir(parents=True, exist_ok=True)
+    rows = [
+        {"userID": "u1", "region": "eu", "slot": 4, "campaign": "BF",
+         "price": 9.5, "creationTimestamp": "2024-06-01 10:00:00"},
+        {"userID": "u2", "creationTimestamp": "2024-06-01 10:01:00"},
+    ]
+    (src_dir / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    pipe = engine.add_table(NULLFILL_SCHEMA, cfg,
+                            RawRecordSource(kind="files", path=str(src_dir)),
+                            available_now=True)
+    try:
+        pipe.process_available()
+        engine.register_view("asKw")
+        for alias in ("limit", "values", "end"):
+            n = engine.query(
+                "SET enableNullHandling=false; SELECT count(*) AS n "
+                f"FROM asKw AS {alias} WHERE {alias}.region IS NULL"
+            ).collect()[0]["n"]
+            assert n == 0, alias  # sentinel view: the option APPLIED
+            n2 = engine.query(
+                "SET enableNullHandling=false; SELECT count(*) AS n "
+                f"FROM asKw AS {alias} WHERE {alias}.region = 'null'"
+            ).collect()[0]["n"]
+            assert n2 == 1, alias
+    finally:
+        pipe.stop()
