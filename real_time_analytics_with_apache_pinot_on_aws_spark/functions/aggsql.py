@@ -124,6 +124,18 @@ def _tuple_value_unsupported(name: str, alt: str):
     return build
 
 
+def _bytes_sketch_unsupported(name: str):
+    def build(args: list[str]) -> str:
+        raise ValueError(
+            f"{name} returns serialized sketch BYTES in Pinot — this "
+            "engine keeps frequent-items state relational; use "
+            "operators/frequent.py (frequent_summaries / frequent_merge, "
+            "the b21_frequent_items_sketch query shape) instead"
+        )
+
+    return build
+
+
 _UNIT_MS = {
     "MILLISECONDS": 1,
     "SECONDS": 1000,
@@ -319,6 +331,73 @@ def _funnel(kind: str):
     return build
 
 
+def _histogram(args: list[str]) -> str:
+    """Pinot HISTOGRAM **[P1.2]**: per-group bin counts as one array.
+    Both documented forms: ``HISTOGRAM(col, lower, upper, numBins)``
+    (equal-width) and ``HISTOGRAM(col, ARRAY[e0, e1, ...])`` (explicit
+    edges).  The bin parameters are LITERALS in Pinot queries, so the
+    rewrite unrolls to ``array(count_if(...), ...)`` — one codegen'd
+    aggregate per bin, partial-merged, zero per-group collection state.
+    Pinot bin semantics: bin i counts values in [e_i, e_{i+1}), the LAST
+    bin is right-closed [e_{n-1}, e_n], values outside [e_0, e_n] are
+    excluded."""
+    col = args[0] if args else ""
+
+    def edges_equal_width() -> list[float]:
+        try:
+            lo, hi = float(args[1]), float(args[2])
+            n = int(args[3])
+        except ValueError:
+            raise ValueError(
+                "HISTOGRAM: lower/upper/numBins must be numeric literals "
+                f"(Pinot queries always write them literally), got "
+                f"({args[1]}, {args[2]}, {args[3]})"
+            ) from None
+        if n <= 0 or not hi > lo:
+            raise ValueError(
+                "HISTOGRAM: need upper > lower and numBins >= 1, got "
+                f"({args[1]}, {args[2]}, {args[3]})"
+            )
+        return [lo + (hi - lo) * i / n for i in range(n + 1)]
+
+    if len(args) == 4:
+        edges = edges_equal_width()
+    elif len(args) == 2:
+        m = re.match(r"\s*ARRAY\s*\[(?P<body>.*)\]\s*$", args[1],
+                     re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise ValueError(
+                "HISTOGRAM takes (col, lower, upper, numBins) or "
+                f"(col, ARRAY[e0, e1, ...]), got: {args[1]!r}"
+            )
+        try:
+            edges = [float(e) for e in m.group("body").split(",")]
+        except ValueError:
+            raise ValueError(
+                "HISTOGRAM: bin edges must be numeric literals"
+            ) from None
+        if len(edges) < 2 or any(
+            b <= a for a, b in zip(edges, edges[1:])
+        ):
+            raise ValueError(
+                "HISTOGRAM: need >= 2 strictly increasing bin edges"
+            )
+    else:
+        raise ValueError(
+            f"HISTOGRAM takes (col, lower, upper, numBins) or "
+            f"(col, ARRAY[e0, ...]), got {len(args)} argument(s)"
+        )
+    bins = []
+    last = len(edges) - 2
+    for i in range(len(edges) - 1):
+        hi_op = "<=" if i == last else "<"
+        bins.append(
+            f"count_if(({col}) >= {edges[i]!r} "
+            f"AND ({col}) {hi_op} {edges[i + 1]!r})"
+        )
+    return "array(" + ", ".join(bins) + ")"
+
+
 def _funnelcount(args: list[str]) -> str:
     """Pinot's primary funnel aggregate **[P1.2]**:
     ``FUNNELCOUNT(STEPS(pred1, ..., predN), CORRELATE_BY(col)
@@ -452,6 +531,7 @@ def _jsonextractscalar(args: list[str]) -> str:
 _REWRITES: dict = {
     "DATETIMECONVERT": _datetimeconvert,
     "FUNNELCOUNT": _funnelcount,
+    "HISTOGRAM": _histogram,
     "FUNNELMAXSTEP": _funnel("MAXSTEP"),
     "FUNNELMATCHSTEP": _funnel("MATCHSTEP"),
     "FUNNELCOMPLETECOUNT": _funnel("COMPLETECOUNT"),
@@ -501,6 +581,14 @@ _REWRITES: dict = {
     "AVGVALUEINTEGERSUMTUPLESKETCH": _tuple_value_unsupported(
         "AVGVALUEINTEGERSUMTUPLESKETCH", "tuple_avg_estimate"
     ),
+    # frequent-items sketches likewise return serialized sketch BYTES in
+    # Pinot — the relational frequent-items surface (space-saving
+    # summaries + mergeable epsilon bounds) lives in operators/frequent.py
+    # and is pointed at loudly instead of resolving to a wrong answer
+    "FREQUENTSTRINGSSKETCH": _bytes_sketch_unsupported(
+        "FREQUENTSTRINGSSKETCH"
+    ),
+    "FREQUENTLONGSSKETCH": _bytes_sketch_unsupported("FREQUENTLONGSSKETCH"),
     # DataSketches HLL, NOT approx_count_distinct: the star-tree HLL cells
     # and the RollupRouter's scan fallback both use hll_sketch_agg, and
     # union-of-sketches == sketch-of-union for it — so the routed answer,
@@ -765,7 +853,8 @@ _DUP_UNSAFE_AGGS = frozenset(
     REGR_SXX REGR_SXY REGR_SYY FUNNELCOUNT FUNNELMAXSTEP
     FUNNELMATCHSTEP FUNNELCOMPLETECOUNT
     SUMVALUESINTEGERSUMTUPLESKETCH AVGVALUEINTEGERSUMTUPLESKETCH
-    PERCENTILERAWEST PERCENTILERAWTDIGEST PERCENTILERAWKLL
+    FREQUENTSTRINGSSKETCH FREQUENTLONGSSKETCH
+    HISTOGRAM PERCENTILERAWEST PERCENTILERAWTDIGEST PERCENTILERAWKLL
     STDDEVPOP STDDEVSAMP VARPOP VARSAMP COVARPOP COVARSAMP""".split()
 )
 

@@ -6248,6 +6248,42 @@ def b66_vector_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "b16_histogram_sql",
+    r"""
+    SELECT event_type,
+           count(*) FILTER (value >= 0 AND value < 250) AS h0,
+           count(*) FILTER (value >= 250 AND value < 500) AS h1,
+           count(*) FILTER (value >= 500 AND value < 750) AS h2,
+           count(*) FILTER (value >= 750 AND value <= 1000) AS h3
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Pinot HISTOGRAM aggregation **[P1.2]** (round 7): "
+        "HISTOGRAM(value, 0, 1000, 4) sent verbatim — the bin parameters "
+        "are literals, so the wire rewrite UNROLLS the call to one "
+        "count_if per bin inside a single hash-aggregate (codegen'd, "
+        "partial-merged, zero per-group collection state; Pinot bin "
+        "semantics: [e_i, e_i+1) half-open, last bin right-closed, "
+        "out-of-range values excluded).  The per-bin columns are "
+        "projected out of the array so the oracle compares scalars; "
+        "DuckDB replays the bins as FILTER counts.",
+)
+def b16_histogram_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .functions.aggsql import rewrite_pinot_aggregates
+
+    df = spark.sql(rewrite_pinot_aggregates(
+        "SELECT event_type, HISTOGRAM(value, 0, 1000, 4) AS h "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ))
+    return df.select(
+        "event_type",
+        *[F.element_at("h", i + 1).alias(f"h{i}") for i in range(4)],
+    )
+
+
 # ===========================================================================
 # Driver window curation: the driver's correctness gate adjudicates exactly
 # the first 50 entries of queries() in registration order (confirmed in

@@ -798,3 +798,58 @@ def test_cosinedistance_dimension_beats_zero_norm(agg_engine):
         agg_engine.query(
             "SELECT COSINEDISTANCE(array(0.0d), array(0.0d, 0.0d)) AS x"
         ).collect()
+
+
+def test_histogram_equal_width_and_edges(spark, agg_engine):
+    """Pinot HISTOGRAM semantics: [e_i, e_{i+1}) bins, last bin
+    right-closed, values outside the range excluded; both the
+    equal-width and explicit-edges forms unroll to count_if arrays."""
+    # v = 0, 1.5, 3, ..., 148.5 (100 rows)
+    got = agg_engine.query(
+        "SELECT HISTOGRAM(v, 0, 150, 3) AS h FROM aggsrc"
+    ).collect()[0]["h"]
+    # [0,50): v<50 -> ids 0..33 (34); [50,100): 34..66 (33); [100,150]: 67..99 (33)
+    assert got == [34, 33, 33]
+    got2 = agg_engine.query(
+        "SELECT HISTOGRAM(v, ARRAY[0, 10, 148.5]) AS h FROM aggsrc"
+    ).collect()[0]["h"]
+    # [0,10): ids 0..6 (7); [10,148.5]: ids 7..99 (93) — last bin CLOSED
+    assert got2 == [7, 93]
+    # outside-range exclusion: range that misses the tail
+    got3 = agg_engine.query(
+        "SELECT HISTOGRAM(v, 0, 30, 2) AS h FROM aggsrc"
+    ).collect()[0]["h"]
+    assert sum(got3) == 21  # v <= 30 -> ids 0..20 only
+    # grouped: bins partial-merge per group like any aggregate
+    rows = {
+        r["u"]: r["h"]
+        for r in agg_engine.query(
+            "SELECT u, HISTOGRAM(v, 0, 150, 3) AS h FROM aggsrc "
+            "GROUP BY u"
+        ).collect()
+    }
+    assert sum(sum(h) for h in rows.values()) == 100
+
+
+@pytest.mark.parametrize(
+    "bad,msg",
+    [
+        ("HISTOGRAM(v)", "argument"),
+        ("HISTOGRAM(v, 10, 0, 4)", "upper > lower"),
+        ("HISTOGRAM(v, 0, 10, 0)", "numBins"),
+        ("HISTOGRAM(v, ARRAY[5, 5])", "strictly increasing"),
+        ("HISTOGRAM(v, ARRAY[1])", "2 strictly increasing"),
+        ("HISTOGRAM(v, some_col, 10, x)", "HISTOGRAM"),
+    ],
+)
+def test_histogram_loud_errors(bad, msg):
+    with pytest.raises(ValueError, match=msg):
+        R(f"SELECT {bad} FROM t")
+
+
+@pytest.mark.parametrize(
+    "name", ["FREQUENTSTRINGSSKETCH", "FREQUENTLONGSSKETCH"]
+)
+def test_frequent_sketch_spellings_point_at_operator_api(name):
+    with pytest.raises(ValueError, match="operators/frequent"):
+        R(f"SELECT {name}(c, 8) FROM t")
