@@ -341,7 +341,13 @@ def _histogram(args: list[str]) -> str:
     Pinot bin semantics: bin i counts values in [e_i, e_{i+1}), the LAST
     bin is right-closed [e_{n-1}, e_n], values outside [e_0, e_n] are
     excluded."""
+    import math
+
     col = args[0] if args else ""
+    # one broker statement unrolls to one count_if PER BIN — cap it so a
+    # hostile numBins cannot stall the driver / blow up analysis
+    # (round-7 review; everything else about HISTOGRAM errors loudly too)
+    max_bins = 10_000
 
     def edges_equal_width() -> list[float]:
         try:
@@ -353,12 +359,27 @@ def _histogram(args: list[str]) -> str:
                 f"(Pinot queries always write them literally), got "
                 f"({args[1]}, {args[2]}, {args[3]})"
             ) from None
+        if not (math.isfinite(lo) and math.isfinite(hi)):
+            raise ValueError(
+                "HISTOGRAM: lower/upper must be finite numeric literals, "
+                f"got ({args[1]}, {args[2]})"
+            )
         if n <= 0 or not hi > lo:
             raise ValueError(
                 "HISTOGRAM: need upper > lower and numBins >= 1, got "
                 f"({args[1]}, {args[2]}, {args[3]})"
             )
-        return [lo + (hi - lo) * i / n for i in range(n + 1)]
+        if n > max_bins:
+            raise ValueError(
+                f"HISTOGRAM: numBins {n} exceeds the {max_bins} cap "
+                "(each bin unrolls to one aggregate expression)"
+            )
+        edges = [lo + (hi - lo) * i / n for i in range(n + 1)]
+        # the endpoints are the user's EXACT literals: float rounding of
+        # lo+(hi-lo)*n/n can land below hi and silently drop a value
+        # equal to upper from the closed last bin (round-7 review)
+        edges[0], edges[-1] = lo, hi
+        return edges
 
     if len(args) == 4:
         edges = edges_equal_width()
@@ -376,11 +397,22 @@ def _histogram(args: list[str]) -> str:
             raise ValueError(
                 "HISTOGRAM: bin edges must be numeric literals"
             ) from None
+        if not all(math.isfinite(e) for e in edges):
+            # NaN also sneaks past the ordering check (all comparisons
+            # False) and 'nan'/'inf' render as bare SQL identifiers
+            raise ValueError(
+                "HISTOGRAM: bin edges must be FINITE numeric literals"
+            )
         if len(edges) < 2 or any(
             b <= a for a, b in zip(edges, edges[1:])
         ):
             raise ValueError(
                 "HISTOGRAM: need >= 2 strictly increasing bin edges"
+            )
+        if len(edges) - 1 > max_bins:
+            raise ValueError(
+                f"HISTOGRAM: {len(edges) - 1} bins exceed the {max_bins} "
+                "cap (each bin unrolls to one aggregate expression)"
             )
     else:
         raise ValueError(

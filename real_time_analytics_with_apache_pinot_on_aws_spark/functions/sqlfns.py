@@ -22,7 +22,12 @@ IP2LONG = ("aggregate(split({0}, '\\\\.'), cast(0 as bigint), "
 
 
 def _dimcheck(name: str, body: str) -> str:
-    """Wrap a two-vector macro body in the dimension-mismatch guard:
+    """Wrap a two-vector macro body in the dimension-mismatch guard.
+    CONTRACT: the caller's SQL-UDF signature must name its vector
+    parameters exactly ``a`` and ``b`` — the guard references them
+    verbatim (a mismatched signature fails at CREATE FUNCTION time).
+
+    Why the guard exists:
     zip_with pads the shorter array with NULLs, which would turn a
     mismatch into a silent NULL — Pinot throws 'Vector lengths do not
     match', so these raise loudly too.  NULL inputs still pass through

@@ -839,7 +839,7 @@ def test_histogram_equal_width_and_edges(spark, agg_engine):
         ("HISTOGRAM(v, 0, 10, 0)", "numBins"),
         ("HISTOGRAM(v, ARRAY[5, 5])", "strictly increasing"),
         ("HISTOGRAM(v, ARRAY[1])", "2 strictly increasing"),
-        ("HISTOGRAM(v, some_col, 10, x)", "HISTOGRAM"),
+        ("HISTOGRAM(v, some_col, 10, x)", "numeric literals"),
     ],
 )
 def test_histogram_loud_errors(bad, msg):
@@ -853,3 +853,30 @@ def test_histogram_loud_errors(bad, msg):
 def test_frequent_sketch_spellings_point_at_operator_api(name):
     with pytest.raises(ValueError, match="operators/frequent"):
         R(f"SELECT {name}(c, 8) FROM t")
+
+
+def test_histogram_exact_upper_endpoint_survives_float_rounding(spark, agg_engine):
+    """Round-7 review: lo+(hi-lo)*n/n can round BELOW hi, silently
+    dropping a value equal to upper from the closed last bin — the
+    emitted endpoints must be the user's exact literals."""
+    spark.sql(
+        "SELECT * FROM VALUES (550.5754507072664d) AS t(v)"
+    ).createOrReplaceTempView("histedge")
+    got = agg_engine.query(
+        "SELECT HISTOGRAM(v, -101.01787042252374, 550.5754507072664, 14) "
+        "AS h FROM histedge"
+    ).collect()[0]["h"]
+    assert sum(got) == 1 and got[-1] == 1
+
+
+@pytest.mark.parametrize(
+    "bad,msg",
+    [
+        ("HISTOGRAM(v, 0, 1e309, 2)", "finite"),
+        ("HISTOGRAM(v, ARRAY[nan, 1])", "FINITE"),
+        ("HISTOGRAM(v, 0, 1, 10000001)", "cap"),
+    ],
+)
+def test_histogram_rejects_nonfinite_and_huge(bad, msg):
+    with pytest.raises(ValueError, match=msg):
+        R(f"SELECT {bad} FROM t")
