@@ -944,3 +944,44 @@ def test_table_ref_rewrite_shape_space(spark, from_refs, join_ref):
         want *= _REF_RAW.get(t, _REF_BASE[t])
     got = spark.sql(rewritten).collect()[0]["n"]
     assert got == want, (sql, rewritten, got, want)
+
+
+# ---------------------------------------------------------------------------
+# HISTOGRAM rewrite (aggsql._histogram): for ANY strictly-increasing edge
+# list and ANY values — boundary hits included — the unrolled count_if bins
+# must match a direct Python binning with Pinot's semantics ([e_i, e_{i+1})
+# half-open, last bin right-closed, out-of-range excluded).
+# ---------------------------------------------------------------------------
+
+
+@given(
+    edge_ints=st.lists(
+        st.integers(min_value=-50, max_value=50),
+        min_size=2, max_size=6, unique=True,
+    ),
+    vals=st.lists(
+        st.integers(min_value=-60, max_value=60), min_size=1, max_size=30
+    ),
+)
+@settings(**SETTINGS)
+def test_histogram_matches_python_reference(spark, edge_ints, vals):
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_pinot_aggregates as R,
+    )
+
+    edges = sorted(edge_ints)
+    spark.createDataFrame(
+        [(float(v),) for v in vals], "v double"
+    ).createOrReplaceTempView("histfuzz")
+    arr = "ARRAY[" + ", ".join(str(e) for e in edges) + "]"
+    got = spark.sql(
+        R(f"SELECT HISTOGRAM(v, {arr}) AS h FROM histfuzz")
+    ).collect()[0]["h"]
+    want = [0] * (len(edges) - 1)
+    for v in vals:
+        for i in range(len(edges) - 1):
+            closed = i == len(edges) - 2
+            if edges[i] <= v and (v <= edges[i + 1] if closed else v < edges[i + 1]):
+                want[i] += 1
+                break
+    assert got == want, (edges, sorted(vals), got, want)
