@@ -113,27 +113,34 @@ def _sketch_distinct(name: str):
     return build
 
 
-def _tuple_value_unsupported(name: str, alt: str):
+def _reject_loudly(name: str, message: str):
+    """Factory for spellings this SQL surface deliberately does not
+    serve: raising at rewrite time beats resolving to a wrong answer or
+    a bare unresolved-function error."""
+
     def build(args: list[str]) -> str:
-        raise ValueError(
-            f"{name} reads a serialized Integer-Sum Tuple sketch column — "
-            "this engine stores tuple sketches as relations, not packed "
-            f"bytes; use operators/sketch.py {alt} (SURVEY B70) instead"
-        )
+        raise ValueError(f"{name} {message}")
 
     return build
+
+
+def _tuple_value_unsupported(name: str, alt: str):
+    return _reject_loudly(
+        name,
+        "reads a serialized Integer-Sum Tuple sketch column — this "
+        "engine stores tuple sketches as relations, not packed bytes; "
+        f"use operators/sketch.py {alt} (SURVEY B70) instead",
+    )
 
 
 def _bytes_sketch_unsupported(name: str):
-    def build(args: list[str]) -> str:
-        raise ValueError(
-            f"{name} returns serialized sketch BYTES in Pinot — this "
-            "engine keeps frequent-items state relational; use "
-            "operators/frequent.py (frequent_summaries / frequent_merge, "
-            "the b21_frequent_items_sketch query shape) instead"
-        )
-
-    return build
+    return _reject_loudly(
+        name,
+        "returns serialized sketch BYTES in Pinot — this engine keeps "
+        "frequent-items state relational; use operators/frequent.py "
+        "(frequent_summaries / frequent_merge, the "
+        "b21_frequent_items_sketch query shape) instead",
+    )
 
 
 _UNIT_MS = {
@@ -379,6 +386,14 @@ def _histogram(args: list[str]) -> str:
         # lo+(hi-lo)*n/n can land below hi and silently drop a value
         # equal to upper from the closed last bin (round-7 review)
         edges[0], edges[-1] = lo, hi
+        if any(b <= a for a, b in zip(edges, edges[1:])):
+            # a bin width below ulp(lower) collapses adjacent edges —
+            # silently-empty bins; reject like the explicit-edges form
+            raise ValueError(
+                f"HISTOGRAM: the range [{args[1]}, {args[2]}] cannot be "
+                f"split into {n} representable bins (bin width below the "
+                "floating-point resolution at that magnitude)"
+            )
         return edges
 
     if len(args) == 4:

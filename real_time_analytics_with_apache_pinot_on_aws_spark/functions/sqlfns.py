@@ -115,6 +115,10 @@ _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
     ("TOBASE64", "b BINARY", "STRING", "base64(b)"),
     ("FROMBASE64", "s STRING", "BINARY", "unbase64(s)"),
     ("HEXSTR", "b BINARY", "STRING", "hex(b)"),
+    # Pinot toUtf8/fromUtf8 **[P1.2]**: STRING <-> UTF-8 BYTES (Spark's
+    # string<->binary casts are exactly UTF-8)
+    ("TOUTF8", "s STRING", "BINARY", "cast(s as binary)"),
+    ("FROMUTF8", "b BINARY", "STRING", "cast(b as string)"),
     # ---- geospatial (B55, optional Pinot plugin — minimal surface) -------
     # Pinot's ST_* family is an optional plugin, unused by the reference
     # config (SURVEY B55).  The core is covered with points as

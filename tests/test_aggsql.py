@@ -162,6 +162,8 @@ def test_datetimeconvert_requires_literal_formats(agg_engine):
         ("SELECT ISSUBNETOF('0.0.0.0/0', '8.8.8.8') AS x", True),
         ("SELECT ISSUBNETOF('10.0.0.0/8', '11.0.0.1') AS x", False),
         ("SELECT ROUNDDECIMAL(1.2345, 2) AS x", 1.23),
+        ("SELECT FROMUTF8(TOUTF8('héllo')) AS x", "héllo"),
+        ("SELECT HEXSTR(TOUTF8('AB')) AS x", "4142"),
     ],
 )
 def test_pinot_exact_scalar_macros(agg_engine, q, want):
@@ -880,3 +882,12 @@ def test_histogram_exact_upper_endpoint_survives_float_rounding(spark, agg_engin
 def test_histogram_rejects_nonfinite_and_huge(bad, msg):
     with pytest.raises(ValueError, match=msg):
         R(f"SELECT {bad} FROM t")
+
+
+def test_histogram_rejects_sub_ulp_bin_width():
+    """Round-7 fifth review: a range whose bin width is below ulp(lower)
+    collapses adjacent computed edges — silently-empty bins; the
+    equal-width form must reject it like the explicit-edges form."""
+    with pytest.raises(ValueError, match="representable bins"):
+        R("SELECT HISTOGRAM(v, 10000000000000000, 10000000000000002, 4) "
+          "FROM t")
