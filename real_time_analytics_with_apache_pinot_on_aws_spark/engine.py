@@ -390,7 +390,26 @@ class Engine:
         # share one) — the null-semantics query rewrite reads field specs
         # (type/class/defaultNullValue) from here
         self.table_schemas: dict[str, TableSchema] = {}
+        # session-catalog aggregate-function names (lazy, cached) — the
+        # MV-distinct route's fail-safe: any call-site name its static
+        # classification tables don't know but THIS set marks as an
+        # aggregate bails the route, so future Spark aggregates cannot be
+        # silently evaluated over POSEXPLODE-duplicated rows (round-7
+        # ADVICE).  Computed once; catalog built-ins never change within
+        # a session (UDAFs registered later are missed — documented
+        # residual; the static tables carry every name the engine itself
+        # rewrites to).
+        self._catalog_agg_names: frozenset | None = None
         pfn.register_all(spark)
+
+    def _is_catalog_aggregate(self, name: str) -> bool:
+        if self._catalog_agg_names is None:
+            self._catalog_agg_names = frozenset(
+                f.name.upper()
+                for f in self.spark.catalog.listFunctions()
+                if f.className and "expressions.aggregate" in f.className
+            )
+        return name.upper() in self._catalog_agg_names
 
     def add_schema(self, schema_json: str | dict) -> dict:
         """POST /schemas analog: validate + register by schemaName."""
@@ -2834,7 +2853,9 @@ class Engine:
         # fall through to the normalized-set call-site fallback.  Same
         # analyze-cleanly-or-original-stands contract as the table-ref
         # rewrites.
-        routed_mv = rewrite_mv_distinct_statement(sql)
+        routed_mv = rewrite_mv_distinct_statement(
+            sql, is_aggregate=self._is_catalog_aggregate
+        )
         if routed_mv is not None:
             # loud arity/shape ValueErrors from the rewrite must surface,
             # so only the ANALYSIS is inside the try

@@ -872,6 +872,7 @@ _DUP_IMMUNE_AGGS = frozenset(
     """MIN MAX MIN_BY MAX_BY ANY SOME EVERY BOOL_AND BOOL_OR ANY_VALUE
     FIRST FIRST_VALUE LAST LAST_VALUE COLLECT_SET BIT_AND BIT_OR
     APPROX_COUNT_DISTINCT HLL_SKETCH_AGG HLL_UNION_AGG MINMV MAXMV
+    THETA_SKETCH_AGG THETA_UNION_AGG THETA_INTERSECTION_AGG
     MINMAXRANGE MINMAXRANGEMV DISTINCTCOUNT DISTINCTCOUNTBITMAP
     DISTINCTCOUNTSMARTHLL SEGMENTPARTITIONEDDISTINCTCOUNT
     DISTINCTCOUNTHLL DISTINCTCOUNTRAWHLL DISTINCTSUM DISTINCTAVG
@@ -902,7 +903,10 @@ _DUP_UNSAFE_AGGS = frozenset(
     SUMVALUESINTEGERSUMTUPLESKETCH AVGVALUEINTEGERSUMTUPLESKETCH
     FREQUENTSTRINGSSKETCH FREQUENTLONGSSKETCH
     HISTOGRAM PERCENTILERAWEST PERCENTILERAWTDIGEST PERCENTILERAWKLL
-    STDDEVPOP STDDEVSAMP VARPOP VARSAMP COVARPOP COVARSAMP""".split()
+    STDDEVPOP STDDEVSAMP VARPOP VARSAMP COVARPOP COVARSAMP
+    APPROX_TOP_K APPROX_TOP_K_ACCUMULATE APPROX_TOP_K_COMBINE
+    KLL_SKETCH_AGG_BIGINT KLL_SKETCH_AGG_DOUBLE KLL_SKETCH_AGG_FLOAT
+    KLL_MERGE_AGG_BIGINT KLL_MERGE_AGG_DOUBLE KLL_MERGE_AGG_FLOAT""".split()
 )
 
 _KNOWN_AGG_NAMES = (
@@ -1014,10 +1018,19 @@ def _search_unquoted_re(pattern: "re.Pattern", sql: str) -> bool:
     return False
 
 
-def rewrite_mv_distinct_statement(sql: str):
+def rewrite_mv_distinct_statement(sql: str, is_aggregate=None):
     """Return the exploded-plan statement for a routable *MV-distinct
     statement, or ``None`` when the shape is unsupported (module
-    docstring above the tables has the full contract)."""
+    docstring above the tables has the full contract).
+
+    ``is_aggregate``: optional ``name -> bool`` predicate (the engine
+    passes one built from the session's function catalog).  Any call-site
+    name the three classification tables do NOT know that the predicate
+    says IS an aggregate makes the route bail — future Spark aggregate
+    additions and registered UDAFs fail SAFE to the fallback expression
+    instead of being silently evaluated over POSEXPLODE-duplicated rows
+    (round-7 ADVICE: approx_top_k/kll_sketch_agg were exactly that
+    silent-inflation class before they were classified)."""
     if not _MV_GATE_RE.search(sql):
         return None
     if "__mv" in sql:
@@ -1067,6 +1080,13 @@ def rewrite_mv_distinct_statement(sql: str):
             return None
         elif u in _DUP_WRAP_AGGS:
             wrap_sites.append(s)
+        elif (
+            u not in _DUP_IMMUNE_AGGS
+            and is_aggregate is not None
+            and is_aggregate(s[0])
+        ):
+            # unclassified-but-aggregate: fail safe (see docstring)
+            return None
     if not mv_sites:
         return None
     # nested MV calls inside another recorded call (or vice versa) are

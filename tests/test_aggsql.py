@@ -489,6 +489,74 @@ def test_mv_fallback_expression_is_normalized(spark, mv_engine):
     assert got == {"a": 5, "b": 1}
 
 
+@pytest.mark.parametrize(
+    "co_agg",
+    [
+        "approx_top_k(g, 3)",
+        "approx_top_k_accumulate(g)",
+        "kll_sketch_agg_double(amount)",
+        "kll_merge_agg_double(kll_sketch_agg_double(amount))",
+    ],
+)
+def test_mv_route_bails_on_sketch_family_co_aggregates(co_agg):
+    """Round-7 ADVICE: approx_top_k / kll_*_agg_* over POSEXPLODE-
+    duplicated rows silently inflate — they must bail the route."""
+    assert RMV(f"SELECT DISTINCTCOUNTMV(tags), {co_agg} FROM t") is None
+
+
+def test_mv_route_unclassified_aggregate_fails_safe():
+    """The catalog predicate: a call-site name the static tables don't
+    know bails the route iff the predicate marks it an aggregate — so a
+    future Spark aggregate (or a registered UDAF) degrades to the
+    fallback expression instead of a silently inflated answer."""
+    src = "SELECT DISTINCTCOUNTMV(tags), mystery_agg(v) FROM t"
+    assert RMV(src, is_aggregate=lambda n: n == "mystery_agg") is None
+    # scalar per the predicate: the route proceeds (analysis would catch
+    # a truly-misclassified name via the analyze-or-original contract)
+    assert RMV(src, is_aggregate=lambda n: False) is not None
+    # classified names never consult the predicate
+    ok = "SELECT DISTINCTCOUNTMV(tags), max(v) FROM t"
+    assert RMV(ok, is_aggregate=lambda n: True) is not None
+
+
+def test_engine_catalog_aggregate_predicate(mv_engine):
+    assert mv_engine._is_catalog_aggregate("approx_top_k")
+    assert mv_engine._is_catalog_aggregate("KLL_SKETCH_AGG_DOUBLE")
+    assert mv_engine._is_catalog_aggregate("mode")
+    assert not mv_engine._is_catalog_aggregate("upper")
+    assert not mv_engine._is_catalog_aggregate("no_such_function")
+
+
+def test_mv_with_approx_top_k_not_inflated(spark, mv_engine):
+    """End-to-end on the ADVICE's exact shape: approx_top_k weights must
+    match the un-exploded frame (the fallback path serves the MV count)."""
+    got = mv_engine.query(
+        "SELECT g, DISTINCTCOUNTMV(tags) AS v, approx_top_k(amount, 2) AS t "
+        "FROM mvsrc GROUP BY g"
+    ).collect()
+    want_top = {
+        r["g"]: r["t"]
+        for r in spark.sql(
+            "SELECT g, approx_top_k(amount, 2) AS t FROM mvsrc GROUP BY g"
+        ).collect()
+    }
+    for r in got:
+        assert r["t"] == want_top[r["g"]]
+    assert {r["g"]: r["v"] for r in got} == {"a": 5, "b": 1}
+
+
+def test_mv_route_theta_sketch_aggs_are_immune(spark, mv_engine):
+    """theta_sketch_agg is distinct-based: it may co-occur unwrapped and
+    the routed estimate still matches the un-exploded frame."""
+    routed = RMV("SELECT DISTINCTCOUNTMV(tags), theta_sketch_agg(g) FROM t")
+    assert routed is not None and "theta_sketch_agg(g)" in routed
+    got = mv_engine.query(
+        "SELECT theta_sketch_estimate(theta_sketch_agg(g)) AS e, "
+        "DISTINCTCOUNTMV(tags) AS v FROM mvsrc"
+    ).collect()[0]
+    assert got["e"] == 2 and got["v"] == 6
+
+
 # ---------------------------------------------------------------------------
 # FUNNELCOUNT (round-7: Pinot's primary funnel aggregate spelling)
 # ---------------------------------------------------------------------------
