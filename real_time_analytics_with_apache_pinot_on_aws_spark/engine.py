@@ -2841,6 +2841,7 @@ class Engine:
         # wire surface rewrites call sites textually (quote-aware,
         # functions/aggsql.py)
         from .functions.aggsql import (
+            rewrite_keyed_agg_statement,
             rewrite_mv_distinct_statement,
             rewrite_pinot_aggregates,
         )
@@ -2856,6 +2857,15 @@ class Engine:
         routed_mv = rewrite_mv_distinct_statement(
             sql, is_aggregate=self._is_catalog_aggregate
         )
+        if routed_mv is None:
+            # FUNNELCOUNT / tuple value-aggregate statements route to the
+            # bounded two-level per-(group, key) aggregate plan (round 8
+            # — zero collected arrays; aggsql.py section comment).  The
+            # two routes are mutually exclusive by construction: each
+            # treats the other's target names as route-bailing aggregates.
+            routed_mv = rewrite_keyed_agg_statement(
+                sql, is_aggregate=self._is_catalog_aggregate
+            )
         if routed_mv is not None:
             # loud arity/shape ValueErrors from the rewrite must surface,
             # so only the ANALYSIS is inside the try

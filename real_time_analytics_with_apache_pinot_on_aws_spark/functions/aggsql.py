@@ -125,12 +125,32 @@ def _reject_loudly(name: str, message: str):
 
 
 def _tuple_value_unsupported(name: str, alt: str):
-    return _reject_loudly(
-        name,
-        "reads a serialized Integer-Sum Tuple sketch column — this "
-        "engine stores tuple sketches as relations, not packed bytes; "
-        f"use operators/sketch.py {alt} (SURVEY B70) instead",
-    )
+    """Call-site FALLBACK for the tuple value aggregates: the 2-argument
+    relational spelling ``NAME(keyExpr, valueExpr)`` is served by the
+    two-level statement route (rewrite_keyed_agg_statement — exact
+    per-key sums, strictly more accurate than the sketch estimate the
+    Pinot name requests), so reaching THIS builder means the statement
+    shape was unroutable; Pinot's 1-argument serialized-BYTES form is
+    never served (sketches are stored as relations here)."""
+
+    def build(args: list[str]) -> str:
+        if len(args) == 2:
+            raise ValueError(
+                f"{name}(keyExpr, valueExpr) is served only for "
+                "single-table statements the two-level exact route can "
+                "restructure (no subqueries/joins/windows/other "
+                "aggregates) — this statement shape is not; use "
+                f"operators/sketch.py {alt} (SURVEY B70) instead"
+            )
+        raise ValueError(
+            f"{name} reads a serialized Integer-Sum Tuple sketch column "
+            "— this engine stores tuple sketches as relations, not "
+            f"packed bytes; use the 2-argument (keyExpr, valueExpr) "
+            f"relational spelling on a single-table statement, or "
+            f"operators/sketch.py {alt} (SURVEY B70)"
+        )
+
+    return build
 
 
 def _bytes_sketch_unsupported(name: str):
@@ -445,30 +465,10 @@ def _histogram(args: list[str]) -> str:
     return "array(" + ", ".join(bins) + ")"
 
 
-def _funnelcount(args: list[str]) -> str:
-    """Pinot's primary funnel aggregate **[P1.2]**:
-    ``FUNNELCOUNT(STEPS(pred1, ..., predN), CORRELATE_BY(col)
-    [, SETTINGS('strategy', ...)])`` -> ``array<bigint>`` of size N where
-    ``count_i`` = distinct correlators matching steps 1..i (Pinot's
-    bitmap strategy is a cumulative per-step bitmap INTERSECTION — set
-    semantics, no event-time ordering, unlike FUNNELMAXSTEP).
-
-    Emitted as ONE aggregate expression in the same style as
-    :func:`_funnel`: collect the DISTINCT (correlator, step-flag-combo)
-    entries among step-matching rows (<= 2^N entries per correlator —
-    per-group state is bounded by correlators, exactly Pinot's bitmap
-    state), sort so a correlator's entries are adjacent (struct ordering
-    is field-lexicographic), then fold: OR the flag combos per
-    correlator and, at each correlator boundary, add its prefix-AND
-    reached flags into the running counts.  The fold carries the
-    correlator key cast to STRING so the state struct is typable without
-    knowing the column's type at rewrite time (equality is preserved —
-    one column, one deterministic cast).  NULL correlators are excluded,
-    matching COUNT(DISTINCT ...) null semantics.  ``SETTINGS`` is
-    accepted and ignored: its literals are Pinot execution-strategy
-    HINTS (bitmap/theta_sketch/partitioned/sorted), not semantics — the
-    fold is exact.
-    """
+def _parse_funnelcount_clauses(args: list[str]) -> tuple:
+    """Shared FUNNELCOUNT clause parser -> (step predicates, correlator)
+    — used by the exact-fold call-site rewrite below AND the bounded
+    two-level statement route (rewrite_keyed_agg_statement)."""
     clauses: dict[str, str] = {}
     for a in args:
         m = re.match(r"\s*([A-Za-z_]\w*)\s*\(", a)
@@ -501,6 +501,37 @@ def _funnelcount(args: list[str]) -> str:
         raise ValueError(
             "FUNNELCOUNT: CORRELATE_BY(...) takes exactly one column"
         )
+    return steps, corr
+
+
+def _funnelcount(args: list[str]) -> str:
+    """Pinot's primary funnel aggregate **[P1.2]**:
+    ``FUNNELCOUNT(STEPS(pred1, ..., predN), CORRELATE_BY(col)
+    [, SETTINGS('strategy', ...)])`` -> ``array<bigint>`` of size N where
+    ``count_i`` = distinct correlators matching steps 1..i (Pinot's
+    bitmap strategy is a cumulative per-step bitmap INTERSECTION — set
+    semantics, no event-time ordering, unlike FUNNELMAXSTEP).
+
+    Emitted as ONE aggregate expression in the same style as
+    :func:`_funnel`: collect the DISTINCT (correlator, step-flag-combo)
+    entries among step-matching rows (<= 2^N entries per correlator —
+    per-group state is bounded by correlators, exactly Pinot's bitmap
+    state), sort so a correlator's entries are adjacent (struct ordering
+    is field-lexicographic), then fold: OR the flag combos per
+    correlator and, at each correlator boundary, add its prefix-AND
+    reached flags into the running counts.  The fold carries the
+    correlator key as ``to_json(named_struct('k', ...))`` so the state
+    struct is typable (STRING) without knowing the column's type at
+    rewrite time AND the encoding is INJECTIVE for every atomic type —
+    BINARY goes through base64, where a plain string cast collapses
+    invalid-UTF8 byte sequences into one replacement-char string and
+    merged two correlators' runs (round-7 ADVICE).  NULL correlators are
+    excluded, matching COUNT(DISTINCT ...) null semantics.  ``SETTINGS`` is
+    accepted and ignored: its literals are Pinot execution-strategy
+    HINTS (bitmap/theta_sketch/partitioned/sorted), not semantics — the
+    fold is exact.
+    """
+    steps, corr = _parse_funnelcount_clauses(args)
     n = len(steps)
     any_step = " OR ".join(f"({e})" for e in steps)
     ev = ", ".join(
@@ -526,18 +557,33 @@ def _funnelcount(args: list[str]) -> str:
         + [f"(s.m{i + 1} OR e._s{i + 1}) as m{i + 1}" for i in range(n)]
         + [f"s.c{i + 1} as c{i + 1}" for i in range(n)]
     )
+    k_enc = "to_json(named_struct('k', e._k))"
     new_fields = ", ".join(
-        ["cast(e._k as string) as _k"]
+        [f"{k_enc} as _k"]
         + [f"e._s{i + 1} as m{i + 1}" for i in range(n)]
         + [f"{flush(i)} as c{i + 1}" for i in range(n)]
     )
     step_expr = (
         f"(s, e) -> CASE WHEN s._k IS NOT NULL "
-        f"AND s._k = cast(e._k as string) "
+        f"AND s._k = {k_enc} "
         f"THEN struct({same_fields}) ELSE struct({new_fields}) END"
     )
     finish = "s -> array(" + ", ".join(flush(i) for i in range(n)) + ")"
     return f"aggregate({collected}, struct({init}), {step_expr}, {finish})"
+
+
+def _arg_extreme(name: str, fn: str):
+    def build(args: list[str]) -> str:
+        if len(args) != 2:
+            raise ValueError(
+                f"{name} takes (measuringCol, projectionCol); the "
+                f"multi-measure lexicographic form ({len(args)} arguments) "
+                "is not supported by this SQL surface — order by the "
+                "measures and LIMIT 1 instead"
+            )
+        return f"{fn}({args[1]}, {args[0]})"
+
+    return build
 
 
 _JSON_TYPES = {
@@ -675,12 +721,73 @@ _REWRITES: dict = {
     # why the engine routes every routable statement to hll_sketch_agg
     # over exploded elements instead.
     "DISTINCTCOUNTHLLMV": lambda a: (
-        "size(array_distinct(flatten(collect_set(array_distinct("
-        f"array_sort(filter({a[0]}, x -> x IS NOT NULL)))))))"
+        "cast(size(array_distinct(flatten(collect_set(array_distinct("
+        f"array_sort(filter({a[0]}, x -> x IS NOT NULL))))))) as bigint)"
     ),
     "DISTINCTCOUNTMV": lambda a: (
-        "size(array_distinct(flatten(collect_set(array_distinct("
-        f"array_sort(filter({a[0]}, x -> x IS NOT NULL)))))))"
+        "cast(size(array_distinct(flatten(collect_set(array_distinct("
+        f"array_sort(filter({a[0]}, x -> x IS NOT NULL))))))) as bigint)"
+    ),
+    # round 8 MV tail fallbacks (same normalized-set state bound as the
+    # two above; same route-first contract).  SUM folds with a NULL seed
+    # so an all-empty group returns NULL exactly like the routed
+    # sum(DISTINCT ...); AVG carries (sum, count) in ONE fold — writing
+    # sum/size as two expressions would duplicate the collect_set
+    # aggregate (Spark does not dedup identical aggregate calls).
+    "DISTINCTCOUNTBITMAPMV": lambda a: (
+        "cast(size(array_distinct(flatten(collect_set(array_distinct("
+        f"array_sort(filter({a[0]}, x -> x IS NOT NULL))))))) as bigint)"
+    ),
+    "DISTINCTSUMMV": lambda a: (
+        "aggregate(array_distinct(flatten(collect_set(array_distinct("
+        f"array_sort(filter({a[0]}, x -> x IS NOT NULL)))))), "
+        "cast(null as double), "
+        "(acc, x) -> coalesce(acc, cast(0.0 as double)) + x)"
+    ),
+    "DISTINCTAVGMV": lambda a: (
+        "aggregate(array_distinct(flatten(collect_set(array_distinct("
+        f"array_sort(filter({a[0]}, x -> x IS NOT NULL)))))), "
+        "struct(cast(0.0 as double) as v, cast(0 as bigint) as c), "
+        "(s, x) -> struct(s.v + x as v, s.c + 1 as c), "
+        "s -> CASE WHEN s.c = 0 THEN cast(null as double) "
+        "ELSE s.v / s.c END)"
+    ),
+    # the *MV percentiles rank ALL elements — an exact call-site fallback
+    # would have to collect whole arrays per group, the unbounded-state
+    # shape the statement route exists to avoid; unroutable shapes are
+    # rejected loudly instead of served silently-heavy (round-8 verdict
+    # task: "bail shapes fall to a loud error, not silence")
+    "PERCENTILEMV": _reject_loudly(
+        "PERCENTILEMV",
+        "(col, percent) ranks the exploded elements of a multi-value "
+        "column and is served only for single-table statements the "
+        "exploded statement route can restructure (no subqueries/joins/"
+        "windows/duplication-unsafe co-aggregates) — this statement "
+        "shape is not routable",
+    ),
+    "PERCENTILEESTMV": _reject_loudly(
+        "PERCENTILEESTMV",
+        "(col, percent) ranks the exploded elements of a multi-value "
+        "column and is served only for single-table statements the "
+        "exploded statement route can restructure (no subqueries/joins/"
+        "windows/duplication-unsafe co-aggregates) — this statement "
+        "shape is not routable",
+    ),
+    "PERCENTILEKLLMV": _reject_loudly(
+        "PERCENTILEKLLMV",
+        "(col, percent) ranks the exploded elements of a multi-value "
+        "column and is served only for single-table statements the "
+        "exploded statement route can restructure (no subqueries/joins/"
+        "windows/duplication-unsafe co-aggregates) — this statement "
+        "shape is not routable",
+    ),
+    "PERCENTILETDIGESTMV": _reject_loudly(
+        "PERCENTILETDIGESTMV",
+        "(col, percent) ranks the exploded elements of a multi-value "
+        "column and is served only for single-table statements the "
+        "exploded statement route can restructure (no subqueries/joins/"
+        "windows/duplication-unsafe co-aggregates) — this statement "
+        "shape is not routable",
     ),
     "DISTINCTSUM": lambda a: f"sum(DISTINCT {a[0]})",
     "DISTINCTAVG": lambda a: f"avg(DISTINCT {a[0]})",
@@ -690,6 +797,15 @@ _REWRITES: dict = {
     ),
     "FIRSTWITHTIME": lambda a: f"min_by({a[0]}, {a[1]})",
     "LASTWITHTIME": lambda a: f"max_by({a[0]}, {a[1]})",
+    # Pinot 1.2 ARG_MIN/ARG_MAX **[P1.2]**: (measuringCol, projectionCol)
+    # -> the projection at the extreme measure; NOTE the argument order is
+    # the REVERSE of min_by/max_by.  Pinot's multi-measure lexicographic
+    # form (3+ args) and its all-tied-rows result shape cannot be one
+    # Spark aggregate expression — rejected loudly rather than served as
+    # a silently different answer (single-measure calls break ties
+    # arbitrarily, exactly min_by/max_by's contract).
+    "ARG_MIN": _arg_extreme("ARG_MIN", "min_by"),
+    "ARG_MAX": _arg_extreme("ARG_MAX", "max_by"),
     "SUMPRECISION": lambda a: f"sum(cast({a[0]} as decimal(38,18)))",
     "PERCENTILE": _percentile("percentile", always_percent=False),
     "PERCENTILEEST": _percentile("approx_percentile"),
@@ -853,18 +969,54 @@ def rewrite_pinot_aggregates(sql: str) -> str:
 # ones (count/sum/avg/...) see only the pos-0 exploded copy of each row
 # via IF(first-copy, arg, NULL), and anything duplication-UNSAFE
 # (percentiles, stddev, collect_list, funnels ...) makes the route bail
-# to the normalized-set fallback expression above.  Shapes the route
-# cannot restructure (WITH/JOIN/UNION/subqueries/windows/multi-table
-# FROM) also bail.  The caller (Engine.query) additionally requires the
-# routed statement to ANALYZE cleanly or the original stands — the same
-# contract as every other statement rewrite.
+# to the normalized-set fallback expression above.  Round 8 widened the
+# routable FROM/WHERE space: ONE `[INNER|LEFT|RIGHT|FULL] JOIN ... ON`
+# is allowed (the LATERAL VIEW attaches AFTER the join, exploding each
+# joined row — the very relation the original aggregates saw) and
+# parenthesized subqueries (scalar / IN / EXISTS) are allowed anywhere
+# (they evaluate in their OWN scope, so their call sites are excluded
+# from duplication classification).  Shapes the route still cannot
+# restructure (WITH/UNION/multi-join/comma FROM/derived tables/windows)
+# bail.  The caller
+# (Engine.query) additionally requires the routed statement to ANALYZE
+# cleanly or the original stands — the same contract as every other
+# statement rewrite.
 
 _MV_DISTINCT_BUILDERS = {
     "DISTINCTCOUNTHLLMV": (
         lambda e: f"hll_sketch_estimate(hll_sketch_agg({e}))"
     ),
     "DISTINCTCOUNTMV": lambda e: f"count(DISTINCT {e})",
+    # round 8 (the MV aggregate tail Pinot 1.2 serves **[P1.2]**):
+    # BITMAPMV is the exact distinct under another name; SUM/AVG of the
+    # DISTINCT exploded elements are duplication-immune by construction.
+    # Both cast to DOUBLE so the routed answer and the normalized-set
+    # fallback expression type identically.
+    "DISTINCTCOUNTBITMAPMV": lambda e: f"count(DISTINCT {e})",
+    "DISTINCTSUMMV": lambda e: f"sum(DISTINCT cast({e} as double))",
+    "DISTINCTAVGMV": lambda e: f"avg(DISTINCT cast({e} as double))",
 }
+
+# round 8: PERCENTILE[EST/KLL/TDIGEST]MV route over the exploded element
+# MASKED to the first copy of every OTHER explode (percentiles weight by
+# occurrence — Pinot's *MV percentiles rank ALL elements, so the target's
+# own explode IS the semantics, but a co-occurring explode would inflate
+# element weights).  The percent argument follows the Pinot-only-name
+# rule: ALWAYS a percent in [0, 100].
+_MV_PERCENTILE_ROUTE = {
+    "PERCENTILEMV": "percentile({elem}, {frac})",
+    "PERCENTILEESTMV": "approx_percentile({elem}, {frac})",
+    "PERCENTILEKLLMV": "approx_percentile({elem}, {frac})",
+    "PERCENTILETDIGESTMV": "approx_percentile({elem}, {frac})",
+}
+
+
+def _mv_percent_frac(p: str) -> str:
+    p = p.strip()
+    try:
+        return f"{float(p) / 100.0!r}"
+    except ValueError:
+        return f"(({p}) / 100.0)"
 
 # result unchanged when input rows are duplicated (distinct-based state,
 # or order-free extremes over identical copies)
@@ -879,7 +1031,7 @@ _DUP_IMMUNE_AGGS = frozenset(
     DISTINCTCOUNTTHETASKETCH DISTINCTCOUNTRAWTHETASKETCH
     DISTINCTCOUNTCPCSKETCH DISTINCTCOUNTTUPLESKETCH DISTINCTCOUNTULL
     DISTINCTCOUNTRAWULL DISTINCTCOUNTHLLPLUS DISTINCTCOUNTRAWHLLPLUS
-    FIRSTWITHTIME LASTWITHTIME""".split()
+    FIRSTWITHTIME LASTWITHTIME ARG_MIN ARG_MAX""".split()
 )
 
 # correct once the argument is masked to the first exploded copy
@@ -914,9 +1066,14 @@ _KNOWN_AGG_NAMES = (
     | _DUP_WRAP_AGGS
     | _DUP_UNSAFE_AGGS
     | frozenset(_MV_DISTINCT_BUILDERS)
+    | frozenset(_MV_PERCENTILE_ROUTE)
 )
 
-_MV_GATE_RE = re.compile(r"\bDISTINCTCOUNT(?:HLL)?MV\s*\(", re.IGNORECASE)
+_MV_GATE_RE = re.compile(
+    r"\b(?:DISTINCTCOUNT(?:HLL|BITMAP)?MV|DISTINCTSUMMV|DISTINCTAVGMV|"
+    r"PERCENTILE(?:EST|KLL|TDIGEST)?MV)\s*\(",
+    re.IGNORECASE,
+)
 
 _MV_STMT_TOPKW_RE = re.compile(
     r"\b(FROM|WHERE|GROUP|HAVING|ORDER|LIMIT|JOIN|UNION|EXCEPT|"
@@ -1018,6 +1175,51 @@ def _search_unquoted_re(pattern: "re.Pattern", sql: str) -> bool:
     return False
 
 
+def _subquery_spans(sql: str) -> list:
+    """(start, end) spans of parenthesized subqueries — ``(`` groups whose
+    first token is SELECT — OUTERMOST only, literals opaque.  Scalar
+    subqueries, ``IN (SELECT ...)`` and ``EXISTS (SELECT ...)`` all take
+    this form; a derived table ``FROM (SELECT ...)`` does too (and still
+    bails the routes at the FROM-shape check)."""
+    spans = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            i = _skip_literal(sql, i)
+            continue
+        if ch == "(":
+            j = i + 1
+            while j < n and sql[j] in " \t\r\n":
+                j += 1
+            if re.match(r"SELECT\b", sql[j:], re.IGNORECASE):
+                _, end = _scan_balanced(sql, i)
+                spans.append((i, end))
+                i = end
+                continue
+        i += 1
+    return spans
+
+
+def _all_selects_inside(sql: str, start: int, spans: list) -> bool:
+    """True when every ``SELECT`` token at/after ``start`` (outside
+    literals) lies inside one of ``spans``."""
+    pat = re.compile(r"SELECT\b", re.IGNORECASE)
+    i, n = start, len(sql)
+    while i < n:
+        if sql[i] in ("'", '"'):
+            i = _skip_literal(sql, i)
+            continue
+        m = pat.match(sql, i)
+        if m and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+            if not any(s < i < e for s, e in spans):
+                return False
+            i = m.end()
+            continue
+        i += 1
+    return True
+
+
 def rewrite_mv_distinct_statement(sql: str, is_aggregate=None):
     """Return the exploded-plan statement for a routable *MV-distinct
     statement, or ``None`` when the shape is unsupported (module
@@ -1045,13 +1247,18 @@ def rewrite_mv_distinct_statement(sql: str, is_aggregate=None):
     names = [k[0] for k in kws]
     if names.count("SELECT") != 1:
         return None
-    # any SELECT at depth > 0 (subquery) also bails
-    if _search_unquoted_re(
-        re.compile(r"\bSELECT\b", re.IGNORECASE), sql[kws[0][2]:]
-    ):
+    # subqueries are allowed IF every nested SELECT sits inside a
+    # parenthesized (SELECT ...) group (round 8 — scalar subqueries /
+    # IN / EXISTS): those groups evaluate in their OWN scope, so the
+    # explode neither duplicates their input nor affects their result;
+    # their call sites are excluded from classification below.  Any
+    # SELECT outside such a group means the scanner mis-modeled the
+    # statement: bail.
+    subq_spans = _subquery_spans(sql)
+    if not _all_selects_inside(sql, kws[0][2], subq_spans):
         return None
     for bad in (
-        "JOIN", "UNION", "EXCEPT", "INTERSECT", "MINUS", "LATERAL",
+        "UNION", "EXCEPT", "INTERSECT", "MINUS", "LATERAL",
         "VALUES", "DISTRIBUTE", "CLUSTER", "WINDOW", "QUALIFY",
         "TABLESAMPLE", "PIVOT", "UNPIVOT",
     ):
@@ -1063,19 +1270,68 @@ def rewrite_mv_distinct_statement(sql: str, is_aggregate=None):
     from_end = kws[from_i][2]
     next_start = kws[from_i + 1][1] if from_i + 1 < len(kws) else len(sql)
     from_text = sql[from_end:next_start]
-    m = re.fullmatch(
-        r"\s*([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s*",
-        from_text,
-        re.IGNORECASE,
-    )
-    if m is None or "," in from_text:
-        return None
+    # FROM shape: a single table ref, optionally ONE `[INNER|LEFT|RIGHT|
+    # FULL [OUTER]] JOIN tbl [alias] ON cond` (round 8): the LATERAL VIEW
+    # then attaches AFTER the join, exploding each JOINED row — exactly
+    # the relation the original aggregates saw, so the duplication logic
+    # is unchanged.  Multi-join / comma-list / derived-table FROMs bail.
+    join_i = names.index("JOIN") if "JOIN" in names else None
+    insert_at = None
+    if join_i is not None:
+        if names.count("JOIN") != 1 or join_i != from_i + 1:
+            return None
+        jm = re.fullmatch(
+            r"\s*([A-Za-z_][\w.]*)"
+            r"(?:\s+(?:AS\s+)?(?!LEFT\b|RIGHT\b|FULL\b|INNER\b|OUTER\b)"
+            r"([A-Za-z_]\w*))?"
+            r"(?:\s+(?:LEFT|RIGHT|FULL)(?:\s+OUTER)?|\s+INNER)?\s*",
+            from_text,
+            re.IGNORECASE,
+        )
+        if jm is None or "," in from_text:
+            return None
+        join_end = kws[join_i][2]
+        join_next = (
+            kws[join_i + 1][1] if join_i + 1 < len(kws) else len(sql)
+        )
+        join_text = sql[join_end:join_next]
+        if not re.fullmatch(
+            r"\s*([A-Za-z_][\w.]*)"
+            r"(?:\s+(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*))?"
+            r"\s+ON\s+.+?\s*",
+            join_text,
+            re.IGNORECASE | re.DOTALL,
+        ) or len(_split_top_level_commas(join_text)) != 1:
+            return None
+        # insert BEFORE the trailing whitespace so the following clause
+        # keyword keeps a separator (the lateral text has no trailing
+        # space, matching the single-table insertion point)
+        insert_at = join_end + len(join_text.rstrip())
+    else:
+        m = re.fullmatch(
+            r"\s*([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s*",
+            from_text,
+            re.IGNORECASE,
+        )
+        if m is None or "," in from_text:
+            return None
+        insert_at = from_end + m.end(m.lastindex or 1)
+
+    def _in_subquery(pos: int) -> bool:
+        return any(s < pos < e for s, e in subq_spans)
+
     sites = _scan_call_sites(sql)
     mv_sites, wrap_sites = [], []
     for s in sites:
         u = s[0].upper()
-        if u in _MV_DISTINCT_BUILDERS:
+        if u in _MV_DISTINCT_BUILDERS or u in _MV_PERCENTILE_ROUTE:
+            if _in_subquery(s[1]):
+                return None  # an MV distinct in another scope: not ours
             mv_sites.append(s)
+        elif _in_subquery(s[1]):
+            # a subquery's aggregates run in their OWN scope over their
+            # OWN input — the explode neither duplicates nor masks them
+            continue
         elif u in _DUP_UNSAFE_AGGS:
             return None
         elif u in _DUP_WRAP_AGGS:
@@ -1106,20 +1362,38 @@ def rewrite_mv_distinct_statement(sql: str, is_aggregate=None):
         )
         if not args:
             return None  # the fallback path raises the loud arity error
+        if name.upper() in _MV_PERCENTILE_ROUTE and len(args) != 2:
+            return None  # the fallback raises the loud arity error
         e = args[0]
         if _MV_AGG_IN_ARG_RE.search(e) or "__mv" in e:
             return None
+        if re.search(r"\bSELECT\b", e, re.IGNORECASE):
+            return None  # a subquery inside the exploded argument
         if e not in exprs:
             exprs.append(e)
-        mv_parsed.append((name, st, end, e))
+        mv_parsed.append((name, st, end, e, args))
     cond = " AND ".join(
         f"coalesce(__mv{i}_pos, 0) = 0" for i in range(len(exprs))
     )
     edits = []
-    for name, st, end, e in mv_parsed:
-        repl = _MV_DISTINCT_BUILDERS[name.upper()](
-            f"__mv{exprs.index(e)}_elem"
-        )
+    for name, st, end, e, margs in mv_parsed:
+        u = name.upper()
+        i = exprs.index(e)
+        elem = f"__mv{i}_elem"
+        if u in _MV_PERCENTILE_ROUTE:
+            # mask to the first copy of every OTHER explode so a second
+            # MV argument's duplication cannot inflate element weights
+            others = [j for j in range(len(exprs)) if j != i]
+            if others:
+                mcond = " AND ".join(
+                    f"coalesce(__mv{j}_pos, 0) = 0" for j in others
+                )
+                elem = f"if({mcond}, {elem}, null)"
+            repl = _MV_PERCENTILE_ROUTE[u].format(
+                elem=elem, frac=_mv_percent_frac(margs[1])
+            )
+        else:
+            repl = _MV_DISTINCT_BUILDERS[u](elem)
         edits.append((st, end, repl))
     for name, st, op, inner, end in wrap_sites:
         args = (
@@ -1148,8 +1422,232 @@ def rewrite_mv_distinct_statement(sql: str, is_aggregate=None):
         f"AS __mv{i}_pos, __mv{i}_elem"
         for i, e in enumerate(exprs)
     )
-    insert_at = from_end + m.end(m.lastindex or 1)
     edits.append((insert_at, insert_at, lateral))
     # apply_text_edits returns None on overlap — a shape the span logic
     # did not anticipate bails to the call-site fallback
+    return apply_text_edits(sql, edits)
+
+
+# ---------------------------------------------------------------------------
+# Statement-level keyed two-level route: FUNNELCOUNT + tuple value aggregates
+# ---------------------------------------------------------------------------
+#
+# FUNNELCOUNT's exact fold above collects DISTINCT (correlator,
+# step-flag-combo) structs per GROUP — asymptotically Pinot's bitmap state
+# (O(distinct correlators)) but ~50+ bytes per correlator where a roaring
+# bitmap spends ~2-4 bits: a group with 10^8 correlators is a ~5 GB
+# single-expression array (executor OOM) vs Pinot's ~50 MB (round-7
+# verdict's one remaining OOM shape on the wire surface).  The same
+# collected-state concern applies to any per-KEY aggregate spelled as one
+# call-site expression.  So, exactly like the MV-distinct route,
+# Engine.query routes whole single-table statements FIRST:
+#
+#   SELECT g, FUNNELCOUNT(STEPS(p1..pN), CORRELATE_BY(k)) FROM t
+#   WHERE ... GROUP BY g
+# ->
+#   SELECT g, array(sum(if(k not null AND s1..si, 1, 0)) for i in 1..N)
+#   FROM (SELECT g, (k) AS __fc_k,
+#                bool_or(coalesce(p_i, false)) AS __fc0_s{i} ...
+#         FROM t WHERE ... GROUP BY g, (k)) __fc
+#   GROUP BY g
+#
+# — pure shuffle-bounded hash aggregation, ZERO collected arrays, and the
+# answer is bit-identical to the fold (both are the exact cumulative
+# per-step set intersection; the fuzz property pins it).  The tuple value
+# aggregates SUMVALUESINTEGERSUMTUPLESKETCH/AVGVALUEINTEGERSUMTUPLESKETCH
+# (relational 2-arg spelling ``(keyExpr, valueExpr)``) ride the same
+# machinery: the inner level computes exact per-key sums — the quantity
+# the Integer-Sum Tuple sketch estimates (operators/sketch.py
+# tuple_sum_estimate) — and the outer sums/averages them exactly
+# (strictly more accurate than the sketch, the established
+# served-exactly policy).
+#
+# Route contract (same as the MV route): bail -> the call-site fallback
+# serves it (FUNNELCOUNT: the exact fold; tuple values: a loud redirect),
+# and the caller requires the routed statement to ANALYZE cleanly or the
+# original stands.  Routable shape: one SELECT, one single-table FROM, no
+# subqueries/joins/set-ops/windows, GROUP BY plain identifiers only, all
+# route targets sharing ONE key expression, and NO other aggregate call
+# sites (classified statically + the session-catalog is_aggregate
+# predicate for fail-safe, as in the MV route).
+
+_KEYED_GATE_RE = re.compile(
+    r"\b(FUNNELCOUNT|SUMVALUESINTEGERSUMTUPLESKETCH|"
+    r"AVGVALUEINTEGERSUMTUPLESKETCH)\s*\(",
+    re.IGNORECASE,
+)
+
+_KEYED_TARGETS = frozenset(
+    {
+        "FUNNELCOUNT",
+        "SUMVALUESINTEGERSUMTUPLESKETCH",
+        "AVGVALUEINTEGERSUMTUPLESKETCH",
+    }
+)
+
+_PLAIN_IDENT_RE = re.compile(r"[A-Za-z_]\w*")
+
+
+def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
+    """Return the bounded two-level statement for a routable FUNNELCOUNT
+    / tuple-value-aggregate statement, or ``None`` when the shape is
+    unsupported (section comment above has the full contract)."""
+    if not _KEYED_GATE_RE.search(sql):
+        return None
+    if "__fc" in sql:
+        return None
+    if not re.match(r"\s*SELECT\b", sql, re.IGNORECASE):
+        return None
+    if re.match(r"\s*SELECT\s+DISTINCT\b", sql, re.IGNORECASE):
+        return None
+    if _search_unquoted_re(_MV_ANYDEPTH_BAIL_RE, sql):
+        return None
+    kws = _top_level_keywords(sql)
+    names = [k[0] for k in kws]
+    if names.count("SELECT") != 1:
+        return None
+    # any SELECT at depth > 0 (subquery) also bails
+    if _search_unquoted_re(
+        re.compile(r"\bSELECT\b", re.IGNORECASE), sql[kws[0][2]:]
+    ):
+        return None
+    for bad in (
+        "JOIN", "UNION", "EXCEPT", "INTERSECT", "MINUS", "LATERAL",
+        "VALUES", "DISTRIBUTE", "CLUSTER", "WINDOW", "QUALIFY",
+        "TABLESAMPLE", "PIVOT", "UNPIVOT",
+    ):
+        if bad in names:
+            return None
+    if (
+        names.count("FROM") != 1
+        or names.count("WHERE") > 1
+        or names.count("GROUP") > 1
+    ):
+        return None
+
+    def clause_span(kw: str):
+        for i, (name, s, e) in enumerate(kws):
+            if name == kw:
+                nxt = kws[i + 1][1] if i + 1 < len(kws) else len(sql)
+                return (s, e, nxt)
+        return None
+
+    from_sp = clause_span("FROM")
+    from_text = sql[from_sp[1] : from_sp[2]]
+    fm = re.fullmatch(
+        r"\s*([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s*",
+        from_text,
+        re.IGNORECASE,
+    )
+    if fm is None or "," in from_text:
+        return None
+    where_sp = clause_span("WHERE")
+    if where_sp is not None and where_sp[0] != from_sp[2]:
+        return None  # WHERE not immediately after FROM: shape mis-modeled
+    group_sp = clause_span("GROUP")
+    group_items: list = []
+    if group_sp is not None:
+        gtext = sql[group_sp[1] : group_sp[2]]
+        gm = re.match(r"\s*BY\b", gtext, re.IGNORECASE)
+        if gm is None:
+            return None
+        group_items = [
+            it.strip() for it in _split_top_level_commas(gtext[gm.end():])
+        ]
+        # plain unqualified identifiers only: the inner level re-emits
+        # them under the SAME name, so every outer reference still binds
+        # (GROUP BY expressions/ordinals would need alias substitution
+        # throughout the outer clauses — those shapes keep the fallback)
+        if not group_items or not all(
+            _PLAIN_IDENT_RE.fullmatch(it) for it in group_items
+        ):
+            return None
+    sites = _scan_call_sites(sql)
+    target_sites = [s for s in sites if s[0].upper() in _KEYED_TARGETS]
+    if not target_sites:
+        return None
+    spans = [(st, end) for _, st, _, _, end in target_sites]
+    for s1, e1 in spans:
+        for s2, e2 in spans:
+            if s1 < s2 < e1:  # nested route targets: invalid SQL anyway
+                return None
+
+    def inside_target(pos: int) -> bool:
+        return any(s < pos < e for s, e in spans)
+
+    for name, st, op, inner, end in sites:
+        u = name.upper()
+        if u in _KEYED_TARGETS or inside_target(st):
+            continue
+        if u in _KNOWN_AGG_NAMES:
+            return None  # co-occurring aggregates: v1 keeps the fallback
+        if is_aggregate is not None and is_aggregate(name):
+            return None  # unclassified-but-aggregate: fail safe
+    parsed = []  # (kind, start, end, key_expr, payload)
+    for name, st, op, inner, end in target_sites:
+        u = name.upper()
+        args = (
+            [a.strip() for a in _split_top_level_commas(inner)]
+            if inner.strip()
+            else []
+        )
+        if u == "FUNNELCOUNT":
+            try:
+                steps, corr = _parse_funnelcount_clauses(args)
+            except ValueError:
+                return None  # the fold path raises the same loud error
+            parsed.append(("FC", st, end, corr, steps))
+        else:
+            if len(args) != 2:
+                return None  # the fallback raises the loud redirect
+            kind = "SUM" if u.startswith("SUM") else "AVG"
+            parsed.append((kind, st, end, args[0], args[1]))
+    if len({p[3] for p in parsed}) != 1:
+        return None  # all targets must share ONE key expression
+    key = parsed[0][3]
+    inner_items = list(group_items)
+    inner_items.append(f"({key}) AS __fc_k")
+    edits = []
+    for j, (kind, st, end, _key, payload) in enumerate(parsed):
+        if kind == "FC":
+            for i, p in enumerate(payload):
+                inner_items.append(
+                    f"bool_or(coalesce(({p}), false)) AS __fc{j}_s{i + 1}"
+                )
+            counts = []
+            for i in range(len(payload)):
+                conj = " AND ".join(
+                    f"__fc{j}_s{t + 1}" for t in range(i + 1)
+                )
+                # coalesce: a GLOBAL funnel whose WHERE filters every row
+                # aggregates over ZERO inner rows — the fold returns 0s
+                # there (its finish runs on the init state), so the route
+                # must too, not array(NULL, ...)
+                counts.append(
+                    "coalesce("
+                    f"sum(if(__fc_k IS NOT NULL AND {conj}, 1, 0)), 0)"
+                )
+            repl = "array(" + ", ".join(counts) + ")"
+        else:
+            inner_items.append(
+                f"sum(cast(({payload}) as double)) AS __fc{j}_v"
+            )
+            repl = (
+                f"sum(__fc{j}_v)" if kind == "SUM" else f"avg(__fc{j}_v)"
+            )
+        edits.append((st, end, repl))
+    where_clause = ""
+    repl_end = from_sp[2]
+    if where_sp is not None:
+        where_clause = f" WHERE {sql[where_sp[1]:where_sp[2]].strip()}"
+        repl_end = where_sp[2]
+    inner_group = ", ".join(group_items + [f"({key})"])
+    inner_sql = (
+        f"SELECT {', '.join(inner_items)} FROM {from_text.strip()}"
+        f"{where_clause} GROUP BY {inner_group}"
+    )
+    edits.append((from_sp[0], repl_end, f"FROM ({inner_sql}) __fc "))
+    # apply_text_edits returns None on overlap — a shape the span logic
+    # did not anticipate (e.g. a route target inside WHERE) bails to the
+    # call-site fallback
     return apply_text_edits(sql, edits)

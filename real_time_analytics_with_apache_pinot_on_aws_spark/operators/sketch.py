@@ -256,32 +256,53 @@ def tuple_avg_estimate(tuples: Column | str, k: int = 256) -> Column:
 def tuple_union(a: Column | str, b: Column | str, k: int = 256) -> Column:
     """Union of two Tuple sketches: duplicate key hashes MERGE BY SUMMING
     their values (the Integer-Sum Tuple union rule), then the k smallest
-    survive.  Pure codegen, and LINEAR in the sketch size (round-7: the
-    previous slice+concat fold rebuilt its accumulator every step —
-    O((2k)^2) — harmless at k=256 but a trap at large k): each side's
+    survive.  Pure codegen, and LINEAR in the sketch size: each side's
     hashes are distinct by construction, so any hash appears at most
-    TWICE in the sorted concatenation, and the merge is one indexed pass
-    that keeps the first entry of each equal-hash run and adds the
-    second's value in (``F.get`` is 0-based and null out-of-bounds, so
-    the boundary probes never raise)."""
+    TWICE in the sorted concatenation, and the merge zips the sorted
+    array against one-element-shifted copies of itself — the shifts are
+    built from ONE ``slice``/``concat`` each, OUTSIDE any lambda, so no
+    per-element re-evaluation happens (round-7 ADVICE: the previous
+    form probed neighbors with ``F.get(merged, i±1)`` INSIDE a
+    ``transform`` lambda; higher-order lambdas are interpreted with no
+    common-subexpression elimination, so the O(n log n) sort re-ran ~2n
+    times per row and the pass was still ~O(n^2 log n) at large k).
+    ``zip_with`` null-pads the shorter side, which supplies the
+    run-boundary sentinel at both ends; the leading typed-null for the
+    prev-shift comes from an out-of-bounds ``F.get``."""
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     merged = F.array_sort(F.concat(ca, cb))
-
-    def entry(x: Column, i: Column) -> Column:
-        h = x.getField("_h")
-        prev = F.get(merged, i - 1)
-        nxt = F.get(merged, i + 1)
-        first_of_run = F.coalesce(prev.getField("_h") != h, F.lit(True))
-        v = x.getField("_v") + F.coalesce(
-            F.when(nxt.getField("_h") == h, nxt.getField("_v")),
-            F.lit(0.0),
-        )
-        return F.when(
-            first_of_run, F.struct(h.alias("_h"), v.alias("_v"))
-        )
-
-    folded = F.filter(
-        F.transform(merged, entry), lambda e: e.isNotNull()
+    n = F.size(merged)
+    # next-neighbor: merged shifted left one slot (length n-1; zip_with
+    # pads the last position with null)
+    nxts = F.slice(merged, 2, F.greatest(n - F.lit(1), F.lit(0)))
+    summed = F.zip_with(
+        merged,
+        nxts,
+        lambda x, nx: F.struct(
+            x.getField("_h").alias("_h"),
+            (
+                x.getField("_v")
+                + F.coalesce(
+                    F.when(
+                        nx.getField("_h") == x.getField("_h"),
+                        nx.getField("_v"),
+                    ),
+                    F.lit(0.0),
+                )
+            ).alias("_v"),
+        ),
     )
+    # prev-neighbor: merged shifted right one slot behind a typed null
+    # (F.get at index -1 is a null of the element type, never an error)
+    prevs = F.slice(F.concat(F.array(F.get(merged, -1)), merged), 1, n)
+    deduped = F.zip_with(
+        summed,
+        prevs,
+        lambda e, p: F.when(
+            F.coalesce(p.getField("_h") != e.getField("_h"), F.lit(True)),
+            e,
+        ),
+    )
+    folded = F.filter(deduped, lambda e: e.isNotNull())
     return F.slice(folded, 1, k)

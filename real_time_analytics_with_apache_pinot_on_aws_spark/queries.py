@@ -6076,6 +6076,8 @@ def b70_tuple_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(max(value) - min(value), 6) AS v_range,
            arg_min(value, event_id) AS first_v,
            arg_max(value, event_id) AS last_v,
+           arg_min(user_id, event_id) AS argmin_user,
+           arg_max(user_id, event_id) AS argmax_user,
            round(CAST(quantile_cont(value, 0.9) AS DOUBLE), 6) AS p90,
            round(CAST(sum(CAST(value AS DECIMAL(38, 10))) AS DOUBLE), 4)
              AS v_sum
@@ -6086,7 +6088,9 @@ def b70_tuple_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="B16-B29 wire form: the Pinot aggregate SQL SPELLINGS a dashboard "
         "sends to POST /query/sql — DISTINCTCOUNT, MINMAXRANGE, "
         "FIRSTWITHTIME/LASTWITHTIME (keyed on the unique event_id so "
-        "first/last are deterministic), PERCENTILE(v, 90) (Pinot percent, "
+        "first/last are deterministic), ARG_MIN/ARG_MAX (Pinot's "
+        "(measure, projection) order, reversed into min_by/max_by — "
+        "round 8), PERCENTILE(v, 90) (Pinot percent, "
         "not a Spark fraction), SUMPRECISION — parsed by "
         "functions/aggsql.rewrite_pinot_aggregates (quote-aware balanced "
         "scan, the same rewrite Engine.query applies to every statement) "
@@ -6105,6 +6109,10 @@ def b16_b29_pinot_agg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(MINMAXRANGE(value), 6) AS v_range, "
         "FIRSTWITHTIME(value, event_id, 'DOUBLE') AS first_v, "
         "LASTWITHTIME(value, event_id, 'DOUBLE') AS last_v, "
+        # Pinot ARG_MIN/ARG_MAX argument order is (measure, projection) —
+        # the REVERSE of min_by/max_by and of DuckDB's arg_min (round 8)
+        "ARG_MIN(event_id, user_id) AS argmin_user, "
+        "ARG_MAX(event_id, user_id) AS argmax_user, "
         "round(PERCENTILE(value, 90), 6) AS p90, "
         "round(CAST(SUMPRECISION(value) AS DOUBLE), 4) AS v_sum "
         "FROM events GROUP BY event_type ORDER BY event_type"
@@ -6139,7 +6147,11 @@ def b16_b29_pinot_agg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exactly Pinot's per-segment bitmap state), sorted so a "
         "correlator's entries are adjacent, then a linear prefix-AND "
         "fold.  The oracle computes the same intersections closed-form "
-        "via per-user step maxima.",
+        "via per-user step maxima.  Round 8: Engine.query now routes "
+        "routable FUNNELCOUNT statements to the bounded two-level plan "
+        "FIRST (b16_funnelcount_routed) — this query calls "
+        "rewrite_pinot_aggregates directly, so it continues to pin the "
+        "exact FOLD that serves unroutable shapes.",
 )
 def b16_funnelcount_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
@@ -6196,6 +6208,166 @@ def b17_mv_distinct_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     routed = rewrite_mv_distinct_statement(stmt)
     if routed is None:  # the route regressing to the fallback is a bug
         raise AssertionError("MV statement route refused a routable shape")
+    return spark.sql(rewrite_pinot_aggregates(routed))
+
+
+@register(
+    "b17_mv_agg_tail",
+    r"""
+    WITH el AS (
+      SELECT label, CAST(floor(CAST(e AS DOUBLE) * 50) AS BIGINT) AS v
+      FROM (SELECT label, unnest(embedding) AS e FROM embeddings) t
+    ),
+    dist AS (
+      SELECT label,
+             round(CAST(sum(DISTINCT v) AS DOUBLE), 4) AS dsum,
+             round(avg(DISTINCT v), 4) AS davg,
+             CAST(count(DISTINCT v) AS BIGINT) AS dbm
+      FROM el GROUP BY label
+    ),
+    pct AS (
+      SELECT label, round(CAST(quantile_cont(v, 0.5) AS DOUBLE), 4) AS p50
+      FROM el GROUP BY label
+    )
+    SELECT dist.label, dsum, davg, dbm, p50
+    FROM dist JOIN pct USING (label)
+    ORDER BY dist.label
+    """,
+    doc="The MV aggregate TAIL Pinot 1.2 serves **[P1.2]** (round 8): "
+        "DISTINCTSUMMV / DISTINCTAVGMV / DISTINCTCOUNTBITMAPMV / "
+        "PERCENTILEMV in one dashboard statement, all through the "
+        "bounded MV statement route — ONE shared LATERAL VIEW OUTER "
+        "POSEXPLODE (the four calls share the argument expression), "
+        "distinct-based aggregates over the exploded element "
+        "(duplication-immune), and the percentile masked to the first "
+        "copy of any OTHER explode.  The MV argument quantizes the "
+        "float vectors to BIGINT so distinct-sums are order-exact and "
+        "the oracle is deterministic; the oracle computes the "
+        "distinct-leg and the all-occurrences percentile leg "
+        "closed-form and joins them.",
+)
+def b17_mv_agg_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .functions.aggsql import (
+        rewrite_mv_distinct_statement,
+        rewrite_pinot_aggregates,
+    )
+
+    mv = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 50) AS BIGINT))"
+    stmt = (
+        f"SELECT label, round(DISTINCTSUMMV({mv}), 4) AS dsum, "
+        f"round(DISTINCTAVGMV({mv}), 4) AS davg, "
+        f"DISTINCTCOUNTBITMAPMV({mv}) AS dbm, "
+        f"round(PERCENTILEMV({mv}, 50), 4) AS p50 "
+        "FROM embeddings GROUP BY label ORDER BY label"
+    )
+    routed = rewrite_mv_distinct_statement(stmt)
+    if routed is None:  # the route regressing to the fallback is a bug
+        raise AssertionError("MV statement route refused a routable shape")
+    return spark.sql(rewrite_pinot_aggregates(routed))
+
+
+@register(
+    "b16_funnelcount_routed",
+    r"""
+    WITH m AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s2,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s3
+      FROM events
+      WHERE user_id IS NOT NULL AND user_id % 3 <> 1
+      GROUP BY user_id
+    )
+    SELECT CAST(sum(s1) AS BIGINT) AS step_view,
+           CAST(sum(s1 * s2) AS BIGINT) AS step_click,
+           CAST(sum(s1 * s2 * s3) AS BIGINT) AS step_purchase
+    FROM m
+    """,
+    doc="The same Pinot FUNNELCOUNT wire spelling as b16_funnelcount_sql "
+        "but through the round-8 BOUNDED statement route "
+        "(aggsql.rewrite_keyed_agg_statement, the path Engine.query now "
+        "takes FIRST for routable single-table shapes): GROUP BY "
+        "(correlator) computing per-correlator bool_or step flags, then "
+        "one outer aggregate summing prefix-AND reached flags — pure "
+        "shuffle-bounded hash aggregation, ZERO collected arrays (the "
+        "exact fold keeps ~50+ bytes per correlator in one expression "
+        "array; Pinot's bitmap is ~2-4 bits — this plan is the Spark "
+        "shape of the bitmap).  b16_funnelcount_sql continues to pin the "
+        "FOLD (it calls rewrite_pinot_aggregates directly), so both "
+        "paths stay oracle-adjudicated; the fuzz property pins "
+        "route == fold on random funnels.",
+)
+def b16_funnelcount_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .functions.aggsql import (
+        rewrite_keyed_agg_statement,
+        rewrite_pinot_aggregates,
+    )
+
+    stmt = (
+        "SELECT FUNNELCOUNT(STEPS(event_type = 'view', "
+        "event_type = 'click', event_type = 'purchase'), "
+        "CORRELATE_BY(user_id), SETTINGS('bitmap')) AS fc "
+        "FROM events WHERE user_id % 3 <> 1"
+    )
+    routed = rewrite_keyed_agg_statement(stmt)
+    if routed is None:  # the route regressing to the fallback is a bug
+        raise AssertionError("keyed statement route refused a routable shape")
+    fc = spark.sql(rewrite_pinot_aggregates(routed))
+    return fc.select(
+        F.element_at("fc", 1).alias("step_view"),
+        F.element_at("fc", 2).alias("step_click"),
+        F.element_at("fc", 3).alias("step_purchase"),
+    )
+
+
+@register(
+    "b70_tuple_value_sql",
+    r"""
+    WITH per_key AS (
+      SELECT event_type, user_id,
+             sum(CAST(CAST(floor(value * 100) AS BIGINT) AS DOUBLE)) AS v
+      FROM events
+      GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           round(sum(v), 4) AS tuple_sum,
+           round(avg(v), 4) AS tuple_avg
+    FROM per_key
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="B70 wire form (round 8): the Integer-Sum Tuple VALUE aggregates "
+        "SUMVALUESINTEGERSUMTUPLESKETCH / AVGVALUEINTEGERSUMTUPLESKETCH "
+        "**[P1.2]** in their relational 2-argument spelling "
+        "(keyExpr, valueExpr), served by the keyed two-level statement "
+        "route as EXACT per-key sums — the quantity the DataSketches "
+        "Tuple sketch estimates (operators/sketch.py tuple_sum_estimate; "
+        "strictly more accurate than the sketch, the engine's "
+        "served-exactly policy).  Integer-valued doubles keep the sums "
+        "order-independent, so the oracle is deterministic.  Pinot's "
+        "1-argument serialized-BYTES form stays a loud redirect "
+        "(sketches are relations here).",
+)
+def b70_tuple_value_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .functions.aggsql import (
+        rewrite_keyed_agg_statement,
+        rewrite_pinot_aggregates,
+    )
+
+    stmt = (
+        "SELECT event_type, "
+        "round(SUMVALUESINTEGERSUMTUPLESKETCH(user_id, "
+        "CAST(floor(value * 100) AS BIGINT)), 4) AS tuple_sum, "
+        "round(AVGVALUEINTEGERSUMTUPLESKETCH(user_id, "
+        "CAST(floor(value * 100) AS BIGINT)), 4) AS tuple_avg "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    )
+    routed = rewrite_keyed_agg_statement(stmt)
+    if routed is None:  # the route regressing to the fallback is a bug
+        raise AssertionError("keyed statement route refused a routable shape")
     return spark.sql(rewrite_pinot_aggregates(routed))
 
 

@@ -25,6 +25,9 @@ from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import 
         # Pinot-only percentile names ALWAYS treat the arg as a percent
         ("SELECT PERCENTILEEST(v, 0.5) FROM t", "SELECT approx_percentile(v, 0.005) FROM t"),
         ("SELECT FIRSTWITHTIME(v, ts, 'DOUBLE') FROM t", "SELECT min_by(v, ts) FROM t"),
+        # Pinot ARG_MIN/ARG_MAX: (measure, projection) — REVERSED into min_by/max_by
+        ("SELECT ARG_MIN(ts, v) FROM t", "SELECT min_by(v, ts) FROM t"),
+        ("SELECT arg_max(ts, v) FROM t GROUP BY g", "SELECT max_by(v, ts) FROM t GROUP BY g"),
         ("SELECT MINMAXRANGE(v) FROM t GROUP BY g", "SELECT (max(v) - min(v)) FROM t GROUP BY g"),
         # a literal is data, not a call site
         ("SELECT 'DISTINCTCOUNT(u)' AS s FROM t", "SELECT 'DISTINCTCOUNT(u)' AS s FROM t"),
@@ -44,6 +47,13 @@ def test_rewrite_text_cases(src, want):
 def test_rewrite_arity_error_is_loud():
     with pytest.raises(ValueError, match="FIRSTWITHTIME"):
         R("SELECT FIRSTWITHTIME(v) FROM t")
+
+
+def test_arg_min_multi_measure_rejected_loudly():
+    with pytest.raises(ValueError, match="ARG_MIN.*multi-measure"):
+        R("SELECT ARG_MIN(m1, m2, proj) FROM t")
+    with pytest.raises(ValueError, match="ARG_MAX"):
+        R("SELECT ARG_MAX(m) FROM t")
 
 
 @pytest.fixture(scope="module")
@@ -69,6 +79,8 @@ def agg_engine(spark, tmp_path_factory):
         ("MINMAXRANGE(v)", "max(v) - min(v)"),
         ("FIRSTWITHTIME(v, t, 'DOUBLE')", "min_by(v, t)"),
         ("LASTWITHTIME(v, t, 'DOUBLE')", "max_by(v, t)"),
+        ("ARG_MIN(t, v)", "min_by(v, t)"),
+        ("ARG_MAX(t, v)", "max_by(v, t)"),
         ("PERCENTILE(v, 90)", "percentile(v, 0.9)"),
         ("PERCENTILETDIGEST(v, 50)", "approx_percentile(v, 0.5)"),
         ("SUMPRECISION(v)", "sum(cast(v as decimal(38,18)))"),
@@ -393,8 +405,9 @@ def test_mv_statement_route_text(src, want):
     [
         # duplication-unsafe co-aggregate -> fallback expression path
         "SELECT PERCENTILE(v, 90), DISTINCTCOUNTMV(tags) FROM t",
-        # shapes the route cannot restructure
-        "SELECT DISTINCTCOUNTMV(tags) FROM t JOIN d ON t.k = d.k",
+        # shapes the route cannot restructure (round 8: a SINGLE join and
+        # scalar subqueries now route — see the extension tests below)
+        "SELECT DISTINCTCOUNTMV(tags) FROM t JOIN d ON t.k = d.k JOIN e ON 1=1",
         "SELECT DISTINCTCOUNTMV(tags) FROM (SELECT * FROM t)",
         "SELECT DISTINCTCOUNTMV(tags) FROM t, u",
         "SELECT DISTINCTCOUNTMV(tags) OVER () FROM t",
@@ -545,6 +558,176 @@ def test_mv_with_approx_top_k_not_inflated(spark, mv_engine):
     assert {r["g"]: r["v"] for r in got} == {"a": 5, "b": 1}
 
 
+def test_mv_tail_routed_values(spark, mv_engine):
+    """Round-8 MV aggregate tail: DISTINCTSUMMV/DISTINCTAVGMV/
+    DISTINCTCOUNTBITMAPMV/PERCENTILEMV through the statement route."""
+    rows = {
+        r["g"]: r
+        for r in mv_engine.query(
+            "SELECT g, DISTINCTSUMMV(tags) AS s, DISTINCTAVGMV(tags) AS a, "
+            "DISTINCTCOUNTBITMAPMV(tags) AS b, PERCENTILEMV(tags, 50) AS p "
+            "FROM mvsrc GROUP BY g"
+        ).collect()
+    }
+    # g='a': distinct elements {1,2,3,4,5}; all occurrences sorted
+    # 1,1,2,2,2,3,3,3,4,5 -> median 2.5
+    assert rows["a"]["s"] == 15.0 and rows["a"]["a"] == 3.0
+    assert rows["a"]["b"] == 5 and rows["a"]["p"] == 2.5
+    # g='b': elements {7} (one occurrence)
+    assert rows["b"]["s"] == 7.0 and rows["b"]["a"] == 7.0
+    assert rows["b"]["b"] == 1 and rows["b"]["p"] == 7.0
+
+
+def test_mv_tail_fallback_matches_route(spark, mv_engine):
+    """Unroutable shape (subquery): the normalized-set fallbacks serve
+    SUM/AVG/BITMAP with identical values and types (double/double/int)."""
+    sel = (
+        "SELECT g, DISTINCTSUMMV(tags) AS s, DISTINCTAVGMV(tags) AS a, "
+        "DISTINCTCOUNTBITMAPMV(tags) AS b, DISTINCTCOUNTMV(tags) AS d, "
+        "DISTINCTCOUNTHLLMV(tags) AS h FROM {src} GROUP BY g"
+    )
+    routed = mv_engine.query(sel.format(src="mvsrc"))
+    folded = mv_engine.query(sel.format(src="(SELECT * FROM mvsrc)"))
+    assert routed.schema == folded.schema
+    assert sorted(map(tuple, routed.collect())) == sorted(
+        map(tuple, folded.collect())
+    )
+
+
+def test_mv_tail_null_and_empty_groups(spark, mv_engine):
+    """A group whose arrays are all empty/NULL: SUM/AVG are NULL on both
+    paths (the fallback's NULL fold seed; the route's empty DISTINCT)."""
+    spark.sql(
+        "SELECT * FROM VALUES ('e', array()), ('e', cast(null as array<int>)) "
+        "AS t(g, tags)"
+    ).createOrReplaceTempView("mvempty")
+    sel = (
+        "SELECT g, DISTINCTSUMMV(tags) AS s, DISTINCTAVGMV(tags) AS a "
+        "FROM {src} GROUP BY g"
+    )
+    for src in ("mvempty", "(SELECT * FROM mvempty)"):
+        r = mv_engine.query(sel.format(src=src)).collect()[0]
+        assert r["s"] is None and r["a"] is None, src
+
+
+def test_mv_percentile_masked_against_second_explode(spark, mv_engine):
+    """PERCENTILEMV co-occurring with an MV distinct on ANOTHER column:
+    the percentile's elements must NOT be duplicated by the second
+    explode (first-copy mask)."""
+    spark.sql(
+        "SELECT * FROM VALUES (array(1, 2, 3), array(10, 20, 30, 40)) "
+        "AS t(xs, ys)"
+    ).createOrReplaceTempView("mvtwo")
+    r = mv_engine.query(
+        "SELECT PERCENTILEMV(xs, 50) AS p, DISTINCTCOUNTMV(ys) AS d "
+        "FROM mvtwo"
+    ).collect()[0]
+    # xs elements {1,2,3} median 2.0 — unmasked it would be 10 copies
+    assert r["p"] == 2.0 and r["d"] == 4
+
+
+def test_mv_percentile_unroutable_is_loud(mv_engine):
+    with pytest.raises(Exception, match="not routable"):
+        mv_engine.query(
+            "SELECT PERCENTILEESTMV(tags, 90) FROM (SELECT * FROM mvsrc)"
+        )
+
+
+def test_mv_percentile_route_matches_explicit_explode(spark, mv_engine):
+    got = {
+        r["g"]: r["p"]
+        for r in mv_engine.query(
+            "SELECT g, PERCENTILEMV(tags, 75) AS p FROM mvsrc GROUP BY g"
+        ).collect()
+    }
+    want = {
+        r["g"]: r["p"]
+        for r in spark.sql(
+            "SELECT g, percentile(e, 0.75) AS p FROM mvsrc "
+            "LATERAL VIEW OUTER explode(tags) x AS e GROUP BY g"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_mv_route_scalar_subquery_shapes(spark, mv_engine):
+    """Round-8 extension: uncorrelated scalar subqueries / IN / EXISTS
+    route — their aggregates run in their own scope and are neither
+    masked nor duplicated."""
+    routed = RMV(
+        "SELECT g, DISTINCTCOUNTMV(tags) AS v FROM mvsrc "
+        "WHERE amount > (SELECT min(amount) FROM mvsrc) GROUP BY g"
+    )
+    assert routed is not None and "LATERAL VIEW" in routed
+    # the subquery's min() must NOT be wrapped in the first-copy mask
+    assert "(SELECT min(amount) FROM mvsrc)" in routed
+    got = {
+        r["g"]: r["v"]
+        for r in mv_engine.query(
+            "SELECT g, DISTINCTCOUNTMV(tags) AS v, COUNT(*) AS c FROM mvsrc "
+            "WHERE amount > (SELECT min(amount) FROM mvsrc) GROUP BY g"
+        ).collect()
+    }
+    # min(amount) = 1.0 (g='a' row with tags [4,5]): that row filters out,
+    # so 'a' keeps elements {1,2,3}
+    assert got == {"a": 3, "b": 1}
+
+
+def test_mv_route_in_subquery_shape(spark, mv_engine):
+    got = mv_engine.query(
+        "SELECT DISTINCTCOUNTMV(tags) AS v FROM mvsrc "
+        "WHERE g IN (SELECT g FROM mvsrc WHERE amount > 2.5)"
+    ).collect()[0]["v"]
+    assert got == 6  # both groups qualify: {1,2,3,4,5} + {7}
+
+
+def test_mv_route_mv_inside_subquery_bails():
+    assert RMV(
+        "SELECT g, max(amount) FROM mvsrc WHERE g IN "
+        "(SELECT g FROM mvsrc GROUP BY g HAVING DISTINCTCOUNTMV(tags) > 2)"
+    ) is None
+
+
+def test_mv_route_single_join_text():
+    routed = RMV(
+        "SELECT d.name, DISTINCTCOUNTMV(t.tags) AS v, COUNT(*) AS c "
+        "FROM t JOIN d ON t.g = d.g GROUP BY d.name"
+    )
+    assert routed is not None
+    assert "ON t.g = d.g LATERAL VIEW OUTER POSEXPLODE(t.tags)" in routed
+    # two joins / comma FROM still bail
+    assert RMV(
+        "SELECT DISTINCTCOUNTMV(tags) FROM t JOIN d ON t.k = d.k "
+        "JOIN e ON d.k = e.k"
+    ) is None
+    assert RMV("SELECT DISTINCTCOUNTMV(tags) FROM t, d") is None
+
+
+def test_mv_route_join_values(spark, mv_engine):
+    """Explode after the join: counts match the closed-form over the
+    joined relation; a LEFT JOIN's unmatched side is handled by the
+    OUTER POSEXPLODE."""
+    spark.sql(
+        "SELECT * FROM VALUES ('a', 'alpha'), ('b', 'beta') AS d(g, name)"
+    ).createOrReplaceTempView("mvdim")
+    got = {
+        r["name"]: (r["v"], r["c"])
+        for r in mv_engine.query(
+            "SELECT d.name, DISTINCTCOUNTMV(m.tags) AS v, COUNT(*) AS c "
+            "FROM mvsrc m JOIN mvdim d ON m.g = d.g GROUP BY d.name"
+        ).collect()
+    }
+    assert got == {"alpha": (5, 4), "beta": (1, 3)}
+    left = {
+        r["g"]: r["v"]
+        for r in mv_engine.query(
+            "SELECT m.g, DISTINCTCOUNTMV(m.tags) AS v FROM mvsrc m "
+            "LEFT JOIN mvdim d ON m.g = d.g AND d.name = 'alpha' GROUP BY m.g"
+        ).collect()
+    }
+    assert left == {"a": 5, "b": 1}
+
+
 def test_mv_route_theta_sketch_aggs_are_immune(spark, mv_engine):
     """theta_sketch_agg is distinct-based: it may co-occur unwrapped and
     the routed estimate still matches the un-exploded frame."""
@@ -607,6 +790,22 @@ def test_funnelcount_group_by(funnel_engine):
     assert rows[0] == [1, 0]
 
 
+def test_funnelcount_binary_correlator_no_collision(spark, funnel_engine):
+    """Round-7 ADVICE: X'80' and X'81' are both invalid UTF-8, so a plain
+    string cast collapses them into one replacement-char key and merges
+    their runs; the to_json/base64 key encoding keeps them distinct."""
+    spark.sql(
+        "SELECT * FROM VALUES (X'80', 'a'), (X'81', 'b') AS t(bk, ev)"
+    ).createOrReplaceTempView("binfunnel")
+    rows = funnel_engine.query(
+        "SELECT FUNNELCOUNT(STEPS(ev = 'a', ev = 'b'), CORRELATE_BY(bk)) "
+        "AS fc FROM (SELECT * FROM binfunnel)"  # subquery: exercises the FOLD
+    ).collect()
+    # two DISTINCT correlators: one matched step1 only, one step2 only —
+    # a merged run would report [1, 1]
+    assert rows[0]["fc"] == [1, 0]
+
+
 @pytest.mark.parametrize(
     "bad,msg",
     [
@@ -620,6 +819,208 @@ def test_funnelcount_group_by(funnel_engine):
 def test_funnelcount_loud_errors(bad, msg):
     with pytest.raises(ValueError, match=msg):
         R(f"SELECT {bad} FROM t")
+
+
+# ---------------------------------------------------------------------------
+# Keyed two-level statement route (round 8): FUNNELCOUNT + tuple values
+# ---------------------------------------------------------------------------
+
+from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (  # noqa: E402
+    rewrite_keyed_agg_statement as RKA,
+)
+
+
+def test_keyed_route_text_funnelcount_group_by():
+    routed = RKA(
+        "SELECT g, FUNNELCOUNT(STEPS(ev = 'a', ev = 'b'), "
+        "CORRELATE_BY(uid)) AS fc FROM t WHERE d > 1 GROUP BY g "
+        "ORDER BY g LIMIT 5"
+    )
+    assert routed == (
+        "SELECT g, "
+        "array(coalesce(sum(if(__fc_k IS NOT NULL AND __fc0_s1, 1, 0)), 0), "
+        "coalesce(sum(if(__fc_k IS NOT NULL AND __fc0_s1 AND __fc0_s2, "
+        "1, 0)), 0)) AS fc "
+        "FROM (SELECT g, (uid) AS __fc_k, "
+        "bool_or(coalesce((ev = 'a'), false)) AS __fc0_s1, "
+        "bool_or(coalesce((ev = 'b'), false)) AS __fc0_s2 "
+        "FROM t WHERE d > 1 GROUP BY g, (uid)) __fc "
+        "GROUP BY g ORDER BY g LIMIT 5"
+    )
+
+
+def test_keyed_route_text_tuple_values_share_key():
+    routed = RKA(
+        "SELECT SUMVALUESINTEGERSUMTUPLESKETCH(k, v) AS s, "
+        "AVGVALUEINTEGERSUMTUPLESKETCH(k, v) AS a FROM t"
+    )
+    assert routed == (
+        "SELECT sum(__fc0_v) AS s, avg(__fc1_v) AS a "
+        "FROM (SELECT (k) AS __fc_k, sum(cast((v) as double)) AS __fc0_v, "
+        "sum(cast((v) as double)) AS __fc1_v FROM t GROUP BY (k)) __fc "
+    )
+
+
+@pytest.mark.parametrize(
+    "src",
+    [
+        # shapes the route cannot restructure
+        "SELECT FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM (SELECT * FROM t)",
+        "SELECT FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t JOIN d ON t.k = d.k",
+        "SELECT FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t, d",
+        "WITH c AS (SELECT 1) SELECT FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t",
+        # co-occurring aggregates keep the fallback (v1 contract)
+        "SELECT count(*), FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t",
+        "SELECT DISTINCTCOUNTMV(tags), SUMVALUESINTEGERSUMTUPLESKETCH(k, v) FROM t",
+        # GROUP BY expression / ordinal: outer references could not bind
+        "SELECT u % 2, FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t GROUP BY u % 2",
+        "SELECT g, FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t GROUP BY 1",
+        # different key expressions cannot share one inner grouping
+        "SELECT SUMVALUESINTEGERSUMTUPLESKETCH(k1, v), "
+        "SUMVALUESINTEGERSUMTUPLESKETCH(k2, v) FROM t",
+        # window/rollup anywhere
+        "SELECT FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)), row_number() OVER (ORDER BY g) FROM t",
+        # no target at all
+        "SELECT count(*) FROM t",
+    ],
+)
+def test_keyed_route_bails(src):
+    assert RKA(src) is None
+
+
+def test_keyed_route_unclassified_aggregate_fails_safe():
+    src = (
+        "SELECT FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)), "
+        "mystery_agg(v) FROM t"
+    )
+    assert RKA(src, is_aggregate=lambda n: n == "mystery_agg") is None
+    assert RKA(src, is_aggregate=lambda n: False) is not None
+    # scalar calls inside STEPS never consult the bail path
+    ok = "SELECT FUNNELCOUNT(STEPS(lower(ev)='a'), CORRELATE_BY(u)) FROM t"
+    assert RKA(ok, is_aggregate=lambda n: n != "lower") is not None
+
+
+def test_funnelcount_routed_plan_is_bounded(funnel_engine):
+    """Round-8 pin: the routed FUNNELCOUNT plan has NO collect_set /
+    sort_array state — two hash aggregates only."""
+    df = funnel_engine.query(
+        "SELECT FUNNELCOUNT(STEPS(ev = 'view', ev = 'buy'), "
+        "CORRELATE_BY(uid)) AS fc FROM funnelsrc"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan and "aggregate(" not in plan
+    # Catalyst rewrites bool_or(x) to max(x) over booleans — either
+    # spelling is the bounded per-key flag state
+    assert "bool_or" in plan or "max((ev" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final at both levels
+
+
+def test_funnelcount_route_matches_fold(funnel_engine):
+    """Route and fold must agree exactly — same statement, forced down
+    each path via the subquery (fold) vs flat (route) shape."""
+    fc = (
+        "FUNNELCOUNT(STEPS(ev = 'view', ev = 'cart', ev = 'buy'), "
+        "CORRELATE_BY(uid)) AS fc"
+    )
+    routed = funnel_engine.query(
+        f"SELECT {fc} FROM funnelsrc"
+    ).collect()[0]["fc"]
+    folded = funnel_engine.query(
+        f"SELECT {fc} FROM (SELECT * FROM funnelsrc)"
+    ).collect()[0]["fc"]
+    assert routed == folded == [4, 2, 1]
+
+
+def test_funnelcount_route_null_only_group_still_emitted(spark, funnel_engine):
+    """A group whose correlators are ALL NULL must still appear with
+    zero counts (the route must not filter NULL keys in the inner
+    WHERE), exactly like the fold."""
+    spark.sql(
+        "SELECT * FROM VALUES ('x', 1, 'a'), ('y', cast(null as int), 'a') "
+        "AS t(g, u, ev)"
+    ).createOrReplaceTempView("nullgrpfunnel")
+    stmt = (
+        "SELECT g, FUNNELCOUNT(STEPS(ev = 'a'), CORRELATE_BY(u)) AS fc "
+        "FROM {src} GROUP BY g"
+    )
+    routed = {
+        r["g"]: r["fc"]
+        for r in funnel_engine.query(stmt.format(src="nullgrpfunnel")).collect()
+    }
+    folded = {
+        r["g"]: r["fc"]
+        for r in funnel_engine.query(
+            stmt.format(src="(SELECT * FROM nullgrpfunnel)")
+        ).collect()
+    }
+    assert routed == folded == {"x": [1], "y": [0]}
+
+
+@pytest.fixture(scope="module")
+def tuple_engine(spark, tmp_path_factory):
+    spark.sql(
+        """
+        SELECT * FROM VALUES
+         ('a', 'k1', 1), ('a', 'k1', 2), ('a', 'k2', 10),
+         ('b', 'k1', 5), ('b', 'k3', 7), ('b', 'k3', 1)
+         AS t(g, k, v)
+        """
+    ).createOrReplaceTempView("tuplesrc")
+    return Engine(spark, str(tmp_path_factory.mktemp("tvwh")))
+
+
+def test_tuple_value_aggregates_routed_exact(tuple_engine):
+    """The 2-arg relational spelling routes to exact per-key sums — the
+    quantity the Integer-Sum Tuple sketch estimates."""
+    rows = {
+        r["g"]: r
+        for r in tuple_engine.query(
+            "SELECT g, SUMVALUESINTEGERSUMTUPLESKETCH(k, v) AS s, "
+            "AVGVALUEINTEGERSUMTUPLESKETCH(k, v) AS a "
+            "FROM tuplesrc GROUP BY g"
+        ).collect()
+    }
+    # a: k1=3, k2=10 -> sum 13, avg 6.5; b: k1=5, k3=8 -> sum 13, avg 6.5
+    assert rows["a"]["s"] == 13.0 and rows["a"]["a"] == 6.5
+    assert rows["b"]["s"] == 13.0 and rows["b"]["a"] == 6.5
+
+
+def test_tuple_value_matches_operator_estimate(spark, tuple_engine):
+    """Routed exact answer == operators/sketch.py tuple_sum/avg_estimate
+    below k (the sketch is exact in that regime) — the b70 convention."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators import sketch as SK
+
+    tp = SK.tuple_sketch(
+        spark.table("tuplesrc"), ["g"], "k", "v", k=256
+    ).select(
+        "g",
+        SK.tuple_sum_estimate("tuples").alias("s"),
+        SK.tuple_avg_estimate("tuples").alias("a"),
+    )
+    op = {r["g"]: r for r in tp.collect()}
+    routed = {
+        r["g"]: r
+        for r in tuple_engine.query(
+            "SELECT g, SUMVALUESINTEGERSUMTUPLESKETCH(k, v) AS s, "
+            "AVGVALUEINTEGERSUMTUPLESKETCH(k, v) AS a "
+            "FROM tuplesrc GROUP BY g"
+        ).collect()
+    }
+    for g in ("a", "b"):
+        assert routed[g]["s"] == pytest.approx(op[g]["s"])
+        assert routed[g]["a"] == pytest.approx(op[g]["a"])
+
+
+def test_tuple_value_unroutable_is_loud(tuple_engine):
+    with pytest.raises(Exception, match="two-level exact route"):
+        tuple_engine.query(
+            "SELECT SUMVALUESINTEGERSUMTUPLESKETCH(k, v) "
+            "FROM (SELECT * FROM tuplesrc)"
+        )
+    with pytest.raises(Exception, match="relational spelling"):
+        tuple_engine.query(
+            "SELECT SUMVALUESINTEGERSUMTUPLESKETCH(sketch_bytes) FROM tuplesrc"
+        )
 
 
 @pytest.mark.parametrize(

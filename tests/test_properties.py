@@ -808,6 +808,10 @@ _mv_items_st = st.lists(
     st.sampled_from([
         "DISTINCTCOUNTMV(tags) AS dmv",
         "DISTINCTCOUNTHLLMV(tags) AS hmv",
+        # round-8 MV tail (the routed form vs the normalized-set fold)
+        "DISTINCTCOUNTBITMAPMV(tags) AS bmv",
+        "DISTINCTSUMMV(tags) AS smv",
+        "DISTINCTAVGMV(tags) AS amv",
         "COUNT(*) AS c",
         "COUNT(x) AS cx",
         "SUM(x) AS s",
@@ -826,7 +830,14 @@ _mv_items_st = st.lists(
     rows=_mv_rows_st,
     items=_mv_items_st,
     grouped=st.booleans(),
-    where=st.sampled_from([None, "x > 0", "x <= 10"]),
+    # the last two exercise the round-8 subquery extension (scalar + IN)
+    where=st.sampled_from([
+        None,
+        "x > 0",
+        "x <= 10",
+        "x > (SELECT min(x) FROM mvfuzz)",
+        "g IN (SELECT g FROM mvfuzz WHERE x > 0)",
+    ]),
 )
 @settings(**SETTINGS)
 def test_mv_route_matches_fallback_reference(spark, rows, items, grouped, where):
@@ -867,6 +878,71 @@ def test_mv_route_matches_fallback_reference(spark, rows, items, grouped, where)
                 ), (gr, wr)
             else:
                 assert gv == wv, (gr, wr)
+
+
+# ---------------------------------------------------------------------------
+# FUNNELCOUNT keyed statement route (round 8): the routed two-level
+# aggregate plan and the exact call-site fold must agree EXACTLY on any
+# data and any funnel — same statement forced down each path via the flat
+# (route) vs subquery (fold) shape, the same convention as the MV fuzz.
+# ---------------------------------------------------------------------------
+
+_fc_rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),                   # g
+        st.one_of(st.none(), st.integers(min_value=0, max_value=8)),  # uid
+        st.sampled_from(["a", "b", "c", "d"]),                   # ev
+        st.integers(min_value=-5, max_value=15),                 # x
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+_fc_steps_st = st.lists(
+    st.sampled_from(["ev = 'a'", "ev = 'b'", "ev = 'c'", "x > 4"]),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(
+    rows=_fc_rows_st,
+    steps=_fc_steps_st,
+    grouped=st.booleans(),
+    where=st.sampled_from([None, "x > 0", "x <= 10"]),
+)
+@settings(**SETTINGS)
+def test_funnelcount_route_matches_fold_reference(
+    spark, rows, steps, grouped, where
+):
+    from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_keyed_agg_statement,
+    )
+
+    spark.createDataFrame(
+        rows, "g int, uid int, ev string, x int"
+    ).createOrReplaceTempView("fcfuzz")
+    eng = getattr(test_funnelcount_route_matches_fold_reference, "_eng", None)
+    if eng is None:
+        import tempfile
+
+        eng = Engine(spark, tempfile.mkdtemp())
+        test_funnelcount_route_matches_fold_reference._eng = eng
+    fc = (
+        f"FUNNELCOUNT(STEPS({', '.join(steps)}), CORRELATE_BY(uid)) AS fc"
+    )
+    sel = ", ".join((["g"] if grouped else []) + [fc])
+    tail = (" WHERE " + where if where else "") + (
+        " GROUP BY g" if grouped else ""
+    )
+    routable = f"SELECT {sel} FROM fcfuzz{tail}"
+    reference = f"SELECT {sel} FROM (SELECT * FROM fcfuzz){tail}"
+    assert rewrite_keyed_agg_statement(routable) is not None
+    assert rewrite_keyed_agg_statement(reference) is None
+    got = sorted(map(tuple, eng.query(routable).collect()))
+    want = sorted(map(tuple, eng.query(reference).collect()))
+    assert got == want
 
 
 # ---------------------------------------------------------------------------

@@ -84,6 +84,11 @@ PROBES = (
     # + one hash aggregate on (label, elem); explode multiplies rows
     # map-side but the exchange carries only partial distinct state
     "b17_mv_distinct_route",
+    # round 8: the keyed two-level routes — per-correlator / per-key hash
+    # aggregate then a tiny outer aggregate; both exchanges carry partial
+    # state only (bool flags / one double per key), expect ~linear
+    "b16_funnelcount_routed",
+    "b70_tuple_value_sql",
 )
 
 
