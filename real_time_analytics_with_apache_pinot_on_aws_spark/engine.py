@@ -390,26 +390,45 @@ class Engine:
         # share one) — the null-semantics query rewrite reads field specs
         # (type/class/defaultNullValue) from here
         self.table_schemas: dict[str, TableSchema] = {}
-        # session-catalog aggregate-function names (lazy, cached) — the
-        # MV-distinct route's fail-safe: any call-site name its static
-        # classification tables don't know but THIS set marks as an
-        # aggregate bails the route, so future Spark aggregates cannot be
-        # silently evaluated over POSEXPLODE-duplicated rows (round-7
-        # ADVICE).  Computed once; catalog built-ins never change within
-        # a session (UDAFs registered later are missed — documented
-        # residual; the static tables carry every name the engine itself
-        # rewrites to).
-        self._catalog_agg_names: frozenset | None = None
+        # session-catalog function classNames (lazy, cached) — backs the
+        # statement routes' is_aggregate fail-safe (_is_catalog_aggregate
+        # below).
+        self._catalog_fn_classes: dict | None = None
         pfn.register_all(spark)
 
     def _is_catalog_aggregate(self, name: str) -> bool:
-        if self._catalog_agg_names is None:
-            self._catalog_agg_names = frozenset(
-                f.name.upper()
+        """Fail-safe aggregate test for the statement routes (round-7
+        ADVICE + round-8 review): returns False only when the session
+        catalog POSITIVELY knows ``name`` as a non-aggregate — a builtin
+        catalyst expression outside expressions.aggregate (scalars,
+        windows, generators) or a SQL macro (className 'sqlFunction.').
+        Registered UDFs and UDAFs share an opaque UDFRegistration lambda
+        className that cannot distinguish scalar from aggregate, so BOTH
+        count as aggregates and bail the route — the call-site fallbacks
+        stay correct, only the plan is heavier (the previous
+        aggregates-only set let a pandas GROUPED_AGG UDAF route over
+        POSEXPLODE-duplicated rows).  Unseen names refresh the cache once
+        (functions may be registered after the first query), then fail
+        safe to True."""
+        u = name.upper()
+        if (
+            self._catalog_fn_classes is None
+            or u not in self._catalog_fn_classes
+        ):
+            self._catalog_fn_classes = {
+                f.name.upper(): (f.className or "")
                 for f in self.spark.catalog.listFunctions()
-                if f.className and "expressions.aggregate" in f.className
-            )
-        return name.upper() in self._catalog_agg_names
+            }
+        cls = self._catalog_fn_classes.get(u)
+        if cls is None:
+            return True  # unresolvable name: the statement errors anyway
+        if "expressions.aggregate" in cls:
+            return True
+        if cls == "sqlFunction." or cls.startswith(
+            "org.apache.spark.sql.catalyst.expressions"
+        ):
+            return False
+        return True
 
     def add_schema(self, schema_json: str | dict) -> dict:
         """POST /schemas analog: validate + register by schemaName."""

@@ -557,7 +557,15 @@ def _funnelcount(args: list[str]) -> str:
         + [f"(s.m{i + 1} OR e._s{i + 1}) as m{i + 1}" for i in range(n)]
         + [f"s.c{i + 1} as c{i + 1}" for i in range(n)]
     )
-    k_enc = "to_json(named_struct('k', e._k))"
+    # explicit microsecond timestamp formats: to_json's DEFAULTS truncate
+    # timestamps to milliseconds, which would merge distinct
+    # sub-millisecond correlators (round-8 review) — Spark timestamps are
+    # exactly microsecond-precision, so SSSSSS restores injectivity
+    k_enc = (
+        "to_json(named_struct('k', e._k), "
+        "map('timestampFormat', 'yyyy-MM-dd HH:mm:ss.SSSSSSXXX', "
+        "'timestampNTZFormat', 'yyyy-MM-dd HH:mm:ss.SSSSSS'))"
+    )
     new_fields = ", ".join(
         [f"{k_enc} as _k"]
         + [f"e._s{i + 1} as m{i + 1}" for i in range(n)]
@@ -752,43 +760,12 @@ _REWRITES: dict = {
         "s -> CASE WHEN s.c = 0 THEN cast(null as double) "
         "ELSE s.v / s.c END)"
     ),
-    # the *MV percentiles rank ALL elements — an exact call-site fallback
-    # would have to collect whole arrays per group, the unbounded-state
-    # shape the statement route exists to avoid; unroutable shapes are
-    # rejected loudly instead of served silently-heavy (round-8 verdict
-    # task: "bail shapes fall to a loud error, not silence")
-    "PERCENTILEMV": _reject_loudly(
-        "PERCENTILEMV",
-        "(col, percent) ranks the exploded elements of a multi-value "
-        "column and is served only for single-table statements the "
-        "exploded statement route can restructure (no subqueries/joins/"
-        "windows/duplication-unsafe co-aggregates) — this statement "
-        "shape is not routable",
-    ),
-    "PERCENTILEESTMV": _reject_loudly(
-        "PERCENTILEESTMV",
-        "(col, percent) ranks the exploded elements of a multi-value "
-        "column and is served only for single-table statements the "
-        "exploded statement route can restructure (no subqueries/joins/"
-        "windows/duplication-unsafe co-aggregates) — this statement "
-        "shape is not routable",
-    ),
-    "PERCENTILEKLLMV": _reject_loudly(
-        "PERCENTILEKLLMV",
-        "(col, percent) ranks the exploded elements of a multi-value "
-        "column and is served only for single-table statements the "
-        "exploded statement route can restructure (no subqueries/joins/"
-        "windows/duplication-unsafe co-aggregates) — this statement "
-        "shape is not routable",
-    ),
-    "PERCENTILETDIGESTMV": _reject_loudly(
-        "PERCENTILETDIGESTMV",
-        "(col, percent) ranks the exploded elements of a multi-value "
-        "column and is served only for single-table statements the "
-        "exploded statement route can restructure (no subqueries/joins/"
-        "windows/duplication-unsafe co-aggregates) — this statement "
-        "shape is not routable",
-    ),
+    # the *MV percentiles are appended after this literal — they rank ALL
+    # elements, so an exact call-site fallback would have to collect
+    # whole arrays per group, the unbounded-state shape the statement
+    # route exists to avoid; unroutable shapes are rejected loudly
+    # instead of served silently-heavy (round-8 verdict task: "bail
+    # shapes fall to a loud error, not silence")
     "DISTINCTSUM": lambda a: f"sum(DISTINCT {a[0]})",
     "DISTINCTAVG": lambda a: f"avg(DISTINCT {a[0]})",
     "MINMAXRANGE": lambda a: f"(max({a[0]}) - min({a[0]}))",
@@ -836,6 +813,27 @@ _REWRITES: dict = {
         f"(sum({_SUM_FOLD.format(a[0])}) / sum(size({a[0]})))"
     ),
 }
+
+# *MV percentile fallbacks (see the comment inside the literal above):
+# one shared loud-reject message, matching _MV_PERCENTILE_ROUTE's names
+_REWRITES.update(
+    {
+        n: _reject_loudly(
+            n,
+            "(col, percent) ranks the exploded elements of a multi-value "
+            "column and is served only for single-table statements the "
+            "exploded statement route can restructure (no subqueries/"
+            "joins beyond one/windows/duplication-unsafe co-aggregates) "
+            "— this statement shape is not routable",
+        )
+        for n in (
+            "PERCENTILEMV",
+            "PERCENTILEESTMV",
+            "PERCENTILEKLLMV",
+            "PERCENTILETDIGESTMV",
+        )
+    }
+)
 
 
 def _skip_literal(sql: str, i: int) -> int:
@@ -990,11 +988,14 @@ _MV_DISTINCT_BUILDERS = {
     # round 8 (the MV aggregate tail Pinot 1.2 serves **[P1.2]**):
     # BITMAPMV is the exact distinct under another name; SUM/AVG of the
     # DISTINCT exploded elements are duplication-immune by construction.
-    # Both cast to DOUBLE so the routed answer and the normalized-set
-    # fallback expression type identically.
+    # Both cast to DOUBLE AFTER aggregating so the routed answer and the
+    # normalized-set fallback type identically — the DISTINCT itself runs
+    # at the NATIVE element type, like the fallback's array_distinct
+    # (round-8 review: dedup after cast-to-double merged bigints >= 2^53
+    # that the fallback kept distinct).
     "DISTINCTCOUNTBITMAPMV": lambda e: f"count(DISTINCT {e})",
-    "DISTINCTSUMMV": lambda e: f"sum(DISTINCT cast({e} as double))",
-    "DISTINCTAVGMV": lambda e: f"avg(DISTINCT cast({e} as double))",
+    "DISTINCTSUMMV": lambda e: f"cast(sum(DISTINCT {e}) as double)",
+    "DISTINCTAVGMV": lambda e: f"cast(avg(DISTINCT {e}) as double)",
 }
 
 # round 8: PERCENTILE[EST/KLL/TDIGEST]MV route over the exploded element
@@ -1220,22 +1221,37 @@ def _all_selects_inside(sql: str, start: int, spans: list) -> bool:
     return True
 
 
-def rewrite_mv_distinct_statement(sql: str, is_aggregate=None):
-    """Return the exploded-plan statement for a routable *MV-distinct
-    statement, or ``None`` when the shape is unsupported (module
-    docstring above the tables has the full contract).
+_ROUTE_BAD_TOPKWS = (
+    "UNION", "EXCEPT", "INTERSECT", "MINUS", "LATERAL", "VALUES",
+    "DISTRIBUTE", "CLUSTER", "WINDOW", "QUALIFY", "TABLESAMPLE",
+    "PIVOT", "UNPIVOT",
+)
 
-    ``is_aggregate``: optional ``name -> bool`` predicate (the engine
-    passes one built from the session's function catalog).  Any call-site
-    name the three classification tables do NOT know that the predicate
-    says IS an aggregate makes the route bail — future Spark aggregate
-    additions and registered UDAFs fail SAFE to the fallback expression
-    instead of being silently evaluated over POSEXPLODE-duplicated rows
-    (round-7 ADVICE: approx_top_k/kll_sketch_agg were exactly that
-    silent-inflation class before they were classified)."""
-    if not _MV_GATE_RE.search(sql):
-        return None
-    if "__mv" in sql:
+
+class _StmtShape:
+    """Parsed shape of a routable single-SELECT statement (shared by the
+    MV-distinct and keyed statement routes — round-8 review: the two
+    preambles had drifted into ~50 duplicated lines)."""
+
+    __slots__ = ("kws", "names", "subq_spans", "from_i", "from_end",
+                 "next_start", "from_text", "insert_at")
+
+    def in_subquery(self, pos: int) -> bool:
+        return any(s < pos < e for s, e in self.subq_spans)
+
+
+def _parse_routable_statement(
+    sql: str, guard: str, allow_subqueries: bool, allow_join: bool
+):
+    """Validate the statement-shape contract both routes share and parse
+    the FROM clause; ``None`` means unroutable.  ``guard`` is the route's
+    generated-alias prefix (a statement already containing it is either
+    re-entrant or adversarial — bail).  ``allow_subqueries`` admits
+    parenthesized (SELECT ...) groups and records their spans so the
+    caller can scope-exclude their call sites; ``allow_join`` admits ONE
+    ``[INNER|LEFT|RIGHT|FULL [OUTER]] JOIN tbl [alias] ON cond`` and
+    places ``insert_at`` after it."""
+    if guard in sql:
         return None
     if not re.match(r"\s*SELECT\b", sql, re.IGNORECASE):
         return None
@@ -1247,48 +1263,42 @@ def rewrite_mv_distinct_statement(sql: str, is_aggregate=None):
     names = [k[0] for k in kws]
     if names.count("SELECT") != 1:
         return None
-    # subqueries are allowed IF every nested SELECT sits inside a
-    # parenthesized (SELECT ...) group (round 8 — scalar subqueries /
-    # IN / EXISTS): those groups evaluate in their OWN scope, so the
-    # explode neither duplicates their input nor affects their result;
-    # their call sites are excluded from classification below.  Any
-    # SELECT outside such a group means the scanner mis-modeled the
-    # statement: bail.
-    subq_spans = _subquery_spans(sql)
+    subq_spans = _subquery_spans(sql) if allow_subqueries else []
+    # every nested SELECT must sit inside an admitted subquery span; with
+    # allow_subqueries=False that means NO nested SELECT at all
     if not _all_selects_inside(sql, kws[0][2], subq_spans):
         return None
-    for bad in (
-        "UNION", "EXCEPT", "INTERSECT", "MINUS", "LATERAL",
-        "VALUES", "DISTRIBUTE", "CLUSTER", "WINDOW", "QUALIFY",
-        "TABLESAMPLE", "PIVOT", "UNPIVOT",
-    ):
+    for bad in _ROUTE_BAD_TOPKWS:
         if bad in names:
             return None
     if names.count("FROM") != 1:
         return None
+    shape = _StmtShape()
+    shape.kws, shape.names, shape.subq_spans = kws, names, subq_spans
     from_i = names.index("FROM")
-    from_end = kws[from_i][2]
-    next_start = kws[from_i + 1][1] if from_i + 1 < len(kws) else len(sql)
-    from_text = sql[from_end:next_start]
-    # FROM shape: a single table ref, optionally ONE `[INNER|LEFT|RIGHT|
-    # FULL [OUTER]] JOIN tbl [alias] ON cond` (round 8): the LATERAL VIEW
-    # then attaches AFTER the join, exploding each JOINED row — exactly
-    # the relation the original aggregates saw, so the duplication logic
-    # is unchanged.  Multi-join / comma-list / derived-table FROMs bail.
+    shape.from_i = from_i
+    shape.from_end = kws[from_i][2]
+    shape.next_start = (
+        kws[from_i + 1][1] if from_i + 1 < len(kws) else len(sql)
+    )
+    shape.from_text = sql[shape.from_end : shape.next_start]
     join_i = names.index("JOIN") if "JOIN" in names else None
-    insert_at = None
     if join_i is not None:
-        if names.count("JOIN") != 1 or join_i != from_i + 1:
+        if (
+            not allow_join
+            or names.count("JOIN") != 1
+            or join_i != from_i + 1
+        ):
             return None
         jm = re.fullmatch(
             r"\s*([A-Za-z_][\w.]*)"
             r"(?:\s+(?:AS\s+)?(?!LEFT\b|RIGHT\b|FULL\b|INNER\b|OUTER\b)"
             r"([A-Za-z_]\w*))?"
             r"(?:\s+(?:LEFT|RIGHT|FULL)(?:\s+OUTER)?|\s+INNER)?\s*",
-            from_text,
+            shape.from_text,
             re.IGNORECASE,
         )
-        if jm is None or "," in from_text:
+        if jm is None or "," in shape.from_text:
             return None
         join_end = kws[join_i][2]
         join_next = (
@@ -1304,22 +1314,51 @@ def rewrite_mv_distinct_statement(sql: str, is_aggregate=None):
         ) or len(_split_top_level_commas(join_text)) != 1:
             return None
         # insert BEFORE the trailing whitespace so the following clause
-        # keyword keeps a separator (the lateral text has no trailing
-        # space, matching the single-table insertion point)
-        insert_at = join_end + len(join_text.rstrip())
+        # keyword keeps its separator (the inserted text carries no
+        # trailing space, matching the single-table insertion point)
+        shape.insert_at = join_end + len(join_text.rstrip())
     else:
         m = re.fullmatch(
             r"\s*([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s*",
-            from_text,
+            shape.from_text,
             re.IGNORECASE,
         )
-        if m is None or "," in from_text:
+        if m is None or "," in shape.from_text:
             return None
-        insert_at = from_end + m.end(m.lastindex or 1)
+        shape.insert_at = shape.from_end + m.end(m.lastindex or 1)
+    return shape
 
-    def _in_subquery(pos: int) -> bool:
-        return any(s < pos < e for s, e in subq_spans)
 
+def rewrite_mv_distinct_statement(sql: str, is_aggregate=None):
+    """Return the exploded-plan statement for a routable *MV-distinct
+    statement, or ``None`` when the shape is unsupported (module
+    docstring above the tables has the full contract).
+
+    ``is_aggregate``: optional ``name -> bool`` predicate (the engine
+    passes one built from the session's function catalog).  Any call-site
+    name the three classification tables do NOT know that the predicate
+    says IS an aggregate makes the route bail — future Spark aggregate
+    additions and registered UDAFs fail SAFE to the fallback expression
+    instead of being silently evaluated over POSEXPLODE-duplicated rows
+    (round-7 ADVICE: approx_top_k/kll_sketch_agg were exactly that
+    silent-inflation class before they were classified)."""
+    if not _MV_GATE_RE.search(sql):
+        return None
+    # subqueries are allowed IF every nested SELECT sits inside a
+    # parenthesized (SELECT ...) group (round 8 — scalar subqueries /
+    # IN / EXISTS): those groups evaluate in their OWN scope, so the
+    # explode neither duplicates their input nor affects their result;
+    # their call sites are excluded from classification below.  ONE
+    # JOIN ... ON is allowed: the LATERAL VIEW attaches AFTER it,
+    # exploding each JOINED row — exactly the relation the original
+    # aggregates saw, so the duplication logic is unchanged.
+    shape = _parse_routable_statement(
+        sql, "__mv", allow_subqueries=True, allow_join=True
+    )
+    if shape is None:
+        return None
+    insert_at = shape.insert_at
+    _in_subquery = shape.in_subquery
     sites = _scan_call_sites(sql)
     mv_sites, wrap_sites = [], []
     for s in sites:
@@ -1494,35 +1533,16 @@ def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
     unsupported (section comment above has the full contract)."""
     if not _KEYED_GATE_RE.search(sql):
         return None
-    if "__fc" in sql:
+    # v1 shape: no subqueries, no joins (the inner restructuring would
+    # have to re-emit the whole FROM under changed grouping — unlike the
+    # MV route, which only APPENDS a lateral view)
+    shape = _parse_routable_statement(
+        sql, "__fc", allow_subqueries=False, allow_join=False
+    )
+    if shape is None:
         return None
-    if not re.match(r"\s*SELECT\b", sql, re.IGNORECASE):
-        return None
-    if re.match(r"\s*SELECT\s+DISTINCT\b", sql, re.IGNORECASE):
-        return None
-    if _search_unquoted_re(_MV_ANYDEPTH_BAIL_RE, sql):
-        return None
-    kws = _top_level_keywords(sql)
-    names = [k[0] for k in kws]
-    if names.count("SELECT") != 1:
-        return None
-    # any SELECT at depth > 0 (subquery) also bails
-    if _search_unquoted_re(
-        re.compile(r"\bSELECT\b", re.IGNORECASE), sql[kws[0][2]:]
-    ):
-        return None
-    for bad in (
-        "JOIN", "UNION", "EXCEPT", "INTERSECT", "MINUS", "LATERAL",
-        "VALUES", "DISTRIBUTE", "CLUSTER", "WINDOW", "QUALIFY",
-        "TABLESAMPLE", "PIVOT", "UNPIVOT",
-    ):
-        if bad in names:
-            return None
-    if (
-        names.count("FROM") != 1
-        or names.count("WHERE") > 1
-        or names.count("GROUP") > 1
-    ):
+    kws, names, from_text = shape.kws, shape.names, shape.from_text
+    if names.count("WHERE") > 1 or names.count("GROUP") > 1:
         return None
 
     def clause_span(kw: str):
@@ -1532,15 +1552,7 @@ def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
                 return (s, e, nxt)
         return None
 
-    from_sp = clause_span("FROM")
-    from_text = sql[from_sp[1] : from_sp[2]]
-    fm = re.fullmatch(
-        r"\s*([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s*",
-        from_text,
-        re.IGNORECASE,
-    )
-    if fm is None or "," in from_text:
-        return None
+    from_sp = (kws[shape.from_i][1], shape.from_end, shape.next_start)
     where_sp = clause_span("WHERE")
     if where_sp is not None and where_sp[0] != from_sp[2]:
         return None  # WHERE not immediately after FROM: shape mis-modeled

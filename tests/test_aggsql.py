@@ -537,7 +537,43 @@ def test_engine_catalog_aggregate_predicate(mv_engine):
     assert mv_engine._is_catalog_aggregate("KLL_SKETCH_AGG_DOUBLE")
     assert mv_engine._is_catalog_aggregate("mode")
     assert not mv_engine._is_catalog_aggregate("upper")
-    assert not mv_engine._is_catalog_aggregate("no_such_function")
+    # engine SQL macros are positively known scalars
+    assert not mv_engine._is_catalog_aggregate("DATETRUNC")
+    # unresolvable names fail SAFE (the statement errors anyway)
+    assert mv_engine._is_catalog_aggregate("no_such_function")
+
+
+def test_mv_route_bails_on_registered_udaf(spark, mv_engine):
+    """Round-8 review: a pandas GROUPED_AGG UDAF's className is an opaque
+    lambda — it must count as an aggregate (bail) even though it is not
+    under expressions.aggregate, and even when registered AFTER the
+    engine's first catalog read."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    mv_engine._is_catalog_aggregate("upper")  # prime the cache first
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def my_udaf_sum(v):
+        return float(v.sum())
+
+    spark.udf.register("my_udaf_sum", my_udaf_sum)
+    assert mv_engine._is_catalog_aggregate("my_udaf_sum")
+    # the route must bail (no silent evaluation over duplicated rows);
+    # execution of the resulting mixed statement is then up to Spark,
+    # which rejects pandas-UDAF + builtin-aggregate mixes LOUDLY
+    assert RMV(
+        "SELECT g, DISTINCTCOUNTMV(tags) AS v, my_udaf_sum(amount) AS s "
+        "FROM mvsrc GROUP BY g",
+        is_aggregate=mv_engine._is_catalog_aggregate,
+    ) is None
+    # a grouped-agg UDAF alone still answers through the engine
+    rows = {
+        r["g"]: r["s"]
+        for r in mv_engine.query(
+            "SELECT g, my_udaf_sum(amount) AS s FROM mvsrc GROUP BY g"
+        ).collect()
+    }
+    assert rows == {"a": 36.0, "b": 9.0}
 
 
 def test_mv_with_approx_top_k_not_inflated(spark, mv_engine):
@@ -804,6 +840,39 @@ def test_funnelcount_binary_correlator_no_collision(spark, funnel_engine):
     # two DISTINCT correlators: one matched step1 only, one step2 only —
     # a merged run would report [1, 1]
     assert rows[0]["fc"] == [1, 0]
+
+
+def test_funnelcount_microsecond_timestamp_correlators(spark, funnel_engine):
+    """Round-8 review: to_json's DEFAULT timestamp format truncates to
+    milliseconds, merging sub-millisecond correlators — the explicit
+    SSSSSS format keeps them distinct (Spark timestamps are exactly
+    microsecond-precision)."""
+    spark.sql(
+        "SELECT * FROM VALUES "
+        "(timestamp'2020-01-01 00:00:00.000001', 'a'), "
+        "(timestamp'2020-01-01 00:00:00.000002', 'b') AS t(tk, ev)"
+    ).createOrReplaceTempView("usfunnel")
+    rows = funnel_engine.query(
+        "SELECT FUNNELCOUNT(STEPS(ev = 'a', ev = 'b'), CORRELATE_BY(tk)) "
+        "AS fc FROM (SELECT * FROM usfunnel)"  # subquery: the FOLD path
+    ).collect()
+    assert rows[0]["fc"] == [1, 0]
+
+
+def test_mv_distinct_sum_dedups_at_native_type(spark, mv_engine):
+    """Round-8 review: DISTINCT must run at the NATIVE element type —
+    two bigints >= 2^53 that collapse to one double must still count/sum
+    as TWO distinct elements, identically on route and fallback."""
+    spark.sql(
+        "SELECT * FROM VALUES (array(9007199254740993L, 9007199254740992L)) "
+        "AS t(tags)"
+    ).createOrReplaceTempView("mvbig")
+    sel = "SELECT DISTINCTSUMMV(tags) AS s FROM {src}"
+    routed = mv_engine.query(sel.format(src="mvbig")).collect()[0]["s"]
+    folded = mv_engine.query(
+        sel.format(src="(SELECT * FROM mvbig)")
+    ).collect()[0]["s"]
+    assert routed == folded == float(9007199254740993 + 9007199254740992)
 
 
 @pytest.mark.parametrize(
