@@ -96,17 +96,23 @@ def _exact_distinct(args: list[str]) -> str:
 
 def _sketch_distinct(name: str):
     """DataSketches-named distincts: 1 arg (exact service) or 2 args with
-    the tuning literal ignored; the theta set-expression form (3+ args)
-    rejects loudly — see the _REWRITES comment."""
+    the tuning literal ignored.  The theta SET-EXPRESSION form (3+ args)
+    is served by the keyed two-level statement route
+    (rewrite_keyed_agg_statement — exact per-key membership flags, round
+    8), so reaching THIS builder with 3+ args means the statement shape
+    was unroutable; reject loudly rather than silently answering a
+    different question."""
 
     def build(args: list[str]) -> str:
         if len(args) > 2:
             raise ValueError(
-                f"{name}: the theta set-expression form "
-                f"({len(args)} arguments) is not supported by this SQL "
-                "surface — use the sketch set-algebra API "
-                "(operators/sketch.py, SURVEY B21) for filtered "
-                "intersections/unions"
+                f"{name}: the set-expression form is served only for "
+                "single-table statements the two-level exact route can "
+                "restructure (no subqueries/joins/windows/other "
+                "aggregates) — this statement shape is not; use the "
+                "sketch set-algebra API (operators/sketch.py, SURVEY "
+                "B21) for filtered intersections/unions over arbitrary "
+                "shapes"
             )
         return f"count(DISTINCT {args[0]})"
 
@@ -644,11 +650,14 @@ _REWRITES: dict = {
     # DataSketches-named distincts (round 7).  Exact service is strictly
     # more accurate than the sketch each name requests (same policy as
     # DISTINCTCOUNTBITMAP/SMARTHLL above); a literal 2nd arg
-    # (nominalEntries / lgK tuning) is accepted and ignored, but the
-    # theta SET-EXPRESSION form (3+ args: filter params + an expression
-    # over them) is REJECTED loudly — serving it as a plain distinct
-    # would silently answer a different question; operators/sketch.py
-    # carries the real set-algebra surface (B21).
+    # (nominalEntries / lgK tuning) is accepted and ignored.  The theta
+    # SET-EXPRESSION form (3+ args: params + filter predicates + an
+    # expression over $1..$n) is served EXACTLY by the keyed two-level
+    # statement route (round 8); these call-site builders only fire for
+    # unroutable shapes and reject those loudly — serving them as a
+    # plain distinct would silently answer a different question;
+    # operators/sketch.py carries the operator-level set-algebra
+    # surface (B21).
     "DISTINCTCOUNTTHETASKETCH": _sketch_distinct("DISTINCTCOUNTTHETASKETCH"),
     "DISTINCTCOUNTRAWTHETASKETCH": _sketch_distinct(
         "DISTINCTCOUNTRAWTHETASKETCH"
@@ -1499,7 +1508,16 @@ def rewrite_mv_distinct_statement(sql: str, is_aggregate=None):
 # the Integer-Sum Tuple sketch estimates (operators/sketch.py
 # tuple_sum_estimate) — and the outer sums/averages them exactly
 # (strictly more accurate than the sketch, the established
-# served-exactly policy).
+# served-exactly policy).  The theta SET-EXPRESSION form **[P1.2]**
+# ``DISTINCTCOUNT[RAW]THETASKETCH(col, 'nominalEntries=...', 'pred1',
+# ..., 'predN', 'SET_INTERSECT($1, $2)')`` rides it too (round 8): a
+# key is in set $i iff ANY of its rows satisfies predicate i, so the
+# inner level computes per-key bool_or membership flags and the outer
+# counts keys whose set formula holds — SET_INTERSECT -> AND, SET_UNION
+# -> OR, SET_DIFF -> AND NOT, nested freely.  Exact set algebra with
+# ZERO sketch error and O(distinct keys) shuffle, no collection state;
+# 1-2 arg theta sites stay on the single-level call-site exact rewrite
+# (routing them would only add a shuffle).
 #
 # Route contract (same as the MV route): bail -> the call-site fallback
 # serves it (FUNNELCOUNT: the exact fold; tuple values: a loud redirect),
@@ -1512,7 +1530,8 @@ def rewrite_mv_distinct_statement(sql: str, is_aggregate=None):
 
 _KEYED_GATE_RE = re.compile(
     r"\b(FUNNELCOUNT|SUMVALUESINTEGERSUMTUPLESKETCH|"
-    r"AVGVALUEINTEGERSUMTUPLESKETCH)\s*\(",
+    r"AVGVALUEINTEGERSUMTUPLESKETCH|DISTINCTCOUNTTHETASKETCH|"
+    r"DISTINCTCOUNTRAWTHETASKETCH)\s*\(",
     re.IGNORECASE,
 )
 
@@ -1521,8 +1540,67 @@ _KEYED_TARGETS = frozenset(
         "FUNNELCOUNT",
         "SUMVALUESINTEGERSUMTUPLESKETCH",
         "AVGVALUEINTEGERSUMTUPLESKETCH",
+        "DISTINCTCOUNTTHETASKETCH",
+        "DISTINCTCOUNTRAWTHETASKETCH",
     }
 )
+
+_THETA_SET_TARGETS = frozenset(
+    {"DISTINCTCOUNTTHETASKETCH", "DISTINCTCOUNTRAWTHETASKETCH"}
+)
+
+
+def _theta_set_ast(e: str, nflags: int):
+    """Parse a Pinot theta post-aggregation set expression **[P1.2]** —
+    ``SET_UNION`` / ``SET_INTERSECT`` / ``SET_DIFF`` over ``$1..$n``
+    filter references — into a nested AST (``("ref", k)`` /
+    ``(OP, [children])``).  Raises loud ``ValueError`` on malformed
+    expressions: the expression is wrong in EVERY statement shape, so it
+    must not silently fall to the fallback's generic redirect."""
+    e = e.strip()
+    m = re.fullmatch(r"\$(\d+)", e)
+    if m:
+        k = int(m.group(1))
+        if not 1 <= k <= nflags:
+            raise ValueError(
+                f"theta set expression references ${k} but only "
+                f"{nflags} filter predicate(s) were supplied"
+            )
+        return ("ref", k)
+    m = re.fullmatch(
+        r"(SET_UNION|SET_INTERSECT|SET_DIFF)\s*\((.*)\)",
+        e,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m is None:
+        raise ValueError(
+            "theta set expression must be $k or SET_UNION / "
+            f"SET_INTERSECT / SET_DIFF(...), got: {e!r}"
+        )
+    op = m.group(1).upper()
+    parts = _split_top_level_commas(m.group(2))
+    parts = [p for p in parts if p.strip()]
+    if op == "SET_DIFF" and len(parts) != 2:
+        raise ValueError("SET_DIFF takes exactly 2 set arguments")
+    if op != "SET_DIFF" and len(parts) < 2:
+        raise ValueError(f"{op} takes >= 2 set arguments")
+    return (op, [_theta_set_ast(p, nflags) for p in parts])
+
+
+def _theta_set_sql(ast, flag) -> str:
+    """Emit the AST as a boolean formula over per-key membership flags:
+    a key is in set ``$i`` iff ANY of its rows satisfies predicate i, so
+    SET_INTERSECT is AND, SET_UNION is OR, SET_DIFF(a, b) is
+    ``a AND NOT b`` — the exact relational reading of the theta sketch
+    set algebra (DataSketches theta package semantics; served exactly,
+    the engine's established more-accurate-than-the-sketch policy)."""
+    if ast[0] == "ref":
+        return flag(ast[1])
+    subs = [_theta_set_sql(c, flag) for c in ast[1]]
+    if ast[0] == "SET_DIFF":
+        return f"({subs[0]} AND NOT {subs[1]})"
+    joiner = " OR " if ast[0] == "SET_UNION" else " AND "
+    return "(" + joiner.join(subs) + ")"
 
 _PLAIN_IDENT_RE = re.compile(r"[A-Za-z_]\w*")
 
@@ -1609,6 +1687,29 @@ def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
             except ValueError:
                 return None  # the fold path raises the same loud error
             parsed.append(("FC", st, end, corr, steps))
+        elif u in _THETA_SET_TARGETS:
+            # theta SET-EXPRESSION form (round 8): (col, 'params',
+            # 'pred1', ..., 'predN', 'SET_EXPR($1..$N)') **[P1.2]**.
+            # 1-2 arg sites are plain/tuned distincts the call-site
+            # rewrite already serves exactly in ONE aggregate level —
+            # routing them would only add a shuffle, so they bail here
+            # (a co-occurring real target then keeps ITS fallback too).
+            if len(args) <= 2:
+                return None
+            if len(args) == 3:
+                raise ValueError(
+                    f"{name}: the set-expression form needs at least one "
+                    "filter predicate literal between the parameters "
+                    "literal and the set expression"
+                )
+            _unquote_literal(args[1], f"{name} parameters")
+            preds = [
+                _unquote_literal(a, f"{name} filter predicate")
+                for a in args[2:-1]
+            ]
+            sexpr = _unquote_literal(args[-1], f"{name} set expression")
+            ast = _theta_set_ast(sexpr, len(preds))
+            parsed.append(("THETA", st, end, args[0], (preds, ast)))
         else:
             if len(args) != 2:
                 return None  # the fallback raises the loud redirect
@@ -1640,6 +1741,21 @@ def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
                     f"sum(if(__fc_k IS NOT NULL AND {conj}, 1, 0)), 0)"
                 )
             repl = "array(" + ", ".join(counts) + ")"
+        elif kind == "THETA":
+            preds, ast = payload
+            for i, p in enumerate(preds):
+                inner_items.append(
+                    f"bool_or(coalesce(({p}), false)) AS __fc{j}_s{i + 1}"
+                )
+            formula = _theta_set_sql(
+                ast, lambda k, j=j: f"__fc{j}_s{k}"
+            )
+            # coalesce: zero inner rows (WHERE filtered everything) must
+            # answer 0 like Pinot's empty sketch, not NULL
+            repl = (
+                "coalesce(sum(if(__fc_k IS NOT NULL AND "
+                f"{formula}, 1, 0)), 0)"
+            )
         else:
             inner_items.append(
                 f"sum(cast(({payload}) as double)) AS __fc{j}_v"

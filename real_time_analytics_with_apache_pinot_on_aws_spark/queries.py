@@ -6421,6 +6421,72 @@ def b66_vector_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b21_theta_set_expression_sql",
+    r"""
+    WITH per_key AS (
+      SELECT user_id,
+             bool_or(event_type = 'purchase' AND value > 150) AS s1,
+             bool_or(event_type = 'error' AND value > 150) AS s2,
+             bool_or(value > 195) AS s3
+      FROM events WHERE user_id % 7 <> 2
+      GROUP BY user_id
+    )
+    SELECT
+      CAST(coalesce(sum(CASE WHEN user_id IS NOT NULL AND s1 AND s2
+                         THEN 1 ELSE 0 END), 0) AS BIGINT)
+        AS big_buyers_with_errors,
+      CAST(coalesce(sum(CASE WHEN user_id IS NOT NULL AND s1 AND NOT s2
+                         THEN 1 ELSE 0 END), 0) AS BIGINT)
+        AS big_buyers_clean,
+      CAST(coalesce(sum(CASE WHEN user_id IS NOT NULL AND (s1 OR s2)
+                         AND NOT s3 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        AS engaged_not_extreme
+    FROM per_key
+    """,
+    doc="B21 wire form (round 8): Pinot's theta SET-EXPRESSION spelling "
+        "DISTINCTCOUNT[RAW]THETASKETCH(col, 'nominalEntries=...', "
+        "'pred1', ..., 'predN', 'SET_INTERSECT($1, $2)') **[P1.2]** — "
+        "previously a loud reject — served EXACTLY by the keyed "
+        "two-level statement route (aggsql.rewrite_keyed_agg_statement): "
+        "a key is in set $i iff any of its rows satisfies predicate i, "
+        "so the inner GROUP BY (key) computes bool_or membership flags "
+        "and the outer counts keys whose set formula holds "
+        "(SET_INTERSECT -> AND, SET_UNION -> OR, SET_DIFF -> AND NOT, "
+        "nested freely).  Zero sketch error, zero collection state, two "
+        "partial-merged hash aggregates; unroutable shapes keep the "
+        "loud redirect to operators/sketch.py (B21's operator surface).  "
+        "All three set ops plus one nested expression in one statement; "
+        "the property fuzz pins the route against an independent "
+        "pure-Python set-algebra reference on random data/expressions.",
+)
+def b21_theta_set_expression_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .functions.aggsql import (
+        rewrite_keyed_agg_statement,
+        rewrite_pinot_aggregates,
+    )
+
+    p1 = "'event_type = ''purchase'' AND value > 150'"
+    p2 = "'event_type = ''error'' AND value > 150'"
+    p3 = "'value > 195'"
+    stmt = (
+        "SELECT "
+        f"DISTINCTCOUNTTHETASKETCH(user_id, 'nominalEntries=4096', {p1}, "
+        f"{p2}, 'SET_INTERSECT($1, $2)') AS big_buyers_with_errors, "
+        f"DISTINCTCOUNTTHETASKETCH(user_id, 'nominalEntries=4096', {p1}, "
+        f"{p2}, 'SET_DIFF($1, $2)') AS big_buyers_clean, "
+        f"DISTINCTCOUNTRAWTHETASKETCH(user_id, 'nominalEntries=4096', {p1}, "
+        f"{p2}, {p3}, 'SET_DIFF(SET_UNION($1, $2), $3)') "
+        "AS engaged_not_extreme "
+        "FROM events WHERE user_id % 7 <> 2"
+    )
+    routed = rewrite_keyed_agg_statement(stmt)
+    if routed is None:  # the route regressing to the fallback is a bug
+        raise AssertionError("keyed statement route refused a routable shape")
+    return spark.sql(rewrite_pinot_aggregates(routed))
+
+
+@register(
     "b16_histogram_sql",
     r"""
     SELECT event_type,

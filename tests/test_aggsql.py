@@ -1092,6 +1092,177 @@ def test_tuple_value_unroutable_is_loud(tuple_engine):
         )
 
 
+# ---------------------------------------------------------------------------
+# Theta SET-EXPRESSION form (round 8): DISTINCTCOUNT[RAW]THETASKETCH with
+# filter predicates + SET_UNION/SET_INTERSECT/SET_DIFF over $1..$n, served
+# exactly by the keyed two-level statement route
+# ---------------------------------------------------------------------------
+
+
+def test_theta_set_route_text():
+    routed = RKA(
+        "SELECT g, DISTINCTCOUNTTHETASKETCH(u, 'nominalEntries=4096', "
+        "'ev = ''p''', 'ev = ''e''', 'SET_INTERSECT($1, $2)') AS b "
+        "FROM t WHERE d > 1 GROUP BY g"
+    )
+    assert routed == (
+        "SELECT g, coalesce(sum(if(__fc_k IS NOT NULL AND "
+        "(__fc0_s1 AND __fc0_s2), 1, 0)), 0) AS b "
+        "FROM (SELECT g, (u) AS __fc_k, "
+        "bool_or(coalesce((ev = 'p'), false)) AS __fc0_s1, "
+        "bool_or(coalesce((ev = 'e'), false)) AS __fc0_s2 "
+        "FROM t WHERE d > 1 GROUP BY g, (u)) __fc "
+        "GROUP BY g"
+    )
+
+
+@pytest.fixture(scope="module")
+def theta_engine(spark, tmp_path_factory):
+    spark.sql(
+        """
+        SELECT * FROM VALUES
+         ('x', 1, 'p', 10.0), ('x', 1, 'e', 200.0), ('x', 2, 'p', 10.0),
+         ('x', 3, 'e', 5.0), ('x', cast(null as int), 'p', 300.0),
+         ('y', 4, 'p', 100.0), ('y', 4, 'p', 50.0), ('y', 5, 'o', 1.0)
+         AS t(g, u, ev, v)
+        """
+    ).createOrReplaceTempView("thetasrc")
+    return Engine(spark, str(tmp_path_factory.mktemp("thwh")))
+
+
+def test_theta_set_route_exact_values(theta_engine):
+    """All three set ops + one nested expression, hand-computed on the
+    fixture; NULL keys excluded like count(DISTINCT)."""
+    theta = (
+        "DISTINCTCOUNTTHETASKETCH(u, 'nominalEntries=4096', "
+        "'ev = ''p''', 'ev = ''e''', 'v > 150', '{expr}')"
+    )
+    rows = {
+        r["g"]: r
+        for r in theta_engine.query(
+            "SELECT g, "
+            f"{theta.format(expr='SET_INTERSECT($1, $2)')} AS i, "
+            f"{theta.format(expr='SET_UNION($1, $2)')} AS un, "
+            f"{theta.format(expr='SET_DIFF($1, $2)')} AS d, "
+            f"{theta.format(expr='SET_DIFF(SET_UNION($1, $2), $3)')} AS nested "
+            "FROM thetasrc GROUP BY g"
+        ).collect()
+    }
+    assert (rows["x"]["i"], rows["x"]["un"], rows["x"]["d"],
+            rows["x"]["nested"]) == (1, 3, 1, 2)
+    assert (rows["y"]["i"], rows["y"]["un"], rows["y"]["d"],
+            rows["y"]["nested"]) == (0, 1, 1, 1)
+
+
+def test_theta_set_route_plan_bounded(theta_engine):
+    """The routed theta plan is two hash-aggregate levels — zero
+    collection state, the same pin as the routed FUNNELCOUNT."""
+    df = theta_engine.query(
+        "SELECT DISTINCTCOUNTTHETASKETCH(u, 'p', 'ev = ''p''', "
+        "'ev = ''e''', 'SET_INTERSECT($1, $2)') AS b FROM thetasrc"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan and "collect_list" not in plan
+    assert plan.count("HashAggregate") >= 4
+    assert df.collect()[0]["b"] == 1
+
+
+def test_theta_plain_and_tuned_sites_not_routed(theta_engine):
+    """1-2 arg theta sites stay on the single-level exact call-site
+    rewrite — no restructuring, and the answer is count(DISTINCT)."""
+    assert RKA("SELECT DISTINCTCOUNTTHETASKETCH(u) FROM t") is None
+    assert RKA(
+        "SELECT DISTINCTCOUNTTHETASKETCH(u, 'nominalEntries=64') FROM t"
+    ) is None
+    got = theta_engine.query(
+        "SELECT DISTINCTCOUNTTHETASKETCH(u, 'nominalEntries=64') AS d "
+        "FROM thetasrc"
+    ).collect()[0]["d"]
+    assert got == 5
+
+
+def test_theta_set_zero_rows_is_zero(theta_engine):
+    """WHERE filtering every row must answer 0 (Pinot's empty sketch),
+    not NULL."""
+    got = theta_engine.query(
+        "SELECT DISTINCTCOUNTTHETASKETCH(u, 'p', 'ev = ''p''', "
+        "'ev = ''e''', 'SET_UNION($1, $2)') AS z "
+        "FROM thetasrc WHERE v < -1"
+    ).collect()[0]["z"]
+    assert got == 0
+
+
+@pytest.mark.parametrize(
+    "expr,msg",
+    [
+        ("SET_UNION($1, $3)", r"references \$3"),
+        ("SET_DIFF($1)", "exactly 2"),
+        ("SET_DIFF($1, $2, $2)", "exactly 2"),
+        ("SET_UNION($1)", ">= 2"),
+        ("UNION($1, $2)", "must be"),
+        ("$0", r"references \$0"),
+    ],
+)
+def test_theta_set_loud_expression_errors(expr, msg):
+    with pytest.raises(ValueError, match=msg):
+        RKA(
+            "SELECT DISTINCTCOUNTTHETASKETCH(u, 'p', 'ev = ''a''', "
+            f"'ev = ''b''', '{expr}') FROM t"
+        )
+
+
+def test_theta_set_three_arg_form_is_loud():
+    with pytest.raises(ValueError, match="at least one filter predicate"):
+        RKA(
+            "SELECT DISTINCTCOUNTTHETASKETCH(u, 'p', 'SET_UNION($1, $2)') "
+            "FROM t"
+        )
+
+
+def test_theta_set_non_literal_predicate_is_loud():
+    with pytest.raises(ValueError, match="quoted string literal"):
+        RKA(
+            "SELECT DISTINCTCOUNTTHETASKETCH(u, 'p', ev = 'a', '$1') FROM t"
+        )
+
+
+def test_theta_set_unroutable_shape_is_loud(theta_engine):
+    """A shape the route cannot restructure falls to the call-site
+    fallback's loud redirect — never a silently-wrong plain distinct."""
+    assert RKA(
+        "SELECT DISTINCTCOUNTTHETASKETCH(u, 'p', 'ev = ''a''', "
+        "'SET_UNION($1, $1)') FROM (SELECT * FROM thetasrc)"
+    ) is None
+    with pytest.raises(Exception, match="set-expression form is served"):
+        theta_engine.query(
+            "SELECT DISTINCTCOUNTTHETASKETCH(u, 'p', 'ev = ''p''', "
+            "'SET_UNION($1, $1)') FROM (SELECT * FROM thetasrc)"
+        )
+
+
+def test_theta_set_cooccurring_aggregate_bails():
+    assert RKA(
+        "SELECT count(*), DISTINCTCOUNTTHETASKETCH(u, 'p', 'ev = ''a''', "
+        "'$1') FROM t"
+    ) is None
+    # a plain theta site next to a real target also bails (both keep
+    # their call-site service)
+    assert RKA(
+        "SELECT DISTINCTCOUNTTHETASKETCH(w), "
+        "FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t"
+    ) is None
+
+
+def test_theta_set_single_ref_expression(theta_engine):
+    """'$1' alone is the filtered-distinct shape (Pinot's simplest
+    post-aggregation expression)."""
+    got = theta_engine.query(
+        "SELECT DISTINCTCOUNTTHETASKETCH(u, 'p', 'ev = ''e''', '$1') AS d "
+        "FROM thetasrc"
+    ).collect()[0]["d"]
+    assert got == 2  # users 1 and 3 have an 'e' event
+
+
 @pytest.mark.parametrize(
     "expr,want",
     [

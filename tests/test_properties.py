@@ -946,6 +946,115 @@ def test_funnelcount_route_matches_fold_reference(
 
 
 # ---------------------------------------------------------------------------
+# Theta SET-EXPRESSION route (round 8): the routed two-level plan must
+# agree with an INDEPENDENT pure-Python set-algebra reference (not the
+# fallback — unroutable shapes are a loud redirect, so there is no second
+# engine path to diff against) on any data, any predicate subset, any
+# nested SET_UNION/SET_INTERSECT/SET_DIFF expression.
+# ---------------------------------------------------------------------------
+
+_theta_preds = [
+    ("ev = 'a'", lambda u, ev, x: ev == "a"),
+    ("ev = 'b'", lambda u, ev, x: ev == "b"),
+    ("x > 4", lambda u, ev, x: x is not None and x > 4),
+]
+
+_theta_expr_st = st.recursive(
+    st.integers(min_value=1, max_value=len(_theta_preds)).map(
+        lambda k: ("ref", k)
+    ),
+    lambda ch: st.one_of(
+        st.tuples(
+            st.sampled_from(["SET_UNION", "SET_INTERSECT"]),
+            st.lists(ch, min_size=2, max_size=3),
+        ),
+        st.tuples(st.just("SET_DIFF"), st.lists(ch, min_size=2, max_size=2)),
+    ),
+    max_leaves=6,
+)
+
+
+def _theta_render(ast) -> str:
+    if ast[0] == "ref":
+        return f"${ast[1]}"
+    return f"{ast[0]}({', '.join(_theta_render(c) for c in ast[1])})"
+
+
+def _theta_eval(ast, flags) -> bool:
+    if ast[0] == "ref":
+        return flags[ast[1] - 1]
+    vals = [_theta_eval(c, flags) for c in ast[1]]
+    if ast[0] == "SET_DIFF":
+        return vals[0] and not vals[1]
+    return any(vals) if ast[0] == "SET_UNION" else all(vals)
+
+
+@given(
+    rows=_fc_rows_st,
+    expr=_theta_expr_st,
+    grouped=st.booleans(),
+    where=st.sampled_from([None, "x > 0", "x <= 10"]),
+)
+@settings(**SETTINGS)
+def test_theta_set_route_matches_python_reference(
+    spark, rows, expr, grouped, where
+):
+    from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_keyed_agg_statement,
+    )
+
+    spark.createDataFrame(
+        rows, "g int, u int, ev string, x int"
+    ).createOrReplaceTempView("thfuzz")
+    eng = getattr(test_theta_set_route_matches_python_reference, "_eng", None)
+    if eng is None:
+        import tempfile
+
+        eng = Engine(spark, tempfile.mkdtemp())
+        test_theta_set_route_matches_python_reference._eng = eng
+    lits = ", ".join(
+        "'" + p.replace("'", "''") + "'" for p, _ in _theta_preds
+    )
+    call = (
+        f"DISTINCTCOUNTTHETASKETCH(u, 'nominalEntries=64', {lits}, "
+        f"'{_theta_render(expr)}') AS d"
+    )
+    sel = ", ".join((["g"] if grouped else []) + [call])
+    tail = (" WHERE " + where if where else "") + (
+        " GROUP BY g" if grouped else ""
+    )
+    stmt = f"SELECT {sel} FROM thfuzz{tail}"
+    assert rewrite_keyed_agg_statement(stmt) is not None
+    got = sorted(map(tuple, eng.query(stmt).collect()))
+
+    wpred = {
+        None: lambda u, ev, x: True,
+        "x > 0": lambda u, ev, x: x > 0,
+        "x <= 10": lambda u, ev, x: x <= 10,
+    }[where]
+    kept = [r for r in rows if wpred(r[1], r[2], r[3])]
+    groups = sorted({r[0] for r in kept}) if grouped else [None]
+    want = []
+    for g in groups:
+        grows = [r for r in kept if not grouped or r[0] == g]
+        keys = {r[1] for r in grows if r[1] is not None}
+        n = 0
+        for k in keys:
+            krows = [r for r in grows if r[1] == k]
+            flags = [
+                any(p(r[1], r[2], r[3]) for r in krows)
+                for _, p in _theta_preds
+            ]
+            n += int(_theta_eval(expr, flags))
+        want.append((g, n) if grouped else (n,))
+    if not grouped:
+        # a global aggregate over zero kept rows still answers one 0 row
+        want = want or [(0,)]
+    assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
 # Table-ref rewriter (Engine._rewrite_table_refs): the round-7 review found
 # two silent-partial-application bugs in FROM-shape handling (swallowed JOIN
 # keyword, comma-list overlap).  This property pins the whole shape space
