@@ -1524,8 +1524,12 @@ def rewrite_mv_distinct_statement(sql: str, is_aggregate=None):
 # and the caller requires the routed statement to ANALYZE cleanly or the
 # original stands.  Routable shape: one SELECT, one single-table FROM, no
 # subqueries/joins/set-ops/windows, GROUP BY plain identifiers only, all
-# route targets sharing ONE key expression, and NO other aggregate call
-# sites (classified statically + the session-catalog is_aggregate
+# route targets sharing ONE key expression, and co-occurring aggregates
+# only when DECOMPOSABLE (round 8: COUNT/SUM/MIN/MAX/AVG partials push
+# into the inner per-key level and recombine exactly in the outer level
+# — the dashboard staple `SELECT g, count(*), FUNNELCOUNT(...)` routes;
+# distinct/percentile/collect state does not decompose and keeps the
+# fallback, classified statically + the session-catalog is_aggregate
 # predicate for fail-safe, as in the MV route).
 
 _KEYED_GATE_RE = re.compile(
@@ -1547,6 +1551,15 @@ _KEYED_TARGETS = frozenset(
 
 _THETA_SET_TARGETS = frozenset(
     {"DISTINCTCOUNTTHETASKETCH", "DISTINCTCOUNTRAWTHETASKETCH"}
+)
+
+# co-occurring aggregates whose partials push through the two-level
+# restructure exactly: count -> sum(count), sum -> sum(sum), min/max ->
+# min/max(extreme), avg -> sum(sum)/sum(count).  Everything else keeps
+# the bail-to-fallback contract (distinct/percentile/collect state does
+# not decompose over the per-key regrouping).
+_KEYED_DECOMPOSABLE = frozenset(
+    {"COUNT", "SUM", "MIN", "MAX", "AVG", "MEAN"}
 )
 
 
@@ -1665,12 +1678,34 @@ def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
     def inside_target(pos: int) -> bool:
         return any(s < pos < e for s, e in spans)
 
+    co_sites = []  # (AGGNAME, start, end, inner_text)
     for name, st, op, inner, end in sites:
         u = name.upper()
         if u in _KEYED_TARGETS or inside_target(st):
             continue
+        if u in _KEYED_DECOMPOSABLE:
+            # co-occurring DECOMPOSABLE aggregates (round 8): partials
+            # push into the inner per-(group, key) level and recombine in
+            # the outer level — count -> sum of counts, sum -> sum of
+            # sums, min/max -> min/max of extremes, avg -> sum of sums /
+            # sum of counts.  Shapes the decomposition cannot keep exact
+            # bail to the fallback:
+            if re.match(r"\s*FILTER\b", sql[end:], re.IGNORECASE):
+                # a trailing FILTER clause would re-filter the OUTER
+                # aggregate over restructured rows — a different answer
+                return None
+            if re.match(r"\s*DISTINCT\b", inner, re.IGNORECASE):
+                return None  # count(DISTINCT x) does not decompose
+            if u in ("SUM", "AVG", "MEAN") and re.search(
+                r"decimal", inner, re.IGNORECASE
+            ):
+                # sum-of-sums widens decimal precision twice — value-equal
+                # but dtype-drifted vs the single-level aggregate
+                return None
+            co_sites.append((u, st, end, inner))
+            continue
         if u in _KNOWN_AGG_NAMES:
-            return None  # co-occurring aggregates: v1 keeps the fallback
+            return None  # non-decomposable aggregates keep the fallback
         if is_aggregate is not None and is_aggregate(name):
             return None  # unclassified-but-aggregate: fail safe
     parsed = []  # (kind, start, end, key_expr, payload)
@@ -1763,6 +1798,26 @@ def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
             repl = (
                 f"sum(__fc{j}_v)" if kind == "SUM" else f"avg(__fc{j}_v)"
             )
+        edits.append((st, end, repl))
+    for j, (u, st, end, inner) in enumerate(co_sites):
+        if u == "COUNT":
+            inner_items.append(f"count({inner}) AS __fca{j}")
+            # zero inner rows (global aggregate, WHERE filtered all):
+            # count answers 0, not NULL
+            repl = f"coalesce(sum(__fca{j}), 0)"
+        elif u == "SUM":
+            inner_items.append(f"sum(({inner})) AS __fca{j}")
+            repl = f"sum(__fca{j})"
+        elif u in ("AVG", "MEAN"):
+            inner_items.append(f"sum(({inner})) AS __fca{j}_s")
+            inner_items.append(f"count(({inner})) AS __fca{j}_c")
+            # try_divide: all-NULL input means sum(count)=0 — avg must
+            # answer NULL there, never an ANSI divide-by-zero error
+            repl = f"try_divide(sum(__fca{j}_s), sum(__fca{j}_c))"
+        else:  # MIN / MAX: extremes of per-key extremes
+            fn = u.lower()
+            inner_items.append(f"{fn}(({inner})) AS __fca{j}")
+            repl = f"{fn}(__fca{j})"
         edits.append((st, end, repl))
     where_clause = ""
     repl_end = from_sp[2]

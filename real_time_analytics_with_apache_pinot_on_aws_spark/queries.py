@@ -6281,7 +6281,13 @@ def b17_mv_agg_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(sum(s1) AS BIGINT) AS step_view,
            CAST(sum(s1 * s2) AS BIGINT) AS step_click,
-           CAST(sum(s1 * s2 * s3) AS BIGINT) AS step_purchase
+           CAST(sum(s1 * s2 * s3) AS BIGINT) AS step_purchase,
+           (SELECT count(*) FROM events
+             WHERE user_id IS NOT NULL AND user_id % 3 <> 1) AS n_events,
+           (SELECT avg(CAST(floor(value) AS BIGINT)) FROM events
+             WHERE user_id IS NOT NULL AND user_id % 3 <> 1) AS avg_whole,
+           (SELECT max(value) FROM events
+             WHERE user_id IS NOT NULL AND user_id % 3 <> 1) AS max_value
     FROM m
     """,
     doc="The same Pinot FUNNELCOUNT wire spelling as b16_funnelcount_sql "
@@ -6293,10 +6299,13 @@ def b17_mv_agg_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shuffle-bounded hash aggregation, ZERO collected arrays (the "
         "exact fold keeps ~50+ bytes per correlator in one expression "
         "array; Pinot's bitmap is ~2-4 bits — this plan is the Spark "
-        "shape of the bitmap).  b16_funnelcount_sql continues to pin the "
-        "FOLD (it calls rewrite_pinot_aggregates directly), so both "
-        "paths stay oracle-adjudicated; the fuzz property pins "
-        "route == fold on random funnels.",
+        "shape of the bitmap).  Round-8 extension: decomposable "
+        "co-aggregates (count/sum/min/max/avg) ride the route in the "
+        "SAME statement — partials push into the inner per-correlator "
+        "level and recombine exactly.  b16_funnelcount_sql continues to "
+        "pin the FOLD (it calls rewrite_pinot_aggregates directly), so "
+        "both paths stay oracle-adjudicated; the fuzz property pins "
+        "route == fold on random funnels WITH random co-aggregates.",
 )
 def b16_funnelcount_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
@@ -6308,7 +6317,16 @@ def b16_funnelcount_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     stmt = (
         "SELECT FUNNELCOUNT(STEPS(event_type = 'view', "
         "event_type = 'click', event_type = 'purchase'), "
-        "CORRELATE_BY(user_id), SETTINGS('bitmap')) AS fc "
+        "CORRELATE_BY(user_id), SETTINGS('bitmap')) AS fc, "
+        # decomposable co-aggregates ride the same route (round 8):
+        # partials push into the inner per-correlator level and recombine
+        # exactly — the dashboard staple `count(*), avg(...), FUNNELCOUNT`
+        # in ONE statement, still zero collection state.  avg over an
+        # integer-valued cast keeps both paths' sums exact (oracle
+        # determinism convention).
+        "count(*) AS n_events, "
+        "avg(CAST(floor(value) AS BIGINT)) AS avg_whole, "
+        "max(value) AS max_value "
         "FROM events WHERE user_id % 3 <> 1"
     )
     routed = rewrite_keyed_agg_statement(stmt)
@@ -6319,6 +6337,9 @@ def b16_funnelcount_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("fc", 1).alias("step_view"),
         F.element_at("fc", 2).alias("step_click"),
         F.element_at("fc", 3).alias("step_purchase"),
+        "n_events",
+        "avg_whole",
+        "max_value",
     )
 
 

@@ -786,13 +786,14 @@ def funnel_engine(spark, tmp_path_factory):
     spark.sql(
         """
         SELECT * FROM VALUES
-         (1, 'view'), (1, 'cart'), (1, 'buy'),
-         (2, 'view'), (2, 'cart'),
-         (3, 'view'),
-         (4, 'cart'), (4, 'buy'),
-         (5, 'view'), (5, 'buy'),
-         (cast(null as int), 'view')
-         AS t(uid, ev)
+         (1, 'view', 'a', 10.0), (1, 'cart', 'a', 20.0),
+         (1, 'buy', 'a', 30.0),
+         (2, 'view', 'a', 5.0), (2, 'cart', 'b', cast(null as double)),
+         (3, 'view', 'b', 7.0),
+         (4, 'cart', 'b', 40.0), (4, 'buy', 'a', 2.0),
+         (5, 'view', 'b', 1.0), (5, 'buy', 'b', 3.0),
+         (cast(null as int), 'view', 'a', 100.0)
+         AS t(uid, ev, g, amt)
         """
     ).createOrReplaceTempView("funnelsrc")
     from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
@@ -938,9 +939,15 @@ def test_keyed_route_text_tuple_values_share_key():
         "SELECT FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t JOIN d ON t.k = d.k",
         "SELECT FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t, d",
         "WITH c AS (SELECT 1) SELECT FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t",
-        # co-occurring aggregates keep the fallback (v1 contract)
-        "SELECT count(*), FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t",
+        # co-occurring NON-decomposable aggregates keep the fallback
+        "SELECT stddev(x), FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t",
         "SELECT DISTINCTCOUNTMV(tags), SUMVALUESINTEGERSUMTUPLESKETCH(k, v) FROM t",
+        # decomposition-breaking shapes of otherwise-decomposable co-aggs
+        "SELECT count(DISTINCT x), FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t",
+        "SELECT count(*) FILTER (WHERE g = 'a'), "
+        "FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t",
+        "SELECT sum(cast(x as decimal(20,2))), "
+        "FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t",
         # GROUP BY expression / ordinal: outer references could not bind
         "SELECT u % 2, FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t GROUP BY u % 2",
         "SELECT g, FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t GROUP BY 1",
@@ -1241,8 +1248,10 @@ def test_theta_set_unroutable_shape_is_loud(theta_engine):
 
 
 def test_theta_set_cooccurring_aggregate_bails():
+    # non-decomposable co-aggregates keep the fallback (decomposable
+    # count/sum/min/max/avg ROUTE — test_theta_set_with_coaggs)
     assert RKA(
-        "SELECT count(*), DISTINCTCOUNTTHETASKETCH(u, 'p', 'ev = ''a''', "
+        "SELECT stddev(x), DISTINCTCOUNTTHETASKETCH(u, 'p', 'ev = ''a''', "
         "'$1') FROM t"
     ) is None
     # a plain theta site next to a real target also bails (both keep
@@ -1261,6 +1270,108 @@ def test_theta_set_single_ref_expression(theta_engine):
         "FROM thetasrc"
     ).collect()[0]["d"]
     assert got == 2  # users 1 and 3 have an 'e' event
+
+
+# ---------------------------------------------------------------------------
+# Co-occurring DECOMPOSABLE aggregates (round 8): count/sum/min/max/avg
+# partials push into the inner per-key level and recombine exactly
+# ---------------------------------------------------------------------------
+
+
+def test_keyed_route_text_decomposable_coaggs():
+    routed = RKA(
+        "SELECT g, count(*) AS n, sum(x) AS sx, avg(x) AS ax, "
+        "FUNNELCOUNT(STEPS(ev = 'a'), CORRELATE_BY(u)) AS fc "
+        "FROM t GROUP BY g"
+    )
+    assert routed == (
+        "SELECT g, coalesce(sum(__fca0), 0) AS n, sum(__fca1) AS sx, "
+        "try_divide(sum(__fca2_s), sum(__fca2_c)) AS ax, "
+        "array(coalesce(sum(if(__fc_k IS NOT NULL AND __fc0_s1, 1, 0)), "
+        "0)) AS fc "
+        "FROM (SELECT g, (u) AS __fc_k, "
+        "bool_or(coalesce((ev = 'a'), false)) AS __fc0_s1, "
+        "count(*) AS __fca0, sum((x)) AS __fca1, "
+        "sum((x)) AS __fca2_s, count((x)) AS __fca2_c "
+        "FROM t GROUP BY g, (u)) __fc "
+        "GROUP BY g"
+    )
+
+
+def test_keyed_route_coaggs_match_fold(funnel_engine):
+    """Route and fold agree on FUNNELCOUNT + every decomposable
+    co-aggregate in one statement (same statement forced down each path
+    via the flat vs subquery shape)."""
+    sel = (
+        "count(*) AS n, count(amt) AS na, sum(amt) AS s, avg(amt) AS a, "
+        "min(amt) AS mn, max(amt) AS mx, "
+        "FUNNELCOUNT(STEPS(ev = 'view', ev = 'buy'), CORRELATE_BY(uid)) AS fc"
+    )
+    routed = funnel_engine.query(
+        f"SELECT {sel} FROM funnelsrc"
+    ).collect()[0]
+    folded = funnel_engine.query(
+        f"SELECT {sel} FROM (SELECT * FROM funnelsrc)"
+    ).collect()[0]
+    assert RKA(f"SELECT {sel} FROM funnelsrc") is not None
+    assert RKA(f"SELECT {sel} FROM (SELECT * FROM funnelsrc)") is None
+    assert tuple(routed) == tuple(folded)
+
+
+def test_keyed_route_coaggs_in_having(funnel_engine):
+    """Decomposable co-aggregates in HAVING bind against the recombined
+    outer level.  (ORDER BY over a fresh aggregate next to HAVING is a
+    shape Spark's analyzer rejects in the ORIGINAL statement too, so the
+    route has nothing to preserve there.)"""
+    stmt = (
+        "SELECT g, max(amt) AS mx, "
+        "FUNNELCOUNT(STEPS(ev = 'view'), CORRELATE_BY(uid)) AS fc "
+        "FROM funnelsrc GROUP BY g HAVING count(*) >= 6 ORDER BY g"
+    )
+    assert RKA(stmt) is not None
+    ref = (
+        "SELECT g, max(amt) AS mx, "
+        "FUNNELCOUNT(STEPS(ev = 'view'), CORRELATE_BY(uid)) AS fc "
+        "FROM (SELECT * FROM funnelsrc) GROUP BY g "
+        "HAVING count(*) >= 6 ORDER BY g"
+    )
+    got = [tuple(r) for r in funnel_engine.query(stmt).collect()]
+    want = [tuple(r) for r in funnel_engine.query(ref).collect()]
+    assert got == want and len(got) == 1  # only group 'a' has >= 6 rows
+
+
+def test_theta_set_with_coaggs(theta_engine):
+    """The theta set-expression route carries decomposable co-aggregates
+    too — the dashboard shape `count(*), sum(v), theta(...)`."""
+    row = theta_engine.query(
+        "SELECT count(*) AS n, sum(v) AS s, "
+        "DISTINCTCOUNTTHETASKETCH(u, 'p', 'ev = ''p''', 'ev = ''e''', "
+        "'SET_INTERSECT($1, $2)') AS b FROM thetasrc"
+    ).collect()[0]
+    # fixture: 8 rows, v sums to 676.0, only user 1 has both p and e
+    assert (row["n"], row["s"], row["b"]) == (8, 676.0, 1)
+
+
+def test_tuple_value_with_count_star(tuple_engine):
+    row = tuple_engine.query(
+        "SELECT count(*) AS n, SUMVALUESINTEGERSUMTUPLESKETCH(k, v) AS s "
+        "FROM tuplesrc"
+    ).collect()[0]
+    assert (row["n"], row["s"]) == (6, 26.0)
+
+
+def test_keyed_route_coagg_zero_rows(funnel_engine):
+    """Global aggregate over zero kept rows: count answers 0, sum/avg/
+    min/max answer NULL — exactly the single-level semantics."""
+    row = funnel_engine.query(
+        "SELECT count(*) AS n, sum(amt) AS s, avg(amt) AS a, "
+        "min(amt) AS mn, "
+        "FUNNELCOUNT(STEPS(ev = 'view'), CORRELATE_BY(uid)) AS fc "
+        "FROM funnelsrc WHERE amt < -1e9"
+    ).collect()[0]
+    assert row["n"] == 0 and row["s"] is None
+    assert row["a"] is None and row["mn"] is None
+    assert row["fc"] == [0]
 
 
 @pytest.mark.parametrize(

@@ -905,15 +905,24 @@ _fc_steps_st = st.lists(
 )
 
 
+_fc_coaggs_st = st.lists(
+    st.sampled_from(
+        ["count(*)", "count(x)", "sum(x)", "avg(x)", "min(x)", "max(x)"]
+    ),
+    max_size=3,
+)
+
+
 @given(
     rows=_fc_rows_st,
     steps=_fc_steps_st,
     grouped=st.booleans(),
     where=st.sampled_from([None, "x > 0", "x <= 10"]),
+    coaggs=_fc_coaggs_st,
 )
 @settings(**SETTINGS)
 def test_funnelcount_route_matches_fold_reference(
-    spark, rows, steps, grouped, where
+    spark, rows, steps, grouped, where, coaggs
 ):
     from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
     from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
@@ -932,7 +941,10 @@ def test_funnelcount_route_matches_fold_reference(
     fc = (
         f"FUNNELCOUNT(STEPS({', '.join(steps)}), CORRELATE_BY(uid)) AS fc"
     )
-    sel = ", ".join((["g"] if grouped else []) + [fc])
+    # decomposable co-aggregates (round 8) ride the route; x values are
+    # small ints so double sums/avgs are exact on both paths
+    co = [f"{c} AS c{i}" for i, c in enumerate(coaggs)]
+    sel = ", ".join((["g"] if grouped else []) + co + [fc])
     tail = (" WHERE " + where if where else "") + (
         " GROUP BY g" if grouped else ""
     )
