@@ -1523,7 +1523,10 @@ def rewrite_mv_distinct_statement(sql: str, is_aggregate=None):
 # serves it (FUNNELCOUNT: the exact fold; tuple values: a loud redirect),
 # and the caller requires the routed statement to ANALYZE cleanly or the
 # original stands.  Routable shape: one SELECT, one single-table FROM, no
-# subqueries/joins/set-ops/windows, GROUP BY plain identifiers only, all
+# joins/set-ops/windows (subqueries ARE admitted, round 8: scalar
+# subqueries stay in the outer statement, WHERE subqueries move verbatim
+# into the inner query where the base table binds identically, and their
+# call sites are scope-excluded), GROUP BY plain identifiers only, all
 # route targets sharing ONE key expression, and co-occurring aggregates
 # only when DECOMPOSABLE (round 8: COUNT/SUM/MIN/MAX/AVG partials push
 # into the inner per-key level and recombine exactly in the outer level
@@ -1624,14 +1627,22 @@ def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
     unsupported (section comment above has the full contract)."""
     if not _KEYED_GATE_RE.search(sql):
         return None
-    # v1 shape: no subqueries, no joins (the inner restructuring would
-    # have to re-emit the whole FROM under changed grouping — unlike the
-    # MV route, which only APPENDS a lateral view)
+    # subqueries are allowed (round 8, same contract as the MV route):
+    # every nested SELECT must sit inside a parenthesized (SELECT ...)
+    # group, which evaluates in its OWN scope — a scalar subquery in the
+    # SELECT list stays in the outer statement untouched, and a WHERE
+    # subquery (IN / EXISTS / comparison) moves verbatim into the inner
+    # query where the base table binds identically.  Subquery call sites
+    # are scope-excluded from classification; a route TARGET inside a
+    # subquery is another statement's aggregate — bail.  Joins stay
+    # excluded: the restructure re-emits the whole FROM under changed
+    # grouping (unlike the MV route, which only APPENDS a lateral view).
     shape = _parse_routable_statement(
-        sql, "__fc", allow_subqueries=False, allow_join=False
+        sql, "__fc", allow_subqueries=True, allow_join=False
     )
     if shape is None:
         return None
+    _in_subquery = shape.in_subquery
     kws, names, from_text = shape.kws, shape.names, shape.from_text
     if names.count("WHERE") > 1 or names.count("GROUP") > 1:
         return None
@@ -1666,7 +1677,12 @@ def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
         ):
             return None
     sites = _scan_call_sites(sql)
-    target_sites = [s for s in sites if s[0].upper() in _KEYED_TARGETS]
+    target_sites = []
+    for s in sites:
+        if s[0].upper() in _KEYED_TARGETS:
+            if _in_subquery(s[1]):
+                return None  # a route target in another scope: not ours
+            target_sites.append(s)
     if not target_sites:
         return None
     spans = [(st, end) for _, st, _, _, end in target_sites]
@@ -1682,6 +1698,10 @@ def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
     for name, st, op, inner, end in sites:
         u = name.upper()
         if u in _KEYED_TARGETS or inside_target(st):
+            continue
+        if _in_subquery(st):
+            # a subquery's call sites run in their OWN scope over their
+            # OWN input — the restructure neither moves nor re-groups them
             continue
         if u in _KEYED_DECOMPOSABLE:
             # co-occurring DECOMPOSABLE aggregates (round 8): partials

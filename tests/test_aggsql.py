@@ -1360,6 +1360,50 @@ def test_tuple_value_with_count_star(tuple_engine):
     assert (row["n"], row["s"]) == (6, 26.0)
 
 
+def test_keyed_route_where_subquery(spark, funnel_engine):
+    """WHERE subqueries (IN / EXISTS) move verbatim into the inner query
+    where the base table binds identically (round 8)."""
+    spark.sql(
+        "SELECT * FROM VALUES (1), (2), (5) AS t(uid)"
+    ).createOrReplaceTempView("allowlist")
+    stmt = (
+        "SELECT g, count(*) AS n, "
+        "FUNNELCOUNT(STEPS(ev = 'view', ev = 'buy'), CORRELATE_BY(uid)) "
+        "AS fc FROM funnelsrc "
+        "WHERE uid IN (SELECT uid FROM allowlist) GROUP BY g ORDER BY g"
+    )
+    assert RKA(stmt) is not None
+    ref = stmt.replace("FROM funnelsrc", "FROM (SELECT * FROM funnelsrc)")
+    assert RKA(ref) is None
+    got = [tuple(r) for r in funnel_engine.query(stmt).collect()]
+    want = [tuple(r) for r in funnel_engine.query(ref).collect()]
+    assert got == want
+    # kept uids 1, 2, 5: g='a' rows have uid 1 (view+buy) and 2 (view);
+    # g='b' rows have uid 2 (cart only) and 5 (view+buy)
+    assert dict((r[0], r[2]) for r in got) == {"a": [2, 1], "b": [1, 1]}
+
+
+def test_keyed_route_scalar_select_subquery(funnel_engine):
+    """A scalar subquery in the SELECT list evaluates in its own scope,
+    untouched by the restructure."""
+    stmt = (
+        "SELECT (SELECT count(*) FROM funnelsrc) AS total, "
+        "FUNNELCOUNT(STEPS(ev = 'view'), CORRELATE_BY(uid)) AS fc "
+        "FROM funnelsrc WHERE g = 'a'"
+    )
+    assert RKA(stmt) is not None
+    row = funnel_engine.query(stmt).collect()[0]
+    assert row["total"] == 11  # whole fixture, not the WHERE-filtered slice
+    assert row["fc"] == [2]  # uids 1, 2 viewed within g='a'
+
+
+def test_keyed_route_target_inside_subquery_bails():
+    assert RKA(
+        "SELECT (SELECT FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) "
+        "FROM t2) AS other FROM t WHERE x > 0"
+    ) is None
+
+
 def test_keyed_route_coagg_zero_rows(funnel_engine):
     """Global aggregate over zero kept rows: count answers 0, sum/avg/
     min/max answer NULL — exactly the single-level semantics."""

@@ -89,6 +89,9 @@ PROBES = (
     # state only (bool flags / one double per key), expect ~linear
     "b16_funnelcount_routed",
     "b70_tuple_value_sql",
+    # round 8: theta set-expression route — same two-level shape with
+    # per-key bool_or membership flags; exchange carries N booleans/key
+    "b21_theta_set_expression_sql",
 )
 
 
