@@ -755,6 +755,21 @@ _REWRITES: dict = {
         "cast(size(array_distinct(flatten(collect_set(array_distinct("
         f"array_sort(filter({a[0]}, x -> x IS NOT NULL))))))) as bigint)"
     ),
+    # RAW / HLL++ MV spellings (round 8): identical exact fallback — the
+    # estimator family only differs on the ROUTED side, where the name's
+    # bounded-sketch promise can actually be kept
+    "DISTINCTCOUNTRAWHLLMV": lambda a: (
+        "cast(size(array_distinct(flatten(collect_set(array_distinct("
+        f"array_sort(filter({a[0]}, x -> x IS NOT NULL))))))) as bigint)"
+    ),
+    "DISTINCTCOUNTHLLPLUSMV": lambda a: (
+        "cast(size(array_distinct(flatten(collect_set(array_distinct("
+        f"array_sort(filter({a[0]}, x -> x IS NOT NULL))))))) as bigint)"
+    ),
+    "DISTINCTCOUNTRAWHLLPLUSMV": lambda a: (
+        "cast(size(array_distinct(flatten(collect_set(array_distinct("
+        f"array_sort(filter({a[0]}, x -> x IS NOT NULL))))))) as bigint)"
+    ),
     "DISTINCTSUMMV": lambda a: (
         "aggregate(array_distinct(flatten(collect_set(array_distinct("
         f"array_sort(filter({a[0]}, x -> x IS NOT NULL)))))), "
@@ -840,6 +855,9 @@ _REWRITES.update(
             "PERCENTILEESTMV",
             "PERCENTILEKLLMV",
             "PERCENTILETDIGESTMV",
+            "PERCENTILERAWESTMV",
+            "PERCENTILERAWKLLMV",
+            "PERCENTILERAWTDIGESTMV",
         )
     }
 )
@@ -1005,6 +1023,19 @@ _MV_DISTINCT_BUILDERS = {
     "DISTINCTCOUNTBITMAPMV": lambda e: f"count(DISTINCT {e})",
     "DISTINCTSUMMV": lambda e: f"cast(sum(DISTINCT {e}) as double)",
     "DISTINCTAVGMV": lambda e: f"cast(avg(DISTINCT {e}) as double)",
+    # round 8 tail-of-the-tail: the RAW / HLL++ MV spellings Pinot 1.2
+    # also serves **[P1.2]** — all one HLL estimator family here, the
+    # same single-estimator policy as the scalar DISTINCTCOUNT*HLL names
+    # (RAW spellings are served as the estimate the sketch encodes)
+    "DISTINCTCOUNTRAWHLLMV": (
+        lambda e: f"hll_sketch_estimate(hll_sketch_agg({e}))"
+    ),
+    "DISTINCTCOUNTHLLPLUSMV": (
+        lambda e: f"hll_sketch_estimate(hll_sketch_agg({e}))"
+    ),
+    "DISTINCTCOUNTRAWHLLPLUSMV": (
+        lambda e: f"hll_sketch_estimate(hll_sketch_agg({e}))"
+    ),
 }
 
 # round 8: PERCENTILE[EST/KLL/TDIGEST]MV route over the exploded element
@@ -1018,6 +1049,11 @@ _MV_PERCENTILE_ROUTE = {
     "PERCENTILEESTMV": "approx_percentile({elem}, {frac})",
     "PERCENTILEKLLMV": "approx_percentile({elem}, {frac})",
     "PERCENTILETDIGESTMV": "approx_percentile({elem}, {frac})",
+    # RAW MV spellings (round 8): served as the estimate the serialized
+    # sketch encodes, the established RAW-percentile policy
+    "PERCENTILERAWESTMV": "approx_percentile({elem}, {frac})",
+    "PERCENTILERAWKLLMV": "approx_percentile({elem}, {frac})",
+    "PERCENTILERAWTDIGESTMV": "approx_percentile({elem}, {frac})",
 }
 
 
@@ -1080,8 +1116,9 @@ _KNOWN_AGG_NAMES = (
 )
 
 _MV_GATE_RE = re.compile(
-    r"\b(?:DISTINCTCOUNT(?:HLL|BITMAP)?MV|DISTINCTSUMMV|DISTINCTAVGMV|"
-    r"PERCENTILE(?:EST|KLL|TDIGEST)?MV)\s*\(",
+    r"\b(?:DISTINCTCOUNT(?:RAW)?(?:HLL|HLLPLUS|BITMAP)?MV|"
+    r"DISTINCTSUMMV|DISTINCTAVGMV|"
+    r"PERCENTILE(?:RAW)?(?:EST|KLL|TDIGEST)?MV)\s*\(",
     re.IGNORECASE,
 )
 

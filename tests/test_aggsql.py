@@ -614,6 +614,42 @@ def test_mv_tail_routed_values(spark, mv_engine):
     assert rows["b"]["b"] == 1 and rows["b"]["p"] == 7.0
 
 
+def test_mv_raw_and_hllplus_spellings(spark, mv_engine):
+    """Round-8 tail-of-the-tail: the RAW / HLL++ MV spellings Pinot 1.2
+    also serves — routed to the one HLL estimator family (exact in the
+    sparse regime this fixture sits in) with exact normalized-set
+    fallbacks; RAW MV percentiles serve the estimate."""
+    sel = (
+        "SELECT g, DISTINCTCOUNTRAWHLLMV(tags) AS r1, "
+        "DISTINCTCOUNTHLLPLUSMV(tags) AS r2, "
+        "DISTINCTCOUNTRAWHLLPLUSMV(tags) AS r3, "
+        "PERCENTILERAWESTMV(tags, 50) AS p "
+        "FROM {src} GROUP BY g"
+    )
+    rows = {
+        r["g"]: r for r in mv_engine.query(sel.format(src="mvsrc")).collect()
+    }
+    assert (rows["a"]["r1"], rows["a"]["r2"], rows["a"]["r3"]) == (5, 5, 5)
+    assert (rows["b"]["r1"], rows["b"]["r2"], rows["b"]["r3"]) == (1, 1, 1)
+    # approx_percentile answers an actual element (no interpolation):
+    # sorted occurrences 1,1,2,2,2,3,3,3,4,5 -> 2
+    assert rows["a"]["p"] == 2 and rows["b"]["p"] == 7
+    # unroutable shape: distincts fall back exact, RAW percentile is loud
+    fb = {
+        r["g"]: r
+        for r in mv_engine.query(
+            "SELECT g, DISTINCTCOUNTRAWHLLMV(tags) AS r1, "
+            "DISTINCTCOUNTHLLPLUSMV(tags) AS r2 "
+            "FROM (SELECT * FROM mvsrc) GROUP BY g"
+        ).collect()
+    }
+    assert (fb["a"]["r1"], fb["a"]["r2"]) == (5, 5)
+    with pytest.raises(Exception, match="not routable"):
+        mv_engine.query(
+            "SELECT PERCENTILERAWKLLMV(tags, 90) FROM (SELECT * FROM mvsrc)"
+        )
+
+
 def test_mv_tail_fallback_matches_route(spark, mv_engine):
     """Unroutable shape (subquery): the normalized-set fallbacks serve
     SUM/AVG/BITMAP with identical values and types (double/double/int)."""
