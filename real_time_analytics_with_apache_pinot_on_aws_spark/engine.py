@@ -2862,6 +2862,7 @@ class Engine:
         from .functions.aggsql import (
             rewrite_keyed_agg_statement,
             rewrite_mv_distinct_statement,
+            rewrite_ordered_funnel_statement,
             rewrite_pinot_aggregates,
         )
 
@@ -2883,6 +2884,15 @@ class Engine:
             # two routes are mutually exclusive by construction: each
             # treats the other's target names as route-bailing aggregates.
             routed_mv = rewrite_keyed_agg_statement(
+                sql, is_aggregate=self._is_catalog_aggregate
+            )
+        if routed_mv is None:
+            # FUNNELMAXSTEP / FUNNELMATCHSTEP statements route to the
+            # window-cascade plan (round 8 — per-row state instead of the
+            # fold's per-group collected event array; aggsql.py section
+            # comment).  Mutually exclusive with the two routes above by
+            # the same co-aggregate bail rules.
+            routed_mv = rewrite_ordered_funnel_statement(
                 sql, is_aggregate=self._is_catalog_aggregate
             )
         if routed_mv is not None:

@@ -245,6 +245,39 @@ def _datetimeconvert(args: list[str]) -> str:
     return f"date_format(timestamp_millis({bucketed}), '{out_kind[1]}')"
 
 
+def _parse_ordered_funnel_args(kind: str, args: list[str]) -> tuple:
+    """Shared ordered-funnel argument parser -> (tsExpr, window_ms,
+    step expressions, cmp operator) with loud errors; used by the
+    call-site fold (:func:`_funnel`) AND the round-8 bounded statement
+    route so both paths accept and reject identically."""
+    if len(args) < 4:
+        raise ValueError(
+            f"FUNNEL{kind} takes (tsExpr, 'windowMs', numberSteps, "
+            f"'step1Expr', ... [, 'mode', ...]), got {len(args)}"
+        )
+    ts = args[0]
+    window_ms = int(_unquote_literal(args[1], "funnel windowSize"))
+    n = int(args[2])
+    rest = [
+        _unquote_literal(a, "funnel step/mode expression")
+        for a in args[3:]
+    ]
+    steps, modes = rest[:n], [m.upper() for m in rest[n:]]
+    if len(steps) != n:
+        raise ValueError(
+            f"FUNNEL{kind}: numberSteps={n} but only {len(steps)} step "
+            "expressions given"
+        )
+    for m in modes:
+        if m not in ("STRICT_INCREASE", "KEEP_ALL"):
+            raise ValueError(
+                f"FUNNEL{kind}: unsupported mode {m!r} (supported: "
+                "default, KEEP_ALL, STRICT_INCREASE)"
+            )
+    cmp = ">" if "STRICT_INCREASE" in modes else ">="
+    return ts, window_ms, steps, cmp
+
+
 def _funnel(kind: str):
     """Pinot 1.2 funnel aggregations **[P1.2]**:
     ``FUNNELMAXSTEP(tsExpr, 'windowMs', n, 'step1Expr', ..., 'stepNExpr'
@@ -269,31 +302,8 @@ def _funnel(kind: str):
     """
 
     def build(args: list[str]) -> str:
-        if len(args) < 4:
-            raise ValueError(
-                f"FUNNEL{kind} takes (tsExpr, 'windowMs', numberSteps, "
-                f"'step1Expr', ... [, 'mode', ...]), got {len(args)}"
-            )
-        ts = args[0]
-        window_ms = int(_unquote_literal(args[1], "funnel windowSize"))
-        n = int(args[2])
-        rest = [
-            _unquote_literal(a, "funnel step/mode expression")
-            for a in args[3:]
-        ]
-        steps, modes = rest[:n], [m.upper() for m in rest[n:]]
-        if len(steps) != n:
-            raise ValueError(
-                f"FUNNEL{kind}: numberSteps={n} but only {len(steps)} step "
-                "expressions given"
-            )
-        for m in modes:
-            if m not in ("STRICT_INCREASE", "KEEP_ALL"):
-                raise ValueError(
-                    f"FUNNEL{kind}: unsupported mode {m!r} (supported: "
-                    "default, KEEP_ALL, STRICT_INCREASE)"
-                )
-        cmp = ">" if "STRICT_INCREASE" in modes else ">="
+        ts, window_ms, steps, cmp = _parse_ordered_funnel_args(kind, args)
+        n = len(steps)
         any_step = " OR ".join(f"({e})" for e in steps)
         ev_struct = ", ".join(
             [f"cast({ts} as timestamp) as _ts"]
@@ -1658,29 +1668,16 @@ def _theta_set_sql(ast, flag) -> str:
 _PLAIN_IDENT_RE = re.compile(r"[A-Za-z_]\w*")
 
 
-def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
-    """Return the bounded two-level statement for a routable FUNNELCOUNT
-    / tuple-value-aggregate statement, or ``None`` when the shape is
-    unsupported (section comment above has the full contract)."""
-    if not _KEYED_GATE_RE.search(sql):
-        return None
-    # subqueries are allowed (round 8, same contract as the MV route):
-    # every nested SELECT must sit inside a parenthesized (SELECT ...)
-    # group, which evaluates in its OWN scope — a scalar subquery in the
-    # SELECT list stays in the outer statement untouched, and a WHERE
-    # subquery (IN / EXISTS / comparison) moves verbatim into the inner
-    # query where the base table binds identically.  Subquery call sites
-    # are scope-excluded from classification; a route TARGET inside a
-    # subquery is another statement's aggregate — bail.  Joins stay
-    # excluded: the restructure re-emits the whole FROM under changed
-    # grouping (unlike the MV route, which only APPENDS a lateral view).
-    shape = _parse_routable_statement(
-        sql, "__fc", allow_subqueries=True, allow_join=False
-    )
-    if shape is None:
-        return None
-    _in_subquery = shape.in_subquery
-    kws, names, from_text = shape.kws, shape.names, shape.from_text
+def _parse_route_clauses(sql: str, shape):
+    """FROM/WHERE clause spans + plain-identifier GROUP BY items for the
+    statement-restructuring routes (shared by the keyed and
+    ordered-funnel routes); ``None`` = unroutable.  ``from_sp`` /
+    ``where_sp`` are ``(kw_start, kw_end, next_clause_start)``.  GROUP BY
+    items must be plain unqualified identifiers: the inner level re-emits
+    them under the SAME name so every outer reference still binds
+    (expressions/ordinals would need alias substitution throughout the
+    outer clauses — those shapes keep the fallback)."""
+    kws, names = shape.kws, shape.names
     if names.count("WHERE") > 1 or names.count("GROUP") > 1:
         return None
 
@@ -1705,14 +1702,40 @@ def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
         group_items = [
             it.strip() for it in _split_top_level_commas(gtext[gm.end():])
         ]
-        # plain unqualified identifiers only: the inner level re-emits
-        # them under the SAME name, so every outer reference still binds
-        # (GROUP BY expressions/ordinals would need alias substitution
-        # throughout the outer clauses — those shapes keep the fallback)
         if not group_items or not all(
             _PLAIN_IDENT_RE.fullmatch(it) for it in group_items
         ):
             return None
+    return from_sp, where_sp, group_items
+
+
+def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
+    """Return the bounded two-level statement for a routable FUNNELCOUNT
+    / tuple-value-aggregate statement, or ``None`` when the shape is
+    unsupported (section comment above has the full contract)."""
+    if not _KEYED_GATE_RE.search(sql):
+        return None
+    # subqueries are allowed (round 8, same contract as the MV route):
+    # every nested SELECT must sit inside a parenthesized (SELECT ...)
+    # group, which evaluates in its OWN scope — a scalar subquery in the
+    # SELECT list stays in the outer statement untouched, and a WHERE
+    # subquery (IN / EXISTS / comparison) moves verbatim into the inner
+    # query where the base table binds identically.  Subquery call sites
+    # are scope-excluded from classification; a route TARGET inside a
+    # subquery is another statement's aggregate — bail.  Joins stay
+    # excluded: the restructure re-emits the whole FROM under changed
+    # grouping (unlike the MV route, which only APPENDS a lateral view).
+    shape = _parse_routable_statement(
+        sql, "__fc", allow_subqueries=True, allow_join=False
+    )
+    if shape is None:
+        return None
+    _in_subquery = shape.in_subquery
+    clauses = _parse_route_clauses(sql, shape)
+    if clauses is None:
+        return None
+    from_sp, where_sp, group_items = clauses
+    from_text = shape.from_text
     sites = _scan_call_sites(sql)
     target_sites = []
     for s in sites:
@@ -1890,4 +1913,180 @@ def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
     # apply_text_edits returns None on overlap — a shape the span logic
     # did not anticipate (e.g. a route target inside WHERE) bails to the
     # call-site fallback
+    return apply_text_edits(sql, edits)
+
+
+# ---------------------------------------------------------------------------
+# Statement-level ordered-funnel route: FUNNELMAXSTEP / FUNNELMATCHSTEP
+# ---------------------------------------------------------------------------
+#
+# The ordered funnels' call-site fold (_funnel above) collects the group's
+# step-matching events into ONE sorted array per group — per-group state is
+# O(matching events), the collect-state class the round-8 verdict flagged
+# for FUNNELCOUNT.  But the greedy first-match advance the fold computes
+# has an exact WINDOW formulation: processing events in (ts, flags) order,
+# step i's first-completion timestamp t_i is the MIN ts among events that
+# are valid AT THEIR POSITION, and validity only reads the PRE-event state
+# t_{i-1}/t_1 — running mins over the strictly-preceding frame.  So the
+# route rewrites
+#
+#   SELECT g, FUNNELMAXSTEP(ts, 'W', N, 'p1', .., 'pN') FROM t
+#   WHERE ... GROUP BY g
+# ->
+#   layer 0:    SELECT *, CASE WHEN p1 THEN ts END AS v1 FROM t WHERE ...
+#   layer k.a:  SELECT *, min(v_k) OVER (PARTITION BY g ORDER BY ts, p1..pN
+#                 ROWS UNBOUNDED PRECEDING TO 1 PRECEDING) AS t_k ...
+#   layer k.b:  SELECT *, CASE WHEN p_{k+1} AND t_k IS NOT NULL AND
+#                 ts cmp t_k [AND ts <= t_1 + W] THEN ts END AS v_{k+1} ...
+#   outer:      SELECT g, <finish over min(v_1)..min(v_N)> GROUP BY g
+#
+# — ONE shuffle+sort per group partition (Catalyst stacks the same-spec
+# Window operators over a single sort), per-row state only, spill-safe.
+# Bit-identical to the fold: the window ORDER BY replicates the fold's
+# struct sort key (ts, raw step flags — ASC NULLS FIRST both sides), the
+# strictly-preceding frame IS the fold's pre-event state, and NULL-ts
+# events are no-ops on both paths (the fold assigns a NULL t_i that stays
+# "unset"; the min ignores NULL v_i) — the fuzz property pins route ==
+# fold on random data/steps/modes including NULL correlators and flags.
+# Because Window preserves rows 1:1, co-occurring aggregates need NO
+# classification at all — count/stddev/percentile/FUNNELCOUNT all see
+# exactly the original rows.  FUNNELCOMPLETECOUNT keeps the fold: its
+# state RESETS after each completion (a loop, not a prefix min).
+# Unpartitioned funnels (no GROUP BY) route to a single sorted partition —
+# still strictly better than one driver-sized collected array.
+
+_ORDERED_FUNNEL_TARGETS = frozenset({"FUNNELMAXSTEP", "FUNNELMATCHSTEP"})
+
+_ORDERED_GATE_RE = re.compile(
+    r"\b(FUNNELMAXSTEP|FUNNELMATCHSTEP)\s*\(", re.IGNORECASE
+)
+
+# funnels deeper than this keep the fold (each step adds two layered
+# selects; Pinot dashboards run 3-7 step funnels)
+_ORDERED_MAX_STEPS = 12
+
+
+def rewrite_ordered_funnel_statement(sql: str, is_aggregate=None):
+    """Return the window-cascade statement for a routable FUNNELMAXSTEP /
+    FUNNELMATCHSTEP statement, or ``None`` when the shape is unsupported
+    (section comment above has the full contract).  ``is_aggregate`` is
+    accepted for route-API uniformity but unused: the Window layers
+    preserve rows 1:1, so co-occurring aggregates are correct without
+    classification."""
+    if not _ORDERED_GATE_RE.search(sql):
+        return None
+    shape = _parse_routable_statement(
+        sql, "__fn", allow_subqueries=True, allow_join=False
+    )
+    if shape is None:
+        return None
+    clauses = _parse_route_clauses(sql, shape)
+    if clauses is None:
+        return None
+    from_sp, where_sp, group_items = clauses
+    sites = _scan_call_sites(sql)
+    targets = []
+    for name, st, op, inner, end in sites:
+        if name.upper() in _ORDERED_FUNNEL_TARGETS:
+            if shape.in_subquery(st):
+                return None  # a route target in another scope: not ours
+            if re.match(r"\s*FILTER\b", sql[end:], re.IGNORECASE):
+                return None  # FILTER over restructured rows: keep the fold
+            targets.append((name, st, end, inner))
+    if not targets:
+        return None
+    parsed = []
+    for name, st, end, inner in targets:
+        kind = name.upper()[6:]  # MAXSTEP / MATCHSTEP
+        args = (
+            [a.strip() for a in _split_top_level_commas(inner)]
+            if inner.strip()
+            else []
+        )
+        try:
+            ts, window_ms, steps, cmp = _parse_ordered_funnel_args(
+                kind, args
+            )
+        except (ValueError, TypeError):
+            return None  # the fold path raises the same loud error
+        if len(steps) > _ORDERED_MAX_STEPS:
+            return None
+        if (
+            _MV_AGG_IN_ARG_RE.search(inner)
+            or "__fn" in inner
+            or re.search(r"\bSELECT\b", inner, re.IGNORECASE)
+        ):
+            return None
+        parsed.append((kind, st, end, ts, window_ms, steps, cmp))
+    part = (
+        f"PARTITION BY {', '.join(group_items)} " if group_items else ""
+    )
+    base_cols, orders = [], {}
+    for j, (kind, st, end, ts, wms, steps, cmp) in enumerate(parsed):
+        tse = f"cast(({ts}) as timestamp)"
+        # the fold sorts struct(_ts, _s1, ..., _sN) ascending — replicate
+        # the exact tie order (ASC = NULLS FIRST on both sides)
+        orders[j] = ", ".join(
+            [f"{tse} ASC"] + [f"({s}) ASC" for s in steps]
+        )
+        base_cols.append(
+            f"CASE WHEN ({steps[0]}) THEN {tse} END AS __fn{j}_v1"
+        )
+    sub_layers = []
+    max_n = max(len(p[5]) for p in parsed)
+    for k in range(1, max_n):
+        titems, vitems = [], []
+        for j, (kind, st, end, ts, wms, steps, cmp) in enumerate(parsed):
+            if len(steps) <= k:
+                continue
+            titems.append(
+                f"min(__fn{j}_v{k}) OVER ({part}ORDER BY {orders[j]} "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+                f"AS __fn{j}_t{k}"
+            )
+            tse = f"cast(({ts}) as timestamp)"
+            cond = (
+                f"({steps[k]}) AND __fn{j}_t{k} IS NOT NULL "
+                f"AND {tse} {cmp} __fn{j}_t{k}"
+            )
+            if wms > 0:
+                cond += (
+                    f" AND {tse} <= __fn{j}_t1 + "
+                    f"make_dt_interval(0, 0, 0, {wms / 1000.0!r})"
+                )
+            vitems.append(
+                f"CASE WHEN {cond} THEN {tse} END AS __fn{j}_v{k + 1}"
+            )
+        # t_k and v_{k+1} land in SEPARATE layers: v_{k+1} references the
+        # t_k alias, which is only in scope one SELECT further out
+        if titems:
+            sub_layers.append(titems)
+        if vitems:
+            sub_layers.append(vitems)
+    where_clause = ""
+    repl_end = from_sp[2]
+    if where_sp is not None:
+        where_clause = f" WHERE {sql[where_sp[1]:where_sp[2]].strip()}"
+        repl_end = where_sp[2]
+    inner_sql = (
+        f"SELECT *, {', '.join(base_cols)} FROM "
+        f"{shape.from_text.strip()}{where_clause}"
+    )
+    for items in sub_layers:
+        inner_sql = f"SELECT *, {', '.join(items)} FROM ({inner_sql})"
+    edits = [(from_sp[0], repl_end, f"FROM ({inner_sql}) __fn ")]
+    for j, (kind, st, end, ts, wms, steps, cmp) in enumerate(parsed):
+        flags = [
+            f"CASE WHEN min(__fn{j}_v{i + 1}) IS NOT NULL "
+            "THEN 1 ELSE 0 END"
+            for i in range(len(steps))
+        ]
+        repl = (
+            "(" + " + ".join(flags) + ")"
+            if kind == "MAXSTEP"
+            else "array(" + ", ".join(flags) + ")"
+        )
+        edits.append((st, end, repl))
+    # apply_text_edits returns None on overlap (e.g. a target inside the
+    # WHERE clause) — bail to the call-site fold
     return apply_text_edits(sql, edits)

@@ -6344,6 +6344,71 @@ def b16_funnelcount_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b16_funnelmaxstep_routed",
+    r"""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+    ),
+    s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE user_id IS NOT NULL AND event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           (CASE WHEN s1.t IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN s2.t IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN s3.t IS NOT NULL THEN 1 ELSE 0 END) AS max_step
+    FROM u
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    ORDER BY user_id
+    """,
+    doc="Pinot's ordered funnel FUNNELMAXSTEP **[P1.2]** through the "
+        "round-8 window-cascade statement route "
+        "(aggsql.rewrite_ordered_funnel_statement): the call-site fold "
+        "collects the group's step-matching events into ONE sorted array "
+        "per group (O(events) state), but the greedy first-match advance "
+        "is exactly a cascade of running mins over the strictly-preceding "
+        "window frame — one shuffle+sort per group partition, per-row "
+        "state, spill-safe, zero collected arrays.  STRICT_INCREASE mode "
+        "(each step strictly after the previous) keeps the DuckDB greedy "
+        "min-chain oracle tie-order-exact; the fuzz property pins route "
+        "== fold on random data including NULL timestamps/flags, both "
+        "modes, and window bounds.",
+)
+def b16_funnelmaxstep_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .functions.aggsql import (
+        rewrite_ordered_funnel_statement,
+        rewrite_pinot_aggregates,
+    )
+
+    stmt = (
+        "SELECT user_id, FUNNELMAXSTEP(ts, '0', 3, "
+        "'event_type = ''view''', 'event_type = ''click''', "
+        "'event_type = ''purchase''', 'STRICT_INCREASE') AS max_step "
+        "FROM events WHERE user_id IS NOT NULL "
+        "GROUP BY user_id ORDER BY user_id"
+    )
+    routed = rewrite_ordered_funnel_statement(stmt)
+    if routed is None:  # the route regressing to the fold is a bug
+        raise AssertionError(
+            "ordered-funnel statement route refused a routable shape"
+        )
+    return spark.sql(rewrite_pinot_aggregates(routed))
+
+
+@register(
     "b70_tuple_value_sql",
     r"""
     WITH per_key AS (

@@ -1440,6 +1440,141 @@ def test_keyed_route_target_inside_subquery_bails():
     ) is None
 
 
+# ---------------------------------------------------------------------------
+# Ordered-funnel statement route (round 8): FUNNELMAXSTEP / FUNNELMATCHSTEP
+# through the window-cascade plan — per-row state, no collected arrays
+# ---------------------------------------------------------------------------
+
+from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (  # noqa: E402
+    rewrite_ordered_funnel_statement as ROF,
+)
+
+
+@pytest.fixture(scope="module")
+def ordered_engine(spark, tmp_path_factory):
+    spark.sql(
+        """
+        SELECT u, cast(ts as timestamp) AS ts, ev FROM VALUES
+         (1, '2024-06-01 10:00:00', 'view'),
+         (1, '2024-06-01 10:05:00', 'click'),
+         (1, '2024-06-01 10:10:00', 'buy'),
+         (2, '2024-06-01 10:00:00', 'view'),
+         (2, '2024-06-01 09:00:00', 'click'),
+         (3, '2024-06-01 10:00:00', 'click'),
+         (4, '2024-06-01 10:00:00', 'view'),
+         (4, '2024-06-03 10:00:00', 'click'),
+         (5, '2024-06-01 10:00:00', 'view'),
+         (5, '2024-06-01 10:00:00', 'click')
+         AS t(u, ts, ev)
+        """
+    ).createOrReplaceTempView("ofev")
+    return Engine(spark, str(tmp_path_factory.mktemp("ofwh")))
+
+
+def test_ordered_funnel_route_fires_and_matches_fold(ordered_engine):
+    """The flat statement routes; the subquery shape keeps the fold —
+    both must agree on every user including the tie-order (u=5) and
+    window-bound (u=4) cases."""
+    sel = (
+        "SELECT u, FUNNELMAXSTEP(ts, '86400000', 3, 'ev = ''view''', "
+        "'ev = ''click''', 'ev = ''buy''') AS ms, "
+        "FUNNELMATCHSTEP(ts, '0', 2, 'ev = ''view''', "
+        "'ev = ''click''') AS m "
+        "FROM {src} GROUP BY u ORDER BY u"
+    )
+    assert ROF(sel.format(src="ofev")) is not None
+    assert ROF(sel.format(src="(SELECT * FROM ofev)")) is None
+    routed = [
+        tuple(r) for r in ordered_engine.query(sel.format(src="ofev")).collect()
+    ]
+    folded = [
+        tuple(r)
+        for r in ordered_engine.query(
+            sel.format(src="(SELECT * FROM ofev)")
+        ).collect()
+    ]
+    assert routed == folded
+    assert routed == [
+        (1, 3, [1, 1]),
+        (2, 1, [1, 0]),
+        (3, 0, [0, 0]),
+        (4, 1, [1, 1]),  # MAXSTEP bound by 1 day; MATCHSTEP unbounded
+        (5, 1, [1, 0]),  # same-ts tie order: click processes first
+    ]
+
+
+def test_ordered_funnel_routed_plan_is_windowed(ordered_engine):
+    """Plan pin: the routed plan has Window operators and ZERO collected
+    arrays — the fold's collect_list never appears."""
+    df = ordered_engine.query(
+        "SELECT u, FUNNELMAXSTEP(ts, '0', 2, 'ev = ''view''', "
+        "'ev = ''click''') AS ms FROM ofev GROUP BY u"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan and "collect_set" not in plan
+    assert "Window" in plan
+    # exactly ONE sort per window stack (same partition/order spec): the
+    # cascade must not re-sort per layer
+    assert plan.count("Sort ") <= 2
+
+
+def test_ordered_funnel_coaggregates_untouched(ordered_engine):
+    """Windows preserve rows 1:1, so ANY co-aggregate — including
+    non-decomposable ones the keyed route would bail on — stays correct."""
+    row = ordered_engine.query(
+        "SELECT count(*) AS n, count(DISTINCT ev) AS d, "
+        "percentile(u, 0.5) AS p, "
+        "FUNNELMAXSTEP(ts, '0', 2, 'ev = ''view''', 'ev = ''click''') AS ms "
+        "FROM ofev"
+    ).collect()[0]
+    assert row["n"] == 10 and row["d"] == 3
+    # global funnel: view exists, click strictly after a view exists
+    assert row["ms"] == 2
+
+
+@pytest.mark.parametrize(
+    "src",
+    [
+        # COMPLETECOUNT resets state per completion: keeps the fold
+        "SELECT FUNNELCOMPLETECOUNT(ts, '0', 2, 'a', 'b') FROM t",
+        # joins / derived tables
+        "SELECT FUNNELMAXSTEP(ts, '0', 1, 'a') FROM t JOIN d ON t.k = d.k",
+        "SELECT FUNNELMAXSTEP(ts, '0', 1, 'a') FROM (SELECT * FROM t)",
+        # FILTER over restructured rows
+        "SELECT FUNNELMAXSTEP(ts, '0', 1, 'a') FILTER (WHERE g = 1) FROM t",
+        # GROUP BY expression
+        "SELECT FUNNELMAXSTEP(ts, '0', 1, 'a') FROM t GROUP BY u % 2",
+        # window elsewhere in the statement
+        "SELECT FUNNELMAXSTEP(ts, '0', 1, 'a'), row_number() OVER (ORDER BY u) FROM t",
+    ],
+)
+def test_ordered_funnel_route_bails(src):
+    assert ROF(src) is None
+
+
+def test_ordered_funnel_route_strict_increase_and_window(ordered_engine):
+    """STRICT_INCREASE mode and the windowSize bound survive the route:
+    u=5's same-ts click fails '>' but would pass '>=' — except tie order
+    already excludes it; u=4's 2-day click fails the 1-day bound."""
+    sel = (
+        "SELECT u, FUNNELMAXSTEP(ts, '86400000', 2, 'ev = ''view''', "
+        "'ev = ''click''', 'STRICT_INCREASE') AS ms "
+        "FROM {src} GROUP BY u"
+    )
+    routed = {
+        r["u"]: r["ms"]
+        for r in ordered_engine.query(sel.format(src="ofev")).collect()
+    }
+    folded = {
+        r["u"]: r["ms"]
+        for r in ordered_engine.query(
+            sel.format(src="(SELECT * FROM ofev)")
+        ).collect()
+    }
+    assert routed == folded
+    assert routed == {1: 2, 2: 1, 3: 0, 4: 1, 5: 1}
+
+
 def test_keyed_route_coagg_zero_rows(funnel_engine):
     """Global aggregate over zero kept rows: count answers 0, sum/avg/
     min/max answer NULL — exactly the single-level semantics."""

@@ -958,6 +958,79 @@ def test_funnelcount_route_matches_fold_reference(
 
 
 # ---------------------------------------------------------------------------
+# Ordered-funnel statement route (round 8): the window-cascade plan and the
+# exact call-site fold must agree EXACTLY on any data, any step list, any
+# mode, any window bound — same statement forced down each path via the
+# flat (route) vs subquery (fold) shape.  Rows include NULL timestamps
+# (no-ops on both paths) and NULL step flags (tie-order parity: the fold's
+# struct sort and the window ORDER BY are both ASC NULLS FIRST).
+# ---------------------------------------------------------------------------
+
+_of_rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),                        # g
+        st.one_of(st.none(), st.integers(min_value=0, max_value=20)),  # tsec
+        st.sampled_from(["a", "b", "c", "d"]),                        # ev
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=15)),  # x
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+_of_steps_st = st.lists(
+    st.sampled_from(["ev = 'a'", "ev = 'b'", "ev = 'c'", "x > 4"]),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(
+    rows=_of_rows_st,
+    steps=_of_steps_st,
+    kind=st.sampled_from(["FUNNELMAXSTEP", "FUNNELMATCHSTEP"]),
+    mode=st.sampled_from([None, "STRICT_INCREASE", "KEEP_ALL"]),
+    window_ms=st.sampled_from([0, 3000]),
+    grouped=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_ordered_funnel_route_matches_fold_reference(
+    spark, rows, steps, kind, mode, window_ms, grouped
+):
+    from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_ordered_funnel_statement,
+    )
+
+    spark.createDataFrame(
+        rows, "g int, tsec int, ev string, x int"
+    ).selectExpr(
+        "g", "cast(tsec as timestamp) AS ts", "ev", "x"
+    ).createOrReplaceTempView("offuzz")
+    eng = getattr(
+        test_ordered_funnel_route_matches_fold_reference, "_eng", None
+    )
+    if eng is None:
+        import tempfile
+
+        eng = Engine(spark, tempfile.mkdtemp())
+        test_ordered_funnel_route_matches_fold_reference._eng = eng
+    lits = ", ".join("'" + s.replace("'", "''") + "'" for s in steps)
+    tail_mode = f", '{mode}'" if mode else ""
+    fn = (
+        f"{kind}(ts, '{window_ms}', {len(steps)}, {lits}{tail_mode}) AS f"
+    )
+    sel = ", ".join((["g"] if grouped else []) + [fn])
+    tail = " GROUP BY g" if grouped else ""
+    routable = f"SELECT {sel} FROM offuzz{tail}"
+    reference = f"SELECT {sel} FROM (SELECT * FROM offuzz){tail}"
+    assert rewrite_ordered_funnel_statement(routable) is not None
+    assert rewrite_ordered_funnel_statement(reference) is None
+    got = sorted(map(tuple, eng.query(routable).collect()))
+    want = sorted(map(tuple, eng.query(reference).collect()))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # Theta SET-EXPRESSION route (round 8): the routed two-level plan must
 # agree with an INDEPENDENT pure-Python set-algebra reference (not the
 # fallback — unroutable shapes are a loud redirect, so there is no second

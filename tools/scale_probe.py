@@ -92,6 +92,9 @@ PROBES = (
     # round 8: theta set-expression route — same two-level shape with
     # per-key bool_or membership flags; exchange carries N booleans/key
     "b21_theta_set_expression_sql",
+    # round 8: ordered-funnel window-cascade route — one shuffle+sort per
+    # user partition, per-row running-min state, no collected arrays
+    "b16_funnelmaxstep_routed",
 )
 
 
