@@ -1776,6 +1776,11 @@ def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
                 return None
             if re.match(r"\s*DISTINCT\b", inner, re.IGNORECASE):
                 return None  # count(DISTINCT x) does not decompose
+            if u != "COUNT" and len(_split_top_level_commas(inner)) != 1:
+                # min(a, b) is invalid SQL — but min((a, b)) is a VALID
+                # struct-min, so wrapping would silently serve a loudly
+                # broken original; bail and let the original error
+                return None
             if u in ("SUM", "AVG", "MEAN") and re.search(
                 r"decimal", inner, re.IGNORECASE
             ):

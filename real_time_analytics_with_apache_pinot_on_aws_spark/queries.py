@@ -6743,6 +6743,16 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # green at three SFs through tests/test_queries_oracle.py (the
     # driver-faithful local gate), plan-pinned, and scale-probed (SCALE.md
     # 32x rows: c32 1.19, b70 1.21).
+    # Rounds 7-8 likewise register past the saturated window:
+    # b16_histogram_sql, b16_funnelcount_sql, b17_mv_distinct_route,
+    # b66_vector_scalar_fns (r7) and b16_funnelcount_routed,
+    # b16_funnelmaxstep_routed, b70_tuple_value_sql,
+    # b21_theta_set_expression_sql (r8) — each oracle-backed, green at
+    # three SFs via the local gate, and scale-probed (SCALE.md r8 rows:
+    # funnelcount route 1.22, maxstep route 1.76, tuple values 1.45,
+    # theta set-expr 1.64).  If the window ever grows past 50, seat
+    # b70_tuple_sketch, c32_url_filter, b17_mv_distinct_route, and
+    # b16_funnelcount_routed first (the round-7 verdict's seating order).
 )
 
 

@@ -984,6 +984,9 @@ def test_keyed_route_text_tuple_values_share_key():
         "FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t",
         "SELECT sum(cast(x as decimal(20,2))), "
         "FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t",
+        # min(a, b) is invalid SQL, but min((a, b)) would be a VALID
+        # struct-min: wrapping must not silently serve the broken original
+        "SELECT min(a, b), FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t",
         # GROUP BY expression / ordinal: outer references could not bind
         "SELECT u % 2, FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t GROUP BY u % 2",
         "SELECT g, FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t GROUP BY 1",
@@ -1550,6 +1553,28 @@ def test_ordered_funnel_coaggregates_untouched(ordered_engine):
 )
 def test_ordered_funnel_route_bails(src):
     assert ROF(src) is None
+
+
+def test_ordered_funnel_with_mv_distinct_coagg(spark, ordered_engine):
+    """Route precedence: a statement with BOTH an MV distinct and an
+    ordered funnel — the MV route bails (funnel is duplication-unsafe),
+    the keyed route bails (funnel is not decomposable), the ordered
+    route fires, and the MV distinct call site falls to its exact
+    normalized-set fallback over the 1:1 window rows."""
+    spark.sql(
+        "SELECT u, cast(ts as timestamp) AS ts, ev, tags FROM VALUES "
+        "(1, '2024-06-01 10:00:00', 'view', array(1, 2)), "
+        "(1, '2024-06-01 10:05:00', 'buy', array(2, 3)), "
+        "(2, '2024-06-01 10:00:00', 'buy', array(9)) "
+        "AS t(u, ts, ev, tags)"
+    ).createOrReplaceTempView("ofmv")
+    row = ordered_engine.query(
+        "SELECT DISTINCTCOUNTMV(tags) AS d, "
+        "FUNNELMAXSTEP(ts, '0', 2, 'ev = ''view''', 'ev = ''buy''') AS ms "
+        "FROM ofmv"
+    ).collect()[0]
+    assert row["d"] == 4  # {1,2,3,9}
+    assert row["ms"] == 2  # user 1's view then buy (global funnel)
 
 
 def test_ordered_funnel_route_strict_increase_and_window(ordered_engine):
