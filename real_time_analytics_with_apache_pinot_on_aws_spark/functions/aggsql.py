@@ -599,15 +599,76 @@ def _funnelcount(args: list[str]) -> str:
 def _arg_extreme(name: str, fn: str):
     def build(args: list[str]) -> str:
         if len(args) != 2:
+            alt = "EXPRMIN" if fn == "min_by" else "EXPRMAX"
             raise ValueError(
-                f"{name} takes (measuringCol, projectionCol); the "
-                f"multi-measure lexicographic form ({len(args)} arguments) "
-                "is not supported by this SQL surface — order by the "
-                "measures and LIMIT 1 instead"
+                f"{name} takes (measuringCol, projectionCol) — exactly "
+                f"the 2-argument pair Pinot's parser accepts; for the "
+                f"multi-measure lexicographic form write "
+                f"{alt}(projectionCol, measuringCol1, measuringCol2, ...) "
+                f"(the underlying Pinot function {name} parses into)"
             )
         return f"{fn}({args[1]}, {args[0]})"
 
     return build
+
+
+def _expr_extreme(name: str, fn: str):
+    """Pinot 1.2 EXPRMIN/EXPRMAX **[P1.2]** — the underlying functions
+    Pinot's parser rewrites ARG_MIN/ARG_MAX into: ``(projectionCol,
+    measuringCol1[, measuringCol2, ...])``, projection FIRST (the
+    REVERSE of the ARG_MIN pair above).  Multi-measure calls compare
+    lexicographically; Spark struct ordering is field-order
+    lexicographic, so ``min_by(proj, struct(m1, m2, ...))`` is the
+    exact plan — one codegen'd partial-merge aggregate, no sort.
+    Pinot's all-tied-rows multi-row result shape collapses to ONE
+    arbitrary tie, exactly min_by/max_by's contract (the same
+    documented tie rule as ARG_MIN)."""
+
+    def build(args: list[str]) -> str:
+        if len(args) < 2:
+            raise ValueError(
+                f"{name} takes (projectionCol, measuringCol1"
+                f"[, measuringCol2, ...]), got {len(args)}"
+            )
+        if len(args) == 2:
+            return f"{fn}({args[0]}, {args[1]})"
+        measures = ", ".join(
+            f"({m}) AS _m{i}" for i, m in enumerate(args[1:], 1)
+        )
+        return f"{fn}({args[0]}, struct({measures}))"
+
+    return build
+
+
+def _arrayagg(args: list[str]) -> str:
+    """Pinot 1.2 ARRAYAGG(col, 'dataType'[, isDistinct]) **[P1.2]**:
+    collect the group's values into a typed array.  The type is a
+    string literal, so the rewrite emits a typed CAST around
+    collect_list/collect_set (the same no-single-macro reason as
+    JSONEXTRACTSCALAR); isDistinct is a bare or quoted true/false
+    literal.  Element order is unspecified in BOTH engines (Pinot:
+    segment order; Spark: partition completion order) — consumers
+    needing determinism sort explicitly, so the rewrite adds no sort."""
+    if len(args) not in (2, 3):
+        raise ValueError(
+            "ARRAYAGG takes (column, 'dataType'[, isDistinct]), "
+            f"got {len(args)}"
+        )
+    t = _unquote_literal(args[1], "ARRAYAGG dataType").upper()
+    sql_t = _JSON_TYPES.get(t)
+    if sql_t is None:
+        raise ValueError(f"unsupported ARRAYAGG dataType {t!r}")
+    distinct = False
+    if len(args) == 3:
+        lit = args[2].strip().strip("'").lower()
+        if lit not in ("true", "false"):
+            raise ValueError(
+                "ARRAYAGG isDistinct must be a true/false literal "
+                f"(Pinot queries write it literally), got: {args[2]!r}"
+            )
+        distinct = lit == "true"
+    agg = "collect_set" if distinct else "collect_list"
+    return f"cast({agg}({args[0]}) as array<{sql_t.lower()}>)"
 
 
 _JSON_TYPES = {
@@ -817,6 +878,13 @@ _REWRITES: dict = {
     # arbitrarily, exactly min_by/max_by's contract).
     "ARG_MIN": _arg_extreme("ARG_MIN", "min_by"),
     "ARG_MAX": _arg_extreme("ARG_MAX", "max_by"),
+    # Pinot 1.2 EXPRMIN/EXPRMAX **[P1.2]**: projection FIRST, then one
+    # or more measuring columns compared lexicographically (struct
+    # ordering) — see _expr_extreme for the full semantics note.
+    "EXPRMIN": _expr_extreme("EXPRMIN", "min_by"),
+    "EXPRMAX": _expr_extreme("EXPRMAX", "max_by"),
+    # Pinot 1.2 ARRAYAGG **[P1.2]**: typed collect (see _arrayagg)
+    "ARRAYAGG": _arrayagg,
     "SUMPRECISION": lambda a: f"sum(cast({a[0]} as decimal(38,18)))",
     "PERCENTILE": _percentile("percentile", always_percent=False),
     "PERCENTILEEST": _percentile("approx_percentile"),
@@ -1087,7 +1155,7 @@ _DUP_IMMUNE_AGGS = frozenset(
     DISTINCTCOUNTTHETASKETCH DISTINCTCOUNTRAWTHETASKETCH
     DISTINCTCOUNTCPCSKETCH DISTINCTCOUNTTUPLESKETCH DISTINCTCOUNTULL
     DISTINCTCOUNTRAWULL DISTINCTCOUNTHLLPLUS DISTINCTCOUNTRAWHLLPLUS
-    FIRSTWITHTIME LASTWITHTIME ARG_MIN ARG_MAX""".split()
+    FIRSTWITHTIME LASTWITHTIME ARG_MIN ARG_MAX EXPRMIN EXPRMAX""".split()
 )
 
 # correct once the argument is masked to the first exploded copy
@@ -1104,7 +1172,8 @@ _DUP_UNSAFE_AGGS = frozenset(
     PERCENTILE_CONT PERCENTILE_DISC MEDIAN MODE STDDEV STDDEV_POP
     STDDEV_SAMP STD VARIANCE VAR_POP VAR_SAMP SKEWNESS KURTOSIS CORR
     COVAR_POP COVAR_SAMP COLLECT_LIST ARRAY_AGG LISTAGG STRING_AGG
-    BIT_XOR HISTOGRAM_NUMERIC COUNT_MIN_SKETCH GROUPING GROUPING_ID
+    ARRAYAGG BIT_XOR HISTOGRAM_NUMERIC COUNT_MIN_SKETCH GROUPING
+    GROUPING_ID
     REGR_AVGX REGR_AVGY REGR_COUNT REGR_INTERCEPT REGR_R2 REGR_SLOPE
     REGR_SXX REGR_SXY REGR_SYY FUNNELCOUNT FUNNELMAXSTEP
     FUNNELMATCHSTEP FUNNELCOMPLETECOUNT

@@ -6458,6 +6458,73 @@ def b70_tuple_value_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b27_exprminmax_arrayagg_sql",
+    r"""
+    WITH src AS (
+      SELECT * FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_type, user_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value ASC, ts ASC, event_id ASC)
+               AS rmin,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, ts DESC, event_id DESC)
+               AS rmax
+      FROM src
+    ),
+    extremes AS (
+      SELECT event_type,
+             max(CASE WHEN rmin = 1 THEN user_id END) AS min_user,
+             max(CASE WHEN rmax = 1 THEN user_id END) AS max_user
+      FROM ranked GROUP BY event_type
+    ),
+    buckets AS (
+      SELECT event_type,
+             count(DISTINCT user_id % 5) AS n_buckets,
+             string_agg(DISTINCT CAST(user_id % 5 AS VARCHAR), '|'
+                        ORDER BY CAST(user_id % 5 AS VARCHAR)) AS bucket_csv
+      FROM src GROUP BY event_type
+    )
+    SELECT e.event_type, e.min_user, e.max_user, b.n_buckets, b.bucket_csv
+    FROM extremes e JOIN buckets b USING (event_type)
+    ORDER BY event_type
+    """,
+    doc="B27 wire tail (round 8): Pinot 1.2's EXPRMIN/EXPRMAX "
+        "**[P1.2]** — the underlying functions ARG_MIN/ARG_MAX parse "
+        "into, projection FIRST then one or more measuring columns "
+        "compared lexicographically — served as min_by/max_by over a "
+        "STRUCT of the measures (field-order struct comparison IS "
+        "lexicographic; one codegen partial-merge aggregate, no sort), "
+        "plus ARRAYAGG(col, 'dataType'[, isDistinct]) as a typed "
+        "collect_list/collect_set CAST.  The measure tuple here ends in "
+        "the unique event_id, so the DuckDB row_number oracle is "
+        "deterministic; ARRAYAGG's unspecified element order (both "
+        "engines) is normalized by an explicit sort before joining.",
+)
+def b27_exprminmax_arrayagg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .functions.aggsql import rewrite_pinot_aggregates
+
+    return spark.sql(rewrite_pinot_aggregates(
+        "SELECT event_type, "
+        # EXPRMIN/EXPRMAX: projection first, measures lexicographic —
+        # the REVERSE argument order of ARG_MIN (Pinot parser pair)
+        "EXPRMIN(user_id, value, ts, event_id) AS min_user, "
+        "EXPRMAX(user_id, value, ts, event_id) AS max_user, "
+        "CAST(size(ARRAYAGG(user_id % 5, 'LONG', true)) AS BIGINT) "
+        "AS n_buckets, "
+        "array_join(sort_array(ARRAYAGG(CAST(user_id % 5 AS STRING), "
+        "'STRING', true)), '|') AS bucket_csv "
+        "FROM events "
+        "WHERE user_id IS NOT NULL AND value IS NOT NULL "
+        "AND ts IS NOT NULL "
+        "GROUP BY event_type ORDER BY event_type"
+    ))
+
+
+@register(
     "b66_vector_scalar_fns",
     r"""
     SELECT vec_id,

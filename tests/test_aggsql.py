@@ -1951,3 +1951,102 @@ def test_histogram_rejects_sub_ulp_bin_width():
     with pytest.raises(ValueError, match="representable bins"):
         R("SELECT HISTOGRAM(v, 10000000000000000, 10000000000000002, 4) "
           "FROM t")
+
+
+# ---------------------------------------------------------------------------
+# round 8: EXPRMIN/EXPRMAX (the functions Pinot parses ARG_MIN/ARG_MAX
+# into — projection FIRST, multi-measure lexicographic) and
+# ARRAYAGG(col, 'dataType'[, isDistinct])  **[P1.2]**
+
+
+@pytest.mark.parametrize(
+    "src,want",
+    [
+        ("SELECT EXPRMIN(p, m) FROM t", "SELECT min_by(p, m) FROM t"),
+        ("SELECT exprmax(p, m) FROM t GROUP BY g",
+         "SELECT max_by(p, m) FROM t GROUP BY g"),
+        # multi-measure: lexicographic via struct ordering
+        ("SELECT EXPRMIN(p, m1, m2) FROM t",
+         "SELECT min_by(p, struct((m1) AS _m1, (m2) AS _m2)) FROM t"),
+        ("SELECT ARRAYAGG(v, 'LONG') FROM t",
+         "SELECT cast(collect_list(v) as array<bigint>) FROM t"),
+        ("SELECT arrayagg(v, 'STRING', true) FROM t",
+         "SELECT cast(collect_set(v) as array<string>) FROM t"),
+        ("SELECT ARRAYAGG(v, 'DOUBLE', 'false') FROM t",
+         "SELECT cast(collect_list(v) as array<double>) FROM t"),
+    ],
+)
+def test_exprminmax_arrayagg_text_cases(src, want):
+    assert R(src) == want
+
+
+@pytest.mark.parametrize(
+    "bad,msg",
+    [
+        ("EXPRMIN(p)", "EXPRMIN"),
+        ("EXPRMAX(p)", "EXPRMAX"),
+        ("ARRAYAGG(v)", "ARRAYAGG"),
+        ("ARRAYAGG(v, 'BYTES')", "dataType"),
+        ("ARRAYAGG(v, 'INT', maybe)", "true/false"),
+        ("ARRAYAGG(v, 'INT', true, 1)", "ARRAYAGG"),
+    ],
+)
+def test_exprminmax_arrayagg_reject_loudly(bad, msg):
+    with pytest.raises(ValueError, match=msg):
+        R(f"SELECT {bad} FROM t")
+
+
+def test_arg_min_multi_measure_error_points_at_exprmin():
+    with pytest.raises(ValueError, match="EXPRMIN"):
+        R("SELECT ARG_MIN(m1, m2, proj) FROM t")
+    with pytest.raises(ValueError, match="EXPRMAX"):
+        R("SELECT ARG_MAX(m1, m2, proj) FROM t")
+
+
+@pytest.mark.parametrize(
+    "pinot,spark_equiv",
+    [
+        ("EXPRMIN(v, t)", "min_by(v, t)"),
+        ("EXPRMAX(v, t)", "max_by(v, t)"),
+        # multi-measure == ORDER BY m1, m2 LIMIT 1's projection
+        ("EXPRMIN(u, v, t)", "min_by(u, struct(v, t))"),
+        ("EXPRMAX(u, v, t)", "max_by(u, struct(v, t))"),
+        # ARRAYAGG order is unspecified in both engines: compare sorted
+        ("sort_array(ARRAYAGG(u, 'LONG'))",
+         "sort_array(cast(collect_list(u) as array<bigint>))"),
+        ("sort_array(ARRAYAGG(u, 'INT', true))",
+         "sort_array(cast(collect_set(u) as array<int>))"),
+        ("sort_array(ARRAYAGG(v, 'DOUBLE', false))",
+         "sort_array(cast(collect_list(v) as array<double>))"),
+    ],
+)
+def test_exprminmax_arrayagg_values_match(spark, agg_engine, pinot, spark_equiv):
+    got = agg_engine.query(f"SELECT {pinot} AS x FROM aggsrc").collect()[0]["x"]
+    want = spark.sql(f"SELECT {spark_equiv} AS x FROM aggsrc").collect()[0]["x"]
+    assert got == want, (pinot, got, want)
+
+
+def test_exprmin_multi_measure_matches_order_by_limit(spark, agg_engine):
+    """The lexicographic contract itself: EXPRMIN(proj, m1, m2) projects
+    the row ORDER BY m1, m2 puts first (ties beyond the measures are
+    arbitrary — aggsrc's (v, t) pairs are unique, so the answer here is
+    exact)."""
+    got = agg_engine.query(
+        "SELECT EXPRMIN(u, v, t) AS x FROM aggsrc"
+    ).collect()[0]["x"]
+    want = spark.sql(
+        "SELECT u FROM aggsrc ORDER BY v ASC, t ASC LIMIT 1"
+    ).collect()[0]["u"]
+    assert got == want
+
+
+def test_mv_route_exprmin_immune_arrayagg_bails():
+    """Route classification for the round-8 names: EXPRMIN/EXPRMAX are
+    duplication-immune (extremes over identical copies); ARRAYAGG
+    collects every duplicated row, so it must bail the MV route."""
+    assert RMV(
+        "SELECT DISTINCTCOUNTMV(tags), EXPRMIN(g, amount) FROM t"
+    ) is not None
+    assert RMV(
+        "SELECT DISTINCTCOUNTMV(tags), ARRAYAGG(g, 'STRING') FROM t"
+    ) is None
