@@ -706,8 +706,22 @@ def _jsonextractscalar(args: list[str]) -> str:
     return expr
 
 
+def _valuein(args: list[str]) -> str:
+    """Pinot 1.2 VALUEIN(mvColumn, v1[, v2, ...]) **[P1.2]**: filter a
+    multi-value column to the entries in the constant list, preserving
+    document order (Pinot evaluates it per MV entry; ``filter`` is the
+    same one-pass shape).  Variadic over constants, so a rewrite, not a
+    fixed-signature macro."""
+    if len(args) < 2:
+        raise ValueError(
+            f"VALUEIN takes (mvColumn, v1[, v2, ...]), got {len(args)}"
+        )
+    return f"filter({args[0]}, x -> x IN ({', '.join(args[1:])}))"
+
+
 _REWRITES: dict = {
     "DATETIMECONVERT": _datetimeconvert,
+    "VALUEIN": _valuein,
     "FUNNELCOUNT": _funnelcount,
     "HISTOGRAM": _histogram,
     "FUNNELMAXSTEP": _funnel("MAXSTEP"),

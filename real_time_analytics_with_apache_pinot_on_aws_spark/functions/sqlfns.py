@@ -451,6 +451,51 @@ _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
         "ARRAY<STRING>",
         "concat(a, b)",
     ),
+    # ---- the exact Pinot 1.2 spellings of the array family (round 8) ----
+    # Pinot's scalar ArrayFunctions are typed with FULL suffixes —
+    # arraySortString, arrayReverseInt, ... — so a dashboard sending the
+    # real names must resolve; the short STR/INT forms above stay as the
+    # engine's historical aliases.  Semantics anchors **[P1.2]**:
+    # arrayIndexOf* is 0-based with -1 when absent; arraySlice* is
+    # 0-based half-open [from, to); arrayUnion* dedups keeping FIRST-seen
+    # order (array_distinct(concat(..)) preserves exactly that).
+    ("ARRAYSORTSTRING", "a ARRAY<STRING>", "ARRAY<STRING>", "array_sort(a)"),
+    ("ARRAYSORTINT", "a ARRAY<INT>", "ARRAY<INT>", "array_sort(a)"),
+    ("ARRAYREVERSESTRING", "a ARRAY<STRING>", "ARRAY<STRING>", "reverse(a)"),
+    ("ARRAYREVERSEINT", "a ARRAY<INT>", "ARRAY<INT>", "reverse(a)"),
+    ("ARRAYDISTINCTSTRING", "a ARRAY<STRING>", "ARRAY<STRING>",
+     "array_distinct(a)"),
+    ("ARRAYDISTINCTINT", "a ARRAY<INT>", "ARRAY<INT>", "array_distinct(a)"),
+    ("ARRAYUNIONSTRING", "a ARRAY<STRING>, b ARRAY<STRING>",
+     "ARRAY<STRING>", "array_distinct(concat(a, b))"),
+    ("ARRAYUNIONINT", "a ARRAY<INT>, b ARRAY<INT>", "ARRAY<INT>",
+     "array_distinct(concat(a, b))"),
+    ("ARRAYCONCATSTRING", "a ARRAY<STRING>, b ARRAY<STRING>",
+     "ARRAY<STRING>", "concat(a, b)"),
+    ("ARRAYCONCATINT", "a ARRAY<INT>, b ARRAY<INT>", "ARRAY<INT>",
+     "concat(a, b)"),
+    ("ARRAYCONTAINSSTRING", "a ARRAY<STRING>, v STRING", "BOOLEAN",
+     "array_contains(a, v)"),
+    ("ARRAYCONTAINSINT", "a ARRAY<INT>, v INT", "BOOLEAN",
+     "array_contains(a, v)"),
+    ("ARRAYINDEXOFSTRING", "a ARRAY<STRING>, v STRING", "INT",
+     "array_position(a, v) - 1"),
+    ("ARRAYINDEXOFINT", "a ARRAY<INT>, v INT", "INT",
+     "array_position(a, v) - 1"),
+    ("ARRAYSLICESTRING", "a ARRAY<STRING>, fromIdx INT, toIdx INT",
+     "ARRAY<STRING>", "slice(a, fromIdx + 1, toIdx - fromIdx)"),
+    ("ARRAYSLICEINT", "a ARRAY<INT>, fromIdx INT, toIdx INT",
+     "ARRAY<INT>", "slice(a, fromIdx + 1, toIdx - fromIdx)"),
+    # Pinot's generic numeric MV transforms (TransformFunctionType:
+    # arrayMin/arrayMax/arraySum/arrayAverage) — numeric MV in, DOUBLE
+    # out; arrayAverage of an empty array is NULL here (loud, not NaN).
+    ("ARRAYMIN", "a ARRAY<DOUBLE>", "DOUBLE", "array_min(a)"),
+    ("ARRAYMAX", "a ARRAY<DOUBLE>", "DOUBLE", "array_max(a)"),
+    ("ARRAYSUM", "a ARRAY<DOUBLE>", "DOUBLE",
+     "aggregate(a, 0D, (s, x) -> s + x)"),
+    ("ARRAYAVERAGE", "a ARRAY<DOUBLE>", "DOUBLE",
+     "CASE WHEN size(a) = 0 THEN cast(null as double) "
+     "ELSE aggregate(a, 0D, (s, x) -> s + x) / size(a) END"),
 )
 
 

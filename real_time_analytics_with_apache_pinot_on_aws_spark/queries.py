@@ -6525,6 +6525,80 @@ def b27_exprminmax_arrayagg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b53_array_scalar_fns",
+    r"""
+    WITH src AS (
+      SELECT event_id,
+             [CAST(user_id % 5 AS INT), CAST(user_id % 3 AS INT),
+              CAST(user_id % 7 AS INT), CAST(user_id % 5 AS INT)] AS arr,
+             [event_type, substr(event_type, 1, 2), event_type] AS sarr,
+             event_type
+      FROM events WHERE user_id IS NOT NULL AND event_id % 97 = 0
+    )
+    SELECT event_id,
+      array_to_string(list_sort(arr), '|') AS sorted_ints,
+      array_to_string(list_reverse(sarr), '|') AS rev_strs,
+      array_to_string(list_sort(list_distinct(sarr)), '|') AS dis_strs,
+      array_to_string(list_sort(list_distinct(list_concat(arr, [0, 99]))),
+                      '|') AS uni_ints,
+      CAST(coalesce(list_position(sarr, event_type) - 1, -1) AS INT)
+        AS idx_first,
+      list_contains(arr, 2) AS has2,
+      array_to_string(list_slice(arr, 2, 3), '|') AS mid,
+      array_to_string(list_filter(arr, x -> x IN (0, 1, 2)), '|') AS vin,
+      round(list_avg(arr), 6) AS avg_el,
+      CAST(list_sum(arr) AS DOUBLE) AS sum_el,
+      CAST(list_min(arr) AS DOUBLE) AS min_el,
+      CAST(list_max(arr) AS DOUBLE) AS max_el
+    FROM src ORDER BY event_id
+    """,
+    doc="B53 wire tail (round 8): the exact Pinot 1.2 spellings of the "
+        "scalar array family **[P1.2]** — arraySortInt/String, "
+        "arrayReverse*, arrayDistinct*, arrayUnion* (first-seen-order "
+        "dedup), arrayConcat*, arrayContains*, arrayIndexOf* (0-based, "
+        "-1 absent), arraySlice* (0-based half-open) as inlined SQL-UDF "
+        "macros (functions/sqlfns.py), the generic numeric MV "
+        "transforms ARRAYMIN/ARRAYMAX/ARRAYSUM/ARRAYAVERAGE, and the "
+        "variadic VALUEIN(mvCol, v1, v2, ...) entry filter as an aggsql "
+        "rewrite (filter(col, x -> x IN (...)), document order "
+        "preserved).  Unordered results (distinct/union) are normalized "
+        "by an explicit sort on BOTH sides; VALUEIN/slice/reverse "
+        "compare order-exact.",
+)
+def b53_array_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .functions.aggsql import rewrite_pinot_aggregates
+
+    return spark.sql(rewrite_pinot_aggregates(
+        "WITH src AS ("
+        "  SELECT event_id,"
+        "         CAST(array(user_id % 5, user_id % 3, user_id % 7,"
+        "                    user_id % 5) AS ARRAY<INT>) AS arr,"
+        "         array(event_type, substr(event_type, 1, 2), event_type)"
+        "           AS sarr,"
+        "         event_type"
+        "  FROM events WHERE user_id IS NOT NULL AND event_id % 97 = 0"
+        ") "
+        "SELECT event_id,"
+        "  array_join(ARRAYSORTINT(arr), '|') AS sorted_ints,"
+        "  array_join(ARRAYREVERSESTRING(sarr), '|') AS rev_strs,"
+        "  array_join(ARRAYSORTSTRING(ARRAYDISTINCTSTRING(sarr)), '|')"
+        "    AS dis_strs,"
+        "  array_join(ARRAYSORTINT(ARRAYUNIONINT(arr,"
+        "    CAST(array(0, 99) AS ARRAY<INT>))), '|') AS uni_ints,"
+        "  ARRAYINDEXOFSTRING(sarr, event_type) AS idx_first,"
+        "  ARRAYCONTAINSINT(arr, 2) AS has2,"
+        "  array_join(ARRAYSLICEINT(arr, 1, 3), '|') AS mid,"
+        "  array_join(VALUEIN(arr, 0, 1, 2), '|') AS vin,"
+        "  round(ARRAYAVERAGE(CAST(arr AS ARRAY<DOUBLE>)), 6) AS avg_el,"
+        "  ARRAYSUM(CAST(arr AS ARRAY<DOUBLE>)) AS sum_el,"
+        "  ARRAYMIN(CAST(arr AS ARRAY<DOUBLE>)) AS min_el,"
+        "  ARRAYMAX(CAST(arr AS ARRAY<DOUBLE>)) AS max_el "
+        "FROM src ORDER BY event_id"
+    ))
+
+
+@register(
     "b66_vector_scalar_fns",
     r"""
     SELECT vec_id,

@@ -2050,3 +2050,67 @@ def test_mv_route_exprmin_immune_arrayagg_bails():
     assert RMV(
         "SELECT DISTINCTCOUNTMV(tags), ARRAYAGG(g, 'STRING') FROM t"
     ) is None
+
+
+# ---------------------------------------------------------------------------
+# round 8: the exact Pinot array-function spellings (arraySortString,
+# arrayIndexOfInt, ... — full type suffixes) + the generic numeric MV
+# transforms + variadic VALUEIN  **[P1.2]**
+
+
+@pytest.mark.parametrize(
+    "q,want",
+    [
+        ("SELECT ARRAYSORTINT(CAST(array(3,1,2) AS ARRAY<INT>)) AS x",
+         [1, 2, 3]),
+        ("SELECT ARRAYSORTSTRING(array('b','a')) AS x", ["a", "b"]),
+        ("SELECT ARRAYREVERSESTRING(array('a','b')) AS x", ["b", "a"]),
+        ("SELECT ARRAYREVERSEINT(CAST(array(1,2) AS ARRAY<INT>)) AS x",
+         [2, 1]),
+        ("SELECT ARRAYDISTINCTINT(CAST(array(1,2,1) AS ARRAY<INT>)) AS x",
+         [1, 2]),
+        ("SELECT ARRAYDISTINCTSTRING(array('a','b','a')) AS x", ["a", "b"]),
+        # arrayUnion*: dedup keeping FIRST-seen order
+        ("SELECT ARRAYUNIONSTRING(array('b','a'), array('a','c')) AS x",
+         ["b", "a", "c"]),
+        ("SELECT ARRAYUNIONINT(CAST(array(2,1) AS ARRAY<INT>), "
+         "CAST(array(1,3) AS ARRAY<INT>)) AS x", [2, 1, 3]),
+        ("SELECT ARRAYCONCATSTRING(array('a'), array('b')) AS x",
+         ["a", "b"]),
+        ("SELECT ARRAYCONTAINSSTRING(array('a','b'), 'b') AS x", True),
+        ("SELECT ARRAYCONTAINSINT(CAST(array(1) AS ARRAY<INT>), 2) AS x",
+         False),
+        # arrayIndexOf*: 0-based, -1 when absent
+        ("SELECT ARRAYINDEXOFSTRING(array('a','b'), 'b') AS x", 1),
+        ("SELECT ARRAYINDEXOFINT(CAST(array(5) AS ARRAY<INT>), 9) AS x",
+         -1),
+        # arraySlice*: 0-based half-open [from, to)
+        ("SELECT ARRAYSLICEINT(CAST(array(0,1,2,3) AS ARRAY<INT>), 1, 3)"
+         " AS x", [1, 2]),
+        ("SELECT ARRAYMIN(CAST(array(3,1) AS ARRAY<DOUBLE>)) AS x", 1.0),
+        ("SELECT ARRAYMAX(CAST(array(3,1) AS ARRAY<DOUBLE>)) AS x", 3.0),
+        ("SELECT ARRAYSUM(CAST(array(3,1) AS ARRAY<DOUBLE>)) AS x", 4.0),
+        ("SELECT ARRAYAVERAGE(CAST(array(3,1) AS ARRAY<DOUBLE>)) AS x",
+         2.0),
+        # arrayAverage of an empty array: NULL (documented), not NaN
+        ("SELECT ARRAYAVERAGE(CAST(array() AS ARRAY<DOUBLE>)) AS x", None),
+    ],
+)
+def test_pinot_array_scalar_spellings(agg_engine, q, want):
+    assert agg_engine.query(q).collect()[0]["x"] == want
+
+
+def test_valuein_filters_preserving_document_order(agg_engine):
+    got = agg_engine.query(
+        "SELECT VALUEIN(arr, 0, 1, 2) AS x "
+        "FROM (SELECT array(1, 5, 2, 1) AS arr)"
+    ).collect()[0]["x"]
+    assert got == [1, 2, 1]
+
+
+def test_valuein_rewrite_text_and_arity():
+    assert R("SELECT VALUEIN(c, 'a', 'b') FROM t") == (
+        "SELECT filter(c, x -> x IN ('a', 'b')) FROM t"
+    )
+    with pytest.raises(ValueError, match="VALUEIN"):
+        R("SELECT VALUEIN(c) FROM t")
