@@ -622,7 +622,13 @@ def _expr_extreme(name: str, fn: str):
     exact plan — one codegen'd partial-merge aggregate, no sort.
     Pinot's all-tied-rows multi-row result shape collapses to ONE
     arbitrary tie, exactly min_by/max_by's contract (the same
-    documented tie rule as ARG_MIN)."""
+    documented tie rule as ARG_MIN).
+
+    NULL measures: ``min_by(p, m)`` SKIPS rows whose ordering value is
+    NULL, but a struct with a NULL field is not itself NULL (it would
+    participate, sorting the NULL field first) — so the multi-measure
+    form masks the whole ordering struct to NULL when ANY measure is
+    NULL, keeping the 1-measure and N-measure forms consistent."""
 
     def build(args: list[str]) -> str:
         if len(args) < 2:
@@ -635,7 +641,11 @@ def _expr_extreme(name: str, fn: str):
         measures = ", ".join(
             f"({m}) AS _m{i}" for i, m in enumerate(args[1:], 1)
         )
-        return f"{fn}({args[0]}, struct({measures}))"
+        any_null = " OR ".join(f"({m}) IS NULL" for m in args[1:])
+        return (
+            f"{fn}({args[0]}, CASE WHEN {any_null} THEN NULL "
+            f"ELSE struct({measures}) END)"
+        )
 
     return build
 

@@ -1965,9 +1965,12 @@ def test_histogram_rejects_sub_ulp_bin_width():
         ("SELECT EXPRMIN(p, m) FROM t", "SELECT min_by(p, m) FROM t"),
         ("SELECT exprmax(p, m) FROM t GROUP BY g",
          "SELECT max_by(p, m) FROM t GROUP BY g"),
-        # multi-measure: lexicographic via struct ordering
+        # multi-measure: lexicographic via struct ordering; the whole
+        # ordering struct masks to NULL when ANY measure is NULL so the
+        # N-measure form skips those rows exactly like min_by(p, m) does
         ("SELECT EXPRMIN(p, m1, m2) FROM t",
-         "SELECT min_by(p, struct((m1) AS _m1, (m2) AS _m2)) FROM t"),
+         "SELECT min_by(p, CASE WHEN (m1) IS NULL OR (m2) IS NULL THEN "
+         "NULL ELSE struct((m1) AS _m1, (m2) AS _m2) END) FROM t"),
         ("SELECT ARRAYAGG(v, 'LONG') FROM t",
          "SELECT cast(collect_list(v) as array<bigint>) FROM t"),
         ("SELECT arrayagg(v, 'STRING', true) FROM t",
@@ -2114,3 +2117,16 @@ def test_valuein_rewrite_text_and_arity():
     )
     with pytest.raises(ValueError, match="VALUEIN"):
         R("SELECT VALUEIN(c) FROM t")
+
+
+def test_exprmin_multi_measure_skips_null_measure_rows(spark, agg_engine):
+    """A NULL in ANY measure must exclude the row from the extreme search
+    (matching the 1-measure min_by contract), not sort it first."""
+    spark.sql(
+        "SELECT * FROM VALUES ('picked', 5.0, 1L), ('nullm', NULL, 0L) "
+        "AS t(p, m1, m2)"
+    ).createOrReplaceTempView("exprnull")
+    got = agg_engine.query(
+        "SELECT EXPRMIN(p, m1, m2) AS x FROM exprnull"
+    ).collect()[0]["x"]
+    assert got == "picked"
