@@ -159,6 +159,69 @@ def _tuple_value_unsupported(name: str, alt: str):
     return build
 
 
+_IDSET_HEAD_RE = re.compile(r"^\s*SELECT\s+ID_?SET\s*\(", re.IGNORECASE)
+
+
+def _in_subquery(name: str):
+    """Pinot 1.2 IN_SUBQUERY(expr, 'SELECT ID_SET(col) FROM ...')
+    **[P1.2]** (B42): evaluate the inner query's IdSet and test ``expr``
+    for membership.  An IdSet IS the distinct set of the inner column,
+    so the exact relational form is an uncorrelated IN-subquery —
+    Catalyst plans the same broadcast semi-join the b42 oracle row pins,
+    and the id set never hits the driver.  Pinot's predicate returns
+    1/0 (queries write ``= 1``), so the rewrite emits a CASE to INT.
+    IN_PARTITIONED_SUBQUERY is the same contract with a partition-
+    routing hint this engine does not need (Catalyst picks the join
+    strategy).  An optional second ID_SET argument (IdSet tuning
+    literal) is accepted and ignored, like every other sketch-tuning
+    literal on this surface."""
+
+    def build(args: list[str]) -> str:
+        if len(args) != 2:
+            raise ValueError(
+                f"{name} takes (expression, 'SELECT ID_SET(col) FROM "
+                f"...'), got {len(args)} arguments"
+            )
+        inner = _unquote_literal(args[1], f"{name} subquery")
+        m = _IDSET_HEAD_RE.match(inner)
+        if m is None:
+            raise ValueError(
+                f"{name} subquery must start with SELECT ID_SET(col) "
+                f"(Pinot's IdSet contract), got: {inner[:80]!r}"
+            )
+        # find the close paren of ID_SET(...), quote/paren aware
+        i, depth, n = m.end(), 1, len(inner)
+        while i < n and depth:
+            ch = inner[i]
+            if ch in ("'", '"'):
+                i = _skip_literal(inner, i)
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise ValueError(f"{name}: unbalanced ID_SET( in subquery")
+        id_args = _split_top_level_commas(inner[m.end():i - 1])
+        rest = inner[i:].strip()
+        if not re.match(r"(?is)^FROM\b", rest):
+            raise ValueError(
+                f"{name} subquery must be SELECT ID_SET(col) FROM ... "
+                f"— found {rest[:40]!r} after ID_SET()"
+            )
+        # the inner query may itself use Pinot spellings: rewrite it
+        inner_sql = rewrite_pinot_aggregates(
+            f"SELECT {id_args[0].strip()} {rest}"
+        )
+        return (
+            f"(CASE WHEN ({args[0]}) IN ({inner_sql}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+
+    return build
+
+
 def _bytes_sketch_unsupported(name: str):
     return _reject_loudly(
         name,
@@ -732,6 +795,43 @@ def _valuein(args: list[str]) -> str:
 _REWRITES: dict = {
     "DATETIMECONVERT": _datetimeconvert,
     "VALUEIN": _valuein,
+    # B42 IdSet wire spellings (round 8): the cross-query filter's SQL
+    # forms.  IN_SUBQUERY is served exactly (relational IN-subquery,
+    # broadcast semi-join); the serialized-base64 forms are loud
+    # redirects (IdSets are relations here, the engine's sketch-bytes
+    # policy).
+    "IN_SUBQUERY": _in_subquery("IN_SUBQUERY"),
+    "INSUBQUERY": _in_subquery("INSUBQUERY"),
+    "IN_PARTITIONED_SUBQUERY": _in_subquery("IN_PARTITIONED_SUBQUERY"),
+    "INPARTITIONEDSUBQUERY": _in_subquery("INPARTITIONEDSUBQUERY"),
+    "ID_SET": _reject_loudly(
+        "ID_SET",
+        "returns a serialized base64 IdSet in Pinot — this engine keeps "
+        "id sets relational; filter with IN_SUBQUERY(expr, 'SELECT "
+        "ID_SET(col) FROM ...') (served exactly as an IN-subquery) or a "
+        "plain IN (SELECT col FROM ...) (SURVEY B42)",
+    ),
+    "IDSET": _reject_loudly(
+        "IDSET",
+        "returns a serialized base64 IdSet in Pinot — this engine keeps "
+        "id sets relational; filter with IN_SUBQUERY(expr, 'SELECT "
+        "ID_SET(col) FROM ...') (served exactly as an IN-subquery) or a "
+        "plain IN (SELECT col FROM ...) (SURVEY B42)",
+    ),
+    "IN_ID_SET": _reject_loudly(
+        "IN_ID_SET",
+        "filters against a serialized base64 IdSet blob — this engine "
+        "keeps id sets relational; use IN_SUBQUERY(expr, 'SELECT "
+        "ID_SET(col) FROM ...') or IN (SELECT col FROM ...) (SURVEY "
+        "B42)",
+    ),
+    "INIDSET": _reject_loudly(
+        "INIDSET",
+        "filters against a serialized base64 IdSet blob — this engine "
+        "keeps id sets relational; use IN_SUBQUERY(expr, 'SELECT "
+        "ID_SET(col) FROM ...') or IN (SELECT col FROM ...) (SURVEY "
+        "B42)",
+    ),
     "FUNNELCOUNT": _funnelcount,
     "HISTOGRAM": _histogram,
     "FUNNELMAXSTEP": _funnel("MAXSTEP"),

@@ -6599,6 +6599,37 @@ def b53_array_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b42_in_subquery_sql",
+    r"""
+    SELECT event_type, count(*) AS n
+    FROM events
+    WHERE user_id IN (SELECT user_id FROM events
+                      WHERE event_type = 'purchase' AND value > 50)
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="B42 wire spelling (round 8): Pinot's cross-query IdSet filter "
+        "IN_SUBQUERY(expr, 'SELECT ID_SET(col) FROM ...') = 1 "
+        "**[P1.2]**, served exactly as an uncorrelated relational "
+        "IN-subquery (an IdSet IS the inner column's distinct set) — "
+        "Catalyst plans the broadcast semi-join and the id set never "
+        "hits the driver.  The serialized-base64 forms "
+        "(ID_SET/IN_ID_SET aggregate/filter blobs) stay loud redirects "
+        "toward this spelling, the engine's sketch-bytes policy.",
+)
+def b42_in_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .functions.aggsql import rewrite_pinot_aggregates
+
+    return spark.sql(rewrite_pinot_aggregates(
+        "SELECT event_type, count(*) AS n "
+        "FROM events "
+        "WHERE IN_SUBQUERY(user_id, 'SELECT ID_SET(user_id) FROM events "
+        "WHERE event_type = ''purchase'' AND value > 50') = 1 "
+        "GROUP BY event_type ORDER BY event_type"
+    ))
+
+
+@register(
     "b66_vector_scalar_fns",
     r"""
     SELECT vec_id,

@@ -2130,3 +2130,68 @@ def test_exprmin_multi_measure_skips_null_measure_rows(spark, agg_engine):
         "SELECT EXPRMIN(p, m1, m2) AS x FROM exprnull"
     ).collect()[0]["x"]
     assert got == "picked"
+
+
+# ---------------------------------------------------------------------------
+# round 8: the B42 IdSet wire spellings — IN_SUBQUERY served exactly as a
+# relational IN-subquery; the serialized-base64 forms redirect loudly
+
+
+def test_in_subquery_rewrite_text():
+    got = R(
+        "SELECT id FROM t WHERE IN_SUBQUERY(g, "
+        "'SELECT ID_SET(g) FROM t WHERE id < 2') = 1"
+    )
+    assert got == (
+        "SELECT id FROM t WHERE (CASE WHEN (g) IN "
+        "(SELECT g FROM t WHERE id < 2) THEN 1 ELSE 0 END) = 1"
+    )
+    # no-underscore spelling, IDSET tuning literal ignored, nested Pinot
+    # spellings inside the inner query rewrite too
+    got2 = R(
+        "SELECT * FROM t WHERE INSUBQUERY(u, "
+        "'SELECT IDSET(u, ''expectedInsertions=100'') FROM s "
+        "WHERE DISTINCTCOUNT(x) > 1') = 1"
+    )
+    assert "IN (SELECT u FROM s WHERE count(DISTINCT x) > 1)" in got2
+
+
+@pytest.mark.parametrize(
+    "bad,msg",
+    [
+        ("IN_SUBQUERY(g)", "IN_SUBQUERY"),
+        ("IN_SUBQUERY(g, 'SELECT max(x) FROM s')", "ID_SET"),
+        ("IN_SUBQUERY(g, some_col)", "literal"),
+        ("ID_SET(u)", "IN_SUBQUERY"),
+        ("IDSET(u)", "IN_SUBQUERY"),
+        ("IN_ID_SET(u, 'AAAA')", "relational"),
+        ("INIDSET(u, 'AAAA')", "relational"),
+    ],
+)
+def test_idset_spellings_reject_or_redirect_loudly(bad, msg):
+    with pytest.raises(ValueError, match=msg):
+        R(f"SELECT {bad} FROM t")
+
+
+def test_in_subquery_values_match_relational_in(spark, agg_engine):
+    got = agg_engine.query(
+        "SELECT count(*) AS n FROM aggsrc WHERE IN_SUBQUERY(u, "
+        "'SELECT ID_SET(u) FROM aggsrc WHERE v > 120') = 1"
+    ).collect()[0]["n"]
+    want = spark.sql(
+        "SELECT count(*) AS n FROM aggsrc "
+        "WHERE u IN (SELECT u FROM aggsrc WHERE v > 120)"
+    ).collect()[0]["n"]
+    assert got == want and got > 0
+
+
+def test_in_partitioned_subquery_same_contract(agg_engine):
+    a = agg_engine.query(
+        "SELECT count(*) AS n FROM aggsrc WHERE IN_PARTITIONED_SUBQUERY("
+        "u, 'SELECT ID_SET(u) FROM aggsrc WHERE v > 120') = 1"
+    ).collect()[0]["n"]
+    b = agg_engine.query(
+        "SELECT count(*) AS n FROM aggsrc WHERE IN_SUBQUERY(u, "
+        "'SELECT ID_SET(u) FROM aggsrc WHERE v > 120') = 1"
+    ).collect()[0]["n"]
+    assert a == b
