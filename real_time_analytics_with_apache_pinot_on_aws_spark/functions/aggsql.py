@@ -837,6 +837,19 @@ _REWRITES: dict = {
     "FUNNELMAXSTEP": _funnel("MAXSTEP"),
     "FUNNELMATCHSTEP": _funnel("MATCHSTEP"),
     "FUNNELCOMPLETECOUNT": _funnel("COMPLETECOUNT"),
+    # Pinot 1.2's fourth ordered-funnel aggregate returns per-step
+    # duration statistics whose output shape is driven by a SETTINGS
+    # literal — not served here; the step timestamps it summarizes are
+    # first-class in the operator API, so redirect loudly rather than
+    # approximate a different answer.
+    "FUNNELSTEPDURATIONSTATS": _reject_loudly(
+        "FUNNELSTEPDURATIONSTATS",
+        "is not served by this SQL surface — compute per-step matched "
+        "timestamps with operators/funnel.py (funnel_state keeps each "
+        "step's match time; durations are column arithmetic from there) "
+        "or use FUNNELMAXSTEP/FUNNELMATCHSTEP/FUNNELCOMPLETECOUNT for "
+        "step-reach questions (SURVEY B16 funnel family)",
+    ),
     "JSONEXTRACTSCALAR": _jsonextractscalar,
     "DISTINCTCOUNT": _exact_distinct,
     "DISTINCTCOUNTBITMAP": _exact_distinct,
@@ -1300,7 +1313,7 @@ _DUP_UNSAFE_AGGS = frozenset(
     GROUPING_ID
     REGR_AVGX REGR_AVGY REGR_COUNT REGR_INTERCEPT REGR_R2 REGR_SLOPE
     REGR_SXX REGR_SXY REGR_SYY FUNNELCOUNT FUNNELMAXSTEP
-    FUNNELMATCHSTEP FUNNELCOMPLETECOUNT
+    FUNNELMATCHSTEP FUNNELCOMPLETECOUNT FUNNELSTEPDURATIONSTATS
     SUMVALUESINTEGERSUMTUPLESKETCH AVGVALUEINTEGERSUMTUPLESKETCH
     FREQUENTSTRINGSSKETCH FREQUENTLONGSSKETCH
     HISTOGRAM PERCENTILERAWEST PERCENTILERAWTDIGEST PERCENTILERAWKLL

@@ -2195,3 +2195,9 @@ def test_in_partitioned_subquery_same_contract(agg_engine):
         "'SELECT ID_SET(u) FROM aggsrc WHERE v > 120') = 1"
     ).collect()[0]["n"]
     assert a == b
+
+
+def test_funnelstepdurationstats_redirects_loudly():
+    with pytest.raises(ValueError, match="operators/funnel"):
+        R("SELECT FUNNELSTEPDURATIONSTATS(ts, '1000', 2, "
+          "'a = 1', 'a = 2') FROM t")

@@ -610,3 +610,13 @@ def test_quality_classifier_is_map_side(spark):
     f = facts("c22_quality_classifier", spark)
     assert f.exchanges <= 2
     assert not f.python_eval and not f.cartesian
+
+
+def test_in_subquery_plans_broadcast_semi_join(spark):
+    """B42's IN_SUBQUERY rewrite must keep the IdSet distributed: the
+    inner distinct set joins as a broadcast (semi) join — never a
+    driver-side collect, never a sort-merge at fixture scale."""
+    f = facts("b42_in_subquery_sql", spark)
+    assert f.broadcast_joins >= 1
+    assert f.sortmerge_joins == 0 and not f.cartesian
+    assert not f.python_eval

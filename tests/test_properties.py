@@ -1255,3 +1255,41 @@ def test_histogram_matches_python_reference(spark, edge_ints, vals):
                 want[i] += 1
                 break
     assert got == want, (edges, sorted(vals), got, want)
+
+
+exprmin_rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),                    # proj
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),  # m1
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),  # m2
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=exprmin_rows_st)
+@settings(**SETTINGS)
+def test_exprmin_multi_measure_matches_sorted_reference(spark, rows):
+    """EXPRMIN(p, m1, m2) == the projection of the first row under
+    ORDER BY m1, m2 over rows where NO measure is NULL (the rewrite's
+    documented NULL-mask contract); NULL when every row has a NULL
+    measure.  Ties in (m1, m2) are broken arbitrarily, so the property
+    compares against the SET of projections sharing the minimal
+    measure pair."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_pinot_aggregates,
+    )
+
+    df = spark.createDataFrame(rows, "p long, m1 long, m2 long")
+    df.createOrReplaceTempView("exprmin_fuzz")
+    got = spark.sql(rewrite_pinot_aggregates(
+        "SELECT EXPRMIN(p, m1, m2) AS x FROM exprmin_fuzz"
+    )).collect()[0]["x"]
+    valid = [r for r in rows if r[1] is not None and r[2] is not None]
+    if not valid:
+        assert got is None
+        return
+    best = min((r[1], r[2]) for r in valid)
+    allowed = {r[0] for r in valid if (r[1], r[2]) == best}
+    assert got in allowed, (rows, got, allowed)
