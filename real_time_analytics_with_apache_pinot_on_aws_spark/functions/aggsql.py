@@ -1038,6 +1038,27 @@ _REWRITES: dict = {
     # Pinot's B24/B25 stats spellings have NO underscore — map them onto
     # the Spark builtins (population/sample semantics match Pinot's
     # StatisticalAggregationFunction family **[P1.2]**)
+    # Pinot 1.2 FOURTHMOMENT **[P1.2]**: the commons-math-style
+    # UNNORMALIZED fourth central moment sum((x - mean)^4) the
+    # skewness/kurtosis star-tree cells store.  Exact identity:
+    # Spark's kurtosis is EXCESS kurtosis m4_bar / m2_bar^2 - 3 with
+    # mean-normalized moments, so the raw sum is
+    # (kurtosis + 3) * var_pop^2 * n — pure codegen, no second pass
+    # (pinned exact-to-ulp by test_fourthmoment_matches_direct_sum).
+    "FOURTHMOMENT": lambda a: (
+        f"((kurtosis({a[0]}) + 3) * power(var_pop({a[0]}), 2) "
+        f"* count({a[0]}))"
+    ),
+    # Pinot's GROOVY('returns...', 'script', args...) executes arbitrary
+    # code inside the engine — never served (Pinot itself ships Groovy
+    # DISABLED by default for the same reason).
+    "GROOVY": _reject_loudly(
+        "GROOVY",
+        "executes arbitrary scripts inside the engine and is never "
+        "served (Pinot 1.2 ships it disabled by default for the same "
+        "security reason); express the logic as Spark SQL expressions "
+        "or through the Arrow-vectorized UDF surface (SURVEY B63-B65)",
+    ),
     "STDDEVPOP": lambda a: f"stddev_pop({a[0]})",
     "STDDEVSAMP": lambda a: f"stddev_samp({a[0]})",
     "VARPOP": lambda a: f"var_pop({a[0]})",
@@ -1317,7 +1338,7 @@ _DUP_UNSAFE_AGGS = frozenset(
     SUMVALUESINTEGERSUMTUPLESKETCH AVGVALUEINTEGERSUMTUPLESKETCH
     FREQUENTSTRINGSSKETCH FREQUENTLONGSSKETCH
     HISTOGRAM PERCENTILERAWEST PERCENTILERAWTDIGEST PERCENTILERAWKLL
-    STDDEVPOP STDDEVSAMP VARPOP VARSAMP COVARPOP COVARSAMP
+    STDDEVPOP STDDEVSAMP VARPOP VARSAMP COVARPOP COVARSAMP FOURTHMOMENT
     APPROX_TOP_K APPROX_TOP_K_ACCUMULATE APPROX_TOP_K_COMBINE
     KLL_SKETCH_AGG_BIGINT KLL_SKETCH_AGG_DOUBLE KLL_SKETCH_AGG_FLOAT
     KLL_MERGE_AGG_BIGINT KLL_MERGE_AGG_DOUBLE KLL_MERGE_AGG_FLOAT""".split()

@@ -486,6 +486,20 @@ _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
      "ARRAY<STRING>", "slice(a, fromIdx + 1, toIdx - fromIdx)"),
     ("ARRAYSLICEINT", "a ARRAY<INT>, fromIdx INT, toIdx INT",
      "ARRAY<INT>", "slice(a, fromIdx + 1, toIdx - fromIdx)"),
+    # ---- string / JSON tails (round 8) -----------------------------------
+    # Pinot StringFunctions.remove(input, search): strip every occurrence
+    ("REMOVE", "s STRING, sub STRING", "STRING", "replace(s, sub, '')"),
+    # Pinot hammingDistance(s1, s2): -1 when lengths differ, else the
+    # count of differing positions (split('', '') is per-character)
+    ("HAMMINGDISTANCE", "a STRING, b STRING", "INT",
+     "CASE WHEN a IS NULL OR b IS NULL THEN cast(NULL AS INT) "
+     "WHEN length(a) != length(b) THEN -1 "
+     "ELSE aggregate(zip_with(split(a, ''), split(b, ''), "
+     "(x, y) -> CAST(x != y AS INT)), 0, (acc, e) -> acc + e) END"),
+    # Pinot isJson(str): parses-cleanly boolean (NULL in, NULL out)
+    ("ISJSON", "s STRING", "BOOLEAN",
+     "CASE WHEN s IS NULL THEN cast(NULL AS BOOLEAN) "
+     "ELSE try_parse_json(s) IS NOT NULL END"),
     # Pinot's generic numeric MV transforms (TransformFunctionType:
     # arrayMin/arrayMax/arraySum/arrayAverage) — numeric MV in, DOUBLE
     # out; arrayAverage of an empty array is NULL here (loud, not NaN).

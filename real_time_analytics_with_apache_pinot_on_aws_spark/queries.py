@@ -6630,6 +6630,45 @@ def b42_in_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b50_string_tail_sql",
+    r"""
+    SELECT event_id,
+      replace(event_type, 'e', '') AS removed,
+      CAST(CASE WHEN length(event_type) != length(reverse(event_type))
+               THEN -1
+           ELSE list_sum(list_transform(range(1, length(event_type) + 1),
+                i -> CASE WHEN event_type[i] != reverse(event_type)[i]
+                     THEN 1 ELSE 0 END))
+           END AS INT) AS ham_rev,
+      json_valid(props) AS ok_json,
+      json_valid(concat('x', props)) AS broken_json
+    FROM events WHERE props IS NOT NULL AND event_id % 101 = 0
+    ORDER BY event_id
+    """,
+    doc="B50 wire tail (round 8): REMOVE(s, sub) (strip every "
+        "occurrence), HAMMINGDISTANCE(a, b) (-1 on length mismatch, "
+        "else per-position diff count — checked against a DuckDB "
+        "per-character list fold), and ISJSON(s) (parses-cleanly "
+        "boolean via try_parse_json — lenient about trailing content "
+        "after a valid leading token, the Jackson readTree behavior "
+        "Pinot's own isJson wraps, where DuckDB json_valid is strict; "
+        "the oracle's broken variant prepends a byte so BOTH parsers "
+        "reject it).  All inlined SQL-UDF macros — zero UDFs, zero shuffles.",
+)
+def b50_string_tail_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    return spark.sql(
+        "SELECT event_id, "
+        "REMOVE(event_type, 'e') AS removed, "
+        "HAMMINGDISTANCE(event_type, reverse(event_type)) AS ham_rev, "
+        "ISJSON(props) AS ok_json, "
+        "ISJSON(concat('x', props)) AS broken_json "
+        "FROM events WHERE props IS NOT NULL AND event_id % 101 = 0 "
+        "ORDER BY event_id"
+    )
+
+
+@register(
     "b66_vector_scalar_fns",
     r"""
     SELECT vec_id,

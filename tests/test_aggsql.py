@@ -2201,3 +2201,38 @@ def test_funnelstepdurationstats_redirects_loudly():
     with pytest.raises(ValueError, match="operators/funnel"):
         R("SELECT FUNNELSTEPDURATIONSTATS(ts, '1000', 2, "
           "'a = 1', 'a = 2') FROM t")
+
+
+def test_fourthmoment_matches_direct_sum(spark, agg_engine):
+    """FOURTHMOMENT = the unnormalized sum((x - mean)^4) commons-math
+    keeps (the skewness/kurtosis star-tree state); the rewrite's
+    (kurtosis + 3) * var_pop^2 * n identity must be exact."""
+    got = agg_engine.query(
+        "SELECT FOURTHMOMENT(v) AS x FROM aggsrc"
+    ).collect()[0]["x"]
+    direct = spark.sql(
+        "SELECT sum(power(v - m, 4)) AS x "
+        "FROM aggsrc CROSS JOIN (SELECT avg(v) AS m FROM aggsrc)"
+    ).collect()[0]["x"]
+    assert abs(got - direct) <= 1e-9 * abs(direct)
+
+
+def test_groovy_is_rejected_for_security():
+    with pytest.raises(ValueError, match="never served"):
+        R("SELECT GROOVY('{\"returnType\":\"INT\"}', 'arg0+1', v) FROM t")
+
+
+@pytest.mark.parametrize(
+    "q,want",
+    [
+        ("SELECT REMOVE('banana', 'an') AS x", "ba"),
+        ("SELECT HAMMINGDISTANCE('karolin', 'kathrin') AS x", 3),
+        ("SELECT HAMMINGDISTANCE('ab', 'abc') AS x", -1),
+        ("SELECT HAMMINGDISTANCE('same', 'same') AS x", 0),
+        ('SELECT ISJSON(\'{"a": 1}\') AS x', True),
+        ("SELECT ISJSON('not json') AS x", False),
+        ("SELECT ISJSON(NULL) AS x", None),
+    ],
+)
+def test_string_json_tail_macros(agg_engine, q, want):
+    assert agg_engine.query(q).collect()[0]["x"] == want
