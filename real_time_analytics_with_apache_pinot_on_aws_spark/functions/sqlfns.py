@@ -69,6 +69,11 @@ _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
     # builtins with matching Pinot semantics — no registration needed (and Spark
     # refuses to shadow builtins with SQL UDFs).
     ("MONTHOFYEAR", "ts TIMESTAMP", "INT", "month(ts)"),
+    # Pinot millisecond(tsMillis): the millis-of-second of an epoch-millis
+    # value (Spark has no builtin of this name; the other Pinot epoch
+    # extractors — year/hour/... — collide with Spark's timestamp
+    # builtins, which serve this engine's TIMESTAMP columns natively)
+    ("MILLISECOND", "millis BIGINT", "INT", "millis % 1000"),
     ("DAYOFMONTH", "ts TIMESTAMP", "INT", "day(ts)"),
     # Pinot DAY_OF_WEEK is ISO (Monday=1..Sunday=7); Spark's builtin dayofweek
     # is 1=Sunday — divergent semantics, so the Pinot behavior gets its own name.

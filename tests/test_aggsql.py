@@ -2236,3 +2236,9 @@ def test_groovy_is_rejected_for_security():
 )
 def test_string_json_tail_macros(agg_engine, q, want):
     assert agg_engine.query(q).collect()[0]["x"] == want
+
+
+def test_millisecond_of_epoch_millis(agg_engine):
+    assert agg_engine.query(
+        "SELECT MILLISECOND(90061234) AS x"
+    ).collect()[0]["x"] == 234
