@@ -190,20 +190,17 @@ def _in_subquery(name: str):
                 f"(Pinot's IdSet contract), got: {inner[:80]!r}"
             )
         # find the close paren of ID_SET(...), quote/paren aware
-        i, depth, n = m.end(), 1, len(inner)
-        while i < n and depth:
-            ch = inner[i]
-            if ch in ("'", '"'):
-                i = _skip_literal(inner, i)
-                continue
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            i += 1
-        if depth:
-            raise ValueError(f"{name}: unbalanced ID_SET( in subquery")
-        id_args = _split_top_level_commas(inner[m.end():i - 1])
+        try:
+            id_args_text, i = _scan_balanced(inner, m.end() - 1)
+        except ValueError:
+            raise ValueError(
+                f"{name}: unbalanced ID_SET( in subquery"
+            ) from None
+        id_args = _split_top_level_commas(id_args_text)
+        if not id_args[0].strip():
+            raise ValueError(
+                f"{name}: ID_SET needs a column argument, got ID_SET()"
+            )
         rest = inner[i:].strip()
         if not re.match(r"(?is)^FROM\b", rest):
             raise ValueError(
@@ -733,7 +730,15 @@ def _arrayagg(args: list[str]) -> str:
         raise ValueError(f"unsupported ARRAYAGG dataType {t!r}")
     distinct = False
     if len(args) == 3:
-        lit = args[2].strip().strip("'").lower()
+        raw = args[2].strip()
+        # bare true/false, or a properly quoted 'true'/'false' literal —
+        # NOT a blanket quote-strip, which would silently accept
+        # mismatched/malformed quotes (round-8 review)
+        lit = (
+            _unquote_literal(raw, "ARRAYAGG isDistinct")
+            if raw.startswith("'")
+            else raw
+        ).lower()
         if lit not in ("true", "false"):
             raise ValueError(
                 "ARRAYAGG isDistinct must be a true/false literal "
@@ -1045,9 +1050,13 @@ _REWRITES: dict = {
     # mean-normalized moments, so the raw sum is
     # (kurtosis + 3) * var_pop^2 * n — pure codegen, no second pass
     # (pinned exact-to-ulp by test_fourthmoment_matches_direct_sum).
+    # Zero-variance / single-row groups: Spark's kurtosis is NULL there
+    # while the moment sum is exactly 0 — coalesce restores the 0 (an
+    # empty/all-NULL group stays NULL via the count guard).
     "FOURTHMOMENT": lambda a: (
-        f"((kurtosis({a[0]}) + 3) * power(var_pop({a[0]}), 2) "
-        f"* count({a[0]}))"
+        f"coalesce((kurtosis({a[0]}) + 3) * power(var_pop({a[0]}), 2) "
+        f"* count({a[0]}), "
+        f"CASE WHEN count({a[0]}) > 0 THEN 0.0D END)"
     ),
     # Pinot's GROOVY('returns...', 'script', args...) executes arbitrary
     # code inside the engine — never served (Pinot itself ships Groovy

@@ -73,7 +73,8 @@ _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
     # value (Spark has no builtin of this name; the other Pinot epoch
     # extractors — year/hour/... — collide with Spark's timestamp
     # builtins, which serve this engine's TIMESTAMP columns natively)
-    ("MILLISECOND", "millis BIGINT", "INT", "millis % 1000"),
+    # pmod, not %: pre-1970 epochs must land in 0-999 (Joda millisOfSecond)
+    ("MILLISECOND", "millis BIGINT", "INT", "pmod(millis, 1000)"),
     ("DAYOFMONTH", "ts TIMESTAMP", "INT", "day(ts)"),
     # Pinot DAY_OF_WEEK is ISO (Monday=1..Sunday=7); Spark's builtin dayofweek
     # is 1=Sunday — divergent semantics, so the Pinot behavior gets its own name.

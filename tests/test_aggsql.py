@@ -2242,3 +2242,32 @@ def test_millisecond_of_epoch_millis(agg_engine):
     assert agg_engine.query(
         "SELECT MILLISECOND(90061234) AS x"
     ).collect()[0]["x"] == 234
+
+
+def test_round8_review_fixes(agg_engine):
+    """Round-8 review findings: FOURTHMOMENT is 0 (not NULL) for
+    zero-variance and single-row groups; MILLISECOND lands in 0-999 for
+    pre-1970 epochs; IN_SUBQUERY rejects an empty ID_SET(); ARRAYAGG
+    rejects malformed isDistinct quoting."""
+    assert agg_engine.query(
+        "SELECT FOURTHMOMENT(v) AS x FROM (SELECT 5.0 AS v UNION ALL "
+        "SELECT 5.0 UNION ALL SELECT 5.0)"
+    ).collect()[0]["x"] == 0.0
+    assert agg_engine.query(
+        "SELECT FOURTHMOMENT(v) AS x FROM (SELECT 7.0 AS v)"
+    ).collect()[0]["x"] == 0.0
+    assert agg_engine.query(
+        "SELECT FOURTHMOMENT(v) AS x FROM (SELECT CAST(NULL AS DOUBLE) "
+        "AS v)"
+    ).collect()[0]["x"] is None
+    assert agg_engine.query(
+        "SELECT MILLISECOND(-1) AS x"
+    ).collect()[0]["x"] == 999
+    with pytest.raises(ValueError, match="ID_SET needs a column"):
+        R("SELECT x FROM t WHERE IN_SUBQUERY(g, 'SELECT ID_SET() FROM t')"
+          " = 1")
+    with pytest.raises(ValueError, match="true/false|literal"):
+        R("SELECT ARRAYAGG(v, 'INT', '''true') FROM t")
+    # an unbalanced quote trips the call-site scanner itself — loud too
+    with pytest.raises(ValueError, match="true/false|literal|unbalanced"):
+        R("SELECT ARRAYAGG(v, 'INT', 'true) FROM t GROUP BY g")
