@@ -95,6 +95,10 @@ PROBES = (
     # round 8: ordered-funnel window-cascade route — one shuffle+sort per
     # user partition, per-row running-min state, no collected arrays
     "b16_funnelmaxstep_routed",
+    # round 8: the IN_SUBQUERY IdSet rewrite — inner distinct set built
+    # executor-side then broadcast semi-joined (plan-pinned); both the
+    # probe's corpus scan and the distinct build are linear
+    "b42_in_subquery_sql",
 )
 
 
