@@ -322,6 +322,27 @@ def main() -> None:
         "VECTORNORM(array(3.0D, 4.0D)) AS norm_3_4"
     ).show()
 
+    # 16. Round 8 — the last wire-spelling tail: EXPRMIN/EXPRMAX
+    #     (projection first, multi-measure lexicographic), ARRAYAGG,
+    #     the exact array-function names, and the IdSet filter
+    #     IN_SUBQUERY — all served exactly through the same broker SQL
+    engine.query(
+        "SELECT EXPRMAX(campaign, price) AS priciest_campaign, "
+        "ARRAYAGG(campaign, 'STRING', true) AS campaigns "
+        "FROM clickstream"
+    ).show(truncate=False)
+    engine.query(
+        "SELECT userID FROM clickstream WHERE IN_SUBQUERY(userID, "
+        "'SELECT ID_SET(userID) FROM clickstream "
+        "WHERE campaign = ''BlackFriday''') = 1 "
+        "ORDER BY userID LIMIT 5"
+    ).show()
+    engine.query(
+        "SELECT ARRAYSORTSTRING(array('b', 'a')) AS sorted_tags, "
+        "VALUEIN(array(1, 5, 2), 1, 2) AS kept, "
+        "HAMMINGDISTANCE('karolin', 'kathrin') AS ham"
+    ).show()
+
     spark.stop()
 
 
