@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from . import fs as _fs
 from . import functions as pfn
+from .functions import aggsql
 from .schema import TableSchema, parse_schema
 from .streaming.ingest import IngestPipeline, RawRecordSource
 from .operators.clp import (
@@ -407,10 +408,20 @@ class Engine:
         count as aggregates and bail the route — the call-site fallbacks
         stay correct, only the plan is heavier (the previous
         aggregates-only set let a pandas GROUPED_AGG UDAF route over
-        POSEXPLODE-duplicated rows).  Unseen names refresh the cache once
-        (functions may be registered after the first query), then fail
-        safe to True."""
+        POSEXPLODE-duplicated rows).  The engine's OWN textual-rewrite
+        scalars (DATETIMECONVERT/JSONEXTRACTSCALAR/VALUEIN/IN_SUBQUERY)
+        are positively-known per-row expressions deliberately absent
+        from the catalog — round-8 review: without this short-circuit
+        the fail-safe bailed every routable statement that merely
+        mentioned one.  Unseen names refresh the cache once (functions
+        may be registered after the first query), then the MISS is
+        cached too (round-8 review: it previously re-enumerated the
+        whole catalog on every call) and fails safe to True — a UDF
+        registered after its miss was cached stays classified as an
+        aggregate, the safe direction."""
         u = name.upper()
+        if u in aggsql.SCALAR_REWRITE_NAMES:
+            return False
         if (
             self._catalog_fn_classes is None
             or u not in self._catalog_fn_classes
@@ -419,6 +430,8 @@ class Engine:
                 f.name.upper(): (f.className or "")
                 for f in self.spark.catalog.listFunctions()
             }
+            # cache the miss: one refresh per unseen name, not per call
+            self._catalog_fn_classes.setdefault(u, None)
         cls = self._catalog_fn_classes.get(u)
         if cls is None:
             return True  # unresolvable name: the statement errors anyway

@@ -797,6 +797,29 @@ def _valuein(args: list[str]) -> str:
     return f"filter({args[0]}, x -> x IN ({', '.join(args[1:])}))"
 
 
+def _mv_exact_distinct_fallback(a: list[str]) -> str:
+    """ONE definition of the normalized-set exact MV-distinct fallback
+    (round-8 review: it was copy-pasted per spelling, so a fix had to be
+    applied six times).  Dedup runs at the NATIVE element type; see the
+    route-first notes at the DISTINCTCOUNTHLLMV entry."""
+    return (
+        "cast(size(array_distinct(flatten(collect_set(array_distinct("
+        f"array_sort(filter({a[0]}, x -> x IS NOT NULL))))))) as bigint)"
+    )
+
+
+# rewrite-table names that are SCALAR (per-row) expressions — the
+# statement routes must NOT classify them as aggregates when deciding
+# duplication safety, and the engine's catalog predicate treats them as
+# positively-known scalars (they are textual rewrites, deliberately
+# absent from the session catalog — round-8 review: the fail-safe was
+# bailing routable statements that merely mentioned them).
+SCALAR_REWRITE_NAMES = frozenset(
+    """DATETIMECONVERT JSONEXTRACTSCALAR VALUEIN IN_SUBQUERY INSUBQUERY
+    IN_PARTITIONED_SUBQUERY INPARTITIONEDSUBQUERY""".split()
+)
+
+
 _REWRITES: dict = {
     "DATETIMECONVERT": _datetimeconvert,
     "VALUEIN": _valuein,
@@ -950,39 +973,21 @@ _REWRITES: dict = {
     # (many distinct element-sets per group still accumulate), which is
     # why the engine routes every routable statement to hll_sketch_agg
     # over exploded elements instead.
-    "DISTINCTCOUNTHLLMV": lambda a: (
-        "cast(size(array_distinct(flatten(collect_set(array_distinct("
-        f"array_sort(filter({a[0]}, x -> x IS NOT NULL))))))) as bigint)"
-    ),
-    "DISTINCTCOUNTMV": lambda a: (
-        "cast(size(array_distinct(flatten(collect_set(array_distinct("
-        f"array_sort(filter({a[0]}, x -> x IS NOT NULL))))))) as bigint)"
-    ),
+    "DISTINCTCOUNTHLLMV": _mv_exact_distinct_fallback,
+    "DISTINCTCOUNTMV": _mv_exact_distinct_fallback,
     # round 8 MV tail fallbacks (same normalized-set state bound as the
     # two above; same route-first contract).  SUM folds with a NULL seed
     # so an all-empty group returns NULL exactly like the routed
     # sum(DISTINCT ...); AVG carries (sum, count) in ONE fold — writing
     # sum/size as two expressions would duplicate the collect_set
     # aggregate (Spark does not dedup identical aggregate calls).
-    "DISTINCTCOUNTBITMAPMV": lambda a: (
-        "cast(size(array_distinct(flatten(collect_set(array_distinct("
-        f"array_sort(filter({a[0]}, x -> x IS NOT NULL))))))) as bigint)"
-    ),
+    "DISTINCTCOUNTBITMAPMV": _mv_exact_distinct_fallback,
     # RAW / HLL++ MV spellings (round 8): identical exact fallback — the
     # estimator family only differs on the ROUTED side, where the name's
     # bounded-sketch promise can actually be kept
-    "DISTINCTCOUNTRAWHLLMV": lambda a: (
-        "cast(size(array_distinct(flatten(collect_set(array_distinct("
-        f"array_sort(filter({a[0]}, x -> x IS NOT NULL))))))) as bigint)"
-    ),
-    "DISTINCTCOUNTHLLPLUSMV": lambda a: (
-        "cast(size(array_distinct(flatten(collect_set(array_distinct("
-        f"array_sort(filter({a[0]}, x -> x IS NOT NULL))))))) as bigint)"
-    ),
-    "DISTINCTCOUNTRAWHLLPLUSMV": lambda a: (
-        "cast(size(array_distinct(flatten(collect_set(array_distinct("
-        f"array_sort(filter({a[0]}, x -> x IS NOT NULL))))))) as bigint)"
-    ),
+    "DISTINCTCOUNTRAWHLLMV": _mv_exact_distinct_fallback,
+    "DISTINCTCOUNTHLLPLUSMV": _mv_exact_distinct_fallback,
+    "DISTINCTCOUNTRAWHLLPLUSMV": _mv_exact_distinct_fallback,
     "DISTINCTSUMMV": lambda a: (
         "aggregate(array_distinct(flatten(collect_set(array_distinct("
         f"array_sort(filter({a[0]}, x -> x IS NOT NULL)))))), "
@@ -1252,10 +1257,12 @@ def rewrite_pinot_aggregates(sql: str) -> str:
 # cleanly or the original stands — the same contract as every other
 # statement rewrite.
 
+def _hll_elem_builder(e: str) -> str:
+    return f"hll_sketch_estimate(hll_sketch_agg({e}))"
+
+
 _MV_DISTINCT_BUILDERS = {
-    "DISTINCTCOUNTHLLMV": (
-        lambda e: f"hll_sketch_estimate(hll_sketch_agg({e}))"
-    ),
+    "DISTINCTCOUNTHLLMV": _hll_elem_builder,
     "DISTINCTCOUNTMV": lambda e: f"count(DISTINCT {e})",
     # round 8 (the MV aggregate tail Pinot 1.2 serves **[P1.2]**):
     # BITMAPMV is the exact distinct under another name; SUM/AVG of the
@@ -1272,15 +1279,9 @@ _MV_DISTINCT_BUILDERS = {
     # also serves **[P1.2]** — all one HLL estimator family here, the
     # same single-estimator policy as the scalar DISTINCTCOUNT*HLL names
     # (RAW spellings are served as the estimate the sketch encodes)
-    "DISTINCTCOUNTRAWHLLMV": (
-        lambda e: f"hll_sketch_estimate(hll_sketch_agg({e}))"
-    ),
-    "DISTINCTCOUNTHLLPLUSMV": (
-        lambda e: f"hll_sketch_estimate(hll_sketch_agg({e}))"
-    ),
-    "DISTINCTCOUNTRAWHLLPLUSMV": (
-        lambda e: f"hll_sketch_estimate(hll_sketch_agg({e}))"
-    ),
+    "DISTINCTCOUNTRAWHLLMV": _hll_elem_builder,
+    "DISTINCTCOUNTHLLPLUSMV": _hll_elem_builder,
+    "DISTINCTCOUNTRAWHLLPLUSMV": _hll_elem_builder,
 }
 
 # round 8: PERCENTILE[EST/KLL/TDIGEST]MV route over the exploded element
@@ -1669,6 +1670,7 @@ def rewrite_mv_distinct_statement(sql: str, is_aggregate=None):
             wrap_sites.append(s)
         elif (
             u not in _DUP_IMMUNE_AGGS
+            and u not in SCALAR_REWRITE_NAMES  # our own per-row rewrites
             and is_aggregate is not None
             and is_aggregate(s[0])
         ):
@@ -2027,6 +2029,8 @@ def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
             continue
         if u in _KNOWN_AGG_NAMES:
             return None  # non-decomposable aggregates keep the fallback
+        if u in SCALAR_REWRITE_NAMES:
+            continue  # our own per-row rewrites: positively scalar
         if is_aggregate is not None and is_aggregate(name):
             return None  # unclassified-but-aggregate: fail safe
     parsed = []  # (kind, start, end, key_expr, payload)
@@ -2114,10 +2118,16 @@ def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
             )
         else:
             inner_items.append(
-                f"sum(cast(({payload}) as double)) AS __fc{j}_v"
+                # sum at the NATIVE value type — casting to double FIRST
+                # collapsed exact int64 sums above 2^53 (round-8 review:
+                # the same class as the MV-distinct native-type dedup
+                # fix); the double cast happens once, on the outer level
+                f"sum(({payload})) AS __fc{j}_v"
             )
             repl = (
-                f"sum(__fc{j}_v)" if kind == "SUM" else f"avg(__fc{j}_v)"
+                f"cast(sum(__fc{j}_v) as double)"
+                if kind == "SUM"
+                else f"cast(avg(__fc{j}_v) as double)"
             )
         edits.append((st, end, repl))
     for j, (u, st, end, inner) in enumerate(co_sites):

@@ -960,10 +960,14 @@ def test_keyed_route_text_tuple_values_share_key():
         "SELECT SUMVALUESINTEGERSUMTUPLESKETCH(k, v) AS s, "
         "AVGVALUEINTEGERSUMTUPLESKETCH(k, v) AS a FROM t"
     )
+    # inner sums run at the NATIVE value type (round-8 review: a double
+    # cast before the inner sum collapsed exact int64 sums above 2^53);
+    # the double cast happens once, on the outer level
     assert routed == (
-        "SELECT sum(__fc0_v) AS s, avg(__fc1_v) AS a "
-        "FROM (SELECT (k) AS __fc_k, sum(cast((v) as double)) AS __fc0_v, "
-        "sum(cast((v) as double)) AS __fc1_v FROM t GROUP BY (k)) __fc "
+        "SELECT cast(sum(__fc0_v) as double) AS s, "
+        "cast(avg(__fc1_v) as double) AS a "
+        "FROM (SELECT (k) AS __fc_k, sum((v)) AS __fc0_v, "
+        "sum((v)) AS __fc1_v FROM t GROUP BY (k)) __fc "
     )
 
 
@@ -2271,3 +2275,50 @@ def test_round8_review_fixes(agg_engine):
     # an unbalanced quote trips the call-site scanner itself — loud too
     with pytest.raises(ValueError, match="true/false|literal|unbalanced"):
         R("SELECT ARRAYAGG(v, 'INT', 'true) FROM t GROUP BY g")
+
+
+def test_scalar_rewrite_names_do_not_bail_routes(mv_engine):
+    """Round-8 review: the engine's own textual-rewrite scalars
+    (JSONEXTRACTSCALAR/DATETIMECONVERT/VALUEIN) are deliberately absent
+    from the catalog, so the fail-safe classified them as aggregates and
+    bailed every routable statement that merely mentioned them."""
+    assert not mv_engine._is_catalog_aggregate("JSONEXTRACTSCALAR")
+    assert not mv_engine._is_catalog_aggregate("DATETIMECONVERT")
+    assert not mv_engine._is_catalog_aggregate("valuein")
+    src = (
+        "SELECT g, DISTINCTCOUNTMV(tags) FROM t "
+        "WHERE JSONEXTRACTSCALAR(js, '$.a', 'STRING') = 'x' GROUP BY g"
+    )
+    assert RMV(src, is_aggregate=mv_engine._is_catalog_aggregate) is not None
+
+
+def test_catalog_predicate_caches_misses(mv_engine):
+    """Round-8 review: a catalog-absent name must trigger ONE refresh,
+    not one listFunctions round-trip per call."""
+    assert mv_engine._is_catalog_aggregate("definitely_not_a_function")
+    cache = mv_engine._catalog_fn_classes
+    assert "DEFINITELY_NOT_A_FUNCTION" in cache  # miss recorded
+    mv_engine._is_catalog_aggregate("definitely_not_a_function")
+    assert mv_engine._catalog_fn_classes is cache  # no rebuild
+
+
+def test_tuple_value_route_sums_at_native_type(spark, agg_engine):
+    """Round-8 review: per-key int64 sums above 2^53 must stay exact —
+    the inner level sums at the native type, the double cast happens
+    once on the outer level."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_keyed_agg_statement,
+    )
+
+    big = 9007199254740993  # 2^53 + 1: not representable as double
+    spark.sql(
+        f"SELECT * FROM VALUES (1L, {big}L), (1L, 1L) AS t(k, v)"
+    ).createOrReplaceTempView("tupnat")
+    routed = rewrite_keyed_agg_statement(
+        "SELECT SUMVALUESINTEGERSUMTUPLESKETCH(k, v) AS s FROM tupnat"
+    )
+    assert routed is not None
+    got = agg_engine.query(routed).collect()[0]["s"]
+    # exact int64 sum is 2^53 + 2, which IS double-representable; the
+    # old cast-first form computed 2^53 + 1 -> 2^53, then + 1 = 2^53+... 
+    assert got == float(big + 1)
