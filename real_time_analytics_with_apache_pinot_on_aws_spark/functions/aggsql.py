@@ -760,28 +760,35 @@ _JSON_TYPES = {
 }
 
 
-def _jsonextractscalar(args: list[str]) -> str:
+def _jsonextract(name: str):
     """Pinot JSONEXTRACTSCALAR(json, path, resultsType[, default])
     **[P1.2]**: the TYPE is a literal, so the rewrite emits a typed CAST
     (the reason this cannot be one fixed-return-type macro); the 4-arg
-    form coalesces the declared default in."""
-    if len(args) not in (3, 4):
-        raise ValueError(
-            f"JSONEXTRACTSCALAR takes (json, path, type[, default]), "
-            f"got {len(args)}"
-        )
-    t = _unquote_literal(args[2], "JSONEXTRACTSCALAR type").upper()
-    # Pinot accepts array result types too; the scalar forms map to CAST
-    sql_t = _JSON_TYPES.get(t)
-    if sql_t is None:
-        raise ValueError(f"unsupported JSONEXTRACTSCALAR type {t!r}")
-    base = f"get_json_object({args[0]}, {args[1]})"
-    expr = base if sql_t == "STRING" else f"cast({base} as {sql_t})"
-    if len(args) == 4:
-        dflt = args[3]
-        d = dflt if sql_t == "STRING" else f"cast({dflt} as {sql_t})"
-        return f"coalesce({expr}, {d})"
-    return expr
+    form coalesces the declared default in.  JSONEXTRACTINDEX shares the
+    builder (same contract, same answer — the json index only changes
+    Pinot's access path, and this engine's scan IS the access path);
+    its 5-argument filter-predicate form hits the arity error below."""
+
+    def build(args: list[str]) -> str:
+        if len(args) not in (3, 4):
+            raise ValueError(
+                f"{name} takes (json, path, type[, default]), "
+                f"got {len(args)}"
+            )
+        t = _unquote_literal(args[2], f"{name} type").upper()
+        # Pinot accepts array result types too; scalar forms map to CAST
+        sql_t = _JSON_TYPES.get(t)
+        if sql_t is None:
+            raise ValueError(f"unsupported {name} type {t!r}")
+        base = f"get_json_object({args[0]}, {args[1]})"
+        expr = base if sql_t == "STRING" else f"cast({base} as {sql_t})"
+        if len(args) == 4:
+            dflt = args[3]
+            d = dflt if sql_t == "STRING" else f"cast({dflt} as {sql_t})"
+            return f"coalesce({expr}, {d})"
+        return expr
+
+    return build
 
 
 def _valuein(args: list[str]) -> str:
@@ -878,7 +885,14 @@ _REWRITES: dict = {
         "or use FUNNELMAXSTEP/FUNNELMATCHSTEP/FUNNELCOMPLETECOUNT for "
         "step-reach questions (SURVEY B16 funnel family)",
     ),
-    "JSONEXTRACTSCALAR": _jsonextractscalar,
+    "JSONEXTRACTSCALAR": _jsonextract("JSONEXTRACTSCALAR"),
+    # Pinot 1.2 JSONEXTRACTINDEX **[P1.2]**: the json-index-backed twin
+    # of JSONEXTRACTSCALAR — same (json, path, type[, default]) contract
+    # and same ANSWER (the index only changes Pinot's access path; this
+    # engine's scan is the access path).  Pinot's 5-argument
+    # filter-predicate form is not served — the shared builder raises
+    # its loud arity error for it.
+    "JSONEXTRACTINDEX": _jsonextract("JSONEXTRACTINDEX"),
     "DISTINCTCOUNT": _exact_distinct,
     "DISTINCTCOUNTBITMAP": _exact_distinct,
     "DISTINCTCOUNTSMARTHLL": _exact_distinct,

@@ -2322,3 +2322,17 @@ def test_tuple_value_route_sums_at_native_type(spark, agg_engine):
     # exact int64 sum is 2^53 + 2, which IS double-representable; the
     # old cast-first form computed 2^53 + 1 -> 2^53, then + 1 = 2^53+... 
     assert got == float(big + 1)
+
+
+def test_jsonextractindex_shares_the_scalar_contract(agg_engine):
+    """Pinot 1.2 jsonExtractIndex: the json-index-backed twin of
+    JSONEXTRACTSCALAR — same args, same answer (the index is an access
+    path, not a semantic); the 5-arg filter form rejects loudly."""
+    got = agg_engine.query(
+        'SELECT JSONEXTRACTINDEX(\'{"a": {"b": 7}}\', \'$.a.b\', '
+        "'LONG') AS x"
+    ).collect()[0]["x"]
+    assert got == 7
+    with pytest.raises(ValueError, match="JSONEXTRACTINDEX"):
+        R("SELECT JSONEXTRACTINDEX(js, '$.a', 'LONG', 0, '\"$.f\" = 1') "
+          "FROM t")
