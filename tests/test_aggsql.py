@@ -2336,3 +2336,33 @@ def test_jsonextractindex_shares_the_scalar_contract(agg_engine):
     with pytest.raises(ValueError, match="JSONEXTRACTINDEX"):
         R("SELECT JSONEXTRACTINDEX(js, '$.a', 'LONG', 0, '\"$.f\" = 1') "
           "FROM t")
+
+
+def test_percentilemv_routes_past_scalar_rewrite_names(spark, mv_engine):
+    """The round-8 review's exact hard-error repro: a loud-fallback-only
+    spelling (PERCENTILEMV) co-occurring with JSONEXTRACTSCALAR must
+    route, not raise."""
+    spark.sql(
+        "SELECT * FROM VALUES ('a', array(1.0D, 2.0D), '{\"f\": \"x\"}'), "
+        "('a', array(3.0D), '{\"f\": \"x\"}') AS t(g, vals, js)"
+    ).createOrReplaceTempView("pmv_scalar")
+    got = mv_engine.query(
+        "SELECT g, PERCENTILEMV(vals, 50) AS p50 FROM pmv_scalar "
+        "WHERE JSONEXTRACTSCALAR(js, '$.f', 'STRING') = 'x' GROUP BY g"
+    ).collect()
+    assert got[0]["p50"] == 2.0
+
+
+def test_keyed_route_survives_datetimeconvert(mv_engine):
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_keyed_agg_statement,
+    )
+
+    src = (
+        "SELECT SUMVALUESINTEGERSUMTUPLESKETCH(k, v) AS s FROM t "
+        "WHERE DATETIMECONVERT(ts, '1:MILLISECONDS:EPOCH', "
+        "'1:HOURS:EPOCH', '1:HOURS') > 10"
+    )
+    assert rewrite_keyed_agg_statement(
+        src, is_aggregate=mv_engine._is_catalog_aggregate
+    ) is not None
