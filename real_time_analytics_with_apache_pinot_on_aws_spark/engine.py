@@ -426,12 +426,20 @@ class Engine:
             self._catalog_fn_classes is None
             or u not in self._catalog_fn_classes
         ):
-            self._catalog_fn_classes = {
+            fresh = {
                 f.name.upper(): (f.className or "")
                 for f in self.spark.catalog.listFunctions()
             }
+            # MERGE, don't replace: prior cached misses must survive the
+            # rebuild (round-8 review: replacing the dict made two
+            # co-occurring unknown names re-enumerate the catalog on
+            # every call, each rebuild discarding the other's miss)
+            if self._catalog_fn_classes:
+                for k, v in self._catalog_fn_classes.items():
+                    fresh.setdefault(k, v)
             # cache the miss: one refresh per unseen name, not per call
-            self._catalog_fn_classes.setdefault(u, None)
+            fresh.setdefault(u, None)
+            self._catalog_fn_classes = fresh
         cls = self._catalog_fn_classes.get(u)
         if cls is None:
             return True  # unresolvable name: the statement errors anyway

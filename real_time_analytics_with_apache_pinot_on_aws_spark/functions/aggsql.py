@@ -821,13 +821,24 @@ def _mv_exact_distinct_fallback(a: list[str]) -> str:
 # positively-known scalars (they are textual rewrites, deliberately
 # absent from the session catalog — round-8 review: the fail-safe was
 # bailing routable statements that merely mentioned them).
-SCALAR_REWRITE_NAMES = frozenset(
-    """DATETIMECONVERT JSONEXTRACTSCALAR VALUEIN IN_SUBQUERY INSUBQUERY
-    IN_PARTITIONED_SUBQUERY INPARTITIONEDSUBQUERY""".split()
-)
+def _idset_reject(name: str, verb: str):
+    """One message per IdSet blob-form pair (round-8 review: the four
+    entries copy-pasted two identical strings)."""
+    return _reject_loudly(
+        name,
+        f"{verb} a serialized base64 IdSet — this engine keeps id sets "
+        "relational; filter with IN_SUBQUERY(expr, 'SELECT ID_SET(col) "
+        "FROM ...') (served exactly as an IN-subquery) or a plain "
+        "IN (SELECT col FROM ...) (SURVEY B42)",
+    )
 
 
-_REWRITES: dict = {
+# The SCALAR (per-row) rewrites, in ONE dict so the classification set
+# below cannot drift from the entries (round-8 review: a manually
+# maintained parallel list omitted JSONEXTRACTINDEX, silently bailing
+# every route that mentioned it).  Everything else in _REWRITES is an
+# aggregate or a loud reject.
+_SCALAR_REWRITES: dict = {
     "DATETIMECONVERT": _datetimeconvert,
     "VALUEIN": _valuein,
     # B42 IdSet wire spellings (round 8): the cross-query filter's SQL
@@ -839,34 +850,25 @@ _REWRITES: dict = {
     "INSUBQUERY": _in_subquery("INSUBQUERY"),
     "IN_PARTITIONED_SUBQUERY": _in_subquery("IN_PARTITIONED_SUBQUERY"),
     "INPARTITIONEDSUBQUERY": _in_subquery("INPARTITIONEDSUBQUERY"),
-    "ID_SET": _reject_loudly(
-        "ID_SET",
-        "returns a serialized base64 IdSet in Pinot — this engine keeps "
-        "id sets relational; filter with IN_SUBQUERY(expr, 'SELECT "
-        "ID_SET(col) FROM ...') (served exactly as an IN-subquery) or a "
-        "plain IN (SELECT col FROM ...) (SURVEY B42)",
-    ),
-    "IDSET": _reject_loudly(
-        "IDSET",
-        "returns a serialized base64 IdSet in Pinot — this engine keeps "
-        "id sets relational; filter with IN_SUBQUERY(expr, 'SELECT "
-        "ID_SET(col) FROM ...') (served exactly as an IN-subquery) or a "
-        "plain IN (SELECT col FROM ...) (SURVEY B42)",
-    ),
-    "IN_ID_SET": _reject_loudly(
-        "IN_ID_SET",
-        "filters against a serialized base64 IdSet blob — this engine "
-        "keeps id sets relational; use IN_SUBQUERY(expr, 'SELECT "
-        "ID_SET(col) FROM ...') or IN (SELECT col FROM ...) (SURVEY "
-        "B42)",
-    ),
-    "INIDSET": _reject_loudly(
-        "INIDSET",
-        "filters against a serialized base64 IdSet blob — this engine "
-        "keeps id sets relational; use IN_SUBQUERY(expr, 'SELECT "
-        "ID_SET(col) FROM ...') or IN (SELECT col FROM ...) (SURVEY "
-        "B42)",
-    ),
+    "JSONEXTRACTSCALAR": _jsonextract("JSONEXTRACTSCALAR"),
+    # Pinot 1.2 JSONEXTRACTINDEX **[P1.2]**: the json-index-backed twin
+    # of JSONEXTRACTSCALAR — same (json, path, type[, default]) contract
+    # and same ANSWER (the index only changes Pinot's access path; this
+    # engine's scan is the access path).  Pinot's 5-argument
+    # filter-predicate form is not served — the shared builder raises
+    # its loud arity error for it.
+    "JSONEXTRACTINDEX": _jsonextract("JSONEXTRACTINDEX"),
+}
+
+SCALAR_REWRITE_NAMES = frozenset(_SCALAR_REWRITES)
+
+
+_REWRITES: dict = {
+    **_SCALAR_REWRITES,
+    "ID_SET": _idset_reject("ID_SET", "returns"),
+    "IDSET": _idset_reject("IDSET", "returns"),
+    "IN_ID_SET": _idset_reject("IN_ID_SET", "filters against"),
+    "INIDSET": _idset_reject("INIDSET", "filters against"),
     "FUNNELCOUNT": _funnelcount,
     "HISTOGRAM": _histogram,
     "FUNNELMAXSTEP": _funnel("MAXSTEP"),
@@ -885,14 +887,6 @@ _REWRITES: dict = {
         "or use FUNNELMAXSTEP/FUNNELMATCHSTEP/FUNNELCOMPLETECOUNT for "
         "step-reach questions (SURVEY B16 funnel family)",
     ),
-    "JSONEXTRACTSCALAR": _jsonextract("JSONEXTRACTSCALAR"),
-    # Pinot 1.2 JSONEXTRACTINDEX **[P1.2]**: the json-index-backed twin
-    # of JSONEXTRACTSCALAR — same (json, path, type[, default]) contract
-    # and same ANSWER (the index only changes Pinot's access path; this
-    # engine's scan is the access path).  Pinot's 5-argument
-    # filter-predicate form is not served — the shared builder raises
-    # its loud arity error for it.
-    "JSONEXTRACTINDEX": _jsonextract("JSONEXTRACTINDEX"),
     "DISTINCTCOUNT": _exact_distinct,
     "DISTINCTCOUNTBITMAP": _exact_distinct,
     "DISTINCTCOUNTSMARTHLL": _exact_distinct,
@@ -2135,7 +2129,12 @@ def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
                 # sum at the NATIVE value type — casting to double FIRST
                 # collapsed exact int64 sums above 2^53 (round-8 review:
                 # the same class as the MV-distinct native-type dedup
-                # fix); the double cast happens once, on the outer level
+                # fix); the double cast happens once, on the outer level.
+                # DELIBERATE consequence: an integral per-key sum past
+                # int64 raises Spark's ANSI ARITHMETIC_OVERFLOW — a loud
+                # truthful failure where Pinot's long accumulator wraps
+                # silently and the old double cast drifted silently;
+                # both silent-wrong modes lose to the loud one here.
                 f"sum(({payload})) AS __fc{j}_v"
             )
             repl = (

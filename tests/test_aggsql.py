@@ -2366,3 +2366,36 @@ def test_keyed_route_survives_datetimeconvert(mv_engine):
     assert rewrite_keyed_agg_statement(
         src, is_aggregate=mv_engine._is_catalog_aggregate
     ) is not None
+
+
+def test_jsonextractindex_is_a_known_scalar_for_routes(mv_engine):
+    """Second round-8 review pass: JSONEXTRACTINDEX was missing from the
+    scalar classification and re-bailed the routes; the set is now
+    DERIVED from the scalar-rewrite dict so an omission is impossible."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        _REWRITES,
+        _SCALAR_REWRITES,
+        SCALAR_REWRITE_NAMES,
+    )
+
+    assert "JSONEXTRACTINDEX" in SCALAR_REWRITE_NAMES
+    assert SCALAR_REWRITE_NAMES == frozenset(_SCALAR_REWRITES)
+    assert set(_SCALAR_REWRITES) <= set(_REWRITES)
+    src = (
+        "SELECT g, DISTINCTCOUNTMV(tags) FROM t "
+        "WHERE JSONEXTRACTINDEX(js, '$.a', 'STRING') = 'x' GROUP BY g"
+    )
+    assert RMV(src, is_aggregate=mv_engine._is_catalog_aggregate) is not None
+
+
+def test_catalog_miss_cache_survives_rebuilds(mv_engine):
+    """Second round-8 review pass: with TWO unknown names, each rebuild
+    replaced the dict and discarded the other's cached miss — the merge
+    keeps both."""
+    assert mv_engine._is_catalog_aggregate("unknown_name_one")
+    assert mv_engine._is_catalog_aggregate("unknown_name_two")
+    cache = mv_engine._catalog_fn_classes
+    assert "UNKNOWN_NAME_ONE" in cache and "UNKNOWN_NAME_TWO" in cache
+    mv_engine._is_catalog_aggregate("unknown_name_one")
+    mv_engine._is_catalog_aggregate("unknown_name_two")
+    assert mv_engine._catalog_fn_classes is cache  # no further rebuilds
