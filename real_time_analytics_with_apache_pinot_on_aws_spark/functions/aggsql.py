@@ -908,6 +908,14 @@ _REWRITES: dict = {
     ),
     "DISTINCTCOUNTCPCSKETCH": _sketch_distinct("DISTINCTCOUNTCPCSKETCH"),
     "DISTINCTCOUNTTUPLESKETCH": _sketch_distinct("DISTINCTCOUNTTUPLESKETCH"),
+    # the RAW serialized-sketch twins (round 8): served as the exact
+    # count the sketch estimates, the established RAW policy
+    "DISTINCTCOUNTRAWCPCSKETCH": _sketch_distinct(
+        "DISTINCTCOUNTRAWCPCSKETCH"
+    ),
+    "DISTINCTCOUNTRAWINTEGERSUMTUPLESKETCH": _sketch_distinct(
+        "DISTINCTCOUNTRAWINTEGERSUMTUPLESKETCH"
+    ),
     # ULL (UltraLogLog, Pinot 1.2): the HLL estimator family — the same
     # DataSketches-backed estimate the star-tree HLL cells and
     # DISTINCTCOUNTHLL return, so every estimator-named spelling agrees
@@ -955,6 +963,9 @@ _REWRITES: dict = {
     "DISTINCTCOUNTRAWHLL": lambda a: (
         f"hll_sketch_estimate(hll_sketch_agg({a[0]}))"
     ),
+    # Pinot's deprecated-but-still-resolving FASTHLL (pre-DataSketches
+    # serialized HLL): same single-estimator-family service
+    "FASTHLL": lambda a: f"hll_sketch_estimate(hll_sketch_agg({a[0]}))",
     # *MV distinct FALLBACK expressions — the statement-level route
     # (rewrite_mv_distinct_statement, applied first by Engine.query)
     # serves the bounded exploded plan; these call-site forms only fire
@@ -1038,8 +1049,40 @@ _REWRITES: dict = {
     # ordering) — see _expr_extreme for the full semantics note.
     "EXPRMIN": _expr_extreme("EXPRMIN", "min_by"),
     "EXPRMAX": _expr_extreme("EXPRMAX", "max_by"),
-    # Pinot 1.2 ARRAYAGG **[P1.2]**: typed collect (see _arrayagg)
+    # Pinot canonicalizes function names by STRIPPING UNDERSCORES, so
+    # both spellings of each pair resolve on a real broker — serve both
+    # (round 8; ARG_MIN/ARGMIN and EXPR_MIN/EXPRMIN are the pairs the
+    # docs actually print in both forms)
+    "ARGMIN": _arg_extreme("ARGMIN", "min_by"),
+    "ARGMAX": _arg_extreme("ARGMAX", "max_by"),
+    "EXPR_MIN": _expr_extreme("EXPR_MIN", "min_by"),
+    "EXPR_MAX": _expr_extreme("EXPR_MAX", "max_by"),
+    # Pinot 1.2 ARRAYAGG **[P1.2]**: typed collect (see _arrayagg).
+    # The underscored spelling doubles as Spark's own 1-arg array_agg
+    # builtin — arity dispatches: 1 arg passes through untouched, the
+    # Pinot 2-3-arg typed form rewrites (the PERCENTILE-collision
+    # pattern).
     "ARRAYAGG": _arrayagg,
+    "ARRAY_AGG": lambda a: (
+        f"array_agg({a[0]})" if len(a) == 1 else _arrayagg(a)
+    ),
+    # Pinot's element-wise array-sum aggregates collect whole arrays per
+    # group into one expression — the unbounded-state shape this surface
+    # refuses; the bounded plan is posexplode + GROUP BY position.
+    "SUMARRAYLONG": _reject_loudly(
+        "SUMARRAYLONG",
+        "(element-wise array sum) needs per-group array state in one "
+        "expression — use LATERAL VIEW POSEXPLODE(col) then GROUP BY "
+        "pos with sum(elem) and collect the positions back if an array "
+        "is required (bounded, shuffle-only)",
+    ),
+    "SUMARRAYDOUBLE": _reject_loudly(
+        "SUMARRAYDOUBLE",
+        "(element-wise array sum) needs per-group array state in one "
+        "expression — use LATERAL VIEW POSEXPLODE(col) then GROUP BY "
+        "pos with sum(elem) and collect the positions back if an array "
+        "is required (bounded, shuffle-only)",
+    ),
     "SUMPRECISION": lambda a: f"sum(cast({a[0]} as decimal(38,18)))",
     "PERCENTILE": _percentile("percentile", always_percent=False),
     "PERCENTILEEST": _percentile("approx_percentile"),
@@ -1331,7 +1374,9 @@ _DUP_IMMUNE_AGGS = frozenset(
     DISTINCTCOUNTTHETASKETCH DISTINCTCOUNTRAWTHETASKETCH
     DISTINCTCOUNTCPCSKETCH DISTINCTCOUNTTUPLESKETCH DISTINCTCOUNTULL
     DISTINCTCOUNTRAWULL DISTINCTCOUNTHLLPLUS DISTINCTCOUNTRAWHLLPLUS
-    FIRSTWITHTIME LASTWITHTIME ARG_MIN ARG_MAX EXPRMIN EXPRMAX""".split()
+    FIRSTWITHTIME LASTWITHTIME ARG_MIN ARG_MAX EXPRMIN EXPRMAX
+    ARGMIN ARGMAX EXPR_MIN EXPR_MAX FASTHLL DISTINCTCOUNTRAWCPCSKETCH
+    DISTINCTCOUNTRAWINTEGERSUMTUPLESKETCH""".split()
 )
 
 # correct once the argument is masked to the first exploded copy
@@ -1348,8 +1393,8 @@ _DUP_UNSAFE_AGGS = frozenset(
     PERCENTILE_CONT PERCENTILE_DISC MEDIAN MODE STDDEV STDDEV_POP
     STDDEV_SAMP STD VARIANCE VAR_POP VAR_SAMP SKEWNESS KURTOSIS CORR
     COVAR_POP COVAR_SAMP COLLECT_LIST ARRAY_AGG LISTAGG STRING_AGG
-    ARRAYAGG BIT_XOR HISTOGRAM_NUMERIC COUNT_MIN_SKETCH GROUPING
-    GROUPING_ID
+    ARRAYAGG SUMARRAYLONG SUMARRAYDOUBLE BIT_XOR HISTOGRAM_NUMERIC
+    COUNT_MIN_SKETCH GROUPING GROUPING_ID
     REGR_AVGX REGR_AVGY REGR_COUNT REGR_INTERCEPT REGR_R2 REGR_SLOPE
     REGR_SXX REGR_SXY REGR_SYY FUNNELCOUNT FUNNELMAXSTEP
     FUNNELMATCHSTEP FUNNELCOMPLETECOUNT FUNNELSTEPDURATIONSTATS

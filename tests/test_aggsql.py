@@ -2399,3 +2399,37 @@ def test_catalog_miss_cache_survives_rebuilds(mv_engine):
     mv_engine._is_catalog_aggregate("unknown_name_one")
     mv_engine._is_catalog_aggregate("unknown_name_two")
     assert mv_engine._catalog_fn_classes is cache  # no further rebuilds
+
+
+# ---------------------------------------------------------------------------
+# round 8: Pinot strips underscores when resolving function names, so
+# both spellings of each pair resolve on a real broker
+
+
+@pytest.mark.parametrize(
+    "src,want",
+    [
+        ("SELECT ARGMIN(ts, v) FROM t", "SELECT min_by(v, ts) FROM t"),
+        ("SELECT argmax(ts, v) FROM t", "SELECT max_by(v, ts) FROM t"),
+        ("SELECT EXPR_MIN(p, m) FROM t", "SELECT min_by(p, m) FROM t"),
+        ("SELECT expr_max(p, m) FROM t", "SELECT max_by(p, m) FROM t"),
+        # ARRAY_AGG arity-dispatch: 1 arg is Spark's own builtin
+        ("SELECT ARRAY_AGG(v) FROM t", "SELECT array_agg(v) FROM t"),
+        ("SELECT ARRAY_AGG(v, 'LONG') FROM t",
+         "SELECT cast(collect_list(v) as array<bigint>) FROM t"),
+        ("SELECT FASTHLL(u) FROM t",
+         "SELECT hll_sketch_estimate(hll_sketch_agg(u)) FROM t"),
+        ("SELECT DISTINCTCOUNTRAWCPCSKETCH(u) FROM t",
+         "SELECT count(DISTINCT u) FROM t"),
+        ("SELECT DISTINCTCOUNTRAWINTEGERSUMTUPLESKETCH(u) FROM t",
+         "SELECT count(DISTINCT u) FROM t"),
+    ],
+)
+def test_underscore_variant_spellings(src, want):
+    assert R(src) == want
+
+
+def test_sumarray_rejects_with_bounded_recipe():
+    for name in ("SUMARRAYLONG", "SUMARRAYDOUBLE"):
+        with pytest.raises(ValueError, match="POSEXPLODE"):
+            R(f"SELECT {name}(arr) FROM t")
