@@ -94,25 +94,36 @@ def _exact_distinct(args: list[str]) -> str:
     return f"count(DISTINCT {args[0]})"
 
 
-def _sketch_distinct(name: str):
+def _sketch_distinct(name: str, theta: bool = False):
     """DataSketches-named distincts: 1 arg (exact service) or 2 args with
     the tuning literal ignored.  The theta SET-EXPRESSION form (3+ args)
     is served by the keyed two-level statement route
     (rewrite_keyed_agg_statement — exact per-key membership flags, round
-    8), so reaching THIS builder with 3+ args means the statement shape
-    was unroutable; reject loudly rather than silently answering a
-    different question."""
+    8), so reaching THIS builder with 3+ args on a THETA name means the
+    statement shape was unroutable; on every other sketch name the form
+    does not exist in Pinot at all — each case rejects loudly with the
+    message that is actually true for it (round-8 review: the route
+    message sent non-theta users to restructure a query no shape could
+    ever route)."""
 
     def build(args: list[str]) -> str:
         if len(args) > 2:
+            if theta:
+                raise ValueError(
+                    f"{name}: the set-expression form is served only "
+                    "for single-table statements the two-level exact "
+                    "route can restructure (no subqueries/joins/windows/"
+                    "other aggregates) — this statement shape is not; "
+                    "use the sketch set-algebra API (operators/"
+                    "sketch.py, SURVEY B21) for filtered intersections/"
+                    "unions over arbitrary shapes"
+                )
             raise ValueError(
-                f"{name}: the set-expression form is served only for "
-                "single-table statements the two-level exact route can "
-                "restructure (no subqueries/joins/windows/other "
-                "aggregates) — this statement shape is not; use the "
-                "sketch set-algebra API (operators/sketch.py, SURVEY "
-                "B21) for filtered intersections/unions over arbitrary "
-                "shapes"
+                f"{name} takes (column[, tuningLiteral]) — the filtered "
+                "set-expression form is a THETA-sketch spelling "
+                "(DISTINCTCOUNT[RAW]THETASKETCH); for set algebra over "
+                "other sketch families use operators/sketch.py "
+                "(SURVEY B21)"
             )
         return f"count(DISTINCT {args[0]})"
 
@@ -821,6 +832,16 @@ def _mv_exact_distinct_fallback(a: list[str]) -> str:
 # positively-known scalars (they are textual rewrites, deliberately
 # absent from the session catalog — round-8 review: the fail-safe was
 # bailing routable statements that merely mentioned them).
+def _sumarray_reject(name: str):
+    return _reject_loudly(
+        name,
+        "(element-wise array sum) needs per-group array state in one "
+        "expression — use LATERAL VIEW POSEXPLODE(col) then GROUP BY "
+        "pos with sum(elem) and collect the positions back if an array "
+        "is required (bounded, shuffle-only)",
+    )
+
+
 def _idset_reject(name: str, verb: str):
     """One message per IdSet blob-form pair (round-8 review: the four
     entries copy-pasted two identical strings)."""
@@ -902,9 +923,11 @@ _REWRITES: dict = {
     # plain distinct would silently answer a different question;
     # operators/sketch.py carries the operator-level set-algebra
     # surface (B21).
-    "DISTINCTCOUNTTHETASKETCH": _sketch_distinct("DISTINCTCOUNTTHETASKETCH"),
+    "DISTINCTCOUNTTHETASKETCH": _sketch_distinct(
+        "DISTINCTCOUNTTHETASKETCH", theta=True
+    ),
     "DISTINCTCOUNTRAWTHETASKETCH": _sketch_distinct(
-        "DISTINCTCOUNTRAWTHETASKETCH"
+        "DISTINCTCOUNTRAWTHETASKETCH", theta=True
     ),
     "DISTINCTCOUNTCPCSKETCH": _sketch_distinct("DISTINCTCOUNTCPCSKETCH"),
     "DISTINCTCOUNTTUPLESKETCH": _sketch_distinct("DISTINCTCOUNTTUPLESKETCH"),
@@ -1069,20 +1092,8 @@ _REWRITES: dict = {
     # Pinot's element-wise array-sum aggregates collect whole arrays per
     # group into one expression — the unbounded-state shape this surface
     # refuses; the bounded plan is posexplode + GROUP BY position.
-    "SUMARRAYLONG": _reject_loudly(
-        "SUMARRAYLONG",
-        "(element-wise array sum) needs per-group array state in one "
-        "expression — use LATERAL VIEW POSEXPLODE(col) then GROUP BY "
-        "pos with sum(elem) and collect the positions back if an array "
-        "is required (bounded, shuffle-only)",
-    ),
-    "SUMARRAYDOUBLE": _reject_loudly(
-        "SUMARRAYDOUBLE",
-        "(element-wise array sum) needs per-group array state in one "
-        "expression — use LATERAL VIEW POSEXPLODE(col) then GROUP BY "
-        "pos with sum(elem) and collect the positions back if an array "
-        "is required (bounded, shuffle-only)",
-    ),
+    "SUMARRAYLONG": _sumarray_reject("SUMARRAYLONG"),
+    "SUMARRAYDOUBLE": _sumarray_reject("SUMARRAYDOUBLE"),
     "SUMPRECISION": lambda a: f"sum(cast({a[0]} as decimal(38,18)))",
     "PERCENTILE": _percentile("percentile", always_percent=False),
     "PERCENTILEEST": _percentile("approx_percentile"),
@@ -1224,6 +1235,18 @@ def _split_top_level_commas(s: str) -> list[str]:
     return [p for p in parts]
 
 
+# Spark builtins whose underscore-stripped form collides with a table
+# entry — they keep their native resolution (audited against the Spark
+# 4.1 catalog: exactly the stats family, whose stripped rewrites would
+# be identities anyway; pinned by test_underscore_stripping_never_
+# shadows_spark_builtins so a new table entry cannot silently shadow a
+# builtin).
+_UNDERSCORE_KEEP_NATIVE = frozenset(
+    """COVAR_POP COVAR_SAMP STDDEV_POP STDDEV_SAMP VAR_POP
+    VAR_SAMP""".split()
+)
+
+
 def rewrite_pinot_aggregates(sql: str) -> str:
     """Rewrite every Pinot aggregate call site in ``sql`` to its Spark
     expression.  Identifiers inside string literals are untouched; names
@@ -1243,7 +1266,17 @@ def rewrite_pinot_aggregates(sql: str) -> str:
         m = _IDENT_CALL_RE.match(sql, i)
         if m and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
             name = m.group(0)
-            build = _REWRITES.get(name.upper())
+            u = name.upper()
+            build = _REWRITES.get(u)
+            if build is None and "_" in u:
+                # Pinot's resolver canonicalizes names by STRIPPING
+                # UNDERSCORES, so every table entry also answers to its
+                # underscored spellings (MIN_MAX_RANGE, SUM_PRECISION,
+                # DISTINCT_COUNT, ...) — except names that are genuine
+                # Spark builtins in their own right (the stats family),
+                # which must keep their native resolution.
+                if u not in _UNDERSCORE_KEEP_NATIVE:
+                    build = _REWRITES.get(u.replace("_", ""))
             # require an immediately following '(' (whitespace allowed)
             k = m.end()
             while k < n and sql[k] in " \t\r\n":

@@ -2433,3 +2433,48 @@ def test_sumarray_rejects_with_bounded_recipe():
     for name in ("SUMARRAYLONG", "SUMARRAYDOUBLE"):
         with pytest.raises(ValueError, match="POSEXPLODE"):
             R(f"SELECT {name}(arr) FROM t")
+
+
+def test_underscore_stripping_serves_the_whole_table():
+    """Pinot strips underscores for EVERY name, not a curated subset —
+    the dispatch now mirrors that at lookup time."""
+    assert R("SELECT MIN_MAX_RANGE(v) FROM t") == (
+        "SELECT (max(v) - min(v)) FROM t"
+    )
+    assert R("SELECT DISTINCT_COUNT(u) FROM t") == (
+        "SELECT count(DISTINCT u) FROM t"
+    )
+    assert R("SELECT SUM_PRECISION(v) FROM t") == (
+        "SELECT sum(cast(v as decimal(38,18))) FROM t"
+    )
+    assert R("SELECT FAST_HLL(u) FROM t") == (
+        "SELECT hll_sketch_estimate(hll_sketch_agg(u)) FROM t"
+    )
+
+
+def test_underscore_stripping_never_shadows_spark_builtins(spark):
+    """Audit invariant: no Spark builtin with an underscore may resolve
+    through the stripped lookup to a DIFFERENT expression — the guard
+    set must cover every collision in the live catalog."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        _REWRITES,
+        _UNDERSCORE_KEEP_NATIVE,
+    )
+
+    for f in spark.catalog.listFunctions():
+        n = f.name.upper()
+        if "_" in n and n.replace("_", "") in _REWRITES and n not in _REWRITES:
+            assert n in _UNDERSCORE_KEEP_NATIVE, (
+                f"{n} would be shadowed by the stripped lookup"
+            )
+    # and the guarded names stay native
+    assert R("SELECT VAR_POP(v) FROM t") == "SELECT VAR_POP(v) FROM t"
+
+
+def test_nontheta_set_expression_message_is_truthful():
+    with pytest.raises(ValueError, match="THETA-sketch spelling"):
+        R("SELECT DISTINCTCOUNTRAWCPCSKETCH(u, 'p', 'x', "
+          "'SET_UNION($1)') FROM t")
+    with pytest.raises(ValueError, match="restructure"):
+        R("SELECT DISTINCTCOUNTTHETASKETCH(u, 'p', 'x', "
+          "'SET_UNION($1)') FROM t")
