@@ -2478,3 +2478,19 @@ def test_nontheta_set_expression_message_is_truthful():
     with pytest.raises(ValueError, match="restructure"):
         R("SELECT DISTINCTCOUNTTHETASKETCH(u, 'p', 'x', "
           "'SET_UNION($1)') FROM t")
+
+
+def test_every_underscored_entry_has_its_stripped_twin():
+    """Pinot's canonical (resolver) form is the underscore-FREE one, and
+    the stripped lookup only helps users typing underscores — so every
+    underscored table key must also register its stripped twin
+    explicitly, or that canonical spelling falls through."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        _REWRITES,
+    )
+
+    missing = [
+        k for k in _REWRITES
+        if "_" in k and k.replace("_", "") not in _REWRITES
+    ]
+    assert not missing, missing
