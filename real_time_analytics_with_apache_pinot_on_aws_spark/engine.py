@@ -397,6 +397,37 @@ class Engine:
         self._catalog_fn_classes: dict | None = None
         pfn.register_all(spark)
 
+    def _catalog_class(self, u: str) -> str | None:
+        """className of the catalog function named ``u`` (upper-cased),
+        or None when the catalog does not know it.  Unseen names refresh
+        the cache once; the refresh MERGES (round-8 review: replacing
+        the dict made two co-occurring unknown names re-enumerate the
+        catalog on every call, each rebuild discarding the other's
+        cached miss)."""
+        if (
+            self._catalog_fn_classes is None
+            or u not in self._catalog_fn_classes
+        ):
+            fresh = {
+                f.name.upper(): (f.className or "")
+                for f in self.spark.catalog.listFunctions()
+            }
+            if self._catalog_fn_classes:
+                for k, v in self._catalog_fn_classes.items():
+                    fresh.setdefault(k, v)
+            # cache the miss: one refresh per unseen name, not per call
+            fresh.setdefault(u, None)
+            self._catalog_fn_classes = fresh
+        return self._catalog_fn_classes.get(u)
+
+    def _catalog_has_function(self, name: str) -> bool:
+        """Live-catalog keep-native guard for the underscore
+        canonicalization: a name the session catalog RESOLVES (builtin,
+        macro, or runtime-registered UDF) keeps its native meaning —
+        e.g. a user UDF ``fast_hll`` is never silently rewritten into
+        the FASTHLL estimate (round-8 review)."""
+        return self._catalog_class(name.upper()) is not None
+
     def _is_catalog_aggregate(self, name: str) -> bool:
         """Fail-safe aggregate test for the statement routes (round-7
         ADVICE + round-8 review): returns False only when the session
@@ -422,25 +453,7 @@ class Engine:
         u = name.upper()
         if u in aggsql.SCALAR_REWRITE_NAMES:
             return False
-        if (
-            self._catalog_fn_classes is None
-            or u not in self._catalog_fn_classes
-        ):
-            fresh = {
-                f.name.upper(): (f.className or "")
-                for f in self.spark.catalog.listFunctions()
-            }
-            # MERGE, don't replace: prior cached misses must survive the
-            # rebuild (round-8 review: replacing the dict made two
-            # co-occurring unknown names re-enumerate the catalog on
-            # every call, each rebuild discarding the other's miss)
-            if self._catalog_fn_classes:
-                for k, v in self._catalog_fn_classes.items():
-                    fresh.setdefault(k, v)
-            # cache the miss: one refresh per unseen name, not per call
-            fresh.setdefault(u, None)
-            self._catalog_fn_classes = fresh
-        cls = self._catalog_fn_classes.get(u)
+        cls = self._catalog_class(u)
         if cls is None:
             return True  # unresolvable name: the statement errors anyway
         if "expressions.aggregate" in cls:
@@ -2881,10 +2894,22 @@ class Engine:
         # wire surface rewrites call sites textually (quote-aware,
         # functions/aggsql.py)
         from .functions.aggsql import (
+            canonicalize_pinot_spellings,
             rewrite_keyed_agg_statement,
             rewrite_mv_distinct_statement,
             rewrite_ordered_funnel_statement,
             rewrite_pinot_aggregates,
+        )
+
+        # Underscored Pinot spellings canonicalize BEFORE the statement
+        # routes so every gate/classification sees one spelling —
+        # DISTINCT_COUNT_HLL_MV routes to the same bounded plan as
+        # DISTINCTCOUNTHLLMV (round-8 review: stripping only at the
+        # call-site lookup split routed and fallback answers by spelling
+        # choice).  The live-catalog guard keeps runtime-registered UDFs
+        # resolving natively.
+        sql = canonicalize_pinot_spellings(
+            sql, keep_native=self._catalog_has_function
         )
 
         # DISTINCTCOUNTHLLMV/DISTINCTCOUNTMV statements route to the
@@ -2919,14 +2944,20 @@ class Engine:
         if routed_mv is not None:
             # loud arity/shape ValueErrors from the rewrite must surface,
             # so only the ANALYSIS is inside the try
-            probed = rewrite_pinot_aggregates(routed_mv)
+            probed = rewrite_pinot_aggregates(
+                routed_mv, keep_native=self._catalog_has_function
+            )
             try:
                 self.spark.sql(probed)  # analysis only, no execution
                 sql = probed  # reuse the probed text: one rewrite, not two
             except Exception:
-                sql = rewrite_pinot_aggregates(sql)
+                sql = rewrite_pinot_aggregates(
+                    sql, keep_native=self._catalog_has_function
+                )
         else:
-            sql = rewrite_pinot_aggregates(sql)
+            sql = rewrite_pinot_aggregates(
+                sql, keep_native=self._catalog_has_function
+            )
         has_lookup = False
         if self._LOOKUP_RE.search(sql):
             rewritten = self._rewrite_lookup_calls(sql)

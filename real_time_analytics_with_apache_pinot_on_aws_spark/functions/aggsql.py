@@ -1247,13 +1247,70 @@ _UNDERSCORE_KEEP_NATIVE = frozenset(
 )
 
 
-def rewrite_pinot_aggregates(sql: str) -> str:
+def canonicalize_pinot_spellings(sql: str, keep_native=None) -> str:
+    """Rewrite underscored call sites to their canonical underscore-free
+    twins, mirroring Pinot's resolver (it strips underscores from EVERY
+    function name).  This is a PRE-PASS: Engine.query applies it before
+    the statement routes, so every gate regex, target set, and
+    duplication-classification table sees ONE spelling —
+    ``DISTINCT_COUNT_HLL_MV`` routes to the same bounded plan as
+    ``DISTINCTCOUNTHLLMV`` instead of silently falling to the call-site
+    fallback (round-8 review: stripping only at the innermost lookup
+    split routed and fallback answers by spelling choice).
+
+    A name is canonicalized only when its stripped twin is in the
+    rewrite table and the spelled form is not: (a) itself a table entry,
+    (b) a guarded Spark builtin (``_UNDERSCORE_KEEP_NATIVE``), or
+    (c) accepted by ``keep_native`` — the engine passes a live-catalog
+    predicate so a runtime-registered UDF named e.g. ``fast_hll`` keeps
+    resolving to the user's function, never silently shadowed."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            j = _skip_literal(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        m = _IDENT_CALL_RE.match(sql, i)
+        if m and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+            name = m.group(0)
+            u = name.upper()
+            k = m.end()
+            while k < n and sql[k] in " \t\r\n":
+                k += 1
+            if (
+                "_" in u
+                and k < n
+                and sql[k] == "("
+                and u not in _REWRITES
+                and u.replace("_", "") in _REWRITES
+                and u not in _UNDERSCORE_KEEP_NATIVE
+                and not (keep_native is not None and keep_native(name))
+            ):
+                out.append(u.replace("_", ""))
+            else:
+                out.append(name)
+            i = m.end()
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def rewrite_pinot_aggregates(sql: str, keep_native=None) -> str:
     """Rewrite every Pinot aggregate call site in ``sql`` to its Spark
     expression.  Identifiers inside string literals are untouched; names
     not in the table pass through; arguments are rewritten recursively
     (subqueries inside arguments work).  A supported name called with an
     unsupported arity raises — silently passing it to Spark would produce
-    a confusing unresolved-function error under the ORIGINAL name."""
+    a confusing unresolved-function error under the ORIGINAL name.
+    Underscored spellings canonicalize first (one mechanism for the
+    whole module: canonicalize_pinot_spellings above); ``keep_native``
+    threads through so a caller's live-catalog guard applies at every
+    recursion depth."""
+    sql = canonicalize_pinot_spellings(sql, keep_native)
     out: list[str] = []
     i, n = 0, len(sql)
     while i < n:
@@ -1268,15 +1325,6 @@ def rewrite_pinot_aggregates(sql: str) -> str:
             name = m.group(0)
             u = name.upper()
             build = _REWRITES.get(u)
-            if build is None and "_" in u:
-                # Pinot's resolver canonicalizes names by STRIPPING
-                # UNDERSCORES, so every table entry also answers to its
-                # underscored spellings (MIN_MAX_RANGE, SUM_PRECISION,
-                # DISTINCT_COUNT, ...) — except names that are genuine
-                # Spark builtins in their own right (the stats family),
-                # which must keep their native resolution.
-                if u not in _UNDERSCORE_KEEP_NATIVE:
-                    build = _REWRITES.get(u.replace("_", ""))
             # require an immediately following '(' (whitespace allowed)
             k = m.end()
             while k < n and sql[k] in " \t\r\n":
@@ -1287,7 +1335,7 @@ def rewrite_pinot_aggregates(sql: str) -> str:
                     []
                     if not inner.strip()
                     else [
-                        rewrite_pinot_aggregates(a).strip()
+                        rewrite_pinot_aggregates(a, keep_native).strip()
                         for a in _split_top_level_commas(inner)
                     ]
                 )

@@ -2494,3 +2494,55 @@ def test_every_underscored_entry_has_its_stripped_twin():
         if "_" in k and k.replace("_", "") not in _REWRITES
     ]
     assert not missing, missing
+
+
+def test_underscored_mv_spelling_routes_identically(spark, mv_engine):
+    """Second review of the stripping change: canonicalization must run
+    BEFORE the statement routes, so DISTINCT_COUNT_HLL_MV gets the same
+    bounded routed plan (and the same HLL answer) as DISTINCTCOUNTHLLMV
+    — not the exact unbounded fallback."""
+    a = mv_engine.query(
+        "SELECT g, DISTINCT_COUNT_HLL_MV(tags) AS d FROM mvsrc "
+        "GROUP BY g ORDER BY g"
+    ).collect()
+    b = mv_engine.query(
+        "SELECT g, DISTINCTCOUNTHLLMV(tags) AS d FROM mvsrc "
+        "GROUP BY g ORDER BY g"
+    ).collect()
+    assert a == b
+
+
+def test_underscored_percentile_mv_routes_not_errors(spark, mv_engine):
+    spark.sql(
+        "SELECT * FROM VALUES ('a', array(1.0D, 2.0D)), ('a', array(3.0D)) "
+        "AS t(g, vals)"
+    ).createOrReplaceTempView("pmv_us")
+    got = mv_engine.query(
+        "SELECT g, PERCENTILE_MV(vals, 50) AS p FROM pmv_us GROUP BY g"
+    ).collect()
+    assert got[0]["p"] == 2.0
+
+
+def test_registered_udf_is_never_shadowed_by_stripping(spark, mv_engine):
+    """A runtime-registered UDF whose name strips into a table key must
+    keep resolving to the user's function through Engine.query."""
+    spark.udf.register("fast_hll", lambda x: 777, "int")
+    try:
+        got = mv_engine.query("SELECT fast_hll(1) AS x").collect()[0]["x"]
+        assert got == 777
+    finally:
+        spark.sql("DROP TEMPORARY FUNCTION IF EXISTS fast_hll")
+
+
+def test_underscored_scalar_mention_does_not_bail_routes(spark, mv_engine):
+    """JSON_EXTRACT_SCALAR canonicalizes to a known scalar before route
+    classification, so a routable statement mentioning it still routes."""
+    spark.sql(
+        "SELECT * FROM VALUES ('a', array(1.0D, 2.0D), '{\"f\": \"x\"}') "
+        "AS t(g, vals, js)"
+    ).createOrReplaceTempView("pmv_us2")
+    got = mv_engine.query(
+        "SELECT g, PERCENTILE_MV(vals, 50) AS p FROM pmv_us2 "
+        "WHERE JSON_EXTRACT_SCALAR(js, '$.f', 'STRING') = 'x' GROUP BY g"
+    ).collect()
+    assert got[0]["p"] == 1.5
