@@ -425,8 +425,16 @@ class Engine:
         canonicalization: a name the session catalog RESOLVES (builtin,
         macro, or runtime-registered UDF) keeps its native meaning —
         e.g. a user UDF ``fast_hll`` is never silently rewritten into
-        the FASTHLL estimate (round-8 review)."""
-        return self._catalog_class(name.upper()) is not None
+        the FASTHLL estimate (round-8 review).  A POINT lookup, not the
+        miss cache: a stale cached miss would shadow a UDF registered
+        AFTER it (and a stale hit would outlive a DROP FUNCTION) — and
+        the canonicalizer only consults this for the rare underscored
+        names whose stripped twin is a rewrite key (~6 ms each), so
+        freshness costs nothing measurable."""
+        try:
+            return self.spark.catalog.functionExists(name)
+        except Exception:
+            return False  # unparseable identifier: nothing to shadow
 
     def _is_catalog_aggregate(self, name: str) -> bool:
         """Fail-safe aggregate test for the statement routes (round-7

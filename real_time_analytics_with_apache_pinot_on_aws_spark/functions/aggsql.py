@@ -49,7 +49,17 @@ aggregate names are the Pinot 1.2 function library **[P1.2]**.
 
 from __future__ import annotations
 
+import contextvars
 import re
+
+# the keep-native predicate active for the CURRENT rewrite pass — set by
+# rewrite_pinot_aggregates so builders that rewrite NESTED SQL text
+# (IN_SUBQUERY's quoted subquery) inherit the caller's live-catalog
+# guard instead of silently dropping it one nesting level down
+# (round-8 review)
+_ACTIVE_KEEP_NATIVE: contextvars.ContextVar = contextvars.ContextVar(
+    "pinot_rewrite_keep_native", default=None
+)
 
 _IDENT_CALL_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
@@ -1247,6 +1257,22 @@ _UNDERSCORE_KEEP_NATIVE = frozenset(
 )
 
 
+def _is_cte_definition(sql: str, open_idx: int) -> bool:
+    """True when the '(' group at ``open_idx`` is a CTE column list —
+    ``WITH name (col, ...) AS (SELECT ...)`` — recognized by the ``AS (``
+    that follows the balanced group: a function CALL is never followed
+    by ``AS (`` (an alias is ``AS identifier``; generator column aliases
+    apply only to generators, none of which share a rewrite-table name).
+    Without this, a CTE named like a Pinot spelling (``WITH
+    funnel_count (step, cnt) AS ...``) was treated as a call site
+    (round-8 review — pre-existing in the old matcher too)."""
+    try:
+        _, after = _scan_balanced(sql, open_idx)
+    except ValueError:
+        return False
+    return re.match(r"\s*AS\s*\(", sql[after:], re.IGNORECASE) is not None
+
+
 def canonicalize_pinot_spellings(sql: str, keep_native=None) -> str:
     """Rewrite underscored call sites to their canonical underscore-free
     twins, mirroring Pinot's resolver (it strips underscores from EVERY
@@ -1287,6 +1313,7 @@ def canonicalize_pinot_spellings(sql: str, keep_native=None) -> str:
                 and u not in _REWRITES
                 and u.replace("_", "") in _REWRITES
                 and u not in _UNDERSCORE_KEEP_NATIVE
+                and not _is_cte_definition(sql, k)
                 and not (keep_native is not None and keep_native(name))
             ):
                 out.append(u.replace("_", ""))
@@ -1310,6 +1337,19 @@ def rewrite_pinot_aggregates(sql: str, keep_native=None) -> str:
     whole module: canonicalize_pinot_spellings above); ``keep_native``
     threads through so a caller's live-catalog guard applies at every
     recursion depth."""
+    if keep_native is None:
+        # inherit the pass-level guard (nested rewrites from builders —
+        # IN_SUBQUERY's quoted subquery — reach here without the
+        # caller's predicate in hand)
+        keep_native = _ACTIVE_KEEP_NATIVE.get()
+    _kn_token = _ACTIVE_KEEP_NATIVE.set(keep_native)
+    try:
+        return _rewrite_pinot_aggregates_inner(sql, keep_native)
+    finally:
+        _ACTIVE_KEEP_NATIVE.reset(_kn_token)
+
+
+def _rewrite_pinot_aggregates_inner(sql: str, keep_native) -> str:
     sql = canonicalize_pinot_spellings(sql, keep_native)
     out: list[str] = []
     i, n = 0, len(sql)
@@ -1329,7 +1369,12 @@ def rewrite_pinot_aggregates(sql: str, keep_native=None) -> str:
             k = m.end()
             while k < n and sql[k] in " \t\r\n":
                 k += 1
-            if build is not None and k < n and sql[k] == "(":
+            if (
+                build is not None
+                and k < n
+                and sql[k] == "("
+                and not _is_cte_definition(sql, k)
+            ):
                 inner, end = _scan_balanced(sql, k)
                 args = (
                     []

@@ -2501,15 +2501,20 @@ def test_underscored_mv_spelling_routes_identically(spark, mv_engine):
     BEFORE the statement routes, so DISTINCT_COUNT_HLL_MV gets the same
     bounded routed plan (and the same HLL answer) as DISTINCTCOUNTHLLMV
     — not the exact unbounded fallback."""
-    a = mv_engine.query(
+    df = mv_engine.query(
         "SELECT g, DISTINCT_COUNT_HLL_MV(tags) AS d FROM mvsrc "
         "GROUP BY g ORDER BY g"
-    ).collect()
+    )
+    # values agree in HLL's sparse-exact regime either way, so pin the
+    # PLAN: the underscored spelling must get the routed bounded shape
+    # (explode + sketch agg), never the collect_set fallback
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "hll_sketch_agg" in plan and "collect_set" not in plan
     b = mv_engine.query(
         "SELECT g, DISTINCTCOUNTHLLMV(tags) AS d FROM mvsrc "
         "GROUP BY g ORDER BY g"
     ).collect()
-    assert a == b
+    assert df.collect() == b
 
 
 def test_underscored_percentile_mv_routes_not_errors(spark, mv_engine):
@@ -2546,3 +2551,54 @@ def test_underscored_scalar_mention_does_not_bail_routes(spark, mv_engine):
         "WHERE JSON_EXTRACT_SCALAR(js, '$.f', 'STRING') = 'x' GROUP BY g"
     ).collect()
     assert got[0]["p"] == 1.5
+
+
+def test_cte_named_like_a_spelling_is_not_a_call_site(agg_engine):
+    """Final round-8 review: a CTE column-list definition whose name
+    matches a Pinot spelling (WITH funnel_count (a, b) AS ...) must not
+    be treated as a call site — in either the canonicalizer or the
+    rewrite dispatch."""
+    rows = agg_engine.query(
+        "WITH funnel_count (step, cnt) AS (SELECT 1, 2) "
+        "SELECT step, cnt FROM funnel_count"
+    ).collect()
+    assert rows[0]["step"] == 1 and rows[0]["cnt"] == 2
+    rows2 = agg_engine.query(
+        "WITH DISTINCTCOUNT (x) AS (SELECT 9) SELECT x FROM DISTINCTCOUNT"
+    ).collect()
+    assert rows2[0]["x"] == 9
+
+
+def test_udf_registered_after_a_miss_is_not_shadowed(spark, mv_engine):
+    """Final round-8 review: the keep-native guard must be a live point
+    lookup — a cached catalog miss recorded BEFORE the UDF was
+    registered must not shadow it afterwards."""
+    try:
+        mv_engine.query("SELECT fast_hll(1) AS x").collect()
+    except Exception:
+        pass  # expected: not registered yet (miss is now cached)
+    spark.udf.register("fast_hll", lambda x: 555, "int")
+    try:
+        got = mv_engine.query("SELECT fast_hll(2) AS x").collect()[0]["x"]
+        assert got == 555
+    finally:
+        spark.sql("DROP TEMPORARY FUNCTION IF EXISTS fast_hll")
+
+
+def test_in_subquery_inner_rewrite_inherits_keep_native(spark, mv_engine):
+    """Final round-8 review: the IN_SUBQUERY builder rewrites its quoted
+    inner SQL through a nested pass — the caller's live-catalog guard
+    must apply there too, so a registered UDF inside the subquery is
+    not stripped into a Pinot spelling."""
+    spark.udf.register("fast_hll", lambda x: int(x), "bigint")
+    spark.sql("SELECT * FROM VALUES (1L), (2L) AS t(u)").createOrReplaceTempView(
+        "insub_kn"
+    )
+    try:
+        got = mv_engine.query(
+            "SELECT count(*) AS n FROM insub_kn WHERE IN_SUBQUERY(u, "
+            "'SELECT ID_SET(fast_hll(u)) FROM insub_kn WHERE u < 2') = 1"
+        ).collect()[0]["n"]
+        assert got == 1
+    finally:
+        spark.sql("DROP TEMPORARY FUNCTION IF EXISTS fast_hll")
