@@ -836,6 +836,69 @@ def _mv_exact_distinct_fallback(a: list[str]) -> str:
     )
 
 
+def _bool_agg(name: str, fn: str):
+    """Pinot 1.2 BOOLAND/BOOLOR **[P1.2]**: boolean AND/OR over the
+    group's non-NULL values.  Pinot stores BOOLEAN as INT (0/1) and the
+    aggregate accepts the column directly; Spark's bool_and/bool_or
+    require a BOOLEAN argument, so the rewrite casts — int 0/1, string
+    'true'/'false', and native booleans all cast exactly.  NULLs are
+    ignored and an empty/all-NULL group returns NULL in both engines.
+    Duplication-immune (AND/OR are idempotent), so the MV statement
+    route may leave co-occurring calls unmasked."""
+
+    def build(args: list[str]) -> str:
+        if len(args) != 1:
+            raise ValueError(
+                f"{name} takes exactly one boolean column, got {len(args)}"
+            )
+        return f"{fn}(cast({args[0]} as boolean))"
+
+    return build
+
+
+def _mode(args: list[str]) -> str:
+    """Pinot 1.2 MODE(col[, reducer]) **[P1.2]**: most frequent value,
+    ties resolved by the reducer literal — MIN (Pinot's default), MAX,
+    or AVG over the tied modes.  Spark's ``mode(col, true)`` is exactly
+    the MIN reducer (deterministic tie-break returns the lowest value —
+    pinned by test), and MAX is the negation identity
+    ``-mode(-col, true)`` (negating preserves frequencies and flips the
+    order; MODE is numeric-only in Pinot **[P1.2]**, so negation is
+    always typed).  AVG needs the full tied-mode set — per-group
+    collection state a single expression cannot bound — and is rejected
+    loudly.  Divergence note: Pinot returns DOUBLE; this surface keeps
+    the column's native type (the MINMAXRANGE policy).  Spark's own
+    ``mode(col)`` / ``mode(col, <bool>)`` builtin forms pass through
+    with the bare-name default made deterministic-MIN, a strict
+    determinism upgrade on the same answer."""
+    if len(args) == 1:
+        return f"mode({args[0]}, true)"
+    if len(args) != 2:
+        raise ValueError(
+            f"MODE takes (column[, 'MIN'|'MAX'|'AVG']), got {len(args)}"
+        )
+    raw = args[1].strip()
+    if raw.lower() in ("true", "false"):
+        # Spark's native mode(col, deterministic) — pass through
+        return f"mode({args[0]}, {raw})"
+    red = _unquote_literal(raw, "MODE reducer").strip().upper()
+    if red == "MIN":
+        return f"mode({args[0]}, true)"
+    if red == "MAX":
+        return f"(- mode((- ({args[0]})), true))"
+    if red == "AVG":
+        raise ValueError(
+            "MODE(col, 'AVG') averages ALL tied modes — per-group "
+            "collection state one expression cannot bound; compute it "
+            "relationally (GROUP BY value, count, rank by count, AVG "
+            "the top rank) or use the MIN/MAX reducers, which are "
+            "served exactly"
+        )
+    raise ValueError(
+        f"MODE reducer must be 'MIN', 'MAX' or 'AVG', got {red!r}"
+    )
+
+
 # rewrite-table names that are SCALAR (per-row) expressions — the
 # statement routes must NOT classify them as aggregates when deciding
 # duplication safety, and the engine's catalog predicate treats them as
@@ -1147,6 +1210,35 @@ _REWRITES: dict = {
     ),
     "STDDEVPOP": lambda a: f"stddev_pop({a[0]})",
     "STDDEVSAMP": lambda a: f"stddev_samp({a[0]})",
+    # Pinot 1.2 boolean aggregates **[P1.2]** (see _bool_agg); the Spark
+    # natives BOOL_AND/BOOL_OR are underscore-guarded below so the
+    # stripped lookup cannot shadow them.
+    "BOOLAND": _bool_agg("BOOLAND", "bool_and"),
+    "BOOLOR": _bool_agg("BOOLOR", "bool_or"),
+    # Pinot 1.2 MODE with the multi-mode reducer literal (see _mode)
+    "MODE": _mode,
+    # Pinot's geospatial union aggregate returns ONE serialized geometry
+    # (BYTES); this engine's geometry surface is typed POINT structs
+    # (SURVEY B55, functions/sqlfns.py), so a multi-geometry blob has no
+    # honest relational answer here — redirect loudly (the bytes-sketch
+    # policy).  Both resolver spellings registered (STUNION is Pinot's
+    # canonical underscore-stripped form).
+    "ST_UNION": _reject_loudly(
+        "ST_UNION",
+        "aggregates geometries into one serialized shape in Pinot — "
+        "this engine's geometry surface is typed POINT structs "
+        "(SURVEY B55); collect the points relationally "
+        "(collect_set/collect_list of the struct) or aggregate "
+        "coordinates directly (min/max/avg over ST_X/ST_Y)",
+    ),
+    "STUNION": _reject_loudly(
+        "STUNION",
+        "aggregates geometries into one serialized shape in Pinot — "
+        "this engine's geometry surface is typed POINT structs "
+        "(SURVEY B55); collect the points relationally "
+        "(collect_set/collect_list of the struct) or aggregate "
+        "coordinates directly (min/max/avg over ST_X/ST_Y)",
+    ),
     "VARPOP": lambda a: f"var_pop({a[0]})",
     "VARSAMP": lambda a: f"var_samp({a[0]})",
     "COVARPOP": lambda a: f"covar_pop({a[0]}, {a[1]})",
@@ -1247,13 +1339,13 @@ def _split_top_level_commas(s: str) -> list[str]:
 
 # Spark builtins whose underscore-stripped form collides with a table
 # entry — they keep their native resolution (audited against the Spark
-# 4.1 catalog: exactly the stats family, whose stripped rewrites would
-# be identities anyway; pinned by test_underscore_stripping_never_
-# shadows_spark_builtins so a new table entry cannot silently shadow a
-# builtin).
+# 4.1 catalog: the stats family plus BOOL_AND/BOOL_OR, whose stripped
+# rewrites would be identities-after-cast anyway; pinned by
+# test_underscore_stripping_never_shadows_spark_builtins so a new table
+# entry cannot silently shadow a builtin).
 _UNDERSCORE_KEEP_NATIVE = frozenset(
     """COVAR_POP COVAR_SAMP STDDEV_POP STDDEV_SAMP VAR_POP
-    VAR_SAMP""".split()
+    VAR_SAMP BOOL_AND BOOL_OR""".split()
 )
 
 
@@ -1502,7 +1594,7 @@ _DUP_IMMUNE_AGGS = frozenset(
     DISTINCTCOUNTRAWULL DISTINCTCOUNTHLLPLUS DISTINCTCOUNTRAWHLLPLUS
     FIRSTWITHTIME LASTWITHTIME ARG_MIN ARG_MAX EXPRMIN EXPRMAX
     ARGMIN ARGMAX EXPR_MIN EXPR_MAX FASTHLL DISTINCTCOUNTRAWCPCSKETCH
-    DISTINCTCOUNTRAWINTEGERSUMTUPLESKETCH""".split()
+    DISTINCTCOUNTRAWINTEGERSUMTUPLESKETCH BOOLAND BOOLOR""".split()
 )
 
 # correct once the argument is masked to the first exploded copy
@@ -1528,6 +1620,7 @@ _DUP_UNSAFE_AGGS = frozenset(
     FREQUENTSTRINGSSKETCH FREQUENTLONGSSKETCH
     HISTOGRAM PERCENTILERAWEST PERCENTILERAWTDIGEST PERCENTILERAWKLL
     STDDEVPOP STDDEVSAMP VARPOP VARSAMP COVARPOP COVARSAMP FOURTHMOMENT
+    ST_UNION STUNION
     APPROX_TOP_K APPROX_TOP_K_ACCUMULATE APPROX_TOP_K_COMBINE
     KLL_SKETCH_AGG_BIGINT KLL_SKETCH_AGG_DOUBLE KLL_SKETCH_AGG_FLOAT
     KLL_MERGE_AGG_BIGINT KLL_MERGE_AGG_DOUBLE KLL_MERGE_AGG_FLOAT""".split()

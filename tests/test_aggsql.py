@@ -2602,3 +2602,87 @@ def test_in_subquery_inner_rewrite_inherits_keep_native(spark, mv_engine):
         assert got == 1
     finally:
         spark.sql("DROP TEMPORARY FUNCTION IF EXISTS fast_hll")
+
+
+# -- round-8 session tail: BOOLAND/BOOLOR, MODE reducers, ST_UNION ------------
+
+
+@pytest.mark.parametrize(
+    "src,want",
+    [
+        ("SELECT BOOLAND(b) FROM t",
+         "SELECT bool_and(cast(b as boolean)) FROM t"),
+        ("SELECT boolOr(b) FROM t GROUP BY g",
+         "SELECT bool_or(cast(b as boolean)) FROM t GROUP BY g"),
+        # Spark's native pair stays native (keep-native guard)
+        ("SELECT BOOL_AND(b) FROM t", "SELECT BOOL_AND(b) FROM t"),
+        ("SELECT bool_or(b) FROM t", "SELECT bool_or(b) FROM t"),
+        # MODE: bare = Pinot's default MIN reducer, made deterministic
+        ("SELECT MODE(v) FROM t", "SELECT mode(v, true) FROM t"),
+        ("SELECT MODE(v, 'MIN') FROM t", "SELECT mode(v, true) FROM t"),
+        ("SELECT MODE(v, 'MAX') FROM t",
+         "SELECT (- mode((- (v)), true)) FROM t"),
+        # Spark's own deterministic-flag form passes through untouched
+        ("SELECT mode(v, true) FROM t", "SELECT mode(v, true) FROM t"),
+        ("SELECT mode(v, false) FROM t", "SELECT mode(v, false) FROM t"),
+    ],
+)
+def test_bool_mode_text_cases(src, want):
+    assert R(src) == want
+
+
+def test_booland_arity_error_is_loud():
+    with pytest.raises(ValueError, match="BOOLAND"):
+        R("SELECT BOOLAND(a, b) FROM t")
+
+
+def test_mode_avg_reducer_rejected_loudly():
+    with pytest.raises(ValueError, match="MODE.*tied modes"):
+        R("SELECT MODE(v, 'AVG') FROM t")
+    with pytest.raises(ValueError, match="reducer"):
+        R("SELECT MODE(v, 'MEDIAN') FROM t")
+
+
+def test_st_union_redirects_loudly():
+    for name in ("ST_UNION", "STUNION", "st_union"):
+        with pytest.raises(ValueError, match="POINT structs"):
+            R(f"SELECT {name}(p) FROM t")
+
+
+def test_booland_boolor_values(spark, agg_engine):
+    """Pinot accepts the 0/1-int boolean storage directly; the rewrite's
+    cast makes Spark agree.  t % 2 is 0/1 over 100 rows, so AND is
+    false and OR is true; per-group u = 5 has only odd t when... (just
+    compare against the explicit predicate forms)."""
+    got = agg_engine.query(
+        "SELECT BOOLAND(t % 2) AS a, BOOLOR(t % 2) AS o, "
+        "BOOLAND(v >= 0) AS all_pos FROM aggsrc"
+    ).collect()[0]
+    want = spark.sql(
+        "SELECT bool_and(t % 2 = 1) AS a, bool_or(t % 2 = 1) AS o, "
+        "bool_and(v >= 0) AS all_pos FROM aggsrc"
+    ).collect()[0]
+    assert (got.a, got.o, got.all_pos) == (want.a, want.o, want.all_pos)
+    assert (got.a, got.o, got.all_pos) == (False, True, True)
+
+
+def test_mode_reducers_resolve_ties_like_pinot(spark, agg_engine):
+    """aggsrc's u = id % 7 over 100 rows: u=0 and u=1 both appear 15
+    times (the tied modes), u=2..6 appear 14.  Pinot's default reducer
+    MIN returns 0, MAX returns 1 — exactly what the deterministic
+    mode / negation identity give."""
+    row = agg_engine.query(
+        "SELECT MODE(u) AS dflt, MODE(u, 'MIN') AS lo, "
+        "MODE(u, 'MAX') AS hi FROM aggsrc"
+    ).collect()[0]
+    assert (row.dflt, row.lo, row.hi) == (0, 0, 1)
+
+
+def test_mode_max_reducer_on_doubles(agg_engine):
+    """The negation identity must hold for fractional values too."""
+    row = agg_engine.query(
+        "SELECT MODE(v / 2, 'MAX') AS hi FROM aggsrc"
+    ).collect()[0]
+    # v = id * 1.5 is unique per row -> every value ties at count 1 ->
+    # MAX reducer returns the largest value: 99 * 1.5 / 2
+    assert row.hi == pytest.approx(99 * 1.5 / 2)
