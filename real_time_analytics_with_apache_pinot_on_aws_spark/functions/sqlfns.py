@@ -65,6 +65,41 @@ _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
         "date_format(timestamp_millis(millis), fmt)",
     ),
     ("TIMEZONEHOUR", "tz STRING", "INT", "hour(from_utc_timestamp(timestamp'1970-01-01', tz))"),
+    # Pinot timezoneMinute **[P1.2]**: Joda getMinuteOfHour at epoch in
+    # the zone — the same epoch-shift reading as TIMEZONEHOUR above
+    # (for a -05:30 zone Pinot itself returns hour 18, minute 30)
+    ("TIMEZONEMINUTE", "tz STRING", "INT",
+     "minute(from_utc_timestamp(timestamp'1970-01-01', tz))"),
+    # Pinot toEpochXXXRounded(millis, n) **[P1.2]**: unit conversion
+    # floored to the nearest multiple of n (Pinot: (millis/unit/n)*n);
+    # toEpochXXXBucket(millis, n): the bucket ordinal (millis/unit/n);
+    # fromEpochXXXBucket(v, n): the inverse (v*n*unit).  Integer floor
+    # division throughout — Spark's `div` operator is exactly Java's
+    # long division for the non-negative epochs these serve.
+    ("TOEPOCHSECONDSROUNDED", "millis BIGINT, n BIGINT", "BIGINT",
+     "(millis div 1000 div n) * n"),
+    ("TOEPOCHMINUTESROUNDED", "millis BIGINT, n BIGINT", "BIGINT",
+     "(millis div 60000 div n) * n"),
+    ("TOEPOCHHOURSROUNDED", "millis BIGINT, n BIGINT", "BIGINT",
+     "(millis div 3600000 div n) * n"),
+    ("TOEPOCHDAYSROUNDED", "millis BIGINT, n BIGINT", "BIGINT",
+     "(millis div 86400000 div n) * n"),
+    ("TOEPOCHSECONDSBUCKET", "millis BIGINT, n BIGINT", "BIGINT",
+     "millis div 1000 div n"),
+    ("TOEPOCHMINUTESBUCKET", "millis BIGINT, n BIGINT", "BIGINT",
+     "millis div 60000 div n"),
+    ("TOEPOCHHOURSBUCKET", "millis BIGINT, n BIGINT", "BIGINT",
+     "millis div 3600000 div n"),
+    ("TOEPOCHDAYSBUCKET", "millis BIGINT, n BIGINT", "BIGINT",
+     "millis div 86400000 div n"),
+    ("FROMEPOCHSECONDSBUCKET", "v BIGINT, n BIGINT", "BIGINT",
+     "v * n * 1000"),
+    ("FROMEPOCHMINUTESBUCKET", "v BIGINT, n BIGINT", "BIGINT",
+     "v * n * 60000"),
+    ("FROMEPOCHHOURSBUCKET", "v BIGINT, n BIGINT", "BIGINT",
+     "v * n * 3600000"),
+    ("FROMEPOCHDAYSBUCKET", "v BIGINT, n BIGINT", "BIGINT",
+     "v * n * 86400000"),
     # YEAR/MONTH/DAY/HOUR/MINUTE/SECOND/DAYOFYEAR/WEEKOFYEAR/QUARTER are Spark
     # builtins with matching Pinot semantics — no registration needed (and Spark
     # refuses to shadow builtins with SQL UDFs).
@@ -116,6 +151,12 @@ _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
     ("SHA", "b BINARY", "STRING", "sha1(b)"),
     ("SHA256HASH", "b BINARY", "STRING", "sha2(b, 256)"),
     ("SHA512HASH", "b BINARY", "STRING", "sha2(b, 512)"),
+    # the exact Pinot doc spellings **[P1.2]** (sha256/sha512; md5 and
+    # crc32 are Spark builtins with identical semantics and keep native
+    # resolution — the *HASH forms above are the engine's historical
+    # aliases)
+    ("SHA256", "b BINARY", "STRING", "sha2(b, 256)"),
+    ("SHA512", "b BINARY", "STRING", "sha2(b, 512)"),
     ("MD5HASH", "b BINARY", "STRING", "md5(b)"),
     ("CRC32HASH", "b BINARY", "BIGINT", "crc32(b)"),
     ("TOBASE64", "b BINARY", "STRING", "base64(b)"),
@@ -358,6 +399,13 @@ _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
     ("REGEXPEXTRACT", "s STRING, p STRING", "STRING", "regexp_extract(s, p, 0)"),
     ("REGEXPEXTRACTGROUP", "s STRING, p STRING, g INT", "STRING",
      "regexp_extract(s, p, g)"),
+    # Pinot regexpReplace(input, pattern, replacement) **[P1.2]**: its
+    # canonical no-underscore spelling (Spark's regexp_replace builtin
+    # serves the underscored form; both replace ALL occurrences).
+    # Pinot's 4-6 arg forms (matchStartPos/occurrence/flags) need arity
+    # overloading SQL UDFs lack — out of scope.
+    ("REGEXPREPLACE", "s STRING, p STRING, r STRING", "STRING",
+     "regexp_replace(s, p, r)"),
     ("ARRAYCONCATINT", "a ARRAY<INT>, b ARRAY<INT>", "ARRAY<INT>",
      "concat(a, b)"),
     ("ARRAYCONCATSTRING", "a ARRAY<STRING>, b ARRAY<STRING>", "ARRAY<STRING>",
@@ -492,6 +540,20 @@ _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
      "ARRAY<STRING>", "slice(a, fromIdx + 1, toIdx - fromIdx)"),
     ("ARRAYSLICEINT", "a ARRAY<INT>, fromIdx INT, toIdx INT",
      "ARRAY<INT>", "slice(a, fromIdx + 1, toIdx - fromIdx)"),
+    # the remaining typed members of Pinot's documented MV-function
+    # table **[P1.2]**: arrayConcat{Long,Float,Double} and
+    # arrayRemove{Int,String} (remove EVERY occurrence of the value —
+    # exactly Spark's array_remove)
+    ("ARRAYCONCATLONG", "a ARRAY<BIGINT>, b ARRAY<BIGINT>",
+     "ARRAY<BIGINT>", "concat(a, b)"),
+    ("ARRAYCONCATFLOAT", "a ARRAY<FLOAT>, b ARRAY<FLOAT>",
+     "ARRAY<FLOAT>", "concat(a, b)"),
+    ("ARRAYCONCATDOUBLE", "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+     "ARRAY<DOUBLE>", "concat(a, b)"),
+    ("ARRAYREMOVEINT", "a ARRAY<INT>, v INT", "ARRAY<INT>",
+     "array_remove(a, v)"),
+    ("ARRAYREMOVESTRING", "a ARRAY<STRING>, v STRING", "ARRAY<STRING>",
+     "array_remove(a, v)"),
     # ---- string / JSON tails (round 8) -----------------------------------
     # Pinot StringFunctions.remove(input, search): strip every occurrence
     ("REMOVE", "s STRING, sub STRING", "STRING", "replace(s, sub, '')"),

@@ -2686,3 +2686,54 @@ def test_mode_max_reducer_on_doubles(agg_engine):
     # v = id * 1.5 is unique per row -> every value ties at count 1 ->
     # MAX reducer returns the largest value: 99 * 1.5 / 2
     assert row.hi == pytest.approx(99 * 1.5 / 2)
+
+
+@pytest.mark.parametrize(
+    "q,want",
+    [
+        # regexpReplace: Pinot's canonical no-underscore spelling
+        ("SELECT REGEXPREPLACE('a1b2c3', '[0-9]', '_') AS x", "a_b_c_"),
+        # timezoneMinute: the epoch-shift reading Pinot itself returns
+        ("SELECT TIMEZONEMINUTE('Asia/Kolkata') AS x", 30),
+        ("SELECT TIMEZONEMINUTE('UTC') AS x", 0),
+        # toEpoch*Rounded: floored to the nearest multiple of n
+        ("SELECT TOEPOCHSECONDSROUNDED(1613472303000, 10) AS x",
+         1613472300),
+        ("SELECT TOEPOCHMINUTESROUNDED(1613472303000, 15) AS x",
+         26891205),
+        ("SELECT TOEPOCHHOURSROUNDED(1613472303000, 6) AS x", 448182),
+        ("SELECT TOEPOCHDAYSROUNDED(1613472303000, 7) AS x", 18669),
+        # toEpoch*Bucket: the bucket ordinal
+        ("SELECT TOEPOCHSECONDSBUCKET(1613472303000, 10) AS x",
+         161347230),
+        ("SELECT TOEPOCHDAYSBUCKET(1613472303000, 7) AS x", 2667),
+        # fromEpoch*Bucket: the inverse, back to millis
+        ("SELECT FROMEPOCHSECONDSBUCKET(161347230, 10) AS x",
+         1613472300000),
+        ("SELECT FROMEPOCHDAYSBUCKET(2667, 7) AS x", 1613001600000),
+        # the Pinot doc hash spellings
+        ("SELECT SHA256(TOUTF8('abc')) AS x",
+         "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"),
+        # arrayRemove*: every occurrence removed
+        ("SELECT ARRAYREMOVEINT(array(1, 2, 1, 3), 1) AS x", [2, 3]),
+        ("SELECT ARRAYREMOVESTRING(array('a', 'b', 'a'), 'a') AS x",
+         ["b"]),
+        ("SELECT ARRAYCONCATLONG(array(1L), array(2L, 3L)) AS x",
+         [1, 2, 3]),
+        ("SELECT ARRAYCONCATDOUBLE(array(1.5D), array(2.5D)) AS x",
+         [1.5, 2.5]),
+    ],
+)
+def test_scalar_tail_macros(agg_engine, q, want):
+    assert agg_engine.query(q).collect()[0]["x"] == want
+
+
+def test_epoch_bucket_roundtrip(agg_engine):
+    """fromEpochXXXBucket(toEpochXXXBucket(m, n), n) floors m to the
+    bucket start — the Pinot ingestion-rollup identity."""
+    row = agg_engine.query(
+        "SELECT FROMEPOCHMINUTESBUCKET("
+        "TOEPOCHMINUTESBUCKET(1613472303000, 15), 15) AS x"
+    ).collect()[0]
+    assert row.x == 1613472300000
+    assert row.x <= 1613472303000 < row.x + 15 * 60000
