@@ -6819,6 +6819,70 @@ def b16_histogram_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "b24_bool_mode_reducers_sql",
+    r"""
+    WITH src AS (
+      SELECT event_type, user_id % 10 AS v, value,
+             epoch(ts)::BIGINT * 1000 AS ms
+      FROM events
+      WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+    ),
+    f AS (
+      SELECT event_type, v, count(*) AS c FROM src GROUP BY 1, 2
+    ),
+    mx AS (SELECT event_type, max(c) AS mc FROM f GROUP BY 1),
+    modes AS (
+      SELECT f.event_type,
+             min(f.v) AS mode_dflt,
+             min(f.v) AS mode_min,
+             max(f.v) AS mode_max
+      FROM f JOIN mx USING (event_type)
+      WHERE f.c = mx.mc GROUP BY f.event_type
+    ),
+    flags AS (
+      SELECT event_type,
+             bool_and(value >= 0) AS all_nonneg,
+             bool_or(value > 900) AS any_big,
+             min((ms // 1000 // 60) * 60) AS min_bucket
+      FROM src GROUP BY 1
+    )
+    SELECT m.event_type, m.mode_dflt, m.mode_min, m.mode_max,
+           g.all_nonneg, g.any_big, g.min_bucket
+    FROM modes m JOIN flags g USING (event_type)
+    ORDER BY m.event_type
+    """,
+    doc="B24 tie reducers + the boolean aggregates (round-8 session "
+        "tail): Pinot 1.2 MODE(col[, 'MIN'|'MAX'|'AVG']) **[P1.2]** — "
+        "MIN (the default) is Spark's deterministic mode(col, true) "
+        "(lowest tied value), MAX the exact negation identity "
+        "-mode(-col, true) — and BOOLAND/BOOLOR over a predicate "
+        "column (bool_and/bool_or after the 0/1-int boolean cast), "
+        "plus TOEPOCHSECONDSROUNDED (the epoch-rollup macro) under an "
+        "aggregate.  user_id % 10 makes mode ties likely at every SF, "
+        "so the reducers are genuinely exercised; the DuckDB oracle "
+        "replays them as min/max over the max-frequency value set.",
+)
+def b24_bool_mode_reducers_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .functions.aggsql import rewrite_pinot_aggregates
+
+    return spark.sql(rewrite_pinot_aggregates(
+        "SELECT event_type, "
+        "MODE(user_id % 10) AS mode_dflt, "
+        "MODE(user_id % 10, 'MIN') AS mode_min, "
+        "MODE(user_id % 10, 'MAX') AS mode_max, "
+        "BOOLAND(value >= 0) AS all_nonneg, "
+        "BOOLOR(value > 900) AS any_big, "
+        "min(TOEPOCHSECONDSROUNDED(CAST(ts AS LONG) * 1000, 60)) "
+        "AS min_bucket "
+        "FROM events "
+        "WHERE user_id IS NOT NULL AND value IS NOT NULL "
+        "AND ts IS NOT NULL "
+        "GROUP BY event_type ORDER BY event_type"
+    ))
+
+
 # ===========================================================================
 # Driver window curation: the driver's correctness gate adjudicates exactly
 # the first 50 entries of queries() in registration order (confirmed in
