@@ -2907,6 +2907,7 @@ class Engine:
             rewrite_mv_distinct_statement,
             rewrite_ordered_funnel_statement,
             rewrite_pinot_aggregates,
+            rewrite_sumarray_statement,
         )
 
         # Underscored Pinot spellings canonicalize BEFORE the statement
@@ -2947,6 +2948,15 @@ class Engine:
             # comment).  Mutually exclusive with the two routes above by
             # the same co-aggregate bail rules.
             routed_mv = rewrite_ordered_funnel_statement(
+                sql, is_aggregate=self._is_catalog_aggregate
+            )
+        if routed_mv is None:
+            # SUMARRAYLONG/SUMARRAYDOUBLE statements route to the bounded
+            # positional two-level plan (round-8 session — per-(group,
+            # position) hash aggregate, outer collect bounded by the max
+            # array length; aggsql.py section comment).  Unroutable
+            # shapes keep the loud call-site reject.
+            routed_mv = rewrite_sumarray_statement(
                 sql, is_aggregate=self._is_catalog_aggregate
             )
         if routed_mv is not None:

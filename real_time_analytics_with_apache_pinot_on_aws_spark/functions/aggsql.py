@@ -906,12 +906,19 @@ def _mode(args: list[str]) -> str:
 # absent from the session catalog — round-8 review: the fail-safe was
 # bailing routable statements that merely mentioned them).
 def _sumarray_reject(name: str):
+    """Call-site FALLBACK: routable single-table statements are served
+    by the positional two-level route (rewrite_sumarray_statement —
+    bounded per-(group, position) sums), so reaching this builder means
+    the statement shape was unroutable."""
     return _reject_loudly(
         name,
-        "(element-wise array sum) needs per-group array state in one "
-        "expression — use LATERAL VIEW POSEXPLODE(col) then GROUP BY "
-        "pos with sum(elem) and collect the positions back if an array "
-        "is required (bounded, shuffle-only)",
+        "(element-wise array sum) is served only for single-table "
+        "statements the positional statement route can restructure (no "
+        "joins/windows/non-decomposable co-aggregates, all calls on ONE "
+        "array expression) — this statement shape is not; restructure "
+        "manually: LATERAL VIEW POSEXPLODE(col) then GROUP BY pos with "
+        "sum(elem) and collect the positions back if an array is "
+        "required (bounded, shuffle-only)",
     )
 
 
@@ -2617,4 +2624,204 @@ def rewrite_ordered_funnel_statement(sql: str, is_aggregate=None):
         edits.append((st, end, repl))
     # apply_text_edits returns None on overlap (e.g. a target inside the
     # WHERE clause) — bail to the call-site fold
+    return apply_text_edits(sql, edits)
+
+
+# ---------------------------------------------------------------------------
+# Statement-level positional route: SUMARRAYLONG / SUMARRAYDOUBLE
+# ---------------------------------------------------------------------------
+#
+# Pinot's element-wise array-sum aggregates **[P1.2]** keep a per-group
+# accumulator array and add each row's elements into it — O(max array
+# length) state.  The single-expression call-site form cannot match that
+# bound (it would collect whole arrays per group), so the call site is a
+# loud reject; routable STATEMENTS restructure instead (round-8 session):
+#
+#   SELECT g, SUMARRAYLONG(arr) FROM t WHERE ... GROUP BY g
+# ->
+#   SELECT g, transform(array_sort(collect_list(
+#            CASE WHEN __sa_pos IS NOT NULL
+#                 THEN struct(__sa_pos, __sa_v) END)),
+#            x -> cast(x.__sa_v as bigint))
+#   FROM (SELECT g, __sa_pos, sum(__sa_elem) AS __sa_v
+#         FROM t LATERAL VIEW OUTER POSEXPLODE(arr) __sa
+#              AS __sa_pos, __sa_elem
+#         WHERE ... GROUP BY g, __sa_pos) __sa
+#   GROUP BY g
+#
+# — the inner level is a plain shuffle-bounded hash aggregate over
+# (group, position), and the outer collect_list is bounded by the MAX
+# ARRAY LENGTH per group (positions are unique after the inner GROUP BY),
+# exactly Pinot's accumulator bound.  array_sort on struct(pos, v) orders
+# by the leading pos field, so element order is restored
+# deterministically; OUTER posexplode keeps all-empty/NULL-array groups
+# alive (their positions are NULL, filtered by the CASE, answering an
+# empty array).  Ragged arrays: each position sums the rows that HAVE it
+# (the relational reading of the positional accumulator).  Per-position
+# sums run at the NATIVE element type (the keyed route's
+# loud-overflow-over-silent-drift policy); the name's declared type is
+# restored by one cast per element on the outer level.
+#
+# Co-occurring aggregates see every row POSEXPLODE-duplicated, so the
+# decomposable set (COUNT/SUM/AVG via first-copy masking, MIN/MAX
+# duplication-immune) pushes partials through the two levels exactly —
+# the same contract as the keyed route, with the MV route's
+# coalesce(pos, 0) = 0 mask (NULL pos = the single copy of an
+# empty/NULL-array row).  Everything else bails to the loud call-site
+# reject.  All route targets must share ONE array expression: a second
+# explode would cross-product the first (no single (group, pos) regroup
+# is correct for both).
+
+_SUMARRAY_TARGETS = frozenset({"SUMARRAYLONG", "SUMARRAYDOUBLE"})
+
+_SUMARRAY_GATE_RE = re.compile(
+    r"\b(SUMARRAYLONG|SUMARRAYDOUBLE)\s*\(", re.IGNORECASE
+)
+
+_SUMARRAY_CAST = {"SUMARRAYLONG": "bigint", "SUMARRAYDOUBLE": "double"}
+
+
+def rewrite_sumarray_statement(sql: str, is_aggregate=None):
+    """Return the bounded positional two-level statement for a routable
+    SUMARRAYLONG/SUMARRAYDOUBLE statement, or ``None`` when the shape is
+    unsupported (section comment above has the full contract)."""
+    if not _SUMARRAY_GATE_RE.search(sql):
+        return None
+    shape = _parse_routable_statement(
+        sql, "__sa", allow_subqueries=True, allow_join=False
+    )
+    if shape is None:
+        return None
+    clauses = _parse_route_clauses(sql, shape)
+    if clauses is None:
+        return None
+    from_sp, where_sp, group_items = clauses
+    sites = _scan_call_sites(sql)
+    target_sites = []
+    for s in sites:
+        if s[0].upper() in _SUMARRAY_TARGETS:
+            if shape.in_subquery(s[1]):
+                return None  # a route target in another scope: not ours
+            target_sites.append(s)
+    if not target_sites:
+        return None
+    spans = [(st, end) for _, st, _, _, end in target_sites]
+    for s1, e1 in spans:
+        for s2, e2 in spans:
+            if s1 < s2 < e1:  # nested route targets: invalid SQL anyway
+                return None
+
+    def inside_target(pos: int) -> bool:
+        return any(s < pos < e for s, e in spans)
+
+    co_sites = []  # (AGGNAME, start, end, inner_text)
+    for name, st, op, inner, end in sites:
+        u = name.upper()
+        if u in _SUMARRAY_TARGETS or inside_target(st):
+            continue
+        if shape.in_subquery(st):
+            continue  # another scope's call sites: untouched, unmoved
+        if u in _KEYED_DECOMPOSABLE:
+            # same exactness bails as the keyed route, plus COUNT's
+            # multi-argument form (count(a, b) cannot be masked as one
+            # expression — the keyed route needs no mask, this one does)
+            if re.match(r"\s*FILTER\b", sql[end:], re.IGNORECASE):
+                return None
+            if re.match(r"\s*DISTINCT\b", inner, re.IGNORECASE):
+                return None  # count(DISTINCT x) does not decompose
+            if (
+                len(_split_top_level_commas(inner)) != 1
+                and not (u == "COUNT" and inner.strip() == "*")
+            ):
+                return None
+            if u in ("SUM", "AVG", "MEAN") and re.search(
+                r"decimal", inner, re.IGNORECASE
+            ):
+                return None  # sum-of-sums widens decimal dtype
+            co_sites.append((u, st, end, inner))
+            continue
+        if u in _KNOWN_AGG_NAMES:
+            return None  # non-decomposable aggregates keep the fallback
+        if u in SCALAR_REWRITE_NAMES:
+            continue  # our own per-row rewrites: positively scalar
+        if is_aggregate is not None and is_aggregate(name):
+            return None  # unclassified-but-aggregate: fail safe
+    arr = None
+    parsed = []  # (NAME, start, end)
+    for name, st, op, inner, end in target_sites:
+        args = (
+            [a.strip() for a in _split_top_level_commas(inner)]
+            if inner.strip()
+            else []
+        )
+        if len(args) != 1:
+            return None  # the call-site reject raises the loud error
+        e = args[0]
+        if (
+            _MV_AGG_IN_ARG_RE.search(e)
+            or "__sa" in e
+            or re.search(r"\bSELECT\b", e, re.IGNORECASE)
+        ):
+            return None
+        if arr is None:
+            arr = e
+        elif e != arr:
+            return None  # all targets must share ONE array expression
+        parsed.append((name.upper(), st, end))
+    first = "coalesce(__sa_pos, 0) = 0"
+    inner_items = list(group_items)
+    inner_items.append("__sa_pos")
+    inner_items.append("sum(__sa_elem) AS __sa_v")
+    edits = []
+    for u, st, end in parsed:
+        edits.append((
+            st,
+            end,
+            "transform(array_sort(collect_list("
+            "CASE WHEN __sa_pos IS NOT NULL "
+            "THEN struct(__sa_pos, __sa_v) END)), "
+            f"x -> cast(x.__sa_v as {_SUMARRAY_CAST[u]}))",
+        ))
+    for j, (u, st, end, inner) in enumerate(co_sites):
+        if u == "COUNT":
+            expr = "1" if inner.strip() == "*" else f"({inner})"
+            inner_items.append(
+                f"count(if({first}, {expr}, null)) AS __saa{j}"
+            )
+            # zero inner rows (global aggregate, WHERE filtered all):
+            # count answers 0, not NULL
+            repl = f"coalesce(sum(__saa{j}), 0)"
+        elif u == "SUM":
+            inner_items.append(
+                f"sum(if({first}, ({inner}), null)) AS __saa{j}"
+            )
+            repl = f"sum(__saa{j})"
+        elif u in ("AVG", "MEAN"):
+            inner_items.append(
+                f"sum(if({first}, ({inner}), null)) AS __saa{j}_s"
+            )
+            inner_items.append(
+                f"count(if({first}, ({inner}), null)) AS __saa{j}_c"
+            )
+            repl = f"try_divide(sum(__saa{j}_s), sum(__saa{j}_c))"
+        else:  # MIN / MAX: duplication-immune, extremes of extremes
+            fn = u.lower()
+            inner_items.append(f"{fn}(({inner})) AS __saa{j}")
+            repl = f"{fn}(__saa{j})"
+        edits.append((st, end, repl))
+    where_clause = ""
+    repl_end = from_sp[2]
+    if where_sp is not None:
+        where_clause = f" WHERE {sql[where_sp[1]:where_sp[2]].strip()}"
+        repl_end = where_sp[2]
+    inner_group = ", ".join(group_items + ["__sa_pos"])
+    inner_sql = (
+        f"SELECT {', '.join(inner_items)} FROM {shape.from_text.strip()}"
+        f" LATERAL VIEW OUTER POSEXPLODE({arr}) __sa"
+        f" AS __sa_pos, __sa_elem"
+        f"{where_clause} GROUP BY {inner_group}"
+    )
+    edits.append((from_sp[0], repl_end, f"FROM ({inner_sql}) __sa "))
+    # apply_text_edits returns None on overlap (e.g. a target inside the
+    # WHERE clause) — bail to the loud call-site reject
     return apply_text_edits(sql, edits)

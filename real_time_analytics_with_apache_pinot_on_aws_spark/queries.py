@@ -6820,6 +6820,58 @@ def b16_histogram_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b17_sumarray_route",
+    r"""
+    WITH flat AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                  AS BIGINT) AS v
+      FROM embeddings
+    ),
+    per AS (SELECT label, pos, sum(v) AS s FROM flat GROUP BY 1, 2),
+    agg AS (
+      SELECT label, list(s ORDER BY pos) AS sums, count(*) AS dims
+      FROM per GROUP BY 1
+    ),
+    cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
+    SELECT a.label, array_to_string(a.sums, '|') AS sums_csv,
+           CAST(a.dims AS BIGINT) AS dims, c.n
+    FROM agg a JOIN cnt c USING (label)
+    ORDER BY a.label
+    """,
+    doc="Pinot SUMARRAYLONG **[P1.2]** (round-8 session): the "
+        "element-wise array-sum aggregate served by the positional "
+        "statement route — LATERAL VIEW POSEXPLODE then a per-(group, "
+        "position) hash aggregate, with the outer collect bounded by "
+        "the max array length (Pinot's own accumulator bound); the "
+        "embedding is integer-quantized so the per-position sums are "
+        "order-independent and exactly reproducible by the DuckDB "
+        "unnest/generate_subscripts oracle.  count(*) rides along as a "
+        "masked decomposable co-aggregate.",
+)
+def b17_sumarray_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .functions.aggsql import rewrite_sumarray_statement
+
+    stmt = (
+        "SELECT label, "
+        "array_join(SUMARRAYLONG(transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))), '|') "
+        "AS sums_csv, "
+        "CAST(size(SUMARRAYLONG(transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)))) "
+        "AS BIGINT) AS dims, "
+        "count(*) AS n "
+        "FROM embeddings GROUP BY label ORDER BY label"
+    )
+    routed = rewrite_sumarray_statement(stmt)
+    if routed is None:  # the route regressing to the reject is a bug
+        raise AssertionError("sumarray route refused a routable shape")
+    return spark.sql(routed)
+
+
+@register(
     "b24_bool_mode_reducers_sql",
     r"""
     WITH src AS (

@@ -2737,3 +2737,164 @@ def test_epoch_bucket_roundtrip(agg_engine):
     ).collect()[0]
     assert row.x == 1613472300000
     assert row.x <= 1613472303000 < row.x + 15 * 60000
+
+
+# -- SUMARRAYLONG/SUMARRAYDOUBLE positional statement route -------------------
+
+
+from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (  # noqa: E402
+    rewrite_sumarray_statement,
+)
+
+
+def test_sumarray_route_text_shape():
+    routed = rewrite_sumarray_statement(
+        "SELECT g, SUMARRAYLONG(arr) AS s FROM t WHERE g > 0 GROUP BY g"
+    )
+    assert routed is not None
+    assert "LATERAL VIEW OUTER POSEXPLODE(arr)" in routed
+    assert "GROUP BY g, __sa_pos" in routed
+    assert "sum(__sa_elem) AS __sa_v" in routed
+    assert "WHERE g > 0 GROUP BY" in routed  # WHERE moved inside
+    assert "cast(x.__sa_v as bigint)" in routed
+    # the double spelling differs only in the element cast
+    routed_d = rewrite_sumarray_statement(
+        "SELECT SUMARRAYDOUBLE(arr) FROM t"
+    )
+    assert "cast(x.__sa_v as double)" in routed_d
+
+
+@pytest.mark.parametrize(
+    "stmt",
+    [
+        # two DIFFERENT array expressions cannot share one explode
+        "SELECT SUMARRAYLONG(a), SUMARRAYLONG(b) FROM t",
+        # non-decomposable co-aggregates keep the fallback
+        "SELECT g, SUMARRAYLONG(a), count(DISTINCT u) FROM t GROUP BY g",
+        "SELECT g, SUMARRAYLONG(a), percentile(v, 0.5) FROM t GROUP BY g",
+        # windows / joins / set-ops bail at the shape parse
+        "SELECT SUMARRAYLONG(a), row_number() OVER (ORDER BY g) FROM t",
+        "SELECT SUMARRAYLONG(a) FROM t JOIN d ON t.k = d.k",
+        "SELECT SUMARRAYLONG(a) FROM t UNION ALL SELECT array(1L) FROM t",
+        # a route target inside a subquery is another statement's
+        "SELECT (SELECT SUMARRAYLONG(a) FROM u) FROM t",
+        # arity is the call site's loud error, not the route's
+        "SELECT SUMARRAYLONG(a, b) FROM t",
+    ],
+)
+def test_sumarray_route_bails(stmt):
+    assert rewrite_sumarray_statement(stmt) is None
+
+
+def test_sumarray_unroutable_rejects_loudly():
+    with pytest.raises(ValueError, match="SUMARRAYLONG.*positional"):
+        R("SELECT SUMARRAYLONG(a), count(DISTINCT u) FROM t")
+
+
+@pytest.fixture(scope="module")
+def sumarray_engine(spark, tmp_path_factory):
+    rows = [
+        (1, [1, 2, 3]), (1, [10, 20]), (1, []),
+        (2, None), (2, [5]),
+        (3, None),
+        (4, [None, 7]), (4, [4, None]),
+    ]
+    spark.createDataFrame(
+        rows, "g INT, arr ARRAY<INT>"
+    ).createOrReplaceTempView("sasrc")
+    return Engine(spark, str(tmp_path_factory.mktemp("wh")))
+
+
+def test_sumarray_route_values(sumarray_engine):
+    """Ragged arrays sum per present position; empty/NULL-array groups
+    stay alive answering []; NULL elements are skipped (an all-NULL
+    position answers NULL)."""
+    got = {
+        r.g: (r.s, r.n)
+        for r in sumarray_engine.query(
+            "SELECT g, SUMARRAYLONG(arr) AS s, count(*) AS n "
+            "FROM sasrc GROUP BY g ORDER BY g"
+        ).collect()
+    }
+    assert got == {
+        1: ([11, 22, 3], 3),
+        2: ([5], 2),
+        3: ([], 1),
+        4: ([4, 7], 2),
+    }
+
+
+def test_sumarray_route_global_and_double(sumarray_engine):
+    row = sumarray_engine.query(
+        "SELECT SUMARRAYDOUBLE(arr) AS s, avg(g) AS m, min(g) AS lo, "
+        "sum(g) AS tot FROM sasrc WHERE g <= 2"
+    ).collect()[0]
+    assert row.s == [16.0, 22.0, 3.0]
+    assert row.m == pytest.approx((1 + 1 + 1 + 2 + 2) / 5)
+    assert (row.lo, row.tot) == (1, 7)
+
+
+def test_sumarray_route_having_order(sumarray_engine):
+    rows = sumarray_engine.query(
+        "SELECT g, SUMARRAYLONG(arr) AS s FROM sasrc GROUP BY g "
+        "HAVING count(*) > 1 ORDER BY g DESC"
+    ).collect()
+    assert [r.g for r in rows] == [4, 2, 1]
+    assert rows[0].s == [4, 7]
+
+
+def test_sumarray_route_plan_is_bounded(sumarray_engine):
+    """The routed plan is posexplode + two hash-aggregate levels; the
+    only collection is the outer (pos, sum) struct list — bounded by the
+    max array length, never whole input arrays."""
+    df = sumarray_engine.query(
+        "SELECT g, SUMARRAYLONG(arr) AS s FROM sasrc GROUP BY g"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate posexplode" in plan
+    assert "collect_list(CASE WHEN" in plan
+    # the inner per-(g, pos) level partial-aggregates map-side
+    assert plan.count("HashAggregate") >= 2 or (
+        "HashAggregate" in plan and "ObjectHashAggregate" in plan
+    )
+
+
+def test_sumarray_route_fuzz_matches_reference(spark, sumarray_engine):
+    """Property: the routed answer equals the per-position Python
+    reference on random ragged data (NULL arrays, NULL elements, empty
+    arrays, empty groups-after-WHERE)."""
+    import random
+
+    rng = random.Random(8)
+    rows = []
+    for _ in range(300):
+        g = rng.randint(0, 6)
+        if rng.random() < 0.15:
+            arr = None
+        else:
+            arr = [
+                None if rng.random() < 0.2 else rng.randint(-50, 50)
+                for _ in range(rng.randint(0, 5))
+            ]
+        rows.append((g, arr))
+    spark.createDataFrame(
+        rows, "g INT, arr ARRAY<INT>"
+    ).createOrReplaceTempView("safuzz")
+    expect = {}
+    for g, arr in rows:
+        if g >= 5:
+            continue  # the WHERE below filters these
+        sums = expect.setdefault(g, [])
+        for i, v in enumerate(arr or []):
+            while len(sums) <= i:
+                sums.append(None)
+            if v is not None:
+                sums[i] = (sums[i] or 0) + v
+    got = {
+        r.g: r.s
+        for r in sumarray_engine.query(
+            "SELECT g, SUMARRAYLONG(arr) AS s FROM safuzz "
+            "WHERE g < 5 GROUP BY g"
+        ).collect()
+    }
+    assert got == expect

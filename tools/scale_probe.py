@@ -99,6 +99,11 @@ PROBES = (
     # executor-side then broadcast semi-joined (plan-pinned); both the
     # probe's corpus scan and the distinct build are linear
     "b42_in_subquery_sql",
+    # round-8 session: the SUMARRAY positional route — posexplode
+    # multiplies rows map-side, the exchange carries one partial sum per
+    # (label, position) (5 labels x embedding dims), outer collect is
+    # bounded by the array length; expect ~flat-per-row
+    "b17_sumarray_route",
 )
 
 
