@@ -63,6 +63,12 @@ _ACTIVE_KEEP_NATIVE: contextvars.ContextVar = contextvars.ContextVar(
 
 _IDENT_CALL_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
+# table names whose builder accepts a ZERO-argument call site (Spark's
+# own inverse-distribution form ``mode() WITHIN GROUP (ORDER BY ...)``
+# must pass through, post-review) — everything else keeps the loud
+# zero-arg arity error
+_ZERO_ARG_OK = frozenset({"MODE"})
+
 _SUM_FOLD = "aggregate({0}, cast(0.0 as double), (acc, x) -> acc + x)"
 
 # name (upper) -> callable(args: list[str]) -> replacement SQL expression.
@@ -870,7 +876,25 @@ def _mode(args: list[str]) -> str:
     the column's native type (the MINMAXRANGE policy).  Spark's own
     ``mode(col)`` / ``mode(col, <bool>)`` builtin forms pass through
     with the bare-name default made deterministic-MIN, a strict
-    determinism upgrade on the same answer."""
+    determinism upgrade on the same answer, and the zero-arg
+    ``mode() WITHIN GROUP (ORDER BY ...)`` inverse-distribution form
+    passes through untouched (post-review: the arity error broke a
+    previously-working native statement).
+
+    MAX-reducer edges (both pinned by tests): a group containing
+    Long.MIN_VALUE raises ANSI ARITHMETIC_OVERFLOW on the negation — a
+    loud truthful failure, the keyed route's established
+    loud-over-silent policy; and when NaN is among DOUBLE tied modes
+    the reducer returns the largest REAL tied mode (negation keeps NaN
+    greatest on both sides, so the deterministic min never lands on
+    it) where a Java comparator would rank NaN highest.  ``-1 - v``
+    would fix the long edge (order-reversing, overflow-free) but
+    COLLAPSES nearby doubles (``-1 - 1e-300`` rounds to ``-1.0``),
+    merging distinct mode buckets — silently wrong frequencies lose to
+    a loud overflow, and the rewrite cannot know the column type."""
+    if not args:
+        # Spark's mode() WITHIN GROUP (ORDER BY ...) — pass through
+        return "mode()"
     if len(args) == 1:
         return f"mode({args[0]}, true)"
     if len(args) != 2:
@@ -1229,23 +1253,19 @@ _REWRITES: dict = {
     # (SURVEY B55, functions/sqlfns.py), so a multi-geometry blob has no
     # honest relational answer here — redirect loudly (the bytes-sketch
     # policy).  Both resolver spellings registered (STUNION is Pinot's
-    # canonical underscore-stripped form).
-    "ST_UNION": _reject_loudly(
-        "ST_UNION",
-        "aggregates geometries into one serialized shape in Pinot — "
-        "this engine's geometry surface is typed POINT structs "
-        "(SURVEY B55); collect the points relationally "
-        "(collect_set/collect_list of the struct) or aggregate "
-        "coordinates directly (min/max/avg over ST_X/ST_Y)",
-    ),
-    "STUNION": _reject_loudly(
-        "STUNION",
-        "aggregates geometries into one serialized shape in Pinot — "
-        "this engine's geometry surface is typed POINT structs "
-        "(SURVEY B55); collect the points relationally "
-        "(collect_set/collect_list of the struct) or aggregate "
-        "coordinates directly (min/max/avg over ST_X/ST_Y)",
-    ),
+    # canonical underscore-stripped form) through ONE builder so the
+    # message cannot drift by spelling (post-review).
+    **{
+        n: _reject_loudly(
+            n,
+            "aggregates geometries into one serialized shape in Pinot "
+            "— this engine's geometry surface is typed POINT structs "
+            "(SURVEY B55); collect the points relationally "
+            "(collect_set/collect_list of the struct) or aggregate "
+            "coordinates directly (min/max/avg over ST_X/ST_Y)",
+        )
+        for n in ("ST_UNION", "STUNION")
+    },
     "VARPOP": lambda a: f"var_pop({a[0]})",
     "VARSAMP": lambda a: f"var_samp({a[0]})",
     "COVARPOP": lambda a: f"covar_pop({a[0]}, {a[1]})",
@@ -1484,7 +1504,7 @@ def _rewrite_pinot_aggregates_inner(sql: str, keep_native) -> str:
                     ]
                 )
                 try:
-                    if not args:
+                    if not args and u not in _ZERO_ARG_OK:
                         raise IndexError  # zero-arg: same loud path
                     out.append(build(args))
                 except IndexError:
@@ -2226,6 +2246,76 @@ def _parse_route_clauses(sql: str, shape):
     return from_sp, where_sp, group_items
 
 
+def _collect_decomposable_co_sites(
+    sql: str,
+    sites: list,
+    target_names,
+    in_subquery,
+    inside_target,
+    is_aggregate,
+    count_multiarg_ok: bool,
+):
+    """ONE definition of the co-aggregate classification the two-level
+    restructuring routes share (keyed + sumarray; post-review: the two
+    loops had drifted into ~30 duplicated lines — the same divergence
+    class the _StmtShape consolidation fixed for the route preambles).
+    Returns the decomposable co-site list ``[(AGGNAME, start, end,
+    inner_text)]`` or ``None`` (bail to the route's fallback).
+
+    Decomposable co-aggregates (round 8): partials push into the inner
+    level and recombine exactly in the outer — count -> sum of counts,
+    sum -> sum of sums, min/max -> extremes of extremes, avg -> sum of
+    sums / sum of counts.  Shapes the decomposition cannot keep exact
+    bail: a trailing FILTER would re-filter the OUTER aggregate over
+    restructured rows; count(DISTINCT x) does not decompose; min(a, b)
+    is invalid SQL but min((a, b)) is a VALID struct-min, so wrapping
+    would silently serve a loudly broken original; sum-of-sums widens
+    decimal precision twice (value-equal but dtype-drifted).
+    ``count_multiarg_ok``: the keyed route preserves rows 1:1 per key
+    so multi-argument COUNT pushes through; the sumarray route must
+    mask each argument to the first exploded copy and cannot mask a
+    multi-argument call as one expression.  Unclassified names: known
+    aggregates bail, our scalar rewrites pass, and anything the live
+    catalog says IS an aggregate fails safe to the fallback."""
+    co_sites = []
+    for name, st, op, inner, end in sites:
+        u = name.upper()
+        if u in target_names or inside_target(st):
+            continue
+        if in_subquery(st):
+            # a subquery's call sites run in their OWN scope over their
+            # OWN input — the restructure neither moves nor re-groups them
+            continue
+        if u in _KEYED_DECOMPOSABLE:
+            if re.match(r"\s*FILTER\b", sql[end:], re.IGNORECASE):
+                return None
+            if re.match(r"\s*DISTINCT\b", inner, re.IGNORECASE):
+                return None
+            nargs = len(_split_top_level_commas(inner))
+            if u == "COUNT":
+                if (
+                    nargs != 1
+                    and not count_multiarg_ok
+                    and inner.strip() != "*"
+                ):
+                    return None
+            elif nargs != 1:
+                return None
+            if u in ("SUM", "AVG", "MEAN") and re.search(
+                r"decimal", inner, re.IGNORECASE
+            ):
+                return None
+            co_sites.append((u, st, end, inner))
+            continue
+        if u in _KNOWN_AGG_NAMES:
+            return None  # non-decomposable aggregates keep the fallback
+        if u in SCALAR_REWRITE_NAMES:
+            continue  # our own per-row rewrites: positively scalar
+        if is_aggregate is not None and is_aggregate(name):
+            return None  # unclassified-but-aggregate: fail safe
+    return co_sites
+
+
 def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
     """Return the bounded two-level statement for a routable FUNNELCOUNT
     / tuple-value-aggregate statement, or ``None`` when the shape is
@@ -2271,47 +2361,17 @@ def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
     def inside_target(pos: int) -> bool:
         return any(s < pos < e for s, e in spans)
 
-    co_sites = []  # (AGGNAME, start, end, inner_text)
-    for name, st, op, inner, end in sites:
-        u = name.upper()
-        if u in _KEYED_TARGETS or inside_target(st):
-            continue
-        if _in_subquery(st):
-            # a subquery's call sites run in their OWN scope over their
-            # OWN input — the restructure neither moves nor re-groups them
-            continue
-        if u in _KEYED_DECOMPOSABLE:
-            # co-occurring DECOMPOSABLE aggregates (round 8): partials
-            # push into the inner per-(group, key) level and recombine in
-            # the outer level — count -> sum of counts, sum -> sum of
-            # sums, min/max -> min/max of extremes, avg -> sum of sums /
-            # sum of counts.  Shapes the decomposition cannot keep exact
-            # bail to the fallback:
-            if re.match(r"\s*FILTER\b", sql[end:], re.IGNORECASE):
-                # a trailing FILTER clause would re-filter the OUTER
-                # aggregate over restructured rows — a different answer
-                return None
-            if re.match(r"\s*DISTINCT\b", inner, re.IGNORECASE):
-                return None  # count(DISTINCT x) does not decompose
-            if u != "COUNT" and len(_split_top_level_commas(inner)) != 1:
-                # min(a, b) is invalid SQL — but min((a, b)) is a VALID
-                # struct-min, so wrapping would silently serve a loudly
-                # broken original; bail and let the original error
-                return None
-            if u in ("SUM", "AVG", "MEAN") and re.search(
-                r"decimal", inner, re.IGNORECASE
-            ):
-                # sum-of-sums widens decimal precision twice — value-equal
-                # but dtype-drifted vs the single-level aggregate
-                return None
-            co_sites.append((u, st, end, inner))
-            continue
-        if u in _KNOWN_AGG_NAMES:
-            return None  # non-decomposable aggregates keep the fallback
-        if u in SCALAR_REWRITE_NAMES:
-            continue  # our own per-row rewrites: positively scalar
-        if is_aggregate is not None and is_aggregate(name):
-            return None  # unclassified-but-aggregate: fail safe
+    co_sites = _collect_decomposable_co_sites(
+        sql,
+        sites,
+        _KEYED_TARGETS,
+        _in_subquery,
+        inside_target,
+        is_aggregate,
+        count_multiarg_ok=True,
+    )
+    if co_sites is None:
+        return None
     parsed = []  # (kind, start, end, key_expr, payload)
     for name, st, op, inner, end in target_sites:
         u = name.upper()
@@ -2702,6 +2762,10 @@ def rewrite_sumarray_statement(sql: str, is_aggregate=None):
         if s[0].upper() in _SUMARRAY_TARGETS:
             if shape.in_subquery(s[1]):
                 return None  # a route target in another scope: not ours
+            if re.match(r"\s*FILTER\b", sql[s[4]:], re.IGNORECASE):
+                # FILTER over the replacement expression would be a
+                # parse error (post-review) — bail to the loud reject
+                return None
             target_sites.append(s)
     if not target_sites:
         return None
@@ -2714,38 +2778,19 @@ def rewrite_sumarray_statement(sql: str, is_aggregate=None):
     def inside_target(pos: int) -> bool:
         return any(s < pos < e for s, e in spans)
 
-    co_sites = []  # (AGGNAME, start, end, inner_text)
-    for name, st, op, inner, end in sites:
-        u = name.upper()
-        if u in _SUMARRAY_TARGETS or inside_target(st):
-            continue
-        if shape.in_subquery(st):
-            continue  # another scope's call sites: untouched, unmoved
-        if u in _KEYED_DECOMPOSABLE:
-            # same exactness bails as the keyed route, plus COUNT's
-            # multi-argument form (count(a, b) cannot be masked as one
-            # expression — the keyed route needs no mask, this one does)
-            if re.match(r"\s*FILTER\b", sql[end:], re.IGNORECASE):
-                return None
-            if re.match(r"\s*DISTINCT\b", inner, re.IGNORECASE):
-                return None  # count(DISTINCT x) does not decompose
-            if (
-                len(_split_top_level_commas(inner)) != 1
-                and not (u == "COUNT" and inner.strip() == "*")
-            ):
-                return None
-            if u in ("SUM", "AVG", "MEAN") and re.search(
-                r"decimal", inner, re.IGNORECASE
-            ):
-                return None  # sum-of-sums widens decimal dtype
-            co_sites.append((u, st, end, inner))
-            continue
-        if u in _KNOWN_AGG_NAMES:
-            return None  # non-decomposable aggregates keep the fallback
-        if u in SCALAR_REWRITE_NAMES:
-            continue  # our own per-row rewrites: positively scalar
-        if is_aggregate is not None and is_aggregate(name):
-            return None  # unclassified-but-aggregate: fail safe
+    co_sites = _collect_decomposable_co_sites(
+        sql,
+        sites,
+        _SUMARRAY_TARGETS,
+        shape.in_subquery,
+        inside_target,
+        is_aggregate,
+        # every co-aggregate argument must be maskable to the first
+        # exploded copy as ONE expression — multi-argument COUNT cannot
+        count_multiarg_ok=False,
+    )
+    if co_sites is None:
+        return None
     arr = None
     parsed = []  # (NAME, start, end)
     for name, st, op, inner, end in target_sites:

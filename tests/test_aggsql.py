@@ -2898,3 +2898,64 @@ def test_sumarray_route_fuzz_matches_reference(spark, sumarray_engine):
         ).collect()
     }
     assert got == expect
+
+
+def test_mode_within_group_form_passes_through():
+    """Post-review: Spark's zero-arg mode() WITHIN GROUP (ORDER BY ...)
+    inverse-distribution form must not hit the arity error."""
+    src = "SELECT mode() WITHIN GROUP (ORDER BY v) FROM t"
+    assert R(src) == src
+
+
+def test_mode_within_group_answers(agg_engine):
+    got = agg_engine.query(
+        "SELECT mode() WITHIN GROUP (ORDER BY u) AS m FROM aggsrc"
+    ).collect()[0]["m"]
+    assert got in (0, 1)  # the two tied modes; Spark picks one
+
+
+def test_mode_max_long_min_value_fails_loudly(agg_engine):
+    """Post-review: the MAX reducer's negation identity overflows on
+    Long.MIN_VALUE — pinned as a LOUD ANSI failure (the keyed route's
+    loud-over-silent policy), never a silently inverted answer."""
+    import py4j.protocol
+
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        agg_engine.query(
+            "SELECT MODE(v, 'MAX') AS m FROM (SELECT "
+            "cast(-9223372036854775808 as bigint) AS v)"
+        ).collect()
+
+
+def test_sumarray_target_filter_clause_bails():
+    """Post-review: FILTER on a route TARGET would parse-break the
+    replacement — the route must bail (the reject then fires loudly)."""
+    assert rewrite_sumarray_statement(
+        "SELECT g, SUMARRAYLONG(arr) FILTER (WHERE g > 1) "
+        "FROM t GROUP BY g"
+    ) is None
+
+
+def test_st_union_both_spellings_share_one_message():
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions import aggsql
+
+    msgs = []
+    for n in ("ST_UNION", "STUNION"):
+        with pytest.raises(ValueError) as ei:
+            R(f"SELECT {n}(p) FROM t")
+        msgs.append(str(ei.value).replace(n, "<NAME>", 1))
+    assert msgs[0] == msgs[1]
+
+
+def test_keyed_route_still_allows_multiarg_count(spark):
+    """The shared co-site classifier must preserve the keyed route's
+    multi-argument COUNT allowance (rows are not duplicated there)."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_keyed_agg_statement,
+    )
+
+    routed = rewrite_keyed_agg_statement(
+        "SELECT g, SUMVALUESINTEGERSUMTUPLESKETCH(k, v), count(a, b) "
+        "FROM t GROUP BY g"
+    )
+    assert routed is not None and "count((a, b))" not in routed
