@@ -343,6 +343,28 @@ def main() -> None:
         "HAMMINGDISTANCE('karolin', 'kathrin') AS ham"
     ).show()
 
+    # 17. Round-8 session tail: the boolean aggregates, MODE tie
+    #     reducers (MIN default / MAX via the exact negation identity),
+    #     the epoch-bucket rollup macros, and SUMARRAYLONG served by the
+    #     positional statement route (posexplode + per-(group, position)
+    #     hash aggregate — Pinot's accumulator bound, zero collected
+    #     input arrays)
+    engine.query(
+        "SELECT BOOLAND(price > 0) AS all_paid, "
+        "BOOLOR(campaign = 'BlackFriday') AS any_bf, "
+        "MODE(price, 'MAX') AS modal_price_hi, "
+        "TOEPOCHMINUTESROUNDED(1613472303000, 15) AS bucket15 "
+        "FROM clickstream"
+    ).show()
+    spark.sql(
+        "SELECT * FROM VALUES ('a', array(1, 2, 3)), "
+        "('a', array(10, 20)), ('b', array(5)) AS t(k, nums)"
+    ).createOrReplaceTempView("sumarray_demo")
+    engine.query(
+        "SELECT k, SUMARRAYLONG(nums) AS elementwise_sums "
+        "FROM sumarray_demo GROUP BY k ORDER BY k"
+    ).show()
+
     spark.stop()
 
 
