@@ -2904,6 +2904,7 @@ class Engine:
         from .functions.aggsql import (
             canonicalize_pinot_spellings,
             rewrite_keyed_agg_statement,
+            rewrite_mode_avg_statement,
             rewrite_mv_distinct_statement,
             rewrite_ordered_funnel_statement,
             rewrite_pinot_aggregates,
@@ -2957,6 +2958,14 @@ class Engine:
             # array length; aggsql.py section comment).  Unroutable
             # shapes keep the loud call-site reject.
             routed_mv = rewrite_sumarray_statement(
+                sql, is_aggregate=self._is_catalog_aggregate
+            )
+        if routed_mv is None:
+            # MODE(col, 'AVG') statements route to the three-level
+            # tied-mode-average plan (round-8 session — stacked hash
+            # aggregates, no windows or collections; aggsql.py section
+            # comment).  Unroutable shapes keep the loud reject.
+            routed_mv = rewrite_mode_avg_statement(
                 sql, is_aggregate=self._is_catalog_aggregate
             )
         if routed_mv is not None:

@@ -913,10 +913,14 @@ def _mode(args: list[str]) -> str:
     if red == "AVG":
         raise ValueError(
             "MODE(col, 'AVG') averages ALL tied modes — per-group "
-            "collection state one expression cannot bound; compute it "
-            "relationally (GROUP BY value, count, rank by count, AVG "
-            "the top rank) or use the MIN/MAX reducers, which are "
-            "served exactly"
+            "collection state one expression cannot bound, so it is "
+            "served only for single-table statements the three-level "
+            "statement route can restructure "
+            "(rewrite_mode_avg_statement: no joins/windows/other MODE "
+            "forms/non-decomposable co-aggregates) — this statement "
+            "shape is not; compute it relationally (GROUP BY value, "
+            "count, rank by count, AVG the top rank) or use the "
+            "MIN/MAX reducers, which are served exactly at any shape"
         )
     raise ValueError(
         f"MODE reducer must be 'MIN', 'MAX' or 'AVG', got {red!r}"
@@ -2869,4 +2873,179 @@ def rewrite_sumarray_statement(sql: str, is_aggregate=None):
     edits.append((from_sp[0], repl_end, f"FROM ({inner_sql}) __sa "))
     # apply_text_edits returns None on overlap (e.g. a target inside the
     # WHERE clause) — bail to the loud call-site reject
+    return apply_text_edits(sql, edits)
+
+
+# ---------------------------------------------------------------------------
+# Statement-level route: MODE(col, 'AVG') — average of the tied modes
+# ---------------------------------------------------------------------------
+#
+# The MIN/MAX tie reducers are single aggregates (deterministic mode /
+# the negation identity), but AVG needs the full tied-mode SET — state no
+# single expression can bound, so the call site rejects loudly.  Routable
+# single-table statements restructure instead (round-8 session) to THREE
+# stacked hash aggregates, no windows, no collections:
+#
+#   SELECT g, MODE(v, 'AVG') FROM t WHERE ... GROUP BY g
+# ->
+#   level 1:  GROUP BY g, (v)        -> __md_c = count of non-NULL v
+#   level 2:  GROUP BY g, __md_c     -> __md_sv = sum(v), __md_n = count(*)
+#             (all values TIED at frequency c merge into one row)
+#   outer:    GROUP BY g             -> try_divide(max_by(__md_sv, __md_c),
+#                                                  max_by(__md_n,  __md_c))
+#
+# __md_c is unique per (g, level-2 row), so max_by has no ties and both
+# calls pick the SAME row — the one holding the sum and count of exactly
+# the values whose frequency is the group's maximum.  NULL values are
+# excluded from candidacy by counting ONLY non-NULL v at level 1 (their
+# row carries __md_c = 0, which loses to any real frequency; an all-NULL
+# group answers NULL through the NULL sum).  Per-group state at every
+# level is one hash-aggregate row — Pinot's own mode-map bound.
+# Co-occurring decomposable aggregates chain through both regroupings
+# (count -> sum -> sum, min -> min -> min, ...); rows are never
+# duplicated here, so no first-copy mask is needed.  All MODE-AVG
+# targets must share ONE value expression (level 1 groups by it).
+
+_MODE_AVG_GATE_RE = re.compile(r"\bMODE\s*\(", re.IGNORECASE)
+
+
+def _mode_avg_arg(args: list[str]):
+    """The value expression when ``args`` is the AVG-reducer form, else
+    None (other MODE forms are served at the call site)."""
+    if len(args) != 2:
+        return None
+    raw = args[1].strip()
+    if not raw.startswith(("'", '"')):
+        return None
+    try:
+        red = _unquote_literal(raw, "MODE reducer").strip().upper()
+    except ValueError:
+        return None
+    return args[0] if red == "AVG" else None
+
+
+def rewrite_mode_avg_statement(sql: str, is_aggregate=None):
+    """Return the three-level statement for a routable MODE(col, 'AVG')
+    statement, or ``None`` when the shape is unsupported (section
+    comment above has the full contract)."""
+    if not _MODE_AVG_GATE_RE.search(sql):
+        return None
+    shape = _parse_routable_statement(
+        sql, "__md", allow_subqueries=True, allow_join=False
+    )
+    if shape is None:
+        return None
+    clauses = _parse_route_clauses(sql, shape)
+    if clauses is None:
+        return None
+    from_sp, where_sp, group_items = clauses
+    sites = _scan_call_sites(sql)
+    target_sites = []
+    other_mode = False
+    for name, st, op, inner, end in sites:
+        if name.upper() != "MODE":
+            continue
+        args = (
+            [a.strip() for a in _split_top_level_commas(inner)]
+            if inner.strip()
+            else []
+        )
+        e = _mode_avg_arg(args)
+        if e is None:
+            other_mode = other_mode or not shape.in_subquery(st)
+            continue
+        if shape.in_subquery(st):
+            return None  # a route target in another scope: not ours
+        if re.match(r"\s*FILTER\b", sql[end:], re.IGNORECASE):
+            return None  # FILTER over restructured rows: loud reject
+        if (
+            _MV_AGG_IN_ARG_RE.search(e)
+            or "__md" in e
+            or re.search(r"\bSELECT\b", e, re.IGNORECASE)
+        ):
+            return None
+        target_sites.append((st, end, e))
+    if not target_sites:
+        return None
+    if other_mode:
+        # a MIN/MAX/bare MODE over the re-grouped rows would answer a
+        # different question — those call sites stay exact only on the
+        # original statement, so the AVG form keeps its loud reject
+        return None
+    spans = [(st, end) for st, end, _ in target_sites]
+    for s1, e1 in spans:
+        for s2, e2 in spans:
+            if s1 < s2 < e1:
+                return None
+
+    def inside_target(pos: int) -> bool:
+        return any(s < pos < e for s, e in spans)
+
+    # exclude MODE itself from the known-aggregate bail: the targets ARE
+    # the route's reason and every other MODE form bailed above
+    sites_sans_mode = [s for s in sites if s[0].upper() != "MODE"]
+    co_sites = _collect_decomposable_co_sites(
+        sql,
+        sites_sans_mode,
+        frozenset(),
+        shape.in_subquery,
+        inside_target,
+        is_aggregate,
+        count_multiarg_ok=True,
+    )
+    if co_sites is None:
+        return None
+    if len({e for _, _, e in target_sites}) != 1:
+        return None  # all targets must share ONE value expression
+    val = target_sites[0][2]
+    l1_items = list(group_items)
+    l1_items.append(f"({val}) AS __md_v")
+    l1_items.append(f"count(({val})) AS __md_c")
+    l2_items = list(group_items)
+    l2_items.append("__md_c")
+    l2_items.append("sum(__md_v) AS __md_sv")
+    l2_items.append("count(*) AS __md_n")
+    edits = []
+    for st, end, _e in target_sites:
+        edits.append((
+            st,
+            end,
+            "try_divide(max_by(__md_sv, __md_c), max_by(__md_n, __md_c))",
+        ))
+    for j, (u, st, end, inner) in enumerate(co_sites):
+        if u == "COUNT":
+            l1_items.append(f"count({inner}) AS __mda{j}")
+            l2_items.append(f"sum(__mda{j}) AS __mda{j}")
+            repl = f"coalesce(sum(__mda{j}), 0)"
+        elif u == "SUM":
+            l1_items.append(f"sum(({inner})) AS __mda{j}")
+            l2_items.append(f"sum(__mda{j}) AS __mda{j}")
+            repl = f"sum(__mda{j})"
+        elif u in ("AVG", "MEAN"):
+            l1_items.append(f"sum(({inner})) AS __mda{j}_s")
+            l1_items.append(f"count(({inner})) AS __mda{j}_c")
+            l2_items.append(f"sum(__mda{j}_s) AS __mda{j}_s")
+            l2_items.append(f"sum(__mda{j}_c) AS __mda{j}_c")
+            repl = f"try_divide(sum(__mda{j}_s), sum(__mda{j}_c))"
+        else:  # MIN / MAX
+            fn = u.lower()
+            l1_items.append(f"{fn}(({inner})) AS __mda{j}")
+            l2_items.append(f"{fn}(__mda{j}) AS __mda{j}")
+            repl = f"{fn}(__mda{j})"
+        edits.append((st, end, repl))
+    where_clause = ""
+    repl_end = from_sp[2]
+    if where_sp is not None:
+        where_clause = f" WHERE {sql[where_sp[1]:where_sp[2]].strip()}"
+        repl_end = where_sp[2]
+    l1_group = ", ".join(group_items + [f"({val})"])
+    l2_group = ", ".join(group_items + ["__md_c"])
+    inner_sql = (
+        f"SELECT {', '.join(l2_items)} FROM ("
+        f"SELECT {', '.join(l1_items)} FROM {shape.from_text.strip()}"
+        f"{where_clause} GROUP BY {l1_group}"
+        f") __md1 GROUP BY {l2_group}"
+    )
+    edits.append((from_sp[0], repl_end, f"FROM ({inner_sql}) __md "))
+    # apply_text_edits returns None on overlap — bail to the loud reject
     return apply_text_edits(sql, edits)

@@ -6872,6 +6872,51 @@ def b17_sumarray_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b24_mode_avg_route",
+    r"""
+    WITH src AS (
+      SELECT event_type, user_id % 10 AS v
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    f AS (SELECT event_type, v, count(*) AS c FROM src GROUP BY 1, 2),
+    mx AS (SELECT event_type, max(c) AS mc FROM f GROUP BY 1),
+    modes AS (
+      SELECT f.event_type, avg(f.v) AS mode_avg
+      FROM f JOIN mx USING (event_type)
+      WHERE f.c = mx.mc GROUP BY f.event_type
+    ),
+    cnt AS (SELECT event_type, count(*) AS n FROM src GROUP BY 1)
+    SELECT m.event_type, m.mode_avg, c.n
+    FROM modes m JOIN cnt c USING (event_type)
+    ORDER BY m.event_type
+    """,
+    doc="Pinot MODE(col, 'AVG') **[P1.2]** (round-8 session): the "
+        "tied-mode AVERAGE served by the three-level statement route — "
+        "GROUP BY (group, value) counts, GROUP BY (group, count) merges "
+        "the tied values' sum and cardinality, and max_by on the unique "
+        "count key picks the max-frequency row; stacked hash aggregates "
+        "only, no windows or collections (Pinot's mode-map bound).  The "
+        "tie-heavy user_id % 10 column exercises real multi-mode "
+        "groups; count(*) rides along as a chained decomposable "
+        "co-aggregate.  The DuckDB oracle replays it as avg over the "
+        "max-frequency value set.",
+)
+def b24_mode_avg_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .functions.aggsql import rewrite_mode_avg_statement
+
+    stmt = (
+        "SELECT event_type, MODE(user_id % 10, 'AVG') AS mode_avg, "
+        "count(*) AS n FROM events WHERE user_id IS NOT NULL "
+        "GROUP BY event_type ORDER BY event_type"
+    )
+    routed = rewrite_mode_avg_statement(stmt)
+    if routed is None:  # the route regressing to the reject is a bug
+        raise AssertionError("mode-avg route refused a routable shape")
+    return spark.sql(routed)
+
+
+@register(
     "b24_bool_mode_reducers_sql",
     r"""
     WITH src AS (

@@ -2959,3 +2959,140 @@ def test_keyed_route_still_allows_multiarg_count(spark):
         "FROM t GROUP BY g"
     )
     assert routed is not None and "count((a, b))" not in routed
+
+
+# -- MODE(col, 'AVG') three-level statement route ------------------------------
+
+
+from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (  # noqa: E402
+    rewrite_mode_avg_statement,
+)
+
+
+def test_mode_avg_route_text_shape():
+    routed = rewrite_mode_avg_statement(
+        "SELECT g, MODE(v, 'AVG') AS m FROM t WHERE v > 0 GROUP BY g"
+    )
+    assert routed is not None
+    assert "GROUP BY g, (v)" in routed
+    assert "GROUP BY g, __md_c" in routed
+    assert "max_by(__md_sv, __md_c)" in routed
+    assert "WHERE v > 0 GROUP BY" in routed  # WHERE moved inside
+
+
+@pytest.mark.parametrize(
+    "stmt",
+    [
+        # another MODE form over re-grouped rows: keep everything exact
+        "SELECT MODE(v, 'AVG'), MODE(v) FROM t",
+        "SELECT MODE(v, 'AVG'), MODE(v, 'MAX') FROM t GROUP BY g",
+        # two different value expressions cannot share one level-1 group
+        "SELECT MODE(a, 'AVG'), MODE(b, 'AVG') FROM t",
+        # non-decomposable co-aggregates keep the reject
+        "SELECT MODE(v, 'AVG'), count(DISTINCT u) FROM t",
+        # windows / joins bail at the shape parse
+        "SELECT MODE(v, 'AVG'), rank() OVER (ORDER BY g) FROM t",
+        "SELECT MODE(v, 'AVG') FROM t JOIN d ON t.k = d.k",
+        # FILTER over restructured rows
+        "SELECT MODE(v, 'AVG') FILTER (WHERE g > 1) FROM t",
+    ],
+)
+def test_mode_avg_route_bails(stmt):
+    assert rewrite_mode_avg_statement(stmt) is None
+
+
+@pytest.fixture(scope="module")
+def modeavg_engine(spark, tmp_path_factory):
+    rows = [
+        # g=1: modes 10 and 20 tied at 2 -> AVG 15.0
+        (1, 10), (1, 10), (1, 20), (1, 20), (1, 30),
+        # g=2: single mode 7 -> 7.0
+        (2, 7), (2, 7), (2, 9),
+        # g=3: all NULL -> NULL
+        (3, None),
+        # g=4: NULLs never outvote values (3 NULLs vs 1 five) -> 5.0
+        (4, None), (4, None), (4, None), (4, 5),
+    ]
+    spark.createDataFrame(rows, "g INT, v INT").createOrReplaceTempView(
+        "mamode"
+    )
+    return Engine(spark, str(tmp_path_factory.mktemp("wh")))
+
+
+def test_mode_avg_route_values(modeavg_engine):
+    got = {
+        r.g: (r.m, r.n)
+        for r in modeavg_engine.query(
+            "SELECT g, MODE(v, 'AVG') AS m, count(*) AS n "
+            "FROM mamode GROUP BY g ORDER BY g"
+        ).collect()
+    }
+    assert got == {
+        1: (15.0, 5),
+        2: (7.0, 3),
+        3: (None, 1),
+        4: (5.0, 4),
+    }
+
+
+def test_mode_avg_route_global_with_coaggs(modeavg_engine):
+    row = modeavg_engine.query(
+        "SELECT MODE(v, 'AVG') AS m, min(v) AS lo, avg(v) AS a "
+        "FROM mamode WHERE g <= 2"
+    ).collect()[0]
+    # across g<=2: 10x2, 20x2, 7x2 all tied at 2 -> avg(10,20,7)
+    assert row.m == pytest.approx((10 + 20 + 7) / 3)
+    assert row.lo == 7
+    assert row.a == pytest.approx((10 + 10 + 20 + 20 + 30 + 7 + 7 + 9) / 8)
+
+
+def test_mode_avg_unroutable_rejects_loudly(modeavg_engine):
+    with pytest.raises(Exception, match="three-level statement route"):
+        modeavg_engine.query(
+            "SELECT MODE(v, 'AVG') AS m, MODE(v) AS plain "
+            "FROM mamode"
+        ).collect()
+
+
+def test_mode_avg_route_fuzz_matches_reference(spark, modeavg_engine):
+    """Property: route == the Python tied-mode-average on random data
+    with NULLs and many tie collisions (values drawn from a small
+    domain so ties are the COMMON case)."""
+    import random
+
+    rng = random.Random(88)
+    rows = [
+        (rng.randint(0, 4),
+         None if rng.random() < 0.2 else rng.randint(0, 6))
+        for _ in range(400)
+    ]
+    spark.createDataFrame(rows, "g INT, v INT").createOrReplaceTempView(
+        "mafuzz"
+    )
+    expect = {}
+    by_g: dict = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        counts: dict = {}
+        for v in vs:
+            if v is not None:
+                counts[v] = counts.get(v, 0) + 1
+        if not counts:
+            expect[g] = None
+            continue
+        mc = max(counts.values())
+        tied = [v for v, c in counts.items() if c == mc]
+        expect[g] = sum(tied) / len(tied)
+    got = {
+        r.g: r.m
+        for r in modeavg_engine.query(
+            "SELECT g, MODE(v, 'AVG') AS m FROM mafuzz GROUP BY g"
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for g in expect:
+        if expect[g] is None:
+            assert got[g] is None
+        else:
+            assert got[g] == pytest.approx(expect[g])

@@ -104,6 +104,11 @@ PROBES = (
     # (label, position) (5 labels x embedding dims), outer collect is
     # bounded by the array length; expect ~flat-per-row
     "b17_sumarray_route",
+    # round-8 session: the MODE-AVG three-level route — three stacked
+    # hash aggregates whose exchanges carry one row per (group, value)
+    # then per (group, count); both cardinalities fixed here (5 types x
+    # 10 values), expect ~flat-per-row
+    "b24_mode_avg_route",
 )
 
 
