@@ -2977,10 +2977,20 @@ class Engine:
             try:
                 self.spark.sql(probed)  # analysis only, no execution
                 sql = probed  # reuse the probed text: one rewrite, not two
-            except Exception:
-                sql = rewrite_pinot_aggregates(
-                    sql, keep_native=self._catalog_has_function
-                )
+            except Exception as probe_exc:
+                try:
+                    sql = rewrite_pinot_aggregates(
+                        sql, keep_native=self._catalog_has_function
+                    )
+                except ValueError:
+                    # the fallback is an unconditional loud REJECT
+                    # (sumarray / mode-avg): the statement's shape DID
+                    # route and the analysis failure has a real cause
+                    # (e.g. an unresolved column) — surfacing the reject
+                    # would falsely tell the user to restructure a
+                    # routable statement and mask the genuine
+                    # diagnostic (post-review)
+                    raise probe_exc from None
         else:
             sql = rewrite_pinot_aggregates(
                 sql, keep_native=self._catalog_has_function

@@ -2320,6 +2320,88 @@ def _collect_decomposable_co_sites(
     return co_sites
 
 
+def _emit_decomposable_co_aggs(
+    co_sites: list,
+    prefix: str,
+    levels: list,
+    edits: list,
+    first_copy: "str | None" = None,
+):
+    """ONE definition of the co-aggregate partial EMISSION the
+    restructuring routes share (keyed / sumarray / mode-avg; the
+    emission half of _collect_decomposable_co_sites — post-review: it
+    had been pasted three times).  ``levels`` is the route's stack of
+    inner SELECT-item lists, innermost first: the first level gets the
+    original partial aggregate, every later level gets the chaining
+    re-aggregate under the same alias, and the call site is replaced by
+    the outer recombination.  ``first_copy``: a boolean SQL condition
+    selecting exactly one copy of each original row — required when the
+    route DUPLICATES rows (the sumarray explode); duplication-immune
+    MIN/MAX never mask.  Recombinations: count -> coalesce(sum, 0)
+    (zero inner rows must answer 0, not NULL), sum -> sum, avg ->
+    try_divide of chained sum/count (all-NULL input means a 0 count —
+    NULL, never an ANSI divide error), min/max -> themselves."""
+
+    def chain(col: str, fn: str) -> None:
+        for lv in levels[1:]:
+            lv.append(f"{fn}({col}) AS {col}")
+
+    for j, (u, st, end, inner) in enumerate(co_sites):
+        a = f"{prefix}{j}"
+        if u == "COUNT":
+            if first_copy:
+                expr = "1" if inner.strip() == "*" else f"({inner})"
+                base = f"count(if({first_copy}, {expr}, null))"
+            else:
+                base = f"count({inner})"
+            levels[0].append(f"{base} AS {a}")
+            chain(a, "sum")
+            repl = f"coalesce(sum({a}), 0)"
+        elif u == "SUM":
+            arg = (
+                f"if({first_copy}, ({inner}), null)"
+                if first_copy
+                else f"({inner})"
+            )
+            levels[0].append(f"sum({arg}) AS {a}")
+            chain(a, "sum")
+            repl = f"sum({a})"
+        elif u in ("AVG", "MEAN"):
+            arg = (
+                f"if({first_copy}, ({inner}), null)"
+                if first_copy
+                else f"({inner})"
+            )
+            levels[0].append(f"sum({arg}) AS {a}_s")
+            levels[0].append(f"count({arg}) AS {a}_c")
+            chain(f"{a}_s", "sum")
+            chain(f"{a}_c", "sum")
+            repl = f"try_divide(sum({a}_s), sum({a}_c))"
+        else:  # MIN / MAX: duplication-immune, extremes of extremes
+            fn = u.lower()
+            levels[0].append(f"{fn}(({inner})) AS {a}")
+            chain(a, fn)
+            repl = f"{fn}({a})"
+        edits.append((st, end, repl))
+
+
+def _split_off_where(sql: str, from_sp, where_sp):
+    """The (where_clause_text, replacement_end) pair every
+    restructuring route splices when moving FROM+WHERE into its derived
+    table (post-review: pasted four times)."""
+    if where_sp is None:
+        return "", from_sp[2]
+    return f" WHERE {sql[where_sp[1]:where_sp[2]].strip()}", where_sp[2]
+
+
+def _has_nested_span(spans: list) -> bool:
+    """True when any recorded call-site span sits inside another —
+    nested route targets are invalid SQL anyway; the routes bail."""
+    return any(
+        s1 < s2 < e1 for s1, e1 in spans for s2, e2 in spans
+    )
+
+
 def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
     """Return the bounded two-level statement for a routable FUNNELCOUNT
     / tuple-value-aggregate statement, or ``None`` when the shape is
@@ -2357,10 +2439,8 @@ def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
     if not target_sites:
         return None
     spans = [(st, end) for _, st, _, _, end in target_sites]
-    for s1, e1 in spans:
-        for s2, e2 in spans:
-            if s1 < s2 < e1:  # nested route targets: invalid SQL anyway
-                return None
+    if _has_nested_span(spans):  # nested route targets: invalid SQL
+        return None
 
     def inside_target(pos: int) -> bool:
         return any(s < pos < e for s, e in spans)
@@ -2478,31 +2558,8 @@ def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
                 else f"cast(avg(__fc{j}_v) as double)"
             )
         edits.append((st, end, repl))
-    for j, (u, st, end, inner) in enumerate(co_sites):
-        if u == "COUNT":
-            inner_items.append(f"count({inner}) AS __fca{j}")
-            # zero inner rows (global aggregate, WHERE filtered all):
-            # count answers 0, not NULL
-            repl = f"coalesce(sum(__fca{j}), 0)"
-        elif u == "SUM":
-            inner_items.append(f"sum(({inner})) AS __fca{j}")
-            repl = f"sum(__fca{j})"
-        elif u in ("AVG", "MEAN"):
-            inner_items.append(f"sum(({inner})) AS __fca{j}_s")
-            inner_items.append(f"count(({inner})) AS __fca{j}_c")
-            # try_divide: all-NULL input means sum(count)=0 — avg must
-            # answer NULL there, never an ANSI divide-by-zero error
-            repl = f"try_divide(sum(__fca{j}_s), sum(__fca{j}_c))"
-        else:  # MIN / MAX: extremes of per-key extremes
-            fn = u.lower()
-            inner_items.append(f"{fn}(({inner})) AS __fca{j}")
-            repl = f"{fn}(__fca{j})"
-        edits.append((st, end, repl))
-    where_clause = ""
-    repl_end = from_sp[2]
-    if where_sp is not None:
-        where_clause = f" WHERE {sql[where_sp[1]:where_sp[2]].strip()}"
-        repl_end = where_sp[2]
+    _emit_decomposable_co_aggs(co_sites, "__fca", [inner_items], edits)
+    where_clause, repl_end = _split_off_where(sql, from_sp, where_sp)
     inner_group = ", ".join(group_items + [f"({key})"])
     inner_sql = (
         f"SELECT {', '.join(inner_items)} FROM {from_text.strip()}"
@@ -2662,11 +2719,7 @@ def rewrite_ordered_funnel_statement(sql: str, is_aggregate=None):
             sub_layers.append(titems)
         if vitems:
             sub_layers.append(vitems)
-    where_clause = ""
-    repl_end = from_sp[2]
-    if where_sp is not None:
-        where_clause = f" WHERE {sql[where_sp[1]:where_sp[2]].strip()}"
-        repl_end = where_sp[2]
+    where_clause, repl_end = _split_off_where(sql, from_sp, where_sp)
     inner_sql = (
         f"SELECT *, {', '.join(base_cols)} FROM "
         f"{shape.from_text.strip()}{where_clause}"
@@ -2774,10 +2827,8 @@ def rewrite_sumarray_statement(sql: str, is_aggregate=None):
     if not target_sites:
         return None
     spans = [(st, end) for _, st, _, _, end in target_sites]
-    for s1, e1 in spans:
-        for s2, e2 in spans:
-            if s1 < s2 < e1:  # nested route targets: invalid SQL anyway
-                return None
+    if _has_nested_span(spans):  # nested route targets: invalid SQL
+        return None
 
     def inside_target(pos: int) -> bool:
         return any(s < pos < e for s, e in spans)
@@ -2831,38 +2882,10 @@ def rewrite_sumarray_statement(sql: str, is_aggregate=None):
             "THEN struct(__sa_pos, __sa_v) END)), "
             f"x -> cast(x.__sa_v as {_SUMARRAY_CAST[u]}))",
         ))
-    for j, (u, st, end, inner) in enumerate(co_sites):
-        if u == "COUNT":
-            expr = "1" if inner.strip() == "*" else f"({inner})"
-            inner_items.append(
-                f"count(if({first}, {expr}, null)) AS __saa{j}"
-            )
-            # zero inner rows (global aggregate, WHERE filtered all):
-            # count answers 0, not NULL
-            repl = f"coalesce(sum(__saa{j}), 0)"
-        elif u == "SUM":
-            inner_items.append(
-                f"sum(if({first}, ({inner}), null)) AS __saa{j}"
-            )
-            repl = f"sum(__saa{j})"
-        elif u in ("AVG", "MEAN"):
-            inner_items.append(
-                f"sum(if({first}, ({inner}), null)) AS __saa{j}_s"
-            )
-            inner_items.append(
-                f"count(if({first}, ({inner}), null)) AS __saa{j}_c"
-            )
-            repl = f"try_divide(sum(__saa{j}_s), sum(__saa{j}_c))"
-        else:  # MIN / MAX: duplication-immune, extremes of extremes
-            fn = u.lower()
-            inner_items.append(f"{fn}(({inner})) AS __saa{j}")
-            repl = f"{fn}(__saa{j})"
-        edits.append((st, end, repl))
-    where_clause = ""
-    repl_end = from_sp[2]
-    if where_sp is not None:
-        where_clause = f" WHERE {sql[where_sp[1]:where_sp[2]].strip()}"
-        repl_end = where_sp[2]
+    _emit_decomposable_co_aggs(
+        co_sites, "__saa", [inner_items], edits, first_copy=first
+    )
+    where_clause, repl_end = _split_off_where(sql, from_sp, where_sp)
     inner_group = ", ".join(group_items + ["__sa_pos"])
     inner_sql = (
         f"SELECT {', '.join(inner_items)} FROM {shape.from_text.strip()}"
@@ -2973,10 +2996,8 @@ def rewrite_mode_avg_statement(sql: str, is_aggregate=None):
         # original statement, so the AVG form keeps its loud reject
         return None
     spans = [(st, end) for st, end, _ in target_sites]
-    for s1, e1 in spans:
-        for s2, e2 in spans:
-            if s1 < s2 < e1:
-                return None
+    if _has_nested_span(spans):  # nested route targets: invalid SQL
+        return None
 
     def inside_target(pos: int) -> bool:
         return any(s < pos < e for s, e in spans)
@@ -3012,32 +3033,10 @@ def rewrite_mode_avg_statement(sql: str, is_aggregate=None):
             end,
             "try_divide(max_by(__md_sv, __md_c), max_by(__md_n, __md_c))",
         ))
-    for j, (u, st, end, inner) in enumerate(co_sites):
-        if u == "COUNT":
-            l1_items.append(f"count({inner}) AS __mda{j}")
-            l2_items.append(f"sum(__mda{j}) AS __mda{j}")
-            repl = f"coalesce(sum(__mda{j}), 0)"
-        elif u == "SUM":
-            l1_items.append(f"sum(({inner})) AS __mda{j}")
-            l2_items.append(f"sum(__mda{j}) AS __mda{j}")
-            repl = f"sum(__mda{j})"
-        elif u in ("AVG", "MEAN"):
-            l1_items.append(f"sum(({inner})) AS __mda{j}_s")
-            l1_items.append(f"count(({inner})) AS __mda{j}_c")
-            l2_items.append(f"sum(__mda{j}_s) AS __mda{j}_s")
-            l2_items.append(f"sum(__mda{j}_c) AS __mda{j}_c")
-            repl = f"try_divide(sum(__mda{j}_s), sum(__mda{j}_c))"
-        else:  # MIN / MAX
-            fn = u.lower()
-            l1_items.append(f"{fn}(({inner})) AS __mda{j}")
-            l2_items.append(f"{fn}(__mda{j}) AS __mda{j}")
-            repl = f"{fn}(__mda{j})"
-        edits.append((st, end, repl))
-    where_clause = ""
-    repl_end = from_sp[2]
-    if where_sp is not None:
-        where_clause = f" WHERE {sql[where_sp[1]:where_sp[2]].strip()}"
-        repl_end = where_sp[2]
+    _emit_decomposable_co_aggs(
+        co_sites, "__mda", [l1_items, l2_items], edits
+    )
+    where_clause, repl_end = _split_off_where(sql, from_sp, where_sp)
     l1_group = ", ".join(group_items + [f"({val})"])
     l2_group = ", ".join(group_items + ["__md_c"])
     inner_sql = (

@@ -3096,3 +3096,26 @@ def test_mode_avg_route_fuzz_matches_reference(spark, modeavg_engine):
             assert got[g] is None
         else:
             assert got[g] == pytest.approx(expect[g])
+
+
+def test_routed_probe_failure_surfaces_real_error(modeavg_engine):
+    """Post-review: a routable statement whose ANALYSIS fails for a real
+    reason (typo'd column) must surface that diagnostic — not the
+    loud-reject fallback's false claim that the shape is unroutable."""
+    with pytest.raises(Exception) as ei:
+        modeavg_engine.query(
+            "SELECT g, MODE(vv, 'AVG') AS m FROM mamode GROUP BY g"
+        ).collect()
+    msg = str(ei.value)
+    assert "vv" in msg or "UNRESOLVED" in msg.upper()
+    assert "three-level statement route" not in msg
+
+
+def test_sumarray_probe_failure_surfaces_real_error(sumarray_engine):
+    with pytest.raises(Exception) as ei:
+        sumarray_engine.query(
+            "SELECT g, SUMARRAYLONG(nope) AS s FROM sasrc GROUP BY g"
+        ).collect()
+    msg = str(ei.value)
+    assert "nope" in msg or "UNRESOLVED" in msg.upper()
+    assert "positional statement route" not in msg
