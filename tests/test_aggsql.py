@@ -3119,3 +3119,29 @@ def test_sumarray_probe_failure_surfaces_real_error(sumarray_engine):
     msg = str(ei.value)
     assert "nope" in msg or "UNRESOLVED" in msg.upper()
     assert "positional statement route" not in msg
+
+
+def test_underscored_sumarray_spelling_routes(sumarray_engine):
+    """SUM_ARRAY_LONG canonicalizes (underscore strip) BEFORE the
+    statement routes, so the underscored spelling takes the same
+    bounded positional plan as the canonical one."""
+    got = {
+        r.g: r.s
+        for r in sumarray_engine.query(
+            "SELECT g, SUM_ARRAY_LONG(arr) AS s FROM sasrc "
+            "WHERE g IN (1, 3) GROUP BY g"
+        ).collect()
+    }
+    assert got == {1: [11, 22, 3], 3: []}
+
+
+def test_mode_avg_with_sumarray_coagg_rejects_loudly(sumarray_engine):
+    """Route precedence for the two session routes: each treats the
+    other's target as a known non-decomposable aggregate, so the mixed
+    statement falls through BOTH and the first call-site reject fires
+    — never a silently restructured half-answer."""
+    with pytest.raises(ValueError, match="SUMARRAYLONG|MODE"):
+        sumarray_engine.query(
+            "SELECT g, SUMARRAYLONG(arr) AS s, MODE(g, 'AVG') AS m "
+            "FROM sasrc GROUP BY g"
+        ).collect()
