@@ -128,7 +128,7 @@ def _sketch_distinct(name: str, theta: bool = False):
                 raise ValueError(
                     f"{name}: the set-expression form is served only "
                     "for single-table statements the two-level exact "
-                    "route can restructure (no subqueries/joins/windows/"
+                    "route can restructure (no subqueries/multi-joins/windows/"
                     "other aggregates) — this statement shape is not; "
                     "use the sketch set-algebra API (operators/"
                     "sketch.py, SURVEY B21) for filtered intersections/"
@@ -171,7 +171,7 @@ def _tuple_value_unsupported(name: str, alt: str):
             raise ValueError(
                 f"{name}(keyExpr, valueExpr) is served only for "
                 "single-table statements the two-level exact route can "
-                "restructure (no subqueries/joins/windows/other "
+                "restructure (no subqueries/multi-joins/windows/other "
                 "aggregates) — this statement shape is not; use "
                 f"operators/sketch.py {alt} (SURVEY B70) instead"
             )
@@ -916,7 +916,7 @@ def _mode(args: list[str]) -> str:
             "collection state one expression cannot bound, so it is "
             "served only for single-table statements the three-level "
             "statement route can restructure "
-            "(rewrite_mode_avg_statement: no joins/windows/other MODE "
+            "(rewrite_mode_avg_statement: no multi-joins/windows/other MODE "
             "forms/non-decomposable co-aggregates) — this statement "
             "shape is not; compute it relationally (GROUP BY value, "
             "count, rank by count, AVG the top rank) or use the "
@@ -940,9 +940,9 @@ def _sumarray_reject(name: str):
     the statement shape was unroutable."""
     return _reject_loudly(
         name,
-        "(element-wise array sum) is served only for single-table "
-        "statements the positional statement route can restructure (no "
-        "joins/windows/non-decomposable co-aggregates, all calls on ONE "
+        "(element-wise array sum) is served only for statements the "
+        "positional statement route can restructure (no multi-joins/"
+        "windows/non-decomposable co-aggregates, all calls on ONE "
         "array expression) — this statement shape is not; restructure "
         "manually: LATERAL VIEW POSEXPLODE(col) then GROUP BY pos with "
         "sum(elem) and collect the positions back if an array is "
@@ -2110,8 +2110,10 @@ def rewrite_mv_distinct_statement(sql: str, is_aggregate=None):
 # Route contract (same as the MV route): bail -> the call-site fallback
 # serves it (FUNNELCOUNT: the exact fold; tuple values: a loud redirect),
 # and the caller requires the routed statement to ANALYZE cleanly or the
-# original stands.  Routable shape: one SELECT, one single-table FROM, no
-# joins/set-ops/windows (subqueries ARE admitted, round 8: scalar
+# original stands.  Routable shape: one SELECT, a FROM of one table or
+# table + ONE `JOIN ... ON` (round-8 session: the relation re-emits
+# verbatim inside the derived table, joined or not), no set-ops/windows
+# (subqueries ARE admitted, round 8: scalar
 # subqueries stay in the outer statement, WHERE subqueries move verbatim
 # into the inner query where the base table binds identically, and their
 # call sites are scope-excluded), GROUP BY plain identifiers only, all
@@ -2210,14 +2212,20 @@ _PLAIN_IDENT_RE = re.compile(r"[A-Za-z_]\w*")
 
 
 def _parse_route_clauses(sql: str, shape):
-    """FROM/WHERE clause spans + plain-identifier GROUP BY items for the
-    statement-restructuring routes (shared by the keyed and
-    ordered-funnel routes); ``None`` = unroutable.  ``from_sp`` /
-    ``where_sp`` are ``(kw_start, kw_end, next_clause_start)``.  GROUP BY
-    items must be plain unqualified identifiers: the inner level re-emits
-    them under the SAME name so every outer reference still binds
-    (expressions/ordinals would need alias substitution throughout the
-    outer clauses — those shapes keep the fallback)."""
+    """FROM/WHERE clause spans + plain-identifier GROUP BY items + the
+    full RELATION text for the statement-restructuring routes;
+    ``None`` = unroutable.  ``from_sp`` is ``(kw_start, kw_end,
+    relation_end)`` where relation_end is the position past the whole
+    FROM relation — the table, or table + the ONE admitted ``JOIN ...
+    ON ...`` (round-8 session: the restructuring routes re-emit the
+    relation verbatim inside their derived table, and a joined relation
+    re-emits just as verbatim as a bare table, so the old
+    single-table-only bail was pure conservatism).  ``where_sp`` is
+    ``(kw_start, kw_end, next_clause_start)``.  GROUP BY items must be
+    plain unqualified identifiers: the inner level re-emits them under
+    the SAME name so every outer reference still binds (expressions/
+    ordinals would need alias substitution throughout the outer
+    clauses — those shapes keep the fallback)."""
     kws, names = shape.kws, shape.names
     if names.count("WHERE") > 1 or names.count("GROUP") > 1:
         return None
@@ -2229,10 +2237,20 @@ def _parse_route_clauses(sql: str, shape):
                 return (s, e, nxt)
         return None
 
-    from_sp = (kws[shape.from_i][1], shape.from_end, shape.next_start)
+    if "JOIN" in names:
+        # _parse_routable_statement (allow_join=True) already validated
+        # the one-JOIN-immediately-after-FROM layout and set insert_at
+        # past the ON condition; the clause following the JOIN is the
+        # relation's end
+        join_i = names.index("JOIN")
+        rel_next = kws[join_i + 1][1] if join_i + 1 < len(kws) else len(sql)
+    else:
+        rel_next = shape.next_start
+    from_sp = (kws[shape.from_i][1], shape.from_end, rel_next)
+    rel_text = sql[shape.from_end : shape.insert_at].strip()
     where_sp = clause_span("WHERE")
-    if where_sp is not None and where_sp[0] != from_sp[2]:
-        return None  # WHERE not immediately after FROM: shape mis-modeled
+    if where_sp is not None and where_sp[0] != rel_next:
+        return None  # WHERE not right after the relation: mis-modeled
     group_sp = clause_span("GROUP")
     group_items: list = []
     if group_sp is not None:
@@ -2247,7 +2265,7 @@ def _parse_route_clauses(sql: str, shape):
             _PLAIN_IDENT_RE.fullmatch(it) for it in group_items
         ):
             return None
-    return from_sp, where_sp, group_items
+    return from_sp, where_sp, group_items, rel_text
 
 
 def _collect_decomposable_co_sites(
@@ -2415,11 +2433,12 @@ def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
     # subquery (IN / EXISTS / comparison) moves verbatim into the inner
     # query where the base table binds identically.  Subquery call sites
     # are scope-excluded from classification; a route TARGET inside a
-    # subquery is another statement's aggregate — bail.  Joins stay
-    # excluded: the restructure re-emits the whole FROM under changed
-    # grouping (unlike the MV route, which only APPENDS a lateral view).
+    # subquery is another statement's aggregate — bail.  ONE `JOIN ...
+    # ON` is admitted (round-8 session): the joined relation re-emits
+    # VERBATIM inside the derived table, so the inner GROUP BY sees
+    # exactly the rows the original aggregates saw.
     shape = _parse_routable_statement(
-        sql, "__fc", allow_subqueries=True, allow_join=False
+        sql, "__fc", allow_subqueries=True, allow_join=True
     )
     if shape is None:
         return None
@@ -2427,8 +2446,7 @@ def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
     clauses = _parse_route_clauses(sql, shape)
     if clauses is None:
         return None
-    from_sp, where_sp, group_items = clauses
-    from_text = shape.from_text
+    from_sp, where_sp, group_items, rel_text = clauses
     sites = _scan_call_sites(sql)
     target_sites = []
     for s in sites:
@@ -2562,7 +2580,7 @@ def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
     where_clause, repl_end = _split_off_where(sql, from_sp, where_sp)
     inner_group = ", ".join(group_items + [f"({key})"])
     inner_sql = (
-        f"SELECT {', '.join(inner_items)} FROM {from_text.strip()}"
+        f"SELECT {', '.join(inner_items)} FROM {rel_text}"
         f"{where_clause} GROUP BY {inner_group}"
     )
     edits.append((from_sp[0], repl_end, f"FROM ({inner_sql}) __fc "))
@@ -2632,14 +2650,14 @@ def rewrite_ordered_funnel_statement(sql: str, is_aggregate=None):
     if not _ORDERED_GATE_RE.search(sql):
         return None
     shape = _parse_routable_statement(
-        sql, "__fn", allow_subqueries=True, allow_join=False
+        sql, "__fn", allow_subqueries=True, allow_join=True
     )
     if shape is None:
         return None
     clauses = _parse_route_clauses(sql, shape)
     if clauses is None:
         return None
-    from_sp, where_sp, group_items = clauses
+    from_sp, where_sp, group_items, rel_text = clauses
     sites = _scan_call_sites(sql)
     targets = []
     for name, st, op, inner, end in sites:
@@ -2722,7 +2740,7 @@ def rewrite_ordered_funnel_statement(sql: str, is_aggregate=None):
     where_clause, repl_end = _split_off_where(sql, from_sp, where_sp)
     inner_sql = (
         f"SELECT *, {', '.join(base_cols)} FROM "
-        f"{shape.from_text.strip()}{where_clause}"
+        f"{rel_text}{where_clause}"
     )
     for items in sub_layers:
         inner_sql = f"SELECT *, {', '.join(items)} FROM ({inner_sql})"
@@ -2805,14 +2823,14 @@ def rewrite_sumarray_statement(sql: str, is_aggregate=None):
     if not _SUMARRAY_GATE_RE.search(sql):
         return None
     shape = _parse_routable_statement(
-        sql, "__sa", allow_subqueries=True, allow_join=False
+        sql, "__sa", allow_subqueries=True, allow_join=True
     )
     if shape is None:
         return None
     clauses = _parse_route_clauses(sql, shape)
     if clauses is None:
         return None
-    from_sp, where_sp, group_items = clauses
+    from_sp, where_sp, group_items, rel_text = clauses
     sites = _scan_call_sites(sql)
     target_sites = []
     for s in sites:
@@ -2888,7 +2906,7 @@ def rewrite_sumarray_statement(sql: str, is_aggregate=None):
     where_clause, repl_end = _split_off_where(sql, from_sp, where_sp)
     inner_group = ", ".join(group_items + ["__sa_pos"])
     inner_sql = (
-        f"SELECT {', '.join(inner_items)} FROM {shape.from_text.strip()}"
+        f"SELECT {', '.join(inner_items)} FROM {rel_text}"
         f" LATERAL VIEW OUTER POSEXPLODE({arr}) __sa"
         f" AS __sa_pos, __sa_elem"
         f"{where_clause} GROUP BY {inner_group}"
@@ -2954,14 +2972,14 @@ def rewrite_mode_avg_statement(sql: str, is_aggregate=None):
     if not _MODE_AVG_GATE_RE.search(sql):
         return None
     shape = _parse_routable_statement(
-        sql, "__md", allow_subqueries=True, allow_join=False
+        sql, "__md", allow_subqueries=True, allow_join=True
     )
     if shape is None:
         return None
     clauses = _parse_route_clauses(sql, shape)
     if clauses is None:
         return None
-    from_sp, where_sp, group_items = clauses
+    from_sp, where_sp, group_items, rel_text = clauses
     sites = _scan_call_sites(sql)
     target_sites = []
     other_mode = False
@@ -3041,7 +3059,7 @@ def rewrite_mode_avg_statement(sql: str, is_aggregate=None):
     l2_group = ", ".join(group_items + ["__md_c"])
     inner_sql = (
         f"SELECT {', '.join(l2_items)} FROM ("
-        f"SELECT {', '.join(l1_items)} FROM {shape.from_text.strip()}"
+        f"SELECT {', '.join(l1_items)} FROM {rel_text}"
         f"{where_clause} GROUP BY {l1_group}"
         f") __md1 GROUP BY {l2_group}"
     )

@@ -976,7 +976,8 @@ def test_keyed_route_text_tuple_values_share_key():
     [
         # shapes the route cannot restructure
         "SELECT FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM (SELECT * FROM t)",
-        "SELECT FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t JOIN d ON t.k = d.k",
+        "SELECT FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) "
+        "FROM t JOIN d ON t.k = d.k JOIN e ON t.k = e.k",
         "SELECT FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t, d",
         "WITH c AS (SELECT 1) SELECT FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t",
         # co-occurring NON-decomposable aggregates keep the fallback
@@ -1545,7 +1546,7 @@ def test_ordered_funnel_coaggregates_untouched(ordered_engine):
         # COMPLETECOUNT resets state per completion: keeps the fold
         "SELECT FUNNELCOMPLETECOUNT(ts, '0', 2, 'a', 'b') FROM t",
         # joins / derived tables
-        "SELECT FUNNELMAXSTEP(ts, '0', 1, 'a') FROM t JOIN d ON t.k = d.k",
+        "SELECT FUNNELMAXSTEP(ts, '0', 1, 'a') FROM t, d",
         "SELECT FUNNELMAXSTEP(ts, '0', 1, 'a') FROM (SELECT * FROM t)",
         # FILTER over restructured rows
         "SELECT FUNNELMAXSTEP(ts, '0', 1, 'a') FILTER (WHERE g = 1) FROM t",
@@ -2774,7 +2775,7 @@ def test_sumarray_route_text_shape():
         "SELECT g, SUMARRAYLONG(a), percentile(v, 0.5) FROM t GROUP BY g",
         # windows / joins / set-ops bail at the shape parse
         "SELECT SUMARRAYLONG(a), row_number() OVER (ORDER BY g) FROM t",
-        "SELECT SUMARRAYLONG(a) FROM t JOIN d ON t.k = d.k",
+        "SELECT SUMARRAYLONG(a) FROM t JOIN d ON t.k = d.k JOIN e ON 1=1",
         "SELECT SUMARRAYLONG(a) FROM t UNION ALL SELECT array(1L) FROM t",
         # a route target inside a subquery is another statement's
         "SELECT (SELECT SUMARRAYLONG(a) FROM u) FROM t",
@@ -2992,7 +2993,7 @@ def test_mode_avg_route_text_shape():
         "SELECT MODE(v, 'AVG'), count(DISTINCT u) FROM t",
         # windows / joins bail at the shape parse
         "SELECT MODE(v, 'AVG'), rank() OVER (ORDER BY g) FROM t",
-        "SELECT MODE(v, 'AVG') FROM t JOIN d ON t.k = d.k",
+        "SELECT MODE(v, 'AVG') FROM t, d",
         # FILTER over restructured rows
         "SELECT MODE(v, 'AVG') FILTER (WHERE g > 1) FROM t",
     ],
@@ -3145,3 +3146,95 @@ def test_mode_avg_with_sumarray_coagg_rejects_loudly(sumarray_engine):
             "SELECT g, SUMARRAYLONG(arr) AS s, MODE(g, 'AVG') AS m "
             "FROM sasrc GROUP BY g"
         ).collect()
+
+
+# -- one-JOIN relations route (round-8 session) --------------------------------
+
+
+@pytest.fixture(scope="module")
+def joinroute_engine(spark, tmp_path_factory):
+    spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, 'view', 10, array(1, 2)), (1, 'buy', 30, array(3)), "
+        "(2, 'view', 10, array(1, 1)), (3, 'buy', 20, array(2, 5)) "
+        "AS t(u, ev, v, arr)"
+    ).createOrReplaceTempView("jr_fact")
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'gold'), (2, 'gold'), (3, 'silver') "
+        "AS d(u, tier)"
+    ).createOrReplaceTempView("jr_dim")
+    return Engine(spark, str(tmp_path_factory.mktemp("wh")))
+
+
+def test_keyed_route_with_join(joinroute_engine):
+    """FUNNELCOUNT over a dim-joined relation routes: the joined
+    relation re-emits verbatim in the inner per-correlator level, so
+    the answer equals the fold over the same join (forced through the
+    derived-table shape, which bails to the fold)."""
+    sel = (
+        "SELECT tier, FUNNELCOUNT(STEPS(ev = 'view', ev = 'buy'), "
+        "CORRELATE_BY(jr_fact.u)) AS fc, count(*) AS n "
+        "FROM {rel} GROUP BY tier ORDER BY tier"
+    )
+    routed = joinroute_engine.query(
+        sel.format(rel="jr_fact JOIN jr_dim ON jr_fact.u = jr_dim.u")
+    ).collect()
+    folded = joinroute_engine.query(
+        sel.format(
+            rel="(SELECT jr_fact.u, ev, tier FROM jr_fact "
+            "JOIN jr_dim ON jr_fact.u = jr_dim.u) jr_fact"
+        )
+    ).collect()
+    assert [(r.tier, r.fc, r.n) for r in routed] == [
+        (r.tier, r.fc, r.n) for r in folded
+    ]
+    assert [(r.tier, list(r.fc), r.n) for r in routed] == [
+        ("gold", [2, 1], 3),
+        ("silver", [0, 0], 1),
+    ]
+
+
+def test_sumarray_route_with_join(joinroute_engine):
+    got = {
+        r.tier: r.s
+        for r in joinroute_engine.query(
+            "SELECT tier, SUMARRAYLONG(arr) AS s FROM jr_fact "
+            "JOIN jr_dim ON jr_fact.u = jr_dim.u GROUP BY tier"
+        ).collect()
+    }
+    assert got == {"gold": [5, 3], "silver": [2, 5]}
+
+
+def test_mode_avg_route_with_join(joinroute_engine):
+    got = {
+        r.tier: r.m
+        for r in joinroute_engine.query(
+            "SELECT tier, MODE(v, 'AVG') AS m FROM jr_fact "
+            "JOIN jr_dim ON jr_fact.u = jr_dim.u GROUP BY tier"
+        ).collect()
+    }
+    # gold: v in {10, 30, 10} -> mode 10; silver: {20} -> 20
+    assert got == {"gold": 10.0, "silver": 20.0}
+
+
+def test_ordered_funnel_route_with_join(joinroute_engine):
+    """The window cascade partitions the JOINED rows 1:1 — identical to
+    the fold over the same derived relation."""
+    sel = (
+        "SELECT tier, FUNNELMAXSTEP(to_timestamp('2024-01-01') "
+        "+ make_interval(0, 0, 0, 0, 0, jr_fact.u, 0), '0', 2, "
+        "'ev = ''view''', 'ev = ''buy''') AS ms "
+        "FROM {rel} GROUP BY tier ORDER BY tier"
+    )
+    routed = joinroute_engine.query(
+        sel.format(rel="jr_fact JOIN jr_dim ON jr_fact.u = jr_dim.u")
+    ).collect()
+    folded = joinroute_engine.query(
+        sel.format(
+            rel="(SELECT jr_fact.u, ev, tier FROM jr_fact "
+            "JOIN jr_dim ON jr_fact.u = jr_dim.u) jr_fact"
+        )
+    ).collect()
+    assert [(r.tier, r.ms) for r in routed] == [
+        (r.tier, r.ms) for r in folded
+    ]
