@@ -1749,8 +1749,15 @@ def _top_level_keywords(sql: str) -> list:
             depth -= 1
         elif depth == 0:
             m = _MV_STMT_TOPKW_RE.match(sql, i)
+            # a '.' predecessor means a QUALIFIED IDENTIFIER part
+            # (`d.limit`, a keyword-named column), never a clause
+            # keyword — without this, the relation boundary truncated
+            # at the fake keyword and the routes spliced garbled SQL
+            # (post-review, confirmed against live Spark: `limit` is
+            # non-reserved and valid as a column name)
             if m and (
-                i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")
+                i == 0
+                or not (sql[i - 1].isalnum() or sql[i - 1] in "_.")
             ):
                 hits.append((m.group(0).upper(), i, m.end()))
                 i = m.end()
@@ -1830,7 +1837,7 @@ class _StmtShape:
     preambles had drifted into ~50 duplicated lines)."""
 
     __slots__ = ("kws", "names", "subq_spans", "from_i", "from_end",
-                 "next_start", "from_text", "insert_at")
+                 "next_start", "from_text", "insert_at", "rel_next")
 
     def in_subquery(self, pos: int) -> bool:
         return any(s < pos < e for s, e in self.subq_spans)
@@ -1913,6 +1920,7 @@ def _parse_routable_statement(
         # keyword keeps its separator (the inserted text carries no
         # trailing space, matching the single-table insertion point)
         shape.insert_at = join_end + len(join_text.rstrip())
+        shape.rel_next = join_next  # ONE derivation of the relation end
     else:
         m = re.fullmatch(
             r"\s*([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s*",
@@ -1922,6 +1930,13 @@ def _parse_routable_statement(
         if m is None or "," in shape.from_text:
             return None
         shape.insert_at = shape.from_end + m.end(m.lastindex or 1)
+        shape.rel_next = shape.next_start
+    # the seam between the insertion point and the next clause must be
+    # pure whitespace — anything else means the keyword scan mis-modeled
+    # the relation boundary (post-review; belt for the '.'-predecessor
+    # fix in _top_level_keywords)
+    if sql[shape.insert_at : shape.rel_next].strip():
+        return None
     return shape
 
 
@@ -2237,15 +2252,11 @@ def _parse_route_clauses(sql: str, shape):
                 return (s, e, nxt)
         return None
 
-    if "JOIN" in names:
-        # _parse_routable_statement (allow_join=True) already validated
-        # the one-JOIN-immediately-after-FROM layout and set insert_at
-        # past the ON condition; the clause following the JOIN is the
-        # relation's end
-        join_i = names.index("JOIN")
-        rel_next = kws[join_i + 1][1] if join_i + 1 < len(kws) else len(sql)
-    else:
-        rel_next = shape.next_start
+    # _parse_routable_statement validated the relation layout (single
+    # table, or table + ONE JOIN ... ON with allow_join=True) and
+    # recorded its end ONCE as shape.rel_next (post-review: this
+    # function re-derived the boundary, a drift seam)
+    rel_next = shape.rel_next
     from_sp = (kws[shape.from_i][1], shape.from_end, rel_next)
     rel_text = sql[shape.from_end : shape.insert_at].strip()
     where_sp = clause_span("WHERE")
@@ -2698,10 +2709,23 @@ def rewrite_ordered_funnel_statement(sql: str, is_aggregate=None):
     base_cols, orders = [], {}
     for j, (kind, st, end, ts, wms, steps, cmp) in enumerate(parsed):
         tse = f"cast(({ts}) as timestamp)"
-        # the fold sorts struct(_ts, _s1, ..., _sN) ascending — replicate
-        # the exact tie order (ASC = NULLS FIRST on both sides)
+        # materialize the user's ts and EVERY step predicate as layer-0
+        # aliases: layer 0 is the only SELECT where the ORIGINAL tables
+        # bind, so table-qualified references (`fact.ts` — the normal
+        # disambiguation in the one-JOIN shape) resolve there and the
+        # upper window layers touch only the aliases (post-review: the
+        # upper layers re-emitted the raw expressions over derived
+        # tables, so any qualified argument failed analysis and the
+        # route silently never engaged on join statements)
+        base_cols.append(f"{tse} AS __fn{j}_ts")
+        for i, s in enumerate(steps):
+            base_cols.append(f"({s}) AS __fn{j}_p{i + 1}")
+        # the fold sorts struct(_ts, _s1, ..., _sN) ascending — the
+        # aliases hold exactly those values, so the tie order is
+        # replicated (ASC = NULLS FIRST on both sides)
         orders[j] = ", ".join(
-            [f"{tse} ASC"] + [f"({s}) ASC" for s in steps]
+            [f"__fn{j}_ts ASC"]
+            + [f"__fn{j}_p{i + 1} ASC" for i in range(len(steps))]
         )
         base_cols.append(
             f"CASE WHEN ({steps[0]}) THEN {tse} END AS __fn{j}_v1"
@@ -2718,18 +2742,17 @@ def rewrite_ordered_funnel_statement(sql: str, is_aggregate=None):
                 "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
                 f"AS __fn{j}_t{k}"
             )
-            tse = f"cast(({ts}) as timestamp)"
             cond = (
-                f"({steps[k]}) AND __fn{j}_t{k} IS NOT NULL "
-                f"AND {tse} {cmp} __fn{j}_t{k}"
+                f"__fn{j}_p{k + 1} AND __fn{j}_t{k} IS NOT NULL "
+                f"AND __fn{j}_ts {cmp} __fn{j}_t{k}"
             )
             if wms > 0:
                 cond += (
-                    f" AND {tse} <= __fn{j}_t1 + "
+                    f" AND __fn{j}_ts <= __fn{j}_t1 + "
                     f"make_dt_interval(0, 0, 0, {wms / 1000.0!r})"
                 )
             vitems.append(
-                f"CASE WHEN {cond} THEN {tse} END AS __fn{j}_v{k + 1}"
+                f"CASE WHEN {cond} THEN __fn{j}_ts END AS __fn{j}_v{k + 1}"
             )
         # t_k and v_{k+1} land in SEPARATE layers: v_{k+1} references the
         # t_k alias, which is only in scope one SELECT further out

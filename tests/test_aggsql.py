@@ -3176,9 +3176,23 @@ def test_keyed_route_with_join(joinroute_engine):
         "CORRELATE_BY(jr_fact.u)) AS fc, count(*) AS n "
         "FROM {rel} GROUP BY tier ORDER BY tier"
     )
-    routed = joinroute_engine.query(
-        sel.format(rel="jr_fact JOIN jr_dim ON jr_fact.u = jr_dim.u")
-    ).collect()
+    join_stmt = sel.format(
+        rel="jr_fact JOIN jr_dim ON jr_fact.u = jr_dim.u"
+    )
+    # the route must ENGAGE, not fall back (post-review: an
+    # analysis-failing routed text would silently take the fold and
+    # this test would pin fold == fold)
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_keyed_agg_statement,
+        rewrite_pinot_aggregates,
+    )
+
+    routed_text = rewrite_keyed_agg_statement(join_stmt)
+    assert routed_text is not None
+    joinroute_engine.spark.sql(  # analyzes cleanly
+        rewrite_pinot_aggregates(routed_text)
+    )
+    routed = joinroute_engine.query(join_stmt).collect()
     folded = joinroute_engine.query(
         sel.format(
             rel="(SELECT jr_fact.u, ev, tier FROM jr_fact "
@@ -3226,9 +3240,17 @@ def test_ordered_funnel_route_with_join(joinroute_engine):
         "'ev = ''view''', 'ev = ''buy''') AS ms "
         "FROM {rel} GROUP BY tier ORDER BY tier"
     )
-    routed = joinroute_engine.query(
-        sel.format(rel="jr_fact JOIN jr_dim ON jr_fact.u = jr_dim.u")
-    ).collect()
+    join_stmt = sel.format(
+        rel="jr_fact JOIN jr_dim ON jr_fact.u = jr_dim.u"
+    )
+    # route must ENGAGE even with the table-QUALIFIED ts argument —
+    # layer 0 materializes it, upper layers touch only the alias
+    # (post-review: the re-emitted raw expression failed analysis over
+    # the derived layers and this test compared fold to fold)
+    routed_text = ROF(join_stmt)
+    assert routed_text is not None
+    joinroute_engine.spark.sql(routed_text)  # analyzes cleanly
+    routed = joinroute_engine.query(join_stmt).collect()
     folded = joinroute_engine.query(
         sel.format(
             rel="(SELECT jr_fact.u, ev, tier FROM jr_fact "
@@ -3238,3 +3260,22 @@ def test_ordered_funnel_route_with_join(joinroute_engine):
     assert [(r.tier, r.ms) for r in routed] == [
         (r.tier, r.ms) for r in folded
     ]
+
+
+def test_keyword_named_column_in_on_condition(spark, joinroute_engine):
+    """Post-review: `d.limit` is a valid qualified reference to a
+    keyword-named column — the keyword scan must not truncate the
+    relation there (it spliced garbled SQL), and the belt seam check in
+    _parse_routable_statement bails on any residual mis-model."""
+    spark.sql(
+        "SELECT * FROM VALUES (1, 5), (2, 0), (3, 9) AS d(u, limit)"
+    ).createOrReplaceTempView("jr_lim")
+    got = {
+        r.ev: r.s
+        for r in joinroute_engine.query(
+            "SELECT ev, SUMARRAYLONG(arr) AS s FROM jr_fact "
+            "JOIN jr_lim ON jr_fact.u = jr_lim.u AND jr_lim.limit >= 0 "
+            "GROUP BY ev"
+        ).collect()
+    }
+    assert got == {"view": [2, 3], "buy": [5, 5]}
