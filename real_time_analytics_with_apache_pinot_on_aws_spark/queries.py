@@ -6872,6 +6872,71 @@ def b17_sumarray_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b16_funnelcount_join_route",
+    r"""
+    WITH j AS (
+      SELECT n_name, user_id, event_type
+      FROM events JOIN nation ON events.user_id % 25 = nation.n_nationkey
+      WHERE user_id IS NOT NULL
+    ),
+    m AS (
+      SELECT n_name, user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s2
+      FROM j GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT n_name,
+             CAST(sum(s1) AS BIGINT) AS step_view,
+             CAST(sum(s1 * s2) AS BIGINT) AS step_click
+      FROM m GROUP BY 1
+    ),
+    c AS (SELECT n_name, count(*) AS n FROM j GROUP BY 1)
+    SELECT f.n_name, f.step_view, f.step_click, c.n
+    FROM f JOIN c USING (n_name)
+    ORDER BY f.n_name
+    """,
+    doc="The keyed FUNNELCOUNT route over a ONE-JOIN relation (round-8 "
+        "session): a funnel grouped by a joined dimension attribute — "
+        "the dashboard staple the routes previously bailed on — "
+        "restructures to the same bounded per-correlator plan, with the "
+        "joined relation re-emitted VERBATIM inside the derived table "
+        "(exactly the rows the original aggregates saw) and count(*) "
+        "riding as a decomposable co-aggregate.  The query asserts the "
+        "route ENGAGED (rewrite non-None) rather than trusting the "
+        "analyze-or-fallback contract, so a silent fold regression "
+        "fails the gate; the DuckDB oracle replays the funnel "
+        "closed-form over the same join.",
+)
+def b16_funnelcount_join_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .functions.aggsql import (
+        rewrite_keyed_agg_statement,
+        rewrite_pinot_aggregates,
+    )
+
+    stmt = (
+        "SELECT n_name, FUNNELCOUNT(STEPS(event_type = 'view', "
+        "event_type = 'click'), CORRELATE_BY(user_id)) AS fc, "
+        "count(*) AS n "
+        "FROM events JOIN nation "
+        "ON events.user_id % 25 = nation.n_nationkey "
+        "WHERE user_id IS NOT NULL "
+        "GROUP BY n_name ORDER BY n_name"
+    )
+    routed = rewrite_keyed_agg_statement(stmt)
+    if routed is None:  # the route regressing to the fold is a bug
+        raise AssertionError("keyed route refused a routable join shape")
+    df = spark.sql(rewrite_pinot_aggregates(routed))
+    return df.select(
+        "n_name",
+        F.element_at("fc", 1).alias("step_view"),
+        F.element_at("fc", 2).alias("step_click"),
+        "n",
+    )
+
+
+@register(
     "b24_mode_avg_route",
     r"""
     WITH src AS (
