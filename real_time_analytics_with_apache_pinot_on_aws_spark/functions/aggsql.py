@@ -1931,12 +1931,13 @@ def _parse_routable_statement(
             return None
         shape.insert_at = shape.from_end + m.end(m.lastindex or 1)
         shape.rel_next = shape.next_start
-    # the seam between the insertion point and the next clause must be
-    # pure whitespace — anything else means the keyword scan mis-modeled
-    # the relation boundary (post-review; belt for the '.'-predecessor
-    # fix in _top_level_keywords)
-    if sql[shape.insert_at : shape.rel_next].strip():
-        return None
+    # NOTE: a seam check `sql[insert_at:rel_next].strip()` would be DEAD
+    # code — both positions derive from the same keyword-scan boundary,
+    # so a mis-model moves them together (second review).  The boundary
+    # itself is what must be right: _top_level_keywords rejects '.'
+    # predecessors so keyword-named qualified columns cannot truncate
+    # the relation, and every route's output still passes the engine's
+    # analyze-cleanly-or-fallback probe.
     return shape
 
 

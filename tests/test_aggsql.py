@@ -3265,8 +3265,9 @@ def test_ordered_funnel_route_with_join(joinroute_engine):
 def test_keyword_named_column_in_on_condition(spark, joinroute_engine):
     """Post-review: `d.limit` is a valid qualified reference to a
     keyword-named column — the keyword scan must not truncate the
-    relation there (it spliced garbled SQL), and the belt seam check in
-    _parse_routable_statement bails on any residual mis-model."""
+    relation there (it spliced garbled SQL); the '.'-predecessor guard
+    in _top_level_keywords is the fix, and the engine's
+    analyze-or-fallback probe contains any residual mis-model."""
     spark.sql(
         "SELECT * FROM VALUES (1, 5), (2, 0), (3, 9) AS d(u, limit)"
     ).createOrReplaceTempView("jr_lim")
