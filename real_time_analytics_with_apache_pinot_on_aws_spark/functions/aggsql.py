@@ -186,6 +186,29 @@ def _tuple_value_unsupported(name: str, alt: str):
     return build
 
 
+def _jsonpath_default(name: str, sql_type: str):
+    """Arity dispatch for the JSONPATH typed extractors (see the
+    _SCALAR_REWRITES entry comment)."""
+
+    def build(args: list[str]) -> str:
+        if len(args) == 2:
+            return f"{name}({args[0]}, {args[1]})"  # the macro serves it
+        if len(args) != 3:
+            raise ValueError(
+                f"{name} takes (json, path[, defaultValue]), "
+                f"got {len(args)}"
+            )
+        # try_cast, not the typed macro: Pinot answers the DEFAULT when
+        # the extracted value does not parse as the target type, where
+        # the macro's plain cast would raise under ANSI
+        return (
+            f"coalesce(try_cast(JSONPATHSTRING({args[0]}, {args[1]}) "
+            f"as {sql_type}), cast(({args[2]}) as {sql_type}))"
+        )
+
+    return build
+
+
 _IDSET_HEAD_RE = re.compile(r"^\s*SELECT\s+ID_?SET\s*\(", re.IGNORECASE)
 
 
@@ -987,6 +1010,17 @@ _SCALAR_REWRITES: dict = {
     # filter-predicate form is not served — the shared builder raises
     # its loud arity error for it.
     "JSONEXTRACTINDEX": _jsonextract("JSONEXTRACTINDEX"),
+    # Pinot jsonPath{String,Long,Double}(js, path[, defaultValue])
+    # **[P1.2]**: the 2-arg form is the fixed-type macro
+    # (functions/sqlfns.py — passes through untouched); the 3-arg form
+    # returns the default when the path is missing or the value does
+    # not parse, which is exactly coalesce over the macro (jayway's
+    # PathNotFoundException and a failed numeric cast both surface as
+    # NULL here).  SQL UDFs cannot overload arity, so the dispatch
+    # lives in this rewrite layer (the JSONEXTRACTSCALAR pattern).
+    "JSONPATHSTRING": _jsonpath_default("JSONPATHSTRING", "string"),
+    "JSONPATHLONG": _jsonpath_default("JSONPATHLONG", "bigint"),
+    "JSONPATHDOUBLE": _jsonpath_default("JSONPATHDOUBLE", "double"),
 }
 
 SCALAR_REWRITE_NAMES = frozenset(_SCALAR_REWRITES)

@@ -263,6 +263,11 @@ _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
      "cast(get_json_object(js, p) as double)"),
     ("JSONPATHARRAY", "js STRING, p STRING", "ARRAY<STRING>",
      "from_json(get_json_object(js, p), 'array<string>')"),
+    # Pinot jsonPathArrayDefaultEmpty **[P1.2]**: the array extractor
+    # that answers [] instead of NULL when the path is missing
+    ("JSONPATHARRAYDEFAULTEMPTY", "js STRING, p STRING", "ARRAY<STRING>",
+     "coalesce(from_json(get_json_object(js, p), 'array<string>'), "
+     "array())"),
     # ---- network (B56 kin) ------------------------------------------------
     # IPv6 plumbing for ISSUBNETOF (round-7: Pinot handles IPv6; the old
     # macro silently compared garbage on ':' inputs).  128-bit math as a

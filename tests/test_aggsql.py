@@ -3280,3 +3280,33 @@ def test_keyword_named_column_in_on_condition(spark, joinroute_engine):
         ).collect()
     }
     assert got == {"view": [2, 3], "buy": [5, 5]}
+
+
+@pytest.mark.parametrize(
+    "q,want",
+    [
+        # 3-arg jsonPath* forms: default on missing path / bad parse
+        ('SELECT JSONPATHSTRING(\'{"a": "x"}\', \'$.a\', \'dflt\') AS x',
+         "x"),
+        ('SELECT JSONPATHSTRING(\'{"a": "x"}\', \'$.b\', \'dflt\') AS x',
+         "dflt"),
+        ('SELECT JSONPATHLONG(\'{"n": 7}\', \'$.n\', 0) AS x', 7),
+        ('SELECT JSONPATHLONG(\'{"n": "abc"}\', \'$.n\', 42) AS x', 42),
+        ('SELECT JSONPATHLONG(\'{"n": 7}\', \'$.missing\', 42) AS x', 42),
+        ('SELECT JSONPATHDOUBLE(\'{"n": 1.5}\', \'$.m\', 9.5) AS x', 9.5),
+        # 2-arg forms keep the fixed-type macro (NULL on missing)
+        ('SELECT JSONPATHSTRING(\'{"a": "x"}\', \'$.b\') AS x', None),
+        # the default-empty array extractor
+        ('SELECT JSONPATHARRAYDEFAULTEMPTY(\'{"a": [1]}\', \'$.b\') AS x',
+         []),
+        ('SELECT JSONPATHARRAYDEFAULTEMPTY(\'{"a": [1, 2]}\', \'$.a\') '
+         "AS x", ["1", "2"]),
+    ],
+)
+def test_jsonpath_default_forms(agg_engine, q, want):
+    assert agg_engine.query(q).collect()[0]["x"] == want
+
+
+def test_jsonpath_default_arity_error():
+    with pytest.raises(ValueError, match="JSONPATHLONG"):
+        R("SELECT JSONPATHLONG(j) FROM t")
