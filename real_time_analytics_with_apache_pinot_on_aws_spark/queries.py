@@ -7187,9 +7187,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # b21_theta_set_expression_sql (r8) — each oracle-backed, green at
     # three SFs via the local gate, and scale-probed (SCALE.md r8 rows:
     # funnelcount route 1.22, maxstep route 1.76, tuple values 1.45,
-    # theta set-expr 1.64).  If the window ever grows past 50, seat
-    # b70_tuple_sketch, c32_url_filter, b17_mv_distinct_route, and
-    # b16_funnelcount_routed first (the round-7 verdict's seating order).
+    # theta set-expr 1.64).  The round-8 second session adds
+    # b24_bool_mode_reducers_sql, b24_mode_avg_route, b17_sumarray_route,
+    # and b16_funnelcount_join_route on the same terms (oracle-backed,
+    # three-SF green, probed: sumarray 1.38-1.46, mode-avg 1.40).
+    # If the window ever grows past 50, seat b70_tuple_sketch,
+    # c32_url_filter, b17_mv_distinct_route, and b16_funnelcount_routed
+    # first (the round-7 verdict's seating order), then the round-8
+    # routed rows above.
 )
 
 
