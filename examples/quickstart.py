@@ -356,13 +356,13 @@ def main() -> None:
         "TOEPOCHMINUTESROUNDED(1613472303000, 15) AS bucket15 "
         "FROM clickstream"
     ).show()
-    spark.sql(
-        "SELECT * FROM VALUES ('a', array(1, 2, 3)), "
-        "('a', array(10, 20)), ('b', array(5)) AS t(k, nums)"
-    ).createOrReplaceTempView("sumarray_demo")
+    # derived-table relations route too (the FROM re-emits verbatim
+    # inside the bounded plan's derived table)
     engine.query(
         "SELECT k, SUMARRAYLONG(nums) AS elementwise_sums "
-        "FROM sumarray_demo GROUP BY k ORDER BY k"
+        "FROM (SELECT * FROM VALUES ('a', array(1, 2, 3)), "
+        "('a', array(10, 20)), ('b', array(5)) AS t(k, nums)) src "
+        "GROUP BY k ORDER BY k"
     ).show()
 
     spark.stop()

@@ -1743,9 +1743,27 @@ def apply_text_edits(sql: str, edits: list):
     return "".join(out)
 
 
+# reserved words that may precede '(' in SQL text but are NEVER function
+# calls — `FROM (derived table)`, `ON (cond)`, `WHERE (pred)`, `> ALL
+# (subquery)` — and that the live Spark 4.1 catalog does NOT know as
+# functions (audited by test_reserved_non_calls_absent_from_catalog):
+# without this filter the routes' fail-safe classifier saw `FROM (` as
+# an unknown call named FROM, classified it as an aggregate, and bailed
+# every derived-table statement (post-review).  Keyword-ish names the
+# catalog DOES serve as functions (CASE/WHEN/AND/OR/NOT/IN/EXISTS/LIKE/
+# LEFT/RIGHT/ANY/SOME/FILTER/BETWEEN) stay OUT of this set — they
+# classify as positively-known through the catalog predicate.
+_RESERVED_NON_CALLS = frozenset(
+    """FROM WHERE ON SELECT HAVING GROUP ORDER BY LIMIT JOIN UNION
+    INTERSECT EXCEPT MINUS VALUES DISTINCT AS IS WITH PARTITION LATERAL
+    OUTER CROSS INNER USING THEN ELSE END FULL ALL OVER""".split()
+)
+
+
 def _scan_call_sites(sql: str) -> list:
     """(name, start, open_paren_idx, inner, end_past_close) for every
-    ``ident(`` site at EVERY nesting depth; literal content is opaque."""
+    ``ident(`` site at EVERY nesting depth; literal content is opaque.
+    Reserved non-call words (``_RESERVED_NON_CALLS``) are skipped."""
     sites = []
     i, n = 0, len(sql)
     while i < n:
@@ -1758,7 +1776,11 @@ def _scan_call_sites(sql: str) -> list:
             k = m.end()
             while k < n and sql[k] in " \t\r\n":
                 k += 1
-            if k < n and sql[k] == "(":
+            if (
+                k < n
+                and sql[k] == "("
+                and m.group(0).upper() not in _RESERVED_NON_CALLS
+            ):
                 inner, end = _scan_balanced(sql, k)
                 sites.append((m.group(0), i, k, inner, end))
             i = m.end()
@@ -1955,6 +1977,36 @@ def _parse_routable_statement(
         # trailing space, matching the single-table insertion point)
         shape.insert_at = join_end + len(join_text.rstrip())
         shape.rel_next = join_next  # ONE derivation of the relation end
+    elif shape.from_text.lstrip().startswith("("):
+        # a DERIVED-TABLE relation `FROM (SELECT ...) [AS] alias`
+        # (round-8 session, requires allow_subqueries so the nested
+        # SELECT is a recorded span): it re-emits verbatim inside the
+        # route's derived table exactly like a bare table — its own
+        # call sites are scope-excluded as subquery sites, so the
+        # classification logic is untouched.  The comma check cannot
+        # apply to the group's CONTENT (select lists have commas); the
+        # balanced scan finds the group's end and the residue may only
+        # be an optional alias.
+        if not allow_subqueries:
+            return None
+        open_idx = shape.from_end + (
+            len(shape.from_text) - len(shape.from_text.lstrip())
+        )
+        try:
+            _, after = _scan_balanced(sql, open_idx)
+        except ValueError:
+            return None
+        am = re.fullmatch(
+            r"\s*(?:AS\s+)?([A-Za-z_]\w*)?\s*",
+            sql[after : shape.next_start],
+            re.IGNORECASE,
+        )
+        if am is None:
+            return None
+        # insertion point: after the alias token when present (the MV
+        # route's LATERAL VIEW must follow it), else right after ')'
+        shape.insert_at = after + (am.end(1) if am.group(1) else 0)
+        shape.rel_next = shape.next_start
     else:
         m = re.fullmatch(
             r"\s*([A-Za-z_][\w.]*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s*",

@@ -408,7 +408,6 @@ def test_mv_statement_route_text(src, want):
         # shapes the route cannot restructure (round 8: a SINGLE join and
         # scalar subqueries now route — see the extension tests below)
         "SELECT DISTINCTCOUNTMV(tags) FROM t JOIN d ON t.k = d.k JOIN e ON 1=1",
-        "SELECT DISTINCTCOUNTMV(tags) FROM (SELECT * FROM t)",
         "SELECT DISTINCTCOUNTMV(tags) FROM t, u",
         "SELECT DISTINCTCOUNTMV(tags) OVER () FROM t",
         "WITH c AS (SELECT 1) SELECT DISTINCTCOUNTMV(tags) FROM t",
@@ -493,8 +492,8 @@ def test_mv_fallback_expression_is_normalized(spark, mv_engine):
     collected arrays normalized (sorted+deduped) so permutations of one
     element set fold to ONE state entry — and the answer still matches."""
     df = mv_engine.query(
-        "SELECT g, DISTINCTCOUNTMV(tags) AS v FROM (SELECT * FROM mvsrc) "
-        "GROUP BY g"
+        "WITH f AS (SELECT * FROM mvsrc) "
+        "SELECT g, DISTINCTCOUNTMV(tags) AS v FROM f GROUP BY g"
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "collect_set" in plan and "array_sort" in plan
@@ -638,15 +637,17 @@ def test_mv_raw_and_hllplus_spellings(spark, mv_engine):
     fb = {
         r["g"]: r
         for r in mv_engine.query(
+            "WITH f AS (SELECT * FROM mvsrc) "
             "SELECT g, DISTINCTCOUNTRAWHLLMV(tags) AS r1, "
             "DISTINCTCOUNTHLLPLUSMV(tags) AS r2 "
-            "FROM (SELECT * FROM mvsrc) GROUP BY g"
+            "FROM f GROUP BY g"
         ).collect()
     }
     assert (fb["a"]["r1"], fb["a"]["r2"]) == (5, 5)
     with pytest.raises(Exception, match="not routable"):
         mv_engine.query(
-            "SELECT PERCENTILERAWKLLMV(tags, 90) FROM (SELECT * FROM mvsrc)"
+            "WITH f AS (SELECT * FROM mvsrc) "
+            "SELECT PERCENTILERAWKLLMV(tags, 90) FROM f"
         )
 
 
@@ -701,7 +702,8 @@ def test_mv_percentile_masked_against_second_explode(spark, mv_engine):
 def test_mv_percentile_unroutable_is_loud(mv_engine):
     with pytest.raises(Exception, match="not routable"):
         mv_engine.query(
-            "SELECT PERCENTILEESTMV(tags, 90) FROM (SELECT * FROM mvsrc)"
+            "WITH f AS (SELECT * FROM mvsrc) "
+            "SELECT PERCENTILEESTMV(tags, 90) FROM f"
         )
 
 
@@ -871,8 +873,9 @@ def test_funnelcount_binary_correlator_no_collision(spark, funnel_engine):
         "SELECT * FROM VALUES (X'80', 'a'), (X'81', 'b') AS t(bk, ev)"
     ).createOrReplaceTempView("binfunnel")
     rows = funnel_engine.query(
+        "WITH bf AS (SELECT * FROM binfunnel) "
         "SELECT FUNNELCOUNT(STEPS(ev = 'a', ev = 'b'), CORRELATE_BY(bk)) "
-        "AS fc FROM (SELECT * FROM binfunnel)"  # subquery: exercises the FOLD
+        "AS fc FROM bf"  # WITH-CTE shape: exercises the FOLD
     ).collect()
     # two DISTINCT correlators: one matched step1 only, one step2 only —
     # a merged run would report [1, 1]
@@ -890,8 +893,9 @@ def test_funnelcount_microsecond_timestamp_correlators(spark, funnel_engine):
         "(timestamp'2020-01-01 00:00:00.000002', 'b') AS t(tk, ev)"
     ).createOrReplaceTempView("usfunnel")
     rows = funnel_engine.query(
+        "WITH uf AS (SELECT * FROM usfunnel) "
         "SELECT FUNNELCOUNT(STEPS(ev = 'a', ev = 'b'), CORRELATE_BY(tk)) "
-        "AS fc FROM (SELECT * FROM usfunnel)"  # subquery: the FOLD path
+        "AS fc FROM uf"  # WITH-CTE shape: the FOLD path
     ).collect()
     assert rows[0]["fc"] == [1, 0]
 
@@ -975,7 +979,8 @@ def test_keyed_route_text_tuple_values_share_key():
     "src",
     [
         # shapes the route cannot restructure
-        "SELECT FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM (SELECT * FROM t)",
+        "WITH s AS (SELECT 1) SELECT FUNNELCOUNT(STEPS(ev='a'), "
+        "CORRELATE_BY(u)) FROM t",
         "SELECT FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) "
         "FROM t JOIN d ON t.k = d.k JOIN e ON t.k = e.k",
         "SELECT FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t, d",
@@ -1046,7 +1051,7 @@ def test_funnelcount_route_matches_fold(funnel_engine):
         f"SELECT {fc} FROM funnelsrc"
     ).collect()[0]["fc"]
     folded = funnel_engine.query(
-        f"SELECT {fc} FROM (SELECT * FROM funnelsrc)"
+        f"WITH f AS (SELECT * FROM funnelsrc) SELECT {fc} FROM f"
     ).collect()[0]["fc"]
     assert routed == folded == [4, 2, 1]
 
@@ -1134,8 +1139,8 @@ def test_tuple_value_matches_operator_estimate(spark, tuple_engine):
 def test_tuple_value_unroutable_is_loud(tuple_engine):
     with pytest.raises(Exception, match="two-level exact route"):
         tuple_engine.query(
-            "SELECT SUMVALUESINTEGERSUMTUPLESKETCH(k, v) "
-            "FROM (SELECT * FROM tuplesrc)"
+            "WITH f AS (SELECT * FROM tuplesrc) "
+            "SELECT SUMVALUESINTEGERSUMTUPLESKETCH(k, v) FROM f"
         )
     with pytest.raises(Exception, match="relational spelling"):
         tuple_engine.query(
@@ -1281,13 +1286,15 @@ def test_theta_set_unroutable_shape_is_loud(theta_engine):
     """A shape the route cannot restructure falls to the call-site
     fallback's loud redirect — never a silently-wrong plain distinct."""
     assert RKA(
+        "WITH f AS (SELECT * FROM thetasrc) "
         "SELECT DISTINCTCOUNTTHETASKETCH(u, 'p', 'ev = ''a''', "
-        "'SET_UNION($1, $1)') FROM (SELECT * FROM thetasrc)"
+        "'SET_UNION($1, $1)') FROM f"
     ) is None
     with pytest.raises(Exception, match="set-expression form is served"):
         theta_engine.query(
+            "WITH f AS (SELECT * FROM thetasrc) "
             "SELECT DISTINCTCOUNTTHETASKETCH(u, 'p', 'ev = ''p''', "
-            "'SET_UNION($1, $1)') FROM (SELECT * FROM thetasrc)"
+            "'SET_UNION($1, $1)') FROM f"
         )
 
 
@@ -1355,10 +1362,12 @@ def test_keyed_route_coaggs_match_fold(funnel_engine):
         f"SELECT {sel} FROM funnelsrc"
     ).collect()[0]
     folded = funnel_engine.query(
-        f"SELECT {sel} FROM (SELECT * FROM funnelsrc)"
+        f"WITH f AS (SELECT * FROM funnelsrc) SELECT {sel} FROM f"
     ).collect()[0]
     assert RKA(f"SELECT {sel} FROM funnelsrc") is not None
-    assert RKA(f"SELECT {sel} FROM (SELECT * FROM funnelsrc)") is None
+    assert RKA(
+        f"WITH f AS (SELECT * FROM funnelsrc) SELECT {sel} FROM f"
+    ) is None
     assert tuple(routed) == tuple(folded)
 
 
@@ -1374,9 +1383,10 @@ def test_keyed_route_coaggs_in_having(funnel_engine):
     )
     assert RKA(stmt) is not None
     ref = (
+        "WITH f AS (SELECT * FROM funnelsrc) "
         "SELECT g, max(amt) AS mx, "
         "FUNNELCOUNT(STEPS(ev = 'view'), CORRELATE_BY(uid)) AS fc "
-        "FROM (SELECT * FROM funnelsrc) GROUP BY g "
+        "FROM f GROUP BY g "
         "HAVING count(*) >= 6 ORDER BY g"
     )
     got = [tuple(r) for r in funnel_engine.query(stmt).collect()]
@@ -1417,7 +1427,9 @@ def test_keyed_route_where_subquery(spark, funnel_engine):
         "WHERE uid IN (SELECT uid FROM allowlist) GROUP BY g ORDER BY g"
     )
     assert RKA(stmt) is not None
-    ref = stmt.replace("FROM funnelsrc", "FROM (SELECT * FROM funnelsrc)")
+    ref = "WITH f AS (SELECT * FROM funnelsrc) " + stmt.replace(
+        "FROM funnelsrc", "FROM f"
+    )
     assert RKA(ref) is None
     got = [tuple(r) for r in funnel_engine.query(stmt).collect()]
     want = [tuple(r) for r in funnel_engine.query(ref).collect()]
@@ -1490,16 +1502,14 @@ def test_ordered_funnel_route_fires_and_matches_fold(ordered_engine):
         "'ev = ''click''') AS m "
         "FROM {src} GROUP BY u ORDER BY u"
     )
+    fold_stmt = "WITH f AS (SELECT * FROM ofev) " + sel.format(src="f")
     assert ROF(sel.format(src="ofev")) is not None
-    assert ROF(sel.format(src="(SELECT * FROM ofev)")) is None
+    assert ROF(fold_stmt) is None
     routed = [
         tuple(r) for r in ordered_engine.query(sel.format(src="ofev")).collect()
     ]
     folded = [
-        tuple(r)
-        for r in ordered_engine.query(
-            sel.format(src="(SELECT * FROM ofev)")
-        ).collect()
+        tuple(r) for r in ordered_engine.query(fold_stmt).collect()
     ]
     assert routed == folded
     assert routed == [
@@ -1547,7 +1557,8 @@ def test_ordered_funnel_coaggregates_untouched(ordered_engine):
         "SELECT FUNNELCOMPLETECOUNT(ts, '0', 2, 'a', 'b') FROM t",
         # joins / derived tables
         "SELECT FUNNELMAXSTEP(ts, '0', 1, 'a') FROM t, d",
-        "SELECT FUNNELMAXSTEP(ts, '0', 1, 'a') FROM (SELECT * FROM t)",
+        "WITH s AS (SELECT 1) SELECT FUNNELMAXSTEP(ts, '0', 1, 'a') "
+        "FROM t",
         # FILTER over restructured rows
         "SELECT FUNNELMAXSTEP(ts, '0', 1, 'a') FILTER (WHERE g = 1) FROM t",
         # GROUP BY expression
@@ -1598,7 +1609,7 @@ def test_ordered_funnel_route_strict_increase_and_window(ordered_engine):
     folded = {
         r["u"]: r["ms"]
         for r in ordered_engine.query(
-            sel.format(src="(SELECT * FROM ofev)")
+            "WITH f AS (SELECT * FROM ofev) " + sel.format(src="f")
         ).collect()
     }
     assert routed == folded
@@ -1695,7 +1706,8 @@ def test_mv_route_and_fallback_agree_on_null_elements(spark, mv_engine):
         "SELECT DISTINCTCOUNTMV(tags) AS v FROM mvnullsrc"
     ).collect()[0]["v"]
     fallback = mv_engine.query(
-        "SELECT DISTINCTCOUNTMV(tags) AS v FROM (SELECT * FROM mvnullsrc)"
+        "WITH f AS (SELECT * FROM mvnullsrc) "
+        "SELECT DISTINCTCOUNTMV(tags) AS v FROM f"
     ).collect()[0]["v"]
     assert routed == fallback == 2
 
@@ -3194,10 +3206,8 @@ def test_keyed_route_with_join(joinroute_engine):
     )
     routed = joinroute_engine.query(join_stmt).collect()
     folded = joinroute_engine.query(
-        sel.format(
-            rel="(SELECT jr_fact.u, ev, tier FROM jr_fact "
-            "JOIN jr_dim ON jr_fact.u = jr_dim.u) jr_fact"
-        )
+        "WITH jr_fact AS (SELECT jr_fact.u, ev, tier FROM jr_fact "
+        "JOIN jr_dim ON jr_fact.u = jr_dim.u) " + sel.format(rel="jr_fact")
     ).collect()
     assert [(r.tier, r.fc, r.n) for r in routed] == [
         (r.tier, r.fc, r.n) for r in folded
@@ -3252,10 +3262,8 @@ def test_ordered_funnel_route_with_join(joinroute_engine):
     joinroute_engine.spark.sql(routed_text)  # analyzes cleanly
     routed = joinroute_engine.query(join_stmt).collect()
     folded = joinroute_engine.query(
-        sel.format(
-            rel="(SELECT jr_fact.u, ev, tier FROM jr_fact "
-            "JOIN jr_dim ON jr_fact.u = jr_dim.u) jr_fact"
-        )
+        "WITH jr_fact AS (SELECT jr_fact.u, ev, tier FROM jr_fact "
+        "JOIN jr_dim ON jr_fact.u = jr_dim.u) " + sel.format(rel="jr_fact")
     ).collect()
     assert [(r.tier, r.ms) for r in routed] == [
         (r.tier, r.ms) for r in folded
@@ -3310,3 +3318,91 @@ def test_jsonpath_default_forms(agg_engine, q, want):
 def test_jsonpath_default_arity_error():
     with pytest.raises(ValueError, match="JSONPATHLONG"):
         R("SELECT JSONPATHLONG(j) FROM t")
+
+
+# -- derived-table relations route (round-8 session) ---------------------------
+
+
+def test_routes_accept_derived_table_relation():
+    routed = rewrite_sumarray_statement(
+        "SELECT k, SUMARRAYLONG(nums) AS s "
+        "FROM (SELECT k, nums FROM base WHERE k > 0) src GROUP BY k"
+    )
+    assert routed is not None
+    assert "FROM (SELECT k, nums FROM base WHERE k > 0) src "\
+        "LATERAL VIEW" in routed
+    # trailing comma list after the derived table stays unroutable
+    assert rewrite_sumarray_statement(
+        "SELECT SUMARRAYLONG(nums) FROM (SELECT 1) a, b"
+    ) is None
+    # a route target INSIDE the derived table belongs to that scope
+    assert rewrite_sumarray_statement(
+        "SELECT x FROM (SELECT SUMARRAYLONG(nums) AS x FROM base) s"
+    ) is None
+
+
+def test_sumarray_route_derived_table_values(sumarray_engine):
+    """The exact statement shape the quickstart had to work around with
+    a temp view: an inline VALUES derived table."""
+    got = {
+        r.g: r.s
+        for r in sumarray_engine.query(
+            "SELECT g, SUMARRAYLONG(arr) AS s "
+            "FROM (SELECT g, arr FROM sasrc WHERE g <= 2) src "
+            "GROUP BY g"
+        ).collect()
+    }
+    assert got == {1: [11, 22, 3], 2: [5]}
+
+
+def test_mv_route_derived_table_values(sumarray_engine, spark):
+    spark.sql(
+        "SELECT * FROM VALUES ('a', array('x', 'y')), "
+        "('a', array('y', 'z')), ('b', array('z')) AS t(k, tags)"
+    ).createOrReplaceTempView("mvdt")
+    row = {
+        r.k: (r.d, r.n)
+        for r in sumarray_engine.query(
+            "SELECT k, DISTINCTCOUNTMV(tags) AS d, count(*) AS n "
+            "FROM (SELECT k, tags FROM mvdt) src GROUP BY k"
+        ).collect()
+    }
+    assert row == {"a": (3, 2), "b": (1, 1)}
+
+
+def test_reserved_non_calls_absent_from_catalog(spark):
+    """Audit invariant for _RESERVED_NON_CALLS: every skipped word must
+    be absent from the live function catalog — were Spark ever to ship
+    a function under one of these names, skipping it would hide a real
+    call site from the routes' duplication classifier."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        _RESERVED_NON_CALLS,
+    )
+
+    for w in _RESERVED_NON_CALLS:
+        with pytest.raises(Exception):
+            spark.sql(f"DESCRIBE FUNCTION {w.lower()}")
+
+
+def test_parenthesized_where_predicate_no_longer_bails(sumarray_engine):
+    """Post-review: `WHERE (pred)` scanned as a call named WHERE, the
+    fail-safe classified it as an unknown aggregate, and the route
+    silently fell back — the pre-existing surface the derived-table
+    work exposed."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_sumarray_statement,
+    )
+
+    stmt = (
+        "SELECT g, SUMARRAYLONG(arr) AS s FROM sasrc "
+        "WHERE (g <= 2) GROUP BY g"
+    )
+    routed = rewrite_sumarray_statement(
+        stmt, is_aggregate=lambda n: True  # fail-safe at its strictest
+    )
+    assert routed is not None
+    got = {
+        r.g: r.s
+        for r in sumarray_engine.query(stmt).collect()
+    }
+    assert got == {1: [11, 22, 3], 2: [5]}
