@@ -1839,8 +1839,10 @@ def _subquery_spans(sql: str) -> list:
     """(start, end) spans of parenthesized subqueries — ``(`` groups whose
     first token is SELECT — OUTERMOST only, literals opaque.  Scalar
     subqueries, ``IN (SELECT ...)`` and ``EXISTS (SELECT ...)`` all take
-    this form; a derived table ``FROM (SELECT ...)`` does too (and still
-    bails the routes at the FROM-shape check)."""
+    this form; a derived table ``FROM (SELECT ...)`` does too, and since
+    the round-8 session the routes ADMIT that shape — its recorded span
+    is what scope-excludes the derived table's own call sites from the
+    outer duplication classification."""
     spans = []
     i, n = 0, len(sql)
     while i < n:
@@ -1986,8 +1988,15 @@ def _parse_routable_statement(
         # classification logic is untouched.  The comma check cannot
         # apply to the group's CONTENT (select lists have commas); the
         # balanced scan finds the group's end and the residue may only
-        # be an optional alias.
+        # be an optional alias.  The group's first token must be SELECT
+        # — the shape _subquery_spans records — or the scope-exclusion
+        # invariant above would be FALSE for it ((VALUES ...) /
+        # parenthesized-join relations bail; post-review).
         if not allow_subqueries:
+            return None
+        if not re.match(
+            r"\s*\(\s*SELECT\b", shape.from_text, re.IGNORECASE
+        ):
             return None
         open_idx = shape.from_end + (
             len(shape.from_text) - len(shape.from_text.lstrip())
@@ -2160,7 +2169,15 @@ def rewrite_mv_distinct_statement(sql: str, is_aggregate=None):
         f"AS __mv{i}_pos, __mv{i}_elem"
         for i, e in enumerate(exprs)
     )
-    edits.append((insert_at, insert_at, lateral))
+    # trailing separator: an unaliased derived table may abut the next
+    # clause keyword with NO whitespace — `FROM (SELECT ...)GROUP BY g`
+    # is legal SQL — and the splice must not glue the generator column
+    # onto it (post-review; conditional so the common whitespace-
+    # separated shapes keep their byte-exact routed text)
+    needs_sep = (
+        insert_at < len(sql) and sql[insert_at] not in " \t\r\n"
+    )
+    edits.append((insert_at, insert_at, lateral + (" " if needs_sep else "")))
     # apply_text_edits returns None on overlap — a shape the span logic
     # did not anticipate bails to the call-site fallback
     return apply_text_edits(sql, edits)

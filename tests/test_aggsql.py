@@ -3389,10 +3389,6 @@ def test_parenthesized_where_predicate_no_longer_bails(sumarray_engine):
     fail-safe classified it as an unknown aggregate, and the route
     silently fell back — the pre-existing surface the derived-table
     work exposed."""
-    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
-        rewrite_sumarray_statement,
-    )
-
     stmt = (
         "SELECT g, SUMARRAYLONG(arr) AS s FROM sasrc "
         "WHERE (g <= 2) GROUP BY g"
@@ -3406,3 +3402,27 @@ def test_parenthesized_where_predicate_no_longer_bails(sumarray_engine):
         for r in sumarray_engine.query(stmt).collect()
     }
     assert got == {1: [11, 22, 3], 2: [5]}
+
+
+def test_mv_route_derived_table_abutting_keyword(spark, sumarray_engine):
+    """Post-review: `FROM (SELECT ...)GROUP BY g` (no whitespace after
+    the ')' — legal SQL) must not glue the generator column onto the
+    clause keyword."""
+    spark.sql(
+        "SELECT * FROM VALUES ('a', array(1, 2)), ('a', array(2, 3)) "
+        "AS t(g, tags)"
+    ).createOrReplaceTempView("mvabut")
+    row = sumarray_engine.query(
+        "SELECT g, DISTINCTCOUNTMV(tags) AS d "
+        "FROM (SELECT * FROM mvabut)GROUP BY g"
+    ).collect()[0]
+    assert (row.g, row.d) == ("a", 3)
+
+
+def test_non_select_parenthesized_relation_bails():
+    """Post-review: only (SELECT ...) derived tables route — a (VALUES
+    ...) or parenthesized-join relation is NOT a recorded subquery span,
+    so admitting it would break the scope-exclusion invariant."""
+    assert rewrite_sumarray_statement(
+        "SELECT SUMARRAYLONG(nums) FROM (VALUES ('a', array(1, 2))) t"
+    ) is None
