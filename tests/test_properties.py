@@ -862,7 +862,10 @@ def test_mv_route_matches_fallback_reference(spark, rows, items, grouped, where)
         " GROUP BY g" if grouped else ""
     )
     routable = f"SELECT {sel} FROM mvfuzz{tail}"
-    reference = f"SELECT {sel} FROM (SELECT * FROM mvfuzz){tail}"
+    reference = (
+        "WITH f AS (SELECT * FROM mvfuzz) "
+        f"SELECT {sel} FROM f{tail}"
+    )
     # the routable form must actually take the route (shape gate sanity)
     assert rewrite_mv_distinct_statement(routable) is not None
     assert rewrite_mv_distinct_statement(reference) is None
@@ -949,7 +952,10 @@ def test_funnelcount_route_matches_fold_reference(
         " GROUP BY g" if grouped else ""
     )
     routable = f"SELECT {sel} FROM fcfuzz{tail}"
-    reference = f"SELECT {sel} FROM (SELECT * FROM fcfuzz){tail}"
+    reference = (
+        "WITH f AS (SELECT * FROM fcfuzz) "
+        f"SELECT {sel} FROM f{tail}"
+    )
     assert rewrite_keyed_agg_statement(routable) is not None
     assert rewrite_keyed_agg_statement(reference) is None
     got = sorted(map(tuple, eng.query(routable).collect()))
@@ -1022,7 +1028,10 @@ def test_ordered_funnel_route_matches_fold_reference(
     sel = ", ".join((["g"] if grouped else []) + [fn])
     tail = " GROUP BY g" if grouped else ""
     routable = f"SELECT {sel} FROM offuzz{tail}"
-    reference = f"SELECT {sel} FROM (SELECT * FROM offuzz){tail}"
+    reference = (
+        "WITH f AS (SELECT * FROM offuzz) "
+        f"SELECT {sel} FROM f{tail}"
+    )
     assert rewrite_ordered_funnel_statement(routable) is not None
     assert rewrite_ordered_funnel_statement(reference) is None
     got = sorted(map(tuple, eng.query(routable).collect()))
