@@ -2903,6 +2903,7 @@ class Engine:
         # functions/aggsql.py)
         from .functions.aggsql import (
             canonicalize_pinot_spellings,
+            inline_single_use_ctes,
             rewrite_keyed_agg_statement,
             rewrite_mode_avg_statement,
             rewrite_mv_distinct_statement,
@@ -2922,6 +2923,17 @@ class Engine:
             sql, keep_native=self._catalog_has_function
         )
 
+        # Single-use WITH-CTEs inline to the derived-table relation shape
+        # the routes admit (round 9 — a CTE-wrapped FUNNELCOUNT /
+        # MV-distinct / SUMARRAY statement was the last wire shape still
+        # landing on the collection-state folds).  The inlined text feeds
+        # the ROUTES ONLY: if every route bails or the probe fails, the
+        # original statement (CTE intact) stands, so multi-reference and
+        # otherwise-uninlinable CTE statements keep today's fold paths.
+        route_src = inline_single_use_ctes(sql)
+        if route_src is None:
+            route_src = sql
+
         # DISTINCTCOUNTHLLMV/DISTINCTCOUNTMV statements route to the
         # bounded exploded plan FIRST (hll_sketch_agg / count(DISTINCT)
         # over LATERAL VIEW POSEXPLODE elements — per-group state is the
@@ -2931,7 +2943,7 @@ class Engine:
         # analyze-cleanly-or-original-stands contract as the table-ref
         # rewrites.
         routed_mv = rewrite_mv_distinct_statement(
-            sql, is_aggregate=self._is_catalog_aggregate
+            route_src, is_aggregate=self._is_catalog_aggregate
         )
         if routed_mv is None:
             # FUNNELCOUNT / tuple value-aggregate statements route to the
@@ -2940,7 +2952,7 @@ class Engine:
             # two routes are mutually exclusive by construction: each
             # treats the other's target names as route-bailing aggregates.
             routed_mv = rewrite_keyed_agg_statement(
-                sql, is_aggregate=self._is_catalog_aggregate
+                route_src, is_aggregate=self._is_catalog_aggregate
             )
         if routed_mv is None:
             # FUNNELMAXSTEP / FUNNELMATCHSTEP statements route to the
@@ -2949,7 +2961,7 @@ class Engine:
             # comment).  Mutually exclusive with the two routes above by
             # the same co-aggregate bail rules.
             routed_mv = rewrite_ordered_funnel_statement(
-                sql, is_aggregate=self._is_catalog_aggregate
+                route_src, is_aggregate=self._is_catalog_aggregate
             )
         if routed_mv is None:
             # SUMARRAYLONG/SUMARRAYDOUBLE statements route to the bounded
@@ -2958,7 +2970,7 @@ class Engine:
             # array length; aggsql.py section comment).  Unroutable
             # shapes keep the loud call-site reject.
             routed_mv = rewrite_sumarray_statement(
-                sql, is_aggregate=self._is_catalog_aggregate
+                route_src, is_aggregate=self._is_catalog_aggregate
             )
         if routed_mv is None:
             # MODE(col, 'AVG') statements route to the three-level
@@ -2966,7 +2978,7 @@ class Engine:
             # aggregates, no windows or collections; aggsql.py section
             # comment).  Unroutable shapes keep the loud reject.
             routed_mv = rewrite_mode_avg_statement(
-                sql, is_aggregate=self._is_catalog_aggregate
+                route_src, is_aggregate=self._is_catalog_aggregate
             )
         if routed_mv is not None:
             # loud arity/shape ValueErrors from the rewrite must surface,
@@ -2982,15 +2994,16 @@ class Engine:
                     sql = rewrite_pinot_aggregates(
                         sql, keep_native=self._catalog_has_function
                     )
-                except ValueError:
+                except ValueError as fallback_err:
                     # the fallback is an unconditional loud REJECT
                     # (sumarray / mode-avg): the statement's shape DID
                     # route and the analysis failure has a real cause
-                    # (e.g. an unresolved column) — surfacing the reject
-                    # would falsely tell the user to restructure a
-                    # routable statement and mask the genuine
-                    # diagnostic (post-review)
-                    raise probe_exc from None
+                    # (e.g. an unresolved column), so the probe error
+                    # leads — but CHAINED to the reject (round-8 ADVICE:
+                    # `from None` discarded it, leaving route-generated
+                    # analysis failures with no hint that a statement
+                    # route engaged or what the manual recipe is)
+                    raise probe_exc from fallback_err
         else:
             sql = rewrite_pinot_aggregates(
                 sql, keep_native=self._catalog_has_function

@@ -200,11 +200,21 @@ def _jsonpath_default(name: str, sql_type: str):
             )
         # try_cast, not the typed macro: Pinot answers the DEFAULT when
         # the extracted value does not parse as the target type, where
-        # the macro's plain cast would raise under ANSI
-        return (
-            f"coalesce(try_cast(JSONPATHSTRING({args[0]}, {args[1]}) "
-            f"as {sql_type}), cast(({args[2]}) as {sql_type}))"
-        )
+        # the macro's plain cast would raise under ANSI.  For the LONG
+        # target a present-but-fractional numeric (2.7) must COERCE like
+        # Pinot (-> 2), not take the default (round-8 ADVICE): the
+        # middle leg casts through double and truncates, firing only
+        # when the exact bigint parse failed, so exact long-range values
+        # keep full precision and only genuinely missing / non-numeric
+        # paths reach the default.
+        extracted = f"JSONPATHSTRING({args[0]}, {args[1]})"
+        legs = [f"try_cast({extracted} as {sql_type})"]
+        if sql_type == "bigint":
+            legs.append(
+                f"try_cast(try_cast({extracted} as double) as {sql_type})"
+            )
+        legs.append(f"cast(({args[2]}) as {sql_type})")
+        return "coalesce(" + ", ".join(legs) + ")"
 
     return build
 
@@ -386,6 +396,64 @@ def _parse_ordered_funnel_args(kind: str, args: list[str]) -> tuple:
             )
     cmp = ">" if "STRICT_INCREASE" in modes else ">="
     return ts, window_ms, steps, cmp
+
+
+_DURATION_STAT_FNS = ("MIN", "MAX", "AVG", "MEDIAN")
+
+_DURFNS_RE = re.compile(
+    r"^\s*durationFunctions\s*=\s*(.*)$", re.IGNORECASE
+)
+
+
+def _parse_step_duration_args(args: list[str]) -> tuple:
+    """``FUNNELSTEPDURATIONSTATS(tsExpr, 'windowMs', n, 'step1Expr',
+    ..., 'durationFunctions=min,max,avg,median'[, 'mode', ...])`` ->
+    ``(ts, window_ms, steps, cmp, fns)`` with loud errors.  The
+    durationFunctions SETTINGS literal is positional-agnostic among the
+    trailing literals (Pinot 1.2 settings style **[P1.2]**) and is
+    REQUIRED — it alone determines the output array's shape, so there
+    is no honest default.  Remaining trailing literals parse as modes
+    through the shared ordered-funnel parser."""
+    if len(args) < 4:
+        raise ValueError(
+            "FUNNELSTEPDURATIONSTATS takes (tsExpr, 'windowMs', "
+            "numberSteps, 'step1Expr', ..., "
+            f"'durationFunctions=...'[, 'mode', ...]), got {len(args)}"
+        )
+    n = int(args[2])
+    head, tail = args[: 3 + n], args[3 + n :]
+    fns, modes = None, []
+    for a in tail:
+        lit = _unquote_literal(a, "FUNNELSTEPDURATIONSTATS setting")
+        m = _DURFNS_RE.match(lit)
+        if m is None:
+            modes.append(a)
+            continue
+        if fns is not None:
+            raise ValueError(
+                "FUNNELSTEPDURATIONSTATS: duplicate durationFunctions "
+                "settings literal"
+            )
+        fns = [
+            p.strip().upper() for p in m.group(1).split(",") if p.strip()
+        ]
+    if not fns:
+        raise ValueError(
+            "FUNNELSTEPDURATIONSTATS requires a "
+            "'durationFunctions=...' settings literal — it determines "
+            "the output array's shape (supported: min, max, avg, "
+            "median)"
+        )
+    for f in fns:
+        if f not in _DURATION_STAT_FNS:
+            raise ValueError(
+                f"FUNNELSTEPDURATIONSTATS: unsupported durationFunction "
+                f"{f!r} (supported: min, max, avg, median)"
+            )
+    ts, window_ms, steps, cmp = _parse_ordered_funnel_args(
+        "STEPDURATIONSTATS", head + modes
+    )
+    return ts, window_ms, steps, cmp, fns
 
 
 def _funnel(kind: str):
@@ -1036,19 +1104,34 @@ _REWRITES: dict = {
     "HISTOGRAM": _histogram,
     "FUNNELMAXSTEP": _funnel("MAXSTEP"),
     "FUNNELMATCHSTEP": _funnel("MATCHSTEP"),
+    # FUNNELCOMPLETECOUNT is the ONE PERMANENT FOLD on this surface
+    # (round-9 adjudication of VERDICT r8 task 7): its state RESETS
+    # after every completion — a loop over the group's events, not a
+    # prefix min — so no window cascade replicates it with per-row
+    # state.  The fold's per-group memory is O(step-MATCHING events)
+    # (non-matching rows fold to NULL structs collect_list drops),
+    # exactly Pinot's funnel-state bound, NOT O(all events); a group
+    # would need ~10^8 step-matching events for one correlator before
+    # executor memory is at risk, at which point the funnel question
+    # itself is degenerate.
     "FUNNELCOMPLETECOUNT": _funnel("COMPLETECOUNT"),
-    # Pinot 1.2's fourth ordered-funnel aggregate returns per-step
-    # duration statistics whose output shape is driven by a SETTINGS
-    # literal — not served here; the step timestamps it summarizes are
-    # first-class in the operator API, so redirect loudly rather than
-    # approximate a different answer.
+    # Pinot 1.2's fourth ordered-funnel aggregate **[P1.2]**: ROUTABLE
+    # statements are served by the window-cascade statement route
+    # (rewrite_ordered_funnel_statement — the greedy per-step
+    # first-completion timestamps are already the route's state, and
+    # the requested duration stats are scalar arithmetic over them at
+    # the outer level; round 9).  This call-site entry only fires for
+    # UNROUTABLE shapes, where the fold would need to collect the
+    # group's events — redirect loudly instead.
     "FUNNELSTEPDURATIONSTATS": _reject_loudly(
         "FUNNELSTEPDURATIONSTATS",
-        "is not served by this SQL surface — compute per-step matched "
+        "is served for routable single-SELECT statements (the "
+        "window-cascade statement route; one JOIN ... ON, derived-table "
+        "and single-use-CTE relations are admitted) — restructure this "
+        "statement to that shape, or compute per-step matched "
         "timestamps with operators/funnel.py (funnel_state keeps each "
-        "step's match time; durations are column arithmetic from there) "
-        "or use FUNNELMAXSTEP/FUNNELMATCHSTEP/FUNNELCOMPLETECOUNT for "
-        "step-reach questions (SURVEY B16 funnel family)",
+        "step's match time; durations are column arithmetic from "
+        "there) (SURVEY B16 funnel family)",
     ),
     "DISTINCTCOUNT": _exact_distinct,
     "DISTINCTCOUNTBITMAP": _exact_distinct,
@@ -1584,12 +1667,18 @@ def _rewrite_pinot_aggregates_inner(sql: str, keep_native) -> str:
 # joined row — the very relation the original aggregates saw) and
 # parenthesized subqueries (scalar / IN / EXISTS) are allowed anywhere
 # (they evaluate in their OWN scope, so their call sites are excluded
-# from duplication classification).  Shapes the route still cannot
-# restructure (WITH/UNION/multi-join/comma FROM/derived tables/windows)
-# bail.  The caller
-# (Engine.query) additionally requires the routed statement to ANALYZE
-# cleanly or the original stands — the same contract as every other
-# statement rewrite.
+# from duplication classification), as are derived-table relations
+# `FROM (SELECT ...) alias`.  Round 9: Engine.query additionally
+# inlines single-use WITH-CTEs to that derived-table shape BEFORE the
+# routes (inline_single_use_ctes), so only multi-reference/recursive/
+# renamed CTEs still reach the fold.  Shapes the route itself cannot
+# restructure (WITH/UNION/multi-join/comma FROM/windows) bail, and
+# non-deterministic calls (rand/uuid/shuffle/...) bail the
+# row-duplicating routes — the WHERE would re-evaluate per exploded
+# copy, silently turning per-row sampling into per-element sampling.
+# The caller (Engine.query) additionally requires the routed statement
+# to ANALYZE cleanly or the original stands — the same contract as
+# every other statement rewrite.
 
 def _hll_elem_builder(e: str) -> str:
     return f"hll_sketch_estimate(hll_sketch_agg({e}))"
@@ -1715,6 +1804,19 @@ _MV_STMT_TOPKW_RE = re.compile(
 
 _MV_ANYDEPTH_BAIL_RE = re.compile(
     r"\b(OVER|ROLLUP|CUBE|GROUPING)\b", re.IGNORECASE
+)
+
+# non-deterministic expressions make the ROW-DUPLICATING routes bail
+# (round-8 ADVICE follow-up / r8 verdict task 2): the MV-distinct and
+# SUMARRAY routes re-evaluate the WHERE clause per POSEXPLODE copy, so
+# `WHERE rand() < 0.1` would silently become per-ELEMENT sampling where
+# the fold samples per ROW.  One conservative whole-statement check —
+# a non-deterministic call anywhere (select list, predicates) is enough
+# to keep the fold, whose evaluation order the user already observes.
+_NONDETERMINISTIC_FN_RE = re.compile(
+    r"(RAND|RANDN|RANDOM|UUID|SHUFFLE|MONOTONICALLY_INCREASING_ID|"
+    r"RANDSTR|UNIFORM)\s*\(",
+    re.IGNORECASE,
 )
 
 _MV_AGG_IN_ARG_RE = re.compile(
@@ -1889,6 +1991,139 @@ _ROUTE_BAD_TOPKWS = (
 )
 
 
+# clause keywords that can directly follow a table reference — used to
+# tell `FROM cte WHERE ...` (no alias) from `FROM cte w` (alias `w`)
+# when the inliner re-emits a single-use CTE as a derived table.  A
+# genuine alias SPELLED like one of these is mis-read as a keyword; the
+# inliner then emits `(body) AS name <alias>`, which fails the engine's
+# analysis probe and falls back to the original statement — safe, never
+# silent.
+_CTE_ALIAS_STOP_KWS = frozenset(
+    """ON WHERE GROUP ORDER HAVING LIMIT JOIN LEFT RIGHT INNER FULL
+    CROSS OUTER NATURAL UNION EXCEPT INTERSECT MINUS USING SEMI ANTI
+    LATERAL WINDOW QUALIFY OFFSET SORT DISTRIBUTE CLUSTER TABLESAMPLE
+    PIVOT UNPIVOT SELECT AS""".split()
+)
+
+
+def _cte_table_refs(text: str, name: str):
+    """Scan ``text`` (literal content opaque) for whole-word, unquoted
+    occurrences of CTE ``name``.  Returns ``None`` when any occurrence
+    is NOT a plain ``FROM``/``JOIN`` table reference (inlining could
+    change its meaning — bail), else a list of ``(start, end,
+    has_alias)`` reference sites.  Qualifier uses (``name.col``) and
+    call sites (``name(``) are neither references nor blockers: the
+    inlined derived table keeps ``name`` as its alias, so qualifiers
+    still bind, and a CTE never shadows a function."""
+    pat = re.compile(re.escape(name) + r"\b", re.IGNORECASE)
+    refs = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in ("'", '"'):
+            i = _skip_literal(text, i)
+            continue
+        m = pat.match(text, i)
+        if m is None or (
+            i > 0 and (text[i - 1].isalnum() or text[i - 1] in "_.$")
+        ):
+            i += 1
+            continue
+        end = m.end()
+        if end < n and text[end] in ".(":
+            i = end
+            continue
+        # the previous word must be FROM or JOIN for this to be a plain
+        # relation reference the derived-table shape can replace
+        k = i - 1
+        while k >= 0 and text[k] in " \t\r\n":
+            k -= 1
+        wend = k + 1
+        while k >= 0 and (text[k].isalnum() or text[k] == "_"):
+            k -= 1
+        if k >= 0 and text[k] in ".$":
+            return None  # qualified word before the ref: not FROM/JOIN
+        if text[k + 1 : wend].upper() not in ("FROM", "JOIN"):
+            return None
+        am = re.match(
+            r"\s+(AS\s+)?([A-Za-z_]\w*)", text[end:], re.IGNORECASE
+        )
+        has_alias = bool(am) and (
+            bool(am.group(1))
+            or am.group(2).upper() not in _CTE_ALIAS_STOP_KWS
+        )
+        refs.append((i, end, has_alias))
+        i = end
+    return refs
+
+
+def inline_single_use_ctes(sql: str):
+    """Inline ``WITH name AS (SELECT ...)`` definitions that are
+    referenced EXACTLY ONCE in ``FROM``/``JOIN`` position as derived
+    tables ``FROM (SELECT ...) AS name`` — textually the relation shape
+    the statement routes admit — and return the rewritten statement, or
+    ``None`` when the statement has no WITH clause or any definition is
+    multi-referenced / zero-referenced / renamed (column list) /
+    recursive / referenced outside FROM-JOIN position (those keep the
+    original statement and its fold/fallback paths — the round-8
+    contract).
+
+    This is a ROUTE PRE-PASS, not a general rewrite: Engine.query feeds
+    the inlined text to the restructuring routes only; if every route
+    bails, or the routed text fails the analysis probe, the ORIGINAL
+    statement stands.  That probe is the safety net for any valid-SQL
+    corner the conservative checks below miss — a garbled inline can
+    only cost the bounded plan, never the answer.  Round-9 session
+    (VERDICT r8 task 1): CTE-wrapped FUNNELCOUNT / MV-distinct /
+    SUMARRAY statements were the last wire shapes still landing on the
+    collection-state folds at high cardinality."""
+    head = re.match(r"\s*WITH\s+", sql, re.IGNORECASE)
+    if head is None or re.match(
+        r"\s*WITH\s+RECURSIVE\b", sql, re.IGNORECASE
+    ):
+        return None
+    pos = head.end()
+    ctes = []
+    while True:
+        nm = re.match(r"[A-Za-z_]\w*", sql[pos:])
+        if nm is None:
+            return None  # quoted/backtick CTE names keep the fold
+        name = nm.group(0)
+        pos += nm.end()
+        am = re.match(r"\s*AS\s*\(", sql[pos:], re.IGNORECASE)
+        if am is None:
+            return None  # `name (cols) AS (...)` renames: keep the fold
+        try:
+            body, after = _scan_balanced(sql, pos + am.end() - 1)
+        except ValueError:
+            return None
+        if not re.match(r"\s*SELECT\b", body, re.IGNORECASE):
+            return None  # nested-WITH / VALUES bodies keep the fold
+        ctes.append((name, body.strip()))
+        cm = re.match(r"\s*,\s*", sql[after:])
+        if cm is None:
+            pos = after
+            break
+        pos = after + cm.end()
+    text = sql[pos:]
+    if not re.match(r"\s*SELECT\b", text, re.IGNORECASE):
+        return None
+    names = [n.upper() for n, _ in ctes]
+    if len(set(names)) != len(names):
+        return None  # duplicate names: Spark's scoping, not ours
+    # reverse order: a CTE can only be referenced by LATER definitions
+    # and the main body, so once every later definition is inlined into
+    # ``text``, counting references there is complete
+    for name, body in reversed(ctes):
+        refs = _cte_table_refs(text, name)
+        if refs is None or len(refs) != 1:
+            return None
+        start, end, has_alias = refs[0]
+        repl = f"({body})" if has_alias else f"({body}) AS {name}"
+        text = text[:start] + repl + text[end:]
+    return text
+
+
 class _StmtShape:
     """Parsed shape of a routable single-SELECT statement (shared by the
     MV-distinct and keyed statement routes — round-8 review: the two
@@ -2051,6 +2286,8 @@ def rewrite_mv_distinct_statement(sql: str, is_aggregate=None):
     silent-inflation class before they were classified)."""
     if not _MV_GATE_RE.search(sql):
         return None
+    if _search_unquoted_re(_NONDETERMINISTIC_FN_RE, sql):
+        return None  # per-copy re-evaluation would skew sampling: fold
     # subqueries are allowed IF every nested SELECT sits inside a
     # parenthesized (SELECT ...) group (round 8 — scalar subqueries /
     # IN / EXISTS): those groups evaluate in their OWN scope, so the
@@ -2744,10 +2981,13 @@ def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
 # Unpartitioned funnels (no GROUP BY) route to a single sorted partition —
 # still strictly better than one driver-sized collected array.
 
-_ORDERED_FUNNEL_TARGETS = frozenset({"FUNNELMAXSTEP", "FUNNELMATCHSTEP"})
+_ORDERED_FUNNEL_TARGETS = frozenset(
+    {"FUNNELMAXSTEP", "FUNNELMATCHSTEP", "FUNNELSTEPDURATIONSTATS"}
+)
 
 _ORDERED_GATE_RE = re.compile(
-    r"\b(FUNNELMAXSTEP|FUNNELMATCHSTEP)\s*\(", re.IGNORECASE
+    r"\b(FUNNELMAXSTEP|FUNNELMATCHSTEP|FUNNELSTEPDURATIONSTATS)\s*\(",
+    re.IGNORECASE,
 )
 
 # funnels deeper than this keep the fold (each step adds two layered
@@ -2755,12 +2995,69 @@ _ORDERED_GATE_RE = re.compile(
 _ORDERED_MAX_STEPS = 12
 
 
+def _step_duration_stats_expr(j: int, n: int, fns: list) -> str:
+    """Outer-level replacement for FUNNELSTEPDURATIONSTATS call ``j``
+    over an ``n``-step funnel: the window cascade's greedy
+    first-completion timestamps ``t_i = min(__fn{j}_v{i})`` give the
+    step durations ``d_i = millis(t_{i+1}) - millis(t_i)`` directly, and
+    each requested stat is scalar arithmetic over the ≤ n-1 available
+    durations (the greedy state matches steps as a PREFIX, so the
+    non-null durations are d_1..d_{maxstep-1} in order).  Returns an
+    ``array<double>`` with one entry per requested durationFunction, in
+    request order; a stat over zero durations (max_step < 2) is NULL.
+    Durations are in MILLISECONDS (the windowMs unit); MEDIAN of an
+    even count is the mean of the two middle values.  Expressions are
+    repeated rather than aliased — the arrays hold at most 11 elements
+    and Catalyst's common-subexpression elimination collapses the
+    copies inside one projection."""
+    if n < 2:
+        durs = "cast(array() as array<double>)"
+    else:
+        ds = [
+            f"CASE WHEN min(__fn{j}_v{i + 1}) IS NOT NULL THEN "
+            f"cast(unix_millis(min(__fn{j}_v{i + 1})) - "
+            f"unix_millis(min(__fn{j}_v{i})) as double) END"
+            for i in range(1, n)
+        ]
+        durs = f"filter(array({', '.join(ds)}), x -> x IS NOT NULL)"
+    sorted_durs = f"array_sort({durs})"
+    stats = []
+    for f in fns:
+        if f == "MIN":
+            stats.append(f"array_min({durs})")
+        elif f == "MAX":
+            stats.append(f"array_max({durs})")
+        elif f == "AVG":
+            stats.append(
+                f"CASE WHEN size({durs}) > 0 THEN "
+                f"aggregate({durs}, cast(0.0 as double), "
+                f"(a, x) -> a + x) / size({durs}) "
+                "ELSE cast(null as double) END"
+            )
+        else:  # MEDIAN (validated by _parse_step_duration_args)
+            stats.append(
+                f"CASE WHEN size({durs}) = 0 THEN cast(null as double) "
+                f"WHEN size({durs}) % 2 = 1 THEN "
+                f"element_at({sorted_durs}, "
+                f"cast((size({durs}) + 1) div 2 as int)) "
+                f"ELSE (element_at({sorted_durs}, "
+                f"cast(size({durs}) div 2 as int)) + "
+                f"element_at({sorted_durs}, "
+                f"cast(size({durs}) div 2 as int) + 1)) / 2.0 END"
+            )
+    return "array(" + ", ".join(stats) + ")"
+
+
 def rewrite_ordered_funnel_statement(sql: str, is_aggregate=None):
     """Return the window-cascade statement for a routable FUNNELMAXSTEP /
-    FUNNELMATCHSTEP statement, or ``None`` when the shape is unsupported
-    (section comment above has the full contract).  ``is_aggregate`` is
-    accepted for route-API uniformity but unused: the Window layers
-    preserve rows 1:1, so co-occurring aggregates are correct without
+    FUNNELMATCHSTEP / FUNNELSTEPDURATIONSTATS statement, or ``None`` when
+    the shape is unsupported (section comment above has the full
+    contract; STEPDURATIONSTATS reads the same greedy per-step
+    timestamps the cascade already computes and summarizes their
+    consecutive differences per its durationFunctions SETTINGS literal —
+    round 9, VERDICT r8 task 3).  ``is_aggregate`` is accepted for
+    route-API uniformity but unused: the Window layers preserve rows
+    1:1, so co-occurring aggregates are correct without
     classification."""
     if not _ORDERED_GATE_RE.search(sql):
         return None
@@ -2786,17 +3083,28 @@ def rewrite_ordered_funnel_statement(sql: str, is_aggregate=None):
         return None
     parsed = []
     for name, st, end, inner in targets:
-        kind = name.upper()[6:]  # MAXSTEP / MATCHSTEP
+        kind = name.upper()[6:]  # MAXSTEP / MATCHSTEP / STEPDURATIONSTATS
         args = (
             [a.strip() for a in _split_top_level_commas(inner)]
             if inner.strip()
             else []
         )
         try:
-            ts, window_ms, steps, cmp = _parse_ordered_funnel_args(
-                kind, args
-            )
+            if kind == "STEPDURATIONSTATS":
+                ts, window_ms, steps, cmp, fns = (
+                    _parse_step_duration_args(args)
+                )
+            else:
+                ts, window_ms, steps, cmp = _parse_ordered_funnel_args(
+                    kind, args
+                )
+                fns = None
         except (ValueError, TypeError):
+            if kind == "STEPDURATIONSTATS":
+                # the call-site fallback is the generic restructuring
+                # redirect — for a statement that DID route, the parse
+                # error (bad settings/arity) is the genuine diagnostic
+                raise
             return None  # the fold path raises the same loud error
         if len(steps) > _ORDERED_MAX_STEPS:
             return None
@@ -2806,12 +3114,12 @@ def rewrite_ordered_funnel_statement(sql: str, is_aggregate=None):
             or re.search(r"\bSELECT\b", inner, re.IGNORECASE)
         ):
             return None
-        parsed.append((kind, st, end, ts, window_ms, steps, cmp))
+        parsed.append((kind, st, end, ts, window_ms, steps, cmp, fns))
     part = (
         f"PARTITION BY {', '.join(group_items)} " if group_items else ""
     )
     base_cols, orders = [], {}
-    for j, (kind, st, end, ts, wms, steps, cmp) in enumerate(parsed):
+    for j, (kind, st, end, ts, wms, steps, cmp, fns) in enumerate(parsed):
         tse = f"cast(({ts}) as timestamp)"
         # materialize the user's ts and EVERY step predicate as layer-0
         # aliases: layer 0 is the only SELECT where the ORIGINAL tables
@@ -2838,7 +3146,9 @@ def rewrite_ordered_funnel_statement(sql: str, is_aggregate=None):
     max_n = max(len(p[5]) for p in parsed)
     for k in range(1, max_n):
         titems, vitems = [], []
-        for j, (kind, st, end, ts, wms, steps, cmp) in enumerate(parsed):
+        for j, (kind, st, end, ts, wms, steps, cmp, fns) in enumerate(
+            parsed
+        ):
             if len(steps) <= k:
                 continue
             titems.append(
@@ -2872,17 +3182,20 @@ def rewrite_ordered_funnel_statement(sql: str, is_aggregate=None):
     for items in sub_layers:
         inner_sql = f"SELECT *, {', '.join(items)} FROM ({inner_sql})"
     edits = [(from_sp[0], repl_end, f"FROM ({inner_sql}) __fn ")]
-    for j, (kind, st, end, ts, wms, steps, cmp) in enumerate(parsed):
-        flags = [
-            f"CASE WHEN min(__fn{j}_v{i + 1}) IS NOT NULL "
-            "THEN 1 ELSE 0 END"
-            for i in range(len(steps))
-        ]
-        repl = (
-            "(" + " + ".join(flags) + ")"
-            if kind == "MAXSTEP"
-            else "array(" + ", ".join(flags) + ")"
-        )
+    for j, (kind, st, end, ts, wms, steps, cmp, fns) in enumerate(parsed):
+        if kind == "STEPDURATIONSTATS":
+            repl = _step_duration_stats_expr(j, len(steps), fns)
+        else:
+            flags = [
+                f"CASE WHEN min(__fn{j}_v{i + 1}) IS NOT NULL "
+                "THEN 1 ELSE 0 END"
+                for i in range(len(steps))
+            ]
+            repl = (
+                "(" + " + ".join(flags) + ")"
+                if kind == "MAXSTEP"
+                else "array(" + ", ".join(flags) + ")"
+            )
         edits.append((st, end, repl))
     # apply_text_edits returns None on overlap (e.g. a target inside the
     # WHERE clause) — bail to the call-site fold
@@ -2949,6 +3262,8 @@ def rewrite_sumarray_statement(sql: str, is_aggregate=None):
     unsupported (section comment above has the full contract)."""
     if not _SUMARRAY_GATE_RE.search(sql):
         return None
+    if _search_unquoted_re(_NONDETERMINISTIC_FN_RE, sql):
+        return None  # per-copy re-evaluation would skew sampling: fold
     shape = _parse_routable_statement(
         sql, "__sa", allow_subqueries=True, allow_join=True
     )

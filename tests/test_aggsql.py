@@ -492,7 +492,7 @@ def test_mv_fallback_expression_is_normalized(spark, mv_engine):
     collected arrays normalized (sorted+deduped) so permutations of one
     element set fold to ONE state entry — and the answer still matches."""
     df = mv_engine.query(
-        "WITH f AS (SELECT * FROM mvsrc) "
+        "WITH f AS (SELECT * FROM mvsrc), f_keep AS (SELECT * FROM f) "
         "SELECT g, DISTINCTCOUNTMV(tags) AS v FROM f GROUP BY g"
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -637,7 +637,7 @@ def test_mv_raw_and_hllplus_spellings(spark, mv_engine):
     fb = {
         r["g"]: r
         for r in mv_engine.query(
-            "WITH f AS (SELECT * FROM mvsrc) "
+            "WITH f AS (SELECT * FROM mvsrc), f_keep AS (SELECT * FROM f) "
             "SELECT g, DISTINCTCOUNTRAWHLLMV(tags) AS r1, "
             "DISTINCTCOUNTHLLPLUSMV(tags) AS r2 "
             "FROM f GROUP BY g"
@@ -646,7 +646,7 @@ def test_mv_raw_and_hllplus_spellings(spark, mv_engine):
     assert (fb["a"]["r1"], fb["a"]["r2"]) == (5, 5)
     with pytest.raises(Exception, match="not routable"):
         mv_engine.query(
-            "WITH f AS (SELECT * FROM mvsrc) "
+            "WITH f AS (SELECT * FROM mvsrc), f_keep AS (SELECT * FROM f) "
             "SELECT PERCENTILERAWKLLMV(tags, 90) FROM f"
         )
 
@@ -702,7 +702,7 @@ def test_mv_percentile_masked_against_second_explode(spark, mv_engine):
 def test_mv_percentile_unroutable_is_loud(mv_engine):
     with pytest.raises(Exception, match="not routable"):
         mv_engine.query(
-            "WITH f AS (SELECT * FROM mvsrc) "
+            "WITH f AS (SELECT * FROM mvsrc), f_keep AS (SELECT * FROM f) "
             "SELECT PERCENTILEESTMV(tags, 90) FROM f"
         )
 
@@ -873,7 +873,7 @@ def test_funnelcount_binary_correlator_no_collision(spark, funnel_engine):
         "SELECT * FROM VALUES (X'80', 'a'), (X'81', 'b') AS t(bk, ev)"
     ).createOrReplaceTempView("binfunnel")
     rows = funnel_engine.query(
-        "WITH bf AS (SELECT * FROM binfunnel) "
+        "WITH bf AS (SELECT * FROM binfunnel), bf_keep AS (SELECT * FROM bf) "
         "SELECT FUNNELCOUNT(STEPS(ev = 'a', ev = 'b'), CORRELATE_BY(bk)) "
         "AS fc FROM bf"  # WITH-CTE shape: exercises the FOLD
     ).collect()
@@ -893,7 +893,7 @@ def test_funnelcount_microsecond_timestamp_correlators(spark, funnel_engine):
         "(timestamp'2020-01-01 00:00:00.000002', 'b') AS t(tk, ev)"
     ).createOrReplaceTempView("usfunnel")
     rows = funnel_engine.query(
-        "WITH uf AS (SELECT * FROM usfunnel) "
+        "WITH uf AS (SELECT * FROM usfunnel), uf_keep AS (SELECT * FROM uf) "
         "SELECT FUNNELCOUNT(STEPS(ev = 'a', ev = 'b'), CORRELATE_BY(tk)) "
         "AS fc FROM uf"  # WITH-CTE shape: the FOLD path
     ).collect()
@@ -1051,7 +1051,7 @@ def test_funnelcount_route_matches_fold(funnel_engine):
         f"SELECT {fc} FROM funnelsrc"
     ).collect()[0]["fc"]
     folded = funnel_engine.query(
-        f"WITH f AS (SELECT * FROM funnelsrc) SELECT {fc} FROM f"
+        f"WITH f AS (SELECT * FROM funnelsrc), f_keep AS (SELECT * FROM f) SELECT {fc} FROM f"
     ).collect()[0]["fc"]
     assert routed == folded == [4, 2, 1]
 
@@ -1139,7 +1139,7 @@ def test_tuple_value_matches_operator_estimate(spark, tuple_engine):
 def test_tuple_value_unroutable_is_loud(tuple_engine):
     with pytest.raises(Exception, match="two-level exact route"):
         tuple_engine.query(
-            "WITH f AS (SELECT * FROM tuplesrc) "
+            "WITH f AS (SELECT * FROM tuplesrc), f_keep AS (SELECT * FROM f) "
             "SELECT SUMVALUESINTEGERSUMTUPLESKETCH(k, v) FROM f"
         )
     with pytest.raises(Exception, match="relational spelling"):
@@ -1286,13 +1286,13 @@ def test_theta_set_unroutable_shape_is_loud(theta_engine):
     """A shape the route cannot restructure falls to the call-site
     fallback's loud redirect — never a silently-wrong plain distinct."""
     assert RKA(
-        "WITH f AS (SELECT * FROM thetasrc) "
+        "WITH f AS (SELECT * FROM thetasrc), f_keep AS (SELECT * FROM f) "
         "SELECT DISTINCTCOUNTTHETASKETCH(u, 'p', 'ev = ''a''', "
         "'SET_UNION($1, $1)') FROM f"
     ) is None
     with pytest.raises(Exception, match="set-expression form is served"):
         theta_engine.query(
-            "WITH f AS (SELECT * FROM thetasrc) "
+            "WITH f AS (SELECT * FROM thetasrc), f_keep AS (SELECT * FROM f) "
             "SELECT DISTINCTCOUNTTHETASKETCH(u, 'p', 'ev = ''p''', "
             "'SET_UNION($1, $1)') FROM f"
         )
@@ -1362,11 +1362,11 @@ def test_keyed_route_coaggs_match_fold(funnel_engine):
         f"SELECT {sel} FROM funnelsrc"
     ).collect()[0]
     folded = funnel_engine.query(
-        f"WITH f AS (SELECT * FROM funnelsrc) SELECT {sel} FROM f"
+        f"WITH f AS (SELECT * FROM funnelsrc), f_keep AS (SELECT * FROM f) SELECT {sel} FROM f"
     ).collect()[0]
     assert RKA(f"SELECT {sel} FROM funnelsrc") is not None
     assert RKA(
-        f"WITH f AS (SELECT * FROM funnelsrc) SELECT {sel} FROM f"
+        f"WITH f AS (SELECT * FROM funnelsrc), f_keep AS (SELECT * FROM f) SELECT {sel} FROM f"
     ) is None
     assert tuple(routed) == tuple(folded)
 
@@ -1383,7 +1383,7 @@ def test_keyed_route_coaggs_in_having(funnel_engine):
     )
     assert RKA(stmt) is not None
     ref = (
-        "WITH f AS (SELECT * FROM funnelsrc) "
+        "WITH f AS (SELECT * FROM funnelsrc), f_keep AS (SELECT * FROM f) "
         "SELECT g, max(amt) AS mx, "
         "FUNNELCOUNT(STEPS(ev = 'view'), CORRELATE_BY(uid)) AS fc "
         "FROM f GROUP BY g "
@@ -1427,7 +1427,7 @@ def test_keyed_route_where_subquery(spark, funnel_engine):
         "WHERE uid IN (SELECT uid FROM allowlist) GROUP BY g ORDER BY g"
     )
     assert RKA(stmt) is not None
-    ref = "WITH f AS (SELECT * FROM funnelsrc) " + stmt.replace(
+    ref = "WITH f AS (SELECT * FROM funnelsrc), f_keep AS (SELECT * FROM f) " + stmt.replace(
         "FROM funnelsrc", "FROM f"
     )
     assert RKA(ref) is None
@@ -1502,7 +1502,7 @@ def test_ordered_funnel_route_fires_and_matches_fold(ordered_engine):
         "'ev = ''click''') AS m "
         "FROM {src} GROUP BY u ORDER BY u"
     )
-    fold_stmt = "WITH f AS (SELECT * FROM ofev) " + sel.format(src="f")
+    fold_stmt = "WITH f AS (SELECT * FROM ofev), f_keep AS (SELECT * FROM f) " + sel.format(src="f")
     assert ROF(sel.format(src="ofev")) is not None
     assert ROF(fold_stmt) is None
     routed = [
@@ -1609,7 +1609,7 @@ def test_ordered_funnel_route_strict_increase_and_window(ordered_engine):
     folded = {
         r["u"]: r["ms"]
         for r in ordered_engine.query(
-            "WITH f AS (SELECT * FROM ofev) " + sel.format(src="f")
+            "WITH f AS (SELECT * FROM ofev), f_keep AS (SELECT * FROM f) " + sel.format(src="f")
         ).collect()
     }
     assert routed == folded
@@ -1706,7 +1706,7 @@ def test_mv_route_and_fallback_agree_on_null_elements(spark, mv_engine):
         "SELECT DISTINCTCOUNTMV(tags) AS v FROM mvnullsrc"
     ).collect()[0]["v"]
     fallback = mv_engine.query(
-        "WITH f AS (SELECT * FROM mvnullsrc) "
+        "WITH f AS (SELECT * FROM mvnullsrc), f_keep AS (SELECT * FROM f) "
         "SELECT DISTINCTCOUNTMV(tags) AS v FROM f"
     ).collect()[0]["v"]
     assert routed == fallback == 2
@@ -3426,3 +3426,300 @@ def test_non_select_parenthesized_relation_bails():
     assert rewrite_sumarray_statement(
         "SELECT SUMARRAYLONG(nums) FROM (VALUES ('a', array(1, 2))) t"
     ) is None
+
+
+# -- round 9: single-use CTE inlining / nondet bail / step-duration stats ------
+
+
+from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (  # noqa: E402
+    inline_single_use_ctes,
+)
+
+
+@pytest.mark.parametrize(
+    "src,want",
+    [
+        # the canonical shape: one CTE, one FROM reference, no alias
+        (
+            "WITH f AS (SELECT * FROM t) SELECT g, count(*) FROM f GROUP BY g",
+            " SELECT g, count(*) FROM (SELECT * FROM t) AS f GROUP BY g",
+        ),
+        # an existing alias is preserved and the CTE name dropped
+        (
+            "WITH f AS (SELECT * FROM t) SELECT x.g FROM f x",
+            " SELECT x.g FROM (SELECT * FROM t) x",
+        ),
+        # chained single-use CTEs inline inside-out
+        (
+            "WITH a AS (SELECT * FROM t), b AS (SELECT g FROM a) "
+            "SELECT * FROM b",
+            " SELECT * FROM (SELECT g FROM (SELECT * FROM t) AS a) AS b",
+        ),
+        # a JOIN-position reference inlines too
+        (
+            "WITH d AS (SELECT k FROM dim) "
+            "SELECT * FROM fact JOIN d ON fact.k = d.k",
+            " SELECT * FROM fact JOIN (SELECT k FROM dim) AS d "
+            "ON fact.k = d.k",
+        ),
+        # qualifier uses of the name keep binding through the kept alias
+        (
+            "WITH f AS (SELECT g FROM t) SELECT f.g FROM f GROUP BY f.g",
+            " SELECT f.g FROM (SELECT g FROM t) AS f GROUP BY f.g",
+        ),
+    ],
+)
+def test_cte_inliner_rewrites(src, want):
+    assert inline_single_use_ctes(src) == want
+
+
+@pytest.mark.parametrize(
+    "src",
+    [
+        # multi-reference: keep the fold (the round-8 contract)
+        "WITH f AS (SELECT * FROM t) SELECT * FROM f JOIN f ON 1 = 1",
+        # the fuzz fold-forcing shape: a dead second CTE
+        "WITH f AS (SELECT * FROM t), f_keep AS (SELECT * FROM f) "
+        "SELECT * FROM f",
+        # zero references
+        "WITH f AS (SELECT 1) SELECT * FROM t",
+        # recursive
+        "WITH RECURSIVE f AS (SELECT 1) SELECT * FROM f",
+        # CTE column list renames: inlining would lose the rename
+        "WITH f (a, b) AS (SELECT 1, 2) SELECT * FROM f",
+        # referenced outside FROM/JOIN position
+        "WITH f AS (SELECT 1 AS x) "
+        "SELECT (SELECT max(x) FROM t WHERE t.x = f) FROM g",
+        # duplicate names: Spark's scoping rules, not ours
+        "WITH f AS (SELECT 1), f AS (SELECT 2) SELECT * FROM f",
+        # non-SELECT body
+        "WITH f AS (VALUES (1)) SELECT * FROM f",
+        # name only inside a literal is zero references
+        "WITH f AS (SELECT 1) SELECT 'FROM f' FROM t",
+        # no WITH clause at all
+        "SELECT * FROM t",
+    ],
+)
+def test_cte_inliner_bails(src):
+    assert inline_single_use_ctes(src) is None
+
+
+def test_cte_wrapped_mv_statement_routes_without_collections(mv_engine):
+    """VERDICT r8 task 1 'done' pin: a CTE-wrapped MV-distinct statement
+    routes to the bounded exploded plan — zero collect_set — and matches
+    the multi-reference fold shape value-for-value."""
+    routed = mv_engine.query(
+        "WITH f AS (SELECT * FROM mvsrc WHERE g IS NOT NULL) "
+        "SELECT g, DISTINCTCOUNTMV(tags) AS v FROM f GROUP BY g"
+    )
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan and "collect_list" not in plan
+    assert "Generate" in plan  # the POSEXPLODE route engaged
+    folded = mv_engine.query(
+        "WITH f AS (SELECT * FROM mvsrc WHERE g IS NOT NULL), "
+        "f_keep AS (SELECT * FROM f) "
+        "SELECT g, DISTINCTCOUNTMV(tags) AS v FROM f GROUP BY g"
+    )
+    assert sorted(map(tuple, routed.collect())) == sorted(
+        map(tuple, folded.collect())
+    )
+
+
+def test_cte_wrapped_funnelcount_routes(funnel_engine):
+    """The keyed route serves the CTE-wrapped FUNNELCOUNT shape — the
+    last executor-OOM shape on the wire surface (VERDICT r8)."""
+    routed = funnel_engine.query(
+        "WITH f AS (SELECT * FROM funnelsrc) "
+        "SELECT FUNNELCOUNT(STEPS(ev = 'view', ev = 'cart', ev = 'buy'), "
+        "CORRELATE_BY(uid)) AS fc FROM f"
+    )
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan and "collect_list" not in plan
+    assert routed.collect()[0]["fc"] == [4, 2, 1]
+
+
+def test_cte_inline_probe_failure_falls_back(mv_engine):
+    """An inlined statement that fails the analysis probe (alias spelled
+    like a clause keyword — the documented mis-read) must fall back to
+    the ORIGINAL statement, not error."""
+    # `FROM f cross` reads `cross` as a keyword, emits `(body) AS f
+    # cross`, fails analysis, and the original CTE statement stands
+    rows = mv_engine.query(
+        "WITH f AS (SELECT * FROM mvsrc) "
+        "SELECT g, DISTINCTCOUNTMV(tags) AS v FROM f `cross` GROUP BY g"
+    ).collect()
+    assert {r["g"] for r in rows} == {"a", "b"}
+
+
+def test_mv_route_bails_on_nondeterministic_where(mv_engine):
+    """VERDICT r8 task 2: `WHERE rand() < x` must NOT be re-evaluated
+    per exploded copy — the route bails and the fold serves it."""
+    stmt = (
+        "SELECT g, DISTINCTCOUNTMV(tags) AS v FROM mvsrc "
+        "WHERE rand() < 2.0 GROUP BY g"
+    )
+    assert RMV(stmt) is None
+    df = mv_engine.query(stmt)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" in plan  # the fold path served it
+    # rand() < 2.0 is always true, so the fold's answer is deterministic
+    # and must equal the routed no-WHERE statement's
+    want = {
+        (r["g"], r["v"])
+        for r in mv_engine.query(
+            "SELECT g, DISTINCTCOUNTMV(tags) AS v FROM mvsrc GROUP BY g"
+        ).collect()
+    }
+    assert {(r["g"], r["v"]) for r in df.collect()} == want
+
+
+@pytest.mark.parametrize(
+    "fn", ["rand()", "uuid()", "shuffle(arr)", "monotonically_increasing_id()"]
+)
+def test_sumarray_route_bails_on_nondeterministic(fn):
+    assert rewrite_sumarray_statement(
+        f"SELECT g, SUMARRAYLONG(arr) FROM t WHERE length({fn}) > 0 "
+        "GROUP BY g"
+    ) is None
+
+
+def test_nondet_gate_ignores_literals_and_suffix_names():
+    """'rand(' inside a literal or as a name suffix must not bail the
+    route."""
+    assert RMV(
+        "SELECT g, DISTINCTCOUNTMV(tags) AS v FROM t "
+        "WHERE note <> 'rand() noise' AND brand(v) > 0 GROUP BY g"
+    ) is not None
+
+
+# -- FUNNELSTEPDURATIONSTATS through the window-cascade route ------------------
+
+
+def test_step_duration_stats_route_values(ordered_engine):
+    rows = {
+        r["u"]: r["ds"]
+        for r in ordered_engine.query(
+            "SELECT u, FUNNELSTEPDURATIONSTATS(ts, '0', 3, "
+            "'ev = ''view''', 'ev = ''click''', 'ev = ''buy''', "
+            "'durationFunctions=min,max,avg,median') AS ds "
+            "FROM ofev GROUP BY u ORDER BY u"
+        ).collect()
+    }
+    # u=1 completes all 3 steps 5 minutes apart: both durations 300000ms
+    assert rows[1] == [300000.0, 300000.0, 300000.0, 300000.0]
+    # u=4 reaches step 2 after exactly 2 days
+    assert rows[4] == [172800000.0] * 4
+    # u=2 (click precedes view), u=3 (no view): zero durations -> NULLs
+    assert rows[2] == [None] * 4 and rows[3] == [None] * 4
+    # u=5 view and click share a timestamp: the pinned tie order (ts,
+    # then step flags ASC) processes the click FIRST, before the view
+    # arms t1 — exactly the fold's greedy order — so no duration
+    assert rows[5] == [None] * 4
+
+
+def test_step_duration_stats_median_even_count(spark, tmp_path_factory):
+    """4-step funnel with three distinct durations: median of the even
+    2-element prefix is the mean of the two middle values."""
+    spark.sql(
+        "SELECT cast(ts as timestamp) AS ts, ev FROM VALUES "
+        " ('2024-06-01 10:00:00', 's1'), ('2024-06-01 10:00:10', 's2'), "
+        " ('2024-06-01 10:00:40', 's3') AS t(ts, ev)"
+    ).createOrReplaceTempView("sdmed")
+    eng = Engine(spark, str(tmp_path_factory.mktemp("sdwh")))
+    row = eng.query(
+        "SELECT FUNNELSTEPDURATIONSTATS(ts, '0', 4, 'ev = ''s1''', "
+        "'ev = ''s2''', 'ev = ''s3''', 'ev = ''s4''', "
+        "'durationFunctions=median,avg') AS ds FROM sdmed"
+    ).collect()[0]
+    # durations: 10000, 30000 (s4 unmatched) -> median = avg = 20000
+    assert row["ds"] == [20000.0, 20000.0]
+
+
+def test_step_duration_stats_window_and_strict_modes(ordered_engine):
+    """The windowMs bound and STRICT_INCREASE mode flow through the
+    shared parser: u=4's 2-day click falls outside a 1-day window, and
+    STRICT_INCREASE drops u=5's same-timestamp click."""
+    rows = {
+        r["u"]: r["ds"]
+        for r in ordered_engine.query(
+            "SELECT u, FUNNELSTEPDURATIONSTATS(ts, '86400000', 2, "
+            "'ev = ''view''', 'ev = ''click''', "
+            "'durationFunctions=max', 'STRICT_INCREASE') AS ds "
+            "FROM ofev GROUP BY u"
+        ).collect()
+    }
+    assert rows[1] == [300000.0]
+    assert rows[4] == [None]  # outside the 1-day window
+    assert rows[5] == [None]  # tie dropped by STRICT_INCREASE
+
+
+def test_step_duration_stats_unroutable_is_loud(ordered_engine):
+    with pytest.raises(Exception, match="window-cascade statement route"):
+        ordered_engine.query(
+            "WITH f AS (SELECT * FROM ofev), f_keep AS (SELECT * FROM f) "
+            "SELECT FUNNELSTEPDURATIONSTATS(ts, '0', 2, 'ev = ''view''', "
+            "'ev = ''click''', 'durationFunctions=min') AS ds FROM f"
+        )
+
+
+def test_step_duration_stats_settings_validation(ordered_engine):
+    with pytest.raises(Exception, match="durationFunctions"):
+        ordered_engine.query(
+            "SELECT FUNNELSTEPDURATIONSTATS(ts, '0', 2, 'ev = ''view''', "
+            "'ev = ''click''') AS ds FROM ofev"
+        )
+    with pytest.raises(Exception, match="unsupported durationFunction"):
+        ordered_engine.query(
+            "SELECT FUNNELSTEPDURATIONSTATS(ts, '0', 2, 'ev = ''view''', "
+            "'ev = ''click''', 'durationFunctions=min,p95') AS ds FROM ofev"
+        )
+
+
+def test_step_duration_stats_coexists_with_maxstep(ordered_engine):
+    """One statement mixing MAXSTEP and STEPDURATIONSTATS builds both
+    cascades; values must agree with the single-target statements."""
+    rows = {
+        r["u"]: r
+        for r in ordered_engine.query(
+            "SELECT u, FUNNELMAXSTEP(ts, '0', 2, 'ev = ''view''', "
+            "'ev = ''click''') AS ms, "
+            "FUNNELSTEPDURATIONSTATS(ts, '0', 2, 'ev = ''view''', "
+            "'ev = ''click''', 'durationFunctions=avg') AS ds "
+            "FROM ofev GROUP BY u"
+        ).collect()
+    }
+    assert rows[1]["ms"] == 2 and rows[1]["ds"] == [300000.0]
+    assert rows[3]["ms"] == 0 and rows[3]["ds"] == [None]
+
+
+def test_step_duration_stats_routed_plan_is_windowed(ordered_engine):
+    df = ordered_engine.query(
+        "SELECT u, FUNNELSTEPDURATIONSTATS(ts, '0', 2, 'ev = ''view''', "
+        "'ev = ''click''', 'durationFunctions=min,max') AS ds "
+        "FROM ofev GROUP BY u"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "collect_list" not in plan and "collect_set" not in plan
+
+
+def test_jsonpathlong_default_coerces_fractional():
+    """Round-8 ADVICE (medium): a present-but-fractional numeric must
+    COERCE like Pinot (2.7 -> 2), not silently answer the default."""
+    out = R("SELECT JSONPATHLONG(j, '$.x', 0) FROM t")
+    assert "try_cast(try_cast(JSONPATHSTRING(j, '$.x') as double) as bigint)" in out
+
+
+def test_jsonpathlong_default_coercion_values(agg_engine):
+    rows = agg_engine.query(
+        "SELECT JSONPATHLONG('{\"x\": 2.7}', '$.x', -1) AS frac, "
+        "JSONPATHLONG('{\"x\": 9007199254740993}', '$.x', -1) AS big, "
+        "JSONPATHLONG('{\"x\": \"abc\"}', '$.x', -1) AS bad, "
+        "JSONPATHLONG('{}', '$.x', -1) AS missing, "
+        "JSONPATHDOUBLE('{\"x\": 2}', '$.x', -1.0) AS dbl"
+    ).collect()[0]
+    assert rows["frac"] == 2  # Pinot coerces 2.7 -> 2
+    # exact long parse first: full precision beyond double's 2^53
+    assert rows["big"] == 9007199254740993
+    assert rows["bad"] == -1 and rows["missing"] == -1
+    assert rows["dbl"] == 2.0

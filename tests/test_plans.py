@@ -620,3 +620,23 @@ def test_in_subquery_plans_broadcast_semi_join(spark):
     assert f.broadcast_joins >= 1
     assert f.sortmerge_joins == 0 and not f.cartesian
     assert not f.python_eval
+
+
+def test_cte_inline_route_plan_has_no_collections(spark):
+    """Round 9: the CTE-wrapped MV-distinct statement inlines and routes
+    to the bounded exploded plan — per-group state is the distinct
+    element set, never a collect_set of whole arrays (the executor-OOM
+    shape the route exists to kill)."""
+    f = facts("b17_cte_inline_route", spark)
+    assert "collect_set" not in f.text and "collect_list" not in f.text
+    assert not f.python_eval
+
+
+def test_funnel_duration_route_plan_is_windowed(spark):
+    """Round 9: FUNNELSTEPDURATIONSTATS rides the window cascade — one
+    shuffle+sort per group partition, per-row state, zero collected
+    event arrays."""
+    f = facts("b16_funnel_duration_route", spark)
+    assert "Window" in f.text
+    assert "collect_set" not in f.text and "collect_list" not in f.text
+    assert not f.python_eval

@@ -845,6 +845,7 @@ def test_mv_route_matches_fallback_reference(spark, rows, items, grouped, where)
 
     from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
     from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        inline_single_use_ctes,
         rewrite_mv_distinct_statement,
     )
 
@@ -863,12 +864,13 @@ def test_mv_route_matches_fallback_reference(spark, rows, items, grouped, where)
     )
     routable = f"SELECT {sel} FROM mvfuzz{tail}"
     reference = (
-        "WITH f AS (SELECT * FROM mvfuzz) "
+        "WITH f AS (SELECT * FROM mvfuzz), f_keep AS (SELECT * FROM f) "
         f"SELECT {sel} FROM f{tail}"
     )
     # the routable form must actually take the route (shape gate sanity)
     assert rewrite_mv_distinct_statement(routable) is not None
     assert rewrite_mv_distinct_statement(reference) is None
+    assert inline_single_use_ctes(reference) is None  # engine keeps fold
     got = sorted(map(tuple, eng.query(routable).collect()))
     want = sorted(map(tuple, eng.query(reference).collect()))
     assert len(got) == len(want)
@@ -929,6 +931,7 @@ def test_funnelcount_route_matches_fold_reference(
 ):
     from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
     from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        inline_single_use_ctes,
         rewrite_keyed_agg_statement,
     )
 
@@ -953,11 +956,12 @@ def test_funnelcount_route_matches_fold_reference(
     )
     routable = f"SELECT {sel} FROM fcfuzz{tail}"
     reference = (
-        "WITH f AS (SELECT * FROM fcfuzz) "
+        "WITH f AS (SELECT * FROM fcfuzz), f_keep AS (SELECT * FROM f) "
         f"SELECT {sel} FROM f{tail}"
     )
     assert rewrite_keyed_agg_statement(routable) is not None
     assert rewrite_keyed_agg_statement(reference) is None
+    assert inline_single_use_ctes(reference) is None  # engine keeps fold
     got = sorted(map(tuple, eng.query(routable).collect()))
     want = sorted(map(tuple, eng.query(reference).collect()))
     assert got == want
@@ -1004,6 +1008,7 @@ def test_ordered_funnel_route_matches_fold_reference(
 ):
     from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
     from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        inline_single_use_ctes,
         rewrite_ordered_funnel_statement,
     )
 
@@ -1029,11 +1034,12 @@ def test_ordered_funnel_route_matches_fold_reference(
     tail = " GROUP BY g" if grouped else ""
     routable = f"SELECT {sel} FROM offuzz{tail}"
     reference = (
-        "WITH f AS (SELECT * FROM offuzz) "
+        "WITH f AS (SELECT * FROM offuzz), f_keep AS (SELECT * FROM f) "
         f"SELECT {sel} FROM f{tail}"
     )
     assert rewrite_ordered_funnel_statement(routable) is not None
     assert rewrite_ordered_funnel_statement(reference) is None
+    assert inline_single_use_ctes(reference) is None  # engine keeps fold
     got = sorted(map(tuple, eng.query(routable).collect()))
     want = sorted(map(tuple, eng.query(reference).collect()))
     assert got == want

@@ -109,6 +109,15 @@ PROBES = (
     # then per (group, count); both cardinalities fixed here (5 types x
     # 10 values), expect ~flat-per-row
     "b24_mode_avg_route",
+    # round 9: FUNNELSTEPDURATIONSTATS on the window cascade — same
+    # one-shuffle+sort-per-user-partition shape as the MAXSTEP route
+    # (the duration stats are outer-level scalar arithmetic), expect
+    # the cascade's ~2x band at 32-64x
+    "b16_funnel_duration_route",
+    # round 9: the CTE-inlined MV-distinct route — identical physical
+    # plan to b17_mv_distinct_route after inlining (the CTE body
+    # re-emits as the derived table), expect the same ~1.3x band
+    "b17_cte_inline_route",
 )
 
 
