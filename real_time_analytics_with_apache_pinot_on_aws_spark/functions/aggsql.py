@@ -420,7 +420,13 @@ def _parse_step_duration_args(args: list[str]) -> tuple:
             "numberSteps, 'step1Expr', ..., "
             f"'durationFunctions=...'[, 'mode', ...]), got {len(args)}"
         )
-    n = int(args[2])
+    try:
+        n = int(args[2])
+    except ValueError:
+        raise ValueError(
+            "FUNNELSTEPDURATIONSTATS: numberSteps must be an integer "
+            f"literal, got {args[2]!r}"
+        ) from None
     head, tail = args[: 3 + n], args[3 + n :]
     fns, modes = None, []
     for a in tail:

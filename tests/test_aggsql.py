@@ -3723,3 +3723,24 @@ def test_jsonpathlong_default_coercion_values(agg_engine):
     assert rows["big"] == 9007199254740993
     assert rows["bad"] == -1 and rows["missing"] == -1
     assert rows["dbl"] == 2.0
+
+
+def test_step_duration_stats_degenerate_depths(spark, tmp_path_factory):
+    """1-step funnels have zero durations (all stats NULL, still routed);
+    >12-step funnels keep the loud redirect (the cascade depth cap)."""
+    spark.sql(
+        "SELECT cast(ts as timestamp) AS ts, ev FROM VALUES "
+        "('2024-06-01 10:00:00', 'a') AS t(ts, ev)"
+    ).createOrReplaceTempView("sdone")
+    eng = Engine(spark, str(tmp_path_factory.mktemp("sdonewh")))
+    r = eng.query(
+        "SELECT FUNNELSTEPDURATIONSTATS(ts, '0', 1, 'ev = ''a''', "
+        "'durationFunctions=min,median,avg') AS ds FROM sdone"
+    ).collect()[0]
+    assert r["ds"] == [None, None, None]
+    deep = ", ".join(f"'ev = ''s{i}'''" for i in range(13))
+    with pytest.raises(Exception, match="window-cascade statement route"):
+        eng.query(
+            f"SELECT FUNNELSTEPDURATIONSTATS(ts, '0', 13, {deep}, "
+            "'durationFunctions=min') FROM sdone"
+        )
