@@ -378,6 +378,13 @@ def _parse_ordered_funnel_args(kind: str, args: list[str]) -> tuple:
     ts = args[0]
     window_ms = int(_unquote_literal(args[1], "funnel windowSize"))
     n = int(args[2])
+    if n < 1:
+        # n=0 with trailing mode/settings literals would pass the
+        # steps-count check vacuously and crash the route on steps[0]
+        # (round-9 review) — the loud contract owns this edge
+        raise ValueError(
+            f"FUNNEL{kind}: numberSteps must be >= 1, got {n}"
+        )
     rest = [
         _unquote_literal(a, "funnel step/mode expression")
         for a in args[3:]
@@ -421,19 +428,29 @@ def _parse_step_duration_args(args: list[str]) -> tuple:
             f"'durationFunctions=...'[, 'mode', ...]), got {len(args)}"
         )
     try:
-        n = int(args[2])
+        int(args[2])
     except ValueError:
         raise ValueError(
             "FUNNELSTEPDURATIONSTATS: numberSteps must be an integer "
             f"literal, got {args[2]!r}"
         ) from None
-    head, tail = args[: 3 + n], args[3 + n :]
-    fns, modes = None, []
-    for a in tail:
-        lit = _unquote_literal(a, "FUNNELSTEPDURATIONSTATS setting")
-        m = _DURFNS_RE.match(lit)
+    # pull the settings literal out WHEREVER it sits after the fixed
+    # args — an n-dependent split (args[3+n:]) swallowed it into the
+    # step list when numberSteps over-counted the steps, masking the
+    # real steps-count diagnostic behind a false "settings literal
+    # required" (round-9 review); no valid step predicate is ever
+    # spelled 'durationFunctions=...', so position-agnostic is safe
+    rest, fns = [], None
+    for a in args[3:]:
+        s = a.strip()
+        lit = (
+            s[1:-1].replace("''", "'")
+            if len(s) >= 2 and s[0] == "'" and s[-1] == "'"
+            else None
+        )
+        m = _DURFNS_RE.match(lit) if lit is not None else None
         if m is None:
-            modes.append(a)
+            rest.append(a)
             continue
         if fns is not None:
             raise ValueError(
@@ -457,7 +474,7 @@ def _parse_step_duration_args(args: list[str]) -> tuple:
                 f"{f!r} (supported: min, max, avg, median)"
             )
     ts, window_ms, steps, cmp = _parse_ordered_funnel_args(
-        "STEPDURATIONSTATS", head + modes
+        "STEPDURATIONSTATS", args[:3] + rest
     )
     return ts, window_ms, steps, cmp, fns
 

@@ -3744,3 +3744,32 @@ def test_step_duration_stats_degenerate_depths(spark, tmp_path_factory):
             f"SELECT FUNNELSTEPDURATIONSTATS(ts, '0', 13, {deep}, "
             "'durationFunctions=min') FROM sdone"
         )
+
+
+def test_funnel_zero_steps_is_loud(ordered_engine):
+    """Round-9 review: numberSteps=0 with trailing literals passed the
+    vacuous steps-count check and crashed the route on steps[0] — now a
+    loud contract error for every funnel kind, route and fold alike."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        _parse_ordered_funnel_args,
+    )
+
+    with pytest.raises(ValueError, match="numberSteps must be >= 1"):
+        _parse_ordered_funnel_args("MAXSTEP", ["ts", "'0'", "0", "'KEEP_ALL'"])
+    with pytest.raises(Exception, match="numberSteps must be >= 1"):
+        ordered_engine.query(
+            "SELECT u, FUNNELSTEPDURATIONSTATS(ts, '0', 0, "
+            "'durationFunctions=min', 'KEEP_ALL') AS ds "
+            "FROM ofev GROUP BY u"
+        )
+
+
+def test_step_duration_stats_overcounted_steps_diagnostic(ordered_engine):
+    """Round-9 review: numberSteps over-counting the given steps must
+    report the steps-count mismatch, not falsely claim the settings
+    literal is missing (the n-dependent split swallowed it)."""
+    with pytest.raises(Exception, match="numberSteps=4 but only 2"):
+        ordered_engine.query(
+            "SELECT FUNNELSTEPDURATIONSTATS(ts, '0', 4, 'ev = ''view''', "
+            "'ev = ''click''', 'durationFunctions=min') AS ds FROM ofev"
+        )
