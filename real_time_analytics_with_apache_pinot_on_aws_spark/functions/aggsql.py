@@ -1191,18 +1191,18 @@ _REWRITES: dict = {
     # DataSketches-backed estimate the star-tree HLL cells and
     # DISTINCTCOUNTHLL return, so every estimator-named spelling agrees
     "DISTINCTCOUNTULL": lambda a: (
-        f"hll_sketch_estimate(hll_sketch_agg({a[0]}))"
+        f"coalesce(hll_sketch_estimate(hll_sketch_agg({a[0]})), 0)"
     ),
     "DISTINCTCOUNTRAWULL": lambda a: (
-        f"hll_sketch_estimate(hll_sketch_agg({a[0]}))"
+        f"coalesce(hll_sketch_estimate(hll_sketch_agg({a[0]})), 0)"
     ),
     # HLL++ (Pinot 1.2 distinctCountHLLPlus; optional p/sp tuning literals
     # accepted and ignored like DISTINCTCOUNTHLL's log2m)
     "DISTINCTCOUNTHLLPLUS": lambda a: (
-        f"hll_sketch_estimate(hll_sketch_agg({a[0]}))"
+        f"coalesce(hll_sketch_estimate(hll_sketch_agg({a[0]})), 0)"
     ),
     "DISTINCTCOUNTRAWHLLPLUS": lambda a: (
-        f"hll_sketch_estimate(hll_sketch_agg({a[0]}))"
+        f"coalesce(hll_sketch_estimate(hll_sketch_agg({a[0]})), 0)"
     ),
     # Integer-Sum Tuple VALUE aggregates operate on serialized sketch
     # COLUMNS (bytes) — a shape this engine stores via operators/sketch
@@ -1229,14 +1229,14 @@ _REWRITES: dict = {
     # return the SAME estimate (round-6 review: two estimator families
     # made the cross-check disagree with the routed answer)
     "DISTINCTCOUNTHLL": lambda a: (
-        f"hll_sketch_estimate(hll_sketch_agg({a[0]}))"
+        f"coalesce(hll_sketch_estimate(hll_sketch_agg({a[0]})), 0)"
     ),
     "DISTINCTCOUNTRAWHLL": lambda a: (
-        f"hll_sketch_estimate(hll_sketch_agg({a[0]}))"
+        f"coalesce(hll_sketch_estimate(hll_sketch_agg({a[0]})), 0)"
     ),
     # Pinot's deprecated-but-still-resolving FASTHLL (pre-DataSketches
     # serialized HLL): same single-estimator-family service
-    "FASTHLL": lambda a: f"hll_sketch_estimate(hll_sketch_agg({a[0]}))",
+    "FASTHLL": lambda a: f"coalesce(hll_sketch_estimate(hll_sketch_agg({a[0]})), 0)",
     # *MV distinct FALLBACK expressions — the statement-level route
     # (rewrite_mv_distinct_statement, applied first by Engine.query)
     # serves the bounded exploded plan; these call-site forms only fire
@@ -1704,7 +1704,12 @@ def _rewrite_pinot_aggregates_inner(sql: str, keep_native) -> str:
 # every other statement rewrite.
 
 def _hll_elem_builder(e: str) -> str:
-    return f"hll_sketch_estimate(hll_sketch_agg({e}))"
+    # coalesce to 0: an empty input (or all-NULL elements) has ZERO
+    # distinct values — Pinot answers 0 and the normalized-set fallback
+    # answers size([]) = 0, but a NULL hll sketch estimates to NULL
+    # (round-9 fuzz: the route diverged from the fold on an
+    # empty-after-WHERE global aggregate)
+    return f"coalesce(hll_sketch_estimate(hll_sketch_agg({e})), 0)"
 
 
 _MV_DISTINCT_BUILDERS = {

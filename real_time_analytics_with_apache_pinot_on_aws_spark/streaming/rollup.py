@@ -105,8 +105,14 @@ def serve(
     for out, (fn, _col) in spec.metrics.items():
         if fn == "hll":
             # callers read the ESTIMATE (bigint, what Pinot's
-            # DISTINCTCOUNTHLL returns), not the merged binary sketch
-            merged = merged.withColumn(out, F.hll_sketch_estimate(out))
+            # DISTINCTCOUNTHLL returns), not the merged binary sketch;
+            # coalesced to 0 like the SQL surface (round 9) — a group
+            # whose values are all NULL has ZERO distinct values, and an
+            # estimate-vs-0 split between routed and scanned answers
+            # would break the bit-for-bit contract
+            merged = merged.withColumn(
+                out, F.coalesce(F.hll_sketch_estimate(out), F.lit(0))
+            )
     for out, (s, c) in (avgs or {}).items():
         merged = merged.withColumn(out, F.col(s) / F.col(c))
     return merged
@@ -216,7 +222,10 @@ class RollupRouter:
                     # the SAME DataSketches estimator the rollup path uses,
                     # so routed and scanned answers agree bit-for-bit
                     # (union of per-batch sketches == sketch of the union)
-                    return f"hll_sketch_estimate(hll_sketch_agg({col}))"
+                    return (
+                        "coalesce(hll_sketch_estimate("
+                        f"hll_sketch_agg({col})), 0)"
+                    )
                 return f"{fn}({col})"
 
             out = df.groupBy(*req.dims).agg(
@@ -249,7 +258,9 @@ class RollupRouter:
                 avg_parts[out] = (f"__{out}_sum", f"__{out}_cnt")
         merged = cells.groupBy(*req.dims).agg(*merge_exprs)
         for out in hll_outs:
-            merged = merged.withColumn(out, F.hll_sketch_estimate(out))
+            merged = merged.withColumn(
+                out, F.coalesce(F.hll_sketch_estimate(out), F.lit(0))
+            )
         for out, (s, c) in avg_parts.items():
             merged = merged.withColumn(out, F.col(s) / F.col(c))
         merged = merged.select(*req.dims, *req.aggs)

@@ -18,7 +18,7 @@ from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import 
     [
         ("SELECT DISTINCTCOUNT(u) FROM t", "SELECT count(DISTINCT u) FROM t"),
         ("SELECT distinctcounthll(u, 12) FROM t",
-         "SELECT hll_sketch_estimate(hll_sketch_agg(u)) FROM t"),
+         "SELECT coalesce(hll_sketch_estimate(hll_sketch_agg(u)), 0) FROM t"),
         ("SELECT PERCENTILE(v, 90) FROM t", "SELECT percentile(v, 0.9) FROM t"),
         # Spark-style fractional percentile is NOT re-scaled
         ("SELECT percentile(v, 0.5) FROM t", "SELECT percentile(v, 0.5) FROM t"),
@@ -72,8 +72,8 @@ def agg_engine(spark, tmp_path_factory):
     [
         ("DISTINCTCOUNT(u)", "count(DISTINCT u)"),
         ("DISTINCTCOUNTBITMAP(u)", "count(DISTINCT u)"),
-        ("DISTINCTCOUNTHLL(u)", "hll_sketch_estimate(hll_sketch_agg(u))"),
-        ("DISTINCTCOUNTRAWHLL(u)", "hll_sketch_estimate(hll_sketch_agg(u))"),
+        ("DISTINCTCOUNTHLL(u)", "coalesce(hll_sketch_estimate(hll_sketch_agg(u)), 0)"),
+        ("DISTINCTCOUNTRAWHLL(u)", "coalesce(hll_sketch_estimate(hll_sketch_agg(u)), 0)"),
         ("DISTINCTSUM(u)", "sum(DISTINCT u)"),
         ("DISTINCTAVG(u)", "avg(DISTINCT u)"),
         ("MINMAXRANGE(v)", "max(v) - min(v)"),
@@ -375,7 +375,7 @@ from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import 
     [
         (
             "SELECT g, DISTINCTCOUNTHLLMV(tags) AS u FROM t GROUP BY g",
-            "SELECT g, hll_sketch_estimate(hll_sketch_agg(__mv0_elem)) AS u "
+            "SELECT g, coalesce(hll_sketch_estimate(hll_sketch_agg(__mv0_elem)), 0) AS u "
             "FROM t LATERAL VIEW OUTER POSEXPLODE(tags) __mv0 "
             "AS __mv0_pos, __mv0_elem GROUP BY g",
         ),
@@ -1758,13 +1758,13 @@ def test_rounddecimal_extreme_scales(agg_engine, expr, want):
         ("DISTINCTCOUNTCPCSKETCH(u)", "count(DISTINCT u)"),
         ("DISTINCTCOUNTTUPLESKETCH(u)", "count(DISTINCT u)"),
         ("DISTINCTCOUNTULL(u)",
-         "hll_sketch_estimate(hll_sketch_agg(u))"),
+         "coalesce(hll_sketch_estimate(hll_sketch_agg(u)), 0)"),
         ("DISTINCTCOUNTRAWULL(u)",
-         "hll_sketch_estimate(hll_sketch_agg(u))"),
+         "coalesce(hll_sketch_estimate(hll_sketch_agg(u)), 0)"),
         ("DISTINCTCOUNTHLLPLUS(u, 14)",
-         "hll_sketch_estimate(hll_sketch_agg(u))"),
+         "coalesce(hll_sketch_estimate(hll_sketch_agg(u)), 0)"),
         ("DISTINCTCOUNTRAWHLLPLUS(u)",
-         "hll_sketch_estimate(hll_sketch_agg(u))"),
+         "coalesce(hll_sketch_estimate(hll_sketch_agg(u)), 0)"),
     ],
 )
 def test_datasketches_distinct_spellings(pinot, want):
@@ -2431,7 +2431,7 @@ def test_catalog_miss_cache_survives_rebuilds(mv_engine):
         ("SELECT ARRAY_AGG(v, 'LONG') FROM t",
          "SELECT cast(collect_list(v) as array<bigint>) FROM t"),
         ("SELECT FASTHLL(u) FROM t",
-         "SELECT hll_sketch_estimate(hll_sketch_agg(u)) FROM t"),
+         "SELECT coalesce(hll_sketch_estimate(hll_sketch_agg(u)), 0) FROM t"),
         ("SELECT DISTINCTCOUNTRAWCPCSKETCH(u) FROM t",
          "SELECT count(DISTINCT u) FROM t"),
         ("SELECT DISTINCTCOUNTRAWINTEGERSUMTUPLESKETCH(u) FROM t",
@@ -2461,7 +2461,7 @@ def test_underscore_stripping_serves_the_whole_table():
         "SELECT sum(cast(v as decimal(38,18))) FROM t"
     )
     assert R("SELECT FAST_HLL(u) FROM t") == (
-        "SELECT hll_sketch_estimate(hll_sketch_agg(u)) FROM t"
+        "SELECT coalesce(hll_sketch_estimate(hll_sketch_agg(u)), 0) FROM t"
     )
 
 
@@ -3773,3 +3773,25 @@ def test_step_duration_stats_overcounted_steps_diagnostic(ordered_engine):
             "SELECT FUNNELSTEPDURATIONSTATS(ts, '0', 4, 'ev = ''view''', "
             "'ev = ''click''', 'durationFunctions=min') AS ds FROM ofev"
         )
+
+
+def test_hll_family_empty_input_answers_zero(mv_engine):
+    """Round-9 fuzz finding: an empty input (or all-NULL group) has ZERO
+    distinct values — Pinot answers 0, the exact spellings answer 0, and
+    the normalized-set fold answers size([]) = 0, so the DataSketches
+    estimate coalesces to 0 on every HLL-named spelling, routed and
+    fold shapes alike (a NULL sketch previously estimated to NULL on
+    the routed path only)."""
+    routed = mv_engine.query(
+        "SELECT DISTINCTCOUNTHLLMV(tags) AS h, DISTINCTCOUNTHLL(g) AS s, "
+        "DISTINCTCOUNTULL(g) AS u, FASTHLL(g) AS f, "
+        "DISTINCTCOUNTMV(tags) AS d "
+        "FROM mvsrc WHERE g = 'no-such-group'"
+    ).collect()[0]
+    assert tuple(routed) == (0, 0, 0, 0, 0)
+    fold = mv_engine.query(
+        "WITH f AS (SELECT * FROM mvsrc), f_keep AS (SELECT * FROM f) "
+        "SELECT DISTINCTCOUNTHLLMV(tags) AS h FROM f "
+        "WHERE g = 'no-such-group'"
+    ).collect()[0]
+    assert fold["h"] == 0

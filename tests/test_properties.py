@@ -883,6 +883,19 @@ def test_mv_route_matches_fallback_reference(spark, rows, items, grouped, where)
                 ), (gr, wr)
             else:
                 assert gv == wv, (gr, wr)
+    # round 9: the SAME statement wrapped in a single-use CTE must inline
+    # and take the identical routed plan — exact equality with the flat
+    # route, on every fuzzed shape.  The CTE name must not collide with
+    # any select alias (the fuzz emits `COUNT(*) AS c`): a colliding
+    # bare-word use is a conservative inliner BAIL by design, so the
+    # property uses a name nothing else can spell.
+    cte = (
+        "WITH cte_src AS (SELECT * FROM mvfuzz) "
+        f"SELECT {sel} FROM cte_src{tail}"
+    )
+    assert inline_single_use_ctes(cte) is not None
+    got_cte = sorted(map(tuple, eng.query(cte).collect()))
+    assert got_cte == got
 
 
 # ---------------------------------------------------------------------------
@@ -1308,3 +1321,134 @@ def test_exprmin_multi_measure_matches_sorted_reference(spark, rows):
     best = min((r[1], r[2]) for r in valid)
     allowed = {r[0] for r in valid if (r[1], r[2]) == best}
     assert got in allowed, (rows, got, allowed)
+
+
+# ---------------------------------------------------------------------------
+# FUNNELSTEPDURATIONSTATS route (round 9): there is NO fold path for this
+# spelling (unroutable shapes are a loud redirect), so the routed
+# window-cascade plan is diffed against an INDEPENDENT pure-Python greedy
+# reference — the same simultaneous-advance-from-previous-state fold the
+# MAXSTEP fuzz pins, extended with the per-step durations and stats.
+# ---------------------------------------------------------------------------
+
+_SD_PREDS = {
+    "ev = 'a'": lambda ev, x: ev == "a",
+    "ev = 'b'": lambda ev, x: ev == "b",
+    "ev = 'c'": lambda ev, x: ev == "c",
+    "x > 4": lambda ev, x: x is not None and x > 4,
+}
+
+
+def _py_step_duration_stats(evts, preds, window_ms, strict):
+    """Greedy funnel timestamps then (min, max, avg, median) over the
+    consecutive-step durations in MILLISECONDS.  ``evts``: (tsec, ev, x)
+    tuples; NULL-ts events never change state (the fold's CASE collapses
+    them); tie order = (ts, flag1..flagN) ascending with None<False<True,
+    exactly the route's ORDER BY ... ASC NULLS FIRST."""
+    n = len(preds)
+
+    def flags(ev, x):
+        out = []
+        for p in preds:
+            try:
+                out.append(_SD_PREDS[p](ev, x))
+            except TypeError:  # NULL-propagating predicate
+                out.append(None)
+        return out
+
+    def fkey(f):
+        return 0 if f is None else (1 if f is False else 2)
+
+    rows = [(ts, flags(ev, x)) for ts, ev, x in evts]
+    rows.sort(key=lambda r: (r[0] is not None, r[0] or 0,
+                             [fkey(f) for f in r[1]]))
+    t = [None] * n
+    for ts, fl in rows:
+        if ts is None:
+            continue
+        new = list(t)
+        for i in range(n):
+            if t[i] is not None or not fl[i]:
+                continue
+            if i > 0:
+                if t[i - 1] is None:
+                    continue
+                if strict and not ts > t[i - 1]:
+                    continue
+                if not strict and not ts >= t[i - 1]:
+                    continue
+                if window_ms > 0 and not ts <= t[0] + window_ms / 1000.0:
+                    continue
+            new[i] = ts
+        t = new
+    durs = []
+    for i in range(n - 1):
+        if t[i + 1] is None:
+            break
+        durs.append((t[i + 1] - t[i]) * 1000.0)
+    if not durs:
+        return [None, None, None, None]
+    s = sorted(durs)
+    c = len(s)
+    med = s[c // 2] if c % 2 == 1 else (s[c // 2 - 1] + s[c // 2]) / 2.0
+    return [min(s), max(s), sum(s) / c, med]
+
+
+@given(
+    rows=_of_rows_st,
+    steps=_of_steps_st,
+    mode=st.sampled_from([None, "STRICT_INCREASE", "KEEP_ALL"]),
+    window_ms=st.sampled_from([0, 3000]),
+    grouped=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_step_duration_stats_matches_python_reference(
+    spark, rows, steps, mode, window_ms, grouped
+):
+    from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_ordered_funnel_statement,
+    )
+
+    spark.createDataFrame(
+        rows, "g int, tsec int, ev string, x int"
+    ).selectExpr(
+        "g", "cast(tsec as timestamp) AS ts", "ev", "x"
+    ).createOrReplaceTempView("sdfuzz")
+    eng = getattr(
+        test_step_duration_stats_matches_python_reference, "_eng", None
+    )
+    if eng is None:
+        import tempfile
+
+        eng = Engine(spark, tempfile.mkdtemp())
+        test_step_duration_stats_matches_python_reference._eng = eng
+    lits = ", ".join("'" + s.replace("'", "''") + "'" for s in steps)
+    tail_mode = f", '{mode}'" if mode else ""
+    fn = (
+        f"FUNNELSTEPDURATIONSTATS(ts, '{window_ms}', {len(steps)}, "
+        f"{lits}, 'durationFunctions=min,max,avg,median'{tail_mode}) AS ds"
+    )
+    sel = ", ".join((["g"] if grouped else []) + [fn])
+    tail = " GROUP BY g" if grouped else ""
+    stmt = f"SELECT {sel} FROM sdfuzz{tail}"
+    assert rewrite_ordered_funnel_statement(stmt) is not None
+    strict = mode == "STRICT_INCREASE"
+    got = {}
+    for r in eng.query(stmt).collect():
+        got[r["g"] if grouped else None] = list(r["ds"])
+    if grouped:
+        want = {}
+        for g, tsec, ev, x in rows:
+            want.setdefault(g, []).append((tsec, ev, x))
+        want = {
+            g: _py_step_duration_stats(e, steps, window_ms, strict)
+            for g, e in want.items()
+        }
+    else:
+        want = {
+            None: _py_step_duration_stats(
+                [(t, e, x) for _, t, e, x in rows], steps, window_ms, strict
+            )
+        }
+    assert got == want
