@@ -978,6 +978,13 @@ def test_funnelcount_route_matches_fold_reference(
     got = sorted(map(tuple, eng.query(routable).collect()))
     want = sorted(map(tuple, eng.query(reference).collect()))
     assert got == want
+    # round 9: the single-use CTE shape must inline and route identically
+    cte = (
+        "WITH cte_src AS (SELECT * FROM fcfuzz) "
+        f"SELECT {sel} FROM cte_src{tail}"
+    )
+    assert inline_single_use_ctes(cte) is not None
+    assert sorted(map(tuple, eng.query(cte).collect())) == got
 
 
 # ---------------------------------------------------------------------------
@@ -1056,6 +1063,13 @@ def test_ordered_funnel_route_matches_fold_reference(
     got = sorted(map(tuple, eng.query(routable).collect()))
     want = sorted(map(tuple, eng.query(reference).collect()))
     assert got == want
+    # round 9: the single-use CTE shape must inline and route identically
+    cte = (
+        "WITH cte_src AS (SELECT * FROM offuzz) "
+        f"SELECT {sel} FROM cte_src{tail}"
+    )
+    assert inline_single_use_ctes(cte) is not None
+    assert sorted(map(tuple, eng.query(cte).collect())) == got
 
 
 # ---------------------------------------------------------------------------
