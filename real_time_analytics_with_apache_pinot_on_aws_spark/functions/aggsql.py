@@ -1151,10 +1151,10 @@ _REWRITES: dict = {
         "is served for routable single-SELECT statements (the "
         "window-cascade statement route; one JOIN ... ON, derived-table "
         "and single-use-CTE relations are admitted) — restructure this "
-        "statement to that shape, or compute per-step matched "
-        "timestamps with operators/funnel.py (funnel_state keeps each "
-        "step's match time; durations are column arithmetic from "
-        "there) (SURVEY B16 funnel family)",
+        "statement to that shape, or use operators/funnel.py "
+        "(funnel_step_duration_stats over funnel_state computes the "
+        "same per-user duration stats as DataFrame columns) "
+        "(SURVEY B16 funnel family)",
     ),
     "DISTINCTCOUNT": _exact_distinct,
     "DISTINCTCOUNTBITMAP": _exact_distinct,

@@ -109,3 +109,75 @@ def funnel_step_counts(state: DataFrame, steps: Sequence[str]) -> DataFrame:
         )
         .orderBy("step")
     )
+
+
+def funnel_step_duration_stats(
+    state: DataFrame,
+    n_steps: int,
+    functions: Sequence[str] = ("min", "max", "avg", "median"),
+) -> DataFrame:
+    """Per-user step-duration statistics over a :func:`funnel_state`
+    frame — the operator-level twin of the SQL surface's
+    ``FUNNELSTEPDURATIONSTATS`` (Pinot 1.2 **[P1.2]**; the wire form is
+    served by aggsql's window-cascade statement route, round 9).
+
+    Adds one DOUBLE column per requested function (``dur_min`` /
+    ``dur_max`` / ``dur_avg`` / ``dur_median``), each computed over the
+    user's consecutive-step durations ``t_{i+1} - t_i`` in MILLISECONDS.
+    The greedy state matches steps as a prefix, so a user at
+    ``max_step = k`` contributes exactly ``k - 1`` durations; a user
+    below step 2 gets NULLs.  Pure column arithmetic over the |users|-row
+    state frame — no shuffle, no collections; median of an even count is
+    the mean of the two middle values (the route's documented choice).
+    """
+    allowed = {"min", "max", "avg", "median"}
+    bad = [f for f in functions if f.lower() not in allowed]
+    if bad:
+        raise ValueError(
+            f"unsupported duration functions {bad}; supported: "
+            "min, max, avg, median"
+        )
+    ds = [
+        F.when(
+            F.col(f"t{i + 2}").isNotNull(),
+            (
+                F.unix_millis(F.col(f"t{i + 2}"))
+                - F.unix_millis(F.col(f"t{i + 1}"))
+            ).cast("double"),
+        )
+        for i in range(n_steps - 1)
+    ]
+    durs = (
+        F.filter(F.array(*ds), lambda x: x.isNotNull())
+        if ds
+        else F.array().cast("array<double>")
+    )
+    out = state.withColumn("_durs", durs)
+    sorted_durs = F.array_sort(F.col("_durs"))
+    c = F.size(F.col("_durs"))
+    exprs = {
+        "min": F.array_min(F.col("_durs")),
+        "max": F.array_max(F.col("_durs")),
+        "avg": F.when(
+            c > 0,
+            F.aggregate(
+                F.col("_durs"), F.lit(0.0), lambda a, x: a + x
+            )
+            / c,
+        ),
+        "median": F.when(c == 0, F.lit(None).cast("double"))
+        .when(
+            c % 2 == 1,
+            F.element_at(sorted_durs, ((c + 1) / 2).cast("int")),
+        )
+        .otherwise(
+            (
+                F.element_at(sorted_durs, (c / 2).cast("int"))
+                + F.element_at(sorted_durs, (c / 2).cast("int") + 1)
+            )
+            / 2.0
+        ),
+    }
+    for f in functions:
+        out = out.withColumn(f"dur_{f.lower()}", exprs[f.lower()])
+    return out.drop("_durs")

@@ -3795,3 +3795,33 @@ def test_hll_family_empty_input_answers_zero(mv_engine):
         "WHERE g = 'no-such-group'"
     ).collect()[0]
     assert fold["h"] == 0
+
+
+def test_funnel_step_duration_stats_operator_matches_route(spark, ordered_engine):
+    """The operator-level twin (operators/funnel.funnel_step_duration_stats
+    over funnel_state) agrees with the routed SQL spelling for matching
+    modes: funnel_state advances strictly-after, so the SQL side runs
+    STRICT_INCREASE."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators import funnel as FN
+
+    state = FN.funnel_state(
+        spark.table("ofev"), "u", "ts", "ev", ["view", "click", "buy"]
+    )
+    op = {
+        r["u"]: (r["dur_min"], r["dur_max"], r["dur_avg"], r["dur_median"])
+        for r in FN.funnel_step_duration_stats(state, 3).collect()
+    }
+    sql = {
+        r["u"]: tuple(r["ds"])
+        for r in ordered_engine.query(
+            "SELECT u, FUNNELSTEPDURATIONSTATS(ts, '0', 3, "
+            "'ev = ''view''', 'ev = ''click''', 'ev = ''buy''', "
+            "'durationFunctions=min,max,avg,median', 'STRICT_INCREASE') "
+            "AS ds FROM ofev GROUP BY u"
+        ).collect()
+    }
+    # funnel_state emits only users with >= 1 matching event; every one of
+    # its rows must agree with the SQL answer
+    assert op and all(sql[u] == v for u, v in op.items())
+    with pytest.raises(ValueError, match="unsupported duration functions"):
+        FN.funnel_step_duration_stats(state, 3, functions=("p95",))
