@@ -1151,9 +1151,11 @@ _REWRITES: dict = {
         "is served for routable single-SELECT statements (the "
         "window-cascade statement route; one JOIN ... ON, derived-table "
         "and single-use-CTE relations are admitted) — restructure this "
-        "statement to that shape, or use operators/funnel.py "
-        "(funnel_step_duration_stats over funnel_state computes the "
-        "same per-user duration stats as DataFrame columns) "
+        "statement to that shape, or use operators/funnel.py: "
+        "funnel_step_duration_stats over funnel_state computes the same "
+        "per-user duration stats as DataFrame columns when the state is "
+        "built with the statement's mode (STRICT_INCREASE -> "
+        "strict=True; default/KEEP_ALL -> strict=False) "
         "(SURVEY B16 funnel family)",
     ),
     "DISTINCTCOUNT": _exact_distinct,

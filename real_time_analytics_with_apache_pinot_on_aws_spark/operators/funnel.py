@@ -37,6 +37,7 @@ def funnel_state(
     type_col: str,
     steps: Sequence[str],
     within: str | None = None,
+    strict: bool = True,
 ) -> DataFrame:
     """Per-user funnel state: ``(user, t1..tN, max_step)``.
 
@@ -44,6 +45,12 @@ def funnel_state(
     user never reached it); ``max_step`` counts completed steps.  ``within``
     is an SQL interval string (e.g. ``'3 DAYS'``) bounding every step after
     the first to ``t1 + within`` — Pinot's ``maxStepDuration``.
+
+    ``strict`` maps to the SQL surface's mode literals: ``True`` (the
+    default, strictly-after advancement ``>``) is ``'STRICT_INCREASE'``;
+    ``False`` (at-or-after ``>=``) is Pinot's default / ``'KEEP_ALL'``.
+    Round-9 review: the parameter exists so the operator API can express
+    BOTH modes the FUNNEL* SQL spellings serve, not just the strict one.
     """
     n = len(steps)
     evs = df.filter(F.col(type_col).isin(*steps)).select(user_col, ts_col, type_col)
@@ -60,7 +67,8 @@ def funnel_state(
             cond = cur.isNull() & (e[type_col] == step_type)
             if i > 0:
                 prev = s[f"t{i}"]
-                cond = cond & prev.isNotNull() & (e[ts_col] > prev)
+                after = e[ts_col] > prev if strict else e[ts_col] >= prev
+                cond = cond & prev.isNotNull() & after
                 if within is not None:
                     cond = cond & (e[ts_col] <= s["t1"] + F.expr(f"INTERVAL {within}"))
             fields.append(F.when(cond, e[ts_col]).otherwise(cur).alias(f"t{i + 1}"))
@@ -129,7 +137,31 @@ def funnel_step_duration_stats(
     below step 2 gets NULLs.  Pure column arithmetic over the |users|-row
     state frame — no shuffle, no collections; median of an even count is
     the mean of the two middle values (the route's documented choice).
+
+    Twin-contract notes (round-9 review): match the SQL statement's mode
+    by building the state with the same ``strict`` flag
+    (``'STRICT_INCREASE'`` -> ``strict=True``; Pinot's default /
+    ``'KEEP_ALL'`` -> ``strict=False``).  Degenerate inputs the SQL twin
+    rejects loudly are rejected here too (empty ``functions``,
+    ``n_steps < 1``); duplicated function names — which the SQL array
+    shape CAN represent — cannot be two identically-named columns, so
+    they are a loud error instead of a silent collapse.
     """
+    if n_steps < 1:
+        raise ValueError(f"n_steps must be >= 1, got {n_steps}")
+    if not functions:
+        raise ValueError(
+            "functions must name at least one duration statistic "
+            "(min, max, avg, median)"
+        )
+    lowered = [f.lower() for f in functions]
+    if len(set(lowered)) != len(lowered):
+        raise ValueError(
+            f"duplicate duration functions {list(functions)}: the "
+            "named-column surface cannot carry two identical stats — "
+            "request each once (the SQL spelling's array shape is the "
+            "form that can repeat entries)"
+        )
     allowed = {"min", "max", "avg", "median"}
     bad = [f for f in functions if f.lower() not in allowed]
     if bad:

@@ -3825,3 +3825,78 @@ def test_funnel_step_duration_stats_operator_matches_route(spark, ordered_engine
     assert op and all(sql[u] == v for u, v in op.items())
     with pytest.raises(ValueError, match="unsupported duration functions"):
         FN.funnel_step_duration_stats(state, 3, functions=("p95",))
+
+
+def test_funnel_state_nonstrict_matches_default_mode_route(spark, ordered_engine):
+    """funnel_state(strict=False) is the operator form of the SQL
+    surface's DEFAULT (>=) mode — the round-9 review's twin-contract
+    gap: u=5's same-timestamp view+click completes step 2 under >=."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators import funnel as FN
+
+    state = FN.funnel_state(
+        spark.table("ofev"), "u", "ts", "ev", ["view", "click"],
+        strict=False,
+    )
+    op = {
+        r["u"]: (r["dur_min"],)
+        for r in FN.funnel_step_duration_stats(
+            state, 2, functions=("min",)
+        ).collect()
+    }
+    sql = {
+        r["u"]: tuple(r["ds"])
+        for r in ordered_engine.query(
+            "SELECT u, FUNNELSTEPDURATIONSTATS(ts, '0', 2, "
+            "'ev = ''view''', 'ev = ''click''', "
+            "'durationFunctions=min') AS ds FROM ofev GROUP BY u"
+        ).collect()
+    }
+    assert op and all(sql[u] == v for u, v in op.items())
+    # u=5's same-ts view+click stays None in BOTH modes on BOTH
+    # surfaces: the tie ORDER (step-2 rows sort before step-1 rows at
+    # equal timestamps) decides it before the >= / > comparison ever
+    # runs — the comparison only distinguishes the modes when a LATER
+    # event shares the timestamp of the one that armed the prior step
+    assert op[5] == (None,)
+    # ... which the repeated-step shape exhibits: two 'view' events at
+    # one timestamp, steps (view, view) — >= completes with d=0, > does
+    # not; operator and routed SQL agree in both modes
+    spark.sql(
+        "SELECT u, cast(ts as timestamp) AS ts, ev FROM VALUES "
+        "(9, '2024-06-01 10:00:00', 'view'), "
+        "(9, '2024-06-01 10:00:00', 'view') AS t(u, ts, ev)"
+    ).createOrReplaceTempView("tieev")
+    for strict, want in ((False, 0.0), (True, None)):
+        st = FN.funnel_state(
+            spark.table("tieev"), "u", "ts", "ev", ["view", "view"],
+            strict=strict,
+        )
+        row = FN.funnel_step_duration_stats(
+            st, 2, functions=("min",)
+        ).collect()[0]
+        assert row["dur_min"] == want, strict
+    sql_tie = ordered_engine.query(
+        "SELECT FUNNELSTEPDURATIONSTATS(ts, '0', 2, 'ev = ''view''', "
+        "'ev = ''view''', 'durationFunctions=min') AS ds FROM tieev"
+    ).collect()[0]["ds"]
+    assert sql_tie == [0.0]
+    sql_strict = ordered_engine.query(
+        "SELECT FUNNELSTEPDURATIONSTATS(ts, '0', 2, 'ev = ''view''', "
+        "'ev = ''view''', 'durationFunctions=min', 'STRICT_INCREASE') "
+        "AS ds FROM tieev"
+    ).collect()[0]["ds"]
+    assert sql_strict == [None]
+
+
+def test_funnel_duration_operator_degenerate_inputs_are_loud(spark):
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators import funnel as FN
+
+    state = FN.funnel_state(
+        spark.table("ofev"), "u", "ts", "ev", ["view", "click"]
+    )
+    with pytest.raises(ValueError, match="n_steps must be >= 1"):
+        FN.funnel_step_duration_stats(state, 0)
+    with pytest.raises(ValueError, match="at least one duration"):
+        FN.funnel_step_duration_stats(state, 2, functions=())
+    with pytest.raises(ValueError, match="duplicate duration functions"):
+        FN.funnel_step_duration_stats(state, 2, functions=("min", "MIN"))
