@@ -1466,3 +1466,132 @@ def test_step_duration_stats_matches_python_reference(
             )
         }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# SUMARRAY positional route (round 8) and MODE tie reducers (round 8):
+# round-9 back-fill — neither had a hypothesis property (example-based
+# tests only).  Both diff against pure-Python references; the SUMARRAY
+# call-site form is a loud reject, so the routed statement is the only
+# engine path (same convention as the theta/duration references).
+# ---------------------------------------------------------------------------
+
+_sa_rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # g
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.one_of(st.none(), st.integers(-50, 50)),
+                min_size=0,
+                max_size=4,
+            ),
+        ),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _py_sumarray(arrays):
+    """Positional sums over ragged arrays: position i exists when any
+    array is longer than i; its value is the sum of the non-NULL
+    elements there (NULL when every element at i is NULL) — the
+    relational reading the route documents."""
+    n = max((len(a) for a in arrays if a is not None), default=0)
+    out = []
+    for i in range(n):
+        vals = [
+            a[i] for a in arrays
+            if a is not None and len(a) > i and a[i] is not None
+        ]
+        out.append(sum(vals) if vals else None)
+    return out
+
+
+@given(rows=_sa_rows_st)
+@settings(**SETTINGS)
+def test_sumarray_route_matches_python_reference(spark, rows):
+    from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_sumarray_statement,
+    )
+
+    spark.createDataFrame(
+        rows, "g int, arr array<int>"
+    ).createOrReplaceTempView("safuzz")
+    eng = getattr(test_sumarray_route_matches_python_reference, "_eng", None)
+    if eng is None:
+        import tempfile
+
+        eng = Engine(spark, tempfile.mkdtemp())
+        test_sumarray_route_matches_python_reference._eng = eng
+    stmt = (
+        "SELECT g, SUMARRAYLONG(arr) AS s, count(*) AS n "
+        "FROM safuzz GROUP BY g"
+    )
+    assert rewrite_sumarray_statement(stmt) is not None
+    got = {r["g"]: (r["s"], r["n"]) for r in eng.query(stmt).collect()}
+    grouped: dict = {}
+    for g, a in rows:
+        grouped.setdefault(g, []).append(a)
+    want = {
+        g: (_py_sumarray(arrs), len(arrs)) for g, arrs in grouped.items()
+    }
+    assert got == want
+
+
+_mode_rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),                      # g
+        st.one_of(st.none(), st.integers(min_value=-6, max_value=6)),  # v
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=_mode_rows_st)
+@settings(**SETTINGS)
+def test_mode_reducers_match_python_reference(spark, rows):
+    """MODE / MODE(v,'MIN') / MODE(v,'MAX') call-site rewrites and the
+    MODE(v,'AVG') three-level route vs a pure-Python tied-mode
+    reference; NULLs never count, an all-NULL group answers NULL."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_mode_avg_statement,
+    )
+
+    spark.createDataFrame(rows, "g int, v int").createOrReplaceTempView(
+        "modefuzz"
+    )
+    eng = getattr(test_mode_reducers_match_python_reference, "_eng", None)
+    if eng is None:
+        import tempfile
+
+        eng = Engine(spark, tempfile.mkdtemp())
+        test_mode_reducers_match_python_reference._eng = eng
+    stmt = (
+        "SELECT g, MODE(v) AS m0, MODE(v, 'MIN') AS mn, "
+        "MODE(v, 'MAX') AS mx FROM modefuzz GROUP BY g"
+    )
+    avg_stmt = "SELECT g, MODE(v, 'AVG') AS ma FROM modefuzz GROUP BY g"
+    assert rewrite_mode_avg_statement(avg_stmt) is not None
+    got = {r["g"]: (r["m0"], r["mn"], r["mx"]) for r in eng.query(stmt).collect()}
+    got_avg = {r["g"]: r["ma"] for r in eng.query(avg_stmt).collect()}
+    grouped: dict = {}
+    for g, v in rows:
+        grouped.setdefault(g, []).append(v)
+    for g, vals in grouped.items():
+        vals = [v for v in vals if v is not None]
+        if not vals:
+            assert got[g] == (None, None, None), g
+            assert got_avg[g] is None, g
+            continue
+        freq: dict = {}
+        for v in vals:
+            freq[v] = freq.get(v, 0) + 1
+        top = max(freq.values())
+        tied = [v for v, c in freq.items() if c == top]
+        assert got[g] == (min(tied), min(tied), max(tied)), g
+        assert got_avg[g] == sum(tied) / len(tied), g
