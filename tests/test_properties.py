@@ -1595,3 +1595,51 @@ def test_mode_reducers_match_python_reference(spark, rows):
         tied = [v for v, c in freq.items() if c == top]
         assert got[g] == (min(tied), min(tied), max(tied)), g
         assert got_avg[g] == sum(tied) / len(tied), g
+
+
+# ---------------------------------------------------------------------------
+# IN_SUBQUERY IdSet filter (round 8, B42): the relational IN-subquery
+# rewrite vs a pure-Python membership reference on random data —
+# including the NULL-probe and empty-idset edges the example tests only
+# spot-check.  Round-9 back-fill.
+# ---------------------------------------------------------------------------
+
+_idset_rows_st = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=8)),  # k
+        st.integers(min_value=-3, max_value=12),                      # x
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=_idset_rows_st, cut=st.integers(min_value=-4, max_value=13))
+@settings(**SETTINGS)
+def test_in_subquery_matches_python_reference(spark, rows, cut):
+    from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
+
+    spark.createDataFrame(rows, "k int, x int").createOrReplaceTempView(
+        "idsfuzz"
+    )
+    eng = getattr(test_in_subquery_matches_python_reference, "_eng", None)
+    if eng is None:
+        import tempfile
+
+        eng = Engine(spark, tempfile.mkdtemp())
+        test_in_subquery_matches_python_reference._eng = eng
+    got = {
+        (r["k"], r["x"]): r["m"]
+        for r in eng.query(
+            "SELECT k, x, IN_SUBQUERY(k, "
+            f"'SELECT ID_SET(k) FROM idsfuzz WHERE x > {cut}') AS m "
+            "FROM idsfuzz"
+        ).collect()
+    }
+    idset = {k for k, x in rows if x > cut and k is not None}
+    for k, x in rows:
+        # Pinot's predicate answers 1/0; a NULL probe is in no IdSet.
+        # SQL IN over a NULL probe (or an empty set) is NULL/false —
+        # the rewrite's CASE folds both to 0, which the reference pins.
+        want = 1 if (k is not None and k in idset) else 0
+        assert got[(k, x)] == want, (k, x, cut)
