@@ -1643,3 +1643,65 @@ def test_in_subquery_matches_python_reference(spark, rows, cut):
         # the rewrite's CASE folds both to 0, which the reference pins.
         want = 1 if (k is not None and k in idset) else 0
         assert got[(k, x)] == want, (k, x, cut)
+
+
+# ---------------------------------------------------------------------------
+# CTE inliner (round 9): for ANY generated single-use WITH shape the
+# inlined statement must be plain-Spark EQUIVALENT to the original —
+# checked by executing BOTH through spark.sql directly, no engine and no
+# routes, so the property pins the inliner's semantics in isolation.
+# ---------------------------------------------------------------------------
+
+_ci_rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=9)),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+_CI_BODIES = (
+    # plain FROM reference, aggregate body
+    "SELECT g, count(*) AS n, sum(x) AS s FROM {ref} GROUP BY g",
+    # bare alias on the reference
+    "SELECT t.g, t.x FROM {ref} t WHERE t.x > 2",
+    # AS alias
+    "SELECT t.x FROM {ref} AS t",
+    # JOIN-position reference
+    "SELECT b.g, c.x FROM cifuzz b JOIN {ref} c ON b.g = c.g",
+    # scalar-subquery FROM position
+    "SELECT g, (SELECT max(x) FROM {ref}) AS mx FROM cifuzz",
+    # reference followed by clause keywords (no alias)
+    "SELECT g FROM {ref} WHERE x IS NOT NULL ORDER BY g LIMIT 7",
+)
+
+
+@given(
+    rows=_ci_rows_st,
+    body_i=st.integers(min_value=0, max_value=len(_CI_BODIES) - 1),
+    cut=st.integers(min_value=-6, max_value=10),
+    chain=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_cte_inliner_preserves_semantics(spark, rows, body_i, cut, chain):
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        inline_single_use_ctes,
+    )
+
+    spark.createDataFrame(rows, "g int, x int").createOrReplaceTempView(
+        "cifuzz"
+    )
+    defs = [f"c1 AS (SELECT g, x FROM cifuzz WHERE x > {cut})"]
+    ref = "c1"
+    if chain:
+        defs.append("c2 AS (SELECT g, x + 1 AS x FROM c1)")
+        ref = "c2"
+    body = _CI_BODIES[body_i].format(ref=ref)
+    orig = "WITH " + ", ".join(defs) + " " + body
+    inlined = inline_single_use_ctes(orig)
+    assert inlined is not None, orig
+    key = lambda r: tuple((v is None, v) for v in r)  # noqa: E731
+    got = sorted(map(tuple, spark.sql(inlined).collect()), key=key)
+    want = sorted(map(tuple, spark.sql(orig).collect()), key=key)
+    assert got == want, orig
