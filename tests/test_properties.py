@@ -1705,3 +1705,60 @@ def test_cte_inliner_preserves_semantics(spark, rows, body_i, cut, chain):
     got = sorted(map(tuple, spark.sql(inlined).collect()), key=key)
     want = sorted(map(tuple, spark.sql(orig).collect()), key=key)
     assert got == want, orig
+
+
+# ---------------------------------------------------------------------------
+# DATETIMECONVERT / toEpoch*Bucket epoch arithmetic (B49 family): the
+# rewrite folds the literal formats into plain bucket arithmetic — diffed
+# here against an independent Python integer-math reference for random
+# values, unit pairs, and granularities (round-9 back-fill; the last
+# rewrite family on the SQL surface without a randomized property).
+# ---------------------------------------------------------------------------
+
+_DTC_UNITS = {
+    "MILLISECONDS": 1,
+    "SECONDS": 1000,
+    "MINUTES": 60_000,
+    "HOURS": 3_600_000,
+    "DAYS": 86_400_000,
+}
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=2_000_000_000),
+        min_size=1,
+        max_size=12,
+    ),
+    in_u=st.sampled_from(sorted(_DTC_UNITS)),
+    out_u=st.sampled_from(sorted(_DTC_UNITS)),
+    gsize=st.integers(min_value=1, max_value=45),
+    g_u=st.sampled_from(sorted(_DTC_UNITS)),
+)
+@settings(**SETTINGS)
+def test_datetimeconvert_epoch_matches_python_reference(
+    spark, vals, in_u, out_u, gsize, g_u
+):
+    from real_time_analytics_with_apache_pinot_on_aws_spark import functions as pfn
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_pinot_aggregates as R,
+    )
+
+    pfn.register_all(spark)  # TOEPOCHSECONDSROUNDED is a SQL macro
+    spark.createDataFrame(
+        [(v,) for v in vals], "v long"
+    ).createOrReplaceTempView("dtcfuzz")
+    sql = R(
+        "SELECT v, DATETIMECONVERT(v, "
+        f"'1:{in_u}:EPOCH', '1:{out_u}:EPOCH', '{gsize}:{g_u}') AS b, "
+        f"TOEPOCHSECONDSROUNDED(v * {_DTC_UNITS[in_u]}, {max(gsize, 1)}) "
+        "AS r FROM dtcfuzz"
+    )
+    got = {r["v"]: (r["b"], r["r"]) for r in spark.sql(sql).collect()}
+    for v in vals:
+        millis = v * _DTC_UNITS[in_u]
+        bucket = gsize * _DTC_UNITS[g_u]
+        want_b = (millis // bucket * bucket) // _DTC_UNITS[out_u]
+        secs = millis // 1000
+        want_r = secs // max(gsize, 1) * max(gsize, 1)
+        assert got[v] == (want_b, want_r), (v, in_u, out_u, gsize, g_u)
