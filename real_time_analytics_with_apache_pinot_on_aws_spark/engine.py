@@ -2839,7 +2839,17 @@ class Engine:
                     conf.set(key, prev)
         return df
 
-    _EXPLAIN_RE = re.compile(r"^\s*EXPLAIN\s+PLAN\s+FOR\s+", re.IGNORECASE)
+    # Pinot 1.2 explain spellings **[P1.2]**: the classic `EXPLAIN PLAN
+    # FOR` and the multi-stage engine's `EXPLAIN IMPLEMENTATION PLAN FOR`
+    # both answer the PHYSICAL operator tree (implementation = what runs
+    # — Spark's executedPlan); `EXPLAIN PLAN WITHOUT IMPLEMENTATION FOR`
+    # answers the LOGICAL plan (Pinot's Calcite rel tree — Spark's
+    # Catalyst optimizedPlan), round 9.
+    _EXPLAIN_RE = re.compile(
+        r"^\s*EXPLAIN\s+(?:IMPLEMENTATION\s+PLAN"
+        r"|PLAN(?P<logical>\s+WITHOUT\s+IMPLEMENTATION)?)\s+FOR\s+",
+        re.IGNORECASE,
+    )
 
     def query(self, sql: str) -> DataFrame:
         """/query/sql analog — full Spark SQL + the Pinot function surface.
@@ -2885,7 +2895,9 @@ class Engine:
                     "".join(f"SET {k}='{v}'; " for k, v in _opts.items())
                     + inner
                 )
-            return self.explain_plan(inner)
+            return self.explain_plan(
+                inner, logical=m.group("logical") is not None
+            )
         if str(_opts.get("skipUpsert", "false")).lower() == "true":
             sql = self._apply_skip_upsert_rewrite(sql)
         if str(_opts.get("enableNullHandling", "true")).lower() == "false":
@@ -3501,8 +3513,9 @@ class Engine:
         except Exception:
             return sql
 
-    def explain_plan(self, sql: str) -> DataFrame:
-        """Pinot ``EXPLAIN PLAN FOR`` analog **[P1.2]**.
+    def explain_plan(self, sql: str, logical: bool = False) -> DataFrame:
+        """Pinot ``EXPLAIN [IMPLEMENTATION] PLAN [WITHOUT IMPLEMENTATION]
+        FOR`` analog **[P1.2]**.
 
         Pinot returns the plan as a result table with columns
         ``Operator / Operator_Id / Parent_Id`` (root parent = -1).  We emit
@@ -3513,12 +3526,19 @@ class Engine:
         segment).  This is the physical truth the scale story rests on —
         broadcast vs sort-merge joins, pushed filters, partial/final
         aggregates are all visible, exactly what Pinot's plan rows expose.
+
+        ``logical=True`` serves the ``WITHOUT IMPLEMENTATION`` spelling
+        (round 9): the pre-physical plan — Pinot's Calcite rel tree maps
+        to Catalyst's ``optimizedPlan`` — in the same three-column shape.
         """
         # build the frame through query()'s own resolution so the engine's
         # SQL forms (TEXT_MATCH / JSON_MATCH / VECTOR_SIMILARITY / CLPDECODE
         # sugar / Pinot aggregate spellings) EXPLAIN the plan they actually
         # run, not an unresolved-function error (round-6)
-        plan = self.query(sql)._jdf.queryExecution().executedPlan().toString()
+        qe = self.query(sql)._jdf.queryExecution()
+        plan = (
+            qe.optimizedPlan() if logical else qe.executedPlan()
+        ).toString()
         rows: list[tuple[str, int, int]] = []
         # stack of (depth, operator_id) for parent recovery
         stack: list[tuple[int, int]] = []

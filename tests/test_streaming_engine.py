@@ -4085,3 +4085,45 @@ def test_table_ref_rewrite_explicit_as_keyword_alias(spark, tmp_path):
             assert n2 == 1, alias
     finally:
         pipe.stop()
+
+
+def test_explain_spellings_route_physical_vs_logical(spark, tmp_path):
+    """Pinot 1.2's three explain spellings **[P1.2]** (round 9):
+    EXPLAIN PLAN FOR and EXPLAIN IMPLEMENTATION PLAN FOR answer the
+    PHYSICAL operator tree; EXPLAIN PLAN WITHOUT IMPLEMENTATION FOR
+    answers the LOGICAL (Catalyst-optimized) tree — all in Pinot's
+    Operator/Operator_Id/Parent_Id result shape."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
+
+    spark.range(50).selectExpr("id % 5 AS k", "id AS v").createOrReplaceTempView(
+        "explain3_src"
+    )
+    engine = Engine(spark, str(tmp_path / "wh"))
+    body = "SELECT k, sum(v) AS s FROM explain3_src GROUP BY k"
+    phys = [r["Operator"] for r in engine.query(f"EXPLAIN PLAN FOR {body}").collect()]
+    impl = [
+        r["Operator"]
+        for r in engine.query(f"EXPLAIN IMPLEMENTATION PLAN FOR {body}").collect()
+    ]
+    logi = [
+        r["Operator"]
+        for r in engine.query(
+            f"EXPLAIN PLAN WITHOUT IMPLEMENTATION FOR {body}"
+        ).collect()
+    ]
+    import re as _re
+
+    strip = lambda ops: [  # noqa: E731
+        _re.sub(r"#\d+|plan_id=\d+", "#", o) for o in ops
+    ]
+    # implementation == the classic physical form (modulo expression and
+    # plan ids, which Catalyst renumbers per analysis)
+    assert strip(phys) == strip(impl)
+    assert any("HashAggregate" in op for op in phys)  # physical operators
+    assert any(op.startswith("Aggregate") for op in logi)  # logical rel
+    assert not any("HashAggregate" in op for op in logi)
+    # all three share the Pinot result schema
+    df = engine.query(f"EXPLAIN PLAN WITHOUT IMPLEMENTATION FOR {body}")
+    assert [f.name for f in df.schema.fields] == [
+        "Operator", "Operator_Id", "Parent_Id",
+    ]
