@@ -365,6 +365,28 @@ def main() -> None:
         "GROUP BY k ORDER BY k"
     ).show()
 
+    # 18. Round 9: single-use WITH-CTEs inline into the bounded routes
+    #     (the last fold-only wire shape), FUNNELSTEPDURATIONSTATS rides
+    #     the ordered-funnel window cascade, and the logical explain
+    #     spelling answers the Catalyst tree
+    engine.query(
+        "WITH recent AS (SELECT userID, creationTimestamp__ts, campaign "
+        "FROM clickstream WHERE price >= 0) "
+        "SELECT FUNNELCOUNT(STEPS(campaign = 'BlackFriday', "
+        "campaign = '10Percent'), CORRELATE_BY(userID)) AS funnel "
+        "FROM recent"
+    ).show(truncate=False)
+    engine.query(
+        "SELECT FUNNELSTEPDURATIONSTATS(creationTimestamp__ts, '0', 2, "
+        "'campaign = ''BlackFriday''', 'campaign = ''10Percent''', "
+        "'durationFunctions=min,avg') AS step_durations_ms "
+        "FROM clickstream"
+    ).show(truncate=False)
+    engine.query(
+        "EXPLAIN PLAN WITHOUT IMPLEMENTATION FOR "
+        "SELECT campaign, count(*) FROM clickstream GROUP BY campaign"
+    ).show(truncate=False)
+
     spark.stop()
 
 
