@@ -1762,3 +1762,79 @@ def test_datetimeconvert_epoch_matches_python_reference(
         secs = millis // 1000
         want_r = secs // max(gsize, 1) * max(gsize, 1)
         assert got[v] == (want_b, want_r), (v, in_u, out_u, gsize, g_u)
+
+
+# ---------------------------------------------------------------------------
+# JSONPATH typed extractors (B52 family): 3-arg default forms vs a
+# Python reference over random scalar payloads — int/fractional/numeric-
+# string/alpha/missing/null.  Round-9 back-fill: this family carried the
+# round-8 medium ADVICE (fractional coercion), so the property pins the
+# fixed contract: exact long parse first, double-coerce second, default
+# only for genuinely missing/non-numeric paths.
+# ---------------------------------------------------------------------------
+
+_jp_val_st = st.one_of(
+    st.none(),
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.integers(min_value=-500, max_value=500).map(lambda i: i / 10.0),
+    st.integers(min_value=-500, max_value=500).map(lambda i: str(i / 10.0)),
+    st.sampled_from(["abc", "", "12abc", "NaN"]),
+    st.just("__MISSING__"),
+)
+
+
+@given(vals=st.lists(_jp_val_st, min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_jsonpath_defaults_match_python_reference(spark, vals):
+    import json as _json
+
+    from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
+
+    docs = [
+        (i, _json.dumps({} if v == "__MISSING__" else {"x": v}))
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(docs, "i int, j string").createOrReplaceTempView(
+        "jpfuzz"
+    )
+    eng = getattr(test_jsonpath_defaults_match_python_reference, "_eng", None)
+    if eng is None:
+        import tempfile
+
+        eng = Engine(spark, tempfile.mkdtemp())
+        test_jsonpath_defaults_match_python_reference._eng = eng
+    got = {
+        r["i"]: (r["l"], r["d"])
+        for r in eng.query(
+            "SELECT i, JSONPATHLONG(j, '$.x', -1) AS l, "
+            "JSONPATHDOUBLE(j, '$.x', -1.5) AS d FROM jpfuzz"
+        ).collect()
+    }
+    for i, v in enumerate(vals):
+        if v == "__MISSING__" or v is None:
+            want = (-1, -1.5)
+        else:
+            if isinstance(v, str):
+                try:
+                    num = float(v)
+                    if num != num:  # NaN string: Spark parses 'NaN'
+                        num = float("nan")
+                except ValueError:
+                    num = None
+            else:
+                num = float(v)
+            if num is None:
+                want = (-1, -1.5)
+            elif num != num:
+                # try_cast('NaN' as double) IS NaN; the LONG leg's
+                # double->bigint try_cast folds NaN to the default
+                assert got[i][0] == -1 and got[i][1] != got[i][1], v
+                continue
+            else:
+                want_l = (
+                    int(v)
+                    if isinstance(v, int)
+                    else int(num)  # trunc toward zero, Pinot's coercion
+                )
+                want = (want_l, num)
+        assert got[i] == want, (i, v)
