@@ -2915,7 +2915,7 @@ class Engine:
         # functions/aggsql.py)
         from .functions.aggsql import (
             canonicalize_pinot_spellings,
-            inline_single_use_ctes,
+            inline_route_ctes,
             rewrite_keyed_agg_statement,
             rewrite_mode_avg_statement,
             rewrite_mv_distinct_statement,
@@ -2935,14 +2935,15 @@ class Engine:
             sql, keep_native=self._catalog_has_function
         )
 
-        # Single-use WITH-CTEs inline to the derived-table relation shape
-        # the routes admit (round 9 — a CTE-wrapped FUNNELCOUNT /
-        # MV-distinct / SUMARRAY statement was the last wire shape still
-        # landing on the collection-state folds).  The inlined text feeds
-        # the ROUTES ONLY: if every route bails or the probe fails, the
-        # original statement (CTE intact) stands, so multi-reference and
-        # otherwise-uninlinable CTE statements keep today's fold paths.
-        route_src = inline_single_use_ctes(sql)
+        # FROM/JOIN-position WITH-CTEs inline to the derived-table
+        # relation shape the routes admit (round 9 single-use, round 10
+        # multi-reference-with-deterministic-body — a CTE-wrapped
+        # FUNNELCOUNT / MV-distinct / SUMARRAY statement was the last
+        # wire shape still landing on the collection-state folds).  The
+        # inlined text feeds the ROUTES ONLY: if every route bails or
+        # the probe fails, the original statement (CTE intact) stands,
+        # so uninlinable CTE statements keep today's fold paths.
+        route_src = inline_route_ctes(sql)
         if route_src is None:
             route_src = sql
 

@@ -407,8 +407,14 @@ def _parse_ordered_funnel_args(kind: str, args: list[str]) -> tuple:
 
 _DURATION_STAT_FNS = ("MIN", "MAX", "AVG", "MEDIAN")
 
-_DURFNS_RE = re.compile(
-    r"^\s*durationFunctions\s*=\s*(.*)$", re.IGNORECASE
+# anchored on the NO-SPACE spelling Pinot uses (round 10, r9 ADVICE: a
+# step PREDICATE comparing a column literally named durationFunctions —
+# `durationFunctions = col` — was mis-read as the settings literal and
+# the error blamed the wrong argument; with spaces it now stays a step).
+# The whitespace-spelled near-miss gets its own hint below.
+_DURFNS_RE = re.compile(r"^\s*durationFunctions=(.*)$", re.IGNORECASE)
+_DURFNS_SPACED_RE = re.compile(
+    r"^\s*durationFunctions\s+=", re.IGNORECASE
 )
 
 
@@ -440,7 +446,7 @@ def _parse_step_duration_args(args: list[str]) -> tuple:
     # real steps-count diagnostic behind a false "settings literal
     # required" (round-9 review); no valid step predicate is ever
     # spelled 'durationFunctions=...', so position-agnostic is safe
-    rest, fns = [], None
+    rest, fns, spaced = [], None, False
     for a in args[3:]:
         s = a.strip()
         lit = (
@@ -450,6 +456,8 @@ def _parse_step_duration_args(args: list[str]) -> tuple:
         )
         m = _DURFNS_RE.match(lit) if lit is not None else None
         if m is None:
+            if lit is not None and _DURFNS_SPACED_RE.match(lit):
+                spaced = True  # a near-miss worth naming in the error
             rest.append(a)
             continue
         if fns is not None:
@@ -461,11 +469,18 @@ def _parse_step_duration_args(args: list[str]) -> tuple:
             p.strip().upper() for p in m.group(1).split(",") if p.strip()
         ]
     if not fns:
+        hint = (
+            " (a literal spelled 'durationFunctions = ...' with "
+            "whitespace was treated as a step predicate — Pinot "
+            "spells the settings literal without spaces)"
+            if spaced
+            else ""
+        )
         raise ValueError(
             "FUNNELSTEPDURATIONSTATS requires a "
             "'durationFunctions=...' settings literal — it determines "
             "the output array's shape (supported: min, max, avg, "
-            "median)"
+            "median)" + hint
         )
     for f in fns:
         if f not in _DURATION_STAT_FNS:
@@ -1149,9 +1164,10 @@ _REWRITES: dict = {
     "FUNNELSTEPDURATIONSTATS": _reject_loudly(
         "FUNNELSTEPDURATIONSTATS",
         "is served for routable single-SELECT statements (the "
-        "window-cascade statement route; one JOIN ... ON, derived-table "
-        "and single-use-CTE relations are admitted) — restructure this "
-        "statement to that shape, or use operators/funnel.py: "
+        "window-cascade statement route; JOIN ... ON chains, derived-table "
+        "and FROM/JOIN-position-CTE relations are admitted) — "
+        "restructure this statement to that shape, or use "
+        "operators/funnel.py: "
         "funnel_step_duration_stats over funnel_state computes the same "
         "per-user duration stats as DataFrame columns when the state is "
         "built with the statement's mode (STRICT_INCREASE -> "
@@ -1471,6 +1487,22 @@ def _skip_literal(sql: str, i: int) -> int:
     return n
 
 
+def _skip_comment(sql: str, i: int):
+    """Index past the SQL comment starting at ``sql[i]`` (``--`` to end
+    of line; ``/* */`` span, unterminated runs to EOF like Spark's
+    lexer), or ``None`` when no comment starts there.  Round-10 (r9
+    ADVICE): the CTE reference scanner treats comment content as opaque
+    — a ``FROM name`` inside a comment is neither a reference site nor
+    a count bump, so commented statements keep their bounded routes."""
+    if sql.startswith("--", i):
+        j = sql.find("\n", i + 2)
+        return len(sql) if j < 0 else j + 1
+    if sql.startswith("/*", i):
+        j = sql.find("*/", i + 2)
+        return len(sql) if j < 0 else j + 2
+    return None
+
+
 def _scan_balanced(sql: str, open_idx: int) -> tuple[str, int]:
     """From '(' at open_idx: (inner content, index past ')'). Literals
     are opaque."""
@@ -1687,17 +1719,22 @@ def _rewrite_pinot_aggregates_inner(sql: str, keep_native) -> str:
 # via IF(first-copy, arg, NULL), and anything duplication-UNSAFE
 # (percentiles, stddev, collect_list, funnels ...) makes the route bail
 # to the normalized-set fallback expression above.  Round 8 widened the
-# routable FROM/WHERE space: ONE `[INNER|LEFT|RIGHT|FULL] JOIN ... ON`
-# is allowed (the LATERAL VIEW attaches AFTER the join, exploding each
+# routable FROM/WHERE space: a chain of `[INNER|LEFT|RIGHT|FULL] JOIN
+# ... ON` segments is allowed (one join in round 8, chains in round 10
+# — the LATERAL VIEW attaches AFTER the last join, exploding each
 # joined row — the very relation the original aggregates saw) and
 # parenthesized subqueries (scalar / IN / EXISTS) are allowed anywhere
 # (they evaluate in their OWN scope, so their call sites are excluded
 # from duplication classification), as are derived-table relations
 # `FROM (SELECT ...) alias`.  Round 9: Engine.query additionally
-# inlines single-use WITH-CTEs to that derived-table shape BEFORE the
-# routes (inline_single_use_ctes), so only multi-reference/recursive/
-# renamed CTEs still reach the fold.  Shapes the route itself cannot
-# restructure (WITH/UNION/multi-join/comma FROM/windows) bail, and
+# inlines FROM/JOIN-position WITH-CTEs to that derived-table shape
+# BEFORE the routes (inline_route_ctes; round 10 extends it to
+# multi-reference CTEs with deterministic bodies), so only recursive/
+# renamed/expression-referenced CTEs still reach the fold.  Round 10
+# also admits a CHAIN of `JOIN tbl ON cond` segments (the one-JOIN
+# restriction was pure conservatism — the relation re-emits verbatim
+# however many joins it carries).  Shapes the route itself cannot
+# restructure (WITH/UNION/comma FROM/windows) bail, and
 # non-deterministic calls (rand/uuid/shuffle/...) bail the
 # row-duplicating routes — the WHERE would re-evaluate per exploded
 # copy, silently turning per-row sampling into per-element sampling.
@@ -1843,7 +1880,14 @@ _MV_ANYDEPTH_BAIL_RE = re.compile(
 # the fold samples per ROW.  One conservative whole-statement check —
 # a non-deterministic call anywhere (select list, predicates) is enough
 # to keep the fold, whose evaluation order the user already observes.
+# the lookbehind word-boundaries the match on the LEFT (VERDICT r9
+# hygiene task: an identifier ENDING in a listed name — `my$rand(` —
+# must not trip the bail; _search_unquoted_re already rejects alnum/_
+# predecessors, the lookbehind closes the $ case at the regex itself).
+# A '.'-qualified spelling (`builtin.rand(`) still matches — bailing on
+# a qualified nondeterministic call is the safe direction.
 _NONDETERMINISTIC_FN_RE = re.compile(
+    r"(?<![\w$])"
     r"(RAND|RANDN|RANDOM|UUID|SHUFFLE|MONOTONICALLY_INCREASING_ID|"
     r"RANDSTR|UNIFORM)\s*\(",
     re.IGNORECASE,
@@ -2037,21 +2081,53 @@ _CTE_ALIAS_STOP_KWS = frozenset(
 
 
 def _cte_table_refs(text: str, name: str):
-    """Scan ``text`` (literal content opaque) for whole-word, unquoted
-    occurrences of CTE ``name``.  Returns ``None`` when any occurrence
-    is NOT a plain ``FROM``/``JOIN`` table reference (inlining could
-    change its meaning — bail), else a list of ``(start, end,
-    has_alias)`` reference sites.  Qualifier uses (``name.col``) and
-    call sites (``name(``) are neither references nor blockers: the
-    inlined derived table keeps ``name`` as its alias, so qualifiers
-    still bind, and a CTE never shadows a function."""
+    """Scan ``text`` (literal and comment content opaque) for
+    whole-word, unquoted occurrences of CTE ``name``.  Returns ``None``
+    when any occurrence is NOT a plain ``FROM``/``JOIN`` table reference
+    (inlining could change its meaning — bail), else a list of
+    ``(start, end, has_alias)`` reference sites.  Qualifier uses
+    (``name.col``) and call sites (``name(``) are neither references
+    nor blockers: the inlined derived table keeps ``name`` as its
+    alias, so qualifiers still bind, and a CTE never shadows a function.
+
+    A ``FROM`` that precedes the name is only a RELATION keyword when
+    the innermost enclosing paren group is a ``(SELECT ...)`` subquery
+    (or there is none): expression-level FROM — ``substring(s FROM name
+    FOR 3)``, ``trim(LEADING 'x' FROM name)``, ``extract(DAY FROM
+    name)``, ``overlay(... FROM name)`` — sits inside a function-call
+    group whose first token is not SELECT, and splicing a derived table
+    there rewrites a COLUMN into a scalar subquery that can ANALYZE
+    cleanly with different semantics (round-10, r9 ADVICE medium).
+    Those occurrences bail the whole inline."""
     pat = re.compile(re.escape(name) + r"\b", re.IGNORECASE)
     refs = []
+    # one flag per open paren group: True = the group's first token is
+    # SELECT (a subquery — relation position exists inside it)
+    group_is_select = []
     i, n = 0, len(text)
     while i < n:
         ch = text[i]
         if ch in ("'", '"'):
             i = _skip_literal(text, i)
+            continue
+        c = _skip_comment(text, i)
+        if c is not None:
+            i = c
+            continue
+        if ch == "(":
+            j = i + 1
+            while j < n and text[j] in " \t\r\n":
+                j += 1
+            group_is_select.append(
+                re.match(r"SELECT\b", text[j:], re.IGNORECASE)
+                is not None
+            )
+            i += 1
+            continue
+        if ch == ")":
+            if group_is_select:
+                group_is_select.pop()
+            i += 1
             continue
         m = pat.match(text, i)
         if m is None or (
@@ -2075,6 +2151,8 @@ def _cte_table_refs(text: str, name: str):
             return None  # qualified word before the ref: not FROM/JOIN
         if text[k + 1 : wend].upper() not in ("FROM", "JOIN"):
             return None
+        if group_is_select and not group_is_select[-1]:
+            return None  # expression-level FROM: never a relation
         am = re.match(
             r"\s+(AS\s+)?([A-Za-z_]\w*)", text[end:], re.IGNORECASE
         )
@@ -2087,25 +2165,37 @@ def _cte_table_refs(text: str, name: str):
     return refs
 
 
-def inline_single_use_ctes(sql: str):
-    """Inline ``WITH name AS (SELECT ...)`` definitions that are
-    referenced EXACTLY ONCE in ``FROM``/``JOIN`` position as derived
-    tables ``FROM (SELECT ...) AS name`` — textually the relation shape
-    the statement routes admit — and return the rewritten statement, or
-    ``None`` when the statement has no WITH clause or any definition is
-    multi-referenced / zero-referenced / renamed (column list) /
-    recursive / referenced outside FROM-JOIN position (those keep the
-    original statement and its fold/fallback paths — the round-8
-    contract).
+def inline_route_ctes(sql: str):
+    """Inline ``WITH name AS (SELECT ...)`` definitions referenced only
+    in ``FROM``/``JOIN`` position as derived tables ``FROM (SELECT ...)
+    AS name`` — textually the relation shape the statement routes admit
+    — and return the rewritten statement, or ``None`` when the
+    statement has no WITH clause or any definition is zero-referenced /
+    renamed (column list) / recursive / referenced outside FROM-JOIN
+    position (those keep the original statement and its fold/fallback
+    paths — the round-8 contract).
+
+    Multi-reference CTEs inline at EVERY site when their body contains
+    no non-deterministic call (round 10, VERDICT r9 task 3): Spark
+    re-plans the duplicated subtree and exchange reuse typically dedups
+    the scan, while the answer is identical by determinism.  A
+    multi-referenced CTE whose body IS non-deterministic keeps the fold
+    — per-site re-evaluation would draw independent rows where the CTE
+    draws once.  Single-use non-deterministic bodies still inline (one
+    evaluation either way).  A size cap bounds pathological chained
+    duplication (a CTE referencing an earlier multi-referenced CTE
+    multiplies the splice).
 
     This is a ROUTE PRE-PASS, not a general rewrite: Engine.query feeds
     the inlined text to the restructuring routes only; if every route
     bails, or the routed text fails the analysis probe, the ORIGINAL
     statement stands.  That probe is the safety net for any valid-SQL
     corner the conservative checks below miss — a garbled inline can
-    only cost the bounded plan, never the answer.  Round-9 session
-    (VERDICT r8 task 1): CTE-wrapped FUNNELCOUNT / MV-distinct /
-    SUMARRAY statements were the last wire shapes still landing on the
+    only cost the bounded plan, never the answer (one verified corner,
+    expression-level FROM, is additionally caught in _cte_table_refs
+    itself because it can analyze cleanly).  Round-9 session (VERDICT
+    r8 task 1): CTE-wrapped FUNNELCOUNT / MV-distinct / SUMARRAY
+    statements were the last wire shapes still landing on the
     collection-state folds at high cardinality."""
     head = re.match(r"\s*WITH\s+", sql, re.IGNORECASE)
     if head is None or re.match(
@@ -2146,11 +2236,17 @@ def inline_single_use_ctes(sql: str):
     # ``text``, counting references there is complete
     for name, body in reversed(ctes):
         refs = _cte_table_refs(text, name)
-        if refs is None or len(refs) != 1:
+        if refs is None or not refs:
             return None
-        start, end, has_alias = refs[0]
-        repl = f"({body})" if has_alias else f"({body}) AS {name}"
-        text = text[:start] + repl + text[end:]
+        if len(refs) > 1 and _search_unquoted_re(
+            _NONDETERMINISTIC_FN_RE, body
+        ):
+            return None  # per-site re-evaluation would draw twice: fold
+        for start, end, has_alias in reversed(refs):
+            repl = f"({body})" if has_alias else f"({body}) AS {name}"
+            text = text[:start] + repl + text[end:]
+        if len(text) > 262_144:
+            return None  # chained-duplication blowup guard: keep fold
     return text
 
 
@@ -2174,9 +2270,13 @@ def _parse_routable_statement(
     generated-alias prefix (a statement already containing it is either
     re-entrant or adversarial — bail).  ``allow_subqueries`` admits
     parenthesized (SELECT ...) groups and records their spans so the
-    caller can scope-exclude their call sites; ``allow_join`` admits ONE
-    ``[INNER|LEFT|RIGHT|FULL [OUTER]] JOIN tbl [alias] ON cond`` and
-    places ``insert_at`` after it."""
+    caller can scope-exclude their call sites; ``allow_join`` admits a
+    CHAIN of ``[INNER|LEFT|RIGHT|FULL [OUTER]] JOIN tbl [alias] ON
+    cond`` segments (round 10, VERDICT r9 task 1 — the one-JOIN cap was
+    pure conservatism: every route re-emits the relation text VERBATIM
+    inside its derived table, so a two-dimension-join funnel sees
+    exactly the rows the original aggregates saw) and places
+    ``insert_at`` after the last segment."""
     if guard in sql:
         return None
     if not re.match(r"\s*SELECT\b", sql, re.IGNORECASE):
@@ -2208,12 +2308,12 @@ def _parse_routable_statement(
         kws[from_i + 1][1] if from_i + 1 < len(kws) else len(sql)
     )
     shape.from_text = sql[shape.from_end : shape.next_start]
-    join_i = names.index("JOIN") if "JOIN" in names else None
-    if join_i is not None:
-        if (
-            not allow_join
-            or names.count("JOIN") != 1
-            or join_i != from_i + 1
+    join_is = [i for i, nm in enumerate(names) if nm == "JOIN"]
+    if join_is:
+        # every JOIN keyword must form one consecutive chain directly
+        # after FROM — a JOIN anywhere else is a mis-modeled statement
+        if not allow_join or join_is != list(
+            range(from_i + 1, from_i + 1 + len(join_is))
         ):
             return None
         jm = re.fullmatch(
@@ -2226,24 +2326,42 @@ def _parse_routable_statement(
         )
         if jm is None or "," in shape.from_text:
             return None
-        join_end = kws[join_i][2]
-        join_next = (
-            kws[join_i + 1][1] if join_i + 1 < len(kws) else len(sql)
-        )
-        join_text = sql[join_end:join_next]
-        if not re.fullmatch(
-            r"\s*([A-Za-z_][\w.]*)"
-            r"(?:\s+(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*))?"
-            r"\s+ON\s+.+?\s*",
-            join_text,
-            re.IGNORECASE | re.DOTALL,
-        ) or len(_split_top_level_commas(join_text)) != 1:
-            return None
-        # insert BEFORE the trailing whitespace so the following clause
-        # keyword keeps its separator (the inserted text carries no
-        # trailing space, matching the single-table insertion point)
-        shape.insert_at = join_end + len(join_text.rstrip())
-        shape.rel_next = join_next  # ONE derivation of the relation end
+        for seg, join_i in enumerate(join_is):
+            join_end = kws[join_i][2]
+            join_next = (
+                kws[join_i + 1][1]
+                if join_i + 1 < len(kws)
+                else len(sql)
+            )
+            join_text = sql[join_end:join_next]
+            final = seg == len(join_is) - 1
+            # every segment is `tbl [alias] ON cond`; a NON-final
+            # segment may trail the NEXT join's type modifier.  A
+            # modifier the regex cannot place (CROSS/NATURAL/SEMI/ANTI)
+            # is swallowed by the non-greedy cond, and the FOLLOWING
+            # segment then lacks its ON / its table — the chain bails
+            # there, so ON-less join flavors never validate.
+            if not re.fullmatch(
+                r"\s*([A-Za-z_][\w.]*)"
+                r"(?:\s+(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*))?"
+                r"\s+ON\s+.+?"
+                + (
+                    r"\s*"
+                    if final
+                    else r"(?:\s+(?:LEFT|RIGHT|FULL)(?:\s+OUTER)?"
+                    r"|\s+INNER)?\s*"
+                ),
+                join_text,
+                re.IGNORECASE | re.DOTALL,
+            ) or len(_split_top_level_commas(join_text)) != 1:
+                return None
+            if final:
+                # insert BEFORE the trailing whitespace so the following
+                # clause keyword keeps its separator (the inserted text
+                # carries no trailing space, matching the single-table
+                # insertion point)
+                shape.insert_at = join_end + len(join_text.rstrip())
+                shape.rel_next = join_next  # ONE relation-end derivation
     elif shape.from_text.lstrip().startswith("("):
         # a DERIVED-TABLE relation `FROM (SELECT ...) [AS] alias`
         # (round-8 session, requires allow_subqueries so the nested
@@ -2322,10 +2440,11 @@ def rewrite_mv_distinct_statement(sql: str, is_aggregate=None):
     # parenthesized (SELECT ...) group (round 8 — scalar subqueries /
     # IN / EXISTS): those groups evaluate in their OWN scope, so the
     # explode neither duplicates their input nor affects their result;
-    # their call sites are excluded from classification below.  ONE
-    # JOIN ... ON is allowed: the LATERAL VIEW attaches AFTER it,
-    # exploding each JOINED row — exactly the relation the original
-    # aggregates saw, so the duplication logic is unchanged.
+    # their call sites are excluded from classification below.  A
+    # JOIN ... ON chain is allowed (round 8 one join, round 10 chains):
+    # the LATERAL VIEW attaches AFTER the last join, exploding each
+    # JOINED row — exactly the relation the original aggregates saw, so
+    # the duplication logic is unchanged.
     shape = _parse_routable_statement(
         sql, "__mv", allow_subqueries=True, allow_join=True
     )
@@ -2497,8 +2616,9 @@ def rewrite_mv_distinct_statement(sql: str, is_aggregate=None):
 # serves it (FUNNELCOUNT: the exact fold; tuple values: a loud redirect),
 # and the caller requires the routed statement to ANALYZE cleanly or the
 # original stands.  Routable shape: one SELECT, a FROM of one table or
-# table + ONE `JOIN ... ON` (round-8 session: the relation re-emits
-# verbatim inside the derived table, joined or not), no set-ops/windows
+# table + a `JOIN ... ON` chain (round 8 one join, round 10 chains:
+# the relation re-emits verbatim inside the derived table, joined or
+# not), no set-ops/windows
 # (subqueries ARE admitted, round 8: scalar
 # subqueries stay in the outer statement, WHERE subqueries move verbatim
 # into the inner query where the base table binds identically, and their
@@ -2602,11 +2722,12 @@ def _parse_route_clauses(sql: str, shape):
     full RELATION text for the statement-restructuring routes;
     ``None`` = unroutable.  ``from_sp`` is ``(kw_start, kw_end,
     relation_end)`` where relation_end is the position past the whole
-    FROM relation — the table, or table + the ONE admitted ``JOIN ...
-    ON ...`` (round-8 session: the restructuring routes re-emit the
-    relation verbatim inside their derived table, and a joined relation
-    re-emits just as verbatim as a bare table, so the old
-    single-table-only bail was pure conservatism).  ``where_sp`` is
+    FROM relation — the table, or table + the admitted ``JOIN ... ON
+    ...`` chain (round-8 session, widened to chains in round 10: the
+    restructuring routes re-emit the relation verbatim inside their
+    derived table, and a joined relation re-emits just as verbatim as a
+    bare table, so the old single-table-only bail was pure
+    conservatism).  ``where_sp`` is
     ``(kw_start, kw_end, next_clause_start)``.  GROUP BY items must be
     plain unqualified identifiers: the inner level re-emits them under
     the SAME name so every outer reference still binds (expressions/
@@ -2624,7 +2745,7 @@ def _parse_route_clauses(sql: str, shape):
         return None
 
     # _parse_routable_statement validated the relation layout (single
-    # table, or table + ONE JOIN ... ON with allow_join=True) and
+    # table, or table + a JOIN ... ON chain with allow_join=True) and
     # recorded its end ONCE as shape.rel_next (post-review: this
     # function re-derived the boundary, a drift seam)
     rel_next = shape.rel_next
@@ -2815,10 +2936,11 @@ def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
     # subquery (IN / EXISTS / comparison) moves verbatim into the inner
     # query where the base table binds identically.  Subquery call sites
     # are scope-excluded from classification; a route TARGET inside a
-    # subquery is another statement's aggregate — bail.  ONE `JOIN ...
-    # ON` is admitted (round-8 session): the joined relation re-emits
-    # VERBATIM inside the derived table, so the inner GROUP BY sees
-    # exactly the rows the original aggregates saw.
+    # subquery is another statement's aggregate — bail.  A `JOIN ...
+    # ON` chain is admitted (round 8 one join, round 10 chains): the
+    # joined relation re-emits VERBATIM inside the derived table, so
+    # the inner GROUP BY sees exactly the rows the original aggregates
+    # saw.
     shape = _parse_routable_statement(
         sql, "__fc", allow_subqueries=True, allow_join=True
     )

@@ -38,6 +38,7 @@ def funnel_state(
     steps: Sequence[str],
     within: str | None = None,
     strict: bool = True,
+    mode: str | None = None,
 ) -> DataFrame:
     """Per-user funnel state: ``(user, t1..tN, max_step)``.
 
@@ -46,12 +47,25 @@ def funnel_state(
     is an SQL interval string (e.g. ``'3 DAYS'``) bounding every step after
     the first to ``t1 + within`` — Pinot's ``maxStepDuration``.
 
-    ``strict`` maps to the SQL surface's mode literals: ``True`` (the
-    default, strictly-after advancement ``>``) is ``'STRICT_INCREASE'``;
-    ``False`` (at-or-after ``>=``) is Pinot's default / ``'KEEP_ALL'``.
-    Round-9 review: the parameter exists so the operator API can express
-    BOTH modes the FUNNEL* SQL spellings serve, not just the strict one.
+    ``mode`` makes the twin contract with the SQL surface explicit
+    (round 10, r9 ADVICE): pass the statement's literal —
+    ``'STRICT_INCREASE'`` (strictly-after advancement ``>``) or
+    ``'KEEP_ALL'`` (at-or-after ``>=``, Pinot's DEFAULT funnel mode
+    **[P1.2]**) — and the state matches what the FUNNEL* statement
+    routes compute for that mode.  A caller building the twin of a
+    default-mode statement should pass ``mode='KEEP_ALL'``.
+
+    ``strict`` is the boolean spelling of the same choice (``True`` ==
+    ``'STRICT_INCREASE'``); it keeps its round-9 default for existing
+    callers and is ignored when ``mode`` is given.
     """
+    if mode is not None:
+        if mode not in ("STRICT_INCREASE", "KEEP_ALL"):
+            raise ValueError(
+                f"unsupported funnel mode {mode!r} (supported: "
+                "STRICT_INCREASE, KEEP_ALL)"
+            )
+        strict = mode == "STRICT_INCREASE"
     n = len(steps)
     evs = df.filter(F.col(type_col).isin(*steps)).select(user_col, ts_col, type_col)
     seq = evs.groupBy(user_col).agg(

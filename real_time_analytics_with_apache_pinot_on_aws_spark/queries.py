@@ -7152,7 +7152,7 @@ def b16_funnel_duration_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         "DISTINCTCOUNTMV(embedding), COUNT(*) FROM f GROUP BY label' — "
         "previously the last wire shape still landing on the "
         "collection-state fold — now inlines through "
-        "aggsql.inline_single_use_ctes to the derived-table relation "
+        "aggsql.inline_route_ctes to the derived-table relation "
         "the bounded exploded route admits: single-use WITH definitions "
         "re-emit verbatim as 'FROM (body) AS name', the route grows its "
         "LATERAL VIEW after the alias, and per-group state is the "
@@ -7165,7 +7165,7 @@ def b16_funnel_duration_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b17_cte_inline_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
     from .functions.aggsql import (
-        inline_single_use_ctes,
+        inline_route_ctes,
         rewrite_mv_distinct_statement,
         rewrite_pinot_aggregates,
     )
@@ -7176,7 +7176,7 @@ def b17_cte_inline_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT label, DISTINCTCOUNTMV(embedding) AS dmv, COUNT(*) AS c "
         "FROM f GROUP BY label ORDER BY label"
     )
-    inlined = inline_single_use_ctes(stmt)
+    inlined = inline_route_ctes(stmt)
     if inlined is None:
         raise AssertionError("CTE inliner refused a single-use WITH")
     routed = rewrite_mv_distinct_statement(inlined)

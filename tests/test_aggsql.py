@@ -405,9 +405,8 @@ def test_mv_statement_route_text(src, want):
     [
         # duplication-unsafe co-aggregate -> fallback expression path
         "SELECT PERCENTILE(v, 90), DISTINCTCOUNTMV(tags) FROM t",
-        # shapes the route cannot restructure (round 8: a SINGLE join and
+        # shapes the route cannot restructure (round 8: joins and
         # scalar subqueries now route — see the extension tests below)
-        "SELECT DISTINCTCOUNTMV(tags) FROM t JOIN d ON t.k = d.k JOIN e ON 1=1",
         "SELECT DISTINCTCOUNTMV(tags) FROM t, u",
         "SELECT DISTINCTCOUNTMV(tags) OVER () FROM t",
         "WITH c AS (SELECT 1) SELECT DISTINCTCOUNTMV(tags) FROM t",
@@ -769,12 +768,27 @@ def test_mv_route_single_join_text():
     )
     assert routed is not None
     assert "ON t.g = d.g LATERAL VIEW OUTER POSEXPLODE(t.tags)" in routed
-    # two joins / comma FROM still bail
+    # a JOIN CHAIN routes too (round 10): the LATERAL VIEW attaches
+    # after the LAST join and the whole relation re-emits verbatim
+    chained = RMV(
+        "SELECT DISTINCTCOUNTMV(tags) FROM t JOIN d ON t.k = d.k "
+        "LEFT JOIN e ON d.k = e.k"
+    )
+    assert chained is not None
+    assert "ON d.k = e.k LATERAL VIEW OUTER POSEXPLODE(tags)" in chained
+    # comma FROM / USING / ON-less join flavors still bail
+    assert RMV("SELECT DISTINCTCOUNTMV(tags) FROM t, d") is None
+    assert RMV(
+        "SELECT DISTINCTCOUNTMV(tags) FROM t JOIN d USING (k)"
+    ) is None
     assert RMV(
         "SELECT DISTINCTCOUNTMV(tags) FROM t JOIN d ON t.k = d.k "
-        "JOIN e ON d.k = e.k"
+        "CROSS JOIN e"
     ) is None
-    assert RMV("SELECT DISTINCTCOUNTMV(tags) FROM t, d") is None
+    assert RMV(
+        "SELECT DISTINCTCOUNTMV(tags) FROM t JOIN d ON t.k = d.k "
+        "NATURAL JOIN e"
+    ) is None
 
 
 def test_mv_route_join_values(spark, mv_engine):
@@ -981,8 +995,6 @@ def test_keyed_route_text_tuple_values_share_key():
         # shapes the route cannot restructure
         "WITH s AS (SELECT 1) SELECT FUNNELCOUNT(STEPS(ev='a'), "
         "CORRELATE_BY(u)) FROM t",
-        "SELECT FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) "
-        "FROM t JOIN d ON t.k = d.k JOIN e ON t.k = e.k",
         "SELECT FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t, d",
         "WITH c AS (SELECT 1) SELECT FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t",
         # co-occurring NON-decomposable aggregates keep the fallback
@@ -2787,7 +2799,7 @@ def test_sumarray_route_text_shape():
         "SELECT g, SUMARRAYLONG(a), percentile(v, 0.5) FROM t GROUP BY g",
         # windows / joins / set-ops bail at the shape parse
         "SELECT SUMARRAYLONG(a), row_number() OVER (ORDER BY g) FROM t",
-        "SELECT SUMARRAYLONG(a) FROM t JOIN d ON t.k = d.k JOIN e ON 1=1",
+        "SELECT SUMARRAYLONG(a) FROM t JOIN d USING (k)",
         "SELECT SUMARRAYLONG(a) FROM t UNION ALL SELECT array(1L) FROM t",
         # a route target inside a subquery is another statement's
         "SELECT (SELECT SUMARRAYLONG(a) FROM u) FROM t",
@@ -3290,6 +3302,142 @@ def test_keyword_named_column_in_on_condition(spark, joinroute_engine):
     assert got == {"view": [2, 3], "buy": [5, 5]}
 
 
+# -- JOIN chains route (round 10, VERDICT r9 task 1) ---------------------------
+
+
+@pytest.fixture(scope="module")
+def joinchain_views(spark):
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'eu'), (2, 'eu'), (3, 'us') "
+        "AS r(u, region)"
+    ).createOrReplaceTempView("jr_dim2")
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'de'), (2, 'fr'), (3, 'en') "
+        "AS l(u, lang)"
+    ).createOrReplaceTempView("jr_dim3")
+
+
+def test_keyed_route_with_join_chain(joinroute_engine, joinchain_views):
+    """A funnel grouped by attributes from TWO dimension joins — the
+    last high-volume fallback-traffic class (VERDICT r9 task 1) — takes
+    the bounded per-correlator route: the whole join chain re-emits
+    verbatim inside the derived table, the plan carries no collections,
+    and the answer equals the fold over the same chain."""
+    sel = (
+        "SELECT tier, region, FUNNELCOUNT(STEPS(ev = 'view', "
+        "ev = 'buy'), CORRELATE_BY(jr_fact.u)) AS fc, count(*) AS n "
+        "FROM {rel} GROUP BY tier, region ORDER BY tier, region"
+    )
+    chain = (
+        "jr_fact JOIN jr_dim ON jr_fact.u = jr_dim.u "
+        "JOIN jr_dim2 ON jr_fact.u = jr_dim2.u"
+    )
+    join_stmt = sel.format(rel=chain)
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_keyed_agg_statement,
+        rewrite_pinot_aggregates,
+    )
+
+    routed_text = rewrite_keyed_agg_statement(join_stmt)
+    assert routed_text is not None  # the route ENGAGED
+    joinroute_engine.spark.sql(  # analyzes cleanly
+        rewrite_pinot_aggregates(routed_text)
+    )
+    routed = joinroute_engine.query(join_stmt)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan and "collect_list" not in plan
+    rows = routed.collect()
+    folded = joinroute_engine.query(
+        "WITH jr_fact AS (SELECT jr_fact.u, ev, tier, region FROM "
+        + chain
+        + ") "
+        + sel.format(rel="jr_fact")
+    ).collect()
+    assert [(r.tier, r.region, r.fc, r.n) for r in rows] == [
+        (r.tier, r.region, r.fc, r.n) for r in folded
+    ]
+    assert [(r.tier, r.region, list(r.fc), r.n) for r in rows] == [
+        ("gold", "eu", [2, 1], 3),
+        ("silver", "us", [0, 0], 1),
+    ]
+
+
+def test_mv_route_with_join_chain(joinroute_engine, joinchain_views):
+    """The MV-distinct explode attaches after the LAST join of the
+    chain — per-element counts over exactly the joined rows."""
+    got = {
+        (r.tier, r.region): (r.v, r.c)
+        for r in joinroute_engine.query(
+            "SELECT tier, region, DISTINCTCOUNTMV(arr) AS v, "
+            "count(*) AS c FROM jr_fact "
+            "JOIN jr_dim ON jr_fact.u = jr_dim.u "
+            "LEFT JOIN jr_dim2 ON jr_fact.u = jr_dim2.u "
+            "GROUP BY tier, region"
+        ).collect()
+    }
+    # gold rows: u=1 arr(1,2)+(3), u=2 arr(1,1) -> {1,2,3}; silver: {2,5}
+    assert got == {
+        ("gold", "eu"): (3, 3),
+        ("silver", "us"): (2, 1),
+    }
+
+
+def test_sumarray_route_with_join_chain(joinroute_engine, joinchain_views):
+    got = {
+        (r.tier, r.region): r.s
+        for r in joinroute_engine.query(
+            "SELECT tier, region, SUMARRAYLONG(arr) AS s FROM jr_fact "
+            "JOIN jr_dim ON jr_fact.u = jr_dim.u "
+            "JOIN jr_dim2 ON jr_fact.u = jr_dim2.u "
+            "GROUP BY tier, region"
+        ).collect()
+    }
+    assert got == {("gold", "eu"): [5, 3], ("silver", "us"): [2, 5]}
+
+
+def test_ordered_funnel_route_with_join_chain(joinroute_engine, joinchain_views):
+    sel = (
+        "SELECT tier, region, FUNNELMAXSTEP(to_timestamp('2024-01-01') "
+        "+ make_interval(0, 0, 0, 0, 0, jr_fact.u, 0), '0', 2, "
+        "'ev = ''view''', 'ev = ''buy''') AS ms "
+        "FROM {rel} GROUP BY tier, region ORDER BY tier, region"
+    )
+    chain = (
+        "jr_fact JOIN jr_dim ON jr_fact.u = jr_dim.u "
+        "JOIN jr_dim2 ON jr_fact.u = jr_dim2.u"
+    )
+    join_stmt = sel.format(rel=chain)
+    routed_text = ROF(join_stmt)
+    assert routed_text is not None  # the route ENGAGED
+    joinroute_engine.spark.sql(routed_text)  # analyzes cleanly
+    routed = joinroute_engine.query(join_stmt).collect()
+    folded = joinroute_engine.query(
+        "WITH jr_fact AS (SELECT jr_fact.u, ev, tier, region FROM "
+        + chain
+        + ") "
+        + sel.format(rel="jr_fact")
+    ).collect()
+    assert [(r.tier, r.region, r.ms) for r in routed] == [
+        (r.tier, r.region, r.ms) for r in folded
+    ]
+
+
+def test_join_chain_three_deep_routes(joinroute_engine, joinchain_views):
+    """Three chained joins (self-joining the dims again) still parse:
+    the admission is a CHAIN, not a pair."""
+    got = {
+        r.tier: r.s
+        for r in joinroute_engine.query(
+            "SELECT tier, SUMARRAYLONG(arr) AS s FROM jr_fact "
+            "JOIN jr_dim ON jr_fact.u = jr_dim.u "
+            "JOIN jr_dim2 ON jr_fact.u = jr_dim2.u "
+            "JOIN jr_dim3 d3 ON jr_fact.u = d3.u "
+            "GROUP BY tier"
+        ).collect()
+    }
+    assert got == {"gold": [5, 3], "silver": [2, 5]}
+
+
 @pytest.mark.parametrize(
     "q,want",
     [
@@ -3432,7 +3580,7 @@ def test_non_select_parenthesized_relation_bails():
 
 
 from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (  # noqa: E402
-    inline_single_use_ctes,
+    inline_route_ctes,
 )
 
 
@@ -3467,17 +3615,50 @@ from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import 
             "WITH f AS (SELECT g FROM t) SELECT f.g FROM f GROUP BY f.g",
             " SELECT f.g FROM (SELECT g FROM t) AS f GROUP BY f.g",
         ),
+        # round 10: a deterministic multi-reference CTE inlines at EVERY
+        # site (Spark re-plans the duplicated subtree; exchange reuse
+        # dedups the scan) — VERDICT r9 task 3
+        (
+            "WITH f AS (SELECT * FROM t) "
+            "SELECT * FROM f a JOIN f b ON a.k = b.k",
+            " SELECT * FROM (SELECT * FROM t) a "
+            "JOIN (SELECT * FROM t) b ON a.k = b.k",
+        ),
+        # a commented `FROM name` is neither a reference nor a count
+        # bump (round 10, r9 ADVICE): the real site still inlines
+        (
+            "WITH f AS (SELECT * FROM t) "
+            "SELECT g, -- notes: FROM f\ncount(*) FROM f GROUP BY g",
+            " SELECT g, -- notes: FROM f\ncount(*) "
+            "FROM (SELECT * FROM t) AS f GROUP BY g",
+        ),
+        (
+            "WITH f AS (SELECT * FROM t) "
+            "SELECT g /* FROM f */ FROM f",
+            " SELECT g /* FROM f */ FROM (SELECT * FROM t) AS f",
+        ),
     ],
 )
 def test_cte_inliner_rewrites(src, want):
-    assert inline_single_use_ctes(src) == want
+    assert inline_route_ctes(src) == want
 
 
 @pytest.mark.parametrize(
     "src",
     [
-        # multi-reference: keep the fold (the round-8 contract)
-        "WITH f AS (SELECT * FROM t) SELECT * FROM f JOIN f ON 1 = 1",
+        # multi-reference with a NON-deterministic body: per-site
+        # re-evaluation would draw independent rows — keep the fold
+        "WITH f AS (SELECT * FROM t WHERE rand() < 0.5) "
+        "SELECT * FROM f a JOIN f b ON a.k = b.k",
+        # expression-level FROM (r9 ADVICE medium): substring's FROM is
+        # no relation keyword — inlining would rewrite a COLUMN into a
+        # scalar subquery that ANALYZES cleanly with different semantics
+        "WITH f AS (SELECT max(x) FROM t2) "
+        "SELECT substring(s FROM f FOR 3) FROM t",
+        "WITH f AS (SELECT max(x) FROM t2) "
+        "SELECT trim(LEADING 'x' FROM f) FROM t",
+        "WITH f AS (SELECT max(x) FROM t2) "
+        "SELECT extract(DAY FROM f) FROM t",
         # the fuzz fold-forcing shape: a dead second CTE
         "WITH f AS (SELECT * FROM t), f_keep AS (SELECT * FROM f) "
         "SELECT * FROM f",
@@ -3501,7 +3682,7 @@ def test_cte_inliner_rewrites(src, want):
     ],
 )
 def test_cte_inliner_bails(src):
-    assert inline_single_use_ctes(src) is None
+    assert inline_route_ctes(src) is None
 
 
 def test_cte_wrapped_mv_statement_routes_without_collections(mv_engine):
@@ -3900,3 +4081,92 @@ def test_funnel_duration_operator_degenerate_inputs_are_loud(spark):
         FN.funnel_step_duration_stats(state, 2, functions=())
     with pytest.raises(ValueError, match="duplicate duration functions"):
         FN.funnel_step_duration_stats(state, 2, functions=("min", "MIN"))
+
+
+# -- round 10: ADVICE hygiene pins ---------------------------------------------
+
+
+def test_nondeterminism_bail_is_word_bounded():
+    """VERDICT r9 hygiene: an identifier merely ENDING in a listed
+    nondeterministic name must not trip the route bail (the failure
+    direction was safe — fold, correct answer, unbounded plan — but a
+    registered UDF named e.g. `my$rand` lost its bounded route)."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        _NONDETERMINISTIC_FN_RE,
+        _search_unquoted_re,
+    )
+
+    assert _search_unquoted_re(
+        _NONDETERMINISTIC_FN_RE, "SELECT x FROM t WHERE rand() < 0.1"
+    )
+    assert _search_unquoted_re(
+        _NONDETERMINISTIC_FN_RE, "SELECT uuid(), x FROM t"
+    )
+    # alnum/_ predecessors were already rejected by the scanner; the
+    # lookbehind closes the remaining $ case at the regex itself
+    assert not _search_unquoted_re(
+        _NONDETERMINISTIC_FN_RE, "SELECT my$rand(x) FROM t"
+    )
+    assert not _search_unquoted_re(
+        _NONDETERMINISTIC_FN_RE, "SELECT myrand(x), brand(y) FROM t"
+    )
+    # a '.'-qualified spelling still bails — the safe direction
+    assert _search_unquoted_re(
+        _NONDETERMINISTIC_FN_RE, "SELECT builtin.rand() FROM t"
+    )
+
+
+def test_duration_functions_settings_spelling(ordered_engine):
+    """r9 ADVICE: `durationFunctions = col` (whitespace) is a step
+    PREDICATE comparing a column, not a settings literal — the parser
+    must not blame a 'duplicate settings literal'; and the
+    missing-settings error now names the whitespace near-miss."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        _parse_step_duration_args,
+    )
+
+    # a step predicate comparing a column named durationFunctions plus
+    # the real settings literal: parses as (step, settings), no
+    # duplicate-literal error
+    ts, wms, steps, cmp, fns = _parse_step_duration_args(
+        ["ts", "'0'", "2", "'ev = ''view'''",
+         "'durationFunctions = ev'", "'durationFunctions=min'"]
+    )
+    assert steps == ["ev = 'view'", "durationFunctions = ev"]
+    assert fns == ["MIN"]
+    # the whitespace-spelled near-miss alone: loud, and the error names
+    # the spelling problem instead of a misleading steps-count message
+    with pytest.raises(ValueError, match="without spaces"):
+        _parse_step_duration_args(
+            ["ts", "'0'", "1", "'ev = ''view'''",
+             "'durationFunctions = min,max'"]
+        )
+
+
+def test_funnel_state_mode_keyword(spark):
+    """r9 ADVICE: the operator twin accepts the SQL surface's mode
+    literals directly — mode='KEEP_ALL' is the statement default."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators import funnel as FN
+
+    spark.sql(
+        "SELECT u, cast(ts as timestamp) AS ts, ev FROM VALUES "
+        "(9, '2024-06-01 10:00:00', 'view'), "
+        "(9, '2024-06-01 10:00:00', 'view') AS t(u, ts, ev)"
+    ).createOrReplaceTempView("modeev")
+    df = spark.table("modeev")
+    for mode, strict in (("KEEP_ALL", False), ("STRICT_INCREASE", True)):
+        via_mode = FN.funnel_state(
+            df, "u", "ts", "ev", ["view", "view"], mode=mode
+        ).collect()
+        via_strict = FN.funnel_state(
+            df, "u", "ts", "ev", ["view", "view"], strict=strict
+        ).collect()
+        assert via_mode == via_strict, mode
+    # mode wins over a contradicting strict flag (it IS the contract)
+    keep = FN.funnel_state(
+        df, "u", "ts", "ev", ["view", "view"], strict=True,
+        mode="KEEP_ALL",
+    ).collect()[0]
+    assert keep["max_step"] == 2
+    with pytest.raises(ValueError, match="unsupported funnel mode"):
+        FN.funnel_state(df, "u", "ts", "ev", ["view"], mode="keep_all")

@@ -845,7 +845,7 @@ def test_mv_route_matches_fallback_reference(spark, rows, items, grouped, where)
 
     from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
     from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
-        inline_single_use_ctes,
+        inline_route_ctes,
         rewrite_mv_distinct_statement,
     )
 
@@ -870,7 +870,7 @@ def test_mv_route_matches_fallback_reference(spark, rows, items, grouped, where)
     # the routable form must actually take the route (shape gate sanity)
     assert rewrite_mv_distinct_statement(routable) is not None
     assert rewrite_mv_distinct_statement(reference) is None
-    assert inline_single_use_ctes(reference) is None  # engine keeps fold
+    assert inline_route_ctes(reference) is None  # engine keeps fold
     got = sorted(map(tuple, eng.query(routable).collect()))
     want = sorted(map(tuple, eng.query(reference).collect()))
     assert len(got) == len(want)
@@ -893,7 +893,7 @@ def test_mv_route_matches_fallback_reference(spark, rows, items, grouped, where)
         "WITH cte_src AS (SELECT * FROM mvfuzz) "
         f"SELECT {sel} FROM cte_src{tail}"
     )
-    assert inline_single_use_ctes(cte) is not None
+    assert inline_route_ctes(cte) is not None
     got_cte = sorted(map(tuple, eng.query(cte).collect()))
     assert got_cte == got
 
@@ -944,7 +944,7 @@ def test_funnelcount_route_matches_fold_reference(
 ):
     from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
     from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
-        inline_single_use_ctes,
+        inline_route_ctes,
         rewrite_keyed_agg_statement,
     )
 
@@ -974,7 +974,7 @@ def test_funnelcount_route_matches_fold_reference(
     )
     assert rewrite_keyed_agg_statement(routable) is not None
     assert rewrite_keyed_agg_statement(reference) is None
-    assert inline_single_use_ctes(reference) is None  # engine keeps fold
+    assert inline_route_ctes(reference) is None  # engine keeps fold
     got = sorted(map(tuple, eng.query(routable).collect()))
     want = sorted(map(tuple, eng.query(reference).collect()))
     assert got == want
@@ -983,7 +983,7 @@ def test_funnelcount_route_matches_fold_reference(
         "WITH cte_src AS (SELECT * FROM fcfuzz) "
         f"SELECT {sel} FROM cte_src{tail}"
     )
-    assert inline_single_use_ctes(cte) is not None
+    assert inline_route_ctes(cte) is not None
     assert sorted(map(tuple, eng.query(cte).collect())) == got
 
 
@@ -1028,7 +1028,7 @@ def test_ordered_funnel_route_matches_fold_reference(
 ):
     from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
     from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
-        inline_single_use_ctes,
+        inline_route_ctes,
         rewrite_ordered_funnel_statement,
     )
 
@@ -1059,7 +1059,7 @@ def test_ordered_funnel_route_matches_fold_reference(
     )
     assert rewrite_ordered_funnel_statement(routable) is not None
     assert rewrite_ordered_funnel_statement(reference) is None
-    assert inline_single_use_ctes(reference) is None  # engine keeps fold
+    assert inline_route_ctes(reference) is None  # engine keeps fold
     got = sorted(map(tuple, eng.query(routable).collect()))
     want = sorted(map(tuple, eng.query(reference).collect()))
     assert got == want
@@ -1068,7 +1068,7 @@ def test_ordered_funnel_route_matches_fold_reference(
         "WITH cte_src AS (SELECT * FROM offuzz) "
         f"SELECT {sel} FROM cte_src{tail}"
     )
-    assert inline_single_use_ctes(cte) is not None
+    assert inline_route_ctes(cte) is not None
     assert sorted(map(tuple, eng.query(cte).collect())) == got
 
 
@@ -1686,7 +1686,7 @@ _CI_BODIES = (
 @settings(**SETTINGS)
 def test_cte_inliner_preserves_semantics(spark, rows, body_i, cut, chain):
     from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
-        inline_single_use_ctes,
+        inline_route_ctes,
     )
 
     spark.createDataFrame(rows, "g int, x int").createOrReplaceTempView(
@@ -1699,7 +1699,7 @@ def test_cte_inliner_preserves_semantics(spark, rows, body_i, cut, chain):
         ref = "c2"
     body = _CI_BODIES[body_i].format(ref=ref)
     orig = "WITH " + ", ".join(defs) + " " + body
-    inlined = inline_single_use_ctes(orig)
+    inlined = inline_route_ctes(orig)
     assert inlined is not None, orig
     key = lambda r: tuple((v is None, v) for v in r)  # noqa: E731
     got = sorted(map(tuple, spark.sql(inlined).collect()), key=key)
