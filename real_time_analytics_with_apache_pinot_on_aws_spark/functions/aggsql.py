@@ -2785,14 +2785,21 @@ def _collect_decomposable_co_sites(
     loops had drifted into ~30 duplicated lines — the same divergence
     class the _StmtShape consolidation fixed for the route preambles).
     Returns the decomposable co-site list ``[(AGGNAME, start, end,
-    inner_text)]`` or ``None`` (bail to the route's fallback).
+    inner_text, filter_pred_or_None)]`` or ``None`` (bail to the
+    route's fallback); ``end`` spans past the FILTER clause when one
+    was admitted, so the replacement edit swallows it.
 
     Decomposable co-aggregates (round 8): partials push into the inner
     level and recombine exactly in the outer — count -> sum of counts,
     sum -> sum of sums, min/max -> extremes of extremes, avg -> sum of
-    sums / sum of counts.  Shapes the decomposition cannot keep exact
-    bail: a trailing FILTER would re-filter the OUTER aggregate over
-    restructured rows; count(DISTINCT x) does not decompose; min(a, b)
+    sums / sum of counts.  A trailing ``FILTER (WHERE pred)`` is
+    admitted since round 10 by folding ``pred`` into the INNER partial's
+    mask (``count(x) FILTER (WHERE c)`` == ``count(if(c, x, null))`` —
+    the predicate is row-level and the inner level is where the
+    original rows live, the same binding move the routes already make
+    for the WHERE clause; preds containing a subquery bail
+    conservatively).  Shapes the decomposition cannot keep exact still
+    bail: count(DISTINCT x) does not decompose; min(a, b)
     is invalid SQL but min((a, b)) is a VALID struct-min, so wrapping
     would silently serve a loudly broken original; sum-of-sums widens
     decimal precision twice (value-equal but dtype-drifted).
@@ -2812,17 +2819,35 @@ def _collect_decomposable_co_sites(
             # OWN input — the restructure neither moves nor re-groups them
             continue
         if u in _KEYED_DECOMPOSABLE:
-            if re.match(r"\s*FILTER\b", sql[end:], re.IGNORECASE):
-                return None
+            pred = None
+            fm = re.match(r"\s*FILTER\s*\(", sql[end:], re.IGNORECASE)
+            if fm:
+                try:
+                    finner, fend = _scan_balanced(
+                        sql, end + fm.end() - 1
+                    )
+                except ValueError:
+                    return None
+                wm = re.match(r"\s*WHERE\b", finner, re.IGNORECASE)
+                if wm is None:
+                    return None
+                pred = finner[wm.end():].strip()
+                # a subquery inside the pred would need span
+                # re-bookkeeping after the splice; aggregates in a
+                # FILTER pred are invalid SQL — both bail
+                if not pred or re.search(
+                    r"\bSELECT\b", pred, re.IGNORECASE
+                ) or _MV_AGG_IN_ARG_RE.search(pred):
+                    return None
+                end = fend  # the replacement swallows the FILTER clause
             if re.match(r"\s*DISTINCT\b", inner, re.IGNORECASE):
                 return None
             nargs = len(_split_top_level_commas(inner))
             if u == "COUNT":
-                if (
-                    nargs != 1
-                    and not count_multiarg_ok
-                    and inner.strip() != "*"
+                if nargs != 1 and inner.strip() != "*" and (
+                    not count_multiarg_ok or pred is not None
                 ):
+                    # a pred mask must wrap ONE expression
                     return None
             elif nargs != 1:
                 return None
@@ -2830,7 +2855,7 @@ def _collect_decomposable_co_sites(
                 r"decimal", inner, re.IGNORECASE
             ):
                 return None
-            co_sites.append((u, st, end, inner))
+            co_sites.append((u, st, end, inner, pred))
             continue
         if u in _KNOWN_AGG_NAMES:
             return None  # non-decomposable aggregates keep the fallback
@@ -2858,7 +2883,10 @@ def _emit_decomposable_co_aggs(
     the outer recombination.  ``first_copy``: a boolean SQL condition
     selecting exactly one copy of each original row — required when the
     route DUPLICATES rows (the sumarray explode); duplication-immune
-    MIN/MAX never mask.  Recombinations: count -> coalesce(sum, 0)
+    MIN/MAX never mask on it.  A site's admitted ``FILTER (WHERE
+    pred)`` joins the mask for EVERY function including MIN/MAX
+    (duplication-immune is not filter-immune) — round 10.
+    Recombinations: count -> coalesce(sum, 0)
     (zero inner rows must answer 0, not NULL), sum -> sum, avg ->
     try_divide of chained sum/count (all-NULL input means a 0 count —
     NULL, never an ANSI divide error), min/max -> themselves."""
@@ -2867,32 +2895,30 @@ def _emit_decomposable_co_aggs(
         for lv in levels[1:]:
             lv.append(f"{fn}({col}) AS {col}")
 
-    for j, (u, st, end, inner) in enumerate(co_sites):
+    for j, (u, st, end, inner, pred) in enumerate(co_sites):
         a = f"{prefix}{j}"
+        parts = []
+        if first_copy and u not in ("MIN", "MAX"):
+            parts.append(first_copy)
+        if pred:
+            parts.append(f"({pred})")
+        cond = " AND ".join(parts) if parts else None
         if u == "COUNT":
-            if first_copy:
+            if cond:
                 expr = "1" if inner.strip() == "*" else f"({inner})"
-                base = f"count(if({first_copy}, {expr}, null))"
+                base = f"count(if({cond}, {expr}, null))"
             else:
                 base = f"count({inner})"
             levels[0].append(f"{base} AS {a}")
             chain(a, "sum")
             repl = f"coalesce(sum({a}), 0)"
         elif u == "SUM":
-            arg = (
-                f"if({first_copy}, ({inner}), null)"
-                if first_copy
-                else f"({inner})"
-            )
+            arg = f"if({cond}, ({inner}), null)" if cond else f"({inner})"
             levels[0].append(f"sum({arg}) AS {a}")
             chain(a, "sum")
             repl = f"sum({a})"
         elif u in ("AVG", "MEAN"):
-            arg = (
-                f"if({first_copy}, ({inner}), null)"
-                if first_copy
-                else f"({inner})"
-            )
+            arg = f"if({cond}, ({inner}), null)" if cond else f"({inner})"
             levels[0].append(f"sum({arg}) AS {a}_s")
             levels[0].append(f"count({arg}) AS {a}_c")
             chain(f"{a}_s", "sum")
@@ -2900,7 +2926,8 @@ def _emit_decomposable_co_aggs(
             repl = f"try_divide(sum({a}_s), sum({a}_c))"
         else:  # MIN / MAX: duplication-immune, extremes of extremes
             fn = u.lower()
-            levels[0].append(f"{fn}(({inner})) AS {a}")
+            arg = f"if(({pred}), ({inner}), null)" if pred else f"({inner})"
+            levels[0].append(f"{fn}(({arg})) AS {a}")
             chain(a, fn)
             repl = f"{fn}({a})"
         edits.append((st, end, repl))

@@ -6937,6 +6937,76 @@ def b16_funnelcount_join_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b16_funnelcount_join2_route",
+    r"""
+    WITH j AS (
+      SELECT r_name, n_name, user_id, event_type
+      FROM events JOIN nation ON events.user_id % 25 = nation.n_nationkey
+      JOIN region ON nation.n_regionkey = region.r_regionkey
+      WHERE user_id IS NOT NULL
+    ),
+    m AS (
+      SELECT r_name, n_name, user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s2
+      FROM j GROUP BY 1, 2, 3
+    ),
+    f AS (
+      SELECT r_name, n_name,
+             CAST(sum(s1) AS BIGINT) AS step_view,
+             CAST(sum(s1 * s2) AS BIGINT) AS step_click
+      FROM m GROUP BY 1, 2
+    ),
+    c AS (SELECT r_name, n_name, count(*) AS n FROM j GROUP BY 1, 2)
+    SELECT f.r_name, f.n_name, f.step_view, f.step_click, c.n
+    FROM f JOIN c USING (r_name, n_name)
+    ORDER BY f.r_name, f.n_name
+    """,
+    doc="The keyed FUNNELCOUNT route over a TWO-JOIN chain (round 10, "
+        "VERDICT r9 task 1): a funnel grouped by attributes from two "
+        "dimension joins — previously the largest remaining "
+        "fallback-traffic class onto the collection-state folds — now "
+        "restructures to the same bounded per-correlator plan: the "
+        "whole `JOIN ... ON` chain re-emits VERBATIM inside the derived "
+        "table (exactly the rows the original aggregates saw), with "
+        "count(*) riding as a decomposable co-aggregate.  The builder "
+        "asserts the route ENGAGED, so a silent regression to the fold "
+        "fails the gate; the chain plan is pinned collection-free in "
+        "tests/test_aggsql.py (test_keyed_route_with_join_chain).  The "
+        "DuckDB oracle replays the funnel closed-form over the same "
+        "two-join chain.",
+)
+def b16_funnelcount_join2_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .functions.aggsql import (
+        rewrite_keyed_agg_statement,
+        rewrite_pinot_aggregates,
+    )
+
+    stmt = (
+        "SELECT r_name, n_name, FUNNELCOUNT(STEPS(event_type = 'view', "
+        "event_type = 'click'), CORRELATE_BY(user_id)) AS fc, "
+        "count(*) AS n "
+        "FROM events JOIN nation "
+        "ON events.user_id % 25 = nation.n_nationkey "
+        "JOIN region ON nation.n_regionkey = region.r_regionkey "
+        "WHERE user_id IS NOT NULL "
+        "GROUP BY r_name, n_name ORDER BY r_name, n_name"
+    )
+    routed = rewrite_keyed_agg_statement(stmt)
+    if routed is None:  # the chain regressing to the fold is a bug
+        raise AssertionError("keyed route refused a two-join chain")
+    df = spark.sql(rewrite_pinot_aggregates(routed))
+    return df.select(
+        "r_name",
+        "n_name",
+        F.element_at("fc", 1).alias("step_view"),
+        F.element_at("fc", 2).alias("step_click"),
+        "n",
+    )
+
+
+@register(
     "b24_mode_avg_route",
     r"""
     WITH src AS (
@@ -7157,8 +7227,10 @@ def b16_funnel_duration_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         "re-emit verbatim as 'FROM (body) AS name', the route grows its "
         "LATERAL VIEW after the alias, and per-group state is the "
         "distinct-element set (never a collect_set of whole arrays).  "
-        "Multi-reference / recursive / renamed CTEs keep the fold "
-        "contract.  The builder asserts BOTH passes engage, so a "
+        "Recursive / renamed / expression-referenced CTEs keep the "
+        "fold contract (round 10 extended multi-reference CTEs with "
+        "deterministic bodies to inline too — b17_cte_multiref_route). "
+        "The builder asserts BOTH passes engage, so a "
         "regression to the fold fails loudly, and the plan is pinned "
         "collection-free in tests/test_aggsql.py and test_plans.py.",
 )
@@ -7179,6 +7251,66 @@ def b17_cte_inline_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     inlined = inline_route_ctes(stmt)
     if inlined is None:
         raise AssertionError("CTE inliner refused a single-use WITH")
+    routed = rewrite_mv_distinct_statement(inlined)
+    if routed is None:  # the route regressing to the fold is a bug
+        raise AssertionError("MV statement route refused the inlined CTE")
+    return spark.sql(rewrite_pinot_aggregates(routed))
+
+
+@register(
+    "b17_cte_multiref_route",
+    r"""
+    WITH f AS (
+      SELECT label, embedding FROM embeddings WHERE label IS NOT NULL
+    ),
+    g AS (
+      SELECT label, embedding FROM f WHERE label IN
+        (SELECT label FROM f GROUP BY label HAVING count(*) % 2 = 0)
+    ),
+    d AS (
+      SELECT label, count(DISTINCT e) AS dmv
+      FROM (SELECT label, unnest(embedding) AS e FROM g) u
+      GROUP BY label
+    ),
+    c AS (SELECT label, count(*) AS c FROM g GROUP BY label)
+    SELECT d.label, d.dmv, c.c
+    FROM d JOIN c USING (label)
+    ORDER BY d.label
+    """,
+    doc="Round 10 (VERDICT r9 task 3): a TWICE-referenced WITH-CTE — "
+        "main FROM plus an IN-subquery over the same name — inlines at "
+        "BOTH sites when its body is deterministic (Spark re-plans the "
+        "duplicated subtree; exchange reuse dedups the scan), landing "
+        "on the derived-table + admitted-subquery shape the bounded MV "
+        "route serves: per-group state is the distinct-element set, "
+        "never a collect_set of whole arrays.  A multi-referenced CTE "
+        "with a NON-deterministic body keeps the fold (per-site "
+        "re-evaluation would draw independent rows).  The builder "
+        "asserts both passes engage so a fold regression fails loudly; "
+        "the DuckDB oracle replays the filter + distinct-count with "
+        "unnest.",
+)
+def b17_cte_multiref_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .functions.aggsql import (
+        inline_route_ctes,
+        rewrite_mv_distinct_statement,
+        rewrite_pinot_aggregates,
+    )
+
+    stmt = (
+        "WITH f AS (SELECT label, embedding FROM embeddings "
+        "WHERE label IS NOT NULL) "
+        "SELECT label, DISTINCTCOUNTMV(embedding) AS dmv, COUNT(*) AS c "
+        "FROM f WHERE label IN "
+        "(SELECT label FROM f GROUP BY label HAVING count(*) % 2 = 0) "
+        "GROUP BY label ORDER BY label"
+    )
+    inlined = inline_route_ctes(stmt)
+    if inlined is None:
+        raise AssertionError(
+            "CTE inliner refused a deterministic twice-referenced WITH"
+        )
     routed = rewrite_mv_distinct_statement(inlined)
     if routed is None:  # the route regressing to the fold is a bug
         raise AssertionError("MV statement route refused the inlined CTE")
@@ -7335,10 +7467,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # inlining through the bounded MV route — VERDICT r8 task 1) and
     # b16_funnel_duration_route (FUNNELSTEPDURATIONSTATS via the
     # window-cascade route — task 3) on the same post-window terms.
+    # Round 10 registers b16_funnelcount_join2_route (the keyed route
+    # over a TWO-JOIN chain — VERDICT r9 task 1) and
+    # b17_cte_multiref_route (a twice-referenced deterministic CTE
+    # inlining at both sites — task 3), again post-window.
     # If the window ever grows past 50, seat b70_tuple_sketch,
     # c32_url_filter, b17_mv_distinct_route, and b16_funnelcount_routed
     # first (the round-7 verdict's seating order), then the round-8
-    # routed rows, then the round-9 rows above.
+    # routed rows, then the round-9/10 rows above.
 )
 
 

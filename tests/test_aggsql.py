@@ -1002,7 +1002,8 @@ def test_keyed_route_text_tuple_values_share_key():
         "SELECT DISTINCTCOUNTMV(tags), SUMVALUESINTEGERSUMTUPLESKETCH(k, v) FROM t",
         # decomposition-breaking shapes of otherwise-decomposable co-aggs
         "SELECT count(DISTINCT x), FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t",
-        "SELECT count(*) FILTER (WHERE g = 'a'), "
+        # FILTER preds with a subquery keep the fold (span bookkeeping)
+        "SELECT count(*) FILTER (WHERE g IN (SELECT g FROM d)), "
         "FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t",
         "SELECT sum(cast(x as decimal(20,2))), "
         "FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t",
@@ -4170,3 +4171,85 @@ def test_funnel_state_mode_keyword(spark):
     assert keep["max_step"] == 2
     with pytest.raises(ValueError, match="unsupported funnel mode"):
         FN.funnel_state(df, "u", "ts", "ev", ["view"], mode="keep_all")
+
+
+def test_mv_target_filter_clause_routes(mv_engine):
+    """A `FILTER (WHERE ...)` clause on an MV-distinct TARGET rides the
+    route as-is (round 10): the replacement aggregate keeps the trailing
+    clause — `count(DISTINCT elem) FILTER (WHERE c)` — which counts
+    distinct elements over exactly the rows passing c (the explode is
+    in-place, no restructuring, so the clause's meaning is unchanged).
+    Spark 4 accepts DISTINCT + FILTER; shapes where the rewritten text
+    cannot analyze (e.g. the HLL estimate wrapper) fall back loudly via
+    the probe, never silently."""
+    stmt = (
+        "SELECT DISTINCTCOUNTMV(tags) FILTER (WHERE g = 'a') AS v, "
+        "count(*) AS n FROM mvsrc"
+    )
+    df = mv_engine.query(stmt)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan and "collect_list" not in plan
+    row = df.collect()[0]
+    # closed form over the fixture: distinct elements of g='a' arrays
+    want = mv_engine.spark.sql(
+        "SELECT count(DISTINCT e) AS v FROM "
+        "(SELECT explode(tags) AS e FROM mvsrc WHERE g = 'a')"
+    ).collect()[0]["v"]
+    n = mv_engine.spark.sql("SELECT count(*) AS n FROM mvsrc").collect()[0]["n"]
+    assert (row["v"], row["n"]) == (want, n)
+
+
+def test_keyed_route_filter_coaggs(joinroute_engine):
+    """Round 10: FILTER (WHERE pred) on decomposable co-aggregates folds
+    into the inner partial's mask (count(x) FILTER (WHERE c) ==
+    count(if(c, x, null)) — the pred is row-level and the inner level is
+    where the rows live).  Values checked against plain Spark over the
+    same relation; the route must ENGAGE."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_keyed_agg_statement,
+    )
+
+    stmt = (
+        "SELECT FUNNELCOUNT(STEPS(ev = 'view', ev = 'buy'), "
+        "CORRELATE_BY(u)) AS fc, "
+        "count(*) FILTER (WHERE ev = 'view') AS nv, "
+        "sum(v) FILTER (WHERE ev = 'buy') AS sb, "
+        "min(v) FILTER (WHERE ev = 'buy') AS mb, "
+        "avg(v) FILTER (WHERE ev = 'view') AS av "
+        "FROM jr_fact"
+    )
+    assert rewrite_keyed_agg_statement(stmt) is not None
+    row = joinroute_engine.query(stmt).collect()[0]
+    want = joinroute_engine.spark.sql(
+        "SELECT count(*) FILTER (WHERE ev = 'view') AS nv, "
+        "sum(v) FILTER (WHERE ev = 'buy') AS sb, "
+        "min(v) FILTER (WHERE ev = 'buy') AS mb, "
+        "avg(v) FILTER (WHERE ev = 'view') AS av FROM jr_fact"
+    ).collect()[0]
+    assert (row["nv"], row["sb"], row["mb"], row["av"]) == (
+        want["nv"], want["sb"], want["mb"], want["av"],
+    )
+    assert list(row["fc"]) == [2, 1]
+
+
+def test_sumarray_route_filter_coaggs(sumarray_engine):
+    """The row-duplicating sumarray route masks FILTER preds AND the
+    first-copy condition together; MIN/MAX mask only the pred."""
+    got = {
+        r["g"]: (r["s"], r["n"], r["mx"])
+        for r in sumarray_engine.query(
+            "SELECT g, SUMARRAYLONG(arr) AS s, "
+            "count(*) FILTER (WHERE size(arr) > 1) AS n, "
+            "max(size(arr)) FILTER (WHERE size(arr) < 3) AS mx "
+            "FROM sasrc GROUP BY g"
+        ).collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["mx"])
+        for r in sumarray_engine.spark.sql(
+            "SELECT g, count(*) FILTER (WHERE size(arr) > 1) AS n, "
+            "max(size(arr)) FILTER (WHERE size(arr) < 3) AS mx "
+            "FROM sasrc GROUP BY g"
+        ).collect()
+    }
+    assert {g: (n, mx) for g, (_, n, mx) in got.items()} == want

@@ -819,6 +819,10 @@ _mv_items_st = st.lists(
         "MIN(x) AS lo",
         "MAX(x) AS hi",
         "count(DISTINCT g) AS dg",
+        # round 10: FILTER preds ride the route (the clause stays
+        # attached to the in-place rewritten aggregate)
+        "COUNT(*) FILTER (WHERE x > 0) AS cf",
+        "SUM(x) FILTER (WHERE g = 1) AS sf",
     ]),
     min_size=1,
     max_size=5,
@@ -925,7 +929,16 @@ _fc_steps_st = st.lists(
 
 _fc_coaggs_st = st.lists(
     st.sampled_from(
-        ["count(*)", "count(x)", "sum(x)", "avg(x)", "min(x)", "max(x)"]
+        [
+            "count(*)", "count(x)", "sum(x)", "avg(x)", "min(x)",
+            "max(x)",
+            # round 10: FILTER preds fold into the inner partial's mask
+            "count(*) FILTER (WHERE x > 2)",
+            "sum(x) FILTER (WHERE ev = 'a')",
+            "avg(x) FILTER (WHERE x <= 10)",
+            "min(x) FILTER (WHERE ev <> 'd')",
+            "max(x) FILTER (WHERE x > 0)",
+        ]
     ),
     max_size=3,
 )
@@ -1674,6 +1687,12 @@ _CI_BODIES = (
     "SELECT g, (SELECT max(x) FROM {ref}) AS mx FROM cifuzz",
     # reference followed by clause keywords (no alias)
     "SELECT g FROM {ref} WHERE x IS NOT NULL ORDER BY g LIMIT 7",
+    # TWICE-referenced (round 10): main FROM + IN-subquery over the
+    # same deterministic name — inlines at both sites
+    "SELECT g, count(*) AS n FROM {ref} WHERE g IN "
+    "(SELECT g FROM {ref} WHERE x IS NOT NULL) GROUP BY g",
+    # twice-referenced, both in relation position with distinct aliases
+    "SELECT a.g, a.x FROM {ref} a JOIN {ref} b ON a.g = b.g",
 )
 
 
@@ -1838,3 +1857,97 @@ def test_jsonpath_defaults_match_python_reference(spark, vals):
                 )
                 want = (want_l, num)
         assert got[i] == want, (i, v)
+
+
+# ---------------------------------------------------------------------------
+# JOIN-chain route parity (round 10, VERDICT r9 task 1): for random fact
+# rows, random join types, and each statement-route target, the routed
+# chained statement equals the fold forced over the SAME chain (via a
+# dead-CTE wrapper the inliner refuses).  This is the fuzz half of the
+# chain admission's "done" criteria; the plan pin lives in test_aggsql.
+# ---------------------------------------------------------------------------
+
+_jc_fact_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),           # u
+        st.sampled_from(["view", "click", "buy"]),       # ev
+        st.lists(st.integers(min_value=0, max_value=3),  # arr
+                 min_size=0, max_size=3),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(
+    rows=_jc_fact_st,
+    jt1=st.sampled_from(["JOIN", "LEFT JOIN"]),
+    jt2=st.sampled_from(["JOIN", "LEFT JOIN"]),
+    target=st.sampled_from(["funnel", "mv", "maxstep"]),
+)
+@settings(**SETTINGS)
+def test_join_chain_route_matches_fold(spark, rows, jt1, jt2, target):
+    import tempfile
+
+    from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        inline_route_ctes,
+        rewrite_keyed_agg_statement,
+        rewrite_mv_distinct_statement,
+        rewrite_ordered_funnel_statement,
+    )
+
+    spark.createDataFrame(
+        rows, "u int, ev string, arr array<int>"
+    ).createOrReplaceTempView("jcfact")
+    eng = getattr(test_join_chain_route_matches_fold, "_eng", None)
+    if eng is None:
+        spark.sql(
+            "SELECT * FROM VALUES (0, 'g'), (1, 'g'), (2, 's'), (3, 's') "
+            "AS d(u, tier)"
+        ).createOrReplaceTempView("jcdim1")
+        spark.sql(
+            "SELECT * FROM VALUES (0, 'eu'), (2, 'eu'), (3, 'us'), (4, 'us') "
+            "AS r(u, region)"
+        ).createOrReplaceTempView("jcdim2")
+        eng = Engine(spark, tempfile.mkdtemp())
+        test_join_chain_route_matches_fold._eng = eng
+    sels = {
+        "funnel": "FUNNELCOUNT(STEPS(ev = 'view', ev = 'buy'), "
+                  "CORRELATE_BY(jcfact.u)) AS t, count(*) AS n",
+        "mv": "DISTINCTCOUNTMV(arr) AS t, count(*) AS n",
+        "maxstep": "FUNNELMAXSTEP(to_timestamp('2024-01-01') "
+                   "+ make_interval(0, 0, 0, 0, 0, jcfact.u, 0), '0', 2, "
+                   "'ev = ''view''', 'ev = ''buy''') AS t",
+    }
+    rewrites = {
+        "funnel": rewrite_keyed_agg_statement,
+        "mv": rewrite_mv_distinct_statement,
+        "maxstep": rewrite_ordered_funnel_statement,
+    }
+    chain = (
+        f"jcfact {jt1} jcdim1 ON jcfact.u = jcdim1.u "
+        f"{jt2} jcdim2 ON jcfact.u = jcdim2.u"
+    )
+    stmt = (
+        f"SELECT tier, region, {sels[target]} FROM {chain} "
+        "GROUP BY tier, region"
+    )
+    routed_text = rewrites[target](stmt)
+    assert routed_text is not None, stmt  # the chain route ENGAGED
+    fold_stmt = (
+        "WITH j AS (SELECT jcfact.u AS u, ev, arr, tier, region "
+        f"FROM {chain}), j_keep AS (SELECT * FROM j) "
+        f"SELECT tier, region, {sels[target]} FROM j "
+        "GROUP BY tier, region"
+    ).replace("CORRELATE_BY(jcfact.u)", "CORRELATE_BY(u)").replace(
+        "make_interval(0, 0, 0, 0, 0, jcfact.u, 0)",
+        "make_interval(0, 0, 0, 0, 0, u, 0)",
+    )
+    assert inline_route_ctes(fold_stmt) is None  # engine keeps fold
+    key = lambda r: tuple(  # noqa: E731
+        (v is None, v) for v in (r[0], r[1])
+    )
+    got = sorted(map(tuple, eng.query(stmt).collect()), key=key)
+    want = sorted(map(tuple, eng.query(fold_stmt).collect()), key=key)
+    assert got == want, stmt

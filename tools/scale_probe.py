@@ -114,6 +114,14 @@ PROBES = (
     # (the duration stats are outer-level scalar arithmetic), expect
     # the cascade's ~2x band at 32-64x
     "b16_funnel_duration_route",
+    # round 10: the keyed route over a TWO-JOIN chain — same two-level
+    # per-correlator shape with the chain re-emitted verbatim in the
+    # inner level (dims broadcast; the only corpus exchange carries
+    # per-(group, correlator) boolean flags)
+    "b16_funnelcount_join2_route",
+    # round 10: the twice-referenced deterministic CTE inlined at both
+    # sites — main FROM plus IN-subquery; exchange reuse dedups the scan
+    "b17_cte_multiref_route",
     # round 9: the CTE-inlined MV-distinct route — identical physical
     # plan to b17_mv_distinct_route after inlining (the CTE body
     # re-emits as the derived table), expect the same ~1.3x band
