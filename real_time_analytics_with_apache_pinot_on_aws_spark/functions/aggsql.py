@@ -1899,6 +1899,32 @@ _MV_AGG_IN_ARG_RE = re.compile(
 )
 
 
+def _parse_trailing_filter(sql: str, end: int):
+    """Parse an optional ``FILTER (WHERE pred)`` clause starting at
+    ``sql[end:]``.  Returns ``(pred, end_past_clause)`` when a valid,
+    mask-safe clause is present, ``(None, end)`` when there is no
+    FILTER clause at all, and ``None`` (caller bails) when a clause is
+    present but cannot be folded into a row-level mask — empty pred, a
+    subquery inside it (span re-bookkeeping), or an aggregate name
+    (invalid SQL the fallback should reject loudly)."""
+    fm = re.match(r"\s*FILTER\s*\(", sql[end:], re.IGNORECASE)
+    if fm is None:
+        return None, end
+    try:
+        finner, fend = _scan_balanced(sql, end + fm.end() - 1)
+    except ValueError:
+        return None
+    wm = re.match(r"\s*WHERE\b", finner, re.IGNORECASE)
+    if wm is None:
+        return None
+    pred = finner[wm.end():].strip()
+    if not pred or re.search(
+        r"\bSELECT\b", pred, re.IGNORECASE
+    ) or _MV_AGG_IN_ARG_RE.search(pred):
+        return None
+    return pred, fend
+
+
 def apply_text_edits(sql: str, edits: list):
     """Splice ``(start, end, replacement)`` edits into ``sql``; returns
     ``None`` when any two edits overlap (an overlap means a span scanner
@@ -2502,14 +2528,26 @@ def rewrite_mv_distinct_statement(sql: str, is_aggregate=None):
             return None
         if re.search(r"\bSELECT\b", e, re.IGNORECASE):
             return None  # a subquery inside the exploded argument
+        # a trailing FILTER (WHERE pred) on the TARGET folds into an
+        # element mask (round 10): the pred is row-level, so masking
+        # every exploded copy of a row keeps/drops its elements exactly
+        # like filter-then-explode; NULL elements are skipped by every
+        # builder aggregate (count DISTINCT / hll / sum / percentile),
+        # matching the builders' existing NULL-element semantics.  The
+        # mask-form (not native FILTER attachment) serves the
+        # scalar-wrapped builders (HLL estimate) too.
+        parsed_f = _parse_trailing_filter(sql, end)
+        if parsed_f is None:
+            return None  # unfoldable FILTER clause: bail
+        pred, end = parsed_f
         if e not in exprs:
             exprs.append(e)
-        mv_parsed.append((name, st, end, e, args))
+        mv_parsed.append((name, st, end, e, args, pred))
     cond = " AND ".join(
         f"coalesce(__mv{i}_pos, 0) = 0" for i in range(len(exprs))
     )
     edits = []
-    for name, st, end, e, margs in mv_parsed:
+    for name, st, end, e, margs, pred in mv_parsed:
         u = name.upper()
         i = exprs.index(e)
         elem = f"__mv{i}_elem"
@@ -2522,10 +2560,14 @@ def rewrite_mv_distinct_statement(sql: str, is_aggregate=None):
                     f"coalesce(__mv{j}_pos, 0) = 0" for j in others
                 )
                 elem = f"if({mcond}, {elem}, null)"
+            if pred:
+                elem = f"if(({pred}), {elem}, null)"
             repl = _MV_PERCENTILE_ROUTE[u].format(
                 elem=elem, frac=_mv_percent_frac(margs[1])
             )
         else:
+            if pred:
+                elem = f"if(({pred}), {elem}, null)"
             repl = _MV_DISTINCT_BUILDERS[u](elem)
         edits.append((st, end, repl))
     for name, st, op, inner, end in wrap_sites:
@@ -2819,27 +2861,10 @@ def _collect_decomposable_co_sites(
             # OWN input — the restructure neither moves nor re-groups them
             continue
         if u in _KEYED_DECOMPOSABLE:
-            pred = None
-            fm = re.match(r"\s*FILTER\s*\(", sql[end:], re.IGNORECASE)
-            if fm:
-                try:
-                    finner, fend = _scan_balanced(
-                        sql, end + fm.end() - 1
-                    )
-                except ValueError:
-                    return None
-                wm = re.match(r"\s*WHERE\b", finner, re.IGNORECASE)
-                if wm is None:
-                    return None
-                pred = finner[wm.end():].strip()
-                # a subquery inside the pred would need span
-                # re-bookkeeping after the splice; aggregates in a
-                # FILTER pred are invalid SQL — both bail
-                if not pred or re.search(
-                    r"\bSELECT\b", pred, re.IGNORECASE
-                ) or _MV_AGG_IN_ARG_RE.search(pred):
-                    return None
-                end = fend  # the replacement swallows the FILTER clause
+            parsed_f = _parse_trailing_filter(sql, end)
+            if parsed_f is None:
+                return None  # unfoldable FILTER clause: bail
+            pred, end = parsed_f  # end swallows the clause when present
             if re.match(r"\s*DISTINCT\b", inner, re.IGNORECASE):
                 return None
             nargs = len(_split_top_level_commas(inner))

@@ -4174,29 +4174,36 @@ def test_funnel_state_mode_keyword(spark):
 
 
 def test_mv_target_filter_clause_routes(mv_engine):
-    """A `FILTER (WHERE ...)` clause on an MV-distinct TARGET rides the
-    route as-is (round 10): the replacement aggregate keeps the trailing
-    clause — `count(DISTINCT elem) FILTER (WHERE c)` — which counts
-    distinct elements over exactly the rows passing c (the explode is
-    in-place, no restructuring, so the clause's meaning is unchanged).
-    Spark 4 accepts DISTINCT + FILTER; shapes where the rewritten text
-    cannot analyze (e.g. the HLL estimate wrapper) fall back loudly via
-    the probe, never silently."""
+    """A `FILTER (WHERE pred)` clause on an MV TARGET folds into an
+    element mask (round 10): pred is row-level, so masking every
+    exploded copy keeps/drops a row's elements exactly like
+    filter-then-explode, and the mask form serves the scalar-wrapped
+    builders (HLL estimate) that a native FILTER attachment cannot.
+    Values checked against filter-then-explode closed forms."""
     stmt = (
         "SELECT DISTINCTCOUNTMV(tags) FILTER (WHERE g = 'a') AS v, "
+        "DISTINCTCOUNTHLLMV(tags) FILTER (WHERE g = 'a') AS h, "
+        "DISTINCTSUMMV(tags) FILTER (WHERE g = 'a') AS s, "
+        "PERCENTILEMV(tags, 50) FILTER (WHERE g = 'a') AS p, "
+        "DISTINCTCOUNTHLLMV(tags) FILTER (WHERE g = 'zz') AS h0, "
         "count(*) AS n FROM mvsrc"
     )
     df = mv_engine.query(stmt)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "collect_set" not in plan and "collect_list" not in plan
     row = df.collect()[0]
-    # closed form over the fixture: distinct elements of g='a' arrays
     want = mv_engine.spark.sql(
-        "SELECT count(DISTINCT e) AS v FROM "
+        "SELECT count(DISTINCT e) AS v, "
+        "cast(sum(DISTINCT e) as double) AS s, "
+        "percentile(e, 0.5) AS p FROM "
         "(SELECT explode(tags) AS e FROM mvsrc WHERE g = 'a')"
-    ).collect()[0]["v"]
+    ).collect()[0]
     n = mv_engine.spark.sql("SELECT count(*) AS n FROM mvsrc").collect()[0]["n"]
-    assert (row["v"], row["n"]) == (want, n)
+    assert (row["v"], row["s"], row["p"], row["n"]) == (
+        want["v"], want["s"], want["p"], n,
+    )
+    assert row["h"] == row["v"]  # exact at fixture cardinality
+    assert row["h0"] == 0  # empty-after-FILTER answers 0, like round 9
 
 
 def test_keyed_route_filter_coaggs(joinroute_engine):
