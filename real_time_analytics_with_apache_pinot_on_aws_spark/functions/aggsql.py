@@ -2759,22 +2759,32 @@ def _theta_set_sql(ast, flag) -> str:
 _PLAIN_IDENT_RE = re.compile(r"[A-Za-z_]\w*")
 
 
-def _parse_route_clauses(sql: str, shape):
-    """FROM/WHERE clause spans + plain-identifier GROUP BY items + the
-    full RELATION text for the statement-restructuring routes;
-    ``None`` = unroutable.  ``from_sp`` is ``(kw_start, kw_end,
-    relation_end)`` where relation_end is the position past the whole
-    FROM relation — the table, or table + the admitted ``JOIN ... ON
-    ...`` chain (round-8 session, widened to chains in round 10: the
-    restructuring routes re-emit the relation verbatim inside their
-    derived table, and a joined relation re-emits just as verbatim as a
-    bare table, so the old single-table-only bail was pure
-    conservatism).  ``where_sp`` is
-    ``(kw_start, kw_end, next_clause_start)``.  GROUP BY items must be
-    plain unqualified identifiers: the inner level re-emits them under
-    the SAME name so every outer reference still binds (expressions/
-    ordinals would need alias substitution throughout the outer
-    clauses — those shapes keep the fallback)."""
+def _parse_route_clauses(sql: str, shape, guard: str = "__rg"):
+    """FROM/WHERE clause spans + GROUP BY columns + the full RELATION
+    text for the statement-restructuring routes; ``None`` = unroutable.
+    ``from_sp`` is ``(kw_start, kw_end, relation_end)`` where
+    relation_end is the position past the whole FROM relation — the
+    table, or table + the admitted ``JOIN ... ON ...`` chain (round-8
+    session, widened to chains in round 10: the restructuring routes
+    re-emit the relation verbatim inside their derived table, and a
+    joined relation re-emits just as verbatim as a bare table, so the
+    old single-table-only bail was pure conservatism).  ``where_sp``
+    is ``(kw_start, kw_end, next_clause_start)``.
+
+    ``group_cols`` is one tuple per GROUP BY item:
+    ``(name, l1_item, l1_group, expr_site)``.  Plain unqualified
+    identifiers re-emit under their own name (``(g, g, g, None)``) so
+    every outer reference binds unchanged.  EXPRESSION items (round 10
+    — ``GROUP BY date_trunc('day', ts)``, the time-bucketed-dashboard
+    staple) get an inner alias: ``name`` = ``{guard}g{k}``, ``l1_item``
+    = ``(expr) AS name`` for the innermost level, ``l1_group`` =
+    ``(expr)`` for its GROUP BY, and ``expr_site`` = the item's
+    ``(abs_start, abs_end, text)`` so _bind_group_expr_edits can
+    rewrite the OUTER clauses to the alias (the derived-table routes
+    project only their items, so the raw expression no longer binds
+    outside).  Ordinals, subquery-bearing items, and items starting
+    with a quote (exact-text outer matching could begin at a literal)
+    keep the fallback."""
     kws, names = shape.kws, shape.names
     if names.count("WHERE") > 1 or names.count("GROUP") > 1:
         return None
@@ -2797,20 +2807,94 @@ def _parse_route_clauses(sql: str, shape):
     if where_sp is not None and where_sp[0] != rel_next:
         return None  # WHERE not right after the relation: mis-modeled
     group_sp = clause_span("GROUP")
-    group_items: list = []
+    group_cols: list = []
     if group_sp is not None:
         gtext = sql[group_sp[1] : group_sp[2]]
         gm = re.match(r"\s*BY\b", gtext, re.IGNORECASE)
         if gm is None:
             return None
-        group_items = [
-            it.strip() for it in _split_top_level_commas(gtext[gm.end():])
-        ]
-        if not group_items or not all(
-            _PLAIN_IDENT_RE.fullmatch(it) for it in group_items
-        ):
+        base = group_sp[1] + gm.end()
+        parts = _split_top_level_commas(gtext[gm.end():])
+        off = 0
+        k = 0
+        for part in parts:
+            t = part.strip()
+            abs_s = base + off + (len(part) - len(part.lstrip()))
+            off += len(part) + 1  # past this item and its comma
+            if not t:
+                return None
+            if _PLAIN_IDENT_RE.fullmatch(t):
+                group_cols.append((t, t, t, None))
+                continue
+            if (
+                re.fullmatch(r"\d+", t)  # ordinals: select-list coupling
+                or re.search(r"\bSELECT\b", t, re.IGNORECASE)
+                or guard in t
+                or t[0] in "'\""
+            ):
+                return None
+            alias = f"{guard}g{k}"
+            k += 1
+            group_cols.append(
+                (alias, f"({t}) AS {alias}", f"({t})",
+                 (abs_s, abs_s + len(t), t))
+            )
+        if not group_cols:
             return None
-    return from_sp, where_sp, group_items, rel_text
+    return from_sp, where_sp, group_cols, rel_text
+
+
+def _bind_group_expr_edits(
+    sql: str, shape, from_sp, where_sp, group_cols, edits: list
+):
+    """Append the OUTER-clause rewrites for expression GROUP BY items
+    (round 10): the item text itself and every exact-text occurrence in
+    the outer regions (select list before FROM; everything after the
+    relation+WHERE, i.e. GROUP BY/HAVING/ORDER BY) become the inner
+    alias, because the derived-table routes project only their items
+    and the raw expression no longer binds there.  Occurrences inside
+    spans already being edited (route targets, co-aggregates — whose
+    text moves to the INNER level where the base table binds) and
+    inside other group items are skipped; literal content is opaque.
+    Matching is exact-byte with identifier-boundary checks — an outer
+    reference spelled with different whitespace simply stays unbound
+    and the analysis probe sends the statement to the fallback, never
+    a silent wrong answer."""
+    expr_cols = [gc for gc in group_cols if gc[3] is not None]
+    if not expr_cols:
+        return
+    repl_end = where_sp[2] if where_sp is not None else from_sp[2]
+    regions = ((shape.kws[0][2], from_sp[0]), (repl_end, len(sql)))
+    skip = [(s, e) for s, e, _ in edits]
+    skip += [(s, e) for _, _, _, (s, e, _) in expr_cols]
+
+    def skipped(a: int, b: int) -> bool:
+        return any(a < e2 and s2 < b for s2, e2 in skip)
+
+    for alias, _i, _g, (gs, ge, text) in expr_cols:
+        edits.append((gs, ge, alias))
+        for rs, rend in regions:
+            i = rs
+            while i < rend:
+                if sql.startswith(text, i) and i + len(text) <= rend:
+                    pre = sql[i - 1] if i > 0 else ""
+                    nxt = i + len(text)
+                    post = sql[nxt] if nxt < len(sql) else ""
+                    # NB: `"" in "_$"` is True (empty substring) — the
+                    # boundary checks must treat an empty neighbor as
+                    # a boundary, hence the explicit truthiness guard
+                    if (
+                        not (pre and (pre.isalnum() or pre in "_$."))
+                        and not (post and (post.isalnum() or post in "_$"))
+                        and not skipped(i, nxt)
+                    ):
+                        edits.append((i, nxt, alias))
+                        i = nxt
+                        continue
+                if sql[i] in ("'", '"'):
+                    i = _skip_literal(sql, i)
+                    continue
+                i += 1
 
 
 def _collect_decomposable_co_sites(
@@ -2999,10 +3083,10 @@ def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
     if shape is None:
         return None
     _in_subquery = shape.in_subquery
-    clauses = _parse_route_clauses(sql, shape)
+    clauses = _parse_route_clauses(sql, shape, "__fc")
     if clauses is None:
         return None
-    from_sp, where_sp, group_items, rel_text = clauses
+    from_sp, where_sp, group_cols, rel_text = clauses
     sites = _scan_call_sites(sql)
     target_sites = []
     for s in sites:
@@ -3075,7 +3159,7 @@ def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
     if len({p[3] for p in parsed}) != 1:
         return None  # all targets must share ONE key expression
     key = parsed[0][3]
-    inner_items = list(group_items)
+    inner_items = [gc[1] for gc in group_cols]
     inner_items.append(f"({key}) AS __fc_k")
     edits = []
     for j, (kind, st, end, _key, payload) in enumerate(parsed):
@@ -3133,8 +3217,9 @@ def rewrite_keyed_agg_statement(sql: str, is_aggregate=None):
             )
         edits.append((st, end, repl))
     _emit_decomposable_co_aggs(co_sites, "__fca", [inner_items], edits)
+    _bind_group_expr_edits(sql, shape, from_sp, where_sp, group_cols, edits)
     where_clause, repl_end = _split_off_where(sql, from_sp, where_sp)
-    inner_group = ", ".join(group_items + [f"({key})"])
+    inner_group = ", ".join([gc[2] for gc in group_cols] + [f"({key})"])
     inner_sql = (
         f"SELECT {', '.join(inner_items)} FROM {rel_text}"
         f"{where_clause} GROUP BY {inner_group}"
@@ -3270,10 +3355,10 @@ def rewrite_ordered_funnel_statement(sql: str, is_aggregate=None):
     )
     if shape is None:
         return None
-    clauses = _parse_route_clauses(sql, shape)
+    clauses = _parse_route_clauses(sql, shape, "__fn")
     if clauses is None:
         return None
-    from_sp, where_sp, group_items, rel_text = clauses
+    from_sp, where_sp, group_cols, rel_text = clauses
     sites = _scan_call_sites(sql)
     targets = []
     for name, st, op, inner, end in sites:
@@ -3319,8 +3404,13 @@ def rewrite_ordered_funnel_statement(sql: str, is_aggregate=None):
         ):
             return None
         parsed.append((kind, st, end, ts, window_ms, steps, cmp, fns))
+    # expression GROUP BY items need no aliasing here: every cascade
+    # layer projects `SELECT *`, so the outer clauses' raw expressions
+    # keep binding — the window simply partitions by the same expression
     part = (
-        f"PARTITION BY {', '.join(group_items)} " if group_items else ""
+        f"PARTITION BY {', '.join(gc[2] for gc in group_cols)} "
+        if group_cols
+        else ""
     )
     base_cols, orders = [], {}
     for j, (kind, st, end, ts, wms, steps, cmp, fns) in enumerate(parsed):
@@ -3473,10 +3563,10 @@ def rewrite_sumarray_statement(sql: str, is_aggregate=None):
     )
     if shape is None:
         return None
-    clauses = _parse_route_clauses(sql, shape)
+    clauses = _parse_route_clauses(sql, shape, "__sa")
     if clauses is None:
         return None
-    from_sp, where_sp, group_items, rel_text = clauses
+    from_sp, where_sp, group_cols, rel_text = clauses
     sites = _scan_call_sites(sql)
     target_sites = []
     for s in sites:
@@ -3533,7 +3623,7 @@ def rewrite_sumarray_statement(sql: str, is_aggregate=None):
             return None  # all targets must share ONE array expression
         parsed.append((name.upper(), st, end))
     first = "coalesce(__sa_pos, 0) = 0"
-    inner_items = list(group_items)
+    inner_items = [gc[1] for gc in group_cols]
     inner_items.append("__sa_pos")
     inner_items.append("sum(__sa_elem) AS __sa_v")
     edits = []
@@ -3549,8 +3639,9 @@ def rewrite_sumarray_statement(sql: str, is_aggregate=None):
     _emit_decomposable_co_aggs(
         co_sites, "__saa", [inner_items], edits, first_copy=first
     )
+    _bind_group_expr_edits(sql, shape, from_sp, where_sp, group_cols, edits)
     where_clause, repl_end = _split_off_where(sql, from_sp, where_sp)
-    inner_group = ", ".join(group_items + ["__sa_pos"])
+    inner_group = ", ".join([gc[2] for gc in group_cols] + ["__sa_pos"])
     inner_sql = (
         f"SELECT {', '.join(inner_items)} FROM {rel_text}"
         f" LATERAL VIEW OUTER POSEXPLODE({arr}) __sa"
@@ -3622,10 +3713,10 @@ def rewrite_mode_avg_statement(sql: str, is_aggregate=None):
     )
     if shape is None:
         return None
-    clauses = _parse_route_clauses(sql, shape)
+    clauses = _parse_route_clauses(sql, shape, "__md")
     if clauses is None:
         return None
-    from_sp, where_sp, group_items, rel_text = clauses
+    from_sp, where_sp, group_cols, rel_text = clauses
     sites = _scan_call_sites(sql)
     target_sites = []
     other_mode = False
@@ -3683,10 +3774,10 @@ def rewrite_mode_avg_statement(sql: str, is_aggregate=None):
     if len({e for _, _, e in target_sites}) != 1:
         return None  # all targets must share ONE value expression
     val = target_sites[0][2]
-    l1_items = list(group_items)
+    l1_items = [gc[1] for gc in group_cols]
     l1_items.append(f"({val}) AS __md_v")
     l1_items.append(f"count(({val})) AS __md_c")
-    l2_items = list(group_items)
+    l2_items = [gc[0] for gc in group_cols]
     l2_items.append("__md_c")
     l2_items.append("sum(__md_v) AS __md_sv")
     l2_items.append("count(*) AS __md_n")
@@ -3700,9 +3791,10 @@ def rewrite_mode_avg_statement(sql: str, is_aggregate=None):
     _emit_decomposable_co_aggs(
         co_sites, "__mda", [l1_items, l2_items], edits
     )
+    _bind_group_expr_edits(sql, shape, from_sp, where_sp, group_cols, edits)
     where_clause, repl_end = _split_off_where(sql, from_sp, where_sp)
-    l1_group = ", ".join(group_items + [f"({val})"])
-    l2_group = ", ".join(group_items + ["__md_c"])
+    l1_group = ", ".join([gc[2] for gc in group_cols] + [f"({val})"])
+    l2_group = ", ".join([gc[0] for gc in group_cols] + ["__md_c"])
     inner_sql = (
         f"SELECT {', '.join(l2_items)} FROM ("
         f"SELECT {', '.join(l1_items)} FROM {rel_text}"

@@ -7007,6 +7007,72 @@ def b16_funnelcount_join2_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "b16_funnelcount_timebucket_route",
+    r"""
+    WITH j AS (
+      SELECT date_trunc('DAY', ts) AS day, user_id, event_type
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    m AS (
+      SELECT day, user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s2
+      FROM j GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT day,
+             CAST(sum(s1) AS BIGINT) AS step_view,
+             CAST(sum(s1 * s2) AS BIGINT) AS step_click
+      FROM m GROUP BY 1
+    ),
+    c AS (SELECT day, count(*) AS n FROM j GROUP BY 1)
+    SELECT CAST(f.day AS TIMESTAMP) AS day, f.step_view, f.step_click,
+           c.n
+    FROM f JOIN c USING (day)
+    ORDER BY day
+    """,
+    doc="The keyed FUNNELCOUNT route with an EXPRESSION GROUP BY item "
+        "(round 10): `GROUP BY date_trunc('DAY', ts)` — the "
+        "time-bucketed funnel dashboard staple — routes by aliasing "
+        "the expression at the inner per-correlator level and "
+        "rewriting outer SELECT/GROUP/ORDER occurrences to the alias; "
+        "ordinals and subquery-bearing items keep the fallback, and "
+        "any occurrence the exact-text match misses leaves an unbound "
+        "reference the analysis probe turns into the fold, never a "
+        "silent wrong answer.  The builder asserts the route ENGAGED; "
+        "the DuckDB oracle replays the closed form over the same "
+        "day buckets (date_trunc returns DATE in DuckDB, cast to "
+        "TIMESTAMP for dtype parity).",
+)
+def b16_funnelcount_timebucket_route(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .functions.aggsql import (
+        rewrite_keyed_agg_statement,
+        rewrite_pinot_aggregates,
+    )
+
+    stmt = (
+        "SELECT date_trunc('DAY', ts) AS day, "
+        "FUNNELCOUNT(STEPS(event_type = 'view', event_type = 'click'), "
+        "CORRELATE_BY(user_id)) AS fc, count(*) AS n "
+        "FROM events WHERE user_id IS NOT NULL "
+        "GROUP BY date_trunc('DAY', ts) ORDER BY date_trunc('DAY', ts)"
+    )
+    routed = rewrite_keyed_agg_statement(stmt)
+    if routed is None:  # the route regressing to the fold is a bug
+        raise AssertionError("keyed route refused an expression group")
+    df = spark.sql(rewrite_pinot_aggregates(routed))
+    return df.select(
+        "day",
+        F.element_at("fc", 1).alias("step_view"),
+        F.element_at("fc", 2).alias("step_click"),
+        "n",
+    )
+
+
+@register(
     "b24_mode_avg_route",
     r"""
     WITH src AS (
@@ -7468,9 +7534,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # b16_funnel_duration_route (FUNNELSTEPDURATIONSTATS via the
     # window-cascade route — task 3) on the same post-window terms.
     # Round 10 registers b16_funnelcount_join2_route (the keyed route
-    # over a TWO-JOIN chain — VERDICT r9 task 1) and
-    # b17_cte_multiref_route (a twice-referenced deterministic CTE
-    # inlining at both sites — task 3), again post-window.
+    # over a TWO-JOIN chain — VERDICT r9 task 1), b17_cte_multiref_route
+    # (a twice-referenced deterministic CTE inlining at both sites —
+    # task 3), and b16_funnelcount_timebucket_route (an EXPRESSION
+    # GROUP BY item through the keyed route), again post-window.
     # If the window ever grows past 50, seat b70_tuple_sketch,
     # c32_url_filter, b17_mv_distinct_route, and b16_funnelcount_routed
     # first (the round-7 verdict's seating order), then the round-8

@@ -1010,8 +1010,8 @@ def test_keyed_route_text_tuple_values_share_key():
         # min(a, b) is invalid SQL, but min((a, b)) would be a VALID
         # struct-min: wrapping must not silently serve the broken original
         "SELECT min(a, b), FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t",
-        # GROUP BY expression / ordinal: outer references could not bind
-        "SELECT u % 2, FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t GROUP BY u % 2",
+        # GROUP BY ordinal: select-list coupling the routes refuse
+        # (expressions route since round 10 — see the groupexpr tests)
         "SELECT g, FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t GROUP BY 1",
         # different key expressions cannot share one inner grouping
         "SELECT SUMVALUESINTEGERSUMTUPLESKETCH(k1, v), "
@@ -1574,8 +1574,8 @@ def test_ordered_funnel_coaggregates_untouched(ordered_engine):
         "FROM t",
         # FILTER over restructured rows
         "SELECT FUNNELMAXSTEP(ts, '0', 1, 'a') FILTER (WHERE g = 1) FROM t",
-        # GROUP BY expression
-        "SELECT FUNNELMAXSTEP(ts, '0', 1, 'a') FROM t GROUP BY u % 2",
+        # GROUP BY ordinal (expressions route since round 10)
+        "SELECT FUNNELMAXSTEP(ts, '0', 1, 'a') FROM t GROUP BY 1",
         # window elsewhere in the statement
         "SELECT FUNNELMAXSTEP(ts, '0', 1, 'a'), row_number() OVER (ORDER BY u) FROM t",
     ],
@@ -4260,3 +4260,123 @@ def test_sumarray_route_filter_coaggs(sumarray_engine):
         ).collect()
     }
     assert {g: (n, mx) for g, (_, n, mx) in got.items()} == want
+
+
+# -- round 10: expression GROUP BY items route ---------------------------------
+
+
+@pytest.fixture(scope="module")
+def groupexpr_engine(spark, tmp_path_factory):
+    spark.sql(
+        "SELECT * FROM VALUES "
+        "(1, 'view', timestamp'2024-01-01 10:00', 10, array(1, 2)), "
+        "(1, 'buy',  timestamp'2024-01-01 11:00', 30, array(3)), "
+        "(2, 'view', timestamp'2024-01-02 09:00', 10, array(1, 1)), "
+        "(3, 'buy',  timestamp'2024-01-02 10:00', 20, array(2, 5)), "
+        "(3, 'view', timestamp'2024-01-02 11:00', 20, array(9)) "
+        "AS t(u, ev, ts, v, arr)"
+    ).createOrReplaceTempView("gxsrc")
+    return Engine(spark, str(tmp_path_factory.mktemp("wh")))
+
+
+def test_keyed_route_group_by_expression(groupexpr_engine):
+    """`GROUP BY date_trunc('DAY', ts)` — the time-bucketed funnel
+    dashboard staple — routes (round 10): the expression is aliased at
+    the inner level, outer SELECT/GROUP/ORDER occurrences rewrite to
+    the alias, and the plan carries no collections."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_keyed_agg_statement,
+    )
+
+    stmt = (
+        "SELECT date_trunc('DAY', ts) AS day, "
+        "FUNNELCOUNT(STEPS(ev = 'view', ev = 'buy'), "
+        "CORRELATE_BY(u)) AS fc, count(*) AS n FROM gxsrc "
+        "GROUP BY date_trunc('DAY', ts) ORDER BY date_trunc('DAY', ts)"
+    )
+    routed_text = rewrite_keyed_agg_statement(stmt)
+    assert routed_text is not None  # the route ENGAGED
+    assert "ORDER BY __fcg0" in routed_text  # outer occurrences rebound
+    groupexpr_engine.spark.sql(routed_text)  # analyzes cleanly
+    df = groupexpr_engine.query(stmt)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan and "collect_list" not in plan
+    assert [(str(r["day"]), list(r["fc"]), r["n"]) for r in df.collect()] == [
+        ("2024-01-01 00:00:00", [1, 1], 2),
+        ("2024-01-02 00:00:00", [2, 1], 3),
+    ]
+
+
+def test_sumarray_and_mode_routes_group_by_expression(groupexpr_engine):
+    got = {
+        str(r["day"]): r["s"]
+        for r in groupexpr_engine.query(
+            "SELECT date_trunc('DAY', ts) AS day, SUMARRAYLONG(arr) AS s "
+            "FROM gxsrc GROUP BY date_trunc('DAY', ts)"
+        ).collect()
+    }
+    assert got == {
+        "2024-01-01 00:00:00": [4, 2],
+        "2024-01-02 00:00:00": [12, 6],
+    }
+    modes = {
+        str(r["day"]): r["m"]
+        for r in groupexpr_engine.query(
+            "SELECT date_trunc('DAY', ts) AS day, MODE(v, 'AVG') AS m "
+            "FROM gxsrc GROUP BY date_trunc('DAY', ts)"
+        ).collect()
+    }
+    # day 1: {10, 30} both once -> avg 20; day 2: {10, 20, 20} -> 20
+    assert modes == {
+        "2024-01-01 00:00:00": 20.0,
+        "2024-01-02 00:00:00": 20.0,
+    }
+
+
+def test_ordered_route_group_by_expression(groupexpr_engine):
+    """The window cascade partitions by the raw expression — every
+    layer projects `SELECT *`, so outer clauses keep binding without
+    aliasing."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_ordered_funnel_statement,
+    )
+
+    stmt = (
+        "SELECT date_trunc('DAY', ts) AS day, FUNNELMAXSTEP(ts, '0', 2, "
+        "'ev = ''view''', 'ev = ''buy''') AS ms "
+        "FROM gxsrc GROUP BY date_trunc('DAY', ts)"
+    )
+    assert rewrite_ordered_funnel_statement(stmt) is not None
+    got = {
+        str(r["day"]): r["ms"]
+        for r in groupexpr_engine.query(stmt).collect()
+    }
+    # day 1: view@10 then buy@11 -> 2; day 2: u3's buy precedes its view
+    # but u2's view arms step 1 at 09:00, buy@10:00 completes -> 2
+    assert got == {
+        "2024-01-01 00:00:00": 2,
+        "2024-01-02 00:00:00": 2,
+    }
+
+
+@pytest.mark.parametrize(
+    "stmt",
+    [
+        # ordinals: select-list coupling the routes refuse
+        "SELECT ev, FUNNELCOUNT(STEPS(ev = 'a'), CORRELATE_BY(u)) "
+        "FROM gxsrc GROUP BY 1",
+        # subquery-bearing group expression
+        "SELECT FUNNELCOUNT(STEPS(ev = 'a'), CORRELATE_BY(u)) "
+        "FROM gxsrc GROUP BY (v > (SELECT avg(v) FROM gxsrc))",
+        # quote-leading expression (exact-text matching could start at
+        # a literal): keep the fallback
+        "SELECT FUNNELCOUNT(STEPS(ev = 'a'), CORRELATE_BY(u)) "
+        "FROM gxsrc GROUP BY 'p' || ev",
+    ],
+)
+def test_group_expression_bails(stmt):
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_keyed_agg_statement,
+    )
+
+    assert rewrite_keyed_agg_statement(stmt) is None

@@ -947,7 +947,8 @@ _fc_coaggs_st = st.lists(
 @given(
     rows=_fc_rows_st,
     steps=_fc_steps_st,
-    grouped=st.booleans(),
+    # round 10: expression GROUP BY items route via inner aliasing
+    grouped=st.sampled_from([None, "g", "abs(g - 1)", "g % 2"]),
     where=st.sampled_from([None, "x > 0", "x <= 10"]),
     coaggs=_fc_coaggs_st,
 )
@@ -976,9 +977,11 @@ def test_funnelcount_route_matches_fold_reference(
     # decomposable co-aggregates (round 8) ride the route; x values are
     # small ints so double sums/avgs are exact on both paths
     co = [f"{c} AS c{i}" for i, c in enumerate(coaggs)]
-    sel = ", ".join((["g"] if grouped else []) + co + [fc])
+    sel = ", ".join(
+        ([f"{grouped} AS gk"] if grouped else []) + co + [fc]
+    )
     tail = (" WHERE " + where if where else "") + (
-        " GROUP BY g" if grouped else ""
+        f" GROUP BY {grouped}" if grouped else ""
     )
     routable = f"SELECT {sel} FROM fcfuzz{tail}"
     reference = (
