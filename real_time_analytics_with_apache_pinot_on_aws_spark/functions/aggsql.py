@@ -2782,9 +2782,13 @@ def _parse_route_clauses(sql: str, shape, guard: str = "__rg"):
     ``(abs_start, abs_end, text)`` so _bind_group_expr_edits can
     rewrite the OUTER clauses to the alias (the derived-table routes
     project only their items, so the raw expression no longer binds
-    outside).  Ordinals, subquery-bearing items, and items starting
-    with a quote (exact-text outer matching could begin at a literal)
-    keep the fallback."""
+    outside); ``expr_site`` is ``(clause_span_or_None, expr_text)`` —
+    None for ORDINAL items, which resolve through the select list and
+    keep their clause text verbatim (the routes edit in place, so
+    select positions are stable).  Subquery-bearing items,
+    aggregate-containing items (the original's own error), and items
+    starting with a quote (exact-text outer matching could begin at a
+    literal) keep the fallback."""
     kws, names = shape.kws, shape.names
     if names.count("WHERE") > 1 or names.count("GROUP") > 1:
         return None
@@ -2815,6 +2819,7 @@ def _parse_route_clauses(sql: str, shape, guard: str = "__rg"):
             return None
         base = group_sp[1] + gm.end()
         parts = _split_top_level_commas(gtext[gm.end():])
+        sel_items = None  # lazily split for ordinal resolution
         off = 0
         k = 0
         for part in parts:
@@ -2826,18 +2831,46 @@ def _parse_route_clauses(sql: str, shape, guard: str = "__rg"):
             if _PLAIN_IDENT_RE.fullmatch(t):
                 group_cols.append((t, t, t, None))
                 continue
+            site = (abs_s, abs_s + len(t))
+            if re.fullmatch(r"\d+", t):
+                # ordinal (round 10): it denotes the t-th OUTER select
+                # item, and the routes' in-place edits preserve select
+                # positions, so the ordinal itself stays verbatim — only
+                # the RESOLVED expression needs the inner alias.  An
+                # `expr AS alias` item strips its alias; bare-alias
+                # items (`expr name`) are ambiguous with expressions
+                # ending in an identifier, so their whole text stays and
+                # the probe folds any mis-read.
+                if sel_items is None:
+                    sel_items = _split_top_level_commas(
+                        sql[kws[0][2] : from_sp[0]]
+                    )
+                idx = int(t)
+                if not 1 <= idx <= len(sel_items):
+                    return None  # invalid ordinal: the original's error
+                t = sel_items[idx - 1].strip()
+                am = re.search(
+                    r"\s+AS\s+[A-Za-z_]\w*\s*$", t, re.IGNORECASE
+                )
+                if am:
+                    t = t[: am.start()].strip()
+                site = None  # the clause keeps the ordinal text
+                if not t:
+                    return None
+                if _PLAIN_IDENT_RE.fullmatch(t):
+                    group_cols.append((t, t, t, None))
+                    continue
             if (
-                re.fullmatch(r"\d+", t)  # ordinals: select-list coupling
-                or re.search(r"\bSELECT\b", t, re.IGNORECASE)
-                or guard in t
+                re.search(r"\bSELECT\b", t, re.IGNORECASE)
+                or _MV_AGG_IN_ARG_RE.search(t)  # group by aggregate:
+                or guard in t                   # the original's error
                 or t[0] in "'\""
             ):
                 return None
             alias = f"{guard}g{k}"
             k += 1
             group_cols.append(
-                (alias, f"({t}) AS {alias}", f"({t})",
-                 (abs_s, abs_s + len(t), t))
+                (alias, f"({t}) AS {alias}", f"({t})", (site, t))
             )
         if not group_cols:
             return None
@@ -2866,13 +2899,14 @@ def _bind_group_expr_edits(
     repl_end = where_sp[2] if where_sp is not None else from_sp[2]
     regions = ((shape.kws[0][2], from_sp[0]), (repl_end, len(sql)))
     skip = [(s, e) for s, e, _ in edits]
-    skip += [(s, e) for _, _, _, (s, e, _) in expr_cols]
+    skip += [site for _, _, _, (site, _) in expr_cols if site]
 
     def skipped(a: int, b: int) -> bool:
         return any(a < e2 and s2 < b for s2, e2 in skip)
 
-    for alias, _i, _g, (gs, ge, text) in expr_cols:
-        edits.append((gs, ge, alias))
+    for alias, _i, _g, (site, text) in expr_cols:
+        if site:  # ordinal items keep their clause text verbatim
+            edits.append((site[0], site[1], alias))
         for rs, rend in regions:
             i = rs
             while i < rend:

@@ -1010,9 +1010,10 @@ def test_keyed_route_text_tuple_values_share_key():
         # min(a, b) is invalid SQL, but min((a, b)) would be a VALID
         # struct-min: wrapping must not silently serve the broken original
         "SELECT min(a, b), FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t",
-        # GROUP BY ordinal: select-list coupling the routes refuse
-        # (expressions route since round 10 — see the groupexpr tests)
-        "SELECT g, FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t GROUP BY 1",
+        # GROUP BY ordinal naming an AGGREGATE select item: the
+        # original's own error class — keep the fallback (plain/expr
+        # ordinals route since round 10, see the groupexpr tests)
+        "SELECT FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t GROUP BY 1",
         # different key expressions cannot share one inner grouping
         "SELECT SUMVALUESINTEGERSUMTUPLESKETCH(k1, v), "
         "SUMVALUESINTEGERSUMTUPLESKETCH(k2, v) FROM t",
@@ -1574,7 +1575,7 @@ def test_ordered_funnel_coaggregates_untouched(ordered_engine):
         "FROM t",
         # FILTER over restructured rows
         "SELECT FUNNELMAXSTEP(ts, '0', 1, 'a') FILTER (WHERE g = 1) FROM t",
-        # GROUP BY ordinal (expressions route since round 10)
+        # GROUP BY ordinal naming the aggregate itself
         "SELECT FUNNELMAXSTEP(ts, '0', 1, 'a') FROM t GROUP BY 1",
         # window elsewhere in the statement
         "SELECT FUNNELMAXSTEP(ts, '0', 1, 'a'), row_number() OVER (ORDER BY u) FROM t",
@@ -4362,9 +4363,13 @@ def test_ordered_route_group_by_expression(groupexpr_engine):
 @pytest.mark.parametrize(
     "stmt",
     [
-        # ordinals: select-list coupling the routes refuse
-        "SELECT ev, FUNNELCOUNT(STEPS(ev = 'a'), CORRELATE_BY(u)) "
+        # an ordinal naming an aggregate select item (invalid SQL the
+        # fallback should reject with the original's error)
+        "SELECT FUNNELCOUNT(STEPS(ev = 'a'), CORRELATE_BY(u)), ev "
         "FROM gxsrc GROUP BY 1",
+        # an out-of-range ordinal
+        "SELECT ev, FUNNELCOUNT(STEPS(ev = 'a'), CORRELATE_BY(u)) "
+        "FROM gxsrc GROUP BY 9",
         # subquery-bearing group expression
         "SELECT FUNNELCOUNT(STEPS(ev = 'a'), CORRELATE_BY(u)) "
         "FROM gxsrc GROUP BY (v > (SELECT avg(v) FROM gxsrc))",
@@ -4380,3 +4385,44 @@ def test_group_expression_bails(stmt):
     )
 
     assert rewrite_keyed_agg_statement(stmt) is None
+
+
+def test_group_by_ordinal_routes(groupexpr_engine):
+    """`GROUP BY 1` resolves through the select list (round 10): the
+    routes edit in place so select positions are stable and the ordinal
+    text stays verbatim; only the resolved expression is aliased at the
+    inner level.  Plain-column ordinals and expression ordinals both
+    route."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_keyed_agg_statement,
+    )
+
+    # expression ordinal (the `AS day` alias is stripped on resolution)
+    stmt = (
+        "SELECT date_trunc('DAY', ts) AS day, "
+        "FUNNELCOUNT(STEPS(ev = 'view', ev = 'buy'), "
+        "CORRELATE_BY(u)) AS fc FROM gxsrc GROUP BY 1 ORDER BY 1"
+    )
+    routed_text = rewrite_keyed_agg_statement(stmt)
+    assert routed_text is not None
+    assert "GROUP BY 1" in routed_text  # the ordinal stays verbatim
+    got = {
+        str(r["day"]): list(r["fc"])
+        for r in groupexpr_engine.query(stmt).collect()
+    }
+    assert got == {
+        "2024-01-01 00:00:00": [1, 1],
+        "2024-01-02 00:00:00": [2, 1],
+    }
+    # plain-column ordinal
+    plain = (
+        "SELECT ev, FUNNELCOUNT(STEPS(ev = 'view', ev = 'buy'), "
+        "CORRELATE_BY(u)) AS fc FROM gxsrc GROUP BY 1"
+    )
+    assert rewrite_keyed_agg_statement(plain) is not None
+    rows = {
+        r["ev"]: list(r["fc"])
+        for r in groupexpr_engine.query(plain).collect()
+    }
+    # per-ev funnels: 'buy' rows alone never complete step 1 ('view')
+    assert rows["view"] == [3, 0] and rows["buy"] == [0, 0]
