@@ -387,6 +387,18 @@ def main() -> None:
         "SELECT campaign, count(*) FROM clickstream GROUP BY campaign"
     ).show(truncate=False)
 
+    # 19. Round 10: the routes now admit the full dashboard shape in one
+    #     statement — a time-bucketed funnel (expression GROUP BY /
+    #     GROUP BY 1), FILTER'd co-aggregates, and dimension-join chains
+    engine.query(
+        "SELECT date_trunc('DAY', creationTimestamp__ts) AS day, "
+        "FUNNELCOUNT(STEPS(campaign = 'BlackFriday', "
+        "campaign = '10Percent'), CORRELATE_BY(userID)) AS funnel, "
+        "count(*) FILTER (WHERE price > 50) AS big_carts "
+        "FROM clickstream "
+        "GROUP BY date_trunc('DAY', creationTimestamp__ts) ORDER BY 1"
+    ).show(truncate=False)
+
     spark.stop()
 
 
