@@ -15,8 +15,12 @@ from pyspark.sql import functions as F
 from real_time_analytics_with_apache_pinot_on_aws_spark.operators import dedup, gapfill, upsert
 from real_time_analytics_with_apache_pinot_on_aws_spark.streaming import rollup as R
 
+import os
+
+# per-commit depth is 5; the off-gate widened sweeps (SCALE.md records
+# one per round) run the same file with SPARK_GRAFT_FUZZ_EXAMPLES=25
 SETTINGS = dict(
-    max_examples=5,
+    max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "5")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )

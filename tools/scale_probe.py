@@ -122,6 +122,10 @@ PROBES = (
     # round 10: the twice-referenced deterministic CTE inlined at both
     # sites — main FROM plus IN-subquery; exchange reuse dedups the scan
     "b17_cte_multiref_route",
+    # round 10: expression GROUP BY through the keyed route — the
+    # time-bucket alias adds one projected column to the same
+    # per-(bucket, correlator) two-level plan
+    "b16_funnelcount_timebucket_route",
     # round 9: the CTE-inlined MV-distinct route — identical physical
     # plan to b17_mv_distinct_route after inlining (the CTE body
     # re-emits as the derived table), expect the same ~1.3x band
