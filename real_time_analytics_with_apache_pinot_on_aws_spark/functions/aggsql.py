@@ -2887,12 +2887,25 @@ def _bind_group_expr_edits(
     alias, because the derived-table routes project only their items
     and the raw expression no longer binds there.  Occurrences inside
     spans already being edited (route targets, co-aggregates — whose
-    text moves to the INNER level where the base table binds) and
-    inside other group items are skipped; literal content is opaque.
-    Matching is exact-byte with identifier-boundary checks — an outer
-    reference spelled with different whitespace simply stays unbound
-    and the analysis probe sends the statement to the fallback, never
-    a silent wrong answer."""
+    text moves to the INNER level where the base table binds), inside
+    other group items, and inside ADMITTED SUBQUERY SPANS (round-10
+    review: a subquery's own columns may spell the same text — its
+    inner-first resolution is identical either way, and an
+    outward-correlated raw reference simply fails the probe) are
+    skipped; literal content is opaque.
+
+    An occurrence only rewrites when it stands ALONE as a list item or
+    parenthesized operand — both non-whitespace neighbors must be a
+    delimiter (comma/paren/end) or an alphabetic keyword, never an
+    operator character or the infix ``DIV`` (round-10 review: an
+    exact-byte match need not be a parse subtree — ``y * x + 1`` with
+    ``GROUP BY x + 1`` matches the tail, and rewriting it would turn
+    the original's loud MISSING_AGGREGATION into silently-served
+    numbers).  Matching is exact-byte with identifier-boundary checks
+    — any occurrence this skips or misses stays an unbound raw
+    reference and the analysis probe sends the statement to the
+    fallback (the original's answer OR its loud error), never a silent
+    wrong answer."""
     expr_cols = [gc for gc in group_cols if gc[3] is not None]
     if not expr_cols:
         return
@@ -2900,9 +2913,33 @@ def _bind_group_expr_edits(
     regions = ((shape.kws[0][2], from_sp[0]), (repl_end, len(sql)))
     skip = [(s, e) for s, e, _ in edits]
     skip += [site for _, _, _, (site, _) in expr_cols if site]
+    skip += list(shape.subq_spans)
 
     def skipped(a: int, b: int) -> bool:
         return any(a < e2 and s2 < b for s2, e2 in skip)
+
+    def standalone(pos: int, forward: bool) -> bool:
+        # the nearest non-whitespace neighbor: a delimiter or an
+        # alphabetic keyword means the match is a complete list item /
+        # parenthesized operand; an operator char (or infix DIV) means
+        # the surrounding expression could bind tighter than the
+        # item's own operators — leave it raw for the probe
+        j = pos
+        step = 1 if forward else -1
+        while 0 <= j < len(sql) and sql[j] in " \t\r\n":
+            j += step
+        if not 0 <= j < len(sql):
+            return True  # statement boundary
+        ch = sql[j]
+        if ch in "(),;":
+            return True
+        if ch.isalpha() or ch == "_":
+            k = j
+            while 0 <= k < len(sql) and (sql[k].isalnum() or sql[k] == "_"):
+                k += step
+            word = sql[k + 1 : j + 1] if not forward else sql[j:k]
+            return word.upper() != "DIV"
+        return False
 
     for alias, _i, _g, (site, text) in expr_cols:
         if site:  # ordinal items keep their clause text verbatim
@@ -2921,6 +2958,8 @@ def _bind_group_expr_edits(
                         not (pre and (pre.isalnum() or pre in "_$."))
                         and not (post and (post.isalnum() or post in "_$"))
                         and not skipped(i, nxt)
+                        and standalone(i - 1, forward=False)
+                        and standalone(nxt, forward=True)
                     ):
                         edits.append((i, nxt, alias))
                         i = nxt

@@ -3349,10 +3349,13 @@ def test_keyed_route_with_join_chain(joinroute_engine, joinchain_views):
     plan = routed._jdf.queryExecution().executedPlan().toString()
     assert "collect_set" not in plan and "collect_list" not in plan
     rows = routed.collect()
+    # the dead jr_keep CTE blocks the inliner, so the reference REALLY
+    # takes the fold (round-10 review: a single-use CTE inlines to an
+    # admitted derived table, making the old reference route too)
     folded = joinroute_engine.query(
         "WITH jr_fact AS (SELECT jr_fact.u, ev, tier, region FROM "
         + chain
-        + ") "
+        + "), jr_keep AS (SELECT * FROM jr_fact) "
         + sel.format(rel="jr_fact")
     ).collect()
     assert [(r.tier, r.region, r.fc, r.n) for r in rows] == [
@@ -3413,14 +3416,20 @@ def test_ordered_funnel_route_with_join_chain(joinroute_engine, joinchain_views)
     assert routed_text is not None  # the route ENGAGED
     joinroute_engine.spark.sql(routed_text)  # analyzes cleanly
     routed = joinroute_engine.query(join_stmt).collect()
+    # dead jr_keep CTE: the reference must take the FOLD, not the route
     folded = joinroute_engine.query(
         "WITH jr_fact AS (SELECT jr_fact.u, ev, tier, region FROM "
         + chain
-        + ") "
+        + "), jr_keep AS (SELECT * FROM jr_fact) "
         + sel.format(rel="jr_fact")
     ).collect()
     assert [(r.tier, r.region, r.ms) for r in routed] == [
         (r.tier, r.region, r.ms) for r in folded
+    ]
+    # gold-eu = u2 alone (u1 has no jr_dim2 row): view only -> 1;
+    # silver-us = u3: buy without a prior view -> 0
+    assert [(r.tier, r.region, r.ms) for r in routed] == [
+        ("gold", "eu", 1), ("silver", "us", 0),
     ]
 
 
@@ -4426,3 +4435,41 @@ def test_group_by_ordinal_routes(groupexpr_engine):
     }
     # per-ev funnels: 'buy' rows alone never complete step 1 ('view')
     assert rows["view"] == [3, 0] and rows["buy"] == [0, 0]
+
+
+def test_group_expr_rebinding_safety(mv_engine):
+    """Round-10 review pins: (1) an expression GROUP BY item spelled
+    inside an ADMITTED SUBQUERY is the subquery's own scope — the
+    rebinder must leave it raw (inner-first resolution is identical;
+    outward correlation fails the probe into the fold); (2) an
+    exact-byte match that is NOT a parse subtree (`y * x + 1` vs item
+    `x + 1`) must not rewrite — the original's loud MISSING_AGGREGATION
+    must surface, never silently-served numbers."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_keyed_agg_statement,
+    )
+
+    sub = rewrite_keyed_agg_statement(
+        "SELECT date_trunc('DAY', ts) AS day, "
+        "FUNNELCOUNT(STEPS(ev = 'view'), CORRELATE_BY(u)) AS fc, "
+        "(SELECT count(*) FROM cal WHERE date_trunc('DAY', ts) = cal.d) "
+        "AS m FROM events GROUP BY date_trunc('DAY', ts)"
+    )
+    assert sub is not None
+    assert "WHERE date_trunc('DAY', ts) = cal.d" in sub  # subquery raw
+    tail = rewrite_keyed_agg_statement(
+        "SELECT y * x + 1 AS z, FUNNELCOUNT(STEPS(ev = 'a'), "
+        "CORRELATE_BY(u)) AS fc FROM t GROUP BY y, x + 1"
+    )
+    assert tail is None or "y * x + 1" in tail  # tail match left raw
+    # ... and the ENGINE surfaces the original's loud analysis error
+    # (the routed text carries the unbound select item, the probe
+    # fails, and the fold re-raises MISSING_AGGREGATION)
+    mv_engine.spark.sql(
+        "SELECT * FROM VALUES (1, 2, 'a', 1) AS t(y, x, ev, u)"
+    ).createOrReplaceTempView("magg")
+    with pytest.raises(Exception, match="MISSING_AGGREGATION|grouping"):
+        mv_engine.query(
+            "SELECT y * x + 1 AS z, FUNNELCOUNT(STEPS(ev = 'a'), "
+            "CORRELATE_BY(u)) AS fc FROM magg GROUP BY y, x + 1"
+        ).collect()

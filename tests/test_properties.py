@@ -837,7 +837,9 @@ _mv_items_st = st.lists(
 @given(
     rows=_mv_rows_st,
     items=_mv_items_st,
-    grouped=st.booleans(),
+    # round 10: the MV route needs no group aliasing (in-place explode),
+    # so expression groups must serve natively — fuzz them too
+    grouped=st.sampled_from([None, "g", "abs(g - 1)"]),
     # the last two exercise the round-8 subquery extension (scalar + IN)
     where=st.sampled_from([
         None,
@@ -866,9 +868,11 @@ def test_mv_route_matches_fallback_reference(spark, rows, items, grouped, where)
 
         eng = Engine(spark, tempfile.mkdtemp())
         test_mv_route_matches_fallback_reference._eng = eng
-    sel = ", ".join((["g"] if grouped else []) + items)
+    sel = ", ".join(
+        ([f"{grouped} AS gk"] if grouped else []) + items
+    )
     tail = (" WHERE " + where if where else "") + (
-        " GROUP BY g" if grouped else ""
+        f" GROUP BY {grouped}" if grouped else ""
     )
     routable = f"SELECT {sel} FROM mvfuzz{tail}"
     reference = (
@@ -1958,3 +1962,75 @@ def test_join_chain_route_matches_fold(spark, rows, jt1, jt2, target):
     got = sorted(map(tuple, eng.query(stmt).collect()), key=key)
     want = sorted(map(tuple, eng.query(fold_stmt).collect()), key=key)
     assert got == want, stmt
+
+
+# ---------------------------------------------------------------------------
+# MV target FILTER masking (round 10): there is no fold for a FILTER'd MV
+# target (the normalized-set fallback wraps aggregates in scalars, which a
+# native FILTER attachment cannot follow), so the routed element-mask form
+# is diffed against the filter-then-explode closed form in plain Spark SQL.
+# ---------------------------------------------------------------------------
+
+_MVF_CLOSED = {
+    "DISTINCTCOUNTMV(tags) FILTER (WHERE {p}) AS t":
+        "count(DISTINCT e) AS t",
+    "DISTINCTSUMMV(tags) FILTER (WHERE {p}) AS t":
+        "cast(sum(DISTINCT e) as double) AS t",
+    "PERCENTILEMV(tags, 50) FILTER (WHERE {p}) AS t":
+        "percentile(e, 0.5) AS t",
+}
+
+
+@given(
+    rows=_mv_rows_st,
+    target=st.sampled_from(sorted(_MVF_CLOSED)),
+    pred=st.sampled_from(["x > 0", "x <= 3", "g = 1"]),
+    grouped=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_mv_target_filter_matches_filter_then_explode(
+    spark, rows, target, pred, grouped
+):
+    import math
+    import tempfile
+
+    from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_mv_distinct_statement,
+    )
+
+    spark.createDataFrame(
+        rows, "g int, x int, tags array<int>"
+    ).createOrReplaceTempView("mvffuzz")
+    eng = getattr(
+        test_mv_target_filter_matches_filter_then_explode, "_eng", None
+    )
+    if eng is None:
+        eng = Engine(spark, tempfile.mkdtemp())
+        test_mv_target_filter_matches_filter_then_explode._eng = eng
+    sel = ", ".join(
+        (["g"] if grouped else []) + [target.format(p=pred)]
+    )
+    tail = " GROUP BY g" if grouped else ""
+    stmt = f"SELECT {sel} FROM mvffuzz{tail}"
+    assert rewrite_mv_distinct_statement(stmt) is not None
+    got = sorted(map(tuple, eng.query(stmt).collect()))
+    # closed form: filter the rows, THEN explode (OUTER keeps groups
+    # whose every row fails the pred alive on the grouped side)
+    ref = (
+        f"SELECT {'g, ' if grouped else ''}{_MVF_CLOSED[target]} FROM "
+        f"(SELECT g, CASE WHEN {pred} THEN e END AS e FROM mvffuzz "
+        "LATERAL VIEW OUTER explode(tags) AS e)"
+        f"{' GROUP BY g' if grouped else ''}"
+    )
+    want = sorted(map(tuple, spark.sql(ref).collect()))
+    assert len(got) == len(want), stmt
+    for gr, wr in zip(got, want):
+        for gv, wv in zip(gr, wr):
+            if isinstance(gv, float) or isinstance(wv, float):
+                assert (
+                    (gv is None and wv is None)
+                    or math.isclose(gv, wv, rel_tol=1e-9, abs_tol=1e-9)
+                ), (stmt, gr, wr)
+            else:
+                assert gv == wv, (stmt, gr, wr)
