@@ -2877,6 +2877,19 @@ def _parse_route_clauses(sql: str, shape, guard: str = "__rg"):
     return from_sp, where_sp, group_cols, rel_text
 
 
+# word-spelled operators that can bind INTO an exact-byte match whose
+# own top-level operator has equal-or-lower precedence (round-11 ADVICE:
+# AND/OR/NOT regroup a boolean item's tail; IN/IS/LIKE/... take a left
+# operand the tail could be mistaken for).  A match neighbored by any of
+# these stays a raw reference — the analysis probe then folds the
+# statement, the module's fail-safe direction.  Alphabetic clause
+# keywords (BY, THEN, WHEN, ASC, ...) remain safe delimiters.
+_REBIND_WORD_OPS = frozenset(
+    """DIV AND OR NOT XOR IN IS LIKE ILIKE RLIKE REGEXP BETWEEN
+    ESCAPE MOD SIMILAR SOUNDS""".split()
+)
+
+
 def _bind_group_expr_edits(
     sql: str, shape, from_sp, where_sp, group_cols, edits: list
 ):
@@ -2897,11 +2910,21 @@ def _bind_group_expr_edits(
     An occurrence only rewrites when it stands ALONE as a list item or
     parenthesized operand — both non-whitespace neighbors must be a
     delimiter (comma/paren/end) or an alphabetic keyword, never an
-    operator character or the infix ``DIV`` (round-10 review: an
+    operator character or a WORD-SPELLED operator (round-10 review: an
     exact-byte match need not be a parse subtree — ``y * x + 1`` with
     ``GROUP BY x + 1`` matches the tail, and rewriting it would turn
     the original's loud MISSING_AGGREGATION into silently-served
-    numbers).  Matching is exact-byte with identifier-boundary checks
+    numbers; round-11 ADVICE: the same subtree hazard with WORD
+    operators — ``ORDER BY c AND a OR b`` parses ``(c AND a) OR b``,
+    so an ``a OR b`` item's byte match is not a subtree either, and
+    with ``c`` projected the regrouped rewrite ANALYZES CLEANLY —
+    hence every word operator joins the DIV exclusion, low-precedence
+    AND/OR/NOT that bind INTO the match and comparison keywords
+    IN/IS/LIKE/BETWEEN... whose left operand a boolean item's tail
+    could be mistaken for, e.g. ``a OR b IN (...)``).  Comments are
+    opaque to the scan exactly like _cte_table_refs (round-11 ADVICE:
+    an unbalanced quote inside ``--``/``/* */`` desynced
+    _skip_literal).  Matching is exact-byte with identifier-boundary checks
     — any occurrence this skips or misses stays an unbound raw
     reference and the analysis probe sends the statement to the
     fallback (the original's answer OR its loud error), never a silent
@@ -2921,9 +2944,10 @@ def _bind_group_expr_edits(
     def standalone(pos: int, forward: bool) -> bool:
         # the nearest non-whitespace neighbor: a delimiter or an
         # alphabetic keyword means the match is a complete list item /
-        # parenthesized operand; an operator char (or infix DIV) means
-        # the surrounding expression could bind tighter than the
-        # item's own operators — leave it raw for the probe
+        # parenthesized operand; an operator char — or a WORD operator
+        # (_REBIND_WORD_OPS) — means the surrounding expression could
+        # bind INTO the match's own operators — leave it raw for the
+        # probe (fold), never a regrouped rewrite
         j = pos
         step = 1 if forward else -1
         while 0 <= j < len(sql) and sql[j] in " \t\r\n":
@@ -2938,7 +2962,7 @@ def _bind_group_expr_edits(
             while 0 <= k < len(sql) and (sql[k].isalnum() or sql[k] == "_"):
                 k += step
             word = sql[k + 1 : j + 1] if not forward else sql[j:k]
-            return word.upper() != "DIV"
+            return word.upper() not in _REBIND_WORD_OPS
         return False
 
     for alias, _i, _g, (site, text) in expr_cols:
@@ -2947,6 +2971,10 @@ def _bind_group_expr_edits(
         for rs, rend in regions:
             i = rs
             while i < rend:
+                c = _skip_comment(sql, i)
+                if c is not None:  # comment content is opaque — and an
+                    i = c          # unbalanced quote inside one must
+                    continue       # not desync the literal skipper
                 if sql.startswith(text, i) and i + len(text) <= rend:
                     pre = sql[i - 1] if i > 0 else ""
                     nxt = i + len(text)

@@ -4473,3 +4473,70 @@ def test_group_expr_rebinding_safety(mv_engine):
             "SELECT y * x + 1 AS z, FUNNELCOUNT(STEPS(ev = 'a'), "
             "CORRELATE_BY(u)) AS fc FROM magg GROUP BY y, x + 1"
         ).collect()
+
+
+def test_group_expr_rebinding_word_operators(mv_engine):
+    """Round-11 ADVICE (high) pins: a WORD operator neighboring an
+    exact-byte match means the match may not be a parse subtree —
+    ``HAVING c AND a OR b`` parses ``(c AND a) OR b``, so the ``a OR
+    b`` tail must stay raw even when the GROUP BY item is ``a OR b``;
+    with ``c`` projected the old rewrite ANALYZED CLEANLY and silently
+    regrouped the predicate.  The raw reference sends the statement to
+    the fold, which serves the ORIGINAL precedence.  Also pins the
+    round-11 comment-opacity fix (an occurrence inside a comment never
+    rewrites; an unbalanced quote inside one cannot desync the scan
+    into rewriting literal content)."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_keyed_agg_statement,
+    )
+
+    routed = rewrite_keyed_agg_statement(
+        "SELECT c, a, b, a OR b AS g, FUNNELCOUNT(STEPS(ev = 'v'), "
+        "CORRELATE_BY(u)) AS fc FROM bops GROUP BY c, a, b, a OR b "
+        "HAVING c AND a OR b"
+    )
+    assert routed is None or "HAVING c AND a OR b" in routed
+    # word-operator neighbors on either side keep the match raw
+    for shape in (
+        "ORDER BY c AND a OR b",      # preceding AND binds into the tail
+        "ORDER BY a OR b IN (true)",  # following IN takes the b operand
+        "ORDER BY a OR b IS NULL",    # following IS takes the b operand
+    ):
+        out = rewrite_keyed_agg_statement(
+            "SELECT a OR b AS g, FUNNELCOUNT(STEPS(ev = 'v'), "
+            f"CORRELATE_BY(u)) AS fc FROM bops GROUP BY a OR b {shape}"
+        )
+        assert out is None or shape in out, shape
+    # comment content is opaque: the occurrence inside /* */ stays
+    out = rewrite_keyed_agg_statement(
+        "SELECT x + 1 AS g, FUNNELCOUNT(STEPS(ev = 'v'), "
+        "CORRELATE_BY(u)) AS fc FROM t GROUP BY x + 1 "
+        "ORDER BY __a /* x + 1 */, x + 1"
+    )
+    assert out is not None and "/* x + 1 */" in out
+    assert out.rstrip().endswith("__fcg0")
+    # end-to-end: with c/a/b ALSO group keys the original is VALID SQL
+    # and serves (c AND a) OR b — c=false/a=false/b=true rows survive;
+    # the regrouped c AND (a OR b) would silently drop them
+    mv_engine.spark.sql(
+        "SELECT * FROM VALUES "
+        "(false, false, true, 'v', 1), (true, true, false, 'v', 2), "
+        "(true, false, false, 'v', 3), (false, true, false, 'v', 4) "
+        "AS t(c, a, b, ev, u)"
+    ).createOrReplaceTempView("bops")
+    got = {
+        (r["c"], r["a"], r["b"], r["g"])
+        for r in mv_engine.query(
+            "SELECT c, a, b, a OR b AS g, FUNNELCOUNT(STEPS(ev = 'v'), "
+            "CORRELATE_BY(u)) AS fc FROM bops GROUP BY c, a, b, a OR b "
+            "HAVING c AND a OR b"
+        ).collect()
+    }
+    want = {
+        (r["c"], r["a"], r["b"], r["g"])
+        for r in mv_engine.spark.sql(
+            "SELECT c, a, b, a OR b AS g FROM bops "
+            "GROUP BY c, a, b, a OR b HAVING c AND a OR b"
+        ).collect()
+    }
+    assert got == want and (False, False, True, True) in got
