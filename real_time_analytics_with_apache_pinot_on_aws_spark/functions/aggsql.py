@@ -2288,6 +2288,36 @@ class _StmtShape:
         return any(s < pos < e for s, e in self.subq_spans)
 
 
+def _chain_operand_end(
+    sql: str, start: int, bound: int, allow_subqueries: bool
+):
+    """Index past the JOIN-chain operand starting at ``sql[start:]`` — a
+    bare table name, or (round 11, VERDICT r10 task 1) a derived table
+    ``(SELECT ...)`` whose balanced group re-emits verbatim; ``None``
+    when neither shape parses.  The derived form requires
+    ``allow_subqueries`` so the nested SELECT is a recorded span (the
+    scope-exclusion invariant — same contract as the FROM-position
+    derived-table admission); the group's first token must be SELECT,
+    so ``(VALUES ...)`` / parenthesized-join relations bail.  ``bound``
+    caps the operand: the next top-level keyword starts there, and a
+    group closing at or past it means a mis-modeled statement."""
+    if re.match(r"\s*\(", sql[start:bound]):
+        if not allow_subqueries:
+            return None
+        m = re.match(r"\s*\(", sql[start:])
+        if not re.match(
+            r"\s*\(\s*SELECT\b", sql[start:], re.IGNORECASE
+        ):
+            return None
+        try:
+            _, after = _scan_balanced(sql, start + m.end() - 1)
+        except ValueError:
+            return None
+        return after if after <= bound else None
+    tm = re.match(r"\s*[A-Za-z_][\w.]*", sql[start:bound])
+    return start + tm.end() if tm else None
+
+
 def _parse_routable_statement(
     sql: str, guard: str, allow_subqueries: bool, allow_join: bool
 ):
@@ -2297,12 +2327,18 @@ def _parse_routable_statement(
     re-entrant or adversarial — bail).  ``allow_subqueries`` admits
     parenthesized (SELECT ...) groups and records their spans so the
     caller can scope-exclude their call sites; ``allow_join`` admits a
-    CHAIN of ``[INNER|LEFT|RIGHT|FULL [OUTER]] JOIN tbl [alias] ON
+    CHAIN of ``[INNER|LEFT|RIGHT|FULL [OUTER]] JOIN operand [alias] ON
     cond`` segments (round 10, VERDICT r9 task 1 — the one-JOIN cap was
     pure conservatism: every route re-emits the relation text VERBATIM
     inside its derived table, so a two-dimension-join funnel sees
     exactly the rows the original aggregates saw) and places
-    ``insert_at`` after the last segment."""
+    ``insert_at`` after the last segment.  Since round 11 (VERDICT r10
+    task 1) a chain operand — the FROM-position relation or any JOIN
+    segment's — may also be a derived table ``(SELECT ...) [alias]``
+    (requires ``allow_subqueries``): joining the fact table to a
+    pre-aggregated/filtered subquery was the largest remaining path
+    onto the collection-state folds, and the balanced group re-emits
+    exactly as verbatim as a bare table."""
     if guard in sql:
         return None
     if not re.match(r"\s*SELECT\b", sql, re.IGNORECASE):
@@ -2342,15 +2378,21 @@ def _parse_routable_statement(
             range(from_i + 1, from_i + 1 + len(join_is))
         ):
             return None
-        jm = re.fullmatch(
-            r"\s*([A-Za-z_][\w.]*)"
-            r"(?:\s+(?:AS\s+)?(?!LEFT\b|RIGHT\b|FULL\b|INNER\b|OUTER\b)"
-            r"([A-Za-z_]\w*))?"
-            r"(?:\s+(?:LEFT|RIGHT|FULL)(?:\s+OUTER)?|\s+INNER)?\s*",
-            shape.from_text,
-            re.IGNORECASE,
+        # each chain OPERAND is a bare table name or (round 11, VERDICT
+        # r10 task 1) a derived table `(SELECT ...)` — the balanced
+        # group re-emits VERBATIM inside the route's derived table
+        # exactly like the FROM-position admission below, and its
+        # recorded subquery span scope-excludes its own call sites
+        op_end = _chain_operand_end(
+            sql, shape.from_end, kws[from_i + 1][1], allow_subqueries
         )
-        if jm is None or "," in shape.from_text:
+        if op_end is None or not re.fullmatch(
+            r"(?:\s*(?:AS\s+)?(?!LEFT\b|RIGHT\b|FULL\b|INNER\b|OUTER\b)"
+            r"[A-Za-z_]\w*)?"
+            r"(?:\s+(?:LEFT|RIGHT|FULL)(?:\s+OUTER)?|\s+INNER)?\s*",
+            sql[op_end : kws[from_i + 1][1]],
+            re.IGNORECASE,
+        ) or len(_split_top_level_commas(shape.from_text)) != 1:
             return None
         for seg, join_i in enumerate(join_is):
             join_end = kws[join_i][2]
@@ -2361,23 +2403,25 @@ def _parse_routable_statement(
             )
             join_text = sql[join_end:join_next]
             final = seg == len(join_is) - 1
-            # every segment is `tbl [alias] ON cond`; a NON-final
-            # segment may trail the NEXT join's type modifier.  A
-            # modifier the regex cannot place (CROSS/NATURAL/SEMI/ANTI)
-            # is swallowed by the non-greedy cond, and the FOLLOWING
-            # segment then lacks its ON / its table — the chain bails
-            # there, so ON-less join flavors never validate.
-            if not re.fullmatch(
-                r"\s*([A-Za-z_][\w.]*)"
-                r"(?:\s+(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*))?"
-                r"\s+ON\s+.+?"
+            # every segment is `tbl-or-(SELECT ...) [alias] ON cond`; a
+            # NON-final segment may trail the NEXT join's type modifier.
+            # A modifier the regex cannot place (CROSS/NATURAL/SEMI/
+            # ANTI) is swallowed by the non-greedy cond, and the
+            # FOLLOWING segment then lacks its ON / its table — the
+            # chain bails there, so ON-less join flavors never validate.
+            op_end = _chain_operand_end(
+                sql, join_end, join_next, allow_subqueries
+            )
+            if op_end is None or not re.fullmatch(
+                r"(?:\s*(?:AS\s+)?(?!ON\b)[A-Za-z_]\w*)?"
+                r"\s*ON\s+.+?"
                 + (
                     r"\s*"
                     if final
                     else r"(?:\s+(?:LEFT|RIGHT|FULL)(?:\s+OUTER)?"
                     r"|\s+INNER)?\s*"
                 ),
-                join_text,
+                sql[op_end:join_next],
                 re.IGNORECASE | re.DOTALL,
             ) or len(_split_top_level_commas(join_text)) != 1:
                 return None

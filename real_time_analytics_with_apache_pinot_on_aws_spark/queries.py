@@ -7383,6 +7383,80 @@ def b17_cte_multiref_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rewrite_pinot_aggregates(routed))
 
 
+@register(
+    "b16_funnelcount_derived_join_route",
+    r"""
+    WITH d AS (
+      SELECT n_nationkey, n_name FROM nation WHERE n_regionkey < 3
+    ),
+    j AS (
+      SELECT d.n_name, e.user_id, e.event_type
+      FROM events e JOIN d ON e.user_id % 25 = d.n_nationkey
+      WHERE e.user_id IS NOT NULL
+    ),
+    m AS (
+      SELECT n_name, user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s2
+      FROM j GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT n_name,
+             CAST(sum(s1) AS BIGINT) AS step_view,
+             CAST(sum(s1 * s2) AS BIGINT) AS step_click
+      FROM m GROUP BY 1
+    ),
+    c AS (SELECT n_name, count(*) AS n FROM j GROUP BY 1)
+    SELECT f.n_name, f.step_view, f.step_click, c.n
+    FROM f JOIN c USING (n_name)
+    ORDER BY f.n_name
+    """,
+    doc="The keyed FUNNELCOUNT route with a DERIVED-TABLE join operand "
+        "(round 11, VERDICT r10 task 1): the fact table joined to a "
+        "pre-filtered subquery — the common dashboard shape that was "
+        "the largest remaining path onto the collection-state folds — "
+        "now restructures to the bounded per-correlator plan: the "
+        "balanced `(SELECT ...)` group re-emits VERBATIM inside the "
+        "derived table exactly like a bare chain operand, its recorded "
+        "subquery span scope-excluding its own call sites.  The "
+        "builder asserts the route ENGAGED so a silent regression to "
+        "the fold fails the gate; the collection-free plan is pinned "
+        "in tests/test_aggsql.py "
+        "(test_keyed_route_with_derived_join_operand).  The DuckDB "
+        "oracle replays the funnel closed-form over the same derived "
+        "join.",
+)
+def b16_funnelcount_derived_join_route(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .functions.aggsql import (
+        rewrite_keyed_agg_statement,
+        rewrite_pinot_aggregates,
+    )
+
+    stmt = (
+        "SELECT n_name, FUNNELCOUNT(STEPS(event_type = 'view', "
+        "event_type = 'click'), CORRELATE_BY(user_id)) AS fc, "
+        "count(*) AS n "
+        "FROM events JOIN (SELECT n_nationkey, n_name FROM nation "
+        "WHERE n_regionkey < 3) d "
+        "ON events.user_id % 25 = d.n_nationkey "
+        "WHERE user_id IS NOT NULL "
+        "GROUP BY n_name ORDER BY n_name"
+    )
+    routed = rewrite_keyed_agg_statement(stmt)
+    if routed is None:  # the route regressing to the fold is a bug
+        raise AssertionError("keyed route refused a derived join operand")
+    df = spark.sql(rewrite_pinot_aggregates(routed))
+    return df.select(
+        "n_name",
+        F.element_at("fc", 1).alias("step_view"),
+        F.element_at("fc", 2).alias("step_click"),
+        "n",
+    )
+
+
 # ===========================================================================
 # Driver window curation: the driver's correctness gate adjudicates exactly
 # the first 50 entries of queries() in registration order (confirmed in
@@ -7538,10 +7612,16 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (a twice-referenced deterministic CTE inlining at both sites —
     # task 3), and b16_funnelcount_timebucket_route (an EXPRESSION
     # GROUP BY item through the keyed route), again post-window.
+    # Round 11 registers b16_funnelcount_derived_join_route (a
+    # DERIVED-TABLE operand inside the JOIN chain — VERDICT r10 task 1)
+    # and b16_funnelmaxstep_filter_route / b24_mode_avg_filter_route
+    # (FILTER clauses folded into the window-cascade and mode-avg
+    # routes — task 2) on the same post-window terms.
     # If the window ever grows past 50, seat b70_tuple_sketch,
-    # c32_url_filter, b17_mv_distinct_route, and b16_funnelcount_routed
-    # first (the round-7 verdict's seating order), then the round-8
-    # routed rows, then the round-9/10 rows above.
+    # c32_url_filter, b16_funnelcount_join2_route,
+    # b17_cte_multiref_route, and b16_funnelcount_timebucket_route
+    # first (the round-10 verdict's seating order), then the remaining
+    # routed rows above.
 )
 
 

@@ -3367,6 +3367,58 @@ def test_keyed_route_with_join_chain(joinroute_engine, joinchain_views):
     ]
 
 
+def test_keyed_route_with_derived_join_operand(
+    joinroute_engine, joinchain_views
+):
+    """Round 11 (VERDICT r10 task 1): a JOIN-chain operand that is a
+    DERIVED table — the fact table joined to a pre-filtered subquery,
+    the common dashboard shape that still fell to the collection-state
+    fold — routes: the balanced group re-emits verbatim inside the
+    derived table, the plan carries no collections, and the answer
+    equals the fold over the same chain (dead-CTE-blocked from
+    inlining-and-routing itself)."""
+    sel = (
+        "SELECT tier, FUNNELCOUNT(STEPS(ev = 'view', ev = 'buy'), "
+        "CORRELATE_BY(jr_fact.u)) AS fc, count(*) AS n "
+        "FROM {rel} GROUP BY tier ORDER BY tier"
+    )
+    chain = (
+        "jr_fact JOIN (SELECT u, tier FROM jr_dim WHERE u <> 3) d "
+        "ON jr_fact.u = d.u"
+    )
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_keyed_agg_statement,
+    )
+
+    routed_text = rewrite_keyed_agg_statement(sel.format(rel=chain))
+    assert routed_text is not None  # the route ENGAGED
+    assert "(SELECT u, tier FROM jr_dim WHERE u <> 3) d" in routed_text
+    routed = joinroute_engine.query(sel.format(rel=chain))
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan and "collect_list" not in plan
+    rows = routed.collect()
+    folded = joinroute_engine.query(
+        "WITH jr_fact AS (SELECT jr_fact.u, ev, tier FROM "
+        + chain
+        + "), jr_keep AS (SELECT * FROM jr_fact) "
+        + sel.format(rel="jr_fact")
+    ).collect()
+    assert [(r.tier, r.fc, r.n) for r in rows] == [
+        (r.tier, r.fc, r.n) for r in folded
+    ]
+    assert [(r.tier, list(r.fc), r.n) for r in rows] == [
+        ("gold", [2, 1], 3)
+    ]
+    # FROM-position derived relation + a chain segment routes too
+    both = rewrite_keyed_agg_statement(
+        sel.format(
+            rel="(SELECT * FROM jr_fact WHERE u IS NOT NULL) jr_fact "
+            "JOIN jr_dim ON jr_fact.u = jr_dim.u"
+        )
+    )
+    assert both is not None
+
+
 def test_mv_route_with_join_chain(joinroute_engine, joinchain_views):
     """The MV-distinct explode attaches after the LAST join of the
     chain — per-element counts over exactly the joined rows."""

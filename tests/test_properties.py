@@ -1895,9 +1895,12 @@ _jc_fact_st = st.lists(
     jt1=st.sampled_from(["JOIN", "LEFT JOIN"]),
     jt2=st.sampled_from(["JOIN", "LEFT JOIN"]),
     target=st.sampled_from(["funnel", "mv", "maxstep"]),
+    derived=st.sampled_from(["none", "fact", "dim1", "dim2"]),
 )
 @settings(**SETTINGS)
-def test_join_chain_route_matches_fold(spark, rows, jt1, jt2, target):
+def test_join_chain_route_matches_fold(
+    spark, rows, jt1, jt2, target, derived
+):
     import tempfile
 
     from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
@@ -1936,9 +1939,15 @@ def test_join_chain_route_matches_fold(spark, rows, jt1, jt2, target):
         "mv": rewrite_mv_distinct_statement,
         "maxstep": rewrite_ordered_funnel_statement,
     }
+    # round 11 (VERDICT r10 task 1): any chain operand may be a derived
+    # table — aliased back to its own name so every reference holds
+    def ref(name, key):
+        return f"(SELECT * FROM {name}) {name}" if derived == key else name
+
     chain = (
-        f"jcfact {jt1} jcdim1 ON jcfact.u = jcdim1.u "
-        f"{jt2} jcdim2 ON jcfact.u = jcdim2.u"
+        f"{ref('jcfact', 'fact')} {jt1} {ref('jcdim1', 'dim1')} "
+        "ON jcfact.u = jcdim1.u "
+        f"{jt2} {ref('jcdim2', 'dim2')} ON jcfact.u = jcdim2.u"
     )
     stmt = (
         f"SELECT tier, region, {sels[target]} FROM {chain} "
