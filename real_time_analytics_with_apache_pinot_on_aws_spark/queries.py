@@ -7234,7 +7234,14 @@ def b24_bool_mode_reducers_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tie-order-exact (the b16_funnelmaxstep_routed precedent); the "
         "greedy prefix property makes the duration set d_1..d_{k-1} for "
         "a k-step reach, so the oracle's 1-or-2-duration CASE forms are "
-        "total.  Unroutable shapes keep the loud redirect.",
+        "total.  Unroutable shapes keep the loud redirect.  BEHAVIOR "
+        "NOTE (round 10, intentional): the settings literal is "
+        "recognized ONLY in Pinot's no-space spelling "
+        "'durationFunctions=...' — a spaced 'durationFunctions = ...' "
+        "literal now raises a loud ValueError with a spelling hint "
+        "instead of parsing, because with spaces the text is "
+        "indistinguishable from a step PREDICATE comparing a column "
+        "literally named durationFunctions.",
 )
 def b16_funnel_duration_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
@@ -7455,6 +7462,131 @@ def b16_funnelcount_derived_join_route(
         F.element_at("fc", 2).alias("step_click"),
         "n",
     )
+
+
+@register(
+    "b16_funnelmaxstep_filter_route",
+    r"""
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
+    ),
+    s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE user_id IS NOT NULL AND value > 0.2
+        AND event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+      WHERE e.event_type = 'click' AND e.value > 0.2 GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+      WHERE e.event_type = 'purchase' AND e.value > 0.2
+      GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           (CASE WHEN s1.t IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN s2.t IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN s3.t IS NOT NULL THEN 1 ELSE 0 END) AS max_step
+    FROM u
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    ORDER BY user_id
+    """,
+    doc="FUNNELMAXSTEP with a trailing FILTER (WHERE pred) clause "
+        "folded into the window-cascade route (round 11, VERDICT r10 "
+        "task 2): the pred is row-level, so masking the target's "
+        "layer-0 step predicates makes pred-failing rows invisible to "
+        "the cascade — they never start or extend the funnel and their "
+        "NULL v-values are invisible to the running mins — exactly the "
+        "rows FILTER excludes, while FILTER-less co-aggregates and "
+        "other targets keep seeing every row.  Previously this "
+        "spelling fell to the sorted-event collection fold.  The "
+        "builder asserts the route ENGAGED; the DuckDB oracle replays "
+        "the greedy min-chain with the pred folded into each step's "
+        "WHERE (groups whose every row fails the pred stay alive at "
+        "step 0 through the distinct-user universe).",
+)
+def b16_funnelmaxstep_filter_route(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .functions.aggsql import (
+        rewrite_ordered_funnel_statement,
+        rewrite_pinot_aggregates,
+    )
+
+    stmt = (
+        "SELECT user_id, FUNNELMAXSTEP(ts, '0', 3, "
+        "'event_type = ''view''', 'event_type = ''click''', "
+        "'event_type = ''purchase''', 'STRICT_INCREASE') "
+        "FILTER (WHERE value > 0.2) AS max_step "
+        "FROM events WHERE user_id IS NOT NULL "
+        "GROUP BY user_id ORDER BY user_id"
+    )
+    routed = rewrite_ordered_funnel_statement(stmt)
+    if routed is None:  # the route regressing to the fold is a bug
+        raise AssertionError(
+            "ordered-funnel route refused a FILTER'd target"
+        )
+    return spark.sql(rewrite_pinot_aggregates(routed))
+
+
+@register(
+    "b24_mode_avg_filter_route",
+    r"""
+    WITH src AS (
+      SELECT event_type, user_id % 10 AS v, user_id % 3 = 0 AS keep
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    f AS (
+      SELECT event_type, v, count(*) AS c FROM src
+      WHERE keep GROUP BY 1, 2
+    ),
+    mx AS (SELECT event_type, max(c) AS mc FROM f GROUP BY 1),
+    modes AS (
+      SELECT f.event_type, avg(f.v) AS mode_avg
+      FROM f JOIN mx USING (event_type)
+      WHERE f.c = mx.mc GROUP BY f.event_type
+    ),
+    cnt AS (SELECT event_type, count(*) AS n FROM src GROUP BY 1)
+    SELECT c.event_type, m.mode_avg, c.n
+    FROM cnt c LEFT JOIN modes m USING (event_type)
+    ORDER BY c.event_type
+    """,
+    doc="MODE(col, 'AVG') with a trailing FILTER (WHERE pred) folded "
+        "into the three-level route's value mask (round 11, VERDICT "
+        "r10 task 2): level 1 groups by the value and counts its "
+        "non-NULL occurrences, so `if(pred, v, null)` collapses "
+        "pred-failing rows into the count-0 NULL bucket that loses to "
+        "any real frequency — the route's existing all-NULL handling — "
+        "and a group with NO passing rows answers NULL through the "
+        "NULL sum.  Previously any FILTER'd MODE-AVG was a loud "
+        "redirect.  The builder asserts the route ENGAGED; the DuckDB "
+        "oracle replays avg-over-max-frequency on the pre-filtered "
+        "rows with a LEFT JOIN keeping empty groups alive; count(*) "
+        "rides FILTER-less over every row.",
+)
+def b24_mode_avg_filter_route(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .functions.aggsql import rewrite_mode_avg_statement
+
+    stmt = (
+        "SELECT event_type, MODE(user_id % 10, 'AVG') "
+        "FILTER (WHERE user_id % 3 = 0) AS mode_avg, "
+        "count(*) AS n "
+        "FROM events WHERE user_id IS NOT NULL "
+        "GROUP BY event_type ORDER BY event_type"
+    )
+    routed = rewrite_mode_avg_statement(stmt)
+    if routed is None:  # the route regressing to the redirect is a bug
+        raise AssertionError("mode-avg route refused a FILTER'd target")
+    return spark.sql(routed)
 
 
 # ===========================================================================

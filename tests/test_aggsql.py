@@ -1535,6 +1535,62 @@ def test_ordered_funnel_route_fires_and_matches_fold(ordered_engine):
     ]
 
 
+def test_ordered_funnel_filter_folds(ordered_engine):
+    """Round 11 (VERDICT r10 task 2): a trailing FILTER (WHERE pred) on
+    a cascade target folds into its layer-0 step masks.  Reference: the
+    fold with every step literal masked by the pred — the fold's
+    collect-CASE drops rows matching no step, so masked steps ARE the
+    FILTER exclusion — forced through the dead-CTE wrapper.  A second
+    unfiltered target in the same statement keeps its own unmasked
+    aliases (per-target masking)."""
+    sel = (
+        "SELECT u, FUNNELMAXSTEP(ts, '0', 2, 'ev = ''view''', "
+        "'ev = ''click''') AS a, "
+        "FUNNELMAXSTEP(ts, '0', 2, 'ev = ''view''', 'ev = ''click''') "
+        "FILTER (WHERE ev <> 'click') AS b "
+        "FROM {src} GROUP BY u ORDER BY u"
+    )
+    assert ROF(sel.format(src="ofev")) is not None  # the route ENGAGED
+    fold = (
+        "WITH f AS (SELECT * FROM ofev), f_keep AS (SELECT * FROM f) "
+        "SELECT u, FUNNELMAXSTEP(ts, '0', 2, 'ev = ''view''', "
+        "'ev = ''click''') AS a, "
+        "FUNNELMAXSTEP(ts, '0', 2, "
+        "'(ev <> ''click'') AND (ev = ''view'')', "
+        "'(ev <> ''click'') AND (ev = ''click'')') AS b "
+        "FROM f GROUP BY u ORDER BY u"
+    )
+    assert ROF(fold) is None  # the reference REALLY takes the fold
+    routed = [
+        tuple(r)
+        for r in ordered_engine.query(sel.format(src="ofev")).collect()
+    ]
+    folded = [tuple(r) for r in ordered_engine.query(fold).collect()]
+    assert routed == folded
+    # with click rows invisible to b, step 2 can never fire; u=3 is
+    # click-only, so even step 1 stays 0
+    assert routed == [
+        (1, 2, 1),
+        (2, 1, 1),
+        (3, 0, 0),
+        (4, 2, 1),
+        (5, 1, 1),
+    ]
+    # duration stats ride the same mask: u=1 click invisible means the
+    # view->click duration is NULL and MIN/MAX answer NULL, while the
+    # unfiltered spelling sees 300s
+    row = ordered_engine.query(
+        "SELECT FUNNELSTEPDURATIONSTATS(ts, '0', 2, 'ev = ''view''', "
+        "'ev = ''click''', 'durationFunctions=MIN,MAX') "
+        "FILTER (WHERE ev <> 'click') AS ds, "
+        "FUNNELSTEPDURATIONSTATS(ts, '0', 2, 'ev = ''view''', "
+        "'ev = ''click''', 'durationFunctions=MIN,MAX') AS ds_all "
+        "FROM ofev WHERE u = 1"
+    ).collect()[0]
+    assert list(row.ds) == [None, None]
+    assert list(row.ds_all) == [300000.0, 300000.0]
+
+
 def test_ordered_funnel_routed_plan_is_windowed(ordered_engine):
     """Plan pin: the routed plan has Window operators and ZERO collected
     arrays — the fold's collect_list never appears."""
@@ -1573,8 +1629,14 @@ def test_ordered_funnel_coaggregates_untouched(ordered_engine):
         "SELECT FUNNELMAXSTEP(ts, '0', 1, 'a') FROM t, d",
         "WITH s AS (SELECT 1) SELECT FUNNELMAXSTEP(ts, '0', 1, 'a') "
         "FROM t",
-        # FILTER over restructured rows
-        "SELECT FUNNELMAXSTEP(ts, '0', 1, 'a') FILTER (WHERE g = 1) FROM t",
+        # FILTER folds since round 11 — but only a mask-exact pred: a
+        # window fn would analyze cleanly at layer 0 while the original
+        # errors loudly, and an empty/subquery pred cannot mask
+        "SELECT FUNNELMAXSTEP(ts, '0', 1, 'a') "
+        "FILTER (WHERE rank() OVER (ORDER BY u) = 1) FROM t",
+        "SELECT FUNNELMAXSTEP(ts, '0', 1, 'a') FILTER (WHERE ) FROM t",
+        "SELECT FUNNELMAXSTEP(ts, '0', 1, 'a') "
+        "FILTER (WHERE u IN (SELECT u FROM d)) FROM t",
         # GROUP BY ordinal naming the aggregate itself
         "SELECT FUNNELMAXSTEP(ts, '0', 1, 'a') FROM t GROUP BY 1",
         # window elsewhere in the statement
@@ -3020,8 +3082,14 @@ def test_mode_avg_route_text_shape():
         # windows / joins bail at the shape parse
         "SELECT MODE(v, 'AVG'), rank() OVER (ORDER BY g) FROM t",
         "SELECT MODE(v, 'AVG') FROM t, d",
-        # FILTER over restructured rows
-        "SELECT MODE(v, 'AVG') FILTER (WHERE g > 1) FROM t",
+        # FILTER folds since round 11 — but only a mask-exact pred, and
+        # two targets with DIFFERENT preds cannot share one level-1
+        # value group
+        "SELECT MODE(v, 'AVG') FILTER (WHERE ) FROM t",
+        "SELECT MODE(v, 'AVG') "
+        "FILTER (WHERE u IN (SELECT u FROM d)) FROM t",
+        "SELECT MODE(v, 'AVG') FILTER (WHERE a > 0), "
+        "MODE(v, 'AVG') FILTER (WHERE a < 0) FROM t",
     ],
 )
 def test_mode_avg_route_bails(stmt):
@@ -3060,6 +3128,58 @@ def test_mode_avg_route_values(modeavg_engine):
         3: (None, 1),
         4: (5.0, 4),
     }
+
+
+def test_mode_avg_filter_folds(modeavg_engine):
+    """Round 11 (VERDICT r10 task 2): a trailing FILTER (WHERE pred) on
+    MODE(v, 'AVG') folds into the level-1 value mask — pred-failing
+    rows collapse into the count-0 NULL bucket that loses to any real
+    frequency, exactly the rows FILTER excludes; a group with NO
+    passing rows answers NULL.  Verified against hand-computed modes
+    and against the plain-SQL closed form."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_mode_avg_statement,
+    )
+
+    stmt = (
+        "SELECT g, MODE(v, 'AVG') FILTER (WHERE v < 25) AS m, "
+        "count(*) AS n FROM mamode GROUP BY g ORDER BY g"
+    )
+    assert rewrite_mode_avg_statement(stmt) is not None  # route ENGAGED
+    got = {
+        r.g: (r.m, r.n) for r in modeavg_engine.query(stmt).collect()
+    }
+    # g=1 keeps 10,10,20,20 (30 masked) -> tied modes avg 15; g=3 all
+    # NULL (pred NULL) -> NULL; g=4 keeps only the 5 -> 5.0; count(*)
+    # carries no FILTER and still counts every row
+    assert got == {
+        1: (15.0, 5),
+        2: (7.0, 3),
+        3: (None, 1),
+        4: (5.0, 4),
+    }
+    strict = {
+        r.g: r.m
+        for r in modeavg_engine.query(
+            "SELECT g, MODE(v, 'AVG') FILTER (WHERE v > 25) AS m "
+            "FROM mamode GROUP BY g ORDER BY g"
+        ).collect()
+    }
+    # only g=1 has a row past 25; every other group answers NULL
+    assert strict == {1: 30.0, 2: None, 3: None, 4: None}
+    # closed form agreement (max-frequency value set of filtered rows)
+    closed = {
+        r.g: r.m
+        for r in modeavg_engine.spark.sql(
+            "SELECT grp.g, m.m FROM (SELECT DISTINCT g FROM mamode) grp "
+            "LEFT JOIN (SELECT g, avg(v) AS m FROM ("
+            "  SELECT g, v, count(*) AS c, "
+            "  max(count(*)) OVER (PARTITION BY g) AS mc "
+            "  FROM mamode WHERE v < 25 GROUP BY g, v) WHERE c = mc "
+            "GROUP BY g) m ON grp.g = m.g"
+        ).collect()
+    }
+    assert closed == {g: m for g, (m, _) in got.items()}
 
 
 def test_mode_avg_route_global_with_coaggs(modeavg_engine):

@@ -1045,10 +1045,11 @@ _of_steps_st = st.lists(
     mode=st.sampled_from([None, "STRICT_INCREASE", "KEEP_ALL"]),
     window_ms=st.sampled_from([0, 3000]),
     grouped=st.booleans(),
+    filt=st.sampled_from([None, "x > 0", "ev <> 'b'"]),
 )
 @settings(**SETTINGS)
 def test_ordered_funnel_route_matches_fold_reference(
-    spark, rows, steps, kind, mode, window_ms, grouped
+    spark, rows, steps, kind, mode, window_ms, grouped, filt
 ):
     from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
     from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
@@ -1069,17 +1070,33 @@ def test_ordered_funnel_route_matches_fold_reference(
 
         eng = Engine(spark, tempfile.mkdtemp())
         test_ordered_funnel_route_matches_fold_reference._eng = eng
-    lits = ", ".join("'" + s.replace("'", "''") + "'" for s in steps)
+    def lit(s):
+        return "'" + s.replace("'", "''") + "'"
+
+    lits = ", ".join(lit(s) for s in steps)
     tail_mode = f", '{mode}'" if mode else ""
+    filter_sfx = f" FILTER (WHERE {filt})" if filt else ""
     fn = (
-        f"{kind}(ts, '{window_ms}', {len(steps)}, {lits}{tail_mode}) AS f"
+        f"{kind}(ts, '{window_ms}', {len(steps)}, {lits}{tail_mode})"
+        f"{filter_sfx} AS f"
+    )
+    # the fold reference spells FILTER as per-step masks (round 11):
+    # the fold's collect-CASE drops rows matching no step, so masking
+    # every step literal with the pred IS the FILTER exclusion
+    mlits = ", ".join(
+        lit(f"({filt}) AND ({s})") if filt else lit(s) for s in steps
+    )
+    ref_fn = (
+        f"{kind}(ts, '{window_ms}', {len(steps)}, {mlits}{tail_mode}) "
+        "AS f"
     )
     sel = ", ".join((["g"] if grouped else []) + [fn])
+    ref_sel = ", ".join((["g"] if grouped else []) + [ref_fn])
     tail = " GROUP BY g" if grouped else ""
     routable = f"SELECT {sel} FROM offuzz{tail}"
     reference = (
         "WITH f AS (SELECT * FROM offuzz), f_keep AS (SELECT * FROM f) "
-        f"SELECT {sel} FROM f{tail}"
+        f"SELECT {ref_sel} FROM f{tail}"
     )
     assert rewrite_ordered_funnel_statement(routable) is not None
     assert rewrite_ordered_funnel_statement(reference) is None
@@ -1432,16 +1449,24 @@ def _py_step_duration_stats(evts, preds, window_ms, strict):
     return [min(s), max(s), sum(s) / c, med]
 
 
+_SD_FILTERS = {
+    None: lambda t, e, x: True,
+    "x > 0": lambda t, e, x: x is not None and x > 0,
+    "ev <> 'b'": lambda t, e, x: e != "b",
+}
+
+
 @given(
     rows=_of_rows_st,
     steps=_of_steps_st,
     mode=st.sampled_from([None, "STRICT_INCREASE", "KEEP_ALL"]),
     window_ms=st.sampled_from([0, 3000]),
     grouped=st.booleans(),
+    filt=st.sampled_from(sorted(_SD_FILTERS, key=str)),
 )
 @settings(**SETTINGS)
 def test_step_duration_stats_matches_python_reference(
-    spark, rows, steps, mode, window_ms, grouped
+    spark, rows, steps, mode, window_ms, grouped, filt
 ):
     from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
     from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
@@ -1465,20 +1490,25 @@ def test_step_duration_stats_matches_python_reference(
     tail_mode = f", '{mode}'" if mode else ""
     fn = (
         f"FUNNELSTEPDURATIONSTATS(ts, '{window_ms}', {len(steps)}, "
-        f"{lits}, 'durationFunctions=min,max,avg,median'{tail_mode}) AS ds"
+        f"{lits}, 'durationFunctions=min,max,avg,median'{tail_mode})"
+        + (f" FILTER (WHERE {filt})" if filt else "")
+        + " AS ds"
     )
     sel = ", ".join((["g"] if grouped else []) + [fn])
     tail = " GROUP BY g" if grouped else ""
     stmt = f"SELECT {sel} FROM sdfuzz{tail}"
     assert rewrite_ordered_funnel_statement(stmt) is not None
     strict = mode == "STRICT_INCREASE"
+    keep = _SD_FILTERS[filt]
     got = {}
     for r in eng.query(stmt).collect():
         got[r["g"] if grouped else None] = list(r["ds"])
     if grouped:
         want = {}
         for g, tsec, ev, x in rows:
-            want.setdefault(g, []).append((tsec, ev, x))
+            want.setdefault(g, [])
+            if keep(tsec, ev, x):
+                want[g].append((tsec, ev, x))
         want = {
             g: _py_step_duration_stats(e, steps, window_ms, strict)
             for g, e in want.items()
@@ -1486,7 +1516,8 @@ def test_step_duration_stats_matches_python_reference(
     else:
         want = {
             None: _py_step_duration_stats(
-                [(t, e, x) for _, t, e, x in rows], steps, window_ms, strict
+                [(t, e, x) for _, t, e, x in rows if keep(t, e, x)],
+                steps, window_ms, strict,
             )
         }
     assert got == want
@@ -1600,25 +1631,44 @@ def test_mode_reducers_match_python_reference(spark, rows):
         "MODE(v, 'MAX') AS mx FROM modefuzz GROUP BY g"
     )
     avg_stmt = "SELECT g, MODE(v, 'AVG') AS ma FROM modefuzz GROUP BY g"
+    # round 11: the FILTER form folds into the level-1 value mask —
+    # there is no fold to diff against (unroutable AVG is a loud
+    # redirect), so the same Python reference filters first
+    flt_stmt = (
+        "SELECT g, MODE(v, 'AVG') FILTER (WHERE v >= 0) AS ma "
+        "FROM modefuzz GROUP BY g"
+    )
     assert rewrite_mode_avg_statement(avg_stmt) is not None
+    assert rewrite_mode_avg_statement(flt_stmt) is not None
     got = {r["g"]: (r["m0"], r["mn"], r["mx"]) for r in eng.query(stmt).collect()}
     got_avg = {r["g"]: r["ma"] for r in eng.query(avg_stmt).collect()}
+    got_flt = {r["g"]: r["ma"] for r in eng.query(flt_stmt).collect()}
     grouped: dict = {}
     for g, v in rows:
         grouped.setdefault(g, []).append(v)
-    for g, vals in grouped.items():
+
+    def tied_avg(vals):
         vals = [v for v in vals if v is not None]
         if not vals:
-            assert got[g] == (None, None, None), g
-            assert got_avg[g] is None, g
-            continue
+            return None
         freq: dict = {}
         for v in vals:
             freq[v] = freq.get(v, 0) + 1
         top = max(freq.values())
         tied = [v for v, c in freq.items() if c == top]
+        return tied, sum(tied) / len(tied)
+
+    for g, vals in grouped.items():
+        flt = tied_avg([v for v in vals if v is not None and v >= 0])
+        assert got_flt[g] == (flt[1] if flt else None), g
+        full = tied_avg(vals)
+        if full is None:
+            assert got[g] == (None, None, None), g
+            assert got_avg[g] is None, g
+            continue
+        tied, avg = full
         assert got[g] == (min(tied), min(tied), max(tied)), g
-        assert got_avg[g] == sum(tied) / len(tied), g
+        assert got_avg[g] == avg, g
 
 
 # ---------------------------------------------------------------------------

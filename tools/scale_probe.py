@@ -130,6 +130,17 @@ PROBES = (
     # plan to b17_mv_distinct_route after inlining (the CTE body
     # re-emits as the derived table), expect the same ~1.3x band
     "b17_cte_inline_route",
+    # round 11: a DERIVED-TABLE operand inside the JOIN chain — the
+    # pre-filtered dim subquery still broadcasts, so the shape matches
+    # the bare-chain probes (~1.2-1.7x band)
+    "b16_funnelcount_derived_join_route",
+    # round 11: FILTER folded into the window-cascade route — the mask
+    # is two extra boolean columns in the same one-shuffle+sort-per-
+    # user-partition cascade, expect the cascade's ~2x noise band
+    "b16_funnelmaxstep_filter_route",
+    # round 11: FILTER folded into the MODE-AVG value mask — the same
+    # three stacked hash aggregates with one extra if() projection
+    "b24_mode_avg_filter_route",
 )
 
 
