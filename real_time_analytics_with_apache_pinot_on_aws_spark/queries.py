@@ -7589,6 +7589,129 @@ def b24_mode_avg_filter_route(
     return spark.sql(routed)
 
 
+@register(
+    "b16_funnelcount_filter_route",
+    r"""
+    WITH j AS (
+      SELECT user_id % 5 AS cohort, user_id, event_type, value
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    m AS (
+      SELECT cohort, user_id,
+             max(CASE WHEN value > 0.3 AND event_type = 'view'
+                 THEN 1 ELSE 0 END) AS s1,
+             max(CASE WHEN value > 0.3 AND event_type = 'click'
+                 THEN 1 ELSE 0 END) AS s2
+      FROM j GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT cohort,
+             CAST(sum(s1) AS BIGINT) AS step_view,
+             CAST(sum(s1 * s2) AS BIGINT) AS step_click
+      FROM m GROUP BY 1
+    ),
+    c AS (SELECT cohort, count(*) AS n FROM j GROUP BY 1)
+    SELECT f.cohort, f.step_view, f.step_click, c.n
+    FROM f JOIN c USING (cohort)
+    ORDER BY f.cohort
+    """,
+    doc="FUNNELCOUNT with a trailing FILTER (WHERE pred) folded into "
+        "the keyed route's per-correlator flag partials (round 11, "
+        "completing the FILTER surface): each step's bool_or conjoins "
+        "the pred, so a correlator whose every row fails carries "
+        "all-false flags and contributes zero to every step count — "
+        "exactly the correlator the FILTER'd funnel never saw — while "
+        "FILTER-less co-aggregates keep seeing every row.  Previously "
+        "the dangling clause failed analysis on BOTH the route and the "
+        "fold (loud, but routable).  Rides the expression GROUP BY "
+        "admission (cohort = user_id % 5).  The builder asserts the "
+        "route ENGAGED; the DuckDB oracle replays the closed form with "
+        "the pred folded into each step's CASE.",
+)
+def b16_funnelcount_filter_route(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .functions.aggsql import (
+        rewrite_keyed_agg_statement,
+        rewrite_pinot_aggregates,
+    )
+
+    stmt = (
+        "SELECT user_id % 5 AS cohort, "
+        "FUNNELCOUNT(STEPS(event_type = 'view', event_type = 'click'), "
+        "CORRELATE_BY(user_id)) FILTER (WHERE value > 0.3) AS fc, "
+        "count(*) AS n "
+        "FROM events WHERE user_id IS NOT NULL "
+        "GROUP BY user_id % 5 ORDER BY user_id % 5"
+    )
+    routed = rewrite_keyed_agg_statement(stmt)
+    if routed is None:  # the route regressing is a bug
+        raise AssertionError("keyed route refused a FILTER'd FUNNELCOUNT")
+    df = spark.sql(rewrite_pinot_aggregates(routed))
+    return df.select(
+        "cohort",
+        F.element_at("fc", 1).alias("step_view"),
+        F.element_at("fc", 2).alias("step_click"),
+        "n",
+    )
+
+
+@register(
+    "b17_sumarray_filter_route",
+    r"""
+    WITH flat AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                  AS BIGINT) AS v
+      FROM embeddings WHERE vec_id % 2 = 0
+    ),
+    per AS (SELECT label, pos, sum(v) AS s FROM flat GROUP BY 1, 2),
+    agg AS (
+      SELECT label, list(s ORDER BY pos) AS sums, count(*) AS dims
+      FROM per GROUP BY 1
+    ),
+    cnt AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
+    SELECT c.label,
+           coalesce(array_to_string(a.sums, '|'), '') AS sums_csv,
+           CAST(coalesce(a.dims, 0) AS BIGINT) AS dims, c.n
+    FROM cnt c LEFT JOIN agg a USING (label)
+    ORDER BY c.label
+    """,
+    doc="SUMARRAYLONG with a trailing FILTER (WHERE pred) folded into "
+        "the positional route by masking the EXPLODED array (round 11): "
+        "`CASE WHEN pred THEN arr END` turns a pred-failing row into a "
+        "NULL array — one first-copy row, zero positions — so the "
+        "per-position sums AND the output length see only passing "
+        "arrays, while count(*) rides FILTER-less over every row; a "
+        "group with no passing arrays answers [].  Previously any "
+        "FILTER'd SUMARRAY was a loud reject.  The builder asserts the "
+        "route ENGAGED; the DuckDB oracle unnests the pre-filtered "
+        "rows with a LEFT JOIN keeping empty groups alive.",
+)
+def b17_sumarray_filter_route(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    _prep(spark, sf_dir)
+    from .functions.aggsql import rewrite_sumarray_statement
+
+    q = (
+        "SUMARRAYLONG(transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) "
+        "FILTER (WHERE vec_id % 2 = 0)"
+    )
+    stmt = (
+        f"SELECT label, array_join({q}, '|') AS sums_csv, "
+        f"CAST(size({q}) AS BIGINT) AS dims, count(*) AS n "
+        "FROM embeddings GROUP BY label ORDER BY label"
+    )
+    routed = rewrite_sumarray_statement(stmt)
+    if routed is None:  # the route regressing to the reject is a bug
+        raise AssertionError("sumarray route refused a FILTER'd target")
+    return spark.sql(routed)
+
+
 # ===========================================================================
 # Driver window curation: the driver's correctness gate adjudicates exactly
 # the first 50 entries of queries() in registration order (confirmed in
@@ -7745,10 +7868,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # task 3), and b16_funnelcount_timebucket_route (an EXPRESSION
     # GROUP BY item through the keyed route), again post-window.
     # Round 11 registers b16_funnelcount_derived_join_route (a
-    # DERIVED-TABLE operand inside the JOIN chain — VERDICT r10 task 1)
-    # and b16_funnelmaxstep_filter_route / b24_mode_avg_filter_route
+    # DERIVED-TABLE operand inside the JOIN chain — VERDICT r10 task 1),
+    # b16_funnelmaxstep_filter_route / b24_mode_avg_filter_route
     # (FILTER clauses folded into the window-cascade and mode-avg
-    # routes — task 2) on the same post-window terms.
+    # routes — task 2), and b16_funnelcount_filter_route /
+    # b17_sumarray_filter_route (FILTER folded into the keyed flag
+    # partials and the sumarray masked explode — completing the FILTER
+    # surface across every statement route) on the same post-window
+    # terms.
     # If the window ever grows past 50, seat b70_tuple_sketch,
     # c32_url_filter, b16_funnelcount_join2_route,
     # b17_cte_multiref_route, and b16_funnelcount_timebucket_route

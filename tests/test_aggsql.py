@@ -3016,13 +3016,50 @@ def test_mode_max_long_min_value_fails_loudly(agg_engine):
         ).collect()
 
 
-def test_sumarray_target_filter_clause_bails():
-    """Post-review: FILTER on a route TARGET would parse-break the
-    replacement — the route must bail (the reject then fires loudly)."""
-    assert rewrite_sumarray_statement(
+def test_sumarray_target_filter_clause_folds(sumarray_engine):
+    """Round 11: FILTER on a SUMARRAY target folds by masking the
+    exploded array — pred-failing rows become NULL arrays (one
+    first-copy row, zero positions), so positional sums AND the output
+    length see only passing arrays.  Unfoldable preds and mixed preds
+    across targets keep the loud reject (one shared explode)."""
+    routed = rewrite_sumarray_statement(
         "SELECT g, SUMARRAYLONG(arr) FILTER (WHERE g > 1) "
         "FROM t GROUP BY g"
+    )
+    assert routed is not None
+    assert "CASE WHEN (g > 1) THEN (arr) END" in routed
+    assert rewrite_sumarray_statement(
+        "SELECT SUMARRAYLONG(arr) FILTER (WHERE ) FROM t"
     ) is None
+    assert rewrite_sumarray_statement(
+        "SELECT SUMARRAYLONG(arr) FILTER (WHERE x > 0) AS a, "
+        "SUMARRAYDOUBLE(arr) FILTER (WHERE x < 0) AS b FROM t"
+    ) is None
+    sumarray_engine.spark.createDataFrame(
+        [
+            (1, "k", [1, 2, 3]), (1, "x", [10, 20]), (1, "k", []),
+            (2, "x", [5]), (2, "k", None),
+            (3, "k", [None, 7]), (3, "k", [4, None]),
+            (4, "x", [9]),
+        ],
+        "g INT, tag STRING, arr ARRAY<INT>",
+    ).createOrReplaceTempView("saflt")
+    got = {
+        r.g: (r.s, r.n)
+        for r in sumarray_engine.query(
+            "SELECT g, SUMARRAYLONG(arr) FILTER (WHERE tag = 'k') AS s, "
+            "count(*) AS n FROM saflt GROUP BY g"
+        ).collect()
+    }
+    # only 'k' arrays feed the positional sums AND the output length;
+    # count(*) carries no FILTER and still counts every row; a group
+    # whose every row fails answers [] but stays alive
+    assert got == {
+        1: ([1, 2, 3], 3),
+        2: ([], 2),
+        3: ([4, 7], 2),
+        4: ([], 1),
+    }
 
 
 def test_st_union_both_spellings_share_one_message():
@@ -3537,6 +3574,52 @@ def test_keyed_route_with_derived_join_operand(
         )
     )
     assert both is not None
+
+
+def test_keyed_route_target_filter_folds(joinroute_engine):
+    """Round 11 (completing the FILTER surface): a trailing FILTER on a
+    KEYED-ROUTE target folds into that target's inner partials — FC and
+    theta flags become pred-conjoined, tuple-value partials pred-masked
+    — so a key whose every row fails contributes nothing, exactly the
+    key the FILTER'd aggregate never saw.  Previously the dangling
+    clause errored on both the route and the fold.  The FC reference is
+    the fold with pred-masked STEPS (dead-CTE-blocked from routing);
+    per-target preds may differ (the key is shared, the masks are not)."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_keyed_agg_statement,
+    )
+
+    stmt = (
+        "SELECT FUNNELCOUNT(STEPS(ev = 'view', ev = 'buy'), "
+        "CORRELATE_BY(u)) FILTER (WHERE v < 25) AS fc, "
+        "count(*) AS n FROM jr_fact"
+    )
+    assert rewrite_keyed_agg_statement(stmt) is not None  # ENGAGED
+    got = joinroute_engine.query(stmt).collect()[0]
+    fold = joinroute_engine.query(
+        "WITH f AS (SELECT * FROM jr_fact), f_keep AS (SELECT * FROM f) "
+        "SELECT FUNNELCOUNT(STEPS((v < 25) AND (ev = 'view'), "
+        "(v < 25) AND (ev = 'buy')), CORRELATE_BY(u)) AS fc, "
+        "count(*) AS n FROM f"
+    ).collect()[0]
+    # u=1's buy (v=30) is invisible, so step 2 drops to 0; count(*)
+    # still sees all 4 rows
+    assert list(got.fc) == list(fold.fc) == [2, 0]
+    assert got.n == fold.n == 4
+    row = joinroute_engine.query(
+        "SELECT DISTINCTCOUNTTHETASKETCH(u, 'nominalEntries=4096', "
+        "'ev = ''view''', 'ev = ''buy''', 'SET_UNION($1, $2)') "
+        "FILTER (WHERE v < 15) AS t, "
+        "SUMVALUESINTEGERSUMTUPLESKETCH(u, v) "
+        "FILTER (WHERE ev = 'view') AS sv, "
+        "AVGVALUEINTEGERSUMTUPLESKETCH(u, v) "
+        "FILTER (WHERE ev = 'view') AS av "
+        "FROM jr_fact"
+    ).collect()[0]
+    # v<15 keeps only the two view rows (u=1, u=2): union = 2 keys;
+    # per-key view sums are 10 and 10 -> total 20, avg 10
+    assert row.t == 2
+    assert row.sv == 20.0 and row.av == 10.0
 
 
 def test_mv_route_with_join_chain(joinroute_engine, joinchain_views):

@@ -959,10 +959,14 @@ _fc_coaggs_st = st.lists(
     grouped=st.sampled_from([None, "g", "abs(g - 1)", "g % 2"]),
     where=st.sampled_from([None, "x > 0", "x <= 10"]),
     coaggs=_fc_coaggs_st,
+    # round 11: FILTER on the TARGET folds into the per-key flag masks;
+    # the fold reference spells it as pred-masked STEPS (a key seen
+    # only through failing rows carries all-false flags = absent)
+    filt=st.sampled_from([None, "x > 2", "ev <> 'b'"]),
 )
 @settings(**SETTINGS)
 def test_funnelcount_route_matches_fold_reference(
-    spark, rows, steps, grouped, where, coaggs
+    spark, rows, steps, grouped, where, coaggs, filt
 ):
     from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
     from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
@@ -979,8 +983,15 @@ def test_funnelcount_route_matches_fold_reference(
 
         eng = Engine(spark, tempfile.mkdtemp())
         test_funnelcount_route_matches_fold_reference._eng = eng
+    fsfx = f" FILTER (WHERE {filt})" if filt else ""
     fc = (
-        f"FUNNELCOUNT(STEPS({', '.join(steps)}), CORRELATE_BY(uid)) AS fc"
+        f"FUNNELCOUNT(STEPS({', '.join(steps)}), CORRELATE_BY(uid))"
+        f"{fsfx} AS fc"
+    )
+    msteps = [f"({filt}) AND ({p})" if filt else p for p in steps]
+    ref_fc = (
+        f"FUNNELCOUNT(STEPS({', '.join(msteps)}), CORRELATE_BY(uid)) "
+        "AS fc"
     )
     # decomposable co-aggregates (round 8) ride the route; x values are
     # small ints so double sums/avgs are exact on both paths
@@ -988,13 +999,16 @@ def test_funnelcount_route_matches_fold_reference(
     sel = ", ".join(
         ([f"{grouped} AS gk"] if grouped else []) + co + [fc]
     )
+    ref_sel = ", ".join(
+        ([f"{grouped} AS gk"] if grouped else []) + co + [ref_fc]
+    )
     tail = (" WHERE " + where if where else "") + (
         f" GROUP BY {grouped}" if grouped else ""
     )
     routable = f"SELECT {sel} FROM fcfuzz{tail}"
     reference = (
         "WITH f AS (SELECT * FROM fcfuzz), f_keep AS (SELECT * FROM f) "
-        f"SELECT {sel} FROM f{tail}"
+        f"SELECT {ref_sel} FROM f{tail}"
     )
     assert rewrite_keyed_agg_statement(routable) is not None
     assert rewrite_keyed_agg_statement(reference) is None
@@ -1162,10 +1176,12 @@ def _theta_eval(ast, flags) -> bool:
     expr=_theta_expr_st,
     grouped=st.booleans(),
     where=st.sampled_from([None, "x > 0", "x <= 10"]),
+    # round 11: FILTER on the target folds into the per-key flag masks
+    filt=st.sampled_from([None, "x > 4", "ev <> 'a'"]),
 )
 @settings(**SETTINGS)
 def test_theta_set_route_matches_python_reference(
-    spark, rows, expr, grouped, where
+    spark, rows, expr, grouped, where, filt
 ):
     from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
     from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
@@ -1186,7 +1202,9 @@ def test_theta_set_route_matches_python_reference(
     )
     call = (
         f"DISTINCTCOUNTTHETASKETCH(u, 'nominalEntries=64', {lits}, "
-        f"'{_theta_render(expr)}') AS d"
+        f"'{_theta_render(expr)}')"
+        + (f" FILTER (WHERE {filt})" if filt else "")
+        + " AS d"
     )
     sel = ", ".join((["g"] if grouped else []) + [call])
     tail = (" WHERE " + where if where else "") + (
@@ -1201,6 +1219,11 @@ def test_theta_set_route_matches_python_reference(
         "x > 0": lambda u, ev, x: x > 0,
         "x <= 10": lambda u, ev, x: x <= 10,
     }[where]
+    fpred = {
+        None: lambda u, ev, x: True,
+        "x > 4": lambda u, ev, x: x is not None and x > 4,
+        "ev <> 'a'": lambda u, ev, x: ev != "a",
+    }[filt]
     kept = [r for r in rows if wpred(r[1], r[2], r[3])]
     groups = sorted({r[0] for r in kept}) if grouped else [None]
     want = []
@@ -1209,7 +1232,12 @@ def test_theta_set_route_matches_python_reference(
         keys = {r[1] for r in grows if r[1] is not None}
         n = 0
         for k in keys:
-            krows = [r for r in grows if r[1] == k]
+            # FILTER excludes rows BEFORE the sketch update: flags only
+            # accumulate over pred-passing rows of the key
+            krows = [
+                r for r in grows
+                if r[1] == k and fpred(r[1], r[2], r[3])
+            ]
             flags = [
                 any(p(r[1], r[2], r[3]) for r in krows)
                 for _, p in _theta_preds
@@ -1594,6 +1622,26 @@ def test_sumarray_route_matches_python_reference(spark, rows):
         g: (_py_sumarray(arrs), len(arrs)) for g, arrs in grouped.items()
     }
     assert got == want
+    # round 11: FILTER folds by masking the exploded array — only
+    # pred-passing arrays feed the positional sums and the output
+    # length (size(NULL) is NULL, so NULL arrays fail the pred too);
+    # count(*) rides FILTER-less over every row
+    fstmt = (
+        "SELECT g, SUMARRAYLONG(arr) FILTER (WHERE size(arr) % 2 = 0) "
+        "AS s, count(*) AS n FROM safuzz GROUP BY g"
+    )
+    assert rewrite_sumarray_statement(fstmt) is not None
+    got_f = {r["g"]: (r["s"], r["n"]) for r in eng.query(fstmt).collect()}
+    want_f = {
+        g: (
+            _py_sumarray(
+                [a for a in arrs if a is not None and len(a) % 2 == 0]
+            ),
+            len(arrs),
+        )
+        for g, arrs in grouped.items()
+    }
+    assert got_f == want_f
 
 
 _mode_rows_st = st.lists(

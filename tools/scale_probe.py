@@ -141,6 +141,12 @@ PROBES = (
     # round 11: FILTER folded into the MODE-AVG value mask — the same
     # three stacked hash aggregates with one extra if() projection
     "b24_mode_avg_filter_route",
+    # round 11: FILTER folded into the keyed route's per-correlator
+    # flag partials — the pred conjoins into the inner bool_or masks
+    "b16_funnelcount_filter_route",
+    # round 11: FILTER folded into the sumarray route by masking the
+    # exploded array — same per-(label, position) exchange
+    "b17_sumarray_filter_route",
 )
 
 
