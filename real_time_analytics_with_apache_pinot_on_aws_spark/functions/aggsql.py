@@ -1743,13 +1743,12 @@ def _rewrite_pinot_aggregates_inner(sql: str, keep_native) -> str:
 # also admits a CHAIN of `JOIN tbl ON cond` segments (the one-JOIN
 # restriction was pure conservatism — the relation re-emits verbatim
 # however many joins it carries); round 11 lets any chain operand be a
-# derived table `(SELECT ...) alias` and folds trailing FILTER clauses
-# into the cascade/mode-avg routes' masks.  Shapes the route itself
-# cannot restructure (WITH/UNION/windows) bail; comma-FROM — the
-# pre-ANSI implicit cross join `FROM a, b WHERE a.k = b.k` — is a
-# DOCUMENTED boundary (round 11, VERDICT r10 item 6): it stays on the
-# fold by design, and users can rewrite it to the admitted explicit
-# `JOIN ... ON` chain.
+# derived table `(SELECT ...) alias`, folds trailing FILTER clauses
+# into every route's masks, and admits comma-FROM — the pre-ANSI
+# implicit cross join `FROM a, b WHERE a.k = b.k` (VERDICT r10 item 6)
+# — as a list of bare-or-derived operands re-emitted verbatim (a comma
+# list MIXED with explicit JOIN still bails).  Shapes the route itself
+# cannot restructure (WITH/UNION/windows) bail.
 # Non-deterministic calls (rand/uuid/shuffle/...) bail the
 # row-duplicating routes — the WHERE would re-evaluate per exploded
 # copy, silently turning per-row sampling into per-element sampling.
@@ -2447,6 +2446,42 @@ def _parse_routable_statement(
                 # insertion point)
                 shape.insert_at = join_end + len(join_text.rstrip())
                 shape.rel_next = join_next  # ONE relation-end derivation
+    elif len(_split_top_level_commas(shape.from_text)) > 1:
+        # a TOP-LEVEL COMMA LIST — the pre-ANSI implicit cross join
+        # `FROM a, b WHERE a.k = b.k` (round 11, VERDICT r10 item 6,
+        # upgraded from the documented boundary to an admission): every
+        # route re-emits the relation text VERBATIM inside its derived
+        # table (keyed/cascade/mode-avg copy `FROM <rel> WHERE ...`;
+        # the MV route appends its LATERAL VIEW after the LAST operand,
+        # which Spark attaches to the joined result), so the routed
+        # plan sees exactly the rows the original aggregates saw — the
+        # same argument as the JOIN-chain admission.  Each operand is a
+        # bare table `[AS] [alias]` or (with allow_subqueries, so the
+        # nested SELECT is a recorded span) a derived table
+        # `(SELECT ...) [AS] [alias]`; the splitter is quote- and
+        # paren-aware, so literal/derived-body commas never split.  A
+        # comma list MIXED with explicit JOIN keeps bailing in the
+        # chain branch above (`a, b JOIN c` nests the join under the
+        # cross product — a precedence subtlety not worth modeling).
+        pos = shape.from_end
+        for piece in _split_top_level_commas(shape.from_text):
+            bound = pos + len(piece)
+            op_end = _chain_operand_end(
+                sql, pos, bound, allow_subqueries
+            )
+            if op_end is None or not re.fullmatch(
+                r"(?:\s*(?:AS\s+)?[A-Za-z_]\w*)?\s*",
+                sql[op_end:bound],
+                re.IGNORECASE,
+            ):
+                return None  # empty/trailing operand, VALUES, double alias
+            pos = bound + 1  # past this operand's comma
+        # insertion point: past the last operand's final token — the
+        # same position every single-operand branch derives
+        shape.insert_at = shape.from_end + len(
+            shape.from_text.rstrip()
+        )
+        shape.rel_next = shape.next_start
     elif shape.from_text.lstrip().startswith("("):
         # a DERIVED-TABLE relation `FROM (SELECT ...) [AS] alias`
         # (round-8 session, requires allow_subqueries so the nested
@@ -2993,6 +3028,27 @@ def _bind_group_expr_edits(
         return
     repl_end = where_sp[2] if where_sp is not None else from_sp[2]
     regions = ((shape.kws[0][2], from_sp[0]), (repl_end, len(sql)))
+    # output-name preservation (round 11): a QUALIFIED bare column as a
+    # group item (`GROUP BY d.tier`, the implicit-join staple) would
+    # otherwise surface as the internal alias in the result schema —
+    # `SELECT d.tier` names its column `tier`, and the routed statement
+    # must too.  When a rewrite target is an ENTIRE unaliased
+    # select-list item and the item text is a qualified identifier, the
+    # edit becomes `<alias> AS <tail>`.  Only the exact-byte spelling
+    # gets this: an UNQUALIFIED re-spelling (`SELECT tier ... GROUP BY
+    # d.tier`) stays a raw reference the probe folds — rebinding it
+    # would serve an answer where an ambiguous original errors loudly.
+    sel_spans = []
+    pos = shape.kws[0][2]
+    for item in _split_top_level_commas(sql[pos : from_sp[0]]):
+        sel_spans.append(
+            (
+                pos + (len(item) - len(item.lstrip())),
+                pos + len(item.rstrip()),
+            )
+        )
+        pos += len(item) + 1
+    sel_spans = frozenset(sel_spans)
     skip = [(s, e) for s, e, _ in edits]
     skip += [site for _, _, _, (site, _) in expr_cols if site]
     skip += list(shape.subq_spans)
@@ -3025,6 +3081,11 @@ def _bind_group_expr_edits(
         return False
 
     for alias, _i, _g, (site, text) in expr_cols:
+        out_name = (
+            text.rsplit(".", 1)[1]
+            if re.fullmatch(r"(?:[A-Za-z_]\w*\.)+[A-Za-z_]\w*", text)
+            else None
+        )
         if site:  # ordinal items keep their clause text verbatim
             edits.append((site[0], site[1], alias))
         for rs, rend in regions:
@@ -3048,7 +3109,15 @@ def _bind_group_expr_edits(
                         and standalone(i - 1, forward=False)
                         and standalone(nxt, forward=True)
                     ):
-                        edits.append((i, nxt, alias))
+                        edits.append(
+                            (
+                                i,
+                                nxt,
+                                f"{alias} AS {out_name}"
+                                if out_name and (i, nxt) in sel_spans
+                                else alias,
+                            )
+                        )
                         i = nxt
                         continue
                 if sql[i] in ("'", '"'):

@@ -406,8 +406,9 @@ def test_mv_statement_route_text(src, want):
         # duplication-unsafe co-aggregate -> fallback expression path
         "SELECT PERCENTILE(v, 90), DISTINCTCOUNTMV(tags) FROM t",
         # shapes the route cannot restructure (round 8: joins and
-        # scalar subqueries now route — see the extension tests below)
-        "SELECT DISTINCTCOUNTMV(tags) FROM t, u",
+        # scalar subqueries route; round 11: comma-FROM routes — a
+        # comma list MIXED with explicit JOIN is the residual bail)
+        "SELECT DISTINCTCOUNTMV(tags) FROM t, u JOIN w ON u.k = w.k",
         "SELECT DISTINCTCOUNTMV(tags) OVER () FROM t",
         "WITH c AS (SELECT 1) SELECT DISTINCTCOUNTMV(tags) FROM t",
         "SELECT DISTINCT g, DISTINCTCOUNTMV(tags) FROM t GROUP BY g",
@@ -776,8 +777,11 @@ def test_mv_route_single_join_text():
     )
     assert chained is not None
     assert "ON d.k = e.k LATERAL VIEW OUTER POSEXPLODE(tags)" in chained
-    # comma FROM / USING / ON-less join flavors still bail
-    assert RMV("SELECT DISTINCTCOUNTMV(tags) FROM t, d") is None
+    # comma FROM routes since round 11 (the LATERAL VIEW attaches
+    # after the LAST comma operand); USING / ON-less flavors still bail
+    assert "FROM t, d LATERAL VIEW" in RMV(
+        "SELECT DISTINCTCOUNTMV(tags) FROM t, d"
+    )
     assert RMV(
         "SELECT DISTINCTCOUNTMV(tags) FROM t JOIN d USING (k)"
     ) is None
@@ -995,7 +999,8 @@ def test_keyed_route_text_tuple_values_share_key():
         # shapes the route cannot restructure
         "WITH s AS (SELECT 1) SELECT FUNNELCOUNT(STEPS(ev='a'), "
         "CORRELATE_BY(u)) FROM t",
-        "SELECT FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t, d",
+        "SELECT FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) "
+        "FROM t, d JOIN w ON d.k = w.k",
         "WITH c AS (SELECT 1) SELECT FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t",
         # co-occurring NON-decomposable aggregates keep the fallback
         "SELECT stddev(x), FUNNELCOUNT(STEPS(ev='a'), CORRELATE_BY(u)) FROM t",
@@ -1625,8 +1630,9 @@ def test_ordered_funnel_coaggregates_untouched(ordered_engine):
     [
         # COMPLETECOUNT resets state per completion: keeps the fold
         "SELECT FUNNELCOMPLETECOUNT(ts, '0', 2, 'a', 'b') FROM t",
-        # joins / derived tables
-        "SELECT FUNNELMAXSTEP(ts, '0', 1, 'a') FROM t, d",
+        # comma mixed with explicit JOIN (plain comma routes, round 11)
+        "SELECT FUNNELMAXSTEP(ts, '0', 1, 'a') "
+        "FROM t, d JOIN w ON d.k = w.k",
         "WITH s AS (SELECT 1) SELECT FUNNELMAXSTEP(ts, '0', 1, 'a') "
         "FROM t",
         # FILTER folds since round 11 — but only a mask-exact pred: a
@@ -3116,9 +3122,10 @@ def test_mode_avg_route_text_shape():
         "SELECT MODE(a, 'AVG'), MODE(b, 'AVG') FROM t",
         # non-decomposable co-aggregates keep the reject
         "SELECT MODE(v, 'AVG'), count(DISTINCT u) FROM t",
-        # windows / joins bail at the shape parse
+        # windows / comma-JOIN mixes bail at the shape parse (plain
+        # comma-FROM routes since round 11)
         "SELECT MODE(v, 'AVG'), rank() OVER (ORDER BY g) FROM t",
-        "SELECT MODE(v, 'AVG') FROM t, d",
+        "SELECT MODE(v, 'AVG') FROM t, d JOIN w ON d.k = w.k",
         # FILTER folds since round 11 — but only a mask-exact pred, and
         # two targets with DIFFERENT preds cannot share one level-1
         # value group
@@ -3704,6 +3711,184 @@ def test_join_chain_three_deep_routes(joinroute_engine, joinchain_views):
     assert got == {"gold": [5, 3], "silver": [2, 5]}
 
 
+# -- comma-FROM (implicit cross join) routes (round 11, VERDICT r10 item 6) ----
+
+
+def test_comma_from_routes_keyed(joinroute_engine):
+    """`FROM a, b WHERE a.k = b.k` — the pre-ANSI implicit-join spelling
+    — routes: the comma list re-emits verbatim inside the derived
+    table (with the WHERE), so the per-correlator plan sees exactly the
+    rows the original aggregates saw; the answer equals the fold over
+    the same relation (dead-CTE-blocked from routing itself)."""
+    sel = (
+        "SELECT tier, FUNNELCOUNT(STEPS(ev = 'view', ev = 'buy'), "
+        "CORRELATE_BY(jr_fact.u)) AS fc, count(*) AS n "
+        "FROM {rel} {pred} GROUP BY tier ORDER BY tier"
+    )
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_keyed_agg_statement,
+    )
+
+    stmt = sel.format(
+        rel="jr_fact, jr_dim", pred="WHERE jr_fact.u = jr_dim.u"
+    )
+    routed_text = rewrite_keyed_agg_statement(stmt)
+    assert routed_text is not None  # the route ENGAGED
+    assert "FROM jr_fact, jr_dim" in routed_text  # verbatim re-emission
+    routed = joinroute_engine.query(stmt)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan and "collect_list" not in plan
+    rows = routed.collect()
+    folded = joinroute_engine.query(
+        "WITH jr_fact AS (SELECT jr_fact.u, ev, tier FROM jr_fact, "
+        "jr_dim WHERE jr_fact.u = jr_dim.u), "
+        "jr_keep AS (SELECT * FROM jr_fact) "
+        + sel.format(rel="jr_fact", pred="")
+    ).collect()
+    assert [(r.tier, list(r.fc), r.n) for r in rows] == [
+        (r.tier, list(r.fc), r.n) for r in folded
+    ] == [("gold", [2, 1], 3), ("silver", [0, 0], 1)]
+
+
+def test_comma_from_routes_mv_and_sumarray(joinroute_engine):
+    """The MV/positional routes append their LATERAL VIEW after the
+    LAST comma operand — Spark attaches it to the joined result, so
+    per-element aggregation sees exactly the implicit-join rows."""
+    got = {
+        r.tier: (r.v, r.c)
+        for r in joinroute_engine.query(
+            "SELECT tier, DISTINCTCOUNTMV(arr) AS v, count(*) AS c "
+            "FROM jr_fact, jr_dim WHERE jr_fact.u = jr_dim.u "
+            "GROUP BY tier"
+        ).collect()
+    }
+    assert got == {"gold": (3, 3), "silver": (2, 1)}
+    got = {
+        r.tier: r.s
+        for r in joinroute_engine.query(
+            "SELECT tier, SUMARRAYLONG(arr) AS s "
+            "FROM jr_fact, jr_dim WHERE jr_fact.u = jr_dim.u "
+            "GROUP BY tier"
+        ).collect()
+    }
+    assert got == {"gold": [5, 3], "silver": [2, 5]}
+
+
+def test_comma_from_routes_cascade_and_mode_avg(joinroute_engine):
+    """The window-cascade and mode-avg routes take comma-FROM too —
+    their derived layers copy `FROM <list> WHERE ...` verbatim."""
+    stmt = (
+        "SELECT tier, FUNNELMAXSTEP(to_timestamp('2024-01-01') "
+        "+ make_interval(0, 0, 0, 0, 0, jr_fact.u, 0), '0', 2, "
+        "'ev = ''view''', 'ev = ''buy''') AS ms "
+        "FROM jr_fact, jr_dim WHERE jr_fact.u = jr_dim.u "
+        "GROUP BY tier ORDER BY tier"
+    )
+    assert ROF(stmt) is not None  # the route ENGAGED
+    got = [(r.tier, r.ms) for r in joinroute_engine.query(stmt).collect()]
+    assert got == [("gold", 1), ("silver", 0)]
+    got = {
+        r.tier: r.m
+        for r in joinroute_engine.query(
+            "SELECT tier, MODE(v, 'AVG') AS m "
+            "FROM jr_fact, jr_dim WHERE jr_fact.u = jr_dim.u "
+            "GROUP BY tier"
+        ).collect()
+    }
+    assert got == {"gold": 10.0, "silver": 20.0}
+
+
+def test_comma_from_derived_operand_routes(joinroute_engine):
+    """A comma operand may itself be a derived table `(SELECT ...) d` —
+    the balanced group re-emits verbatim, its span scope-excluding its
+    own call sites (the same contract as chain operands)."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_keyed_agg_statement,
+    )
+
+    stmt = (
+        "SELECT d.tier, FUNNELCOUNT(STEPS(ev = 'view', ev = 'buy'), "
+        "CORRELATE_BY(jr_fact.u)) AS fc FROM jr_fact, "
+        "(SELECT u, tier FROM jr_dim WHERE u <> 3) d "
+        "WHERE jr_fact.u = d.u GROUP BY d.tier"
+    )
+    routed_text = rewrite_keyed_agg_statement(stmt)
+    assert routed_text is not None  # the route ENGAGED
+    assert "(SELECT u, tier FROM jr_dim WHERE u <> 3) d" in routed_text
+    got = [
+        (r.tier, list(r.fc))
+        for r in joinroute_engine.query(stmt).collect()
+    ]
+    assert got == [("gold", [2, 1])]
+
+
+def test_qualified_group_item_keeps_output_name(joinroute_engine):
+    """Round 11 (found by the comma-FROM work, but join-shaped too): a
+    QUALIFIED bare column as a group item (`SELECT d.tier ... GROUP BY
+    d.tier`) must surface as `tier` in the result schema — Spark's own
+    name for the projection — not the route's internal alias.  The
+    full-select-item rewrite becomes `__fcg0 AS tier`; an explicit
+    alias wins; an ordinal resolving to the qualified item gets the
+    same treatment; and an UNQUALIFIED re-spelling of the item stays a
+    raw reference the probe folds (rebinding it would serve an answer
+    where an ambiguous original errors loudly)."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_keyed_agg_statement,
+        rewrite_pinot_aggregates,
+    )
+
+    sel = (
+        "SELECT {item}, FUNNELCOUNT(STEPS(ev = 'view', ev = 'buy'), "
+        "CORRELATE_BY(jr_fact.u)) AS fc FROM jr_fact "
+        "JOIN jr_dim d ON jr_fact.u = d.u GROUP BY {grp}"
+    )
+    for item, grp, want in [
+        ("d.tier", "d.tier", "tier"),
+        ("d.tier", "1", "tier"),
+        ("d.tier AS t2", "d.tier", "t2"),
+    ]:
+        stmt = sel.format(item=item, grp=grp)
+        routed = rewrite_keyed_agg_statement(stmt)
+        assert routed is not None  # the route ENGAGED
+        df = joinroute_engine.spark.sql(rewrite_pinot_aggregates(routed))
+        assert df.columns == [want, "fc"], (item, grp, df.columns)
+        assert joinroute_engine.query(stmt).columns == [want, "fc"]
+    # unqualified re-spelling: the routed text keeps the raw reference
+    # (which cannot analyze — the engine serves the ORIGINAL's answer)
+    respelled = sel.format(item="tier", grp="d.tier")
+    routed = rewrite_keyed_agg_statement(respelled)
+    assert routed is not None and "SELECT tier," in routed
+    got = {
+        r.tier: list(r.fc)
+        for r in joinroute_engine.query(respelled).collect()
+    }
+    assert got == {"gold": [2, 1], "silver": [0, 0]}
+
+
+def test_comma_from_bails():
+    """Shapes outside the admission keep the fold: a comma list MIXED
+    with explicit JOIN (precedence nests the join under the cross
+    product), a trailing/empty operand, a (VALUES ...) operand, and a
+    double-alias token residue."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        rewrite_keyed_agg_statement,
+    )
+
+    bad = [
+        "SELECT d.tier, FUNNELCOUNT(STEPS(ev = 'a'), CORRELATE_BY(u)) "
+        "AS fc FROM jr_fact, jr_dim d JOIN jr_dim2 ON d.u = jr_dim2.u "
+        "WHERE jr_fact.u = d.u GROUP BY d.tier",
+        "SELECT FUNNELCOUNT(STEPS(ev = 'a'), CORRELATE_BY(u)) AS fc "
+        "FROM jr_fact, GROUP BY ev",
+        "SELECT FUNNELCOUNT(STEPS(ev = 'a'), CORRELATE_BY(u)) AS fc "
+        "FROM jr_fact, (VALUES (1)) v GROUP BY ev",
+        "SELECT FUNNELCOUNT(STEPS(ev = 'a'), CORRELATE_BY(u)) AS fc "
+        "FROM jr_fact f x, jr_dim GROUP BY ev",
+    ]
+    for stmt in bad:
+        assert rewrite_keyed_agg_statement(stmt) is None
+
+
 @pytest.mark.parametrize(
     "q,want",
     [
@@ -3745,10 +3930,13 @@ def test_routes_accept_derived_table_relation():
     assert routed is not None
     assert "FROM (SELECT k, nums FROM base WHERE k > 0) src "\
         "LATERAL VIEW" in routed
-    # trailing comma list after the derived table stays unroutable
-    assert rewrite_sumarray_statement(
-        "SELECT SUMARRAYLONG(nums) FROM (SELECT 1) a, b"
-    ) is None
+    # a comma list whose FIRST operand is the derived table routes too
+    # (round 11 — the whole list re-emits verbatim)
+    assert "FROM (SELECT 1) a, b LATERAL VIEW" in (
+        rewrite_sumarray_statement(
+            "SELECT SUMARRAYLONG(nums) FROM (SELECT 1) a, b"
+        )
+    )
     # a route target INSIDE the derived table belongs to that scope
     assert rewrite_sumarray_statement(
         "SELECT x FROM (SELECT SUMARRAYLONG(nums) AS x FROM base) s"

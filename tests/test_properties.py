@@ -2072,6 +2072,102 @@ def test_join_chain_route_matches_fold(
 
 
 # ---------------------------------------------------------------------------
+# Comma-FROM route parity (round 11, VERDICT r10 item 6): the pre-ANSI
+# implicit cross join `FROM a, b WHERE a.k = b.k` routes by verbatim
+# re-emission of the comma list; for random fact rows, list widths, and
+# each statement-route target, the routed statement equals the fold
+# forced over the SAME relation (dead-CTE wrapper the inliner refuses).
+# ---------------------------------------------------------------------------
+
+
+@given(
+    rows=_jc_fact_st,
+    width=st.sampled_from([2, 3]),
+    target=st.sampled_from(["funnel", "mv", "maxstep"]),
+    derived=st.sampled_from(["none", "fact", "dim1", "dim2"]),
+    cross=st.booleans(),  # True drops the dim2 equality -> real cross join
+)
+@settings(**SETTINGS)
+def test_comma_from_route_matches_fold(
+    spark, rows, width, target, derived, cross
+):
+    import tempfile
+
+    from real_time_analytics_with_apache_pinot_on_aws_spark.engine import Engine
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        inline_route_ctes,
+        rewrite_keyed_agg_statement,
+        rewrite_mv_distinct_statement,
+        rewrite_ordered_funnel_statement,
+    )
+
+    spark.createDataFrame(
+        rows, "u int, ev string, arr array<int>"
+    ).createOrReplaceTempView("jcfact")
+    eng = getattr(test_comma_from_route_matches_fold, "_eng", None)
+    if eng is None:
+        spark.sql(
+            "SELECT * FROM VALUES (0, 'g'), (1, 'g'), (2, 's'), (3, 's') "
+            "AS d(u, tier)"
+        ).createOrReplaceTempView("jcdim1")
+        spark.sql(
+            "SELECT * FROM VALUES (0, 'eu'), (2, 'eu'), (3, 'us'), (4, 'us') "
+            "AS r(u, region)"
+        ).createOrReplaceTempView("jcdim2")
+        eng = Engine(spark, tempfile.mkdtemp())
+        test_comma_from_route_matches_fold._eng = eng
+    sels = {
+        "funnel": "FUNNELCOUNT(STEPS(ev = 'view', ev = 'buy'), "
+                  "CORRELATE_BY(jcfact.u)) AS t, count(*) AS n",
+        "mv": "DISTINCTCOUNTMV(arr) AS t, count(*) AS n",
+        "maxstep": "FUNNELMAXSTEP(to_timestamp('2024-01-01') "
+                   "+ make_interval(0, 0, 0, 0, 0, jcfact.u, 0), '0', 2, "
+                   "'ev = ''view''', 'ev = ''buy''') AS t",
+    }
+    rewrites = {
+        "funnel": rewrite_keyed_agg_statement,
+        "mv": rewrite_mv_distinct_statement,
+        "maxstep": rewrite_ordered_funnel_statement,
+    }
+
+    def ref(name, key):
+        return f"(SELECT * FROM {name}) {name}" if derived == key else name
+
+    ops = [ref("jcfact", "fact"), ref("jcdim1", "dim1")]
+    preds = ["jcfact.u = jcdim1.u"]
+    group = ["tier"]
+    if width == 3:
+        ops.append(ref("jcdim2", "dim2"))
+        group.append("region")
+        if not cross:  # cross=True: dim2 rides unconstrained
+            preds.append("jcfact.u = jcdim2.u")
+    rel = ", ".join(ops)
+    gsel = ", ".join(group)
+    stmt = (
+        f"SELECT {gsel}, {sels[target]} FROM {rel} "
+        f"WHERE {' AND '.join(preds)} GROUP BY {gsel}"
+    )
+    routed_text = rewrites[target](stmt)
+    assert routed_text is not None, stmt  # the comma route ENGAGED
+    fold_stmt = (
+        f"WITH j AS (SELECT jcfact.u AS u, ev, arr, {gsel} "
+        f"FROM {rel} WHERE {' AND '.join(preds)}), "
+        "j_keep AS (SELECT * FROM j) "
+        f"SELECT {gsel}, {sels[target]} FROM j GROUP BY {gsel}"
+    ).replace("CORRELATE_BY(jcfact.u)", "CORRELATE_BY(u)").replace(
+        "make_interval(0, 0, 0, 0, 0, jcfact.u, 0)",
+        "make_interval(0, 0, 0, 0, 0, u, 0)",
+    )
+    assert inline_route_ctes(fold_stmt) is None  # engine keeps fold
+    key = lambda r: tuple(  # noqa: E731
+        (v is None, v) for v in r[: len(group)]
+    )
+    got = sorted(map(tuple, eng.query(stmt).collect()), key=key)
+    want = sorted(map(tuple, eng.query(fold_stmt).collect()), key=key)
+    assert got == want, stmt
+
+
+# ---------------------------------------------------------------------------
 # MV target FILTER masking (round 10): there is no fold for a FILTER'd MV
 # target (the normalized-set fallback wraps aggregates in scalars, which a
 # native FILTER attachment cannot follow), so the routed element-mask form

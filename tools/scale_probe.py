@@ -147,6 +147,9 @@ PROBES = (
     # round 11: FILTER folded into the sumarray route by masking the
     # exploded array — same per-(label, position) exchange
     "b17_sumarray_filter_route",
+    # round 11: comma-FROM (implicit cross join) admitted — the comma
+    # list re-emits verbatim, same bounded per-correlator plan
+    "b16_funnelcount_comma_from_route",
 )
 
 
