@@ -354,14 +354,17 @@ def _datetimeconvert(args: list[str]) -> str:
         raise ValueError(f"unparseable DATETIMECONVERT granularity {gran!r}")
     bucket_ms = int(gp[0]) * _UNIT_MS[gp[1].upper()]
     if in_kind[0] == "EPOCH":
-        millis = f"(({v}) * {in_kind[1]})"
+        millis = f"cast(({v}) * {in_kind[1]} as bigint)"
     else:
         millis = f"unix_millis(to_timestamp({v}, '{in_kind[1]}'))"
-    bucketed = (
-        f"(cast(floor({millis} / {bucket_ms}) as bigint) * {bucket_ms})"
-    )
+    # integer `div`, not floor(double /): Pinot's granularity rounding
+    # and unit conversion are Java LONG divisions, and a double quotient
+    # silently loses integer precision past 2^53 ms (~year 287K —
+    # unreachable for real times, but the fuzz reference found the
+    # divergence and the long form is both exact and Pinot-faithful)
+    bucketed = f"(({millis} div {bucket_ms}) * {bucket_ms})"
     if out_kind[0] == "EPOCH":
-        return f"cast(floor({bucketed} / {out_kind[1]}) as bigint)"
+        return f"({bucketed} div {out_kind[1]})"
     return f"date_format(timestamp_millis({bucketed}), '{out_kind[1]}')"
 
 
@@ -2302,6 +2305,25 @@ class _StmtShape:
         return any(s < pos < e for s, e in self.subq_spans)
 
 
+# JOIN-chain admission fragments (round 11 grows the round-10 chain to
+# every Spark join flavor — the relation re-emits VERBATIM in every
+# route, so the flavor's semantics ride for free).  The alias lookahead
+# keeps a flavor word from being eaten as an operand alias; the
+# modifier tail is what a segment (or the FROM operand) may trail for
+# the NEXT join, and its `condless` capture marks the CROSS/NATURAL
+# flavors whose segment must carry NO `ON`/`USING`.
+_JOIN_ALIAS_NOT = (
+    r"(?!ON\b|USING\b|LEFT\b|RIGHT\b|FULL\b|INNER\b|OUTER\b|"
+    r"CROSS\b|NATURAL\b|SEMI\b|ANTI\b)"
+)
+_JOIN_MOD_TAIL = (
+    r"(?:\s+(?:(?P<condless>CROSS|NATURAL(?:\s+INNER|"
+    r"\s+(?:LEFT|RIGHT|FULL)(?:\s+OUTER)?)?)|"
+    r"(?:LEFT\s+)?(?:SEMI|ANTI)|"
+    r"(?:LEFT|RIGHT|FULL)(?:\s+OUTER)?|INNER))?"
+)
+
+
 def _chain_operand_end(
     sql: str, start: int, bound: int, allow_subqueries: bool
 ):
@@ -2341,12 +2363,13 @@ def _parse_routable_statement(
     re-entrant or adversarial — bail).  ``allow_subqueries`` admits
     parenthesized (SELECT ...) groups and records their spans so the
     caller can scope-exclude their call sites; ``allow_join`` admits a
-    CHAIN of ``[INNER|LEFT|RIGHT|FULL [OUTER]] JOIN operand [alias] ON
-    cond`` segments (round 10, VERDICT r9 task 1 — the one-JOIN cap was
-    pure conservatism: every route re-emits the relation text VERBATIM
-    inside its derived table, so a two-dimension-join funnel sees
-    exactly the rows the original aggregates saw) and places
-    ``insert_at`` after the last segment.  Since round 11 (VERDICT r10
+    CHAIN of ``[flavor] JOIN operand [alias] (ON cond | USING (cols) |
+    nothing-for-CROSS/NATURAL)`` segments (round 10 grew the one-JOIN
+    cap to chains, VERDICT r9 task 1; round 11 grew the ON-only grammar
+    to every Spark join flavor — CROSS, NATURAL, USING, SEMI/ANTI —
+    because every route re-emits the relation text VERBATIM inside its
+    derived table, so each flavor's row/column semantics ride for free)
+    and places ``insert_at`` after the last segment.  Since round 11 (VERDICT r10
     task 1) a chain operand — the FROM-position relation or any JOIN
     segment's — may also be a derived table ``(SELECT ...) [alias]``
     (requires ``allow_subqueries``): joining the fact table to a
@@ -2400,14 +2423,19 @@ def _parse_routable_statement(
         op_end = _chain_operand_end(
             sql, shape.from_end, kws[from_i + 1][1], allow_subqueries
         )
-        if op_end is None or not re.fullmatch(
-            r"(?:\s*(?:AS\s+)?(?!LEFT\b|RIGHT\b|FULL\b|INNER\b|OUTER\b)"
-            r"[A-Za-z_]\w*)?"
-            r"(?:\s+(?:LEFT|RIGHT|FULL)(?:\s+OUTER)?|\s+INNER)?\s*",
+        fm = re.fullmatch(
+            r"(?:\s*(?:AS\s+)?" + _JOIN_ALIAS_NOT + r"[A-Za-z_]\w*)?"
+            + _JOIN_MOD_TAIL + r"\s*",
             sql[op_end : kws[from_i + 1][1]],
             re.IGNORECASE,
-        ) or len(_split_top_level_commas(shape.from_text)) != 1:
+        ) if op_end is not None else None
+        if fm is None or len(
+            _split_top_level_commas(shape.from_text)
+        ) != 1:
             return None
+        # cond-less CROSS/NATURAL flavors (round 11): the capture holds
+        # the NEXT join's type modifier — its segment carries no ON
+        condless = bool(fm.group("condless"))
         for seg, join_i in enumerate(join_is):
             join_end = kws[join_i][2]
             join_next = (
@@ -2417,28 +2445,35 @@ def _parse_routable_statement(
             )
             join_text = sql[join_end:join_next]
             final = seg == len(join_is) - 1
-            # every segment is `tbl-or-(SELECT ...) [alias] ON cond`; a
-            # NON-final segment may trail the NEXT join's type modifier.
-            # A modifier the regex cannot place (CROSS/NATURAL/SEMI/
-            # ANTI) is swallowed by the non-greedy cond, and the
-            # FOLLOWING segment then lacks its ON / its table — the
-            # chain bails there, so ON-less join flavors never validate.
+            # every segment is `tbl-or-(SELECT ...) [alias]` followed by
+            # `ON cond` / `USING (cols)` (round 11 — both re-emit
+            # verbatim, so the flavor's column-merging semantics ride
+            # for free) — or by NOTHING when the segment's own JOIN was
+            # CROSS/NATURAL-flavored; a NON-final segment may trail the
+            # NEXT join's type modifier.  An invalid pairing (CROSS
+            # with ON, NATURAL with USING, plain JOIN with neither)
+            # fails the fullmatch and the chain bails — the original
+            # then stands with its own loud parse error.
             op_end = _chain_operand_end(
                 sql, join_end, join_next, allow_subqueries
             )
-            if op_end is None or not re.fullmatch(
-                r"(?:\s*(?:AS\s+)?(?!ON\b)[A-Za-z_]\w*)?"
-                r"\s*ON\s+.+?"
+            sm = re.fullmatch(
+                r"(?:\s*(?:AS\s+)?" + _JOIN_ALIAS_NOT
+                + r"[A-Za-z_]\w*)?"
                 + (
-                    r"\s*"
-                    if final
-                    else r"(?:\s+(?:LEFT|RIGHT|FULL)(?:\s+OUTER)?"
-                    r"|\s+INNER)?\s*"
-                ),
+                    r""
+                    if condless
+                    else r"(?:\s*ON\s+.+?|\s*USING\s*\([^()]*\))"
+                )
+                + (r"\s*" if final else _JOIN_MOD_TAIL + r"\s*"),
                 sql[op_end:join_next],
                 re.IGNORECASE | re.DOTALL,
-            ) or len(_split_top_level_commas(join_text)) != 1:
+            ) if op_end is not None else None
+            if sm is None or len(
+                _split_top_level_commas(join_text)
+            ) != 1:
                 return None
+            condless = (not final) and bool(sm.group("condless"))
             if final:
                 # insert BEFORE the trailing whitespace so the following
                 # clause keyword keeps its separator (the inserted text

@@ -43,10 +43,12 @@ def _dimcheck(name: str, body: str) -> str:
 _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
     # ---- date/time (B51) -------------------------------------------------
     ("DATETRUNC", "unit STRING, ts TIMESTAMP", "TIMESTAMP", "date_trunc(unit, ts)"),
-    ("TOEPOCHSECONDS", "millis BIGINT", "BIGINT", "floor(millis / 1000)"),
-    ("TOEPOCHMINUTES", "millis BIGINT", "BIGINT", "floor(millis / 60000)"),
-    ("TOEPOCHHOURS", "millis BIGINT", "BIGINT", "floor(millis / 3600000)"),
-    ("TOEPOCHDAYS", "millis BIGINT", "BIGINT", "floor(millis / 86400000)"),
+    # `div` not floor(/): Pinot's conversions are Java LONG divisions,
+    # and a double quotient loses integer precision past 2^53
+    ("TOEPOCHSECONDS", "millis BIGINT", "BIGINT", "millis div 1000"),
+    ("TOEPOCHMINUTES", "millis BIGINT", "BIGINT", "millis div 60000"),
+    ("TOEPOCHHOURS", "millis BIGINT", "BIGINT", "millis div 3600000"),
+    ("TOEPOCHDAYS", "millis BIGINT", "BIGINT", "millis div 86400000"),
     ("FROMEPOCHSECONDS", "s BIGINT", "BIGINT", "s * 1000"),
     ("FROMEPOCHMINUTES", "m BIGINT", "BIGINT", "m * 60000"),
     ("FROMEPOCHHOURS", "h BIGINT", "BIGINT", "h * 3600000"),
@@ -241,18 +243,20 @@ _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
     ),
     # ---- time-unit conversion (B51) --------------------------------------
     # Pinot TIMECONVERT(value, fromUnit, toUnit) **[P1.2]**: truncating
-    # integer conversion between epoch units
+    # integer conversion between epoch units — LONG multiply then LONG
+    # `div`, exactly Java's arithmetic (a double quotient loses integer
+    # precision past 2^53)
     (
         "TIMECONVERT",
         "v BIGINT, fu STRING, tu STRING",
         "BIGINT",
-        "cast(floor(v * "
+        "(v * "
         "CASE upper(fu) WHEN 'MILLISECONDS' THEN 1 WHEN 'SECONDS' THEN 1000 "
         "WHEN 'MINUTES' THEN 60000 WHEN 'HOURS' THEN 3600000 "
-        "WHEN 'DAYS' THEN 86400000 END / "
+        "WHEN 'DAYS' THEN 86400000 END) div "
         "CASE upper(tu) WHEN 'MILLISECONDS' THEN 1 WHEN 'SECONDS' THEN 1000 "
         "WHEN 'MINUTES' THEN 60000 WHEN 'HOURS' THEN 3600000 "
-        "WHEN 'DAYS' THEN 86400000 END) as bigint)",
+        "WHEN 'DAYS' THEN 86400000 END",
     ),
     # ---- JSONPATH typed extractors (B52) ----------------------------------
     ("JSONPATHSTRING", "js STRING, p STRING", "STRING",

@@ -778,20 +778,33 @@ def test_mv_route_single_join_text():
     assert chained is not None
     assert "ON d.k = e.k LATERAL VIEW OUTER POSEXPLODE(tags)" in chained
     # comma FROM routes since round 11 (the LATERAL VIEW attaches
-    # after the LAST comma operand); USING / ON-less flavors still bail
+    # after the LAST comma operand); so do USING and the ON-less
+    # CROSS/NATURAL flavors — verbatim re-emission carries each
+    # flavor's semantics for free
     assert "FROM t, d LATERAL VIEW" in RMV(
         "SELECT DISTINCTCOUNTMV(tags) FROM t, d"
     )
-    assert RMV(
+    assert "d USING (k) LATERAL VIEW" in RMV(
         "SELECT DISTINCTCOUNTMV(tags) FROM t JOIN d USING (k)"
-    ) is None
-    assert RMV(
+    )
+    assert "CROSS JOIN e LATERAL VIEW" in RMV(
         "SELECT DISTINCTCOUNTMV(tags) FROM t JOIN d ON t.k = d.k "
         "CROSS JOIN e"
-    ) is None
-    assert RMV(
+    )
+    assert "NATURAL JOIN e LATERAL VIEW" in RMV(
         "SELECT DISTINCTCOUNTMV(tags) FROM t JOIN d ON t.k = d.k "
         "NATURAL JOIN e"
+    )
+    # an invalid flavor/condition pairing keeps the fold (the original
+    # then raises its own loud parse error)
+    assert RMV(
+        "SELECT DISTINCTCOUNTMV(tags) FROM t CROSS JOIN d ON t.k = d.k"
+    ) is None
+    assert RMV(
+        "SELECT DISTINCTCOUNTMV(tags) FROM t NATURAL JOIN d USING (k)"
+    ) is None
+    assert RMV(
+        "SELECT DISTINCTCOUNTMV(tags) FROM t JOIN d"
     ) is None
 
 
@@ -2867,9 +2880,11 @@ def test_sumarray_route_text_shape():
         # non-decomposable co-aggregates keep the fallback
         "SELECT g, SUMARRAYLONG(a), count(DISTINCT u) FROM t GROUP BY g",
         "SELECT g, SUMARRAYLONG(a), percentile(v, 0.5) FROM t GROUP BY g",
-        # windows / joins / set-ops bail at the shape parse
+        # windows / malformed joins / set-ops bail at the shape parse
+        # (USING routes since round 11 — the residual bail is a flavor
+        # with a condition it cannot carry)
         "SELECT SUMARRAYLONG(a), row_number() OVER (ORDER BY g) FROM t",
-        "SELECT SUMARRAYLONG(a) FROM t JOIN d USING (k)",
+        "SELECT SUMARRAYLONG(a) FROM t CROSS JOIN d USING (k)",
         "SELECT SUMARRAYLONG(a) FROM t UNION ALL SELECT array(1L) FROM t",
         # a route target inside a subquery is another statement's
         "SELECT (SELECT SUMARRAYLONG(a) FROM u) FROM t",
@@ -3709,6 +3724,56 @@ def test_join_chain_three_deep_routes(joinroute_engine, joinchain_views):
         ).collect()
     }
     assert got == {"gold": [5, 3], "silver": [2, 5]}
+
+
+def test_join_flavor_segments_route(joinroute_engine, joinchain_views):
+    """Round 11: USING, the ON-less CROSS/NATURAL flavors, and
+    SEMI/ANTI all ride the chain admission — the relation re-emits
+    verbatim, so each flavor's row/column semantics are exact."""
+    # USING: merged join column, dim attribute grouped
+    got = {
+        r.tier: (list(r.fc), r.n)
+        for r in joinroute_engine.query(
+            "SELECT tier, FUNNELCOUNT(STEPS(ev = 'view', ev = 'buy'), "
+            "CORRELATE_BY(jr_fact.u)) AS fc, count(*) AS n "
+            "FROM jr_fact JOIN jr_dim USING (u) GROUP BY tier"
+        ).collect()
+    }
+    assert got == {"gold": ([2, 1], 3), "silver": ([0, 0], 1)}
+    # NATURAL: common column u joins implicitly
+    got = {
+        r.tier: r.s
+        for r in joinroute_engine.query(
+            "SELECT tier, SUMARRAYLONG(arr) AS s "
+            "FROM jr_fact NATURAL JOIN jr_dim GROUP BY tier"
+        ).collect()
+    }
+    assert got == {"gold": [5, 3], "silver": [2, 5]}
+    # CROSS: every fact row pairs with every dim2 region (2 regions)
+    got = {
+        r.region: r.c
+        for r in joinroute_engine.query(
+            "SELECT region, DISTINCTCOUNTMV(arr) AS v, count(*) AS c "
+            "FROM jr_fact CROSS JOIN (SELECT DISTINCT region "
+            "FROM jr_dim2) r2 GROUP BY region"
+        ).collect()
+    }
+    assert got == {"eu": 4, "us": 4}
+    # LEFT SEMI: keeps fact rows with a dim match, left columns only
+    row = joinroute_engine.query(
+        "SELECT FUNNELCOUNT(STEPS(ev = 'view', ev = 'buy'), "
+        "CORRELATE_BY(jr_fact.u)) AS fc, count(*) AS n FROM jr_fact "
+        "LEFT SEMI JOIN jr_dim2 ON jr_fact.u = jr_dim2.u"
+    ).collect()[0]
+    # dim2 has u in {1,2,3}: all four fact rows survive the semi join
+    assert list(row.fc) == [2, 1] and row.n == 4
+    # LEFT ANTI: u=1..3 all match, so the anti join keeps nothing
+    row = joinroute_engine.query(
+        "SELECT count(*) AS n, FUNNELCOUNT(STEPS(ev = 'view'), "
+        "CORRELATE_BY(jr_fact.u)) AS fc FROM jr_fact "
+        "LEFT ANTI JOIN jr_dim ON jr_fact.u = jr_dim.u"
+    ).collect()[0]
+    assert row.n == 0 and list(row.fc) == [0]
 
 
 # -- comma-FROM (implicit cross join) routes (round 11, VERDICT r10 item 6) ----

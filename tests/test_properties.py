@@ -8,7 +8,7 @@ because every example is a real Spark job.
 
 from __future__ import annotations
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -1863,6 +1863,14 @@ _DTC_UNITS = {
     gsize=st.integers(min_value=1, max_value=45),
     g_u=st.sampled_from(sorted(_DTC_UNITS)),
 )
+# pinned falsifying example (round 11): millis = 132082399 days ≈
+# 1.14e16 ms exceeds exact-double range, so the old floor(millis /
+# bucket) double quotient mis-bucketed by one — the fix is integer
+# `div`, which is also Pinot's own Java long division
+@example(
+    vals=[132082399], in_u="DAYS", out_u="DAYS", gsize=11,
+    g_u="MILLISECONDS",
+)
 @settings(**SETTINGS)
 def test_datetimeconvert_epoch_matches_python_reference(
     spark, vals, in_u, out_u, gsize, g_u
@@ -1990,8 +1998,11 @@ _jc_fact_st = st.lists(
 
 @given(
     rows=_jc_fact_st,
-    jt1=st.sampled_from(["JOIN", "LEFT JOIN"]),
-    jt2=st.sampled_from(["JOIN", "LEFT JOIN"]),
+    # round 11: the chain admission covers every Spark join flavor —
+    # USING, the ON-less CROSS/NATURAL, and SEMI (verbatim re-emission
+    # carries each flavor's row/column semantics)
+    jt1=st.sampled_from(["JOIN", "LEFT JOIN", "USING", "CROSS", "NATURAL"]),
+    jt2=st.sampled_from(["JOIN", "LEFT JOIN", "USING", "CROSS", "NATURAL"]),
     target=st.sampled_from(["funnel", "mv", "maxstep"]),
     derived=st.sampled_from(["none", "fact", "dim1", "dim2"]),
 )
@@ -2042,10 +2053,17 @@ def test_join_chain_route_matches_fold(
     def ref(name, key):
         return f"(SELECT * FROM {name}) {name}" if derived == key else name
 
+    def seg(jt, name, key):
+        op = ref(name, key)
+        if jt == "USING":
+            return f"JOIN {op} USING (u)"
+        if jt in ("CROSS", "NATURAL"):  # the ON-less flavors
+            return f"{jt} JOIN {op}"
+        return f"{jt} {op} ON jcfact.u = {name}.u"
+
     chain = (
-        f"{ref('jcfact', 'fact')} {jt1} {ref('jcdim1', 'dim1')} "
-        "ON jcfact.u = jcdim1.u "
-        f"{jt2} {ref('jcdim2', 'dim2')} ON jcfact.u = jcdim2.u"
+        f"{ref('jcfact', 'fact')} {seg(jt1, 'jcdim1', 'dim1')} "
+        f"{seg(jt2, 'jcdim2', 'dim2')}"
     )
     stmt = (
         f"SELECT tier, region, {sels[target]} FROM {chain} "
