@@ -2123,6 +2123,17 @@ _CTE_ALIAS_STOP_KWS = frozenset(
 )
 
 
+# clause keywords that END a FROM region in _cte_table_refs' scan —
+# every tracked clause keyword except FROM (starts one) and JOIN (a
+# chain continues the relation list); LATERAL is here because a comma
+# after `LATERAL VIEW ... AS a, b` separates generator aliases
+_CTE_FROM_END_KWS = frozenset(
+    """WHERE GROUP HAVING ORDER LIMIT OFFSET UNION EXCEPT INTERSECT
+    MINUS WINDOW QUALIFY DISTRIBUTE CLUSTER SORT LATERAL SELECT VALUES
+    TABLESAMPLE PIVOT UNPIVOT""".split()
+)
+
+
 def _cte_table_refs(text: str, name: str):
     """Scan ``text`` (literal and comment content opaque) for
     whole-word, unquoted occurrences of CTE ``name``.  Returns ``None``
@@ -2141,12 +2152,23 @@ def _cte_table_refs(text: str, name: str):
     group whose first token is not SELECT, and splicing a derived table
     there rewrites a COLUMN into a scalar subquery that can ANALYZE
     cleanly with different semantics (round-10, r9 ADVICE medium).
-    Those occurrences bail the whole inline."""
+    Those occurrences bail the whole inline.
+
+    Round 11 (the comma-FROM admission's inliner leg): a reference
+    whose previous non-whitespace character is a COMMA is also a
+    relation when the scan is inside a FROM REGION — between a FROM and
+    the next clause keyword at the same paren depth, where a depth-0
+    comma can only separate relations.  LATERAL ends the region (a
+    comma after ``LATERAL VIEW ... AS a, b`` separates generator
+    aliases, not relations); a comma-preceded occurrence anywhere else
+    (select list, GROUP BY, ...) still bails the whole inline."""
     pat = re.compile(re.escape(name) + r"\b", re.IGNORECASE)
     refs = []
     # one flag per open paren group: True = the group's first token is
     # SELECT (a subquery — relation position exists inside it)
     group_is_select = []
+    # parallel FROM-region flags; entry 0 is the top level
+    in_from = [False]
     i, n = 0, len(text)
     while i < n:
         ch = text[i]
@@ -2165,35 +2187,56 @@ def _cte_table_refs(text: str, name: str):
                 re.match(r"SELECT\b", text[j:], re.IGNORECASE)
                 is not None
             )
+            in_from.append(False)
             i += 1
             continue
         if ch == ")":
             if group_is_select:
                 group_is_select.pop()
+            if len(in_from) > 1:
+                in_from.pop()
             i += 1
             continue
-        m = pat.match(text, i)
-        if m is None or (
+        boundary = not (
             i > 0 and (text[i - 1].isalnum() or text[i - 1] in "_.$")
-        ):
+        )
+        m = pat.match(text, i) if boundary else None
+        if m is None:
+            if boundary and (ch.isalpha() or ch == "_"):
+                j = i
+                while j < n and (text[j].isalnum() or text[j] == "_"):
+                    j += 1
+                w = text[i:j].upper()
+                if w == "FROM":
+                    in_from[-1] = True
+                elif w in _CTE_FROM_END_KWS:
+                    in_from[-1] = False
+                i = j
+                continue
             i += 1
             continue
         end = m.end()
         if end < n and text[end] in ".(":
             i = end
             continue
-        # the previous word must be FROM or JOIN for this to be a plain
-        # relation reference the derived-table shape can replace
+        # the previous word must be FROM or JOIN — or the previous
+        # character a relation-separating comma inside a FROM region —
+        # for this to be a plain relation reference the derived-table
+        # shape can replace
         k = i - 1
         while k >= 0 and text[k] in " \t\r\n":
             k -= 1
-        wend = k + 1
-        while k >= 0 and (text[k].isalnum() or text[k] == "_"):
-            k -= 1
-        if k >= 0 and text[k] in ".$":
-            return None  # qualified word before the ref: not FROM/JOIN
-        if text[k + 1 : wend].upper() not in ("FROM", "JOIN"):
-            return None
+        if k >= 0 and text[k] == ",":
+            if not in_from[-1]:
+                return None  # select-list / alias-list comma: bail
+        else:
+            wend = k + 1
+            while k >= 0 and (text[k].isalnum() or text[k] == "_"):
+                k -= 1
+            if k >= 0 and text[k] in ".$":
+                return None  # qualified word before the ref: not a kw
+            if text[k + 1 : wend].upper() not in ("FROM", "JOIN"):
+                return None
         if group_is_select and not group_is_select[-1]:
             return None  # expression-level FROM: never a relation
         am = re.match(

@@ -3930,6 +3930,32 @@ def test_qualified_group_item_keeps_output_name(joinroute_engine):
     assert got == {"gold": [2, 1], "silver": [0, 0]}
 
 
+def test_comma_from_cte_composes(joinroute_engine):
+    """A CTE referenced as a comma operand inlines (round-11 inliner
+    leg) and the inlined derived operand then routes — the full
+    dashboard chain WITH → comma-FROM → keyed route."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import (
+        inline_route_ctes,
+        rewrite_keyed_agg_statement,
+    )
+
+    stmt = (
+        "WITH dim2 AS (SELECT u, tier FROM jr_dim WHERE u <> 3) "
+        "SELECT tier, FUNNELCOUNT(STEPS(ev = 'view', ev = 'buy'), "
+        "CORRELATE_BY(jr_fact.u)) AS fc, count(*) AS n "
+        "FROM jr_fact, dim2 WHERE jr_fact.u = dim2.u GROUP BY tier"
+    )
+    inlined = inline_route_ctes(stmt)
+    assert inlined is not None
+    assert ", (SELECT u, tier FROM jr_dim WHERE u <> 3) AS dim2" in inlined
+    assert rewrite_keyed_agg_statement(inlined) is not None  # ENGAGED
+    got = {
+        r.tier: (list(r.fc), r.n)
+        for r in joinroute_engine.query(stmt).collect()
+    }
+    assert got == {"gold": ([2, 1], 3)}
+
+
 def test_comma_from_bails():
     """Shapes outside the admission keep the fold: a comma list MIXED
     with explicit JOIN (precedence nests the join under the cross
@@ -4156,6 +4182,27 @@ from real_time_analytics_with_apache_pinot_on_aws_spark.functions.aggsql import 
             "SELECT g /* FROM f */ FROM f",
             " SELECT g /* FROM f */ FROM (SELECT * FROM t) AS f",
         ),
+        # round 11 (the comma-FROM admission's inliner leg): a COMMA-
+        # position reference inside a FROM region is a relation too
+        (
+            "WITH f AS (SELECT k FROM dim) "
+            "SELECT * FROM fact, f WHERE fact.k = f.k",
+            " SELECT * FROM fact, (SELECT k FROM dim) AS f "
+            "WHERE fact.k = f.k",
+        ),
+        (
+            "WITH f AS (SELECT k FROM dim) "
+            "SELECT * FROM fact, f x, e WHERE fact.k = x.k",
+            " SELECT * FROM fact, (SELECT k FROM dim) x, e "
+            "WHERE fact.k = x.k",
+        ),
+        # relation list continuing past a join condition
+        (
+            "WITH f AS (SELECT k FROM dim) "
+            "SELECT * FROM a JOIN b ON a.k = b.k, f WHERE f.k = a.k",
+            " SELECT * FROM a JOIN b ON a.k = b.k, "
+            "(SELECT k FROM dim) AS f WHERE f.k = a.k",
+        ),
     ],
 )
 def test_cte_inliner_rewrites(src, want):
@@ -4198,6 +4245,12 @@ def test_cte_inliner_rewrites(src, want):
         "WITH f AS (SELECT 1) SELECT 'FROM f' FROM t",
         # no WITH clause at all
         "SELECT * FROM t",
+        # a comma-preceded occurrence OUTSIDE a FROM region is a column
+        # or alias spelled like the CTE, never a relation (round 11)
+        "WITH f AS (SELECT 1) SELECT a, f FROM t",
+        "WITH f AS (SELECT 1) SELECT a FROM t GROUP BY a, f",
+        "WITH f AS (SELECT 1) SELECT e FROM t "
+        "LATERAL VIEW posexplode(arr) tt AS p, f",
     ],
 )
 def test_cte_inliner_bails(src):
