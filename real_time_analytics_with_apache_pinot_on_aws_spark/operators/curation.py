@@ -493,18 +493,33 @@ def _gram_strings(toks: Column, n: int) -> Column:
     """Word n-grams of a token array as strings — the single source of the
     T<n edge-case arithmetic (``greatest(size-n, 0)`` keeps short docs at
     one degenerate gram), shared by :func:`repetition_stats` and
-    :func:`gopher_rules` so the DuckDB oracles track ONE expression."""
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    :func:`gopher_rules` so the DuckDB oracles track ONE expression.
+
+    ``toks`` is let-bound so a caller passing a tokenizer EXPRESSION (not a
+    column reference) pays it once per row, not once per gram position."""
+    from .dedup import let_bound
+
+    return let_bound(
+        toks,
+        lambda t: F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+        ),
     )
 
 
 def _dup_gram_fraction(toks: Column, n: int) -> Column:
-    """Duplicated-n-gram fraction (1 - distinct/total), rounded 6 dp."""
-    g = _gram_strings(toks, n)
-    return F.round(
-        1 - F.size(F.array_distinct(g)) / F.greatest(F.size(g), F.lit(1)), 6
+    """Duplicated-n-gram fraction (1 - distinct/total), rounded 6 dp.
+
+    The gram array is let-bound: it feeds both the distinct and the total
+    size, and inlining it twice would double the whole gram pipeline."""
+    from .dedup import let_bound
+
+    return let_bound(
+        _gram_strings(toks, n),
+        lambda g: F.round(
+            1 - F.size(F.array_distinct(g)) / F.greatest(F.size(g), F.lit(1)), 6
+        ),
     )
 
 

@@ -1201,7 +1201,8 @@ _IDENTICAL_PAIRS_ORACLE = """
 
 
 def _lsh_validation(
-    spark: SparkSession, pairs: DataFrame, quality_col, quality_ok
+    spark: SparkSession, pairs: DataFrame, quality_col, quality_ok,
+    th: DataFrame | None = None,
 ) -> DataFrame:
     """Shared self-validation summary for text-LSH dedup pipelines.
 
@@ -1225,12 +1226,19 @@ def _lsh_validation(
     inputs are aggregates; the crossJoin below is 1-row x 1-row, and the
     text-hash relation is derived once and cached (one documents scan
     instead of the three the round-3 overlay paid).
+
+    ``th`` (round 11): callers whose pairs pipeline already scans the corpus
+    can pass the (doc_id, th=xxhash64(text)) relation carved from that same
+    cached scan, removing this overlay's OWN corpus read — the validated
+    query then reads the documents table exactly once end to end.  The
+    caller owns persistence of a supplied ``th``.
     """
-    th = (
-        spark.table("documents")
-        .select(F.col("doc_id"), F.xxhash64("text").alias("th"))
-        .cache()
-    )
+    if th is None:
+        th = (
+            spark.table("documents")
+            .select(F.col("doc_id"), F.xxhash64("text").alias("th"))
+            .cache()
+        )
     exact = (
         th.groupBy("th")
         .agg(F.count("*").alias("c"))
@@ -1277,14 +1285,29 @@ def _lsh_validation(
 )
 def c1_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
+    # ONE corpus scan end to end (round 11): the cached relation carries both
+    # the hashed shingle sets (operator input) and the whole-text hash (the
+    # validation overlay's identity key), so neither side re-reads documents.
+    docs = spark.table("documents")
+    hashed = (
+        _dedup._spread(docs)
+        .select(
+            F.col("doc_id"),
+            F.xxhash64("text").alias("th"),
+            _dedup.shingle_hashes(F.col("text"), 3).alias("sh_set"),
+        )
+        .cache()
+    )
     pairs = _dedup.minhash_lsh_pairs(
-        spark.table("documents"), "doc_id", "text",
+        docs, "doc_id", "text",
         num_hashes=16, bands=8, shingle_n=3, jaccard_threshold=0.5,
+        prepared_sets=hashed.select("doc_id", "sh_set"),
     )
     return _lsh_validation(
         spark, pairs,
         F.coalesce(F.min("jaccard"), F.lit(1.0)).alias("q"),
         F.col("q") >= 0.5,
+        th=hashed.select("doc_id", "th"),
     )
 
 
@@ -3040,14 +3063,37 @@ def tpch_q21_suppliers_who_kept_waiting(spark: SparkSession, sf_dir: str) -> Dat
     j = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).withColumn(
         "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
     )
+    # "Another supplier exists" and "no OTHER supplier was late" need only
+    # the min/max supplier key per order, not materialized sets: over the
+    # orderkey window, n_supp > 1  <=>  min(suppkey) != max(suppkey), and
+    # (for a row that is itself late) n_late_supp == 1  <=>  every late row
+    # carries ONE suppkey  <=>  min(late_supp) == max(late_supp).  min/max
+    # keep O(1) window state where collect_set built a per-order hash set —
+    # at 100 TB a hot order no longer materializes its supplier set (guide
+    # §5), and all four aggregates fuse into one Window pass (r11 plan diff:
+    # 2 Window nodes -> 1).
     w = W.partitionBy("l_orderkey")
+    # _late_supp is projected BEFORE the window select: an inline
+    # when()-expression would be re-extracted per window aggregate and split
+    # the pass into several Window nodes; over plain columns, all four
+    # aggregates share one Window operator on the existing orderkey
+    # partitioning.
     j = (
-        j.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
-        .withColumn(
-            "n_late_supp",
-            F.size(F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)),
+        j.withColumn("_late_supp", F.when(F.col("late"), F.col("l_suppkey")))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            "late",
+            F.min("l_suppkey").over(w).alias("_supp_lo"),
+            F.max("l_suppkey").over(w).alias("_supp_hi"),
+            F.min("_late_supp").over(w).alias("_late_lo"),
+            F.max("_late_supp").over(w).alias("_late_hi"),
         )
-        .filter(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .filter(
+            F.col("late")
+            & (F.col("_supp_lo") != F.col("_supp_hi"))
+            & (F.col("_late_lo") == F.col("_late_hi"))
+        )
     )
     supp = (
         spark.table("supplier")

@@ -100,6 +100,64 @@ def test_minhash_cap_preserves_small_bucket_pairs(spark):
     assert {(1, 2), (1, 3), (2, 3)} <= capped
 
 
+def test_let_bound_binds_once_and_preserves_values(spark):
+    """let_bound evaluates its operand once per row (round-11 fix for the
+    per-shingle re-tokenization) without changing any value, including the
+    null and empty-string edge rows."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps today"), (2, ""), (3, None), (4, "one")],
+        "id long, text string",
+    )
+    # Values: let-bound shingle hashing == the inline form it replaced.
+    toks = dedup.normalized_tokens(F.col("text"))
+    inline = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, 3), " ")),
+        )
+    )
+    rows = df.select(
+        "id",
+        dedup.shingle_hashes(F.col("text"), 3).alias("bound"),
+        inline.alias("inline"),
+    ).collect()
+    assert all(r["bound"] == r["inline"] for r in rows)
+    # Binding: the tokenizer subtree appears exactly once in the bound
+    # expression (the inline form embeds it twice — size bound + slice —
+    # and the slice copy re-ran per shingle position).
+    bound_sql = str(dedup.shingle_hashes(F.col("text"), 3)._jc)
+    assert bound_sql.count("split(lower(") == 1
+
+
+def test_minhash_prepared_sets_parity(spark):
+    """prepared_sets (caller-supplied hashed-shingle relation) yields exactly
+    the pairs of the default internal-tokenization path."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("today", "tonight")),
+            (3, base),
+            (4, "unrelated words entirely disjoint from everything else here"),
+        ],
+        "id long, text string",
+    )
+    sets = df.select(
+        F.col("id"), dedup.shingle_hashes(F.col("text"), 3).alias("sh_set")
+    )
+    default = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(df, "id", "text", jaccard_threshold=0.3).collect()
+    }
+    prepared = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(
+            df, "id", "text", jaccard_threshold=0.3, prepared_sets=sets
+        ).collect()
+    }
+    assert default == prepared and default
+
+
 def test_simhash_identical_and_different(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zz qq ww ee rr tt")],

@@ -209,6 +209,37 @@ def test_tpch_q21_single_fact_scan(spark):
     assert "Window" in f.text
 
 
+def test_tpch_q21_single_window_no_sets(spark):
+    # Round 11: the EXISTS/NOT-EXISTS facts come from min/max over the
+    # orderkey window (O(1) state), not collect_set (a per-order hash set a
+    # hot order would materialize), and all four aggregates fuse into ONE
+    # Window operator over the join's existing orderkey partitioning.
+    df = REG["tpch_q21_suppliers_who_kept_waiting"].builder(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "collect_set" not in plan
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 1
+
+
+def test_minhash_validated_query_single_corpus_scan(spark):
+    # Round 11: the validation overlay's whole-text hash rides the operator's
+    # own cached scan (prepared_sets + th), so the documents table is read
+    # from parquet exactly once in the WHOLE validated query — at 100 TB the
+    # second full read of the text column was the single biggest avoidable
+    # I/O in the pipeline.
+    df = REG["c1_dedup_minhash_lsh"].builder(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    spark.catalog.clearCache()
+
+
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     """Co-located fact-fact join: lineitem and orders bucketed on orderkey
     join with ZERO exchanges — the write-once-shuffle-never layout that makes
