@@ -105,8 +105,12 @@ def clp_encode(df: DataFrame, column: str, drop: bool = True) -> DataFrame:
     A NULL message yields three NULLs (and decodes back to NULL).
     """
     lt_col, dv_col, ev_col = clp_column_names(column)
-    tokens = F.split(F.col(column), " ", -1)
-    out = df.select(
+    # Round 11: the token array is projected once and the three physical
+    # columns reference it — inline, each output column re-split the
+    # message, i.e. three splits per row.
+    toked = df.select("*", F.split(F.col(column), " ", -1).alias("__clp_toks"))
+    tokens = F.col("__clp_toks")
+    out = toked.select(
         "*",
         F.array_join(
             F.transform(
@@ -121,7 +125,7 @@ def clp_encode(df: DataFrame, column: str, drop: bool = True) -> DataFrame:
         F.transform(
             F.filter(tokens, _is_int_var), lambda t: t.try_cast("long")
         ).alias(ev_col),
-    )
+    ).drop("__clp_toks")
     return out.drop(column) if drop else out
 
 

@@ -480,8 +480,13 @@ def repetition_stats(
     """
     from .dedup import normalized_tokens
 
-    toks = normalized_tokens(F.col(text_col))
-    return df.select(
+    # Tokenize once into a projected column (round 11): the three signals
+    # reference the array instead of each re-embedding the tokenizer.
+    toked = df.select(
+        F.col(id_col), normalized_tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
+    return toked.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
         _dup_gram_fraction(toks, 2).alias("dup_2gram_fraction"),
@@ -809,7 +814,24 @@ def gopher_rules(
     oracle determinism.
     """
     t = F.col(text_col)
-    words = F.filter(F.split(t, r"\s+"), lambda x: x != F.lit(""))
+    from .dedup import normalized_tokens
+
+    # Round 11: each token family is split ONCE into a projected column and
+    # every signal references the array.  The inline form re-ran the
+    # whitespace split three times and the line split three times per row,
+    # and the stopword filter re-lowered-and-split the text once per
+    # STOPWORD (``lw`` captured inside the filter lambda is re-evaluated per
+    # element).  Same values, one tokenization per family.
+    pre = docs.select(
+        F.col(id_col),
+        t.alias("__txt"),
+        F.filter(F.split(t, r"\s+"), lambda x: x != F.lit("")).alias("__w"),
+        F.filter(F.split(t, "\n"), lambda x: F.trim(x) != F.lit("")).alias("__l"),
+        F.split(F.lower(t), r"[^a-z0-9]+").alias("__lw"),
+        normalized_tokens(t).alias("__t"),
+    )
+    t = F.col("__txt")
+    words = F.col("__w")
     n_words = F.size(words)
     safe_n = F.greatest(n_words, F.lit(1))
     mean_wl = F.aggregate(
@@ -820,7 +842,7 @@ def gopher_rules(
         F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
     ) / F.lit(3)
     symbol_ratio = (n_hash + n_ell) / safe_n
-    lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != F.lit(""))
+    lines = F.col("__l")
     n_lines = F.greatest(F.size(lines), F.lit(1))
     bullet_frac = (
         F.size(
@@ -844,7 +866,7 @@ def gopher_rules(
     alpha_frac = (
         F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / safe_n
     )
-    lw = F.split(F.lower(t), r"[^a-z0-9]+")
+    lw = F.col("__lw")
     stop_hits = F.size(
         F.filter(
             F.array(*[F.lit(s) for s in
@@ -852,11 +874,9 @@ def gopher_rules(
             lambda s: F.array_contains(lw, s),
         )
     )
-    from .dedup import normalized_tokens
+    toks = F.col("__t")
 
-    toks = normalized_tokens(t)
-
-    sig = docs.select(
+    sig = pre.select(
         F.col(id_col),
         n_words.alias("n_words"),
         F.round(mean_wl, 6).alias("mean_word_len"),
@@ -917,7 +937,11 @@ def c4_clean(
     terminal-punctuation occurrences ('.', '!', '?'), the paper's proxy.
     """
     t = F.col(text_col)
-    lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != F.lit(""))
+    # Round 11: lines / kept / clean / n_sent are projected stage by stage so
+    # each is computed ONCE per row.  Inline, `clean` (whose subtree re-runs
+    # the line split AND the per-line word-split predicate) was embedded in
+    # clean_text, n_sentences (twice) and doc_pass — up to five evaluations
+    # of the whole cleaning pipeline per row.  Values are unchanged.
     is_kept = (
         lambda ln: F.rtrim(ln).rlike('[.!?"]$')
         & (
@@ -925,27 +949,51 @@ def c4_clean(
             >= min_words_per_line
         )
     )
-    kept = F.filter(lines, is_kept)
-    clean = F.array_join(F.transform(kept, F.trim), "\n")
-    # length-difference count, not a per-character array explode — an
-    # O(chars) array per doc just to count 3 characters is the wrong shape
-    # for a map-side 100 TB hot path (round-6 review)
-    n_sent = F.length(clean) - F.length(F.translate(clean, ".!?", ""))
     low = F.lower(t)
     has_banned = None
     for b in banned_substrings:
         c = low.contains(F.lit(b))
         has_banned = c if has_banned is None else has_banned | c
-    return docs.select(
+    staged = (
+        docs.select(
+            F.col(id_col),
+            (has_banned if has_banned is not None else F.lit(False)).alias(
+                "has_banned"
+            ),
+            F.filter(F.split(t, "\n"), lambda x: F.trim(x) != F.lit("")).alias(
+                "__lines"
+            ),
+        )
+        .select(
+            F.col(id_col), "has_banned", "__lines",
+            F.filter(F.col("__lines"), is_kept).alias("__kept"),
+        )
+        .select(
+            F.col(id_col), "has_banned", "__lines", "__kept",
+            F.array_join(F.transform(F.col("__kept"), F.trim), "\n").alias(
+                "__clean"
+            ),
+        )
+        .select(
+            F.col(id_col), "has_banned", "__lines", "__kept", "__clean",
+            # length-difference count, not a per-character array explode — an
+            # O(chars) array per doc just to count 3 characters is the wrong
+            # shape for a map-side 100 TB hot path (round-6 review)
+            (
+                F.length("__clean")
+                - F.length(F.translate(F.col("__clean"), ".!?", ""))
+            ).alias("__n_sent"),
+        )
+    )
+    return staged.select(
         F.col(id_col),
-        clean.alias("clean_text"),
-        F.size(lines).alias("n_lines"),
-        F.size(kept).alias("n_kept"),
-        n_sent.alias("n_sentences"),
-        (has_banned if has_banned is not None else F.lit(False)).alias("has_banned"),
+        F.col("__clean").alias("clean_text"),
+        F.size("__lines").alias("n_lines"),
+        F.size("__kept").alias("n_kept"),
+        F.col("__n_sent").alias("n_sentences"),
+        F.col("has_banned"),
         (
-            (n_sent >= F.lit(min_sentences))
-            & ~(has_banned if has_banned is not None else F.lit(False))
+            (F.col("__n_sent") >= F.lit(min_sentences)) & ~F.col("has_banned")
         ).alias("doc_pass"),
     )
 

@@ -507,12 +507,23 @@ def _probe_index_relation(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
-    """(id, simhash) fingerprint: per-token hash bit votes, sign-summed.
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id[, extra_cols...], simhash) fingerprint: per-token hash bit votes,
+    sign-summed.
 
     One pass over the token-hash array via ``aggregate`` with an array
     accumulator (``zip_with`` adds each token's ±1 votes) — fully map-side,
     no explode/groupBy shuffle.  A token-less document fingerprints to 0.
+
+    ``extra_cols`` pass through input columns alongside the fingerprint so a
+    caller needing other per-document derivatives of the same scan (e.g. a
+    whole-text hash) can compute everything in ONE corpus pass.
     """
     hs = F.transform(normalized_tokens(F.col(text_col)), lambda t: F.xxhash64(t))
     votes = F.aggregate(
@@ -536,11 +547,19 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     for i in range(bits):
         bit = F.when(F.element_at(F.col("_votes"), i + 1) > 0, F.lit(2**i)).otherwise(F.lit(0))
         fingerprint = bit if fingerprint is None else fingerprint + bit
-    return spread.select(F.col(id_col), fingerprint.cast("long").alias("simhash"))
+    return spread.select(
+        F.col(id_col), *extra_cols, fingerprint.cast("long").alias("simhash")
+    )
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 32, bands: int = 4, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    prepared_fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs whose SimHash Hamming distance <= max_hamming.
 
@@ -548,8 +567,19 @@ def simhash_near_pairs(
     Hamming<=bands-1 shares at least one exact band (pigeonhole).  One
     (id, band, sig) relation + ONE self-join (band in the key), then exact
     Hamming verification via bit_count(xor).
+
+    The fingerprint relation feeds BOTH sides of the self-join, so it is
+    cached (round 11 — previously each side recomputed it, i.e. two full
+    corpus scans and two vote passes; the cache is (id, long), 16 bytes/doc).
+    ``prepared_fingerprints`` (columns: id_col, simhash) lets a caller that
+    already fingerprinted the corpus — e.g. to share one scan with other
+    per-document derivatives — supply the relation; the caller then owns
+    persistence.
     """
-    fp = simhash(df, id_col, text_col, bits)
+    if prepared_fingerprints is not None:
+        fp = prepared_fingerprints.select(F.col(id_col), F.col("simhash"))
+    else:
+        fp = simhash(df, id_col, text_col, bits).cache()
     width = bits // bands
     mask = (1 << width) - 1
     band_structs = F.array(

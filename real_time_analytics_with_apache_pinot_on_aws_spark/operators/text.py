@@ -24,18 +24,34 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
+def _hits_from_tokens(toks: Column, lang: str) -> Column:
+    """Number of ``toks`` elements that are stopwords of ``lang``."""
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+
+
 def lang_hits(text_col: Column, lang: str) -> Column:
     """Number of tokens that are stopwords of ``lang``."""
-    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(F.filter(normalized_tokens(text_col), lambda t: F.array_contains(stop, t)))
+    return _hits_from_tokens(normalized_tokens(text_col), lang)
 
 
 def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, predicted_lang, confidence): stopword-ratio argmax, ties broken by
-    language code order (deterministic)."""
-    toks = normalized_tokens(F.col(text_col))
-    hit_cols = [lang_hits(F.col(text_col), lang).alias(f"hits_{lang}") for lang in STOPWORDS]
-    scored = df.select(F.col(id_col), F.size(toks).alias("n_tokens"), *hit_cols)
+    language code order (deterministic).
+
+    Tokenizes ONCE into a projected column (round 11) — the per-language
+    hit expressions previously each embedded their own
+    ``normalized_tokens(text)``, re-splitting the text 7x per row."""
+    toked = df.select(
+        F.col(id_col), normalized_tokens(F.col(text_col)).alias("__toks")
+    )
+    hit_cols = [
+        _hits_from_tokens(F.col("__toks"), lang).alias(f"hits_{lang}")
+        for lang in STOPWORDS
+    ]
+    scored = toked.select(
+        F.col(id_col), F.size("__toks").alias("n_tokens"), *hit_cols
+    )
     pred, best = _lang_pred({lang: F.col(f"hits_{lang}") for lang in STOPWORDS})
     return scored.select(
         F.col(id_col),
@@ -44,10 +60,14 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _quality_exprs(t: Column) -> dict[str, Column]:
+def _quality_exprs(t: Column, toks: Column | None = None) -> dict[str, Column]:
     """The quality feature expressions, shared by :func:`quality_score` and
-    the fused :func:`text_features` so the formula cannot drift."""
-    toks = normalized_tokens(t)
+    the fused :func:`text_features` so the formula cannot drift.
+
+    ``toks`` lets a caller that already projected the token array supply the
+    column reference so the tokenizer is not re-embedded per feature."""
+    if toks is None:
+        toks = normalized_tokens(t)
     n_chars = F.length(t)
     n_tokens = F.size(toks)
     punct = F.length(F.regexp_replace(t, "[a-zA-Z0-9\\s]", ""))
@@ -90,13 +110,17 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     uppercase ratio, stopword(en) ratio, distinct-token ratio.
     """
     t = F.col(text_col)
-    q = _quality_exprs(t)
+    toked = df.select(
+        F.col(id_col), t.alias("__txt"), normalized_tokens(t).alias("__toks")
+    )
+    t = F.col("__txt")
+    q = _quality_exprs(t, F.col("__toks"))
     n_chars, n_tokens = q["n_chars"], q["n_tokens"]
     punct, upper = q["punct"], q["upper"]
     distinct_ratio, mean_tok_len = q["distinct_ratio"], q["mean_tok_len"]
     score = q["quality_score"]
-    en_stop = lang_hits(t, "en")
-    return df.select(
+    en_stop = _hits_from_tokens(F.col("__toks"), "en")
+    return toked.select(
         F.col(id_col),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
@@ -160,10 +184,19 @@ def winnow_fingerprints(
     sorted fingerprint set — join fingerprint sets directly for containment
     queries; the digest is for equality/verification.
     """
-    toks = normalized_tokens(F.col(text_col))
-    shingle_hashes = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0))),
-        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, shingle_n), " ")),
+    from .dedup import let_bound
+
+    # The token array is let-bound (round 11): the shingle transform lambda
+    # referenced the tokenizer expression, re-splitting the text once per
+    # shingle position.  "hs" was already a projected column, so the window
+    # transform was safe; the distinct fingerprint set is likewise projected
+    # once instead of being recomputed by both output expressions.
+    shingle_hashes = let_bound(
+        normalized_tokens(F.col(text_col)),
+        lambda toks: F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0))),
+            lambda i: F.md5(F.array_join(F.slice(toks, i + 1, shingle_n), " ")),
+        ),
     )
     with_h = df.select(F.col(id_col), shingle_hashes.alias("hs"))
     wins = F.transform(
@@ -171,9 +204,11 @@ def winnow_fingerprints(
         lambda j: F.array_min(F.slice(F.col("hs"), j + 1, window)),
     )
     return with_h.select(
+        F.col(id_col), F.array_distinct(wins).alias("fps")
+    ).select(
         F.col(id_col),
-        F.size(F.array_distinct(wins)).alias("n_fingerprints"),
-        F.md5(F.array_join(F.array_sort(F.array_distinct(wins)), "|")).alias("fp_digest"),
+        F.size("fps").alias("n_fingerprints"),
+        F.md5(F.array_join(F.array_sort("fps"), "|")).alias("fp_digest"),
     )
 
 
@@ -189,11 +224,18 @@ def text_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     bpe_ish_tokens, fingerprint_md5).
     """
     t = F.col(text_col)
-    q = _quality_exprs(t)
-    pred, _best = _lang_pred({lang: lang_hits(t, lang) for lang in STOPWORDS})
+    toked = df.select(
+        F.col(id_col), t.alias("__txt"), normalized_tokens(t).alias("__toks")
+    )
+    t = F.col("__txt")
+    toks = F.col("__toks")
+    q = _quality_exprs(t, toks)
+    pred, _best = _lang_pred(
+        {lang: _hits_from_tokens(toks, lang) for lang in STOPWORDS}
+    )
     pieces = F.size(F.regexp_extract_all(F.lower(t), F.lit("[a-z]+|[0-9]+"), 0))
-    canon = F.array_join(F.array_sort(F.array_distinct(normalized_tokens(t))), " ")
-    return df.select(
+    canon = F.array_join(F.array_sort(F.array_distinct(toks)), " ")
+    return toked.select(
         F.col(id_col),
         pred.alias("predicted_lang"),
         q["quality_score"].alias("quality_score"),

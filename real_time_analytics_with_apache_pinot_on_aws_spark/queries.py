@@ -1322,11 +1322,23 @@ def c1_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c1_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
-    pairs = _dedup.simhash_near_pairs(spark.table("documents"), "doc_id", "text")
+    # ONE corpus scan end to end (round 11, mirrors c1_dedup_minhash_lsh):
+    # fingerprints and the validation overlay's whole-text hash come out of
+    # the same cached pass (simhash extra_cols carries th through).
+    docs = spark.table("documents")
+    fp = _dedup.simhash(
+        docs.withColumn("th", F.xxhash64("text")), "doc_id", "text",
+        extra_cols=("th",),
+    ).cache()
+    pairs = _dedup.simhash_near_pairs(
+        docs, "doc_id", "text",
+        prepared_fingerprints=fp.select("doc_id", "simhash"),
+    )
     return _lsh_validation(
         spark, pairs,
         F.coalesce(F.max("hamming"), F.lit(0)).alias("q"),
         F.col("q") <= 3,
+        th=fp.select("doc_id", "th"),
     )
 
 
@@ -2741,8 +2753,15 @@ def c6_startree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("day", F.date_trunc("DAY", F.col("ts").cast("timestamp")).cast("date"))
         .withColumn("value_dec", F.col("value").cast("decimal(18,2)"))
     )
+    # Segment-local cells in ONE events pass (round 11): the segment id is a
+    # rollup dimension, so grouping by (_segment, dims) produces exactly the
+    # cells the three per-slice rollup_batch calls produced — same partials,
+    # same merge algebra at serve time — while the fact table is scanned once
+    # instead of three times (guide §2.4: at 100 TB that is two full corpus
+    # reads removed; in production segments are disjoint files, so one pass
+    # IS the physical reality this models).
     spec = _rollup.RollupSpec(
-        dims=("event_type", "day"),
+        dims=("_segment", "event_type", "day"),
         metrics={
             "n_events": ("count", "event_id"),
             "revenue": ("sum", "value_dec"),
@@ -2750,10 +2769,9 @@ def c6_startree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_value": ("max", "value"),
         },
     )
-    segments = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
-    cells = _rollup.rollup_batch(segments[0], spec)
-    for seg in segments[1:]:
-        cells = cells.unionByName(_rollup.rollup_batch(seg, spec))
+    cells = _rollup.rollup_batch(
+        ev.withColumn("_segment", F.col("event_id") % 3), spec
+    )
     out = _rollup.serve(cells, spec, ["event_type", "day"])
     return out.select(
         "event_type", "day", "n_events",
@@ -2791,8 +2809,12 @@ def c6_startree_autoroute(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.table("events").withColumn(
         "value_d", F.col("value").cast("decimal(18,6)")
     )
+    # One events pass (round 11, same as c6_startree_rollup): segment id as a
+    # rollup dim replaces the three filtered per-slice passes; the router
+    # still matches (requested dims remain a subset) and serve re-aggregates
+    # over _segment, so the routed answer is bit-identical.
     spec = _rollup.RollupSpec(
-        dims=("event_type",),
+        dims=("_segment", "event_type"),
         metrics={
             "s_val": ("sum", "value_d"),
             "c_val": ("count", "value_d"),
@@ -2800,11 +2822,9 @@ def c6_startree_autoroute(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mx_val": ("max", "value"),
         },
     )
-    cells = _rollup.rollup_batch(ev.filter(F.col("event_id") % 3 == 0), spec)
-    for i in (1, 2):
-        cells = cells.unionByName(
-            _rollup.rollup_batch(ev.filter(F.col("event_id") % 3 == i), spec)
-        )
+    cells = _rollup.rollup_batch(
+        ev.withColumn("_segment", F.col("event_id") % 3), spec
+    )
     router = _rollup.RollupRouter(lambda: ev)
     router.register("by_type", lambda: cells, spec)
     req = _rollup.AggRequest(
@@ -4471,15 +4491,31 @@ def b63_b65_udf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c3_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
+    # ONE corpus pass (round 11): the three operator outputs joined here are
+    # all per-row functions of the same text, so they fuse into a single
+    # projection over one tokenized scan (the join form read documents three
+    # times and paid two joins; same builders, so the formulas cannot drift).
     docs = spark.table("documents")
-    lang = _text.language_id(docs, "doc_id", "text")
-    toks = _text.token_counts(docs, "doc_id", "text").select(
-        "doc_id", "whitespace_tokens", "bpe_ish_tokens"
+    t = F.col("text")
+    toked = docs.select(
+        F.col("doc_id"), t.alias("__txt"),
+        _dedup.normalized_tokens(t).alias("__toks"),
     )
-    qual = _text.quality_score(docs, "doc_id", "text").select("doc_id", "quality_score")
-    return lang.join(toks, "doc_id").join(qual, "doc_id").select(
-        "doc_id", "predicted_lang", "confidence",
-        "whitespace_tokens", "bpe_ish_tokens", "quality_score",
+    t = F.col("__txt")
+    toks = F.col("__toks")
+    q = _text._quality_exprs(t, toks)
+    pred, best = _text._lang_pred(
+        {lang: _text._hits_from_tokens(toks, lang) for lang in _text.STOPWORDS}
+    )
+    ws = F.size(F.filter(F.split(t, "\\s+"), lambda x: x != F.lit("")))
+    pieces = F.size(F.regexp_extract_all(F.lower(t), F.lit("[a-z]+|[0-9]+"), 0))
+    return toked.select(
+        "doc_id",
+        pred.alias("predicted_lang"),
+        F.round(best / F.greatest(q["n_tokens"], F.lit(1)), 6).alias("confidence"),
+        ws.alias("whitespace_tokens"),
+        pieces.alias("bpe_ish_tokens"),
+        q["quality_score"].alias("quality_score"),
     )
 
 

@@ -158,6 +158,34 @@ def test_minhash_prepared_sets_parity(spark):
     assert default == prepared and default
 
 
+def test_simhash_prepared_fingerprints_parity(spark):
+    """prepared_fingerprints yields exactly the pairs of the internal path,
+    and extra_cols pass through the fingerprint scan unchanged."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "completely different words entirely here now"),
+        ],
+        "id long, text string",
+    )
+    fp = dedup.simhash(
+        df.withColumn("th", F.xxhash64("text")), "id", "text", extra_cols=("th",)
+    )
+    assert set(fp.columns) == {"id", "th", "simhash"}
+    default = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_near_pairs(df, "id", "text").collect()
+    }
+    prepared = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_near_pairs(
+            df, "id", "text", prepared_fingerprints=fp.select("id", "simhash")
+        ).collect()
+    }
+    assert default == prepared and default
+
+
 def test_simhash_identical_and_different(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zz qq ww ee rr tt")],

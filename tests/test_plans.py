@@ -240,6 +240,31 @@ def test_minhash_validated_query_single_corpus_scan(spark):
     spark.catalog.clearCache()
 
 
+def _distinct_parquet_scans(spark, name):
+    df = REG[name].builder(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    n = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    spark.catalog.clearCache()
+    return n
+
+
+def test_simhash_validated_query_single_corpus_scan(spark):
+    # Round 11: fingerprints (cached, both self-join sides) and the overlay's
+    # whole-text hash come from one pass — was three parquet reads of the
+    # corpus (left fingerprint, right fingerprint, validation th).
+    assert _distinct_parquet_scans(spark, "c1_dedup_simhash") == 1
+
+
+def test_startree_rollup_single_fact_scan(spark):
+    # Round 11: segment id is a rollup dimension, so the three per-slice
+    # rollup_batch passes became one grouped pass — events read once.
+    assert _distinct_parquet_scans(spark, "c6_startree_rollup") == 1
+
+
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     """Co-located fact-fact join: lineitem and orders bucketed on orderkey
     join with ZERO exchanges — the write-once-shuffle-never layout that makes
