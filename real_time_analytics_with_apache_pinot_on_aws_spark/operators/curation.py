@@ -594,7 +594,13 @@ def train_bigram_lm(
     """
     big = _bigrams(ref_docs, id_col, text_col)
     bigram_counts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    unigram_counts = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # c1 is the number of bigram occurrences led by w1 — exactly the sum of
+    # c12 over w2 — so it folds from the vocabulary-sized bigram table
+    # instead of re-scanning, re-tokenizing and re-exploding the corpus
+    # (round 11: one full reference pass removed; values identical).
+    unigram_counts = bigram_counts.groupBy("w1").agg(
+        F.sum("c12").alias("c1")
+    )
     from .dedup import normalized_tokens
 
     vocab_size = (

@@ -644,6 +644,15 @@ def dedup_representatives(
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    # Materialize the edge list ONCE before the loop: every round joins
+    # against ``edges``, and without this cut each round re-evaluates the
+    # caller's whole pair-emitter pipeline (for semantic dedup that is the
+    # within-cell pairwise-cosine self-join — max_iter full re-runs of the
+    # most expensive stage in the query; round-11 measurement: c23 ~51 s ->
+    # ~6 s).  The edge list is (src, dst) longs — tiny next to the corpus —
+    # and the loop below is already eager via the per-round checkpoint, so
+    # this adds no new eagerness.
+    edges = edges.checkpoint() if reliable else edges.localCheckpoint()
     lbl = (
         vertices.select(F.col(id_col).alias("id"))
         .distinct()

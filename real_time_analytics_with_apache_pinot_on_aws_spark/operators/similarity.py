@@ -247,18 +247,45 @@ def semantic_dedup(
     from .dedup import dedup_representatives
 
     _, assigned = ivf_assign(corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    # One materialization of the assignment (cached: the argmax pass is read
+    # by BOTH pairwise sides and the final projection — uncached it ran 3x),
+    # spread over the session's parallelism: the pairwise join keys on
+    # cell_id alone, and with few cells the join stage would otherwise run
+    # on as many tasks as there are CELLS (locally: ONE scan partition
+    # streaming every within-cell pair).  Hash-repartitioning on (cell, id)
+    # costs one narrow shuffle of the assignment and lets the broadcast-hash
+    # pairwise stage run one task per partition.  At corpus scale n_cells
+    # itself is large (SemDeDup uses ~100k clusters) so cells provide the
+    # parallelism and this spread only balances cache blocks.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    assigned = assigned.repartition(par, F.col("cell_id"), F.col(id_col)).cache()
+    # Per-row norms are computed ONCE per vector here, not once per PAIR
+    # inside the quadratic stage: score below is dot/(n_a*n_b) — the exact
+    # expression :func:`cosine` evaluates (same ops, same order, bit-equal
+    # results) with two of its three per-pair array passes hoisted out.
     a = assigned.select(
-        "cell_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+        "cell_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+        _norm(F.col(vec_col)).alias("n_a"),
     )
     b = assigned.select(
-        "cell_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
+        "cell_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+        _norm(F.col(vec_col)).alias("n_b"),
     )
     pairs = (
         a.join(b, "cell_id")
         .filter(F.col("id_a") > F.col("id_b"))
-        .withColumn("score", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        .withColumn(
+            "score",
+            F.round(
+                dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6
+            ),
+        )
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
+        # The thresholded edge list (tiny: only >= threshold pairs) feeds
+        # the component loop AND the strongest-edge aggregate — cached so
+        # the quadratic stage runs exactly once end to end.
+        .cache()
     )
     # vertices come straight from the corpus (ids are assignment-invariant),
     # so the cell-assignment argmax is computed for sides a/b only

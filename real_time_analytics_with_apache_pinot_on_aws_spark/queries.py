@@ -5660,7 +5660,13 @@ def c26_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c27_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
     docs = spark.table("documents")
-    scored = _cur.dsir_scores(docs, F.col("source") == "src0")
+    # The scored relation feeds BOTH the top-k selection and the join-back
+    # that marks winners, so it is cached (round 11) — uncached, the whole
+    # fit + ratio-broadcast + scoring pipeline ran twice.  One narrow row
+    # per candidate doc; registered in the dsir cache-lifecycle list so the
+    # next dsir call releases it like the operator's own per-doc relation.
+    scored = _cur.dsir_scores(docs, F.col("source") == "src0").cache()
+    _cur._DSIR_CACHE.append(scored)
     topk = (
         scored.orderBy(F.desc("sel_key"), "doc_id")
         .limit(40)

@@ -1325,6 +1325,61 @@ def test_semantic_dedup_pairwise_is_cell_bounded(spark):
     assert "cell_id" in plan
 
 
+def test_semantic_dedup_hoisted_norm_score_is_bit_equal_to_cosine(spark):
+    """Round 11 hoists the per-row norms out of the quadratic pairwise stage
+    (score = dot/(n_a*n_b) with norms projected per ROW).  That must be the
+    bit-identical value of round(cosine(a,b), 6) — same ops, same order —
+    so dup_score (and every >= threshold decision) is unchanged."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"),
+                   S._norm(F.col("embedding")).alias("n_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"),
+                   S._norm(F.col("embedding")).alias("n_b"))
+    pairs = a.join(b, F.col("id_a") == F.col("id_b") + 1)
+    rows = pairs.select(
+        F.round(S.dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6)
+        .alias("hoisted"),
+        F.round(S.cosine(F.col("v_a"), F.col("v_b")), 6).alias("inline"),
+    ).collect()
+    assert rows and all(r["hoisted"] == r["inline"] for r in rows)
+
+
+def test_dedup_representatives_checkpoints_edges_once(spark):
+    """Round 11: the component loop must NOT re-evaluate the caller's pair
+    pipeline every round (for semantic dedup that pipeline is the quadratic
+    pairwise-cosine stage).  Pin via an accumulator-counting pair source:
+    the edge materialization happens exactly once regardless of max_iter."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(it):
+        acc.add(1)
+        yield from it
+
+    base = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    ).repartition(1)
+    pairs = base.rdd.mapPartitions(counting).toDF(base.schema)
+    verts = spark.range(1, 8).select(F.col("id").alias("doc_id"))
+    res = {
+        r["id"]: r["representative"]
+        for r in dedup.dedup_representatives(pairs, verts, max_iter=6).collect()
+    }
+    assert res[3] == 1 and res[6] == 5 and res[4] == 4
+    # one evaluation for the (src,dst) union both directions = 2 partition
+    # visits of the single-partition source; 6 rounds uncheckpointed would
+    # have paid 12+.
+    assert acc.value <= 2
+
+
 def test_semantic_dedup_chain_collapses_to_one_representative(spark):
     """A similarity CHAIN a~b~c (a-c below threshold) must collapse to ONE
     kept representative with every eviction pointing at a KEPT row — the
