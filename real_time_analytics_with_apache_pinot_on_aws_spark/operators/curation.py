@@ -696,11 +696,15 @@ def dsir_scores(
     ``log_w``/``sel_key`` round to 6 dp so FP summation order cannot leak
     into value hashes.
     """
+    from .dedup import _spread
+
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
         lambda x: x != F.lit(""),
     )
-    base = docs.select(
+    # Spread first (round 11, gated): tokenize + gram + per-gram md5 is the
+    # dominant per-row compute and a small corpus scan is one partition.
+    base = _spread(docs).select(
         F.col(id_col), is_target.alias("__tgt"), toks.alias("__t")
     )
     bigrams = F.when(
@@ -820,15 +824,18 @@ def gopher_rules(
     oracle determinism.
     """
     t = F.col(text_col)
-    from .dedup import normalized_tokens
+    from .dedup import _spread, normalized_tokens
 
     # Round 11: each token family is split ONCE into a projected column and
     # every signal references the array.  The inline form re-ran the
     # whitespace split three times and the line split three times per row,
     # and the stopword filter re-lowered-and-split the text once per
     # STOPWORD (``lw`` captured inside the filter lambda is re-evaluated per
-    # element).  Same values, one tokenization per family.
-    pre = docs.select(
+    # element).  Same values, one tokenization per family.  The corpus is
+    # spread first (gated, :func:`dedup._spread`): all the signal work is
+    # per-row text compute, and a small parquet scan is one partition — one
+    # core would otherwise gate the whole pass.
+    pre = _spread(docs).select(
         F.col(id_col),
         t.alias("__txt"),
         F.filter(F.split(t, r"\s+"), lambda x: x != F.lit("")).alias("__w"),

@@ -659,6 +659,7 @@ def dedup_representatives(
         .select("id", F.col("id").alias("label"))
     )
     for _ in range(max_iter):
+        prev = lbl
         nbr_min = (
             edges.join(
                 lbl.withColumnsRenamed({"id": "src", "label": "src_label"}), "src"
@@ -680,6 +681,21 @@ def dedup_representatives(
         )
         # truncate lineage: without this every round doubles the plan
         lbl = lbl.checkpoint() if reliable else lbl.localCheckpoint()
+        # Early exit at the fixpoint (round 11): labels are monotonically
+        # non-increasing, so an unchanged round means every later round is a
+        # no-op — identical result, fewer passes.  Real dup groups
+        # (stars/cliques, diameter <= 3) converge in 2-3 rounds; the probe
+        # is one narrow join of two already-materialized label frames vs a
+        # full round's two joins + checkpoint for each round saved.
+        unchanged = (
+            lbl.join(
+                prev.withColumnsRenamed({"label": "prev_label"}), "id"
+            )
+            .where(F.col("label") != F.col("prev_label"))
+            .isEmpty()
+        )
+        if unchanged:
+            break
     return lbl.select(F.col("id"), F.col("label").alias("representative"))
 
 
@@ -886,7 +902,10 @@ def exact_substring_dedup(
     and are length-tested jointly.  Default None = k (every repeat goes,
     the c25 oracle's semantics).
     """
-    toks = docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
+    # Spread first (round 11, gated — :func:`_spread`): per-position gram
+    # hashing and the final span mask are per-row compute over the token
+    # array, and a small corpus scan is one partition.
+    toks = _spread(docs).select(F.col(id_col), F.split(F.col(text_col), " ").alias("t"))
     n_grams = F.size("t") - F.lit(k - 1)
     gram_hashes = F.when(
         n_grams > 0,

@@ -35,7 +35,7 @@ def build_json_postings(
         F.lit("$").alias("path"),
     )
     leaves: DataFrame | None = None
-    for _ in range(max_depth):
+    for depth in range(max_depth):
         frontier.createOrReplaceTempView("_json_frontier")
         exploded = spark.sql(
             """
@@ -47,6 +47,16 @@ def build_json_postings(
             FROM _json_frontier, LATERAL variant_explode(v) AS e
             """
         )
+        # Each level's explode output feeds TWO consumers (this level's
+        # leaves + the next level's frontier), and the leaves of level k
+        # otherwise re-run explodes 1..k when the union materializes —
+        # O(depth^2) evaluations of the parse+explode pipeline.  Caching
+        # every level but the last (whose output has a single consumer)
+        # makes each explode run exactly once (round 11).  At persisted-
+        # index scale the flatten is paid once at ingest
+        # (:func:`persist_json_index`); this bounds the inline path.
+        if depth < max_depth - 1:
+            exploded = exploded.cache()
         is_nested = F.col("_sch").startswith("OBJECT<") | F.col("_sch").startswith("ARRAY<")
         level_leaves = exploded.filter(~is_nested).select(
             "id", "path", F.col("v").cast("string").alias("value")
@@ -135,7 +145,8 @@ def json_match_indexed(
 
 
 def json_match(
-    df: DataFrame, id_col: str, json_col: str, path: str, op: str, value: str = None
+    df: DataFrame, id_col: str, json_col: str, path: str, op: str, value: str = None,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Rows whose JSON column matches ``path op value`` — postings semi-join.
 
@@ -147,8 +158,17 @@ def json_match(
     use the ``[*]`` array wildcard (matches any index — Pinot's array-any
     semantics).  Callers with a persisted postings table filter it directly
     and semi-join; this convenience builds postings inline.
+
+    ``postings`` (round 11): a caller evaluating SEVERAL predicates against
+    the same documents can pass one shared (id, path, value) relation —
+    typically ``build_json_postings(...).cache()`` — so the flatten is paid
+    once instead of once per predicate (the probe side of the semi-join
+    prunes the JSON column, so the index build is the whole per-call cost).
+    The caller owns persistence; the contract is the exact output of
+    :func:`build_json_postings` on the same (df, id_col, json_col).
     """
-    postings = build_json_postings(df, id_col, json_col)
+    if postings is None:
+        postings = build_json_postings(df, id_col, json_col)
     if op == "IS NULL":
         absent = _matching_ids(postings, path, "IS NOT NULL", None)
         return df.join(absent.withColumnRenamed("id", id_col), id_col, "left_anti")
@@ -161,6 +181,7 @@ def json_match_all(
     id_col: str,
     json_col: str,
     predicates: list[tuple],
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Conjunction of JSON_MATCH predicates (Pinot: ``'"$.a"=1 AND "$.b">2'``).
 
@@ -168,8 +189,10 @@ def json_match_all(
     built ONCE; each positive predicate semi-joins its id set (bucket-pruned
     at scale), each ``IS NULL`` anti-joins — evaluation order keeps every
     join keyed on the doc id, so AQE typically broadcasts the (small)
-    survivor sets."""
-    postings = build_json_postings(df, id_col, json_col)
+    survivor sets.  ``postings`` (round 11): optional caller-shared postings
+    relation, same contract as :func:`json_match`."""
+    if postings is None:
+        postings = build_json_postings(df, id_col, json_col)
     out = df
     for pred in predicates:
         path, op, *rest = pred  # existence forms may omit the value

@@ -72,13 +72,26 @@ def cosine_topk(
     window over query_id — shuffle size = corpus x n_queries scored rows,
     bounded by selecting only (ids, score).
     """
+    # Per-row norms hoisted out of the per-pair score (round 11): each side
+    # computes its norm ONCE; dot/(n_q*n_c) is the exact expression
+    # :func:`cosine` evaluates (same ops, same order, bit-equal results)
+    # with two of its three per-pair array passes removed.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("n_q"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("n_c"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn(
+            "score",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("n_q") * F.col("n_c")), 6
+            ),
+        )
         .select("query_id", "neighbor_id", "score")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -172,8 +185,25 @@ def embedding_near_dup_pairs(
     shuffle keys are small (band, sig) ints (corpus never self-joins
     un-blocked) and every candidate is verified exactly, so precision is 1.
     """
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    from .dedup import _spread
+
+    # Per-row norms computed ONCE here (round 11), not once per PAIR inside
+    # the quadratic stage: the score below is dot/(n_a*n_b) — the exact
+    # expression :func:`cosine` evaluates (same ops, same order, bit-equal)
+    # with two of its three per-pair array passes hoisted to the row level.
+    # The corpus is also spread over the session's parallelism (gated — see
+    # :func:`_spread`): the brute variant is a broadcast-nested-loop whose
+    # task count is the STREAM side's partitioning, and a small corpus
+    # parquet scan is ONE partition — one task would stream every pair.
+    corpus = _spread(corpus)
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
+        _norm(F.col(vec_col)).alias("n_a"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
+        _norm(F.col(vec_col)).alias("n_b"),
+    )
     if nbits is not None:
         if dim is None:
             raise ValueError("dim is required when nbits blocking is enabled")
@@ -183,9 +213,9 @@ def embedding_near_dup_pairs(
             pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
         else:
             ab = a.select(
-                "id_a", "v_a",
+                "id_a", "v_a", "n_a",
                 F.explode(lsh_band_signatures(F.col("v_a"), dim, nbits, bands)).alias("bs"),
-            ).select("id_a", "v_a", "bs.band", "bs.sig")
+            ).select("id_a", "v_a", "n_a", "bs.band", "bs.sig")
             bb = b.select(
                 "id_b",
                 F.explode(lsh_band_signatures(F.col("v_b"), dim, nbits, bands)).alias("bs"),
@@ -198,13 +228,22 @@ def embedding_near_dup_pairs(
             )
             # re-attach vectors for exact verification (same join shape the
             # minhash verifier uses; keys are ids, vectors never in the key)
-            pairs = cand.join(a, "id_a").join(
-                b.select("id_b", "v_b"), "id_b"
+            pairs = cand.join(a.select("id_a", "v_a", "n_a"), "id_a").join(
+                b.select("id_b", "v_b", "n_b"), "id_b"
             )
     else:
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        # Brute force is the bounded-corpus oracle baseline: pin b as the
+        # broadcast side so the stream side is the repartitioned a — the
+        # nested-loop stage then runs one task per a-partition instead of
+        # one per scan split.
+        pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("score", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        pairs.withColumn(
+            "score",
+            F.round(
+                dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6
+            ),
+        )
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
@@ -244,21 +283,20 @@ def semantic_dedup(
     strongest DIRECT >= threshold edge that pulled the row into the
     component; both NULL on kept rows.
     """
-    from .dedup import dedup_representatives
+    from .dedup import _spread, dedup_representatives
 
+    # Spread the corpus first (gated — no-op when the scan is already wide):
+    # with few cells the pairwise stage's parallelism tracks the stream
+    # side's partitioning (locally the broadcast-hash join would otherwise
+    # run ONE task streaming every within-cell pair); at corpus scale
+    # n_cells itself is large (SemDeDup uses ~100k clusters) so cells
+    # provide the parallelism and the gate skips the shuffle.
+    corpus = _spread(corpus)
     _, assigned = ivf_assign(corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
-    # One materialization of the assignment (cached: the argmax pass is read
-    # by BOTH pairwise sides and the final projection — uncached it ran 3x),
-    # spread over the session's parallelism: the pairwise join keys on
-    # cell_id alone, and with few cells the join stage would otherwise run
-    # on as many tasks as there are CELLS (locally: ONE scan partition
-    # streaming every within-cell pair).  Hash-repartitioning on (cell, id)
-    # costs one narrow shuffle of the assignment and lets the broadcast-hash
-    # pairwise stage run one task per partition.  At corpus scale n_cells
-    # itself is large (SemDeDup uses ~100k clusters) so cells provide the
-    # parallelism and this spread only balances cache blocks.
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    assigned = assigned.repartition(par, F.col("cell_id"), F.col(id_col)).cache()
+    # One materialization of the assignment (cached, round 11): the argmax
+    # pass is read by BOTH pairwise sides and the final projection —
+    # uncached it ran 3x.
+    assigned = assigned.cache()
     # Per-row norms are computed ONCE per vector here, not once per PAIR
     # inside the quadratic stage: score below is dot/(n_a*n_b) — the exact
     # expression :func:`cosine` evaluates (same ops, same order, bit-equal
@@ -335,14 +373,25 @@ def _argmax_cell(vec: Column, cents: Column) -> Column:
     ``row_number over (order by c_score desc, cell_id asc)`` produced, so
     assignments are identical to round-3 outputs.
     """
-    scored = F.transform(
-        cents,
-        lambda c: F.struct(
-            cosine(vec, c.getField("c_vec")).alias("score"),
-            (-c.getField("cell_id")).alias("neg_cell"),
-        ),
-    )
-    return -F.array_max(scored).getField("neg_cell")
+    from .dedup import let_bound
+
+    # The vector's own norm is let-bound (round 11): cosine() would
+    # recompute it once per CENTROID; dot/(nv * norm(c_vec)) is the exact
+    # expression cosine evaluates (same ops, same order, bit-equal), with
+    # the vec-side norm paid once per row.
+    def scored_with(nv: Column) -> Column:
+        return F.transform(
+            cents,
+            lambda c: F.struct(
+                (
+                    dot(vec, c.getField("c_vec"))
+                    / (nv * _norm(c.getField("c_vec")))
+                ).alias("score"),
+                (-c.getField("cell_id")).alias("neg_cell"),
+            ),
+        )
+
+    return -F.array_max(let_bound(_norm(vec), scored_with)).getField("neg_cell")
 
 
 def _nearest_cells(vec: Column, cents: Column, n_probe: int) -> Column:
@@ -352,15 +401,27 @@ def _nearest_cells(vec: Column, cents: Column, n_probe: int) -> Column:
     ``row_number over (order by c_score desc, cell_id asc) <= n_probe``
     probe selection without amplifying the query rows.
     """
-    scored = F.transform(
-        cents,
-        lambda c: F.struct(
-            (-cosine(vec, c.getField("c_vec"))).alias("neg_score"),
-            c.getField("cell_id").alias("cell_id"),
-        ),
-    )
+    from .dedup import let_bound
+
+    # vec-side norm let-bound once per row (round 11) — see _argmax_cell;
+    # neg_score is bit-equal to -cosine().
+    def scored_with(nv: Column) -> Column:
+        return F.transform(
+            cents,
+            lambda c: F.struct(
+                (
+                    -(
+                        dot(vec, c.getField("c_vec"))
+                        / (nv * _norm(c.getField("c_vec")))
+                    )
+                ).alias("neg_score"),
+                c.getField("cell_id").alias("cell_id"),
+            ),
+        )
+
     return F.transform(
-        F.slice(F.array_sort(scored), 1, n_probe), lambda s: s.getField("cell_id")
+        F.slice(F.array_sort(let_bound(_norm(vec), scored_with)), 1, n_probe),
+        lambda s: s.getField("cell_id"),
     )
 
 
@@ -425,18 +486,28 @@ def ivf_topk(
         .select(
             "query_id",
             "q_vec",
+            _norm(F.col("q_vec")).alias("n_q"),
             F.explode(_nearest_cells(F.col("q_vec"), F.col("cents"), n_probe)).alias(
                 "cell_id"
             ),
         )
     )
+    # Norms hoisted per ROW (round 11): n_c once per corpus vector (not once
+    # per probed query), n_q once per query; dot/(n_q*n_c) is bit-equal to
+    # cosine() — see :func:`cosine_topk`.
     scored = (
         assigned.withColumnsRenamed({id_col: "neighbor_id", vec_col: "c_vec"})
+        .withColumn("n_c", _norm(F.col("c_vec")))
         .join(F.broadcast(probes), "cell_id")
         .filter(
             F.col("query_id") != F.col("neighbor_id") if exclude_self else F.lit(True)
         )
-        .withColumn("score", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn(
+            "score",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("n_q") * F.col("n_c")), 6
+            ),
+        )
         .select("query_id", "neighbor_id", "score")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -500,18 +571,27 @@ def ivf_topk_indexed(
     probes = q.join(F.broadcast(_cent_array(cent)), F.lit(True)).select(
         "query_id",
         "q_vec",
+        _norm(F.col("q_vec")).alias("n_q"),
         F.explode(_nearest_cells(F.col("q_vec"), F.col("cents"), n_probe)).alias(
             "cell_id"
         ),
     )
+    # Norms hoisted per row (round 11) — bit-equal to cosine(), see
+    # :func:`cosine_topk`.
     scored = (
         spark.table(table)
         .withColumnsRenamed({id_col: "neighbor_id", vec_col: "c_vec"})
+        .withColumn("n_c", _norm(F.col("c_vec")))
         .join(F.broadcast(probes), "cell_id")
         .filter(
             F.col("query_id") != F.col("neighbor_id") if exclude_self else F.lit(True)
         )
-        .withColumn("score", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn(
+            "score",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("n_q") * F.col("n_c")), 6
+            ),
+        )
         .select("query_id", "neighbor_id", "score")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -539,10 +619,23 @@ def cosine_topk_lsh(
     sign-LSH index.  At scale the corpus is pre-partitioned by signature so a
     probe touches ``bands`` partitions.
     """
+    from .dedup import _spread
+
+    # Spread the corpus over the session's parallelism before the signature
+    # projection (round 11): band signatures cost bands x nbits interpreted
+    # array-aggregates of ``dim`` elements PER ROW (at dim 768 that is ~50k
+    # lambda evaluations per vector), and a small corpus parquet scan is one
+    # partition — one core would pay the whole map-side cost while byte-based
+    # AQE sees nothing to split.  Gated (:func:`_spread`), so a corpus that
+    # already scans wide (the 100 TB case) never pays an extra shuffle.
+    corpus = _spread(corpus)
+    # Per-row norms hoisted (round 11) — see :func:`cosine_topk`; the
+    # verification score downstream is bit-equal to cosine().
     if bands == 1:
         c = corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
+            _norm(F.col(vec_col)).alias("n_c"),
             F.array(
                 F.struct(F.lit(0).alias("band"), lsh_signature(F.col(vec_col), dim, nbits).alias("sig"))
             ).alias("sigs"),
@@ -550,6 +643,7 @@ def cosine_topk_lsh(
         q = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
+            _norm(F.col(vec_col)).alias("n_q"),
             F.array(
                 F.struct(F.lit(0).alias("band"), lsh_signature(F.col(vec_col), dim, nbits).alias("sig"))
             ).alias("sigs"),
@@ -558,25 +652,43 @@ def cosine_topk_lsh(
         c = corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
+            _norm(F.col(vec_col)).alias("n_c"),
             lsh_band_signatures(F.col(vec_col), dim, nbits, bands).alias("sigs"),
         )
         q = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
+            _norm(F.col(vec_col)).alias("n_q"),
             lsh_band_signatures(F.col(vec_col), dim, nbits, bands).alias("sigs"),
         )
-    ce = c.select("neighbor_id", "c_vec", F.explode("sigs").alias("bs")).select(
-        "neighbor_id", "c_vec", "bs.band", "bs.sig"
+    # Candidate generation and dedup carry IDS ONLY (round 11): the banded
+    # join amplifies each (query, neighbor) pair up to ``bands`` times, and
+    # the old shape shuffled both VECTORS through the distinct — at dim 768
+    # that is ~12 KB per candidate row moved to decide a 16-byte identity.
+    # Vectors and norms re-attach after the distinct via joins on the ids
+    # (the same shape :func:`embedding_near_dup_pairs` uses; guide: shuffle
+    # keys, move payloads once).
+    ce = c.select("neighbor_id", F.explode("sigs").alias("bs")).select(
+        "neighbor_id", "bs.band", "bs.sig"
     )
-    qe = q.select("query_id", "q_vec", F.explode("sigs").alias("bs")).select(
-        "query_id", "q_vec", "bs.band", "bs.sig"
+    qe = q.select("query_id", F.explode("sigs").alias("bs")).select(
+        "query_id", "bs.band", "bs.sig"
     )
-    scored = (
+    cand = (
         ce.join(F.broadcast(qe), ["band", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "q_vec", "c_vec")
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("score", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(c.select("neighbor_id", "c_vec", "n_c"), "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "q_vec", "n_q")), "query_id")
+        .withColumn(
+            "score",
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("n_q") * F.col("n_c")), 6
+            ),
+        )
         .select("query_id", "neighbor_id", "score")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))

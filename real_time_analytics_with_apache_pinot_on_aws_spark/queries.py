@@ -1450,7 +1450,10 @@ def c2_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = _sim.cosine_topk_lsh(emb, q, dim=64, k=10, nbits=4, bands=8).select(
         "query_id", "neighbor_id"
     )
-    exact = _sim.cosine_topk(emb, q, k=10).select("query_id", "neighbor_id")
+    # exact feeds BOTH the count and the recall join — cached (round 11) so
+    # the brute-force scoring pipeline runs once, not twice (k x n_queries
+    # id pairs; tiny).
+    exact = _sim.cosine_topk(emb, q, k=10).select("query_id", "neighbor_id").cache()
     n_exact = exact.agg(F.count("*").cast("long").alias("n_exact"))
     hits = exact.join(lsh, ["query_id", "neighbor_id"]).agg(
         F.count("*").alias("n_hits")
@@ -1495,7 +1498,8 @@ def c2_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     quant = _sim.quantized_topk(emb, q, k=10, rerank=4).select(
         "query_id", "neighbor_id"
     )
-    exact = _sim.cosine_topk(emb, q, k=10).select("query_id", "neighbor_id")
+    # exact feeds both the count and the recall join — cached (round 11).
+    exact = _sim.cosine_topk(emb, q, k=10).select("query_id", "neighbor_id").cache()
     n_exact = exact.agg(F.count("*").cast("long").alias("n_exact"))
     hits = exact.join(quant, ["query_id", "neighbor_id"]).agg(
         F.count("*").alias("n_hits")
@@ -2088,14 +2092,28 @@ def c2_ivf_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c2_cosine_topk_lsh_dim768(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
     emb = spark.table("embeddings")
-    big = emb.select(
-        "vec_id", F.flatten(F.array_repeat(F.col("embedding"), 12)).alias("embedding")
+    # The 768-dim construction (12x replication) is cached (round 11):
+    # uncached it is re-materialized by each of the four pipeline legs (lsh
+    # corpus + queries, exact corpus + queries) — and worse, project
+    # collapsing inlines the flatten(array_repeat(...)) into every
+    # downstream per-pair expression.
+    # Spread before caching: every leg (signatures, exact scoring) pays
+    # heavy per-row interpreted array work, and the 2000-row scan is one
+    # partition — uncached AND unspread, one core would run each leg.
+    par = spark.sparkContext.defaultParallelism
+    big = (
+        emb.select(
+            "vec_id", F.flatten(F.array_repeat(F.col("embedding"), 12)).alias("embedding")
+        )
+        .repartition(par, F.col("vec_id"))
+        .cache()
     )
     q = big.filter(F.col("vec_id") < 5)
     lsh = _sim.cosine_topk_lsh(big, q, dim=768, k=10, nbits=4, bands=8).select(
         "query_id", "neighbor_id"
     )
-    exact = _sim.cosine_topk(big, q, k=10).select("query_id", "neighbor_id")
+    # exact feeds both the count and the recall join — cached (round 11).
+    exact = _sim.cosine_topk(big, q, k=10).select("query_id", "neighbor_id").cache()
     n_exact = exact.agg(F.count("*").cast("long").alias("n_exact"))
     hits = exact.join(lsh, ["query_id", "neighbor_id"]).agg(
         F.count("*").alias("n_hits")
@@ -3426,7 +3444,10 @@ _SKETCH_EXACT_ORACLE = """
 def b21_hll_sketch_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
     ev = spark.table("events")
-    sk = _sketch.hll_sketch(ev, ["event_type"], "user_id", p=12)
+    # The sketch build (two hash aggregates over the full events scan) feeds
+    # BOTH sides of the pairwise join — cached (round 11) so it runs once;
+    # the cached relation is one ~4 KB register array per event_type.
+    sk = _sketch.hll_sketch(ev, ["event_type"], "user_id", p=12).cache()
     a = sk.select(F.col("event_type").alias("type_a"), F.col("registers").alias("ra"))
     b = sk.select(F.col("event_type").alias("type_b"), F.col("registers").alias("rb"))
     pairs = a.join(b, F.col("type_a") < F.col("type_b"))
@@ -3528,14 +3549,26 @@ def b14_json_match_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
+    # ONE shared postings build (round 11): every part semi-joins the same
+    # flattened (id, path, value) relation, and the probe side of each
+    # semi-join prunes the JSON column — so uncached, the whole flatten
+    # pipeline (parse + per-level variant_explode) ran once PER PREDICATE
+    # (5x; ~18 s -> ~5 s at sf0.1).  Cached narrow postings, paid once —
+    # the inline analogue of the persisted path-bucketed index.
+    postings = _ji.build_json_postings(ev, "event_id", "doc").cache()
     parts = [
-        ("in", lambda d: _ji.json_match(d, "event_id", "doc", "$.type", "IN", ["click", "view"])),
-        ("wild", lambda d: _ji.json_match(d, "event_id", "doc", "$.tags[*]", "=", "u1")),
-        ("notnull", lambda d: _ji.json_match(d, "event_id", "doc", "$.opt", "IS NOT NULL")),
-        ("isnull", lambda d: _ji.json_match(d, "event_id", "doc", "$.opt", "IS NULL")),
+        ("in", lambda d: _ji.json_match(
+            d, "event_id", "doc", "$.type", "IN", ["click", "view"], postings=postings)),
+        ("wild", lambda d: _ji.json_match(
+            d, "event_id", "doc", "$.tags[*]", "=", "u1", postings=postings)),
+        ("notnull", lambda d: _ji.json_match(
+            d, "event_id", "doc", "$.opt", "IS NOT NULL", postings=postings)),
+        ("isnull", lambda d: _ji.json_match(
+            d, "event_id", "doc", "$.opt", "IS NULL", postings=postings)),
         ("and", lambda d: _ji.json_match_all(
             d, "event_id", "doc",
             [("$.k", ">=", "50"), ("$.type", "IN", ["click", "purchase"])],
+            postings=postings,
         )),
     ]
     out = None
@@ -5910,7 +5943,10 @@ from .operators import clp as _clp  # noqa: E402
 )
 def c31_clp_log_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark, sf_dir)
-    msgs = spark.table("events").select(
+    # Spread before the encode/decode pipeline (round 11, gated): the whole
+    # query is per-row token/regex compute and the events scan is one
+    # partition at fixture sizes — one core would run the pass.
+    msgs = _dedup._spread(spark.table("events")).select(
         "event_id",
         F.concat(
             F.lit("INFO user "), F.col("user_id"),
