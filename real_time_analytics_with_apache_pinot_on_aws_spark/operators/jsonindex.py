@@ -17,6 +17,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Bounded cache lifecycle for the inline flatten's per-level caches (round
+# 11): a builder cannot unpersist its own caches (consumers materialize
+# later), so each build releases the PREVIOUS build's relations — the leak
+# is bounded at one build's worth per session instead of growing with every
+# call.  Same pattern as curation._DSIR_CACHE; lineage stays intact (cache,
+# not checkpoint), so a caller holding an old result just recomputes.
+_LEVEL_CACHE: list = []
+
 
 def build_json_postings(
     df: DataFrame, id_col: str, json_col: str, max_depth: int = 4
@@ -34,6 +42,11 @@ def build_json_postings(
         F.parse_json(F.col(json_col)).alias("v"),
         F.lit("$").alias("path"),
     )
+    while _LEVEL_CACHE:
+        try:
+            _LEVEL_CACHE.pop().unpersist()
+        except Exception:
+            pass
     leaves: DataFrame | None = None
     for depth in range(max_depth):
         frontier.createOrReplaceTempView("_json_frontier")
@@ -57,6 +70,7 @@ def build_json_postings(
         # (:func:`persist_json_index`); this bounds the inline path.
         if depth < max_depth - 1:
             exploded = exploded.cache()
+            _LEVEL_CACHE.append(exploded)
         is_nested = F.col("_sch").startswith("OBJECT<") | F.col("_sch").startswith("ARRAY<")
         level_leaves = exploded.filter(~is_nested).select(
             "id", "path", F.col("v").cast("string").alias("value")

@@ -770,6 +770,33 @@ def test_json_match_extended_ops(spark):
         jsonindex.json_match(df, "id", "j", "$.k", "LIKE", "x")
 
 
+def test_json_postings_level_cache_bounded_across_builds(spark):
+    """Round 11: the inline flatten caches each level's variant_explode
+    output (so the leaves union is not O(depth^2) re-evaluations), and the
+    module-level lifecycle releases the PREVIOUS build's caches at the next
+    build — the registry never accumulates more than one build's worth.
+    Lineage stays intact, so a result from an earlier build still computes
+    correctly after its caches were released (it just recomputes)."""
+    df = spark.createDataFrame(
+        [(1, '{"a": 1, "b": {"c": [10, {"d": true}], "e": "x"}}')], "id long, j string"
+    )
+    expected = {
+        ("$.a", "1"),
+        ("$.b.c[0]", "10"),
+        ("$.b.c[1].d", "true"),
+        ("$.b.e", "x"),
+    }
+    p1 = jsonindex.build_json_postings(df, "id", "j")
+    per_build = len(jsonindex._LEVEL_CACHE)
+    assert per_build == 3  # max_depth=4 caches every level but the last
+    p2 = jsonindex.build_json_postings(df, "id", "j")
+    # bounded: the second build replaced (not appended to) the first's caches
+    assert len(jsonindex._LEVEL_CACHE) == per_build
+    assert {(r["path"], r["value"]) for r in p2.collect()} == expected
+    # the first build's result survives its caches being unpersisted
+    assert {(r["path"], r["value"]) for r in p1.collect()} == expected
+
+
 def test_persisted_json_index_serves_predicates(spark):
     """The path-bucketed postings table answers the same predicates as the
     inline path, with the path filter pushed into the bucketed scan."""
