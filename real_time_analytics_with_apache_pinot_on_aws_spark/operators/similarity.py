@@ -15,6 +15,8 @@ Scale path (100 TB of vectors):
 
 from __future__ import annotations
 
+import functools as _ft
+
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 
@@ -102,42 +104,105 @@ def cosine_topk(
     )
 
 
+_P64_1 = 0x9E3779B185EBCA87
+_P64_2 = 0xC2B2AE3D27D4EB4F
+_P64_3 = 0x165667B19E3779F9
+_P64_5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _xxh64_int(value: int, seed: int) -> int:
+    """Spark's ``XXH64.hashInt`` — one int32 child folded into ``seed``.
+
+    Bit-for-bit mirror of org.apache.spark.sql.catalyst.expressions.XXH64
+    (4-byte tail + avalanche), pinned against the SQL ``xxhash64`` expression
+    by tests/test_operators.py::test_plane_values_match_spark_xxhash64 for
+    every (plane, component) the engine ever derives.  Returns the UNSIGNED
+    64-bit value; callers needing Java semantics re-sign it.
+    """
+    h = (seed + _P64_5 + 4) & _M64
+    h ^= ((value & 0xFFFFFFFF) * _P64_1) & _M64
+    h = ((h << 23) & _M64) | (h >> 41)  # rotateLeft(h, 23)
+    h = (h * _P64_2 + _P64_3) & _M64
+    h ^= h >> 33
+    h = (h * _P64_2) & _M64
+    h ^= h >> 29
+    h = (h * _P64_3) & _M64
+    h ^= h >> 32
+    return h
+
+
+@_ft.lru_cache(maxsize=None)
+def _plane_values(plane: int, dim: int) -> tuple[float, ...]:
+    """Component d = (xxhash64(plane, d) % 10000) / 10000.0, as Spark computes it.
+
+    ``xxhash64(lit(plane), d)`` chains its two int32 children: the first is
+    hashed with the expression seed 42 and the result seeds the second.  The
+    remainder follows Java ``%`` (sign of the dividend).  Cached per
+    (plane, dim): the values are constants of the algorithm — functions of
+    the plane index only, never of any input data.
+    """
+    seed = _xxh64_int(plane, 42)
+    out = []
+    for d in range(dim):
+        h = _xxh64_int(d, seed)
+        s = h - (1 << 64) if h >= (1 << 63) else h
+        r = s % 10_000 if s >= 0 else -((-s) % 10_000)
+        out.append(float(r) / 10_000.0)
+    return tuple(out)
+
+
 def _plane(plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane as one array<double> expression.
+    """Deterministic pseudo-random hyperplane as ONE constant-folded literal.
 
     Component d is derived from xxhash64(plane, d), mapped into [-1, 1) —
-    reproducible everywhere, no RNG state, no model to persist (Date.now/
-    random are unavailable by design here).  Built as
-    ``transform(sequence(0, dim-1), ...)`` over literals, the whole plane is
-    a CONSTANT expression Catalyst folds once — O(1) expression nodes
-    regardless of ``dim``, vs the per-(plane, dim) unroll this replaced,
-    which blew the JVM 64 KB codegen method limit already at dim=64 x 32
-    planes (interpreted fallback) and would get strictly worse at the
-    768-4096 dims real embedding models emit.
+    reproducible everywhere, no RNG state, no model to persist.  Round 11:
+    the plane is computed at PLAN BUILD TIME (:func:`_plane_values`) and
+    embedded as a constant.  The prior shape — ``transform(sequence(0,
+    dim-1), d -> xxhash64(plane, d)...)`` — was O(1) expression NODES but
+    Catalyst never constant-folds higher-order functions, so every ROW
+    re-derived every plane (visible as ``xxhash64(p, lambda x, 42)`` in the
+    r11 before-plans).  The literal values are bit-identical (pinned by
+    test_plane_values_match_spark_xxhash64), so every signature — and every
+    query result — is unchanged.
+
+    Encoding: ONE string literal split+cast, not ``F.lit(list)`` —
+    PySpark's list literal is ``CreateArray`` with ``dim`` child nodes, and
+    32 planes x 768 children made every optimizer traversal crawl ~24.5k
+    nodes (measured: 15 s PLANNING per dim-768 statement vs 1.4 s for this
+    form).  Split/cast over literals is foldable, so ConstantFolding
+    collapses the whole expression to a single array literal in one pass;
+    ``repr`` round-trips doubles exactly, so the folded values are
+    bit-identical to :func:`_plane_values`.
     """
-
-    def component(d: Column) -> Column:
-        # identical arithmetic to the old unroll: xxhash64 over two int32
-        # literals (sequence elements are int32, matching F.lit(int))
-        return (F.xxhash64(F.lit(plane), d) % 10_000).cast("double") / 10_000.0
-
-    return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), component)
+    encoded = ",".join(repr(v) for v in _plane_values(plane, dim))
+    return F.split(F.lit(encoded), ",").cast("array<double>")
 
 
 def lsh_signature(vec: Column, dim: int, nbits: int = 8, plane_offset: int = 0) -> Column:
     """nbits-bit sign signature: bit i = sign(<vec, plane_{offset+i}>).
 
-    Each projection is ``aggregate(zip_with(vec, plane, *), +)`` — O(1)
-    expression nodes per plane and O(dim) runtime inside whole-stage codegen
-    (the element order of the fold matches the old left-to-right unroll, so
-    signatures are bit-for-bit identical to round-3 outputs).
+    Each projection is ONE fused fold — ``aggregate(sequence(0, dim-1),
+    0.0, (s, d) -> s + get(vec, d) * get(plane, d))`` — instead of the
+    former ``aggregate(zip_with(vec, plane, *), +)``: half the interpreted
+    lambda evaluations per element (HOFs are CodegenFallback) and no
+    transient dim-element product array per plane per row (round 11: the
+    corpus signature pass at dim=768 x 32 planes dropped 2.87 -> 1.99 s,
+    0 signature mismatches in the A/B).  The fold accumulates
+    ``s + (x_d * w_d)`` over ascending d — exactly the order of the old
+    zip_with form and of the round-3 unroll, so signatures are bit-for-bit
+    identical.  ``F.get`` null-pads out-of-range indexes (ANSI-safe) just
+    as zip_with padded a short ``vec``; every call site passes vectors of
+    exactly ``dim`` elements.
     """
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
     sig = F.lit(0)
     for p in range(nbits):
+        plane = _plane(plane_offset + p, dim)
         proj = F.aggregate(
-            F.zip_with(vec, _plane(plane_offset + p, dim), lambda x, w: x.cast("double") * w),
+            idx,
             F.lit(0.0),
-            lambda s, v: s + v,
+            lambda s, d: s + F.get(vec, d).cast("double") * F.get(plane, d),
         )
         sig = sig + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
     return sig.cast("int")
@@ -161,6 +226,35 @@ def lsh_band_signatures(vec: Column, dim: int, nbits: int, bands: int) -> Column
             for b in range(bands)
         ]
     )
+
+
+# LSH candidate-id relations cached per call (size-1 lifecycle: each call
+# releases the previous call's blocks — same pattern as curation._DSIR_CACHE).
+# Why cache at all (round 11): the candidate build embeds the corpus-wide
+# band-signature pass, the most expensive map stage in the module.  Left
+# uncached, every plan position that re-evaluates the candidate subtree pays
+# that pass again — and under a generous autoBroadcastJoinThreshold the
+# re-evaluations run CONCURRENTLY as broadcast-exchange futures (each a full
+# 32-task job), oversubscribing the cores ~5x; the transient dim-sized arrays
+# those tasks allocate then turn into a GC storm (measured on the dim-768
+# query: 270 CPU-seconds of GC in one broadcast stage, end-to-end swinging
+# 6.6-180 s run to run).  Materializing the ids-only candidate list once
+# collapses every downstream consumer — including broadcast builds — to a
+# cheap cache read: one signature pass per query, sequential, full
+# parallelism.  The cached relation is ids only (16 bytes/row), orders of
+# magnitude smaller than the corpus it indexes.
+_CAND_CACHE: list = []
+
+
+def _cache_candidates(cand: DataFrame) -> DataFrame:
+    while _CAND_CACHE:
+        try:
+            _CAND_CACHE.pop().unpersist()
+        except Exception:
+            pass
+    cand = cand.cache()
+    _CAND_CACHE.append(cand)
+    return cand
 
 
 def embedding_near_dup_pairs(
@@ -220,7 +314,7 @@ def embedding_near_dup_pairs(
                 "id_b",
                 F.explode(lsh_band_signatures(F.col("v_b"), dim, nbits, bands)).alias("bs"),
             ).select("id_b", "bs.band", "bs.sig")
-            cand = (
+            cand = _cache_candidates(
                 ab.join(bb, ["band", "sig"])
                 .filter(F.col("id_a") < F.col("id_b"))
                 .select("id_a", "id_b")
@@ -674,7 +768,7 @@ def cosine_topk_lsh(
     qe = q.select("query_id", F.explode("sigs").alias("bs")).select(
         "query_id", "bs.band", "bs.sig"
     )
-    cand = (
+    cand = _cache_candidates(
         ce.join(F.broadcast(qe), ["band", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")

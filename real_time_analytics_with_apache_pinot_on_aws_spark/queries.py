@@ -2109,8 +2109,16 @@ def c2_cosine_topk_lsh_dim768(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     q = big.filter(F.col("vec_id") < 5)
-    lsh = _sim.cosine_topk_lsh(big, q, dim=768, k=10, nbits=4, bands=8).select(
-        "query_id", "neighbor_id"
+    # lsh ids cached too (round 11, second pass): the recall join's OTHER
+    # side.  Uncached, `exact JOIN lsh` may re-evaluate the whole LSH
+    # pipeline inside a broadcast-exchange FUTURE (its output is tiny, so a
+    # generous autoBroadcastJoinThreshold elects it), concurrently with the
+    # other legs' futures — the GC-storm mode documented at
+    # similarity._CAND_CACHE.  Cached: 50 id rows.
+    lsh = (
+        _sim.cosine_topk_lsh(big, q, dim=768, k=10, nbits=4, bands=8)
+        .select("query_id", "neighbor_id")
+        .cache()
     )
     # exact feeds both the count and the recall join — cached (round 11).
     exact = _sim.cosine_topk(big, q, k=10).select("query_id", "neighbor_id").cache()

@@ -52,7 +52,20 @@ def build_session(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # 8g, not the former 16g (round 11).  The interpreted higher-order-
+        # function paths (signature folds, array dots) allocate short-lived
+        # boxed objects at GB/s, and G1 on a 16 GB heap periodically
+        # degenerated into full-GC spirals on exactly that churn: the SAME
+        # dim-768 LSH plan measured 9.5 s on one run and 173 s on the next
+        # (stage metrics: up to 270 CPU-seconds of GC in one stage), and
+        # G1 tuning (IHOP/reserve/region size) did NOT fix it — heap SIZE
+        # did.  At 8 GB the identical plan holds 8.3-10.7 s across reps and
+        # the GC-sensitive bench queries (minhash LSH) run at their
+        # historical floor.  The local fixtures' working set is MBs; 8 GB
+        # is pure headroom.  Cluster deployments size executors via
+        # spark-submit and are unaffected; override with
+        # SPARK_GRAFT_DRIVER_MEM.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

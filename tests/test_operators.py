@@ -259,6 +259,96 @@ def test_ivf_partial_probe_subset_of_exact(spark):
         assert math.isclose(r["score"], exact_scores[key], abs_tol=1e-9)
 
 
+def test_plane_values_match_spark_xxhash64(spark):
+    """Round 11: hyperplanes are Python-computed plan-time constants.
+
+    The replaced expression — ``transform(sequence(0, dim-1),
+    d -> (xxhash64(plane, d) % 10000) / 10000.0)`` — was never constant-
+    folded (HOFs aren't foldable), so every row re-derived every plane.
+    This pin evaluates THAT original expression through Spark and asserts
+    the Python mirror (:func:`similarity._plane_values`) is bit-identical
+    for every (plane, component) the engine derives at production dims:
+    signatures, and therefore all LSH query results, are unchanged.
+    """
+
+    def old_plane(plane: int, dim: int):
+        def component(d):
+            return (F.xxhash64(F.lit(plane), d) % 10_000).cast("double") / 10_000.0
+
+        return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), component)
+
+    dim, planes = 768, 40  # >= bands * nbits = 32 used anywhere, plus headroom
+    row = spark.range(1).select(
+        *[old_plane(p, dim).alias(f"p{p}") for p in range(planes)]
+    ).head()
+    for p in range(planes):
+        assert list(row[f"p{p}"]) == list(similarity._plane_values(p, dim)), p
+
+
+def test_lsh_signature_fused_fold_bit_equal_to_zipwith(spark):
+    """Round 11: lsh_signature's fused index fold must emit bit-identical
+    signatures to the replaced zip_with + aggregate + per-row-plane shape,
+    at both the production band config (nbits=4, bands=8) and the default
+    nbits=8 — on REAL fixture embeddings, so sign boundaries are exercised
+    with genuine FP data."""
+
+    def old_plane(plane: int, dim: int):
+        def component(d):
+            return (F.xxhash64(F.lit(plane), d) % 10_000).cast("double") / 10_000.0
+
+        return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), component)
+
+    def old_signature(vec, dim, nbits, plane_offset=0):
+        sig = F.lit(0)
+        for p in range(nbits):
+            proj = F.aggregate(
+                F.zip_with(
+                    vec, old_plane(plane_offset + p, dim), lambda x, w: x.cast("double") * w
+                ),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+            sig = sig + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+        return sig.cast("int")
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vec = F.col("embedding")
+    mism = df.select(
+        *[
+            (
+                similarity.lsh_signature(vec, 64, 4, plane_offset=b * 4)
+                != old_signature(vec, 64, 4, plane_offset=b * 4)
+            ).alias(f"b{b}")
+            for b in range(8)
+        ],
+        (similarity.lsh_signature(vec, 64, 8) != old_signature(vec, 64, 8)).alias("d8"),
+    )
+    cond = None
+    for c in mism.columns:
+        cond = F.col(c) if cond is None else cond | F.col(c)
+    assert mism.filter(cond).count() == 0
+
+
+def test_lsh_candidate_cache_single_lifecycle(spark):
+    """Round 11: the LSH candidate-id relation is cached (so broadcast
+    builds and repeated consumers reuse ONE corpus signature pass) with a
+    size-1 lifecycle — each operator call releases the previous call's
+    blocks, bounding the leak at one ids-only relation per session."""
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = df.filter(F.col("vec_id") < 3)
+    out1 = similarity.cosine_topk_lsh(df, q, dim=64, k=5, nbits=4, bands=2)
+    assert len(similarity._CAND_CACHE) == 1
+    first = similarity._CAND_CACHE[0]
+    assert first.is_cached
+    out2 = similarity.cosine_topk_lsh(df, q, dim=64, k=5, nbits=4, bands=2)
+    assert len(similarity._CAND_CACHE) == 1
+    assert similarity._CAND_CACHE[0] is not first
+    assert out2.count() == out1.count()
+    blocked = similarity.embedding_near_dup_pairs(df, threshold=0.3, dim=64, nbits=4, bands=2)
+    assert len(similarity._CAND_CACHE) == 1
+    assert blocked.count() >= 0
+
+
 def test_embedding_near_dup_lsh_subset_of_exact(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     exact = {
