@@ -49,6 +49,12 @@ def segment_counts(df: DataFrame, seg_col: str, item_col: str) -> DataFrame:
     )
 
 
+# The cached per-segment summary relations (size-1 lifecycle, same pattern
+# as similarity._CAND_CACHE): each frequent_summaries call releases the
+# previous call's blocks.
+_SUMMARY_CACHE: list = []
+
+
 def frequent_summaries(counts: DataFrame, k: int = 8) -> tuple[DataFrame, DataFrame]:
     """Per-segment truncated counter summaries over ``segment_counts`` output.
 
@@ -56,15 +62,34 @@ def frequent_summaries(counts: DataFrame, k: int = 8) -> tuple[DataFrame, DataFr
     ``(seg, item, cnt)`` rows per segment; ``eps`` holds one row per segment
     with its truncation error bound (largest dropped count, 0 when nothing
     was dropped).
+
+    Round 11: both outputs derive from ONE cached ``rn <= k+1`` relation —
+    the materialized form of exactly what Pinot persists per segment (the
+    k-row sketch plus its error bound).  The former shape re-ran the
+    upstream fact aggregate + window once per consumer — and the merge /
+    validation composition downstream has MANY consumers (total_eps
+    broadcast, per-item join, missed-heavy check), several of which execute
+    concurrently as broadcast-exchange futures; the b21 query measured 11 s
+    from ~10 re-evaluations of the fact aggregate.  Cached, the fact
+    pipeline runs once.  ``eps`` is unchanged math: the window orders
+    ``cnt`` DESC, so the largest dropped count — ``max(cnt) WHERE rn > k``
+    — IS the count at ``rn = k+1`` (pinned by
+    test_frequent_eps_from_rank_k_plus_1_matches_max_over_dropped).
     """
     rn = F.row_number().over(
         W.partitionBy("seg").orderBy(F.col("cnt").desc(), F.col("item"))
     )
-    ranked = counts.withColumn("rn", rn)
-    kept = ranked.filter(F.col("rn") <= k).drop("rn")
-    eps = ranked.groupBy("seg").agg(
+    summary = counts.withColumn("rn", rn).filter(F.col("rn") <= k + 1).cache()
+    while _SUMMARY_CACHE:
+        try:
+            _SUMMARY_CACHE.pop().unpersist()
+        except Exception:
+            pass
+    _SUMMARY_CACHE.append(summary)
+    kept = summary.filter(F.col("rn") <= k).drop("rn")
+    eps = summary.groupBy("seg").agg(
         F.coalesce(
-            F.max(F.when(F.col("rn") > k, F.col("cnt"))), F.lit(0).cast("bigint")
+            F.max(F.when(F.col("rn") == k + 1, F.col("cnt"))), F.lit(0).cast("bigint")
         ).alias("eps")
     )
     return kept, eps

@@ -383,6 +383,11 @@ def text_match(
     return _verify_phrase(out, text_col, query, analyzer)
 
 
+# bm25_scores' cached per-doc (dl, tf...) relation — size-1 lifecycle, each
+# call releases the previous call's blocks (same pattern as _DSIR_CACHE).
+_BM25_CACHE: list = []
+
+
 def bm25_scores(
     df: DataFrame,
     id_col: str,
@@ -406,13 +411,52 @@ def bm25_scores(
     Fully lazy: corpus stats (N, avgdl) are a 1-row aggregate broadcast into
     the plan — building this DataFrame submits NO job (the round-1 version
     collect()ed avgdl eagerly, putting a driver round-trip in the pipeline).
+
+    Round 11: ONE tokenize pass.  The former shape re-tokenized the corpus
+    once per consumer — stats feeds two broadcast positions and the tf
+    relation feeds both dfreq and contrib, so the full tokenize + explode
+    ran ~4x, partly as CONCURRENT broadcast-exchange futures (measured
+    7.5 s on the b13 query).  Now a single let-bound projection computes
+    (dl, per-term tf) per doc — the token array is built once per ROW and
+    the term counts are ``size(filter(toks, = term))`` over it, no explode
+    of the corpus token stream at all — and that ints-only relation is
+    cached (size-1 lifecycle, as similarity._CAND_CACHE).  Values are
+    unchanged: per-(id, dl, token) counts, document frequencies, and the
+    sorted-token score fold are the same integers and the same double
+    arithmetic as the exploded shape (oracle replays the formula exactly).
     """
+    from .dedup import let_bound
+
     terms = _analyze(query, analyzer)
     if not terms:
         raise ValueError(f"empty BM25 query: {query!r}")
     toks = analyzer.tokens(F.col(text_col))
-    base = df.select(F.col(id_col).alias("id"), toks.alias("_toks")).select(
-        "id", "_toks", F.size("_toks").alias("dl")
+
+    def _tf_pred(term: str):
+        return lambda x: x == F.lit(term)
+
+    def _features(t: Column) -> Column:
+        return F.struct(
+            F.size(t).alias("dl"),
+            *[
+                F.size(F.filter(t, _tf_pred(term))).alias(f"tf{i}")
+                for i, term in enumerate(terms)
+            ],
+        )
+
+    perdoc = df.select(
+        F.col(id_col).alias("id"), let_bound(toks, _features).alias("_f")
+    ).cache()
+    while _BM25_CACHE:
+        try:
+            _BM25_CACHE.pop().unpersist()
+        except Exception:
+            pass
+    _BM25_CACHE.append(perdoc)
+    base = perdoc.select(
+        "id",
+        F.col("_f.dl").alias("dl"),
+        *[F.col(f"_f.tf{i}").alias(f"tf{i}") for i in range(len(terms))],
     )
     # corpus stats as a broadcastable 1-row relation (sum/count are exact
     # integer math, so the double division is deterministic)
@@ -421,11 +465,20 @@ def bm25_scores(
         (F.sum("dl").cast("double") / F.count("*").cast("double")).alias("_avgdl"),
     )
 
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(term).alias("token"), F.col(f"tf{i}").cast("long").alias("tf")
+            )
+            for i, term in enumerate(terms)
+        ]
+    )
     tf = (
-        base.select("id", "dl", F.explode("_toks").alias("token"))
-        .filter(F.col("token").isin(terms))
+        base.select("id", "dl", F.explode(entries).alias("e"))
+        .select("id", "dl", F.col("e.token").alias("token"), F.col("e.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
         .groupBy("id", "dl", "token")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.sum("tf").alias("tf"))
     )
     dfreq = tf.groupBy("token").agg(F.count_distinct("id").alias("df"))
     idf = dfreq.crossJoin(F.broadcast(stats)).select(

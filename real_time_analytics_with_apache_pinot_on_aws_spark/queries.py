@@ -3800,7 +3800,11 @@ def b21_frequent_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept, eps = _fq.frequent_summaries(counts, k=8)
     merged = _fq.frequent_merge(kept, eps)
-    exact = counts.groupBy("item").agg(F.sum("cnt").alias("exact_cnt"))
+    # exact side cached (round 11): it feeds BOTH the missed-heavy check and
+    # the final bounds join — uncached it re-ran the full fact aggregate per
+    # consumer (the validation leg exists only because the oracle is
+    # self-validating; production ships the k-row summaries alone).
+    exact = counts.groupBy("item").agg(F.sum("cnt").alias("exact_cnt")).cache()
     missed = (
         exact.join(merged.select("total_eps").limit(1))
         .filter(F.col("exact_cnt") > F.col("total_eps"))

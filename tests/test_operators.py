@@ -349,6 +349,43 @@ def test_lsh_candidate_cache_single_lifecycle(spark):
     assert blocked.count() >= 0
 
 
+def test_frequent_eps_from_rank_k_plus_1_matches_max_over_dropped(spark):
+    """Round 11: frequent_summaries derives eps from the rn == k+1 row of
+    its cached summary relation.  Pin that this equals the original
+    definition — max(cnt) over ALL dropped rows (rn > k), 0 when nothing
+    was dropped — on data with ties and with segments smaller than k."""
+    from pyspark.sql import Window
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators import frequent as FQ
+
+    rows = []
+    # seg 0: 12 items incl. count ties across the k boundary; seg 1: 3 items (< k)
+    for i in range(12):
+        rows.append((0, i, 20 - (i // 2)))  # ties: pairs share counts
+    for i in range(3):
+        rows.append((1, 100 + i, 5))
+    counts = spark.createDataFrame(rows, "seg int, item int, cnt long")
+    k = 8
+    kept, eps = FQ.frequent_summaries(counts, k=k)
+    got = {r["seg"]: r["eps"] for r in eps.collect()}
+    rn = F.row_number().over(
+        Window.partitionBy("seg").orderBy(F.col("cnt").desc(), F.col("item"))
+    )
+    ranked = counts.withColumn("rn", rn)
+    want = {
+        r["seg"]: r["eps"]
+        for r in ranked.groupBy("seg")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("rn") > k, F.col("cnt"))), F.lit(0).cast("bigint")
+            ).alias("eps")
+        )
+        .collect()
+    }
+    assert got == want
+    assert got[1] == 0  # nothing dropped in the small segment
+    assert kept.filter(F.col("seg") == 0).count() == k
+
+
 def test_embedding_near_dup_lsh_subset_of_exact(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     exact = {
