@@ -66,36 +66,62 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector (self-matches excluded).
 
     ``queries`` is broadcast (it is small by construction); the corpus is
-    scanned once with the score computed in codegen; per-query top-k uses a
-    window over query_id — shuffle size = corpus x n_queries scored rows,
-    bounded by selecting only (ids, score).
+    scanned once; per-query top-k uses a window over query_id — shuffle size
+    = corpus x n_queries scored rows, bounded by selecting only (ids, score).
+
+    ``arrow`` (round 12, guide §4) routes the per-pair score through the
+    Arrow kernel (:func:`arrowkernels.score_pairs`) instead of the
+    interpreted ``ArrayAggregate`` fold — bit-identical values (the kernel
+    replays the fold's exact per-element order; pinned tests), so the switch
+    is performance-only.  It is OPT-IN because a Python stage costs a fixed
+    per-task runner round-trip (~0.3 s across 32 local tasks), which the
+    O(corpus x n_queries) pair count here does not amortize at LOW dims
+    (measured: 0.36 -> 0.73 s at dim 64) but clearly does at production dims
+    (the dim-768 exact legs pass ``arrow=True``).
     """
     # Per-row norms hoisted out of the per-pair score (round 11): each side
     # computes its norm ONCE; dot/(n_q*n_c) is the exact expression
     # :func:`cosine` evaluates (same ops, same order, bit-equal results)
     # with two of its three per-pair array passes removed.
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
-        _norm(F.col(vec_col)).alias("n_q"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
-        _norm(F.col(vec_col)).alias("n_c"),
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "score",
-            F.round(
-                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("n_q") * F.col("n_c")), 6
-            ),
+    if arrow:
+        from .arrowkernels import score_pairs
+
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         )
-        .select("query_id", "neighbor_id", "score")
-    )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
+        scored = score_pairs(
+            c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")),
+            id_a="query_id", id_b="neighbor_id", v_a="q_vec", v_b="c_vec",
+        ).select("query_id", "neighbor_id", F.round("raw", 6).alias("score"))
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+            _norm(F.col(vec_col)).alias("n_q"),
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"),
+            _norm(F.col(vec_col)).alias("n_c"),
+        )
+        scored = (
+            c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+            .withColumn(
+                "score",
+                F.round(
+                    dot(F.col("q_vec"), F.col("c_vec"))
+                    / (F.col("n_q") * F.col("n_c")),
+                    6,
+                ),
+            )
+            .select("query_id", "neighbor_id", "score")
+        )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -265,6 +291,7 @@ def embedding_near_dup_pairs(
     dim: int | None = None,
     nbits: int | None = None,
     bands: int = 1,
+    spread: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= threshold).
 
@@ -279,65 +306,59 @@ def embedding_near_dup_pairs(
     shuffle keys are small (band, sig) ints (corpus never self-joins
     un-blocked) and every candidate is verified exactly, so precision is 1.
     """
-    from .dedup import _spread
+    from .arrowkernels import allpairs_scores, band_sigs_udf, packed_pair_scores
+    from .dedup import _spread, lifecycle_cache
 
-    # Per-row norms computed ONCE here (round 11), not once per PAIR inside
-    # the quadratic stage: the score below is dot/(n_a*n_b) — the exact
-    # expression :func:`cosine` evaluates (same ops, same order, bit-equal)
-    # with two of its three per-pair array passes hoisted to the row level.
-    # The corpus is also spread over the session's parallelism (gated — see
-    # :func:`_spread`): the brute variant is a broadcast-nested-loop whose
-    # task count is the STREAM side's partitioning, and a small corpus
-    # parquet scan is ONE partition — one task would stream every pair.
-    corpus = _spread(corpus)
-    a = corpus.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
-        _norm(F.col(vec_col)).alias("n_a"),
-    )
-    b = corpus.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
-        _norm(F.col(vec_col)).alias("n_b"),
-    )
+    # Round 12 (guide §4/§8): both the signature pass and the per-pair
+    # verification score run in Arrow kernels instead of interpreted
+    # ``ArrayAggregate`` folds — bit-equal by construction (order-preserving
+    # float64 folds; pinned tests), with the declared ``round(_, 6)`` and
+    # threshold still applied by Spark on the kernel's raw score.
     if nbits is not None:
         if dim is None:
             raise ValueError("dim is required when nbits blocking is enabled")
-        if bands == 1:
-            a = a.withColumn("sig", lsh_signature(F.col("v_a"), dim, nbits))
-            b = b.withColumn("sig", lsh_signature(F.col("v_b"), dim, nbits))
-            pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
-        else:
-            ab = a.select(
-                "id_a", "v_a", "n_a",
-                F.explode(lsh_band_signatures(F.col("v_a"), dim, nbits, bands)).alias("bs"),
-            ).select("id_a", "v_a", "n_a", "bs.band", "bs.sig")
-            bb = b.select(
-                "id_b",
-                F.explode(lsh_band_signatures(F.col("v_b"), dim, nbits, bands)).alias("bs"),
-            ).select("id_b", "bs.band", "bs.sig")
-            cand = _cache_candidates(
-                ab.join(bb, ["band", "sig"])
-                .filter(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b")
-                .distinct()
-            )
-            # re-attach vectors for exact verification (same join shape the
-            # minhash verifier uses; keys are ids, vectors never in the key)
-            pairs = cand.join(a.select("id_a", "v_a", "n_a"), "id_a").join(
-                b.select("id_b", "v_b", "n_b"), "id_b"
-            )
-    else:
-        # Brute force is the bounded-corpus oracle baseline: pin b as the
-        # broadcast side so the stream side is the repartitioned a — the
-        # nested-loop stage then runs one task per a-partition instead of
-        # one per scan split.
-        pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.withColumn(
-            "score",
-            F.round(
-                dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6
-            ),
+        # Spread before the signature projection (gated — :func:`_spread`):
+        # the kernel's parallelism is the input partitioning, and a small
+        # corpus parquet scan is ONE partition.  ``spread=False`` lets a
+        # caller that already spread+cached the corpus (the dim-768 query)
+        # skip the redundant second exchange.
+        if spread:
+            corpus = _spread(corpus)
+        sig_fn = band_sigs_udf(dim, nbits, bands)
+        # ONE signature pass: the banded relation feeds BOTH self-join
+        # sides, and uncached each side would re-run the kernel over the
+        # corpus (lifecycle cache — ints only, id x bands rows).
+        banded = lifecycle_cache(
+            corpus.select(
+                F.col(id_col).alias("_nid"), sig_fn(F.col(vec_col)).alias("sigs")
+            ).select("_nid", F.posexplode("sigs").alias("band", "sig")),
+            "similarity.near_dup.banded",
         )
+        cand = (
+            banded.select(F.col("_nid").alias("id_a"), "band", "sig")
+            .join(banded.select(F.col("_nid").alias("id_b"), "band", "sig"),
+                  ["band", "sig"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        if bands > 1:
+            # multi-band collisions duplicate a pair; dedup on bare ids and
+            # cache the id list (it feeds the packed scorer and, under a
+            # generous broadcast threshold, concurrent exchange futures)
+            cand = _cache_candidates(cand.distinct())
+        # Exact verification WITHOUT re-attaching vectors per pair
+        # (guide §8): the packed scorer moves candidate IDS plus one packed
+        # corpus copy per group — the former id->vector joins shipped
+        # 2 x dim floats per candidate (0.8 GB at 816k candidates, dim 64).
+        scored = packed_pair_scores(cand, corpus, id_col, vec_col)
+    else:
+        # Brute force is the bounded-corpus oracle baseline: the packed
+        # all-pairs kernel scores n^2/groups NumPy blocks per task instead
+        # of materializing every pair as a JVM row (same all-in-memory
+        # posture as the former BroadcastNestedLoopJoin's broadcast side).
+        scored = allpairs_scores(corpus, id_col, vec_col, threshold)
+    return (
+        scored.withColumn("score", F.round("raw", 6))
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
     )
@@ -377,48 +398,38 @@ def semantic_dedup(
     strongest DIRECT >= threshold edge that pulled the row into the
     component; both NULL on kept rows.
     """
-    from .dedup import _spread, dedup_representatives
+    from .arrowkernels import cellpairs_scores
+    from .dedup import _spread, dedup_representatives, lifecycle_cache
 
     # Spread the corpus first (gated — no-op when the scan is already wide):
-    # with few cells the pairwise stage's parallelism tracks the stream
-    # side's partitioning (locally the broadcast-hash join would otherwise
-    # run ONE task streaming every within-cell pair); at corpus scale
-    # n_cells itself is large (SemDeDup uses ~100k clusters) so cells
-    # provide the parallelism and the gate skips the shuffle.
+    # the assignment pass is per-row compute and a small corpus scan is one
+    # partition; at corpus scale n_cells itself is large (SemDeDup uses
+    # ~100k clusters) so cells provide the parallelism and the gate skips
+    # the shuffle.
     corpus = _spread(corpus)
     _, assigned = ivf_assign(corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
-    # One materialization of the assignment (cached, round 11): the argmax
-    # pass is read by BOTH pairwise sides and the final projection —
-    # uncached it ran 3x.
-    assigned = assigned.cache()
-    # Per-row norms are computed ONCE per vector here, not once per PAIR
-    # inside the quadratic stage: score below is dot/(n_a*n_b) — the exact
-    # expression :func:`cosine` evaluates (same ops, same order, bit-equal
-    # results) with two of its three per-pair array passes hoisted out.
-    a = assigned.select(
-        "cell_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"),
-        _norm(F.col(vec_col)).alias("n_a"),
-    )
-    b = assigned.select(
-        "cell_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"),
-        _norm(F.col(vec_col)).alias("n_b"),
-    )
+    # One materialization of the assignment (cached, round 11; size-1
+    # lifecycle round 12): the argmax pass is read by the pairwise pack and
+    # the final projection — uncached it ran 3x.
+    assigned = lifecycle_cache(assigned, "similarity.semdedup.assigned")
+    # Round 12 (guide §4/§8): the within-cell quadratic stage runs in the
+    # packed Arrow kernel — one groupBy(cell) pack shuffle (each vector
+    # moves once; the former self-join moved both sides), then sum(|cell|^2)
+    # scoring as NumPy blocks in the fold's exact per-element order instead
+    # of interpreted JVM rows.  The declared round(_, 6) + threshold are
+    # applied here by Spark on the kernel's raw score (the kernel's
+    # threshold-1e-6 margin can never exclude a pair HALF_UP rounding would
+    # keep), so every emitted pair and score is bit-identical.
     pairs = (
-        a.join(b, "cell_id")
-        .filter(F.col("id_a") > F.col("id_b"))
-        .withColumn(
-            "score",
-            F.round(
-                dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6
-            ),
-        )
+        cellpairs_scores(assigned, "cell_id", id_col, vec_col, threshold)
+        .withColumn("score", F.round("raw", 6))
         .filter(F.col("score") >= threshold)
         .select("id_a", "id_b", "score")
-        # The thresholded edge list (tiny: only >= threshold pairs) feeds
-        # the component loop AND the strongest-edge aggregate — cached so
-        # the quadratic stage runs exactly once end to end.
-        .cache()
     )
+    # The thresholded edge list (tiny: only >= threshold pairs) feeds the
+    # component loop AND the strongest-edge aggregate — cached (size-1
+    # lifecycle) so the quadratic stage runs exactly once end to end.
+    pairs = lifecycle_cache(pairs, "similarity.semdedup.pairs")
     # vertices come straight from the corpus (ids are assignment-invariant),
     # so the cell-assignment argmax is computed for sides a/b only
     comps = dedup_representatives(
@@ -432,7 +443,7 @@ def semantic_dedup(
     )
     dropped = F.col("id") != F.col("representative")
     return (
-        a.select(F.col("id_a").alias("id"), "cell_id")
+        assigned.select(F.col(id_col).alias("id"), "cell_id")
         .join(comps, "id")
         .join(strongest, "id", "left")
         .select(
@@ -705,6 +716,7 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bands: int = 1,
+    spread: bool = True,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors sharing a query's LSH bucket.
 
@@ -713,78 +725,55 @@ def cosine_topk_lsh(
     sign-LSH index.  At scale the corpus is pre-partitioned by signature so a
     probe touches ``bands`` partitions.
     """
+    from .arrowkernels import band_sigs_udf, score_pairs
     from .dedup import _spread
 
     # Spread the corpus over the session's parallelism before the signature
-    # projection (round 11): band signatures cost bands x nbits interpreted
-    # array-aggregates of ``dim`` elements PER ROW (at dim 768 that is ~50k
-    # lambda evaluations per vector), and a small corpus parquet scan is one
-    # partition — one core would pay the whole map-side cost while byte-based
-    # AQE sees nothing to split.  Gated (:func:`_spread`), so a corpus that
-    # already scans wide (the 100 TB case) never pays an extra shuffle.
-    corpus = _spread(corpus)
-    # Per-row norms hoisted (round 11) — see :func:`cosine_topk`; the
-    # verification score downstream is bit-equal to cosine().
-    if bands == 1:
-        c = corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("c_vec"),
-            _norm(F.col(vec_col)).alias("n_c"),
-            F.array(
-                F.struct(F.lit(0).alias("band"), lsh_signature(F.col(vec_col), dim, nbits).alias("sig"))
-            ).alias("sigs"),
-        )
-        q = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            _norm(F.col(vec_col)).alias("n_q"),
-            F.array(
-                F.struct(F.lit(0).alias("band"), lsh_signature(F.col(vec_col), dim, nbits).alias("sig"))
-            ).alias("sigs"),
-        )
-    else:
-        c = corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("c_vec"),
-            _norm(F.col(vec_col)).alias("n_c"),
-            lsh_band_signatures(F.col(vec_col), dim, nbits, bands).alias("sigs"),
-        )
-        q = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("q_vec"),
-            _norm(F.col(vec_col)).alias("n_q"),
-            lsh_band_signatures(F.col(vec_col), dim, nbits, bands).alias("sigs"),
-        )
+    # projection (round 11): the kernel's parallelism is the input
+    # partitioning, and a small corpus parquet scan is one partition — one
+    # core would pay the whole map-side cost while byte-based AQE sees
+    # nothing to split.  Gated (:func:`_spread`), so a corpus that already
+    # scans wide (the 100 TB case) never pays an extra shuffle; a caller
+    # that already spread+cached the corpus passes ``spread=False``.
+    if spread:
+        corpus = _spread(corpus)
+    # Round 12 (guide §4): band signatures come from the vectorized Arrow
+    # kernel — one boundary crossing per row replaces bands x nbits
+    # interpreted array-aggregates of ``dim`` elements (at dim 768 that was
+    # ~50k lambda evaluations per vector); every signature bit is identical
+    # (order-preserving fold, pinned).
+    sig_fn = band_sigs_udf(dim, nbits, bands)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        sig_fn(F.col(vec_col)).alias("sigs"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        sig_fn(F.col(vec_col)).alias("sigs"),
+    )
     # Candidate generation and dedup carry IDS ONLY (round 11): the banded
     # join amplifies each (query, neighbor) pair up to ``bands`` times, and
     # the old shape shuffled both VECTORS through the distinct — at dim 768
     # that is ~12 KB per candidate row moved to decide a 16-byte identity.
-    # Vectors and norms re-attach after the distinct via joins on the ids
-    # (the same shape :func:`embedding_near_dup_pairs` uses; guide: shuffle
-    # keys, move payloads once).
-    ce = c.select("neighbor_id", F.explode("sigs").alias("bs")).select(
-        "neighbor_id", "bs.band", "bs.sig"
-    )
-    qe = q.select("query_id", F.explode("sigs").alias("bs")).select(
-        "query_id", "bs.band", "bs.sig"
-    )
+    # Vectors re-attach after the distinct via joins on the ids (the same
+    # shape :func:`embedding_near_dup_pairs` uses; guide: shuffle keys,
+    # move payloads once).
+    ce = c.select("neighbor_id", F.posexplode("sigs").alias("band", "sig"))
+    qe = q.select("query_id", F.posexplode("sigs").alias("band", "sig"))
     cand = _cache_candidates(
         ce.join(F.broadcast(qe), ["band", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = (
-        cand.join(c.select("neighbor_id", "c_vec", "n_c"), "neighbor_id")
-        .join(F.broadcast(q.select("query_id", "q_vec", "n_q")), "query_id")
-        .withColumn(
-            "score",
-            F.round(
-                dot(F.col("q_vec"), F.col("c_vec")) / (F.col("n_q") * F.col("n_c")), 6
-            ),
-        )
-        .select("query_id", "neighbor_id", "score")
-    )
+    scored = score_pairs(
+        cand.join(c.select("neighbor_id", "c_vec"), "neighbor_id").join(
+            F.broadcast(q.select("query_id", "q_vec")), "query_id"
+        ),
+        id_a="query_id", id_b="neighbor_id", v_a="q_vec", v_b="c_vec",
+    ).select("query_id", "neighbor_id", F.round("raw", 6).alias("score"))
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

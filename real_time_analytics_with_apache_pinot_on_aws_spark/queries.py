@@ -1234,10 +1234,11 @@ def _lsh_validation(
     caller owns persistence of a supplied ``th``.
     """
     if th is None:
-        th = (
-            spark.table("documents")
-            .select(F.col("doc_id"), F.xxhash64("text").alias("th"))
-            .cache()
+        th = _dedup.lifecycle_cache(
+            spark.table("documents").select(
+                F.col("doc_id"), F.xxhash64("text").alias("th")
+            ),
+            "q.lsh_validation.th",
         )
     exact = (
         th.groupBy("th")
@@ -1289,14 +1290,13 @@ def c1_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the hashed shingle sets (operator input) and the whole-text hash (the
     # validation overlay's identity key), so neither side re-reads documents.
     docs = spark.table("documents")
-    hashed = (
-        _dedup._spread(docs)
-        .select(
+    hashed = _dedup.lifecycle_cache(
+        _dedup._spread(docs).select(
             F.col("doc_id"),
             F.xxhash64("text").alias("th"),
             _dedup.shingle_hashes(F.col("text"), 3).alias("sh_set"),
-        )
-        .cache()
+        ),
+        "q.minhash.hashed",
     )
     pairs = _dedup.minhash_lsh_pairs(
         docs, "doc_id", "text",
@@ -1326,10 +1326,13 @@ def c1_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fingerprints and the validation overlay's whole-text hash come out of
     # the same cached pass (simhash extra_cols carries th through).
     docs = spark.table("documents")
-    fp = _dedup.simhash(
-        docs.withColumn("th", F.xxhash64("text")), "doc_id", "text",
-        extra_cols=("th",),
-    ).cache()
+    fp = _dedup.lifecycle_cache(
+        _dedup.simhash(
+            docs.withColumn("th", F.xxhash64("text")), "doc_id", "text",
+            extra_cols=("th",),
+        ),
+        "q.simhash.fp",
+    )
     pairs = _dedup.simhash_near_pairs(
         docs, "doc_id", "text",
         prepared_fingerprints=fp.select("doc_id", "simhash"),
@@ -1453,7 +1456,10 @@ def c2_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact feeds BOTH the count and the recall join — cached (round 11) so
     # the brute-force scoring pipeline runs once, not twice (k x n_queries
     # id pairs; tiny).
-    exact = _sim.cosine_topk(emb, q, k=10).select("query_id", "neighbor_id").cache()
+    exact = _dedup.lifecycle_cache(
+        _sim.cosine_topk(emb, q, k=10).select("query_id", "neighbor_id"),
+        "q.lsh64.exact",
+    )
     n_exact = exact.agg(F.count("*").cast("long").alias("n_exact"))
     hits = exact.join(lsh, ["query_id", "neighbor_id"]).agg(
         F.count("*").alias("n_hits")
@@ -1499,7 +1505,10 @@ def c2_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     # exact feeds both the count and the recall join — cached (round 11).
-    exact = _sim.cosine_topk(emb, q, k=10).select("query_id", "neighbor_id").cache()
+    exact = _dedup.lifecycle_cache(
+        _sim.cosine_topk(emb, q, k=10).select("query_id", "neighbor_id"),
+        "q.quantized.exact",
+    )
     n_exact = exact.agg(F.count("*").cast("long").alias("n_exact"))
     hits = exact.join(quant, ["query_id", "neighbor_id"]).agg(
         F.count("*").alias("n_hits")
@@ -2098,15 +2107,21 @@ def c2_cosine_topk_lsh_dim768(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collapsing inlines the flatten(array_repeat(...)) into every
     # downstream per-pair expression.
     # Spread before caching: every leg (signatures, exact scoring) pays
-    # heavy per-row interpreted array work, and the 2000-row scan is one
-    # partition — uncached AND unspread, one core would run each leg.
-    par = spark.sparkContext.defaultParallelism
-    big = (
-        emb.select(
-            "vec_id", F.flatten(F.array_repeat(F.col("embedding"), 12)).alias("embedding")
-        )
-        .repartition(par, F.col("vec_id"))
-        .cache()
+    # heavy per-row array work, and the 2000-row scan is one partition —
+    # uncached AND unspread, one core would run each leg.  Round 12: the
+    # spread is GATED (_spread — a wide input keeps its natural
+    # partitioning; the former unconditional repartition was the one
+    # ungated exchange left in the repo), the cache rides the size-1
+    # lifecycle, and the operators are told spread=False so they skip
+    # their own now-redundant second exchange.
+    big = _dedup.lifecycle_cache(
+        _dedup._spread(
+            emb.select(
+                "vec_id",
+                F.flatten(F.array_repeat(F.col("embedding"), 12)).alias("embedding"),
+            )
+        ),
+        "q.dim768.big",
     )
     q = big.filter(F.col("vec_id") < 5)
     # lsh ids cached too (round 11, second pass): the recall join's OTHER
@@ -2115,13 +2130,22 @@ def c2_cosine_topk_lsh_dim768(spark: SparkSession, sf_dir: str) -> DataFrame:
     # generous autoBroadcastJoinThreshold elects it), concurrently with the
     # other legs' futures — the GC-storm mode documented at
     # similarity._CAND_CACHE.  Cached: 50 id rows.
-    lsh = (
-        _sim.cosine_topk_lsh(big, q, dim=768, k=10, nbits=4, bands=8)
-        .select("query_id", "neighbor_id")
-        .cache()
+    lsh = _dedup.lifecycle_cache(
+        _sim.cosine_topk_lsh(
+            big, q, dim=768, k=10, nbits=4, bands=8, spread=False
+        ).select("query_id", "neighbor_id"),
+        "q.dim768.lsh",
     )
     # exact feeds both the count and the recall join — cached (round 11).
-    exact = _sim.cosine_topk(big, q, k=10).select("query_id", "neighbor_id").cache()
+    # arrow=True (round 12): at dim 768 the exact leg's 10k pair scores are
+    # compute-bound, so the Arrow kernel's fixed per-task cost amortizes
+    # (bit-identical values — see cosine_topk).
+    exact = _dedup.lifecycle_cache(
+        _sim.cosine_topk(big, q, k=10, arrow=True).select(
+            "query_id", "neighbor_id"
+        ),
+        "q.dim768.exact",
+    )
     n_exact = exact.agg(F.count("*").cast("long").alias("n_exact"))
     hits = exact.join(lsh, ["query_id", "neighbor_id"]).agg(
         F.count("*").alias("n_hits")
@@ -3455,7 +3479,9 @@ def b21_hll_sketch_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The sketch build (two hash aggregates over the full events scan) feeds
     # BOTH sides of the pairwise join — cached (round 11) so it runs once;
     # the cached relation is one ~4 KB register array per event_type.
-    sk = _sketch.hll_sketch(ev, ["event_type"], "user_id", p=12).cache()
+    sk = _dedup.lifecycle_cache(
+        _sketch.hll_sketch(ev, ["event_type"], "user_id", p=12), "q.hll.sk"
+    )
     a = sk.select(F.col("event_type").alias("type_a"), F.col("registers").alias("ra"))
     b = sk.select(F.col("event_type").alias("type_b"), F.col("registers").alias("rb"))
     pairs = a.join(b, F.col("type_a") < F.col("type_b"))
@@ -3563,7 +3589,9 @@ def b14_json_match_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline (parse + per-level variant_explode) ran once PER PREDICATE
     # (5x; ~18 s -> ~5 s at sf0.1).  Cached narrow postings, paid once —
     # the inline analogue of the persisted path-bucketed index.
-    postings = _ji.build_json_postings(ev, "event_id", "doc").cache()
+    postings = _dedup.lifecycle_cache(
+        _ji.build_json_postings(ev, "event_id", "doc"), "q.json.postings"
+    )
     parts = [
         ("in", lambda d: _ji.json_match(
             d, "event_id", "doc", "$.type", "IN", ["click", "view"], postings=postings)),
@@ -3804,7 +3832,9 @@ def b21_frequent_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the final bounds join — uncached it re-ran the full fact aggregate per
     # consumer (the validation leg exists only because the oracle is
     # self-validating; production ships the k-row summaries alone).
-    exact = counts.groupBy("item").agg(F.sum("cnt").alias("exact_cnt")).cache()
+    exact = _dedup.lifecycle_cache(
+        counts.groupBy("item").agg(F.sum("cnt").alias("exact_cnt")), "q.freq.exact"
+    )
     missed = (
         exact.join(merged.select("total_eps").limit(1))
         .filter(F.col("exact_cnt") > F.col("total_eps"))
@@ -4629,7 +4659,10 @@ def c9_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Feature relation feeds both the dedup branch and the per-language
     # totals; cache it so the corpus is scanned ONCE (at cluster scale:
     # persist to MEMORY_AND_DISK, ~40 bytes/doc vs the raw text).
-    scored = _text.text_features(spark.table("documents"), "doc_id", "text").cache()
+    scored = _dedup.lifecycle_cache(
+        _text.text_features(spark.table("documents"), "doc_id", "text"),
+        "q.text.features",
+    )
     quality = scored.filter(F.col("quality_score") >= 0.5)
     kept = quality.groupBy("fingerprint_md5").agg(
         F.min_by("predicted_lang", "doc_id").alias("predicted_lang"),
@@ -4864,9 +4897,12 @@ def c1_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 10 == 7).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
-    pairs = _dedup.near_dup_pairs_bipartite(
-        docs, batch, "doc_id", "text", jaccard_threshold=0.5
-    ).cache()
+    pairs = _dedup.lifecycle_cache(
+        _dedup.near_dup_pairs_bipartite(
+            docs, batch, "doc_id", "text", jaccard_threshold=0.5
+        ),
+        "q.incremental.pairs",
+    )
     th = docs.select("doc_id", F.xxhash64("text").alias("th"))
     bth = batch.select(F.col("doc_id").alias("batch_id"), F.xxhash64("text").alias("bh"))
     expected = (
@@ -5365,9 +5401,10 @@ def c23_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("embedding", lambda x: x * F.lit(1.01)).alias("embedding"),
         )
     )
-    res = _sim.semantic_dedup(
-        emb.unionByName(planted), threshold=0.95, n_cells=8
-    ).cache()
+    res = _dedup.lifecycle_cache(
+        _sim.semantic_dedup(emb.unionByName(planted), threshold=0.95, n_cells=8),
+        "q.c23.res",
+    )
     stats = res.agg(
         F.count(F.lit(1)).alias("total_n"),
         F.count_if(F.col("kept")).alias("kept_raw"),
@@ -5710,7 +5747,9 @@ def c27_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fit + ratio-broadcast + scoring pipeline ran twice.  One narrow row
     # per candidate doc; registered in the dsir cache-lifecycle list so the
     # next dsir call releases it like the operator's own per-doc relation.
-    scored = _cur.dsir_scores(docs, F.col("source") == "src0").cache()
+    scored = _dedup.lifecycle_cache(
+        _cur.dsir_scores(docs, F.col("source") == "src0"), "q.dsir.scored"
+    )
     _cur._DSIR_CACHE.append(scored)
     topk = (
         scored.orderBy(F.desc("sel_key"), "doc_id")

@@ -1924,3 +1924,238 @@ def test_tuple_sketch_no_python_udf(spark):
         sketch.tuple_sum_estimate("tuples", 16).alias("s")
     )._jdf.queryExecution().executedPlan().toString()
     assert "pythonudf" not in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# Round 12: Arrow kernels must be BIT-identical to the HOF folds they replace
+# ---------------------------------------------------------------------------
+
+import struct as _struct
+
+from real_time_analytics_with_apache_pinot_on_aws_spark.operators import (
+    arrowkernels,
+)
+
+
+def _bits(x):
+    return None if x is None else _struct.pack("<d", x)
+
+
+def test_score_pairs_kernel_bit_equal_to_hof(spark):
+    """arrowkernels.score_pairs replays dot/(norm*norm) in the fold's exact
+    per-element order: every raw score over the fixture pair set must be
+    BIT-identical to the interpreted ArrayAggregate expression."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a")).filter(
+        "id_a < 30"
+    )
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    pairs = a.crossJoin(b)
+    hof = pairs.select(
+        "id_a", "id_b",
+        (
+            similarity.dot(F.col("v_a"), F.col("v_b"))
+            / (similarity._norm(F.col("v_a")) * similarity._norm(F.col("v_b")))
+        ).alias("raw"),
+    )
+    kern = arrowkernels.score_pairs(pairs)
+    want = {(r.id_a, r.id_b): _bits(r.raw) for r in hof.collect()}
+    got = {(r.id_a, r.id_b): _bits(r.raw) for r in kern.collect()}
+    assert want == got and len(got) == 30 * 500
+
+
+def test_score_pairs_kernel_null_and_ragged_rows(spark):
+    """Slow path: a null vector or a length-mismatched pair must yield a
+    NULL raw score, exactly like the zip_with null-padding fold."""
+    df = spark.createDataFrame(
+        [
+            (1, 10, [1.0, 2.0], [3.0, 4.0]),
+            (2, 20, None, [1.0, 1.0]),
+            (3, 30, [1.0, 2.0, 3.0], [1.0, 1.0]),
+        ],
+        "id_a long, id_b long, v_a array<double>, v_b array<double>",
+    )
+    rows = {r.id_a: r.raw for r in arrowkernels.score_pairs(df).collect()}
+    hof = {
+        r.id_a: r.raw
+        for r in df.select(
+            "id_a",
+            (
+                similarity.dot(F.col("v_a"), F.col("v_b"))
+                / (similarity._norm(F.col("v_a")) * similarity._norm(F.col("v_b")))
+            ).alias("raw"),
+        ).collect()
+    }
+    assert _bits(rows[1]) == _bits(hof[1])
+    assert rows[2] is None and hof[2] is None
+    assert rows[3] is None and hof[3] is None
+
+
+def test_allpairs_kernel_matches_hof_join(spark):
+    """The packed all-pairs kernel (grouped corpus x packed corpus) emits the
+    same (id_a, id_b, rounded score) set as the former BroadcastNestedLoop
+    join + interpreted fold, bit-for-bit on the scores."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    thr = 0.4
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"),
+                   similarity._norm(F.col("embedding")).alias("n_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"),
+                   similarity._norm(F.col("embedding")).alias("n_b"))
+    old = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("score", F.round(
+            similarity.dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6))
+        .filter(F.col("score") >= thr)
+        .select("id_a", "id_b", "score")
+    )
+    new = (
+        arrowkernels.allpairs_scores(emb, "vec_id", "embedding", thr)
+        .withColumn("score", F.round("raw", 6))
+        .filter(F.col("score") >= thr)
+        .select("id_a", "id_b", "score")
+    )
+    want = {(r.id_a, r.id_b): _bits(r.score) for r in old.collect()}
+    got = {(r.id_a, r.id_b): _bits(r.score) for r in new.collect()}
+    assert want == got and len(got) > 0
+
+
+def test_allpairs_margin_keeps_roundup_boundary_pairs(spark):
+    """The kernel's threshold-1e-6 pre-filter must NEVER drop a pair that
+    HALF_UP rounding would keep: a raw cosine of 0.3999996 rounds to 0.4 and
+    must survive; 0.3999993 rounds to 0.399999 and must not."""
+    import math
+
+    def vec(c):
+        return [float(c), math.sqrt(1.0 - c * c)]
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, vec(0.3999996)), (30, vec(0.3999993))],
+        "vec_id long, embedding array<double>",
+    )
+    out = (
+        arrowkernels.allpairs_scores(df, "vec_id", "embedding", 0.4, groups=2)
+        .withColumn("score", F.round("raw", 6))
+        .filter(F.col("score") >= 0.4)
+        .select("id_a", "id_b")
+        .collect()
+    )
+    found = {(r.id_a, r.id_b) for r in out}
+    assert (1, 2) in found
+    assert (1, 30) not in found
+
+
+def test_cellpairs_kernel_matches_hof_join(spark):
+    """The per-cell packed kernel emits the same within-cell (id_a > id_b)
+    thresholded pairs as the cell-keyed self-join + interpreted fold."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    assigned = emb.withColumn("cell_id", (F.col("vec_id") % 5).cast("int"))
+    thr = 0.2
+    a = assigned.select("cell_id", F.col("vec_id").alias("id_a"),
+                        F.col("embedding").alias("v_a"),
+                        similarity._norm(F.col("embedding")).alias("n_a"))
+    b = assigned.select("cell_id", F.col("vec_id").alias("id_b"),
+                        F.col("embedding").alias("v_b"),
+                        similarity._norm(F.col("embedding")).alias("n_b"))
+    old = (
+        a.join(b, "cell_id")
+        .filter(F.col("id_a") > F.col("id_b"))
+        .withColumn("score", F.round(
+            similarity.dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6))
+        .filter(F.col("score") >= thr)
+        .select("id_a", "id_b", "score")
+    )
+    new = (
+        arrowkernels.cellpairs_scores(assigned, "cell_id", "vec_id", "embedding", thr)
+        .withColumn("score", F.round("raw", 6))
+        .filter(F.col("score") >= thr)
+        .select("id_a", "id_b", "score")
+    )
+    want = {(r.id_a, r.id_b): _bits(r.score) for r in old.collect()}
+    got = {(r.id_a, r.id_b): _bits(r.score) for r in new.collect()}
+    assert want == got and len(got) > 0
+
+
+def test_packed_pair_scores_match_reattach_join(spark):
+    """packed_pair_scores (gather vectors by id inside the kernel) must score
+    a candidate list bit-identically to the former re-attach joins + fold,
+    and must DROP candidates whose id is absent, like the inner joins did."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cand = spark.createDataFrame(
+        [(0, 1), (2, 3), (17, 400), (5, 999999), (888888, 6)],
+        "id_a long, id_b long",
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"))
+    old = (
+        cand.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a", "id_b",
+            (
+                similarity.dot(F.col("v_a"), F.col("v_b"))
+                / (similarity._norm(F.col("v_a")) * similarity._norm(F.col("v_b")))
+            ).alias("raw"),
+        )
+    )
+    new = arrowkernels.packed_pair_scores(cand, emb, "vec_id", "embedding")
+    want = {(r.id_a, r.id_b): _bits(r.raw) for r in old.collect()}
+    got = {(r.id_a, r.id_b): _bits(r.raw) for r in new.collect()}
+    assert want == got
+    assert len(got) == 3  # the two candidates with unknown ids dropped
+
+
+def test_band_sigs_udf_matches_hof_signatures(spark):
+    """The Arrow signature kernel reproduces lsh_band_signatures bit-for-bit
+    over the fixture corpus (every band, every row), and mirrors the fold's
+    malformed-input behavior: null or TOO-SHORT vectors sign to 0 in every
+    band (when(null > 0) falls to the 0 branch), never to null."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim, nbits, bands = 64, 4, 8
+    hof = emb.select(
+        "vec_id",
+        similarity.lsh_band_signatures(F.col("embedding"), dim, nbits, bands).alias("s"),
+    )
+    kern = emb.select(
+        "vec_id", arrowkernels.band_sigs_udf(dim, nbits, bands)(F.col("embedding")).alias("s")
+    )
+    want = {r.vec_id: [x["sig"] for x in r.s] for r in hof.collect()}
+    got = {r.vec_id: list(r.s) for r in kern.collect()}
+    assert want == got
+    # malformed rows: null / short vectors -> all-zero signatures, like the fold
+    edge = spark.createDataFrame(
+        [(1, None), (2, [1.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    ehof = edge.select(
+        similarity.lsh_band_signatures(F.col("embedding"), dim, nbits, bands).alias("s")
+    ).collect()
+    ekern = edge.select(
+        arrowkernels.band_sigs_udf(dim, nbits, bands)(F.col("embedding")).alias("s")
+    ).collect()
+    for h, k in zip(ehof, ekern):
+        assert [x["sig"] for x in h.s] == list(k.s) == [0] * bands
+
+
+def test_band_sigs_kernel_survives_repeated_builds(spark):
+    """Regression pin for the Spark 4.1 Python-UDF extraction hazard: a
+    pandas UDF whose argument embeds a let-bound lambda is extracted on the
+    FIRST build of a session only (later builds leave it in a plain Project
+    -> INTERNAL_ERROR at run time).  The signature kernel's argument is a
+    plain vector column, which must keep extracting — and executing — across
+    repeated builds with HOF queries interleaved."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    udf = arrowkernels.band_sigs_udf(64, 4, 2)
+    first = None
+    for i in range(3):
+        out = emb.select("vec_id", udf(F.col("embedding")).alias("s"))
+        plan = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "ArrowEvalPython" in plan, f"build {i} lost UDF extraction"
+        got = sorted((r.vec_id, tuple(r.s)) for r in out.collect())
+        first = got if first is None else first
+        assert got == first
+        # interleave a HOF query (the trigger shape for the hazard)
+        emb.limit(5).select(
+            similarity._norm(F.col("embedding")).alias("n")
+        ).collect()
