@@ -218,8 +218,13 @@ def lsh_signature(vec: Column, dim: int, nbits: int = 8, plane_offset: int = 0) 
     ``s + (x_d * w_d)`` over ascending d — exactly the order of the old
     zip_with form and of the round-3 unroll, so signatures are bit-for-bit
     identical.  ``F.get`` null-pads out-of-range indexes (ANSI-safe) just
-    as zip_with padded a short ``vec``; every call site passes vectors of
-    exactly ``dim`` elements.
+    as zip_with padded a short ``vec``.  Edge semantics (round-12 ADVICE
+    note): a vector LONGER than ``dim`` reads components 0..dim-1 and emits
+    a valid partial-dot signature — the pre-r11 zip_with form null-padded
+    and signed every band to 0 for that case; short/null vectors still sign
+    to 0.  Every call site passes vectors of exactly ``dim`` elements, so
+    no produced value differs; validate length upstream if malformed input
+    must stay inert.
     """
     idx = F.sequence(F.lit(0), F.lit(dim - 1))
     sig = F.lit(0)
@@ -269,6 +274,12 @@ def lsh_band_signatures(vec: Column, dim: int, nbits: int, bands: int) -> Column
 # cheap cache read: one signature pass per query, sequential, full
 # parallelism.  The cached relation is ids only (16 bytes/row), orders of
 # magnitude smaller than the corpus it indexes.
+# Constraint (round-12 ADVICE doc): ONE live plan per module — the next call
+# unpersists this call's relation at BUILD time, so composing two LSH
+# DataFrames before executing the first reverts the first to uncached
+# re-evaluation (correct via recompute, just slower).  Not thread-safe.
+# Same contract as dedup.lifecycle_cache, kept as a separate list because
+# tests pin this module attribute.
 _CAND_CACHE: list = []
 
 

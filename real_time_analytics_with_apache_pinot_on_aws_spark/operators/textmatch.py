@@ -427,7 +427,13 @@ def bm25_scores(
     """
     from .dedup import let_bound
 
-    terms = _analyze(query, analyzer)
+    # Dedupe terms order-preservingly (round-12 ADVICE): _analyze does not,
+    # and a repeated term (typed twice, or two words stemmed to the same
+    # token) would emit two identical structs in ``entries`` — explode +
+    # sum(tf) then DOUBLES that term's tf and changes scores.  The pre-r11
+    # exploded shape counted each (id, token) once regardless of query
+    # duplicates; dict.fromkeys restores exactly that behavior.
+    terms = list(dict.fromkeys(_analyze(query, analyzer)))
     if not terms:
         raise ValueError(f"empty BM25 query: {query!r}")
     toks = analyzer.tokens(F.col(text_col))

@@ -2159,3 +2159,17 @@ def test_band_sigs_kernel_survives_repeated_builds(spark):
         emb.limit(5).select(
             similarity._norm(F.col("embedding")).alias("n")
         ).collect()
+
+
+def test_bm25_duplicate_query_terms_score_once(spark):
+    """Round-12 ADVICE: a repeated query term (typed twice, or two words
+    analyzed to the same token) must contribute once, like the pre-r11
+    exploded shape — not double its tf through the entries explode."""
+    from real_time_analytics_with_apache_pinot_on_aws_spark.operators import textmatch
+
+    df = spark.createDataFrame(
+        [(1, "spark engine spark"), (2, "vector engine")], "id long, text string"
+    )
+    once = {r["id"]: r["score"] for r in textmatch.bm25_scores(df, "id", "text", "spark engine").collect()}
+    dup = {r["id"]: r["score"] for r in textmatch.bm25_scores(df, "id", "text", "spark engine spark").collect()}
+    assert once == dup
