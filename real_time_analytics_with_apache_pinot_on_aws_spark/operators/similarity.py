@@ -84,6 +84,16 @@ def cosine_topk(
     (measured: 0.36 -> 0.73 s at dim 64) but clearly does at production dims
     (the dim-768 exact legs pass ``arrow=True``).
     """
+    # NOT spread (re-examined round 12 with an 8-vs-32-core probe at 100x
+    # fixture data): the per-pair fold runs on the scan's map tasks, and a
+    # single-FILE corpus scans as 1-5 splits, so the probe measured a flat
+    # 1.0 core-ratio (7.2 s at both counts).  A gated _spread fixed that
+    # (3.3 s at 32 cores) but costs an extra exchange+stage at the benched
+    # SF: c2_cosine_topk 0.43 -> 0.93 s, and every exact-leg consumer
+    # (dim768, ivf, quantized) regressed with it — a bad trade for a
+    # serialization that only exists when a mid-sized corpus sits in ONE
+    # file (real layouts split; SCALE.md round-12 probe records both
+    # numbers).
     # Per-row norms hoisted out of the per-pair score (round 11): each side
     # computes its norm ONCE; dot/(n_q*n_c) is the exact expression
     # :func:`cosine` evaluates (same ops, same order, bit-equal results)
