@@ -388,10 +388,18 @@ def minhash_lsh_pairs(
         from pyspark.sql import Window as _W
 
         wb = _W.partitionBy("band", "sig")
-        annotated = (
+        # 5 fixed-width cols/doc/band; feeds both branches.  Lifecycle-keyed
+        # (round 12): a bare .cache() here left the PREVIOUS build's entry
+        # registered, and a rebuild's cache() canonically matched it — a
+        # stale plan referencing the already-evicted upstream sets cache,
+        # which re-expanded one consumer to a raw second corpus scan
+        # (caught by test_minhash_validated_query_single_corpus_scan on
+        # repeated builds: every cache in a dependency chain must share the
+        # lifecycle).
+        annotated = lifecycle_cache(
             banded.withColumn("m", F.count("*").over(wb))
-            .withColumn("rep", F.min(id_col).over(wb))
-            .cache()  # 5 fixed-width cols/doc/band; feeds both branches
+            .withColumn("rep", F.min(id_col).over(wb)),
+            "dedup.minhash.annotated",
         )
         small = annotated.filter(F.col("m") <= max_bucket)
         left = small.select(F.col(id_col).alias("id_a"), "band", "sig")
